@@ -1,0 +1,62 @@
+"""Benchmark harness: times the headline queries (registry entries with
+``bench=True``) at $SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) on
+local[$SPARK_GRAFT_CPUS] and prints ONE JSON line.
+
+Each query is materialized via a count-style full evaluation
+(``df.write.format("noop")``) so timings include the complete plan without
+driver-side collect overhead dominating.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+REPO = os.path.dirname(os.path.abspath(__file__))
+sys.path.insert(0, REPO)
+
+
+def main() -> None:
+    os.environ.setdefault("SPARK_LOCAL_IP", "127.0.0.1")
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", str(os.cpu_count() or 8)))
+
+    from hudi_and_delta_showcase_spark import get_spark
+    from hudi_and_delta_showcase_spark.queries import load_all
+
+    spark = get_spark(master=f"local[{cpus}]", shuffle_partitions=cpus)
+
+    all_queries = load_all()
+    headline = {n: q for n, q in all_queries.items() if q.bench}
+
+    # Warm the JVM + parquet footers with one pass of the flagship query.
+    warm = all_queries["latest_change_per_key"]
+    warm.fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+
+    timings: dict[str, float] = {}
+    for name, q in sorted(headline.items()):
+        t0 = time.perf_counter()
+        q.fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+        timings[name] = round(time.perf_counter() - t0, 4)
+
+    total = round(sum(timings.values()), 4)
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total_wall",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": float(sf) if sf else sf_dir,
+                "cpus": cpus,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,90 @@
+"""IO layer: readers/writers for the engine's sources and sinks.
+
+Reference parity (SURVEY.md §2.1):
+* S1 Avro batch scan  — ``read_avro`` (gated: spark-avro jars are an external
+  package, ``/root/reference/Config/packages-install.sh:1-2``; falls back
+  with a clear error when absent — all driver fixtures are Parquet).
+* S2/S3 snapshot scans — lakehouse tables in ``tables/`` resolve their own
+  live-file lists; plain parquet scans live here.
+* S4 catalog scan — ``register_views`` registers the fixture star schema as
+  temp views so ``spark.sql`` works on them.
+
+Scale notes: scans stay fully declarative (``spark.read.parquet``) so
+Catalyst pushes filters into the parquet reader and prunes columns; the
+``events`` nanos fix-up is a single projected expression, not a UDF.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+#: columns stored as parquet TIMESTAMP(NANOS,false); Spark reads them as
+#: raw nanosecond longs (spark.sql.legacy.parquet.nanosAsLong=true) and we
+#: convert to TIMESTAMP_NTZ at microsecond precision (matches DuckDB, which
+#: also truncates nanos to micros).
+_NANOS_TS_COLS: dict[str, tuple[str, ...]] = {"events": ("ts",)}
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Load one driver fixture table, normalizing timestamp representation.
+
+    Works on ANY caller-provided session (the driver hands us its own):
+    ``nanosAsLong`` is runtime-settable SQLConf, and the nanos->NTZ
+    conversion below is pure epoch arithmetic — no dependency on the
+    session timezone.
+    """
+    if name in _NANOS_TS_COLS:
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    for col in _NANOS_TS_COLS.get(name, ()):
+        if dict(df.dtypes).get(col) == "bigint":
+            # integer nanos -> TIMESTAMP_NTZ. `div`/`%` are long ops (a
+            # double division would lose precision above 2^53 ns); the
+            # date_add + day-time-interval construction never passes
+            # through a timezone-aware type.
+            micros = f"({col} div 1000)"
+            df = df.withColumn(
+                col,
+                F.expr(
+                    f"cast(date_add(DATE'1970-01-01', "
+                    f"cast({micros} div 86400000000 as int)) as timestamp_ntz) "
+                    f"+ make_dt_interval(0, 0, 0, ({micros} % 86400000000) / 1e6)"
+                ),
+            )
+    return df
+
+
+def register_views(spark: SparkSession, sf_dir: str) -> None:
+    """Register every fixture table as a session temp view (S4/D5 parity:
+    ``createOrReplaceTempView`` at ``/root/reference/README.md:1206``)."""
+    for name in TABLES:
+        load_table(spark, sf_dir, name).createOrReplaceTempView(name)
+
+
+def read_avro(spark: SparkSession, path: str) -> DataFrame:
+    """S1: Avro batch scan (``/root/reference/README.md:264``).
+
+    Requires the external ``spark-avro`` package; raises a descriptive error
+    when the jar is unavailable (this container ships no avro jar).
+    """
+    try:
+        return spark.read.format("avro").load(path)
+    except Exception as exc:  # pragma: no cover - env without avro jars
+        raise RuntimeError(
+            "spark-avro jars not available in this environment; "
+            "use parquet/json sources instead"
+        ) from exc

@@ -1,0 +1,753 @@
+"""Relational operator inventory (SURVEY.md §2.1-2.8) over the driver's
+star schema, each paired with a DuckDB oracle.
+
+Design note on floats: SUM/AVG over doubles is order-dependent, and Spark
+and DuckDB aggregate in different orders. Every aggregate over a double
+column therefore casts elements to DECIMAL first (exact, order-independent)
+and casts the final aggregate back to DOUBLE — both engines then produce
+bit-identical values. Per-row double arithmetic (same IEEE expression tree)
+is deterministic cross-engine and needs no such treatment.
+
+Scale notes: all queries are single declarative plans — Catalyst handles
+filter pushdown into parquet, nested column pruning, broadcast for the
+dimension tables (region/nation/supplier are tiny at any SF; customer/part
+stay broadcastable well past sf100), and AQE re-plans skewed shuffles.
+Top-k uses ORDER BY + LIMIT which Spark executes as TakeOrderedAndProject
+(per-partition heap + driver merge — no global sort shuffle).
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession, Window
+
+from hudi_and_delta_showcase_spark.io import load_table
+from hudi_and_delta_showcase_spark.queries.registry import query
+
+
+def _dec(col: str, prec: int = 18, scale: int = 2) -> F.Column:
+    return F.col(col).cast(f"decimal({prec},{scale})")
+
+
+# ---------------------------------------------------------------------------
+# Flagship: latest-change-per-key (reference C5/A1/J1 —
+# /root/reference/README.md:1215-1221: per-key max-timestamp aggregate
+# inner-joined back to the batch), re-aimed at the events table.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "latest_change_per_key",
+    oracle="""
+    SELECT e.event_id, e.user_id, e.ts, e.event_type, e.value
+    FROM events e
+    INNER JOIN (
+        SELECT user_id, max(ts) AS max_ts FROM events GROUP BY user_id
+    ) m ON e.user_id = m.user_id AND e.ts = m.max_ts
+    """,
+    tags=("cdc", "agg", "join"),
+    bench=True,
+)
+def latest_change_per_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Latest change per key via groupBy-max + self equi-join (J1+A1).
+
+    The per-key aggregate side is small (one row per key) so Catalyst
+    broadcast-joins it back against the full batch — no second shuffle of
+    the big side beyond the aggregation's own exchange.
+    """
+    events = load_table(spark, sf_dir, "events")
+    latest = events.groupBy("user_id").agg(F.max("ts").alias("max_ts"))
+    return (
+        events.alias("e")
+        .join(
+            F.broadcast(latest).alias("m"),
+            (F.col("e.user_id") == F.col("m.user_id"))
+            & (F.col("e.ts") == F.col("m.max_ts")),
+            "inner",
+        )
+        .select("e.event_id", "e.user_id", "e.ts", "e.event_type", "e.value")
+    )
+
+
+# ---------------------------------------------------------------------------
+# TPC-H-shaped aggregation / join pipeline queries (A1, J1, P-family)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q1_pricing_summary",
+    oracle="""
+    SELECT
+      l_returnflag,
+      l_linestatus,
+      CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+      CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+      CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+               * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS sum_disc_price,
+      CAST(SUM(CAST(l_extendedprice AS DECIMAL(10,2))
+               * ((1 - CAST(l_discount AS DECIMAL(10,2)))
+                  * (1 + CAST(l_tax AS DECIMAL(10,2))))) AS DOUBLE) AS sum_charge,
+      CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_qty,
+      CAST(SUM(CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_disc,
+      COUNT(*) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '2000-12-01 00:00:00'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+    tags=("agg", "filter"),
+    bench=True,
+)
+def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1 shape: wide grouped aggregate with arithmetic, filter
+    pushed to the parquet scan. Partial (map-side) aggregation keeps the
+    shuffle at |groups| rows per task regardless of SF."""
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") <= F.lit("2000-12-01 00:00:00").cast("timestamp_ntz")
+    )
+    one = F.lit(1)
+    return li.groupBy("l_returnflag", "l_linestatus").agg(
+        F.sum(_dec("l_quantity")).cast("double").alias("sum_qty"),
+        F.sum(_dec("l_extendedprice")).cast("double").alias("sum_base_price"),
+        F.sum(_dec("l_extendedprice") * (one - _dec("l_discount")))
+        .cast("double")
+        .alias("sum_disc_price"),
+        F.sum(
+            _dec("l_extendedprice", 10)
+            * ((one - _dec("l_discount", 10)) * (one + _dec("l_tax", 10)))
+        )
+        .cast("double")
+        .alias("sum_charge"),
+        (F.sum(_dec("l_quantity")).cast("double") / F.count(F.lit(1))).alias("avg_qty"),
+        (F.sum(_dec("l_discount")).cast("double") / F.count(F.lit(1))).alias(
+            "avg_disc"
+        ),
+        F.count(F.lit(1)).alias("count_order"),
+    )
+
+
+@query(
+    "q3_shipping_priority",
+    oracle="""
+    SELECT
+      l.l_orderkey,
+      CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))
+               * (1 - CAST(l.l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue,
+      o.o_orderdate,
+      o.o_orderpriority
+    FROM customer c
+    JOIN orders o ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+    WHERE c.c_mktsegment = 'BUILDING'
+      AND o.o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+      AND l.l_shipdate > TIMESTAMP '1998-01-01 00:00:00'
+    GROUP BY l.l_orderkey, o.o_orderdate, o.o_orderpriority
+    ORDER BY revenue DESC, l_orderkey ASC
+    LIMIT 10
+    """,
+    tags=("join", "agg", "topk"),
+    bench=True,
+)
+def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3 shape: selective dimension filter -> fact joins -> grouped
+    agg -> top-k. customer(filtered) broadcasts; lineitem never shuffles
+    for the join, only for the final aggregate."""
+    c = load_table(spark, sf_dir, "customer").filter(
+        F.col("c_mktsegment") == "BUILDING"
+    )
+    o = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < F.lit("1998-01-01 00:00:00").cast("timestamp_ntz")
+    )
+    l = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") > F.lit("1998-01-01 00:00:00").cast("timestamp_ntz")
+    )
+    return (
+        l.join(F.broadcast(o.join(F.broadcast(c), o.o_custkey == c.c_custkey)),
+               l.l_orderkey == o.o_orderkey)
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(
+            F.sum(_dec("l_extendedprice") * (F.lit(1) - _dec("l_discount")))
+            .cast("double")
+            .alias("revenue")
+        )
+        .select("l_orderkey", "revenue", "o_orderdate", "o_orderpriority")
+        .orderBy(F.desc("revenue"), F.asc("l_orderkey"))
+        .limit(10)
+    )
+
+
+@query(
+    "q5_regional_revenue",
+    oracle="""
+    SELECT
+      n.n_name,
+      CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))
+               * (1 - CAST(l.l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue
+    FROM region r
+    JOIN nation n ON r.r_regionkey = n.n_regionkey
+    JOIN customer c ON c.c_nationkey = n.n_nationkey
+    JOIN orders o ON o.o_custkey = c.c_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    JOIN supplier s ON s.s_suppkey = l.l_suppkey AND s.s_nationkey = n.n_nationkey
+    GROUP BY n.n_name
+    ORDER BY revenue DESC, n_name ASC
+    """,
+    tags=("join", "agg"),
+    bench=True,
+)
+def q5_regional_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5 shape: 6-way star join. All dimension sides broadcast;
+    lineitem is the only large input and it is scanned exactly once."""
+    r = load_table(spark, sf_dir, "region")
+    n = load_table(spark, sf_dir, "nation")
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    l = load_table(spark, sf_dir, "lineitem")
+    s = load_table(spark, sf_dir, "supplier")
+    return (
+        l.join(F.broadcast(o), l.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .join(
+            F.broadcast(s),
+            (s.s_suppkey == l.l_suppkey) & (s.s_nationkey == n.n_nationkey),
+        )
+        .groupBy("n_name")
+        .agg(
+            F.sum(_dec("l_extendedprice") * (F.lit(1) - _dec("l_discount")))
+            .cast("double")
+            .alias("revenue")
+        )
+        .orderBy(F.desc("revenue"), F.asc("n_name"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Join family (J1-J3 + the join types the reference delegates to Spark)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "join_left_outer_counts",
+    oracle="""
+    SELECT c.c_custkey, c.c_name, COUNT(o.o_orderkey) AS order_cnt
+    FROM customer c LEFT JOIN orders o ON c.c_custkey = o.o_custkey
+    GROUP BY c.c_custkey, c.c_name
+    """,
+    tags=("join", "agg"),
+)
+def join_left_outer_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey, "left")
+        .groupBy("c_custkey", "c_name")
+        .agg(F.count("o_orderkey").alias("order_cnt"))
+    )
+
+
+@query(
+    "join_semi",
+    oracle="""
+    SELECT c_custkey, c_name FROM customer c
+    WHERE EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 200000)
+    """,
+    tags=("join",),
+)
+def join_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left-semi join: customers having at least one big order."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 200000)
+    return c.join(o, c.c_custkey == o.o_custkey, "left_semi").select(
+        "c_custkey", "c_name"
+    )
+
+
+@query(
+    "join_anti",
+    oracle="""
+    SELECT c_custkey, c_name FROM customer c
+    WHERE NOT EXISTS (SELECT 1 FROM orders o
+                      WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 250000)
+    """,
+    tags=("join",),
+)
+def join_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left-anti join — the insert-routing half of upsert (SURVEY J3):
+    customers with no order above 250k."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 250000)
+    return c.join(o, c.c_custkey == o.o_custkey, "left_anti").select(
+        "c_custkey", "c_name"
+    )
+
+
+@query(
+    "join_cross_dims",
+    oracle="""
+    SELECT r.r_name, n.n_name FROM region r CROSS JOIN nation n
+    """,
+    tags=("join",),
+)
+def join_cross_dims(spark: SparkSession, sf_dir: str) -> DataFrame:
+    r = load_table(spark, sf_dir, "region")
+    n = load_table(spark, sf_dir, "nation")
+    return r.crossJoin(n).select("r_name", "n_name")
+
+
+@query(
+    "join_range_theta",
+    oracle="""
+    SELECT p.p_partkey, p.p_size,
+           COUNT(*) AS n_smaller
+    FROM part p JOIN part q ON q.p_size < p.p_size
+    WHERE p.p_partkey <= 50
+    GROUP BY p.p_partkey, p.p_size
+    """,
+    tags=("join",),
+)
+def join_range_theta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Non-equi (theta/range) join: for each of the first 50 parts, count
+    strictly smaller parts. Spark executes as BroadcastNestedLoopJoin with
+    the filtered side broadcast."""
+    p = load_table(spark, sf_dir, "part").filter(F.col("p_partkey") <= 50)
+    q = load_table(spark, sf_dir, "part").select(F.col("p_size").alias("q_size"))
+    return (
+        p.join(q, q.q_size < p.p_size)
+        .groupBy("p_partkey", "p_size")
+        .agg(F.count(F.lit(1)).alias("n_smaller"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Aggregation family (A1-A3 + distinct/rollup/cube "free" coverage)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "agg_distinct",
+    oracle="""
+    SELECT o_orderpriority,
+           COUNT(DISTINCT o_custkey) AS n_customers,
+           COUNT(*) AS n_orders
+    FROM orders GROUP BY o_orderpriority
+    """,
+    tags=("agg",),
+)
+def agg_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    return o.groupBy("o_orderpriority").agg(
+        F.countDistinct("o_custkey").alias("n_customers"),
+        F.count(F.lit(1)).alias("n_orders"),
+    )
+
+
+@query(
+    "agg_rollup",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+           COUNT(*) AS n
+    FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+    """,
+    tags=("agg",),
+)
+def agg_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.rollup("l_returnflag", "l_linestatus").agg(
+        F.sum(_dec("l_quantity")).cast("double").alias("sum_qty"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+@query(
+    "agg_cube",
+    oracle="""
+    SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n
+    FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
+    """,
+    tags=("agg",),
+)
+def agg_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    return o.cube("o_orderstatus", "o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+
+
+@query(
+    "agg_minmax_stats",
+    oracle="""
+    SELECT l_returnflag,
+           MIN(l_quantity) AS min_qty, MAX(l_quantity) AS max_qty,
+           MIN(l_shipdate) AS first_ship, MAX(l_shipdate) AS last_ship,
+           COUNT(DISTINCT l_suppkey) AS n_supp
+    FROM lineitem GROUP BY l_returnflag
+    """,
+    tags=("agg",),
+)
+def agg_minmax_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.min("l_quantity").alias("min_qty"),
+        F.max("l_quantity").alias("max_qty"),
+        F.min("l_shipdate").alias("first_ship"),
+        F.max("l_shipdate").alias("last_ship"),
+        F.countDistinct("l_suppkey").alias("n_supp"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Window functions (W1; reference expresses latest-per-key as A1+J1 — the
+# window row_number form is our engine's preferred equivalent, SURVEY §2.5)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "window_latest_per_key",
+    oracle="""
+    SELECT event_id, user_id, ts, event_type, value FROM (
+      SELECT *, ROW_NUMBER() OVER (
+        PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+      FROM events
+    ) WHERE rn = 1
+    """,
+    tags=("window", "cdc"),
+)
+def window_latest_per_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """row_number()==1 latest-per-key — the window form of C5/A3 and the
+    merge-on-read resolution kernel. One shuffle on the key, no join."""
+    events = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(F.desc("ts"), F.desc("event_id"))
+    return (
+        events.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("event_id", "user_id", "ts", "event_type", "value")
+    )
+
+
+@query(
+    "window_rank_topn_per_group",
+    oracle="""
+    SELECT o_custkey, o_orderkey, o_totalprice, rn FROM (
+      SELECT o_custkey, o_orderkey, o_totalprice, ROW_NUMBER() OVER (
+        PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey ASC) AS rn
+      FROM orders
+    ) WHERE rn <= 3
+    """,
+    tags=("window", "topk"),
+)
+def window_rank_topn_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.desc("o_totalprice"), F.asc("o_orderkey")
+    )
+    return (
+        o.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select("o_custkey", "o_orderkey", "o_totalprice", "rn")
+    )
+
+
+@query(
+    "window_running_sum",
+    oracle="""
+    SELECT event_id, user_id, ts,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) OVER (
+             PARTITION BY user_id ORDER BY ts ASC, event_id ASC
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+           AS running_value
+    FROM events
+    """,
+    tags=("window",),
+)
+def window_running_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cumulative sum with an explicit ROWS frame. Decimal accumulation so
+    the running total is exact (and engine-order-independent)."""
+    events = load_table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.asc("ts"), F.asc("event_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return events.select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.sum(_dec("value")).over(w).cast("double").alias("running_value"),
+    )
+
+
+@query(
+    "window_lag_lead",
+    oracle="""
+    SELECT event_id, user_id, ts,
+           LAG(event_type) OVER w AS prev_type,
+           LEAD(event_type) OVER w AS next_type,
+           LAG(value, 2) OVER w AS prev2_value
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)
+    """,
+    tags=("window",),
+)
+def window_lag_lead(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(F.asc("ts"), F.asc("event_id"))
+    return events.select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.lag("event_type").over(w).alias("prev_type"),
+        F.lead("event_type").over(w).alias("next_type"),
+        F.lag("value", 2).over(w).alias("prev2_value"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Sorts / limits / top-k / set ops (O1-O2 + free coverage)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "topk_orders",
+    oracle="""
+    SELECT o_orderkey, o_custkey, o_totalprice
+    FROM orders ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 20
+    """,
+    tags=("topk",),
+)
+def topk_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global top-k: Spark plans TakeOrderedAndProject — per-partition heaps
+    merged on the driver, never a full sort shuffle."""
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        o.orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+        .limit(20)
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+    )
+
+
+@query(
+    "set_ops_nations",
+    oracle="""
+    SELECT nk, 'both' AS src FROM (
+      SELECT c_nationkey AS nk FROM customer
+      INTERSECT SELECT s_nationkey FROM supplier)
+    UNION ALL
+    SELECT nk, 'customer_only' AS src FROM (
+      SELECT c_nationkey AS nk FROM customer
+      EXCEPT SELECT s_nationkey FROM supplier)
+    """,
+    tags=("setop",),
+)
+def set_ops_nations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer").select(
+        F.col("c_nationkey").alias("nk")
+    )
+    s = load_table(spark, sf_dir, "supplier").select(
+        F.col("s_nationkey").alias("nk")
+    )
+    both = c.intersect(s).withColumn("src", F.lit("both"))
+    # subtract == EXCEPT (set semantics); exceptAll would keep multiplicities
+    only = c.subtract(s).withColumn("src", F.lit("customer_only"))
+    return both.unionByName(only)
+
+
+@query(
+    "union_all_tagged",
+    oracle="""
+    SELECT 'order' AS kind, o_orderkey AS key FROM orders
+    UNION ALL
+    SELECT 'line' AS kind, l_orderkey AS key FROM lineitem
+    """,
+    tags=("setop",),
+)
+def union_all_tagged(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNION ALL — the MoR base∪log read shape (SURVEY O2)."""
+    o = load_table(spark, sf_dir, "orders").select(
+        F.lit("order").alias("kind"), F.col("o_orderkey").alias("key")
+    )
+    l = load_table(spark, sf_dir, "lineitem").select(
+        F.lit("line").alias("kind"), F.col("l_orderkey").alias("key")
+    )
+    return o.unionByName(l)
+
+
+# ---------------------------------------------------------------------------
+# Scalar function batteries (F1-F4 + free string/date/math/json coverage)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "scalar_string_funcs",
+    oracle="""
+    SELECT p_partkey,
+           upper(p_brand) AS brand_u,
+           lower(p_type) AS type_l,
+           substring(p_name, 1, 8) AS name_pre,
+           length(p_name) AS name_len,
+           concat(p_brand, '#', p_type) AS brand_type,
+           replace(p_brand, 'Brand', 'B') AS brand_short,
+           ltrim(rtrim(p_name)) AS name_trim
+    FROM part
+    """,
+    tags=("scalar",),
+)
+def scalar_string_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = load_table(spark, sf_dir, "part")
+    return p.select(
+        "p_partkey",
+        F.upper("p_brand").alias("brand_u"),
+        F.lower("p_type").alias("type_l"),
+        F.substring("p_name", 1, 8).alias("name_pre"),
+        F.length("p_name").alias("name_len"),
+        F.concat(F.col("p_brand"), F.lit("#"), F.col("p_type")).alias("brand_type"),
+        F.regexp_replace("p_brand", "Brand", "B").alias("brand_short"),
+        F.trim(F.col("p_name")).alias("name_trim"),
+    )
+
+
+@query(
+    "scalar_datetime_funcs",
+    oracle="""
+    SELECT o_orderkey,
+           year(o_orderdate) AS y,
+           month(o_orderdate) AS m,
+           day(o_orderdate) AS d,
+           quarter(o_orderdate) AS q,
+           CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS month_start,
+           CAST(o_orderdate AS DATE) AS odate
+    FROM orders
+    """,
+    tags=("scalar",),
+)
+def scalar_datetime_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F1 parity: the reference's only scalar transform is timestamp
+    normalization (/root/reference/README.md:270-273); full date battery."""
+    o = load_table(spark, sf_dir, "orders")
+    return o.select(
+        "o_orderkey",
+        F.year("o_orderdate").alias("y"),
+        F.month("o_orderdate").alias("m"),
+        F.dayofmonth("o_orderdate").alias("d"),
+        F.quarter("o_orderdate").alias("q"),
+        F.date_trunc("month", F.col("o_orderdate"))
+        .cast("timestamp_ntz")
+        .alias("month_start"),
+        F.col("o_orderdate").cast("date").alias("odate"),
+    )
+
+
+@query(
+    "scalar_unix_timestamp",
+    oracle="""
+    SELECT event_id, CAST(floor(epoch(ts)) AS BIGINT) AS ts_epoch
+    FROM events
+    """,
+    tags=("scalar", "cdc"),
+)
+def scalar_unix_timestamp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's normalize step: timestamp -> epoch seconds bigint
+    (`unix_timestamp(col(...))`, /root/reference/README.md:270-273)."""
+    e = load_table(spark, sf_dir, "events")
+    return e.select(
+        "event_id",
+        F.expr(
+            "timestampdiff(SECOND, TIMESTAMP_NTZ'1970-01-01 00:00:00', ts)"
+        ).alias("ts_epoch"),
+    )
+
+
+@query(
+    "scalar_math_funcs",
+    oracle="""
+    SELECT l_orderkey, l_linenumber,
+           abs(l_extendedprice - 50000.0) AS dist_from_50k,
+           floor(l_quantity / 7) AS qty_bucket,
+           ceil(l_extendedprice / 1000) AS price_k,
+           CAST(l_quantity AS BIGINT) % 5 AS qty_mod,
+           sqrt(l_quantity) AS qty_sqrt,
+           l_extendedprice * (1.0 - l_discount) AS net
+    FROM lineitem
+    """,
+    tags=("scalar",),
+)
+def scalar_math_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.abs(F.col("l_extendedprice") - 50000.0).alias("dist_from_50k"),
+        F.floor(F.col("l_quantity") / 7).alias("qty_bucket"),
+        F.ceil(F.col("l_extendedprice") / 1000).alias("price_k"),
+        (F.col("l_quantity").cast("long") % 5).alias("qty_mod"),
+        F.sqrt(F.col("l_quantity")).alias("qty_sqrt"),
+        (F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))).alias("net"),
+    )
+
+
+@query(
+    "scalar_case_when",
+    oracle="""
+    SELECT
+      CASE WHEN o_totalprice >= 150000 THEN 'large'
+           WHEN o_totalprice >= 50000 THEN 'medium'
+           ELSE 'small' END AS size_class,
+      o_orderstatus,
+      COUNT(*) AS n
+    FROM orders GROUP BY 1, 2
+    """,
+    tags=("scalar", "agg"),
+)
+def scalar_case_when(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    size_class = (
+        F.when(F.col("o_totalprice") >= 150000, "large")
+        .when(F.col("o_totalprice") >= 50000, "medium")
+        .otherwise("small")
+        .alias("size_class")
+    )
+    return o.groupBy(size_class, "o_orderstatus").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+
+
+@query(
+    "scalar_json_funcs",
+    oracle="""
+    SELECT event_id,
+           json_extract_string(props, '$.k') AS k_str,
+           CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_num
+    FROM events
+    """,
+    tags=("scalar",),
+)
+def scalar_json_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k")
+    return e.select(
+        "event_id",
+        k.alias("k_str"),
+        k.cast("long").alias("k_num"),
+    )
+
+
+@query(
+    "array_explode_agg",
+    oracle="""
+    SELECT tok AS word, COUNT(*) AS n
+    FROM (SELECT unnest(string_split(p_type, ' ')) AS tok FROM part)
+    GROUP BY tok
+    """,
+    tags=("scalar", "array"),
+)
+def array_explode_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """split -> explode -> count: the array/unnest kernel used throughout
+    the text-analysis extensions."""
+    p = load_table(spark, sf_dir, "part")
+    return (
+        p.select(F.explode(F.split("p_type", " ")).alias("word"))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
