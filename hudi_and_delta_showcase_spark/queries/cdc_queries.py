@@ -1,2 +1,232 @@
-"""CDC / upsert / lakehouse-table queries (SURVEY.md §2.9) — filled in
-milestones M2-M4."""
+"""CDC / upsert / lakehouse queries (SURVEY.md §2.9) wired into the
+driver's DuckDB-oracle gate.
+
+Trick: the ``events`` table plays the CDC stream (key=user_id,
+precombine=ts, tiebreak=event_id). A base snapshot is built from events
+before CUTOFF, the post-CUTOFF slice is the incremental batch, and each
+lakehouse read path's post-state is then expressible as ANSI window SQL
+over the raw events table:
+
+* CoW post-upsert state == latest-per-key over ALL events
+* MoR ``_ro``           == latest-per-key over pre-CUTOFF events (stale)
+* MoR ``_rt``           == latest-per-key over ALL events (fresh)
+* time travel to v0     == latest-per-key over pre-CUTOFF events
+
+These queries run the REAL table machinery (write parquet + manifests to a
+temp dir, upsert, read back) — the oracle checks the whole pipeline, not a
+shortcut DataFrame. That is the strongest correctness statement available
+for non-ANSI operators (SURVEY §7 "oracle expressibility").
+"""
+
+from __future__ import annotations
+
+import tempfile
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+from hudi_and_delta_showcase_spark.io import load_table
+from hudi_and_delta_showcase_spark.operators.upsert import merge_routing
+from hudi_and_delta_showcase_spark.queries.registry import query
+from hudi_and_delta_showcase_spark.tables import LakehouseTable
+
+CUTOFF = "2024-01-20 00:00:00"
+
+_FINAL_COLS = ["event_id", "user_id", "ts", "event_type", "value"]
+
+_LATEST_ALL_SQL = """
+    SELECT event_id, user_id, ts, event_type, value FROM (
+      SELECT *, ROW_NUMBER() OVER (
+        PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+      FROM events
+    ) WHERE rn = 1
+"""
+
+_LATEST_PRE_CUTOFF_SQL = f"""
+    SELECT event_id, user_id, ts, event_type, value FROM (
+      SELECT *, ROW_NUMBER() OVER (
+        PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+      FROM events WHERE ts < TIMESTAMP '{CUTOFF}'
+    ) WHERE rn = 1
+"""
+
+
+def _split(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, DataFrame]:
+    events = load_table(spark, sf_dir, "events").select(*_FINAL_COLS)
+    cutoff = F.lit(CUTOFF).cast("timestamp_ntz")
+    return events.filter(F.col("ts") < cutoff), events.filter(
+        F.col("ts") >= cutoff
+    )
+
+
+def _make_table(
+    spark: SparkSession, sf_dir: str, table_type: str
+) -> LakehouseTable:
+    base, incr = _split(spark, sf_dir)
+    path = tempfile.mkdtemp(prefix=f"lakehouse_{table_type}_")
+    t = LakehouseTable.create(
+        spark,
+        f"{path}/events_tbl",
+        base,
+        key_cols=["user_id"],
+        precombine="ts",
+        tiebreakers=["event_id"],
+        table_type=table_type,
+    )
+    t.upsert(incr)
+    return t
+
+
+@query(
+    "cdc_upsert_cow_roundtrip",
+    oracle=_LATEST_ALL_SQL,
+    tags=("cdc", "table", "upsert"),
+    bench=True,
+)
+def cdc_upsert_cow_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C2 end-to-end: create CoW table from the pre-cutoff snapshot, upsert
+    the post-cutoff batch (precombine dedup inside), read the merged base
+    back from disk. Post-state must equal latest-per-key over all events."""
+    t = _make_table(spark, sf_dir, "cow")
+    return t.read().select(*_FINAL_COLS)
+
+
+@query(
+    "cdc_time_travel",
+    oracle=_LATEST_PRE_CUTOFF_SQL,
+    tags=("cdc", "table"),
+)
+def cdc_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C7: after the upsert commit, version 0 still reads the pre-merge
+    snapshot (Hudi commit timeline / Delta versionAsOf semantics)."""
+    t = _make_table(spark, sf_dir, "cow")
+    return t.read(version=0).select(*_FINAL_COLS)
+
+
+@query(
+    "cdc_upsert_mor_rt",
+    oracle=_LATEST_ALL_SQL,
+    tags=("cdc", "table", "upsert"),
+    bench=True,
+)
+def cdc_upsert_mor_rt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C3/S5: MoR real-time view — base ∪ log merged at scan time; fresh
+    values visible without compaction (README.md:920 `_rt`)."""
+    t = _make_table(spark, sf_dir, "mor")
+    return t.read_rt().select(*_FINAL_COLS)
+
+
+@query(
+    "cdc_upsert_mor_ro",
+    oracle=_LATEST_PRE_CUTOFF_SQL,
+    tags=("cdc", "table"),
+)
+def cdc_upsert_mor_ro(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C3/S5: MoR read-optimized view — serves the STALE base after an
+    upsert (README.md:920 `_ro`: samsung still 20)."""
+    t = _make_table(spark, sf_dir, "mor")
+    return t.read_ro().select(*_FINAL_COLS)
+
+
+@query(
+    "cdc_mor_compacted",
+    oracle=_LATEST_ALL_SQL,
+    tags=("cdc", "table", "maintenance"),
+)
+def cdc_mor_compacted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C3 compaction: after compact(), the read-optimized view catches up
+    to the real-time view (README.md:605,918)."""
+    t = _make_table(spark, sf_dir, "mor")
+    t.compact()
+    return t.read_ro().select(*_FINAL_COLS)
+
+
+@query(
+    "cdc_optimize_vacuum",
+    oracle=_LATEST_ALL_SQL,
+    tags=("cdc", "table", "maintenance"),
+)
+def cdc_optimize_vacuum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D7/D8: OPTIMIZE (small-file compaction) then VACUUM (drop
+    unreferenced files) preserve the snapshot exactly (README.md:1240)."""
+    t = _make_table(spark, sf_dir, "cow")
+    t.optimize(target_files=4)
+    t.vacuum(retain_versions=1)
+    return t.read().select(*_FINAL_COLS)
+
+
+@query(
+    "cdc_merge_routing",
+    oracle=f"""
+    SELECT s.event_id, s.user_id,
+           CASE WHEN t.user_id IS NOT NULL THEN 'update' ELSE 'insert' END
+             AS merge_action
+    FROM (SELECT * FROM events WHERE ts >= TIMESTAMP '{CUTOFF}') s
+    LEFT JOIN (SELECT DISTINCT user_id FROM events
+               WHERE ts < TIMESTAMP '{CUTOFF}') t
+      ON s.user_id = t.user_id
+    """,
+    tags=("cdc", "join"),
+)
+def cdc_merge_routing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C6/J3: tag each incoming row update vs insert — the WHEN MATCHED /
+    WHEN NOT MATCHED routing of MERGE INTO (README.md:1223-1224)."""
+    base, incr = _split(spark, sf_dir)
+    return merge_routing(base, incr, ["user_id"]).select(
+        "event_id", "user_id", "merge_action"
+    )
+
+
+@query(
+    "cdc_soft_delete_state",
+    oracle="""
+    SELECT user_id, event_id, is_deleted FROM (
+      SELECT user_id, event_id,
+             (event_type = 'error') AS is_deleted,
+             ROW_NUMBER() OVER (
+               PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+      FROM events
+    ) WHERE rn = 1
+    """,
+    tags=("cdc",),
+)
+def cdc_soft_delete_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4 soft delete: tombstones (here: event_type='error') are UPSERTED,
+    not removed — the final state retains them with a marker, exactly as
+    the reference keeps pk 3 'dell' (README.md:511-531,1222-1224)."""
+    events = load_table(spark, sf_dir, "events").select(*_FINAL_COLS)
+    from hudi_and_delta_showcase_spark.operators.cdc import precombine_dedup
+
+    latest = precombine_dedup(events, ["user_id"], "ts", ["event_id"])
+    return latest.select(
+        "user_id", "event_id", (F.col("event_type") == "error").alias("is_deleted")
+    )
+
+
+@query(
+    "cdc_hard_delete_state",
+    oracle="""
+    SELECT user_id, event_id FROM (
+      SELECT user_id, event_id, event_type,
+             ROW_NUMBER() OVER (
+               PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+      FROM events
+    ) WHERE rn = 1 AND event_type <> 'error'
+    """,
+    tags=("cdc",),
+)
+def cdc_hard_delete_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4 hard-delete variant (`whenMatchedDelete`): keys whose latest
+    change is a tombstone drop out of the final state."""
+    from hudi_and_delta_showcase_spark.operators.upsert import upsert
+
+    base, incr = _split(spark, sf_dir)
+    merged = upsert(
+        base.withColumn("__del", F.col("event_type") == "error"),
+        incr.withColumn("__del", F.col("event_type") == "error"),
+        ["user_id"],
+        precombine="ts",
+        tiebreakers=["event_id"],
+        hard_delete_col="__del",
+    )
+    return merged.select("user_id", "event_id")

@@ -1,0 +1,405 @@
+"""Copy-on-Write / Merge-on-Read lakehouse tables on plain Parquet +
+JSON manifests (SURVEY.md §2.9 C1-C8, §2.1 S2/S5-S9, §2.8 D7/D8).
+
+The reference materializes ACID tables two ways (README.md:254-256):
+* **CoW** — updates rewrite the affected Parquet base files; untouched
+  rows keep their old commit time (README.md:470-491).
+* **MoR** — updates append to row-oriented log files; ``_ro`` reads serve
+  the stale base, ``_rt`` reads merge base∪log per key at scan time, and
+  compaction folds logs into a new base (README.md:605-607,918-920).
+
+This implementation is Spark-first: every read is a declarative parquet
+scan over the manifest's live-file list (predicate pushdown + row-group
+skipping free), the `_rt` merge view is a window latest-per-key, and the
+CoW rewrite is partition-scoped — only partitions containing upserted keys
+are rewritten ("the CDC data corresponding to the updated partition only
+would be affected", README.md:1240).
+
+Meta columns (§1.5, README.md:299-304): Hudi's five ``_hoodie_*`` columns
+are stamped as ordinary derived columns at write time
+(``_hoodie_file_name`` at read time via ``input_file_name()``).
+
+Scale notes (100 TB):
+* Partition layout is hive-style (``__pp=value`` dirs) with the partition
+  column ALSO stored in the data files, so snapshot reads are plain
+  file-list scans — no basePath/partition-inference coupling across
+  commits.
+* Upsert cost is O(affected partitions), not O(table). Key-level file
+  skipping (bloom/min-max per file in commit stats) is the next pruning
+  tier if profiling demands it.
+* The source side of an upsert broadcasts when small (CDC batches almost
+  always are); the rewrite never shuffles the un-affected part of the
+  table — those files are carried over by reference in the manifest.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import urllib.parse
+import uuid
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession, Window
+
+from hudi_and_delta_showcase_spark.operators.cdc import precombine_dedup
+from hudi_and_delta_showcase_spark.tables import manifest as mf
+
+META_COLS = (
+    "_hoodie_commit_time",
+    "_hoodie_commit_seqno",
+    "_hoodie_record_key",
+    "_hoodie_partition_path",
+)
+
+COPY_ON_WRITE = "cow"
+MERGE_ON_READ = "mor"
+
+
+class LakehouseTable:
+    """A keyed, versioned, partitioned table on parquet + manifests."""
+
+    def __init__(self, spark: SparkSession, path: str):
+        self.spark = spark
+        self.path = os.path.abspath(path)
+        with open(os.path.join(self.path, "_meta.json")) as fh:
+            meta = json.load(fh)
+        self.key_cols: list[str] = meta["key_cols"]
+        self.precombine: str | None = meta["precombine"]
+        self.tiebreakers: list[str] = meta.get("tiebreakers", [])
+        self.partition_by: str | None = meta["partition_by"]
+        self.table_type: str = meta["table_type"]
+
+    # ------------------------------------------------------------------ #
+    # creation / loading
+    # ------------------------------------------------------------------ #
+
+    @classmethod
+    def create(
+        cls,
+        spark: SparkSession,
+        path: str,
+        df: DataFrame,
+        key_cols: list[str],
+        precombine: str | None = None,
+        tiebreakers: list[str] | None = None,
+        partition_by: str | None = None,
+        table_type: str = COPY_ON_WRITE,
+        mode: str = "error",
+    ) -> "LakehouseTable":
+        """C1 bulk insert: write batch as version 0, stamp meta columns
+        (the reference's initial hudi insert, README.md:276-291)."""
+        path = os.path.abspath(path)
+        if os.path.exists(os.path.join(path, "_meta.json")):
+            if mode == "overwrite":
+                import shutil
+
+                shutil.rmtree(path)
+            else:
+                raise FileExistsError(f"table exists: {path}")
+        os.makedirs(path, exist_ok=True)
+        with open(os.path.join(path, "_meta.json"), "w") as fh:
+            json.dump(
+                {
+                    "key_cols": key_cols,
+                    "precombine": precombine,
+                    "tiebreakers": tiebreakers or [],
+                    "partition_by": partition_by,
+                    "table_type": table_type,
+                },
+                fh,
+                indent=1,
+            )
+        table = cls(spark, path)
+        commit_time = mf.make_commit_time()
+        if precombine is not None:
+            df = precombine_dedup(df, key_cols, precombine, tiebreakers)
+        files = table._write_files(
+            table._stamp_meta(df, commit_time), f"c{0:05d}"
+        )
+        mf.append_commit(
+            path,
+            mf.Commit(
+                version=0,
+                action="insert",
+                commit_time=commit_time,
+                files=files,
+                log_files=[],
+                stats={"written_files": len(files)},
+            ),
+        )
+        return table
+
+    @classmethod
+    def load(cls, spark: SparkSession, path: str) -> "LakehouseTable":
+        return cls(spark, path)
+
+    # ------------------------------------------------------------------ #
+    # reads (S2/S5: snapshot, read-optimized, real-time)
+    # ------------------------------------------------------------------ #
+
+    def read(self, version: int | None = None) -> DataFrame:
+        """Snapshot view. CoW: latest base files. MoR: the real-time view
+        (base∪log merged), matching Hudi's default snapshot semantics."""
+        if self.table_type == MERGE_ON_READ:
+            return self.read_rt(version)
+        return self._read_base(self._commit(version))
+
+    def read_ro(self, version: int | None = None) -> DataFrame:
+        """S5 read-optimized: base files only — serves stale values between
+        upsert and compaction (samsung still 20, README.md:920,958)."""
+        return self._read_base(self._commit(version))
+
+    def read_rt(self, version: int | None = None) -> DataFrame:
+        """S5 real-time: base ∪ logs resolved latest-per-key at scan time
+        (HoodieParquetRealtimeInputFormat semantics, README.md:689).
+
+        Resolution order: precombine DESC, then commit time DESC (a later
+        commit wins ties), then user tiebreakers — one window over the
+        unioned scan, shuffled once on the record key."""
+        commit = self._commit(version)
+        base = self._read_base(commit)
+        if not commit.log_files:
+            return base
+        log = self._read_parquet(commit.log_files)
+        union = base.unionByName(log, allowMissingColumns=True)
+        order = []
+        if self.precombine:
+            order.append(F.desc(self.precombine))
+        order.append(F.desc("_hoodie_commit_time"))
+        order += [F.desc(t) for t in self.tiebreakers]
+        w = Window.partitionBy(*self.key_cols).orderBy(*order)
+        return (
+            union.withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") == 1)
+            .drop("__rn")
+        )
+
+    def history(self) -> list[mf.Commit]:
+        """C7: the commit timeline (Hudi `.hoodie` / Delta `_delta_log`)."""
+        return [mf.read_commit(self.path, v) for v in mf.list_versions(self.path)]
+
+    # ------------------------------------------------------------------ #
+    # writes
+    # ------------------------------------------------------------------ #
+
+    def upsert(self, source: DataFrame) -> mf.Commit:
+        """C2 (CoW) / C3 (MoR) keyed upsert with precombine dedup.
+
+        CoW: rewrites only partitions containing source keys; untouched
+        files carry over (their rows keep the old commit time —
+        README.md:470-491). MoR: appends the batch as log files; base
+        untouched until compact() (README.md:896-916)."""
+        commit_time = mf.make_commit_time()
+        prev = self._commit(None)
+        if self.precombine is not None:
+            source = precombine_dedup(
+                source, self.key_cols, self.precombine, self.tiebreakers
+            )
+        stamped = self._stamp_meta(source, commit_time)
+        version = prev.version + 1
+
+        if self.table_type == MERGE_ON_READ:
+            new_logs = self._write_files(stamped, f"l{version:05d}", log=True)
+            commit = mf.Commit(
+                version=version,
+                action="upsert",
+                commit_time=commit_time,
+                files=prev.files,
+                log_files=prev.log_files + new_logs,
+                stats={"log_files_added": len(new_logs)},
+            )
+            mf.append_commit(self.path, commit)
+            return commit
+
+        # ---- CoW: partition-scoped rewrite (C8) ----
+        affected, untouched = self._split_affected(prev.files, source)
+        kept_meta_cols = None
+        if affected:
+            target = self._read_parquet(affected)
+            kept_meta_cols = [c for c in target.columns if c not in stamped.columns]
+            source_keys = F.broadcast(stamped.select(*self.key_cols).distinct())
+            kept = target.join(source_keys, self.key_cols, "left_anti")
+            merged = kept.unionByName(stamped, allowMissingColumns=True)
+        else:
+            merged = stamped
+        new_files = self._write_files(merged, f"c{version:05d}")
+        commit = mf.Commit(
+            version=version,
+            action="upsert",
+            commit_time=commit_time,
+            files=untouched + new_files,
+            log_files=[],
+            stats={
+                "rewritten_files": len(affected),
+                "carried_over_files": len(untouched),
+                "written_files": len(new_files),
+            },
+        )
+        mf.append_commit(self.path, commit)
+        return commit
+
+    def compact(self) -> mf.Commit:
+        """MoR compaction: fold log files into a fresh base (the async
+        compaction the reference schedules, README.md:605,918)."""
+        if self.table_type != MERGE_ON_READ:
+            raise ValueError("compact() applies to merge-on-read tables")
+        prev = self._commit(None)
+        if not prev.log_files:
+            return prev
+        rt = self.read_rt()
+        version = prev.version + 1
+        commit_time = mf.make_commit_time()
+        files = self._write_files(rt, f"c{version:05d}")
+        commit = mf.Commit(
+            version=version,
+            action="compact",
+            commit_time=commit_time,
+            files=files,
+            log_files=[],
+            stats={"compacted_log_files": len(prev.log_files)},
+        )
+        mf.append_commit(self.path, commit)
+        return commit
+
+    # ------------------------------------------------------------------ #
+    # maintenance (D7 / D8)
+    # ------------------------------------------------------------------ #
+
+    def optimize(self, target_files: int | None = None) -> mf.Commit:
+        """D8 OPTIMIZE: compact small files into ~target_files per
+        partition (the reference's file-compaction maintenance,
+        README.md:1240)."""
+        prev = self._commit(None)
+        df = self.read()  # for MoR this also folds logs
+        version = prev.version + 1
+        commit_time = mf.make_commit_time()
+        n = target_files or 1
+        if self.partition_by:
+            df = df.repartition(n, F.col(self.partition_by))
+        else:
+            df = df.coalesce(n)
+        files = self._write_files(df, f"c{version:05d}")
+        commit = mf.Commit(
+            version=version,
+            action="optimize",
+            commit_time=commit_time,
+            files=files,
+            log_files=[],
+            stats={"before_files": len(prev.files), "after_files": len(files)},
+        )
+        mf.append_commit(self.path, commit)
+        return commit
+
+    def vacuum(self, retain_versions: int = 1) -> dict:
+        """D7 VACUUM: physically delete data files not referenced by the
+        newest ``retain_versions`` commits (README.md:1240: old files
+        remain until vacuum)."""
+        versions = mf.list_versions(self.path)
+        retained = versions[-max(1, retain_versions):]
+        keep: set[str] = set()
+        for v in retained:
+            c = mf.read_commit(self.path, v)
+            keep.update(c.files)
+            keep.update(c.log_files)
+        removed = 0
+        for sub in ("data", "log"):
+            root = os.path.join(self.path, sub)
+            for dirpath, _dirnames, filenames in os.walk(root):
+                for fn in filenames:
+                    if not fn.endswith(".parquet"):
+                        continue
+                    rel = os.path.relpath(os.path.join(dirpath, fn), self.path)
+                    if rel not in keep:
+                        os.remove(os.path.join(dirpath, fn))
+                        removed += 1
+        return {"removed_files": removed, "retained_versions": retained}
+
+    # ------------------------------------------------------------------ #
+    # internals
+    # ------------------------------------------------------------------ #
+
+    def _commit(self, version: int | None) -> mf.Commit:
+        if version is None:
+            commit = mf.latest_commit(self.path)
+            if commit is None:
+                raise RuntimeError(f"no commits in {self.path}")
+            return commit
+        return mf.read_commit(self.path, version)
+
+    def _stamp_meta(self, df: DataFrame, commit_time: str) -> DataFrame:
+        """§1.5: Hudi's meta columns as ordinary derived columns."""
+        key = F.concat_ws("|", *[F.col(k).cast("string") for k in self.key_cols])
+        pp = (
+            F.col(self.partition_by).cast("string")
+            if self.partition_by
+            else F.lit("")
+        )
+        return (
+            df.withColumn("_hoodie_commit_time", F.lit(commit_time))
+            .withColumn(
+                "_hoodie_commit_seqno",
+                F.concat_ws("_", F.lit(commit_time), F.monotonically_increasing_id()),
+            )
+            .withColumn("_hoodie_record_key", key)
+            .withColumn("_hoodie_partition_path", pp)
+        )
+
+    def _write_files(
+        self, df: DataFrame, commit_dir: str, log: bool = False
+    ) -> list[str]:
+        sub = "log" if log else "data"
+        rel_dir = os.path.join(sub, f"{commit_dir}-{uuid.uuid4().hex[:8]}")
+        out = os.path.join(self.path, rel_dir)
+        writer = df.write.mode("error")
+        if self.partition_by and not log:
+            # duplicate the partition column into hive-style dirs (__pp=v)
+            # while keeping it in the data files -> reads stay plain
+            # file-list scans and pruning is a path-prefix filter.
+            df = df.withColumn("__pp", F.col(self.partition_by).cast("string"))
+            writer = df.write.mode("error").partitionBy("__pp")
+        writer.parquet(out)
+        files = []
+        for dirpath, _dn, filenames in os.walk(out):
+            for fn in filenames:
+                if fn.endswith(".parquet"):
+                    files.append(
+                        os.path.relpath(os.path.join(dirpath, fn), self.path)
+                    )
+        return sorted(files)
+
+    def _read_parquet(self, rel_files: list[str]) -> DataFrame:
+        paths = [os.path.join(self.path, f) for f in rel_files]
+        # mergeSchema: files may span commits with evolved schemas
+        df = self.spark.read.option("mergeSchema", "true").parquet(*paths)
+        return df.withColumn(
+            "_hoodie_file_name",
+            F.element_at(F.split(F.input_file_name(), "/"), -1),
+        )
+
+    def _read_base(self, commit: mf.Commit) -> DataFrame:
+        return self._read_parquet(commit.files)
+
+    def _split_affected(
+        self, files: list[str], source: DataFrame
+    ) -> tuple[list[str], list[str]]:
+        """Partition pruning for the CoW rewrite: affected = files in
+        partitions present in the source batch."""
+        if not self.partition_by:
+            return files, []
+        values = {
+            str(r[0])
+            for r in source.select(
+                F.col(self.partition_by).cast("string")
+            ).distinct().collect()
+        }
+        affected, untouched = [], []
+        for f in files:
+            parts = dict(
+                seg.split("=", 1)
+                for seg in f.split(os.sep)
+                if "=" in seg
+            )
+            pv = urllib.parse.unquote(parts.get("__pp", ""))
+            (affected if pv in values else untouched).append(f)
+        return affected, untouched

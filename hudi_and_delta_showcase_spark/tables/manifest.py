@@ -1,0 +1,79 @@
+"""Commit-log manifests: the engine's MVCC substrate (SURVEY.md C7).
+
+Plays the role of Hudi's ``.hoodie`` timeline / Delta's ``_delta_log``
+(/root/reference/README.md:334,1235): every commit is a JSON file listing
+the table's live base files and log files after that commit, giving
+snapshot isolation + time travel ("the delta log has information regarding
+the schema and the latest files after each commit", README.md:1235).
+
+Design: each commit stores the FULL live-file list (simplest correct
+snapshot resolution — newest manifest wins; no log replay). Scale note:
+at 100 TB / millions of files you'd switch to Delta-style incremental
+actions + periodic checkpoints so a commit is O(delta) not O(files);
+the API here (``latest``/``read``/``append``) is unchanged by that swap.
+
+Atomicity: manifests are written to a temp name then ``os.replace``d —
+atomic on POSIX — so readers never see a torn commit. Single-writer is
+assumed (the reference's ingest loop is single-writer too); optimistic
+concurrency would add a version-exists check on rename.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+from dataclasses import asdict, dataclass, field
+
+
+@dataclass
+class Commit:
+    version: int
+    action: str  # insert | upsert | delete | compact | optimize | overwrite
+    commit_time: str  # Hudi-style yyyyMMddHHmmssSSS (README.md:470)
+    files: list[str] = field(default_factory=list)  # live base files (relative)
+    log_files: list[str] = field(default_factory=list)  # MoR log files (relative)
+    stats: dict = field(default_factory=dict)
+
+
+def commits_dir(table_path: str) -> str:
+    return os.path.join(table_path, "_commits")
+
+
+def make_commit_time() -> str:
+    # wall-clock ms, formatted like a Hudi instant time
+    t = time.time()
+    return time.strftime("%Y%m%d%H%M%S", time.gmtime(t)) + f"{int(t * 1000) % 1000:03d}"
+
+
+def list_versions(table_path: str) -> list[int]:
+    d = commits_dir(table_path)
+    if not os.path.isdir(d):
+        return []
+    return sorted(
+        int(f.split(".")[0]) for f in os.listdir(d) if f.endswith(".json")
+    )
+
+
+def read_commit(table_path: str, version: int) -> Commit:
+    with open(os.path.join(commits_dir(table_path), f"{version:08d}.json")) as fh:
+        return Commit(**json.load(fh))
+
+
+def latest_commit(table_path: str) -> Commit | None:
+    versions = list_versions(table_path)
+    return read_commit(table_path, versions[-1]) if versions else None
+
+
+def append_commit(table_path: str, commit: Commit) -> None:
+    d = commits_dir(table_path)
+    os.makedirs(d, exist_ok=True)
+    final = os.path.join(d, f"{commit.version:08d}.json")
+    if os.path.exists(final):
+        raise RuntimeError(
+            f"concurrent write detected: commit {commit.version} already exists"
+        )
+    tmp = final + ".tmp"
+    with open(tmp, "w") as fh:
+        json.dump(asdict(commit), fh, indent=1)
+    os.replace(tmp, final)

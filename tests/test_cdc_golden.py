@@ -1,0 +1,206 @@
+"""The reference's own golden scenario (SURVEY.md §5, FIXTURES.md A):
+4-row backfill + {insert pk5 htc, update pk2 samsung->201, soft-delete pk3
+dell} CDC batch, asserted against the exact post-merge states the README
+documents for CoW, MoR `_ro`/`_rt`, compaction, and maintenance."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+import pyspark.sql.functions as F
+
+from hudi_and_delta_showcase_spark.operators.cdc import (
+    flatten_envelope,
+    golden_backfill,
+    golden_cdc_batch,
+    latest_change_per_key,
+    normalize_timestamps,
+    precombine_dedup,
+)
+from hudi_and_delta_showcase_spark.operators.upsert import merge_routing, upsert
+from hudi_and_delta_showcase_spark.tables import LakehouseTable
+
+
+def _prepare(spark):
+    """Reference ingest pipeline: read envelopes -> flatten payload ->
+    normalize timestamps to epoch seconds (README.md:264-273)."""
+    full = normalize_timestamps(
+        flatten_envelope(golden_backfill(spark)), ["updated_at", "created_at"]
+    )
+    cdc = normalize_timestamps(
+        flatten_envelope(golden_cdc_batch(spark)), ["updated_at", "created_at"]
+    )
+    return full, cdc
+
+
+def _state(df):
+    rows = df.select(
+        "pk_id", "name", "value", F.col("source_metadata.is_deleted").alias("deleted")
+    ).collect()
+    return {r.pk_id: (r.name, r.value, r.deleted) for r in rows}
+
+
+def test_flatten_envelope_shape(spark):
+    flat = flatten_envelope(golden_backfill(spark))
+    # payload fields promoted to top level, envelope columns retained
+    for col in ["pk_id", "name", "value", "updated_at", "created_at",
+                "uuid", "read_method", "source_metadata", "payload"]:
+        assert col in flat.columns
+    assert flat.count() == 4
+
+
+def test_normalize_timestamps_epoch(spark):
+    flat = flatten_envelope(golden_backfill(spark))
+    norm = normalize_timestamps(flat, ["updated_at", "created_at"])
+    assert dict(norm.dtypes)["updated_at"] == "bigint"
+    # 2023-01-12 04:01:00 UTC
+    assert norm.agg(F.min("updated_at")).first()[0] == 1673496060
+
+
+def test_precombine_dedup_latest_wins(spark):
+    _, cdc = _prepare(spark)
+    doubled = cdc.unionByName(
+        cdc.withColumn("value", F.col("value") + 1000)
+        .withColumn("updated_at", F.col("updated_at") - 100)
+    )
+    deduped = precombine_dedup(doubled, ["pk_id"], "updated_at")
+    assert deduped.count() == 3
+    # the +1000 rows have OLDER updated_at, so originals win
+    assert _state(deduped)[2] == ("samsung", 201, False)
+
+
+def test_latest_change_per_key_groupby_join_form(spark):
+    _, cdc = _prepare(spark)
+    out = latest_change_per_key(cdc, ["pk_id"], "updated_at")
+    assert out.count() == 3
+
+
+def test_merge_routing(spark):
+    full, cdc = _prepare(spark)
+    routed = merge_routing(full, cdc, ["pk_id"])
+    actions = {r.pk_id: r.merge_action for r in routed.collect()}
+    assert actions == {5: "insert", 2: "update", 3: "update"}
+
+
+def test_upsert_operator_semantics(spark):
+    full, cdc = _prepare(spark)
+    merged = upsert(full, cdc, ["pk_id"], precombine="updated_at")
+    state = _state(merged)
+    # golden post-merge state (README.md:491-552): tombstone row RETAINED
+    assert state == {
+        1: ("apple", 10, False),
+        2: ("samsung", 201, False),
+        3: ("dell", 30, True),
+        4: ("motorola", 40, False),
+        5: ("htc", 50, False),
+    }
+    # hard-delete variant (whenMatchedDelete, not used by the reference)
+    hard = upsert(
+        full, cdc, ["pk_id"], precombine="updated_at",
+        hard_delete_col="source_metadata.is_deleted",
+    )
+    assert set(_state(hard)) == {1, 2, 4, 5}
+
+
+@pytest.fixture()
+def table_dir(tmp_path):
+    return str(tmp_path / "hudi_delta_test")
+
+
+def test_cow_golden_scenario(spark, table_dir):
+    full, cdc = _prepare(spark)
+    t = LakehouseTable.create(
+        spark, table_dir, full,
+        key_cols=["pk_id"], precombine="updated_at",
+        partition_by="created_at", table_type="cow",
+    )
+    v0 = {r.pk_id: r._hoodie_commit_time for r in t.read().collect()}
+    t.upsert(cdc)
+
+    state = _state(t.read())
+    assert state == {
+        1: ("apple", 10, False),
+        2: ("samsung", 201, False),
+        3: ("dell", 30, True),
+        4: ("motorola", 40, False),
+        5: ("htc", 50, False),
+    }
+    # meta-column contract (README.md:470-491): updated rows carry the new
+    # commit time, untouched rows keep the old one
+    v1 = {r.pk_id: r._hoodie_commit_time for r in t.read().collect()}
+    assert v1[1] == v0[1] and v1[4] == v0[4]
+    assert v1[2] > v0[2] and v1[3] > v0[3]
+    assert v1[5] == v1[2]
+    # meta columns exist (README.md:299-304)
+    for c in ["_hoodie_commit_time", "_hoodie_commit_seqno",
+              "_hoodie_record_key", "_hoodie_partition_path",
+              "_hoodie_file_name"]:
+        assert c in t.read().columns
+
+    # C7 time travel: version 0 is the pre-merge state
+    old = _state(t.read(version=0))
+    assert old[2] == ("samsung", 20, False) and 5 not in old
+
+
+def test_mor_golden_scenario(spark, table_dir):
+    full, cdc = _prepare(spark)
+    t = LakehouseTable.create(
+        spark, table_dir, full,
+        key_cols=["pk_id"], precombine="updated_at", table_type="mor",
+    )
+    t.upsert(cdc)
+
+    # README.md:920: _ro is stale (samsung 20, no htc); _rt is merged
+    ro, rt = _state(t.read_ro()), _state(t.read_rt())
+    assert ro[2] == ("samsung", 20, False) and 5 not in ro
+    assert rt[2] == ("samsung", 201, False) and rt[5] == ("htc", 50, False)
+    assert rt[3] == ("dell", 30, True)  # soft delete retained
+
+    # compaction folds logs into base: _ro catches up (README.md:605,918)
+    t.compact()
+    ro2 = _state(t.read_ro())
+    assert ro2[2] == ("samsung", 201, False) and ro2[5] == ("htc", 50, False)
+    assert t._commit(None).log_files == []
+
+
+def test_optimize_and_vacuum(spark, table_dir):
+    full, cdc = _prepare(spark)
+    t = LakehouseTable.create(
+        spark, table_dir, full, key_cols=["pk_id"], precombine="updated_at",
+    )
+    t.upsert(cdc)
+    before_files = len(t._commit(None).files)
+    t.optimize(target_files=1)
+    assert len(t._commit(None).files) == 1
+    assert _state(t.read())[2] == ("samsung", 201, False)
+
+    # vacuum drops files only referenced by old versions
+    res = t.vacuum(retain_versions=1)
+    assert res["removed_files"] >= before_files
+    # newest snapshot still fully readable
+    assert t.read().count() == 5
+    # time travel to vacuumed versions now fails (like Delta post-VACUUM)
+    with pytest.raises(Exception):
+        t.read(version=0).collect()
+
+
+def test_cow_partition_scoped_rewrite(spark, table_dir):
+    """C8: only partitions containing upserted keys are rewritten."""
+    full, cdc = _prepare(spark)
+    # two partitions: put pk 1/2 in one created_at bucket, 3/4 in another
+    full2 = full.withColumn(
+        "created_at",
+        F.when(F.col("pk_id") <= 2, F.lit(1000)).otherwise(F.lit(2000)),
+    )
+    cdc2 = cdc.filter(F.col("pk_id") == 2).withColumn("created_at", F.lit(1000))
+    t = LakehouseTable.create(
+        spark, table_dir, full2,
+        key_cols=["pk_id"], precombine="updated_at",
+        partition_by="created_at",
+    )
+    commit = t.upsert(cdc2)
+    assert commit.stats["carried_over_files"] > 0  # partition 2000 untouched
+    assert commit.stats["rewritten_files"] > 0     # partition 1000 rewritten
+    state = _state(t.read())
+    assert state[2] == ("samsung", 201, False) and state[4] == ("motorola", 40, False)
