@@ -39,6 +39,21 @@ TABLES = (
 _NANOS_TS_COLS: dict[str, tuple[str, ...]] = {"events": ("ts",)}
 
 
+def nanos_to_ntz(col: str) -> F.Column:
+    """Integer nanoseconds -> TIMESTAMP_NTZ at microsecond precision
+    (matches DuckDB, which also truncates nanos to micros).
+
+    `div`/`%` are long ops (a double division would lose precision above
+    2^53 ns); the date_add + day-time-interval construction never passes
+    through a timezone-aware type."""
+    micros = f"({col} div 1000)"
+    return F.expr(
+        f"cast(date_add(DATE'1970-01-01', "
+        f"cast({micros} div 86400000000 as int)) as timestamp_ntz) "
+        f"+ make_dt_interval(0, 0, 0, ({micros} % 86400000000) / 1e6)"
+    )
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Load one driver fixture table, normalizing timestamp representation.
 
@@ -52,19 +67,7 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
     for col in _NANOS_TS_COLS.get(name, ()):
         if dict(df.dtypes).get(col) == "bigint":
-            # integer nanos -> TIMESTAMP_NTZ. `div`/`%` are long ops (a
-            # double division would lose precision above 2^53 ns); the
-            # date_add + day-time-interval construction never passes
-            # through a timezone-aware type.
-            micros = f"({col} div 1000)"
-            df = df.withColumn(
-                col,
-                F.expr(
-                    f"cast(date_add(DATE'1970-01-01', "
-                    f"cast({micros} div 86400000000 as int)) as timestamp_ntz) "
-                    f"+ make_dt_interval(0, 0, 0, ({micros} % 86400000000) / 1e6)"
-                ),
-            )
+            df = df.withColumn(col, nanos_to_ntz(col))
     return df
 
 

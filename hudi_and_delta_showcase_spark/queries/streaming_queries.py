@@ -1,2 +1,184 @@
-"""Structured Streaming queries (SURVEY.md §2.10 upgrade path) — filled in
-milestone M7."""
+"""Structured Streaming queries (SURVEY.md §2.10 upgrade path, M7).
+
+Each query REALLY runs the micro-batch engine: a file-source readStream
+over the fixture, ``trigger(availableNow=True)`` to drain it
+deterministically, and a memory sink to hand the result back. The DuckDB
+oracle expresses the same semantics in ANSI SQL (tumbling = time_bucket,
+sliding = shifted-bucket union, sessions = gaps-and-islands, stateful =
+plain aggregate), so the correctness gate covers the streaming engine
+end-to-end, not a batch stand-in.
+"""
+
+from __future__ import annotations
+
+import tempfile
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+from hudi_and_delta_showcase_spark.queries.registry import query
+from hudi_and_delta_showcase_spark.streaming import (
+    apply_cdc_stream,
+    read_events_stream,
+    run_to_memory,
+)
+from hudi_and_delta_showcase_spark.streaming.windows import (
+    session_stats,
+    sliding_avg,
+    stateful_user_stats,
+    tumbling_counts,
+)
+
+
+@query(
+    "stream_tumbling_counts",
+    oracle="""
+    SELECT time_bucket(INTERVAL 1 HOUR, ts) AS wstart,
+           time_bucket(INTERVAL 1 HOUR, ts) + INTERVAL 1 HOUR AS wend,
+           event_type,
+           COUNT(*) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+    FROM events
+    GROUP BY 1, 2, 3
+    """,
+    tags=("streaming", "window", "agg"),
+    bench=True,
+)
+def stream_tumbling_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling-window counts/sums over the events stream, drained with
+    availableNow (complete mode -> every window emitted; watermarked
+    append-mode eviction is exercised in tests/test_streaming.py — a
+    watermark needs an LTZ event-time column, and this engine keeps
+    fixture timestamps NTZ for timezone independence)."""
+    sdf = read_events_stream(spark, sf_dir)
+    agg = tumbling_counts(sdf, window="1 hour")
+    return run_to_memory(agg, mode="complete")
+
+
+@query(
+    "stream_sliding_avg",
+    oracle="""
+    WITH assigned AS (
+      SELECT time_bucket(INTERVAL 30 MINUTE, ts) AS wstart, value FROM events
+      UNION ALL
+      SELECT time_bucket(INTERVAL 30 MINUTE, ts) - INTERVAL 30 MINUTE, value
+      FROM events
+    )
+    SELECT wstart, wstart + INTERVAL 1 HOUR AS wend,
+           COUNT(*) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*)
+             AS avg_value
+    FROM assigned GROUP BY wstart
+    """,
+    tags=("streaming", "window", "agg"),
+)
+def stream_sliding_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding 1h/30min window average. Oracle trick: with duration =
+    2 x slide, each event belongs to exactly the two 30-min-aligned
+    windows starting at bucket(ts) and bucket(ts)-30min."""
+    sdf = read_events_stream(spark, sf_dir)
+    agg = sliding_avg(sdf, window="1 hour", slide="30 minutes")
+    return run_to_memory(agg, mode="complete")
+
+
+@query(
+    "stream_session_windows",
+    oracle="""
+    WITH o AS (
+      SELECT user_id, ts,
+             CASE WHEN ts >= lag(ts) OVER w + INTERVAL 30 MINUTE
+                  OR lag(ts) OVER w IS NULL
+                  THEN 1 ELSE 0 END AS new_s
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC)
+    ), g AS (
+      SELECT user_id, ts,
+             SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts ASC
+               ROWS UNBOUNDED PRECEDING) AS sid
+      FROM o
+    )
+    SELECT user_id,
+           MIN(ts) AS session_start,
+           MAX(ts) + INTERVAL 30 MINUTE AS session_end,
+           COUNT(*) AS n_events
+    FROM g GROUP BY user_id, sid
+    """,
+    tags=("streaming", "window"),
+)
+def stream_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user session windows (30-min inactivity gap) on the streaming
+    engine; the oracle is the classic gaps-and-islands rewrite (session
+    end = last event + gap, Spark's session_window contract)."""
+    sdf = read_events_stream(spark, sf_dir)
+    agg = session_stats(sdf, gap="30 minutes")
+    return run_to_memory(agg, mode="complete")
+
+
+@query(
+    "stream_stateful_user_stats",
+    oracle="""
+    SELECT user_id,
+           COUNT(*) AS n_events,
+           COUNT(DISTINCT event_type) AS n_types,
+           epoch_us(MIN(ts)) AS min_ts_us,
+           epoch_us(MAX(ts)) AS max_ts_us
+    FROM events GROUP BY user_id
+    """,
+    tags=("streaming", "stateful"),
+)
+def stream_stateful_user_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom stateful operator via applyInPandasWithState: per-user
+    running (count, distinct types, min/max event time) with explicit
+    group state — the escape hatch for semantics window built-ins can't
+    express. Single source file -> one micro-batch -> one emission per
+    key, so the update-mode output is exactly the final state."""
+    sdf = read_events_stream(spark, sf_dir)
+    out = stateful_user_stats(sdf)
+    return run_to_memory(out, mode="update")
+
+
+# Golden post-merge state of the reference scenario (README.md:470-552):
+# 4-row backfill, then {insert pk5 htc, update pk2 -> 201, soft-delete pk3}.
+# updated_at = epoch seconds of the envelope event times.
+_GOLDEN_FINAL_SQL = """
+SELECT * FROM (VALUES
+  (1, 'apple',    10, 1673496060, 'INSERT',        FALSE),
+  (2, 'samsung', 201, 1673501401, 'UPDATE-INSERT', FALSE),
+  (3, 'dell',     30, 1673501402, 'DELETE',        TRUE),
+  (4, 'motorola', 40, 1673496063, 'INSERT',        FALSE),
+  (5, 'htc',      50, 1673501400, 'INSERT',        FALSE)
+) AS t(pk_id, name, value, updated_at, change_type, is_deleted)
+"""
+
+
+@query(
+    "stream_cdc_apply_golden",
+    oracle=_GOLDEN_FINAL_SQL,
+    tags=("streaming", "cdc", "upsert"),
+)
+def stream_cdc_apply_golden(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's full CDC loop on the streaming engine: golden
+    backfill + CDC envelope files dropped into a directory, consumed
+    one-file-per-trigger by readStream, each micro-batch flattened,
+    normalized, and keyed-upserted into a CoW lakehouse table via
+    foreachBatch. Final table state must equal the reference's golden
+    post-merge outputs (soft delete RETAINED — README.md:511-531)."""
+    from hudi_and_delta_showcase_spark.operators.cdc import (
+        golden_backfill,
+        golden_cdc_batch,
+    )
+
+    root = tempfile.mkdtemp(prefix="cdc_stream_golden_")
+    drop = f"{root}/drop"
+    # two files, dropped in order: the backfill dump then the binlog batch
+    golden_backfill(spark).coalesce(1).write.parquet(f"{drop}/b0")
+    golden_cdc_batch(spark).coalesce(1).write.parquet(f"{drop}/b1")
+    table = apply_cdc_stream(
+        spark,
+        drop_dir=f"{drop}/*/",
+        table_path=f"{root}/table",
+        checkpoint_dir=f"{root}/ckpt",
+    )
+    return table.read().select(
+        "pk_id", "name", "value", "updated_at", "change_type", "is_deleted"
+    )

@@ -1,0 +1,150 @@
+"""Streaming-engine tests (M7): batch ≡ stream equivalence for the window
+operators, watermark late-data eviction, and checkpointed incremental CDC
+apply (the exactly-once file-arrival loop)."""
+
+from __future__ import annotations
+
+import datetime
+import os
+import tempfile
+
+import pyspark.sql.functions as F
+import pytest
+
+from hudi_and_delta_showcase_spark.io import load_table
+from hudi_and_delta_showcase_spark.operators.cdc import (
+    golden_backfill,
+    golden_cdc_batch,
+)
+from hudi_and_delta_showcase_spark.streaming import (
+    apply_cdc_stream,
+    read_events_stream,
+    run_to_memory,
+)
+from hudi_and_delta_showcase_spark.streaming.windows import (
+    batch_user_stats,
+    session_stats,
+    sliding_avg,
+    stateful_user_stats,
+    tumbling_counts,
+)
+
+
+def _rows(df):
+    return sorted([tuple(r) for r in df.collect()], key=repr)
+
+
+# --------------------------------------------------------------------- #
+# stream ≡ batch: the same transformation body on both engines
+# --------------------------------------------------------------------- #
+
+
+@pytest.mark.parametrize(
+    "op",
+    [
+        lambda d: tumbling_counts(d, window="1 hour"),
+        lambda d: sliding_avg(d, window="1 hour", slide="30 minutes"),
+        lambda d: session_stats(d, gap="30 minutes"),
+    ],
+    ids=["tumbling", "sliding", "session"],
+)
+def test_stream_equals_batch(spark, sf_dir, op):
+    batch = op(load_table(spark, sf_dir, "events"))
+    stream = run_to_memory(op(read_events_stream(spark, sf_dir)), "complete")
+    assert _rows(stream) == _rows(batch)
+
+
+def test_stateful_equals_batch_agg(spark, sf_dir):
+    batch = batch_user_stats(load_table(spark, sf_dir, "events"))
+    stream = run_to_memory(
+        stateful_user_stats(read_events_stream(spark, sf_dir)), "update"
+    )
+    assert _rows(stream) == _rows(batch)
+
+
+# --------------------------------------------------------------------- #
+# watermark semantics: late rows beyond the delay are dropped, closed
+# windows are emitted (append mode). Event time must be LTZ for
+# withWatermark; session tz is UTC so the instants are deterministic.
+# --------------------------------------------------------------------- #
+
+
+def test_watermark_drops_late_data(spark):
+    root = tempfile.mkdtemp(prefix="wm_test_")
+    drop = f"{root}/drop"
+    os.makedirs(drop)
+
+    def write_file(idx, rows):
+        df = spark.createDataFrame(rows, "ts timestamp, user_id long, value double")
+        df.coalesce(1).write.parquet(f"{drop}/f{idx}")
+
+    t = lambda s: datetime.datetime.fromisoformat(s)
+    # f0: two events in the 10:00 window
+    write_file(0, [(t("2024-01-01 10:00:10"), 1, 1.0), (t("2024-01-01 10:20:00"), 2, 1.0)])
+    # f1: event at 12:30 -> watermark advances to 11:30 (delay 1h) after
+    # this batch; the 10:00 window is evicted+emitted during the NEXT batch
+    write_file(1, [(t("2024-01-01 12:30:00"), 1, 1.0)])
+    # f2: keeps the stream moving (the late-event filter lags eviction by
+    # one batch — Spark's lateEvents vs eviction watermark split)
+    write_file(2, [(t("2024-01-01 12:40:00"), 2, 1.0)])
+    # f3: LATE event in the closed 10:00 window, two batches after the
+    # watermark passed it -> dropped by the late-row filter
+    write_file(3, [(t("2024-01-01 10:40:00"), 3, 1.0)])
+
+    sdf = (
+        spark.readStream.schema("ts timestamp, user_id long, value double")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{drop}/*")
+        .withWatermark("ts", "1 hour")
+        .groupBy(F.window("ts", "1 hour").alias("w"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.col("w.start").alias("wstart"), "n")
+    )
+    result = run_to_memory(sdf, mode="append")
+    got = {(r.wstart.isoformat(sep=" "), r.n) for r in result.collect()}
+    # the 10:00 window closed with ONLY the two on-time events (late row
+    # dropped); the 12:00 window never crossed the watermark -> unemitted
+    assert got == {("2024-01-01 10:00:00", 2)}
+
+
+# --------------------------------------------------------------------- #
+# incremental CDC apply with checkpoint resume (exactly-once files)
+# --------------------------------------------------------------------- #
+
+
+def test_cdc_stream_incremental_restart(spark):
+    root = tempfile.mkdtemp(prefix="cdc_restart_")
+    drop, table, ckpt = f"{root}/drop", f"{root}/table", f"{root}/ckpt"
+    os.makedirs(drop)
+
+    golden_backfill(spark).coalesce(1).write.parquet(f"{drop}/b0")
+    t1 = apply_cdc_stream(spark, f"{drop}/*", table, ckpt)
+    state1 = {(r.pk_id, r.value) for r in t1.read().select("pk_id", "value").collect()}
+    assert state1 == {(1, 10), (2, 20), (3, 30), (4, 40)}
+    v1 = t1.history()[-1].version
+
+    # second drop; SAME checkpoint -> only the new file is processed
+    golden_cdc_batch(spark).coalesce(1).write.parquet(f"{drop}/b1")
+    t2 = apply_cdc_stream(spark, f"{drop}/*", table, ckpt)
+    state2 = {(r.pk_id, r.value) for r in t2.read().select("pk_id", "value").collect()}
+    assert state2 == {(1, 10), (2, 201), (3, 30), (4, 40), (5, 50)}
+    # exactly ONE new commit (the b1 batch); b0 was not re-applied
+    assert t2.history()[-1].version == v1 + 1
+
+    # re-running with nothing new is a no-op (checkpoint holds offsets)
+    t3 = apply_cdc_stream(spark, f"{drop}/*", table, ckpt)
+    assert t3.history()[-1].version == v1 + 1
+
+
+def test_cdc_stream_golden_soft_delete(spark):
+    """The streamed merge keeps the tombstone row with markers
+    (README.md:511-531 semantics)."""
+    root = tempfile.mkdtemp(prefix="cdc_soft_")
+    drop = f"{root}/drop"
+    os.makedirs(drop)
+    golden_backfill(spark).coalesce(1).write.parquet(f"{drop}/b0")
+    golden_cdc_batch(spark).coalesce(1).write.parquet(f"{drop}/b1")
+    t = apply_cdc_stream(spark, f"{drop}/*", f"{root}/table", f"{root}/ckpt")
+    row = t.read().filter(F.col("pk_id") == 3).collect()
+    assert len(row) == 1
+    assert row[0].is_deleted is True and row[0].change_type == "DELETE"
