@@ -119,14 +119,16 @@ def dedup_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT doc_id, UNNEST(s) AS sv FROM sh
     ),
     hashes AS (
-      SELECT e.doc_id, h.h AS h, MIN(md5(e.sv || '#' || h.h)) AS mh
+      SELECT e.doc_id, h.h AS h,
+             MIN(('0x' || substr(md5(e.sv), 1, 12))::BIGINT
+                 + h.h * ('0x' || substr(md5(e.sv), 13, 12))::BIGINT) AS mh
       FROM exploded e
       CROSS JOIN (SELECT UNNEST(generate_series(0, 15)) AS h) h
       GROUP BY e.doc_id, h.h
     ),
     bands AS (
       SELECT doc_id, h // 2 AS band,
-             md5(string_agg(mh, '|' ORDER BY h)) AS band_key
+             md5(string_agg(mh::VARCHAR, '|' ORDER BY h)) AS band_key
       FROM hashes GROUP BY doc_id, h // 2
     ),
     cand AS (
