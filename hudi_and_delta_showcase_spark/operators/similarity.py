@@ -144,6 +144,54 @@ def hyperplane_buckets(
     )
 
 
+def embedding_near_pairs(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    threshold: float,
+    block_col: str,
+    scale: int = 1000,
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs within blocks: the dedup
+    variant of similarity search. Blocking (here on ``block_col``, e.g. a
+    cluster/label/LSH-bucket id) turns the O(n^2) all-pairs problem into
+    sum(|block|^2) — the join shuffles once on the block key and each
+    block is scored with ONE vectorized integer matmul in applyInPandas.
+
+    Determinism contract: embeddings are quantized to ints
+    (floor(x*scale + 0.5)) so dot products are EXACT in int64 and every
+    partial sum < 2^53 stays exact in double — identical results in any
+    engine and any summation order (cross-engine-checkable, unlike raw
+    float dots whose value depends on accumulation order).
+
+    Scale notes (billions of vectors): blocks must be bounded (re-block
+    giant clusters by a secondary hash); for global near-dup detection
+    use LSH buckets as blocks and union over tables."""
+
+    def per_block(pdf: pd.DataFrame) -> pd.DataFrame:
+        mat = np.vstack(pdf[vec_col].to_numpy()).astype("float64")
+        q = np.floor(mat * scale + 0.5).astype("int64")
+        gram = q @ q.T
+        norms = np.sqrt(np.diag(gram).astype("float64"))
+        sim = gram / np.outer(norms, norms)
+        iu = np.triu_indices(len(pdf), 1)
+        ids = pdf[id_col].to_numpy()
+        a, b = ids[iu[0]], ids[iu[1]]
+        s = np.round(sim[iu], 6)
+        keep = s >= threshold
+        return pd.DataFrame(
+            {
+                "doc_a": np.minimum(a, b)[keep],
+                "doc_b": np.maximum(a, b)[keep],
+                "cosine": s[keep],
+            }
+        )
+
+    return df.groupBy(block_col).applyInPandas(
+        per_block, "doc_a long, doc_b long, cosine double"
+    )
+
+
 def topk_lsh(
     queries: DataFrame,
     corpus: DataFrame,

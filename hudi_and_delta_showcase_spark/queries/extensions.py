@@ -161,6 +161,36 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.jaccard_pairs(sh, "doc_id", "shingles", 0.5, candidates=cand)
 
 
+@query(
+    "dedup_embedding_cosine",
+    oracle="""
+    WITH q AS (
+      SELECT vec_id, label,
+             list_transform(embedding::DOUBLE[],
+                            x -> CAST(floor(x*1000 + 0.5) AS BIGINT)) AS qv
+      FROM embeddings
+    )
+    SELECT doc_a, doc_b, cosine FROM (
+      SELECT a.vec_id AS doc_a, b.vec_id AS doc_b,
+             round(list_dot_product(a.qv, b.qv)
+                   / (sqrt(list_dot_product(a.qv, a.qv))
+                      * sqrt(list_dot_product(b.qv, b.qv))), 6) AS cosine
+      FROM q a JOIN q b ON a.label = b.label AND a.vec_id < b.vec_id
+    ) WHERE cosine >= 0.35
+    """,
+    tags=("dedup", "similarity"),
+)
+def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs, blocked by label: per-block
+    integer-quantized matmul (exact int64 dots -> order-independent,
+    oracle-identical cosines). The blocked-join shape is the 100 TB
+    strategy; the label column stands in for a cluster/LSH-bucket id."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return S.embedding_near_pairs(
+        emb, "vec_id", "embedding", threshold=0.35, block_col="label"
+    )
+
+
 @query("dedup_simhash", oracle=None, tags=("dedup",))
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash(64-bit) near-dup pairs, Hamming <= 8, pigeonhole-banded

@@ -751,3 +751,45 @@ def array_explode_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("word")
         .agg(F.count(F.lit(1)).alias("n"))
     )
+
+
+@query(
+    "sql_catalog_roundtrip",
+    oracle="""
+    SELECT n.n_name AS nation, COUNT(*) AS n_orders,
+           CAST(SUM(CAST(o.o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+             AS revenue
+    FROM orders o
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    GROUP BY n.n_name
+    """,
+    tags=("catalog", "sql", "join", "agg"),
+)
+def sql_catalog_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S4/D1/D3/D5 catalog surface: register the fixture tables as temp
+    views (createOrReplaceTempView — README.md:1206), verify them through
+    SHOW TABLES / DROP TABLE IF EXISTS (README.md:1177; notebook cells
+    17/30), then answer pure SQL through the session catalog — the
+    reference's `spark.sql("select * from ...")` entry point
+    (README.md:348,466,710)."""
+    from hudi_and_delta_showcase_spark.io import register_views
+
+    register_views(spark, sf_dir)
+    # D1/D3: catalog maintenance round-trip on a scratch view
+    spark.sql("CREATE OR REPLACE TEMP VIEW __scratch AS SELECT 1 AS x")
+    listed = {r.tableName for r in spark.sql("SHOW TABLES").collect()}
+    assert {"orders", "customer", "nation", "__scratch"} <= listed
+    spark.sql("DROP TABLE IF EXISTS __scratch")
+    spark.catalog.dropTempView("__scratch")
+    return spark.sql(
+        """
+        SELECT n.n_name AS nation, COUNT(*) AS n_orders,
+               CAST(SUM(CAST(o.o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+                 AS revenue
+        FROM orders o
+        JOIN customer c ON o.o_custkey = c.c_custkey
+        JOIN nation n ON c.c_nationkey = n.n_nationkey
+        GROUP BY n.n_name
+        """
+    )
