@@ -1,0 +1,87 @@
+"""Plan-quality regression gate: the optimizations the engine relies on
+(SURVEY.md §4) must actually appear in the physical plans — filters pushed
+into the parquet scan, columns pruned to what the query reads, small join
+sides broadcast, no accidental cartesian products. A correctness-green
+query with a degraded plan is a 100 TB regression even when 60k rows pass.
+"""
+
+from __future__ import annotations
+
+import re
+
+import pytest
+
+from hudi_and_delta_showcase_spark.queries import load_all
+
+ALL = load_all()
+
+
+def _formatted_plan(df) -> str:
+    return df._jdf.queryExecution().explainString(
+        df.sparkSession._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+            "formatted"
+        )
+    )
+
+
+def _plan(spark, sf_dir, name) -> str:
+    return _formatted_plan(ALL[name].fn(spark, sf_dir))
+
+
+def test_q1_pushdown_and_pruning(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "q1_pricing_summary")
+    # the shipdate filter reaches the parquet reader...
+    assert re.search(r"PushedFilters: \[[^\]]*l_shipdate", plan)
+    # ...and the scan reads only the needed columns (no l_comment etc.)
+    m = re.search(r"ReadSchema: struct<([^>]*)>", plan)
+    assert m and "l_comment" not in m.group(1) and "l_orderkey" not in m.group(1)
+
+
+def test_q3_broadcasts_dimensions(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "q3_shipping_priority")
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+    # customer scan pushes the segment predicate
+    assert re.search(r"EqualTo\(c_mktsegment,BUILDING\)", plan)
+
+
+def test_q5_no_sort_merge_join_at_test_scale(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "q5_regional_revenue")
+    assert plan.count("BroadcastHashJoin") >= 3
+    assert "CartesianProduct" not in plan
+
+
+def test_latest_change_broadcasts_agg_side(spark, sf_dir):
+    """The per-key aggregate side (J1's small side, README.md:1215-1221)
+    must broadcast — the big events side never re-shuffles for the join."""
+    plan = _plan(spark, sf_dir, "latest_change_per_key")
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+@pytest.mark.parametrize(
+    "name",
+    ["dedup_jaccard_pairs", "dedup_minhash_lsh", "similarity_topk_lsh"],
+)
+def test_candidate_joins_are_never_cartesian(spark, sf_dir, name):
+    """Every near-dup/ANN candidate generator must be a key-equi join
+    (inverted index / band bucket / LSH bucket) — an O(n^2) cross join
+    in any of these is a scale bug regardless of small-SF timing."""
+    plan = _plan(spark, sf_dir, name)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_bruteforce_ann_broadcasts_query_side(spark, sf_dir):
+    """Brute-force ANN is an intentional cross join (query x corpus) —
+    but the QUERY side must broadcast so the corpus never shuffles."""
+    plan = _plan(spark, sf_dir, "similarity_topk_bruteforce")
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+
+
+def test_scans_prune_document_columns(spark, sf_dir):
+    """Text queries must not drag the full documents row (e.g. the text
+    body is unused post-tokenization projection pushes into the scan)."""
+    plan = _plan(spark, sf_dir, "dedup_exact_groups")
+    m = re.search(r"ReadSchema: struct<([^>]*)>", plan)
+    assert m and "text" not in m.group(1)
