@@ -144,6 +144,99 @@ def hyperplane_buckets(
     )
 
 
+def _spherical_kmeans(mat: "np.ndarray", k: int, iters: int, seed: int) -> "np.ndarray":
+    """Deterministic spherical k-means (cosine) on a sample matrix.
+    Returns L2-normalized centroids (k x dim)."""
+    rng = np.random.RandomState(seed)
+    norm = mat / np.maximum(np.linalg.norm(mat, axis=1, keepdims=True), 1e-12)
+    cents = norm[rng.choice(len(norm), size=k, replace=False)].copy()
+    for _ in range(iters):
+        cents /= np.maximum(np.linalg.norm(cents, axis=1, keepdims=True), 1e-12)
+        assign = np.argmax(norm @ cents.T, axis=1)
+        for j in range(k):
+            members = norm[assign == j]
+            if len(members):
+                cents[j] = members.mean(axis=0)
+    return cents / np.maximum(np.linalg.norm(cents, axis=1, keepdims=True), 1e-12)
+
+
+def ivf_assign(
+    df: DataFrame,
+    vec_col: str,
+    centroids: "np.ndarray",
+    nprobe: int = 1,
+    out: str = "cell",
+) -> DataFrame:
+    """Assign each vector to its ``nprobe`` nearest centroids (cosine) —
+    one numpy matmul per Arrow batch; centroids ride in the UDF closure
+    (broadcast once per executor). nprobe=1 for the corpus side (each
+    vector lives in ONE inverted list), >1 on the query side to widen
+    the search."""
+    cent = centroids.astype("float64")
+
+    @F.pandas_udf("array<int>")
+    def _cells(vs: pd.Series) -> pd.Series:
+        mat = np.vstack(vs.to_numpy()).astype("float64")
+        mat /= np.maximum(np.linalg.norm(mat, axis=1, keepdims=True), 1e-12)
+        sims = mat @ cent.T
+        top = np.argsort(-sims, axis=1)[:, :nprobe]
+        return pd.Series(list(top.astype("int32")))
+
+    return df.withColumn(out, F.explode(_cells(F.col(vec_col))))
+
+
+def topk_ivf(
+    queries: DataFrame,
+    corpus: DataFrame,
+    id_col: str,
+    vec_col: str,
+    k: int = 10,
+    n_centroids: int = 16,
+    nprobe: int = 4,
+    train_sample: int = 2048,
+    iters: int = 8,
+    seed: int = 42,
+) -> DataFrame:
+    """IVF ANN: spherical-kmeans coarse quantizer -> inverted lists keyed
+    by centroid id -> probe the ``nprobe`` closest lists per query ->
+    exact cosine re-rank. The centroid model is trained on a bounded
+    driver-side sample (standard IVF practice — training is O(sample),
+    not O(corpus)), then shipped to executors in the UDF closure.
+
+    Scale notes (billions of vectors): corpus assignment is one linear
+    map-only pass; the candidate join shuffles on (cell) with list sizes
+    ~|corpus|/n_centroids — raise n_centroids to keep lists bounded, and
+    re-shard hot cells like any skewed key. Versus LSH: data-adaptive
+    cells give better recall/candidate on clustered embeddings."""
+    sample = np.vstack(
+        [r[0] for r in corpus.select(vec_col).limit(train_sample).collect()]
+    ).astype("float64")
+    cents = _spherical_kmeans(sample, n_centroids, iters, seed)
+
+    cb = ivf_assign(
+        corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("c_vec")),
+        "c_vec", cents, nprobe=1,
+    )
+    qb = ivf_assign(
+        queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec")),
+        "q_vec", cents, nprobe=nprobe,
+    )
+    cand = (
+        cb.join(F.broadcast(qb), "cell")
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select("query_id", "q_vec", "neighbor_id", "c_vec")
+    )
+    scored = with_cosine(cand, "q_vec", "c_vec", "cosine").withColumn(
+        "sim", F.round("cosine", 6)
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "sim", "rank")
+    )
+
+
 def embedding_near_pairs(
     df: DataFrame,
     id_col: str,

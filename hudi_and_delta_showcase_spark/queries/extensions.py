@@ -248,6 +248,19 @@ def similarity_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query("similarity_topk_ivf", oracle=None, tags=("similarity",))
+def similarity_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN scale path #2: IVF — spherical-kmeans inverted lists, probe
+    the 4 nearest of 16 cells per query, exact re-rank. Data-adaptive
+    counterpart to the hyperplane-LSH path; rows-only here, recall vs
+    brute force asserted in tests/test_extensions.py."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return S.topk_ivf(
+        emb.filter(F.col("vec_id") < 5), emb, "vec_id", "embedding",
+        k=10, n_centroids=16, nprobe=4,
+    )
+
+
 @query(
     "embedding_label_centroid_sim",
     oracle="""

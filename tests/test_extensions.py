@@ -84,6 +84,21 @@ def test_ann_lsh_recall_vs_bruteforce(spark, sf_dir):
     assert recall >= 0.4, f"ANN recall {recall:.2f}"
 
 
+def test_ann_ivf_recall_vs_bruteforce(spark, sf_dir):
+    """IVF with nprobe=4 of 16 cells must recover a usable share of the
+    exact top-10 (floor is loose: the synthetic embeddings have weak
+    cluster structure, so cell probing is near its worst case)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5)
+    exact = S.topk_bruteforce(queries, emb, "vec_id", "embedding", k=10)
+    approx = S.topk_ivf(queries, emb, "vec_id", "embedding", k=10,
+                        n_centroids=16, nprobe=4)
+    truth = {(r.query_id, r.neighbor_id) for r in exact.collect()}
+    got = {(r.query_id, r.neighbor_id) for r in approx.collect()}
+    recall = len(truth & got) / len(truth)
+    assert recall >= 0.3, f"IVF recall {recall:.2f}"
+
+
 def test_cosine_self_similarity(spark, sf_dir):
     """cos(v, v) == 1 for non-zero vectors — sanity for the fold-based
     dot/norm expressions."""
