@@ -109,6 +109,93 @@ def decode_image(
     return pruned.mapInPandas(decode_batches, DECODED_IMAGE_SCHEMA)
 
 
+FEATURES_SCHEMA = StructType(
+    [
+        StructField("id", LongType()),
+        StructField("n_bytes", LongType()),
+        StructField("byte_entropy", StringType()),  # 6-dp string: exact compare
+        StructField("hist16", StringType()),        # csv of 16 bucket counts
+    ]
+)
+
+
+def extract_features(
+    df: DataFrame, id_col: str, blob_col: str
+) -> DataFrame:
+    """Feature extraction over binary media: 16-bucket byte histogram +
+    Shannon entropy per blob, Arrow-batched via mapInPandas. Real
+    computation (no codec needed) — the same stage shape a CLIP/VGG
+    embedding UDF uses. Entropy is emitted as a 6-dp STRING so the
+    output is exactly comparable across runs (float formatting, not
+    float summation, is the only risk here)."""
+    import math
+
+    def feat_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for rid, blob in zip(pdf[id_col], pdf[blob_col]):
+                payload = bytes(blob)
+                counts = [0] * 16
+                for byte in payload:
+                    counts[byte >> 4] += 1
+                n = len(payload)
+                ent = 0.0
+                for c in counts:
+                    if c:
+                        p = c / n
+                        ent -= p * math.log2(p)
+                out.append(
+                    (int(rid), n, f"{ent:.6f}", ",".join(map(str, counts)))
+                )
+            yield pd.DataFrame(
+                out, columns=["id", "n_bytes", "byte_entropy", "hist16"]
+            )
+
+    return df.select(id_col, blob_col).mapInPandas(feat_batches, FEATURES_SCHEMA)
+
+
+def resize_image(
+    df: DataFrame,
+    id_col: str,
+    blob_col: str,
+    target_w: int,
+    target_h: int,
+    fake: bool = False,
+) -> DataFrame:
+    """Resize stage: decode -> scale -> re-encode, as mapInPandas.
+    ``fake=False`` raises NotImplementedError (no codecs here); the fake
+    path deterministically emits the stub-decoded dims and the scale
+    factors a real resampler would apply — the plumbing (schema, column
+    pruning, batch iteration) is identical either way."""
+    if not fake:
+        raise NotImplementedError(
+            "no image codecs in this environment; pass fake=True for the "
+            "deterministic stub resizer"
+        )
+
+    schema = (
+        f"{id_col} long, src_w int, src_h int, dst_w int, dst_h int, "
+        "scale_x double, scale_y double"
+    )
+
+    def resize_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for rid, blob in zip(pdf[id_col], pdf[blob_col]):
+                w, h, _c = _fake_decode(bytes(blob))
+                out.append(
+                    (int(rid), w, h, target_w, target_h,
+                     target_w / w, target_h / h)
+                )
+            yield pd.DataFrame(
+                out,
+                columns=[id_col, "src_w", "src_h", "dst_w", "dst_h",
+                         "scale_x", "scale_y"],
+            )
+
+    return df.select(id_col, blob_col).mapInPandas(resize_batches, schema)
+
+
 def frame_sample_plan(
     df: DataFrame, id_col: str, meta_col: str, every_n_bytes: int = 1024
 ) -> DataFrame:

@@ -425,3 +425,57 @@ def multimodal_decode_stub(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     docs = M.attach_media_meta(docs, "blob", "image", "raw")
     return M.decode_image(docs, "doc_id", "blob", fake=True)
+
+
+def _docs_with_blob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load_table(spark, sf_dir, "documents").withColumn(
+        "blob", F.encode(F.col("text"), "UTF-8")
+    )
+
+
+@query(
+    "multimodal_resize_stub",
+    oracle="""
+    SELECT doc_id,
+           CAST(16 + octet_length(encode(text)) % 64 AS INT) AS src_w,
+           CAST(16 + (octet_length(encode(text)) // 64) % 64 AS INT) AS src_h,
+           CAST(32 AS INT) AS dst_w, CAST(32 AS INT) AS dst_h,
+           32.0 / (16 + octet_length(encode(text)) % 64) AS scale_x,
+           32.0 / (16 + (octet_length(encode(text)) // 64) % 64) AS scale_y
+    FROM documents
+    """,
+    tags=("multimodal",),
+)
+def multimodal_resize_stub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Resize stage over binary media (decode -> scale factors) via
+    mapInPandas; stub codec, real Arrow plumbing. Scale factors are
+    single IEEE divisions -> bit-identical cross-engine."""
+    return M.resize_image(
+        _docs_with_blob(spark, sf_dir), "doc_id", "blob", 32, 32, fake=True
+    )
+
+
+@query(
+    "multimodal_frame_sample",
+    oracle="""
+    SELECT doc_id,
+           UNNEST(generate_series(0,
+             greatest(octet_length(encode(text)) - 1, 0), 256)) AS frame_offset
+    FROM documents
+    """,
+    tags=("multimodal",),
+)
+def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video-frame sampling plan: one row per sampled byte offset
+    (sequence + explode fan-out; the decode stage would consume these)."""
+    docs = M.attach_media_meta(_docs_with_blob(spark, sf_dir), "blob", "video", "raw")
+    return M.frame_sample_plan(docs, "doc_id", "blob_meta", every_n_bytes=256)
+
+
+@query("multimodal_feature_extract", oracle=None, tags=("multimodal",))
+def multimodal_feature_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Feature extraction over media blobs (byte histogram + entropy) —
+    the embedding-UDF stage shape with a codec-free real computation;
+    values asserted against a local recomputation in
+    tests/test_multimodal.py."""
+    return M.extract_features(_docs_with_blob(spark, sf_dir), "doc_id", "blob")
