@@ -154,19 +154,23 @@ class LakehouseTable:
         """S5 real-time: base ∪ logs resolved latest-per-key at scan time
         (HoodieParquetRealtimeInputFormat semantics, README.md:689).
 
-        Resolution order: precombine DESC, then commit time DESC (a later
-        commit wins ties), then user tiebreakers — one window over the
-        unioned scan, shuffled once on the record key."""
+        Resolution order: commit time DESC FIRST — a later upsert batch
+        overwrites the stored row even if its precombine value is older,
+        exactly like the CoW write path (Hudi's default overwrite-with-
+        latest payload: precombine dedups WITHIN a batch, commits apply
+        in order ACROSS batches; divergence found by
+        tests/test_properties.py::test_cow_equals_mor_rt). Then
+        precombine DESC + tiebreakers within a commit. One window over
+        the unioned scan, shuffled once on the record key."""
         commit = self._commit(version)
         base = self._read_base(commit)
         if not commit.log_files:
             return base
         log = self._read_parquet(commit.log_files)
         union = base.unionByName(log, allowMissingColumns=True)
-        order = []
+        order = [F.desc("_hoodie_commit_time")]
         if self.precombine:
             order.append(F.desc(self.precombine))
-        order.append(F.desc("_hoodie_commit_time"))
         order += [F.desc(t) for t in self.tiebreakers]
         w = Window.partitionBy(*self.key_cols).orderBy(*order)
         return (

@@ -40,10 +40,22 @@ def commits_dir(table_path: str) -> str:
     return os.path.join(table_path, "_commits")
 
 
+_last_instant_ms = [0]
+
+
 def make_commit_time() -> str:
-    # wall-clock ms, formatted like a Hudi instant time
-    t = time.time()
-    return time.strftime("%Y%m%d%H%M%S", time.gmtime(t)) + f"{int(t * 1000) % 1000:03d}"
+    """Wall-clock ms formatted like a Hudi instant time — STRICTLY
+    monotonic within this writer process: rapid successive commits may
+    land in the same millisecond, and commit-order resolution (MoR `_rt`
+    merge) must never depend on a clock tie."""
+    t_ms = int(time.time() * 1000)
+    if t_ms <= _last_instant_ms[0]:
+        t_ms = _last_instant_ms[0] + 1
+    _last_instant_ms[0] = t_ms
+    return (
+        time.strftime("%Y%m%d%H%M%S", time.gmtime(t_ms / 1000))
+        + f"{t_ms % 1000:03d}"
+    )
 
 
 def list_versions(table_path: str) -> list[int]:
