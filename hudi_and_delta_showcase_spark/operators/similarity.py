@@ -317,7 +317,9 @@ def topk_lsh(
         cb.join(F.broadcast(qb), ["table", "bucket"])
         .filter(F.col("neighbor_id") != F.col("query_id"))
         .select("query_id", "q_vec", "neighbor_id", "c_vec")
-        .distinct()
+        # dedup multiprobe/multitable hits by id pair only — a full
+        # .distinct() would shuffle-hash the embedding arrays themselves
+        .dropDuplicates(["query_id", "neighbor_id"])
     )
     scored = with_cosine(cand, "q_vec", "c_vec", "cosine").withColumn(
         "sim", F.round("cosine", 6)
