@@ -479,3 +479,17 @@ def multimodal_feature_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     values asserted against a local recomputation in
     tests/test_multimodal.py."""
     return M.extract_features(_docs_with_blob(spark, sf_dir), "doc_id", "blob")
+
+
+@query(
+    "dedup_exact_rows",
+    oracle="SELECT DISTINCT lang, source FROM documents",
+    tags=("dedup",),
+)
+def dedup_exact_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup as dropDuplicates (hash aggregate with map-side
+    partials; shuffle volume = |distinct combos|). The projected-column
+    form is the deterministic one — keeping whole arbitrary rows per
+    combo is order-dependent by definition."""
+    docs = load_table(spark, sf_dir, "documents").select("lang", "source")
+    return D.exact_dedup(docs, ["lang", "source"])
