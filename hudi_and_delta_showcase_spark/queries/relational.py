@@ -822,3 +822,45 @@ def agg_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
                                 (l_returnflag), ())
         """
     )
+
+
+@query(
+    "skew_salted_agg",
+    oracle="""
+    SELECT event_type, COUNT(*) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value,
+           MIN(user_id) AS min_user, MAX(user_id) AS max_user
+    FROM events GROUP BY event_type
+    """,
+    tags=("agg", "skew"),
+)
+def skew_salted_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-stage salted aggregation: event_type has very few distinct
+    values (each key is hot by construction), so the partial stage on
+    (event_type, salt-of-event_id) spreads every key over 16 reducers
+    before the final merge. Result is exactly plain GROUP BY (decimal
+    sums compose associatively)."""
+    from hudi_and_delta_showcase_spark.operators.skew import salted_agg
+
+    events = load_table(spark, sf_dir, "events").withColumn(
+        "value_dec", F.col("value").cast("decimal(18,2)")
+    )
+    out = salted_agg(
+        events,
+        keys=["event_type"],
+        aggs={
+            "n_events": ("count", "event_id"),
+            "sum_dec": ("sum", "value_dec"),
+            "min_user": ("min", "user_id"),
+            "max_user": ("max", "user_id"),
+        },
+        salt_col="event_id",
+        buckets=16,
+    )
+    return out.select(
+        "event_type",
+        "n_events",
+        F.col("sum_dec").cast("double").alias("sum_value"),
+        "min_user",
+        "max_user",
+    )

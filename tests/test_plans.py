@@ -85,3 +85,52 @@ def test_scans_prune_document_columns(spark, sf_dir):
     plan = _plan(spark, sf_dir, "dedup_exact_groups")
     m = re.search(r"ReadSchema: struct<([^>]*)>", plan)
     assert m and "text" not in m.group(1)
+
+
+def test_salted_agg_equals_plain_and_salted_join_equals_broadcast(spark, sf_dir):
+    """Skew tools must be semantically transparent: salted two-stage agg
+    == plain groupBy; replicated-salt join == the same join unsalted."""
+    import pyspark.sql.functions as F
+
+    from hudi_and_delta_showcase_spark.io import load_table
+    from hudi_and_delta_showcase_spark.operators.skew import (
+        replicated_salt_join,
+        salted_agg,
+    )
+
+    events = load_table(spark, sf_dir, "events")
+    plain = events.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"), F.max("user_id").alias("mx")
+    )
+    salted = salted_agg(
+        events, ["event_type"],
+        {"n": ("count", "event_id"), "mx": ("max", "user_id")},
+        salt_col="event_id",
+    )
+    assert sorted(map(tuple, salted.collect())) == sorted(map(tuple, plain.collect()))
+
+    dim = events.select("event_type").distinct().withColumn(
+        "tag", F.upper("event_type")
+    )
+    unsalted = events.join(dim, "event_type").select("event_id", "tag")
+    salted_j = replicated_salt_join(
+        events, dim, ["event_type"], salt_col="event_id"
+    ).select("event_id", "tag")
+    assert sorted(map(tuple, salted_j.collect())) == sorted(map(tuple, unsalted.collect()))
+
+
+def test_salted_agg_has_two_exchanges(spark, sf_dir):
+    """The salted plan really is two-stage: an exchange on (key, salt)
+    then an exchange on (key)."""
+    from hudi_and_delta_showcase_spark.io import load_table
+    from hudi_and_delta_showcase_spark.operators.skew import salted_agg
+
+    events = load_table(spark, sf_dir, "events")
+    plan = _formatted_plan(
+        salted_agg(events, ["event_type"], {"n": ("count", "event_id")},
+                   salt_col="event_id")
+    )
+    # formatted mode: each Exchange node prints an
+    # "Arguments: hashpartitioning(...)" line
+    assert plan.count("hashpartitioning(") >= 2
+    assert "hashpartitioning(event_type" in plan
