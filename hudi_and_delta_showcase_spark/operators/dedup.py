@@ -261,6 +261,64 @@ def jaccard_pairs(
     )
 
 
+def connected_components(
+    vertices: DataFrame,
+    edges: DataFrame,
+    id_col: str = "doc",
+    max_iter: int = 20,
+) -> DataFrame:
+    """Resolve near-dup PAIRS into duplicate GROUPS: connected components
+    by iterative min-label propagation. ``vertices`` has one ``id_col``
+    row per doc; ``edges`` has (doc_a, doc_b) pairs. Returns
+    (id_col, component) where component = min doc id reachable.
+
+    Each iteration is one join + aggregate (label of v := min of own and
+    neighbors' labels); converges in <= graph-diameter iterations
+    (near-dup graphs are shallow — dup clusters are cliques or near-
+    cliques, so 2-4 rounds in practice). The loop is driver-side CONTROL
+    only — data never leaves executors; the convergence check is a
+    1-row count. localCheckpoint() per round truncates the growing
+    lineage (at 100 TB use reliable checkpointing to object storage)."""
+    sym = (
+        edges.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
+        .unionByName(
+            edges.select(
+                F.col("doc_b").alias("src"), F.col("doc_a").alias("dst")
+            )
+        )
+    )
+    labels = vertices.select(
+        F.col(id_col).alias("v"), F.col(id_col).alias("lbl")
+    ).localCheckpoint()
+    for _ in range(max_iter):
+        neighbor_min = (
+            sym.join(labels, sym["dst"] == labels["v"])
+            .groupBy("src")
+            .agg(F.min("lbl").alias("nlbl"))
+        )
+        new_labels = (
+            labels.join(neighbor_min, labels["v"] == neighbor_min["src"], "left")
+            .select(
+                "v",
+                F.least(
+                    F.col("lbl"), F.coalesce(F.col("nlbl"), F.col("lbl"))
+                ).alias("lbl"),
+            )
+            .localCheckpoint()
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "v")
+            .filter(F.col("n.lbl") != F.col("o.lbl"))
+            .limit(1)
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels.select(F.col("v").alias(id_col), F.col("lbl").alias("component"))
+
+
 def simhash(
     df: DataFrame,
     id_col: str,

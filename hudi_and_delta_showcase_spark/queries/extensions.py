@@ -493,3 +493,40 @@ def dedup_exact_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
     combo is order-dependent by definition."""
     docs = load_table(spark, sf_dir, "documents").select("lang", "source")
     return D.exact_dedup(docs, ["lang", "source"])
+
+
+@query(
+    "dedup_components",
+    oracle=f"""
+    WITH RECURSIVE {_SHINGLES_CTE},
+    pairs AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+      WHERE len(list_intersect(a.s, b.s))::DOUBLE
+              / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) >= 0.5
+    ),
+    edges AS (
+      SELECT doc_a AS src, doc_b AS dst FROM pairs
+      UNION ALL
+      SELECT doc_b, doc_a FROM pairs
+    ),
+    reach(a, b) AS (
+      SELECT doc_id, doc_id FROM documents
+      UNION
+      SELECT r.a, e.dst FROM reach r JOIN edges e ON r.b = e.src
+    )
+    SELECT a AS doc_id, MIN(b) AS component FROM reach GROUP BY a
+    """,
+    tags=("dedup",),
+)
+def dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pair lists -> duplicate GROUPS: connected components over the
+    exact-Jaccard>=0.5 graph via iterative min-label propagation (the
+    group-resolution step every dedup pipeline needs before choosing
+    canonical docs). Oracle: recursive-CTE transitive closure."""
+    docs = load_table(spark, sf_dir, "documents")
+    sh = _docs_shingled(spark, sf_dir)
+    pairs = D.jaccard_pairs(sh, "doc_id", "shingles", threshold=0.5)
+    return D.connected_components(
+        docs.select(F.col("doc_id").alias("doc")), pairs, id_col="doc"
+    ).select(F.col("doc").alias("doc_id"), "component")
