@@ -66,6 +66,7 @@ def apply_cdc_stream(
     table_path: str,
     checkpoint_dir: str | None = None,
     max_files_per_trigger: int | None = 1,
+    table_type: str = "cow",
 ) -> LakehouseTable:
     """Consume every envelope file currently in ``drop_dir`` (availableNow)
     and merge each micro-batch into the lakehouse table at ``table_path``
@@ -85,6 +86,7 @@ def apply_cdc_stream(
                 key_cols=["pk_id"],
                 precombine="updated_at",
                 tiebreakers=["change_type"],
+                table_type=table_type,
             )
         else:
             LakehouseTable.load(spark, table_path).upsert(rows)

@@ -148,3 +148,25 @@ def test_cdc_stream_golden_soft_delete(spark):
     row = t.read().filter(F.col("pk_id") == 3).collect()
     assert len(row) == 1
     assert row[0].is_deleted is True and row[0].change_type == "DELETE"
+
+
+def test_cdc_stream_mor_ro_stale_rt_fresh(spark):
+    """The reference's central MoR claim (README.md:920) through the
+    STREAMING path: after the streamed CDC batch, `_ro` still serves the
+    backfill values (samsung 20, no htc) while `_rt` serves the merged
+    state (samsung 201, htc present); compaction reconciles them."""
+    root = tempfile.mkdtemp(prefix="cdc_mor_stream_")
+    drop = f"{root}/drop"
+    os.makedirs(drop)
+    golden_backfill(spark).coalesce(1).write.parquet(f"{drop}/b0")
+    golden_cdc_batch(spark).coalesce(1).write.parquet(f"{drop}/b1")
+    t = apply_cdc_stream(
+        spark, f"{drop}/*", f"{root}/table", f"{root}/ckpt", table_type="mor"
+    )
+    ro = {(r.pk_id, r.value) for r in t.read_ro().select("pk_id", "value").collect()}
+    rt = {(r.pk_id, r.value) for r in t.read_rt().select("pk_id", "value").collect()}
+    assert ro == {(1, 10), (2, 20), (3, 30), (4, 40)}          # stale base
+    assert rt == {(1, 10), (2, 201), (3, 30), (4, 40), (5, 50)}  # merged
+    t.compact()
+    ro2 = {(r.pk_id, r.value) for r in t.read_ro().select("pk_id", "value").collect()}
+    assert ro2 == rt
