@@ -530,3 +530,53 @@ def dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.connected_components(
         docs.select(F.col("doc_id").alias("doc")), pairs, id_col="doc"
     ).select(F.col("doc").alias("doc_id"), "component")
+
+
+@query(
+    "text_tfidf_top_terms",
+    oracle=f"""
+    WITH {_TOKS_CTE},
+    terms AS (SELECT doc_id, UNNEST(w) AS term FROM toks),
+    tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM terms GROUP BY doc_id, term),
+    df AS (SELECT term, COUNT(DISTINCT doc_id) AS df FROM terms GROUP BY term),
+    n AS (SELECT COUNT(*) AS n_docs FROM documents),
+    scored AS (
+      SELECT tf.doc_id, tf.term, tf.tf, df.df,
+             round(tf.tf * ln((n.n_docs + 1.0) / (df.df + 1.0)), 6) AS tfidf
+      FROM tf JOIN df ON tf.term = df.term CROSS JOIN n
+    )
+    SELECT doc_id, term, tf, df, tfidf, rank FROM (
+      SELECT *, ROW_NUMBER() OVER (
+        PARTITION BY doc_id ORDER BY tfidf DESC, term ASC) AS rank
+      FROM scored
+    ) WHERE rank <= 5
+    """,
+    tags=("text", "agg", "join"),
+)
+def text_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TF-IDF: term frequency per doc x inverse document frequency
+    across the corpus, top-5 terms per doc. Two aggregations (tf on
+    (doc, term), df on term) + a broadcast of the small df side; tfidf
+    rounded to 6dp before ranking so last-ulp ln() differences between
+    libm implementations can't flip the order."""
+    toks = D.tokenize(load_table(spark, sf_dir, "documents"), "text")
+    terms = toks.select("doc_id", F.explode("tokens").alias("term"))
+    tf = terms.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    df_ = terms.groupBy("term").agg(
+        F.count_distinct("doc_id").alias("df")
+    )
+    n_docs = load_table(spark, sf_dir, "documents").count()
+    scored = tf.join(F.broadcast(df_), "term").withColumn(
+        "tfidf",
+        F.round(
+            F.col("tf") * F.log((n_docs + 1.0) / (F.col("df") + 1.0)), 6
+        ),
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("doc_id").orderBy(F.desc("tfidf"), F.asc("term"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 5)
+        .select("doc_id", "term", "tf", "df", "tfidf", "rank")
+    )
