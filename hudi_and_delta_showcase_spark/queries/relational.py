@@ -864,3 +864,45 @@ def skew_salted_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         "min_user",
         "max_user",
     )
+
+
+@query(
+    "join_asof_events",
+    oracle="""
+    WITH r AS (
+      SELECT o_custkey, o_orderdate, MAX(o_orderkey) AS o_orderkey
+      FROM orders GROUP BY o_custkey, o_orderdate
+    )
+    SELECT e.event_id, e.user_id, e.ts,
+           o.o_orderdate AS asof_ts, o.o_orderkey AS asof_orderkey
+    FROM events e
+    ASOF JOIN r o ON e.user_id = o.o_custkey AND e.ts >= o.o_orderdate
+    """,
+    tags=("join", "timeseries"),
+)
+def join_asof_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join: each event picks the user's most recent order at or
+    before the event time — union+window implementation (one shuffle,
+    no pair explosion) vs DuckDB's native ASOF JOIN as the oracle. The
+    right side is pre-deduped to one row per (key, ts) so both engines
+    resolve timestamp ties identically."""
+    from hudi_and_delta_showcase_spark.operators.asof import as_of_join
+
+    orders = (
+        load_table(spark, sf_dir, "orders")
+        .groupBy("o_custkey", "o_orderdate")
+        .agg(F.max("o_orderkey").alias("o_orderkey"))
+    )
+    events = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "ts"
+    )
+    out = as_of_join(
+        events, orders,
+        left_key="user_id", right_key="o_custkey",
+        left_ts="ts", right_ts="o_orderdate",
+        right_vals=["o_orderkey"],
+    )
+    return out.select(
+        "event_id", "user_id", "ts",
+        "asof_ts", F.col("asof_o_orderkey").alias("asof_orderkey"),
+    )
