@@ -906,3 +906,96 @@ def join_asof_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_id", "user_id", "ts",
         "asof_ts", F.col("asof_o_orderkey").alias("asof_orderkey"),
     )
+
+
+@query(
+    "agg_percentiles",
+    oracle="""
+    SELECT l_returnflag,
+           quantile_cont(l_extendedprice, [0.25, 0.5, 0.95]) AS price_q,
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM lineitem GROUP BY l_returnflag
+    """,
+    tags=("agg",),
+)
+def agg_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated percentiles (Spark `percentile` and DuckDB
+    `quantile_cont` share the linear-interpolation definition, so the
+    doubles are bit-identical). The exact form is a sort-based aggregate;
+    at 100 TB swap in approx_percentile (t-digest, mergeable sketch)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.expr("percentile(l_extendedprice, array(0.25, 0.5, 0.95))").alias(
+            "price_q"
+        ),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+@query(
+    "rollup_hierarchical",
+    oracle="""
+    SELECT time_bucket(INTERVAL 1 DAY, ts) AS day, event_type,
+           COUNT(*) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+    FROM events GROUP BY 1, 2
+    """,
+    tags=("agg", "window", "timeseries"),
+)
+def rollup_hierarchical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hypertable-style hierarchical rollup: the DAILY aggregate is
+    computed FROM the hourly rollup, not from raw events (sum-of-sums /
+    sum-of-counts compose exactly with decimal accumulation). This is
+    the continuous-aggregate pattern: materialize fine-grained buckets
+    once, answer every coarser granularity from them."""
+    events = load_table(spark, sf_dir, "events")
+    hourly = events.groupBy(
+        F.window("ts", "1 hour").alias("w"), "event_type"
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("value").cast("decimal(18,2)")).alias("s"),
+    )
+    daily = (
+        hourly.groupBy(
+            F.date_trunc("DAY", F.col("w.start")).alias("day"), "event_type"
+        )
+        .agg(F.sum("n").alias("n_events"), F.sum("s").alias("s"))
+        .select(
+            F.col("day").cast("timestamp_ntz").alias("day"),
+            "event_type",
+            "n_events",
+            F.col("s").cast("double").alias("sum_value"),
+        )
+    )
+    return daily
+
+
+@query(
+    "catalog_managed_table_roundtrip",
+    oracle="""
+    SELECT n_regionkey, COUNT(*) AS n_nations
+    FROM nation GROUP BY n_regionkey
+    """,
+    tags=("catalog", "sql"),
+)
+def catalog_managed_table_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D2/D6: CREATE TABLE ... USING parquet + INSERT through the session
+    catalog (the metastore-synced external-table path of the reference,
+    README.md:1176-1181), then answer SQL from the MANAGED table and drop
+    it. Round-trips real files under spark.sql.warehouse.dir."""
+    import uuid
+
+    from hudi_and_delta_showcase_spark.io import register_views
+
+    register_views(spark, sf_dir)
+    name = f"nation_managed_{uuid.uuid4().hex[:8]}"
+    spark.sql(f"CREATE TABLE {name} USING parquet AS SELECT * FROM nation")
+    try:
+        out = spark.sql(
+            f"SELECT n_regionkey, COUNT(*) AS n_nations FROM {name} "
+            f"GROUP BY n_regionkey"
+        )
+        rows = out.collect()  # materialize before dropping the table
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {name}")
+    return spark.createDataFrame(rows, out.schema)
