@@ -580,3 +580,41 @@ def text_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rank") <= 5)
         .select("doc_id", "term", "tf", "df", "tfidf", "rank")
     )
+
+
+@query(
+    "multimodal_dedup_decode",
+    oracle="""
+    SELECT doc_id AS id,
+           16 + octet_length(encode(text)) % 64 AS width,
+           16 + (octet_length(encode(text)) // 64) % 64 AS height,
+           3 AS channels,
+           octet_length(encode(text)) AS n_bytes
+    FROM documents
+    """,
+    tags=("multimodal", "dedup"),
+)
+def multimodal_dedup_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The single biggest 100 TB media cost saver (SCALE.md): dedup blobs
+    by content hash BEFORE the expensive decode, run the decoder once per
+    DISTINCT blob, then join results back to every referencing row by
+    hash. Must be result-identical to decoding every row — which is
+    exactly what the oracle states."""
+    docs = M.attach_media_meta(
+        _docs_with_blob(spark, sf_dir), "blob", "image", "raw"
+    ).withColumn("sha", F.col("blob_meta.content_sha256"))
+    distinct_blobs = docs.select("sha", "blob").dropDuplicates(["sha"])
+    decoded = M.decode_image(
+        distinct_blobs.withColumn("__id", F.xxhash64("sha")), "__id", "blob",
+        fake=True,
+    ).join(
+        distinct_blobs.select("sha", F.xxhash64("sha").alias("id")), "id"
+    ).select("sha", "width", "height", "channels", "n_bytes")
+    return (
+        docs.select("doc_id", "sha")
+        .join(F.broadcast(decoded), "sha")
+        .select(
+            F.col("doc_id").alias("id"), "width", "height", "channels",
+            "n_bytes",
+        )
+    )
