@@ -14,6 +14,8 @@ import os
 import sys
 import time
 
+import pandas as pd
+
 REPO = os.path.dirname(os.path.abspath(__file__))
 sys.path.insert(0, REPO)
 
@@ -31,9 +33,20 @@ def main() -> None:
     all_queries = load_all()
     headline = {n: q for n, q in all_queries.items() if q.bench}
 
-    # Warm the JVM + parquet footers with one pass of the flagship query.
+    # Warm the JVM + parquet footers with one pass of the flagship query,
+    # and the Python/Arrow workers with a trivial pandas_udf — so no
+    # measured query pays one-time process-spawn costs.
     warm = all_queries["latest_change_per_key"]
     warm.fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+    from pyspark.sql import functions as F
+
+    @F.pandas_udf("long")
+    def _warm_udf(s: pd.Series) -> pd.Series:
+        return s
+
+    spark.range(1000).select(_warm_udf("id")).write.format("noop").mode(
+        "overwrite"
+    ).save()
 
     timings: dict[str, float] = {}
     for name, q in sorted(headline.items()):

@@ -196,26 +196,69 @@ def jaccard_pairs(
     shingles_col: str,
     threshold: float,
     candidates: DataFrame | None = None,
+    prefix_filter: bool = False,
 ) -> DataFrame:
     """Exact Jaccard similarity. |A∩B| and |A∪B| are integers so jaccard
-    is deterministic cross-engine.
+    is deterministic cross-engine. Three physical strategies, all exact:
 
-    Two physical strategies:
-    * no ``candidates``: inverted index — explode shingles, self-join on
-      shingle (intersection counts), derive union from set sizes. Cost is
-      sum(df^2) over shingle doc-frequencies, never an O(n^2) cross join.
-    * with ``candidates`` (e.g. from LSH): verification only — join the
-      candidate pairs back to the two shingle arrays and intersect
-      per pair (O(|candidates|), skipping the full inverted index)."""
+    * default: inverted-index COUNTING — explode shingles, self-join on
+      shingle, count co-occurrences per pair (shuffles only (int, int)
+      id pairs, never the arrays), derive union from set sizes. Wins for
+      short documents / mostly-unique shingles (measured 4.3s vs 6.7s
+      for prefix+verify on the 5k-doc fixture).
+    * ``prefix_filter=True``: AllPairs/PPJoin prefix filtering — shingles
+      in a canonical md5 order, only each doc's first
+      |s| - ceil(t*|s|) + 1 indexed; any pair with J >= t must collide
+      in prefixes (pigeonhole, 100% recall). Wins when df^2 blowup
+      dominates: long documents or hot shingles.
+    * ``candidates`` given (e.g. from LSH): verification only.
+    Candidate-based verification broadcasts the (doc -> array) table so
+    candidate id-pairs never shuffle arrays; at corpus sizes beyond
+    executor memory, verify per block instead. Never an O(n^2) cross
+    join in any mode."""
+    if candidates is None and prefix_filter:
+        prefix = F.expr(
+            f"transform(slice(array_sort(transform({shingles_col}, "
+            f"s -> struct(md5(s) as h, s as v))), 1, "
+            f"cast(size({shingles_col}) - ceil({threshold} * "
+            f"size({shingles_col})) + 1 as int)), p -> p.v)"
+        )
+        posting = df.select(
+            F.col(id_col).alias("doc"), F.explode(prefix).alias("shingle")
+        )
+        a = posting.alias("a")
+        b = posting.alias("b")
+        candidates = (
+            a.join(
+                b,
+                (F.col("a.shingle") == F.col("b.shingle"))
+                & (F.col("a.doc") < F.col("b.doc")),
+            )
+            .select(
+                F.col("a.doc").alias("doc_a"), F.col("b.doc").alias("doc_b")
+            )
+            .distinct()
+        )
+
     if candidates is not None:
-        arr = df.select(F.col(id_col).alias("doc"), F.col(shingles_col).alias("s"))
+        arr = df.select(
+            F.col(id_col).alias("doc"), F.col(shingles_col).alias("s")
+        )
         return (
             candidates.join(
-                arr.select(F.col("doc").alias("doc_a"), F.col("s").alias("s_a")),
+                F.broadcast(
+                    arr.select(
+                        F.col("doc").alias("doc_a"), F.col("s").alias("s_a")
+                    )
+                ),
                 "doc_a",
             )
             .join(
-                arr.select(F.col("doc").alias("doc_b"), F.col("s").alias("s_b")),
+                F.broadcast(
+                    arr.select(
+                        F.col("doc").alias("doc_b"), F.col("s").alias("s_b")
+                    )
+                ),
                 "doc_b",
             )
             .withColumn("inter", F.size(F.array_intersect("s_a", "s_b")))

@@ -107,3 +107,20 @@ def test_cosine_self_similarity(spark, sf_dir):
     rows = S.with_cosine(both, "a", "b", "cos").select("cos").collect()
     for r in rows:
         assert abs(r.cos - 1.0) < 1e-9
+
+
+def test_jaccard_strategies_agree(spark, sf_dir, docs_shingled):
+    """All three physical strategies (counting inverted index, prefix-
+    filtered AllPairs, LSH-candidates verification) are EXACT — they must
+    produce identical pair sets."""
+    counting = {
+        (r.doc_a, r.doc_b, r.jaccard)
+        for r in D.jaccard_pairs(docs_shingled, "doc_id", "shingles", 0.5).collect()
+    }
+    prefix = {
+        (r.doc_a, r.doc_b, r.jaccard)
+        for r in D.jaccard_pairs(
+            docs_shingled, "doc_id", "shingles", 0.5, prefix_filter=True
+        ).collect()
+    }
+    assert counting == prefix and counting
