@@ -270,10 +270,17 @@ class LakehouseTable:
     # maintenance (D7 / D8)
     # ------------------------------------------------------------------ #
 
-    def optimize(self, target_files: int | None = None) -> mf.Commit:
+    def optimize(
+        self,
+        target_files: int | None = None,
+        cluster_by: list[str] | None = None,
+    ) -> mf.Commit:
         """D8 OPTIMIZE: compact small files into ~target_files per
         partition (the reference's file-compaction maintenance,
-        README.md:1240)."""
+        README.md:1240). ``cluster_by`` additionally sorts rows within
+        files (Z-order-lite linear clustering): parquet row-group min/max
+        stats on the clustered columns become selective, so point/range
+        scans on them skip most of the table."""
         prev = self._commit(None)
         df = self.read()  # for MoR this also folds logs
         version = prev.version + 1
@@ -283,6 +290,8 @@ class LakehouseTable:
             df = df.repartition(n, F.col(self.partition_by))
         else:
             df = df.coalesce(n)
+        if cluster_by:
+            df = df.sortWithinPartitions(*cluster_by)
         files = self._write_files(df, f"c{version:05d}")
         commit = mf.Commit(
             version=version,

@@ -204,3 +204,40 @@ def test_cow_partition_scoped_rewrite(spark, table_dir):
     assert commit.stats["rewritten_files"] > 0     # partition 1000 rewritten
     state = _state(t.read())
     assert state[2] == ("samsung", 201, False) and state[4] == ("motorola", 40, False)
+
+
+def test_optimize_cluster_by_preserves_data_and_sorts_files(spark, sf_dir, tmp_path):
+    """OPTIMIZE with linear clustering: same snapshot content, and rows
+    inside each written file are sorted by the cluster key (so parquet
+    min/max stats become selective)."""
+    import pyspark.sql.functions as F
+
+    from hudi_and_delta_showcase_spark.io import load_table
+    from hudi_and_delta_showcase_spark.tables import LakehouseTable
+
+    events = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "ts", "value"
+    )
+    t = LakehouseTable.create(
+        spark, str(tmp_path / "t"), events,
+        key_cols=["event_id"], precombine="ts",
+    )
+    before = sorted(r.event_id for r in t.read().select("event_id").collect())
+    t.optimize(target_files=2, cluster_by=["user_id", "ts"])
+    after_df = t.read()
+    after = sorted(r.event_id for r in after_df.select("event_id").collect())
+    assert before == after
+    # within each physical file, user_id must be non-decreasing
+    per_file = (
+        after_df.select("_hoodie_file_name", "user_id")
+        .withColumn(
+            "prev",
+            F.lag("user_id").over(
+                __import__("pyspark.sql.window", fromlist=["Window"]).Window
+                .partitionBy("_hoodie_file_name")
+                .orderBy(F.monotonically_increasing_id())
+            ),
+        )
+        .filter(F.col("prev").isNotNull() & (F.col("user_id") < F.col("prev")))
+    )
+    assert per_file.count() == 0
