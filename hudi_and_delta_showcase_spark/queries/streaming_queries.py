@@ -182,3 +182,52 @@ def stream_cdc_apply_golden(spark: SparkSession, sf_dir: str) -> DataFrame:
     return table.read().select(
         "pk_id", "name", "value", "updated_at", "change_type", "is_deleted"
     )
+
+
+@query(
+    "stream_stream_join",
+    oracle="""
+    SELECT c.event_id AS click_id, p.event_id AS purchase_id,
+           c.user_id, c.ts AS click_ts, p.ts AS purchase_ts
+    FROM (SELECT * FROM events WHERE event_type = 'click') c
+    JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
+      ON c.user_id = p.user_id
+     AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 1 HOUR
+    """,
+    tags=("streaming", "join"),
+)
+def stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream inner join with a time-bound condition: purchases
+    within one hour after a click, per user — both sides are streaming
+    sources, matches emitted as both sides arrive (append mode). Drained
+    with availableNow, the final output equals the batch join, which is
+    exactly what the oracle states. (Production adds watermarks on both
+    sides so the join state is bounded; the time-bound condition is what
+    makes that eviction possible.)"""
+    import pyspark.sql.functions as F
+
+    clicks = (
+        read_events_stream(spark, sf_dir)
+        .filter(F.col("event_type") == "click")
+        .select(
+            F.col("event_id").alias("click_id"),
+            "user_id",
+            F.col("ts").alias("click_ts"),
+        )
+    )
+    purchases = (
+        read_events_stream(spark, sf_dir)
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            F.col("user_id").alias("p_user_id"),
+            F.col("ts").alias("purchase_ts"),
+        )
+    )
+    joined = clicks.join(
+        purchases,
+        (F.col("user_id") == F.col("p_user_id"))
+        & (F.col("purchase_ts") >= F.col("click_ts"))
+        & (F.col("purchase_ts") <= F.col("click_ts") + F.expr("INTERVAL 1 HOUR")),
+    ).select("click_id", "purchase_id", "user_id", "click_ts", "purchase_ts")
+    return run_to_memory(joined, mode="append")
