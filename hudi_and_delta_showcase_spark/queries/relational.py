@@ -1031,3 +1031,36 @@ def window_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
                      RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW)
         """
     )
+
+
+@query(
+    "scalar_map_funcs",
+    oracle="""
+    SELECT event_id,
+           ['type', 'uid'] AS keys_sorted,
+           event_type AS type_val,
+           CAST(user_id AS VARCHAR) AS uid_val,
+           2 AS n_entries,
+           CAST(props->>'k' AS INT) AS k_from_json
+    FROM events
+    """,
+    tags=("scalar", "map"),
+)
+def scalar_map_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Map-function battery: create_map from columns, map_keys/size/
+    element_at lookups, and from_json into map<string,int>. Keys are
+    literals, so the oracle can state the expected extractions directly."""
+    e = load_table(spark, sf_dir, "events")
+    m = F.create_map(
+        F.lit("type"), F.col("event_type"),
+        F.lit("uid"), F.col("user_id").cast("string"),
+    )
+    jm = F.from_json("props", "map<string,int>")
+    return e.select(
+        "event_id",
+        F.array_sort(F.map_keys(m)).alias("keys_sorted"),
+        F.element_at(m, "type").alias("type_val"),
+        F.element_at(m, "uid").alias("uid_val"),
+        F.size(m).alias("n_entries"),
+        F.element_at(jm, "k").alias("k_from_json"),
+    )
