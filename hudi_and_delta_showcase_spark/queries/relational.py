@@ -1064,3 +1064,57 @@ def scalar_map_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size(m).alias("n_entries"),
         F.element_at(jm, "k").alias("k_from_json"),
     )
+
+
+@query(
+    "pivot_event_types",
+    oracle="""
+    SELECT user_id,
+           COUNT(*) FILTER (WHERE event_type = 'click') AS click,
+           COUNT(*) FILTER (WHERE event_type = 'view') AS view,
+           COUNT(*) FILTER (WHERE event_type = 'purchase') AS purchase,
+           COUNT(*) FILTER (WHERE event_type = 'error') AS error
+    FROM events GROUP BY user_id
+    """,
+    tags=("agg", "pivot"),
+)
+def pivot_event_types(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot: one column per event type with per-user counts. The pivot
+    value list is EXPLICIT — at scale an implicit pivot runs an extra
+    distinct-values job and the output schema depends on the data."""
+    e = load_table(spark, sf_dir, "events")
+    out = (
+        e.groupBy("user_id")
+        .pivot("event_type", ["click", "view", "purchase", "error"])
+        .count()
+    )
+    # pivot leaves null where a group has no rows for the value
+    return out.select(
+        "user_id",
+        *[F.coalesce(F.col(c), F.lit(0)).alias(c)
+          for c in ["click", "view", "purchase", "error"]],
+    )
+
+
+@query(
+    "unpivot_nation_stats",
+    oracle="""
+    SELECT n_nationkey, 'name_len' AS metric,
+           CAST(length(n_name) AS BIGINT) AS value
+    FROM nation
+    UNION ALL
+    SELECT n_nationkey, 'regionkey', CAST(n_regionkey AS BIGINT) FROM nation
+    """,
+    tags=("scalar", "pivot"),
+)
+def unpivot_nation_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unpivot (melt): wide columns to (metric, value) rows — the
+    inverse reshaping operator."""
+    n = load_table(spark, sf_dir, "nation").select(
+        "n_nationkey",
+        F.length("n_name").cast("long").alias("name_len"),
+        F.col("n_regionkey").cast("long").alias("regionkey"),
+    )
+    return n.unpivot(
+        ["n_nationkey"], ["name_len", "regionkey"], "metric", "value"
+    )
