@@ -32,9 +32,15 @@ def tokenize(df: DataFrame, text_col: str, out: str = "tokens") -> DataFrame:
 
 
 def word_shingles(
-    df: DataFrame, tokens_col: str, n: int, out: str = "shingles"
+    df: DataFrame,
+    tokens_col: str,
+    n: int,
+    out: str = "shingles",
+    distinct: bool = True,
 ) -> DataFrame:
-    """Distinct word n-grams. n=1 -> the word set itself.
+    """Word n-grams; ``distinct=True`` (set semantics, for Jaccard/
+    MinHash), ``distinct=False`` keeps the positional sequence (for
+    rolling-hash/winnowing operators). n=1 -> the word list.
 
     Built as ``arrays_zip`` of n shifted slices + one concat per element —
     linear in token count. (A per-gram ``element_at`` formulation is ~10x
@@ -43,18 +49,18 @@ def word_shingles(
     given in SQL text: the parsed form stays on the codegen'd eval path,
     where the equivalent Column-API construction measured ~4x slower."""
     if n == 1:
-        return df.withColumn(out, F.array_distinct(F.col(tokens_col)))
+        col = F.col(tokens_col)
+        return df.withColumn(out, F.array_distinct(col) if distinct else col)
     t = tokens_col
     length = f"greatest(size({t})-{n - 1}, 0)"
     slices = ", ".join(f"slice({t}, {i + 1}, {length})" for i in range(n))
     fields = ", ".join(f"s.`{i}`" for i in range(n))
-    return df.withColumn(
-        out,
-        F.expr(
-            f"array_distinct(transform(arrays_zip({slices}), "
-            f"s -> concat_ws(' ', {fields})))"
-        ),
+    grams = (
+        f"transform(arrays_zip({slices}), s -> concat_ws(' ', {fields}))"
     )
+    if distinct:
+        grams = f"array_distinct({grams})"
+    return df.withColumn(out, F.expr(grams))
 
 
 def exact_dedup(df: DataFrame, cols: list[str]) -> DataFrame:

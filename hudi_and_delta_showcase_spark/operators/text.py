@@ -93,6 +93,38 @@ def token_count_bpe(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     )
 
 
+def winnowing_fingerprint(
+    df: DataFrame,
+    id_col: str,
+    shingles_col: str,
+    window: int = 4,
+) -> DataFrame:
+    """Winnowing (Schleimer/Wilkerson/Aiken): hash every k-gram, slide a
+    ``window`` over the hash sequence, keep each window's minimum —
+    the classic rolling-hash document fingerprint guaranteeing any
+    sufficiently long match shares a selected hash. Output: the sorted
+    distinct selected hashes per doc.
+
+    Hashes are 48-bit ints from md5 hex (cross-engine identical); the
+    whole computation is array expressions — map-only, no shuffle."""
+    h = (
+        f"transform({shingles_col}, "
+        f"s -> cast(conv(substr(md5(s), 1, 12), 16, 10) as bigint))"
+    )
+    # guard: sequence(1, 0) DESCENDS in Spark, so empty docs need an
+    # explicit empty branch; docs shorter than the window get one window
+    wins = (
+        f"case when size({shingles_col}) = 0 then array() "
+        f"else transform(sequence(1, greatest(size({shingles_col}) - "
+        f"{window - 1}, 1)), i -> array_min(slice(__h, i, {window}))) end"
+    )
+    return (
+        df.withColumn("__h", F.expr(h))
+        .withColumn("fp", F.expr(f"array_sort(array_distinct({wins}))"))
+        .select(id_col, "fp", F.size("fp").alias("fp_size"))
+    )
+
+
 def fingerprint(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """Document fingerprints:
     * ``md5_fp``  — md5 of whitespace-normalized lowercased text (exact-

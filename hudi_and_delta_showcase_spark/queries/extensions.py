@@ -618,3 +618,44 @@ def multimodal_dedup_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_bytes",
         )
     )
+
+
+@query(
+    "text_winnowing_fp",
+    oracle=f"""
+    WITH {_TOKS_CTE},
+    sq AS (
+      SELECT doc_id,
+             list_transform(generate_series(1, greatest(len(w) - 2, 0)),
+               i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]) AS s
+      FROM toks
+    ),
+    h AS (
+      SELECT doc_id,
+             list_transform(s,
+               x -> ('0x' || substr(md5(x), 1, 12))::BIGINT) AS hs,
+             len(s) AS n
+      FROM sq
+    )
+    SELECT doc_id,
+           CASE WHEN n = 0 THEN [] ELSE
+             list_sort(list_distinct(list_transform(
+               generate_series(1, greatest(n - 3, 1)),
+               i -> list_min(hs[i:i+3])))) END AS fp,
+           CASE WHEN n = 0 THEN 0 ELSE
+             len(list_distinct(list_transform(
+               generate_series(1, greatest(n - 3, 1)),
+               i -> list_min(hs[i:i+3])))) END AS fp_size
+    FROM h
+    """,
+    tags=("text", "dedup"),
+)
+def text_winnowing_fp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing rolling-hash fingerprints (window 4 over the ORDERED
+    trigram sequence — winnowing is positional, so no distinct before
+    hashing): the guarantee-bearing fingerprint for plagiarism/near-dup
+    detection. Map-only array expressions; md5-derived 48-bit hashes
+    make the selected sets cross-engine identical."""
+    docs = load_table(spark, sf_dir, "documents")
+    sq = D.word_shingles(D.tokenize(docs, "text"), "tokens", 3, distinct=False)
+    return T.winnowing_fingerprint(sq, "doc_id", "shingles", window=4)
