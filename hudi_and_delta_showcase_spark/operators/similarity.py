@@ -237,6 +237,61 @@ def topk_ivf(
     )
 
 
+def quantize_vec(vec_col: str, scale: int = 1000) -> F.Column:
+    """Quantize an embedding to int64 (floor(x*scale + 0.5)) — dots over
+    quantized vectors are exact integers (< 2^53), so cosine values are
+    bit-identical across engines and summation orders."""
+    return F.expr(
+        f"transform(cast({vec_col} as array<double>), "
+        f"x -> cast(floor(x * {scale} + 0.5) as bigint))"
+    )
+
+
+def exact_topk_quantized(
+    queries: DataFrame,
+    corpus: DataFrame,
+    id_col: str,
+    vec_col: str,
+    k: int = 1,
+    scale: int = 1000,
+) -> DataFrame:
+    """Exact top-k neighbors under the QUANTIZED cosine (the
+    deterministic ground-truth metric used to audit ANN indexes):
+    broadcast the query set, integer dot folds, round(.,6) + id
+    tie-break. Output: (query_id, neighbor_id, sim, rank)."""
+    q = queries.select(
+        F.col(id_col).alias("query_id"), quantize_vec(vec_col).alias("q_q")
+    )
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"), quantize_vec(vec_col).alias("c_q")
+    )
+    zero = F.lit(0).cast("long")
+    dot = lambda a, b: F.aggregate(  # noqa: E731
+        F.zip_with(a, b, lambda x, y: x * y), zero, lambda acc, x: acc + x
+    )
+    scored = (
+        c.crossJoin(F.broadcast(q))
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .withColumn(
+            "sim",
+            F.round(
+                dot(F.col("q_q"), F.col("c_q"))
+                / (
+                    F.sqrt(dot(F.col("q_q"), F.col("q_q")))
+                    * F.sqrt(dot(F.col("c_q"), F.col("c_q")))
+                ),
+                6,
+            ),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "sim", "rank")
+    )
+
+
 def embedding_near_pairs(
     df: DataFrame,
     id_col: str,

@@ -106,7 +106,12 @@ def winnowing_fingerprint(
     distinct selected hashes per doc.
 
     Hashes are 48-bit ints from md5 hex (cross-engine identical); the
-    whole computation is array expressions — map-only, no shuffle."""
+    whole computation is array expressions — map-only, no shuffle.
+
+    The selected-hash set is emitted BOTH as the array (``fp_arr``, for
+    downstream set ops) and serialized to a comma-joined string (``fp``)
+    — scalar columns survive generic pandas canonicalizers (driver
+    harness) that cannot hash list cells."""
     h = (
         f"transform({shingles_col}, "
         f"s -> cast(conv(substr(md5(s), 1, 12), 16, 10) as bigint))"
@@ -120,8 +125,13 @@ def winnowing_fingerprint(
     )
     return (
         df.withColumn("__h", F.expr(h))
-        .withColumn("fp", F.expr(f"array_sort(array_distinct({wins}))"))
-        .select(id_col, "fp", F.size("fp").alias("fp_size"))
+        .withColumn("fp_arr", F.expr(f"array_sort(array_distinct({wins}))"))
+        .select(
+            id_col,
+            "fp_arr",
+            F.concat_ws(",", F.col("fp_arr")).alias("fp"),
+            F.size("fp_arr").alias("fp_size"),
+        )
     )
 
 

