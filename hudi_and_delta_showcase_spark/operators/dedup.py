@@ -135,11 +135,27 @@ def lsh_candidate_pairs(
     shuffle on band keys, never a cross join.
 
     ``max_bucket`` drops degenerate buckets (skew guard: a bucket of B
-    docs emits B^2 pairs; stop-shingle-like buckets explode at scale)."""
-    num_hashes = None  # derived from the signature array at runtime
+    docs emits B^2 pairs; stop-shingle-like buckets explode at scale).
+
+    The signature length must be divisible by ``bands`` — trailing
+    hashes would otherwise be silently ignored, quietly lowering
+    recall (enforced per-row below)."""
     sig = F.col("minhash")
     n = F.size(sig)
     rows_per_band = (n / bands).cast("int")
+    sigs = sigs.withColumn(
+        "minhash",
+        F.when(
+            F.size(sig) % bands == 0, sig
+        ).otherwise(
+            F.raise_error(
+                F.concat(
+                    F.lit(f"signature length not divisible by bands={bands}: "),
+                    F.size(sig).cast("string"),
+                )
+            )
+        ),
+    )
     band_idx = F.sequence(F.lit(0), F.lit(bands - 1))
     banded = sigs.select(
         F.col(id_col).alias("doc"),
@@ -217,11 +233,13 @@ def jaccard_pairs(
       |s| - ceil(t*|s|) + 1 indexed; any pair with J >= t must collide
       in prefixes (pigeonhole, 100% recall). Wins when df^2 blowup
       dominates: long documents or hot shingles.
-    * ``candidates`` given (e.g. from LSH): verification only.
-    Candidate-based verification broadcasts the (doc -> array) table so
-    candidate id-pairs never shuffle arrays; at corpus sizes beyond
-    executor memory, verify per block instead. Never an O(n^2) cross
-    join in any mode."""
+    * ``candidates`` given (e.g. from LSH): verification only — the
+      (doc -> shingle-array) table SHUFFLE-joins onto the candidate
+      pairs twice (by doc_a, then doc_b). Memory-safe at any corpus
+      size: no executor ever holds the whole array table, unlike a
+      broadcast (which is a hard OOM at 100 TB). The shuffle_hash hint
+      stops Catalyst from electing to broadcast a mid-size array table.
+    Never an O(n^2) cross join in any mode."""
     if candidates is None and prefix_filter:
         prefix = F.expr(
             f"transform(slice(array_sort(transform({shingles_col}, "
@@ -249,21 +267,17 @@ def jaccard_pairs(
     if candidates is not None:
         arr = df.select(
             F.col(id_col).alias("doc"), F.col(shingles_col).alias("s")
-        )
+        ).hint("shuffle_hash")
         return (
             candidates.join(
-                F.broadcast(
-                    arr.select(
-                        F.col("doc").alias("doc_a"), F.col("s").alias("s_a")
-                    )
+                arr.select(
+                    F.col("doc").alias("doc_a"), F.col("s").alias("s_a")
                 ),
                 "doc_a",
             )
             .join(
-                F.broadcast(
-                    arr.select(
-                        F.col("doc").alias("doc_b"), F.col("s").alias("s_b")
-                    )
+                arr.select(
+                    F.col("doc").alias("doc_b"), F.col("s").alias("s_b")
                 ),
                 "doc_b",
             )

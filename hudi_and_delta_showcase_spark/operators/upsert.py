@@ -47,10 +47,16 @@ def upsert(
     if precombine is not None:
         source = precombine_dedup(source, key_cols, precombine, tiebreakers)
 
-    source_keys = source.select(*key_cols).distinct()
+    source_keys = source.select(*key_cols).distinct().alias("s")
     if auto_broadcast:
         source_keys = F.broadcast(source_keys)
-    kept = target.join(source_keys, key_cols, "left_anti")
+    # null-safe key equality: a null key in source must still replace the
+    # matching null-keyed target row (plain `=` would duplicate it)
+    cond = None
+    for c in key_cols:
+        e = F.col(f"t.{c}").eqNullSafe(F.col(f"s.{c}"))
+        cond = e if cond is None else cond & e
+    kept = target.alias("t").join(source_keys, cond, "left_anti")
     merged = kept.unionByName(source, allowMissingColumns=True)
 
     if hard_delete_col is not None:

@@ -147,7 +147,9 @@ def _user_stats_fn(
     for pdf in pdfs:
         n += len(pdf)
         types.update(pdf["event_type"].dropna().unique().tolist())
-        us = pdf["ts"].astype("int64") // 1000
+        # pin the unit: pandas/Arrow may deliver NTZ as datetime64[us]
+        # or [ns] depending on version — normalize to ns before scaling
+        us = pdf["ts"].astype("datetime64[ns]").astype("int64") // 1000
         lo, hi = int(us.min()), int(us.max())
         mn = lo if mn is None else min(mn, lo)
         mx = hi if mx is None else max(mx, hi)

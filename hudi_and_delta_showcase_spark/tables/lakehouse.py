@@ -55,6 +55,9 @@ META_COLS = (
 COPY_ON_WRITE = "cow"
 MERGE_ON_READ = "mor"
 
+#: Spark/Hive's directory token for a null partition value.
+HIVE_DEFAULT_PARTITION = "__HIVE_DEFAULT_PARTITION__"
+
 
 class LakehouseTable:
     """A keyed, versioned, partitioned table on parquet + manifests."""
@@ -113,7 +116,9 @@ class LakehouseTable:
         table = cls(spark, path)
         commit_time = mf.make_commit_time()
         if precombine is not None:
-            df = precombine_dedup(df, key_cols, precombine, tiebreakers)
+            df = precombine_dedup(
+                df, table._resolution_cols(), precombine, tiebreakers
+            )
         files = table._write_files(
             table._stamp_meta(df, commit_time), f"c{0:05d}"
         )
@@ -161,7 +166,14 @@ class LakehouseTable:
         in order ACROSS batches; divergence found by
         tests/test_properties.py::test_cow_equals_mor_rt). Then
         precombine DESC + tiebreakers within a commit. One window over
-        the unioned scan, shuffled once on the record key."""
+        the unioned scan, shuffled once on the record key.
+
+        Index semantics: NON-GLOBAL (Hudi's default) — the record key is
+        unique PER PARTITION, so the resolution window includes the
+        partition column. A key that re-arrives under a new partition
+        value becomes a new row in that partition and the old partition's
+        row survives, identically in CoW (partition-scoped rewrite) and
+        MoR `_rt` (per-partition window)."""
         commit = self._commit(version)
         base = self._read_base(commit)
         if not commit.log_files:
@@ -172,7 +184,7 @@ class LakehouseTable:
         if self.precombine:
             order.append(F.desc(self.precombine))
         order += [F.desc(t) for t in self.tiebreakers]
-        w = Window.partitionBy(*self.key_cols).orderBy(*order)
+        w = Window.partitionBy(*self._resolution_cols()).orderBy(*order)
         return (
             union.withColumn("__rn", F.row_number().over(w))
             .filter(F.col("__rn") == 1)
@@ -198,7 +210,8 @@ class LakehouseTable:
         prev = self._commit(None)
         if self.precombine is not None:
             source = precombine_dedup(
-                source, self.key_cols, self.precombine, self.tiebreakers
+                source, self._resolution_cols(), self.precombine,
+                self.tiebreakers,
             )
         stamped = self._stamp_meta(source, commit_time)
         version = prev.version + 1
@@ -217,13 +230,24 @@ class LakehouseTable:
             return commit
 
         # ---- CoW: partition-scoped rewrite (C8) ----
+        # Non-global index: the anti-join key includes the partition
+        # column, and only partitions present in the source are rewritten
+        # — O(affected partitions), never O(table).
         affected, untouched = self._split_affected(prev.files, source)
-        kept_meta_cols = None
         if affected:
-            target = self._read_parquet(affected)
-            kept_meta_cols = [c for c in target.columns if c not in stamped.columns]
-            source_keys = F.broadcast(stamped.select(*self.key_cols).distinct())
-            kept = target.join(source_keys, self.key_cols, "left_anti")
+            target = self._read_parquet(affected).alias("t")
+            keys = self._resolution_cols()
+            source_keys = F.broadcast(
+                stamped.select(*keys).distinct().alias("s")
+            )
+            # null-safe equality: a null partition value must MATCH the
+            # incoming null (plain `=` never matches null, so the old
+            # row would escape the anti-join and duplicate the key)
+            cond = None
+            for c in keys:
+                e = F.col(f"t.{c}").eqNullSafe(F.col(f"s.{c}"))
+                cond = e if cond is None else cond & e
+            kept = target.join(source_keys, cond, "left_anti")
             merged = kept.unionByName(stamped, allowMissingColumns=True)
         else:
             merged = stamped
@@ -332,6 +356,14 @@ class LakehouseTable:
     # internals
     # ------------------------------------------------------------------ #
 
+    def _resolution_cols(self) -> list[str]:
+        """Key columns for upsert/merge resolution. Non-global index:
+        the partition column participates, so key uniqueness is scoped
+        to the partition (Hudi SIMPLE/BLOOM index semantics)."""
+        if self.partition_by and self.partition_by not in self.key_cols:
+            return [*self.key_cols, self.partition_by]
+        return list(self.key_cols)
+
     def _commit(self, version: int | None) -> mf.Commit:
         if version is None:
             commit = mf.latest_commit(self.path)
@@ -364,6 +396,10 @@ class LakehouseTable:
         sub = "log" if log else "data"
         rel_dir = os.path.join(sub, f"{commit_dir}-{uuid.uuid4().hex[:8]}")
         out = os.path.join(self.path, rel_dir)
+        # _hoodie_file_name is a READ-time column (input_file_name());
+        # persisting it would accrete a stale column on every rewrite.
+        if "_hoodie_file_name" in df.columns:
+            df = df.drop("_hoodie_file_name")
         writer = df.write.mode("error")
         if self.partition_by and not log:
             # duplicate the partition column into hive-style dirs (__pp=v)
@@ -400,8 +436,10 @@ class LakehouseTable:
         partitions present in the source batch."""
         if not self.partition_by:
             return files, []
+        # null partition values land in the hive default-partition dir —
+        # match them under the same token str(None) would never hit
         values = {
-            str(r[0])
+            HIVE_DEFAULT_PARTITION if r[0] is None else str(r[0])
             for r in source.select(
                 F.col(self.partition_by).cast("string")
             ).distinct().collect()

@@ -84,6 +84,71 @@ def test_upsert_conserves_keys(spark, tgt, src):
     assert got_keys == {k for k, _, _ in tgt} | {k for k, _, _ in src}
 
 
+#: rows with a (possibly null) partition value that keys can MOVE across
+#: batches — exercises the non-global-index semantics.
+PART_ROW = st.tuples(
+    st.integers(min_value=0, max_value=5),                     # key
+    st.integers(min_value=0, max_value=50),                    # precombine
+    st.integers(min_value=-100, max_value=100),                # payload
+    st.one_of(st.none(), st.sampled_from(["a", "b", "c"])),    # partition
+)
+PART_BATCH = st.lists(PART_ROW, min_size=1, max_size=12)
+
+_PART_SCHEMA = "k int, v int, payload int, part string"
+
+
+def _pdf(spark, rows):
+    return spark.createDataFrame(list(rows), _PART_SCHEMA)
+
+
+def _pfinal(df):
+    return sorted(
+        tuple(r) for r in df.select("k", "v", "payload", "part").collect()
+    )
+
+
+@settings(max_examples=6, deadline=None,
+          suppress_health_check=[HealthCheck.too_slow])
+@given(base=PART_BATCH, incr=PART_BATCH)
+def test_partitioned_cow_equals_mor_rt(spark, base, incr):
+    """CoW == MoR `_rt` must ALSO hold for partitioned tables with
+    partition-moving keys and null partition values (non-global index:
+    a key is unique per partition, so a moved key yields one row per
+    partition it appeared in — identically in both layouts)."""
+    finals = []
+    for table_type in ("cow", "mor"):
+        path = tempfile.mkdtemp(prefix=f"prop_part_{table_type}_")
+        t = LakehouseTable.create(
+            spark, f"{path}/t", _pdf(spark, base),
+            key_cols=["k"], precombine="v", tiebreakers=["payload"],
+            partition_by="part", table_type=table_type,
+        )
+        t.upsert(_pdf(spark, incr))
+        finals.append(_pfinal(t.read()))
+    assert finals[0] == finals[1]
+
+
+def test_partition_move_keeps_both_partition_rows(spark):
+    """Non-global index pinned explicitly: upserting key 1 under a NEW
+    partition value must not delete (or duplicate within) the old
+    partition's row, and the new partition resolves to the new value."""
+    import tempfile as tf
+
+    for table_type in ("cow", "mor"):
+        t = LakehouseTable.create(
+            spark, tf.mkdtemp(prefix="pmove_") + "/t",
+            _pdf(spark, [(1, 1, 10, "a"), (2, 1, 20, None)]),
+            key_cols=["k"], precombine="v",
+            partition_by="part", table_type=table_type,
+        )
+        t.upsert(_pdf(spark, [(1, 2, 11, "b"), (2, 2, 21, None)]))
+        assert _pfinal(t.read()) == [
+            (1, 1, 10, "a"),   # old partition row survives the move
+            (1, 2, 11, "b"),   # new partition row exists
+            (2, 2, 21, None),  # null partition upserts IN PLACE
+        ], table_type
+
+
 @settings(max_examples=5, deadline=None,
           suppress_health_check=[HealthCheck.too_slow])
 @given(base=BATCH, incr=BATCH)
