@@ -5,6 +5,11 @@ local[$SPARK_GRAFT_CPUS] and prints ONE JSON line.
 Each query is materialized via a count-style full evaluation
 (``df.write.format("noop")``) so timings include the complete plan without
 driver-side collect overhead dominating.
+
+``SPARK_GRAFT_BENCH_ALL=1`` additionally times EVERY registered query and
+writes the per-query secondary record to ``BENCH_FULL_LOCAL.json`` (same
+session, after the headline set — headline numbers stay comparable across
+rounds while regressions in non-headline queries remain attributable).
 """
 
 from __future__ import annotations
@@ -56,6 +61,33 @@ def main() -> None:
 
     total = round(sum(timings.values()), 4)
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+
+    if os.environ.get("SPARK_GRAFT_BENCH_ALL"):
+        full: dict[str, float] = {}
+        for name, q in all_queries.items():  # PRIORITY order
+            t0 = time.perf_counter()
+            try:
+                q.fn(spark, sf_dir).write.format("noop").mode(
+                    "overwrite"
+                ).save()
+                full[name] = round(time.perf_counter() - t0, 4)
+            except Exception as exc:  # record, don't abort the sweep
+                full[name] = -1.0
+                print(f"# bench-all error {name}: {exc}", file=sys.stderr)
+        with open(os.path.join(REPO, "BENCH_FULL_LOCAL.json"), "w") as fh:
+            json.dump(
+                {
+                    "metric": "all_queries_wall",
+                    "value": round(sum(v for v in full.values() if v > 0), 4),
+                    "unit": "sec",
+                    "queries": full,
+                    "sf": float(sf) if sf else sf_dir,
+                    "cpus": cpus,
+                },
+                fh,
+                indent=1,
+            )
+
     print(
         json.dumps(
             {

@@ -77,6 +77,19 @@ ENVELOPE_SCHEMA = StructType(
 )
 
 
+def envelope_from_json(spark: SparkSession, lines: list[str]) -> DataFrame:
+    """S1 contract surface, env-independent: parse JSON-serialized
+    Datastream change events into the exact envelope schema the Avro
+    files carry (README.md:264,299-320). The production Avro reader
+    (io.read_avro) needs the spark-avro jar; this path proves the
+    envelope schema mapping itself — same StructType, same downstream
+    operators — from plain JSON, so the contract is testable in any
+    environment."""
+    return spark.read.schema(ENVELOPE_SCHEMA).json(
+        spark.sparkContext.parallelize(lines)
+    )
+
+
 def flatten_envelope(df: DataFrame, payload_col: str = "payload") -> DataFrame:
     """P1: promote payload fields to top level, keeping envelope columns
     (``select("payload.*", "*")``, README.md:267). Catalyst's nested-schema

@@ -78,6 +78,25 @@ def _fake_decode(payload: bytes) -> tuple[int, int, int]:
     return 16 + n % 64, 16 + (n // 64) % 64, 3
 
 
+def _pil_decode(payload: bytes) -> tuple[int, int, int]:
+    """Real codec path: PIL, when the environment provides it."""
+    import io
+
+    from PIL import Image
+
+    with Image.open(io.BytesIO(payload)) as img:
+        return img.width, img.height, len(img.getbands())
+
+
+def has_real_codec() -> bool:
+    try:
+        import PIL  # noqa: F401
+
+        return True
+    except ImportError:
+        return False
+
+
 def decode_image(
     df: DataFrame,
     id_col: str,
@@ -86,20 +105,24 @@ def decode_image(
     rows_per_batch: int = 256,
 ) -> DataFrame:
     """Decode blobs to (width, height, channels) via ``mapInPandas`` —
-    the Arrow-batched shape every real codec UDF uses. ``fake=False``
-    raises NotImplementedError (no codecs in this environment)."""
-    if not fake:
+    the Arrow-batched shape every real codec UDF uses. ``fake=True``
+    uses the deterministic stub decoder (oracle-checkable anywhere);
+    ``fake=False`` decodes with PIL when importable on the executors and
+    raises NotImplementedError otherwise (this container ships no
+    codecs — tests skip-if-no-PIL, tests/test_multimodal.py)."""
+    if not fake and not has_real_codec():
         raise NotImplementedError(
-            "no image codecs in this environment; pass fake=True for the "
-            "deterministic stub decoder"
+            "no image codecs in this environment (PIL not importable); "
+            "pass fake=True for the deterministic stub decoder"
         )
+    decode = _fake_decode if fake else _pil_decode
 
     def decode_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             out = []
             for rid, blob in zip(pdf[id_col], pdf[blob_col]):
                 payload = bytes(blob)
-                w, h, c = _fake_decode(payload)
+                w, h, c = decode(payload)
                 out.append((int(rid), w, h, c, len(payload)))
             yield pd.DataFrame(
                 out, columns=["id", "width", "height", "channels", "n_bytes"]

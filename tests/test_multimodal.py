@@ -39,10 +39,26 @@ def test_feature_extract_matches_local(spark, sf_dir):
 
 def test_decode_requires_fake_flag(spark, sf_dir):
     docs = _blob_docs(spark, sf_dir)
-    with pytest.raises(NotImplementedError):
-        M.decode_image(docs, "doc_id", "blob")
+    if not M.has_real_codec():
+        with pytest.raises(NotImplementedError):
+            M.decode_image(docs, "doc_id", "blob")
     with pytest.raises(NotImplementedError):
         M.resize_image(docs, "doc_id", "blob", 32, 32)
+
+
+@pytest.mark.skipif(not M.has_real_codec(), reason="PIL not installed")
+def test_real_decode_with_pil(spark):
+    """The fake=False branch, exercised when PIL exists: decode a real
+    PNG generated in-process and check exact dimensions."""
+    import io as _io
+
+    from PIL import Image
+
+    buf = _io.BytesIO()
+    Image.new("RGB", (17, 9)).save(buf, format="PNG")
+    df = spark.createDataFrame([(1, bytearray(buf.getvalue()))], "id long, blob binary")
+    row = M.decode_image(df, "id", "blob").collect()[0]
+    assert (row.width, row.height, row.channels) == (17, 9, 3)
 
 
 def test_media_meta_stamps_hash_and_size(spark, sf_dir):
