@@ -71,11 +71,21 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return df
 
 
-def register_views(spark: SparkSession, sf_dir: str) -> None:
+def register_views(
+    spark: SparkSession, sf_dir: str, force: bool = False
+) -> None:
     """Register every fixture table as a session temp view (S4/D5 parity:
-    ``createOrReplaceTempView`` at ``/root/reference/README.md:1206``)."""
+    ``createOrReplaceTempView`` at ``/root/reference/README.md:1206``).
+
+    Idempotent and memoized per (session, sf_dir): re-registration costs
+    ten parquet footer reads (~1-4 s), which multiplies across the many
+    SQL-surface queries that call this — the fixture views are never
+    mutated, so a session that already points at ``sf_dir`` skips."""
+    if not force and getattr(spark, "_hds_view_sf", None) == sf_dir:
+        return
     for name in TABLES:
         load_table(spark, sf_dir, name).createOrReplaceTempView(name)
+    spark._hds_view_sf = sf_dir
 
 
 def read_avro(spark: SparkSession, path: str) -> DataFrame:

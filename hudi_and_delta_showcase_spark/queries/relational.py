@@ -928,11 +928,24 @@ def agg_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact form is a sort-based aggregate; at 100 TB swap in
     approx_percentile (t-digest, mergeable sketch)."""
     li = load_table(spark, sf_dir, "lineitem")
-    return li.groupBy("l_returnflag").agg(
-        F.expr("percentile(l_extendedprice, 0.25)").alias("price_p25"),
-        F.expr("percentile(l_extendedprice, 0.5)").alias("price_p50"),
-        F.expr("percentile(l_extendedprice, 0.95)").alias("price_p95"),
-        F.count(F.lit(1)).alias("n"),
+    # ONE sort-based aggregate computing all three quantiles (a separate
+    # percentile() per column would sort the group three times), split
+    # into scalar columns afterwards
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.expr(
+                "percentile(l_extendedprice, array(0.25, 0.5, 0.95))"
+            ).alias("__q"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .select(
+            "l_returnflag",
+            F.element_at("__q", 1).alias("price_p25"),
+            F.element_at("__q", 2).alias("price_p50"),
+            F.element_at("__q", 3).alias("price_p95"),
+            "n",
+        )
     )
 
 
