@@ -1,9 +1,9 @@
 """IO layer: readers/writers for the engine's sources and sinks.
 
 Reference parity (SURVEY.md §2.1):
-* S1 Avro batch scan  — ``read_avro`` (gated: spark-avro jars are an external
-  package, ``/root/reference/Config/packages-install.sh:1-2``; falls back
-  with a clear error when absent — all driver fixtures are Parquet).
+* S1 Avro batch scan  — ``read_avro``: native spark-avro when its jar is
+  present (an external package, ``/root/reference/Config/packages-install.sh:1-2``),
+  otherwise the pure-Python distributed OCF reader in ``avro_ocf``.
 * S2/S3 snapshot scans — lakehouse tables in ``tables/`` resolve their own
   live-file lists; plain parquet scans live here.
 * S4 catalog scan — ``register_views`` registers the fixture star schema as
@@ -88,16 +88,25 @@ def register_views(
     spark._hds_view_sf = sf_dir
 
 
-def read_avro(spark: SparkSession, path: str) -> DataFrame:
+def read_avro(spark: SparkSession, path: str, schema=None) -> DataFrame:
     """S1: Avro batch scan (``/root/reference/README.md:264``).
 
-    Requires the external ``spark-avro`` package; raises a descriptive error
-    when the jar is unavailable (this container ships no avro jar).
+    Prefers the native spark-avro data source when its jar is present;
+    otherwise falls back to the pure-Python OCF reader in ``avro_ocf``
+    (binaryFile-distributed, Arrow-batched — see that module), which
+    needs the expected ``schema`` since there is no JVM-side inference.
     """
     try:
-        return spark.read.format("avro").load(path)
-    except Exception as exc:  # pragma: no cover - env without avro jars
-        raise RuntimeError(
-            "spark-avro jars not available in this environment; "
-            "use parquet/json sources instead"
-        ) from exc
+        reader = spark.read.format("avro")
+        if schema is not None:
+            reader = reader.schema(schema)
+        return reader.load(path)
+    except Exception as exc:
+        if schema is None:
+            raise RuntimeError(
+                "spark-avro jars not available and no schema provided for "
+                "the pure-Python OCF fallback (see avro_ocf.read_avro_ocf)"
+            ) from exc
+        from hudi_and_delta_showcase_spark.avro_ocf import read_avro_ocf
+
+        return read_avro_ocf(spark, path, schema)

@@ -80,11 +80,9 @@ ENVELOPE_SCHEMA = StructType(
 def envelope_from_json(spark: SparkSession, lines: list[str]) -> DataFrame:
     """S1 contract surface, env-independent: parse JSON-serialized
     Datastream change events into the exact envelope schema the Avro
-    files carry (README.md:264,299-320). The production Avro reader
-    (io.read_avro) needs the spark-avro jar; this path proves the
-    envelope schema mapping itself — same StructType, same downstream
-    operators — from plain JSON, so the contract is testable in any
-    environment."""
+    files carry (README.md:264,299-320). Complements io.read_avro (jar
+    or pure-Python OCF): proves the envelope schema mapping itself —
+    same StructType, same downstream operators — from plain JSON."""
     return spark.read.schema(ENVELOPE_SCHEMA).json(
         spark.sparkContext.parallelize(lines)
     )

@@ -18,7 +18,8 @@ from hudi_and_delta_showcase_spark.queries import registry
 
 #: Driver-checked order. First 50 = one green row per operator family.
 PRIORITY: tuple[str, ...] = (
-    # -- CDC / lakehouse semantics (S2-S9, C1-C8, J2/J3) ------------------
+    # -- CDC / lakehouse semantics (S1-S9, C1-C8, J2/J3) ------------------
+    "avro_envelope_scan",
     "cdc_upsert_cow_roundtrip",
     "cdc_time_travel",
     "cdc_upsert_mor_rt",
@@ -53,7 +54,6 @@ PRIORITY: tuple[str, ...] = (
     "set_ops_nations",
     # -- scalar functions (F1 unix_timestamp is an explicit §2 row) -------
     "scalar_unix_timestamp",
-    "scalar_json_funcs",
     # -- catalog DDL (D1-D6) ----------------------------------------------
     "catalog_managed_table_roundtrip",
     "show_create_table",
@@ -91,6 +91,7 @@ PRIORITY: tuple[str, ...] = (
     "skew_salted_agg",
     "window_lag_lead",
     "union_all_tagged",
+    "scalar_json_funcs",
     "scalar_string_funcs",
     "scalar_datetime_funcs",
     "scalar_math_funcs",

@@ -230,3 +230,62 @@ def cdc_hard_delete_state(spark: SparkSession, sf_dir: str) -> DataFrame:
         hard_delete_col="__del",
     )
     return merged.select("user_id", "event_id")
+
+
+@query(
+    "avro_envelope_scan",
+    oracle="""
+    SELECT * FROM (VALUES
+      (1, 'apple',     10, 1673496060, 'INSERT',        FALSE, 'mysql-backfill-fulldump'),
+      (2, 'samsung',   20, 1673496061, 'INSERT',        FALSE, 'mysql-backfill-fulldump'),
+      (3, 'dell',      30, 1673496062, 'INSERT',        FALSE, 'mysql-backfill-fulldump'),
+      (4, 'motorola',  40, 1673496063, 'INSERT',        FALSE, 'mysql-backfill-fulldump'),
+      (5, 'htc',       50, 1673501400, 'INSERT',        FALSE, 'mysql-cdc-binlog'),
+      (2, 'samsung',  201, 1673501401, 'UPDATE-INSERT', FALSE, 'mysql-cdc-binlog'),
+      (3, 'dell',      30, 1673501402, 'DELETE',        TRUE,  'mysql-cdc-binlog')
+    ) AS t(pk_id, name, value, updated_at, change_type, is_deleted, read_method)
+    """,
+    tags=("cdc", "source", "avro"),
+)
+def avro_envelope_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S1 end-to-end: the golden Datastream batches serialized as REAL
+    Avro Object Container Files (pure-Python OCF codec, avro_ocf.py),
+    scanned back through io.read_avro's distributed fallback
+    (binaryFile + mapInPandas — the reference's
+    `spark.read.format("avro")`, README.md:264), then flattened and
+    timestamp-normalized exactly like the reference's ingestion
+    (README.md:267-273). The oracle pins every envelope row."""
+    import tempfile
+
+    from hudi_and_delta_showcase_spark import avro_ocf as A
+    from hudi_and_delta_showcase_spark.io import read_avro
+    from hudi_and_delta_showcase_spark.operators.cdc import (
+        ENVELOPE_SCHEMA,
+        flatten_envelope,
+        golden_backfill,
+        golden_cdc_batch,
+        normalize_timestamps,
+    )
+
+    avro_schema = A.spark_schema_to_avro(ENVELOPE_SCHEMA, "envelope")
+    root = tempfile.mkdtemp(prefix="avro_scan_")
+    for i, batch in enumerate([golden_backfill(spark), golden_cdc_batch(spark)]):
+        rows = []
+        for r in batch.collect():
+            d = r.asDict(recursive=True)
+            d["sort_keys"] = [dict(sk) for sk in d["sort_keys"]]
+            rows.append(d)
+        with open(f"{root}/batch{i}.avro", "wb") as fh:
+            fh.write(A.ocf_encode(avro_schema, rows))
+
+    env = read_avro(spark, f"{root}/*.avro", schema=ENVELOPE_SCHEMA)
+    flat = normalize_timestamps(
+        flatten_envelope(env),
+        ["updated_at", "created_at", "read_timestamp", "source_timestamp"],
+    )
+    return flat.select(
+        "pk_id", "name", "value", "updated_at",
+        F.col("source_metadata.change_type").alias("change_type"),
+        F.col("source_metadata.is_deleted").alias("is_deleted"),
+        "read_method",
+    )
