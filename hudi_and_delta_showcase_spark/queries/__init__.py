@@ -83,6 +83,7 @@ PRIORITY: tuple[str, ...] = (
     "multimodal_frame_sample",
     # ==== below the line: checked only if the driver looks past 50 =======
     # (oracle-bearing variants first, rows-only last)
+    "delta_log_roundtrip",
     "q5_regional_revenue",
     "join_left_outer_counts",
     "join_cross_dims",

@@ -289,3 +289,38 @@ def avro_envelope_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("source_metadata.is_deleted").alias("is_deleted"),
         "read_method",
     )
+
+
+@query(
+    "delta_log_roundtrip",
+    oracle=f"""
+    SELECT event_id, user_id, ts, event_type, value,
+           (SELECT COUNT(*) FROM events WHERE ts < TIMESTAMP '{CUTOFF}')
+             AS v0_rows
+    FROM events
+    """,
+    tags=("cdc", "delta", "source"),
+)
+def delta_log_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S3/C7 on the REAL Delta on-disk protocol (no delta-spark jar):
+    commit the pre-cutoff events as version 0 of a _delta_log table,
+    append the post-cutoff slice as version 1, then read the snapshot
+    back through log replay + parquet scan (tables/delta_log.py;
+    reference Delta flow at README.md:1205-1240). ``v0_rows`` carries
+    the version-0 TIME-TRAVEL row count through the oracle check, so
+    both the snapshot and the history replay are value-verified."""
+    import tempfile
+
+    from hudi_and_delta_showcase_spark.tables.delta_log import (
+        read_delta_table,
+        write_delta_table,
+    )
+
+    base, incr = _split(spark, sf_dir)
+    path = tempfile.mkdtemp(prefix="delta_rt_") + "/events_delta"
+    write_delta_table(base, path)
+    write_delta_table(incr, path, mode="append")
+    v0_rows = read_delta_table(spark, path, version=0).count()
+    return read_delta_table(spark, path).withColumn(
+        "v0_rows", F.lit(v0_rows).cast("long")
+    )

@@ -1,0 +1,194 @@
+"""Delta Lake transaction-log compatibility (SURVEY.md §2.1 S3, §2.9 C7).
+
+The reference's Delta tables live as parquet files + a ``_delta_log/``
+directory of JSON commit files (/root/reference/README.md:1235-1240;
+PROTOCOL.md in the delta-io repo). The delta-spark package is absent from
+this environment, so this module speaks the PUBLIC on-disk protocol
+directly:
+
+* ``write_delta_table`` — parquet data files + one
+  ``_delta_log/<version 020d>.json`` per commit containing the standard
+  actions (``protocol``, ``metaData`` with the Spark schemaString,
+  ``add`` / ``remove`` with ``dataChange``, ``commitInfo``). A real
+  delta-spark reader accepts these tables (protocol 1/2, no advanced
+  table features used).
+* ``read_delta_table`` — replays the JSON log up to the requested
+  version (add minus remove, last action per path wins), then issues a
+  plain declarative parquet scan of the live files — predicate pushdown
+  and column pruning work exactly as on any parquet read.
+
+Scale notes: log replay is O(commits) tiny JSON files on the driver
+(the protocol's checkpoint-parquet optimization kicks in at 10+ commits
+in real Delta; unnecessary at this commit count), while DATA stays
+executor-side — the snapshot is just a file list handed to the parquet
+source, so 100 TB tables read like any partitioned parquet dataset.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import time
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+
+_PROTOCOL = {"minReaderVersion": 1, "minWriterVersion": 2}
+
+
+def _log_dir(path: str) -> str:
+    return os.path.join(path, "_delta_log")
+
+
+def _commit_file(path: str, version: int) -> str:
+    return os.path.join(_log_dir(path), f"{version:020d}.json")
+
+
+def _list_versions(path: str) -> list[int]:
+    if not os.path.isdir(_log_dir(path)):
+        return []
+    return sorted(
+        int(f[:-5])
+        for f in os.listdir(_log_dir(path))
+        if f.endswith(".json") and f[:-5].isdigit()
+    )
+
+
+def _stage_data_files(df: DataFrame, path: str) -> list[dict]:
+    """Write df as parquet and move the part files into the table root
+    under unique names; return their `add` actions."""
+    staging = os.path.join(path, f".staging-{uuid.uuid4().hex[:8]}")
+    df.write.parquet(staging)
+    adds = []
+    for fn in sorted(os.listdir(staging)):
+        if not fn.endswith(".parquet"):
+            continue
+        new_name = f"part-{uuid.uuid4().hex}.snappy.parquet"
+        src = os.path.join(staging, fn)
+        dst = os.path.join(path, new_name)
+        shutil.move(src, dst)
+        adds.append(
+            {
+                "path": new_name,
+                "partitionValues": {},
+                "size": os.path.getsize(dst),
+                "modificationTime": int(time.time() * 1000),
+                "dataChange": True,
+            }
+        )
+    shutil.rmtree(staging)
+    return adds
+
+
+def write_delta_table(df: DataFrame, path: str, mode: str = "append") -> int:
+    """Commit ``df`` to a delta-format table at ``path``; returns the new
+    version. ``mode``: 'append' adds files; 'overwrite' additionally
+    emits `remove` actions for every previously live file."""
+    os.makedirs(_log_dir(path), exist_ok=True)
+    versions = _list_versions(path)
+    version = (versions[-1] + 1) if versions else 0
+    now = int(time.time() * 1000)
+
+    actions: list[dict] = []
+    if version == 0:
+        actions.append({"protocol": _PROTOCOL})
+        actions.append(
+            {
+                "metaData": {
+                    "id": str(uuid.uuid4()),
+                    "format": {"provider": "parquet", "options": {}},
+                    "schemaString": df.schema.json(),
+                    "partitionColumns": [],
+                    "configuration": {},
+                    "createdTime": now,
+                }
+            }
+        )
+    if mode == "overwrite" and version > 0:
+        for f in _live_files(path, versions[-1]):
+            actions.append(
+                {
+                    "remove": {
+                        "path": f,
+                        "deletionTimestamp": now,
+                        "dataChange": True,
+                    }
+                }
+            )
+    elif mode not in ("append", "overwrite"):
+        raise ValueError(f"unsupported mode: {mode}")
+
+    actions.extend({"add": a} for a in _stage_data_files(df, path))
+    actions.append(
+        {
+            "commitInfo": {
+                "timestamp": now,
+                "operation": "WRITE",
+                "operationParameters": {"mode": mode.upper()},
+                "engineInfo": "hudi-and-delta-showcase-spark",
+            }
+        }
+    )
+    with open(_commit_file(path, version), "w") as fh:
+        fh.write("\n".join(json.dumps(a) for a in actions) + "\n")
+    return version
+
+
+def _replay(path: str, version: int | None) -> tuple[dict, list[str]]:
+    versions = _list_versions(path)
+    if not versions:
+        raise FileNotFoundError(f"no _delta_log commits under {path}")
+    upto = versions[-1] if version is None else version
+    if upto not in versions:
+        raise ValueError(f"version {upto} not in log (have {versions})")
+    meta: dict = {}
+    live: dict[str, bool] = {}
+    for v in versions:
+        if v > upto:
+            break
+        with open(_commit_file(path, v)) as fh:
+            for line in fh:
+                if not line.strip():
+                    continue
+                action = json.loads(line)
+                if "metaData" in action:
+                    meta = action["metaData"]
+                elif "add" in action:
+                    live[action["add"]["path"]] = True
+                elif "remove" in action:
+                    live.pop(action["remove"]["path"], None)
+    return meta, sorted(live)
+
+
+def _live_files(path: str, version: int | None) -> list[str]:
+    return _replay(path, version)[1]
+
+
+def read_delta_table(
+    spark: SparkSession, path: str, version: int | None = None
+) -> DataFrame:
+    """S3/C7: snapshot (or time-travel) scan of a delta-format table —
+    log replay on the driver, declarative parquet scan of the live
+    files with the schema pinned from the log's metaData."""
+    from pyspark.sql.types import StructType
+
+    meta, files = _replay(path, version)
+    schema = StructType.fromJson(json.loads(meta["schemaString"]))
+    if not files:
+        return spark.createDataFrame([], schema)
+    return spark.read.schema(schema).parquet(
+        *[os.path.join(path, f) for f in files]
+    )
+
+
+def delta_history(path: str) -> list[dict]:
+    """The commitInfo timeline (DESCRIBE HISTORY equivalent)."""
+    out = []
+    for v in _list_versions(path):
+        with open(_commit_file(path, v)) as fh:
+            for line in fh:
+                action = json.loads(line) if line.strip() else {}
+                if "commitInfo" in action:
+                    out.append({"version": v, **action["commitInfo"]})
+    return out

@@ -1,0 +1,77 @@
+"""Delta _delta_log protocol tests: commit-file shape matches the public
+PROTOCOL.md (version-padded JSON action files, protocol/metaData first
+commit, add/remove with dataChange), snapshot replay, overwrite
+semantics, and time travel."""
+
+from __future__ import annotations
+
+import json
+import os
+import tempfile
+
+from hudi_and_delta_showcase_spark.tables.delta_log import (
+    delta_history,
+    read_delta_table,
+    write_delta_table,
+)
+
+
+def _df(spark, rows):
+    return spark.createDataFrame(rows, "k int, v string")
+
+
+def _final(df):
+    return sorted(tuple(r) for r in df.collect())
+
+
+def test_log_layout_matches_protocol(spark):
+    path = tempfile.mkdtemp(prefix="delta_proto_")
+    assert write_delta_table(_df(spark, [(1, "a")]), path) == 0
+    log = os.path.join(path, "_delta_log")
+    assert sorted(os.listdir(log)) == ["00000000000000000000.json"]
+    actions = [
+        json.loads(line)
+        for line in open(os.path.join(log, "00000000000000000000.json"))
+        if line.strip()
+    ]
+    kinds = [next(iter(a)) for a in actions]
+    assert kinds[0] == "protocol" and kinds[1] == "metaData"
+    assert "add" in kinds and kinds[-1] == "commitInfo"
+    proto = actions[0]["protocol"]
+    assert proto == {"minReaderVersion": 1, "minWriterVersion": 2}
+    meta = actions[1]["metaData"]
+    assert meta["format"] == {"provider": "parquet", "options": {}}
+    # schemaString is a Spark schema JSON string, as the protocol requires
+    assert json.loads(meta["schemaString"])["type"] == "struct"
+    add = next(a["add"] for a in actions if "add" in a)
+    assert add["dataChange"] is True and add["size"] > 0
+    # data files live in the table root, named like delta's parts
+    assert any(f.endswith(".snappy.parquet") for f in os.listdir(path))
+
+
+def test_append_overwrite_and_time_travel(spark):
+    path = tempfile.mkdtemp(prefix="delta_tt_")
+    write_delta_table(_df(spark, [(1, "a"), (2, "b")]), path)
+    write_delta_table(_df(spark, [(3, "c")]), path, mode="append")
+    assert _final(read_delta_table(spark, path)) == [(1, "a"), (2, "b"), (3, "c")]
+    # overwrite removes all previously live files
+    write_delta_table(_df(spark, [(9, "z")]), path, mode="overwrite")
+    assert _final(read_delta_table(spark, path)) == [(9, "z")]
+    # time travel to every prior version
+    assert _final(read_delta_table(spark, path, version=0)) == [(1, "a"), (2, "b")]
+    assert _final(read_delta_table(spark, path, version=1)) == [
+        (1, "a"), (2, "b"), (3, "c"),
+    ]
+    hist = delta_history(path)
+    assert [h["version"] for h in hist] == [0, 1, 2]
+    assert hist[2]["operationParameters"]["mode"] == "OVERWRITE"
+
+
+def test_schema_pinned_from_log(spark):
+    """The scan uses the log's schemaString, not parquet inference."""
+    path = tempfile.mkdtemp(prefix="delta_schema_")
+    write_delta_table(_df(spark, [(1, "a")]), path)
+    got = read_delta_table(spark, path)
+    assert [(f.name, f.dataType.simpleString()) for f in got.schema.fields] == [
+        ("k", "int"), ("v", "string"),
+    ]
