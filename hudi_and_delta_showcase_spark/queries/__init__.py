@@ -27,7 +27,7 @@ PRIORITY: tuple[str, ...] = (
     "cdc_mor_compacted",
     "cdc_optimize_vacuum",
     "cdc_merge_routing",
-    "cdc_soft_delete_state",
+    "cdc_incremental_pull",
     "cdc_hard_delete_state",
     # -- relational core (J1, A1/A2, TPC-H shapes) ------------------------
     "latest_change_per_key",
@@ -84,6 +84,9 @@ PRIORITY: tuple[str, ...] = (
     # ==== below the line: checked only if the driver looks past 50 =======
     # (oracle-bearing variants first, rows-only last)
     "delta_log_roundtrip",
+    "cdc_soft_delete_state",
+    "text_pii_scrub",
+    "text_repetition_stats",
     "q5_regional_revenue",
     "join_left_outer_counts",
     "join_cross_dims",

@@ -155,6 +155,31 @@ def cdc_optimize_vacuum(spark: SparkSession, sf_dir: str) -> DataFrame:
     return t.read().select(*_FINAL_COLS)
 
 
+_LATEST_POST_CUTOFF_SQL = f"""
+    SELECT event_id, user_id, ts, event_type, value FROM (
+      SELECT *, ROW_NUMBER() OVER (
+        PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+      FROM events WHERE ts >= TIMESTAMP '{CUTOFF}'
+    ) WHERE rn = 1
+"""
+
+
+@query(
+    "cdc_incremental_pull",
+    oracle=_LATEST_POST_CUTOFF_SQL,
+    tags=("cdc", "table"),
+)
+def cdc_incremental_pull(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hudi incremental query (README.md:576 "Snapshot and Incremental
+    Data"): after the v1 upsert, pull only records changed since v0 —
+    the latest state of every key the incremental batch touched, i.e.
+    latest-per-key over the post-cutoff events. The pushed-down
+    ``_hoodie_commit_time`` range predicate makes the pull O(changed
+    data) at scale (row-group skipping on time-ordered commit files)."""
+    t = _make_table(spark, sf_dir, "cow")
+    return t.read_incremental(begin_version=0).select(*_FINAL_COLS)
+
+
 @query(
     "cdc_merge_routing",
     oracle=f"""

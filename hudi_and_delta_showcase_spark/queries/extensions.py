@@ -765,3 +765,93 @@ def text_winnowing_fp(spark: SparkSession, sf_dir: str) -> DataFrame:
     sq = D.word_shingles(D.tokenize(docs, "text"), "tokens", 3, distinct=False)
     out = T.winnowing_fingerprint(sq, "doc_id", "shingles", window=4)
     return out.select("doc_id", "fp", "fp_size")
+
+
+@query(
+    "text_pii_scrub",
+    oracle="""
+    WITH enriched AS (
+      SELECT doc_id,
+             text || ' contact user' || doc_id ||
+             '@example.com or 555-010-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+               AS t
+      FROM documents
+    )
+    SELECT doc_id,
+           len(regexp_extract_all(t,
+             '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}')) AS n_emails,
+           len(regexp_extract_all(t,
+             '[0-9]{3}-[0-9]{3}-[0-9]{4}')) AS n_phones,
+           md5(regexp_replace(regexp_replace(t,
+             '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+             '[0-9]{3}-[0-9]{3}-[0-9]{4}', '<PHONE>', 'g')) AS scrubbed_md5
+    FROM enriched
+    """,
+    tags=("text", "pii"),
+)
+def text_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrubbing — the redaction pass every training-data pipeline
+    runs before tokenization. Deterministic synthetic PII (an email +
+    phone derived from doc_id) is appended to each doc so the redaction
+    is non-trivially exercised; emails/phones are counted and replaced
+    with placeholder tags, and the scrubbed text is md5'd for exact
+    cross-engine comparison. Patterns restricted to syntax Java regex
+    and RE2 interpret identically; map-only, no shuffle."""
+    docs = load_table(spark, sf_dir, "documents")
+    email_re = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+    phone_re = "[0-9]{3}-[0-9]{3}-[0-9]{4}"
+    t = F.concat(
+        F.col("text"), F.lit(" contact user"), F.col("doc_id").cast("string"),
+        F.lit("@example.com or 555-010-"),
+        F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+    )
+    scrubbed = F.regexp_replace(
+        F.regexp_replace(t, email_re, "<EMAIL>"), phone_re, "<PHONE>"
+    )
+    return docs.select(
+        "doc_id",
+        F.regexp_count(t, F.lit(email_re)).alias("n_emails"),
+        F.regexp_count(t, F.lit(phone_re)).alias("n_phones"),
+        F.md5(scrubbed).alias("scrubbed_md5"),
+    )
+
+
+@query(
+    "text_repetition_stats",
+    oracle=f"""
+    WITH {_TOKS_CTE},
+    sq AS (
+      SELECT doc_id, w,
+             list_transform(generate_series(1, greatest(len(w) - 2, 0)),
+               i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]) AS s
+      FROM toks
+    )
+    SELECT doc_id,
+           len(w) AS n_tokens,
+           len(list_distinct(w)) AS n_distinct_tokens,
+           CASE WHEN len(s) = 0 THEN CAST(0 AS DOUBLE)
+                ELSE 1.0 - len(list_distinct(s))::DOUBLE / len(s) END
+             AS dup_trigram_ratio
+    FROM sq
+    """,
+    tags=("text", "dedup"),
+)
+def text_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Intra-document repetition — the 'repeated n-gram' quality signal
+    used to drop degenerate/boilerplate documents (high duplicate-
+    trigram ratio == template or looped text). Integer token/shingle
+    counts -> exact int/int ratios; map-only array expressions."""
+    docs = load_table(spark, sf_dir, "documents")
+    toked = D.tokenize(docs, "text")
+    sq = D.word_shingles(toked, "tokens", 3, distinct=False)
+    return sq.select(
+        "doc_id",
+        F.size("tokens").alias("n_tokens"),
+        F.size(F.array_distinct("tokens")).alias("n_distinct_tokens"),
+        F.when(F.size("shingles") == 0, F.lit(0.0))
+        .otherwise(
+            1.0 - F.size(F.array_distinct("shingles"))
+            / F.size("shingles").cast("double")
+        )
+        .alias("dup_trigram_ratio"),
+    )

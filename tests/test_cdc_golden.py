@@ -164,6 +164,46 @@ def test_mor_golden_scenario(spark, table_dir):
     assert t._commit(None).log_files == []
 
 
+def test_incremental_pull_cow(spark, table_dir):
+    """Hudi incremental query semantics (README.md:576): pull only the
+    latest state of records changed in (begin, end] — begin exclusive,
+    end inclusive; carried-over rows are excluded by commit time."""
+    full, cdc = _prepare(spark)
+    t = LakehouseTable.create(
+        spark, table_dir, full,
+        key_cols=["pk_id"], precombine="updated_at", table_type="cow",
+    )
+    t.upsert(cdc)
+
+    inc = _state(t.read_incremental(begin_version=0))
+    assert set(inc) == {2, 3, 5}  # update, soft delete, insert — not 1/4
+    assert inc[2] == ("samsung", 201, False)
+    assert inc[3] == ("dell", 30, True)
+    # begin is exclusive: (v0, v0] is empty
+    assert t.read_incremental(0, end_version=0).count() == 0
+
+    # third commit touches only pk 2; (v1, v2] sees just that change,
+    # (v0, v1] still reads the v1 change set via end_version time travel
+    t.upsert(cdc.filter(F.col("pk_id") == 2).withColumn("value", F.lit(999)))
+    assert set(_state(t.read_incremental(1))) == {2}
+    assert _state(t.read_incremental(1))[2] == ("samsung", 999, False)
+    assert set(_state(t.read_incremental(0, end_version=1))) == {2, 3, 5}
+
+
+def test_incremental_pull_mor(spark, table_dir):
+    """MoR incremental resolves through the _rt merge first: the pull
+    returns merged winners in the commit range, not raw log rows."""
+    full, cdc = _prepare(spark)
+    t = LakehouseTable.create(
+        spark, table_dir, full,
+        key_cols=["pk_id"], precombine="updated_at", table_type="mor",
+    )
+    t.upsert(cdc)
+    inc = _state(t.read_incremental(begin_version=0))
+    assert set(inc) == {2, 3, 5}
+    assert inc[2] == ("samsung", 201, False)
+
+
 def test_optimize_and_vacuum(spark, table_dir):
     full, cdc = _prepare(spark)
     t = LakehouseTable.create(
