@@ -41,7 +41,6 @@ PRIORITY: tuple[str, ...] = (
     # -- aggregate battery ------------------------------------------------
     "agg_distinct",
     "agg_rollup",
-    "agg_cube",
     "agg_grouping_sets",
     "agg_percentiles",
     # -- window battery ---------------------------------------------------
@@ -75,9 +74,11 @@ PRIORITY: tuple[str, ...] = (
     # -- text analysis ----------------------------------------------------
     "text_quality_scores",
     "text_lang_id",
-    "text_token_counts",
     "text_tfidf_top_terms",
     "text_winnowing_fp",
+    # -- deterministic sampling -------------------------------------------
+    "sample_uniform_hash",
+    "sample_stratified_take",
     # -- multimodal -------------------------------------------------------
     "multimodal_dedup_decode",
     "multimodal_frame_sample",
@@ -85,6 +86,9 @@ PRIORITY: tuple[str, ...] = (
     # (oracle-bearing variants first, rows-only last)
     "delta_log_roundtrip",
     "cdc_soft_delete_state",
+    "sample_train_split",
+    "agg_cube",
+    "text_token_counts",
     "text_pii_scrub",
     "text_repetition_stats",
     "q5_regional_revenue",

@@ -18,6 +18,7 @@ from pyspark.sql import DataFrame, SparkSession
 from hudi_and_delta_showcase_spark.io import load_table
 from hudi_and_delta_showcase_spark.operators import dedup as D
 from hudi_and_delta_showcase_spark.operators import multimodal as M
+from hudi_and_delta_showcase_spark.operators import sampling as SA
 from hudi_and_delta_showcase_spark.operators import similarity as S
 from hudi_and_delta_showcase_spark.operators import text as T
 from hudi_and_delta_showcase_spark.queries.registry import query
@@ -855,3 +856,93 @@ def text_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .alias("dup_trigram_ratio"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Deterministic sampling (operators/sampling.py)
+# ---------------------------------------------------------------------------
+
+# Python-computed thresholds shared verbatim by Spark and the oracle so
+# float->int truncation is identical on both sides.
+_SAMPLE_FRAC_THRESH = int(0.1 * SA.BUCKETS)
+_SPLIT_TRAIN_THRESH = int(0.8 * SA.BUCKETS)
+_SPLIT_VAL_THRESH = int((0.8 + 0.1) * SA.BUCKETS)
+
+_DUCK_BUCKET = (
+    "('0x' || substr(md5(concat(cast(doc_id AS VARCHAR), '{seed}')), 1, 12))"
+    "::BIGINT"
+)
+
+
+@query(
+    "sample_uniform_hash",
+    oracle=f"""
+    SELECT doc_id, lang, n_chars
+    FROM documents
+    WHERE {_DUCK_BUCKET.format(seed='s42')} < {_SAMPLE_FRAC_THRESH}
+    """,
+    tags=("sampling",),
+)
+def sample_uniform_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 10% corpus sample: keep rows whose 48-bit md5 key
+    bucket falls under fraction*2^48. Unlike df.sample(), membership is a
+    pure function of doc_id — reproducible across runs, engines, cluster
+    sizes, and incremental corpus appends. Map-only, codegen'd, no
+    shuffle; other predicates still push down to the scan."""
+    docs = load_table(spark, sf_dir, "documents")
+    return SA.hash_sample(docs, "doc_id", 0.1, seed="s42").select(
+        "doc_id", "lang", "n_chars"
+    )
+
+
+@query(
+    "sample_train_split",
+    oracle=f"""
+    SELECT doc_id,
+           CASE WHEN {_DUCK_BUCKET.format(seed='split-v1')}
+                     < {_SPLIT_TRAIN_THRESH} THEN 'train'
+                WHEN {_DUCK_BUCKET.format(seed='split-v1')}
+                     < {_SPLIT_VAL_THRESH} THEN 'val'
+                ELSE 'test' END AS split
+    FROM documents
+    """,
+    tags=("sampling",),
+)
+def sample_train_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """80/10/10 train/val/test assignment by hash range — the
+    contamination-safe split: a doc's split never changes when the corpus
+    grows, so later refreshes cannot leak val/test docs into train.
+    Map-only CASE over the key bucket."""
+    docs = load_table(spark, sf_dir, "documents")
+    out = SA.train_split(
+        docs, "doc_id",
+        {"train": 0.8, "val": 0.1, "test": 0.1},
+        seed="split-v1",
+    )
+    return out.select("doc_id", "split")
+
+
+@query(
+    "sample_stratified_take",
+    oracle=f"""
+    SELECT doc_id, lang FROM (
+      SELECT doc_id, lang,
+             ROW_NUMBER() OVER (
+               PARTITION BY lang
+               ORDER BY {_DUCK_BUCKET.format(seed='s7')} ASC, doc_id ASC)
+               AS rn
+      FROM documents
+    ) WHERE rn <= 20
+    """,
+    tags=("sampling",),
+)
+def sample_stratified_take(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stratified deterministic reservoir: exactly min(20, |stratum|)
+    docs per language, picked by hash order (uniform within stratum,
+    stable across runs). One shuffle on the strata key — the balanced
+    per-language subcorpus selection step of multilingual training
+    mixes."""
+    docs = load_table(spark, sf_dir, "documents")
+    return SA.stratified_take(
+        docs, ["lang"], 20, key="doc_id", seed="s7"
+    ).select("doc_id", "lang")
