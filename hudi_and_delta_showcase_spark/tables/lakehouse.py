@@ -24,9 +24,12 @@ Scale notes (100 TB):
   column ALSO stored in the data files, so snapshot reads are plain
   file-list scans — no basePath/partition-inference coupling across
   commits.
-* Upsert cost is O(affected partitions), not O(table). Key-level file
-  skipping (bloom/min-max per file in commit stats) is the next pruning
-  tier if profiling demands it.
+* Upsert cost is O(files actually holding the batch's keys), not
+  O(table): partition pruning first, then key-level file skipping via
+  per-file record-key min/max ranges stored in the commit manifest
+  (Hudi's bloom/range index tier) — see ``_probe_key_hits``. After an
+  ``optimize(cluster_by=...)`` the ranges are disjoint and an upsert
+  touches only the file groups its keys land in.
 * The source side of an upsert broadcasts when small (CDC batches almost
   always are); the rewrite never shuffles the un-affected part of the
   table — those files are carried over by reference in the manifest.
@@ -131,6 +134,7 @@ class LakehouseTable:
                 files=files,
                 log_files=[],
                 stats={"written_files": len(files)},
+                key_ranges=table._file_key_ranges(files),
             ),
         )
         return table
@@ -257,6 +261,7 @@ class LakehouseTable:
                 files=prev.files,
                 log_files=prev.log_files + new_logs,
                 stats={"log_files_added": len(new_logs)},
+                key_ranges=prev.key_ranges,
             )
             mf.append_commit(self.path, commit)
             return commit
@@ -266,6 +271,15 @@ class LakehouseTable:
         # column, and only partitions present in the source are rewritten
         # — O(affected partitions), never O(table).
         affected, untouched = self._split_affected(prev.files, source)
+        # Second pruning tier — key-level file skipping (Hudi bloom/range
+        # index): within affected partitions, rewrite only files whose
+        # footer key range intersects the batch. At 100 TB this is the
+        # difference between rewriting a partition and rewriting the
+        # handful of file groups the keys actually live in.
+        affected, range_skipped = self._probe_key_hits(
+            affected, prev.key_ranges, stamped
+        )
+        untouched = untouched + range_skipped
         if affected:
             target = self._read_parquet(affected).alias("t")
             keys = self._resolution_cols()
@@ -293,7 +307,16 @@ class LakehouseTable:
             stats={
                 "rewritten_files": len(affected),
                 "carried_over_files": len(untouched),
+                "key_range_skipped_files": len(range_skipped),
                 "written_files": len(new_files),
+            },
+            key_ranges={
+                **{
+                    f: prev.key_ranges[f]
+                    for f in untouched
+                    if f in prev.key_ranges
+                },
+                **self._file_key_ranges(new_files),
             },
         )
         mf.append_commit(self.path, commit)
@@ -318,6 +341,7 @@ class LakehouseTable:
             files=files,
             log_files=[],
             stats={"compacted_log_files": len(prev.log_files)},
+            key_ranges=self._file_key_ranges(files),
         )
         mf.append_commit(self.path, commit)
         return commit
@@ -342,12 +366,21 @@ class LakehouseTable:
         version = prev.version + 1
         commit_time = mf.make_commit_time()
         n = target_files or 1
-        if self.partition_by:
+        if cluster_by:
+            # Range-partition on (partition, cluster cols) so FILES get
+            # DISJOINT key ranges — row-group min/max stats and the
+            # key_ranges file-skipping index both become selective.
+            # (coalesce+sort would only sort within files, leaving every
+            # file spanning nearly the full key space.)
+            range_cols = (
+                [self.partition_by] if self.partition_by else []
+            ) + cluster_by
+            df = df.repartitionByRange(n, *[F.col(c) for c in range_cols])
+            df = df.sortWithinPartitions(*range_cols)
+        elif self.partition_by:
             df = df.repartition(n, F.col(self.partition_by))
         else:
             df = df.coalesce(n)
-        if cluster_by:
-            df = df.sortWithinPartitions(*cluster_by)
         files = self._write_files(df, f"c{version:05d}")
         commit = mf.Commit(
             version=version,
@@ -356,6 +389,7 @@ class LakehouseTable:
             files=files,
             log_files=[],
             stats={"before_files": len(prev.files), "after_files": len(files)},
+            key_ranges=self._file_key_ranges(files),
         )
         mf.append_commit(self.path, commit)
         return commit
@@ -448,6 +482,94 @@ class LakehouseTable:
                         os.path.relpath(os.path.join(dirpath, fn), self.path)
                     )
         return sorted(files)
+
+    def _file_key_ranges(self, rel_files: list[str]) -> dict[str, list[str]]:
+        """Per-file [min, max] of ``_hoodie_record_key`` from parquet
+        FOOTERS — metadata-only, O(files) driver work (the same cost
+        class as the manifest write itself; Hudi stores the identical
+        ranges in its commit metadata for bloom-index pruning).
+
+        Parquet may truncate binary stats: the reported min/max are then
+        valid loose BOUNDS, so range pruning stays sound (a file is
+        never skipped while holding a matching key)."""
+        import pyarrow.parquet as pq
+
+        ranges: dict[str, list[str]] = {}
+        for rel in rel_files:
+            try:
+                md = pq.ParquetFile(os.path.join(self.path, rel)).metadata
+                idx = md.schema.names.index("_hoodie_record_key")
+            except (OSError, ValueError):
+                continue
+            mins, maxs = [], []
+            for rg in range(md.num_row_groups):
+                st = md.row_group(rg).column(idx).statistics
+                if st is None or st.min is None or st.max is None:
+                    mins, maxs = [], []
+                    break
+                mins.append(st.min)
+                maxs.append(st.max)
+            if mins:
+                ranges[rel] = [min(mins), max(maxs)]
+        return ranges
+
+    def _probe_key_hits(
+        self,
+        affected: list[str],
+        ranges: dict[str, list[str]],
+        stamped: DataFrame,
+    ) -> tuple[list[str], list[str]]:
+        """Key-level file skipping: of the partition-affected files,
+        find those whose record-key range actually intersects the source
+        batch's keys. The probe is a distributed broadcast join — file
+        range METADATA broadcast to the source keys, never the reverse —
+        so it scales with the batch, not the table. Files without known
+        ranges are conservatively treated as hit."""
+        if len(affected) <= 1:
+            return affected, []  # nothing to prune; skip the probe job
+        unknown = [f for f in affected if f not in ranges]
+        ranged = [f for f in affected if f in ranges]
+        if not ranged:
+            return affected, []
+        pp_of = {f: self._partition_value_of(f) for f in ranged}
+        ranges_df = self.spark.createDataFrame(
+            [(f, pp_of[f], ranges[f][0], ranges[f][1]) for f in ranged],
+            "f string, pp string, kmin string, kmax string",
+        )
+        src = stamped.select(
+            F.col("_hoodie_record_key").alias("k"),
+            (
+                F.coalesce(
+                    F.col(self.partition_by).cast("string"),
+                    F.lit(HIVE_DEFAULT_PARTITION),
+                )
+                if self.partition_by
+                else F.lit("")
+            ).alias("pp"),
+        ).distinct()
+        hits = {
+            r.f
+            for r in src.alias("s")
+            .join(
+                F.broadcast(ranges_df.alias("r")),
+                (F.col("s.pp") == F.col("r.pp"))
+                & (F.col("s.k") >= F.col("r.kmin"))
+                & (F.col("s.k") <= F.col("r.kmax")),
+                "inner",
+            )
+            .select("r.f")
+            .distinct()
+            .collect()
+        }
+        hit = unknown + [f for f in ranged if f in hits]
+        skipped = [f for f in ranged if f not in hits]
+        return hit, skipped
+
+    def _partition_value_of(self, rel_file: str) -> str:
+        parts = dict(
+            seg.split("=", 1) for seg in rel_file.split(os.sep) if "=" in seg
+        )
+        return urllib.parse.unquote(parts.get("__pp", ""))
 
     def _read_parquet(self, rel_files: list[str]) -> DataFrame:
         paths = [os.path.join(self.path, f) for f in rel_files]

@@ -34,6 +34,11 @@ class Commit:
     files: list[str] = field(default_factory=list)  # live base files (relative)
     log_files: list[str] = field(default_factory=list)  # MoR log files (relative)
     stats: dict = field(default_factory=dict)
+    #: per-file [min, max] of ``_hoodie_record_key`` (parquet footer
+    #: stats) — the key-level file-skipping index (Hudi BLOOM/SIMPLE
+    #: index's range pruning tier). Absent entries mean "unknown range"
+    #: and are treated as always-matching (conservative rewrite).
+    key_ranges: dict = field(default_factory=dict)
 
 
 def commits_dir(table_path: str) -> str:

@@ -246,6 +246,44 @@ def test_cow_partition_scoped_rewrite(spark, table_dir):
     assert state[2] == ("samsung", 201, False) and state[4] == ("motorola", 40, False)
 
 
+def test_key_range_file_skipping(spark, sf_dir, tmp_path):
+    """Key-level file skipping (Hudi bloom/range index tier): after
+    OPTIMIZE clusters the table into files with disjoint record-key
+    ranges, an upsert touching a narrow key range must rewrite only the
+    intersecting files — and the snapshot must stay exactly correct."""
+    import pyspark.sql.functions as F
+
+    from hudi_and_delta_showcase_spark.io import load_table
+    from hudi_and_delta_showcase_spark.tables import LakehouseTable
+
+    events = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "ts", "value"
+    )
+    t = LakehouseTable.create(
+        spark, str(tmp_path / "t"), events,
+        key_cols=["event_id"], precombine="ts",
+    )
+    t.optimize(target_files=8, cluster_by=["_hoodie_record_key"])
+    commit = t._commit(None)
+    assert len(commit.files) == 8
+    assert set(commit.key_ranges) == set(commit.files)  # index populated
+
+    # batch touching 3 existing keys (a narrow record-key range)
+    ids = sorted(r.event_id for r in events.select("event_id").collect())
+    batch = events.filter(F.col("event_id").isin(ids[:3])).withColumn(
+        "value", F.lit(-1.0)
+    ).withColumn("ts", F.col("ts") + F.expr("INTERVAL 1000 DAYS"))
+    c2 = t.upsert(batch)
+    assert c2.stats["key_range_skipped_files"] > 0
+    assert c2.stats["rewritten_files"] < 8
+
+    state = {r.event_id: r.value for r in t.read().collect()}
+    assert all(state[i] == -1.0 for i in ids[:3])
+    assert len(state) == len(ids)
+    # ranges carried over for skipped files + fresh for new ones
+    assert set(c2.key_ranges) == set(c2.files)
+
+
 def test_optimize_cluster_by_preserves_data_and_sorts_files(spark, sf_dir, tmp_path):
     """OPTIMIZE with linear clustering: same snapshot content, and rows
     inside each written file are sorted by the cluster key (so parquet
