@@ -47,7 +47,6 @@ PRIORITY: tuple[str, ...] = (
     "window_latest_per_key",
     "window_rank_topn_per_group",
     "window_running_sum",
-    "window_range_frame",
     # -- ordering / set ops -----------------------------------------------
     "topk_orders",
     "set_ops_nations",
@@ -62,7 +61,6 @@ PRIORITY: tuple[str, ...] = (
     "stream_stateful_user_stats",
     # -- dedup extensions -------------------------------------------------
     "dedup_exact_rows",
-    "dedup_fingerprints",
     "dedup_minhash_lsh",
     "dedup_jaccard_pairs",
     "dedup_embedding_cosine",
@@ -79,6 +77,9 @@ PRIORITY: tuple[str, ...] = (
     # -- deterministic sampling -------------------------------------------
     "sample_uniform_hash",
     "sample_stratified_take",
+    # -- mergeable sketches (error-bound gated) ---------------------------
+    "sketch_distinct_gate",
+    "sketch_percentile_gate",
     # -- multimodal -------------------------------------------------------
     "multimodal_dedup_decode",
     "multimodal_frame_sample",
@@ -89,6 +90,8 @@ PRIORITY: tuple[str, ...] = (
     "sample_train_split",
     "agg_cube",
     "text_token_counts",
+    "dedup_fingerprints",
+    "window_range_frame",
     "text_pii_scrub",
     "text_repetition_stats",
     "q5_regional_revenue",
