@@ -32,7 +32,6 @@ PRIORITY: tuple[str, ...] = (
     # -- relational core (J1, A1/A2, TPC-H shapes) ------------------------
     "latest_change_per_key",
     "q1_pricing_summary",
-    "q3_shipping_priority",
     # -- join battery -----------------------------------------------------
     "join_semi",
     "join_anti",
@@ -59,6 +58,7 @@ PRIORITY: tuple[str, ...] = (
     "stream_cdc_apply_golden",
     "stream_tumbling_counts",
     "stream_stateful_user_stats",
+    "stream_dedup_keys",
     # -- dedup extensions -------------------------------------------------
     "dedup_exact_rows",
     "dedup_minhash_lsh",
@@ -87,6 +87,7 @@ PRIORITY: tuple[str, ...] = (
     # (oracle-bearing variants first, rows-only last)
     "delta_log_roundtrip",
     "cdc_soft_delete_state",
+    "q3_shipping_priority",
     "sample_train_split",
     "agg_cube",
     "text_token_counts",

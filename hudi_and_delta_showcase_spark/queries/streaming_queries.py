@@ -231,3 +231,23 @@ def stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         & (F.col("purchase_ts") <= F.col("click_ts") + F.expr("INTERVAL 1 HOUR")),
     ).select("click_id", "purchase_id", "user_id", "click_ts", "purchase_ts")
     return run_to_memory(joined, mode="append")
+
+
+@query(
+    "stream_dedup_keys",
+    oracle="SELECT DISTINCT user_id, event_type FROM events",
+    tags=("streaming", "dedup"),
+)
+def stream_dedup_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stateful streaming dedup: append-mode ``dropDuplicates`` emits
+    each (user_id, event_type) key the FIRST time it arrives and
+    suppresses every later duplicate — the streaming twin of exact
+    dedup, with seen-keys state in the state store. Output is the key
+    set (which row arrived first is micro-batch-order-dependent; the key
+    set itself is deterministic). At scale the unbounded seen-set is
+    bounded with ``dropDuplicatesWithinWatermark`` — exercised in
+    tests/test_streaming.py (watermarks need an LTZ column; fixture
+    columns stay NTZ by design)."""
+    sdf = read_events_stream(spark, sf_dir)
+    deduped = sdf.select("user_id", "event_type").dropDuplicates()
+    return run_to_memory(deduped, mode="append")

@@ -170,3 +170,41 @@ def test_cdc_stream_mor_ro_stale_rt_fresh(spark):
     t.compact()
     ro2 = {(r.pk_id, r.value) for r in t.read_ro().select("pk_id", "value").collect()}
     assert ro2 == rt
+
+
+def test_dedup_within_watermark_bounds_state(spark):
+    """dropDuplicatesWithinWatermark: duplicates arriving within the
+    watermark delay are suppressed; the seen-keys state is evicted once
+    the watermark passes, so a duplicate arriving AFTER eviction is
+    emitted again — the bounded-state behavior that makes streaming
+    dedup viable at scale (vs dropDuplicates' unbounded seen-set)."""
+    root = tempfile.mkdtemp(prefix="wm_dedup_")
+    drop = f"{root}/drop"
+    os.makedirs(drop)
+
+    def write_file(idx, rows):
+        df = spark.createDataFrame(rows, "ts timestamp, k long")
+        df.coalesce(1).write.parquet(f"{drop}/f{idx}")
+
+    t = lambda s: datetime.datetime.fromisoformat(s)
+    # f0: key 1 first seen; f1: duplicate of key 1 within the delay ->
+    # suppressed; f2: advance watermark far past key 1's state expiry
+    # (state eviction runs at the END of the batch that sees the new
+    # watermark, so the re-arrival must come one batch later); f3 keeps
+    # the stream moving; f4: key 1 after eviction -> re-emitted
+    write_file(0, [(t("2024-01-01 10:00:00"), 1)])
+    write_file(1, [(t("2024-01-01 10:05:00"), 1)])
+    write_file(2, [(t("2024-01-01 15:00:00"), 2)])
+    write_file(3, [(t("2024-01-01 15:10:00"), 3)])
+    write_file(4, [(t("2024-01-01 15:20:00"), 1)])
+
+    sdf = (
+        spark.readStream.schema("ts timestamp, k long")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{drop}/*")
+        .withWatermark("ts", "1 hour")
+        .dropDuplicatesWithinWatermark(["k"])
+    )
+    out = run_to_memory(sdf, mode="append")
+    ks = [r.k for r in out.collect()]
+    assert sorted(ks) == [1, 1, 2, 3]  # key 1 twice (post-eviction)
