@@ -87,6 +87,7 @@ PRIORITY: tuple[str, ...] = (
     # (oracle-bearing variants first, rows-only last)
     "delta_log_roundtrip",
     "cdc_soft_delete_state",
+    "cdc_schema_evolution",
     "q3_shipping_priority",
     "sample_train_split",
     "agg_cube",

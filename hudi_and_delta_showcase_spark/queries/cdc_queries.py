@@ -349,3 +349,35 @@ def delta_log_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     return read_delta_table(spark, path).withColumn(
         "v0_rows", F.lit(v0_rows).cast("long")
     )
+
+
+@query(
+    "cdc_schema_evolution",
+    oracle=f"""
+    SELECT event_id, user_id, ts, value,
+           CASE WHEN ts >= TIMESTAMP '{CUTOFF}' THEN 'b1' END AS batch_tag
+    FROM (
+      SELECT *, ROW_NUMBER() OVER (
+        PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+      FROM events
+    ) WHERE rn = 1
+    """,
+    tags=("cdc", "table", "schema"),
+)
+def cdc_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema evolution through upsert (Hudi/Delta add-column semantics,
+    the schema tracking the reference attributes to the table log,
+    README.md:1235): the incremental batch carries a NEW column; merged
+    rows expose it, carried-over rows read it as NULL. Mechanics:
+    unionByName(allowMissingColumns) in the CoW merge + mergeSchema on
+    the manifest scan — no table-wide rewrite, old files stay valid
+    (the 100 TB property: adding a column is a metadata operation)."""
+    base, incr = _split(spark, sf_dir)
+    path = tempfile.mkdtemp(prefix="lakehouse_evo_") + "/events_tbl"
+    t = LakehouseTable.create(
+        spark, path, base,
+        key_cols=["user_id"], precombine="ts", tiebreakers=["event_id"],
+        table_type="cow",
+    )
+    t.upsert(incr.withColumn("batch_tag", F.lit("b1")))
+    return t.read().select("event_id", "user_id", "ts", "value", "batch_tag")
