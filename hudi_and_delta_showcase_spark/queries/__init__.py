@@ -86,6 +86,7 @@ PRIORITY: tuple[str, ...] = (
     # ==== below the line: checked only if the driver looks past 50 =======
     # (oracle-bearing variants first, rows-only last)
     "delta_log_roundtrip",
+    "hoodie_timeline_roundtrip",
     "cdc_soft_delete_state",
     "cdc_schema_evolution",
     "q3_shipping_priority",

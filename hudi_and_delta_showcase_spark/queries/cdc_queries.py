@@ -381,3 +381,37 @@ def cdc_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     t.upsert(incr.withColumn("batch_tag", F.lit("b1")))
     return t.read().select("event_id", "user_id", "ts", "value", "batch_tag")
+
+
+@query(
+    "hoodie_timeline_roundtrip",
+    oracle=f"""
+    SELECT event_id, user_id, ts, event_type, value,
+           (SELECT COUNT(*) FROM events WHERE ts < TIMESTAMP '{CUTOFF}')
+             AS v0_rows
+    FROM events
+    """,
+    tags=("cdc", "hudi", "source"),
+)
+def hoodie_timeline_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S2/C7 on the REAL Hudi on-disk layout (no hudi jar): commit the
+    pre-cutoff events through the `.hoodie` instant state machine
+    (requested -> inflight -> completed), append the post-cutoff slice
+    as a second instant, then read the snapshot back through timeline
+    replay + file-slice resolution (tables/hoodie_timeline.py; the
+    reference's `.hoodie` directory at README.md:334). ``v0_rows``
+    carries the first-instant TIME-TRAVEL row count through the oracle,
+    so snapshot and timeline replay are both value-verified."""
+    from hudi_and_delta_showcase_spark.tables.hoodie_timeline import (
+        read_hoodie_table,
+        write_hoodie_table,
+    )
+
+    base, incr = _split(spark, sf_dir)
+    path = tempfile.mkdtemp(prefix="hoodie_rt_") + "/events_hudi"
+    i0 = write_hoodie_table(base, path)
+    write_hoodie_table(incr, path)
+    v0_rows = read_hoodie_table(spark, path, as_of_instant=i0).count()
+    return read_hoodie_table(spark, path).withColumn(
+        "v0_rows", F.lit(v0_rows).cast("long")
+    )

@@ -1,0 +1,95 @@
+"""Hudi `.hoodie` on-disk layout (tables/hoodie_timeline.py): file-group
+naming, instant state machine, snapshot isolation, time travel,
+overwrite semantics — against the PUBLIC Apache Hudi layout."""
+
+from __future__ import annotations
+
+import os
+import re
+
+import pyspark.sql.functions as F
+import pytest
+
+from hudi_and_delta_showcase_spark.io import load_table
+from hudi_and_delta_showcase_spark.tables.hoodie_timeline import (
+    list_instants,
+    read_hoodie_table,
+    write_hoodie_table,
+)
+
+FILE_RE = re.compile(
+    r"^[0-9a-f-]{36}_0-1-0_\d{17}\.parquet$"
+)
+
+
+@pytest.fixture()
+def events(spark, sf_dir):
+    return load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "ts", "value"
+    )
+
+
+def test_layout_and_roundtrip(spark, events, tmp_path):
+    path = str(tmp_path / "hudi_tbl")
+    half = events.filter(F.col("event_id") % 2 == 0)
+    rest = events.filter(F.col("event_id") % 2 == 1)
+    i0 = write_hoodie_table(half, path)
+    i1 = write_hoodie_table(rest, path)
+    assert i0 < i1
+
+    # timeline: completed instants only; state files cleaned up
+    assert list_instants(path) == [i0, i1]
+    assert list_instants(path, "inflight") == []
+    assert list_instants(path, "requested") == []
+    assert os.path.exists(os.path.join(path, ".hoodie", "hoodie.properties"))
+    assert os.path.exists(os.path.join(path, ".hoodie_partition_metadata"))
+
+    # file-group naming convention
+    data_files = [f for f in os.listdir(path) if f.endswith(".parquet")]
+    assert data_files and all(FILE_RE.match(f) for f in data_files)
+
+    # snapshot == union; time travel at i0 == first half
+    total = events.count()
+    assert read_hoodie_table(spark, path).count() == total
+    assert read_hoodie_table(spark, path, as_of_instant=i0).count() == (
+        half.count()
+    )
+    got = sorted(
+        r.event_id for r in read_hoodie_table(spark, path).collect()
+    )
+    assert got == sorted(r.event_id for r in events.collect())
+
+
+def test_incomplete_instant_invisible(spark, events, tmp_path):
+    """Snapshot isolation: data staged under a non-completed instant is
+    never read — only `.commit` instants resolve file slices."""
+    path = str(tmp_path / "hudi_tbl")
+    write_hoodie_table(events.limit(10), path)
+    # simulate a crashed writer: inflight instant + orphan data file
+    orphan_instant = "99999999999999999"
+    open(
+        os.path.join(path, ".hoodie", f"{orphan_instant}.inflight"), "w"
+    ).close()
+    events.limit(5).write.parquet(str(tmp_path / "stage"))
+    part = next(
+        f for f in os.listdir(tmp_path / "stage") if f.endswith(".parquet")
+    )
+    os.rename(
+        str(tmp_path / "stage" / part),
+        os.path.join(
+            path, f"{'0' * 8}-dead-beef-dead-beefdeadbeef_0-1-0_{orphan_instant}.parquet"
+        ),
+    )
+    assert read_hoodie_table(spark, path).count() == 10
+
+
+def test_overwrite_resets_file_groups(spark, events, tmp_path):
+    path = str(tmp_path / "hudi_tbl")
+    write_hoodie_table(events.limit(50), path)
+    i1 = write_hoodie_table(events.limit(7), path, mode="overwrite")
+    assert read_hoodie_table(spark, path).count() == 7
+    # append after overwrite stacks on the new snapshot
+    write_hoodie_table(events.limit(3), path)
+    assert read_hoodie_table(spark, path).count() == 10
+    # time travel: as-of the overwrite instant sees exactly 7
+    assert read_hoodie_table(spark, path, as_of_instant=i1).count() == 7
