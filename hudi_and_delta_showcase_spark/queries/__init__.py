@@ -37,11 +37,11 @@ PRIORITY: tuple[str, ...] = (
     "join_anti",
     "join_range_theta",
     "join_asof_events",
+    "join_bucketed_colocated",
     # -- aggregate battery ------------------------------------------------
     "agg_distinct",
     "agg_rollup",
     "agg_grouping_sets",
-    "agg_percentiles",
     # -- window battery ---------------------------------------------------
     "window_latest_per_key",
     "window_rank_topn_per_group",
@@ -92,6 +92,7 @@ PRIORITY: tuple[str, ...] = (
     "q3_shipping_priority",
     "sample_train_split",
     "agg_cube",
+    "agg_percentiles",
     "text_token_counts",
     "dedup_fingerprints",
     "window_range_frame",

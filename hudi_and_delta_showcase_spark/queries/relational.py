@@ -1187,3 +1187,74 @@ def unpivot_nation_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return n.unpivot(
         ["n_nationkey"], ["name_len", "regionkey"], "metric", "value"
     )
+
+
+@query(
+    "join_bucketed_colocated",
+    oracle="""
+    SELECT c_mktsegment,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+             AS sum_price,
+           TRUE AS colocated_ok
+    FROM orders JOIN customer ON o_custkey = c_custkey
+    GROUP BY c_mktsegment
+    """,
+    tags=("join", "catalog", "bucketing"),
+)
+def join_bucketed_colocated(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bucketed co-located join — THE shuffle elimination tool for
+    repeated large-table joins at 100 TB: both sides are written
+    ``bucketBy(8, join_key)`` + ``sortBy`` into the catalog, so the join
+    is bucket-to-bucket with NO Exchange on either side (each task joins
+    one bucket pair; at scale, re-bucketing once amortizes across every
+    downstream join on that key). ``colocated_ok`` folds the physical-
+    plan assertion (bucketed scans on both sides, zero shuffle Exchange
+    under the join) into the oracle-checked output, so a planner
+    regression flips the driver row red.
+
+    Auto-broadcast is disabled for the probe (and restored after): at
+    fixture scale Catalyst would rightly broadcast the small side, but
+    the plan under test is the 100 TB one where NEITHER side fits in
+    memory and bucket-to-bucket SMJ is the only shuffle-free option."""
+    import uuid
+
+    from hudi_and_delta_showcase_spark.io import load_table
+
+    sfx = uuid.uuid4().hex[:8]
+    bo, bc = f"b_orders_{sfx}", f"b_customer_{sfx}"
+    load_table(spark, sf_dir, "orders").write.bucketBy(
+        8, "o_custkey"
+    ).sortBy("o_custkey").mode("overwrite").saveAsTable(bo)
+    load_table(spark, sf_dir, "customer").write.bucketBy(
+        8, "c_custkey"
+    ).sortBy("c_custkey").mode("overwrite").saveAsTable(bc)
+    old_thresh = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        j = spark.table(bo).join(
+            spark.table(bc),
+            F.col("o_custkey") == F.col("c_custkey"),
+        )
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        colocated = (
+            "Exchange hashpartitioning" not in plan
+            and plan.count("Bucketed: true") == 2
+        )
+        out = (
+            j.groupBy("c_mktsegment")
+            .agg(
+                F.count(F.lit(1)).alias("n_orders"),
+                F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+                .cast("double")
+                .alias("sum_price"),
+            )
+            .withColumn("colocated_ok", F.lit(colocated))
+        )
+        rows = out.collect()
+        schema = out.schema
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old_thresh)
+        spark.sql(f"DROP TABLE IF EXISTS {bo}")
+        spark.sql(f"DROP TABLE IF EXISTS {bc}")
+    return spark.createDataFrame(rows, schema)
