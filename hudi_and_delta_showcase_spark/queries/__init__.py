@@ -89,6 +89,7 @@ PRIORITY: tuple[str, ...] = (
     "hoodie_timeline_roundtrip",
     "cdc_soft_delete_state",
     "cdc_schema_evolution",
+    "cdc_medallion_sync",
     "q3_shipping_priority",
     "sample_train_split",
     "agg_cube",

@@ -415,3 +415,50 @@ def hoodie_timeline_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     return read_hoodie_table(spark, path).withColumn(
         "v0_rows", F.lit(v0_rows).cast("long")
     )
+
+
+@query(
+    "cdc_medallion_sync",
+    oracle=_LATEST_ALL_SQL,
+    tags=("cdc", "table", "incremental"),
+)
+def cdc_medallion_sync(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Medallion incremental ETL (bronze -> silver): the downstream
+    silver table is maintained ONLY by incremental pulls — after each
+    bronze commit, `read_incremental(prev, cur)` fetches the changed
+    records and upserts them downstream. Silver must converge to the
+    bronze snapshot without ever full-scanning bronze — the O(changed
+    data) sync pattern that makes derived tables affordable at 100 TB.
+    Three bronze commits (base + two incremental slices) exercise
+    multi-step catch-up."""
+    events = load_table(spark, sf_dir, "events").select(*_FINAL_COLS)
+    cutoff = F.lit(CUTOFF).cast("timestamp_ntz")
+    mid = F.lit("2024-01-25 00:00:00").cast("timestamp_ntz")
+    slices = [
+        events.filter(F.col("ts") < cutoff),
+        events.filter((F.col("ts") >= cutoff) & (F.col("ts") < mid)),
+        events.filter(F.col("ts") >= mid),
+    ]
+    root = tempfile.mkdtemp(prefix="medallion_")
+    bronze = LakehouseTable.create(
+        spark, f"{root}/bronze", slices[0],
+        key_cols=["user_id"], precombine="ts", tiebreakers=["event_id"],
+    )
+    bronze.upsert(slices[1])
+    bronze.upsert(slices[2])
+
+    silver = None
+    for prev_v, cur_v in [(None, 0), (0, 1), (1, 2)]:
+        if prev_v is None:
+            batch = bronze.read(version=cur_v).select(*_FINAL_COLS)
+        else:
+            batch = bronze.read_incremental(prev_v, cur_v).select(*_FINAL_COLS)
+        if silver is None:
+            silver = LakehouseTable.create(
+                spark, f"{root}/silver", batch,
+                key_cols=["user_id"], precombine="ts",
+                tiebreakers=["event_id"],
+            )
+        else:
+            silver.upsert(batch)
+    return silver.read().select(*_FINAL_COLS)
