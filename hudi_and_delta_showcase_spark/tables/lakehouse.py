@@ -195,6 +195,40 @@ class LakehouseTable:
             .drop("__rn")
         )
 
+    def read_for_keys(
+        self, keys: list, version: int | None = None
+    ) -> DataFrame:
+        """Point-lookup read path: scan ONLY the files whose record-key
+        range can contain one of ``keys`` (driver-side metadata check
+        against the manifest's per-file key ranges — no Spark job for
+        the pruning itself), then filter exactly. After
+        ``optimize(cluster_by=...)`` ranges are disjoint, so a k-key
+        lookup reads O(k) files out of millions — Hudi's record-index
+        read path expressed on the manifest. Files with unknown ranges
+        are scanned conservatively. MoR with outstanding logs resolves
+        through the `_rt` merge first (logs are unindexed until
+        compaction, as in Hudi), then filters."""
+        commit = self._commit(version)
+        rks = {
+            "|".join("" if v is None else str(v) for v in k)
+            if isinstance(k, (tuple, list))
+            else ("" if k is None else str(k))
+            for k in keys
+        }
+        if self.table_type == MERGE_ON_READ and commit.log_files:
+            return self.read_rt(version).filter(
+                F.col("_hoodie_record_key").isin(*sorted(rks))
+            )
+        candidates = []
+        for f in commit.files:
+            rng = commit.key_ranges.get(f)
+            if rng is None or any(rng[0] <= rk <= rng[1] for rk in rks):
+                candidates.append(f)
+        if not candidates:
+            return self._read_base(commit).limit(0)
+        df = self._read_parquet(candidates)
+        return df.filter(F.col("_hoodie_record_key").isin(*sorted(rks)))
+
     def history(self) -> list[mf.Commit]:
         """C7: the commit timeline (Hudi `.hoodie` / Delta `_delta_log`)."""
         return [mf.read_commit(self.path, v) for v in mf.list_versions(self.path)]

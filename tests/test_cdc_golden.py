@@ -319,3 +319,45 @@ def test_optimize_cluster_by_preserves_data_and_sorts_files(spark, sf_dir, tmp_p
         .filter(F.col("prev").isNotNull() & (F.col("user_id") < F.col("prev")))
     )
     assert per_file.count() == 0
+
+
+def test_read_for_keys_prunes_files(spark, sf_dir, tmp_path):
+    """Point-lookup path: after clustering, a 3-key lookup must scan a
+    strict subset of the table's files (driver-side range pruning) and
+    return exactly those keys' rows."""
+    import pyspark.sql.functions as F
+
+    from hudi_and_delta_showcase_spark.io import load_table
+    from hudi_and_delta_showcase_spark.tables import LakehouseTable
+
+    events = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "ts", "value"
+    )
+    t = LakehouseTable.create(
+        spark, str(tmp_path / "t"), events,
+        key_cols=["event_id"], precombine="ts",
+    )
+    t.optimize(target_files=8, cluster_by=["_hoodie_record_key"])
+    ids = sorted(r.event_id for r in events.select("event_id").collect())
+    probe = [ids[0], ids[len(ids) // 2], ids[-1]]
+
+    out = t.read_for_keys(probe)
+    assert 0 < len(out.inputFiles()) < 8  # pruned, not full scan
+    got = sorted(r.event_id for r in out.collect())
+    assert got == sorted(probe)
+
+    # missing key -> empty, never an error
+    assert t.read_for_keys(["definitely-not-a-key"]).count() == 0
+
+    # MoR path: logs outstanding -> resolves through _rt, still exact
+    m = LakehouseTable.create(
+        spark, str(tmp_path / "m"), events,
+        key_cols=["event_id"], precombine="ts", table_type="mor",
+    )
+    m.upsert(
+        events.filter(F.col("event_id") == probe[0]).withColumn(
+            "value", F.lit(-5.0)
+        ).withColumn("ts", F.col("ts") + F.expr("INTERVAL 1000 DAYS"))
+    )
+    rows = m.read_for_keys([probe[0]]).collect()
+    assert len(rows) == 1 and rows[0].value == -5.0
