@@ -565,6 +565,19 @@ class LakehouseTable:
         ranged = [f for f in affected if f in ranges]
         if not ranged:
             return affected, []
+        # Cheap driver-side payoff check: when file key ranges mutually
+        # overlap (hash-distributed writes, no clustering), every file
+        # intersects every batch and the probe job is pure overhead.
+        # Pruning only pays when files are mostly DISJOINT in key space
+        # (post optimize(cluster_by=...)); measure that in O(n log n).
+        spans = sorted(ranges[f] for f in ranged)
+        disjoint = sum(
+            1
+            for i in range(1, len(spans))
+            if spans[i][0] > spans[i - 1][1]
+        )
+        if disjoint < len(spans) // 2:
+            return affected, []
         pp_of = {f: self._partition_value_of(f) for f in ranged}
         ranges_df = self.spark.createDataFrame(
             [(f, pp_of[f], ranges[f][0], ranges[f][1]) for f in ranged],
