@@ -71,9 +71,10 @@ PRIORITY: tuple[str, ...] = (
     "similarity_ivf_containment",
     # -- text analysis ----------------------------------------------------
     "text_quality_scores",
-    "text_lang_id",
     "text_tfidf_top_terms",
     "text_winnowing_fp",
+    # -- end-to-end curation pipeline -------------------------------------
+    "pipeline_corpus_curation",
     # -- deterministic sampling -------------------------------------------
     "sample_uniform_hash",
     "sample_stratified_take",
@@ -91,6 +92,7 @@ PRIORITY: tuple[str, ...] = (
     "cdc_schema_evolution",
     "cdc_medallion_sync",
     "q3_shipping_priority",
+    "text_lang_id",
     "sample_train_split",
     "agg_cube",
     "agg_percentiles",

@@ -1031,3 +1031,136 @@ def sketch_percentile_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("gk_within_1pct"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# End-to-end corpus curation (the full training-data pipeline, composed)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "pipeline_corpus_curation",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, text,
+             list_filter(string_split(lower(text), ' '), x -> x <> '') AS w
+      FROM documents
+    ), feat AS (
+      SELECT doc_id,
+             len(w) AS n_tokens,
+             length(regexp_replace(text, '[A-Za-z0-9 ]', '', 'g'))::DOUBLE
+               / length(text) AS punct_ratio,
+             len(list_filter(w, x -> list_contains(['the','a','and','of','to'], x))) AS score_en,
+             len(list_filter(w, x -> list_contains(['el','la','de','que','y'], x))) AS score_es,
+             len(list_filter(w, x -> list_contains(['der','die','das','und','ist'], x))) AS score_de,
+             len(list_filter(w, x -> list_contains(['le','la','les','et','est'], x))) AS score_fr,
+             md5(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS md5_fp
+      FROM t
+    ), lng AS (
+      SELECT *,
+        CASE
+          WHEN score_en > 0 AND score_en >= score_es AND score_en >= score_de
+               AND score_en >= score_fr THEN 'en'
+          WHEN score_es > 0 AND score_es >= score_de AND score_es >= score_fr
+               THEN 'es'
+          WHEN score_de > 0 AND score_de >= score_fr THEN 'de'
+          WHEN score_fr > 0 THEN 'fr'
+          ELSE 'und' END AS pred_lang
+      FROM feat
+    ), kept AS (
+      SELECT * FROM lng
+      WHERE n_tokens >= 5 AND punct_ratio < 0.3 AND pred_lang <> 'und'
+    ), ded AS (
+      SELECT * FROM (
+        SELECT *, ROW_NUMBER() OVER (
+          PARTITION BY md5_fp ORDER BY doc_id) AS rn
+        FROM kept
+      ) WHERE rn = 1
+    ), sh AS (
+      SELECT d.doc_id,
+             list_distinct(list_transform(
+               generate_series(1, greatest(len(t.w) - 2, 0)),
+               i -> t.w[i] || ' ' || t.w[i+1] || ' ' || t.w[i+2])) AS s
+      FROM ded d JOIN t ON t.doc_id = d.doc_id
+    ), neardup AS (
+      SELECT DISTINCT b.doc_id
+      FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+      WHERE len(list_intersect(a.s, b.s))::DOUBLE
+              / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) >= 0.8
+    ), final AS (
+      SELECT * FROM ded WHERE doc_id NOT IN (SELECT doc_id FROM neardup)
+    )
+    SELECT CASE WHEN ('0x' || substr(md5(concat(cast(doc_id AS VARCHAR),
+                   'cur-v1')), 1, 12))::BIGINT < {_SPLIT_TRAIN_THRESH}
+                THEN 'train'
+                WHEN ('0x' || substr(md5(concat(cast(doc_id AS VARCHAR),
+                   'cur-v1')), 1, 12))::BIGINT < {_SPLIT_VAL_THRESH}
+                THEN 'val' ELSE 'test' END AS split,
+           pred_lang,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_tokens) AS BIGINT) AS sum_tokens
+    FROM final
+    GROUP BY 1, 2
+    """,
+    tags=("pipeline", "dedup", "text", "sampling"),
+)
+def pipeline_corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The complete corpus-curation pipeline, composed from this
+    engine's operators exactly as a production training-data run chains
+    them: quality gate (length + punctuation) -> language ID (drop
+    unidentifiable) -> exact dedup (normalized-md5, keep lowest id) ->
+    near-dup removal (trigram Jaccard >= 0.8, greedy keep-earliest) ->
+    deterministic 80/10/10 split -> per-(split, lang) accounting.
+
+    Every stage is individually oracle-checked elsewhere; this query
+    checks their COMPOSITION end-to-end. Plan shape: two map-only
+    feature stages fused into one scan pass, one hash-agg for exact
+    dedup, one inverted-index self-join for near-dups (candidates only
+    — never all-pairs), one final partial-agg rollup. No stage ever
+    materializes driver-side."""
+    docs = load_table(spark, sf_dir, "documents")
+    q = T.quality_scores(docs, "doc_id", "text").select(
+        "doc_id", "n_tokens", "punct_ratio"
+    )
+    lng = T.lang_id(docs, "doc_id", "text").select("doc_id", "pred_lang")
+    fp = T.fingerprint(docs, "doc_id", "text").select("doc_id", "md5_fp")
+    kept = (
+        docs.select("doc_id")
+        .join(q, "doc_id")
+        .join(lng, "doc_id")
+        .join(fp, "doc_id")
+        .filter(
+            (F.col("n_tokens") >= 5)
+            & (F.col("punct_ratio") < 0.3)
+            & (F.col("pred_lang") != "und")
+        )
+    )
+    from pyspark.sql import Window
+
+    ded = (
+        kept.withColumn(
+            "__rn",
+            F.row_number().over(
+                Window.partitionBy("md5_fp").orderBy("doc_id")
+            ),
+        )
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+    sh = _docs_shingled(spark, sf_dir).join(
+        ded.select("doc_id"), "doc_id"
+    )
+    pairs = D.jaccard_pairs(sh, "doc_id", "shingles", threshold=0.8)
+    final = ded.join(
+        pairs.select(F.col("doc_b").alias("doc_id")).distinct(),
+        "doc_id",
+        "left_anti",
+    )
+    out = SA.train_split(
+        final, "doc_id", {"train": 0.8, "val": 0.1, "test": 0.1},
+        seed="cur-v1",
+    )
+    return out.groupBy("split", "pred_lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").alias("sum_tokens"),
+    )
