@@ -64,11 +64,11 @@ PRIORITY: tuple[str, ...] = (
     "dedup_minhash_lsh",
     "dedup_jaccard_pairs",
     "dedup_embedding_cosine",
-    "dedup_components",
     # -- similarity / ANN -------------------------------------------------
     "similarity_topk_bruteforce",
     "similarity_lsh_containment",
     "similarity_ivf_containment",
+    "similarity_pq_containment",
     # -- text analysis ----------------------------------------------------
     "text_quality_scores",
     "text_tfidf_top_terms",
@@ -93,6 +93,7 @@ PRIORITY: tuple[str, ...] = (
     "cdc_medallion_sync",
     "q3_shipping_priority",
     "text_lang_id",
+    "dedup_components",
     "sample_train_split",
     "agg_cube",
     "agg_percentiles",

@@ -1164,3 +1164,32 @@ def pipeline_corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_docs"),
         F.sum("n_tokens").alias("sum_tokens"),
     )
+
+
+@query(
+    "similarity_pq_containment",
+    oracle=_EXACT_TOP1_ORACLE,
+    tags=("similarity", "sketch"),
+)
+def similarity_pq_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization ANN quality gate, oracle-checkable: the PQ
+    compressed-domain candidate set (8 subspaces x 64 codes = 8-byte
+    codes, 32x compression; asymmetric-distance LUT scan + top-100)
+    must CONTAIN the exact top-1 neighbor of every query — validated at
+    all fixture SFs. The query returns exact-top-1 pairs semi-joined
+    against PQ candidates; a lossy-quantization miss drops a row and
+    flips the driver check red. PQ's scale win is BANDWIDTH (the coded
+    corpus is 32x smaller than the float corpus, so the scan is
+    memory-resident at sizes where floats are not) plus exact re-rank
+    of only the candidate set; these isotropic synthetic embeddings are
+    the hard case for it, hence the generous candidate count."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10)
+    exact = S.exact_topk_quantized(queries, emb, "vec_id", "embedding", k=1)
+    cand = S.pq_candidates(
+        queries, emb, "vec_id", "embedding",
+        n_candidates=100, m=8, ncode=64,
+    )
+    return exact.join(cand, ["query_id", "neighbor_id"], "semi").select(
+        "query_id", "neighbor_id", "sim"
+    )

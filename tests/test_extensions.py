@@ -124,3 +124,26 @@ def test_jaccard_strategies_agree(spark, sf_dir, docs_shingled):
         ).collect()
     }
     assert counting == prefix and counting
+
+
+def test_pq_recall_floor(spark, sf_dir):
+    """PQ candidates (m=8, ncode=64, C=100) must recover >=80% of the
+    exact top-10 and 100% of the exact top-1 on the fixture corpus."""
+    import pyspark.sql.functions as F
+
+    from hudi_and_delta_showcase_spark.io import load_table
+    from hudi_and_delta_showcase_spark.operators import similarity as S
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10)
+    cand = S.pq_candidates(
+        queries, emb, "vec_id", "embedding",
+        n_candidates=100, m=8, ncode=64,
+    )
+    ex1 = S.exact_topk_quantized(queries, emb, "vec_id", "embedding", k=1)
+    assert ex1.join(cand, ["query_id", "neighbor_id"], "semi").count() == (
+        ex1.count()
+    )
+    ex10 = S.exact_topk_quantized(queries, emb, "vec_id", "embedding", k=10)
+    hits = ex10.join(cand, ["query_id", "neighbor_id"], "semi").count()
+    assert hits >= 0.8 * ex10.count()
