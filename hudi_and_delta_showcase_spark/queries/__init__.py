@@ -91,6 +91,7 @@ PRIORITY: tuple[str, ...] = (
     "cdc_soft_delete_state",
     "cdc_schema_evolution",
     "cdc_medallion_sync",
+    "table_history",
     "q3_shipping_priority",
     "text_lang_id",
     "dedup_components",

@@ -462,3 +462,48 @@ def cdc_medallion_sync(spark: SparkSession, sf_dir: str) -> DataFrame:
         else:
             silver.upsert(batch)
     return silver.read().select(*_FINAL_COLS)
+
+
+@query(
+    "table_history",
+    oracle="""
+    SELECT * FROM (VALUES
+      (0, 'insert',   TRUE,  0),
+      (1, 'upsert',   TRUE,  0),
+      (2, 'optimize', TRUE,  0),
+      (3, 'upsert',   TRUE,  1)
+    ) AS t(version, action, has_files, key_range_skipped)
+    """,
+    tags=("cdc", "table", "ddl"),
+)
+def table_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C7/D10: the commit timeline surface (Hudi `show_commits` / Delta
+    DESCRIBE HISTORY, README.md:1230-1240): create -> upsert ->
+    optimize(cluster) -> narrow upsert, then read the history back.
+    The last row pins key-level file skipping working through the
+    PUBLIC history API: after clustering, the narrow upsert must have
+    skipped at least one file (emitted as a saturating 0/1 flag so the
+    oracle literal is stable across file-layout noise)."""
+    base, incr = _split(spark, sf_dir)
+    path = tempfile.mkdtemp(prefix="history_") + "/events_tbl"
+    t = LakehouseTable.create(
+        spark, path, base,
+        key_cols=["user_id"], precombine="ts", tiebreakers=["event_id"],
+    )
+    t.upsert(incr)
+    t.optimize(target_files=8, cluster_by=["_hoodie_record_key"])
+    one_key = incr.limit(1)
+    t.upsert(one_key.withColumn("value", F.col("value") + 1.0))
+    hist = [
+        (
+            c.version,
+            c.action,
+            len(c.files) > 0,
+            min(1, c.stats.get("key_range_skipped_files", 0)),
+        )
+        for c in t.history()
+    ]
+    return spark.createDataFrame(
+        hist, "version int, action string, has_files boolean, "
+        "key_range_skipped int"
+    )
