@@ -92,6 +92,7 @@ PRIORITY: tuple[str, ...] = (
     "cdc_schema_evolution",
     "cdc_medallion_sync",
     "table_history",
+    "cdc_gdpr_purge",
     "q3_shipping_priority",
     "text_lang_id",
     "dedup_components",

@@ -507,3 +507,47 @@ def table_history(spark: SparkSession, sf_dir: str) -> DataFrame:
         hist, "version int, action string, has_files boolean, "
         "key_range_skipped int"
     )
+
+
+@query(
+    "cdc_gdpr_purge",
+    oracle=f"""
+    SELECT event_id, user_id, ts, event_type, value,
+           TRUE AS physically_erased
+    FROM (
+      SELECT *, ROW_NUMBER() OVER (
+        PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+      FROM events
+    ) WHERE rn = 1 AND user_id NOT IN (1, 2, 3)
+    """,
+    tags=("cdc", "table", "maintenance"),
+)
+def cdc_gdpr_purge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Right-to-erasure purge: hard-delete a key set from the CoW table,
+    then VACUUM so the pre-delete file versions are physically gone —
+    deletion is only real once no retained file still holds the rows
+    (the reference's note that old files persist until vacuum,
+    README.md:1240). ``physically_erased`` re-scans EVERY parquet file
+    left on disk for the purged keys and rides the oracle row, so a
+    retention bug (vacuum keeping an old version, rewrite missing a
+    file) flips the driver check red."""
+    import os as _os
+
+    purge_keys = [1, 2, 3]
+    t = _make_table(spark, sf_dir, "cow")
+    t.delete(
+        spark.createDataFrame([(k,) for k in purge_keys], "user_id long")
+    )
+    t.vacuum(retain_versions=1)
+
+    # physical audit: raw-scan every parquet file still on disk
+    leftover = []
+    for dirpath, _dn, fns in _os.walk(t.path):
+        leftover += [
+            _os.path.join(dirpath, f) for f in fns if f.endswith(".parquet")
+        ]
+    raw = spark.read.option("mergeSchema", "true").parquet(*leftover)
+    erased = raw.filter(F.col("user_id").isin(purge_keys)).count() == 0
+    return t.read().select(*_FINAL_COLS).withColumn(
+        "physically_erased", F.lit(erased)
+    )

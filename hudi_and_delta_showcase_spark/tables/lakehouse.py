@@ -356,6 +356,63 @@ class LakehouseTable:
         mf.append_commit(self.path, commit)
         return commit
 
+    def delete(self, keys: DataFrame) -> mf.Commit:
+        """Hard delete by key (Hudi DELETE operation / Delta DELETE):
+        rewrite only the files that can hold the keys (same partition +
+        key-range pruning as upsert), anti-joining the keys out.
+        Physical erasure of prior versions then requires ``vacuum`` —
+        the MVCC property the reference calls out (README.md:1240).
+
+        MoR tables compact first (folding logs into a base) so the
+        delete is a base-file rewrite — equivalent to Hudi deleting via
+        a compaction-scheduled plan; a log-tombstone fast path would be
+        the next refinement if delete latency ever matters."""
+        if self.table_type == MERGE_ON_READ and self._commit(None).log_files:
+            self.compact()
+        commit_time = mf.make_commit_time()
+        prev = self._commit(None)
+        version = prev.version + 1
+        kcols = self._resolution_cols()
+        keys = keys.select(*kcols).distinct()
+        affected, untouched = self._split_affected(prev.files, keys)
+        stamped_keys = self._stamp_meta(keys, commit_time)
+        affected, range_skipped = self._probe_key_hits(
+            affected, prev.key_ranges, stamped_keys
+        )
+        untouched = untouched + range_skipped
+        new_files: list[str] = []
+        if affected:
+            target = self._read_parquet(affected).alias("t")
+            cond = None
+            for c in kcols:
+                e = F.col(f"t.{c}").eqNullSafe(F.col(f"s.{c}"))
+                cond = e if cond is None else cond & e
+            kept = target.join(
+                F.broadcast(keys.alias("s")), cond, "left_anti"
+            )
+            new_files = self._write_files(kept, f"c{version:05d}")
+        commit = mf.Commit(
+            version=version,
+            action="delete",
+            commit_time=commit_time,
+            files=untouched + new_files,
+            log_files=[],
+            stats={
+                "rewritten_files": len(affected),
+                "key_range_skipped_files": len(range_skipped),
+            },
+            key_ranges={
+                **{
+                    f: prev.key_ranges[f]
+                    for f in untouched
+                    if f in prev.key_ranges
+                },
+                **self._file_key_ranges(new_files),
+            },
+        )
+        mf.append_commit(self.path, commit)
+        return commit
+
     def compact(self) -> mf.Commit:
         """MoR compaction: fold log files into a fresh base (the async
         compaction the reference schedules, README.md:605,918)."""

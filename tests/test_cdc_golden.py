@@ -361,3 +361,27 @@ def test_read_for_keys_prunes_files(spark, sf_dir, tmp_path):
     )
     rows = m.read_for_keys([probe[0]]).collect()
     assert len(rows) == 1 and rows[0].value == -5.0
+
+
+def test_delete_operation(spark, table_dir):
+    """Hard DELETE by key: rows gone from the snapshot, prior versions
+    still time-travelable until vacuum, MoR compacts-then-deletes."""
+    full, cdc = _prepare(spark)
+    t = LakehouseTable.create(
+        spark, table_dir, full,
+        key_cols=["pk_id"], precombine="updated_at", table_type="cow",
+    )
+    t.upsert(cdc)
+    t.delete(spark.createDataFrame([(2,), (3,)], "pk_id long"))
+    assert set(_state(t.read())) == {1, 4, 5}
+    # MVCC: pre-delete version still readable
+    assert set(_state(t.read(version=1))) == {1, 2, 3, 4, 5}
+    assert t._commit(None).action == "delete"
+
+    m = LakehouseTable.create(
+        spark, table_dir + "_mor", full,
+        key_cols=["pk_id"], precombine="updated_at", table_type="mor",
+    )
+    m.upsert(cdc)
+    m.delete(spark.createDataFrame([(5,)], "pk_id long"))
+    assert set(_state(m.read())) == {1, 2, 3, 4}
