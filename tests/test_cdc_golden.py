@@ -385,3 +385,25 @@ def test_delete_operation(spark, table_dir):
     m.upsert(cdc)
     m.delete(spark.createDataFrame([(5,)], "pk_id long"))
     assert set(_state(m.read())) == {1, 2, 3, 4}
+
+
+def test_optimistic_concurrency_conflict(spark, table_dir):
+    """Two writers racing to the same commit version: the second
+    append_commit must fail loudly (version file already exists), never
+    silently overwrite — the manifest layer's optimistic concurrency."""
+    from hudi_and_delta_showcase_spark.tables import manifest as mf
+
+    full, _ = _prepare(spark)
+    t = LakehouseTable.create(
+        spark, table_dir, full, key_cols=["pk_id"], precombine="updated_at",
+    )
+    v = t._commit(None).version + 1
+    c = mf.Commit(version=v, action="upsert",
+                  commit_time=mf.make_commit_time())
+    mf.append_commit(t.path, c)
+    with pytest.raises(RuntimeError, match="concurrent"):
+        mf.append_commit(
+            t.path,
+            mf.Commit(version=v, action="upsert",
+                      commit_time=mf.make_commit_time()),
+        )
