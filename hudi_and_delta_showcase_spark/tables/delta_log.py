@@ -135,7 +135,72 @@ def write_delta_table(df: DataFrame, path: str, mode: str = "append") -> int:
     return version
 
 
-def _replay(path: str, version: int | None) -> tuple[dict, list[str]]:
+def write_checkpoint(spark: SparkSession, path: str) -> int:
+    """Write a checkpoint at the current version: one parquet file of
+    the live actions plus ``_last_checkpoint`` — replay then starts from
+    the checkpoint instead of commit 0, making snapshot resolution
+    O(commits-since-checkpoint) no matter how long the table has lived
+    (real Delta writes one every 10 commits). File naming and
+    ``_last_checkpoint`` follow the protocol; the checkpoint's INTERNAL
+    row schema is simplified (kind/json pairs rather than the typed
+    action struct columns), so the JSON commit log remains the
+    delta-spark-compatible surface."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    versions = _list_versions(path)
+    if not versions:
+        raise FileNotFoundError(f"no _delta_log commits under {path}")
+    version = versions[-1]
+    meta, files = _replay(path, version, use_checkpoint=False)
+    rows = [
+        {"kind": "protocol", "json": json.dumps(_PROTOCOL)},
+        {"kind": "metaData", "json": json.dumps(meta)},
+    ] + [
+        {"kind": "add", "json": json.dumps({"path": f, "dataChange": False})}
+        for f in files
+    ]
+    cp = os.path.join(_log_dir(path), f"{version:020d}.checkpoint.parquet")
+    pq.write_table(
+        pa.table(
+            {
+                "kind": [r["kind"] for r in rows],
+                "json": [r["json"] for r in rows],
+            }
+        ),
+        cp,
+    )
+    with open(os.path.join(_log_dir(path), "_last_checkpoint"), "w") as fh:
+        json.dump({"version": version, "size": len(rows)}, fh)
+    return version
+
+
+def _read_checkpoint(path: str) -> tuple[int, dict, dict[str, bool]] | None:
+    lc = os.path.join(_log_dir(path), "_last_checkpoint")
+    if not os.path.exists(lc):
+        return None
+    import pyarrow.parquet as pq
+
+    with open(lc) as fh:
+        cp_version = json.load(fh)["version"]
+    cp = os.path.join(
+        _log_dir(path), f"{cp_version:020d}.checkpoint.parquet"
+    )
+    tbl = pq.read_table(cp).to_pylist()
+    meta: dict = {}
+    live: dict[str, bool] = {}
+    for row in tbl:
+        payload = json.loads(row["json"])
+        if row["kind"] == "metaData":
+            meta = payload
+        elif row["kind"] == "add":
+            live[payload["path"]] = True
+    return cp_version, meta, live
+
+
+def _replay(
+    path: str, version: int | None, use_checkpoint: bool = True
+) -> tuple[dict, list[str]]:
     versions = _list_versions(path)
     if not versions:
         raise FileNotFoundError(f"no _delta_log commits under {path}")
@@ -144,7 +209,16 @@ def _replay(path: str, version: int | None) -> tuple[dict, list[str]]:
         raise ValueError(f"version {upto} not in log (have {versions})")
     meta: dict = {}
     live: dict[str, bool] = {}
+    start = 0
+    if use_checkpoint:
+        cp = _read_checkpoint(path)
+        # a checkpoint is only usable when it does not overshoot the
+        # requested time-travel version
+        if cp is not None and cp[0] <= upto:
+            start, meta, live = cp[0] + 1, dict(cp[1]), dict(cp[2])
     for v in versions:
+        if v < start:
+            continue
         if v > upto:
             break
         with open(_commit_file(path, v)) as fh:

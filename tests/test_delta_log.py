@@ -75,3 +75,42 @@ def test_schema_pinned_from_log(spark):
     assert [(f.name, f.dataType.simpleString()) for f in got.schema.fields] == [
         ("k", "int"), ("v", "string"),
     ]
+
+
+def test_checkpoint_replay(spark, sf_dir, tmp_path):
+    """Protocol checkpoint: after write_checkpoint, snapshot resolution
+    starts from the checkpoint (commit files before it are not needed),
+    and time travel BEFORE the checkpoint still replays the full log."""
+    import os
+
+    from hudi_and_delta_showcase_spark.io import load_table
+    from hudi_and_delta_showcase_spark.tables.delta_log import (
+        read_delta_table,
+        write_checkpoint,
+        write_delta_table,
+    )
+
+    events = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "value"
+    )
+    path = str(tmp_path / "dl")
+    write_delta_table(events.filter("event_id % 3 = 0"), path)
+    write_delta_table(events.filter("event_id % 3 = 1"), path)
+    cp_v = write_checkpoint(spark, path)
+    write_delta_table(events.filter("event_id % 3 = 2"), path)
+
+    assert os.path.exists(
+        os.path.join(path, "_delta_log", "_last_checkpoint")
+    )
+    assert os.path.exists(
+        os.path.join(path, "_delta_log", f"{cp_v:020d}.checkpoint.parquet")
+    )
+    # full snapshot correct through the checkpointed replay
+    assert read_delta_table(spark, path).count() == events.count()
+    # time travel to v0 (pre-checkpoint) still works
+    n0 = events.filter("event_id % 3 = 0").count()
+    assert read_delta_table(spark, path, version=0).count() == n0
+    # deleting the pre-checkpoint commit JSONs: snapshot still resolves
+    # (checkpoint replaces them), proving replay starts at the checkpoint
+    os.remove(os.path.join(path, "_delta_log", f"{0:020d}.json"))
+    assert read_delta_table(spark, path).count() == events.count()
