@@ -531,3 +531,48 @@ def pq_candidates(
         .filter(F.col("__r") <= n_candidates)
         .select("query_id", "neighbor_id")
     )
+
+
+def topk_pq(
+    queries: DataFrame,
+    corpus: DataFrame,
+    id_col: str,
+    vec_col: str,
+    k: int = 10,
+    n_candidates: int = 100,
+    m: int = 8,
+    ncode: int = 16,
+    seed: int = 42,
+) -> DataFrame:
+    """PQ ANN top-k: compressed-domain candidate scan (pq_candidates)
+    followed by exact-cosine re-rank of ONLY the candidate set — the
+    standard two-stage PQ retrieval. Re-rank cost is O(|Q| x C), never
+    O(|Q| x corpus)."""
+    cand = pq_candidates(
+        queries, corpus, id_col, vec_col,
+        n_candidates=n_candidates, m=m, ncode=ncode, seed=seed,
+    )
+    pairs = cand.join(
+        corpus.select(
+            F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("c_vec")
+        ),
+        "neighbor_id",
+    ).join(
+        F.broadcast(
+            queries.select(
+                F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec")
+            )
+        ),
+        "query_id",
+    )
+    scored = with_cosine(pairs, "q_vec", "c_vec", "cosine").withColumn(
+        "sim", F.round("cosine", 6)
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("sim"), F.asc("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "sim", "rank")
+    )

@@ -132,6 +132,7 @@ PRIORITY: tuple[str, ...] = (
     "dedup_simhash",
     "similarity_topk_lsh",
     "similarity_topk_ivf",
+    "similarity_topk_pq",
     "multimodal_feature_extract",
 )
 

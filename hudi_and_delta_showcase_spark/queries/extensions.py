@@ -1193,3 +1193,17 @@ def similarity_pq_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     return exact.join(cand, ["query_id", "neighbor_id"], "semi").select(
         "query_id", "neighbor_id", "sim"
     )
+
+
+@query("similarity_topk_pq", oracle=None, tags=("similarity",))
+def similarity_topk_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PQ ANN top-10 (production two-stage shape: 8-byte-coded corpus
+    scan -> exact re-rank of 100 candidates). Codebooks are data-trained
+    -> no ANSI twin; quality is driver-gated by
+    similarity_pq_containment and floor-tested in pytest."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10)
+    return S.topk_pq(
+        queries, emb, "vec_id", "embedding",
+        k=10, n_candidates=100, m=8, ncode=64,
+    )
