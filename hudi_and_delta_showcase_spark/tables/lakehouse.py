@@ -17,7 +17,7 @@ would be affected", README.md:1240).
 
 Meta columns (§1.5, README.md:299-304): Hudi's five ``_hoodie_*`` columns
 are stamped as ordinary derived columns at write time
-(``_hoodie_file_name`` at read time via ``input_file_name()``).
+(``_hoodie_file_name`` at read time via the scan's ``_metadata.file_name``).
 
 Scale notes (100 TB):
 * Partition layout is hive-style (``__pp=value`` dirs) with the partition
@@ -553,7 +553,7 @@ class LakehouseTable:
         sub = "log" if log else "data"
         rel_dir = os.path.join(sub, f"{commit_dir}-{uuid.uuid4().hex[:8]}")
         out = os.path.join(self.path, rel_dir)
-        # _hoodie_file_name is a READ-time column (input_file_name());
+        # _hoodie_file_name is a READ-time column (_metadata.file_name);
         # persisting it would accrete a stale column on every rewrite.
         if "_hoodie_file_name" in df.columns:
             df = df.drop("_hoodie_file_name")
@@ -679,9 +679,13 @@ class LakehouseTable:
         paths = [os.path.join(self.path, f) for f in rel_files]
         # mergeSchema: files may span commits with evolved schemas
         df = self.spark.read.option("mergeSchema", "true").parquet(*paths)
+        # _hoodie_file_name from the scan's native _metadata column, NOT
+        # input_file_name(): the latter is non-deterministic, and a
+        # Project containing it BLOCKS predicate pushdown into the scan
+        # (turning incremental pulls / point lookups into full scans at
+        # 100 TB — caught by test_incremental_pull_pushes_commit_time_filter).
         return df.withColumn(
-            "_hoodie_file_name",
-            F.element_at(F.split(F.input_file_name(), "/"), -1),
+            "_hoodie_file_name", F.col("_metadata.file_name")
         )
 
     def _read_base(self, commit: mf.Commit) -> DataFrame:

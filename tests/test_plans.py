@@ -159,3 +159,24 @@ def test_salted_agg_has_two_exchanges(spark, sf_dir):
     # "Arguments: hashpartitioning(...)" line
     assert plan.count("hashpartitioning(") >= 2
     assert "hashpartitioning(event_type" in plan
+
+
+def test_incremental_pull_pushes_commit_time_filter(spark, sf_dir, tmp_path):
+    """The incremental pull's commit-time range predicate must reach the
+    parquet reader (PushedFilters), so at scale the pull is row-group-
+    skipped O(changed data), not a full-table scan + post-filter."""
+    import pyspark.sql.functions as F
+
+    from hudi_and_delta_showcase_spark.io import load_table
+    from hudi_and_delta_showcase_spark.tables import LakehouseTable
+
+    events = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "ts", "value"
+    )
+    t = LakehouseTable.create(
+        spark, str(tmp_path / "t"), events.filter("event_id % 2 = 0"),
+        key_cols=["event_id"], precombine="ts",
+    )
+    t.upsert(events.filter("event_id % 2 = 1"))
+    plan = _formatted_plan(t.read_incremental(0))
+    assert re.search(r"PushedFilters: \[[^\]]*_hoodie_commit_time", plan)
