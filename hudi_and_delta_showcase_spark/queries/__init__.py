@@ -93,6 +93,7 @@ PRIORITY: tuple[str, ...] = (
     "cdc_medallion_sync",
     "table_history",
     "cdc_gdpr_purge",
+    "cdc_stats_skipping_read",
     "q3_shipping_priority",
     "text_lang_id",
     "dedup_components",

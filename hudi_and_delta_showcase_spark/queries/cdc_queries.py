@@ -551,3 +551,34 @@ def cdc_gdpr_purge(spark: SparkSession, sf_dir: str) -> DataFrame:
     return t.read().select(*_FINAL_COLS).withColumn(
         "physically_erased", F.lit(erased)
     )
+
+
+@query(
+    "cdc_stats_skipping_read",
+    oracle="""
+    SELECT event_id, user_id, ts, event_type, value,
+           TRUE AS files_pruned
+    FROM events WHERE user_id BETWEEN 10 AND 40
+    """,
+    tags=("cdc", "table", "scan"),
+)
+def cdc_stats_skipping_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Column-stats data skipping (Delta stats / Hudi col-stats index):
+    cluster the table on ``user_id``, then range-read via ``read_where``
+    — the manifest's per-file min/max prunes non-intersecting files
+    driver-side BEFORE the scan, and the exact predicate pushes into
+    the surviving files for row-group skipping. ``files_pruned``
+    asserts the scan really read a strict subset of the table's files,
+    folded into the oracle row."""
+    events = load_table(spark, sf_dir, "events").select(*_FINAL_COLS)
+    path = tempfile.mkdtemp(prefix="statsskip_") + "/events_tbl"
+    t = LakehouseTable.create(
+        spark, path, events,
+        key_cols=["event_id"], precombine="ts",
+    )
+    t.optimize(target_files=8, cluster_by=["user_id"])
+    out = t.read_where("user_id", lo=10, hi=40)
+    pruned = 0 < len(out.inputFiles()) < len(t._commit(None).files)
+    return out.select(*_FINAL_COLS).withColumn(
+        "files_pruned", F.lit(pruned)
+    )

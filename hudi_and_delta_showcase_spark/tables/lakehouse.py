@@ -134,7 +134,7 @@ class LakehouseTable:
                 files=files,
                 log_files=[],
                 stats={"written_files": len(files)},
-                key_ranges=table._file_key_ranges(files),
+                **table._index_fields(files),
             ),
         )
         return table
@@ -296,6 +296,7 @@ class LakehouseTable:
                 log_files=prev.log_files + new_logs,
                 stats={"log_files_added": len(new_logs)},
                 key_ranges=prev.key_ranges,
+                col_stats=prev.col_stats,
             )
             mf.append_commit(self.path, commit)
             return commit
@@ -401,14 +402,8 @@ class LakehouseTable:
                 "rewritten_files": len(affected),
                 "key_range_skipped_files": len(range_skipped),
             },
-            key_ranges={
-                **{
-                    f: prev.key_ranges[f]
-                    for f in untouched
-                    if f in prev.key_ranges
-                },
-                **self._file_key_ranges(new_files),
-            },
+            **self._index_fields(new_files, carry_from=prev,
+                                 carried=untouched),
         )
         mf.append_commit(self.path, commit)
         return commit
@@ -432,7 +427,7 @@ class LakehouseTable:
             files=files,
             log_files=[],
             stats={"compacted_log_files": len(prev.log_files)},
-            key_ranges=self._file_key_ranges(files),
+            **self._index_fields(files),
         )
         mf.append_commit(self.path, commit)
         return commit
@@ -480,7 +475,7 @@ class LakehouseTable:
             files=files,
             log_files=[],
             stats={"before_files": len(prev.files), "after_files": len(files)},
-            key_ranges=self._file_key_ranges(files),
+            **self._index_fields(files),
         )
         mf.append_commit(self.path, commit)
         return commit
@@ -583,26 +578,131 @@ class LakehouseTable:
         Parquet may truncate binary stats: the reported min/max are then
         valid loose BOUNDS, so range pruning stays sound (a file is
         never skipped while holding a matching key)."""
+        stats = self._file_column_stats(rel_files, ["_hoodie_record_key"])
+        return {
+            f: cols["_hoodie_record_key"]
+            for f, cols in stats.items()
+            if "_hoodie_record_key" in cols
+        }
+
+    def _index_fields(
+        self,
+        new_files: list[str],
+        carry_from: mf.Commit | None = None,
+        carried: list[str] | None = None,
+    ) -> dict:
+        """Build the commit's file-skipping index fields: footer stats
+        for the NEW files (one pass each) merged with carried-over
+        entries from the previous commit for untouched files."""
+        stats = self._file_column_stats(new_files)
+        key_ranges = {
+            f: c["_hoodie_record_key"]
+            for f, c in stats.items()
+            if "_hoodie_record_key" in c
+        }
+        col_stats = dict(stats)
+        if carry_from is not None:
+            for f in carried or []:
+                if f in carry_from.key_ranges:
+                    key_ranges[f] = carry_from.key_ranges[f]
+                if f in carry_from.col_stats:
+                    col_stats[f] = carry_from.col_stats[f]
+        return {"key_ranges": key_ranges, "col_stats": col_stats}
+
+    def _file_column_stats(
+        self, rel_files: list[str], cols: list[str] | None = None
+    ) -> dict[str, dict[str, list]]:
+        """Column-stats index (Hudi col-stats / Delta data skipping):
+        per-file [min, max] for each requested column, harvested from
+        parquet footers in one pass per file. Only JSON-stable scalar
+        types are recorded (str/int/float/bool); other types are left
+        unindexed and scanned conservatively."""
         import pyarrow.parquet as pq
 
-        ranges: dict[str, list[str]] = {}
+        out: dict[str, dict[str, list]] = {}
+        ok = (str, int, float, bool)
         for rel in rel_files:
             try:
                 md = pq.ParquetFile(os.path.join(self.path, rel)).metadata
-                idx = md.schema.names.index("_hoodie_record_key")
-            except (OSError, ValueError):
+            except OSError:
                 continue
-            mins, maxs = [], []
-            for rg in range(md.num_row_groups):
-                st = md.row_group(rg).column(idx).statistics
-                if st is None or st.min is None or st.max is None:
-                    mins, maxs = [], []
-                    break
-                mins.append(st.min)
-                maxs.append(st.max)
-            if mins:
-                ranges[rel] = [min(mins), max(maxs)]
-        return ranges
+            names = md.schema.names
+            # cols=None: index every scalar column, capped at 32 like
+            # Delta's default stats collection
+            wanted = cols if cols is not None else names[:32]
+            per_col: dict[str, list] = {}
+            for col in wanted:
+                if col not in names:
+                    continue
+                idx = names.index(col)
+                mins, maxs = [], []
+                for rg in range(md.num_row_groups):
+                    st = md.row_group(rg).column(idx).statistics
+                    if (
+                        st is None
+                        or st.min is None
+                        or st.max is None
+                        or not isinstance(st.min, ok)
+                    ):
+                        mins, maxs = [], []
+                        break
+                    mins.append(st.min)
+                    maxs.append(st.max)
+                if mins:
+                    per_col[col] = [min(mins), max(maxs)]
+            if per_col:
+                out[rel] = per_col
+        return out
+
+    def read_where(
+        self,
+        col: str,
+        lo=None,
+        hi=None,
+        version: int | None = None,
+    ) -> DataFrame:
+        """Stats-pruned range read: skip every file whose footer
+        [min, max] for ``col`` cannot intersect [lo, hi] (driver-side
+        metadata check against the commit's ``col_stats``), then apply
+        the exact filter on the surviving scan — where Spark's own
+        row-group skipping finishes the job. After
+        ``optimize(cluster_by=[col])`` file ranges on ``col`` are
+        disjoint, so a selective range reads O(matching files), not
+        O(table) — Delta data skipping / Hudi column-stats-index
+        semantics on the manifest. Files without recorded stats are
+        scanned conservatively; MoR logs are always scanned."""
+        commit = self._commit(version)
+        keep = []
+        for f in commit.files:
+            rng = commit.col_stats.get(f, {}).get(col)
+            if rng is None:
+                keep.append(f)
+            elif (lo is None or rng[1] >= lo) and (hi is None or rng[0] <= hi):
+                keep.append(f)
+        if self.table_type == MERGE_ON_READ and commit.log_files:
+            pruned = mf.Commit(**{**commit.__dict__, "files": keep})
+            base = self._read_base(pruned)
+            log = self._read_parquet(commit.log_files)
+            df = base.unionByName(log, allowMissingColumns=True)
+            order = [F.desc("_hoodie_commit_time")]
+            if self.precombine:
+                order.append(F.desc(self.precombine))
+            order += [F.desc(t) for t in self.tiebreakers]
+            w = Window.partitionBy(*self._resolution_cols()).orderBy(*order)
+            df = (
+                df.withColumn("__rn", F.row_number().over(w))
+                .filter(F.col("__rn") == 1)
+                .drop("__rn")
+            )
+        elif keep:
+            df = self._read_parquet(keep)
+        else:
+            return self._read_base(commit).limit(0).filter(F.lit(False))
+        if lo is not None:
+            df = df.filter(F.col(col) >= lo)
+        if hi is not None:
+            df = df.filter(F.col(col) <= hi)
+        return df
 
     def _probe_key_hits(
         self,

@@ -39,6 +39,10 @@ class Commit:
     #: index's range pruning tier). Absent entries mean "unknown range"
     #: and are treated as always-matching (conservative rewrite).
     key_ranges: dict = field(default_factory=dict)
+    #: per-file {column: [min, max]} for scalar data columns — the
+    #: column-stats index behind ``read_where`` data skipping (Delta
+    #: stats / Hudi col-stats-index role). Same conservative contract.
+    col_stats: dict = field(default_factory=dict)
 
 
 def commits_dir(table_path: str) -> str:

@@ -407,3 +407,49 @@ def test_optimistic_concurrency_conflict(spark, table_dir):
             mf.Commit(version=v, action="upsert",
                       commit_time=mf.make_commit_time()),
         )
+
+
+def test_read_where_data_skipping(spark, sf_dir, tmp_path):
+    """Column-stats data skipping: after clustering on a data column, a
+    selective range read must scan a strict subset of files and return
+    exactly the filtered rows (CoW); MoR with outstanding logs resolves
+    through _rt and stays exact."""
+    import pyspark.sql.functions as F
+
+    from hudi_and_delta_showcase_spark.io import load_table
+    from hudi_and_delta_showcase_spark.tables import LakehouseTable
+
+    events = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "ts", "value"
+    )
+    t = LakehouseTable.create(
+        spark, str(tmp_path / "t"), events,
+        key_cols=["event_id"], precombine="ts",
+    )
+    t.optimize(target_files=8, cluster_by=["user_id"])
+    out = t.read_where("user_id", lo=1, hi=3)
+    assert 0 < len(out.inputFiles()) < 8
+    expect = sorted(
+        r.event_id
+        for r in events.filter("user_id between 1 and 3").collect()
+    )
+    assert sorted(r.event_id for r in out.collect()) == expect
+
+    # MoR: update one row's value via log, range-read must see the
+    # merged (fresh) value
+    m = LakehouseTable.create(
+        spark, str(tmp_path / "m"), events,
+        key_cols=["event_id"], precombine="ts", table_type="mor",
+    )
+    first = events.filter("user_id = 2").limit(1).collect()[0]
+    m.upsert(
+        spark.createDataFrame(
+            [(first.event_id, first.user_id, first.ts, -9.0)],
+            events.schema,
+        ).withColumn("ts", F.col("ts") + F.expr("INTERVAL 1000 DAYS"))
+    )
+    got = {
+        r.event_id: r.value
+        for r in m.read_where("user_id", lo=2, hi=2).collect()
+    }
+    assert got[first.event_id] == -9.0
