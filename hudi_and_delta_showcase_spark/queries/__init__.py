@@ -94,6 +94,7 @@ PRIORITY: tuple[str, ...] = (
     "table_history",
     "cdc_gdpr_purge",
     "cdc_stats_skipping_read",
+    "cdc_restore_version",
     "q3_shipping_priority",
     "text_lang_id",
     "dedup_components",

@@ -554,6 +554,39 @@ def cdc_gdpr_purge(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "cdc_restore_version",
+    oracle=f"""
+    SELECT event_id, user_id, ts, event_type, value,
+           1 AS restore_commits
+    FROM ({_LATEST_ALL_SQL})
+    """,
+    tags=("cdc", "table"),
+)
+def cdc_restore_version(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RESTORE (Delta ``RESTORE VERSION AS OF`` / Hudi
+    savepoint-rollback, README.md:1230-1240 time-travel family):
+    create -> upsert -> restore(0) -> re-upsert. The restore is O(1)
+    manifest metadata (no file copies); the re-applied batch then
+    upserts against the RESTORED snapshot, so the final state equals
+    latest-per-key over all events — proving normal writes continue
+    cleanly on top of a restore. ``restore_commits`` pins that the
+    timeline really recorded the rollback."""
+    base, incr = _split(spark, sf_dir)
+    path = tempfile.mkdtemp(prefix="restore_") + "/events_tbl"
+    t = LakehouseTable.create(
+        spark, path, base,
+        key_cols=["user_id"], precombine="ts", tiebreakers=["event_id"],
+    )
+    t.upsert(incr)
+    t.restore(0)
+    t.upsert(incr)
+    n_restores = sum(1 for c in t.history() if c.action == "restore")
+    return t.read().select(*_FINAL_COLS).withColumn(
+        "restore_commits", F.lit(n_restores)
+    )
+
+
+@query(
     "cdc_stats_skipping_read",
     oracle="""
     SELECT event_id, user_id, ts, event_type, value,

@@ -504,6 +504,42 @@ class LakehouseTable:
                         removed += 1
         return {"removed_files": removed, "retained_versions": retained}
 
+    def restore(self, version: int) -> mf.Commit:
+        """Delta ``RESTORE TABLE ... VERSION AS OF`` / Hudi
+        savepoint-rollback: append a NEW commit that points back at an
+        earlier version's file set. History is preserved — the restore
+        is itself a commit, so it can be time-traveled past or restored
+        again — and no data files are copied: restore is O(1) metadata
+        regardless of table size. The file-skipping indexes (key ranges
+        + column stats) come along from the target commit. Raises if
+        vacuum already removed any file the target version references
+        (Delta errors identically)."""
+        target = mf.read_commit(self.path, version)
+        missing = [
+            f
+            for f in [*target.files, *target.log_files]
+            if not os.path.exists(os.path.join(self.path, f))
+        ]
+        if missing:
+            raise RuntimeError(
+                f"cannot restore {self.path} to version {version}: "
+                f"{len(missing)} referenced file(s) vacuumed, "
+                f"e.g. {missing[0]}"
+            )
+        prev = self._commit(None)
+        commit = mf.Commit(
+            version=prev.version + 1,
+            action="restore",
+            commit_time=mf.make_commit_time(),
+            files=list(target.files),
+            log_files=list(target.log_files),
+            stats={"restored_version": version},
+            key_ranges=dict(target.key_ranges),
+            col_stats=dict(target.col_stats),
+        )
+        mf.append_commit(self.path, commit)
+        return commit
+
     # ------------------------------------------------------------------ #
     # internals
     # ------------------------------------------------------------------ #

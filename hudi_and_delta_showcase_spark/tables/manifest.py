@@ -29,7 +29,7 @@ from dataclasses import asdict, dataclass, field
 @dataclass
 class Commit:
     version: int
-    action: str  # insert | upsert | delete | compact | optimize | overwrite
+    action: str  # insert|upsert|delete|compact|optimize|overwrite|restore
     commit_time: str  # Hudi-style yyyyMMddHHmmssSSS (README.md:470)
     files: list[str] = field(default_factory=list)  # live base files (relative)
     log_files: list[str] = field(default_factory=list)  # MoR log files (relative)

@@ -409,6 +409,37 @@ def test_optimistic_concurrency_conflict(spark, table_dir):
         )
 
 
+def test_restore_version(spark, sf_dir, tmp_path):
+    """restore(v) rolls the snapshot back as a NEW commit: read() equals
+    the old version, history keeps every commit, time travel still sees
+    the pre-restore state, and restore refuses when vacuum has removed
+    a needed file."""
+    from hudi_and_delta_showcase_spark.io import load_table
+    from hudi_and_delta_showcase_spark.tables import LakehouseTable
+
+    events = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "ts", "value"
+    )
+    base = events.filter("user_id <= 20")
+    incr = events.filter("user_id > 20")
+    t = LakehouseTable.create(
+        spark, str(tmp_path / "t"), base,
+        key_cols=["event_id"], precombine="ts",
+    )
+    t.upsert(incr)
+    c = t.restore(0)
+    assert c.action == "restore" and c.version == 2
+    assert t.read().count() == base.count()
+    # pre-restore snapshot still reachable via time travel
+    assert t.read(version=1).count() == events.count()
+    # restore carried the skipping indexes along
+    assert c.key_ranges and c.col_stats
+    # vacuum to latest only -> v1's upsert files are gone -> refuse
+    t.vacuum(retain_versions=1)
+    with pytest.raises(RuntimeError, match="vacuumed"):
+        t.restore(1)
+
+
 def test_read_where_data_skipping(spark, sf_dir, tmp_path):
     """Column-stats data skipping: after clustering on a data column, a
     selective range read must scan a strict subset of files and return
