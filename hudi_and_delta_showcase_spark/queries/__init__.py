@@ -95,6 +95,7 @@ PRIORITY: tuple[str, ...] = (
     "cdc_gdpr_purge",
     "cdc_stats_skipping_read",
     "cdc_restore_version",
+    "cdc_zorder_skipping_read",
     "q3_shipping_priority",
     "text_lang_id",
     "dedup_components",

@@ -587,6 +587,41 @@ def cdc_restore_version(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "cdc_zorder_skipping_read",
+    oracle="""
+    SELECT event_id, user_id, ts, event_type, value,
+           TRUE AS value_files_pruned, TRUE AS user_files_pruned
+    FROM events WHERE value BETWEEN 100 AND 200
+    """,
+    tags=("cdc", "table", "scan"),
+)
+def cdc_zorder_skipping_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order multi-dimensional data skipping (Delta ``ZORDER BY``):
+    cluster on the Morton interleave of (user_id, value), then range-
+    read on EACH dimension independently through ``read_where``. Both
+    reads must scan a strict subset of files — the property linear
+    clustering cannot give (its trailing columns span every file). The
+    two pruning assertions are folded into the oracle row."""
+    events = load_table(spark, sf_dir, "events").select(*_FINAL_COLS)
+    path = tempfile.mkdtemp(prefix="zorder_") + "/events_tbl"
+    t = LakehouseTable.create(
+        spark, path, events, key_cols=["event_id"], precombine="ts",
+    )
+    t.optimize(target_files=16, zorder_by=["user_id", "value"])
+    total = len(t._commit(None).files)
+    out = t.read_where("value", lo=100.0, hi=200.0)
+    v_pruned = 0 < len(out.inputFiles()) < total
+    u_pruned = 0 < len(
+        t.read_where("user_id", lo=0, hi=3).inputFiles()
+    ) < total
+    return (
+        out.select(*_FINAL_COLS)
+        .withColumn("value_files_pruned", F.lit(v_pruned))
+        .withColumn("user_files_pruned", F.lit(u_pruned))
+    )
+
+
+@query(
     "cdc_stats_skipping_read",
     oracle="""
     SELECT event_id, user_id, ts, event_type, value,

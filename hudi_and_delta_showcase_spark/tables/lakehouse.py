@@ -440,19 +440,38 @@ class LakehouseTable:
         self,
         target_files: int | None = None,
         cluster_by: list[str] | None = None,
+        zorder_by: list[str] | None = None,
     ) -> mf.Commit:
         """D8 OPTIMIZE: compact small files into ~target_files per
         partition (the reference's file-compaction maintenance,
         README.md:1240). ``cluster_by`` additionally sorts rows within
-        files (Z-order-lite linear clustering): parquet row-group min/max
-        stats on the clustered columns become selective, so point/range
-        scans on them skip most of the table."""
+        files (linear clustering): parquet row-group min/max stats on
+        the clustered columns become selective, so point/range scans on
+        them skip most of the table. ``zorder_by`` instead interleaves
+        MULTIPLE numeric dimensions (Delta ``ZORDER BY``): each column
+        is quantile-bucketed (driver-side ``approxQuantile`` — bounded
+        Greenwald-Khanna sketch, the same sampling family the range
+        partitioner uses) and the bucket bits interleaved into a Morton
+        key; files then carry tight [min,max] on EVERY z-dimension, so
+        ``read_where`` prunes on any of them — linear clustering can
+        only ever serve its leading column."""
         prev = self._commit(None)
         df = self.read()  # for MoR this also folds logs
         version = prev.version + 1
         commit_time = mf.make_commit_time()
         n = target_files or 1
-        if cluster_by:
+        if zorder_by:
+            z = self._morton_key(df, zorder_by)
+            df = df.withColumn("__z", z)
+            range_cols = (
+                [self.partition_by] if self.partition_by else []
+            ) + ["__z"]
+            df = (
+                df.repartitionByRange(n, *[F.col(c) for c in range_cols])
+                .sortWithinPartitions(*range_cols, *zorder_by)
+                .drop("__z")
+            )
+        elif cluster_by:
             # Range-partition on (partition, cluster cols) so FILES get
             # DISJOINT key ranges — row-group min/max stats and the
             # key_ranges file-skipping index both become selective.
@@ -479,6 +498,37 @@ class LakehouseTable:
         )
         mf.append_commit(self.path, commit)
         return commit
+
+    _Z_BITS = 4  # quantile buckets per dimension = 2**_Z_BITS
+
+    def _morton_key(self, df: DataFrame, cols: list[str]):
+        """Morton (Z-order) key: quantile-bucket each numeric column
+        into ``2**_Z_BITS`` ranks, then interleave the rank bits. The
+        quantile boundaries come from ONE driver-side ``approxQuantile``
+        pass (mergeable sketch, O(1) driver memory at any scale); the
+        per-row bucket/interleave math is pure codegen'd JVM column
+        arithmetic. Nulls land in bucket 0. Bucketing by rank (not raw
+        value) makes the curve robust to skewed distributions — every
+        bucket holds ~1/16th of the rows regardless of the value
+        histogram."""
+        nbuckets = 1 << self._Z_BITS
+        probs = [i / nbuckets for i in range(1, nbuckets)]
+        zsum = F.lit(0)
+        for j, c in enumerate(cols):
+            dcol = F.col(c).cast("double")
+            qs = df.select(dcol.alias("v")).approxQuantile("v", probs, 0.01)
+            # strictly-increasing boundary subset (ties collapse buckets)
+            bounds: list[float] = []
+            for q in qs:
+                if not bounds or q > bounds[-1]:
+                    bounds.append(q)
+            bucket = F.lit(0)
+            for b in bounds:
+                bucket = bucket + F.when(dcol >= F.lit(b), 1).otherwise(0)
+            for i in range(self._Z_BITS):
+                bit = F.shiftright(bucket, i).bitwiseAND(F.lit(1))
+                zsum = zsum + F.shiftleft(bit, i * len(cols) + j)
+        return zsum
 
     def vacuum(self, retain_versions: int = 1) -> dict:
         """D7 VACUUM: physically delete data files not referenced by the

@@ -440,6 +440,46 @@ def test_restore_version(spark, sf_dir, tmp_path):
         t.restore(1)
 
 
+def test_zorder_multidim_skipping(spark, sf_dir, tmp_path):
+    """Z-order clustering must make read_where selective on BOTH
+    interleaved dimensions, where linear clustering only serves its
+    leading column (trailing columns span every file). Results stay
+    exact in all cases."""
+    from hudi_and_delta_showcase_spark.io import load_table
+    from hudi_and_delta_showcase_spark.tables import LakehouseTable
+
+    events = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "ts", "value"
+    )
+    z = LakehouseTable.create(
+        spark, str(tmp_path / "z"), events,
+        key_cols=["event_id"], precombine="ts",
+    )
+    z.optimize(target_files=16, zorder_by=["user_id", "value"])
+    total = len(z._commit(None).files)
+    assert total > 4
+    by_val = z.read_where("value", lo=100.0, hi=200.0)
+    by_user = z.read_where("user_id", lo=0, hi=3)
+    assert 0 < len(by_val.inputFiles()) < total
+    assert 0 < len(by_user.inputFiles()) < total
+    expect = sorted(
+        r.event_id
+        for r in events.filter("value between 100 and 200").collect()
+    )
+    assert sorted(r.event_id for r in by_val.collect()) == expect
+
+    # linear clustering on user_id: value ranges span every file
+    lin = LakehouseTable.create(
+        spark, str(tmp_path / "lin"), events,
+        key_cols=["event_id"], precombine="ts",
+    )
+    lin.optimize(target_files=16, cluster_by=["user_id"])
+    lin_total = len(lin._commit(None).files)
+    assert len(
+        lin.read_where("value", lo=100.0, hi=200.0).inputFiles()
+    ) == lin_total
+
+
 def test_read_where_data_skipping(spark, sf_dir, tmp_path):
     """Column-stats data skipping: after clustering on a data column, a
     selective range read must scan a strict subset of files and return
