@@ -96,6 +96,7 @@ PRIORITY: tuple[str, ...] = (
     "cdc_stats_skipping_read",
     "cdc_restore_version",
     "cdc_zorder_skipping_read",
+    "stream_table_changes",
     "q3_shipping_priority",
     "text_lang_id",
     "dedup_components",

@@ -251,3 +251,55 @@ def stream_dedup_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
     sdf = read_events_stream(spark, sf_dir)
     deduped = sdf.select("user_id", "event_type").dropDuplicates()
     return run_to_memory(deduped, mode="append")
+
+
+@query(
+    "stream_table_changes",
+    oracle="""
+    SELECT event_id, user_id, ts, event_type, value,
+           2 AS change_commits
+    FROM (
+      SELECT event_id, user_id, ts, event_type, value FROM (
+        SELECT *, ROW_NUMBER() OVER (
+          PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+        FROM events
+      ) WHERE rn = 1
+    )
+    """,
+    tags=("streaming", "cdc", "table"),
+)
+def stream_table_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming incremental table read (Hudi streaming read / Delta
+    ``readStream``): tail a CoW table's committed changes as a file
+    stream — each change delivered exactly once even though CoW
+    rewrites copy untouched rows forward (carry-over keeps its old
+    instant stamp and is filtered JVM-side; see streaming/
+    table_stream.py). The table gets create + upsert + OPTIMIZE
+    commits; optimize must stream NOTHING (``change_commits`` pins
+    exactly 2 change-bearing instants), and latest-per-key over the
+    drained change stream must equal the final batch snapshot — the
+    streamed tail reconstructs the table."""
+    from hudi_and_delta_showcase_spark.queries.cdc_queries import (
+        _FINAL_COLS,
+        _make_table,
+    )
+    from hudi_and_delta_showcase_spark.streaming import (
+        read_table_changes_stream,
+    )
+    from pyspark.sql import Window
+
+    t = _make_table(spark, sf_dir, "cow")  # create(base) + upsert(incr)
+    t.optimize(target_files=4)  # file re-org: no logical changes
+    changes = run_to_memory(
+        read_table_changes_stream(spark, t.path), mode="append"
+    )
+    n_instants = changes.select("_hoodie_commit_time").distinct().count()
+    w = Window.partitionBy("user_id").orderBy(
+        F.desc("_hoodie_commit_time"), F.desc("ts"), F.desc("event_id")
+    )
+    return (
+        changes.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .select(*_FINAL_COLS)
+        .withColumn("change_commits", F.lit(n_instants))
+    )

@@ -14,6 +14,9 @@ from hudi_and_delta_showcase_spark.streaming.cdc_stream import (
 )
 from hudi_and_delta_showcase_spark.streaming.runner import run_to_memory
 from hudi_and_delta_showcase_spark.streaming.sources import read_events_stream
+from hudi_and_delta_showcase_spark.streaming.table_stream import (
+    read_table_changes_stream,
+)
 from hudi_and_delta_showcase_spark.streaming.windows import (
     session_stats,
     sliding_avg,
@@ -25,6 +28,7 @@ __all__ = [
     "apply_cdc_stream",
     "read_envelope_stream",
     "read_events_stream",
+    "read_table_changes_stream",
     "run_to_memory",
     "session_stats",
     "sliding_avg",

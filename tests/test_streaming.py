@@ -208,3 +208,62 @@ def test_dedup_within_watermark_bounds_state(spark):
     out = run_to_memory(sdf, mode="append")
     ks = [r.k for r in out.collect()]
     assert sorted(ks) == [1, 1, 2, 3]  # key 1 twice (post-eviction)
+
+
+def test_table_changes_stream_mor_exactly_once(spark, sf_dir, tmp_path):
+    """read_table_changes_stream on a MoR table: log commits stream as
+    they land, compaction emits nothing, every (key, instant) change is
+    delivered exactly once, and latest-per-key over the streamed
+    changes equals the _rt snapshot."""
+    from pyspark.sql import Window
+
+    from hudi_and_delta_showcase_spark.streaming import (
+        read_table_changes_stream,
+        run_to_memory,
+    )
+    from hudi_and_delta_showcase_spark.tables import LakehouseTable
+
+    events = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "ts", "value"
+    )
+    base = events.filter("user_id <= 8")
+    incr = events.filter("user_id > 8")
+    t = LakehouseTable.create(
+        spark, str(tmp_path / "m"), base,
+        key_cols=["user_id"], precombine="ts", tiebreakers=["event_id"],
+        table_type="mor",
+    )
+    t.upsert(incr)  # -> log commit
+    t.compact()     # -> re-org only, must be silent
+    changes = run_to_memory(
+        read_table_changes_stream(spark, str(tmp_path / "m")),
+        mode="append",
+    ).cache()
+    # exactly-once: one delivery per (key, instant)
+    assert (
+        changes.select("_hoodie_record_key", "_hoodie_commit_time")
+        .distinct()
+        .count()
+        == changes.count()
+    )
+    # exactly the 2 change-bearing instants (create + log upsert)
+    instants = sorted(
+        r[0]
+        for r in changes.select("_hoodie_commit_time").distinct().collect()
+    )
+    hist = {c.version: c.commit_time for c in t.history()}
+    assert instants == [hist[0], hist[1]]
+    # streamed tail reconstructs the _rt snapshot
+    w = Window.partitionBy("user_id").orderBy(
+        F.desc("_hoodie_commit_time"), F.desc("ts"), F.desc("event_id")
+    )
+    tail = (
+        changes.withColumn("__rn", F.row_number().over(w))
+        .filter("__rn = 1")
+    )
+    got = {(r.user_id, r.event_id) for r in tail.collect()}
+    want = {
+        (r.user_id, r.event_id)
+        for r in t.read_rt().select("user_id", "event_id").collect()
+    }
+    assert got == want
