@@ -75,6 +75,7 @@ class LakehouseTable:
         self.tiebreakers: list[str] = meta.get("tiebreakers", [])
         self.partition_by: str | None = meta["partition_by"]
         self.table_type: str = meta["table_type"]
+        self.cdc_enabled: bool = meta.get("cdc_enabled", False)
 
     # ------------------------------------------------------------------ #
     # creation / loading
@@ -92,9 +93,16 @@ class LakehouseTable:
         partition_by: str | None = None,
         table_type: str = COPY_ON_WRITE,
         mode: str = "error",
+        cdc_enabled: bool = False,
     ) -> "LakehouseTable":
         """C1 bulk insert: write batch as version 0, stamp meta columns
-        (the reference's initial hudi insert, README.md:276-291)."""
+        (the reference's initial hudi insert, README.md:276-291).
+
+        ``cdc_enabled`` opts the table into the change data feed
+        (Delta ``delta.enableChangeDataFeed`` / Hudi
+        ``hoodie.table.cdc.enabled``): upsert/delete then write
+        O(changes) CDC sidecar files consumed by ``read_changes`` —
+        opt-in because classification costs the writer a key probe."""
         path = os.path.abspath(path)
         if os.path.exists(os.path.join(path, "_meta.json")):
             if mode == "overwrite":
@@ -112,6 +120,7 @@ class LakehouseTable:
                     "tiebreakers": tiebreakers or [],
                     "partition_by": partition_by,
                     "table_type": table_type,
+                    "cdc_enabled": cdc_enabled,
                 },
                 fh,
                 indent=1,
@@ -345,14 +354,8 @@ class LakehouseTable:
                 "key_range_skipped_files": len(range_skipped),
                 "written_files": len(new_files),
             },
-            key_ranges={
-                **{
-                    f: prev.key_ranges[f]
-                    for f in untouched
-                    if f in prev.key_ranges
-                },
-                **self._file_key_ranges(new_files),
-            },
+            **self._index_fields(new_files, carry_from=prev,
+                                 carried=untouched),
         )
         mf.append_commit(self.path, commit)
         return commit
@@ -541,8 +544,9 @@ class LakehouseTable:
             c = mf.read_commit(self.path, v)
             keep.update(c.files)
             keep.update(c.log_files)
+            keep.update(c.cdc_files)
         removed = 0
-        for sub in ("data", "log"):
+        for sub in ("data", "log", "cdc"):
             root = os.path.join(self.path, sub)
             for dirpath, _dirnames, filenames in os.walk(root):
                 for fn in filenames:

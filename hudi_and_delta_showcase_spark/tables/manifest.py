@@ -43,6 +43,11 @@ class Commit:
     #: column-stats index behind ``read_where`` data skipping (Delta
     #: stats / Hudi col-stats-index role). Same conservative contract.
     col_stats: dict = field(default_factory=dict)
+    #: change-data-feed sidecar files for THIS commit (Delta CDF change
+    #: files / Hudi CDC supplemental log) — post-images + change types,
+    #: O(changes) extra write IO, written only when the table has
+    #: ``cdc_enabled``. Empty for file re-org commits.
+    cdc_files: list[str] = field(default_factory=list)
 
 
 def commits_dir(table_path: str) -> str:

@@ -434,6 +434,10 @@ def test_restore_version(spark, sf_dir, tmp_path):
     assert t.read(version=1).count() == events.count()
     # restore carried the skipping indexes along
     assert c.key_ranges and c.col_stats
+    # the upsert commit maintained both indexes too (carry + new files)
+    from hudi_and_delta_showcase_spark.tables import manifest as mf
+    up = mf.read_commit(str(tmp_path / "t"), 1)
+    assert up.key_ranges and up.col_stats
     # vacuum to latest only -> v1's upsert files are gone -> refuse
     t.vacuum(retain_versions=1)
     with pytest.raises(RuntimeError, match="vacuumed"):
