@@ -54,6 +54,29 @@ def test_stream_equals_batch(spark, sf_dir, op):
     assert _rows(stream) == _rows(batch)
 
 
+def test_stream_batch_ts_unit_canary(spark, sf_dir):
+    """Canary: the streamed ``ts`` must be bit-identical to the batch
+    path's, whatever parquet timestamp unit the fixture ships with
+    (TIMESTAMP(NANOS) in older driver envs, TIMESTAMP(MICROS) now).
+    Round 3's only red rows came from the stream source assuming nanos
+    and dividing micros by 1000 — every streamed timestamp landed in
+    January 1970. This trips on the NEXT unit/Spark change instead of
+    the driver artifact."""
+    batch = load_table(spark, sf_dir, "events")
+    stream = run_to_memory(
+        read_events_stream(spark, sf_dir).agg(
+            F.min("ts").alias("lo"), F.max("ts").alias("hi")
+        ),
+        "complete",
+    )
+    b = batch.agg(F.min("ts").alias("lo"), F.max("ts").alias("hi")).first()
+    s = stream.first()
+    assert dict(stream.dtypes)["lo"] == dict(
+        batch.agg(F.min("ts").alias("lo")).dtypes
+    )["lo"]
+    assert (s.lo, s.hi) == (b.lo, b.hi)
+
+
 def test_stateful_equals_batch_agg(spark, sf_dir):
     batch = batch_user_stats(load_table(spark, sf_dir, "events"))
     stream = run_to_memory(
