@@ -29,6 +29,10 @@ PRIORITY: tuple[str, ...] = (
     "cdc_merge_routing",
     "cdc_incremental_pull",
     "cdc_hard_delete_state",
+    # on-disk lakehouse protocols (S3 _delta_log, S2 .hoodie timeline) —
+    # promoted in r4 so the protocol flagships earn driver rows
+    "delta_log_roundtrip",
+    "hoodie_timeline_roundtrip",
     # -- relational core (J1, A1/A2, TPC-H shapes) ------------------------
     "latest_change_per_key",
     "q1_pricing_summary",
@@ -41,11 +45,9 @@ PRIORITY: tuple[str, ...] = (
     # -- aggregate battery ------------------------------------------------
     "agg_distinct",
     "agg_rollup",
-    "agg_grouping_sets",
     # -- window battery ---------------------------------------------------
     "window_latest_per_key",
     "window_rank_topn_per_group",
-    "window_running_sum",
     # -- ordering / set ops -----------------------------------------------
     "topk_orders",
     "set_ops_nations",
@@ -59,11 +61,12 @@ PRIORITY: tuple[str, ...] = (
     "stream_tumbling_counts",
     "stream_stateful_user_stats",
     "stream_dedup_keys",
+    "stream_watermarked_counts",
+    "stream_table_changes",
     # -- dedup extensions -------------------------------------------------
     "dedup_exact_rows",
     "dedup_minhash_lsh",
     "dedup_jaccard_pairs",
-    "dedup_embedding_cosine",
     # -- similarity / ANN -------------------------------------------------
     "similarity_topk_bruteforce",
     "similarity_lsh_containment",
@@ -77,7 +80,6 @@ PRIORITY: tuple[str, ...] = (
     "pipeline_corpus_curation",
     # -- deterministic sampling -------------------------------------------
     "sample_uniform_hash",
-    "sample_stratified_take",
     # -- mergeable sketches (error-bound gated) ---------------------------
     "sketch_distinct_gate",
     "sketch_percentile_gate",
@@ -85,9 +87,13 @@ PRIORITY: tuple[str, ...] = (
     "multimodal_dedup_decode",
     "multimodal_frame_sample",
     # ==== below the line: checked only if the driver looks past 50 =======
-    # (oracle-bearing variants first, rows-only last)
-    "delta_log_roundtrip",
-    "hoodie_timeline_roundtrip",
+    # (oracle-bearing variants first, rows-only last; r4 demoted four
+    # redundant family variants to make room for the protocol/streaming
+    # flagships above — all stay registered and FULL_LOCAL-checked)
+    "agg_grouping_sets",
+    "window_running_sum",
+    "dedup_embedding_cosine",
+    "sample_stratified_take",
     "cdc_soft_delete_state",
     "cdc_schema_evolution",
     "cdc_medallion_sync",
@@ -96,7 +102,6 @@ PRIORITY: tuple[str, ...] = (
     "cdc_stats_skipping_read",
     "cdc_restore_version",
     "cdc_zorder_skipping_read",
-    "stream_table_changes",
     "q3_shipping_priority",
     "text_lang_id",
     "dedup_components",

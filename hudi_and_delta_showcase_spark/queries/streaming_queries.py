@@ -23,6 +23,7 @@ from hudi_and_delta_showcase_spark.streaming import (
     run_to_memory,
 )
 from hudi_and_delta_showcase_spark.streaming.windows import (
+    ntz_epoch_instant,
     session_stats,
     sliding_avg,
     stateful_user_stats,
@@ -135,6 +136,59 @@ def stream_stateful_user_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     sdf = read_events_stream(spark, sf_dir)
     out = stateful_user_stats(sdf)
     return run_to_memory(out, mode="update")
+
+
+@query(
+    "stream_watermarked_counts",
+    oracle="""
+    WITH b AS (
+      SELECT time_bucket(INTERVAL 1 HOUR, ts) AS ws,
+             COUNT(*) AS n_events,
+             CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+      FROM events GROUP BY 1
+    ), wm AS (SELECT max(ts) - INTERVAL 30 MINUTE AS w FROM events)
+    SELECT epoch_us(ws) AS wstart_us,
+           epoch_us(ws + INTERVAL 1 HOUR) AS wend_us,
+           n_events, sum_value
+    FROM b, wm WHERE ws + INTERVAL 1 HOUR <= w
+    """,
+    tags=("streaming", "window", "watermark"),
+)
+def stream_watermarked_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WATERMARKED append-mode tumbling counts — the production streaming
+    idiom: late rows beyond the 30-min delay are dropped, window state is
+    evicted (bounded) and each window is emitted exactly once when the
+    watermark passes its end. ``withWatermark`` needs an LTZ event-time
+    column; the fixture ``ts`` is NTZ by design, so the event-time instant
+    is built timezone-free — wall-clock micros since the NTZ epoch via
+    ``timestampdiff``, then ``timestamp_micros`` — NOT a cast (casting
+    NTZ->LTZ goes through the session timezone and shifts every window
+    under a non-UTC driver session). Output window bounds are epoch
+    micros (``unix_micros``) for the same reason. The oracle states the
+    eviction contract: exactly the windows whose end <= max(ts) - delay
+    (the final watermark after availableNow drains; the trailing
+    still-open window is withheld — asserted in
+    tests/test_streaming.py::test_watermarked_query_withholds_open_window).
+    """
+    sdf = read_events_stream(spark, sf_dir)
+    ltz = sdf.withColumn("ts_ltz", ntz_epoch_instant("ts"))
+    agg = (
+        ltz.withWatermark("ts_ltz", "30 minutes")
+        .groupBy(F.window("ts_ltz", "1 hour").alias("w"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("sum_value"),
+        )
+        .select(
+            F.unix_micros(F.col("w.start")).alias("wstart_us"),
+            F.unix_micros(F.col("w.end")).alias("wend_us"),
+            "n_events",
+            "sum_value",
+        )
+    )
+    return run_to_memory(agg, mode="append")
 
 
 # Golden post-merge state of the reference scenario (README.md:470-552):

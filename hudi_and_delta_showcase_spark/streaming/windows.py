@@ -37,6 +37,22 @@ def _dec(col: str) -> F.Column:
     return F.col(col).cast("decimal(18,2)")
 
 
+def ntz_epoch_instant(col: str) -> F.Column:
+    """TIMESTAMP_NTZ -> TIMESTAMP (LTZ) whose instant is the NTZ wall
+    clock read as UTC — **independent of the session timezone**, which a
+    plain ``cast`` (and ``to_utc_timestamp``, which casts first) is not:
+    both route through the session zone and shift every event-time
+    window under a non-UTC driver session. ``timestampdiff`` on NTZ is
+    pure wall-clock arithmetic and ``timestamp_micros`` constructs from
+    epoch micros directly, so no zone is consulted. This is THE bridge
+    for watermarking the engine's NTZ columns (``withWatermark`` needs
+    an instant-typed event-time column)."""
+    return F.expr(
+        f"timestamp_micros(timestampdiff(MICROSECOND, "
+        f"TIMESTAMP_NTZ'1970-01-01 00:00:00', {col}))"
+    )
+
+
 def tumbling_counts(
     df: DataFrame,
     ts_col: str = "ts",

@@ -85,6 +85,46 @@ def test_stateful_equals_batch_agg(spark, sf_dir):
     assert _rows(stream) == _rows(batch)
 
 
+def test_watermarked_query_withholds_open_window(spark, sf_dir):
+    """The registered watermarked append-mode query (stream_watermarked_counts)
+    must emit exactly the windows the watermark has closed: every window
+    whose end <= max(ts) - delay, and NOT the trailing still-open
+    window(s) — i.e. state eviction gates emission, it isn't a batch agg
+    in disguise."""
+    from hudi_and_delta_showcase_spark.queries.streaming_queries import (
+        stream_watermarked_counts,
+    )
+    from hudi_and_delta_showcase_spark.streaming.windows import (
+        ntz_epoch_instant,
+    )
+
+    out = stream_watermarked_counts(spark, sf_dir)
+    ev = load_table(spark, sf_dir, "events")
+    all_windows = (
+        ev.select(F.unix_micros(
+            F.window(ntz_epoch_instant("ts"), "1 hour").getField("start")
+        ).alias("ws")).distinct().count()
+    )
+    emitted = out.count()
+    assert 0 < emitted < all_windows  # trailing open window(s) withheld
+    # cutoff contract: emitted == windows with end <= max(ts) - 30min
+    mx = ev.agg(F.max(ntz_epoch_instant("ts"))).first()[0]
+    import datetime
+
+    cutoff = mx - datetime.timedelta(minutes=30)
+    closed = (
+        ev.select(
+            F.window(ntz_epoch_instant("ts"), "1 hour")
+            .getField("end")
+            .alias("we")
+        )
+        .distinct()
+        .filter(F.col("we") <= F.lit(cutoff))
+        .count()
+    )
+    assert emitted == closed
+
+
 # --------------------------------------------------------------------- #
 # watermark semantics: late rows beyond the delay are dropped, closed
 # windows are emitted (append mode). Event time must be LTZ for
