@@ -76,6 +76,7 @@ class LakehouseTable:
         self.partition_by: str | None = meta["partition_by"]
         self.table_type: str = meta["table_type"]
         self.cdc_enabled: bool = meta.get("cdc_enabled", False)
+        self.global_index: bool = meta.get("global_index", False)
 
     # ------------------------------------------------------------------ #
     # creation / loading
@@ -94,6 +95,7 @@ class LakehouseTable:
         table_type: str = COPY_ON_WRITE,
         mode: str = "error",
         cdc_enabled: bool = False,
+        global_index: bool = False,
     ) -> "LakehouseTable":
         """C1 bulk insert: write batch as version 0, stamp meta columns
         (the reference's initial hudi insert, README.md:276-291).
@@ -102,7 +104,18 @@ class LakehouseTable:
         (Delta ``delta.enableChangeDataFeed`` / Hudi
         ``hoodie.table.cdc.enabled``): upsert/delete then write
         O(changes) CDC sidecar files consumed by ``read_changes`` —
-        opt-in because classification costs the writer a key probe."""
+        opt-in because classification costs the writer a key probe.
+
+        ``global_index`` makes the record key unique across the WHOLE
+        table instead of per partition (Hudi GLOBAL_BLOOM /
+        ``hoodie.bloom.index.update.partition.path=true``): an upserted
+        key whose partition value changed RELOCATES — the old
+        partition's row is removed and the row lands in the new
+        partition — where the default non-global index would keep both
+        rows. The trade-off is Hudi's: candidate files for a global
+        upsert span every partition (key-range pruning still applies,
+        so cluster global tables by key), while non-global rewrites
+        only source partitions."""
         path = os.path.abspath(path)
         if os.path.exists(os.path.join(path, "_meta.json")):
             if mode == "overwrite":
@@ -121,6 +134,7 @@ class LakehouseTable:
                     "partition_by": partition_by,
                     "table_type": table_type,
                     "cdc_enabled": cdc_enabled,
+                    "global_index": global_index,
                 },
                 fh,
                 indent=1,
@@ -599,9 +613,15 @@ class LakehouseTable:
     # ------------------------------------------------------------------ #
 
     def _resolution_cols(self) -> list[str]:
-        """Key columns for upsert/merge resolution. Non-global index:
-        the partition column participates, so key uniqueness is scoped
-        to the partition (Hudi SIMPLE/BLOOM index semantics)."""
+        """Key columns for upsert/merge resolution. Non-global index
+        (default): the partition column participates, so key uniqueness
+        is scoped to the partition (Hudi SIMPLE/BLOOM index semantics).
+        Global index: the record key alone resolves, table-wide — the
+        anti-join, MoR `_rt` window, and precombine dedup all ignore the
+        partition, which is what makes partition-change relocation
+        work."""
+        if self.global_index:
+            return list(self.key_cols)
         if self.partition_by and self.partition_by not in self.key_cols:
             return [*self.key_cols, self.partition_by]
         return list(self.key_cols)
@@ -617,9 +637,11 @@ class LakehouseTable:
     def _stamp_meta(self, df: DataFrame, commit_time: str) -> DataFrame:
         """§1.5: Hudi's meta columns as ordinary derived columns."""
         key = F.concat_ws("|", *[F.col(k).cast("string") for k in self.key_cols])
+        # a global-index delete stamps a keys-only frame that carries no
+        # partition column; its _hoodie_partition_path is never read
         pp = (
             F.col(self.partition_by).cast("string")
-            if self.partition_by
+            if self.partition_by and self.partition_by in df.columns
             else F.lit("")
         )
         return (
@@ -830,6 +852,9 @@ class LakehouseTable:
             [(f, pp_of[f], ranges[f][0], ranges[f][1]) for f in ranged],
             "f string, pp string, kmin string, kmax string",
         )
+        # Global index: the key's previous row may live in ANY partition,
+        # so the probe matches on key range alone; non-global also
+        # requires the partition to match.
         src = stamped.select(
             F.col("_hoodie_record_key").alias("k"),
             (
@@ -837,20 +862,19 @@ class LakehouseTable:
                     F.col(self.partition_by).cast("string"),
                     F.lit(HIVE_DEFAULT_PARTITION),
                 )
-                if self.partition_by
+                if self.partition_by and not self.global_index
                 else F.lit("")
             ).alias("pp"),
         ).distinct()
+        cond = (F.col("s.k") >= F.col("r.kmin")) & (
+            F.col("s.k") <= F.col("r.kmax")
+        )
+        if self.partition_by and not self.global_index:
+            cond = (F.col("s.pp") == F.col("r.pp")) & cond
         hits = {
             r.f
             for r in src.alias("s")
-            .join(
-                F.broadcast(ranges_df.alias("r")),
-                (F.col("s.pp") == F.col("r.pp"))
-                & (F.col("s.k") >= F.col("r.kmin"))
-                & (F.col("s.k") <= F.col("r.kmax")),
-                "inner",
-            )
+            .join(F.broadcast(ranges_df.alias("r")), cond, "inner")
             .select("r.f")
             .distinct()
             .collect()
@@ -885,8 +909,11 @@ class LakehouseTable:
         self, files: list[str], source: DataFrame
     ) -> tuple[list[str], list[str]]:
         """Partition pruning for the CoW rewrite: affected = files in
-        partitions present in the source batch."""
-        if not self.partition_by:
+        partitions present in the source batch. A GLOBAL index can't
+        partition-prune — the incoming key's previous row may live in
+        any partition — so every file stays a candidate and pruning
+        falls to the key-range probe (Hudi's global-index cost)."""
+        if not self.partition_by or self.global_index:
             return files, []
         # null partition values land in the hive default-partition dir —
         # match them under the same token str(None) would never hit
