@@ -136,6 +136,7 @@ PRIORITY: tuple[str, ...] = (
     "stream_stream_join",
     "multimodal_decode_stub",
     "multimodal_resize_stub",
+    "multimodal_real_png_decode",
     "embedding_label_centroid_sim",
     "dedup_exact_groups",
     "dedup_simhash",

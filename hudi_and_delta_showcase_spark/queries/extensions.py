@@ -535,6 +535,58 @@ def _docs_with_blob(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "multimodal_real_png_decode",
+    oracle="""
+    SELECT doc_id AS id,
+           CAST(8 + octet_length(encode(text)) % 24 AS INT) AS width,
+           CAST(8 + (octet_length(encode(text)) // 24) % 24 AS INT) AS height,
+           CAST(1 AS INT) AS channels
+    FROM documents
+    WHERE doc_id % 23 = 0
+    """,
+    tags=("multimodal", "codec"),
+)
+def multimodal_real_png_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The REAL codec path end to end, no stub: each sampled document's
+    bytes become the pixel buffer of an actual PNG (vendored pure-stdlib
+    encoder, executors, Arrow-batched), and ``decode_image(fake=False)``
+    decodes them back — PIL when present, the vendored IHDR parser
+    otherwise. The oracle predicts the dims from text length because the
+    pixel-buffer geometry (w = 8 + n%24, h = 8 + (n//24)%24, grayscale)
+    is chosen deterministically; the compressed PNG byte size is NOT
+    SQL-predictable, so n_bytes stays out of the projection. Sampled
+    1-in-23 by key: the per-row Python encode is the cost a real media
+    pipeline pays at the ingest edge, not something to run on every row
+    of a correctness fixture."""
+    from collections.abc import Iterator
+
+    import pandas as pd
+
+    from hudi_and_delta_showcase_spark.operators.png_codec import png_encode
+
+    docs = _docs_with_blob(spark, sf_dir).filter(
+        F.col("doc_id") % 23 == 0
+    ).select("doc_id", "blob")
+
+    def encode_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for rid, blob in zip(pdf["doc_id"], pdf["blob"]):
+                payload = bytes(blob)
+                n = len(payload)
+                w, h = 8 + n % 24, 8 + (n // 24) % 24
+                need = w * h
+                pix = (payload * (need // n + 1))[:need] if n else b"\0" * need
+                out.append((int(rid), png_encode(w, h, 1, pix)))
+            yield pd.DataFrame(out, columns=["doc_id", "blob"])
+
+    pngs = docs.mapInPandas(encode_batches, "doc_id long, blob binary")
+    return M.decode_image(pngs, "doc_id", "blob", fake=False).select(
+        "id", "width", "height", "channels"
+    )
+
+
+@query(
     "multimodal_resize_stub",
     oracle="""
     SELECT doc_id,

@@ -37,28 +37,60 @@ def test_feature_extract_matches_local(spark, sf_dir):
     assert got == expected
 
 
-def test_decode_requires_fake_flag(spark, sf_dir):
-    docs = _blob_docs(spark, sf_dir)
-    if not M.has_real_codec():
-        with pytest.raises(NotImplementedError):
-            M.decode_image(docs, "doc_id", "blob")
-    with pytest.raises(NotImplementedError):
-        M.resize_image(docs, "doc_id", "blob", 32, 32)
+def test_real_decode_rejects_non_image(spark, sf_dir):
+    """fake=False on arbitrary text blobs fails loudly per-row (ValueError
+    from the codec) rather than emitting stub dims silently."""
+    docs = _blob_docs(spark, sf_dir).limit(3)
+    with pytest.raises(Exception, match="PNG|image"):
+        M.decode_image(docs, "doc_id", "blob").collect()
 
 
-@pytest.mark.skipif(not M.has_real_codec(), reason="PIL not installed")
-def test_real_decode_with_pil(spark):
-    """The fake=False branch, exercised when PIL exists: decode a real
-    PNG generated in-process and check exact dimensions."""
-    import io as _io
+def _png_blob(w, h, ch=3):
+    from hudi_and_delta_showcase_spark.operators.png_codec import png_encode
 
-    from PIL import Image
+    pixels = bytes((x * 7 + 3) % 256 for x in range(w * h * ch))
+    return png_encode(w, h, ch, pixels), pixels
 
-    buf = _io.BytesIO()
-    Image.new("RGB", (17, 9)).save(buf, format="PNG")
-    df = spark.createDataFrame([(1, bytearray(buf.getvalue()))], "id long, blob binary")
+
+def test_real_decode_png(spark):
+    """The fake=False branch executes for real — PIL when present, the
+    vendored pure-stdlib PNG parser otherwise: exact dimensions from an
+    in-process-generated PNG."""
+    blob, _ = _png_blob(17, 9)
+    df = spark.createDataFrame([(1, bytearray(blob))], "id long, blob binary")
     row = M.decode_image(df, "id", "blob").collect()[0]
     assert (row.width, row.height, row.channels) == (17, 9, 3)
+    assert row.n_bytes == len(blob)
+
+
+def test_resize_image_real_dims(spark):
+    """resize_image(fake=False) reads REAL source dims from the PNG."""
+    blob, _ = _png_blob(20, 10)
+    df = spark.createDataFrame([(1, bytearray(blob))], "id long, blob binary")
+    row = M.resize_image(df, "id", "blob", 5, 5).collect()[0]
+    assert (row.src_w, row.src_h) == (20, 10)
+    assert (row.scale_x, row.scale_y) == (5 / 20, 5 / 10)
+
+
+def test_resize_image_blobs_roundtrip(spark):
+    """Real pixel path: decode -> nearest resample -> re-encode on the
+    executors; the output blob round-trips through the decoder with the
+    target dims and exactly the nearest-sampled pixels."""
+    from hudi_and_delta_showcase_spark.operators.png_codec import png_decode
+
+    blob, pixels = _png_blob(6, 4)
+    df = spark.createDataFrame([(1, bytearray(blob))], "id long, blob binary")
+    out = M.resize_image_blobs(df, "id", "blob", 3, 2).collect()[0]
+    w, h, ch, got = png_decode(bytes(out.blob))
+    assert (w, h, ch) == (3, 2, 3)
+    expected = bytearray()
+    for y in range(2):
+        sy = y * 4 // 2
+        for x in range(3):
+            sx = x * 6 // 3
+            base = (sy * 6 + sx) * 3
+            expected += pixels[base : base + 3]
+    assert bytes(got) == bytes(expected)
 
 
 def test_media_meta_stamps_hash_and_size(spark, sf_dir):
