@@ -151,6 +151,37 @@ def test_partition_move_keeps_both_partition_rows(spark):
 
 @settings(max_examples=5, deadline=None,
           suppress_health_check=[HealthCheck.too_slow])
+@given(base=PART_BATCH, incr=PART_BATCH)
+def test_global_index_cow_equals_mor_and_unpartitioned(spark, base, incr):
+    """Two properties of global_index=True under partition-moving keys:
+    (1) CoW == MoR `_rt` still holds (relocation resolves identically in
+    the anti-join rewrite and the table-wide merge window); (2) a global
+    partitioned table's final state equals the same sequence applied to
+    an UNPARTITIONED table — partitioning becomes pure physical layout
+    once keys are unique table-wide, which is exactly the global-index
+    contract."""
+    finals = []
+    for table_type in ("cow", "mor"):
+        path = tempfile.mkdtemp(prefix=f"prop_glob_{table_type}_")
+        t = LakehouseTable.create(
+            spark, f"{path}/t", _pdf(spark, base),
+            key_cols=["k"], precombine="v", tiebreakers=["payload", "part"],
+            partition_by="part", table_type=table_type, global_index=True,
+        )
+        t.upsert(_pdf(spark, incr))
+        finals.append(_pfinal(t.read()))
+    assert finals[0] == finals[1]
+    path = tempfile.mkdtemp(prefix="prop_glob_flat_")
+    flat = LakehouseTable.create(
+        spark, f"{path}/t", _pdf(spark, base),
+        key_cols=["k"], precombine="v", tiebreakers=["payload", "part"],
+    )
+    flat.upsert(_pdf(spark, incr))
+    assert finals[0] == _pfinal(flat.read())
+
+
+@settings(max_examples=5, deadline=None,
+          suppress_health_check=[HealthCheck.too_slow])
 @given(base=BATCH, incr=BATCH)
 def test_cow_equals_mor_rt(spark, base, incr):
     """The two storage disciplines must answer identically after the same
