@@ -133,6 +133,7 @@ PRIORITY: tuple[str, ...] = (
     "unpivot_nation_stats",
     "stream_sliding_avg",
     "stream_session_windows",
+    "stream_watermarked_sessions",
     "stream_stream_join",
     "multimodal_decode_stub",
     "multimodal_resize_stub",

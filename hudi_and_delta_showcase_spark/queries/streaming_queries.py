@@ -191,6 +191,58 @@ def stream_watermarked_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_to_memory(agg, mode="append")
 
 
+@query(
+    "stream_watermarked_sessions",
+    oracle="""
+    WITH o AS (
+      SELECT user_id, ts,
+             CASE WHEN ts >= lag(ts) OVER w + INTERVAL 30 MINUTE
+                  OR lag(ts) OVER w IS NULL THEN 1 ELSE 0 END AS new_s
+      FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC)
+    ), g AS (
+      SELECT user_id, ts,
+             SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts ASC
+               ROWS UNBOUNDED PRECEDING) AS sid
+      FROM o
+    ), s AS (
+      SELECT user_id,
+             epoch_us(MIN(ts)) AS sstart_us,
+             epoch_us(MAX(ts) + INTERVAL 30 MINUTE) AS send_us,
+             COUNT(*) AS n_events
+      FROM g GROUP BY user_id, sid
+    ), wm AS (SELECT epoch_us(max(ts) - INTERVAL 30 MINUTE) AS w FROM events)
+    SELECT s.* FROM s, wm WHERE s.send_us <= wm.w
+    """,
+    tags=("streaming", "window", "watermark"),
+)
+def stream_watermarked_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermarked SESSION windows in append mode — dynamic, data-driven
+    window bounds under bounded state: a session closes 30 min after its
+    last event and is emitted exactly once when the watermark passes its
+    end; trailing still-open sessions are withheld. Same timezone-free
+    event-time bridge as ``stream_watermarked_counts``; the oracle is the
+    gaps-and-islands session rewrite with the eviction cutoff (session
+    end <= max(ts) - delay) applied."""
+    sdf = read_events_stream(spark, sf_dir).withColumn(
+        "ts_ltz", ntz_epoch_instant("ts")
+    )
+    agg = (
+        sdf.withWatermark("ts_ltz", "30 minutes")
+        .groupBy(
+            F.session_window("ts_ltz", "30 minutes").alias("w"),
+            F.col("user_id"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            "user_id",
+            F.unix_micros(F.col("w.start")).alias("sstart_us"),
+            F.unix_micros(F.col("w.end")).alias("send_us"),
+            "n_events",
+        )
+    )
+    return run_to_memory(agg, mode="append")
+
+
 # Golden post-merge state of the reference scenario (README.md:470-552):
 # 4-row backfill, then {insert pk5 htc, update pk2 -> 201, soft-delete pk3}.
 # updated_at = epoch seconds of the envelope event times.

@@ -77,6 +77,7 @@ class LakehouseTable:
         self.table_type: str = meta["table_type"]
         self.cdc_enabled: bool = meta.get("cdc_enabled", False)
         self.global_index: bool = meta.get("global_index", False)
+        self.bloom_index: bool = meta.get("bloom_index", False)
 
     # ------------------------------------------------------------------ #
     # creation / loading
@@ -96,6 +97,7 @@ class LakehouseTable:
         mode: str = "error",
         cdc_enabled: bool = False,
         global_index: bool = False,
+        bloom_index: bool = False,
     ) -> "LakehouseTable":
         """C1 bulk insert: write batch as version 0, stamp meta columns
         (the reference's initial hudi insert, README.md:276-291).
@@ -115,7 +117,14 @@ class LakehouseTable:
         rows. The trade-off is Hudi's: candidate files for a global
         upsert span every partition (key-range pruning still applies,
         so cluster global tables by key), while non-global rewrites
-        only source partitions."""
+        only source partitions.
+
+        ``bloom_index`` (Hudi ``hoodie.index.type=BLOOM``) additionally
+        stores an 8 KiB key bloom per file in the commit manifest and
+        probes it during upsert/delete — prunes candidate files even
+        when key min/max ranges fully overlap (unclustered tables,
+        where the range tier declines). Opt-in: building blooms
+        re-scans each commit's newly written files once."""
         path = os.path.abspath(path)
         if os.path.exists(os.path.join(path, "_meta.json")):
             if mode == "overwrite":
@@ -135,6 +144,7 @@ class LakehouseTable:
                     "table_type": table_type,
                     "cdc_enabled": cdc_enabled,
                     "global_index": global_index,
+                    "bloom_index": bloom_index,
                 },
                 fh,
                 indent=1,
@@ -320,6 +330,7 @@ class LakehouseTable:
                 stats={"log_files_added": len(new_logs)},
                 key_ranges=prev.key_ranges,
                 col_stats=prev.col_stats,
+                key_blooms=prev.key_blooms,
             )
             mf.append_commit(self.path, commit)
             return commit
@@ -338,6 +349,12 @@ class LakehouseTable:
             affected, prev.key_ranges, stamped
         )
         untouched = untouched + range_skipped
+        bloom_skipped: list[str] = []
+        if self.bloom_index:
+            affected, bloom_skipped = self._probe_bloom_hits(
+                affected, prev.key_blooms, stamped
+            )
+            untouched = untouched + bloom_skipped
         if affected:
             target = self._read_parquet(affected).alias("t")
             keys = self._resolution_cols()
@@ -366,6 +383,7 @@ class LakehouseTable:
                 "rewritten_files": len(affected),
                 "carried_over_files": len(untouched),
                 "key_range_skipped_files": len(range_skipped),
+                "bloom_skipped_files": len(bloom_skipped),
                 "written_files": len(new_files),
             },
             **self._index_fields(new_files, carry_from=prev,
@@ -398,6 +416,11 @@ class LakehouseTable:
             affected, prev.key_ranges, stamped_keys
         )
         untouched = untouched + range_skipped
+        if self.bloom_index:
+            affected, bloom_skipped = self._probe_bloom_hits(
+                affected, prev.key_blooms, stamped_keys
+            )
+            untouched = untouched + bloom_skipped
         new_files: list[str] = []
         if affected:
             target = self._read_parquet(affected).alias("t")
@@ -604,6 +627,7 @@ class LakehouseTable:
             stats={"restored_version": version},
             key_ranges=dict(target.key_ranges),
             col_stats=dict(target.col_stats),
+            key_blooms=dict(target.key_blooms),
         )
         mf.append_commit(self.path, commit)
         return commit
@@ -705,7 +729,9 @@ class LakehouseTable:
     ) -> dict:
         """Build the commit's file-skipping index fields: footer stats
         for the NEW files (one pass each) merged with carried-over
-        entries from the previous commit for untouched files."""
+        entries from the previous commit for untouched files; plus, on
+        ``bloom_index`` tables, an 8 KiB key bloom per new file (one
+        extra scan of just-written data)."""
         stats = self._file_column_stats(new_files)
         key_ranges = {
             f: c["_hoodie_record_key"]
@@ -713,13 +739,40 @@ class LakehouseTable:
             if "_hoodie_record_key" in c
         }
         col_stats = dict(stats)
+        key_blooms: dict[str, str] = {}
+        if self.bloom_index and new_files:
+            from hudi_and_delta_showcase_spark.tables.bloom import (
+                build_file_blooms,
+            )
+
+            # key blooms by the scan's FULL file path, not the basename:
+            # a partitioned write reuses one task's part-file name across
+            # every partition directory, so basenames are ambiguous
+            scan = self.spark.read.option("mergeSchema", "true").parquet(
+                *[os.path.join(self.path, f) for f in new_files]
+            ).select(
+                F.col("_metadata.file_path").alias("__fp"),
+                "_hoodie_record_key",
+            )
+            wanted = set(new_files)
+            for uri, b64 in build_file_blooms(scan, file_col="__fp").items():
+                local = urllib.parse.unquote(urllib.parse.urlparse(uri).path)
+                rel = os.path.relpath(local, self.path)
+                if rel in wanted:
+                    key_blooms[rel] = b64
         if carry_from is not None:
             for f in carried or []:
                 if f in carry_from.key_ranges:
                     key_ranges[f] = carry_from.key_ranges[f]
                 if f in carry_from.col_stats:
                     col_stats[f] = carry_from.col_stats[f]
-        return {"key_ranges": key_ranges, "col_stats": col_stats}
+                if f in carry_from.key_blooms:
+                    key_blooms[f] = carry_from.key_blooms[f]
+        return {
+            "key_ranges": key_ranges,
+            "col_stats": col_stats,
+            "key_blooms": key_blooms,
+        }
 
     def _file_column_stats(
         self, rel_files: list[str], cols: list[str] | None = None
@@ -882,6 +935,30 @@ class LakehouseTable:
         hit = unknown + [f for f in ranged if f in hits]
         skipped = [f for f in ranged if f not in hits]
         return hit, skipped
+
+    def _probe_bloom_hits(
+        self,
+        affected: list[str],
+        blooms: dict[str, str],
+        stamped: DataFrame,
+    ) -> tuple[list[str], list[str]]:
+        """Bloom tier of file skipping: of the still-affected files,
+        keep those whose key bloom claims at least one batch key.
+        Applies where the range tier is weakest — overlapping key spans
+        on unclustered tables. Files without a bloom are conservative
+        hits; a skipped file is a DEFINITE miss (blooms have no false
+        negatives), so correctness never depends on the filter."""
+        if len(affected) <= 1:
+            return affected, []
+        with_bloom = {f: blooms[f] for f in affected if f in blooms}
+        if not with_bloom:
+            return affected, []
+        from hudi_and_delta_showcase_spark.tables.bloom import probe_blooms
+
+        hits = probe_blooms(self.spark, stamped, with_bloom)
+        kept = [f for f in affected if f not in with_bloom or f in hits]
+        skipped = [f for f in affected if f in with_bloom and f not in hits]
+        return kept, skipped
 
     def _partition_value_of(self, rel_file: str) -> str:
         parts = dict(

@@ -43,6 +43,12 @@ class Commit:
     #: column-stats index behind ``read_where`` data skipping (Delta
     #: stats / Hudi col-stats-index role). Same conservative contract.
     col_stats: dict = field(default_factory=dict)
+    #: per-file key bloom bitmaps (base64) — the third skipping tier
+    #: (Hudi BLOOM index), built only for tables created with
+    #: ``bloom_index=True``. Prunes candidate files even when key
+    #: ranges fully overlap (unclustered tables). Absent entries are
+    #: conservatively treated as hits.
+    key_blooms: dict = field(default_factory=dict)
     #: change-data-feed sidecar files for THIS commit (Delta CDF change
     #: files / Hudi CDC supplemental log) — post-images + change types,
     #: O(changes) extra write IO, written only when the table has
