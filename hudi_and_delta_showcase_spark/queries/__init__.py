@@ -100,6 +100,7 @@ PRIORITY: tuple[str, ...] = (
     "table_history",
     "cdc_gdpr_purge",
     "cdc_stats_skipping_read",
+    "cdc_bloom_skipping_upsert",
     "cdc_restore_version",
     "cdc_zorder_skipping_read",
     "q3_shipping_priority",

@@ -622,6 +622,57 @@ def cdc_zorder_skipping_read(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "cdc_bloom_skipping_upsert",
+    oracle="""
+    SELECT event_id, CAST(-event_id AS DOUBLE) AS value,
+           TRUE AS bloom_pruned
+    FROM events WHERE event_id IN (10, 20, 30)
+    """,
+    tags=("cdc", "table", "index"),
+)
+def cdc_bloom_skipping_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-index file skipping (Hudi ``hoodie.index.type=BLOOM``) on
+    the shape the range tier cannot prune: an UNCLUSTERED table whose
+    every file spans the whole key range (hash-distributed write), so
+    per-file min/max ranges all overlap and the range probe declines.
+    The per-file key blooms stored in the commit manifest still prune —
+    a 3-key upsert rewrites only the files whose blooms claim a key.
+    ``bloom_pruned`` pins that the commit really skipped files AND
+    rewrote a strict subset, folded into the oracle row. (AQE partition
+    coalescing is suspended for the create: it would legitimately fold
+    these small files into one, removing the multi-file shape whose
+    pruning this query demonstrates.)"""
+    events = load_table(spark, sf_dir, "events").select(*_FINAL_COLS)
+    path = tempfile.mkdtemp(prefix="bloomskip_") + "/events_tbl"
+    conf_key = "spark.sql.adaptive.coalescePartitions.enabled"
+    old = spark.conf.get(conf_key)
+    spark.conf.set(conf_key, "false")
+    try:
+        t = LakehouseTable.create(
+            spark, path, events.repartition(8),
+            key_cols=["event_id"], precombine="ts", bloom_index=True,
+        )
+    finally:
+        spark.conf.set(conf_key, old)
+    src = (
+        events.filter(F.col("event_id").isin(10, 20, 30))
+        .withColumn("value", (-F.col("event_id")).cast("double"))
+        .withColumn("ts", F.col("ts") + F.expr("INTERVAL 1 DAY"))
+    )
+    commit = t.upsert(src)
+    pruned = (
+        commit.stats["bloom_skipped_files"] > 0
+        and commit.stats["rewritten_files"] < 8
+    )
+    return (
+        t.read()
+        .filter(F.col("event_id").isin(10, 20, 30))
+        .select("event_id", "value")
+        .withColumn("bloom_pruned", F.lit(pruned))
+    )
+
+
+@query(
     "cdc_stats_skipping_read",
     oracle="""
     SELECT event_id, user_id, ts, event_type, value,
