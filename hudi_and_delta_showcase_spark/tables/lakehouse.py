@@ -257,6 +257,28 @@ class LakehouseTable:
             rng = commit.key_ranges.get(f)
             if rng is None or any(rng[0] <= rk <= rng[1] for rk in rks):
                 candidates.append(f)
+        # bloom tier for point lookups: on unclustered tables the ranges
+        # above keep nearly every file; the per-file blooms cut the scan
+        # to the files that can actually hold one of the keys
+        if self.bloom_index and len(candidates) > 1:
+            blooms = {
+                f: commit.key_blooms[f]
+                for f in candidates
+                if f in commit.key_blooms
+            }
+            if blooms:
+                from hudi_and_delta_showcase_spark.tables.bloom import (
+                    probe_blooms,
+                )
+
+                kdf = self.spark.createDataFrame(
+                    [(k,) for k in sorted(rks)],
+                    "_hoodie_record_key string",
+                )
+                hits = probe_blooms(self.spark, kdf, blooms)
+                candidates = [
+                    f for f in candidates if f not in blooms or f in hits
+                ]
         if not candidates:
             return self._read_base(commit).limit(0)
         df = self._read_parquet(candidates)

@@ -90,6 +90,19 @@ def test_bloom_prunes_delete_and_carries_over(spark, tmp_path):
     assert len(commit.key_blooms) >= 7
 
 
+def test_bloom_prunes_point_lookup(spark, tmp_path):
+    """read_for_keys on an unclustered bloom table scans a strict
+    subset of files (ranges alone keep every file here) and still
+    returns exactly the requested keys."""
+    t = _unclustered(spark, tmp_path)
+    total = len(t._commit(None).files)
+    assert total >= 8
+    out = t.read_for_keys([11, 22])
+    assert len(out.inputFiles()) < total
+    got = {(r.k, r.v) for r in out.select("k", "v").collect()}
+    assert got == {(11, 11 % 7), (22, 22 % 7)}
+
+
 def test_bloom_with_global_index(spark, tmp_path):
     """Bloom tier composes with global_index: candidates span all
     partitions, blooms prune them back down."""
