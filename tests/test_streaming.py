@@ -170,6 +170,66 @@ def test_watermark_drops_late_data(spark):
     assert got == {("2024-01-01 10:00:00", 2)}
 
 
+def test_watermarked_stream_join_bounds_state(spark):
+    """Stream-stream inner join with watermarks on BOTH sides and a
+    time-bound condition: the state store holds only rows within the
+    join window + watermark delay, so a match arriving after the
+    watermark passed its partner's eviction horizon is NOT produced —
+    the bounded-state behavior that makes stream joins viable at scale
+    (an unwatermarked join buffers both streams forever)."""
+    root = tempfile.mkdtemp(prefix="wm_join_")
+    left_d, right_d = f"{root}/l", f"{root}/r"
+    os.makedirs(left_d)
+    os.makedirs(right_d)
+    t = lambda s: datetime.datetime.fromisoformat(s)
+
+    def write(d, idx, rows):
+        spark.createDataFrame(rows, "ts timestamp, k long").coalesce(
+            1
+        ).write.parquet(f"{d}/f{idx}")
+
+    # left k=1 at 10:00; right k=1 at 10:10 -> in-window match
+    write(left_d, 0, [(t("2024-01-01 10:00:00"), 1)])
+    write(right_d, 0, [(t("2024-01-01 10:10:00"), 1)])
+    # advance both watermarks far past 10:00 (delay 30m, window 1h)
+    write(left_d, 1, [(t("2024-01-01 15:00:00"), 2)])
+    write(right_d, 1, [(t("2024-01-01 15:05:00"), 2)])
+    # spacer batch: join-state eviction runs at the end of the batch
+    # AFTER the watermark advance (the same one-batch lag the dedup and
+    # window tests pin down), so the stream must move once more before
+    # the late row arrives
+    write(right_d, 2, [(t("2024-01-01 15:10:00"), 9)])
+    # VERY late right row for k=1 at 10:20: its left partner's state
+    # was evicted (watermark ~14:30 >> 10:00 + 1h) -> no match emitted
+    write(right_d, 3, [(t("2024-01-01 10:20:00"), 1)])
+
+    left = (
+        spark.readStream.schema("ts timestamp, k long")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{left_d}/*")
+        .withWatermark("ts", "30 minutes")
+        .select(F.col("k"), F.col("ts").alias("lts"))
+    )
+    right = (
+        spark.readStream.schema("ts timestamp, k long")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{right_d}/*")
+        .withWatermark("ts", "30 minutes")
+        .select(F.col("k").alias("rk"), F.col("ts").alias("rts"))
+    )
+    joined = left.join(
+        right,
+        (F.col("k") == F.col("rk"))
+        & (F.col("rts") >= F.col("lts"))
+        & (F.col("rts") <= F.col("lts") + F.expr("INTERVAL 1 HOUR")),
+    ).select("k", "lts", "rts")
+    out = run_to_memory(joined, mode="append")
+    got = {(r.k, r.rts.isoformat(sep=" ")) for r in out.collect()}
+    assert (1, "2024-01-01 10:10:00") in got          # in-window match
+    assert (2, "2024-01-01 15:05:00") in got          # in-window match
+    assert (1, "2024-01-01 10:20:00") not in got      # evicted partner
+
+
 # --------------------------------------------------------------------- #
 # incremental CDC apply with checkpoint resume (exactly-once files)
 # --------------------------------------------------------------------- #
