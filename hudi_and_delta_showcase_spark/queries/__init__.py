@@ -29,6 +29,8 @@ PRIORITY: tuple[str, ...] = (
     "cdc_merge_routing",
     "cdc_incremental_pull",
     "cdc_hard_delete_state",
+    # r4: merge-on-read DELETE via deletion vectors (Delta DV semantics)
+    "cdc_deletion_vector_state",
     # on-disk lakehouse protocols (S3 _delta_log, S2 .hoodie timeline) —
     # promoted in r4 so the protocol flagships earn driver rows
     "delta_log_roundtrip",
@@ -82,14 +84,15 @@ PRIORITY: tuple[str, ...] = (
     "sample_uniform_hash",
     # -- mergeable sketches (error-bound gated) ---------------------------
     "sketch_distinct_gate",
-    "sketch_percentile_gate",
     # -- multimodal -------------------------------------------------------
     "multimodal_dedup_decode",
     "multimodal_frame_sample",
     # ==== below the line: checked only if the driver looks past 50 =======
     # (oracle-bearing variants first, rows-only last; r4 demoted four
     # redundant family variants to make room for the protocol/streaming
-    # flagships above — all stay registered and FULL_LOCAL-checked)
+    # flagships above, then sketch_percentile_gate for the deletion-vector
+    # row — all stay registered and FULL_LOCAL-checked)
+    "sketch_percentile_gate",
     "agg_grouping_sets",
     "window_running_sum",
     "dedup_embedding_cosine",

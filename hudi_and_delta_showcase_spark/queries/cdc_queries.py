@@ -258,6 +258,44 @@ def cdc_hard_delete_state(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "cdc_deletion_vector_state",
+    oracle="""
+    SELECT event_id, user_id, ts, event_type, value FROM (
+      SELECT *, ROW_NUMBER() OVER (
+        PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+      FROM events
+    ) WHERE rn = 1 AND event_type <> 'error'
+    """,
+    tags=("cdc", "table", "delete", "dv"),
+)
+def cdc_deletion_vector_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4 hard delete via DELETION VECTORS (Delta DV / Iceberg position
+    deletes): the delete writes an O(deleted rows) position sidecar and
+    rewrites ZERO base files — the read anti-joins
+    (_metadata.file_name, _metadata.row_index) against the vectors.
+    The commit is asserted rewrite-free (stats.rewritten_files == 0), so
+    a passing row proves the merge-on-read delete path end to end."""
+    base, incr = _split(spark, sf_dir)
+    path = tempfile.mkdtemp(prefix="lakehouse_dv_")
+    t = LakehouseTable.create(
+        spark,
+        f"{path}/events_tbl",
+        base,
+        key_cols=["user_id"],
+        precombine="ts",
+        tiebreakers=["event_id"],
+        deletion_vectors=True,
+    )
+    t.upsert(incr)
+    tombstones = t.read().filter(F.col("event_type") == "error").select(
+        "user_id"
+    )
+    commit = t.delete(tombstones)
+    assert commit.stats["rewritten_files"] == 0 and commit.dv_files
+    return t.read().select(*_FINAL_COLS)
+
+
+@query(
     "avro_envelope_scan",
     oracle="""
     SELECT * FROM (VALUES

@@ -78,6 +78,7 @@ class LakehouseTable:
         self.cdc_enabled: bool = meta.get("cdc_enabled", False)
         self.global_index: bool = meta.get("global_index", False)
         self.bloom_index: bool = meta.get("bloom_index", False)
+        self.deletion_vectors: bool = meta.get("deletion_vectors", False)
 
     # ------------------------------------------------------------------ #
     # creation / loading
@@ -98,6 +99,7 @@ class LakehouseTable:
         cdc_enabled: bool = False,
         global_index: bool = False,
         bloom_index: bool = False,
+        deletion_vectors: bool = False,
     ) -> "LakehouseTable":
         """C1 bulk insert: write batch as version 0, stamp meta columns
         (the reference's initial hudi insert, README.md:276-291).
@@ -124,7 +126,19 @@ class LakehouseTable:
         probes it during upsert/delete — prunes candidate files even
         when key min/max ranges fully overlap (unclustered tables,
         where the range tier declines). Opt-in: building blooms
-        re-scans each commit's newly written files once."""
+        re-scans each commit's newly written files once.
+
+        ``deletion_vectors`` (Delta deletion vectors / Iceberg position
+        deletes) changes DELETE from copy-on-write to merge-on-read:
+        instead of rewriting every file holding a matched key, the
+        delete writes an O(deleted rows) parquet sidecar of
+        ``(file_name, pos)`` row positions and leaves the base files
+        untouched. Readers anti-join the (small) DV set against the
+        scan's native ``(_metadata.file_name, _metadata.row_index)``.
+        At 100 TB this turns a delete touching 10k files from a
+        multi-TB rewrite into a megabyte append; the rewrite cost is
+        deferred to the next upsert/compaction of each file, which
+        materializes the deletes and drops the vectors."""
         path = os.path.abspath(path)
         if os.path.exists(os.path.join(path, "_meta.json")):
             if mode == "overwrite":
@@ -145,6 +159,7 @@ class LakehouseTable:
                     "cdc_enabled": cdc_enabled,
                     "global_index": global_index,
                     "bloom_index": bloom_index,
+                    "deletion_vectors": deletion_vectors,
                 },
                 fh,
                 indent=1,
@@ -281,7 +296,7 @@ class LakehouseTable:
                 ]
         if not candidates:
             return self._read_base(commit).limit(0)
-        df = self._read_parquet(candidates)
+        df = self._apply_dvs(self._read_parquet(candidates), commit)
         return df.filter(F.col("_hoodie_record_key").isin(*sorted(rks)))
 
     def history(self) -> list[mf.Commit]:
@@ -353,6 +368,7 @@ class LakehouseTable:
                 key_ranges=prev.key_ranges,
                 col_stats=prev.col_stats,
                 key_blooms=prev.key_blooms,
+                dv_files=list(prev.dv_files),
             )
             mf.append_commit(self.path, commit)
             return commit
@@ -378,7 +394,11 @@ class LakehouseTable:
             )
             untouched = untouched + bloom_skipped
         if affected:
-            target = self._read_parquet(affected).alias("t")
+            # apply DVs before the rewrite so rows already deleted via
+            # deletion vectors don't resurrect into the new files
+            target = self._apply_dvs(
+                self._read_parquet(affected), prev
+            ).alias("t")
             keys = self._resolution_cols()
             source_keys = F.broadcast(
                 stamped.select(*keys).distinct().alias("s")
@@ -408,6 +428,9 @@ class LakehouseTable:
                 "bloom_skipped_files": len(bloom_skipped),
                 "written_files": len(new_files),
             },
+            # DV entries for untouched files stay live; entries naming
+            # rewritten files are inert (the file left the live set)
+            dv_files=list(prev.dv_files),
             **self._index_fields(new_files, carry_from=prev,
                                  carried=untouched),
         )
@@ -443,13 +466,63 @@ class LakehouseTable:
                 affected, prev.key_blooms, stamped_keys
             )
             untouched = untouched + bloom_skipped
+
+        cond = None
+        for c in kcols:
+            e = F.col(f"t.{c}").eqNullSafe(F.col(f"s.{c}"))
+            cond = e if cond is None else cond & e
+
+        if self.deletion_vectors:
+            # merge-on-read delete: no base file is rewritten — record
+            # the matched ROW POSITIONS as an O(deleted rows) sidecar.
+            # The pruned `affected` scan reads only key columns +
+            # _metadata (column pruning), so the write cost is
+            # O(candidate files' keys), the commit is an append.
+            dv_added: list[str] = []
+            if affected:
+                # project the row position BEFORE the DV anti-join —
+                # _metadata resolves on the scan's project chain, not
+                # reliably through a join's output
+                target = self._apply_dvs(
+                    self._read_parquet(affected)
+                    .withColumn("__file", self._dv_file_col())
+                    .withColumn("__pos", F.col("_metadata.row_index")),
+                    prev,
+                )
+                hits = (
+                    target.alias("t")
+                    .join(F.broadcast(keys.alias("s")), cond, "left_semi")
+                    .select(
+                        F.col("__file").alias("file_name"),
+                        F.col("__pos").alias("pos"),
+                    )
+                )
+                dv_added = self._write_dv_files(hits, f"c{version:05d}")
+            commit = mf.Commit(
+                version=version,
+                action="delete",
+                commit_time=commit_time,
+                files=prev.files,
+                log_files=[],
+                stats={
+                    "rewritten_files": 0,
+                    "dv_candidate_files": len(affected),
+                    "dv_files_added": len(dv_added),
+                    "key_range_skipped_files": len(range_skipped),
+                },
+                key_ranges=prev.key_ranges,
+                col_stats=prev.col_stats,
+                key_blooms=prev.key_blooms,
+                dv_files=prev.dv_files + dv_added,
+            )
+            mf.append_commit(self.path, commit)
+            return commit
+
         new_files: list[str] = []
         if affected:
-            target = self._read_parquet(affected).alias("t")
-            cond = None
-            for c in kcols:
-                e = F.col(f"t.{c}").eqNullSafe(F.col(f"s.{c}"))
-                cond = e if cond is None else cond & e
+            target = self._apply_dvs(
+                self._read_parquet(affected), prev
+            ).alias("t")
             kept = target.join(
                 F.broadcast(keys.alias("s")), cond, "left_anti"
             )
@@ -464,6 +537,7 @@ class LakehouseTable:
                 "rewritten_files": len(affected),
                 "key_range_skipped_files": len(range_skipped),
             },
+            dv_files=list(prev.dv_files),
             **self._index_fields(new_files, carry_from=prev,
                                  carried=untouched),
         )
@@ -604,8 +678,9 @@ class LakehouseTable:
             keep.update(c.files)
             keep.update(c.log_files)
             keep.update(c.cdc_files)
+            keep.update(c.dv_files)
         removed = 0
-        for sub in ("data", "log", "cdc"):
+        for sub in ("data", "log", "cdc", "dv"):
             root = os.path.join(self.path, sub)
             for dirpath, _dirnames, filenames in os.walk(root):
                 for fn in filenames:
@@ -630,7 +705,7 @@ class LakehouseTable:
         target = mf.read_commit(self.path, version)
         missing = [
             f
-            for f in [*target.files, *target.log_files]
+            for f in [*target.files, *target.log_files, *target.dv_files]
             if not os.path.exists(os.path.join(self.path, f))
         ]
         if missing:
@@ -650,6 +725,7 @@ class LakehouseTable:
             key_ranges=dict(target.key_ranges),
             col_stats=dict(target.col_stats),
             key_blooms=dict(target.key_blooms),
+            dv_files=list(target.dv_files),
         )
         mf.append_commit(self.path, commit)
         return commit
@@ -882,7 +958,7 @@ class LakehouseTable:
                 .drop("__rn")
             )
         elif keep:
-            df = self._read_parquet(keep)
+            df = self._apply_dvs(self._read_parquet(keep), commit)
         else:
             return self._read_base(commit).limit(0).filter(F.lit(False))
         if lo is not None:
@@ -1001,8 +1077,60 @@ class LakehouseTable:
             "_hoodie_file_name", F.col("_metadata.file_name")
         )
 
+    def _dv_file_col(self):
+        """Table-RELATIVE file path of each scanned row, from the native
+        ``_metadata.file_path`` URI. The bare ``_metadata.file_name``
+        is NOT unique here: with ``partitionBy`` one write task emits
+        identically-named part files into every partition dir it sees.
+        Computing the relative path against the CURRENT table root on
+        both the write and read side also keeps DVs valid if the table
+        directory is relocated."""
+        return F.substring_index(
+            F.col("_metadata.file_path"), self.path + "/", -1
+        )
+
+    def _apply_dvs(self, df: DataFrame, commit: mf.Commit) -> DataFrame:
+        """Filter out rows marked deleted by the commit's deletion
+        vectors: anti-join the scan's native (relative file path,
+        ``_metadata.row_index``) against the DV sidecar ``(file_name,
+        pos)`` rows. The DV side is a parquet scan with known size
+        stats, so Catalyst broadcasts it while it is small (the normal
+        case — deleted rows, not table rows) and AQE falls back to a
+        shuffle join if a table accumulates huge vectors; either way
+        the base scan itself is untouched: pushdown, pruning, and
+        row-group skipping all still apply. DV entries naming files no
+        longer in the live set simply never match."""
+        if not commit.dv_files:
+            return df
+        dv = self.spark.read.parquet(
+            *[os.path.join(self.path, f) for f in commit.dv_files]
+        ).select("file_name", "pos")
+        return (
+            df.withColumn("__dv_file", self._dv_file_col())
+            .withColumn("__dv_pos", F.col("_metadata.row_index"))
+            .join(
+                dv,
+                (F.col("__dv_file") == dv["file_name"])
+                & (F.col("__dv_pos") == dv["pos"]),
+                "left_anti",
+            )
+            .drop("__dv_file", "__dv_pos")
+        )
+
+    def _write_dv_files(self, hits: DataFrame, commit_dir: str) -> list[str]:
+        """Write ``(file_name, pos)`` rows as a DV sidecar under dv/."""
+        rel_dir = os.path.join("dv", f"{commit_dir}-{uuid.uuid4().hex[:8]}")
+        out = os.path.join(self.path, rel_dir)
+        hits.write.mode("error").parquet(out)
+        return sorted(
+            os.path.relpath(os.path.join(dirpath, fn), self.path)
+            for dirpath, _dn, filenames in os.walk(out)
+            for fn in filenames
+            if fn.endswith(".parquet")
+        )
+
     def _read_base(self, commit: mf.Commit) -> DataFrame:
-        return self._read_parquet(commit.files)
+        return self._apply_dvs(self._read_parquet(commit.files), commit)
 
     def _split_affected(
         self, files: list[str], source: DataFrame

@@ -54,6 +54,15 @@ class Commit:
     #: O(changes) extra write IO, written only when the table has
     #: ``cdc_enabled``. Empty for file re-org commits.
     cdc_files: list[str] = field(default_factory=list)
+    #: deletion-vector sidecar files (Delta deletion vectors / Iceberg
+    #: position deletes): parquet rows ``(file_name, pos)`` — table-
+    #: relative file path + row position — marking rows of live base
+    #: files as deleted WITHOUT rewriting them. Cumulative — the full DV
+    #: set as of this commit; readers anti-join it against the scan's
+    #: native (relative ``_metadata.file_path``, ``row_index``). Reset
+    #: to empty by file-rewriting commits (compact/optimize), which
+    #: materialize the deletes.
+    dv_files: list[str] = field(default_factory=list)
 
 
 def commits_dir(table_path: str) -> str:
