@@ -178,3 +178,61 @@ def fingerprint(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
         F.md5(norm).alias("md5_fp"),
         F.array_min(F.transform(toks, lambda t: F.md5(t))).alias("min_shingle_fp"),
     )
+
+
+def ngram_decontaminate(
+    train: DataFrame,
+    eval_df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+) -> DataFrame:
+    """Train/eval DECONTAMINATION: score every training document by its
+    word n-gram overlap with an evaluation/benchmark set — the standard
+    pre-training hygiene pass that keeps held-out benchmarks out of the
+    training corpus (n-gram collision decontamination).
+
+    Output per train doc: ``total_ngrams`` (distinct n-grams in the
+    doc), ``matched_ngrams`` (of those, how many appear ANYWHERE in the
+    eval set), ``contamination_rate`` (matched/total, 6dp), and the
+    ``contaminated`` flag callers filter on.
+
+    Scale shape: the eval set is small by definition (benchmarks are
+    KBs–MBs against a 100 TB corpus), so its distinct n-gram set is
+    built once and BROADCAST; the train side is one explode + map-side
+    hash-join + partial-aggregated count — a single shuffle on
+    ``id_col``, no shuffle of the corpus n-grams themselves. If an eval
+    set ever outgrew broadcast, drop the hint and the same plan becomes
+    a sort-merge join on the n-gram."""
+    from hudi_and_delta_showcase_spark.operators.dedup import (
+        tokenize,
+        word_shingles,
+    )
+
+    tr = word_shingles(tokenize(train, text_col), "tokens", n)
+    ev = word_shingles(tokenize(eval_df, text_col), "tokens", n)
+    ev_ng = ev.select(F.explode("shingles").alias("ng")).distinct()
+    tr_ng = tr.select(id_col, F.explode("shingles").alias("ng"))
+    totals = tr.select(
+        id_col, F.size("shingles").cast("long").alias("total_ngrams")
+    )
+    matched = (
+        tr_ng.join(F.broadcast(ev_ng), "ng")
+        .groupBy(id_col)
+        .agg(F.count(F.lit(1)).alias("matched_ngrams"))
+    )
+    return (
+        totals.join(matched, id_col, "left")
+        .withColumn(
+            "matched_ngrams", F.coalesce("matched_ngrams", F.lit(0))
+        )
+        .withColumn(
+            "contamination_rate",
+            F.round(
+                F.col("matched_ngrams")
+                / F.greatest(F.col("total_ngrams"), F.lit(1)),
+                6,
+            ),
+        )
+        .withColumn("contaminated", F.col("matched_ngrams") > 0)
+    )

@@ -77,7 +77,8 @@ PRIORITY: tuple[str, ...] = (
     # -- text analysis ----------------------------------------------------
     "text_quality_scores",
     "text_tfidf_top_terms",
-    "text_winnowing_fp",
+    # r4: n-gram train/eval decontamination (LLM-pipeline hygiene pass)
+    "text_decontaminate",
     # -- end-to-end curation pipeline -------------------------------------
     "pipeline_corpus_curation",
     # -- deterministic sampling -------------------------------------------
@@ -93,6 +94,7 @@ PRIORITY: tuple[str, ...] = (
     # flagships above, then sketch_percentile_gate for the deletion-vector
     # row — all stay registered and FULL_LOCAL-checked)
     "sketch_percentile_gate",
+    "text_winnowing_fp",
     "agg_grouping_sets",
     "window_running_sum",
     "dedup_embedding_cosine",

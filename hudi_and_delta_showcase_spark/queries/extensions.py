@@ -821,6 +821,46 @@ def text_winnowing_fp(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "text_decontaminate",
+    oracle=f"""
+    WITH {_TOKS_CTE},
+    sh AS (
+      SELECT doc_id, list_distinct(list_transform(
+        generate_series(1, greatest(len(w) - 2, 0)),
+        i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS s
+      FROM toks
+    ),
+    ev AS (SELECT DISTINCT UNNEST(s) AS ng FROM sh WHERE doc_id % 25 = 0),
+    tr AS (SELECT doc_id, s FROM sh WHERE doc_id % 25 <> 0),
+    tr_ng AS (SELECT doc_id, UNNEST(s) AS ng FROM tr),
+    m AS (
+      SELECT doc_id, COUNT(*) AS matched_ngrams
+      FROM tr_ng JOIN ev USING (ng) GROUP BY doc_id
+    )
+    SELECT tr.doc_id,
+           len(tr.s)::BIGINT AS total_ngrams,
+           COALESCE(m.matched_ngrams, 0) AS matched_ngrams,
+           round(COALESCE(m.matched_ngrams, 0) * 1.0
+                 / greatest(len(tr.s), 1), 6) AS contamination_rate,
+           COALESCE(m.matched_ngrams, 0) > 0 AS contaminated
+    FROM tr LEFT JOIN m USING (doc_id)
+    """,
+    tags=("text", "curation", "join"),
+)
+def text_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train/eval decontamination: every 25th document plays the held-out
+    benchmark; each remaining (training) doc is scored by its distinct
+    trigram overlap with that eval set — the n-gram collision
+    decontamination pass of an LLM data pipeline. The eval n-gram set is
+    broadcast (benchmarks are tiny next to the corpus), so the train side
+    is map-side join + one shuffle on doc_id."""
+    docs = load_table(spark, sf_dir, "documents")
+    eval_df = docs.filter(F.col("doc_id") % 25 == 0)
+    train = docs.filter(F.col("doc_id") % 25 != 0)
+    return T.ngram_decontaminate(train, eval_df, "doc_id", "text", n=3)
+
+
+@query(
     "text_pii_scrub",
     oracle="""
     WITH enriched AS (

@@ -147,3 +147,69 @@ def test_pq_recall_floor(spark, sf_dir):
     ex10 = S.exact_topk_quantized(queries, emb, "vec_id", "embedding", k=10)
     hits = ex10.join(cand, ["query_id", "neighbor_id"], "semi").count()
     assert hits >= 0.8 * ex10.count()
+
+
+class TestDecontaminate:
+    def _frames(self, spark):
+        train = spark.createDataFrame(
+            [
+                (1, "the quick brown fox jumps over the lazy dog"),
+                (2, "lorem ipsum dolor sit amet consectetur"),
+                (3, "quick brown fox and nothing else here today"),
+            ],
+            "doc_id long, text string",
+        )
+        ev = spark.createDataFrame(
+            [(100, "a quick brown fox appears")], "doc_id long, text string"
+        )
+        return train, ev
+
+    def test_scores_known_overlap(self, spark):
+        from hudi_and_delta_showcase_spark.operators.text import (
+            ngram_decontaminate,
+        )
+
+        train, ev = self._frames(spark)
+        got = {
+            r.doc_id: (r.total_ngrams, r.matched_ngrams, r.contaminated)
+            for r in ngram_decontaminate(
+                train, ev, "doc_id", "text", n=3
+            ).collect()
+        }
+        # eval trigrams: {a quick brown, quick brown fox, brown fox appears}
+        # doc 1 contains "quick brown fox"; doc 2 shares nothing; doc 3
+        # contains "quick brown fox"
+        assert got[1] == (7, 1, True)
+        assert got[2] == (4, 0, False)
+        assert got[3] == (6, 1, True)
+
+    def test_rate_bounds_and_short_docs(self, spark):
+        from hudi_and_delta_showcase_spark.operators.text import (
+            ngram_decontaminate,
+        )
+
+        train = spark.createDataFrame(
+            [(1, "too short"), (2, "quick brown fox")],
+            "doc_id long, text string",
+        )
+        ev = spark.createDataFrame(
+            [(9, "quick brown fox")], "doc_id long, text string"
+        )
+        rows = {
+            r.doc_id: r
+            for r in ngram_decontaminate(
+                train, ev, "doc_id", "text", n=3
+            ).collect()
+        }
+        assert rows[1].total_ngrams == 0 and not rows[1].contaminated
+        assert rows[1].contamination_rate == 0.0  # no divide-by-zero
+        assert rows[2].matched_ngrams == 1 and rows[2].contamination_rate == 1.0
+
+    def test_eval_side_broadcasts(self, spark, sf_dir):
+        from hudi_and_delta_showcase_spark.queries import load_all
+
+        plan = (
+            load_all()["text_decontaminate"].fn(spark, sf_dir)
+            ._jdf.queryExecution().executedPlan().toString()
+        )
+        assert "BroadcastHashJoin" in plan  # eval n-gram set broadcast
