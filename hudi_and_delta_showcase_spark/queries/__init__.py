@@ -58,6 +58,8 @@ PRIORITY: tuple[str, ...] = (
     # -- catalog DDL (D1-D6) ----------------------------------------------
     "catalog_managed_table_roundtrip",
     "show_create_table",
+    # r4: the reference's literal MERGE INTO statement as a SQL string
+    "sql_merge_into",
     # -- structured streaming (§2.10) -------------------------------------
     "stream_cdc_apply_golden",
     "stream_tumbling_counts",
@@ -73,7 +75,6 @@ PRIORITY: tuple[str, ...] = (
     "similarity_topk_bruteforce",
     "similarity_lsh_containment",
     "similarity_ivf_containment",
-    "similarity_pq_containment",
     # -- text analysis ----------------------------------------------------
     "text_quality_scores",
     "text_tfidf_top_terms",
@@ -95,6 +96,7 @@ PRIORITY: tuple[str, ...] = (
     # row — all stay registered and FULL_LOCAL-checked)
     "sketch_percentile_gate",
     "text_winnowing_fp",
+    "similarity_pq_containment",
     "agg_grouping_sets",
     "window_running_sum",
     "dedup_embedding_cosine",

@@ -258,6 +258,68 @@ def cdc_hard_delete_state(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "sql_merge_into",
+    oracle=f"""
+    WITH base AS (
+      SELECT event_id, user_id, ts, event_type, value FROM (
+        SELECT *, ROW_NUMBER() OVER (
+          PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+        FROM events WHERE ts < TIMESTAMP '{CUTOFF}'
+      ) WHERE rn = 1
+    ),
+    inc AS (
+      SELECT event_id, user_id, ts, event_type, value FROM (
+        SELECT *, ROW_NUMBER() OVER (
+          PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+        FROM events WHERE ts >= TIMESTAMP '{CUTOFF}'
+      ) WHERE rn = 1
+    )
+    SELECT event_id, user_id, ts, event_type, value
+    FROM inc WHERE event_type <> 'error'
+    UNION ALL
+    SELECT b.event_id, b.user_id, b.ts, b.event_type, b.value
+    FROM base b
+    WHERE NOT EXISTS (SELECT 1 FROM inc WHERE inc.user_id = b.user_id)
+    """,
+    tags=("cdc", "table", "sql", "merge"),
+)
+def sql_merge_into(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's literal MERGE statement (README.md:1213-1224)
+    against the engine: C5-reduce the CDC batch to latest-change-per-key,
+    then run conditional-DELETE/UPDATE/INSERT clauses as one SQL string
+    through tables.merge_sql (clause routing + pruned upsert/delete).
+    Keys whose latest change is a tombstone (event_type='error') drop;
+    the rest upsert — the hard-delete MERGE variant the reference's
+    soft-delete merge deliberately omits."""
+    from hudi_and_delta_showcase_spark.operators.cdc import precombine_dedup
+    from hudi_and_delta_showcase_spark.tables.merge_sql import execute_merge
+
+    base, incr = _split(spark, sf_dir)
+    path = tempfile.mkdtemp(prefix="lakehouse_mergesql_")
+    t = LakehouseTable.create(
+        spark,
+        f"{path}/events_tbl",
+        base,
+        key_cols=["user_id"],
+        precombine="ts",
+        tiebreakers=["event_id"],
+    )
+    precombine_dedup(
+        incr, ["user_id"], "ts", ["event_id"]
+    ).createOrReplaceTempView("events_cdc_merge_src")
+    execute_merge(
+        spark,
+        """MERGE INTO events_tbl t USING events_cdc_merge_src s
+           ON t.user_id = s.user_id
+           WHEN MATCHED AND s.event_type = 'error' THEN DELETE
+           WHEN MATCHED THEN UPDATE SET *
+           WHEN NOT MATCHED AND s.event_type <> 'error' THEN INSERT *""",
+        {"events_tbl": t},
+    )
+    return t.read().select(*_FINAL_COLS)
+
+
+@query(
     "cdc_deletion_vector_state",
     oracle="""
     SELECT event_id, user_id, ts, event_type, value FROM (

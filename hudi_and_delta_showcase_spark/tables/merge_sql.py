@@ -1,0 +1,231 @@
+"""SQL ``MERGE INTO`` surface over :class:`LakehouseTable`.
+
+The reference's Delta path issues MERGE as a literal SQL string
+(/root/reference/README.md:1213-1224):
+
+    MERGE INTO delta_merge_test t USING cdc_data_deduped s
+    ON t.pk_id = s.pk_id
+    WHEN MATCHED THEN UPDATE SET *
+    WHEN NOT MATCHED THEN INSERT *
+
+``execute_merge`` accepts that statement shape verbatim and runs it
+against the engine's own table machinery — the missing piece between
+"call ``table.upsert(df)`` from Python" and "paste the notebook's SQL".
+
+Grammar (the reference's surface plus Delta's conditional/delete
+clauses; anything else raises):
+
+    MERGE INTO <target> [AS] [<alias>]
+    USING <source temp view> [AS] [<alias>]
+    ON <equality conjunction over the target's resolution columns>
+    { WHEN MATCHED [AND <cond>] THEN { UPDATE SET * | DELETE } }*
+    [ WHEN NOT MATCHED [AND <cond>] THEN INSERT * ]
+
+Execution model (Delta semantics, Spark-first physical plan):
+each source row is routed to the FIRST clause whose condition it
+satisfies — one inner join against the target snapshot tags rows
+``matched``/``unmatched``, clause conditions become one chained
+``when/otherwise`` expression (pure JVM codegen, no Python row work) —
+then the tagged frame fans into at most two commits: ``delete(keys)``
+for DELETE rows and ``upsert(rows)`` for UPDATE ∪ INSERT rows, both of
+which reuse the partition/key-range/bloom-pruned write paths. Multiple
+source rows per key must be pre-reduced (C5 latest-change-per-key,
+README.md:1215-1221) exactly as Delta requires; the engine's
+precombine catches stragglers.
+"""
+
+from __future__ import annotations
+
+import re
+from dataclasses import dataclass
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+from hudi_and_delta_showcase_spark.tables.lakehouse import LakehouseTable
+
+_HEAD_RE = re.compile(
+    r"^\s*MERGE\s+INTO\s+(?P<target>\w+)(?:\s+AS)?(?:\s+(?P<talias>\w+))?"
+    r"\s+USING\s+(?P<source>\w+)(?:\s+AS)?(?:\s+(?P<salias>\w+))?"
+    r"\s+ON\s+(?P<on>.+?)"
+    r"(?=\s+WHEN\s+)",
+    re.IGNORECASE | re.DOTALL,
+)
+_CLAUSE_RE = re.compile(
+    r"WHEN\s+(?P<not>NOT\s+)?MATCHED(?:\s+AND\s+(?P<cond>.+?))?\s+THEN\s+"
+    r"(?P<action>UPDATE\s+SET\s+\*|INSERT\s+\*|DELETE)",
+    re.IGNORECASE | re.DOTALL,
+)
+
+
+@dataclass(frozen=True)
+class MergeClause:
+    matched: bool
+    condition: str | None  # SQL expr over t./s. columns, None = always
+    action: str  # update | insert | delete
+
+
+@dataclass(frozen=True)
+class MergeSpec:
+    target: str
+    target_alias: str
+    source: str
+    source_alias: str
+    on: str
+    clauses: tuple[MergeClause, ...]
+
+
+def parse_merge(sql: str) -> MergeSpec:
+    head = _HEAD_RE.search(sql)
+    if not head:
+        raise ValueError(f"unparseable MERGE statement: {sql[:120]!r}")
+    clauses = []
+    for m in _CLAUSE_RE.finditer(sql):
+        action = re.sub(r"\s+", " ", m.group("action").upper())
+        matched = m.group("not") is None
+        if action == "DELETE" and not matched:
+            raise ValueError("WHEN NOT MATCHED THEN DELETE is not valid")
+        if action == "INSERT *" and matched:
+            raise ValueError("WHEN MATCHED THEN INSERT is not valid")
+        if action == "UPDATE SET *" and not matched:
+            raise ValueError("WHEN NOT MATCHED THEN UPDATE is not valid")
+        clauses.append(
+            MergeClause(
+                matched=matched,
+                condition=(m.group("cond") or "").strip() or None,
+                action=action.split(" ")[0].lower(),
+            )
+        )
+    if not clauses:
+        raise ValueError("MERGE needs at least one WHEN clause")
+    # without AS-aliases the table names themselves qualify columns
+    return MergeSpec(
+        target=head.group("target"),
+        target_alias=head.group("talias") or head.group("target"),
+        source=head.group("source"),
+        source_alias=head.group("salias") or head.group("source"),
+        on=head.group("on").strip(),
+        clauses=tuple(clauses),
+    )
+
+
+def _on_source_keys(spec: MergeSpec, table: LakehouseTable) -> dict[str, str]:
+    """Validate the ON condition is an equality conjunction covering the
+    table's resolution columns and return target-col -> source-col. The
+    restriction is Hudi/Delta reality: a keyed upsert resolves on the
+    record key; arbitrary ON thetas would silently change semantics."""
+    t, s = spec.target_alias, spec.source_alias
+    pairs: dict[str, str] = {}
+    for part in re.split(r"\s+AND\s+", spec.on, flags=re.IGNORECASE):
+        m = re.match(
+            rf"^\s*(?:({t}|{s})\.)?(\w+)\s*=\s*(?:({t}|{s})\.)?(\w+)\s*$",
+            part,
+        )
+        if not m:
+            raise ValueError(f"ON must be an equality conjunction: {part!r}")
+        a_side, a_col, b_side, b_col = m.groups()
+        if a_side == s or b_side == t:  # normalize to target = source
+            a_col, b_col = b_col, a_col
+        pairs[a_col] = b_col
+    missing = [k for k in table._resolution_cols() if k not in pairs]
+    if missing:
+        raise ValueError(
+            f"ON must cover the table's key columns; missing {missing}"
+        )
+    return pairs
+
+
+def execute_merge(
+    spark: SparkSession,
+    sql: str,
+    tables: dict[str, LakehouseTable],
+) -> dict:
+    """Parse and run a MERGE statement. The target resolves through
+    ``tables``; the source is a Spark temp view (or catalog table).
+    Returns per-action row counts plus the commits made."""
+    spec = parse_merge(sql)
+    if spec.target not in tables:
+        raise KeyError(f"unknown MERGE target table: {spec.target}")
+    table = tables[spec.target]
+    key_map = _on_source_keys(spec, table)
+
+    src = spark.table(spec.source).alias(spec.source_alias)
+    # snapshot of target KEYS only — routing needs existence, not
+    # payload, so the probe scan is column-pruned to the key columns.
+    # No broadcast hint: the small CDC batch side shuffles cheaply and
+    # the key scan's shuffle is the unavoidable index-probe cost (the
+    # metadata key-range/bloom pruning inside upsert/delete still
+    # bounds the WRITE side to candidate files).
+    tgt_keys = (
+        table.read()
+        .select(*key_map.keys())
+        .distinct()
+        .withColumn("__m", F.lit(True))
+        .alias(spec.target_alias)
+    )
+    on_cols = [
+        F.col(f"{spec.target_alias}.{tc}").eqNullSafe(
+            F.col(f"{spec.source_alias}.{sc}")
+        )
+        for tc, sc in key_map.items()
+    ]
+    on_expr = on_cols[0]
+    for e in on_cols[1:]:
+        on_expr = on_expr & e
+    routed = src.join(tgt_keys, on_expr, "left_outer").select(
+        f"{spec.source_alias}.*",
+        F.coalesce(
+            F.col(f"{spec.target_alias}.__m"), F.lit(False)
+        ).alias("__matched"),
+    )
+
+    # first-satisfied-clause routing, exactly Delta's clause order
+    action = F.lit(None).cast("string")
+    assigned = F.lit(False)
+    for c in spec.clauses:
+        hit = F.col("__matched") if c.matched else ~F.col("__matched")
+        if c.condition is not None:
+            cond = re.sub(
+                rf"\b{spec.source_alias}\.", "", c.condition
+            )  # source cols are top-level after the select above
+            hit = hit & F.expr(cond)
+        action = F.when(~assigned & hit, F.lit(c.action)).otherwise(action)
+        assigned = assigned | hit
+    routed = routed.withColumn("__action", action)
+
+    counts = {
+        r["__action"]: r["n"]
+        for r in routed.groupBy("__action")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    commits = []
+    deletes = routed.filter(F.col("__action") == "delete")
+    if counts.get("delete"):
+        commits.append(
+            table.delete(
+                deletes.select(
+                    *[F.col(s).alias(t) for t, s in key_map.items()]
+                )
+            ).version
+        )
+    # UPDATE SET * / INSERT * write the TARGET's data columns (the
+    # source may carry extras, e.g. CDC envelope fields) — Delta's
+    # star-clause resolves against the target schema the same way
+    data_cols = [
+        c
+        for c in table.read().columns
+        if not c.startswith("_hoodie_") and c != "__pp"
+    ]
+    writes = routed.filter(
+        F.col("__action").isin("update", "insert")
+    ).select(*data_cols)
+    if counts.get("update") or counts.get("insert"):
+        commits.append(table.upsert(writes).version)
+    return {
+        "updated": counts.get("update", 0),
+        "inserted": counts.get("insert", 0),
+        "deleted": counts.get("delete", 0),
+        "skipped": counts.get(None, 0),
+        "commits": commits,
+    }

@@ -1,0 +1,154 @@
+"""SQL MERGE INTO surface (reference README.md:1213-1224): parse the
+Delta notebook's statement shape, route source rows to first-satisfied
+clause, commit through the table's pruned upsert/delete paths."""
+
+from __future__ import annotations
+
+import pytest
+
+from hudi_and_delta_showcase_spark.tables import LakehouseTable
+from hudi_and_delta_showcase_spark.tables.merge_sql import (
+    execute_merge,
+    parse_merge,
+)
+
+REF_MERGE = """
+MERGE INTO target t USING updates s
+ON t.pk_id = s.pk_id
+WHEN MATCHED THEN UPDATE SET *
+WHEN NOT MATCHED THEN INSERT *
+"""
+
+
+def test_parse_reference_statement():
+    spec = parse_merge(REF_MERGE)
+    assert (spec.target, spec.source) == ("target", "updates")
+    assert (spec.target_alias, spec.source_alias) == ("t", "s")
+    assert spec.on == "t.pk_id = s.pk_id"
+    assert [(c.matched, c.action) for c in spec.clauses] == [
+        (True, "update"),
+        (False, "insert"),
+    ]
+
+
+def test_parse_conditional_and_delete():
+    spec = parse_merge(
+        "MERGE INTO a USING b ON a.k = b.k "
+        "WHEN MATCHED AND b.is_deleted = true THEN DELETE "
+        "WHEN MATCHED THEN UPDATE SET * "
+        "WHEN NOT MATCHED AND b.is_deleted = false THEN INSERT *"
+    )
+    assert [c.action for c in spec.clauses] == ["delete", "update", "insert"]
+    assert spec.clauses[0].condition == "b.is_deleted = true"
+    assert spec.clauses[1].condition is None
+
+
+@pytest.mark.parametrize(
+    "bad",
+    [
+        "MERGE INTO a USING b ON a.k = b.k WHEN NOT MATCHED THEN DELETE",
+        "MERGE INTO a USING b ON a.k = b.k WHEN MATCHED THEN INSERT *",
+        "MERGE INTO a USING b ON a.k = b.k",
+        "SELECT 1",
+    ],
+)
+def test_parse_rejects_invalid(bad):
+    with pytest.raises(ValueError):
+        parse_merge(bad)
+
+
+def _table(spark, tmp_path):
+    base = spark.createDataFrame(
+        [(1, "apple", 10), (2, "samsung", 20), (3, "dell", 30),
+         (4, "motorola", 40)],
+        "pk_id long, name string, value long",
+    )
+    return LakehouseTable.create(
+        spark, str(tmp_path / "m"), base, key_cols=["pk_id"]
+    )
+
+
+def test_reference_merge_scenario(spark, tmp_path):
+    """The golden CDC batch through literal MERGE SQL: update samsung
+    20->201, soft-tombstone dell via DELETE clause, insert htc."""
+    t = _table(spark, tmp_path)
+    spark.createDataFrame(
+        [(5, "htc", 50, False), (2, "samsung", 201, False),
+         (3, "dell", 30, True)],
+        "pk_id long, name string, value long, is_deleted boolean",
+    ).createOrReplaceTempView("cdc_batch")
+    stats = execute_merge(
+        spark,
+        """MERGE INTO m t USING cdc_batch s ON t.pk_id = s.pk_id
+           WHEN MATCHED AND s.is_deleted = true THEN DELETE
+           WHEN MATCHED THEN UPDATE SET *
+           WHEN NOT MATCHED AND s.is_deleted = false THEN INSERT *""",
+        {"m": t},
+    )
+    assert (stats["updated"], stats["inserted"], stats["deleted"]) == (1, 1, 1)
+    got = {
+        r.pk_id: (r.name, r.value)
+        for r in t.read().select("pk_id", "name", "value").collect()
+    }
+    assert got == {
+        1: ("apple", 10),
+        2: ("samsung", 201),
+        4: ("motorola", 40),
+        5: ("htc", 50),
+    }
+
+
+def test_unmatched_tombstone_skipped(spark, tmp_path):
+    """A DELETE for a key the table never had routes to no clause."""
+    t = _table(spark, tmp_path)
+    spark.createDataFrame(
+        [(99, "ghost", 0, True)],
+        "pk_id long, name string, value long, is_deleted boolean",
+    ).createOrReplaceTempView("ghost_batch")
+    stats = execute_merge(
+        spark,
+        """MERGE INTO m USING ghost_batch s ON m.pk_id = s.pk_id
+           WHEN MATCHED AND s.is_deleted = true THEN DELETE
+           WHEN NOT MATCHED AND s.is_deleted = false THEN INSERT *""",
+        {"m": t},
+    )
+    assert stats == {
+        "updated": 0, "inserted": 0, "deleted": 0, "skipped": 1,
+        "commits": [],
+    }
+    assert t.read().count() == 4
+
+
+def test_on_must_cover_keys(spark, tmp_path):
+    t = _table(spark, tmp_path)
+    spark.range(1).withColumnRenamed("id", "pk_id").createOrReplaceTempView(
+        "v_keys"
+    )
+    with pytest.raises(ValueError, match="key columns"):
+        execute_merge(
+            spark,
+            "MERGE INTO m USING v_keys s ON m.name = s.name "
+            "WHEN MATCHED THEN UPDATE SET *",
+            {"m": t},
+        )
+
+
+def test_clause_order_first_wins(spark, tmp_path):
+    """Delta evaluates WHEN MATCHED clauses in order: with UPDATE listed
+    before a conditional DELETE, tombstones still update (soft delete —
+    exactly the reference's merge, which has no DELETE clause at all)."""
+    t = _table(spark, tmp_path)
+    spark.createDataFrame(
+        [(3, "dell-tomb", 0, True)],
+        "pk_id long, name string, value long, is_deleted boolean",
+    ).createOrReplaceTempView("tomb_batch")
+    stats = execute_merge(
+        spark,
+        """MERGE INTO m USING tomb_batch s ON m.pk_id = s.pk_id
+           WHEN MATCHED THEN UPDATE SET *
+           WHEN MATCHED AND s.is_deleted = true THEN DELETE""",
+        {"m": t},
+    )
+    assert (stats["updated"], stats["deleted"]) == (1, 0)
+    row = t.read().filter("pk_id = 3").select("name").collect()[0]
+    assert row.name == "dell-tomb"
