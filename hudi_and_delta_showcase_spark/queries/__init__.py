@@ -43,7 +43,6 @@ PRIORITY: tuple[str, ...] = (
     "join_anti",
     "join_range_theta",
     "join_asof_events",
-    "join_bucketed_colocated",
     # -- aggregate battery ------------------------------------------------
     "agg_distinct",
     "agg_rollup",
@@ -82,6 +81,8 @@ PRIORITY: tuple[str, ...] = (
     "text_decontaminate",
     # -- end-to-end curation pipeline -------------------------------------
     "pipeline_corpus_curation",
+    # r4: GPT-style sequence packing (two-phase global cumsum)
+    "pipeline_sequence_pack",
     # -- deterministic sampling -------------------------------------------
     "sample_uniform_hash",
     # -- mergeable sketches (error-bound gated) ---------------------------
@@ -97,6 +98,7 @@ PRIORITY: tuple[str, ...] = (
     "sketch_percentile_gate",
     "text_winnowing_fp",
     "similarity_pq_containment",
+    "join_bucketed_colocated",
     "agg_grouping_sets",
     "window_running_sum",
     "dedup_embedding_cosine",

@@ -1131,6 +1131,49 @@ def sketch_percentile_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "pipeline_sequence_pack",
+    oracle=f"""
+    WITH {_TOKS_CTE},
+    t AS (
+      SELECT doc_id, len(w)::BIGINT AS n_tokens,
+             md5(CAST(doc_id AS VARCHAR)) AS k
+      FROM toks
+    ),
+    c AS (
+      SELECT doc_id, n_tokens,
+             COALESCE(SUM(n_tokens) OVER (
+               ORDER BY k ROWS BETWEEN UNBOUNDED PRECEDING
+               AND 1 PRECEDING), 0)::BIGINT AS start_offset
+      FROM t
+    )
+    SELECT doc_id, n_tokens, start_offset,
+           (start_offset // 2048)::BIGINT AS seq_first,
+           ((start_offset + greatest(n_tokens, 1) - 1) // 2048)::BIGINT
+             AS seq_last
+    FROM c
+    """,
+    tags=("pipeline", "packing"),
+)
+def pipeline_sequence_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GPT-style pack-and-chunk: documents concatenated in md5(doc_id)
+    order and cut into 2048-token training sequences; each doc reports
+    its stream offset and the sequence ids it spans. The global running
+    sum is the two-phase scale-safe form (range sort + per-partition
+    partials + Arrow prefix pass, operators/packing.py) — NOT a
+    single-partition ORDER BY window; the oracle states the same layout
+    with DuckDB's window sum."""
+    from hudi_and_delta_showcase_spark.operators.packing import (
+        packed_sequences,
+    )
+
+    toks = D.tokenize(load_table(spark, sf_dir, "documents"), "text")
+    counted = toks.select(
+        "doc_id", F.size("tokens").cast("long").alias("n_tok")
+    )
+    return packed_sequences(counted, "doc_id", "n_tok", budget=2048)
+
+
+@query(
     "pipeline_corpus_curation",
     oracle=f"""
     WITH t AS (
