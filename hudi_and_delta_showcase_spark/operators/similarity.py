@@ -576,3 +576,52 @@ def topk_pq(
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "sim", "rank")
     )
+
+
+def semantic_dedup(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    threshold: float,
+    n_clusters: int = 8,
+    nprobe: int = 2,
+    train_sample: int = 2048,
+    iters: int = 8,
+    seed: int = 42,
+) -> tuple[DataFrame, DataFrame]:
+    """SemDeDup-style semantic deduplication: spherical-kmeans cluster
+    the embedding space, find near-duplicate pairs WITHIN clusters
+    (cosine >= threshold over integer-quantized vectors), and keep the
+    lowest-id representative of every duplicate pair. Returns
+    ``(kept, pairs)``.
+
+    This is by construction cluster-scoped — a near-dup pair split
+    across clusters survives, which is the accepted SemDeDup trade-off
+    (recall is bought with ``nprobe`` multi-assignment, paid as extra
+    candidate volume). Use ``embedding_near_pairs`` blocked on a TRUE
+    grouping column when exactness is required.
+
+    Scale shape: training is a bounded driver-side sample (O(sample),
+    not O(corpus)); assignment is one map-only Arrow pass; the pair scan
+    shuffles once on the cluster id and runs one integer matmul per
+    cluster block (bounded by |corpus|/n_clusters x nprobe — raise
+    ``n_clusters`` with corpus size, re-shard hot cells like any skewed
+    key). Never all-pairs."""
+    sample = np.vstack(
+        [r[0] for r in df.select(vec_col).limit(train_sample).collect()]
+    ).astype("float64")
+    cents = _spherical_kmeans(
+        sample, min(n_clusters, len(sample)), iters, seed
+    )
+    assigned = ivf_assign(
+        df.select(F.col(id_col), F.col(vec_col)),
+        vec_col,
+        cents,
+        nprobe=nprobe,
+    )
+    pairs = embedding_near_pairs(
+        assigned, id_col, vec_col, threshold, "cell"
+    ).dropDuplicates(["doc_a", "doc_b"])  # multi-probe finds pairs twice
+    drop = pairs.select(F.col("doc_b").alias(id_col)).distinct()
+    kept = df.join(drop, id_col, "left_anti")
+    return kept, pairs

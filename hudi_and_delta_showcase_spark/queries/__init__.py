@@ -151,6 +151,7 @@ PRIORITY: tuple[str, ...] = (
     "embedding_label_centroid_sim",
     "dedup_exact_groups",
     "dedup_simhash",
+    "dedup_semantic_keep",
     "similarity_topk_lsh",
     "similarity_topk_ivf",
     "similarity_topk_pq",

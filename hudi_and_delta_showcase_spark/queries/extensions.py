@@ -1131,6 +1131,25 @@ def sketch_percentile_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "dedup_semantic_keep",
+    oracle=None,  # kmeans cluster blocking is not ANSI-expressible;
+    # quality is pytest-gated (recall vs exact pairs, determinism) in
+    # tests/test_extensions.py::TestSemanticDedup
+    tags=("dedup", "similarity"),
+)
+def dedup_semantic_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup: kmeans-cluster the embedding space, drop the higher id
+    of every within-cluster near-dup pair (cosine >= 0.35), return the
+    kept corpus. Cluster-scoped by construction (the SemDeDup trade-off);
+    the exact-within-label variant is dedup_embedding_cosine."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    kept, _pairs = S.semantic_dedup(
+        emb, "vec_id", "embedding", threshold=0.35, n_clusters=8, nprobe=2
+    )
+    return kept.select("vec_id", "label")
+
+
+@query(
     "pipeline_sequence_pack",
     oracle=f"""
     WITH {_TOKS_CTE},

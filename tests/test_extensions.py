@@ -213,3 +213,63 @@ class TestDecontaminate:
             ._jdf.queryExecution().executedPlan().toString()
         )
         assert "BroadcastHashJoin" in plan  # eval n-gram set broadcast
+
+
+class TestSemanticDedup:
+    def test_recall_gate_and_keep_policy(self, spark, sf_dir):
+        """Cluster-blocked pair recall vs the exact all-pairs answer must
+        clear 0.75 on the fixture, and the kept set must be exactly
+        corpus minus every pair's doc_b."""
+        import numpy as np
+
+        from hudi_and_delta_showcase_spark.io import load_table
+        from hudi_and_delta_showcase_spark.operators.similarity import (
+            semantic_dedup,
+        )
+
+        emb = load_table(spark, sf_dir, "embeddings")
+        kept, pairs = semantic_dedup(
+            emb, "vec_id", "embedding", threshold=0.35,
+            n_clusters=8, nprobe=2,
+        )
+        got_pairs = {(r.doc_a, r.doc_b) for r in pairs.collect()}
+        rows = emb.select("vec_id", "embedding").collect()
+        ids = np.array([r.vec_id for r in rows])
+        q = np.floor(
+            np.vstack([r.embedding for r in rows]).astype("float64") * 1000
+            + 0.5
+        ).astype("int64")
+        gram = q @ q.T
+        n = np.sqrt(np.diag(gram).astype("float64"))
+        sim = gram / np.outer(n, n)
+        iu = np.triu_indices(len(ids), 1)
+        exact = {
+            (int(min(ids[i], ids[j])), int(max(ids[i], ids[j])))
+            for i, j in zip(*iu)
+            if round(sim[i, j], 6) >= 0.35
+        }
+        assert got_pairs <= exact  # verification step: no false pairs
+        assert len(got_pairs) / max(len(exact), 1) >= 0.75
+        dropped = {b for _, b in got_pairs}
+        assert {r.vec_id for r in kept.collect()} == set(ids) - dropped
+
+    def test_deterministic(self, spark, sf_dir):
+        from hudi_and_delta_showcase_spark.io import load_table
+        from hudi_and_delta_showcase_spark.operators.similarity import (
+            semantic_dedup,
+        )
+
+        emb = load_table(spark, sf_dir, "embeddings")
+        a = {
+            r.vec_id
+            for r in semantic_dedup(
+                emb, "vec_id", "embedding", 0.35, n_clusters=8, nprobe=2
+            )[0].collect()
+        }
+        b = {
+            r.vec_id
+            for r in semantic_dedup(
+                emb, "vec_id", "embedding", 0.35, n_clusters=8, nprobe=2
+            )[0].collect()
+        }
+        assert a == b
