@@ -31,6 +31,8 @@ PRIORITY: tuple[str, ...] = (
     "cdc_hard_delete_state",
     # r4: merge-on-read DELETE via deletion vectors (Delta DV semantics)
     "cdc_deletion_vector_state",
+    # r4: CHECK constraints with quarantine routing (Delta ADD CONSTRAINT)
+    "cdc_constraint_quarantine",
     # on-disk lakehouse protocols (S3 _delta_log, S2 .hoodie timeline) —
     # promoted in r4 so the protocol flagships earn driver rows
     "delta_log_roundtrip",
@@ -45,7 +47,6 @@ PRIORITY: tuple[str, ...] = (
     "join_asof_events",
     # -- aggregate battery ------------------------------------------------
     "agg_distinct",
-    "agg_rollup",
     # -- window battery ---------------------------------------------------
     "window_latest_per_key",
     "window_rank_topn_per_group",
@@ -99,6 +100,7 @@ PRIORITY: tuple[str, ...] = (
     "text_winnowing_fp",
     "similarity_pq_containment",
     "join_bucketed_colocated",
+    "agg_rollup",
     "agg_grouping_sets",
     "window_running_sum",
     "dedup_embedding_cosine",

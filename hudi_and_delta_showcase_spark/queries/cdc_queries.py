@@ -320,6 +320,60 @@ def sql_merge_into(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "cdc_constraint_quarantine",
+    oracle=f"""
+    WITH base AS (
+      SELECT event_id, user_id FROM (
+        SELECT *, ROW_NUMBER() OVER (
+          PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+        FROM events WHERE ts < TIMESTAMP '{CUTOFF}' AND value >= 1
+      ) WHERE rn = 1
+    ),
+    inc AS (
+      SELECT event_id, user_id, value FROM (
+        SELECT *, ROW_NUMBER() OVER (
+          PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+        FROM events WHERE ts >= TIMESTAMP '{CUTOFF}'
+      ) WHERE rn = 1
+    ),
+    valid AS (SELECT * FROM inc WHERE value >= 1)
+    SELECT event_id, user_id, 'state' AS tag FROM valid
+    UNION ALL
+    SELECT b.event_id, b.user_id, 'state' FROM base b
+    WHERE NOT EXISTS (SELECT 1 FROM valid v WHERE v.user_id = b.user_id)
+    UNION ALL
+    SELECT event_id, user_id, 'quarantined' FROM inc WHERE value < 1
+    """,
+    tags=("cdc", "table", "constraints"),
+)
+def cdc_constraint_quarantine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CHECK constraints (Delta ADD CONSTRAINT) with quarantine routing:
+    the table enforces ``value >= 1``; the CDC batch's violating rows are
+    returned tagged 'quarantined' (never written) while valid rows
+    upsert — final state + quarantine set in one frame. Validation is a
+    map-only split fused into the write scan."""
+    base, incr = _split(spark, sf_dir)
+    path = tempfile.mkdtemp(prefix="lakehouse_cons_")
+    t = LakehouseTable.create(
+        spark,
+        f"{path}/events_tbl",
+        base.filter(F.col("value") >= 1),  # pre-cleaned initial load
+        key_cols=["user_id"],
+        precombine="ts",
+        tiebreakers=["event_id"],
+        constraints={"value_min": "value >= 1"},
+    )
+    _commit, bad = t.upsert_quarantine(incr)
+    state = t.read().select("event_id", "user_id").withColumn(
+        "tag", F.lit("state")
+    )
+    quarantined = bad.select("event_id", "user_id").withColumn(
+        "tag", F.lit("quarantined")
+    )
+    return state.unionByName(quarantined)
+
+
+@query(
     "cdc_deletion_vector_state",
     oracle="""
     SELECT event_id, user_id, ts, event_type, value FROM (

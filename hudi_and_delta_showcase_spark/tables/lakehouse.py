@@ -79,6 +79,7 @@ class LakehouseTable:
         self.global_index: bool = meta.get("global_index", False)
         self.bloom_index: bool = meta.get("bloom_index", False)
         self.deletion_vectors: bool = meta.get("deletion_vectors", False)
+        self.constraints: dict[str, str] = meta.get("constraints", {})
 
     # ------------------------------------------------------------------ #
     # creation / loading
@@ -100,6 +101,7 @@ class LakehouseTable:
         global_index: bool = False,
         bloom_index: bool = False,
         deletion_vectors: bool = False,
+        constraints: dict[str, str] | None = None,
     ) -> "LakehouseTable":
         """C1 bulk insert: write batch as version 0, stamp meta columns
         (the reference's initial hudi insert, README.md:276-291).
@@ -138,7 +140,19 @@ class LakehouseTable:
         At 100 TB this turns a delete touching 10k files from a
         multi-TB rewrite into a megabyte append; the rewrite cost is
         deferred to the next upsert/compaction of each file, which
-        materializes the deletes and drops the vectors."""
+        materializes the deletes and drops the vectors.
+
+        ``constraints`` (Delta ``ALTER TABLE ... ADD CONSTRAINT CHECK``)
+        maps constraint name -> SQL predicate every written row must
+        satisfy. Standard CHECK semantics: a row violates only when the
+        predicate evaluates to FALSE (NULL passes — add an explicit
+        ``IS NOT NULL`` term for non-null enforcement). ``create`` and
+        ``upsert`` REJECT batches containing violations (Delta
+        behavior); ``upsert_quarantine`` instead applies the valid rows
+        and hands the violating rows back — the data-pipeline idiom
+        where bad records route to a quarantine sink instead of failing
+        the load. Validation is a map-only filter fused into the write
+        scan: zero extra shuffles at any scale."""
         path = os.path.abspath(path)
         if os.path.exists(os.path.join(path, "_meta.json")):
             if mode == "overwrite":
@@ -160,6 +174,7 @@ class LakehouseTable:
                     "global_index": global_index,
                     "bloom_index": bloom_index,
                     "deletion_vectors": deletion_vectors,
+                    "constraints": constraints or {},
                 },
                 fh,
                 indent=1,
@@ -170,6 +185,7 @@ class LakehouseTable:
             df = precombine_dedup(
                 df, table._resolution_cols(), precombine, tiebreakers
             )
+        df = table._enforce_constraints(df)
         files = table._write_files(
             table._stamp_meta(df, commit_time), f"c{0:05d}"
         )
@@ -339,7 +355,9 @@ class LakehouseTable:
     # writes
     # ------------------------------------------------------------------ #
 
-    def upsert(self, source: DataFrame) -> mf.Commit:
+    def upsert(
+        self, source: DataFrame, _validated: bool = False
+    ) -> mf.Commit:
         """C2 (CoW) / C3 (MoR) keyed upsert with precombine dedup.
 
         CoW: rewrites only partitions containing source keys; untouched
@@ -353,6 +371,8 @@ class LakehouseTable:
                 source, self._resolution_cols(), self.precombine,
                 self.tiebreakers,
             )
+        if not _validated:
+            source = self._enforce_constraints(source)
         stamped = self._stamp_meta(source, commit_time)
         version = prev.version + 1
 
@@ -436,6 +456,63 @@ class LakehouseTable:
         )
         mf.append_commit(self.path, commit)
         return commit
+
+    def upsert_quarantine(
+        self, source: DataFrame
+    ) -> tuple[mf.Commit, DataFrame]:
+        """Constraint-quarantine upsert: rows satisfying every CHECK
+        constraint are applied as a normal upsert; violating rows are
+        RETURNED (with a ``violated_constraints`` name array) instead of
+        failing the batch — the pipeline idiom where bad records route
+        to a quarantine sink rather than abort the load. One map-only
+        predicate split; no extra shuffle."""
+        if self.precombine is not None:
+            source = precombine_dedup(
+                source, self._resolution_cols(), self.precombine,
+                self.tiebreakers,
+            )
+        valid, bad = self._split_constraints(source)
+        return self.upsert(valid, _validated=True), bad
+
+    def _split_constraints(
+        self, df: DataFrame
+    ) -> tuple[DataFrame, DataFrame]:
+        """(valid rows, violating rows + violated_constraints names).
+        Standard CHECK semantics: a row violates only when a predicate
+        is FALSE; NULL passes."""
+        checks = {n: F.expr(p) for n, p in self.constraints.items()}
+        ok = F.lit(True)
+        for c in checks.values():
+            ok = ok & F.coalesce(c, F.lit(True))
+        names = F.array_compact(
+            F.array(
+                *[
+                    F.when(~F.coalesce(c, F.lit(True)), F.lit(n))
+                    for n, c in checks.items()
+                ]
+            )
+        )
+        if not checks:
+            names = F.array().cast("array<string>")
+        return (
+            df.filter(ok),
+            df.filter(~ok).withColumn("violated_constraints", names),
+        )
+
+    def _enforce_constraints(self, df: DataFrame) -> DataFrame:
+        """Delta CHECK-constraint behavior: reject the whole batch if
+        any written row violates a constraint."""
+        if not self.constraints:
+            return df
+        _valid, bad = self._split_constraints(df)
+        sample = bad.select("violated_constraints").limit(1).collect()
+        if sample:
+            raise ValueError(
+                "CHECK constraint violation "
+                f"{sorted(set(sample[0][0]))}: batch rejected "
+                f"(constraints: {self.constraints})"
+            )
+        return df
 
     def delete(self, keys: DataFrame) -> mf.Commit:
         """Hard delete by key (Hudi DELETE operation / Delta DELETE):

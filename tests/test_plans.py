@@ -180,3 +180,54 @@ def test_incremental_pull_pushes_commit_time_filter(spark, sf_dir, tmp_path):
     t.upsert(events.filter("event_id % 2 = 1"))
     plan = _formatted_plan(t.read_incremental(0))
     assert re.search(r"PushedFilters: \[[^\]]*_hoodie_commit_time", plan)
+
+
+def test_dv_read_keeps_pushdown_and_broadcasts_vectors(spark, sf_dir, tmp_path):
+    """A deletion-vector read must stay scale-shaped: the data predicate
+    reaches the parquet scan (PushedFilters) BELOW the DV anti-join, and
+    the (small) DV side is the broadcast build of a LeftAnti
+    BroadcastHashJoin — never a shuffle of table data."""
+    import pyspark.sql.functions as F
+
+    from hudi_and_delta_showcase_spark.io import load_table
+    from hudi_and_delta_showcase_spark.tables import LakehouseTable
+
+    events = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "ts", "value"
+    )
+    t = LakehouseTable.create(
+        spark, str(tmp_path / "dv"), events,
+        key_cols=["event_id"], precombine="ts", deletion_vectors=True,
+    )
+    t.delete(events.limit(5).select("event_id"))
+    plan = _formatted_plan(t.read().filter(F.col("value") > 50.0))
+    assert re.search(r"PushedFilters: \[[^\]]*value", plan)
+    assert "BroadcastHashJoin" in plan and "LeftAnti" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_merge_sql_routing_single_pruned_probe(spark, sf_dir, tmp_path):
+    """MERGE clause routing reads the target KEYS only (column-pruned
+    probe scan) and compiles clause conditions to expressions — no
+    Python evaluation in the row path."""
+    from hudi_and_delta_showcase_spark.io import load_table
+    from hudi_and_delta_showcase_spark.tables import LakehouseTable
+    from hudi_and_delta_showcase_spark.tables.merge_sql import parse_merge
+
+    events = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "ts", "value"
+    )
+    t = LakehouseTable.create(
+        spark, str(tmp_path / "m"), events, key_cols=["event_id"],
+        precombine="ts",
+    )
+    # the probe side plan: target key scan pruned to the key column
+    probe = t.read().select("event_id").distinct()
+    plan = _formatted_plan(probe)
+    m = re.search(r"ReadSchema: struct<([^>]*)>", plan)
+    assert m and "value" not in m.group(1)  # payload pruned from probe
+    spec = parse_merge(
+        "MERGE INTO m USING src s ON m.event_id = s.event_id "
+        "WHEN MATCHED THEN UPDATE SET *"
+    )
+    assert spec.clauses[0].action == "update"
