@@ -76,7 +76,15 @@ def apply_cdc_stream(
     checkpoint_dir = checkpoint_dir or tempfile.mkdtemp(prefix="cdc_ckpt_")
     stream = read_envelope_stream(spark, drop_dir, max_files_per_trigger)
 
-    def merge_batch(batch: DataFrame, _batch_id: int) -> None:
+    # writer identity for idempotent commits (Delta txnAppId): tied to
+    # the checkpoint, whose batch ids are the monotonically increasing
+    # transaction versions. A replayed batch (table commit landed, the
+    # stream checkpoint didn't) finds its own watermark in the manifest
+    # and no-ops — exactly-once at the COMMIT level, not just by
+    # latest-per-key overwrite.
+    txn_app = f"cdc-apply:{os.path.abspath(checkpoint_dir)}"
+
+    def merge_batch(batch: DataFrame, batch_id: int) -> None:
         rows = normalize_cdc_batch(batch)
         if not os.path.exists(os.path.join(table_path, "_meta.json")):
             LakehouseTable.create(
@@ -89,7 +97,9 @@ def apply_cdc_stream(
                 table_type=table_type,
             )
         else:
-            LakehouseTable.load(spark, table_path).upsert(rows)
+            LakehouseTable.load(spark, table_path).upsert(
+                rows, txn_app_id=txn_app, txn_version=batch_id
+            )
 
     q = (
         stream.writeStream.foreachBatch(merge_batch)

@@ -319,6 +319,24 @@ class LakehouseTable:
         """C7: the commit timeline (Hudi `.hoodie` / Delta `_delta_log`)."""
         return [mf.read_commit(self.path, v) for v in mf.list_versions(self.path)]
 
+    def version_as_of(self, instant: str) -> int:
+        """Delta ``TIMESTAMP AS OF`` / Hudi ``as.of.instant``: the latest
+        version whose commit time is <= ``instant`` (Hudi-style
+        ``yyyyMMddHHmmssSSS``; any prefix works — '20240101' means that
+        day's midnight). Driver-side metadata scan of the timeline, no
+        Spark job. Raises if the instant precedes the first commit."""
+        digits = "".join(ch for ch in instant if ch.isdigit()).ljust(17, "0")
+        best = None
+        for c in self.history():
+            if c.commit_time <= digits:
+                best = c.version
+        if best is None:
+            raise ValueError(
+                f"no commit at or before {instant!r} "
+                f"(first commit: {self.history()[0].commit_time})"
+            )
+        return best
+
     def read_incremental(
         self, begin_version: int, end_version: int | None = None
     ) -> DataFrame:
@@ -356,16 +374,35 @@ class LakehouseTable:
     # ------------------------------------------------------------------ #
 
     def upsert(
-        self, source: DataFrame, _validated: bool = False
+        self,
+        source: DataFrame,
+        _validated: bool = False,
+        txn_app_id: str | None = None,
+        txn_version: int | None = None,
     ) -> mf.Commit:
         """C2 (CoW) / C3 (MoR) keyed upsert with precombine dedup.
 
         CoW: rewrites only partitions containing source keys; untouched
         files carry over (their rows keep the old commit time —
         README.md:470-491). MoR: appends the batch as log files; base
-        untouched until compact() (README.md:896-916)."""
+        untouched until compact() (README.md:896-916).
+
+        ``txn_app_id``/``txn_version`` make the upsert IDEMPOTENT per
+        writer (Delta ``txnAppId``/``txnVersion``): if this (app,
+        version) is at or below the table's recorded watermark the call
+        is a no-op returning the current commit — the contract a
+        foreachBatch streaming writer needs so a micro-batch replayed
+        after a crash (table commit landed, stream checkpoint didn't)
+        cannot double-apply."""
         commit_time = mf.make_commit_time()
         prev = self._commit(None)
+        if txn_app_id is not None and txn_version is not None:
+            last = prev.txn.get(txn_app_id)
+            if last is not None and txn_version <= last:
+                return prev  # replayed batch: already applied
+        new_txn = dict(prev.txn)
+        if txn_app_id is not None and txn_version is not None:
+            new_txn[txn_app_id] = txn_version
         if self.precombine is not None:
             source = precombine_dedup(
                 source, self._resolution_cols(), self.precombine,
@@ -389,6 +426,7 @@ class LakehouseTable:
                 col_stats=prev.col_stats,
                 key_blooms=prev.key_blooms,
                 dv_files=list(prev.dv_files),
+                txn=new_txn,
             )
             mf.append_commit(self.path, commit)
             return commit
@@ -451,6 +489,7 @@ class LakehouseTable:
             # DV entries for untouched files stay live; entries naming
             # rewritten files are inert (the file left the live set)
             dv_files=list(prev.dv_files),
+            txn=new_txn,
             **self._index_fields(new_files, carry_from=prev,
                                  carried=untouched),
         )
@@ -591,6 +630,7 @@ class LakehouseTable:
                 col_stats=prev.col_stats,
                 key_blooms=prev.key_blooms,
                 dv_files=prev.dv_files + dv_added,
+                txn=dict(prev.txn),
             )
             mf.append_commit(self.path, commit)
             return commit
@@ -615,6 +655,7 @@ class LakehouseTable:
                 "key_range_skipped_files": len(range_skipped),
             },
             dv_files=list(prev.dv_files),
+            txn=dict(prev.txn),
             **self._index_fields(new_files, carry_from=prev,
                                  carried=untouched),
         )
@@ -640,6 +681,7 @@ class LakehouseTable:
             files=files,
             log_files=[],
             stats={"compacted_log_files": len(prev.log_files)},
+            txn=dict(prev.txn),
             **self._index_fields(files),
         )
         mf.append_commit(self.path, commit)
@@ -707,6 +749,7 @@ class LakehouseTable:
             files=files,
             log_files=[],
             stats={"before_files": len(prev.files), "after_files": len(files)},
+            txn=dict(prev.txn),
             **self._index_fields(files),
         )
         mf.append_commit(self.path, commit)
@@ -803,6 +846,9 @@ class LakehouseTable:
             col_stats=dict(target.col_stats),
             key_blooms=dict(target.key_blooms),
             dv_files=list(target.dv_files),
+            # writer watermarks never rewind: carry the LATEST txn map,
+            # not the restore target's (stream progress is not data)
+            txn=dict(prev.txn),
         )
         mf.append_commit(self.path, commit)
         return commit

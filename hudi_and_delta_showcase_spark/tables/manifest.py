@@ -63,6 +63,13 @@ class Commit:
     #: to empty by file-rewriting commits (compact/optimize), which
     #: materialize the deletes.
     dv_files: list[str] = field(default_factory=list)
+    #: idempotent-writer watermarks (Delta SetTransaction /
+    #: ``txnAppId``+``txnVersion``): app id -> highest transaction
+    #: version already applied. Carried cumulatively on every commit so
+    #: a streaming writer replaying a micro-batch after a crash (commit
+    #: landed, checkpoint didn't) sees its own watermark IN the same
+    #: atomic record and skips — exactly-once at the commit level.
+    txn: dict = field(default_factory=dict)
 
 
 def commits_dir(table_path: str) -> str:
