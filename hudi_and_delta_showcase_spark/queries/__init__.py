@@ -33,6 +33,8 @@ PRIORITY: tuple[str, ...] = (
     "cdc_deletion_vector_state",
     # r4: CHECK constraints with quarantine routing (Delta ADD CONSTRAINT)
     "cdc_constraint_quarantine",
+    # r4: change-data-feed retraction -> incremental gold aggregate
+    "cdc_incremental_gold_agg",
     # on-disk lakehouse protocols (S3 _delta_log, S2 .hoodie timeline) —
     # promoted in r4 so the protocol flagships earn driver rows
     "delta_log_roundtrip",
@@ -49,7 +51,6 @@ PRIORITY: tuple[str, ...] = (
     "agg_distinct",
     # -- window battery ---------------------------------------------------
     "window_latest_per_key",
-    "window_rank_topn_per_group",
     # -- ordering / set ops -----------------------------------------------
     "topk_orders",
     "set_ops_nations",
@@ -101,6 +102,7 @@ PRIORITY: tuple[str, ...] = (
     "similarity_pq_containment",
     "join_bucketed_colocated",
     "agg_rollup",
+    "window_rank_topn_per_group",
     "agg_grouping_sets",
     "window_running_sum",
     "dedup_embedding_cosine",

@@ -320,6 +320,62 @@ def sql_merge_into(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "cdc_incremental_gold_agg",
+    oracle="""
+    SELECT event_type,
+           COUNT(*) AS n,
+           SUM(CAST(value AS DECIMAL(32,6))) AS sum_value
+    FROM (
+      SELECT event_type, value FROM (
+        SELECT *, ROW_NUMBER() OVER (
+          PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+        FROM events
+      ) WHERE rn = 1
+    )
+    GROUP BY event_type
+    """,
+    tags=("cdc", "table", "incremental", "cdf"),
+)
+def cdc_incremental_gold_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental GOLD maintenance via the change data feed: a per-
+    event-type (count, decimal sum) aggregate over the latest-per-user
+    state is maintained purely by RETRACTION — each commit's CDF slice
+    (insert/update pre+post images from ``read_changes``) becomes group
+    deltas (+post, -pre) merged into the running state; the bronze table
+    is never rescanned after version 0. The oracle recomputes the same
+    aggregate from scratch — decimal retraction makes the incremental
+    state EXACTLY equal, not approximately."""
+    from hudi_and_delta_showcase_spark.operators.incremental import (
+        agg_delta,
+        apply_delta,
+    )
+
+    events = load_table(spark, sf_dir, "events").select(*_FINAL_COLS)
+    cutoff = F.lit(CUTOFF).cast("timestamp_ntz")
+    mid = F.lit("2024-01-25 00:00:00").cast("timestamp_ntz")
+    slices = [
+        events.filter(F.col("ts") < cutoff),
+        events.filter((F.col("ts") >= cutoff) & (F.col("ts") < mid)),
+        events.filter(F.col("ts") >= mid),
+    ]
+    root = tempfile.mkdtemp(prefix="gold_agg_")
+    t = LakehouseTable.create(
+        spark, f"{root}/bronze", slices[0],
+        key_cols=["user_id"], precombine="ts", tiebreakers=["event_id"],
+        cdc_enabled=True,
+    )
+    t.upsert(slices[1])
+    t.upsert(slices[2])
+    gold = None
+    for v in range(3):  # one delta apply per commit, never a rescan
+        delta = agg_delta(
+            t.read_changes(v, v), ["event_type"], ["value"]
+        )
+        gold = apply_delta(gold, delta, ["event_type"], ["value"])
+    return gold.select("event_type", "n", "sum_value")
+
+
+@query(
     "cdc_constraint_quarantine",
     oracle=f"""
     WITH base AS (

@@ -153,6 +153,11 @@ class LakehouseTable:
         where bad records route to a quarantine sink instead of failing
         the load. Validation is a map-only filter fused into the write
         scan: zero extra shuffles at any scale."""
+        if cdc_enabled and table_type == MERGE_ON_READ:
+            raise ValueError(
+                "change data feed supports copy-on-write tables only "
+                "(MoR log rows are unclassified until compaction)"
+            )
         path = os.path.abspath(path)
         if os.path.exists(os.path.join(path, "_meta.json")):
             if mode == "overwrite":
@@ -186,9 +191,15 @@ class LakehouseTable:
                 df, table._resolution_cols(), precombine, tiebreakers
             )
         df = table._enforce_constraints(df)
-        files = table._write_files(
-            table._stamp_meta(df, commit_time), f"c{0:05d}"
-        )
+        stamped = table._stamp_meta(df, commit_time)
+        files = table._write_files(stamped, f"c{0:05d}")
+        cdc_added: list[str] = []
+        if cdc_enabled:
+            cdc_added = table._write_cdc_files(
+                stamped.withColumn("_change_type", F.lit("insert")),
+                0,
+                commit_time,
+            )
         mf.append_commit(
             path,
             mf.Commit(
@@ -198,6 +209,7 @@ class LakehouseTable:
                 files=files,
                 log_files=[],
                 stats={"written_files": len(files)},
+                cdc_files=cdc_added,
                 **table._index_fields(files),
             ),
         )
@@ -451,6 +463,7 @@ class LakehouseTable:
                 affected, prev.key_blooms, stamped
             )
             untouched = untouched + bloom_skipped
+        cdc_added: list[str] = []
         if affected:
             # apply DVs before the rewrite so rows already deleted via
             # deletion vectors don't resurrect into the new files
@@ -470,8 +483,54 @@ class LakehouseTable:
                 cond = e if cond is None else cond & e
             kept = target.join(source_keys, cond, "left_anti")
             merged = kept.unionByName(stamped, allowMissingColumns=True)
+            if self.cdc_enabled:
+                # change data feed (Delta CDF): matched old rows are
+                # update pre-images; source rows split update/insert by
+                # the same key probe. O(changes) extra IO, opt-in.
+                pre = target.join(source_keys, cond, "left_semi").select(
+                    *[
+                        c
+                        for c in target.columns
+                        if c != "_hoodie_file_name"
+                    ]
+                )
+                matched_keys = F.broadcast(
+                    pre.select(*keys).distinct().alias("m")
+                )
+                mcond = None
+                for c in keys:
+                    e = F.col(f"p.{c}").eqNullSafe(F.col(f"m.{c}"))
+                    mcond = e if mcond is None else mcond & e
+                post = stamped.alias("p")
+                upd_post = post.join(matched_keys, mcond, "left_semi")
+                ins_post = post.join(matched_keys, mcond, "left_anti")
+                cdc_added = self._write_cdc_files(
+                    pre.withColumn(
+                        "_change_type", F.lit("update_preimage")
+                    )
+                    .unionByName(
+                        upd_post.withColumn(
+                            "_change_type", F.lit("update_postimage")
+                        ),
+                        allowMissingColumns=True,
+                    )
+                    .unionByName(
+                        ins_post.withColumn(
+                            "_change_type", F.lit("insert")
+                        ),
+                        allowMissingColumns=True,
+                    ),
+                    version,
+                    commit_time,
+                )
         else:
             merged = stamped
+            if self.cdc_enabled:
+                cdc_added = self._write_cdc_files(
+                    stamped.withColumn("_change_type", F.lit("insert")),
+                    version,
+                    commit_time,
+                )
         new_files = self._write_files(merged, f"c{version:05d}")
         commit = mf.Commit(
             version=version,
@@ -490,6 +549,7 @@ class LakehouseTable:
             # rewritten files are inert (the file left the live set)
             dv_files=list(prev.dv_files),
             txn=new_txn,
+            cdc_files=cdc_added,
             **self._index_fields(new_files, carry_from=prev,
                                  carried=untouched),
         )
@@ -595,6 +655,7 @@ class LakehouseTable:
             # _metadata (column pruning), so the write cost is
             # O(candidate files' keys), the commit is an append.
             dv_added: list[str] = []
+            cdc_added: list[str] = []
             if affected:
                 # project the row position BEFORE the DV anti-join —
                 # _metadata resolves on the scan's project chain, not
@@ -605,15 +666,22 @@ class LakehouseTable:
                     .withColumn("__pos", F.col("_metadata.row_index")),
                     prev,
                 )
-                hits = (
-                    target.alias("t")
-                    .join(F.broadcast(keys.alias("s")), cond, "left_semi")
-                    .select(
-                        F.col("__file").alias("file_name"),
-                        F.col("__pos").alias("pos"),
-                    )
+                matched = target.alias("t").join(
+                    F.broadcast(keys.alias("s")), cond, "left_semi"
+                )
+                hits = matched.select(
+                    F.col("__file").alias("file_name"),
+                    F.col("__pos").alias("pos"),
                 )
                 dv_added = self._write_dv_files(hits, f"c{version:05d}")
+                if self.cdc_enabled:
+                    cdc_added = self._write_cdc_files(
+                        matched.drop("__file", "__pos").withColumn(
+                            "_change_type", F.lit("delete")
+                        ),
+                        version,
+                        commit_time,
+                    )
             commit = mf.Commit(
                 version=version,
                 action="delete",
@@ -631,11 +699,13 @@ class LakehouseTable:
                 key_blooms=prev.key_blooms,
                 dv_files=prev.dv_files + dv_added,
                 txn=dict(prev.txn),
+                cdc_files=cdc_added,
             )
             mf.append_commit(self.path, commit)
             return commit
 
         new_files: list[str] = []
+        cdc_added = []
         if affected:
             target = self._apply_dvs(
                 self._read_parquet(affected), prev
@@ -644,6 +714,14 @@ class LakehouseTable:
                 F.broadcast(keys.alias("s")), cond, "left_anti"
             )
             new_files = self._write_files(kept, f"c{version:05d}")
+            if self.cdc_enabled:
+                cdc_added = self._write_cdc_files(
+                    target.join(
+                        F.broadcast(keys.alias("s")), cond, "left_semi"
+                    ).withColumn("_change_type", F.lit("delete")),
+                    version,
+                    commit_time,
+                )
         commit = mf.Commit(
             version=version,
             action="delete",
@@ -656,6 +734,7 @@ class LakehouseTable:
             },
             dv_files=list(prev.dv_files),
             txn=dict(prev.txn),
+            cdc_files=cdc_added,
             **self._index_fields(new_files, carry_from=prev,
                                  carried=untouched),
         )
@@ -1239,6 +1318,65 @@ class LakehouseTable:
             )
             .drop("__dv_file", "__dv_pos")
         )
+
+    def _write_cdc_files(
+        self, changes: DataFrame, version: int, commit_time: str
+    ) -> list[str]:
+        """Write a commit's change-data-feed sidecar (Delta CDF change
+        files): full row images + ``_change_type``, stamped with the
+        commit version/instant so ``read_changes`` needs no join."""
+        if "_hoodie_file_name" in changes.columns:
+            changes = changes.drop("_hoodie_file_name")
+        changes = changes.withColumn(
+            "_commit_version", F.lit(version)
+        ).withColumn("_cdc_commit_time", F.lit(commit_time))
+        rel_dir = os.path.join(
+            "cdc", f"c{version:05d}-{uuid.uuid4().hex[:8]}"
+        )
+        out = os.path.join(self.path, rel_dir)
+        changes.write.mode("error").parquet(out)
+        return sorted(
+            os.path.relpath(os.path.join(dirpath, fn), self.path)
+            for dirpath, _dn, filenames in os.walk(out)
+            for fn in filenames
+            if fn.endswith(".parquet")
+        )
+
+    def read_changes(
+        self, begin_version: int = 0, end_version: int | None = None
+    ) -> DataFrame:
+        """Change data feed (Delta ``table_changes`` / Hudi CDC query):
+        every row-level change committed in versions ``[begin_version,
+        end_version]`` with ``_change_type`` in {insert,
+        update_preimage, update_postimage, delete}, plus the commit
+        version/instant. Pre-images make downstream RETRACTION possible
+        — incremental aggregate maintenance subtracts the pre-image and
+        adds the post-image instead of rescanning the table.
+
+        Reads ONLY the O(changes) sidecar files of the requested
+        commits; file re-org commits (compact/optimize/restore)
+        contribute nothing, exactly like Delta CDF."""
+        if not self.cdc_enabled:
+            raise ValueError(
+                "change data feed requires cdc_enabled=True at create()"
+            )
+        end = (
+            self._commit(None).version
+            if end_version is None
+            else end_version
+        )
+        files = [
+            f
+            for v in mf.list_versions(self.path)
+            if begin_version <= v <= end
+            for f in mf.read_commit(self.path, v).cdc_files
+        ]
+        if not files:
+            raise ValueError(
+                f"no change files in versions [{begin_version}, {end}]"
+            )
+        paths = [os.path.join(self.path, f) for f in files]
+        return self.spark.read.option("mergeSchema", "true").parquet(*paths)
 
     def _write_dv_files(self, hits: DataFrame, commit_dir: str) -> list[str]:
         """Write ``(file_name, pos)`` rows as a DV sidecar under dv/."""
