@@ -53,7 +53,6 @@ PRIORITY: tuple[str, ...] = (
     "window_latest_per_key",
     # -- ordering / set ops -----------------------------------------------
     "topk_orders",
-    "set_ops_nations",
     # -- scalar functions (F1 unix_timestamp is an explicit §2 row) -------
     "scalar_unix_timestamp",
     # -- catalog DDL (D1-D6) ----------------------------------------------
@@ -68,6 +67,8 @@ PRIORITY: tuple[str, ...] = (
     "stream_dedup_keys",
     "stream_watermarked_counts",
     "stream_table_changes",
+    # r4: streaming retract-stream materialized view over the CDF
+    "stream_gold_agg",
     # -- dedup extensions -------------------------------------------------
     "dedup_exact_rows",
     "dedup_minhash_lsh",
@@ -103,6 +104,7 @@ PRIORITY: tuple[str, ...] = (
     "join_bucketed_colocated",
     "agg_rollup",
     "window_rank_topn_per_group",
+    "set_ops_nations",
     "agg_grouping_sets",
     "window_running_sum",
     "dedup_embedding_cosine",

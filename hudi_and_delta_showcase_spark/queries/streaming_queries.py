@@ -409,3 +409,81 @@ def stream_table_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(*_FINAL_COLS)
         .withColumn("change_commits", F.lit(n_instants))
     )
+
+
+@query(
+    "stream_gold_agg",
+    oracle="""
+    SELECT event_type,
+           COUNT(*) AS n,
+           SUM(CAST(value AS DECIMAL(32,6))) AS sum_value
+    FROM (
+      SELECT event_type, value FROM (
+        SELECT *, ROW_NUMBER() OVER (
+          PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+        FROM events
+      ) WHERE rn = 1
+    )
+    GROUP BY event_type
+    """,
+    tags=("streaming", "cdc", "incremental", "cdf"),
+)
+def stream_gold_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING incremental view maintenance: the bronze table's change
+    data feed sidecar directory is itself a file stream; each micro-batch
+    of change rows becomes retraction deltas (+post, -pre) merged into
+    the running gold aggregate in foreachBatch. Retraction algebra is
+    commutative, so file-discovery order across commits cannot change
+    the result; decimal sums make the drained state EXACTLY equal the
+    oracle's from-scratch recompute. This is the retract-stream
+    materialized view the batch twin (cdc_incremental_gold_agg) builds
+    one commit at a time."""
+    from hudi_and_delta_showcase_spark.operators.incremental import (
+        agg_delta,
+        apply_delta,
+    )
+    from hudi_and_delta_showcase_spark.queries.cdc_queries import (
+        _FINAL_COLS,
+        CUTOFF,
+    )
+    from hudi_and_delta_showcase_spark.io import load_table
+    from hudi_and_delta_showcase_spark.tables import LakehouseTable
+
+    events = load_table(spark, sf_dir, "events").select(*_FINAL_COLS)
+    cutoff = F.lit(CUTOFF).cast("timestamp_ntz")
+    mid = F.lit("2024-01-25 00:00:00").cast("timestamp_ntz")
+    root = tempfile.mkdtemp(prefix="stream_gold_")
+    t = LakehouseTable.create(
+        spark, f"{root}/bronze",
+        events.filter(F.col("ts") < cutoff),
+        key_cols=["user_id"], precombine="ts", tiebreakers=["event_id"],
+        cdc_enabled=True,
+    )
+    t.upsert(events.filter((F.col("ts") >= cutoff) & (F.col("ts") < mid)))
+    t.upsert(events.filter(F.col("ts") >= mid))
+
+    cdc_glob = f"{t.path}/cdc/*"
+    schema = spark.read.parquet(cdc_glob).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(cdc_glob)
+    )
+    state: dict = {"gold": None}
+
+    def apply_batch(batch: DataFrame, _bid: int) -> None:
+        delta = agg_delta(batch, ["event_type"], ["value"])
+        gold = apply_delta(
+            state["gold"], delta, ["event_type"], ["value"]
+        )
+        # truncate lineage so state doesn't re-derive every batch chain
+        state["gold"] = gold.localCheckpoint()
+
+    q = (
+        stream.writeStream.foreachBatch(apply_batch)
+        .option("checkpointLocation", tempfile.mkdtemp(prefix="gold_ckpt_"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return state["gold"].select("event_type", "n", "sum_value")
