@@ -24,7 +24,6 @@ PRIORITY: tuple[str, ...] = (
     "cdc_time_travel",
     "cdc_upsert_mor_rt",
     "cdc_upsert_mor_ro",
-    "cdc_mor_compacted",
     "cdc_optimize_vacuum",
     "cdc_merge_routing",
     "cdc_incremental_pull",
@@ -35,6 +34,8 @@ PRIORITY: tuple[str, ...] = (
     "cdc_constraint_quarantine",
     # r4: change-data-feed retraction -> incremental gold aggregate
     "cdc_incremental_gold_agg",
+    # r4: metadata-only RENAME COLUMN (Delta column mapping)
+    "cdc_column_mapping_roundtrip",
     # on-disk lakehouse protocols (S3 _delta_log, S2 .hoodie timeline) —
     # promoted in r4 so the protocol flagships earn driver rows
     "delta_log_roundtrip",
@@ -105,6 +106,7 @@ PRIORITY: tuple[str, ...] = (
     "agg_rollup",
     "window_rank_topn_per_group",
     "set_ops_nations",
+    "cdc_mor_compacted",
     "agg_grouping_sets",
     "window_running_sum",
     "dedup_embedding_cosine",

@@ -320,6 +320,44 @@ def sql_merge_into(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "cdc_column_mapping_roundtrip",
+    oracle="""
+    SELECT event_id, user_id, ts, event_type, amount FROM (
+      SELECT *, value AS amount, ROW_NUMBER() OVER (
+        PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+      FROM events
+    ) WHERE rn = 1
+    """,
+    tags=("cdc", "table", "schema"),
+)
+def cdc_column_mapping_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Column mapping (Delta RENAME COLUMN): after the initial load,
+    ``value`` is renamed to ``amount`` as a METADATA-ONLY commit (the
+    query asserts zero files changed), then the CDC batch upserts under
+    the NEW name and merges correctly with pre-rename files. Final state
+    equals latest-per-key with the renamed column — old data never
+    rewritten, old versions still readable under the old name."""
+    base, incr = _split(spark, sf_dir)
+    path = tempfile.mkdtemp(prefix="lakehouse_cm_")
+    t = LakehouseTable.create(
+        spark,
+        f"{path}/events_tbl",
+        base,
+        key_cols=["user_id"],
+        precombine="ts",
+        tiebreakers=["event_id"],
+    )
+    before = t._commit(None).files
+    rc = t.rename_column("value", "amount")
+    assert rc.files == before  # metadata-only: no file rewritten
+    t.upsert(incr.withColumnRenamed("value", "amount"))
+    assert "value" in t.read(version=0).columns  # time travel: old name
+    return t.read().select(
+        "event_id", "user_id", "ts", "event_type", "amount"
+    )
+
+
+@query(
     "cdc_incremental_gold_agg",
     oracle="""
     SELECT event_type,

@@ -225,15 +225,24 @@ class LakehouseTable:
 
     def read(self, version: int | None = None) -> DataFrame:
         """Snapshot view. CoW: latest base files. MoR: the real-time view
-        (base∪log merged), matching Hudi's default snapshot semantics."""
+        (base∪log merged), matching Hudi's default snapshot semantics.
+        Columns come back under the version's LOGICAL names (column
+        mapping, see ``rename_column``)."""
+        commit = self._commit(version)
+        return self._logical(self._read_physical(version), commit)
+
+    def _read_physical(self, version: int | None = None) -> DataFrame:
+        """Snapshot under PHYSICAL (on-disk) column names — the shape
+        every internal write/maintenance path works in."""
         if self.table_type == MERGE_ON_READ:
-            return self.read_rt(version)
+            return self._read_rt_physical(version)
         return self._read_base(self._commit(version))
 
     def read_ro(self, version: int | None = None) -> DataFrame:
         """S5 read-optimized: base files only — serves stale values between
         upsert and compaction (samsung still 20, README.md:920,958)."""
-        return self._read_base(self._commit(version))
+        commit = self._commit(version)
+        return self._logical(self._read_base(commit), commit)
 
     def read_rt(self, version: int | None = None) -> DataFrame:
         """S5 real-time: base ∪ logs resolved latest-per-key at scan time
@@ -254,6 +263,10 @@ class LakehouseTable:
         value becomes a new row in that partition and the old partition's
         row survives, identically in CoW (partition-scoped rewrite) and
         MoR `_rt` (per-partition window)."""
+        commit = self._commit(version)
+        return self._logical(self._read_rt_physical(version), commit)
+
+    def _read_rt_physical(self, version: int | None = None) -> DataFrame:
         commit = self._commit(version)
         base = self._read_base(commit)
         if not commit.log_files:
@@ -323,13 +336,86 @@ class LakehouseTable:
                     f for f in candidates if f not in blooms or f in hits
                 ]
         if not candidates:
-            return self._read_base(commit).limit(0)
+            return self._logical(self._read_base(commit).limit(0), commit)
         df = self._apply_dvs(self._read_parquet(candidates), commit)
-        return df.filter(F.col("_hoodie_record_key").isin(*sorted(rks)))
+        return self._logical(
+            df.filter(F.col("_hoodie_record_key").isin(*sorted(rks))),
+            commit,
+        )
 
     def history(self) -> list[mf.Commit]:
         """C7: the commit timeline (Hudi `.hoodie` / Delta `_delta_log`)."""
         return [mf.read_commit(self.path, v) for v in mf.list_versions(self.path)]
+
+    # ------------------------------------------------------------------ #
+    # column mapping (Delta columnMapping.mode=name)
+    # ------------------------------------------------------------------ #
+
+    def _logical(self, df: DataFrame, commit: mf.Commit) -> DataFrame:
+        """Physical -> logical column names for the given version."""
+        for phys, log in commit.column_mapping.items():
+            if phys in df.columns:
+                df = df.withColumnRenamed(phys, log)
+        return df
+
+    def _physical(self, df: DataFrame) -> DataFrame:
+        """Logical -> physical names (latest mapping) on a write input."""
+        for phys, log in self._commit(None).column_mapping.items():
+            if log in df.columns:
+                df = df.withColumnRenamed(log, phys)
+        return df
+
+    def _phys_name(self, logical: str, commit: mf.Commit) -> str:
+        return next(
+            (
+                p
+                for p, l in commit.column_mapping.items()
+                if l == logical
+            ),
+            logical,
+        )
+
+    def rename_column(self, old: str, new: str) -> mf.Commit:
+        """Delta ``ALTER TABLE ... RENAME COLUMN`` under column mapping:
+        a METADATA-ONLY commit updating the physical->logical name map —
+        zero data files touched, O(1) regardless of table size (the
+        alternative, a full rewrite, is petabytes at 100 TB). The map
+        lives in the commit record, so time travel to a pre-rename
+        version sees the old name, and every read path translates at
+        the public boundary. Key/partition/precombine internals keep
+        addressing physical names; constraint predicates keep their
+        creation-time (physical) spelling."""
+        prev = self._commit(None)
+        logical_cols = [
+            prev.column_mapping.get(c, c)
+            for c in self._read_base(prev).columns
+        ]
+        if old not in logical_cols:
+            raise ValueError(f"no such column: {old!r}")
+        if new in logical_cols or new.startswith("_hoodie_"):
+            raise ValueError(f"column name already in use: {new!r}")
+        mapping = dict(prev.column_mapping)
+        phys = self._phys_name(old, prev)
+        if phys == new:
+            mapping.pop(phys, None)
+        else:
+            mapping[phys] = new
+        commit = mf.Commit(
+            version=prev.version + 1,
+            action="rename",
+            commit_time=mf.make_commit_time(),
+            files=list(prev.files),
+            log_files=list(prev.log_files),
+            stats={"renamed_from": old, "renamed_to": new},
+            key_ranges=dict(prev.key_ranges),
+            col_stats=dict(prev.col_stats),
+            key_blooms=dict(prev.key_blooms),
+            dv_files=list(prev.dv_files),
+            txn=dict(prev.txn),
+            column_mapping=mapping,
+        )
+        mf.append_commit(self.path, commit)
+        return commit
 
     def version_as_of(self, instant: str) -> int:
         """Delta ``TIMESTAMP AS OF`` / Hudi ``as.of.instant``: the latest
@@ -371,14 +457,13 @@ class LakehouseTable:
         pull reads O(changed data), never O(table)."""
         begin_time = self._commit(begin_version).commit_time
         end = self._commit(end_version)
-        snap = (
-            self.read_rt(end.version)
-            if self.table_type == MERGE_ON_READ
-            else self._read_base(end)
-        )
-        return snap.filter(
-            (F.col("_hoodie_commit_time") > F.lit(begin_time))
-            & (F.col("_hoodie_commit_time") <= F.lit(end.commit_time))
+        snap = self._read_physical(end.version)
+        return self._logical(
+            snap.filter(
+                (F.col("_hoodie_commit_time") > F.lit(begin_time))
+                & (F.col("_hoodie_commit_time") <= F.lit(end.commit_time))
+            ),
+            end,
         )
 
     # ------------------------------------------------------------------ #
@@ -415,6 +500,7 @@ class LakehouseTable:
         new_txn = dict(prev.txn)
         if txn_app_id is not None and txn_version is not None:
             new_txn[txn_app_id] = txn_version
+        source = self._physical(source)
         if self.precombine is not None:
             source = precombine_dedup(
                 source, self._resolution_cols(), self.precombine,
@@ -439,6 +525,7 @@ class LakehouseTable:
                 key_blooms=prev.key_blooms,
                 dv_files=list(prev.dv_files),
                 txn=new_txn,
+                column_mapping=dict(prev.column_mapping),
             )
             mf.append_commit(self.path, commit)
             return commit
@@ -550,6 +637,7 @@ class LakehouseTable:
             dv_files=list(prev.dv_files),
             txn=new_txn,
             cdc_files=cdc_added,
+            column_mapping=dict(prev.column_mapping),
             **self._index_fields(new_files, carry_from=prev,
                                  carried=untouched),
         )
@@ -565,6 +653,7 @@ class LakehouseTable:
         failing the batch — the pipeline idiom where bad records route
         to a quarantine sink rather than abort the load. One map-only
         predicate split; no extra shuffle."""
+        source = self._physical(source)
         if self.precombine is not None:
             source = precombine_dedup(
                 source, self._resolution_cols(), self.precombine,
@@ -630,7 +719,7 @@ class LakehouseTable:
         prev = self._commit(None)
         version = prev.version + 1
         kcols = self._resolution_cols()
-        keys = keys.select(*kcols).distinct()
+        keys = self._physical(keys).select(*kcols).distinct()
         affected, untouched = self._split_affected(prev.files, keys)
         stamped_keys = self._stamp_meta(keys, commit_time)
         affected, range_skipped = self._probe_key_hits(
@@ -700,6 +789,7 @@ class LakehouseTable:
                 dv_files=prev.dv_files + dv_added,
                 txn=dict(prev.txn),
                 cdc_files=cdc_added,
+                column_mapping=dict(prev.column_mapping),
             )
             mf.append_commit(self.path, commit)
             return commit
@@ -735,6 +825,7 @@ class LakehouseTable:
             dv_files=list(prev.dv_files),
             txn=dict(prev.txn),
             cdc_files=cdc_added,
+            column_mapping=dict(prev.column_mapping),
             **self._index_fields(new_files, carry_from=prev,
                                  carried=untouched),
         )
@@ -749,7 +840,7 @@ class LakehouseTable:
         prev = self._commit(None)
         if not prev.log_files:
             return prev
-        rt = self.read_rt()
+        rt = self._read_rt_physical()  # files keep PHYSICAL names
         version = prev.version + 1
         commit_time = mf.make_commit_time()
         files = self._write_files(rt, f"c{version:05d}")
@@ -761,6 +852,7 @@ class LakehouseTable:
             log_files=[],
             stats={"compacted_log_files": len(prev.log_files)},
             txn=dict(prev.txn),
+            column_mapping=dict(prev.column_mapping),
             **self._index_fields(files),
         )
         mf.append_commit(self.path, commit)
@@ -790,7 +882,18 @@ class LakehouseTable:
         ``read_where`` prunes on any of them — linear clustering can
         only ever serve its leading column."""
         prev = self._commit(None)
-        df = self.read()  # for MoR this also folds logs
+        df = self._read_physical()  # MoR folds logs; PHYSICAL names
+        # callers address cluster/z-order columns by LOGICAL name
+        cluster_by = (
+            [self._phys_name(c, prev) for c in cluster_by]
+            if cluster_by
+            else cluster_by
+        )
+        zorder_by = (
+            [self._phys_name(c, prev) for c in zorder_by]
+            if zorder_by
+            else zorder_by
+        )
         version = prev.version + 1
         commit_time = mf.make_commit_time()
         n = target_files or 1
@@ -829,6 +932,7 @@ class LakehouseTable:
             log_files=[],
             stats={"before_files": len(prev.files), "after_files": len(files)},
             txn=dict(prev.txn),
+            column_mapping=dict(prev.column_mapping),
             **self._index_fields(files),
         )
         mf.append_commit(self.path, commit)
@@ -928,6 +1032,9 @@ class LakehouseTable:
             # writer watermarks never rewind: carry the LATEST txn map,
             # not the restore target's (stream progress is not data)
             txn=dict(prev.txn),
+            # schema follows the restored version (Delta RESTORE
+            # restores data AND schema): take the TARGET's mapping
+            column_mapping=dict(target.column_mapping),
         )
         mf.append_commit(self.path, commit)
         return commit
@@ -1135,8 +1242,11 @@ class LakehouseTable:
         disjoint, so a selective range reads O(matching files), not
         O(table) — Delta data skipping / Hudi column-stats-index
         semantics on the manifest. Files without recorded stats are
-        scanned conservatively; MoR logs are always scanned."""
+        scanned conservatively; MoR logs are always scanned.
+
+        ``col`` is the LOGICAL name; stats are keyed by physical."""
         commit = self._commit(version)
+        col = self._phys_name(col, commit)
         keep = []
         for f in commit.files:
             rng = commit.col_stats.get(f, {}).get(col)
@@ -1162,12 +1272,15 @@ class LakehouseTable:
         elif keep:
             df = self._apply_dvs(self._read_parquet(keep), commit)
         else:
-            return self._read_base(commit).limit(0).filter(F.lit(False))
+            return self._logical(
+                self._read_base(commit).limit(0).filter(F.lit(False)),
+                commit,
+            )
         if lo is not None:
             df = df.filter(F.col(col) >= lo)
         if hi is not None:
             df = df.filter(F.col(col) <= hi)
-        return df
+        return self._logical(df, commit)
 
     def _probe_key_hits(
         self,
@@ -1376,7 +1489,10 @@ class LakehouseTable:
                 f"no change files in versions [{begin_version}, {end}]"
             )
         paths = [os.path.join(self.path, f) for f in files]
-        return self.spark.read.option("mergeSchema", "true").parquet(*paths)
+        return self._logical(
+            self.spark.read.option("mergeSchema", "true").parquet(*paths),
+            self._commit(end),
+        )
 
     def _write_dv_files(self, hits: DataFrame, commit_dir: str) -> list[str]:
         """Write ``(file_name, pos)`` rows as a DV sidecar under dv/."""

@@ -70,6 +70,14 @@ class Commit:
     #: landed, checkpoint didn't) sees its own watermark IN the same
     #: atomic record and skips — exactly-once at the commit level.
     txn: dict = field(default_factory=dict)
+    #: column mapping (Delta ``delta.columnMapping.mode=name``):
+    #: physical (on-disk) column name -> current logical name, only
+    #: where they differ. RENAME COLUMN is a metadata-only commit that
+    #: updates this map — zero files rewritten — and because the map
+    #: lives in the commit record, time travel to a pre-rename version
+    #: sees the old name. Reads rename physical->logical at the public
+    #: boundary; writes rename logical->physical on entry.
+    column_mapping: dict = field(default_factory=dict)
 
 
 def commits_dir(table_path: str) -> str:

@@ -127,7 +127,13 @@ def _on_source_keys(spec: MergeSpec, table: LakehouseTable) -> dict[str, str]:
         if a_side == s or b_side == t:  # normalize to target = source
             a_col, b_col = b_col, a_col
         pairs[a_col] = b_col
-    missing = [k for k in table._resolution_cols() if k not in pairs]
+    # the statement speaks LOGICAL names; resolution cols are physical
+    mapping = table._commit(None).column_mapping
+    missing = [
+        mapping.get(k, k)
+        for k in table._resolution_cols()
+        if mapping.get(k, k) not in pairs
+    ]
     if missing:
         raise ValueError(
             f"ON must cover the table's key columns; missing {missing}"

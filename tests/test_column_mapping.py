@@ -1,0 +1,128 @@
+"""Column mapping (Delta columnMapping.mode=name): RENAME COLUMN is a
+metadata-only commit; reads translate physical->logical per version,
+writes accept logical names, and no data file is ever rewritten."""
+
+from __future__ import annotations
+
+import pytest
+
+from hudi_and_delta_showcase_spark.tables import LakehouseTable
+
+SCHEMA = "k long, region string, v long, ts long"
+
+
+def _make(spark, tmp_path, **kw):
+    df = spark.createDataFrame(
+        [(1, "a", 10, 100), (2, "b", 20, 100)], SCHEMA
+    )
+    return LakehouseTable.create(
+        spark, str(tmp_path / "cm"), df,
+        key_cols=["k"], precombine="ts", **kw,
+    )
+
+
+def test_rename_is_metadata_only(spark, tmp_path):
+    t = _make(spark, tmp_path)
+    before = t._commit(None).files
+    c = t.rename_column("v", "amount")
+    assert c.files == before and c.action == "rename"
+    got = {r.k: r.amount for r in t.read().select("k", "amount").collect()}
+    assert got == {1: 10, 2: 20}
+    assert "v" not in t.read().columns
+
+
+def test_time_travel_sees_old_name(spark, tmp_path):
+    t = _make(spark, tmp_path)
+    t.rename_column("v", "amount")
+    assert "v" in t.read(version=0).columns
+    assert "amount" in t.read().columns
+
+
+def test_upsert_with_new_name_merges_old_files(spark, tmp_path):
+    t = _make(spark, tmp_path)
+    t.rename_column("v", "amount")
+    t.upsert(
+        spark.createDataFrame(
+            [(1, "a", 11, 200), (3, "c", 30, 200)],
+            "k long, region string, amount long, ts long",
+        )
+    )
+    got = {r.k: r.amount for r in t.read().select("k", "amount").collect()}
+    assert got == {1: 11, 2: 20, 3: 30}
+
+
+def test_double_rename_chains(spark, tmp_path):
+    t = _make(spark, tmp_path)
+    t.rename_column("v", "amount")
+    t.rename_column("amount", "price")
+    assert {r.k: r.price for r in t.read().select("k", "price").collect()} \
+        == {1: 10, 2: 20}
+    # rename back to the physical name clears the mapping entry
+    t.rename_column("price", "v")
+    assert t._commit(None).column_mapping == {}
+
+
+def test_rename_key_column_delete_by_logical_name(spark, tmp_path):
+    t = _make(spark, tmp_path)
+    t.rename_column("k", "id")
+    t.delete(spark.createDataFrame([(2,)], "id long"))
+    assert {r.id for r in t.read().select("id").collect()} == {1}
+
+
+def test_read_where_on_renamed_column(spark, tmp_path):
+    t = _make(spark, tmp_path)
+    t.rename_column("v", "amount")
+    got = {r.k for r in t.read_where("amount", lo=15).collect()}
+    assert got == {2}
+
+
+def test_rename_rejects_collision_and_missing(spark, tmp_path):
+    t = _make(spark, tmp_path)
+    with pytest.raises(ValueError, match="already in use"):
+        t.rename_column("v", "region")
+    with pytest.raises(ValueError, match="no such column"):
+        t.rename_column("nope", "x")
+
+
+def test_optimize_preserves_logical_view(spark, tmp_path):
+    t = _make(spark, tmp_path)
+    t.rename_column("v", "amount")
+    t.optimize(target_files=1, cluster_by=["amount"])  # logical name OK
+    got = {r.k: r.amount for r in t.read().select("k", "amount").collect()}
+    assert got == {1: 10, 2: 20}
+
+
+def test_restore_restores_schema(spark, tmp_path):
+    t = _make(spark, tmp_path)
+    t.rename_column("v", "amount")  # v1
+    t.restore(0)
+    assert "v" in t.read().columns and "amount" not in t.read().columns
+
+
+def test_mor_rt_with_rename(spark, tmp_path):
+    df = spark.createDataFrame([(1, "a", 10, 100)], SCHEMA)
+    t = LakehouseTable.create(
+        spark, str(tmp_path / "mor_cm"), df,
+        key_cols=["k"], precombine="ts", table_type="mor",
+    )
+    t.rename_column("v", "amount")
+    t.upsert(
+        spark.createDataFrame(
+            [(1, "a", 11, 200)], "k long, region string, amount long, ts long"
+        )
+    )
+    assert t.read_rt().select("amount").collect()[0].amount == 11
+    t.compact()
+    assert t.read().select("amount").collect()[0].amount == 11
+
+
+def test_cdf_reads_logical_names(spark, tmp_path):
+    t = _make(spark, tmp_path, cdc_enabled=True)
+    t.rename_column("v", "amount")
+    t.upsert(
+        spark.createDataFrame(
+            [(1, "a", 11, 200)], "k long, region string, amount long, ts long"
+        )
+    )
+    ch = t.read_changes(2, 2)
+    assert "amount" in ch.columns and "v" not in ch.columns
