@@ -85,8 +85,8 @@ PRIORITY: tuple[str, ...] = (
     "text_decontaminate",
     # -- end-to-end curation pipeline -------------------------------------
     "pipeline_corpus_curation",
-    # r4: GPT-style sequence packing (two-phase global cumsum)
-    "pipeline_sequence_pack",
+    # r4: quality -> dedup -> decontaminate -> pack, one exact oracle
+    "pipeline_llm_dataset",
     # -- deterministic sampling -------------------------------------------
     "sample_uniform_hash",
     # -- mergeable sketches (error-bound gated) ---------------------------
@@ -107,6 +107,8 @@ PRIORITY: tuple[str, ...] = (
     "window_rank_topn_per_group",
     "set_ops_nations",
     "cdc_mor_compacted",
+    # r4: packing machinery driver-proven inside pipeline_llm_dataset
+    "pipeline_sequence_pack",
     "agg_grouping_sets",
     "window_running_sum",
     "dedup_embedding_cosine",

@@ -1150,6 +1150,85 @@ def dedup_semantic_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "pipeline_llm_dataset",
+    oracle=f"""
+    WITH {_TOKS_CTE},
+    q AS (
+      SELECT t.doc_id, len(t.w)::BIGINT AS n_tokens, t.w,
+             md5(regexp_replace(lower(d.text), '\\s+', ' ', 'g')) AS f
+      FROM toks t JOIN documents d USING (doc_id)
+      WHERE t.doc_id % 25 <> 0 AND len(t.w) >= 10
+    ),
+    keep AS (SELECT MIN(doc_id) AS doc_id FROM q GROUP BY f),
+    dd AS (SELECT q.* FROM q JOIN keep USING (doc_id)),
+    ev AS (
+      SELECT DISTINCT UNNEST(list_distinct(list_transform(
+        generate_series(1, greatest(len(w) - 2, 0)),
+        i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]))) AS ng
+      FROM toks WHERE doc_id % 25 = 0
+    ),
+    cont AS (
+      SELECT DISTINCT doc_id FROM (
+        SELECT doc_id, UNNEST(list_distinct(list_transform(
+          generate_series(1, greatest(len(w) - 2, 0)),
+          i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]))) AS ng
+        FROM dd
+      ) JOIN ev USING (ng)
+    ),
+    clean AS (
+      SELECT doc_id, n_tokens, md5(CAST(doc_id AS VARCHAR)) AS k
+      FROM dd WHERE doc_id NOT IN (SELECT doc_id FROM cont)
+    ),
+    c AS (
+      SELECT doc_id, n_tokens,
+             COALESCE(SUM(n_tokens) OVER (
+               ORDER BY k ROWS BETWEEN UNBOUNDED PRECEDING
+               AND 1 PRECEDING), 0)::BIGINT AS start_offset
+      FROM clean
+    )
+    SELECT doc_id, n_tokens, start_offset,
+           (start_offset // 2048)::BIGINT AS seq_first,
+           ((start_offset + greatest(n_tokens, 1) - 1) // 2048)::BIGINT
+             AS seq_last
+    FROM c
+    """,
+    tags=("pipeline", "curation", "packing"),
+)
+def pipeline_llm_dataset(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full LLM training-dataset build, end to end with an EXACT
+    oracle: quality filter (>=10 tokens) -> exact dedup (min doc per
+    normalized-text md5) -> benchmark decontamination (drop any doc
+    sharing a trigram with the held-out eval slice) -> GPT-style
+    sequence packing of the survivors (2048-token budget, two-phase
+    global cumsum). Every stage is the scale shape used by its
+    standalone query; this row proves they COMPOSE."""
+    from hudi_and_delta_showcase_spark.operators.packing import (
+        packed_sequences,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    eval_df = docs.filter(F.col("doc_id") % 25 == 0)
+    corpus = docs.filter(F.col("doc_id") % 25 != 0)
+    q = (
+        D.tokenize(corpus, "text")
+        .withColumn("n_tok", F.size("tokens").cast("long"))
+        .filter(F.col("n_tok") >= 10)
+    )
+    fp = T.fingerprint(q, "doc_id", "text").select("doc_id", "md5_fp")
+    keep = fp.groupBy("md5_fp").agg(F.min("doc_id").alias("doc_id"))
+    dd = q.join(keep.select("doc_id"), "doc_id", "left_semi")
+    dec = T.ngram_decontaminate(dd, eval_df, "doc_id", "text", n=3)
+    clean = dd.join(
+        dec.filter(~F.col("contaminated")).select("doc_id"),
+        "doc_id",
+        "left_semi",
+    )
+    return packed_sequences(
+        clean.select("doc_id", "n_tok"), "doc_id", "n_tok", budget=2048
+    )
+
+
+@query(
     "pipeline_sequence_pack",
     oracle=f"""
     WITH {_TOKS_CTE},
