@@ -1,25 +1,44 @@
 """Commit-log manifests: the engine's MVCC substrate (SURVEY.md C7).
 
 Plays the role of Hudi's ``.hoodie`` timeline / Delta's ``_delta_log``
-(/root/reference/README.md:334,1235): every commit is a JSON file listing
-the table's live base files and log files after that commit, giving
-snapshot isolation + time travel ("the delta log has information regarding
-the schema and the latest files after each commit", README.md:1235).
+(/root/reference/README.md:334,1235): every commit is a JSON file
+describing the table's live base files and log files after that commit,
+giving snapshot isolation + time travel ("the delta log has information
+regarding the schema and the latest files after each commit",
+README.md:1235).
 
-Design: each commit stores the FULL live-file list (simplest correct
-snapshot resolution — newest manifest wins; no log replay). Scale note:
-at 100 TB / millions of files you'd switch to Delta-style incremental
-actions + periodic checkpoints so a commit is O(delta) not O(files);
-the API here (``latest``/``read``/``append``) is unchanged by that swap.
+On-disk format (Delta-style incremental actions + checkpoints): commit
+``v > 0`` stores only the DELTA against commit ``v-1`` — files/log
+files/DVs added and removed, per-file index entries set and unset,
+transaction-watermark and column-mapping upserts — so a commit is
+O(changed files), never O(table files). Every ``CHECKPOINT_INTERVAL``
+commits a full snapshot checkpoint (``{v}.checkpoint.json``) is written
+beside the delta and ``_last_checkpoint`` is updated (exactly Delta's
+``_delta_log`` contract), bounding snapshot resolution to replaying at
+most ``CHECKPOINT_INTERVAL`` tiny JSON deltas from the nearest
+checkpoint. Version 0 is inherently a full snapshot. The in-process
+API is unchanged: callers hand ``append_commit`` a full ``Commit``
+and get full ``Commit`` snapshots back from ``read_commit`` — the
+delta encoding is invisible above this module. Pre-checkpointing
+tables (full snapshot per commit) read back transparently.
+
+Scale: at 100 TB / millions of files the old full-list-per-commit
+design made every commit O(table); here steady-state commit IO is
+O(delta) + one O(table-files) checkpoint per ``CHECKPOINT_INTERVAL``
+commits, amortizing to Delta's cost model. Replay states are memoized
+per (path, version, file identity) so repeated snapshot resolution —
+history scans, time travel, streaming instant resolution — reads each
+delta once per process.
 
 Atomicity: manifests are written to a temp name then ``os.replace``d —
 atomic on POSIX — so readers never see a torn commit. Single-writer is
 assumed (the reference's ingest loop is single-writer too); optimistic
-concurrency would add a version-exists check on rename.
+concurrency is the version-exists check in ``append_commit``.
 """
 
 from __future__ import annotations
 
+import copy
 import json
 import os
 import time
@@ -102,18 +121,114 @@ def make_commit_time() -> str:
     )
 
 
+#: Full-snapshot checkpoint cadence (Delta writes one every 10 commits).
+CHECKPOINT_INTERVAL = 10
+
+#: list-valued Commit fields delta-encoded as <name>_add / <name>_remove.
+#: ``cdc_files`` is NOT here: it is per-commit (this commit's change
+#: files), not cumulative state, so deltas carry it verbatim.
+_LIST_FIELDS = ("files", "log_files", "dv_files")
+#: dict-valued Commit fields delta-encoded as <name>_set / <name>_unset.
+_DICT_FIELDS = ("key_ranges", "col_stats", "key_blooms", "txn", "column_mapping")
+
+
 def list_versions(table_path: str) -> list[int]:
     d = commits_dir(table_path)
     if not os.path.isdir(d):
         return []
     return sorted(
-        int(f.split(".")[0]) for f in os.listdir(d) if f.endswith(".json")
+        int(f.split(".")[0])
+        for f in os.listdir(d)
+        if f.endswith(".json") and not f.endswith(".checkpoint.json")
     )
 
 
+def _commit_delta(parent: Commit, commit: Commit) -> dict:
+    """Delta-encode ``commit`` against its parent snapshot. Order-
+    preserving for list fields: reconstruction keeps parent order minus
+    removals, then appends adds — so file-list order survives the
+    round-trip bit-for-bit."""
+    rec: dict = {
+        "delta": True,
+        "version": commit.version,
+        "action": commit.action,
+        "commit_time": commit.commit_time,
+        "stats": commit.stats,
+        "cdc_files": commit.cdc_files,
+    }
+    for name in _LIST_FIELDS:
+        old, new = getattr(parent, name), getattr(commit, name)
+        old_set, new_set = set(old), set(new)
+        rec[f"{name}_add"] = [f for f in new if f not in old_set]
+        rec[f"{name}_remove"] = [f for f in old if f not in new_set]
+    for name in _DICT_FIELDS:
+        old, new = getattr(parent, name), getattr(commit, name)
+        rec[f"{name}_set"] = {k: v for k, v in new.items() if old.get(k) != v}
+        rec[f"{name}_unset"] = [k for k in old if k not in new]
+    return rec
+
+
+def _apply_delta(parent: Commit, rec: dict) -> Commit:
+    """Replay one delta record onto the parent snapshot -> full Commit."""
+    kwargs: dict = {
+        "version": rec["version"],
+        "action": rec["action"],
+        "commit_time": rec["commit_time"],
+        "stats": rec.get("stats", {}),
+        "cdc_files": list(rec.get("cdc_files", [])),
+    }
+    for name in _LIST_FIELDS:
+        remove = set(rec.get(f"{name}_remove", ()))
+        kept = [f for f in getattr(parent, name) if f not in remove]
+        kwargs[name] = kept + list(rec.get(f"{name}_add", ()))
+    for name in _DICT_FIELDS:
+        merged = dict(getattr(parent, name))
+        for k in rec.get(f"{name}_unset", ()):
+            merged.pop(k, None)
+        merged.update(rec.get(f"{name}_set", {}))
+        kwargs[name] = merged
+    return Commit(**kwargs)
+
+
+def _file_identity(path: str) -> tuple:
+    st = os.stat(path)
+    return (st.st_mtime_ns, st.st_size)
+
+
+#: (abs table path, version, commit-file identity) -> full Commit.
+#: Commit files are immutable once written (append_commit refuses to
+#: overwrite), so memoized replay states stay valid; the file-identity
+#: component guards the rare same-path-recreated case in tests.
+_snapshot_cache: dict[tuple, Commit] = {}
+
+
 def read_commit(table_path: str, version: int) -> Commit:
-    with open(os.path.join(commits_dir(table_path), f"{version:08d}.json")) as fh:
-        return Commit(**json.load(fh))
+    """Full snapshot of the table state as of ``version``.
+
+    Resolution order: exact checkpoint file if one exists, else read the
+    version's record — a full snapshot returns directly; a delta record
+    recursively resolves ``version - 1`` (memoized, and bounded by the
+    checkpoint cadence) and replays on top of it."""
+    d = commits_dir(table_path)
+    final = os.path.join(d, f"{version:08d}.json")
+    key = (os.path.abspath(table_path), version, _file_identity(final))
+    cached = _snapshot_cache.get(key)
+    if cached is None:
+        ckpt = os.path.join(d, f"{version:08d}.checkpoint.json")
+        if os.path.exists(ckpt):
+            with open(ckpt) as fh:
+                cached = Commit(**json.load(fh))
+        else:
+            with open(final) as fh:
+                rec = json.load(fh)
+            if rec.pop("delta", False):
+                cached = _apply_delta(read_commit(table_path, version - 1), rec)
+            else:
+                cached = Commit(**rec)
+        _snapshot_cache[key] = cached
+    # deep copy: callers may hold/merge the dict fields; the cache must
+    # stay an immutable record of what is on disk.
+    return copy.deepcopy(cached)
 
 
 def latest_commit(table_path: str) -> Commit | None:
@@ -129,7 +244,24 @@ def append_commit(table_path: str, commit: Commit) -> None:
         raise RuntimeError(
             f"concurrent write detected: commit {commit.version} already exists"
         )
+    parent_file = os.path.join(d, f"{commit.version - 1:08d}.json")
+    if commit.version > 0 and os.path.exists(parent_file):
+        record = _commit_delta(read_commit(table_path, commit.version - 1), commit)
+    else:  # first commit (or detached version): full snapshot
+        record = asdict(commit)
     tmp = final + ".tmp"
     with open(tmp, "w") as fh:
-        json.dump(asdict(commit), fh, indent=1)
+        json.dump(record, fh, indent=1)
     os.replace(tmp, final)
+    if commit.version > 0 and commit.version % CHECKPOINT_INTERVAL == 0:
+        ckpt = os.path.join(d, f"{commit.version:08d}.checkpoint.json")
+        tmp = ckpt + ".tmp"
+        with open(tmp, "w") as fh:
+            json.dump(asdict(commit), fh, indent=1)
+        os.replace(tmp, ckpt)
+        # Delta's _last_checkpoint pointer: readers jump here instead of
+        # listing the whole log.
+        tmp = os.path.join(d, "_last_checkpoint.tmp")
+        with open(tmp, "w") as fh:
+            json.dump({"version": commit.version}, fh)
+        os.replace(tmp, os.path.join(d, "_last_checkpoint"))
