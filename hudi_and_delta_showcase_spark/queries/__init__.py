@@ -123,6 +123,12 @@ PRIORITY: tuple[str, ...] = (
     "cdc_restore_version",
     "cdc_zorder_skipping_read",
     "q3_shipping_priority",
+    # r4: widened TPC-H battery (Q6/Q12/Q14/Q18/Q19 shapes)
+    "q6_forecast_revenue",
+    "q12_priority_by_status",
+    "q14_promo_revenue",
+    "q18_large_volume_customer",
+    "q19_bracketed_revenue",
     "text_lang_id",
     "dedup_components",
     "sample_train_split",
