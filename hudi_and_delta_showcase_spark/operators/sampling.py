@@ -96,3 +96,55 @@ def stratified_take(
         .filter(F.col("__srn") <= n_per_stratum)
         .drop("__srn")
     )
+
+
+def temperature_mix(
+    df: DataFrame,
+    group_col: str,
+    key: str,
+    alpha: float,
+    seed: str = "",
+) -> DataFrame:
+    """Temperature-based source/language rebalancing (the multilingual /
+    multi-domain data-mixing step of LLM corpus builds): resample so
+    group g's share follows n_g^alpha / sum(n^alpha) instead of its raw
+    share — alpha=1 keeps proportions, alpha=0 equalizes groups, and the
+    usual 0<alpha<1 upweights low-resource groups. Target size is the
+    corpus size; per-group take is t_g = min(n_g, floor(total * w_g /
+    sum(w))) — groups whose target exceeds their population are kept
+    whole (no replication), the standard sampling-without-replacement
+    variant.
+
+    Membership is deterministic: within each group, rows are ranked by
+    key hash (uniform, engine-independent) and the first t_g win — the
+    same anti-contamination property as the other samplers here.
+
+    Scale: per-group counts are one tiny aggregate (|groups| rows);
+    targets are computed as column expressions on that aggregate (never
+    collected) and broadcast-joined back; the final filter is one window
+    shuffle on the group key. The pow/floor arithmetic is the SAME
+    expression tree the DuckDB oracle runs, so targets agree exactly.
+    """
+    n = F.col("__n").cast("double")
+    counts = df.groupBy(group_col).agg(F.count(F.lit(1)).alias("__n"))
+    w = F.pow(n, F.lit(float(alpha)))
+    tot = Window.partitionBy()  # |groups| rows — bounded, never row data
+    targets = counts.select(
+        group_col,
+        F.col("__n"),
+        F.least(
+            F.col("__n"),
+            F.floor(F.sum("__n").over(tot) * w / F.sum(w).over(tot)).cast(
+                "bigint"
+            ),
+        ).alias("__take"),
+    )
+    rank_w = Window.partitionBy(group_col).orderBy(
+        hash_bucket(F.col(key), seed).asc(), F.col(key).asc()
+    )
+    return (
+        df.join(F.broadcast(targets), on=group_col)
+        .withColumn("__trn", F.row_number().over(rank_w))
+        .filter(F.col("__trn") <= F.col("__take"))
+        .drop("__n", "__take", "__trn")
+    )

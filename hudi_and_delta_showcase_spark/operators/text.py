@@ -9,7 +9,7 @@ hex strings), so DuckDB oracles reproduce values exactly.
 from __future__ import annotations
 
 import pyspark.sql.functions as F
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 
 #: tiny marker lexicons for the n-gram/stopword language heuristic.
 #: (The fixture corpus is synthetic; the heuristic is the operator under
@@ -235,4 +235,45 @@ def ngram_decontaminate(
             ),
         )
         .withColumn("contaminated", F.col("matched_ngrams") > 0)
+    )
+
+
+def vocab_topk(df: DataFrame, text_col: str, k: int) -> DataFrame:
+    """Corpus vocabulary build (tokenizer-training prep): global token
+    frequencies, the top-``k`` by count, each with its frequency rank and
+    the cumulative share of all corpus tokens covered through that rank —
+    the coverage curve that decides vocab size.
+
+    Scale: tokenize/explode is map-only; the count is one partially-
+    aggregated shuffle on the token (the only shuffle proportional to
+    data); top-k is TakeOrderedAndProject (per-partition heaps, no global
+    sort); rank/coverage windows then run over only ``k`` rows (bounded
+    by construction — the single-partition window is over the RESULT, not
+    the corpus), with the 1-row corpus total broadcast in. Coverage is
+    round(cum/total, 6) on exact integer counts, oracle-identical.
+    """
+    toks = df.select(
+        F.explode(
+            F.filter(
+                F.split(F.lower(F.col(text_col)), " "), lambda x: x != ""
+            )
+        ).alias("token")
+    )
+    counts = toks.groupBy("token").agg(F.count(F.lit(1)).alias("cnt"))
+    total = counts.agg(F.sum("cnt").alias("__total"))
+    order = [F.desc("cnt"), F.asc("token")]
+    top = counts.orderBy(*order).limit(k)
+    w = Window.orderBy(*order)  # k rows only — bounded, see docstring
+    return (
+        top.join(F.broadcast(total))
+        .withColumn("rank", F.row_number().over(w))
+        .withColumn(
+            "coverage",
+            F.round(
+                F.sum("cnt").over(w.rowsBetween(Window.unboundedPreceding, 0))
+                / F.col("__total"),
+                6,
+            ),
+        )
+        .select("token", "cnt", "rank", "coverage")
     )

@@ -113,6 +113,9 @@ PRIORITY: tuple[str, ...] = (
     "window_running_sum",
     "dedup_embedding_cosine",
     "sample_stratified_take",
+    # r4: temperature-based language rebalancing + vocab build
+    "sample_temperature_mix",
+    "text_vocab_topk",
     "cdc_soft_delete_state",
     "cdc_schema_evolution",
     "cdc_medallion_sync",

@@ -1440,3 +1440,78 @@ def similarity_topk_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
         queries, emb, "vec_id", "embedding",
         k=10, n_candidates=100, m=8, ncode=64,
     )
+
+
+# ---------------------------------------------------------------------------
+# Corpus mixing + vocabulary (the remaining LLM-dataset-build steps:
+# rebalance the language mix, then build the tokenizer vocab over it)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "sample_temperature_mix",
+    oracle="""
+    WITH counts AS (
+      SELECT lang, COUNT(*) AS n FROM documents GROUP BY lang
+    ),
+    targets AS (
+      SELECT lang, n,
+             LEAST(n, CAST(FLOOR(
+               (SELECT SUM(n) FROM counts) * POW(CAST(n AS DOUBLE), 0.5)
+               / (SELECT SUM(POW(CAST(n AS DOUBLE), 0.5)) FROM counts)
+             ) AS BIGINT)) AS take
+      FROM counts
+    ),
+    ranked AS (
+      SELECT d.doc_id, d.lang, t.take,
+             ROW_NUMBER() OVER (
+               PARTITION BY d.lang
+               ORDER BY ('0x' || substr(md5(concat(
+                          cast(d.doc_id AS VARCHAR), 'mix-v1')), 1, 12))::BIGINT
+                        ASC,
+                        d.doc_id ASC) AS rn
+      FROM documents d JOIN targets t ON d.lang = t.lang
+    )
+    SELECT doc_id, lang FROM ranked WHERE rn <= take
+    """,
+    tags=("sampling", "mixing"),
+)
+def sample_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature (alpha=0.5) language rebalancing of the corpus: the
+    dominant language is deterministically downsampled toward
+    n^0.5-proportional share while low-resource languages keep every doc
+    — the data-mixing step of multilingual LLM corpus builds. Per-group
+    targets come from one tiny aggregate (broadcast back); membership is
+    hash-rank within each language, so the mix is reproducible across
+    runs, engines, and corpus repartitioning."""
+    docs = load_table(spark, sf_dir, "documents")
+    return SA.temperature_mix(
+        docs, "lang", key="doc_id", alpha=0.5, seed="mix-v1"
+    ).select("doc_id", "lang")
+
+
+@query(
+    "text_vocab_topk",
+    oracle=f"""
+    WITH {_TOKS_CTE},
+    terms AS (SELECT UNNEST(w) AS token FROM toks),
+    counts AS (SELECT token, COUNT(*) AS cnt FROM terms GROUP BY token),
+    total AS (SELECT SUM(cnt) AS t FROM counts),
+    top AS (SELECT * FROM counts ORDER BY cnt DESC, token ASC LIMIT 40)
+    SELECT token, cnt,
+           ROW_NUMBER() OVER (ORDER BY cnt DESC, token ASC) AS rank,
+           ROUND(SUM(cnt) OVER (ORDER BY cnt DESC, token ASC
+                                ROWS UNBOUNDED PRECEDING)
+                 / (SELECT t FROM total), 6) AS coverage
+    FROM top
+    """,
+    tags=("text", "vocab"),
+)
+def text_vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary build (tokenizer-training prep): top-40 corpus tokens
+    by global frequency with rank and cumulative token-coverage share.
+    One partially-aggregated shuffle on the token; top-k via
+    per-partition heaps; the rank/coverage window runs over the 40-row
+    result only, with the corpus total broadcast in."""
+    docs = load_table(spark, sf_dir, "documents")
+    return T.vocab_topk(docs, "text", k=40)

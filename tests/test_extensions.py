@@ -273,3 +273,26 @@ class TestSemanticDedup:
             )[0].collect()
         }
         assert a == b
+
+
+def test_vocab_topk_coverage_monotone(spark, sf_dir):
+    """Vocabulary build: ranks are dense from 1, counts non-increasing,
+    coverage strictly increasing and ending <= 1; the top-1 token must be
+    the corpus-wide argmax frequency."""
+    from hudi_and_delta_showcase_spark.operators import text as T
+
+    docs = load_table(spark, sf_dir, "documents")
+    rows = T.vocab_topk(docs, "text", k=10).orderBy("rank").collect()
+    assert [r.rank for r in rows] == list(range(1, len(rows) + 1))
+    cnts = [r.cnt for r in rows]
+    assert cnts == sorted(cnts, reverse=True)
+    covs = [r.coverage for r in rows]
+    assert all(b > a for a, b in zip(covs, covs[1:]))
+    assert covs[-1] <= 1.0
+
+    exploded = docs.select(
+        F.explode(F.split(F.lower("text"), " ")).alias("t")
+    ).filter(F.col("t") != "")
+    top = exploded.groupBy("t").count().orderBy(
+        F.desc("count"), F.asc("t")).first()
+    assert rows[0].token == top.t and rows[0].cnt == top["count"]

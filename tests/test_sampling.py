@@ -74,3 +74,47 @@ def test_hash_sample_no_shuffle(spark, sf_dir):
         "doc_id"
     )._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan
+
+
+def test_temperature_mix_flattens_shares(spark, sf_dir):
+    """alpha=0.5 must move group shares toward equal: the dominant
+    language is downsampled, low-resource groups are kept WHOLE (no
+    replication), totals = sum of per-group targets, and membership is
+    deterministic."""
+    docs = load_table(spark, sf_dir, "documents")
+    before = {r.lang: r.n for r in docs.groupBy("lang").agg(
+        F.count("*").alias("n")).collect()}
+    out = SA.temperature_mix(docs, "lang", key="doc_id", alpha=0.5, seed="m")
+    after = {r.lang: r.n for r in out.groupBy("lang").agg(
+        F.count("*").alias("n")).collect()}
+    total = sum(before.values())
+    wsum = sum(v**0.5 for v in before.values())
+    expect = {
+        k: min(v, int(total * (v**0.5) / wsum)) for k, v in before.items()
+    }
+    assert after == expect
+    top = max(before, key=before.get)
+    assert after[top] < before[top]  # dominant group downsampled
+    small = min(before, key=before.get)
+    assert after[small] == before[small]  # low-resource kept whole
+    # share distance to uniform strictly shrinks
+    def dist(d):
+        t = sum(d.values())
+        return sum(abs(v / t - 1 / len(d)) for v in d.values())
+    assert dist(after) < dist(before)
+    again = SA.temperature_mix(docs, "lang", key="doc_id", alpha=0.5, seed="m")
+    assert sorted(r.doc_id for r in out.collect()) == sorted(
+        r.doc_id for r in again.collect()
+    )
+
+
+def test_temperature_mix_alpha_one_keeps_nearly_all(spark, sf_dir):
+    """alpha=1 is proportional sampling at full target size: every group's
+    target equals its population up to floor rounding."""
+    docs = load_table(spark, sf_dir, "documents")
+    before = {r.lang: r.n for r in docs.groupBy("lang").agg(
+        F.count("*").alias("n")).collect()}
+    out = SA.temperature_mix(docs, "lang", key="doc_id", alpha=1.0, seed="m")
+    after = {r.lang: r.n for r in out.groupBy("lang").agg(
+        F.count("*").alias("n")).collect()}
+    assert all(before[k] - after.get(k, 0) <= 1 for k in before)
