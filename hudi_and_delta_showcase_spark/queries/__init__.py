@@ -36,6 +36,8 @@ PRIORITY: tuple[str, ...] = (
     "cdc_incremental_gold_agg",
     # r4: metadata-only RENAME COLUMN (Delta column mapping)
     "cdc_column_mapping_roundtrip",
+    # r4: multi-writer optimistic concurrency (rebase on disjoint race)
+    "cdc_concurrent_writers",
     # on-disk lakehouse protocols (S3 _delta_log, S2 .hoodie timeline) —
     # promoted in r4 so the protocol flagships earn driver rows
     "delta_log_roundtrip",
@@ -46,7 +48,6 @@ PRIORITY: tuple[str, ...] = (
     # -- join battery -----------------------------------------------------
     "join_semi",
     "join_anti",
-    "join_range_theta",
     "join_asof_events",
     # -- aggregate battery ------------------------------------------------
     "agg_distinct",
@@ -100,6 +101,7 @@ PRIORITY: tuple[str, ...] = (
     # flagships above, then sketch_percentile_gate for the deletion-vector
     # row — all stay registered and FULL_LOCAL-checked)
     "sketch_percentile_gate",
+    "join_range_theta",
     "text_winnowing_fp",
     "similarity_pq_containment",
     "join_bucketed_colocated",

@@ -949,3 +949,62 @@ def cdc_stats_skipping_read(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(*_FINAL_COLS).withColumn(
         "files_pruned", F.lit(pruned)
     )
+
+
+@query(
+    "cdc_concurrent_writers",
+    oracle="""
+    SELECT event_id, user_id, ts, event_type, value FROM (
+      SELECT *, ROW_NUMBER() OVER (
+        PARTITION BY user_id, event_type
+        ORDER BY ts DESC, event_id DESC) AS rn
+      FROM events
+    ) WHERE rn = 1
+    """,
+    tags=("cdc", "table", "occ"),
+)
+def cdc_concurrent_writers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-writer OCC (Delta optimistic concurrency / Hudi
+    OPTIMISTIC_CONCURRENCY_CONTROL): two writers upsert DISJOINT
+    partition sets of the post-cutoff batch concurrently — writer B's
+    commit lands between writer A's snapshot read and A's commit
+    attempt (a real version race, staged by intercepting the commit
+    append). A's commit must detect the collision, prove
+    partition-disjointness from the manifests, REBASE onto B's commit,
+    and land at the next version — no locks, neither writer's changes
+    lost. Final state must equal latest-per-(key, partition) over ALL
+    events, exactly as if the writers had run serially.
+    """
+    from hudi_and_delta_showcase_spark.tables import manifest as mf
+
+    base, incr = _split(spark, sf_dir)
+    path = tempfile.mkdtemp(prefix="lakehouse_occ_")
+    t = LakehouseTable.create(
+        spark,
+        f"{path}/events_tbl",
+        base,
+        key_cols=["user_id"],
+        precombine="ts",
+        tiebreakers=["event_id"],
+        partition_by="event_type",
+    )
+    a_types = ("click", "view")
+    batch_a = incr.filter(F.col("event_type").isin(*a_types))
+    batch_b = incr.filter(~F.col("event_type").isin(*a_types))
+
+    fired = [False]
+    orig = mf.append_commit
+
+    def inject(table_path, commit):
+        if not fired[0]:
+            fired[0] = True
+            LakehouseTable(spark, t.path).upsert(batch_b)  # writer B wins
+        return orig(table_path, commit)
+
+    mf.append_commit = inject
+    try:
+        rebased = t.upsert(batch_a)  # writer A: collides, rebases
+    finally:
+        mf.append_commit = orig
+    assert rebased.version == 2, "writer A must rebase to version 2"
+    return t.read().select(*_FINAL_COLS)

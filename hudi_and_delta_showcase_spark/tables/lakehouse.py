@@ -414,7 +414,7 @@ class LakehouseTable:
             txn=dict(prev.txn),
             column_mapping=mapping,
         )
-        mf.append_commit(self.path, commit)
+        commit = mf.append_commit_rebase(self.path, commit)
         return commit
 
     def version_as_of(self, instant: str) -> int:
@@ -527,7 +527,7 @@ class LakehouseTable:
                 txn=new_txn,
                 column_mapping=dict(prev.column_mapping),
             )
-            mf.append_commit(self.path, commit)
+            commit = mf.append_commit_rebase(self.path, commit)
             return commit
 
         # ---- CoW: partition-scoped rewrite (C8) ----
@@ -641,7 +641,7 @@ class LakehouseTable:
             **self._index_fields(new_files, carry_from=prev,
                                  carried=untouched),
         )
-        mf.append_commit(self.path, commit)
+        commit = mf.append_commit_rebase(self.path, commit)
         return commit
 
     def upsert_quarantine(
@@ -791,7 +791,7 @@ class LakehouseTable:
                 cdc_files=cdc_added,
                 column_mapping=dict(prev.column_mapping),
             )
-            mf.append_commit(self.path, commit)
+            commit = mf.append_commit_rebase(self.path, commit)
             return commit
 
         new_files: list[str] = []
@@ -829,7 +829,7 @@ class LakehouseTable:
             **self._index_fields(new_files, carry_from=prev,
                                  carried=untouched),
         )
-        mf.append_commit(self.path, commit)
+        commit = mf.append_commit_rebase(self.path, commit)
         return commit
 
     def compact(self) -> mf.Commit:
@@ -855,7 +855,7 @@ class LakehouseTable:
             column_mapping=dict(prev.column_mapping),
             **self._index_fields(files),
         )
-        mf.append_commit(self.path, commit)
+        commit = mf.append_commit_rebase(self.path, commit)
         return commit
 
     # ------------------------------------------------------------------ #
@@ -935,7 +935,7 @@ class LakehouseTable:
             column_mapping=dict(prev.column_mapping),
             **self._index_fields(files),
         )
-        mf.append_commit(self.path, commit)
+        commit = mf.append_commit_rebase(self.path, commit)
         return commit
 
     _Z_BITS = 4  # quantile buckets per dimension = 2**_Z_BITS
@@ -1036,7 +1036,7 @@ class LakehouseTable:
             # restores data AND schema): take the TARGET's mapping
             column_mapping=dict(target.column_mapping),
         )
-        mf.append_commit(self.path, commit)
+        commit = mf.append_commit_rebase(self.path, commit)
         return commit
 
     # ------------------------------------------------------------------ #

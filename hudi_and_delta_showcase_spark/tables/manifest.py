@@ -231,6 +231,141 @@ def read_commit(table_path: str, version: int) -> Commit:
     return copy.deepcopy(cached)
 
 
+class ConcurrentWriteConflict(RuntimeError):
+    """A concurrent commit won the version race and the loser's changes
+    cannot be safely rebased (Delta's ConcurrentAppend / ConcurrentDelete
+    / ConcurrentTransaction exceptions collapsed into one)."""
+
+
+#: actions that replace table state wholesale — never rebase across or
+#: on behalf of one of these.
+_NO_REBASE_ACTIONS = frozenset({"overwrite", "restore"})
+
+
+def _partitions(paths) -> set:
+    """Logical partition of each file path: the hive-style ``col=value``
+    path component if present, else ``""`` — unpartitioned tables thus
+    collapse to one partition and any two non-blind writers conflict
+    (disjointness cannot be proven without partitions, the same
+    granularity Delta uses)."""
+    out = set()
+    for p in paths:
+        comp = next(
+            (c for c in p.split(os.sep) if "=" in c and not c.endswith(".parquet")),
+            "",
+        )
+        out.add(comp)
+    return out
+
+
+def _check_rebase(ours: dict, theirs: dict, winner_actions: list[str]) -> None:
+    """Delta WriteSerializable-style conflict rules between the losing
+    delta (``ours``, vs the shared base) and the collapsed winning delta
+    (``theirs``). Raises ConcurrentWriteConflict; returning means the
+    loser commutes with every winner and may rebase."""
+    if ours["action"] in _NO_REBASE_ACTIONS or any(
+        a in _NO_REBASE_ACTIONS for a in winner_actions
+    ):
+        raise ConcurrentWriteConflict(
+            f"cannot rebase across table-replacing actions "
+            f"(ours={ours['action']!r}, winners={winner_actions})"
+        )
+    # delete/delete: every file we remove must still be live — a winner
+    # rewriting or deleting the same file means both transactions read
+    # and replaced the same data.
+    for name in _LIST_FIELDS:
+        gone = set(ours[f"{name}_remove"]) & set(theirs[f"{name}_remove"])
+        if gone:
+            raise ConcurrentWriteConflict(
+                f"concurrent delete/rewrite of {sorted(gone)[:3]}"
+            )
+    # read/write overlap: unless we are a blind append, files (or DVs)
+    # a winner added in a partition we read-modified may hold rows our
+    # decision logic should have seen (Delta's ConcurrentAppend rule at
+    # partition granularity).
+    if ours["action"] != "insert":
+        our_parts = _partitions(
+            ours["files_add"]
+            + ours["files_remove"]
+            + ours["log_files_add"]
+            + ours["log_files_remove"]
+        )
+        their_parts = _partitions(
+            theirs["files_add"]
+            + theirs["files_remove"]
+            + theirs["log_files_add"]
+            + theirs["log_files_remove"]
+        )
+        clash = our_parts & their_parts
+        if clash:
+            raise ConcurrentWriteConflict(
+                f"concurrent writes in partitions {sorted(clash)[:3]}"
+            )
+        if theirs["dv_files_add"] and (
+            ours["files_add"] or ours["files_remove"] or ours["log_files_add"]
+        ):
+            raise ConcurrentWriteConflict(
+                "concurrent deletion-vector append while modifying data"
+            )
+    # same idempotent-writer app committing twice concurrently
+    dup_apps = set(ours["txn_set"]) & set(theirs["txn_set"])
+    if dup_apps:
+        raise ConcurrentWriteConflict(
+            f"concurrent transactions for writer app(s) {sorted(dup_apps)}"
+        )
+    # rename/rename (metadata-metadata)
+    if (ours["column_mapping_set"] or ours["column_mapping_unset"]) and (
+        theirs["column_mapping_set"] or theirs["column_mapping_unset"]
+    ):
+        raise ConcurrentWriteConflict("concurrent column renames")
+
+
+def append_commit_rebase(table_path: str, commit: Commit) -> Commit:
+    """Optimistic concurrency control (Delta OCC / Hudi OCC): try to
+    commit at the prepared version; if a concurrent writer won that
+    version, delta-encode our changes against our base snapshot, run the
+    conflict rules against the winners' collapsed delta, and — when the
+    transactions commute — REBASE onto the new latest and retry at the
+    next version. Blind inserts always rebase; partition-disjoint
+    upserts/deletes/compactions rebase; overlapping writes raise
+    ConcurrentWriteConflict for the caller to retry from a fresh read.
+
+    The rebased commit keeps its original ``commit_time`` (data files
+    are already stamped with it); with rebases the timeline's
+    commit_time can therefore lag the winner's by milliseconds while
+    versions stay strictly ordered — the same instant-vs-completion
+    ordering wrinkle Hudi 1.x documents. Version order is authoritative.
+
+    Isolation level is WriteSerializable, enforced at partition
+    granularity — the file-level information the manifest already
+    carries; no table locks, no side channel."""
+    base_version = commit.version - 1
+    while True:
+        try:
+            append_commit(table_path, commit)
+            return commit
+        except RuntimeError as exc:
+            if "concurrent write" not in str(exc):
+                raise
+            if base_version < 0:
+                raise ConcurrentWriteConflict(
+                    "concurrent table creation"
+                ) from exc
+            latest_v = list_versions(table_path)[-1]
+            base = read_commit(table_path, base_version)
+            latest = read_commit(table_path, latest_v)
+            ours = _commit_delta(base, commit)
+            theirs = _commit_delta(base, latest)
+            winner_actions = [
+                read_commit(table_path, v).action
+                for v in range(base_version + 1, latest_v + 1)
+            ]
+            _check_rebase(ours, theirs, winner_actions)
+            ours["version"] = latest_v + 1
+            commit = _apply_delta(latest, ours)
+            base_version = latest_v
+
+
 def latest_commit(table_path: str) -> Commit | None:
     versions = list_versions(table_path)
     return read_commit(table_path, versions[-1]) if versions else None
