@@ -134,6 +134,14 @@ PRIORITY: tuple[str, ...] = (
     "q14_promo_revenue",
     "q18_large_volume_customer",
     "q19_bracketed_revenue",
+    "q4_order_priority",
+    "q7_volume_shipping",
+    "q8_market_share",
+    "q10_returned_items",
+    "q13_customer_distribution",
+    "q15_top_supplier",
+    "q17_small_quantity_revenue",
+    "q22_global_sales_opportunity",
     "text_lang_id",
     "dedup_components",
     "sample_train_split",
