@@ -127,6 +127,8 @@ PRIORITY: tuple[str, ...] = (
     "cdc_bloom_skipping_upsert",
     "cdc_restore_version",
     "cdc_zorder_skipping_read",
+    # r4: liquid-style incremental clustering
+    "cdc_liquid_clustering",
     "q3_shipping_priority",
     # r4: widened TPC-H battery (Q6/Q12/Q14/Q18/Q19 shapes)
     "q6_forecast_revenue",

@@ -1008,3 +1008,57 @@ def cdc_concurrent_writers(spark: SparkSession, sf_dir: str) -> DataFrame:
         mf.append_commit = orig
     assert rebased.version == 2, "writer A must rebase to version 2"
     return t.read().select(*_FINAL_COLS)
+
+
+@query(
+    "cdc_liquid_clustering",
+    oracle="""
+    SELECT event_id, user_id, ts, event_type, value,
+           TRUE AS carried_untouched, TRUE AS restacked_only_new,
+           TRUE AS point_read_pruned
+    FROM (
+      SELECT *, ROW_NUMBER() OVER (
+        PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+      FROM events
+    ) WHERE rn = 1
+    """,
+    tags=("cdc", "table", "maintenance"),
+)
+def cdc_liquid_clustering(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental clustering (Delta liquid-clustering economics): a
+    full OPTIMIZE clusters the pre-cutoff snapshot on user_id; the
+    post-cutoff upsert then lands new, unclustered files; an
+    ``optimize(cluster_by=..., incremental=True)`` restacks ONLY those
+    arrivals — O(new data), with every already-clustered file carried
+    over by name and a point read pruning to at most one file per
+    clustering generation. The three structural assertions are folded
+    into the oracle row; table state must still equal
+    latest-per-key over all events."""
+    base, incr = _split(spark, sf_dir)
+    path = tempfile.mkdtemp(prefix="liquid_") + "/events_tbl"
+    t = LakehouseTable.create(
+        spark, path, base, key_cols=["user_id"], precombine="ts",
+        tiebreakers=["event_id"],
+    )
+    t.optimize(target_files=8, cluster_by=["user_id"])
+    gen0 = t._commit(None)
+    t.upsert(incr)
+    after_upsert = t._commit(None)
+    survivors = [f for f in after_upsert.files if f in gen0.files]
+    arrived = [f for f in after_upsert.files if f not in gen0.files]
+    inc = t.optimize(target_files=8, cluster_by=["user_id"], incremental=True)
+    # every clustered file the upsert left alone is carried by NAME
+    carried_untouched = all(f in inc.files for f in survivors)
+    restacked_only_new = inc.stats["mode"] == "incremental" and inc.stats[
+        "restacked_files"
+    ] == len(arrived)
+    total = len(inc.files)
+    probe = t.read_where("user_id", lo=1, hi=1)
+    point_read_pruned = 0 < len(probe.inputFiles()) < total
+    return (
+        t.read()
+        .select(*_FINAL_COLS)
+        .withColumn("carried_untouched", F.lit(bool(carried_untouched)))
+        .withColumn("restacked_only_new", F.lit(bool(restacked_only_new)))
+        .withColumn("point_read_pruned", F.lit(bool(point_read_pruned)))
+    )

@@ -1,0 +1,93 @@
+"""Incremental (liquid-style) clustering: optimize(incremental=True)
+restacks only files written since the last clustering commit with the
+same spec — O(new data) maintenance — while carried files keep their
+names, skipping indexes, and deletion vectors."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+import pytest
+
+from hudi_and_delta_showcase_spark.tables.lakehouse import LakehouseTable
+
+
+def _table(spark, path, n=200):
+    # 4-digit ids: record keys are strings, so key ranges must stay
+    # lexicographically disjoint between the base and later batches
+    df = spark.range(1000, 1000 + n).select(
+        F.col("id").alias("k"),
+        (F.col("id") % 7).alias("v"),
+        F.lit(1).alias("sq"),
+    )
+    return LakehouseTable.create(
+        spark, path, df, key_cols=["k"], precombine="sq"
+    )
+
+
+def test_incremental_restacks_only_new_files(spark, tmp_path):
+    t = _table(spark, str(tmp_path / "t"))
+    t.optimize(target_files=4, cluster_by=["k"])
+    base = t._commit(None)
+    assert base.stats["clustered_output"] == base.files
+
+    # new arrivals (fresh keys -> pure inserts, no rewrite of clustered)
+    newbie = spark.range(2000, 2060).select(
+        F.col("id").alias("k"),
+        F.lit(99).cast("bigint").alias("v"),
+        F.lit(2).alias("sq"),
+    )
+    t.upsert(newbie)
+    after_upsert = t._commit(None)
+    new_files = [f for f in after_upsert.files if f not in base.files]
+    assert new_files, "upsert must have added files"
+
+    inc = t.optimize(target_files=2, cluster_by=["k"], incremental=True)
+    assert inc.stats["mode"] == "incremental"
+    assert inc.stats["restacked_files"] == len(new_files)
+    # every clustered file carried over untouched, by name
+    assert set(base.files) < set(inc.files)
+    assert set(inc.stats["clustered_output"]).isdisjoint(base.files)
+    # data unchanged
+    assert t.read().count() == 260
+    assert {r.k for r in t.read().select("k").collect()} == set(
+        range(1000, 1200)
+    ) | set(range(2000, 2060))
+    # carried files keep their skipping index entries
+    for f in base.files:
+        assert f in inc.key_ranges and f in inc.col_stats
+
+    # nothing new since -> zero-IO no-op returning the same commit
+    again = t.optimize(target_files=2, cluster_by=["k"], incremental=True)
+    assert again.version == inc.version
+
+
+def test_incremental_generations_prune_reads(spark, tmp_path):
+    """Each generation is internally disjoint on the cluster key, so a
+    point read touches ~1 file per generation, not the whole table."""
+    t = _table(spark, str(tmp_path / "t"))
+    t.optimize(target_files=4, cluster_by=["k"])
+    t.upsert(
+        spark.range(2000, 2200).select(
+            F.col("id").alias("k"),
+            F.lit(1).cast("bigint").alias("v"),
+            F.lit(2).alias("sq"),
+        )
+    )
+    t.optimize(target_files=4, cluster_by=["k"], incremental=True)
+    commit = t._commit(None)
+    assert len(commit.files) == 8  # 2 generations x 4
+    hit = t.read_where("k", 1042, 1042)
+    assert hit.count() == 1
+    # stats pruning: at most one file per generation can contain k=42
+    surviving = [
+        f
+        for f in commit.files
+        if commit.col_stats[f]["k"][0] <= 1042 <= commit.col_stats[f]["k"][1]
+    ]
+    assert len(surviving) <= 2
+
+
+def test_incremental_requires_cluster_by(spark, tmp_path):
+    t = _table(spark, str(tmp_path / "t"))
+    with pytest.raises(ValueError, match="cluster_by"):
+        t.optimize(incremental=True)
