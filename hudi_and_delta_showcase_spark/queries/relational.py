@@ -499,8 +499,8 @@ def q4_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     JOIN customer c ON c.c_custkey = o.o_custkey
     JOIN nation sn  ON s.s_nationkey = sn.n_nationkey
     JOIN nation cn  ON c.c_nationkey = cn.n_nationkey
-    WHERE ((sn.n_name = 'NATION_1' AND cn.n_name = 'NATION_2')
-        OR (sn.n_name = 'NATION_2' AND cn.n_name = 'NATION_1'))
+    WHERE ((sn.n_regionkey = 0 AND cn.n_regionkey = 1)
+        OR (sn.n_regionkey = 1 AND cn.n_regionkey = 0))
       AND l.l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
       AND l.l_shipdate <  TIMESTAMP '1998-01-01 00:00:00'
     GROUP BY sn.n_name, cn.n_name, YEAR(l.l_shipdate)
@@ -509,7 +509,9 @@ def q4_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("join", "agg"),
 )
 def q7_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TPC-H Q7: bilateral shipping volume between two nations by year.
+    """TPC-H Q7 shape: bilateral shipping volume between two REGIONS by
+    year (region pairs stay populated at every fixture SF; a single
+    nation pair is empty at sf0.001).
     Every dimension broadcasts (nation appears TWICE under different
     aliases — two independent broadcast joins, not a self-join shuffle);
     the nation-pair disjunction is a residual filter after both nation
@@ -518,20 +520,22 @@ def q7_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = load_table(spark, sf_dir, "customer")
     o = load_table(spark, sf_dir, "orders")
     sn = load_table(spark, sf_dir, "nation").select(
-        F.col("n_nationkey").alias("sn_key"), F.col("n_name").alias("supp_nation")
+        F.col("n_nationkey").alias("sn_key"),
+        F.col("n_name").alias("supp_nation"),
+        F.col("n_regionkey").alias("sn_region"),
     )
     cn = load_table(spark, sf_dir, "nation").select(
-        F.col("n_nationkey").alias("cn_key"), F.col("n_name").alias("cust_nation")
+        F.col("n_nationkey").alias("cn_key"),
+        F.col("n_name").alias("cust_nation"),
+        F.col("n_regionkey").alias("cn_region"),
     )
     li = load_table(spark, sf_dir, "lineitem").filter(
         (F.col("l_shipdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp_ntz"))
         & (F.col("l_shipdate") < F.lit("1998-01-01 00:00:00").cast("timestamp_ntz"))
     )
     pair = (
-        (F.col("supp_nation") == "NATION_1") & (F.col("cust_nation") == "NATION_2")
-    ) | (
-        (F.col("supp_nation") == "NATION_2") & (F.col("cust_nation") == "NATION_1")
-    )
+        (F.col("sn_region") == 0) & (F.col("cn_region") == 1)
+    ) | ((F.col("sn_region") == 1) & (F.col("cn_region") == 0))
     return (
         li.join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
         .join(F.broadcast(o), li.l_orderkey == o.o_orderkey)
