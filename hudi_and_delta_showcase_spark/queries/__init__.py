@@ -27,7 +27,6 @@ PRIORITY: tuple[str, ...] = (
     "cdc_optimize_vacuum",
     "cdc_merge_routing",
     "cdc_incremental_pull",
-    "cdc_hard_delete_state",
     # r4: merge-on-read DELETE via deletion vectors (Delta DV semantics)
     "cdc_deletion_vector_state",
     # r4: CHECK constraints with quarantine routing (Delta ADD CONSTRAINT)
@@ -36,6 +35,8 @@ PRIORITY: tuple[str, ...] = (
     "cdc_incremental_gold_agg",
     # r4: metadata-only RENAME COLUMN (Delta column mapping)
     "cdc_column_mapping_roundtrip",
+    # r4: type-widening schema evolution (Delta typeWidening)
+    "cdc_type_widening",
     # r4: multi-writer optimistic concurrency (rebase on disjoint race)
     "cdc_concurrent_writers",
     # on-disk lakehouse protocols (S3 _delta_log, S2 .hoodie timeline) —
@@ -101,6 +102,7 @@ PRIORITY: tuple[str, ...] = (
     # flagships above, then sketch_percentile_gate for the deletion-vector
     # row — all stay registered and FULL_LOCAL-checked)
     "sketch_percentile_gate",
+    "cdc_hard_delete_state",
     "join_range_theta",
     "text_winnowing_fp",
     "similarity_pq_containment",

@@ -1062,3 +1062,60 @@ def cdc_liquid_clustering(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("restacked_only_new", F.lit(bool(restacked_only_new)))
         .withColumn("point_read_pruned", F.lit(bool(point_read_pruned)))
     )
+
+
+@query(
+    "cdc_type_widening",
+    oracle=f"""
+    SELECT event_id, user_id,
+           CASE WHEN ts < TIMESTAMP '{CUTOFF}'
+                THEN CAST(CAST(value AS REAL) AS DOUBLE)
+                ELSE value END AS value,
+           TRUE AS schema_widened, TRUE AS no_rewrite
+    FROM (
+      SELECT *, ROW_NUMBER() OVER (
+        PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+      FROM events
+    ) WHERE rn = 1
+    """,
+    tags=("cdc", "table", "schema"),
+)
+def cdc_type_widening(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Type-widening schema evolution (Delta ``typeWidening``): the base
+    snapshot is written with NARROW columns (event_id/user_id int,
+    value float); the post-cutoff batch arrives with the natural wider
+    types (bigint/double). The upsert widens the TABLE schema as pure
+    metadata — ``schema_widened`` pins the recorded schema and the read
+    dtypes, ``no_rewrite`` pins that files the upsert didn't touch for
+    data reasons were NOT rewritten for schema reasons (legacy narrow
+    files upcast at scan time). Values written through the float era
+    keep float precision — the oracle reproduces that with the same
+    double(float(x)) round-trip."""
+    base, incr = _split(spark, sf_dir)
+    narrow = base.select(
+        F.col("event_id").cast("int").alias("event_id"),
+        F.col("user_id").cast("int").alias("user_id"),
+        F.col("ts"),
+        F.col("value").cast("float").alias("value"),
+    )
+    wide = incr.select("event_id", "user_id", "ts", "value")
+    path = tempfile.mkdtemp(prefix="widen_") + "/events_tbl"
+    t = LakehouseTable.create(
+        spark, path, narrow, key_cols=["user_id"], precombine="ts",
+        tiebreakers=["event_id"],
+    )
+    v0 = t._commit(None)
+    t.upsert(wide)
+    commit = t._commit(None)
+    out = t.read()
+    dt = dict(out.dtypes)
+    schema_widened = bool(commit.table_schema) and dt == {
+        **dt, "event_id": "bigint", "user_id": "bigint", "value": "double"
+    }
+    untouched = [f for f in commit.files if f in v0.files]
+    no_rewrite = commit.stats["carried_over_files"] == len(untouched)
+    return (
+        out.select("event_id", "user_id", "value")
+        .withColumn("schema_widened", F.lit(schema_widened))
+        .withColumn("no_rewrite", F.lit(bool(no_rewrite)))
+    )

@@ -271,7 +271,7 @@ class LakehouseTable:
         base = self._read_base(commit)
         if not commit.log_files:
             return base
-        log = self._read_parquet(commit.log_files)
+        log = self._read_parquet(commit.log_files, commit)
         union = base.unionByName(log, allowMissingColumns=True)
         order = [F.desc("_hoodie_commit_time")]
         if self.precombine:
@@ -337,7 +337,7 @@ class LakehouseTable:
                 ]
         if not candidates:
             return self._logical(self._read_base(commit).limit(0), commit)
-        df = self._apply_dvs(self._read_parquet(candidates), commit)
+        df = self._apply_dvs(self._read_parquet(candidates, commit), commit)
         return self._logical(
             df.filter(F.col("_hoodie_record_key").isin(*sorted(rks))),
             commit,
@@ -412,6 +412,7 @@ class LakehouseTable:
             key_blooms=dict(prev.key_blooms),
             dv_files=list(prev.dv_files),
             txn=dict(prev.txn),
+            table_schema=prev.table_schema,
             column_mapping=mapping,
         )
         commit = mf.append_commit_rebase(self.path, commit)
@@ -501,6 +502,7 @@ class LakehouseTable:
         if txn_app_id is not None and txn_version is not None:
             new_txn[txn_app_id] = txn_version
         source = self._physical(source)
+        source, table_schema = self._reconcile_schema(source, prev)
         if self.precombine is not None:
             source = precombine_dedup(
                 source, self._resolution_cols(), self.precombine,
@@ -525,6 +527,7 @@ class LakehouseTable:
                 key_blooms=prev.key_blooms,
                 dv_files=list(prev.dv_files),
                 txn=new_txn,
+                table_schema=table_schema,
                 column_mapping=dict(prev.column_mapping),
             )
             commit = mf.append_commit_rebase(self.path, commit)
@@ -555,7 +558,7 @@ class LakehouseTable:
             # apply DVs before the rewrite so rows already deleted via
             # deletion vectors don't resurrect into the new files
             target = self._apply_dvs(
-                self._read_parquet(affected), prev
+                self._read_parquet(affected, prev), prev
             ).alias("t")
             keys = self._resolution_cols()
             source_keys = F.broadcast(
@@ -637,6 +640,7 @@ class LakehouseTable:
             dv_files=list(prev.dv_files),
             txn=new_txn,
             cdc_files=cdc_added,
+            table_schema=table_schema,
             column_mapping=dict(prev.column_mapping),
             **self._index_fields(new_files, carry_from=prev,
                                  carried=untouched),
@@ -750,7 +754,7 @@ class LakehouseTable:
                 # _metadata resolves on the scan's project chain, not
                 # reliably through a join's output
                 target = self._apply_dvs(
-                    self._read_parquet(affected)
+                    self._read_parquet(affected, prev)
                     .withColumn("__file", self._dv_file_col())
                     .withColumn("__pos", F.col("_metadata.row_index")),
                     prev,
@@ -789,6 +793,7 @@ class LakehouseTable:
                 dv_files=prev.dv_files + dv_added,
                 txn=dict(prev.txn),
                 cdc_files=cdc_added,
+                table_schema=prev.table_schema,
                 column_mapping=dict(prev.column_mapping),
             )
             commit = mf.append_commit_rebase(self.path, commit)
@@ -798,7 +803,7 @@ class LakehouseTable:
         cdc_added = []
         if affected:
             target = self._apply_dvs(
-                self._read_parquet(affected), prev
+                self._read_parquet(affected, prev), prev
             ).alias("t")
             kept = target.join(
                 F.broadcast(keys.alias("s")), cond, "left_anti"
@@ -825,6 +830,7 @@ class LakehouseTable:
             dv_files=list(prev.dv_files),
             txn=dict(prev.txn),
             cdc_files=cdc_added,
+            table_schema=prev.table_schema,
             column_mapping=dict(prev.column_mapping),
             **self._index_fields(new_files, carry_from=prev,
                                  carried=untouched),
@@ -852,6 +858,7 @@ class LakehouseTable:
             log_files=[],
             stats={"compacted_log_files": len(prev.log_files)},
             txn=dict(prev.txn),
+            table_schema=prev.table_schema,
             column_mapping=dict(prev.column_mapping),
             **self._index_fields(files),
         )
@@ -952,6 +959,7 @@ class LakehouseTable:
             log_files=[],
             stats=stats,
             txn=dict(prev.txn),
+            table_schema=prev.table_schema,
             column_mapping=dict(prev.column_mapping),
             **self._index_fields(files),
         )
@@ -989,7 +997,7 @@ class LakehouseTable:
         commit_time = mf.make_commit_time()
         range_cols = ([self.partition_by] if self.partition_by else []) + phys
         df = (
-            self._apply_dvs(self._read_parquet(stale), prev)
+            self._apply_dvs(self._read_parquet(stale, prev), prev)
             .drop("_hoodie_file_name")
             .repartitionByRange(target_files or 1, *[F.col(c) for c in range_cols])
             .sortWithinPartitions(*range_cols)
@@ -1012,6 +1020,7 @@ class LakehouseTable:
             # files just became inert (their file left the live set)
             dv_files=list(prev.dv_files),
             txn=dict(prev.txn),
+            table_schema=prev.table_schema,
             column_mapping=dict(prev.column_mapping),
             **self._index_fields(new_files, carry_from=prev, carried=carried),
         )
@@ -1111,6 +1120,7 @@ class LakehouseTable:
             # writer watermarks never rewind: carry the LATEST txn map,
             # not the restore target's (stream progress is not data)
             txn=dict(prev.txn),
+            table_schema=target.table_schema,
             # schema follows the restored version (Delta RESTORE
             # restores data AND schema): take the TARGET's mapping
             column_mapping=dict(target.column_mapping),
@@ -1336,7 +1346,7 @@ class LakehouseTable:
         if self.table_type == MERGE_ON_READ and commit.log_files:
             pruned = mf.Commit(**{**commit.__dict__, "files": keep})
             base = self._read_base(pruned)
-            log = self._read_parquet(commit.log_files)
+            log = self._read_parquet(commit.log_files, commit)
             df = base.unionByName(log, allowMissingColumns=True)
             order = [F.desc("_hoodie_commit_time")]
             if self.precombine:
@@ -1349,7 +1359,7 @@ class LakehouseTable:
                 .drop("__rn")
             )
         elif keep:
-            df = self._apply_dvs(self._read_parquet(keep), commit)
+            df = self._apply_dvs(self._read_parquet(keep, commit), commit)
         else:
             return self._logical(
                 self._read_base(commit).limit(0).filter(F.lit(False)),
@@ -1458,9 +1468,98 @@ class LakehouseTable:
         )
         return urllib.parse.unquote(parts.get("__pp", ""))
 
-    def _read_parquet(self, rel_files: list[str]) -> DataFrame:
+    #: allowed type widenings (Delta ``typeWidening`` lattice, the
+    #: subset parquet scans can upcast natively): integer chain,
+    #: float->double, integers->double.
+    _WIDEN = {
+        ("tinyint", "smallint"), ("tinyint", "int"), ("tinyint", "bigint"),
+        ("smallint", "int"), ("smallint", "bigint"), ("int", "bigint"),
+        ("float", "double"),
+        ("tinyint", "double"), ("smallint", "double"), ("int", "double"),
+    }
+
+    def _reconcile_schema(self, source: DataFrame, prev: mf.Commit):
+        """Type-widening schema evolution (Delta ``typeWidening``):
+        reconcile the incoming batch's types with the table's.
+
+        * source column WIDER than the table's (e.g. bigint vs int):
+          the table schema widens — a METADATA-only change recorded in
+          the commit's ``table_schema``; legacy narrow files are
+          upcast at scan time, zero files rewritten.
+        * source column NARROWER: the batch upcasts on write (the
+          normal case — new data fits the table type).
+        * anything else mismatched: refused loudly; silent coercion
+          between e.g. string and int is how tables rot.
+
+        Returns (possibly-cast source, table_schema JSON for the new
+        commit). Until a widening occurs the JSON stays empty and reads
+        keep footer inference — widening is an opt-in table feature
+        activated by the first widening batch, exactly Delta's model.
+        """
+        cur = self._commit_schema(prev)
+        if cur is None:
+            if not prev.files and not prev.log_files:
+                return source, prev.table_schema
+            cur = self.spark.read.option("mergeSchema", "true").parquet(
+                *[os.path.join(self.path, f)
+                  for f in prev.files + prev.log_files]
+            ).schema
+        fields = {f.name: f.dataType for f in cur.fields}
+        widened = False
+        for f in source.schema.fields:
+            have = fields.get(f.name)
+            if have is None:
+                fields[f.name] = f.dataType  # additive evolution
+            elif have != f.dataType:
+                pair = (have.simpleString(), f.dataType.simpleString())
+                if pair in self._WIDEN:
+                    fields[f.name] = f.dataType
+                    widened = True
+                elif (pair[1], pair[0]) in self._WIDEN:
+                    source = source.withColumn(
+                        f.name, F.col(f.name).cast(have)
+                    )
+                else:
+                    raise ValueError(
+                        f"incompatible type for column {f.name!r}: table "
+                        f"has {have.simpleString()}, batch has "
+                        f"{f.dataType.simpleString()} (not a supported "
+                        f"widening)"
+                    )
+        if not widened and not prev.table_schema:
+            return source, ""  # feature not activated: keep inference
+        from pyspark.sql.types import StructField, StructType
+
+        out = StructType(
+            [StructField(n, t, True) for n, t in fields.items()]
+        )
+        return source, json.dumps(out.jsonValue())
+
+    def _commit_schema(self, commit: mf.Commit | None):
+        """The explicit read schema a commit carries once type widening
+        activated (``table_schema``), else None (infer + mergeSchema)."""
+        if commit is None or not commit.table_schema:
+            return None
+        from pyspark.sql.types import StructType
+
+        return StructType.fromJson(json.loads(commit.table_schema))
+
+    def _read_parquet(
+        self, rel_files: list[str], commit: mf.Commit | None = None
+    ) -> DataFrame:
         paths = [os.path.join(self.path, f) for f in rel_files]
-        # mergeSchema: files may span commits with evolved schemas
+        schema = self._commit_schema(commit)
+        if schema is not None:
+            # type-widened table: declare the current schema so legacy
+            # narrow files (int32/float) upcast at scan time — exactly
+            # how Delta reads under the typeWidening feature. mergeSchema
+            # would refuse to merge int with bigint.
+            df = self.spark.read.schema(schema).parquet(*paths)
+            return df.withColumn(
+                "_hoodie_file_name", F.col("_metadata.file_name")
+            )
+        # mergeSchema: files may span commits with (additively) evolved
+        # schemas
         df = self.spark.read.option("mergeSchema", "true").parquet(*paths)
         # _hoodie_file_name from the scan's native _metadata column, NOT
         # input_file_name(): the latter is non-deterministic, and a
@@ -1586,7 +1685,7 @@ class LakehouseTable:
         )
 
     def _read_base(self, commit: mf.Commit) -> DataFrame:
-        return self._apply_dvs(self._read_parquet(commit.files), commit)
+        return self._apply_dvs(self._read_parquet(commit.files, commit), commit)
 
     def _split_affected(
         self, files: list[str], source: DataFrame

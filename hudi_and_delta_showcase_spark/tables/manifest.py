@@ -89,6 +89,14 @@ class Commit:
     #: landed, checkpoint didn't) sees its own watermark IN the same
     #: atomic record and skips — exactly-once at the commit level.
     txn: dict = field(default_factory=dict)
+    #: the table's current PHYSICAL read schema as StructType JSON —
+    #: set once a type-widening schema evolution occurs (Delta's
+    #: ``typeWidening`` table feature). Empty = infer from file footers
+    #: (mergeSchema), the pre-widening behavior. Reads under a set
+    #: schema upcast narrow legacy files (int->bigint, float->double)
+    #: at scan time; time travel to a pre-widening version reads the
+    #: narrow schema recorded (or inferred) for that version.
+    table_schema: str = ""
     #: column mapping (Delta ``delta.columnMapping.mode=name``):
     #: physical (on-disk) column name -> current logical name, only
     #: where they differ. RENAME COLUMN is a metadata-only commit that
@@ -155,6 +163,14 @@ def _commit_delta(parent: Commit, commit: Commit) -> dict:
         "commit_time": commit.commit_time,
         "stats": commit.stats,
         "cdc_files": commit.cdc_files,
+        # schema is cumulative state: record it only when THIS commit
+        # changed it, so a rebase inherits a winner's widening instead
+        # of silently regressing it
+        "table_schema_set": (
+            commit.table_schema
+            if commit.table_schema != parent.table_schema
+            else None
+        ),
     }
     for name in _LIST_FIELDS:
         old, new = getattr(parent, name), getattr(commit, name)
@@ -177,6 +193,10 @@ def _apply_delta(parent: Commit, rec: dict) -> Commit:
         "stats": rec.get("stats", {}),
         "cdc_files": list(rec.get("cdc_files", [])),
     }
+    schema_set = rec.get("table_schema_set")
+    kwargs["table_schema"] = (
+        schema_set if schema_set is not None else parent.table_schema
+    )
     for name in _LIST_FIELDS:
         remove = set(rec.get(f"{name}_remove", ()))
         kept = [f for f in getattr(parent, name) if f not in remove]
@@ -313,6 +333,11 @@ def _check_rebase(ours: dict, theirs: dict, winner_actions: list[str]) -> None:
         raise ConcurrentWriteConflict(
             f"concurrent transactions for writer app(s) {sorted(dup_apps)}"
         )
+    # schema/schema: both transactions changed the table schema
+    if ours.get("table_schema_set") is not None and theirs.get(
+        "table_schema_set"
+    ) is not None:
+        raise ConcurrentWriteConflict("concurrent schema changes")
     # rename/rename (metadata-metadata)
     if (ours["column_mapping_set"] or ours["column_mapping_unset"]) and (
         theirs["column_mapping_set"] or theirs["column_mapping_unset"]

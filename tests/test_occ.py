@@ -171,3 +171,31 @@ def test_table_level_race_same_partition_conflicts(
     # the failed writer left no commit: winner's state is intact
     t = LakehouseTable(spark, str(tmp_path / "t"))
     assert {r.k: r.v for r in t.read().select("k", "v").collect()}[1] == 99
+
+
+def test_rebase_inherits_winner_schema_widening(tmp_path):
+    """A winner's type-widening must survive a loser's rebase: the
+    loser (which never touched the schema) inherits the widened schema
+    instead of silently regressing it to its base snapshot's."""
+    p = str(tmp_path / "t")
+    mf.append_commit(p, _mk(0, [P_A], action="insert"))
+    mf.append_commit(
+        p, _mk(1, [P_A, P_B], action="insert", table_schema="WIDE")
+    )
+    rebased = mf.append_commit_rebase(
+        p, _mk(1, [P_A, P_B2], action="insert")
+    )
+    assert rebased.table_schema == "WIDE"
+    assert mf.read_commit(p, 2).table_schema == "WIDE"
+
+
+def test_concurrent_schema_changes_conflict(tmp_path):
+    p = str(tmp_path / "t")
+    mf.append_commit(p, _mk(0, [P_A], action="insert"))
+    mf.append_commit(
+        p, _mk(1, [P_A, P_B], action="insert", table_schema="WIDE-A")
+    )
+    with pytest.raises(mf.ConcurrentWriteConflict, match="schema"):
+        mf.append_commit_rebase(
+            p, _mk(1, [P_A, P_B2], action="insert", table_schema="WIDE-B")
+        )
