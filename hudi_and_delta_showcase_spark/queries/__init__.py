@@ -43,6 +43,8 @@ PRIORITY: tuple[str, ...] = (
     # promoted in r4 so the protocol flagships earn driver rows
     "delta_log_roundtrip",
     "hoodie_timeline_roundtrip",
+    # r4: liquid-style incremental clustering
+    "cdc_liquid_clustering",
     # -- relational core (J1, A1/A2, TPC-H shapes) ------------------------
     "latest_change_per_key",
     "q1_pricing_summary",
@@ -80,8 +82,8 @@ PRIORITY: tuple[str, ...] = (
     "similarity_topk_bruteforce",
     "similarity_lsh_containment",
     "similarity_ivf_containment",
-    # -- text analysis ----------------------------------------------------
-    "text_quality_scores",
+    # -- text analysis (quality scoring also runs inside
+    # pipeline_corpus_curation's driver row) ------------------------------
     "text_tfidf_top_terms",
     # r4: n-gram train/eval decontamination (LLM-pipeline hygiene pass)
     "text_decontaminate",
@@ -102,6 +104,7 @@ PRIORITY: tuple[str, ...] = (
     # flagships above, then sketch_percentile_gate for the deletion-vector
     # row — all stay registered and FULL_LOCAL-checked)
     "sketch_percentile_gate",
+    "text_quality_scores",
     "cdc_hard_delete_state",
     "join_range_theta",
     "text_winnowing_fp",
@@ -129,8 +132,6 @@ PRIORITY: tuple[str, ...] = (
     "cdc_bloom_skipping_upsert",
     "cdc_restore_version",
     "cdc_zorder_skipping_read",
-    # r4: liquid-style incremental clustering
-    "cdc_liquid_clustering",
     "q3_shipping_priority",
     # r4: widened TPC-H battery (Q6/Q12/Q14/Q18/Q19 shapes)
     "q6_forecast_revenue",
