@@ -130,6 +130,8 @@ PRIORITY: tuple[str, ...] = (
     "cdc_gdpr_purge",
     "cdc_stats_skipping_read",
     "cdc_bloom_skipping_upsert",
+    # r4: record-level index (exact key->file tier)
+    "cdc_record_index_lookup",
     "cdc_restore_version",
     "cdc_zorder_skipping_read",
     "q3_shipping_priority",

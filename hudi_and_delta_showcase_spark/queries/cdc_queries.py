@@ -1119,3 +1119,53 @@ def cdc_type_widening(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("schema_widened", F.lit(schema_widened))
         .withColumn("no_rewrite", F.lit(bool(no_rewrite)))
     )
+
+
+@query(
+    "cdc_record_index_lookup",
+    oracle="""
+    SELECT event_id, CAST(-event_id AS DOUBLE) AS value,
+           TRUE AS upsert_pruned, TRUE AS lookup_pruned
+    FROM events WHERE event_id IN (11, 21, 31)
+    """,
+    tags=("cdc", "table", "index"),
+)
+def cdc_record_index_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Record-level index (Hudi 1.0 record index): an exact key->file
+    mapping maintained O(new rows) per commit, probed on the shape
+    neither range nor bloom tiers serve perfectly — an UNCLUSTERED
+    hash-distributed table where every file spans the whole key range.
+    The 3-key upsert rewrites ONLY the files the index names
+    (``upsert_pruned``), and the subsequent point lookup scans a strict
+    subset of files (``lookup_pruned``), both folded into the oracle
+    row. (AQE coalescing suspended for the create, as in the bloom
+    row, to preserve the multi-file shape under test.)"""
+    events = load_table(spark, sf_dir, "events").select(*_FINAL_COLS)
+    path = tempfile.mkdtemp(prefix="riskip_") + "/events_tbl"
+    conf_key = "spark.sql.adaptive.coalescePartitions.enabled"
+    old = spark.conf.get(conf_key)
+    spark.conf.set(conf_key, "false")
+    try:
+        t = LakehouseTable.create(
+            spark, path, events.repartition(8),
+            key_cols=["event_id"], precombine="ts", record_index=True,
+        )
+    finally:
+        spark.conf.set(conf_key, old)
+    src = (
+        events.filter(F.col("event_id").isin(11, 21, 31))
+        .withColumn("value", (-F.col("event_id")).cast("double"))
+        .withColumn("ts", F.col("ts") + F.expr("INTERVAL 1 DAY"))
+    )
+    commit = t.upsert(src)
+    upsert_pruned = (
+        commit.stats["record_index_skipped_files"] > 0
+        and commit.stats["rewritten_files"] <= 3
+    )
+    out = t.read_for_keys([11, 21, 31])
+    lookup_pruned = 0 < len(out.inputFiles()) <= 3 < len(commit.files)
+    return (
+        out.select("event_id", "value")
+        .withColumn("upsert_pruned", F.lit(bool(upsert_pruned)))
+        .withColumn("lookup_pruned", F.lit(bool(lookup_pruned)))
+    )

@@ -79,6 +79,7 @@ class LakehouseTable:
         self.global_index: bool = meta.get("global_index", False)
         self.bloom_index: bool = meta.get("bloom_index", False)
         self.deletion_vectors: bool = meta.get("deletion_vectors", False)
+        self.record_index: bool = meta.get("record_index", False)
         self.constraints: dict[str, str] = meta.get("constraints", {})
 
     # ------------------------------------------------------------------ #
@@ -101,6 +102,7 @@ class LakehouseTable:
         global_index: bool = False,
         bloom_index: bool = False,
         deletion_vectors: bool = False,
+        record_index: bool = False,
         constraints: dict[str, str] | None = None,
     ) -> "LakehouseTable":
         """C1 bulk insert: write batch as version 0, stamp meta columns
@@ -179,6 +181,7 @@ class LakehouseTable:
                     "global_index": global_index,
                     "bloom_index": bloom_index,
                     "deletion_vectors": deletion_vectors,
+                    "record_index": record_index,
                     "constraints": constraints or {},
                 },
                 fh,
@@ -210,6 +213,7 @@ class LakehouseTable:
                 log_files=[],
                 stats={"written_files": len(files)},
                 cdc_files=cdc_added,
+                ri_files=table._write_record_index(files, 0),
                 **table._index_fields(files),
             ),
         )
@@ -308,11 +312,27 @@ class LakehouseTable:
             return self.read_rt(version).filter(
                 F.col("_hoodie_record_key").isin(*sorted(rks))
             )
-        candidates = []
-        for f in commit.files:
-            rng = commit.key_ranges.get(f)
-            if rng is None or any(rng[0] <= rk <= rng[1] for rk in rks):
-                candidates.append(f)
+        if self.record_index and commit.ri_files:
+            # record-index tier: the index names the files holding the
+            # keys EXACTLY — a k-key lookup reads O(k) files out of
+            # millions even on unclustered tables where every range
+            # overlaps (the shape the range tier below cannot prune)
+            live = set(commit.files)
+            hit = {
+                r.file
+                for r in self._ri_scan(commit)
+                .filter(F.col("_hoodie_record_key").isin(*sorted(rks)))
+                .select("file")
+                .distinct()
+                .collect()
+            }
+            candidates = sorted(hit & live)
+        else:
+            candidates = []
+            for f in commit.files:
+                rng = commit.key_ranges.get(f)
+                if rng is None or any(rng[0] <= rk <= rng[1] for rk in rks):
+                    candidates.append(f)
         # bloom tier for point lookups: on unclustered tables the ranges
         # above keep nearly every file; the per-file blooms cut the scan
         # to the files that can actually hold one of the keys
@@ -412,6 +432,7 @@ class LakehouseTable:
             key_blooms=dict(prev.key_blooms),
             dv_files=list(prev.dv_files),
             txn=dict(prev.txn),
+            ri_files=list(prev.ri_files),
             table_schema=prev.table_schema,
             column_mapping=mapping,
         )
@@ -527,6 +548,7 @@ class LakehouseTable:
                 key_blooms=prev.key_blooms,
                 dv_files=list(prev.dv_files),
                 txn=new_txn,
+                ri_files=list(prev.ri_files),
                 table_schema=table_schema,
                 column_mapping=dict(prev.column_mapping),
             )
@@ -543,6 +565,14 @@ class LakehouseTable:
         # footer key range intersects the batch. At 100 TB this is the
         # difference between rewriting a partition and rewriting the
         # handful of file groups the keys actually live in.
+        ri_skipped: list[str] = []
+        if self.record_index:
+            # exact tier: the record index names the files holding the
+            # batch's keys — no range/bloom false positives
+            affected, ri_skipped = self._probe_ri_hits(
+                affected, prev, stamped
+            )
+            untouched = untouched + ri_skipped
         affected, range_skipped = self._probe_key_hits(
             affected, prev.key_ranges, stamped
         )
@@ -633,8 +663,11 @@ class LakehouseTable:
                 "carried_over_files": len(untouched),
                 "key_range_skipped_files": len(range_skipped),
                 "bloom_skipped_files": len(bloom_skipped),
+                "record_index_skipped_files": len(ri_skipped),
                 "written_files": len(new_files),
             },
+            ri_files=prev.ri_files
+            + self._write_record_index(new_files, version),
             # DV entries for untouched files stay live; entries naming
             # rewritten files are inert (the file left the live set)
             dv_files=list(prev.dv_files),
@@ -793,6 +826,7 @@ class LakehouseTable:
                 dv_files=prev.dv_files + dv_added,
                 txn=dict(prev.txn),
                 cdc_files=cdc_added,
+                ri_files=list(prev.ri_files),
                 table_schema=prev.table_schema,
                 column_mapping=dict(prev.column_mapping),
             )
@@ -830,6 +864,8 @@ class LakehouseTable:
             dv_files=list(prev.dv_files),
             txn=dict(prev.txn),
             cdc_files=cdc_added,
+            ri_files=prev.ri_files
+            + self._write_record_index(new_files, version),
             table_schema=prev.table_schema,
             column_mapping=dict(prev.column_mapping),
             **self._index_fields(new_files, carry_from=prev,
@@ -858,6 +894,7 @@ class LakehouseTable:
             log_files=[],
             stats={"compacted_log_files": len(prev.log_files)},
             txn=dict(prev.txn),
+            ri_files=self._write_record_index(files, version),
             table_schema=prev.table_schema,
             column_mapping=dict(prev.column_mapping),
             **self._index_fields(files),
@@ -959,6 +996,7 @@ class LakehouseTable:
             log_files=[],
             stats=stats,
             txn=dict(prev.txn),
+            ri_files=self._write_record_index(files, version),
             table_schema=prev.table_schema,
             column_mapping=dict(prev.column_mapping),
             **self._index_fields(files),
@@ -1020,6 +1058,8 @@ class LakehouseTable:
             # files just became inert (their file left the live set)
             dv_files=list(prev.dv_files),
             txn=dict(prev.txn),
+            ri_files=prev.ri_files
+            + self._write_record_index(new_files, version),
             table_schema=prev.table_schema,
             column_mapping=dict(prev.column_mapping),
             **self._index_fields(new_files, carry_from=prev, carried=carried),
@@ -1070,8 +1110,9 @@ class LakehouseTable:
             keep.update(c.log_files)
             keep.update(c.cdc_files)
             keep.update(c.dv_files)
+            keep.update(c.ri_files)
         removed = 0
-        for sub in ("data", "log", "cdc", "dv"):
+        for sub in ("data", "log", "cdc", "dv", "_index"):
             root = os.path.join(self.path, sub)
             for dirpath, _dirnames, filenames in os.walk(root):
                 for fn in filenames:
@@ -1120,6 +1161,7 @@ class LakehouseTable:
             # writer watermarks never rewind: carry the LATEST txn map,
             # not the restore target's (stream progress is not data)
             txn=dict(prev.txn),
+            ri_files=list(target.ri_files),
             table_schema=target.table_schema,
             # schema follows the restored version (Delta RESTORE
             # restores data AND schema): take the TARGET's mapping
@@ -1370,6 +1412,76 @@ class LakehouseTable:
         if hi is not None:
             df = df.filter(F.col(col) <= hi)
         return self._logical(df, commit)
+
+    def _write_record_index(
+        self, new_files: list[str], version: int
+    ) -> list[str]:
+        """Record-level index maintenance (Hudi 1.0 record index): one
+        extra scan of the just-written files emits skinny
+        ``(_hoodie_record_key, file)`` rows — O(new rows) per commit,
+        the same opt-in economics as the bloom tier. Entries for files
+        that later die are filtered against the live set at probe time;
+        full-rewrite commits reset the sidecar list."""
+        if not self.record_index or not new_files:
+            return []
+        scan = self.spark.read.parquet(
+            *[os.path.join(self.path, f) for f in new_files]
+        ).select(
+            F.col("_hoodie_record_key"), self._dv_file_col().alias("file")
+        )
+        rel_dir = os.path.join(
+            "_index", f"ri-c{version:05d}-{uuid.uuid4().hex[:8]}"
+        )
+        scan.write.parquet(os.path.join(self.path, rel_dir))
+        out = []
+        for dirpath, _dn, filenames in os.walk(
+            os.path.join(self.path, rel_dir)
+        ):
+            for fn in filenames:
+                if fn.endswith(".parquet"):
+                    out.append(
+                        os.path.relpath(
+                            os.path.join(dirpath, fn), self.path
+                        )
+                    )
+        return sorted(out)
+
+    def _ri_scan(self, commit: mf.Commit) -> DataFrame:
+        return self.spark.read.parquet(
+            *[os.path.join(self.path, f) for f in commit.ri_files]
+        )
+
+    def _probe_ri_hits(
+        self,
+        affected: list[str],
+        prev: mf.Commit,
+        stamped: DataFrame,
+    ) -> tuple[list[str], list[str]]:
+        """Exact key->file probe via the record index: scan the skinny
+        index sidecar, broadcast the batch's distinct keys into it, and
+        keep only affected files that actually hold a batch key. The
+        scan is O(index), the broadcast O(batch), the collected hit
+        list O(batch keys x replication) — never O(table data). Unlike
+        the range/bloom tiers this has no false positives from
+        overlapping ranges, so it prunes even unclustered tables."""
+        if len(affected) <= 1 or not prev.ri_files:
+            return affected, []
+        keys = stamped.select(
+            F.col("_hoodie_record_key").alias("__k")
+        ).distinct()
+        hits = {
+            r.file
+            for r in self._ri_scan(prev)
+            .join(
+                F.broadcast(keys),
+                F.col("_hoodie_record_key") == F.col("__k"),
+            )
+            .select("file")
+            .distinct()
+            .collect()
+        }
+        hit = [f for f in affected if f in hits]
+        return hit, [f for f in affected if f not in hits]
 
     def _probe_key_hits(
         self,

@@ -89,6 +89,14 @@ class Commit:
     #: landed, checkpoint didn't) sees its own watermark IN the same
     #: atomic record and skips — exactly-once at the commit level.
     txn: dict = field(default_factory=dict)
+    #: record-level-index sidecar parquet files (Hudi 1.0 record index
+    #: in the metadata table): rows ``(_hoodie_record_key, file)`` for
+    #: every base file written since the last full rewrite, cumulative.
+    #: Entries naming dead files are filtered against the live-file set
+    #: at resolution time; full-rewrite commits (compact, full optimize)
+    #: reset the list to their own output's index. Only present on
+    #: tables created with ``record_index=True``.
+    ri_files: list[str] = field(default_factory=list)
     #: the table's current PHYSICAL read schema as StructType JSON —
     #: set once a type-widening schema evolution occurs (Delta's
     #: ``typeWidening`` table feature). Empty = infer from file footers
@@ -135,7 +143,7 @@ CHECKPOINT_INTERVAL = 10
 #: list-valued Commit fields delta-encoded as <name>_add / <name>_remove.
 #: ``cdc_files`` is NOT here: it is per-commit (this commit's change
 #: files), not cumulative state, so deltas carry it verbatim.
-_LIST_FIELDS = ("files", "log_files", "dv_files")
+_LIST_FIELDS = ("files", "log_files", "dv_files", "ri_files")
 #: dict-valued Commit fields delta-encoded as <name>_set / <name>_unset.
 _DICT_FIELDS = ("key_ranges", "col_stats", "key_blooms", "txn", "column_mapping")
 
