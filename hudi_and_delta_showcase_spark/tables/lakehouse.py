@@ -1097,12 +1097,51 @@ class LakehouseTable:
                 zsum = zsum + F.shiftleft(bit, i * len(cols) + j)
         return zsum
 
+    def _savepoints_path(self) -> str:
+        return os.path.join(self.path, "_savepoints.json")
+
+    def savepoints(self) -> dict[int, str]:
+        """version -> label of every live savepoint."""
+        try:
+            with open(self._savepoints_path()) as fh:
+                return {int(k): v for k, v in json.load(fh).items()}
+        except FileNotFoundError:
+            return {}
+
+    def savepoint(self, version: int | None = None, label: str = "") -> int:
+        """Hudi savepoint: pin a version so VACUUM never collects the
+        files it references — the restore point that survives retention.
+        Metadata-only (a JSON entry); ``restore`` to a savepointed
+        version is then guaranteed to succeed regardless of vacuum
+        history. ``delete_savepoint`` releases the pin."""
+        if version is None:
+            version = self._commit(None).version
+        if version not in mf.list_versions(self.path):
+            raise ValueError(f"no such version: {version}")
+        sp = self.savepoints()
+        sp[version] = label
+        tmp = self._savepoints_path() + ".tmp"
+        with open(tmp, "w") as fh:
+            json.dump({str(k): v for k, v in sp.items()}, fh)
+        os.replace(tmp, self._savepoints_path())
+        return version
+
+    def delete_savepoint(self, version: int) -> None:
+        sp = self.savepoints()
+        sp.pop(version, None)
+        tmp = self._savepoints_path() + ".tmp"
+        with open(tmp, "w") as fh:
+            json.dump({str(k): v for k, v in sp.items()}, fh)
+        os.replace(tmp, self._savepoints_path())
+
     def vacuum(self, retain_versions: int = 1) -> dict:
         """D7 VACUUM: physically delete data files not referenced by the
         newest ``retain_versions`` commits (README.md:1240: old files
-        remain until vacuum)."""
+        remain until vacuum) — nor by any SAVEPOINTED version (Hudi
+        savepoint semantics: pinned versions survive retention)."""
         versions = mf.list_versions(self.path)
         retained = versions[-max(1, retain_versions):]
+        retained = sorted(set(retained) | set(self.savepoints()))
         keep: set[str] = set()
         for v in retained:
             c = mf.read_commit(self.path, v)

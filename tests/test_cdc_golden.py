@@ -528,3 +528,34 @@ def test_read_where_data_skipping(spark, sf_dir, tmp_path):
         for r in m.read_where("user_id", lo=2, hi=2).collect()
     }
     assert got[first.event_id] == -9.0
+
+
+def test_savepoint_survives_vacuum_and_restores(spark, tmp_path):
+    """Hudi savepoint: a pinned version's files survive VACUUM retention
+    and RESTORE to it succeeds; without the pin the same restore raises;
+    releasing the pin re-exposes the files to vacuum."""
+    from hudi_and_delta_showcase_spark.tables.lakehouse import LakehouseTable
+
+    df = spark.createDataFrame([(1, 10, 1), (2, 20, 1)], "k int, v int, sq int")
+    t = LakehouseTable.create(
+        spark, str(tmp_path / "t"), df, key_cols=["k"], precombine="sq"
+    )
+    t.savepoint(0, label="pre-upsert")
+    t.upsert(spark.createDataFrame([(1, 11, 2)], "k int, v int, sq int"))
+    t.upsert(spark.createDataFrame([(2, 22, 3)], "k int, v int, sq int"))
+    t.vacuum(retain_versions=1)
+    # v0's files survived the pin -> restore works
+    t.restore(0)
+    assert {r.v for r in t.read().select("v").collect()} == {10, 20}
+    # v1 was NOT savepointed and its unique files were vacuumed
+    import pytest as _pytest
+
+    with _pytest.raises(RuntimeError, match="vacuumed"):
+        t.restore(1)
+    assert t.savepoints() == {0: "pre-upsert"}
+    # releasing the pin exposes v0's files to the next vacuum
+    t.delete_savepoint(0)
+    t.upsert(spark.createDataFrame([(9, 90, 9)], "k int, v int, sq int"))
+    t.vacuum(retain_versions=1)
+    with _pytest.raises(RuntimeError, match="vacuumed"):
+        t.restore(0)
