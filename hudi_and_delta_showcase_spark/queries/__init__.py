@@ -107,6 +107,7 @@ PRIORITY: tuple[str, ...] = (
     "text_quality_scores",
     "cdc_hard_delete_state",
     "join_range_theta",
+    "join_dynamic_partition_pruning",
     "text_winnowing_fp",
     "similarity_pq_containment",
     "join_bucketed_colocated",

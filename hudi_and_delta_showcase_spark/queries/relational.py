@@ -1891,3 +1891,50 @@ def join_bucketed_colocated(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark.sql(f"DROP TABLE IF EXISTS {bo}")
         spark.sql(f"DROP TABLE IF EXISTS {bc}")
     return spark.createDataFrame(rows, schema)
+
+
+@query(
+    "join_dynamic_partition_pruning",
+    oracle="""
+    SELECT e.event_type, COUNT(*) AS n_events,
+           CAST(SUM(CAST(e.value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value,
+           TRUE AS dpp_in_plan
+    FROM events e
+    WHERE e.event_type IN ('click', 'purchase')
+    GROUP BY e.event_type
+    ORDER BY e.event_type
+    """,
+    tags=("join", "scan", "partition"),
+)
+def join_dynamic_partition_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dynamic partition pruning: the events fact is laid out
+    hive-partitioned on event_type, then joined to a FILTERED tiny
+    dimension. Catalyst injects a runtime ``dynamicpruning`` subquery
+    into the fact scan, so only the dimension-selected partitions are
+    read — the feature that makes star joins on 100 TB partitioned
+    fact tables read O(selected partitions) instead of O(table). The
+    plan assertion is folded into the oracle row; results must equal
+    the equivalent static filter."""
+    import tempfile
+
+    events = load_table(spark, sf_dir, "events")
+    fact_path = tempfile.mkdtemp(prefix="dpp_") + "/events_part"
+    events.write.partitionBy("event_type").parquet(fact_path)
+    fact = spark.read.parquet(fact_path)
+    dim = spark.createDataFrame(
+        [("click", "web"), ("purchase", "web"), ("error", "ops")],
+        "event_type string, channel string",
+    ).filter(F.col("channel") == "web")
+    out = (
+        fact.join(dim, "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(_dec("value")).cast("double").alias("sum_value"),
+        )
+        .orderBy("event_type")
+    )
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    return out.withColumn(
+        "dpp_in_plan", F.lit("dynamicpruning" in plan.lower())
+    )

@@ -231,3 +231,26 @@ def test_merge_sql_routing_single_pruned_probe(spark, sf_dir, tmp_path):
         "WHEN MATCHED THEN UPDATE SET *"
     )
     assert spec.clauses[0].action == "update"
+
+
+def test_dynamic_partition_pruning_on_partitioned_table(spark, sf_dir, tmp_path):
+    """Dynamic partition pruning: joining a hive-partitioned fact to a
+    FILTERED dimension must inject a runtime `dynamicpruning` subquery
+    into the fact scan, so only the partitions the dim filter selects
+    are read — the Catalyst feature that makes star joins on 100 TB
+    partitioned tables read O(selected partitions)."""
+    import pyspark.sql.functions as F
+
+    from hudi_and_delta_showcase_spark.io import load_table
+
+    events = load_table(spark, sf_dir, "events")
+    fact_path = str(tmp_path / "events_part")
+    events.write.partitionBy("event_type").parquet(fact_path)
+    fact = spark.read.parquet(fact_path)
+    dim = spark.createDataFrame(
+        [("click", 1), ("view", 2)], "event_type string, dim_id int"
+    ).filter(F.col("dim_id") == 1)
+    out = fact.join(dim, "event_type")
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "dynamicpruning" in plan.lower()
+    assert out.count() == events.filter(F.col("event_type") == "click").count()
