@@ -50,14 +50,13 @@ PRIORITY: tuple[str, ...] = (
     "q1_pricing_summary",
     # -- join battery -----------------------------------------------------
     "join_semi",
-    "join_anti",
     "join_asof_events",
+    # -- ordering / set ops -----------------------------------------------
+    "topk_orders",
     # -- aggregate battery ------------------------------------------------
     "agg_distinct",
     # -- window battery ---------------------------------------------------
     "window_latest_per_key",
-    # -- ordering / set ops -----------------------------------------------
-    "topk_orders",
     # -- scalar functions (F1 unix_timestamp is an explicit §2 row) -------
     "scalar_unix_timestamp",
     # -- catalog DDL (D1-D6) ----------------------------------------------
@@ -65,6 +64,8 @@ PRIORITY: tuple[str, ...] = (
     "show_create_table",
     # r4: the reference's literal MERGE INTO statement as a SQL string
     "sql_merge_into",
+    # r4: the scenario's UPDATE/DELETE statements as direct lakehouse DML
+    "sql_update_delete",
     # -- structured streaming (§2.10) -------------------------------------
     "stream_cdc_apply_golden",
     "stream_tumbling_counts",
@@ -104,6 +105,7 @@ PRIORITY: tuple[str, ...] = (
     # flagships above, then sketch_percentile_gate for the deletion-vector
     # row — all stay registered and FULL_LOCAL-checked)
     "sketch_percentile_gate",
+    "join_anti",
     "text_quality_scores",
     "cdc_hard_delete_state",
     "join_range_theta",

@@ -1169,3 +1169,51 @@ def cdc_record_index_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("upsert_pruned", F.lit(bool(upsert_pruned)))
         .withColumn("lookup_pruned", F.lit(bool(lookup_pruned)))
     )
+
+
+@query(
+    "sql_update_delete",
+    oracle=f"""
+    SELECT user_id, event_id,
+           CASE WHEN event_type = 'error' THEN value * 2
+                ELSE value END AS value
+    FROM (
+      SELECT *, ROW_NUMBER() OVER (
+        PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+      FROM events
+    ) WHERE rn = 1 AND event_type <> 'signup'
+    """,
+    tags=("cdc", "sql", "dml"),
+)
+def sql_update_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference scenario's DML statements
+    (/root/reference/README.md:185-186 — ``update ... where``,
+    ``delete from ... where``) issued DIRECTLY against the lakehouse
+    table as SQL strings: UPDATE doubles the value of every live row
+    whose event_type is 'error'; DELETE removes the keys whose live row
+    is a 'signup'. The WHERE predicates push into the snapshot scan and
+    the writes reuse the key-pruned upsert/delete paths — a DML
+    touching k keys rewrites O(files holding k keys). Final state must
+    equal the window-SQL oracle over raw events."""
+    from hudi_and_delta_showcase_spark.tables.merge_sql import (
+        execute_delete,
+        execute_update,
+    )
+
+    events = load_table(spark, sf_dir, "events").select(*_FINAL_COLS)
+    path = tempfile.mkdtemp(prefix="sqldml_") + "/events_tbl"
+    t = LakehouseTable.create(
+        spark, path, events, key_cols=["user_id"], precombine="ts",
+        tiebreakers=["event_id"],
+    )
+    execute_update(
+        spark,
+        "UPDATE events_tbl SET value = value * 2 WHERE event_type = 'error'",
+        {"events_tbl": t},
+    )
+    execute_delete(
+        spark,
+        "DELETE FROM events_tbl WHERE event_type = 'signup'",
+        {"events_tbl": t},
+    )
+    return t.read().select("user_id", "event_id", "value")

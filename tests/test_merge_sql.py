@@ -152,3 +152,47 @@ def test_clause_order_first_wins(spark, tmp_path):
     assert (stats["updated"], stats["deleted"]) == (1, 0)
     row = t.read().filter("pk_id = 3").select("name").collect()[0]
     assert row.name == "dell-tomb"
+
+
+def test_sql_update_statement(spark, tmp_path):
+    from hudi_and_delta_showcase_spark.tables.merge_sql import execute_update
+
+    df = spark.createDataFrame(
+        [(1, "a", 10, 1), (2, "b", 20, 1), (3, "c", 30, 1)],
+        "pk_id int, name string, value int, sq int",
+    )
+    t = LakehouseTable.create(
+        spark, str(tmp_path / "t"), df, key_cols=["pk_id"], precombine="sq"
+    )
+    res = execute_update(
+        spark, "UPDATE t SET value = 201 WHERE pk_id = 2", {"t": t}
+    )
+    assert res["updated"] == 1 and len(res["commits"]) == 1
+    assert {r.pk_id: r.value for r in t.read().collect()} == {
+        1: 10, 2: 201, 3: 30
+    }
+    # multi-assignment + expression over existing columns
+    execute_update(
+        spark,
+        "UPDATE t SET value = value + 1, name = upper(name) WHERE pk_id < 3",
+        {"t": t},
+    )
+    rows = {r.pk_id: (r.name, r.value) for r in t.read().collect()}
+    assert rows == {1: ("A", 11), 2: ("B", 202), 3: ("c", 30)}
+
+
+def test_sql_delete_statement(spark, tmp_path):
+    from hudi_and_delta_showcase_spark.tables.merge_sql import execute_delete
+
+    df = spark.createDataFrame(
+        [(1, 10, 1), (2, 20, 1), (3, 30, 1)], "pk_id int, value int, sq int"
+    )
+    t = LakehouseTable.create(
+        spark, str(tmp_path / "t"), df, key_cols=["pk_id"], precombine="sq"
+    )
+    res = execute_delete(spark, "DELETE FROM t WHERE pk_id = 3", {"t": t})
+    assert res["deleted"] == 1
+    assert sorted(r.pk_id for r in t.read().collect()) == [1, 2]
+    # no-match delete is a no-op with no commit
+    res = execute_delete(spark, "DELETE FROM t WHERE pk_id = 99", {"t": t})
+    assert res == {"deleted": 0, "commits": []}
