@@ -277,3 +277,57 @@ def vocab_topk(df: DataFrame, text_col: str, k: int) -> DataFrame:
         )
         .select("token", "cnt", "rank", "coverage")
     )
+
+
+def lm_cross_entropy(
+    df: DataFrame, id_col: str, text_col: str, k: float = 0.5
+) -> DataFrame:
+    """CCNet-style language-model quality scoring: train an add-k
+    smoothed UNIGRAM LM on the corpus itself, then score every document
+    by average token cross-entropy -mean(ln p(w)) — the
+    perplexity-proxy filter that ranks fluent text low and gibberish
+    high, without any external model artifact.
+
+    Scale: token counts are one partially-aggregated shuffle; the LM
+    (token -> count) joins back to the exploded corpus on the token key
+    (shuffle join — at web scale the vocabulary is itself large, so no
+    broadcast assumption); the per-document aggregate is one more
+    shuffle on doc_id. Cross-engine determinism: each token's cost is
+    rounded to DECIMAL(18,6) BEFORE the per-doc sum, so the aggregate
+    is order-independent and oracle-exact (a raw double sum would hash
+    differently between engines).
+    """
+    toks = df.select(
+        F.col(id_col),
+        F.explode(
+            F.filter(
+                F.split(F.lower(F.col(text_col)), " "), lambda x: x != ""
+            )
+        ).alias("token"),
+    )
+    counts = toks.groupBy("token").agg(F.count(F.lit(1)).alias("cnt"))
+    totals = counts.agg(
+        F.sum("cnt").alias("__n"), F.count(F.lit(1)).alias("__v")
+    )
+    scored = (
+        toks.join(counts, "token")
+        .join(F.broadcast(totals))
+        .withColumn(
+            "__cost",
+            (
+                -F.log(
+                    (F.col("cnt") + F.lit(float(k)))
+                    / (F.col("__n") + F.lit(float(k)) * F.col("__v"))
+                )
+            ).cast("decimal(18,6)"),
+        )
+    )
+    return (
+        scored.groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.round(
+                F.sum("__cost").cast("double") / F.count(F.lit(1)), 6
+            ).alias("avg_cross_entropy"),
+        )
+    )

@@ -126,6 +126,7 @@ PRIORITY: tuple[str, ...] = (
     # r4: temperature-based language rebalancing + vocab build
     "sample_temperature_mix",
     "text_vocab_topk",
+    "text_lm_cross_entropy",
     "cdc_soft_delete_state",
     "cdc_schema_evolution",
     "cdc_medallion_sync",

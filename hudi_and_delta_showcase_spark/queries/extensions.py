@@ -1524,3 +1524,34 @@ def text_vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     result only, with the corpus total broadcast in."""
     docs = load_table(spark, sf_dir, "documents")
     return T.vocab_topk(docs, "text", k=40)
+
+
+@query(
+    "text_lm_cross_entropy",
+    oracle=f"""
+    WITH {_TOKS_CTE},
+    terms AS (SELECT doc_id, UNNEST(w) AS token FROM toks),
+    counts AS (SELECT token, COUNT(*) AS cnt FROM terms GROUP BY token),
+    totals AS (SELECT SUM(cnt) AS n, COUNT(*) AS v FROM counts),
+    scored AS (
+      SELECT t.doc_id,
+             CAST(-ln((c.cnt + 0.5) / (tt.n + 0.5 * tt.v))
+                  AS DECIMAL(18,6)) AS cost
+      FROM terms t JOIN counts c ON t.token = c.token CROSS JOIN totals tt
+    )
+    SELECT doc_id, COUNT(*) AS n_tokens,
+           ROUND(CAST(SUM(cost) AS DOUBLE) / COUNT(*), 6)
+             AS avg_cross_entropy
+    FROM scored GROUP BY doc_id
+    """,
+    tags=("text", "quality"),
+)
+def text_lm_cross_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perplexity-proxy quality filter (CCNet): every document scored by
+    average token cross-entropy under an add-k smoothed unigram LM
+    trained on the corpus itself — rare-token-heavy documents rank
+    high-cost, fluent ones low. Per-token costs round to decimal BEFORE
+    the per-doc sum so the score is summation-order independent and
+    oracle-exact."""
+    docs = load_table(spark, sf_dir, "documents")
+    return T.lm_cross_entropy(docs, "doc_id", "text", k=0.5)
