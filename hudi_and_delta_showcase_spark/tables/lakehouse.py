@@ -939,7 +939,9 @@ class LakehouseTable:
         their skipping indexes; deletion vectors on them stay live."""
         prev = self._commit(None)
         if incremental:
-            return self._optimize_incremental(prev, target_files, cluster_by)
+            return self._optimize_incremental(
+                prev, target_files, cluster_by, zorder_by
+            )
         df = self._read_physical()  # MoR folds logs; PHYSICAL names
         # callers address cluster/z-order columns by LOGICAL name
         cluster_by = (
@@ -955,8 +957,9 @@ class LakehouseTable:
         version = prev.version + 1
         commit_time = mf.make_commit_time()
         n = target_files or 1
+        zbounds: dict[str, list[float]] = {}
         if zorder_by:
-            z = self._morton_key(df, zorder_by)
+            z, zbounds = self._morton_key(df, zorder_by)
             df = df.withColumn("__z", z)
             range_cols = (
                 [self.partition_by] if self.partition_by else []
@@ -988,6 +991,13 @@ class LakehouseTable:
             # tell clustered files from later, unclustered arrivals
             stats["cluster_spec"] = ",".join(cluster_by)
             stats["clustered_output"] = files
+        elif zorder_by:
+            # same for z-order, plus the quantile boundaries: an
+            # incremental run must bucket with the SAME boundaries or
+            # its Morton keys would live on a different curve
+            stats["zorder_spec"] = ",".join(zorder_by)
+            stats["clustered_output"] = files
+            stats["zorder_bounds"] = zbounds
         commit = mf.Commit(
             version=version,
             action="optimize",
@@ -1009,51 +1019,86 @@ class LakehouseTable:
         prev: mf.Commit,
         target_files: int | None,
         cluster_by: list[str] | None,
+        zorder_by: list[str] | None = None,
     ) -> mf.Commit:
         """Liquid-style incremental clustering: restack only files not
         produced by a prior clustering commit with the same spec. See
-        ``optimize``. CoW only — compact MoR logs first (the log fold
-        would force a full-table window anyway)."""
-        if not cluster_by:
+        ``optimize``. Works for linear clustering AND z-order — the
+        z-order variant reuses the quantile boundaries recorded by the
+        last FULL z-order commit, so every generation buckets on the
+        same Morton curve (fresh boundaries would put the same value in
+        different buckets across generations, quietly breaking the
+        files' z-range disjointness). CoW only — compact MoR logs first
+        (the log fold would force a full-table window anyway)."""
+        if not cluster_by and not zorder_by:
             raise ValueError("incremental optimize requires cluster_by")
+        if cluster_by and zorder_by:
+            raise ValueError("cluster_by and zorder_by are exclusive")
         if prev.log_files:
             raise RuntimeError(
                 "incremental optimize on a MoR table with pending log "
                 "files — run compact() first"
             )
-        phys = [self._phys_name(c, prev) for c in cluster_by]
+        spec_key = "cluster_spec" if cluster_by else "zorder_spec"
+        phys = [
+            self._phys_name(c, prev) for c in (cluster_by or zorder_by)
+        ]
         spec = ",".join(phys)
         clustered: set[str] = set()
+        zbounds: dict[str, list[float]] | None = None
         for c in self.history():
-            if c.action == "optimize" and c.stats.get("cluster_spec") == spec:
+            if c.action == "optimize" and c.stats.get(spec_key) == spec:
                 clustered |= set(c.stats.get("clustered_output", ()))
+                if c.stats.get("zorder_bounds"):
+                    zbounds = c.stats["zorder_bounds"]
+        if zorder_by and zbounds is None:
+            raise RuntimeError(
+                "incremental z-order needs a prior full "
+                "optimize(zorder_by=...) to pin the quantile boundaries"
+            )
         carried = [f for f in prev.files if f in clustered]
         stale = [f for f in prev.files if f not in clustered]
         if not stale:
             return prev  # clustering is already current: zero-IO no-op
         version = prev.version + 1
         commit_time = mf.make_commit_time()
-        range_cols = ([self.partition_by] if self.partition_by else []) + phys
-        df = (
-            self._apply_dvs(self._read_parquet(stale, prev), prev)
-            .drop("_hoodie_file_name")
-            .repartitionByRange(target_files or 1, *[F.col(c) for c in range_cols])
-            .sortWithinPartitions(*range_cols)
+        df = self._apply_dvs(self._read_parquet(stale, prev), prev).drop(
+            "_hoodie_file_name"
         )
+        part_cols = [self.partition_by] if self.partition_by else []
+        if zorder_by:
+            z, _ = self._morton_key(df, phys, bounds_by_col=zbounds)
+            range_cols = part_cols + ["__z"]
+            df = (
+                df.withColumn("__z", z)
+                .repartitionByRange(
+                    target_files or 1, *[F.col(c) for c in range_cols]
+                )
+                .sortWithinPartitions(*range_cols, *phys)
+                .drop("__z")
+            )
+        else:
+            range_cols = part_cols + phys
+            df = df.repartitionByRange(
+                target_files or 1, *[F.col(c) for c in range_cols]
+            ).sortWithinPartitions(*range_cols)
         new_files = self._write_files(df, f"c{version:05d}")
+        stats = {
+            "mode": "incremental",
+            spec_key: spec,
+            "clustered_output": new_files,
+            "restacked_files": len(stale),
+            "carried_files": len(carried),
+        }
+        if zorder_by:
+            stats["zorder_bounds"] = zbounds
         commit = mf.Commit(
             version=version,
             action="optimize",
             commit_time=commit_time,
             files=carried + new_files,
             log_files=[],
-            stats={
-                "mode": "incremental",
-                "cluster_spec": spec,
-                "clustered_output": new_files,
-                "restacked_files": len(stale),
-                "carried_files": len(carried),
-            },
+            stats=stats,
             # DVs on carried files stay live; entries naming restacked
             # files just became inert (their file left the live set)
             dv_files=list(prev.dv_files),
@@ -1068,7 +1113,12 @@ class LakehouseTable:
 
     _Z_BITS = 4  # quantile buckets per dimension = 2**_Z_BITS
 
-    def _morton_key(self, df: DataFrame, cols: list[str]):
+    def _morton_key(
+        self,
+        df: DataFrame,
+        cols: list[str],
+        bounds_by_col: dict[str, list[float]] | None = None,
+    ):
         """Morton (Z-order) key: quantile-bucket each numeric column
         into ``2**_Z_BITS`` ranks, then interleave the rank bits. The
         quantile boundaries come from ONE driver-side ``approxQuantile``
@@ -1081,21 +1131,29 @@ class LakehouseTable:
         nbuckets = 1 << self._Z_BITS
         probs = [i / nbuckets for i in range(1, nbuckets)]
         zsum = F.lit(0)
+        out_bounds: dict[str, list[float]] = {}
         for j, c in enumerate(cols):
             dcol = F.col(c).cast("double")
-            qs = df.select(dcol.alias("v")).approxQuantile("v", probs, 0.01)
-            # strictly-increasing boundary subset (ties collapse buckets)
-            bounds: list[float] = []
-            for q in qs:
-                if not bounds or q > bounds[-1]:
-                    bounds.append(q)
+            if bounds_by_col is not None and c in bounds_by_col:
+                bounds = list(bounds_by_col[c])
+            else:
+                qs = df.select(dcol.alias("v")).approxQuantile(
+                    "v", probs, 0.01
+                )
+                # strictly-increasing boundary subset (ties collapse
+                # buckets)
+                bounds = []
+                for q in qs:
+                    if not bounds or q > bounds[-1]:
+                        bounds.append(q)
+            out_bounds[c] = bounds
             bucket = F.lit(0)
             for b in bounds:
                 bucket = bucket + F.when(dcol >= F.lit(b), 1).otherwise(0)
             for i in range(self._Z_BITS):
                 bit = F.shiftright(bucket, i).bitwiseAND(F.lit(1))
                 zsum = zsum + F.shiftleft(bit, i * len(cols) + j)
-        return zsum
+        return zsum, out_bounds
 
     def _savepoints_path(self) -> str:
         return os.path.join(self.path, "_savepoints.json")

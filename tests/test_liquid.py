@@ -91,3 +91,50 @@ def test_incremental_requires_cluster_by(spark, tmp_path):
     t = _table(spark, str(tmp_path / "t"))
     with pytest.raises(ValueError, match="cluster_by"):
         t.optimize(incremental=True)
+
+
+def test_incremental_zorder_reuses_boundaries(spark, tmp_path):
+    """Incremental z-order restacks only post-clustering arrivals using
+    the boundaries pinned by the last full z-order commit, so every
+    generation buckets on the same Morton curve and read_where prunes
+    on BOTH dimensions."""
+    df = spark.range(1000, 1400).select(
+        F.col("id").alias("k"),
+        (F.col("id") % 50).cast("double").alias("x"),
+        ((F.col("id") * 7) % 31).cast("double").alias("y"),
+        F.lit(1).alias("sq"),
+    )
+    t = LakehouseTable.create(
+        spark, str(tmp_path / "t"), df, key_cols=["k"], precombine="sq"
+    )
+    t.optimize(target_files=4, zorder_by=["x", "y"])
+    base = t._commit(None)
+    assert base.stats["zorder_spec"] == "x,y"
+    assert base.stats["zorder_bounds"]["x"]
+
+    t.upsert(
+        spark.range(2000, 2200).select(
+            F.col("id").alias("k"),
+            (F.col("id") % 50).cast("double").alias("x"),
+            ((F.col("id") * 7) % 31).cast("double").alias("y"),
+            F.lit(2).alias("sq"),
+        )
+    )
+    # z-ordered files are NOT key-clustered, so the upsert may rewrite
+    # some of them; the incremental run must carry whatever survived
+    survivors = [f for f in t._commit(None).files if f in base.files]
+    inc = t.optimize(target_files=4, zorder_by=["x", "y"], incremental=True)
+    assert inc.stats["mode"] == "incremental"
+    assert inc.stats["zorder_bounds"] == base.stats["zorder_bounds"]
+    assert all(f in inc.files for f in survivors)
+    assert t.read().count() == 600
+    # selective reads on each z-dimension prune to a strict file subset
+    for col, val in (("x", 7.0), ("y", 13.0)):
+        hit = t.read_where(col, val, val)
+        assert 0 < len(hit.inputFiles()) < len(inc.files)
+
+
+def test_incremental_zorder_requires_prior_full(spark, tmp_path):
+    t = _table(spark, str(tmp_path / "t"))
+    with pytest.raises(RuntimeError, match="prior full"):
+        t.optimize(zorder_by=["v"], incremental=True)
