@@ -280,8 +280,8 @@ def q12_priority_by_status(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q12 shape (shipmode folded to linestatus — the fixture ships
     the trimmed column set): date-filtered fact joined to orders, priority
     bucketed with a codegen'd CASE, two conditional sums in ONE pass.
-    The lineitem filter pushes down; orders broadcasts at fixture SFs and
-    AQE picks shuffle join when it outgrows the threshold."""
+    The lineitem filter pushes down; no join hint on orders — AQE
+    broadcasts it while it fits and shuffles when it doesn't."""
     o = load_table(spark, sf_dir, "orders")
     li = load_table(spark, sf_dir, "lineitem").filter(
         (F.col("l_shipdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp_ntz"))
@@ -289,7 +289,7 @@ def q12_priority_by_status(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
     return (
-        li.join(F.broadcast(o), li.l_orderkey == o.o_orderkey)
+        li.join(o, li.l_orderkey == o.o_orderkey)
         .groupBy("l_linestatus")
         .agg(
             F.sum(F.when(high, 1).otherwise(0)).alias("high_line_count"),
@@ -380,7 +380,7 @@ def q18_large_volume_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         li.join(F.broadcast(big), "l_orderkey")
-        .join(F.broadcast(o), li.l_orderkey == o.o_orderkey)
+        .join(o, li.l_orderkey == o.o_orderkey)
         .join(F.broadcast(c), o.o_custkey == c.c_custkey)
         .groupBy("c_name", "c_custkey", "o_orderkey", "o_orderdate", "o_totalprice")
         .agg(F.sum(_dec("l_quantity")).cast("double").alias("sum_qty"))
@@ -512,8 +512,10 @@ def q7_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q7 shape: bilateral shipping volume between two REGIONS by
     year (region pairs stay populated at every fixture SF; a single
     nation pair is empty at sf0.001).
-    Every dimension broadcasts (nation appears TWICE under different
-    aliases — two independent broadcast joins, not a self-join shuffle);
+    True dimensions broadcast (nation appears TWICE under different
+    aliases — two independent broadcast joins, not a self-join
+    shuffle); orders carries no hint — a hard broadcast would OOM past
+    the SF where it outgrows memory, so AQE decides per run;
     the nation-pair disjunction is a residual filter after both nation
     joins; lineitem's date range pushes down."""
     s = load_table(spark, sf_dir, "supplier")
@@ -538,7 +540,7 @@ def q7_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
     ) | ((F.col("sn_region") == 1) & (F.col("cn_region") == 0))
     return (
         li.join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
-        .join(F.broadcast(o), li.l_orderkey == o.o_orderkey)
+        .join(o, li.l_orderkey == o.o_orderkey)
         .join(F.broadcast(c), o.o_custkey == c.c_custkey)
         .join(F.broadcast(sn), F.col("s_nationkey") == F.col("sn_key"))
         .join(F.broadcast(cn), F.col("c_nationkey") == F.col("cn_key"))
@@ -597,7 +599,7 @@ def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         li.join(F.broadcast(p), p.p_partkey == li.l_partkey)
         .join(F.broadcast(s), s.s_suppkey == li.l_suppkey)
-        .join(F.broadcast(o), o.o_orderkey == li.l_orderkey)
+        .join(o, o.o_orderkey == li.l_orderkey)
         .join(F.broadcast(sn), F.col("s_nationkey") == sn.n_nationkey)
         .groupBy(F.year("o_orderdate").cast("bigint").alias("o_year"))
         .agg(
@@ -639,7 +641,8 @@ def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q10: customers who returned the most. Returnflag filter
     pushes into the lineitem scan; customer/orders/nation broadcast;
-    top-20 by revenue is TakeOrderedAndProject."""
+    top-20 by revenue is TakeOrderedAndProject. Orders carries no
+    hint (AQE decides); the true dims broadcast."""
     c = load_table(spark, sf_dir, "customer")
     o = load_table(spark, sf_dir, "orders").filter(
         (F.col("o_orderdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp_ntz"))
@@ -648,7 +651,7 @@ def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
     n = load_table(spark, sf_dir, "nation")
     li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
     return (
-        li.join(F.broadcast(o), li.l_orderkey == o.o_orderkey)
+        li.join(o, li.l_orderkey == o.o_orderkey)
         .join(F.broadcast(c), o.o_custkey == c.c_custkey)
         .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
         .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")

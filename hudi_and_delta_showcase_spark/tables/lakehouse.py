@@ -196,6 +196,20 @@ class LakehouseTable:
         df = table._enforce_constraints(df)
         stamped = table._stamp_meta(df, commit_time)
         files = table._write_files(stamped, f"c{0:05d}")
+        # record the physical read schema in the commit (Delta's
+        # metaData action): upserts reconcile types against THIS instead
+        # of sweeping every file footer, and widenings evolve it as
+        # metadata. All-nullable — parquet reads are nullable anyway.
+        from pyspark.sql.types import StructField, StructType
+
+        schema_json = json.dumps(
+            StructType(
+                [
+                    StructField(f.name, f.dataType, True)
+                    for f in stamped.schema.fields
+                ]
+            ).jsonValue()
+        )
         cdc_added: list[str] = []
         if cdc_enabled:
             cdc_added = table._write_cdc_files(
@@ -214,6 +228,7 @@ class LakehouseTable:
                 stats={"written_files": len(files)},
                 cdc_files=cdc_added,
                 ri_files=table._write_record_index(files, 0),
+                table_schema=schema_json,
                 **table._index_fields(files),
             ),
         )
@@ -937,6 +952,8 @@ class LakehouseTable:
         and a periodic full ``optimize(cluster_by=...)`` collapses the
         generations. Already-clustered files are carried over with
         their skipping indexes; deletion vectors on them stay live."""
+        if cluster_by and zorder_by:
+            raise ValueError("cluster_by and zorder_by are exclusive")
         prev = self._commit(None)
         if incremental:
             return self._optimize_incremental(
@@ -1701,9 +1718,11 @@ class LakehouseTable:
           between e.g. string and int is how tables rot.
 
         Returns (possibly-cast source, table_schema JSON for the new
-        commit). Until a widening occurs the JSON stays empty and reads
-        keep footer inference — widening is an opt-in table feature
-        activated by the first widening batch, exactly Delta's model.
+        commit). Tables carry their schema from create() (Delta's
+        metaData action), so reconciliation is a pure metadata
+        comparison; only LEGACY tables (created before schemas rode in
+        commits) pay a one-off mergeSchema footer sweep per upsert, and
+        only until their first widening records one.
         """
         cur = self._commit_schema(prev)
         if cur is None:

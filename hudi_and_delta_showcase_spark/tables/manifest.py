@@ -226,8 +226,12 @@ def _file_identity(path: str) -> tuple:
 #: (abs table path, version, commit-file identity) -> full Commit.
 #: Commit files are immutable once written (append_commit refuses to
 #: overwrite), so memoized replay states stay valid; the file-identity
-#: component guards the rare same-path-recreated case in tests.
+#: component guards the rare same-path-recreated case in tests. Bounded
+#: FIFO: long-lived processes touching many (temp) tables would
+#: otherwise retain every dead snapshot — file lists, key ranges, bloom
+#: blobs — for process lifetime.
 _snapshot_cache: dict[tuple, Commit] = {}
+_SNAPSHOT_CACHE_MAX = 2048
 
 
 def read_commit(table_path: str, version: int) -> Commit:
@@ -253,6 +257,8 @@ def read_commit(table_path: str, version: int) -> Commit:
                 cached = _apply_delta(read_commit(table_path, version - 1), rec)
             else:
                 cached = Commit(**rec)
+        while len(_snapshot_cache) >= _SNAPSHOT_CACHE_MAX:
+            _snapshot_cache.pop(next(iter(_snapshot_cache)))
         _snapshot_cache[key] = cached
     # deep copy: callers may hold/merge the dict fields; the cache must
     # stay an immutable record of what is on disk.
@@ -335,6 +341,18 @@ def _check_rebase(ours: dict, theirs: dict, winner_actions: list[str]) -> None:
             raise ConcurrentWriteConflict(
                 "concurrent deletion-vector append while modifying data"
             )
+    # the mirror image: OUR deletion vectors name row positions in files
+    # the winner may just have rewritten/removed — rebasing would commit
+    # a DELETE whose vectors point at dead files (rows silently survive,
+    # Delta's ConcurrentDeleteReadException case). The DV sidecar's
+    # target files aren't visible in the delta record, so any winner
+    # data-file change conflicts.
+    if ours["dv_files_add"] and (
+        theirs["files_add"] or theirs["files_remove"] or theirs["log_files_add"]
+    ):
+        raise ConcurrentWriteConflict(
+            "concurrent data-file change while appending deletion vectors"
+        )
     # same idempotent-writer app committing twice concurrently
     dup_apps = set(ours["txn_set"]) & set(theirs["txn_set"])
     if dup_apps:

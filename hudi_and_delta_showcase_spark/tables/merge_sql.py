@@ -250,15 +250,21 @@ _DELETE_RE = re.compile(
 
 
 def _split_set_list(sets: str) -> list[tuple[str, str]]:
-    """Split a SET list on top-level commas (commas inside parens —
-    function calls — don't split)."""
-    parts, depth, buf = [], 0, []
+    """Split a SET list on top-level commas: commas inside parens
+    (function calls) or single-quoted SQL string literals don't split,
+    and quoted parens don't perturb the depth counter. Doubled quotes
+    (SQL escape: ``''``) stay inside the literal naturally — the second
+    quote just re-enters quoted state for the escaped character."""
+    parts, depth, buf, in_str = [], 0, [], False
     for ch in sets:
-        if ch == "(":
-            depth += 1
-        elif ch == ")":
-            depth -= 1
-        if ch == "," and depth == 0:
+        if ch == "'":
+            in_str = not in_str
+        elif not in_str:
+            if ch == "(":
+                depth += 1
+            elif ch == ")":
+                depth -= 1
+        if ch == "," and depth == 0 and not in_str:
             parts.append("".join(buf))
             buf = []
         else:
@@ -297,10 +303,14 @@ def execute_update(
     data_cols = [
         c for c in rows.columns if not c.startswith("_hoodie_") and c != "__pp"
     ]
+    # localCheckpoint: materialize the matched+transformed rows once —
+    # counting and then upserting the raw lineage would scan the
+    # snapshot twice
+    rows = rows.select(*data_cols).localCheckpoint()
     n = rows.count()
     if n == 0:
         return {"updated": 0, "commits": []}
-    commit = table.upsert(rows.select(*data_cols))
+    commit = table.upsert(rows)
     return {"updated": n, "commits": [commit.version]}
 
 
@@ -321,8 +331,15 @@ def execute_delete(
     if m.group("where"):
         rows = rows.filter(F.expr(m.group("where")))
     mapping = table._commit(None).column_mapping
-    logical_keys = [mapping.get(k, k) for k in table.key_cols]
-    keys = rows.select(*logical_keys).distinct()
+    # resolution columns, not just key columns: non-global partitioned
+    # tables resolve deletes on (key, partition), and delete() needs
+    # the partition value to prune candidate files
+    logical_keys = [
+        mapping.get(k, k) for k in table._resolution_cols()
+    ]
+    # localCheckpoint: materialize once — the count and the delete's
+    # probe would otherwise each recompute the filtered snapshot scan
+    keys = rows.select(*logical_keys).distinct().localCheckpoint()
     n = keys.count()
     if n == 0:
         return {"deleted": 0, "commits": []}

@@ -196,3 +196,40 @@ def test_sql_delete_statement(spark, tmp_path):
     # no-match delete is a no-op with no commit
     res = execute_delete(spark, "DELETE FROM t WHERE pk_id = 99", {"t": t})
     assert res == {"deleted": 0, "commits": []}
+
+
+def test_sql_delete_on_partitioned_table(spark, tmp_path):
+    """DELETE routes resolution columns including the partition — a
+    keys-only projection would fail delete()'s (key, partition)
+    resolution on non-global partitioned tables."""
+    from hudi_and_delta_showcase_spark.tables.merge_sql import execute_delete
+
+    df = spark.createDataFrame(
+        [(1, "A", 10, 1), (2, "B", 20, 1), (3, "B", 30, 1)],
+        "pk_id int, part string, value int, sq int",
+    )
+    t = LakehouseTable.create(
+        spark, str(tmp_path / "t"), df, key_cols=["pk_id"],
+        precombine="sq", partition_by="part",
+    )
+    res = execute_delete(spark, "DELETE FROM t WHERE value >= 20", {"t": t})
+    assert res["deleted"] == 2
+    assert sorted(r.pk_id for r in t.read().collect()) == [1]
+
+
+def test_sql_update_quoted_literals(spark, tmp_path):
+    from hudi_and_delta_showcase_spark.tables.merge_sql import execute_update
+
+    df = spark.createDataFrame(
+        [(1, "a", 10, 1)], "pk_id int, name string, value int, sq int"
+    )
+    t = LakehouseTable.create(
+        spark, str(tmp_path / "t"), df, key_cols=["pk_id"], precombine="sq"
+    )
+    execute_update(
+        spark,
+        "UPDATE t SET name = 'x,y(z', value = value + 1 WHERE pk_id = 1",
+        {"t": t},
+    )
+    r = t.read().collect()[0]
+    assert (r.name, r.value) == ("x,y(z", 11)

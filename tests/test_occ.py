@@ -199,3 +199,19 @@ def test_concurrent_schema_changes_conflict(tmp_path):
         mf.append_commit_rebase(
             p, _mk(1, [P_A, P_B2], action="insert", table_schema="WIDE-B")
         )
+
+
+def test_dv_delete_conflicts_with_concurrent_rewrite(tmp_path):
+    """A deletion-vector delete must NOT rebase over a winner that
+    changed data files: its vectors point at row positions in files the
+    winner may have rewritten — the committed DELETE would silently
+    delete nothing (Delta's ConcurrentDeleteRead case)."""
+    p = str(tmp_path / "t")
+    mf.append_commit(p, _mk(0, [P_A, P_B], action="insert"))
+    mf.append_commit(p, _mk(1, [P_A2, P_B]))  # winner rewrote A's file
+    with pytest.raises(mf.ConcurrentWriteConflict, match="deletion vectors"):
+        mf.append_commit_rebase(
+            p,
+            _mk(1, [P_A, P_B], action="delete",
+                dv_files=["dv/d1.parquet"]),
+        )

@@ -61,7 +61,15 @@ def test_narrower_batch_upcasts_on_write(spark, tmp_path):
     )
     t.upsert(spark.createDataFrame([(2, 20, 2)], "k int, v int, sq int"))
     commit = t._commit(None)
-    assert commit.table_schema == ""  # no widening -> feature stays off
+    # schema rides in the commit from create(); the narrow batch did
+    # NOT narrow it
+    import json as _json
+
+    fields = {
+        f["name"]: f["type"]
+        for f in _json.loads(commit.table_schema)["fields"]
+    }
+    assert fields["v"] == "long"
     assert dict(t.read().dtypes)["v"] == "bigint"
     assert {r.v for r in t.read().collect()} == {10, 20}
 
