@@ -1943,3 +1943,70 @@ class LakehouseTable:
             pv = urllib.parse.unquote(parts.get("__pp", ""))
             (affected if pv in values else untouched).append(f)
         return affected, untouched
+
+
+def maintenance_plan(
+    table: LakehouseTable,
+    max_log_files: int = 8,
+    max_unclustered_fraction: float = 0.3,
+    retain_versions: int = 10,
+) -> dict:
+    """Hudi table-services style advisor: inspect the latest commit and
+    recommend which maintenance actions pay for themselves right now.
+    Pure metadata — O(commits) driver work, no Spark job — so it can run
+    on every ingest cycle; ``run_maintenance`` executes the plan.
+
+    * ``compact``   — MoR log files outstanding >= ``max_log_files``
+      (each `_rt` read pays a window merge over all of them).
+    * ``cluster``   — a clustering spec was established by a previous
+      ``optimize`` and more than ``max_unclustered_fraction`` of live
+      files arrived after the last clustering generation (incremental
+      restack is O(those files)).
+    * ``vacuum``    — more than ``retain_versions`` versions on the
+      timeline (dead files beyond retention keep disk + confuse
+      restores; savepointed versions survive regardless).
+    """
+    prev = table._commit(None)
+    plan: dict = {"compact": False, "cluster": None, "vacuum": False}
+    if table.table_type == MERGE_ON_READ and len(prev.log_files) >= max_log_files:
+        plan["compact"] = True
+    # latest clustering spec (linear or z-order) + its covered files
+    spec_key, spec, clustered = None, None, set()
+    for c in table.history():
+        for k in ("cluster_spec", "zorder_spec"):
+            if c.action == "optimize" and c.stats.get(k):
+                spec_key, spec = k, c.stats[k]
+        if c.action == "optimize" and c.stats.get("clustered_output"):
+            clustered |= set(c.stats["clustered_output"])
+    if spec and prev.files:
+        stale = [f for f in prev.files if f not in clustered]
+        if len(stale) / len(prev.files) > max_unclustered_fraction:
+            plan["cluster"] = {
+                "mode": "incremental",
+                ("zorder_by" if spec_key == "zorder_spec" else "cluster_by"):
+                    spec.split(","),
+                "stale_files": len(stale),
+            }
+    if len(mf.list_versions(table.path)) > retain_versions:
+        plan["vacuum"] = True
+    return plan
+
+
+def run_maintenance(table: LakehouseTable, plan: dict | None = None,
+                    retain_versions: int = 10) -> dict:
+    """Execute a ``maintenance_plan`` (or compute one): compaction
+    first (folds logs into indexed base files), then incremental
+    clustering (restacks the arrivals), then vacuum (collects what the
+    previous steps orphaned beyond retention). Returns what ran."""
+    plan = plan or maintenance_plan(table, retain_versions=retain_versions)
+    ran: dict = {}
+    if plan.get("compact"):
+        ran["compact"] = table.compact().version
+    if plan.get("cluster"):
+        spec = dict(plan["cluster"])
+        spec.pop("stale_files", None)
+        spec.pop("mode", None)
+        ran["cluster"] = table.optimize(incremental=True, **spec).version
+    if plan.get("vacuum"):
+        ran["vacuum"] = table.vacuum(retain_versions=retain_versions)
+    return ran

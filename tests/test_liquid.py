@@ -138,3 +138,57 @@ def test_incremental_zorder_requires_prior_full(spark, tmp_path):
     t = _table(spark, str(tmp_path / "t"))
     with pytest.raises(RuntimeError, match="prior full"):
         t.optimize(zorder_by=["v"], incremental=True)
+
+
+def test_maintenance_advisor_full_cycle(spark, tmp_path):
+    """The table-services advisor recommends exactly the actions the
+    table state warrants, and run_maintenance executes them in
+    compaction -> clustering -> vacuum order."""
+    from hudi_and_delta_showcase_spark.tables.lakehouse import (
+        maintenance_plan,
+        run_maintenance,
+    )
+
+    t = _table(spark, str(tmp_path / "t"))
+    # fresh CoW table with no clustering history: nothing to do
+    assert maintenance_plan(t) == {
+        "compact": False, "cluster": None, "vacuum": False
+    }
+    t.optimize(target_files=4, cluster_by=["k"])
+    t.upsert(
+        spark.range(2000, 2400).select(
+            F.col("id").alias("k"),
+            F.lit(5).cast("bigint").alias("v"),
+            F.lit(2).alias("sq"),
+        )
+    )
+    plan = maintenance_plan(t, max_unclustered_fraction=0.1)
+    assert plan["cluster"]["cluster_by"] == ["k"]
+    assert plan["cluster"]["stale_files"] > 0
+    ran = run_maintenance(t, plan)
+    assert "cluster" in ran
+    # clustering is now current again
+    assert maintenance_plan(t, max_unclustered_fraction=0.1)["cluster"] is None
+    assert t.read().count() == 600
+
+
+def test_maintenance_advisor_mor_compaction(spark, tmp_path):
+    from hudi_and_delta_showcase_spark.tables.lakehouse import (
+        LakehouseTable,
+        maintenance_plan,
+        run_maintenance,
+    )
+
+    df = spark.createDataFrame([(1, 10, 1)], "k int, v int, sq int")
+    t = LakehouseTable.create(
+        spark, str(tmp_path / "t"), df, key_cols=["k"], precombine="sq",
+        table_type="mor",
+    )
+    for i in range(2, 6):
+        t.upsert(spark.createDataFrame([(1, i * 10, i)], "k int, v int, sq int"))
+    plan = maintenance_plan(t, max_log_files=3, retain_versions=3)
+    assert plan["compact"] is True and plan["vacuum"] is True
+    ran = run_maintenance(t, plan, retain_versions=3)
+    assert "compact" in ran and "vacuum" in ran
+    assert not t._commit(None).log_files
+    assert [r.v for r in t.read_ro().collect()] == [50]
