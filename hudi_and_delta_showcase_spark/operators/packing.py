@@ -124,3 +124,78 @@ def packed_sequences(
             ),
         )
     )
+
+
+def budget_select(
+    df: DataFrame,
+    id_col: str,
+    token_col: str,
+    order_col: str,
+    budget: int,
+    partitions: int | None = None,
+) -> DataFrame:
+    """Data selection under a token budget: take documents in priority
+    order (``order_col`` ascending — e.g. LM cross-entropy, so best
+    first) until the cumulative token count exceeds ``budget`` — the
+    quality-ranked corpus-size cut of LLM dataset builds.
+
+    Same scale-safe two-phase global cumsum as ``packed_sequences``
+    (range sort on the priority key, P driver-side partial sums, one
+    Arrow map pass) — never a single-partition ``SUM() OVER (ORDER
+    BY)``. Ties break on the id so the cut is total-ordered and
+    engine-independent.
+
+    Output: ``(id_col, n_tokens, cum_tokens)`` for selected documents
+    (those whose INCLUSIVE cumulative count stays within budget).
+    """
+    if budget <= 0:
+        raise ValueError("budget must be positive")
+    slim = df.select(
+        F.col(id_col),
+        F.col(token_col).cast("long").alias("n_tokens"),
+        F.col(order_col).alias("__o"),
+    )
+    n_parts = partitions or slim.sparkSession.conf.get(
+        "spark.sql.shuffle.partitions", "32"
+    )
+    ordered = (
+        slim.repartitionByRange(int(n_parts), "__o", id_col)
+        .sortWithinPartitions("__o", id_col)
+        .localCheckpoint()
+    )
+    partials = {
+        r.pid: r.s
+        for r in ordered.groupBy(F.spark_partition_id().alias("pid"))
+        .agg(F.sum("n_tokens").alias("s"))
+        .collect()
+    }
+    prefix: dict[int, int] = {}
+    running = 0
+    for pid in sorted(partials):
+        prefix[pid] = running
+        running += partials[pid]
+
+    id_field = ordered.schema[id_col]
+    out_schema = (
+        f"{id_field.name} {id_field.dataType.simpleString()}, "
+        "n_tokens long, cum_tokens long"
+    )
+
+    def add_cum(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import pyspark
+
+        pid = pyspark.TaskContext.get().partitionId()
+        base = prefix.get(pid, 0)
+        for pdf in it:
+            cum = base + pdf["n_tokens"].cumsum()
+            base = int(cum.iloc[-1]) if len(cum) else base
+            out = pd.DataFrame(
+                {
+                    id_field.name: pdf[id_field.name],
+                    "n_tokens": pdf["n_tokens"],
+                    "cum_tokens": cum,
+                }
+            )
+            yield out[out["cum_tokens"] <= budget]
+
+    return ordered.mapInPandas(add_cum, out_schema)

@@ -127,6 +127,7 @@ PRIORITY: tuple[str, ...] = (
     "sample_temperature_mix",
     "text_vocab_topk",
     "text_lm_cross_entropy",
+    "pipeline_budget_select",
     "cdc_soft_delete_state",
     "cdc_schema_evolution",
     "cdc_medallion_sync",

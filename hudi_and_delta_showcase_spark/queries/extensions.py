@@ -1555,3 +1555,52 @@ def text_lm_cross_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle-exact."""
     docs = load_table(spark, sf_dir, "documents")
     return T.lm_cross_entropy(docs, "doc_id", "text", k=0.5)
+
+
+@query(
+    "pipeline_budget_select",
+    oracle=f"""
+    WITH {_TOKS_CTE},
+    terms AS (SELECT doc_id, UNNEST(w) AS token FROM toks),
+    counts AS (SELECT token, COUNT(*) AS cnt FROM terms GROUP BY token),
+    totals AS (SELECT SUM(cnt) AS n, COUNT(*) AS v FROM counts),
+    scored AS (
+      SELECT t.doc_id,
+             CAST(-ln((c.cnt + 0.5) / (tt.n + 0.5 * tt.v))
+                  AS DECIMAL(18,6)) AS cost
+      FROM terms t JOIN counts c ON t.token = c.token CROSS JOIN totals tt
+    ),
+    per_doc AS (
+      SELECT doc_id, COUNT(*) AS n_tokens,
+             ROUND(CAST(SUM(cost) AS DOUBLE) / COUNT(*), 6) AS ce
+      FROM scored GROUP BY doc_id
+    ),
+    ranked AS (
+      SELECT doc_id, n_tokens,
+             SUM(n_tokens) OVER (ORDER BY ce ASC, doc_id ASC
+                                 ROWS UNBOUNDED PRECEDING) AS cum_tokens
+      FROM per_doc
+    )
+    SELECT doc_id, n_tokens, cum_tokens FROM ranked
+    WHERE cum_tokens <= 6000
+    """,
+    tags=("pipeline", "sampling", "quality"),
+)
+def pipeline_budget_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-ranked data selection under a token budget: score every
+    document by LM cross-entropy (best = lowest), then take documents
+    in quality order until a 6,000-token budget is exhausted — the
+    corpus-size cut of an LLM dataset build, composed from two
+    scale-safe stages. The global running sum uses the same two-phase
+    cumsum as sequence packing (range sort + P driver partials + one
+    Arrow pass), never a single-partition window; the oracle's ``SUM()
+    OVER (ORDER BY)`` is the semantics being matched, not the plan."""
+    from hudi_and_delta_showcase_spark.operators.packing import budget_select
+
+    docs = load_table(spark, sf_dir, "documents")
+    scored = T.lm_cross_entropy(docs, "doc_id", "text", k=0.5).withColumnRenamed(
+        "avg_cross_entropy", "ce"
+    )
+    return budget_select(
+        scored, "doc_id", "n_tokens", "ce", budget=6000
+    )
