@@ -215,3 +215,56 @@ def test_dv_delete_conflicts_with_concurrent_rewrite(tmp_path):
             _mk(1, [P_A, P_B], action="delete",
                 dv_files=["dv/d1.parquet"]),
         )
+
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+
+@settings(max_examples=30, deadline=None)
+@given(
+    st.lists(
+        st.tuples(
+            st.sampled_from(["A", "B", "C", "D"]),  # partition touched
+            st.booleans(),  # blind insert vs rewrite
+        ),
+        min_size=2,
+        max_size=6,
+    ),
+    st.data(),
+)
+def test_occ_race_converges_to_serial(tmp_path_factory, ops, data):
+    """Property: a batch of writers that all prepared against the SAME
+    base either rebase cleanly or conflict — and every writer that
+    lands preserves the winners' effects exactly (final state = serial
+    application of the landed writers, in landed order)."""
+    import tempfile
+
+    p = tempfile.mkdtemp(prefix="occprop_")
+    # base: one file per partition
+    base_files = [f"data/c0/__pp={part}/f-{part}.parquet" for part in "ABCD"]
+    mf.append_commit(p, _mk(0, list(base_files), action="insert"))
+
+    landed: list[tuple[str, bool, list[str], list[str]]] = []
+    for i, (part, blind) in enumerate(ops):
+        old = f"data/c0/__pp={part}/f-{part}.parquet"
+        new = f"data/c{i + 1}/__pp={part}/f{i + 1}.parquet"
+        if blind:
+            commit_files = list(base_files) + [new]  # prepared vs BASE
+            action = "insert"
+        else:
+            commit_files = [f for f in base_files if f != old] + [new]
+            action = "upsert"
+        attempt = _mk(1, commit_files, action=action)
+        try:
+            mf.append_commit_rebase(p, attempt)
+            landed.append((part, blind, [new], [] if blind else [old]))
+        except mf.ConcurrentWriteConflict:
+            pass
+    # replay the landed effects serially over the base
+    expect = list(base_files)
+    for part, blind, adds, removes in landed:
+        expect = [f for f in expect if f not in removes] + adds
+    final = mf.latest_commit(p)
+    assert sorted(final.files) == sorted(expect)
+    assert final.version == len(landed)
