@@ -138,6 +138,8 @@ PRIORITY: tuple[str, ...] = (
     # r4: record-level index (exact key->file tier)
     "cdc_record_index_lookup",
     "cdc_restore_version",
+    # r4: DROP COLUMN (metadata-only, tombstoned physical name)
+    "cdc_drop_column",
     "cdc_zorder_skipping_read",
     "q3_shipping_priority",
     # r4: widened TPC-H battery (Q6/Q12/Q14/Q18/Q19 shapes)

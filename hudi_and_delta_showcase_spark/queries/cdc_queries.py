@@ -1217,3 +1217,57 @@ def sql_update_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
         {"events_tbl": t},
     )
     return t.read().select("user_id", "event_id", "value")
+
+
+@query(
+    "cdc_drop_column",
+    oracle="""
+    SELECT event_id, user_id, ts, value,
+           TRUE AS metadata_only, TRUE AS time_travel_shows_dropped,
+           TRUE AS readd_refused
+    FROM (
+      SELECT *, ROW_NUMBER() OVER (
+        PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+      FROM events
+    ) WHERE rn = 1
+    """,
+    tags=("cdc", "table", "schema"),
+)
+def cdc_drop_column(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DROP COLUMN under column mapping (Delta ALTER TABLE ... DROP
+    COLUMN): after the initial load, ``event_type`` is dropped as a
+    METADATA-ONLY commit — the query pins zero files changed, the
+    CDC batch then upserts WITHOUT the column and merges against
+    pre-drop files, time travel still shows the column at version 0,
+    and a batch re-carrying the dropped name is refused (old file data
+    must not resurrect). Final state equals latest-per-key minus the
+    dropped column."""
+    base, incr = _split(spark, sf_dir)
+    path = tempfile.mkdtemp(prefix="lakehouse_drop_")
+    t = LakehouseTable.create(
+        spark,
+        f"{path}/events_tbl",
+        base,
+        key_cols=["user_id"],
+        precombine="ts",
+        tiebreakers=["event_id"],
+    )
+    before = t._commit(None).files
+    dc = t.drop_column("event_type")
+    metadata_only = dc.files == before
+    t.upsert(incr.drop("event_type"))
+    time_travel_shows = "event_type" in t.read(version=0).columns
+    try:
+        t.upsert(incr.limit(1))
+        readd_refused = False
+    except ValueError:
+        readd_refused = True
+    return (
+        t.read()
+        .select("event_id", "user_id", "ts", "value")
+        .withColumn("metadata_only", F.lit(bool(metadata_only)))
+        .withColumn(
+            "time_travel_shows_dropped", F.lit(bool(time_travel_shows))
+        )
+        .withColumn("readd_refused", F.lit(bool(readd_refused)))
+    )

@@ -454,6 +454,68 @@ class LakehouseTable:
         commit = mf.append_commit_rebase(self.path, commit)
         return commit
 
+    def drop_column(self, name: str) -> mf.Commit:
+        """Delta ``ALTER TABLE ... DROP COLUMN`` under column mapping:
+        a METADATA-ONLY commit — the field leaves the commit's read
+        schema, so every subsequent scan simply never reads it (zero
+        files rewritten; the bytes are physically reclaimed as rewrites
+        and vacuum naturally cycle the files). Time travel to a
+        pre-drop version shows the column; RESTORE restores it. The
+        physical name is tombstoned in the column mapping so a later
+        batch carrying the same name is REFUSED instead of silently
+        resurrecting old file data — re-introduce the concept under a
+        new name (or rename first), exactly the discipline Delta's
+        column-mapping ids enforce. Key/partition/precombine/
+        tiebreaker columns cannot be dropped."""
+        prev = self._commit(None)
+        phys = self._phys_name(name, prev)
+        protected = set(
+            self.key_cols
+            + ([self.partition_by] if self.partition_by else [])
+            + ([self.precombine] if self.precombine else [])
+            + self.tiebreakers
+        )
+        if phys in protected or phys.startswith("_hoodie_"):
+            raise ValueError(f"cannot drop column {name!r}")
+        for cname, pred in self.constraints.items():
+            if phys in pred:
+                raise ValueError(
+                    f"cannot drop {name!r}: referenced by constraint "
+                    f"{cname!r} ({pred!r})"
+                )
+        schema = self._commit_schema(prev)
+        if schema is None:  # legacy table: derive once
+            schema = self.spark.read.option("mergeSchema", "true").parquet(
+                *[os.path.join(self.path, f)
+                  for f in prev.files + prev.log_files]
+            ).schema
+        if phys not in schema.fieldNames():
+            raise ValueError(f"no such column: {name!r}")
+        from pyspark.sql.types import StructType
+
+        new_schema = StructType(
+            [f for f in schema.fields if f.name != phys]
+        )
+        mapping = dict(prev.column_mapping)
+        mapping[phys] = f"__dropped_v{prev.version + 1}"
+        commit = mf.Commit(
+            version=prev.version + 1,
+            action="drop_column",
+            commit_time=mf.make_commit_time(),
+            files=list(prev.files),
+            log_files=list(prev.log_files),
+            stats={"dropped_column": name, "physical_name": phys},
+            key_ranges=dict(prev.key_ranges),
+            col_stats=dict(prev.col_stats),
+            key_blooms=dict(prev.key_blooms),
+            dv_files=list(prev.dv_files),
+            txn=dict(prev.txn),
+            ri_files=list(prev.ri_files),
+            table_schema=json.dumps(new_schema.jsonValue()),
+            column_mapping=mapping,
+        )
+        return mf.append_commit_rebase(self.path, commit)
+
     def version_as_of(self, instant: str) -> int:
         """Delta ``TIMESTAMP AS OF`` / Hudi ``as.of.instant``: the latest
         version whose commit time is <= ``instant`` (Hudi-style
@@ -1733,8 +1795,19 @@ class LakehouseTable:
                   for f in prev.files + prev.log_files]
             ).schema
         fields = {f.name: f.dataType for f in cur.fields}
+        tombstoned = {
+            p
+            for p, logical in prev.column_mapping.items()
+            if str(logical).startswith("__dropped_")
+        }
         widened = False
         for f in source.schema.fields:
+            if f.name in tombstoned:
+                raise ValueError(
+                    f"column {f.name!r} was dropped; re-introduce it "
+                    f"under a new name (old file data must not "
+                    f"resurrect)"
+                )
             have = fields.get(f.name)
             if have is None:
                 fields[f.name] = f.dataType  # additive evolution

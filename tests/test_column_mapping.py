@@ -126,3 +126,72 @@ def test_cdf_reads_logical_names(spark, tmp_path):
     )
     ch = t.read_changes(2, 2)
     assert "amount" in ch.columns and "v" not in ch.columns
+
+
+def test_drop_column_metadata_only(spark, tmp_path):
+    """DROP COLUMN: metadata-only — the column disappears from reads
+    with zero files rewritten; time travel shows it; RESTORE brings it
+    back; a batch re-carrying the dropped name is refused."""
+    df = spark.createDataFrame(
+        [(1, "a", 10, 1), (2, "b", 20, 1)],
+        "pk_id int, name string, value int, sq int",
+    )
+    t = LakehouseTable.create(
+        spark, str(tmp_path / "t"), df, key_cols=["pk_id"], precombine="sq"
+    )
+    v0_files = list(t._commit(None).files)
+    c = t.drop_column("name")
+    assert c.action == "drop_column"
+    assert c.files == v0_files  # zero files touched
+    assert "name" not in t.read().columns
+    assert set(t.read().columns) >= {"pk_id", "value", "sq"}
+    # time travel to the pre-drop version still reads it
+    assert "name" in t.read(version=0).columns
+    # upserts without the column work; with it, refused
+    t.upsert(spark.createDataFrame([(3, 30, 2)], "pk_id int, value int, sq int"))
+    assert {r.pk_id for r in t.read().collect()} == {1, 2, 3}
+    bad = spark.createDataFrame(
+        [(4, "zombie", 40, 2)], "pk_id int, name string, value int, sq int"
+    )
+    with pytest.raises(ValueError, match="was dropped"):
+        t.upsert(bad)
+    # RESTORE restores data AND schema
+    t.restore(0)
+    assert "name" in t.read().columns
+    assert {r.name for r in t.read().collect()} == {"a", "b"}
+
+
+def test_drop_column_protections(spark, tmp_path):
+    df = spark.createDataFrame(
+        [(1, "A", 10, 1)], "pk_id int, part string, value int, sq int"
+    )
+    t = LakehouseTable.create(
+        spark, str(tmp_path / "t"), df, key_cols=["pk_id"],
+        precombine="sq", partition_by="part",
+        constraints={"v_pos": "value >= 0"},
+    )
+    for col in ("pk_id", "part", "sq"):
+        with pytest.raises(ValueError, match="cannot drop"):
+            t.drop_column(col)
+    with pytest.raises(ValueError, match="constraint"):
+        t.drop_column("value")
+    with pytest.raises(ValueError, match="no such column"):
+        t.drop_column("ghost")
+
+
+def test_drop_after_rename_chain(spark, tmp_path):
+    """rename then drop the renamed column: the tombstone lands on the
+    PHYSICAL name, so neither the new nor the old logical name can
+    resurrect the data."""
+    df = spark.createDataFrame(
+        [(1, "a", 1)], "pk_id int, label string, sq int"
+    )
+    t = LakehouseTable.create(
+        spark, str(tmp_path / "t"), df, key_cols=["pk_id"], precombine="sq"
+    )
+    t.rename_column("label", "tag")
+    t.drop_column("tag")
+    assert "tag" not in t.read().columns and "label" not in t.read().columns
+    bad = spark.createDataFrame([(2, "x", 2)], "pk_id int, label string, sq int")
+    with pytest.raises(ValueError, match="was dropped"):
+        t.upsert(bad)
