@@ -140,6 +140,8 @@ PRIORITY: tuple[str, ...] = (
     "cdc_restore_version",
     # r4: DROP COLUMN (metadata-only, tombstoned physical name)
     "cdc_drop_column",
+    # r4: UniForm/XTable-style export to a real _delta_log
+    "cdc_uniform_export",
     "cdc_zorder_skipping_read",
     "q3_shipping_priority",
     # r4: widened TPC-H battery (Q6/Q12/Q14/Q18/Q19 shapes)

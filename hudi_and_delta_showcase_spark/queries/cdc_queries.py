@@ -1271,3 +1271,48 @@ def cdc_drop_column(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .withColumn("readd_refused", F.lit(bool(readd_refused)))
     )
+
+
+@query(
+    "cdc_uniform_export",
+    oracle="""
+    SELECT event_id, user_id, ts, event_type, value,
+           TRUE AS export_incremental
+    FROM (
+      SELECT *, ROW_NUMBER() OVER (
+        PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+      FROM events
+    ) WHERE rn = 1
+    """,
+    tags=("cdc", "table", "interop"),
+)
+def cdc_uniform_export(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Delta UniForm / Apache XTable interop: the lakehouse table's
+    manifest timeline is exported as a REAL ``_delta_log`` over the
+    SAME parquet files (metadata-only, no data copied), and the final
+    state is read back through the DELTA-PROTOCOL reader — which must
+    equal latest-per-key over all events exactly as the native reader
+    does. ``export_incremental`` pins that a second export after the
+    upsert appended only the new version instead of rewriting the
+    log."""
+    from hudi_and_delta_showcase_spark.tables.delta_log import (
+        delta_history,
+        export_delta_log,
+        read_delta_table,
+    )
+
+    base, incr = _split(spark, sf_dir)
+    path = tempfile.mkdtemp(prefix="uniform_") + "/events_tbl"
+    t = LakehouseTable.create(
+        spark, path, base, key_cols=["user_id"], precombine="ts",
+        tiebreakers=["event_id"],
+    )
+    assert export_delta_log(t) == 0
+    t.upsert(incr)
+    assert export_delta_log(t) == 1
+    export_incremental = len(delta_history(t.path)) == 2
+    return (
+        read_delta_table(spark, t.path)
+        .select(*_FINAL_COLS)
+        .withColumn("export_incremental", F.lit(bool(export_incremental)))
+    )

@@ -266,3 +266,107 @@ def delta_history(path: str) -> list[dict]:
                 if "commitInfo" in action:
                     out.append({"version": v, **action["commitInfo"]})
     return out
+
+
+def export_delta_log(table) -> int:
+    """UniForm / XTable-style interop: materialize the lakehouse
+    table's commit timeline as a REAL ``_delta_log`` in the same
+    directory, so a Delta-protocol reader serves the SAME parquet files
+    — no data copied, metadata-only, exactly Delta UniForm's trick for
+    exposing Hudi/Iceberg tables to Delta clients.
+
+    Incremental and idempotent: only versions missing from the log are
+    exported, so calling after every commit costs O(new commits).
+    Version numbers map 1:1 to manifest versions; schema changes
+    (type widening, drop) emit a fresh ``metaData`` action in their
+    version. MoR tables must be compacted first (log files have no
+    Delta representation) and deletion-vector state must be empty
+    (protocol 1/2 readers cannot apply DVs)."""
+    from hudi_and_delta_showcase_spark.tables import manifest as mf
+
+    prev = mf.latest_commit(table.path)
+    if prev is None:
+        raise ValueError("empty table")
+    if prev.log_files:
+        raise RuntimeError("compact() MoR log files before export")
+    if prev.dv_files:
+        raise RuntimeError(
+            "materialize deletion vectors (compact/optimize) before export"
+        )
+    os.makedirs(_log_dir(table.path), exist_ok=True)
+    done = set(_list_versions(table.path))
+    exported = -1
+    prior_files: set[str] = set()
+    prior_schema: str | None = None
+    for v in sorted(mf.list_versions(table.path)):
+        c = mf.read_commit(table.path, v)
+        schema_json = c.table_schema or None
+        if v in done:
+            prior_files = set(c.files)
+            prior_schema = schema_json or prior_schema
+            continue
+        now = int(time.time() * 1000)
+        actions: list[dict] = []
+        if v == 0:
+            actions.append({"protocol": _PROTOCOL})
+        if schema_json != prior_schema or v == 0:
+            schema_str = schema_json
+            if schema_str is None:
+                schema_str = json.dumps(
+                    table._read_base(c).drop("_hoodie_file_name")
+                    .schema.jsonValue()
+                )
+            actions.append(
+                {
+                    "metaData": {
+                        "id": str(uuid.uuid5(uuid.NAMESPACE_URL, table.path)),
+                        "format": {"provider": "parquet", "options": {}},
+                        "schemaString": schema_str,
+                        "partitionColumns": [],
+                        "configuration": {},
+                        "createdTime": now,
+                    }
+                }
+            )
+        cur = set(c.files)
+        for f in sorted(cur - prior_files):
+            st = os.stat(os.path.join(table.path, f))
+            actions.append(
+                {
+                    "add": {
+                        "path": f,
+                        "partitionValues": {},
+                        "size": st.st_size,
+                        "modificationTime": int(st.st_mtime * 1000),
+                        "dataChange": True,
+                    }
+                }
+            )
+        for f in sorted(prior_files - cur):
+            actions.append(
+                {
+                    "remove": {
+                        "path": f,
+                        "deletionTimestamp": now,
+                        "dataChange": True,
+                    }
+                }
+            )
+        actions.append(
+            {
+                "commitInfo": {
+                    "timestamp": now,
+                    "operation": c.action.upper(),
+                    "operationParameters": {},
+                    "engineInfo": "hudi-and-delta-showcase-spark",
+                }
+            }
+        )
+        tmp = _commit_file(table.path, v) + ".tmp"
+        with open(tmp, "w") as fh:
+            fh.write("\n".join(json.dumps(a) for a in actions))
+        os.replace(tmp, _commit_file(table.path, v))
+        prior_files = cur
+        prior_schema = schema_json or prior_schema
+        exported = v
+    return max(exported, max(done) if done else -1)

@@ -9,6 +9,8 @@ import json
 import os
 import tempfile
 
+import pytest
+
 from hudi_and_delta_showcase_spark.tables.delta_log import (
     delta_history,
     read_delta_table,
@@ -114,3 +116,61 @@ def test_checkpoint_replay(spark, sf_dir, tmp_path):
     # (checkpoint replaces them), proving replay starts at the checkpoint
     os.remove(os.path.join(path, "_delta_log", f"{0:020d}.json"))
     assert read_delta_table(spark, path).count() == events.count()
+
+
+def test_export_lakehouse_timeline_as_delta_log(spark, tmp_path):
+    """UniForm-style interop: exporting a lakehouse table's manifest
+    produces a _delta_log over the SAME parquet files; the Delta-protocol
+    reader then serves every version with state equal to the native
+    reads, and an incremental re-export appends only new versions."""
+    from hudi_and_delta_showcase_spark.tables.delta_log import (
+        delta_history,
+        export_delta_log,
+        read_delta_table,
+    )
+    from hudi_and_delta_showcase_spark.tables.lakehouse import LakehouseTable
+
+    df = spark.createDataFrame(
+        [(1, 10, 1), (2, 20, 1)], "k int, v int, sq int"
+    )
+    t = LakehouseTable.create(
+        spark, str(tmp_path / "t"), df, key_cols=["k"], precombine="sq"
+    )
+    t.upsert(spark.createDataFrame([(2, 22, 2), (3, 30, 2)],
+                                   "k int, v int, sq int"))
+    assert export_delta_log(t) == 1
+    for v in (0, 1):
+        native = {
+            (r.k, r.v)
+            for r in t.read(version=v).select("k", "v").collect()
+        }
+        via_delta = {
+            (r.k, r.v)
+            for r in read_delta_table(spark, t.path, version=v)
+            .select("k", "v")
+            .collect()
+        }
+        assert native == via_delta, f"version {v} drifted"
+    # incremental: another commit, re-export appends exactly one version
+    t.upsert(spark.createDataFrame([(4, 40, 3)], "k int, v int, sq int"))
+    assert export_delta_log(t) == 2
+    assert len(delta_history(t.path)) == 3
+    assert {
+        r.k for r in read_delta_table(spark, t.path).select("k").collect()
+    } == {1, 2, 3, 4}
+
+
+def test_export_refuses_unrepresentable_state(spark, tmp_path):
+    from hudi_and_delta_showcase_spark.tables.delta_log import export_delta_log
+    from hudi_and_delta_showcase_spark.tables.lakehouse import LakehouseTable
+
+    df = spark.createDataFrame([(1, 10, 1)], "k int, v int, sq int")
+    t = LakehouseTable.create(
+        spark, str(tmp_path / "m"), df, key_cols=["k"], precombine="sq",
+        table_type="mor",
+    )
+    t.upsert(spark.createDataFrame([(1, 11, 2)], "k int, v int, sq int"))
+    with pytest.raises(RuntimeError, match="compact"):
+        export_delta_log(t)
+    t.compact()
+    assert export_delta_log(t) >= 0
