@@ -1277,7 +1277,7 @@ def cdc_drop_column(spark: SparkSession, sf_dir: str) -> DataFrame:
     "cdc_uniform_export",
     oracle="""
     SELECT event_id, user_id, ts, event_type, value,
-           TRUE AS export_incremental
+           TRUE AS export_incremental, TRUE AS hoodie_export_matches
     FROM (
       SELECT *, ROW_NUMBER() OVER (
         PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
@@ -1287,14 +1287,15 @@ def cdc_drop_column(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("cdc", "table", "interop"),
 )
 def cdc_uniform_export(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Delta UniForm / Apache XTable interop: the lakehouse table's
-    manifest timeline is exported as a REAL ``_delta_log`` over the
-    SAME parquet files (metadata-only, no data copied), and the final
-    state is read back through the DELTA-PROTOCOL reader — which must
-    equal latest-per-key over all events exactly as the native reader
-    does. ``export_incremental`` pins that a second export after the
-    upsert appended only the new version instead of rewriting the
-    log."""
+    """Delta UniForm / Apache XTable interop, BOTH directions: the
+    lakehouse table's manifest timeline is exported as a REAL
+    ``_delta_log`` AND a real ``.hoodie`` instant timeline over the
+    SAME parquet files (metadata-only, no data copied). Final state
+    read back through the DELTA-protocol reader must equal
+    latest-per-key over all events; ``hoodie_export_matches`` pins
+    that the HUDI-protocol reader serves the identical rows, and
+    ``export_incremental`` that re-export appends rather than
+    rewrites."""
     from hudi_and_delta_showcase_spark.tables.delta_log import (
         delta_history,
         export_delta_log,
@@ -1311,8 +1312,22 @@ def cdc_uniform_export(spark: SparkSession, sf_dir: str) -> DataFrame:
     t.upsert(incr)
     assert export_delta_log(t) == 1
     export_incremental = len(delta_history(t.path)) == 2
+    # the .hoodie sibling: same files, Hudi instant timeline, identical
+    # state through the Hudi-protocol reader
+    from hudi_and_delta_showcase_spark.tables.hoodie_timeline import (
+        export_hoodie_timeline,
+        read_hoodie_table,
+    )
+
+    export_hoodie_timeline(t)
+    via_delta = read_delta_table(spark, t.path).select(*_FINAL_COLS)
+    via_hudi = read_hoodie_table(spark, t.path).select(*_FINAL_COLS)
+    hoodie_matches = (
+        via_hudi.exceptAll(via_delta).isEmpty()
+        and via_delta.exceptAll(via_hudi).isEmpty()
+    )
     return (
-        read_delta_table(spark, t.path)
-        .select(*_FINAL_COLS)
+        via_delta
         .withColumn("export_incremental", F.lit(bool(export_incremental)))
+        .withColumn("hoodie_export_matches", F.lit(bool(hoodie_matches)))
     )

@@ -184,6 +184,13 @@ def _latest_file_slices(
         if meta.get("operationType") == "INSERT_OVERWRITE":
             slices.clear()
             barrier = instant
+        else:
+            # Hudi replacecommit semantics: this instant replaces the
+            # listed file groups (clustering / partial rewrites)
+            for fid in (
+                meta.get("extraMetadata", {}).get("replacedFileIds") or []
+            ):
+                slices.pop(fid, None)
         for stats in meta.get("partitionToWriteStats", {}).values():
             for st in stats:
                 fid, p = st["fileId"], st["path"]
@@ -205,3 +212,76 @@ def read_hoodie_table(
     if not files:
         raise FileNotFoundError(f"no completed commits under {path}")
     return spark.read.parquet(*files)
+
+
+def export_hoodie_timeline(table) -> str:
+    """The ``.hoodie`` sibling of ``delta_log.export_delta_log``
+    (Apache XTable both ways): materialize the lakehouse manifest
+    timeline as Hudi instant files over the SAME parquet files —
+    metadata-only. Each data file is its own file group (deterministic
+    fileId from its path); a commit that removed files lists their
+    fileIds as ``replacedFileIds`` (Hudi's replacecommit semantics).
+    Incremental and idempotent via the ``lakehouseVersion`` marker each
+    exported instant carries. MoR logs / live deletion vectors must be
+    folded first, as for the Delta export. Returns the newest instant."""
+    if table._commit(None).log_files:
+        raise RuntimeError("compact() MoR log files before export")
+    if table._commit(None).dv_files:
+        raise RuntimeError(
+            "materialize deletion vectors (compact/optimize) before export"
+        )
+    os.makedirs(_hoodie_dir(table.path), exist_ok=True)
+    if not os.path.exists(
+        os.path.join(_hoodie_dir(table.path), "hoodie.properties")
+    ):
+        _write_properties(table.path, os.path.basename(table.path))
+    done: dict[int, str] = {}
+    for instant in list_instants(table.path):
+        with open(
+            os.path.join(_hoodie_dir(table.path), f"{instant}.commit")
+        ) as fh:
+            meta = json.load(fh)
+        v = meta.get("extraMetadata", {}).get("lakehouseVersion")
+        if v is not None:
+            done[int(v)] = instant
+    fid = lambda f: str(uuid.uuid5(uuid.NAMESPACE_URL, f))  # noqa: E731
+    last_instant = max(done.values()) if done else ""
+    prior: set[str] = set()
+    for v in sorted(mf.list_versions(table.path)):
+        c = mf.read_commit(table.path, v)
+        if v in done:
+            prior = set(c.files)
+            last_instant = done[v]
+            continue
+        instant = mf.make_commit_time()
+        cur = set(c.files)
+        stats = [
+            {
+                "fileId": fid(f),
+                "path": f,
+                "prevCommit": "null",
+                "numWrites": -1,
+                "numInserts": -1,
+                "fileSizeInBytes": os.path.getsize(
+                    os.path.join(table.path, f)
+                ),
+            }
+            for f in sorted(cur - prior)
+        ]
+        meta = {
+            "partitionToWriteStats": {NON_PARTITIONED: stats},
+            "compacted": False,
+            "extraMetadata": {
+                "lakehouseVersion": str(v),
+                "replacedFileIds": sorted(fid(f) for f in prior - cur),
+            },
+            "operationType": "UPSERT" if v else "INSERT",
+        }
+        final = os.path.join(_hoodie_dir(table.path), f"{instant}.commit")
+        tmp = final + ".tmp"
+        with open(tmp, "w") as fh:
+            json.dump(meta, fh, indent=2)
+        os.replace(tmp, final)
+        prior = cur
+        last_instant = instant
+    return last_instant
