@@ -142,6 +142,8 @@ PRIORITY: tuple[str, ...] = (
     "cdc_drop_column",
     # r4: UniForm/XTable-style export to a real _delta_log
     "cdc_uniform_export",
+    # r4: generated columns driving the partition layout
+    "cdc_generated_partition",
     "cdc_zorder_skipping_read",
     "q3_shipping_priority",
     # r4: widened TPC-H battery (Q6/Q12/Q14/Q18/Q19 shapes)

@@ -1331,3 +1331,56 @@ def cdc_uniform_export(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("export_incremental", F.lit(bool(export_incremental)))
         .withColumn("hoodie_export_matches", F.lit(bool(hoodie_matches)))
     )
+
+
+@query(
+    "cdc_generated_partition",
+    oracle="""
+    SELECT event_id, user_id, ts, value,
+           CAST(ts AS DATE) AS event_day,
+           TRUE AS mismatch_rejected
+    FROM (
+      SELECT *, ROW_NUMBER() OVER (
+        PARTITION BY user_id, CAST(ts AS DATE)
+        ORDER BY ts DESC, event_id DESC) AS rn
+      FROM events
+    ) WHERE rn = 1
+    """,
+    tags=("cdc", "table", "schema"),
+)
+def cdc_generated_partition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Generated columns (Delta GENERATED ALWAYS AS) driving the
+    PARTITION layout: the table partitions on ``event_day =
+    cast(ts as date)`` (timezone-free on NTZ — date_trunc would coerce
+    to LTZ and shift under a non-UTC session), a column no batch ever
+    provides — every
+    write derives it in one codegen'd projection, so ingest stays
+    day-partitioned with zero caller cooperation. A batch providing a
+    WRONG value for the generated column is rejected
+    (``mismatch_rejected``). Final state = latest-per-(user, day) over
+    all events — the non-global resolution the generated partition
+    induces."""
+    base, incr = _split(spark, sf_dir)
+    keep = ["event_id", "user_id", "ts", "value"]
+    path = tempfile.mkdtemp(prefix="genpart_") + "/events_tbl"
+    t = LakehouseTable.create(
+        spark, path, base.select(*keep),
+        key_cols=["user_id"], precombine="ts", tiebreakers=["event_id"],
+        partition_by="event_day",
+        generated_columns={"event_day": "cast(ts as date)"},
+    )
+    t.upsert(incr.select(*keep))
+    try:
+        t.upsert(
+            incr.select(*keep)
+            .limit(1)
+            .withColumn("event_day", F.expr("date'1999-01-01'"))
+        )
+        mismatch_rejected = False
+    except ValueError:
+        mismatch_rejected = True
+    return (
+        t.read()
+        .select(*keep, "event_day")
+        .withColumn("mismatch_rejected", F.lit(bool(mismatch_rejected)))
+    )

@@ -81,6 +81,9 @@ class LakehouseTable:
         self.deletion_vectors: bool = meta.get("deletion_vectors", False)
         self.record_index: bool = meta.get("record_index", False)
         self.constraints: dict[str, str] = meta.get("constraints", {})
+        self.generated_columns: dict[str, str] = meta.get(
+            "generated_columns", {}
+        )
 
     # ------------------------------------------------------------------ #
     # creation / loading
@@ -104,6 +107,7 @@ class LakehouseTable:
         deletion_vectors: bool = False,
         record_index: bool = False,
         constraints: dict[str, str] | None = None,
+        generated_columns: dict[str, str] | None = None,
     ) -> "LakehouseTable":
         """C1 bulk insert: write batch as version 0, stamp meta columns
         (the reference's initial hudi insert, README.md:276-291).
@@ -183,12 +187,14 @@ class LakehouseTable:
                     "deletion_vectors": deletion_vectors,
                     "record_index": record_index,
                     "constraints": constraints or {},
+                    "generated_columns": generated_columns or {},
                 },
                 fh,
                 indent=1,
             )
         table = cls(spark, path)
         commit_time = mf.make_commit_time()
+        df = table._apply_generated(df)
         if precombine is not None:
             df = precombine_dedup(
                 df, table._resolution_cols(), precombine, tiebreakers
@@ -599,7 +605,7 @@ class LakehouseTable:
         new_txn = dict(prev.txn)
         if txn_app_id is not None and txn_version is not None:
             new_txn[txn_app_id] = txn_version
-        source = self._physical(source)
+        source = self._apply_generated(self._physical(source))
         source, table_schema = self._reconcile_schema(source, prev)
         if self.precombine is not None:
             source = precombine_dedup(
@@ -767,7 +773,7 @@ class LakehouseTable:
         failing the batch — the pipeline idiom where bad records route
         to a quarantine sink rather than abort the load. One map-only
         predicate split; no extra shuffle."""
-        source = self._physical(source)
+        source = self._apply_generated(self._physical(source))
         if self.precombine is not None:
             source = precombine_dedup(
                 source, self._resolution_cols(), self.precombine,
@@ -800,6 +806,29 @@ class LakehouseTable:
             df.filter(ok),
             df.filter(~ok).withColumn("violated_constraints", names),
         )
+
+    def _apply_generated(self, df: DataFrame) -> DataFrame:
+        """Delta GENERATED ALWAYS AS columns: absent generated columns
+        are COMPUTED from their expression (one codegen'd projection —
+        how a generated partition column derives on every write);
+        provided values are VALIDATED against the expression and the
+        batch is rejected on any mismatch, exactly Delta's contract.
+        Expressions keep their creation-time (physical) spelling, like
+        constraints."""
+        for col, expr in self.generated_columns.items():
+            if col not in df.columns:
+                df = df.withColumn(col, F.expr(expr))
+            else:
+                bad = df.filter(
+                    ~F.col(col).eqNullSafe(F.expr(expr))
+                ).limit(1)
+                if bad.count() > 0:
+                    raise ValueError(
+                        f"generated column {col!r} provided with values "
+                        f"that do not match its expression {expr!r}: "
+                        f"batch rejected"
+                    )
+        return df
 
     def _enforce_constraints(self, df: DataFrame) -> DataFrame:
         """Delta CHECK-constraint behavior: reject the whole batch if
@@ -1271,11 +1300,13 @@ class LakehouseTable:
             json.dump({str(k): v for k, v in sp.items()}, fh)
         os.replace(tmp, self._savepoints_path())
 
-    def vacuum(self, retain_versions: int = 1) -> dict:
+    def vacuum(self, retain_versions: int = 1, dry_run: bool = False) -> dict:
         """D7 VACUUM: physically delete data files not referenced by the
         newest ``retain_versions`` commits (README.md:1240: old files
         remain until vacuum) — nor by any SAVEPOINTED version (Hudi
-        savepoint semantics: pinned versions survive retention)."""
+        savepoint semantics: pinned versions survive retention).
+        ``dry_run`` (Delta ``VACUUM ... DRY RUN``) lists what WOULD be
+        deleted without touching anything."""
         versions = mf.list_versions(self.path)
         retained = versions[-max(1, retain_versions):]
         retained = sorted(set(retained) | set(self.savepoints()))
@@ -1288,6 +1319,7 @@ class LakehouseTable:
             keep.update(c.dv_files)
             keep.update(c.ri_files)
         removed = 0
+        would_remove: list[str] = []
         for sub in ("data", "log", "cdc", "dv", "_index"):
             root = os.path.join(self.path, sub)
             for dirpath, _dirnames, filenames in os.walk(root):
@@ -1296,8 +1328,16 @@ class LakehouseTable:
                         continue
                     rel = os.path.relpath(os.path.join(dirpath, fn), self.path)
                     if rel not in keep:
-                        os.remove(os.path.join(dirpath, fn))
-                        removed += 1
+                        if dry_run:
+                            would_remove.append(rel)
+                        else:
+                            os.remove(os.path.join(dirpath, fn))
+                            removed += 1
+        if dry_run:
+            return {
+                "would_remove_files": sorted(would_remove),
+                "retained_versions": retained,
+            }
         return {"removed_files": removed, "retained_versions": retained}
 
     def restore(self, version: int) -> mf.Commit:

@@ -5,6 +5,7 @@ constraint names they failed. NULL predicates pass (standard CHECK)."""
 
 from __future__ import annotations
 
+import pyspark.sql.functions as F
 import pytest
 
 from hudi_and_delta_showcase_spark.tables import LakehouseTable
@@ -81,3 +82,57 @@ def test_unconstrained_table_unaffected(spark, tmp_path):
     )
     commit, bad = t.upsert_quarantine(df)
     assert bad.count() == 0 and t.read().count() == 1
+
+
+def test_generated_columns_derive_and_validate(spark, tmp_path):
+    """Delta GENERATED ALWAYS AS: missing generated columns compute from
+    their expression on every write (incl. a generated PARTITION
+    column); provided-but-mismatched values reject the batch; matching
+    provided values pass."""
+    from hudi_and_delta_showcase_spark.tables.lakehouse import LakehouseTable
+
+    df = spark.createDataFrame(
+        [(1, "2024-01-01 10:00:00", 10.0), (2, "2024-02-03 09:30:00", 20.0)],
+        "k int, ts_s string, value double",
+    ).select("k", F.col("ts_s").cast("timestamp_ntz").alias("ts"), "value")
+    t = LakehouseTable.create(
+        spark, str(tmp_path / "t"), df, key_cols=["k"], precombine="ts",
+        partition_by="event_day",
+        generated_columns={"event_day": "date_trunc('day', ts)"},
+    )
+    rows = {r.k: r.event_day for r in t.read().collect()}
+    assert str(rows[1]).startswith("2024-01-01")
+    assert str(rows[2]).startswith("2024-02-03")
+    # upsert WITHOUT the generated column: derived again
+    up = spark.createDataFrame(
+        [(1, "2024-03-05 01:00:00", 11.0)], "k int, ts_s string, value double"
+    ).select("k", F.col("ts_s").cast("timestamp_ntz").alias("ts"), "value")
+    t.upsert(up)
+    # non-global index: k=1 now exists in old AND new day partitions
+    days = {str(r.event_day)[:10] for r in t.read().filter(F.col("k") == 1).collect()}
+    assert "2024-03-05" in days
+    # provided-but-wrong generated value -> batch rejected
+    bad = t.read().filter(F.col("k") == 2).withColumn(
+        "event_day", F.expr("timestamp_ntz'1999-01-01 00:00:00'")
+    ).select("k", "ts", "value", "event_day")
+    with pytest.raises(ValueError, match="generated column"):
+        t.upsert(bad)
+    # provided-and-correct passes
+    ok = t.read().filter(F.col("k") == 2).select("k", "ts", "value", "event_day")
+    t.upsert(ok)
+
+
+def test_vacuum_dry_run_lists_without_deleting(spark, tmp_path):
+    from hudi_and_delta_showcase_spark.tables.lakehouse import LakehouseTable
+
+    df = spark.createDataFrame([(1, 10, 1)], "k int, v int, sq int")
+    t = LakehouseTable.create(
+        spark, str(tmp_path / "t"), df, key_cols=["k"], precombine="sq"
+    )
+    t.upsert(spark.createDataFrame([(1, 11, 2)], "k int, v int, sq int"))
+    preview = t.vacuum(retain_versions=1, dry_run=True)
+    assert preview["would_remove_files"]
+    # nothing deleted: time travel still works
+    assert t.read(version=0).count() == 1
+    real = t.vacuum(retain_versions=1)
+    assert real["removed_files"] == len(preview["would_remove_files"])
