@@ -32,12 +32,18 @@ def agg_delta(
 ) -> DataFrame:
     """One CDF slice -> per-group (d_count, d_sum_<col>...) deltas.
     Map-side combinable single aggregation over O(changes) rows."""
-    sign = F.when(
-        F.col("_change_type").isin("insert", "update_postimage"),
-        F.lit(1),
-    ).otherwise(F.lit(-1))
+    is_add = F.col("_change_type").isin("insert", "update_postimage")
+    sign = F.when(is_add, F.lit(1)).otherwise(F.lit(-1))
+    # Apply the sign via ``when`` AFTER a single decimal cast: a
+    # ``sign_dec * value_dec`` product rides Spark's decimal-precision
+    # reduction ((32,6)x(32,6)->(38,6)) whose behavior can depend on
+    # session decimal settings; negation preserves the cast type exactly.
     aggs = [F.sum(sign).alias("d_count")] + [
-        F.sum(sign.cast(_DEC) * F.col(c).cast(_DEC)).alias(f"d_sum_{c}")
+        F.sum(
+            F.when(is_add, F.col(c).cast(_DEC)).otherwise(
+                -F.col(c).cast(_DEC)
+            )
+        ).alias(f"d_sum_{c}")
         for c in sum_cols
     ]
     return changes.groupBy(*group_cols).agg(*aggs)

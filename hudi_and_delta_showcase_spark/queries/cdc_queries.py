@@ -362,7 +362,7 @@ def cdc_column_mapping_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT event_type,
            COUNT(*) AS n,
-           SUM(CAST(value AS DECIMAL(32,6))) AS sum_value
+           CAST(SUM(CAST(value AS DECIMAL(32,6))) AS DOUBLE) AS sum_value
     FROM (
       SELECT event_type, value FROM (
         SELECT *, ROW_NUMBER() OVER (
@@ -410,7 +410,13 @@ def cdc_incremental_gold_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
             t.read_changes(v, v), ["event_type"], ["value"]
         )
         gold = apply_delta(gold, delta, ["event_type"], ["value"])
-    return gold.select("event_type", "n", "sum_value")
+    # Internal retraction algebra stays DECIMAL (exactness); the OUTPUT
+    # follows the repo-wide convention (relational.py q1) of casting
+    # aggregate columns to DOUBLE so the driver's hash canonicalization
+    # never sees mixed decimal precisions across engines.
+    return gold.select(
+        "event_type", "n", F.col("sum_value").cast("double").alias("sum_value")
+    )
 
 
 @query(

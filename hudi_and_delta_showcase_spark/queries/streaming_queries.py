@@ -416,7 +416,7 @@ def stream_table_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT event_type,
            COUNT(*) AS n,
-           SUM(CAST(value AS DECIMAL(32,6))) AS sum_value
+           CAST(SUM(CAST(value AS DECIMAL(32,6))) AS DOUBLE) AS sum_value
     FROM (
       SELECT event_type, value FROM (
         SELECT *, ROW_NUMBER() OVER (
@@ -486,4 +486,8 @@ def stream_gold_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         .start()
     )
     q.awaitTermination()
-    return state["gold"].select("event_type", "n", "sum_value")
+    # DECIMAL internally for exact retraction; DOUBLE at the output
+    # boundary per the repo-wide aggregate-output convention.
+    return state["gold"].select(
+        "event_type", "n", F.col("sum_value").cast("double").alias("sum_value")
+    )
