@@ -27,30 +27,30 @@ source, so 100 TB tables read like any partitioned parquet dataset.
 from __future__ import annotations
 
 import json
-import os
-import shutil
 import time
 import uuid
 
 from pyspark.sql import DataFrame, SparkSession
 
+from hudi_and_delta_showcase_spark.tables import fsio
+
 _PROTOCOL = {"minReaderVersion": 1, "minWriterVersion": 2}
 
 
 def _log_dir(path: str) -> str:
-    return os.path.join(path, "_delta_log")
+    return fsio.join(path, "_delta_log")
 
 
 def _commit_file(path: str, version: int) -> str:
-    return os.path.join(_log_dir(path), f"{version:020d}.json")
+    return fsio.join(_log_dir(path), f"{version:020d}.json")
 
 
 def _list_versions(path: str) -> list[int]:
-    if not os.path.isdir(_log_dir(path)):
+    if not fsio.isdir(_log_dir(path)):
         return []
     return sorted(
         int(f[:-5])
-        for f in os.listdir(_log_dir(path))
+        for f in fsio.listdir(_log_dir(path))
         if f.endswith(".json") and f[:-5].isdigit()
     )
 
@@ -58,26 +58,24 @@ def _list_versions(path: str) -> list[int]:
 def _stage_data_files(df: DataFrame, path: str) -> list[dict]:
     """Write df as parquet and move the part files into the table root
     under unique names; return their `add` actions."""
-    staging = os.path.join(path, f".staging-{uuid.uuid4().hex[:8]}")
+    staging = fsio.join(path, f".staging-{uuid.uuid4().hex[:8]}")
     df.write.parquet(staging)
     adds = []
-    for fn in sorted(os.listdir(staging)):
+    for fn in sorted(fsio.listdir(staging)):
         if not fn.endswith(".parquet"):
             continue
         new_name = f"part-{uuid.uuid4().hex}.snappy.parquet"
-        src = os.path.join(staging, fn)
-        dst = os.path.join(path, new_name)
-        shutil.move(src, dst)
+        fsio.move(fsio.join(staging, fn), fsio.join(path, new_name))
         adds.append(
             {
                 "path": new_name,
                 "partitionValues": {},
-                "size": os.path.getsize(dst),
+                "size": fsio.file_size(fsio.join(path, new_name)),
                 "modificationTime": int(time.time() * 1000),
                 "dataChange": True,
             }
         )
-    shutil.rmtree(staging)
+    fsio.rmtree(staging)
     return adds
 
 
@@ -85,7 +83,7 @@ def write_delta_table(df: DataFrame, path: str, mode: str = "append") -> int:
     """Commit ``df`` to a delta-format table at ``path``; returns the new
     version. ``mode``: 'append' adds files; 'overwrite' additionally
     emits `remove` actions for every previously live file."""
-    os.makedirs(_log_dir(path), exist_ok=True)
+    fsio.makedirs(_log_dir(path))
     versions = _list_versions(path)
     version = (versions[-1] + 1) if versions else 0
     now = int(time.time() * 1000)
@@ -130,8 +128,10 @@ def write_delta_table(df: DataFrame, path: str, mode: str = "append") -> int:
             }
         }
     )
-    with open(_commit_file(path, version), "w") as fh:
-        fh.write("\n".join(json.dumps(a) for a in actions) + "\n")
+    fsio.write_atomic(
+        _commit_file(path, version),
+        "\n".join(json.dumps(a) for a in actions) + "\n",
+    )
     return version
 
 
@@ -160,33 +160,46 @@ def write_checkpoint(spark: SparkSession, path: str) -> int:
         {"kind": "add", "json": json.dumps({"path": f, "dataChange": False})}
         for f in files
     ]
-    cp = os.path.join(_log_dir(path), f"{version:020d}.checkpoint.parquet")
-    pq.write_table(
-        pa.table(
-            {
-                "kind": [r["kind"] for r in rows],
-                "json": [r["json"] for r in rows],
-            }
-        ),
-        cp,
+    cp = fsio.join(_log_dir(path), f"{version:020d}.checkpoint.parquet")
+    tbl = pa.table(
+        {
+            "kind": [r["kind"] for r in rows],
+            "json": [r["json"] for r in rows],
+        }
     )
-    with open(os.path.join(_log_dir(path), "_last_checkpoint"), "w") as fh:
-        json.dump({"version": version, "size": len(rows)}, fh)
+    if fsio.is_remote(cp):
+        import pyarrow.fs as pafs
+
+        pfs, ppath = pafs.FileSystem.from_uri(cp)
+        with pfs.open_output_stream(ppath) as out:
+            pq.write_table(tbl, out)
+    else:
+        pq.write_table(tbl, cp)
+    fsio.write_atomic(
+        fsio.join(_log_dir(path), "_last_checkpoint"),
+        json.dumps({"version": version, "size": len(rows)}),
+    )
     return version
 
 
 def _read_checkpoint(path: str) -> tuple[int, dict, dict[str, bool]] | None:
-    lc = os.path.join(_log_dir(path), "_last_checkpoint")
-    if not os.path.exists(lc):
+    lc = fsio.join(_log_dir(path), "_last_checkpoint")
+    if not fsio.exists(lc):
         return None
     import pyarrow.parquet as pq
 
-    with open(lc) as fh:
-        cp_version = json.load(fh)["version"]
-    cp = os.path.join(
+    cp_version = json.loads(fsio.read_text(lc))["version"]
+    cp = fsio.join(
         _log_dir(path), f"{cp_version:020d}.checkpoint.parquet"
     )
-    tbl = pq.read_table(cp).to_pylist()
+    if fsio.is_remote(cp):
+        import pyarrow.fs as pafs
+
+        pfs, ppath = pafs.FileSystem.from_uri(cp)
+        with pfs.open_input_file(ppath) as fh:
+            tbl = pq.read_table(fh).to_pylist()
+    else:
+        tbl = pq.read_table(cp).to_pylist()
     meta: dict = {}
     live: dict[str, bool] = {}
     for row in tbl:
@@ -221,17 +234,16 @@ def _replay(
             continue
         if v > upto:
             break
-        with open(_commit_file(path, v)) as fh:
-            for line in fh:
-                if not line.strip():
-                    continue
-                action = json.loads(line)
-                if "metaData" in action:
-                    meta = action["metaData"]
-                elif "add" in action:
-                    live[action["add"]["path"]] = True
-                elif "remove" in action:
-                    live.pop(action["remove"]["path"], None)
+        for line in fsio.read_text(_commit_file(path, v)).splitlines():
+            if not line.strip():
+                continue
+            action = json.loads(line)
+            if "metaData" in action:
+                meta = action["metaData"]
+            elif "add" in action:
+                live[action["add"]["path"]] = True
+            elif "remove" in action:
+                live.pop(action["remove"]["path"], None)
     return meta, sorted(live)
 
 
@@ -252,7 +264,7 @@ def read_delta_table(
     if not files:
         return spark.createDataFrame([], schema)
     return spark.read.schema(schema).parquet(
-        *[os.path.join(path, f) for f in files]
+        *[fsio.join(path, f) for f in files]
     )
 
 
@@ -260,11 +272,10 @@ def delta_history(path: str) -> list[dict]:
     """The commitInfo timeline (DESCRIBE HISTORY equivalent)."""
     out = []
     for v in _list_versions(path):
-        with open(_commit_file(path, v)) as fh:
-            for line in fh:
-                action = json.loads(line) if line.strip() else {}
-                if "commitInfo" in action:
-                    out.append({"version": v, **action["commitInfo"]})
+        for line in fsio.read_text(_commit_file(path, v)).splitlines():
+            action = json.loads(line) if line.strip() else {}
+            if "commitInfo" in action:
+                out.append({"version": v, **action["commitInfo"]})
     return out
 
 
@@ -293,7 +304,7 @@ def export_delta_log(table) -> int:
         raise RuntimeError(
             "materialize deletion vectors (compact/optimize) before export"
         )
-    os.makedirs(_log_dir(table.path), exist_ok=True)
+    fsio.makedirs(_log_dir(table.path))
     done = set(_list_versions(table.path))
     exported = -1
     prior_files: set[str] = set()
@@ -330,14 +341,16 @@ def export_delta_log(table) -> int:
             )
         cur = set(c.files)
         for f in sorted(cur - prior_files):
-            st = os.stat(os.path.join(table.path, f))
+            mtime, size = fsio.stat_identity(fsio.join(table.path, f))
             actions.append(
                 {
                     "add": {
                         "path": f,
                         "partitionValues": {},
-                        "size": st.st_size,
-                        "modificationTime": int(st.st_mtime * 1000),
+                        "size": size,
+                        "modificationTime": int(mtime / 1_000_000)
+                        if not fsio.is_remote(table.path)
+                        else int(mtime),
                         "dataChange": True,
                     }
                 }
@@ -362,10 +375,10 @@ def export_delta_log(table) -> int:
                 }
             }
         )
-        tmp = _commit_file(table.path, v) + ".tmp"
-        with open(tmp, "w") as fh:
-            fh.write("\n".join(json.dumps(a) for a in actions))
-        os.replace(tmp, _commit_file(table.path, v))
+        fsio.write_atomic(
+            _commit_file(table.path, v),
+            "\n".join(json.dumps(a) for a in actions),
+        )
         prior_files = cur
         prior_schema = schema_json or prior_schema
         exported = v

@@ -35,12 +35,12 @@ scan.
 from __future__ import annotations
 
 import json
-import os
-import shutil
+import posixpath
 import uuid
 
 from pyspark.sql import DataFrame, SparkSession
 
+from hudi_and_delta_showcase_spark.tables import fsio
 from hudi_and_delta_showcase_spark.tables import manifest as mf
 
 #: Hudi's default partition path for unpartitioned tables.
@@ -48,7 +48,7 @@ NON_PARTITIONED = ""
 
 
 def _hoodie_dir(path: str) -> str:
-    return os.path.join(path, ".hoodie")
+    return fsio.join(path, ".hoodie")
 
 
 def _write_properties(path: str, name: str) -> None:
@@ -60,16 +60,17 @@ def _write_properties(path: str, name: str) -> None:
         "hoodie.table.base.file.format": "PARQUET",
         "hoodie.populate.meta.fields": "false",
     }
-    with open(os.path.join(_hoodie_dir(path), "hoodie.properties"), "w") as fh:
-        fh.write("#Updated at instant creation\n")
-        for k, v in props.items():
-            fh.write(f"{k}={v}\n")
+    fsio.write_atomic(
+        fsio.join(_hoodie_dir(path), "hoodie.properties"),
+        "#Updated at instant creation\n"
+        + "".join(f"{k}={v}\n" for k, v in props.items()),
+    )
 
 
 def list_instants(path: str, state: str = "commit") -> list[str]:
     """Completed (or requested/inflight) instant times, sorted."""
     d = _hoodie_dir(path)
-    if not os.path.isdir(d):
+    if not fsio.isdir(d):
         return []
     suffix = {
         "commit": ".commit",
@@ -77,7 +78,7 @@ def list_instants(path: str, state: str = "commit") -> list[str]:
         "requested": ".commit.requested",
     }[state]
     out = []
-    for f in os.listdir(d):
+    for f in fsio.listdir(d):
         if f.endswith(suffix):
             stem = f[: -len(suffix)]
             if stem.isdigit():
@@ -100,16 +101,16 @@ def write_hoodie_table(
     The instant transitions requested → inflight → completed on the
     timeline, so a crash mid-write leaves only non-completed instant
     files and staged data that no reader will ever include."""
-    os.makedirs(_hoodie_dir(path), exist_ok=True)
-    if not os.path.exists(os.path.join(_hoodie_dir(path), "hoodie.properties")):
-        _write_properties(path, table_name or os.path.basename(path))
+    fsio.makedirs(_hoodie_dir(path))
+    if not fsio.exists(fsio.join(_hoodie_dir(path), "hoodie.properties")):
+        _write_properties(path, table_name or posixpath.basename(path.rstrip("/")))
     instant = mf.make_commit_time()
 
     # instant state machine: requested -> inflight -> completed
-    req = os.path.join(_hoodie_dir(path), f"{instant}.commit.requested")
-    open(req, "w").close()
-    inflight = os.path.join(_hoodie_dir(path), f"{instant}.inflight")
-    open(inflight, "w").close()
+    req = fsio.join(_hoodie_dir(path), f"{instant}.commit.requested")
+    fsio.write_atomic(req, "")
+    inflight = fsio.join(_hoodie_dir(path), f"{instant}.inflight")
+    fsio.write_atomic(inflight, "")
 
     if mode == "overwrite":
         prev = list_instants(path)
@@ -118,16 +119,16 @@ def write_hoodie_table(
         raise ValueError(f"unsupported mode: {mode}")
 
     # stage parquet, rename into Hudi's file-group naming convention
-    staging = os.path.join(path, f".staging-{uuid.uuid4().hex[:8]}")
+    staging = fsio.join(path, f".staging-{uuid.uuid4().hex[:8]}")
     df.write.parquet(staging)
     write_stats = []
-    for fn in sorted(os.listdir(staging)):
+    for fn in sorted(fsio.listdir(staging)):
         if not fn.endswith(".parquet"):
             continue
         file_id = str(uuid.uuid4())
         new_name = f"{file_id}_0-1-0_{instant}.parquet"
-        dst = os.path.join(path, new_name)
-        shutil.move(os.path.join(staging, fn), dst)
+        dst = fsio.join(path, new_name)
+        fsio.move(fsio.join(staging, fn), dst)
         write_stats.append(
             {
                 "fileId": file_id,
@@ -135,18 +136,18 @@ def write_hoodie_table(
                 "prevCommit": "null",
                 "numWrites": -1,
                 "numInserts": -1,
-                "fileSizeInBytes": os.path.getsize(dst),
+                "fileSizeInBytes": fsio.file_size(dst),
             }
         )
-    shutil.rmtree(staging)
+    fsio.rmtree(staging)
 
-    pmeta = os.path.join(path, ".hoodie_partition_metadata")
-    if not os.path.exists(pmeta):
-        with open(pmeta, "w") as fh:
-            fh.write(
-                "#partition metadata\n"
-                f"commitTime={instant}\npartitionDepth=0\n"
-            )
+    pmeta = fsio.join(path, ".hoodie_partition_metadata")
+    if not fsio.exists(pmeta):
+        fsio.write_atomic(
+            pmeta,
+            "#partition metadata\n"
+            f"commitTime={instant}\npartitionDepth=0\n",
+        )
 
     commit_meta = {
         "partitionToWriteStats": {NON_PARTITIONED: write_stats},
@@ -157,13 +158,10 @@ def write_hoodie_table(
     if mode == "overwrite":
         commit_meta["extraMetadata"]["replacedFileIds"] = sorted(replaced)
     # completed-instant write is atomic: tmp + rename, like the manifest
-    final = os.path.join(_hoodie_dir(path), f"{instant}.commit")
-    tmp = final + ".tmp"
-    with open(tmp, "w") as fh:
-        json.dump(commit_meta, fh, indent=2)
-    os.replace(tmp, final)
-    os.remove(inflight)
-    os.remove(req)
+    final = fsio.join(_hoodie_dir(path), f"{instant}.commit")
+    fsio.write_atomic(final, json.dumps(commit_meta, indent=2))
+    fsio.remove(inflight)
+    fsio.remove(req)
     return instant
 
 
@@ -179,8 +177,9 @@ def _latest_file_slices(
     slices: dict[str, tuple[str, str]] = {}
     barrier = ""
     for instant in instants:
-        with open(os.path.join(_hoodie_dir(path), f"{instant}.commit")) as fh:
-            meta = json.load(fh)
+        meta = json.loads(
+            fsio.read_text(fsio.join(_hoodie_dir(path), f"{instant}.commit"))
+        )
         if meta.get("operationType") == "INSERT_OVERWRITE":
             slices.clear()
             barrier = instant
@@ -208,7 +207,7 @@ def read_hoodie_table(
     table — timeline replay on the driver, declarative parquet scan of
     the latest file slices. Only COMPLETED instants are visible."""
     slices = _latest_file_slices(path, as_of_instant)
-    files = sorted(os.path.join(path, p) for p in slices.values())
+    files = sorted(fsio.join(path, p) for p in slices.values())
     if not files:
         raise FileNotFoundError(f"no completed commits under {path}")
     return spark.read.parquet(*files)
@@ -230,17 +229,20 @@ def export_hoodie_timeline(table) -> str:
         raise RuntimeError(
             "materialize deletion vectors (compact/optimize) before export"
         )
-    os.makedirs(_hoodie_dir(table.path), exist_ok=True)
-    if not os.path.exists(
-        os.path.join(_hoodie_dir(table.path), "hoodie.properties")
+    fsio.makedirs(_hoodie_dir(table.path))
+    if not fsio.exists(
+        fsio.join(_hoodie_dir(table.path), "hoodie.properties")
     ):
-        _write_properties(table.path, os.path.basename(table.path))
+        _write_properties(
+            table.path, posixpath.basename(table.path.rstrip("/"))
+        )
     done: dict[int, str] = {}
     for instant in list_instants(table.path):
-        with open(
-            os.path.join(_hoodie_dir(table.path), f"{instant}.commit")
-        ) as fh:
-            meta = json.load(fh)
+        meta = json.loads(
+            fsio.read_text(
+                fsio.join(_hoodie_dir(table.path), f"{instant}.commit")
+            )
+        )
         v = meta.get("extraMetadata", {}).get("lakehouseVersion")
         if v is not None:
             done[int(v)] = instant
@@ -262,8 +264,8 @@ def export_hoodie_timeline(table) -> str:
                 "prevCommit": "null",
                 "numWrites": -1,
                 "numInserts": -1,
-                "fileSizeInBytes": os.path.getsize(
-                    os.path.join(table.path, f)
+                "fileSizeInBytes": fsio.file_size(
+                    fsio.join(table.path, f)
                 ),
             }
             for f in sorted(cur - prior)
@@ -277,11 +279,8 @@ def export_hoodie_timeline(table) -> str:
             },
             "operationType": "UPSERT" if v else "INSERT",
         }
-        final = os.path.join(_hoodie_dir(table.path), f"{instant}.commit")
-        tmp = final + ".tmp"
-        with open(tmp, "w") as fh:
-            json.dump(meta, fh, indent=2)
-        os.replace(tmp, final)
+        final = fsio.join(_hoodie_dir(table.path), f"{instant}.commit")
+        fsio.write_atomic(final, json.dumps(meta, indent=2))
         prior = cur
         last_instant = instant
     return last_instant

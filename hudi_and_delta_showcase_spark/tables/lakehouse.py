@@ -46,6 +46,7 @@ import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession, Window
 
 from hudi_and_delta_showcase_spark.operators.cdc import precombine_dedup
+from hudi_and_delta_showcase_spark.tables import fsio
 from hudi_and_delta_showcase_spark.tables import manifest as mf
 
 META_COLS = (
@@ -67,9 +68,8 @@ class LakehouseTable:
 
     def __init__(self, spark: SparkSession, path: str):
         self.spark = spark
-        self.path = os.path.abspath(path)
-        with open(os.path.join(self.path, "_meta.json")) as fh:
-            meta = json.load(fh)
+        self.path = fsio.absolutize(path)
+        meta = json.loads(fsio.read_text(fsio.join(self.path, "_meta.json")))
         self.key_cols: list[str] = meta["key_cols"]
         self.precombine: str | None = meta["precombine"]
         self.tiebreakers: list[str] = meta.get("tiebreakers", [])
@@ -164,17 +164,16 @@ class LakehouseTable:
                 "change data feed supports copy-on-write tables only "
                 "(MoR log rows are unclassified until compaction)"
             )
-        path = os.path.abspath(path)
-        if os.path.exists(os.path.join(path, "_meta.json")):
+        path = fsio.absolutize(path)
+        if fsio.exists(fsio.join(path, "_meta.json")):
             if mode == "overwrite":
-                import shutil
-
-                shutil.rmtree(path)
+                fsio.rmtree(path)
             else:
                 raise FileExistsError(f"table exists: {path}")
-        os.makedirs(path, exist_ok=True)
-        with open(os.path.join(path, "_meta.json"), "w") as fh:
-            json.dump(
+        fsio.makedirs(path)
+        fsio.write_atomic(
+            fsio.join(path, "_meta.json"),
+            json.dumps(
                 {
                     "key_cols": key_cols,
                     "precombine": precombine,
@@ -189,9 +188,9 @@ class LakehouseTable:
                     "constraints": constraints or {},
                     "generated_columns": generated_columns or {},
                 },
-                fh,
                 indent=1,
-            )
+            ),
+        )
         table = cls(spark, path)
         commit_time = mf.make_commit_time()
         df = table._apply_generated(df)
@@ -492,7 +491,7 @@ class LakehouseTable:
         schema = self._commit_schema(prev)
         if schema is None:  # legacy table: derive once
             schema = self.spark.read.option("mergeSchema", "true").parquet(
-                *[os.path.join(self.path, f)
+                *[fsio.join(self.path, f)
                   for f in prev.files + prev.log_files]
             ).schema
         if phys not in schema.fieldNames():
@@ -1264,13 +1263,17 @@ class LakehouseTable:
         return zsum, out_bounds
 
     def _savepoints_path(self) -> str:
-        return os.path.join(self.path, "_savepoints.json")
+        return fsio.join(self.path, "_savepoints.json")
 
     def savepoints(self) -> dict[int, str]:
         """version -> label of every live savepoint."""
         try:
-            with open(self._savepoints_path()) as fh:
-                return {int(k): v for k, v in json.load(fh).items()}
+            return {
+                int(k): v
+                for k, v in json.loads(
+                    fsio.read_text(self._savepoints_path())
+                ).items()
+            }
         except FileNotFoundError:
             return {}
 
@@ -1286,19 +1289,19 @@ class LakehouseTable:
             raise ValueError(f"no such version: {version}")
         sp = self.savepoints()
         sp[version] = label
-        tmp = self._savepoints_path() + ".tmp"
-        with open(tmp, "w") as fh:
-            json.dump({str(k): v for k, v in sp.items()}, fh)
-        os.replace(tmp, self._savepoints_path())
+        fsio.write_atomic(
+            self._savepoints_path(),
+            json.dumps({str(k): v for k, v in sp.items()}),
+        )
         return version
 
     def delete_savepoint(self, version: int) -> None:
         sp = self.savepoints()
         sp.pop(version, None)
-        tmp = self._savepoints_path() + ".tmp"
-        with open(tmp, "w") as fh:
-            json.dump({str(k): v for k, v in sp.items()}, fh)
-        os.replace(tmp, self._savepoints_path())
+        fsio.write_atomic(
+            self._savepoints_path(),
+            json.dumps({str(k): v for k, v in sp.items()}),
+        )
 
     def vacuum(self, retain_versions: int = 1, dry_run: bool = False) -> dict:
         """D7 VACUUM: physically delete data files not referenced by the
@@ -1321,18 +1324,15 @@ class LakehouseTable:
         removed = 0
         would_remove: list[str] = []
         for sub in ("data", "log", "cdc", "dv", "_index"):
-            root = os.path.join(self.path, sub)
-            for dirpath, _dirnames, filenames in os.walk(root):
-                for fn in filenames:
-                    if not fn.endswith(".parquet"):
-                        continue
-                    rel = os.path.relpath(os.path.join(dirpath, fn), self.path)
-                    if rel not in keep:
-                        if dry_run:
-                            would_remove.append(rel)
-                        else:
-                            os.remove(os.path.join(dirpath, fn))
-                            removed += 1
+            root = fsio.join(self.path, sub)
+            for full in fsio.walk_files(root, ".parquet"):
+                rel = fsio.relpath(full, self.path)
+                if rel not in keep:
+                    if dry_run:
+                        would_remove.append(rel)
+                    else:
+                        fsio.remove(full)
+                        removed += 1
         if dry_run:
             return {
                 "would_remove_files": sorted(would_remove),
@@ -1354,7 +1354,7 @@ class LakehouseTable:
         missing = [
             f
             for f in [*target.files, *target.log_files, *target.dv_files]
-            if not os.path.exists(os.path.join(self.path, f))
+            if not fsio.exists(fsio.join(self.path, f))
         ]
         if missing:
             raise RuntimeError(
@@ -1437,7 +1437,7 @@ class LakehouseTable:
     ) -> list[str]:
         sub = "log" if log else "data"
         rel_dir = os.path.join(sub, f"{commit_dir}-{uuid.uuid4().hex[:8]}")
-        out = os.path.join(self.path, rel_dir)
+        out = fsio.join(self.path, rel_dir)
         # _hoodie_file_name is a READ-time column (_metadata.file_name);
         # persisting it would accrete a stale column on every rewrite.
         if "_hoodie_file_name" in df.columns:
@@ -1450,14 +1450,10 @@ class LakehouseTable:
             df = df.withColumn("__pp", F.col(self.partition_by).cast("string"))
             writer = df.write.mode("error").partitionBy("__pp")
         writer.parquet(out)
-        files = []
-        for dirpath, _dn, filenames in os.walk(out):
-            for fn in filenames:
-                if fn.endswith(".parquet"):
-                    files.append(
-                        os.path.relpath(os.path.join(dirpath, fn), self.path)
-                    )
-        return sorted(files)
+        return sorted(
+            fsio.relpath(p, self.path)
+            for p in fsio.walk_files(out, ".parquet")
+        )
 
     def _file_key_ranges(self, rel_files: list[str]) -> dict[str, list[str]]:
         """Per-file [min, max] of ``_hoodie_record_key`` from parquet
@@ -1503,15 +1499,16 @@ class LakehouseTable:
             # a partitioned write reuses one task's part-file name across
             # every partition directory, so basenames are ambiguous
             scan = self.spark.read.option("mergeSchema", "true").parquet(
-                *[os.path.join(self.path, f) for f in new_files]
+                *[fsio.join(self.path, f) for f in new_files]
             ).select(
                 F.col("_metadata.file_path").alias("__fp"),
                 "_hoodie_record_key",
             )
             wanted = set(new_files)
+            root_path = fsio.uri_path(self.path)
             for uri, b64 in build_file_blooms(scan, file_col="__fp").items():
                 local = urllib.parse.unquote(urllib.parse.urlparse(uri).path)
-                rel = os.path.relpath(local, self.path)
+                rel = os.path.relpath(local, root_path)
                 if rel in wanted:
                     key_blooms[rel] = b64
         if carry_from is not None:
@@ -1541,9 +1538,20 @@ class LakehouseTable:
         out: dict[str, dict[str, list]] = {}
         ok = (str, int, float, bool)
         for rel in rel_files:
+            src = fsio.join(self.path, rel)
             try:
-                md = pq.ParquetFile(os.path.join(self.path, rel)).metadata
-            except OSError:
+                if fsio.is_remote(src):
+                    # footer read via pyarrow's own URI-aware FS layer
+                    # (file/s3/gcs/hdfs); unsupported schemes fall back
+                    # to "unindexed" = conservative full scan
+                    import pyarrow.fs as pafs
+
+                    pfs, ppath = pafs.FileSystem.from_uri(src)
+                    with pfs.open_input_file(ppath) as fh:
+                        md = pq.ParquetFile(fh).metadata
+                else:
+                    md = pq.ParquetFile(src).metadata
+            except Exception:
                 continue
             names = md.schema.names
             # cols=None: index every scalar column, capped at 32 like
@@ -1641,30 +1649,24 @@ class LakehouseTable:
         if not self.record_index or not new_files:
             return []
         scan = self.spark.read.parquet(
-            *[os.path.join(self.path, f) for f in new_files]
+            *[fsio.join(self.path, f) for f in new_files]
         ).select(
             F.col("_hoodie_record_key"), self._dv_file_col().alias("file")
         )
         rel_dir = os.path.join(
             "_index", f"ri-c{version:05d}-{uuid.uuid4().hex[:8]}"
         )
-        scan.write.parquet(os.path.join(self.path, rel_dir))
-        out = []
-        for dirpath, _dn, filenames in os.walk(
-            os.path.join(self.path, rel_dir)
-        ):
-            for fn in filenames:
-                if fn.endswith(".parquet"):
-                    out.append(
-                        os.path.relpath(
-                            os.path.join(dirpath, fn), self.path
-                        )
-                    )
-        return sorted(out)
+        scan.write.parquet(fsio.join(self.path, rel_dir))
+        return sorted(
+            fsio.relpath(p, self.path)
+            for p in fsio.walk_files(
+                fsio.join(self.path, rel_dir), ".parquet"
+            )
+        )
 
     def _ri_scan(self, commit: mf.Commit) -> DataFrame:
         return self.spark.read.parquet(
-            *[os.path.join(self.path, f) for f in commit.ri_files]
+            *[fsio.join(self.path, f) for f in commit.ri_files]
         )
 
     def _probe_ri_hits(
@@ -1792,7 +1794,7 @@ class LakehouseTable:
 
     def _partition_value_of(self, rel_file: str) -> str:
         parts = dict(
-            seg.split("=", 1) for seg in rel_file.split(os.sep) if "=" in seg
+            seg.split("=", 1) for seg in rel_file.split("/") if "=" in seg
         )
         return urllib.parse.unquote(parts.get("__pp", ""))
 
@@ -1831,7 +1833,7 @@ class LakehouseTable:
             if not prev.files and not prev.log_files:
                 return source, prev.table_schema
             cur = self.spark.read.option("mergeSchema", "true").parquet(
-                *[os.path.join(self.path, f)
+                *[fsio.join(self.path, f)
                   for f in prev.files + prev.log_files]
             ).schema
         fields = {f.name: f.dataType for f in cur.fields}
@@ -1888,7 +1890,7 @@ class LakehouseTable:
     def _read_parquet(
         self, rel_files: list[str], commit: mf.Commit | None = None
     ) -> DataFrame:
-        paths = [os.path.join(self.path, f) for f in rel_files]
+        paths = [fsio.join(self.path, f) for f in rel_files]
         schema = self._commit_schema(commit)
         if schema is not None:
             # type-widened table: declare the current schema so legacy
@@ -1918,9 +1920,13 @@ class LakehouseTable:
         identically-named part files into every partition dir it sees.
         Computing the relative path against the CURRENT table root on
         both the write and read side also keeps DVs valid if the table
-        directory is relocated."""
+        directory is relocated. The marker is the table root's PATH
+        component (scheme/authority stripped): ``_metadata.file_path``
+        reports a normalized URI whose scheme form may differ from the
+        configured root (``file:///x`` vs ``file:/x``), but the path
+        component is stable across both."""
         return F.substring_index(
-            F.col("_metadata.file_path"), self.path + "/", -1
+            F.col("_metadata.file_path"), fsio.uri_path(self.path) + "/", -1
         )
 
     def _apply_dvs(self, df: DataFrame, commit: mf.Commit) -> DataFrame:
@@ -1937,7 +1943,7 @@ class LakehouseTable:
         if not commit.dv_files:
             return df
         dv = self.spark.read.parquet(
-            *[os.path.join(self.path, f) for f in commit.dv_files]
+            *[fsio.join(self.path, f) for f in commit.dv_files]
         ).select("file_name", "pos")
         return (
             df.withColumn("__dv_file", self._dv_file_col())
@@ -1965,13 +1971,11 @@ class LakehouseTable:
         rel_dir = os.path.join(
             "cdc", f"c{version:05d}-{uuid.uuid4().hex[:8]}"
         )
-        out = os.path.join(self.path, rel_dir)
+        out = fsio.join(self.path, rel_dir)
         changes.write.mode("error").parquet(out)
         return sorted(
-            os.path.relpath(os.path.join(dirpath, fn), self.path)
-            for dirpath, _dn, filenames in os.walk(out)
-            for fn in filenames
-            if fn.endswith(".parquet")
+            fsio.relpath(p, self.path)
+            for p in fsio.walk_files(out, ".parquet")
         )
 
     def read_changes(
@@ -2007,7 +2011,7 @@ class LakehouseTable:
             raise ValueError(
                 f"no change files in versions [{begin_version}, {end}]"
             )
-        paths = [os.path.join(self.path, f) for f in files]
+        paths = [fsio.join(self.path, f) for f in files]
         return self._logical(
             self.spark.read.option("mergeSchema", "true").parquet(*paths),
             self._commit(end),
@@ -2016,13 +2020,11 @@ class LakehouseTable:
     def _write_dv_files(self, hits: DataFrame, commit_dir: str) -> list[str]:
         """Write ``(file_name, pos)`` rows as a DV sidecar under dv/."""
         rel_dir = os.path.join("dv", f"{commit_dir}-{uuid.uuid4().hex[:8]}")
-        out = os.path.join(self.path, rel_dir)
+        out = fsio.join(self.path, rel_dir)
         hits.write.mode("error").parquet(out)
         return sorted(
-            os.path.relpath(os.path.join(dirpath, fn), self.path)
-            for dirpath, _dn, filenames in os.walk(out)
-            for fn in filenames
-            if fn.endswith(".parquet")
+            fsio.relpath(p, self.path)
+            for p in fsio.walk_files(out, ".parquet")
         )
 
     def _read_base(self, commit: mf.Commit) -> DataFrame:
@@ -2050,7 +2052,7 @@ class LakehouseTable:
         for f in files:
             parts = dict(
                 seg.split("=", 1)
-                for seg in f.split(os.sep)
+                for seg in f.split("/")
                 if "=" in seg
             )
             pv = urllib.parse.unquote(parts.get("__pp", ""))

@@ -30,19 +30,27 @@ per (path, version, file identity) so repeated snapshot resolution —
 history scans, time travel, streaming instant resolution — reads each
 delta once per process.
 
-Atomicity: manifests are written to a temp name then ``os.replace``d —
-atomic on POSIX — so readers never see a torn commit. Single-writer is
-assumed (the reference's ingest loop is single-writer too); optimistic
-concurrency is the version-exists check in ``append_commit``.
+Atomicity: commit files are PUBLISHED PUT-IF-ABSENT (``fsio.
+publish_exclusive`` — a unique temp hard-linked into place locally,
+``create(overwrite=false)`` on Hadoop filesystems), so two genuinely
+concurrent writers racing for the same version get exactly one winner
+and the loser a ``concurrent write detected`` error that feeds the OCC
+rebase loop; readers never see a torn commit. All metadata IO routes
+through ``fsio``: plain-path tables keep the zero-overhead POSIX fast
+path, while ``scheme://`` table roots (gs/s3a/hdfs/file) use the active
+SparkSession's Hadoop connectors — the reference's own deployment keeps
+this log-equivalent on GCS (/root/reference/README.md:1170-1181). See
+``fsio``'s module docstring for the object-store conditional-put caveat.
 """
 
 from __future__ import annotations
 
 import copy
 import json
-import os
 import time
 from dataclasses import asdict, dataclass, field
+
+from hudi_and_delta_showcase_spark.tables import fsio
 
 
 @dataclass
@@ -116,7 +124,7 @@ class Commit:
 
 
 def commits_dir(table_path: str) -> str:
-    return os.path.join(table_path, "_commits")
+    return fsio.join(table_path, "_commits")
 
 
 _last_instant_ms = [0]
@@ -150,12 +158,14 @@ _DICT_FIELDS = ("key_ranges", "col_stats", "key_blooms", "txn", "column_mapping"
 
 def list_versions(table_path: str) -> list[int]:
     d = commits_dir(table_path)
-    if not os.path.isdir(d):
+    if not fsio.isdir(d):
         return []
     return sorted(
         int(f.split(".")[0])
-        for f in os.listdir(d)
-        if f.endswith(".json") and not f.endswith(".checkpoint.json")
+        for f in fsio.listdir(d)
+        if f.endswith(".json")
+        and not f.endswith(".checkpoint.json")
+        and not f.endswith(".tmp")
     )
 
 
@@ -219,8 +229,7 @@ def _apply_delta(parent: Commit, rec: dict) -> Commit:
 
 
 def _file_identity(path: str) -> tuple:
-    st = os.stat(path)
-    return (st.st_mtime_ns, st.st_size)
+    return fsio.stat_identity(path)
 
 
 #: (abs table path, version, commit-file identity) -> full Commit.
@@ -242,17 +251,15 @@ def read_commit(table_path: str, version: int) -> Commit:
     recursively resolves ``version - 1`` (memoized, and bounded by the
     checkpoint cadence) and replays on top of it."""
     d = commits_dir(table_path)
-    final = os.path.join(d, f"{version:08d}.json")
-    key = (os.path.abspath(table_path), version, _file_identity(final))
+    final = fsio.join(d, f"{version:08d}.json")
+    key = (fsio.absolutize(table_path), version, _file_identity(final))
     cached = _snapshot_cache.get(key)
     if cached is None:
-        ckpt = os.path.join(d, f"{version:08d}.checkpoint.json")
-        if os.path.exists(ckpt):
-            with open(ckpt) as fh:
-                cached = Commit(**json.load(fh))
+        ckpt = fsio.join(d, f"{version:08d}.checkpoint.json")
+        if fsio.exists(ckpt):
+            cached = Commit(**json.loads(fsio.read_text(ckpt)))
         else:
-            with open(final) as fh:
-                rec = json.load(fh)
+            rec = json.loads(fsio.read_text(final))
             if rec.pop("delta", False):
                 cached = _apply_delta(read_commit(table_path, version - 1), rec)
             else:
@@ -285,7 +292,7 @@ def _partitions(paths) -> set:
     out = set()
     for p in paths:
         comp = next(
-            (c for c in p.split(os.sep) if "=" in c and not c.endswith(".parquet")),
+            (c for c in p.split("/") if "=" in c and not c.endswith(".parquet")),
             "",
         )
         out.add(comp)
@@ -424,30 +431,31 @@ def latest_commit(table_path: str) -> Commit | None:
 
 def append_commit(table_path: str, commit: Commit) -> None:
     d = commits_dir(table_path)
-    os.makedirs(d, exist_ok=True)
-    final = os.path.join(d, f"{commit.version:08d}.json")
-    if os.path.exists(final):
+    fsio.makedirs(d)
+    final = fsio.join(d, f"{commit.version:08d}.json")
+    # cheap pre-check; the PHYSICAL gate is the exclusive publish below,
+    # which two truly concurrent writers cannot both win
+    if fsio.exists(final):
         raise RuntimeError(
             f"concurrent write detected: commit {commit.version} already exists"
         )
-    parent_file = os.path.join(d, f"{commit.version - 1:08d}.json")
-    if commit.version > 0 and os.path.exists(parent_file):
+    parent_file = fsio.join(d, f"{commit.version - 1:08d}.json")
+    if commit.version > 0 and fsio.exists(parent_file):
         record = _commit_delta(read_commit(table_path, commit.version - 1), commit)
     else:  # first commit (or detached version): full snapshot
         record = asdict(commit)
-    tmp = final + ".tmp"
-    with open(tmp, "w") as fh:
-        json.dump(record, fh, indent=1)
-    os.replace(tmp, final)
+    try:
+        fsio.publish_exclusive(final, json.dumps(record, indent=1))
+    except FileExistsError:
+        raise RuntimeError(
+            f"concurrent write detected: commit {commit.version} already exists"
+        ) from None
     if commit.version > 0 and commit.version % CHECKPOINT_INTERVAL == 0:
-        ckpt = os.path.join(d, f"{commit.version:08d}.checkpoint.json")
-        tmp = ckpt + ".tmp"
-        with open(tmp, "w") as fh:
-            json.dump(asdict(commit), fh, indent=1)
-        os.replace(tmp, ckpt)
+        ckpt = fsio.join(d, f"{commit.version:08d}.checkpoint.json")
+        fsio.write_atomic(ckpt, json.dumps(asdict(commit), indent=1))
         # Delta's _last_checkpoint pointer: readers jump here instead of
         # listing the whole log.
-        tmp = os.path.join(d, "_last_checkpoint.tmp")
-        with open(tmp, "w") as fh:
-            json.dump({"version": commit.version}, fh)
-        os.replace(tmp, os.path.join(d, "_last_checkpoint"))
+        fsio.write_atomic(
+            fsio.join(d, "_last_checkpoint"),
+            json.dumps({"version": commit.version}),
+        )

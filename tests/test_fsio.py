@@ -1,0 +1,232 @@
+"""fsio: the table layer's filesystem abstraction (VERDICT r4 #2).
+
+Covers (a) pure path helpers, (b) the put-if-absent commit publish —
+including a REAL multi-process race, the lost-commit window the
+in-process staged-race tests could not exercise, and (c) an end-to-end
+LakehouseTable lifecycle over a ``file://`` URI, which routes every
+metadata call through the Hadoop FileSystem path (the same code path a
+``gs://``/``s3a://``/``hdfs://`` table root takes).
+"""
+
+import json
+import multiprocessing as mp
+import os
+import re
+import tempfile
+
+import pytest
+
+from hudi_and_delta_showcase_spark.tables import fsio
+from hudi_and_delta_showcase_spark.tables import manifest as mf
+
+# --------------------------------------------------------------------- #
+# path helpers (no Spark needed)
+# --------------------------------------------------------------------- #
+
+
+def test_is_remote_forms():
+    assert fsio.is_remote("gs://bucket/t")
+    assert fsio.is_remote("s3a://bucket/t")
+    assert fsio.is_remote("file:///tmp/t")
+    assert fsio.is_remote("file:/tmp/t")  # Hadoop's normalized form
+    assert not fsio.is_remote("/tmp/t")
+    assert not fsio.is_remote("relative/path")
+
+
+def test_join_and_relpath_uri():
+    base = "gs://bucket/tbl"
+    child = fsio.join(base, "data", "f.parquet")
+    assert child == "gs://bucket/tbl/data/f.parquet"
+    assert fsio.relpath(child, base) == "data/f.parquet"
+    # scheme-form drift: listing returned file:/ while base is file:///
+    assert (
+        fsio.relpath("file:/tmp/t/data/f.parquet", "file:///tmp/t")
+        == "data/f.parquet"
+    )
+    with pytest.raises(ValueError):
+        fsio.relpath("gs://other/x", base)
+
+
+def test_absolutize_keeps_uris():
+    assert fsio.absolutize("gs://b/t") == "gs://b/t"
+    assert os.path.isabs(fsio.absolutize("rel/path"))
+
+
+def test_uri_path():
+    assert fsio.uri_path("file:///tmp/t") == "/tmp/t"
+    assert fsio.uri_path("file:/tmp/t") == "/tmp/t"
+    assert fsio.uri_path("gs://bucket/tbl") == "/tbl"
+    assert fsio.uri_path("/plain/path") == "/plain/path"
+
+
+# --------------------------------------------------------------------- #
+# put-if-absent publish
+# --------------------------------------------------------------------- #
+
+
+def test_publish_exclusive_local_refuses_existing(tmp_path):
+    target = str(tmp_path / "00000001.json")
+    fsio.publish_exclusive(target, '{"v": 1}')
+    with pytest.raises(FileExistsError):
+        fsio.publish_exclusive(target, '{"v": "loser"}')
+    # the winner's bytes are intact and no temp litter remains
+    assert json.loads(fsio.read_text(target)) == {"v": 1}
+    assert [p.name for p in tmp_path.iterdir()] == ["00000001.json"]
+
+
+def _race_worker(target: str, payload: str, barrier, results):
+    barrier.wait()  # maximize overlap
+    try:
+        fsio.publish_exclusive(target, payload)
+        results.put(("win", payload))
+    except FileExistsError:
+        results.put(("lose", payload))
+
+
+def test_publish_exclusive_true_process_race(tmp_path):
+    """N processes racing the SAME commit path: exactly one winner, and
+    the surviving file holds the winner's complete payload (no
+    interleaved/corrupt bytes — each writer stages a UNIQUE temp)."""
+    target = str(tmp_path / "00000007.json")
+    n = 8
+    ctx = mp.get_context("fork")
+    barrier = ctx.Barrier(n)
+    results = ctx.Queue()
+    payloads = [json.dumps({"writer": i, "pad": "x" * 4096}) for i in range(n)]
+    procs = [
+        ctx.Process(target=_race_worker, args=(target, p, barrier, results))
+        for p in payloads
+    ]
+    for p in procs:
+        p.start()
+    outcomes = [results.get(timeout=30) for _ in range(n)]
+    for p in procs:
+        p.join(timeout=30)
+    wins = [pl for tag, pl in outcomes if tag == "win"]
+    assert len(wins) == 1, f"expected exactly 1 winner, got {len(wins)}"
+    assert fsio.read_text(target) == wins[0]  # complete, uncorrupted
+    assert sorted(os.listdir(tmp_path)) == ["00000007.json"]  # no litter
+
+
+def test_append_commit_race_maps_to_concurrent_error(tmp_path):
+    """Two Commit objects prepared at the same version: the second
+    append fails with the OCC-visible 'concurrent write detected', even
+    though both passed any earlier exists() pre-check."""
+    table = str(tmp_path / "tbl")
+    c = mf.Commit(version=0, action="insert", commit_time=mf.make_commit_time())
+    mf.append_commit(table, c)
+    with pytest.raises(RuntimeError, match="concurrent write detected"):
+        mf.append_commit(table, c)
+
+
+# --------------------------------------------------------------------- #
+# static guard: table metadata IO goes through fsio only
+# --------------------------------------------------------------------- #
+
+_POSIX_CALLS = re.compile(
+    r"(?<!fsio\.)(?:\bos\.(?:listdir|walk|replace|remove|stat|makedirs|rename|link)\b"
+    r"|\bshutil\.(?:rmtree|move|copy)\b"
+    r"|(?<![\w.])open\()"
+)
+
+
+def test_table_metadata_modules_use_fsio_only():
+    """No direct POSIX file calls in the table-format modules — every
+    metadata touch must route through fsio so object-store table roots
+    work (fsio itself is the one sanctioned implementation site)."""
+    import hudi_and_delta_showcase_spark.tables as pkg
+
+    root = os.path.dirname(pkg.__file__)
+    offenders = []
+    for mod in ("manifest.py", "lakehouse.py", "delta_log.py", "hoodie_timeline.py"):
+        src = open(os.path.join(root, mod)).read()
+        for i, line in enumerate(src.splitlines(), 1):
+            code = line.split("#", 1)[0]
+            if _POSIX_CALLS.search(code):
+                offenders.append(f"{mod}:{i}: {line.strip()}")
+    assert not offenders, "direct POSIX IO in table modules:\n" + "\n".join(
+        offenders
+    )
+
+
+# --------------------------------------------------------------------- #
+# file:// URI lifecycle through the Hadoop FileSystem path
+# --------------------------------------------------------------------- #
+
+
+@pytest.fixture(scope="module")
+def spark():
+    from hudi_and_delta_showcase_spark.session import get_spark
+
+    return get_spark()
+
+
+@pytest.fixture()
+def uri_table(spark):
+    import pyspark.sql.functions as F
+
+    df = spark.range(60).select(
+        F.col("id").alias("k"),
+        (F.col("id") % 5).alias("v"),
+        F.expr(
+            "cast('2024-01-01 00:00:00' as timestamp_ntz)"
+            " + make_interval(0,0,0,0,0,0,id)"
+        ).alias("ts"),
+    )
+    root = tempfile.mkdtemp(prefix="fsio_uri_")
+    return df, f"file://{root}/tbl"
+
+
+def test_lakehouse_lifecycle_over_file_uri(spark, uri_table):
+    import pyspark.sql.functions as F
+
+    from hudi_and_delta_showcase_spark.tables import LakehouseTable
+
+    df, uri = uri_table
+    t = LakehouseTable.create(
+        spark, uri, df, key_cols=["k"], precombine="ts", cdc_enabled=True
+    )
+    assert t._commit(None).files  # manifest written via Hadoop FS
+    up = df.withColumn("v", F.col("v") + 100).filter(F.col("k") < 10)
+    t.upsert(up)
+    assert t.read().count() == 60
+    assert t.read(version=0).count() == 60  # time travel
+    assert (
+        t.read().filter(F.col("k") < 10).agg(F.min("v")).first()[0] >= 100
+    )
+    assert t.read_changes(1, 1).count() == 20  # CDF pre+post images
+    # savepoint + vacuum + reopen all through the URI
+    t.savepoint(0, "pin")
+    dry = t.vacuum(retain_versions=1, dry_run=True)
+    assert dry["retained_versions"] == [0, 1]
+    t2 = LakehouseTable(spark, uri)
+    assert t2.read().count() == 60
+    # deletes (DV-less path) round-trip too
+    t.delete(t.read().filter(F.col("k") >= 50))
+    assert t.read().count() == 50
+
+
+def test_delta_export_over_file_uri(spark, uri_table):
+    from hudi_and_delta_showcase_spark.tables import LakehouseTable
+    from hudi_and_delta_showcase_spark.tables.delta_log import (
+        export_delta_log,
+        read_delta_table,
+    )
+
+    df, uri = uri_table
+    t = LakehouseTable.create(spark, uri, df, key_cols=["k"], precombine="ts")
+    assert export_delta_log(t) == 0
+    assert read_delta_table(spark, uri).count() == 60
+
+
+def test_hoodie_export_over_file_uri(spark, uri_table):
+    from hudi_and_delta_showcase_spark.tables import LakehouseTable
+    from hudi_and_delta_showcase_spark.tables.hoodie_timeline import (
+        export_hoodie_timeline,
+        read_hoodie_table,
+    )
+
+    df, uri = uri_table
+    t = LakehouseTable.create(spark, uri, df, key_cols=["k"], precombine="ts")
+    assert export_hoodie_timeline(t)
+    assert read_hoodie_table(spark, uri).count() == 60
