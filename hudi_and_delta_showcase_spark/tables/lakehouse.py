@@ -488,6 +488,22 @@ class LakehouseTable:
                     f"cannot drop {name!r}: referenced by constraint "
                     f"{cname!r} ({pred!r})"
                 )
+        # generated columns: dropping the column itself would leave its
+        # meta entry re-adding it on every write straight into the
+        # tombstone refusal (permanently wedging writes); dropping an
+        # INPUT of a generated expression breaks every future write's
+        # F.expr resolution. Refuse both, mirroring the constraint check.
+        if name in self.generated_columns or phys in self.generated_columns:
+            raise ValueError(
+                f"cannot drop generated column {name!r} "
+                "(remove the generated-column definition first)"
+            )
+        for gcol, gexpr in self.generated_columns.items():
+            if phys in gexpr or name in gexpr:
+                raise ValueError(
+                    f"cannot drop {name!r}: referenced by generated "
+                    f"column {gcol!r} ({gexpr!r})"
+                )
         schema = self._commit_schema(prev)
         if schema is None:  # legacy table: derive once
             schema = self.spark.read.option("mergeSchema", "true").parquet(
@@ -2096,10 +2112,17 @@ def maintenance_plan(
     if spec and prev.files:
         stale = [f for f in prev.files if f not in clustered]
         if len(stale) / len(prev.files) > max_unclustered_fraction:
+            # optimize() records the spec under PHYSICAL names; resolve
+            # to logical here so run_maintenance can hand them back to
+            # optimize(), which maps logical->physical — otherwise a
+            # post-optimize rename could cluster the wrong column.
+            logical = [
+                prev.column_mapping.get(c, c) for c in spec.split(",")
+            ]
             plan["cluster"] = {
                 "mode": "incremental",
                 ("zorder_by" if spec_key == "zorder_spec" else "cluster_by"):
-                    spec.split(","),
+                    logical,
                 "stale_files": len(stale),
             }
     if len(mf.list_versions(table.path)) > retain_versions:

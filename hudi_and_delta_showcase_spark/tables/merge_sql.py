@@ -298,10 +298,21 @@ def execute_update(
     rows = table.read()
     if m.group("where"):
         rows = rows.filter(F.expr(m.group("where")))
+    set_cols = set()
     for col, expr in _split_set_list(m.group("sets")):
         rows = rows.withColumn(col, F.expr(expr))
+        set_cols.add(col)
+    # The snapshot rows carry STORED generated-column values; when a SET
+    # changes an input of a generated expression, feeding the stale
+    # stored value back would fail _apply_generated's provided-value
+    # validation. Drop untouched generated columns so upsert recomputes
+    # them from the updated inputs (an explicit SET of a generated
+    # column stays, so its validation still applies).
+    recompute = set(table.generated_columns) - set_cols
     data_cols = [
-        c for c in rows.columns if not c.startswith("_hoodie_") and c != "__pp"
+        c
+        for c in rows.columns
+        if not c.startswith("_hoodie_") and c != "__pp" and c not in recompute
     ]
     # localCheckpoint: materialize the matched+transformed rows once —
     # counting and then upserting the raw lineage would scan the

@@ -192,3 +192,37 @@ def test_maintenance_advisor_mor_compaction(spark, tmp_path):
     assert "compact" in ran and "vacuum" in ran
     assert not t._commit(None).log_files
     assert [r.v for r in t.read_ro().collect()] == [50]
+
+
+def test_maintenance_plan_survives_column_rename(spark, tmp_path):
+    """optimize() records its clustering spec under PHYSICAL names; the
+    advisor must resolve them to CURRENT logical names so that after a
+    rename — even one that makes another column's logical name collide
+    with the spec's physical name — run_maintenance clusters the
+    original column, not an impostor."""
+    from hudi_and_delta_showcase_spark.tables.lakehouse import (
+        maintenance_plan,
+        run_maintenance,
+    )
+
+    t = _table(spark, str(tmp_path / "t"))
+    t.optimize(target_files=4, cluster_by=["v"])
+    # physical 'v' is now logically 'metric'; a plan speaking physical
+    # names would tell run_maintenance to cluster logical 'v' — a
+    # column that no longer exists (or worse, a future impostor)
+    t.rename_column("v", "metric")
+    t.upsert(
+        spark.range(2000, 2400).select(
+            F.col("id").alias("k"),
+            F.lit(5).cast("bigint").alias("metric"),
+            F.lit(2).alias("sq"),
+        )
+    )
+    plan = maintenance_plan(t, max_unclustered_fraction=0.1)
+    assert plan["cluster"]["cluster_by"] == ["metric"]  # logical, post-rename
+    ran = run_maintenance(t, plan)
+    assert "cluster" in ran
+    # restack really clustered the original column (spec unchanged)
+    last = max(t.history(), key=lambda c: c.version)
+    assert last.stats.get("cluster_spec") == "v"  # physical spelling
+    assert t.read().count() == 600
