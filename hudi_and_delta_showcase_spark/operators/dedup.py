@@ -212,6 +212,59 @@ def lsh_candidate_pairs(
     )
 
 
+def _hot_demoted_prefix_candidates(
+    df: DataFrame,
+    id_col: str,
+    shingles_col: str,
+    threshold: float,
+    hot: DataFrame,
+) -> DataFrame:
+    """PPJoin prefix candidate generation under a HOT-DEMOTED canonical
+    order: shingles sort by (is_hot, md5) so high-document-frequency
+    shingles land at the END of every doc's ordering and fall outside
+    the |s| - ceil(t*|s|) + 1 prefix unless a doc consists almost
+    entirely of hot shingles. EXACT (100% recall): the pigeonhole
+    prefix argument holds under ANY fixed global order on the shingle
+    universe — demotion only changes WHICH shingles are indexed, never
+    whether a J >= t pair collides. Posting buckets are thus bounded by
+    the hot cutoff instead of by the hottest stop-shingle's df, so no
+    single bucket goes B² (the AllPairs df-ordering trick).
+
+    ``hot`` is the (small, broadcastable) set of over-frequent shingles
+    — few by definition of being pathological."""
+    posting = df.select(
+        F.col(id_col).alias("doc"),
+        F.size(shingles_col).alias("sz"),
+        F.explode(shingles_col).alias("shingle"),
+    ).join(
+        F.broadcast(hot.select("shingle").withColumn("__hot", F.lit(1))),
+        "shingle",
+        "left",
+    )
+    w = Window.partitionBy("doc").orderBy(
+        F.coalesce(F.col("__hot"), F.lit(0)), F.md5("shingle")
+    )
+    prefix = (
+        posting.withColumn("__pos", F.row_number().over(w))
+        .filter(
+            F.col("__pos")
+            <= F.col("sz") - F.ceil(F.lit(threshold) * F.col("sz")) + 1
+        )
+        .select("doc", "shingle")
+    )
+    a = prefix.alias("a")
+    b = prefix.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col("a.doc") < F.col("b.doc")),
+        )
+        .select(F.col("a.doc").alias("doc_a"), F.col("b.doc").alias("doc_b"))
+        .distinct()
+    )
+
+
 def jaccard_pairs(
     df: DataFrame,
     id_col: str,
@@ -219,6 +272,7 @@ def jaccard_pairs(
     threshold: float,
     candidates: DataFrame | None = None,
     prefix_filter: bool = False,
+    hot_df: int | None = 256,
 ) -> DataFrame:
     """Exact Jaccard similarity. |A∩B| and |A∪B| are integers so jaccard
     is deterministic cross-engine. Three physical strategies, all exact:
@@ -227,7 +281,13 @@ def jaccard_pairs(
       shingle, count co-occurrences per pair (shuffles only (int, int)
       id pairs, never the arrays), derive union from set sizes. Wins for
       short documents / mostly-unique shingles (measured 4.3s vs 6.7s
-      for prefix+verify on the 5k-doc fixture).
+      for prefix+verify on the 5k-doc fixture). Guarded by ``hot_df``:
+      the posting self-join emits B² pairs per shingle bucket, so a
+      stop-trigram shared by 10⁶ docs is a job-killer — when any
+      shingle's document frequency exceeds ``hot_df``, the plan
+      AUTO-SWITCHES to hot-demoted prefix candidates + exact verify
+      (same results, bounded buckets). ``hot_df=None`` disables the
+      guard (and its one detection aggregation).
     * ``prefix_filter=True``: AllPairs/PPJoin prefix filtering — shingles
       in a canonical md5 order, only each doc's first
       |s| - ceil(t*|s|) + 1 indexed; any pair with J >= t must collide
@@ -302,6 +362,37 @@ def jaccard_pairs(
     posting = df.select(
         F.col(id_col).alias("doc"), F.explode(shingles_col).alias("shingle")
     ).hint("shuffle_hash")
+    if hot_df is not None:
+        # Two-stage hot-shingle guard. Stage 1 probes a ~6% doc sample —
+        # a shingle with df > hot_df appears > hot_df*frac/2 times in
+        # the sample with overwhelming probability, so the probe is a
+        # cheap, reliable smoke alarm; clean corpora (the common case)
+        # pay only this small job. Stage 2, reached only when the alarm
+        # fires, computes the EXACT hot set with one map-combinable df
+        # aggregation and switches to bounded prefix candidates.
+        frac = 0.0625
+        probe_cut = max(1, int(hot_df * frac / 2))
+        suspicious = (
+            df.sample(frac, seed=7)
+            .select(F.explode(shingles_col).alias("shingle"))
+            .groupBy("shingle")
+            .agg(F.count(F.lit(1)).alias("__df"))
+            .filter(F.col("__df") > probe_cut)
+        )
+        if suspicious.limit(1).count() > 0:
+            hot = (
+                posting.groupBy("shingle")
+                .agg(F.count(F.lit(1)).alias("__df"))
+                .filter(F.col("__df") > hot_df)
+                .select("shingle")
+            )
+            if hot.limit(1).count() > 0:
+                cand = _hot_demoted_prefix_candidates(
+                    df, id_col, shingles_col, threshold, hot
+                )
+                return jaccard_pairs(
+                    df, id_col, shingles_col, threshold, candidates=cand
+                )
     a = posting.alias("a")
     b = posting.alias("b")
     inter = (

@@ -126,6 +126,59 @@ def test_jaccard_strategies_agree(spark, sf_dir, docs_shingled):
     assert counting == prefix and counting
 
 
+def test_jaccard_hot_shingle_guard_exact_and_bounded(spark):
+    """A stop-shingle shared by EVERY doc must not send the counting
+    mode quadratic: the hot-df guard auto-switches to hot-demoted
+    prefix candidates, whose pair count stays near the true-duplicate
+    count instead of n(n-1)/2 — while the RESULT remains exactly equal
+    to the unguarded counting plan."""
+    import pyspark.sql.functions as F
+
+    n = 80
+    rows = []
+    for i in range(n):
+        # every doc carries the stop-shingles; otherwise unique content
+        sh = ["the quick brown", "of the and"] + [
+            f"uniq {i} {j}" for j in range(8)
+        ]
+        rows.append((i, sh))
+    # three designed near-dup pairs (J well above 0.5)
+    for i, twin in [(0, 100), (1, 101), (2, 102)]:
+        sh = ["the quick brown", "of the and"] + [
+            f"uniq {i} {j}" for j in range(7)
+        ] + [f"twin {twin}"]
+        rows.append((twin, sh))
+    df = spark.createDataFrame(rows, "doc_id long, shingles array<string>")
+
+    guarded = {
+        (r.doc_a, r.doc_b)
+        for r in D.jaccard_pairs(
+            df, "doc_id", "shingles", 0.5, hot_df=8
+        ).collect()
+    }
+    unguarded = {
+        (r.doc_a, r.doc_b)
+        for r in D.jaccard_pairs(
+            df, "doc_id", "shingles", 0.5, hot_df=None
+        ).collect()
+    }
+    assert guarded == unguarded == {(0, 100), (1, 101), (2, 102)}
+
+    # the guard's candidate set is BOUNDED: nowhere near the ~3400
+    # all-pairs blowup the hot shingles would otherwise cause
+    hot = (
+        df.select(F.explode("shingles").alias("shingle"))
+        .groupBy("shingle")
+        .agg(F.count(F.lit(1)).alias("__df"))
+        .filter(F.col("__df") > 8)
+        .select("shingle")
+    )
+    cand = D._hot_demoted_prefix_candidates(df, "doc_id", "shingles", 0.5, hot)
+    n_cand = cand.count()
+    total_pairs = (n + 3) * (n + 2) // 2
+    assert n_cand < total_pairs * 0.05, (n_cand, total_pairs)
+
+
 def test_pq_recall_floor(spark, sf_dir):
     """PQ candidates (m=8, ncode=64, C=100) must recover >=80% of the
     exact top-10 and 100% of the exact top-1 on the fixture corpus."""
