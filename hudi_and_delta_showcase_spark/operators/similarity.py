@@ -21,6 +21,42 @@ import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, Window
 
 
+#: Default ceiling on the query side of broadcast/collected ANN paths.
+#: 1e5 x 768-dim float64 ≈ 600 MB broadcast — already at the edge of
+#: sane; a caller with more queries must CHUNK them (run the operator
+#: per chunk and union), not raise the cap blindly.
+MAX_QUERY_SIDE = 100_000
+
+
+def _bound_query_side(
+    q: DataFrame, max_queries: int | None, op: str
+) -> DataFrame:
+    """Enforce the documented small-query-side contract INSIDE the plan
+    — a window count over the query side feeds ``assert_true``, so a
+    caller handing 10⁸ queries fails fast with a clear message instead
+    of OOMing the driver/executors through a broadcast. No extra Spark
+    job; the single-partition exchange touches only the (by contract
+    small) query side."""
+    if max_queries is None:
+        return q
+    msg = (
+        f"{op}: query side exceeds max_queries={max_queries}; chunk the "
+        "query set (run per chunk and union results), or raise "
+        "max_queries explicitly if memory allows"
+    )
+    n = F.count(F.lit(1)).over(Window.partitionBy(F.lit(1)))
+    return (
+        q.withColumn("__qn", n)
+        .where(
+            F.coalesce(
+                F.assert_true(F.col("__qn") <= F.lit(max_queries), F.lit(msg)),
+                F.lit(True),
+            )
+        )
+        .drop("__qn")
+    )
+
+
 def _dot(a: F.Column, b: F.Column) -> F.Column:
     return F.aggregate(
         F.zip_with(a, b, lambda x, y: x * y),
@@ -52,15 +88,22 @@ def topk_bruteforce(
     vec_col: str,
     k: int = 10,
     round_digits: int | None = 6,
+    max_queries: int | None = MAX_QUERY_SIDE,
 ) -> DataFrame:
     """Exact top-k neighbors for each query vector: broadcast the (small)
-    query set against the corpus, window-rank per query.
+    query set against the corpus, window-rank per query. The broadcast
+    is capped at ``max_queries`` (in-plan assert; see
+    ``_bound_query_side``) — chunk larger query sets.
 
     ``round_digits`` quantizes the similarity before ranking so the
     ordering is reproducible across engines/summation orders; ties break
     on neighbor id."""
-    q = queries.select(
-        F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec")
+    q = _bound_query_side(
+        queries.select(
+            F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec")
+        ),
+        max_queries,
+        "topk_bruteforce",
     )
     c = corpus.select(
         F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("c_vec")
@@ -196,6 +239,7 @@ def topk_ivf(
     train_sample: int = 2048,
     iters: int = 8,
     seed: int = 42,
+    max_queries: int | None = MAX_QUERY_SIDE,
 ) -> DataFrame:
     """IVF ANN: spherical-kmeans coarse quantizer -> inverted lists keyed
     by centroid id -> probe the ``nprobe`` closest lists per query ->
@@ -218,7 +262,13 @@ def topk_ivf(
         "c_vec", cents, nprobe=1,
     )
     qb = ivf_assign(
-        queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec")),
+        _bound_query_side(
+            queries.select(
+                F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec")
+            ),
+            max_queries,
+            "topk_ivf",
+        ),
         "q_vec", cents, nprobe=nprobe,
     )
     cand = (
@@ -254,13 +304,20 @@ def exact_topk_quantized(
     vec_col: str,
     k: int = 1,
     scale: int = 1000,
+    max_queries: int | None = MAX_QUERY_SIDE,
 ) -> DataFrame:
     """Exact top-k neighbors under the QUANTIZED cosine (the
     deterministic ground-truth metric used to audit ANN indexes):
-    broadcast the query set, integer dot folds, round(.,6) + id
-    tie-break. Output: (query_id, neighbor_id, sim, rank)."""
-    q = queries.select(
-        F.col(id_col).alias("query_id"), quantize_vec(vec_col).alias("q_q")
+    broadcast the query set (capped at ``max_queries``), integer dot
+    folds, round(.,6) + id tie-break. Output: (query_id, neighbor_id,
+    sim, rank)."""
+    q = _bound_query_side(
+        queries.select(
+            F.col(id_col).alias("query_id"),
+            quantize_vec(vec_col).alias("q_q"),
+        ),
+        max_queries,
+        "exact_topk_quantized",
     )
     c = corpus.select(
         F.col(id_col).alias("neighbor_id"), quantize_vec(vec_col).alias("c_q")
@@ -351,6 +408,7 @@ def topk_lsh(
     n_tables: int = 8,
     seed: int = 42,
     multiprobe: int = 1,
+    max_queries: int | None = MAX_QUERY_SIDE,
 ) -> DataFrame:
     """ANN top-k: bucket corpus and queries with the same hyperplanes,
     join on (table, bucket), exact-rank the candidates. Recall < 1.0 by
@@ -359,13 +417,21 @@ def topk_lsh(
     Corpus side is bucketed single-probe (buckets stay ~|corpus|/2^planes);
     the query side multiprobes Hamming-1 buckets, so candidate volume per
     query is ~(1+planes) * tables * bucket_size — independent of corpus
-    skew and never a cross join."""
+    skew and never a cross join. The bucketed query side is BROADCAST —
+    capped at ``max_queries`` input rows (in-plan assert); chunk larger
+    query sets."""
     cb = hyperplane_buckets(
         corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("c_vec")),
         "c_vec", dim, n_planes, n_tables, seed,
     )
     qb = hyperplane_buckets(
-        queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec")),
+        _bound_query_side(
+            queries.select(
+                F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec")
+            ),
+            max_queries,
+            "topk_lsh",
+        ),
         "q_vec", dim, n_planes, n_tables, seed, multiprobe=multiprobe,
     )
     cand = (
@@ -465,6 +531,7 @@ def pq_candidates(
     ncode: int = 16,
     train_sample: int = 2048,
     seed: int = 42,
+    max_queries: int | None = MAX_QUERY_SIDE,
 ) -> DataFrame:
     """PQ asymmetric-distance candidate generation: corpus rides as
     8-byte codes; each query builds an (m x ncode) lookup table of
@@ -486,7 +553,21 @@ def pq_candidates(
         cb,
     ).select("neighbor_id", "codes")
 
-    qrows = queries.select(id_col, vec_col).collect()
+    # bounded collect: fetch at most max_queries+1 rows so an oversized
+    # query set fails loudly here instead of OOMing the driver — the
+    # LUT below is O(|queries| * m * ncode) driver memory by design.
+    fetch = (
+        queries.select(id_col, vec_col).limit(max_queries + 1)
+        if max_queries is not None
+        else queries.select(id_col, vec_col)
+    )
+    qrows = fetch.collect()
+    if max_queries is not None and len(qrows) > max_queries:
+        raise ValueError(
+            f"pq_candidates: query side exceeds max_queries={max_queries}; "
+            "chunk the query set (run per chunk and union results), or "
+            "raise max_queries explicitly if memory allows"
+        )
     qids = np.array([r[0] for r in qrows])
     qmat = np.vstack([r[1] for r in qrows]).astype("float64")
     qnorm = np.maximum(np.linalg.norm(qmat, axis=1), 1e-12)
@@ -543,14 +624,17 @@ def topk_pq(
     m: int = 8,
     ncode: int = 16,
     seed: int = 42,
+    max_queries: int | None = MAX_QUERY_SIDE,
 ) -> DataFrame:
     """PQ ANN top-k: compressed-domain candidate scan (pq_candidates)
     followed by exact-cosine re-rank of ONLY the candidate set — the
     standard two-stage PQ retrieval. Re-rank cost is O(|Q| x C), never
-    O(|Q| x corpus)."""
+    O(|Q| x corpus). Query side capped at ``max_queries`` (enforced in
+    pq_candidates' bounded collect)."""
     cand = pq_candidates(
         queries, corpus, id_col, vec_col,
         n_candidates=n_candidates, m=m, ncode=ncode, seed=seed,
+        max_queries=max_queries,
     )
     pairs = cand.join(
         corpus.select(

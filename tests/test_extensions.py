@@ -349,3 +349,35 @@ def test_vocab_topk_coverage_monotone(spark, sf_dir):
     top = exploded.groupBy("t").count().orderBy(
         F.desc("count"), F.asc("t")).first()
     assert rows[0].token == top.t and rows[0].cnt == top["count"]
+
+
+def test_ann_query_side_caps_fail_loudly(spark, sf_dir):
+    """Every broadcast/collected ANN path enforces its documented
+    small-query-side contract: an oversized query set raises a clear
+    error instead of OOMing the driver/executors."""
+    import pytest as _pytest
+
+    from hudi_and_delta_showcase_spark.io import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    dim = len(emb.select("embedding").first()[0])
+    q = emb.limit(8)
+
+    # cap above |q|: all paths run normally
+    assert S.topk_bruteforce(q, emb, "vec_id", "embedding", k=2,
+                             max_queries=8).count() > 0
+    # cap below |q|: each path fails with the chunking guidance
+    with _pytest.raises(Exception, match="max_queries"):
+        S.topk_bruteforce(q, emb, "vec_id", "embedding", k=2,
+                          max_queries=4).count()
+    with _pytest.raises(Exception, match="max_queries"):
+        S.topk_lsh(q, emb, "vec_id", "embedding", dim=dim, k=2,
+                   max_queries=4).count()
+    with _pytest.raises(Exception, match="max_queries"):
+        S.topk_ivf(q, emb, "vec_id", "embedding", k=2,
+                   max_queries=4).count()
+    with _pytest.raises(ValueError, match="max_queries"):
+        S.pq_candidates(q, emb, "vec_id", "embedding", max_queries=4)
+    # max_queries=None disables the guard entirely
+    assert S.topk_bruteforce(q, emb, "vec_id", "embedding", k=2,
+                             max_queries=None).count() > 0
