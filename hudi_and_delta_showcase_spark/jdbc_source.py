@@ -1,0 +1,191 @@
+"""JDBC snapshot source → Datastream envelope adapter (SURVEY.md S10).
+
+The reference ingests a MySQL table through GCP Datastream
+(/root/reference/README.md:40-49,83-93): Datastream performs an initial
+BACKFILL full dump and then tails the binlog, dropping change-event
+Avro files into a bucket. The binlog tail needs a log-reader service by
+nature, but the BACKFILL half is exactly a relational snapshot — which
+Spark can take natively via ``spark.read.jdbc``. This module closes
+that loop:
+
+* ``read_jdbc_snapshot`` — partitioned JDBC read (the 100 TB shape:
+  ``partitionColumn/lowerBound/upperBound/numPartitions`` splits the
+  source table into parallel range queries instead of one giant
+  cursor).
+* ``snapshot_to_envelopes`` — wrap snapshot rows in the SAME Datastream
+  envelope schema the Avro files carry (``read_method =
+  'mysql-backfill-fulldump'``, ``change_type = 'INSERT'``), so every
+  downstream operator — flatten, timestamp-normalize, precombine dedup,
+  streaming CDC apply — consumes a JDBC-sourced backfill identically to
+  a Datastream file drop.
+* ``jdbc_backfill_to_drop_dir`` — materialize the envelopes as a file
+  batch in a CDC drop directory, feeding the existing
+  ``streaming.cdc_stream.apply_cdc_stream`` unchanged.
+
+Integration-tested against an in-process Apache Derby database (the
+embedded JDBC driver ships with Spark); any JDBC URL + driver works the
+same way.
+"""
+
+from __future__ import annotations
+
+import uuid
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+from hudi_and_delta_showcase_spark.operators.cdc import ENVELOPE_SCHEMA
+
+
+def read_jdbc_snapshot(
+    spark: SparkSession,
+    url: str,
+    table: str,
+    driver: str | None = None,
+    partition_column: str | None = None,
+    lower_bound: int | None = None,
+    upper_bound: int | None = None,
+    num_partitions: int = 8,
+    properties: dict | None = None,
+    prefer_timestamp_ntz: bool = True,
+) -> DataFrame:
+    """Relational snapshot via ``spark.read.jdbc``. With
+    ``partition_column`` bounds, the read issues ``num_partitions``
+    parallel range queries — the only sane shape for a large source
+    table; without them it is a single-cursor read (small tables
+    only).
+
+    ``prefer_timestamp_ntz`` (default on) reads SQL TIMESTAMP columns
+    as TIMESTAMP_NTZ — wall-clock preserved regardless of the session
+    timezone. Without it, JDBC timestamps land as LTZ and their wall
+    time SHIFTS under a non-UTC session: exactly the environment-
+    sensitivity class this engine's timestamps are designed out of."""
+    props = dict(properties or {})
+    if driver:
+        props["driver"] = driver
+    reader = (
+        spark.read.format("jdbc")
+        .option("url", url)
+        .option("dbtable", table)
+        .option("preferTimestampNTZ", str(prefer_timestamp_ntz).lower())
+    )
+    for k, v in props.items():
+        reader = reader.option(k, v)
+    if partition_column is not None:
+        if lower_bound is None or upper_bound is None:
+            raise ValueError(
+                "partition_column requires lower_bound and upper_bound"
+            )
+        reader = (
+            reader.option("partitionColumn", partition_column)
+            .option("lowerBound", str(lower_bound))
+            .option("upperBound", str(upper_bound))
+            .option("numPartitions", str(num_partitions))
+        )
+    return reader.load()
+
+
+def snapshot_to_envelopes(
+    snapshot: DataFrame,
+    source_table: str,
+    database: str,
+    primary_keys: list[str],
+    payload_cols: list[str] | None = None,
+    read_timestamp=None,
+    stream_name: str = "jdbc-backfill",
+) -> DataFrame:
+    """Wrap snapshot rows as Datastream BACKFILL envelopes
+    (``ENVELOPE_SCHEMA``): ``change_type='INSERT'``,
+    ``read_method='mysql-backfill-fulldump'`` — byte-compatible with
+    what the reference's initial Datastream load drops as Avro
+    (README.md:164-174,365), so the existing flatten/normalize/upsert
+    pipeline applies unmodified.
+
+    ``payload_cols`` defaults to the envelope payload field names; the
+    snapshot must carry them (rename upstream if the source schema
+    differs). Timestamp payload fields are cast to TIMESTAMP_NTZ at the
+    session zone — the same convention the parquet fixtures use."""
+    payload_fields = [f.name for f in ENVELOPE_SCHEMA["payload"].dataType.fields]
+    want = payload_cols or payload_fields
+    # case-insensitive resolution: JDBC dialects (Derby, Oracle, ...)
+    # fold unquoted identifiers to upper case
+    by_lower = {c.lower(): c for c in snapshot.columns}
+    cols, missing = [], []
+    for c in want:
+        if c in snapshot.columns:
+            cols.append(c)
+        elif c.lower() in by_lower:
+            cols.append(by_lower[c.lower()])
+        else:
+            missing.append(c)
+    if missing:
+        raise ValueError(f"snapshot lacks payload columns: {missing}")
+    read_ts = (
+        F.lit(read_timestamp).cast("timestamp_ntz")
+        if read_timestamp is not None
+        else F.current_timestamp().cast("timestamp_ntz")
+    )
+    payload_struct = F.struct(
+        *[
+            F.col(c).cast(ENVELOPE_SCHEMA["payload"].dataType[f].dataType)
+            .alias(f)
+            for c, f in zip(cols, payload_fields)
+        ]
+    )
+    meta = F.struct(
+        F.lit(source_table).alias("table"),
+        F.lit(database).alias("database"),
+        F.array(*[F.lit(k) for k in primary_keys]).alias("primary_keys"),
+        F.lit("jdbc-snapshot").alias("log_file"),
+        F.monotonically_increasing_id().alias("log_position"),
+        F.lit("INSERT").alias("change_type"),
+        F.lit(False).alias("is_deleted"),
+    )
+    run_id = uuid.uuid4().hex[:12]
+    env = snapshot.select(
+        F.concat(F.lit(f"jdbc-{run_id}-"), F.monotonically_increasing_id())
+        .alias("uuid"),
+        read_ts.alias("read_timestamp"),
+        read_ts.alias("source_timestamp"),
+        F.lit(source_table).alias("object"),
+        F.lit("mysql-backfill-fulldump").alias("read_method"),
+        F.lit(stream_name).alias("stream_name"),
+        F.lit(f"{database}.{source_table}").alias("schema_key"),
+        F.array(
+            F.struct(
+                F.lit("ordering").alias("member0"),
+                F.monotonically_increasing_id().alias("member1"),
+            )
+        ).alias("sort_keys"),
+        meta.alias("source_metadata"),
+        payload_struct.alias("payload"),
+    )
+    # pin the exact envelope schema (field order + types)
+    return env.select(
+        *[F.col(f.name).cast(f.dataType).alias(f.name)
+          for f in ENVELOPE_SCHEMA.fields]
+    )
+
+
+def jdbc_backfill_to_drop_dir(
+    spark: SparkSession,
+    url: str,
+    table: str,
+    drop_dir: str,
+    database: str = "db",
+    primary_keys: list[str] | None = None,
+    **jdbc_kwargs,
+) -> int:
+    """Snapshot the JDBC table and land it as ONE envelope file batch in
+    ``drop_dir`` — from there, ``apply_cdc_stream`` (file-source stream +
+    foreachBatch keyed upsert) ingests it exactly like a Datastream
+    drop. Returns the row count landed."""
+    snap = read_jdbc_snapshot(spark, url, table, **jdbc_kwargs)
+    env = snapshot_to_envelopes(
+        snap,
+        source_table=table.lower(),
+        database=database,
+        primary_keys=primary_keys or ["pk_id"],
+    )
+    env.write.mode("append").parquet(drop_dir)
+    return env.count()

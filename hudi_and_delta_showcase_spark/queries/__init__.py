@@ -39,6 +39,9 @@ PRIORITY: tuple[str, ...] = (
     "cdc_type_widening",
     # r4: multi-writer optimistic concurrency (rebase on disjoint race)
     "cdc_concurrent_writers",
+    # r5: S10 native — real JDBC snapshot (embedded Derby) -> Datastream
+    # envelopes -> streaming CDC apply, the reference's MySQL loop
+    "cdc_jdbc_backfill_loop",
     # on-disk lakehouse protocols (S3 _delta_log, S2 .hoodie timeline) —
     # promoted in r4 so the protocol flagships earn driver rows
     "delta_log_roundtrip",

@@ -1390,3 +1390,84 @@ def cdc_generated_partition(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(*keep, "event_day")
         .withColumn("mismatch_rejected", F.lit(bool(mismatch_rejected)))
     )
+
+
+@query(
+    "cdc_jdbc_backfill_loop",
+    oracle="""
+    SELECT * FROM (VALUES
+      (1, 'apple',    10, 1673496060, 'INSERT',        FALSE),
+      (2, 'samsung', 201, 1673501401, 'UPDATE-INSERT', FALSE),
+      (3, 'dell',     30, 1673501402, 'DELETE',        TRUE),
+      (4, 'motorola', 40, 1673496060, 'INSERT',        FALSE),
+      (5, 'htc',      50, 1673501400, 'INSERT',        FALSE)
+    ) AS t(pk_id, name, value, updated_at, change_type, is_deleted)
+    """,
+    tags=("cdc", "jdbc", "source", "streaming"),
+)
+def cdc_jdbc_backfill_loop(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S10 NATIVE: the reference's MySQL -> Datastream -> lakehouse loop
+    with a real JDBC source standing in for the backfill dump
+    (/root/reference/README.md:40-49,83-93,164-174). An embedded Derby
+    database (driver ships in Spark's jars) holds the golden 4-row
+    source table; ``spark.read.jdbc`` snapshots it (partitioned-read
+    capable, TIMESTAMP as NTZ so wall time survives any session
+    timezone), the snapshot is wrapped in Datastream BACKFILL envelopes,
+    landed as a file batch, and streamed into the lakehouse table via
+    ``apply_cdc_stream``; the golden 3-change binlog batch then lands
+    and upserts. Final state = the reference's post-merge goldens
+    (soft delete retained, README.md:511-531)."""
+    from hudi_and_delta_showcase_spark.jdbc_source import (
+        read_jdbc_snapshot,
+        snapshot_to_envelopes,
+    )
+    from hudi_and_delta_showcase_spark.operators.cdc import golden_cdc_batch
+    from hudi_and_delta_showcase_spark.streaming.cdc_stream import (
+        apply_cdc_stream,
+    )
+
+    root = tempfile.mkdtemp(prefix="jdbc_loop_")
+    url = f"jdbc:derby:{root}/srcdb;create=true"
+    jvm = spark._jvm
+    jvm.java.lang.Class.forName("org.apache.derby.jdbc.EmbeddedDriver")
+    conn = jvm.java.sql.DriverManager.getConnection(url)
+    st = conn.createStatement()
+    st.executeUpdate(
+        "CREATE TABLE HUDI_DELTA_TEST (pk_id INT PRIMARY KEY, "
+        "name VARCHAR(64), value INT, updated_at TIMESTAMP, "
+        "created_at TIMESTAMP)"
+    )
+    for pk, name, value in [
+        (1, "apple", 10), (2, "samsung", 20),
+        (3, "dell", 30), (4, "motorola", 40),
+    ]:
+        st.executeUpdate(
+            f"INSERT INTO HUDI_DELTA_TEST VALUES ({pk}, '{name}', {value}, "
+            "TIMESTAMP('2023-01-12 04:01:00'), "
+            "TIMESTAMP('2023-01-12 04:00:00'))"
+        )
+    st.close()
+    conn.close()
+
+    snap = read_jdbc_snapshot(
+        spark, url, "HUDI_DELTA_TEST",
+        driver="org.apache.derby.jdbc.EmbeddedDriver",
+        partition_column="pk_id", lower_bound=1, upper_bound=5,
+        num_partitions=2,
+    )
+    env = snapshot_to_envelopes(
+        snap, "hudi_delta_test", "db", ["pk_id"],
+        read_timestamp="2023-01-12 04:05:00",
+    )
+    drop = f"{root}/drop"
+    env.coalesce(1).write.parquet(f"{drop}/b0")
+    apply_cdc_stream(
+        spark, f"{drop}/*/", f"{root}/table", checkpoint_dir=f"{root}/ckpt"
+    )
+    golden_cdc_batch(spark).coalesce(1).write.parquet(f"{drop}/b1")
+    table = apply_cdc_stream(
+        spark, f"{drop}/*/", f"{root}/table", checkpoint_dir=f"{root}/ckpt"
+    )
+    return table.read().select(
+        "pk_id", "name", "value", "updated_at", "change_type", "is_deleted"
+    )
