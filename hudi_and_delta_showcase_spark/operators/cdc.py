@@ -83,8 +83,10 @@ def envelope_from_json(spark: SparkSession, lines: list[str]) -> DataFrame:
     files carry (README.md:264,299-320). Complements io.read_avro (jar
     or pure-Python OCF): proves the envelope schema mapping itself —
     same StructType, same downstream operators — from plain JSON."""
+    # bounded slices: a handful of JSON lines does not need one task
+    # per core (each task costs a Python worker round-trip)
     return spark.read.schema(ENVELOPE_SCHEMA).json(
-        spark.sparkContext.parallelize(lines)
+        spark.sparkContext.parallelize(lines, min(4, max(1, len(lines))))
     )
 
 
@@ -210,4 +212,10 @@ def _envelopes(spark, read_method, events, base_ts):
                 (pk, name, value, evt_ts, _ts("2023-01-12 04:00:00")),
             )
         )
-    return spark.createDataFrame(rows, ENVELOPE_SCHEMA)
+    # ONE slice: the nested schema forces the Python-RDD conversion path
+    # (no Arrow), and the default parallelism would spin up 32 Python
+    # workers for a handful of rows — measured ~6s per fixture build vs
+    # well under a second single-sliced.
+    return spark.createDataFrame(
+        spark.sparkContext.parallelize(rows, 1), ENVELOPE_SCHEMA
+    )
