@@ -392,18 +392,30 @@ class LakehouseTable:
     # ------------------------------------------------------------------ #
 
     def _logical(self, df: DataFrame, commit: mf.Commit) -> DataFrame:
-        """Physical -> logical column names for the given version."""
-        for phys, log in commit.column_mapping.items():
-            if phys in df.columns:
-                df = df.withColumnRenamed(phys, log)
-        return df
+        """Physical -> logical column names for the given version.
+        SIMULTANEOUS rename (one select of aliases): a rename chain that
+        permutes names — v->metric then sq->v, so logical 'v' now means
+        the old 'sq' — would make sequential withColumnRenamed collide
+        on the intermediate duplicate name."""
+        mapping = commit.column_mapping
+        if not mapping:
+            return df
+        return df.select(
+            *[df[c].alias(mapping.get(c, c)) for c in df.columns]
+        )
 
     def _physical(self, df: DataFrame) -> DataFrame:
-        """Logical -> physical names (latest mapping) on a write input."""
-        for phys, log in self._commit(None).column_mapping.items():
-            if log in df.columns:
-                df = df.withColumnRenamed(log, phys)
-        return df
+        """Logical -> physical names (latest mapping) on a write input.
+        Simultaneous, like ``_logical``."""
+        inverse = {
+            log: phys
+            for phys, log in self._commit(None).column_mapping.items()
+        }
+        if not inverse:
+            return df
+        return df.select(
+            *[df[c].alias(inverse.get(c, c)) for c in df.columns]
+        )
 
     def _phys_name(self, logical: str, commit: mf.Commit) -> str:
         return next(

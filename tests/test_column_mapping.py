@@ -195,3 +195,31 @@ def test_drop_after_rename_chain(spark, tmp_path):
     bad = spark.createDataFrame([(2, "x", 2)], "pk_id int, label string, sq int")
     with pytest.raises(ValueError, match="was dropped"):
         t.upsert(bad)
+
+
+def test_permutation_rename_chain(spark, tmp_path):
+    """Renames that PERMUTE names — v->metric, then sq->v, so logical
+    'v' now denotes the old sq column — must keep reads and writes
+    correct (simultaneous mapping; sequential withColumnRenamed would
+    collide on the intermediate duplicate)."""
+    from hudi_and_delta_showcase_spark.tables.lakehouse import LakehouseTable
+
+    df = spark.createDataFrame(
+        [(1, 10, 100), (2, 20, 200)], "k int, v int, sq int"
+    )
+    t = LakehouseTable.create(
+        spark, str(tmp_path / "t"), df, key_cols=["k"], precombine="sq"
+    )
+    t.rename_column("v", "metric")
+    t.rename_column("sq", "v")
+    got = {r.k: (r.metric, r.v) for r in t.read().collect()}
+    assert got == {1: (10, 100), 2: (20, 200)}
+    # write under the NEW logical names routes to the right physicals
+    t.upsert(
+        spark.createDataFrame([(1, 11, 101)], "k int, metric int, v int")
+    )
+    got = {r.k: (r.metric, r.v) for r in t.read().collect()}
+    assert got == {1: (11, 101), 2: (20, 200)}
+    # time travel shows the original names and values
+    v0 = {r.k: (r.v, r.sq) for r in t.read(version=0).collect()}
+    assert v0 == {1: (10, 100), 2: (20, 200)}
