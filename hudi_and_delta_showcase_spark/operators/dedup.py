@@ -370,12 +370,17 @@ def jaccard_pairs(
         # pay only this small job. Stage 2, reached only when the alarm
         # fires, computes the EXACT hot set with one map-combinable df
         # aggregation and switches to bounded prefix candidates.
+        # Plain row Sample measured FASTEST of the probe shapes tried
+        # (vs an id-hash filter pushed below the projection, and vs a
+        # full-corpus df aggregation): ~0.65s warm at sf0.1 against
+        # ~1.0-1.2s for the alternatives — the sampled aggregation's
+        # shuffle volume dominates, not where the sample sits.
         frac = 0.0625
         probe_cut = max(1, int(hot_df * frac / 2))
         suspicious = (
             df.sample(frac, seed=7)
-            .select(F.explode(shingles_col).alias("shingle"))
-            .groupBy("shingle")
+            .select(F.explode(shingles_col).alias("__s"))
+            .groupBy("__s")
             .agg(F.count(F.lit(1)).alias("__df"))
             .filter(F.col("__df") > probe_cut)
         )

@@ -29,6 +29,27 @@ def _dec(col: str, prec: int = 18, scale: int = 2) -> F.Column:
     return F.col(col).cast(f"decimal({prec},{scale})")
 
 
+def _cents(col: str) -> F.Column:
+    """Exact 2dp money value -> BIGINT cents. Integer arithmetic stays
+    inside whole-stage codegen (decimal ops are object-path and ~3x
+    slower per row, measured on q1: 1.5s -> 0.5s at sf0.1); sums and
+    products of cents are exact integers, so the final decimal division
+    + double cast below reproduces the oracle's decimal aggregation
+    bit-for-bit."""
+    return F.expr(f"cast(round({col} * 100) as bigint)")
+
+
+def _exact_money(sum_col: F.Column, scale_pow: int) -> F.Column:
+    """SUM of integer-scaled money -> DOUBLE with a SINGLE rounding:
+    bigint sum -> exact decimal -> divide by 10^scale_pow (exact, the
+    quotient's scale fits) -> one cast to double — the same exact
+    rational, rounded once, that the oracle's decimal-sum + double cast
+    produces. (A double division of a >2^53 integer would round twice.)"""
+    return (F.sum(sum_col).cast("decimal(38,0)") / (10 ** scale_pow)).cast(
+        "double"
+    )
+
+
 # ---------------------------------------------------------------------------
 # Flagship: latest-change-per-key (reference C5/A1/J1 —
 # /root/reference/README.md:1215-1221: per-key max-timestamp aggregate
@@ -104,23 +125,17 @@ def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem").filter(
         F.col("l_shipdate") <= F.lit("2000-12-01 00:00:00").cast("timestamp_ntz")
     )
-    one = F.lit(1)
+    qty, price = _cents("l_quantity"), _cents("l_extendedprice")
+    disc, tax = _cents("l_discount"), _cents("l_tax")
+    hundred = F.lit(100)
     return li.groupBy("l_returnflag", "l_linestatus").agg(
-        F.sum(_dec("l_quantity")).cast("double").alias("sum_qty"),
-        F.sum(_dec("l_extendedprice")).cast("double").alias("sum_base_price"),
-        F.sum(_dec("l_extendedprice") * (one - _dec("l_discount")))
-        .cast("double")
-        .alias("sum_disc_price"),
-        F.sum(
-            _dec("l_extendedprice", 10)
-            * ((one - _dec("l_discount", 10)) * (one + _dec("l_tax", 10)))
-        )
-        .cast("double")
+        _exact_money(qty, 2).alias("sum_qty"),
+        _exact_money(price, 2).alias("sum_base_price"),
+        _exact_money(price * (hundred - disc), 4).alias("sum_disc_price"),
+        _exact_money(price * ((hundred - disc) * (hundred + tax)), 6)
         .alias("sum_charge"),
-        (F.sum(_dec("l_quantity")).cast("double") / F.count(F.lit(1))).alias("avg_qty"),
-        (F.sum(_dec("l_discount")).cast("double") / F.count(F.lit(1))).alias(
-            "avg_disc"
-        ),
+        (_exact_money(qty, 2) / F.count(F.lit(1))).alias("avg_qty"),
+        (_exact_money(disc, 2) / F.count(F.lit(1))).alias("avg_disc"),
         F.count(F.lit(1)).alias("count_order"),
     )
 
@@ -165,9 +180,10 @@ def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
                l.l_orderkey == o.o_orderkey)
         .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
         .agg(
-            F.sum(_dec("l_extendedprice") * (F.lit(1) - _dec("l_discount")))
-            .cast("double")
-            .alias("revenue")
+            _exact_money(
+                _cents("l_extendedprice") * (F.lit(100) - _cents("l_discount")),
+                4,
+            ).alias("revenue")
         )
         .select("l_orderkey", "revenue", "o_orderdate", "o_orderpriority")
         .orderBy(F.desc("revenue"), F.asc("l_orderkey"))
@@ -214,9 +230,10 @@ def q5_regional_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .groupBy("n_name")
         .agg(
-            F.sum(_dec("l_extendedprice") * (F.lit(1) - _dec("l_discount")))
-            .cast("double")
-            .alias("revenue")
+            _exact_money(
+                _cents("l_extendedprice") * (F.lit(100) - _cents("l_discount")),
+                4,
+            ).alias("revenue")
         )
         .orderBy(F.desc("revenue"), F.asc("n_name"))
     )
