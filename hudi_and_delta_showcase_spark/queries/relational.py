@@ -269,9 +269,9 @@ def q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (F.col("l_quantity") < 24)
         )
         .agg(
-            F.sum(_dec("l_extendedprice") * _dec("l_discount"))
-            .cast("double")
-            .alias("revenue"),
+            _exact_money(
+                _cents("l_extendedprice") * _cents("l_discount"), 4
+            ).alias("revenue"),
             F.count(F.lit(1)).alias("n_items"),
         )
     )
@@ -342,17 +342,17 @@ def q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("l_shipdate") >= F.lit("1996-03-01 00:00:00").cast("timestamp_ntz"))
         & (F.col("l_shipdate") < F.lit("1996-04-01 00:00:00").cast("timestamp_ntz"))
     )
-    disc = _dec("l_extendedprice") * (F.lit(1) - _dec("l_discount"))
+    disc = _cents("l_extendedprice") * (F.lit(100) - _cents("l_discount"))
     promo = F.when(
         F.col("p_type").like("PROMO%"), disc
-    ).otherwise(F.lit(0).cast("decimal(18,2)"))
+    ).otherwise(F.lit(0).cast("bigint"))
     return (
         li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
         .agg(
             (
                 F.lit(100.00)
-                * F.sum(promo).cast("double")
-                / F.sum(disc).cast("double")
+                * _exact_money(promo, 4)
+                / _exact_money(disc, 4)
             ).alias("promo_revenue_pct")
         )
     )
@@ -391,8 +391,8 @@ def q18_large_volume_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
     big = (
         li.groupBy("l_orderkey")
-        .agg(F.sum(_dec("l_quantity")).alias("s"))
-        .filter(F.col("s") > 250)
+        .agg(F.sum(_cents("l_quantity")).alias("s"))
+        .filter(F.col("s") > 250 * 100)
         .select("l_orderkey")
     )
     return (
@@ -400,7 +400,7 @@ def q18_large_volume_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(o, li.l_orderkey == o.o_orderkey)
         .join(F.broadcast(c), o.o_custkey == c.c_custkey)
         .groupBy("c_name", "c_custkey", "o_orderkey", "o_orderdate", "o_totalprice")
-        .agg(F.sum(_dec("l_quantity")).cast("double").alias("sum_qty"))
+        .agg(_exact_money(_cents("l_quantity"), 2).alias("sum_qty"))
         .withColumn("o_totalprice", _dec("o_totalprice").cast("double"))
         .select(
             "c_name", "c_custkey", "o_orderkey", "o_orderdate",
@@ -453,9 +453,10 @@ def q19_bracketed_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         li.join(F.broadcast(p), p.p_partkey == li.l_partkey)
         .filter(bracket)
         .agg(
-            F.sum(_dec("l_extendedprice") * (F.lit(1) - _dec("l_discount")))
-            .cast("double")
-            .alias("revenue"),
+            _exact_money(
+                _cents("l_extendedprice") * (F.lit(100) - _cents("l_discount")),
+                4,
+            ).alias("revenue"),
             F.count(F.lit(1)).alias("n_items"),
         )
     )
@@ -568,9 +569,10 @@ def q7_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.year("l_shipdate").cast("bigint").alias("l_year"),
         )
         .agg(
-            F.sum(_dec("l_extendedprice") * (F.lit(1) - _dec("l_discount")))
-            .cast("double")
-            .alias("revenue")
+            _exact_money(
+                _cents("l_extendedprice") * (F.lit(100) - _cents("l_discount")),
+                4,
+            ).alias("revenue")
         )
         .orderBy("supp_nation", "cust_nation", "l_year")
     )
@@ -612,7 +614,7 @@ def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = load_table(spark, sf_dir, "orders")
     sn = load_table(spark, sf_dir, "nation")
     li = load_table(spark, sf_dir, "lineitem")
-    vol = _dec("l_extendedprice") * (F.lit(1) - _dec("l_discount"))
+    vol = _cents("l_extendedprice") * (F.lit(100) - _cents("l_discount"))
     return (
         li.join(F.broadcast(p), p.p_partkey == li.l_partkey)
         .join(F.broadcast(s), s.s_suppkey == li.l_suppkey)
@@ -621,12 +623,13 @@ def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.year("o_orderdate").cast("bigint").alias("o_year"))
         .agg(
             (
-                F.sum(
+                _exact_money(
                     F.when(F.col("n_name") == "NATION_3", vol).otherwise(
-                        F.lit(0).cast("decimal(18,2)")
-                    )
-                ).cast("double")
-                / F.sum(vol).cast("double")
+                        F.lit(0).cast("bigint")
+                    ),
+                    4,
+                )
+                / _exact_money(vol, 4)
             ).alias("mkt_share")
         )
         .orderBy("o_year")
@@ -673,9 +676,10 @@ def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
         .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
         .agg(
-            F.sum(_dec("l_extendedprice") * (F.lit(1) - _dec("l_discount")))
-            .cast("double")
-            .alias("revenue")
+            _exact_money(
+                _cents("l_extendedprice") * (F.lit(100) - _cents("l_discount")),
+                4,
+            ).alias("revenue")
         )
         .withColumn("c_acctbal", _dec("c_acctbal").cast("double"))
         .select("c_custkey", "c_name", "revenue", "c_acctbal", "n_name")
@@ -746,17 +750,18 @@ def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q15: supplier(s) with the quarter's maximum revenue. The
     per-supplier aggregate is computed ONCE and the scalar max joins
     back as a 1-row broadcast (no window over all suppliers, no second
-    lineitem scan). Decimal revenue keeps the max comparison exact —
-    a double tie at the top would be engine-dependent."""
+    lineitem scan). INTEGER (scaled-cents) revenue keeps the max
+    comparison exact — a double tie at the top would be
+    engine-dependent."""
     s = load_table(spark, sf_dir, "supplier")
     li = load_table(spark, sf_dir, "lineitem").filter(
         (F.col("l_shipdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp_ntz"))
         & (F.col("l_shipdate") < F.lit("1996-04-01 00:00:00").cast("timestamp_ntz"))
     )
     revenue = li.groupBy(F.col("l_suppkey").alias("supplier_no")).agg(
-        F.sum(_dec("l_extendedprice") * (F.lit(1) - _dec("l_discount"))).alias(
-            "total_rev"
-        )
+        F.sum(
+            _cents("l_extendedprice") * (F.lit(100) - _cents("l_discount"))
+        ).alias("total_rev")
     )
     top = revenue.agg(F.max("total_rev").alias("total_rev"))
     return (
@@ -765,7 +770,9 @@ def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "s_suppkey",
             "s_name",
-            F.col("total_rev").cast("double").alias("total_revenue"),
+            (F.col("total_rev").cast("decimal(38,0)") / 10000)
+            .cast("double")
+            .alias("total_revenue"),
         )
         .orderBy("s_suppkey")
     )
@@ -801,7 +808,7 @@ def q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     avg_qty = li.groupBy(F.col("l_partkey").alias("ap_key")).agg(
         (
             F.lit(0.2)
-            * (F.sum(_dec("l_quantity")).cast("double") / F.count(F.lit(1)))
+            * (_exact_money(_cents("l_quantity"), 2) / F.count(F.lit(1)))
         ).alias("qty_thresh")
     )
     return (
@@ -809,7 +816,7 @@ def q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(avg_qty, li.l_partkey == F.col("ap_key"))
         .filter(F.col("l_quantity") < F.col("qty_thresh"))
         .agg(
-            F.sum(_dec("l_extendedprice")).cast("double").alias("total_price"),
+            _exact_money(_cents("l_extendedprice"), 2).alias("total_price"),
             F.count(F.lit(1)).alias("n_items"),
         )
     )
@@ -853,13 +860,13 @@ def q22_global_sales_opportunity(spark: SparkSession, sf_dir: str) -> DataFrame:
     avg_bal = (
         c.filter(F.col("c_acctbal") > 0)
         .agg(
-            (F.sum(_dec("c_acctbal")).cast("double") / F.count(F.lit(1)))
+            (_exact_money(_cents("c_acctbal"), 2) / F.count(F.lit(1)))
             .alias("a")
         )
     )
     return (
         c.join(F.broadcast(avg_bal))
-        .filter(_dec("c_acctbal").cast("double") > F.col("a"))
+        .filter((_cents("c_acctbal") / F.lit(100.0)) > F.col("a"))
         .join(
             o.filter(F.col("o_orderpriority") == "1-URGENT"),
             c.c_custkey == o.o_custkey,
@@ -869,7 +876,7 @@ def q22_global_sales_opportunity(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("n_name")
         .agg(
             F.count(F.lit(1)).alias("numcust"),
-            F.sum(_dec("c_acctbal")).cast("double").alias("totacctbal"),
+            _exact_money(_cents("c_acctbal"), 2).alias("totacctbal"),
         )
         .orderBy("n_name")
     )
@@ -1009,7 +1016,7 @@ def agg_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
 def agg_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
     return li.rollup("l_returnflag", "l_linestatus").agg(
-        F.sum(_dec("l_quantity")).cast("double").alias("sum_qty"),
+        _exact_money(_cents("l_quantity"), 2).alias("sum_qty"),
         F.count(F.lit(1)).alias("n"),
     )
 
@@ -1128,7 +1135,9 @@ def window_running_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_id",
         "user_id",
         "ts",
-        F.sum(_dec("value")).over(w).cast("double").alias("running_value"),
+        (F.sum(_cents("value")).over(w).cast("decimal(38,0)") / 100)
+        .cast("double")
+        .alias("running_value"),
     )
 
 
@@ -1950,7 +1959,7 @@ def join_dynamic_partition_pruning(spark: SparkSession, sf_dir: str) -> DataFram
         .groupBy("event_type")
         .agg(
             F.count(F.lit(1)).alias("n_events"),
-            F.sum(_dec("value")).cast("double").alias("sum_value"),
+            _exact_money(_cents("value"), 2).alias("sum_value"),
         )
         .orderBy("event_type")
     )
