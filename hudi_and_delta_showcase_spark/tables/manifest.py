@@ -409,7 +409,7 @@ def append_commit_rebase(table_path: str, commit: Commit) -> Commit:
                 raise ConcurrentWriteConflict(
                     "concurrent table creation"
                 ) from exc
-            latest_v = list_versions(table_path)[-1]
+            latest_v = latest_version(table_path)
             base = read_commit(table_path, base_version)
             latest = read_commit(table_path, latest_v)
             ours = _commit_delta(base, commit)
@@ -424,9 +424,38 @@ def append_commit_rebase(table_path: str, commit: Commit) -> Commit:
             base_version = latest_v
 
 
+def latest_version(table_path: str) -> int | None:
+    """Newest committed version WITHOUT listing the commit directory:
+    start from the ``_last_checkpoint`` pointer and probe forward with
+    bounded ``exists`` calls (versions are contiguous by construction —
+    each commit is prev+1 published put-if-absent). On object stores a
+    LIST of a long-lived table's log is O(versions) RPCs; this path is
+    one read + at most ``CHECKPOINT_INTERVAL`` + in-flight probes —
+    exactly Delta's ``_last_checkpoint`` trick. Tables without a
+    checkpoint yet (< CHECKPOINT_INTERVAL commits) fall back to one
+    listing of a small directory."""
+    d = commits_dir(table_path)
+    start = None
+    try:
+        start = int(
+            json.loads(fsio.read_text(fsio.join(d, "_last_checkpoint")))[
+                "version"
+            ]
+        )
+    except (FileNotFoundError, ValueError, KeyError):
+        pass
+    if start is None:
+        versions = list_versions(table_path)
+        return versions[-1] if versions else None
+    v = start
+    while fsio.exists(fsio.join(d, f"{v + 1:08d}.json")):
+        v += 1
+    return v
+
+
 def latest_commit(table_path: str) -> Commit | None:
-    versions = list_versions(table_path)
-    return read_commit(table_path, versions[-1]) if versions else None
+    v = latest_version(table_path)
+    return read_commit(table_path, v) if v is not None else None
 
 
 def append_commit(table_path: str, commit: Commit) -> None:

@@ -127,3 +127,35 @@ def test_cache_returns_isolated_copies(tmp_path):
     a.txn["rogue"] = 99
     b = mf.read_commit(p, 2)
     assert "mutated.parquet" not in b.files and "rogue" not in b.txn
+
+
+def test_latest_version_probes_from_checkpoint(tmp_path):
+    """latest_version resolves without a directory listing once a
+    checkpoint exists: pointer + forward probes; correct below, at, and
+    beyond the checkpoint cadence, and after further commits."""
+    from hudi_and_delta_showcase_spark.tables import manifest as mf
+
+    t = str(tmp_path / "t")
+    assert mf.latest_version(t) is None
+    for v in range(0, 7):  # below checkpoint cadence: listing fallback
+        mf.append_commit(
+            t, mf.Commit(version=v, action="insert",
+                         commit_time=mf.make_commit_time(),
+                         files=[f"f{v}.parquet"])
+        )
+    assert mf.latest_version(t) == 6
+    for v in range(7, 14):  # crosses the v10 checkpoint
+        mf.append_commit(
+            t, mf.Commit(version=v, action="upsert",
+                         commit_time=mf.make_commit_time(),
+                         files=[f"f{v}.parquet"])
+        )
+    assert mf.latest_version(t) == 13  # pointer=10, 3 forward probes
+    assert mf.latest_commit(t).files == ["f13.parquet"]
+    # exactly at the checkpoint: zero forward probes
+    import json
+
+    lc = json.loads(
+        open(f"{mf.commits_dir(t)}/_last_checkpoint").read()
+    )
+    assert lc["version"] == 10
