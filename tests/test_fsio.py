@@ -230,3 +230,35 @@ def test_hoodie_export_over_file_uri(spark, uri_table):
     t = LakehouseTable.create(spark, uri, df, key_cols=["k"], precombine="ts")
     assert export_hoodie_timeline(t)
     assert read_hoodie_table(spark, uri).count() == 60
+
+
+def test_publish_exclusive_hadoop_path(spark, tmp_path):
+    """create(overwrite=false) through the Hadoop FileSystem route
+    (file:// URI) is exclusive too: second publish raises, winner bytes
+    survive."""
+    target = f"file://{tmp_path}/commit.json"
+    fsio.publish_exclusive(target, '{"v": "winner"}')
+    with pytest.raises(FileExistsError):
+        fsio.publish_exclusive(target, '{"v": "loser"}')
+    assert json.loads(fsio.read_text(target)) == {"v": "winner"}
+
+
+def test_occ_rebase_through_file_uri(spark, tmp_path):
+    """Two writers prepared at the same version on a file:// table:
+    the loser's blind insert rebases onto the winner (disjoint append),
+    yielding contiguous versions — the OCC loop working through the
+    Hadoop metadata path end to end."""
+    t = f"file://{tmp_path}/tbl"
+    base = mf.Commit(version=0, action="insert",
+                     commit_time=mf.make_commit_time(), files=["a.parquet"])
+    mf.append_commit(t, base)
+    w1 = mf.Commit(version=1, action="insert",
+                   commit_time=mf.make_commit_time(),
+                   files=["a.parquet", "b.parquet"])
+    w2 = mf.Commit(version=1, action="insert",
+                   commit_time=mf.make_commit_time(),
+                   files=["a.parquet", "c.parquet"])
+    mf.append_commit_rebase(t, w1)
+    rebased = mf.append_commit_rebase(t, w2)  # loses v1, rebases to v2
+    assert rebased.version == 2
+    assert sorted(rebased.files) == ["a.parquet", "b.parquet", "c.parquet"]

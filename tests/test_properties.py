@@ -198,3 +198,56 @@ def test_cow_equals_mor_rt(spark, base, incr):
         t.upsert(_df(spark, incr))
         finals.append(_final(t.read()))
     assert finals[0] == finals[1]
+
+
+@settings(
+    max_examples=20,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(0, 3),                      # group
+            st.integers(-10**7, 10**7),             # cents
+            st.integers(0, 10000),                  # rate in bps -> 2dp
+        ),
+        min_size=1,
+        max_size=60,
+    )
+)
+def test_cents_aggregation_equals_decimal(spark, rows):
+    """The integer-cents money aggregation (_cents/_exact_money) must be
+    BIT-IDENTICAL to the decimal-cast aggregation it replaced, for any
+    exact-2dp inputs — including the product shape sum(a * (1 - b))."""
+    from hudi_and_delta_showcase_spark.queries.relational import (
+        _cents,
+        _dec,
+        _exact_money,
+    )
+
+    data = [(g, c / 100.0, r / 100.0) for g, c, r in rows]
+    df = spark.createDataFrame(data, "g int, amount double, rate double")
+    via_cents = (
+        df.groupBy("g")
+        .agg(
+            _exact_money(_cents("amount"), 2).alias("s"),
+            _exact_money(
+                _cents("amount") * (F.lit(100) - _cents("rate")), 4
+            ).alias("rev"),
+        )
+        .orderBy("g")
+        .collect()
+    )
+    via_decimal = (
+        df.groupBy("g")
+        .agg(
+            F.sum(_dec("amount", 30)).cast("double").alias("s"),
+            F.sum(_dec("amount", 30) * (F.lit(1) - _dec("rate", 30)))
+            .cast("double")
+            .alias("rev"),
+        )
+        .orderBy("g")
+        .collect()
+    )
+    assert [tuple(r) for r in via_cents] == [tuple(r) for r in via_decimal]
