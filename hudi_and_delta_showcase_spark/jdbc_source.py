@@ -21,6 +21,12 @@ that loop:
 * ``jdbc_backfill_to_drop_dir`` — materialize the envelopes as a file
   batch in a CDC drop directory, feeding the existing
   ``streaming.cdc_stream.apply_cdc_stream`` unchanged.
+* ``snapshot_diff_envelopes`` — the CHANGE half without a binlog
+  reader: diff two keyed snapshots into INSERT / UPDATE-INSERT /
+  DELETE envelopes (the standard trigger-free JDBC CDC technique —
+  Kafka Connect JDBC's mode and Debezium's incremental-snapshot
+  fallback do the same). Exact at any scale: one full-outer shuffle
+  join on the primary key.
 
 Integration-tested against an in-process Apache Derby database (the
 embedded JDBC driver ships with Spark); any JDBC URL + driver works the
@@ -105,32 +111,62 @@ def snapshot_to_envelopes(
     snapshot must carry them (rename upstream if the source schema
     differs). Timestamp payload fields are cast to TIMESTAMP_NTZ at the
     session zone — the same convention the parquet fixtures use."""
-    payload_fields = [f.name for f in ENVELOPE_SCHEMA["payload"].dataType.fields]
+    rows = snapshot.withColumn(
+        "payload", _payload_struct(snapshot, payload_cols)
+    ).withColumn("__change_type", F.lit("INSERT")).withColumn(
+        "__is_deleted", F.lit(False)
+    )
+    return _wrap_envelopes(
+        rows, source_table, database, primary_keys,
+        read_timestamp, "mysql-backfill-fulldump", stream_name,
+    )
+
+
+def _payload_struct(
+    df: DataFrame, payload_cols: list[str] | None, prefix: str = ""
+) -> F.Column:
+    """Build the envelope ``payload`` struct from ``df``'s columns,
+    resolving names case-insensitively (JDBC dialects fold unquoted
+    identifiers to upper case)."""
+    payload_fields = [
+        f.name for f in ENVELOPE_SCHEMA["payload"].dataType.fields
+    ]
     want = payload_cols or payload_fields
-    # case-insensitive resolution: JDBC dialects (Derby, Oracle, ...)
-    # fold unquoted identifiers to upper case
-    by_lower = {c.lower(): c for c in snapshot.columns}
+    by_lower = {c.lower(): c for c in df.columns}
     cols, missing = [], []
     for c in want:
-        if c in snapshot.columns:
-            cols.append(c)
-        elif c.lower() in by_lower:
-            cols.append(by_lower[c.lower()])
+        if prefix + c in df.columns:
+            cols.append(prefix + c)
+        elif (prefix + c).lower() in by_lower:
+            cols.append(by_lower[(prefix + c).lower()])
         else:
             missing.append(c)
     if missing:
         raise ValueError(f"snapshot lacks payload columns: {missing}")
-    read_ts = (
-        F.lit(read_timestamp).cast("timestamp_ntz")
-        if read_timestamp is not None
-        else F.current_timestamp().cast("timestamp_ntz")
-    )
-    payload_struct = F.struct(
+    return F.struct(
         *[
             F.col(c).cast(ENVELOPE_SCHEMA["payload"].dataType[f].dataType)
             .alias(f)
             for c, f in zip(cols, payload_fields)
         ]
+    )
+
+
+def _wrap_envelopes(
+    rows: DataFrame,
+    source_table: str,
+    database: str,
+    primary_keys: list[str],
+    read_timestamp,
+    read_method: str,
+    stream_name: str,
+) -> DataFrame:
+    """Wrap rows carrying ``payload`` (struct) + ``__change_type`` +
+    ``__is_deleted`` into the exact Datastream envelope schema."""
+    read_ts = (
+        F.lit(read_timestamp).cast("timestamp_ntz")
+        if read_timestamp is not None
+        else F.current_timestamp().cast("timestamp_ntz")
     )
     meta = F.struct(
         F.lit(source_table).alias("table"),
@@ -138,17 +174,17 @@ def snapshot_to_envelopes(
         F.array(*[F.lit(k) for k in primary_keys]).alias("primary_keys"),
         F.lit("jdbc-snapshot").alias("log_file"),
         F.monotonically_increasing_id().alias("log_position"),
-        F.lit("INSERT").alias("change_type"),
-        F.lit(False).alias("is_deleted"),
+        F.col("__change_type").alias("change_type"),
+        F.col("__is_deleted").alias("is_deleted"),
     )
     run_id = uuid.uuid4().hex[:12]
-    env = snapshot.select(
+    env = rows.select(
         F.concat(F.lit(f"jdbc-{run_id}-"), F.monotonically_increasing_id())
         .alias("uuid"),
         read_ts.alias("read_timestamp"),
         read_ts.alias("source_timestamp"),
         F.lit(source_table).alias("object"),
-        F.lit("mysql-backfill-fulldump").alias("read_method"),
+        F.lit(read_method).alias("read_method"),
         F.lit(stream_name).alias("stream_name"),
         F.lit(f"{database}.{source_table}").alias("schema_key"),
         F.array(
@@ -158,12 +194,78 @@ def snapshot_to_envelopes(
             )
         ).alias("sort_keys"),
         meta.alias("source_metadata"),
-        payload_struct.alias("payload"),
+        F.col("payload"),
     )
     # pin the exact envelope schema (field order + types)
     return env.select(
         *[F.col(f.name).cast(f.dataType).alias(f.name)
           for f in ENVELOPE_SCHEMA.fields]
+    )
+
+
+def snapshot_diff_envelopes(
+    old: DataFrame,
+    new: DataFrame,
+    primary_keys: list[str],
+    source_table: str,
+    database: str = "db",
+    payload_cols: list[str] | None = None,
+    read_timestamp=None,
+    stream_name: str = "jdbc-incremental",
+) -> DataFrame:
+    """The CDC half of S10 WITHOUT a binlog reader: diff two keyed
+    snapshots into Datastream change envelopes — rows only in ``new``
+    become INSERT, rows whose payload changed become UPDATE-INSERT,
+    rows only in ``old`` become DELETE with ``is_deleted=true``
+    carrying the last-seen image (exactly what Datastream emits,
+    README.md:183-189,529). Unchanged rows emit nothing.
+
+    This is the standard trigger-free JDBC CDC technique (Kafka Connect
+    JDBC incremental mode / Debezium incremental snapshots). The diff
+    is ONE full-outer shuffle join on the primary key — exact and
+    linear at any scale; what it cannot see (vs a binlog) is
+    intra-interval churn: multiple updates between snapshots collapse
+    into one, and insert+delete within an interval vanishes."""
+    keys_l = [k.lower() for k in primary_keys]
+
+    def norm(df, tag):
+        by_lower = {c.lower(): c for c in df.columns}
+        out = df
+        for c in df.columns:
+            out = out.withColumnRenamed(c, f"{tag}{c.lower()}")
+        missing = [k for k in keys_l if k not in by_lower]
+        if missing:
+            raise ValueError(f"snapshot lacks key columns: {missing}")
+        return out
+
+    o = norm(old, "o_")
+    n = norm(new, "n_")
+    cond = [
+        o[f"o_{k}"].eqNullSafe(n[f"n_{k}"]) for k in keys_l
+    ]
+    joined = o.join(n, cond, "full_outer")
+    o_payload = _payload_struct(joined, payload_cols, prefix="o_")
+    n_payload = _payload_struct(joined, payload_cols, prefix="n_")
+    present_o = F.col(f"o_{keys_l[0]}").isNotNull()
+    present_n = F.col(f"n_{keys_l[0]}").isNotNull()
+    change = (
+        F.when(~present_o, F.lit("INSERT"))
+        .when(~present_n, F.lit("DELETE"))
+        .when(~o_payload.eqNullSafe(n_payload), F.lit("UPDATE-INSERT"))
+        .otherwise(F.lit(None))
+    )
+    rows = (
+        joined.withColumn("__change_type", change)
+        .filter(F.col("__change_type").isNotNull())
+        .withColumn("__is_deleted", F.col("__change_type") == "DELETE")
+        .withColumn(
+            "payload",
+            F.when(present_n, n_payload).otherwise(o_payload),
+        )
+    )
+    return _wrap_envelopes(
+        rows, source_table, database, primary_keys,
+        read_timestamp, "mysql-cdc-binlog", stream_name,
     )
 
 

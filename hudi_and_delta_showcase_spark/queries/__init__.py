@@ -136,6 +136,8 @@ PRIORITY: tuple[str, ...] = (
     "cdc_medallion_sync",
     "table_history",
     "cdc_gdpr_purge",
+    # r5: snapshot-diff CDC (the change half of S10, trigger-free)
+    "cdc_jdbc_incremental_diff",
     "cdc_stats_skipping_read",
     "cdc_bloom_skipping_upsert",
     # r4: record-level index (exact key->file tier)

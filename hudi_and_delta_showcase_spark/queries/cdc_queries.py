@@ -1471,3 +1471,95 @@ def cdc_jdbc_backfill_loop(spark: SparkSession, sf_dir: str) -> DataFrame:
     return table.read().select(
         "pk_id", "name", "value", "updated_at", "change_type", "is_deleted"
     )
+
+
+@query(
+    "cdc_jdbc_incremental_diff",
+    oracle="""
+    SELECT * FROM (VALUES
+      (1, 'apple',    10, 1673496060, 'INSERT',        FALSE),
+      (2, 'samsung', 201, 1673501401, 'UPDATE-INSERT', FALSE),
+      (3, 'dell',     30, 1673496060, 'DELETE',        TRUE),
+      (4, 'motorola', 40, 1673496060, 'INSERT',        FALSE),
+      (5, 'htc',      50, 1673501400, 'INSERT',        FALSE)
+    ) AS t(pk_id, name, value, updated_at, change_type, is_deleted)
+    """,
+    tags=("cdc", "jdbc", "source", "incremental"),
+)
+def cdc_jdbc_incremental_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S10's CHANGE half without a binlog reader: after the JDBC
+    backfill, the source database mutates (insert pk5, update pk2,
+    delete pk3 — the reference's exact scenario, README.md:183-189);
+    a second snapshot is DIFFED against the first into Datastream
+    change envelopes (INSERT / UPDATE-INSERT / DELETE with the
+    last-seen image, soft-delete semantics preserved) and applied
+    through the same streaming CDC loop. Trigger-free JDBC CDC — one
+    full-outer key join per sync, exact at any scale."""
+    from hudi_and_delta_showcase_spark.jdbc_source import (
+        read_jdbc_snapshot,
+        snapshot_diff_envelopes,
+        snapshot_to_envelopes,
+    )
+    from hudi_and_delta_showcase_spark.streaming.cdc_stream import (
+        apply_cdc_stream,
+    )
+
+    root = tempfile.mkdtemp(prefix="jdbc_diff_")
+    url = f"jdbc:derby:{root}/srcdb;create=true"
+    jvm = spark._jvm
+    jvm.java.lang.Class.forName("org.apache.derby.jdbc.EmbeddedDriver")
+    conn = jvm.java.sql.DriverManager.getConnection(url)
+    st = conn.createStatement()
+    st.executeUpdate(
+        "CREATE TABLE HUDI_DELTA_TEST (pk_id INT PRIMARY KEY, "
+        "name VARCHAR(64), value INT, updated_at TIMESTAMP, "
+        "created_at TIMESTAMP)"
+    )
+    for pk, name, value in [
+        (1, "apple", 10), (2, "samsung", 20),
+        (3, "dell", 30), (4, "motorola", 40),
+    ]:
+        st.executeUpdate(
+            f"INSERT INTO HUDI_DELTA_TEST VALUES ({pk}, '{name}', {value}, "
+            "TIMESTAMP('2023-01-12 04:01:00'), "
+            "TIMESTAMP('2023-01-12 04:00:00'))"
+        )
+    drv = {"driver": "org.apache.derby.jdbc.EmbeddedDriver"}
+    snap0 = read_jdbc_snapshot(spark, url, "HUDI_DELTA_TEST", **drv)
+    env0 = snapshot_to_envelopes(
+        snap0, "hudi_delta_test", "db", ["pk_id"],
+        read_timestamp="2023-01-12 04:05:00",
+    )
+    drop = f"{root}/drop"
+    env0.coalesce(1).write.parquet(f"{drop}/b0")
+    apply_cdc_stream(
+        spark, f"{drop}/*/", f"{root}/table", checkpoint_dir=f"{root}/ckpt"
+    )
+    # materialize snap0 BEFORE mutating (JDBC reads are live views)
+    snap0 = snap0.localCheckpoint()
+
+    # the reference's source-side statements (README.md:183-189)
+    st.executeUpdate(
+        "INSERT INTO HUDI_DELTA_TEST VALUES (5, 'htc', 50, "
+        "TIMESTAMP('2023-01-12 05:30:00'), TIMESTAMP('2023-01-12 04:00:00'))"
+    )
+    st.executeUpdate(
+        "UPDATE HUDI_DELTA_TEST SET value = 201, "
+        "updated_at = TIMESTAMP('2023-01-12 05:30:01') WHERE pk_id = 2"
+    )
+    st.executeUpdate("DELETE FROM HUDI_DELTA_TEST WHERE pk_id = 3")
+    st.close()
+    conn.close()
+
+    snap1 = read_jdbc_snapshot(spark, url, "HUDI_DELTA_TEST", **drv)
+    changes = snapshot_diff_envelopes(
+        snap0, snap1, ["pk_id"], "hudi_delta_test",
+        read_timestamp="2023-01-12 05:31:00",
+    )
+    changes.coalesce(1).write.parquet(f"{drop}/b1")
+    table = apply_cdc_stream(
+        spark, f"{drop}/*/", f"{root}/table", checkpoint_dir=f"{root}/ckpt"
+    )
+    return table.read().select(
+        "pk_id", "name", "value", "updated_at", "change_type", "is_deleted"
+    )

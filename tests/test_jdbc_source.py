@@ -151,3 +151,50 @@ def test_jdbc_backfill_feeds_cdc_apply_stream(spark, derby_url, tmp_path):
     assert state[1] == ("apple", 10, False)
     live = t.read().filter(~F.col("is_deleted"))
     assert live.count() == 4
+
+
+def test_snapshot_diff_envelopes_classifies_changes(spark):
+    """Diffing two keyed snapshots yields exactly the Datastream change
+    classes: INSERT (new only), UPDATE-INSERT (payload changed), DELETE
+    (old only, is_deleted + last image); unchanged rows emit nothing."""
+    from hudi_and_delta_showcase_spark.jdbc_source import (
+        snapshot_diff_envelopes,
+    )
+
+    schema = (
+        "pk_id int, name string, value int, "
+        "updated_at timestamp_ntz, created_at timestamp_ntz"
+    )
+    import datetime as dt
+
+    t0 = dt.datetime(2023, 1, 12, 4, 1)
+    c0 = dt.datetime(2023, 1, 12, 4, 0)
+    t1 = dt.datetime(2023, 1, 12, 5, 30)
+    old = spark.createDataFrame(
+        [(1, "apple", 10, t0, c0), (2, "samsung", 20, t0, c0),
+         (3, "dell", 30, t0, c0)],
+        schema,
+    )
+    new = spark.createDataFrame(
+        [(1, "apple", 10, t0, c0),          # unchanged
+         (2, "samsung", 201, t1, c0),       # updated
+         (5, "htc", 50, t1, c0)],           # inserted; 3 deleted
+        schema,
+    )
+    env = snapshot_diff_envelopes(old, new, ["pk_id"], "t")
+    rows = {
+        r.payload.pk_id: (
+            r.source_metadata.change_type,
+            r.source_metadata.is_deleted,
+            r.payload.value,
+        )
+        for r in env.collect()
+    }
+    assert rows == {
+        2: ("UPDATE-INSERT", False, 201),
+        3: ("DELETE", True, 30),
+        5: ("INSERT", False, 50),
+    }
+    from hudi_and_delta_showcase_spark.operators.cdc import ENVELOPE_SCHEMA
+
+    assert env.schema.simpleString() == ENVELOPE_SCHEMA.simpleString()
