@@ -85,8 +85,10 @@ def apply_cdc_stream(
     txn_app = f"cdc-apply:{os.path.abspath(checkpoint_dir)}"
 
     def merge_batch(batch: DataFrame, batch_id: int) -> None:
+        from hudi_and_delta_showcase_spark.tables import fsio
+
         rows = normalize_cdc_batch(batch)
-        if not os.path.exists(os.path.join(table_path, "_meta.json")):
+        if not fsio.exists(fsio.join(table_path, "_meta.json")):
             LakehouseTable.create(
                 spark,
                 table_path,

@@ -262,3 +262,27 @@ def test_occ_rebase_through_file_uri(spark, tmp_path):
     rebased = mf.append_commit_rebase(t, w2)  # loses v1, rebases to v2
     assert rebased.version == 2
     assert sorted(rebased.files) == ["a.parquet", "b.parquet", "c.parquet"]
+
+
+def test_apply_cdc_stream_over_file_uri_table(spark, tmp_path):
+    """The streaming CDC apply creates/loads its target table through
+    fsio, so a scheme:// table path works end to end."""
+    from hudi_and_delta_showcase_spark.operators.cdc import (
+        golden_backfill,
+        golden_cdc_batch,
+    )
+    from hudi_and_delta_showcase_spark.streaming.cdc_stream import (
+        apply_cdc_stream,
+    )
+
+    drop = str(tmp_path / "drop")
+    golden_backfill(spark).coalesce(1).write.parquet(f"{drop}/b0")
+    golden_cdc_batch(spark).coalesce(1).write.parquet(f"{drop}/b1")
+    uri = f"file://{tmp_path}/tbl"
+    t = apply_cdc_stream(
+        spark, f"{drop}/*/", uri, checkpoint_dir=str(tmp_path / "ckpt")
+    )
+    state = {r.pk_id: (r.value, r.is_deleted)
+             for r in t.read().select("pk_id", "value", "is_deleted").collect()}
+    assert state[2] == (201, False) and state[3][1] is True
+    assert len(state) == 5
