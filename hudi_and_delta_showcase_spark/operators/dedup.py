@@ -444,6 +444,11 @@ def connected_components(
     only — data never leaves executors; the convergence check is a
     1-row count. localCheckpoint() per round truncates the growing
     lineage (at 100 TB use reliable checkpointing to object storage)."""
+    # materialize the edge list ONCE: it is referenced in every
+    # iteration's join, and without this the (possibly expensive)
+    # upstream pair computation — e.g. a full exact-Jaccard pass — would
+    # re-evaluate per round. Near-dup edge lists are O(dup pairs), tiny
+    # next to the corpus.
     sym = (
         edges.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
         .unionByName(
@@ -451,6 +456,7 @@ def connected_components(
                 F.col("doc_b").alias("src"), F.col("doc_a").alias("dst")
             )
         )
+        .localCheckpoint()
     )
     labels = vertices.select(
         F.col(id_col).alias("v"), F.col(id_col).alias("lbl")
@@ -461,6 +467,8 @@ def connected_components(
             .groupBy("src")
             .agg(F.min("lbl").alias("nlbl"))
         )
+        # carry the previous label so convergence is a filter on the
+        # checkpointed result, not an extra self-join per round
         new_labels = (
             labels.join(neighbor_min, labels["v"] == neighbor_min["src"], "left")
             .select(
@@ -468,17 +476,14 @@ def connected_components(
                 F.least(
                     F.col("lbl"), F.coalesce(F.col("nlbl"), F.col("lbl"))
                 ).alias("lbl"),
+                F.col("lbl").alias("__prev"),
             )
             .localCheckpoint()
         )
         changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "v")
-            .filter(F.col("n.lbl") != F.col("o.lbl"))
-            .limit(1)
-            .count()
+            new_labels.filter(F.col("lbl") != F.col("__prev")).limit(1).count()
         )
-        labels = new_labels
+        labels = new_labels.drop("__prev")
         if changed == 0:
             break
     return labels.select(F.col("v").alias(id_col), F.col("lbl").alias("component"))
