@@ -1389,8 +1389,14 @@ def pipeline_corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("__rn") == 1)
         .drop("__rn")
     )
-    sh = _docs_shingled(spark, sf_dir).join(
-        ded.select("doc_id"), "doc_id"
+    # checkpoint the survivors' shingles: jaccard_pairs (and its
+    # hot-shingle probe) references this lineage several times, and
+    # each reference would otherwise re-run the quality/lang/dedup
+    # join chain upstream. Executor-side materialization only.
+    sh = (
+        _docs_shingled(spark, sf_dir)
+        .join(ded.select("doc_id"), "doc_id")
+        .localCheckpoint()
     )
     pairs = D.jaccard_pairs(sh, "doc_id", "shingles", threshold=0.8)
     final = ded.join(
