@@ -1429,6 +1429,8 @@ def cdc_jdbc_backfill_loop(spark: SparkSession, sf_dir: str) -> DataFrame:
     root = tempfile.mkdtemp(prefix="jdbc_loop_")
     url = f"jdbc:derby:{root}/srcdb;create=true"
     jvm = spark._jvm
+    # keep derby.log out of the caller's working directory
+    jvm.java.lang.System.setProperty("derby.system.home", root)
     jvm.java.lang.Class.forName("org.apache.derby.jdbc.EmbeddedDriver")
     conn = jvm.java.sql.DriverManager.getConnection(url)
     st = conn.createStatement()
@@ -1507,6 +1509,8 @@ def cdc_jdbc_incremental_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     root = tempfile.mkdtemp(prefix="jdbc_diff_")
     url = f"jdbc:derby:{root}/srcdb;create=true"
     jvm = spark._jvm
+    # keep derby.log out of the caller's working directory
+    jvm.java.lang.System.setProperty("derby.system.home", root)
     jvm.java.lang.Class.forName("org.apache.derby.jdbc.EmbeddedDriver")
     conn = jvm.java.sql.DriverManager.getConnection(url)
     st = conn.createStatement()
