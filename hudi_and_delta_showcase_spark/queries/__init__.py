@@ -138,6 +138,8 @@ PRIORITY: tuple[str, ...] = (
     "cdc_gdpr_purge",
     # r5: snapshot-diff CDC (the change half of S10, trigger-free)
     "cdc_jdbc_incremental_diff",
+    # r5: in-place CONVERT of a foreign parquet dir (Delta CONVERT TO DELTA)
+    "cdc_convert_in_place",
     "cdc_stats_skipping_read",
     "cdc_bloom_skipping_upsert",
     # r4: record-level index (exact key->file tier)

@@ -1567,3 +1567,40 @@ def cdc_jdbc_incremental_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     return table.read().select(
         "pk_id", "name", "value", "updated_at", "change_type", "is_deleted"
     )
+
+
+@query(
+    "cdc_convert_in_place",
+    oracle=f"""
+    SELECT event_id, user_id, ts, event_type, value FROM events
+    WHERE ts < TIMESTAMP '{CUTOFF}'
+      AND user_id NOT IN (
+        SELECT user_id FROM events WHERE ts >= TIMESTAMP '{CUTOFF}'
+      )
+    UNION ALL
+    SELECT event_id, user_id, ts, event_type, value FROM (
+      SELECT *, ROW_NUMBER() OVER (
+        PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+      FROM events WHERE ts >= TIMESTAMP '{CUTOFF}'
+    ) WHERE rn = 1
+    """,
+    tags=("cdc", "table", "convert"),
+)
+def cdc_convert_in_place(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Delta ``CONVERT TO DELTA`` / Hudi METADATA_ONLY bootstrap: a
+    plain parquet directory (no meta columns, never touched by this
+    engine) is adopted IN PLACE — version 0 references the original
+    files byte-identically, meta columns derive at scan time — and the
+    adopted table immediately serves keyed upserts. The oracle is the
+    exact adoption semantics: pre-cutoff rows whose user never
+    re-arrives survive AS-IS (convert never dedups, like Delta), and
+    upserted users resolve to their latest post-cutoff event."""
+    base, incr = _split(spark, sf_dir)
+    root = tempfile.mkdtemp(prefix="convert_")
+    base.coalesce(2).write.parquet(f"{root}/t")  # a foreign parquet dir
+    t = LakehouseTable.convert(
+        spark, f"{root}/t",
+        key_cols=["user_id"], precombine="ts", tiebreakers=["event_id"],
+    )
+    t.upsert(incr)
+    return t.read().select(*_FINAL_COLS)

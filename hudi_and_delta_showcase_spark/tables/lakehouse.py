@@ -240,6 +240,87 @@ class LakehouseTable:
         return table
 
     @classmethod
+    def convert(
+        cls,
+        spark: SparkSession,
+        path: str,
+        key_cols: list[str],
+        precombine: str | None = None,
+        tiebreakers: list[str] | None = None,
+        table_type: str = COPY_ON_WRITE,
+    ) -> "LakehouseTable":
+        """Delta ``CONVERT TO DELTA`` / Hudi METADATA_ONLY bootstrap:
+        adopt an EXISTING parquet directory as a lakehouse table
+        in place — version 0 is a metadata-only commit referencing the
+        original files byte-identically; nothing is copied or
+        rewritten. At 100 TB this is the difference between an import
+        that finishes in seconds and one that rewrites the corpus.
+
+        Imported files carry no Hudi meta columns; reads derive them at
+        scan time (``_repair_meta``: record key from the key columns,
+        commit time from the convert commit), so every path — snapshot,
+        time travel, point lookup, upsert rewrite, MoR merge — behaves
+        as if the files had been written by this engine. Rewrites
+        materialize real meta columns as files cycle. Footer column
+        stats are harvested at convert (data-skipping works
+        immediately); record-key ranges don't exist yet, so key-level
+        file skipping is conservative until the first rewrite of each
+        file.
+
+        Duplicates are adopted as-is (convert never dedups, exactly
+        like Delta's CONVERT). Partitioned layouts are refused for now:
+        the engine's partition pruning keys on its own ``__pp=`` dirs,
+        and silently adopting a foreign hive layout would break the
+        rewrite's partition scoping."""
+        path = fsio.absolutize(path)
+        if fsio.exists(fsio.join(path, "_meta.json")):
+            raise FileExistsError(f"already a lakehouse table: {path}")
+        files = sorted(
+            fsio.relpath(p, path) for p in fsio.walk_files(path, ".parquet")
+        )
+        if not files:
+            raise FileNotFoundError(f"no parquet files to convert: {path}")
+        if any("=" in f.split("/")[0] for f in files):
+            raise ValueError(
+                "hive-partitioned layouts are not convertible in place; "
+                "read + create(partition_by=...) instead"
+            )
+        fsio.write_atomic(
+            fsio.join(path, "_meta.json"),
+            json.dumps(
+                {
+                    "key_cols": key_cols,
+                    "precombine": precombine,
+                    "tiebreakers": tiebreakers or [],
+                    "partition_by": None,
+                    "table_type": table_type,
+                    "cdc_enabled": False,
+                    "global_index": False,
+                    "bloom_index": False,
+                    "deletion_vectors": False,
+                    "record_index": False,
+                    "constraints": {},
+                    "generated_columns": {},
+                },
+                indent=1,
+            ),
+        )
+        table = cls(spark, path)
+        mf.append_commit(
+            path,
+            mf.Commit(
+                version=0,
+                action="convert",
+                commit_time=mf.make_commit_time(),
+                files=files,
+                log_files=[],
+                stats={"converted_files": len(files)},
+                **table._index_fields(files),
+            ),
+        )
+        return table
+
+    @classmethod
     def load(cls, spark: SparkSession, path: str) -> "LakehouseTable":
         return cls(spark, path)
 
@@ -1926,7 +2007,7 @@ class LakehouseTable:
             # how Delta reads under the typeWidening feature. mergeSchema
             # would refuse to merge int with bigint.
             df = self.spark.read.schema(schema).parquet(*paths)
-            return df.withColumn(
+            return self._repair_meta(df).withColumn(
                 "_hoodie_file_name", F.col("_metadata.file_name")
             )
         # mergeSchema: files may span commits with (additively) evolved
@@ -1937,9 +2018,56 @@ class LakehouseTable:
         # Project containing it BLOCKS predicate pushdown into the scan
         # (turning incremental pulls / point lookups into full scans at
         # 100 TB — caught by test_incremental_pull_pushes_commit_time_filter).
-        return df.withColumn(
+        return self._repair_meta(df).withColumn(
             "_hoodie_file_name", F.col("_metadata.file_name")
         )
+
+    @property
+    def _convert_time(self) -> str | None:
+        """Commit time of an in-place CONVERT (version 0 with action
+        'convert'), or None for normally-created tables. Cached — one
+        tiny metadata read per table handle."""
+        if not hasattr(self, "__convert_time"):
+            try:
+                v0 = mf.read_commit(self.path, 0)
+                ct = v0.commit_time if v0.action == "convert" else None
+            except FileNotFoundError:
+                ct = None
+            setattr(self, "__convert_time", ct)
+        return getattr(self, "__convert_time")
+
+    def _repair_meta(self, df: DataFrame) -> DataFrame:
+        """Derive the Hudi meta columns AT SCAN TIME for files imported
+        by ``convert`` (which are left byte-identical on disk and carry
+        no meta columns). They are pure derivations: the record key from
+        the key columns, the commit time from the convert commit. Rows
+        from normally-written files keep their stored values
+        (coalesce); tables never converted skip this entirely — zero
+        overhead on the normal path."""
+        if self._convert_time is None:
+            return df
+        key = F.concat_ws(
+            "|", *[F.col(k).cast("string") for k in self.key_cols]
+        )
+        pp = (
+            F.col(self.partition_by).cast("string")
+            if self.partition_by and self.partition_by in df.columns
+            else F.lit("")
+        )
+        derived = {
+            "_hoodie_commit_time": F.lit(self._convert_time),
+            "_hoodie_commit_seqno": F.concat_ws(
+                "_", F.lit(self._convert_time), key
+            ),
+            "_hoodie_record_key": key,
+            "_hoodie_partition_path": pp,
+        }
+        for name, expr in derived.items():
+            if name not in df.columns:
+                df = df.withColumn(name, expr)
+            else:
+                df = df.withColumn(name, F.coalesce(F.col(name), expr))
+        return df
 
     def _dv_file_col(self):
         """Table-RELATIVE file path of each scanned row, from the native
