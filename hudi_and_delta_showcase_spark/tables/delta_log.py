@@ -292,7 +292,15 @@ def export_delta_log(table) -> int:
     (type widening, drop) emit a fresh ``metaData`` action in their
     version. MoR tables must be compacted first (log files have no
     Delta representation) and deletion-vector state must be empty
-    (protocol 1/2 readers cannot apply DVs)."""
+    (protocol 1/2 readers cannot apply DVs).
+
+    Partitioned tables export as UNPARTITIONED Delta (empty
+    ``partitionColumns``): this engine keeps the partition column IN
+    the data files (the hive-style ``__pp=`` dirs are an additional
+    pruning layer), while the Delta protocol requires partition columns
+    to be absent from files and reconstructed from ``partitionValues``.
+    Declaring them would be out-of-spec; a foreign reader therefore
+    gets correct results without partition pruning."""
     from hudi_and_delta_showcase_spark.tables import manifest as mf
 
     prev = mf.latest_commit(table.path)
