@@ -630,6 +630,64 @@ class LakehouseTable:
         )
         return mf.append_commit_rebase(self.path, commit)
 
+    # ------------------------------------------------------------------ #
+    # table-property evolution (Delta ALTER TABLE ... SET TBLPROPERTIES /
+    # ADD CONSTRAINT): _meta.json holds table-level properties; these
+    # mutate it atomically and take effect from the NEXT write.
+    # ------------------------------------------------------------------ #
+
+    def _update_meta(self, **changes) -> None:
+        meta = json.loads(fsio.read_text(fsio.join(self.path, "_meta.json")))
+        meta.update(changes)
+        fsio.write_atomic(
+            fsio.join(self.path, "_meta.json"), json.dumps(meta, indent=1)
+        )
+
+    def enable_cdc(self) -> None:
+        """Delta ``SET TBLPROPERTIES (delta.enableChangeDataFeed=true)``
+        on an existing table: change capture begins with the NEXT
+        commit — earlier versions have no change files, exactly Delta's
+        behavior (``table_changes`` from a pre-enablement version
+        errors). MoR is unsupported, as at create."""
+        if self.table_type == MERGE_ON_READ:
+            raise ValueError(
+                "change data feed supports copy-on-write tables only"
+            )
+        self._update_meta(cdc_enabled=True)
+        self.cdc_enabled = True
+
+    def add_constraint(self, name: str, predicate: str) -> None:
+        """Delta ``ALTER TABLE ... ADD CONSTRAINT name CHECK (pred)``:
+        validates the EXISTING snapshot first (one scan — Delta refuses
+        the constraint if any current row violates it), then enforces
+        on every future write. Standard CHECK semantics: NULL passes.
+        The predicate uses the table's physical column spelling, like
+        create-time constraints."""
+        if name in self.constraints:
+            raise ValueError(f"constraint exists: {name!r}")
+        violating = (
+            self._read_physical()
+            .filter(~F.coalesce(F.expr(predicate), F.lit(True)))
+            .limit(1)
+            .count()
+        )
+        if violating:
+            raise ValueError(
+                f"cannot add constraint {name!r}: existing rows violate "
+                f"{predicate!r}"
+            )
+        self.constraints = {**self.constraints, name: predicate}
+        self._update_meta(constraints=self.constraints)
+
+    def drop_constraint(self, name: str) -> None:
+        """Delta ``ALTER TABLE ... DROP CONSTRAINT``."""
+        if name not in self.constraints:
+            raise ValueError(f"no such constraint: {name!r}")
+        self.constraints = {
+            k: v for k, v in self.constraints.items() if k != name
+        }
+        self._update_meta(constraints=self.constraints)
+
     def version_as_of(self, instant: str) -> int:
         """Delta ``TIMESTAMP AS OF`` / Hudi ``as.of.instant``: the latest
         version whose commit time is <= ``instant`` (Hudi-style

@@ -198,3 +198,63 @@ def test_execute_update_recomputes_generated_columns(spark, tmp_path):
     rows = {r.k: str(r.event_day)[:10] for r in t.read().collect()}
     assert rows[1] == "2024-06-15"  # recomputed from the NEW ts
     assert rows[2] == "2024-02-03"  # untouched row unchanged
+
+
+def test_add_constraint_validates_existing_data(spark, tmp_path):
+    """Delta ALTER TABLE ADD CONSTRAINT parity: adding a constraint the
+    current snapshot violates is refused; a satisfiable one enforces on
+    future writes; drop_constraint releases it."""
+    from hudi_and_delta_showcase_spark.tables.lakehouse import LakehouseTable
+
+    df = spark.createDataFrame(
+        [(1, "a", 10, 100), (2, "b", -5, 100)],
+        "k long, name string, v long, ts long",
+    )
+    t = LakehouseTable.create(
+        spark, str(tmp_path / "t"), df, key_cols=["k"], precombine="ts"
+    )
+    with pytest.raises(ValueError, match="existing rows violate"):
+        t.add_constraint("v_nonneg", "v >= 0")
+    t.add_constraint("v_bounded", "v >= -10")
+    with pytest.raises(ValueError, match="constraint exists"):
+        t.add_constraint("v_bounded", "v >= -10")
+    # enforced from the next write on — including on a FRESH handle
+    t2 = LakehouseTable(spark, str(tmp_path / "t"))
+    with pytest.raises(ValueError, match="CHECK constraint"):
+        t2.upsert(
+            spark.createDataFrame(
+                [(3, "c", -99, 200)], "k long, name string, v long, ts long"
+            )
+        )
+    t2.drop_constraint("v_bounded")
+    with pytest.raises(ValueError, match="no such constraint"):
+        t2.drop_constraint("v_bounded")
+    t3 = LakehouseTable(spark, str(tmp_path / "t"))
+    t3.upsert(
+        spark.createDataFrame(
+            [(3, "c", -99, 200)], "k long, name string, v long, ts long"
+        )
+    )
+    assert t3.read().count() == 3
+
+
+def test_enable_cdc_after_create(spark, tmp_path):
+    """CDF enabled mid-life: capture begins with the NEXT commit;
+    earlier versions have no change files (Delta behavior)."""
+    import pyspark.sql.functions as F
+
+    from hudi_and_delta_showcase_spark.tables.lakehouse import LakehouseTable
+
+    df = spark.createDataFrame([(1, 10, 100)], "k int, v int, ts long")
+    t = LakehouseTable.create(
+        spark, str(tmp_path / "t"), df, key_cols=["k"], precombine="ts"
+    )
+    t.upsert(spark.createDataFrame([(1, 11, 101)], "k int, v int, ts long"))
+    t.enable_cdc()
+    t2 = LakehouseTable(spark, str(tmp_path / "t"))
+    t2.upsert(spark.createDataFrame([(1, 12, 102)], "k int, v int, ts long"))
+    ch = t2.read_changes(2, 2)
+    types = sorted(r._change_type for r in ch.select("_change_type").collect())
+    assert types == ["update_postimage", "update_preimage"]
+    with pytest.raises(ValueError, match="no change files"):
+        t2.read_changes(0, 1)  # pre-enablement commits captured nothing
