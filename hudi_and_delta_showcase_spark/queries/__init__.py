@@ -140,6 +140,8 @@ PRIORITY: tuple[str, ...] = (
     "cdc_jdbc_incremental_diff",
     # r5: in-place CONVERT of a foreign parquet dir (Delta CONVERT TO DELTA)
     "cdc_convert_in_place",
+    # r5: post-create ALTER TABLE ADD CONSTRAINT with snapshot validation
+    "cdc_constraint_evolution",
     "cdc_stats_skipping_read",
     "cdc_bloom_skipping_upsert",
     # r4: record-level index (exact key->file tier)

@@ -1604,3 +1604,62 @@ def cdc_convert_in_place(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     t.upsert(incr)
     return t.read().select(*_FINAL_COLS)
+
+
+@query(
+    "cdc_constraint_evolution",
+    oracle=f"""
+    WITH base AS (
+      SELECT event_id, user_id, ts, event_type, value FROM (
+        SELECT *, ROW_NUMBER() OVER (
+          PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+        FROM events WHERE ts < TIMESTAMP '{CUTOFF}'
+      ) WHERE rn = 1
+    ),
+    inc AS (
+      SELECT event_id, user_id, ts, event_type, value FROM (
+        SELECT *, ROW_NUMBER() OVER (
+          PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+        FROM events WHERE ts >= TIMESTAMP '{CUTOFF}'
+      ) WHERE rn = 1 AND user_id % 7 <> 0
+    )
+    SELECT COALESCE(i.event_id, b.event_id) AS event_id,
+           COALESCE(i.user_id, b.user_id) AS user_id,
+           COALESCE(i.ts, b.ts) AS ts,
+           COALESCE(i.event_type, b.event_type) AS event_type,
+           COALESCE(i.value, b.value) AS value
+    FROM base b FULL OUTER JOIN inc i ON b.user_id = i.user_id
+    """,
+    tags=("cdc", "table", "constraints", "ddl"),
+)
+def cdc_constraint_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Post-create constraint DDL (Delta ALTER TABLE ... ADD
+    CONSTRAINT): the table is created WITHOUT constraints; a CHECK too
+    strict for the existing snapshot is REFUSED (Delta validates
+    current data first); a satisfiable one lands and the next
+    quarantine upsert routes violating rows aside while applying the
+    rest. The incremental batch nulls ``value`` for every user_id
+    divisible by 7 — those rows violate ``value IS NOT NULL`` (CHECK
+    FALSE, not the NULL-passes case) and are quarantined; the oracle
+    merges base state with only the surviving incremental users."""
+    base, incr = _split(spark, sf_dir)
+    path = tempfile.mkdtemp(prefix="lakehouse_ddl_")
+    t = LakehouseTable.create(
+        spark, f"{path}/events_tbl", base,
+        key_cols=["user_id"], precombine="ts", tiebreakers=["event_id"],
+    )
+    try:
+        t.add_constraint("impossible", "value > 1e12")
+        raise AssertionError("constraint over existing data not refused")
+    except ValueError:
+        pass
+    t.add_constraint("value_present", "value IS NOT NULL")
+    bad_incr = incr.withColumn(
+        "value",
+        F.when(F.col("user_id") % 7 == 0, F.lit(None)).otherwise(
+            F.col("value")
+        ),
+    )
+    t2 = LakehouseTable(spark, f"{path}/events_tbl")  # fresh handle sees it
+    t2.upsert_quarantine(bad_incr)
+    return t2.read().select(*_FINAL_COLS)
