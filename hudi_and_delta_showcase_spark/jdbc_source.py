@@ -281,13 +281,18 @@ def jdbc_backfill_to_drop_dir(
     """Snapshot the JDBC table and land it as ONE envelope file batch in
     ``drop_dir`` — from there, ``apply_cdc_stream`` (file-source stream +
     foreachBatch keyed upsert) ingests it exactly like a Datastream
-    drop. Returns the row count landed."""
+    drop. Returns the row count landed.
+
+    The count is taken from a localCheckpoint shared with the write —
+    counting the lazy plan after the write would re-run the JDBC
+    snapshot (source read twice) and, under concurrent source
+    mutation, report a count that differs from what actually landed."""
     snap = read_jdbc_snapshot(spark, url, table, **jdbc_kwargs)
     env = snapshot_to_envelopes(
         snap,
         source_table=table.lower(),
         database=database,
         primary_keys=primary_keys or ["pk_id"],
-    )
+    ).localCheckpoint(eager=True)
     env.write.mode("append").parquet(drop_dir)
     return env.count()

@@ -41,13 +41,27 @@ def _cents(col: str) -> F.Column:
 
 def _exact_money(sum_col: F.Column, scale_pow: int) -> F.Column:
     """SUM of integer-scaled money -> DOUBLE with a SINGLE rounding:
-    bigint sum -> exact decimal -> divide by 10^scale_pow (exact, the
-    quotient's scale fits) -> one cast to double — the same exact
-    rational, rounded once, that the oracle's decimal-sum + double cast
-    produces. (A double division of a >2^53 integer would round twice.)"""
-    return (F.sum(sum_col).cast("decimal(38,0)") / (10 ** scale_pow)).cast(
-        "double"
-    )
+    exact integer sum -> exact decimal -> divide by 10^scale_pow
+    (exact, the quotient's scale fits) -> one cast to double — the same
+    exact rational, rounded once, that the oracle's decimal-sum +
+    double cast produces. (A double division of a >2^53 integer would
+    round twice.)
+
+    Overflow-safe WITHOUT a decimal accumulator: a single bigint
+    F.sum over scale_pow=4/6 products (per-row magnitude ~1e11) would
+    silently wrap around 1e8 rows per group (TPC-H sf>=100) — or throw
+    under ANSI. Instead each term is split x = hi*2^20 + lo via
+    arithmetic shift + mask (exact two's-complement identity for either
+    sign; lo in [0, 2^20)) and the two parts are summed as longs:
+    lo < 2^20 and |hi| <= |x|/2^20 <= ~1e5 for 1e11-magnitude terms,
+    so both partial sums stay in int64 to ~8e12 rows per group — far
+    past any real scale — while the per-row work (shift, mask, two
+    long sums) stays inside whole-stage codegen. The parts recombine
+    losslessly in decimal(38,0) before the one exact division."""
+    hi = F.sum(F.shiftright(sum_col, 20))
+    lo = F.sum(sum_col.bitwiseAND(F.lit(0xFFFFF).cast("bigint")))
+    exact = hi.cast("decimal(38,0)") * (1 << 20) + lo.cast("decimal(38,0)")
+    return (exact / (10 ** scale_pow)).cast("double")
 
 
 # ---------------------------------------------------------------------------

@@ -251,3 +251,22 @@ def test_cents_aggregation_equals_decimal(spark, rows):
         .collect()
     )
     assert [tuple(r) for r in via_cents] == [tuple(r) for r in via_decimal]
+
+
+def test_exact_money_sum_survives_int64_overflow(spark):
+    """A single-bigint accumulator would wrap: 250k rows x 9.2e13
+    per-row magnitude sums to 2.3e19 > int64 max. The hi/lo split sum
+    must instead return the exact decimal total (the overflow class the
+    round-5 advisor flagged for scale_pow=4/6 product terms at
+    TPC-H sf>=100 group sizes, compressed into a unit test by using
+    larger per-row magnitudes instead of 1e8 rows)."""
+    from hudi_and_delta_showcase_spark.queries.relational import _exact_money
+
+    n, per_row = 250_000, 92_000_000_000_000  # cents*1e4-scale product
+    df = spark.range(n).select(F.lit(per_row).cast("bigint").alias("x"))
+    got = df.agg(_exact_money(F.col("x"), 4).alias("s")).collect()[0]["s"]
+    assert got == float(n * per_row) / 10**4
+
+    neg = df.select((-F.col("x")).alias("x"))
+    got_neg = neg.agg(_exact_money(F.col("x"), 4).alias("s")).collect()[0]["s"]
+    assert got_neg == -float(n * per_row) / 10**4
