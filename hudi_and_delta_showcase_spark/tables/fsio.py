@@ -18,22 +18,45 @@ files, savepoints, vacuum listings, protocol exports) the same reach:
 
 Atomicity contract by backend:
 
-- ``publish_exclusive`` (the OCC commit publish) is put-if-absent.
-  Locally it hard-links a unique temp file into place — ``link(2)`` is
-  atomic AND exclusive, unlike ``rename(2)`` which silently replaces —
-  so two racing writers get exactly one winner. On Hadoop it is
-  ``create(path, overwrite=false)``: atomic on HDFS (namenode),
-  a generation-match conditional insert on GCS, exclusive on
-  ``file://``'s RawLocalFileSystem. **Caveat**: on S3 via plain
-  ``s3a://`` *without* S3 conditional writes enabled, create-exclusive
-  is check-then-act and a sub-second race can lose a commit; deploy a
-  log-store/catalog-based commit coordinator there (the same caveat
-  Delta documents for S3 multi-cluster writes).
+- ``publish_exclusive`` (the OCC commit publish) is put-if-absent,
+  routed through a pluggable **commit coordinator** (Delta LogStore
+  idea — see ``CommitCoordinator``). Built-in backends:
+
+  * ``PosixLinkCoordinator`` (local default) — unique temp file
+    hard-linked into place; ``link(2)`` is atomic AND exclusive,
+    unlike ``rename(2)`` which silently replaces, so two racing
+    writers get exactly one winner and content is fully on disk
+    before it becomes visible.
+  * ``HadoopRenameCoordinator`` (``hdfs://`` default) — unique temp
+    in the target directory, then ``FileContext.rename`` WITHOUT
+    overwrite: a single atomic namenode op that both claims the
+    version exclusively and makes the fully-written bytes visible in
+    the same instant. (A bare ``create(overwrite=false)`` on HDFS
+    claims the path *before* content lands — a reader could see a
+    torn/empty commit and a crash mid-write would wedge the version.)
+  * ``HadoopCreateCoordinator`` (other ``scheme://`` default) — a
+    single ``create(path, overwrite=false)``; correct where a PUT is
+    all-or-nothing AND conditional: GCS (generation-match insert) and
+    S3 with conditional writes (If-None-Match). Object PUTs are never
+    torn, so the HDFS caveat does not apply here.
+  * ``LockTableCoordinator`` — reference implementation of the
+    external-coordination strategy for stores with NO atomic
+    put-if-absent (plain S3 without conditional writes): serialize
+    the exists-check + write under a lock table. The in-process
+    table here demonstrates the interface; a real multi-cluster
+    deployment backs ``acquire``/``release`` with an external lock
+    service (DynamoDB / ZooKeeper — exactly Delta's S3 multi-cluster
+    LogStore requirement). All writers must share the coordinator.
+
+  Select per path-prefix via ``set_commit_coordinator``.
 - ``write_atomic`` (overwrite-style metadata: checkpoints, pointer
-  files, savepoints) is temp + rename. Rename is atomic on POSIX and
-  HDFS; on object stores it is copy+delete, but these files are
-  single-writer pointers whose readers tolerate a stale (never torn)
-  view — object PUTs themselves are all-or-nothing.
+  files, savepoints) is temp + atomic-replace. Locally ``os.replace``;
+  remotely ``FileContext.rename(..., Rename.OVERWRITE)`` — atomic on
+  HDFS and never leaves a missing-file window. Backends without a
+  FileContext binding fall back to delete+rename, which opens a brief
+  missing-file window; pointer-file READERS therefore go through
+  ``read_pointer_text`` (bounded FileNotFoundError retry) so the
+  promise readers observe stays "stale or new, never torn or absent".
 """
 
 from __future__ import annotations
@@ -41,6 +64,8 @@ from __future__ import annotations
 import os
 import re
 import shutil
+import threading
+import time
 import uuid
 
 #: ``scheme:/...`` with a 2+ char scheme: accepts both the canonical
@@ -101,17 +126,26 @@ def relpath(child: str, base: str) -> str:
 # --------------------------------------------------------------------- #
 
 
-def _jfs(path: str):
-    """(FileSystem, jvm, Path) for a URI, from the active SparkSession's
-    Hadoop configuration — the same connectors the data IO uses."""
+def _session(path: str):
+    """The session whose JVM carries the Hadoop connectors. Falls back
+    from the (thread-local) active session to the process-wide
+    instantiated one, so fsio keeps working from auxiliary threads —
+    streaming foreachBatch callbacks, pointer-file reader retries."""
     from pyspark.sql import SparkSession
 
-    spark = SparkSession.getActiveSession()
+    spark = SparkSession.getActiveSession() or SparkSession._instantiatedSession
     if spark is None:
         raise RuntimeError(
             f"IO on {path!r} needs an active SparkSession "
             "(Hadoop FileSystem connectors live in its JVM)"
         )
+    return spark
+
+
+def _jfs(path: str):
+    """(FileSystem, jvm, Path) for a URI, from the active SparkSession's
+    Hadoop configuration — the same connectors the data IO uses."""
+    spark = _session(path)
     jvm = spark._jvm
     jpath = jvm.org.apache.hadoop.fs.Path(path)
     fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
@@ -183,6 +217,33 @@ def _hwrite(fs, p, data: bytes, overwrite: bool) -> None:
         out.close()
 
 
+def _fcontext_rename(path: str, tmp_uri: str, overwrite: bool) -> None:
+    """``FileContext.rename(tmp, path)`` — the strict-contract rename:
+    atomic on HDFS; with ``overwrite=False`` it FAILS (rather than
+    replaces) when the destination exists. Raises FileExistsError on
+    an existing destination, whatever exception class the backend
+    maps it to."""
+    from py4j.protocol import Py4JJavaError
+
+    spark = _session(path)
+    jvm = spark._jvm
+    fc = jvm.org.apache.hadoop.fs.FileContext.getFileContext(
+        jvm.java.net.URI(path), spark._jsc.hadoopConfiguration()
+    )
+    rename_enum = jvm.org.apache.hadoop.fs.Options.Rename
+    opts = spark.sparkContext._gateway.new_array(rename_enum, 1)
+    opts[0] = rename_enum.OVERWRITE if overwrite else rename_enum.NONE
+    src = jvm.org.apache.hadoop.fs.Path(tmp_uri)
+    dst = jvm.org.apache.hadoop.fs.Path(path)
+    try:
+        fc.rename(src, dst, opts)
+    except Py4JJavaError as exc:
+        name = _java_exc_name(exc)
+        if "AlreadyExists" in name or "already exists" in str(exc):
+            raise FileExistsError(path) from None
+        raise
+
+
 def write_atomic(path: str, text: str) -> None:
     """Overwrite-style metadata write: readers see old or new bytes,
     never a torn file (see module docstring for per-backend nuance)."""
@@ -194,10 +255,20 @@ def write_atomic(path: str, text: str) -> None:
         os.replace(tmp, path)
         return
     fs, jvm, p = _jfs(path)
-    tmp = jvm.org.apache.hadoop.fs.Path(
-        f"{path}.{uuid.uuid4().hex[:8]}.tmp"
-    )
+    tmp_uri = f"{path}.{uuid.uuid4().hex[:8]}.tmp"
+    tmp = jvm.org.apache.hadoop.fs.Path(tmp_uri)
     _hwrite(fs, tmp, data, True)
+    try:
+        # single-step replace: no instant at which `path` is missing
+        _fcontext_rename(path, tmp_uri, overwrite=True)
+        return
+    except FileExistsError:
+        raise
+    except Exception:
+        # no AbstractFileSystem binding for this scheme: fall back to
+        # delete+rename; readers cover the brief missing-file window
+        # via read_pointer_text's bounded retry.
+        pass
     if fs.exists(p):
         fs.delete(p, False)
     if not fs.rename(tmp, p):
@@ -205,16 +276,65 @@ def write_atomic(path: str, text: str) -> None:
         raise OSError(f"rename failed publishing {path}")
 
 
-def publish_exclusive(path: str, text: str) -> None:
-    """Put-if-absent publish — the OCC commit primitive. Raises
-    ``FileExistsError`` when a concurrent writer already owns ``path``.
+def read_pointer_text(path: str, attempts: int = 5, delay: float = 0.05) -> str:
+    """``read_text`` for single-writer POINTER files (_meta.json,
+    _last_checkpoint, savepoints): retries FileNotFoundError a few
+    times before giving up, covering the delete+rename window of
+    ``write_atomic``'s fallback path on backends without an atomic
+    overwrite-rename. A file that is genuinely absent still raises
+    FileNotFoundError after ~attempts*delay. Local paths read directly
+    (``os.replace`` has no missing-file window, so absence is
+    definitive and should not cost a retry loop).
 
-    Local: write a UNIQUE temp file, then ``os.link`` it into place.
-    link(2) is atomic and fails with EEXIST if the target exists —
-    unlike ``os.replace``, which would silently clobber the racing
-    winner's committed version (a lost commit the conflict rules never
-    see)."""
+    Also retries TRANSIENT remote read failures — checksum-sidecar
+    mismatch (ChecksumFileSystem swaps .crc and data non-atomically)
+    and EOF on a file caught mid-replace; any persistent error
+    re-raises."""
     if not is_remote(path):
+        return read_text(path)
+    for i in range(attempts):
+        try:
+            return read_text(path)
+        except FileNotFoundError:
+            if i == attempts - 1:
+                raise
+        except Exception as exc:
+            transient = any(
+                token in f"{_java_exc_name(exc)} {exc}"
+                for token in ("Checksum", "FileNotFound", "EOFException")
+            )
+            if not transient or i == attempts - 1:
+                raise
+        time.sleep(delay)
+    raise FileNotFoundError(path)  # pragma: no cover - unreachable
+
+
+# --------------------------------------------------------------------- #
+# commit coordinators (the put-if-absent OCC publish primitive)
+# --------------------------------------------------------------------- #
+
+
+class CommitCoordinator:
+    """Strategy interface for the exclusive commit publish (the Delta
+    LogStore idea). ``publish`` must guarantee BOTH properties:
+
+    1. **exclusive** — of N concurrent publishers to the same path,
+       exactly one succeeds; every other raises ``FileExistsError``
+       (never silently replacing the winner's bytes); and
+    2. **untorn** — the path never becomes visible to a reader before
+       its full content has durably landed.
+    """
+
+    def publish(self, path: str, text: str) -> None:
+        raise NotImplementedError
+
+
+class PosixLinkCoordinator(CommitCoordinator):
+    """Local default: unique temp + ``os.link`` — link(2) is atomic and
+    fails with EEXIST on an existing target, and the temp's bytes are
+    fully on disk before the link makes them visible."""
+
+    def publish(self, path: str, text: str) -> None:
         tmp = f"{path}.{uuid.uuid4().hex}.tmp"
         with open(tmp, "w") as fh:
             fh.write(text)
@@ -224,17 +344,119 @@ def publish_exclusive(path: str, text: str) -> None:
             raise
         finally:
             os.unlink(tmp)
-        return
-    from py4j.protocol import Py4JJavaError
 
-    fs, _, p = _jfs(path)
-    try:
-        _hwrite(fs, p, text.encode("utf-8"), False)
-    except Py4JJavaError as exc:
-        name = _java_exc_name(exc)
-        if "AlreadyExists" in name or "already exists" in str(exc):
-            raise FileExistsError(path) from None
-        raise
+
+class HadoopCreateCoordinator(CommitCoordinator):
+    """``create(path, overwrite=false)`` — the right primitive where a
+    PUT is all-or-nothing AND conditional: GCS (generation-match
+    insert) and S3 with conditional writes. NOT for HDFS-style
+    streaming filesystems, where the path becomes visible before
+    content lands (use ``HadoopRenameCoordinator`` there)."""
+
+    def publish(self, path: str, text: str) -> None:
+        from py4j.protocol import Py4JJavaError
+
+        fs, _, p = _jfs(path)
+        try:
+            _hwrite(fs, p, text.encode("utf-8"), False)
+        except Py4JJavaError as exc:
+            name = _java_exc_name(exc)
+            if "AlreadyExists" in name or "already exists" in str(exc):
+                raise FileExistsError(path) from None
+            raise
+
+
+class HadoopRenameCoordinator(CommitCoordinator):
+    """HDFS default: write a unique temp in the target directory, then
+    ``FileContext.rename`` WITHOUT overwrite — one atomic namenode op
+    that claims the version exclusively and publishes the fully-written
+    bytes in the same instant. A crash before the rename leaves only a
+    ``.tmp`` orphan (vacuumable), never a torn commit wedging the
+    version."""
+
+    def publish(self, path: str, text: str) -> None:
+        fs, jvm, _ = _jfs(path)
+        tmp_uri = f"{path}.{uuid.uuid4().hex}.tmp"
+        _hwrite(fs, jvm.org.apache.hadoop.fs.Path(tmp_uri),
+                text.encode("utf-8"), True)
+        try:
+            _fcontext_rename(path, tmp_uri, overwrite=False)
+        except FileExistsError:
+            fs.delete(jvm.org.apache.hadoop.fs.Path(tmp_uri), False)
+            raise
+
+
+class LockTableCoordinator(CommitCoordinator):
+    """Reference implementation of EXTERNAL coordination for stores
+    with no atomic put-if-absent (plain S3): the exists-check and the
+    write are serialized under a per-path lock taken from a lock
+    table. The table here is in-process (correct for all writers in
+    one process — and a faithful, testable rendering of the
+    interface); a multi-cluster deployment subclasses ``_acquire`` /
+    ``_release`` onto an external lock service (DynamoDB conditional
+    put / ZooKeeper ephemeral node), which is precisely Delta's
+    documented S3 multi-writer requirement."""
+
+    _locks: dict[str, threading.Lock] = {}
+    _registry_lock = threading.Lock()
+
+    def _acquire(self, path: str):
+        with LockTableCoordinator._registry_lock:
+            lock = LockTableCoordinator._locks.setdefault(
+                path, threading.Lock()
+            )
+        lock.acquire()
+        return lock
+
+    def _release(self, path: str, handle) -> None:
+        handle.release()
+
+    def publish(self, path: str, text: str) -> None:
+        handle = self._acquire(path)
+        try:
+            if exists(path):
+                raise FileExistsError(path)
+            write_atomic(path, text)
+        finally:
+            self._release(path, handle)
+
+
+_local_coordinator: CommitCoordinator = PosixLinkCoordinator()
+#: (prefix, coordinator) overrides, longest-prefix match first.
+_coordinator_overrides: list[tuple[str, CommitCoordinator]] = []
+
+
+def set_commit_coordinator(prefix: str, coordinator: CommitCoordinator) -> None:
+    """Route ``publish_exclusive`` for paths under ``prefix`` through
+    ``coordinator`` (e.g. ``set_commit_coordinator("s3a://bucket/",
+    LockTableCoordinator())``). Longest matching prefix wins; pass the
+    empty prefix to override the default everywhere."""
+    _coordinator_overrides.append((prefix, coordinator))
+    _coordinator_overrides.sort(key=lambda pc: -len(pc[0]))
+
+
+def clear_commit_coordinators() -> None:
+    _coordinator_overrides.clear()
+
+
+def coordinator_for(path: str) -> CommitCoordinator:
+    for prefix, coord in _coordinator_overrides:
+        if path.startswith(prefix):
+            return coord
+    if not is_remote(path):
+        return _local_coordinator
+    scheme = path.split(":", 1)[0].lower()
+    if scheme in ("hdfs", "webhdfs", "viewfs"):
+        return HadoopRenameCoordinator()
+    return HadoopCreateCoordinator()
+
+
+def publish_exclusive(path: str, text: str) -> None:
+    """Put-if-absent publish — the OCC commit primitive. Raises
+    ``FileExistsError`` when a concurrent writer already owns ``path``.
+    Dispatches to the path's commit coordinator (see module docstring
+    and ``set_commit_coordinator``)."""
+    coordinator_for(path).publish(path, text)
 
 
 def remove(path: str) -> None:

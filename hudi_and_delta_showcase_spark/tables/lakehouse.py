@@ -39,6 +39,7 @@ from __future__ import annotations
 
 import json
 import os
+import time
 import urllib.parse
 import uuid
 
@@ -69,7 +70,13 @@ class LakehouseTable:
     def __init__(self, spark: SparkSession, path: str):
         self.spark = spark
         self.path = fsio.absolutize(path)
-        meta = json.loads(fsio.read_text(fsio.join(self.path, "_meta.json")))
+        self._load_meta(
+            json.loads(
+                fsio.read_pointer_text(fsio.join(self.path, "_meta.json"))
+            )
+        )
+
+    def _load_meta(self, meta: dict) -> None:
         self.key_cols: list[str] = meta["key_cols"]
         self.precombine: str | None = meta["precombine"]
         self.tiebreakers: list[str] = meta.get("tiebreakers", [])
@@ -84,6 +91,27 @@ class LakehouseTable:
         self.generated_columns: dict[str, str] = meta.get(
             "generated_columns", {}
         )
+        try:
+            self._meta_identity = fsio.stat_identity(
+                fsio.join(self.path, "_meta.json")
+            )
+        except FileNotFoundError:  # create() loads before the write
+            self._meta_identity = None
+
+    def _refresh_meta(self) -> None:
+        """Re-read ``_meta.json`` if it changed since this handle loaded
+        it — called at write entry points so a handle opened BEFORE a
+        concurrent DDL (``add_constraint`` / ``enable_cdc``) still
+        enforces the new table properties, the way Delta writers resolve
+        metadata per-transaction rather than per-handle. One stat call
+        when nothing changed."""
+        meta_path = fsio.join(self.path, "_meta.json")
+        try:
+            identity = fsio.stat_identity(meta_path)
+        except FileNotFoundError:
+            return
+        if identity != self._meta_identity:
+            self._load_meta(json.loads(fsio.read_pointer_text(meta_path)))
 
     # ------------------------------------------------------------------ #
     # creation / loading
@@ -636,12 +664,38 @@ class LakehouseTable:
     # mutate it atomically and take effect from the NEXT write.
     # ------------------------------------------------------------------ #
 
-    def _update_meta(self, **changes) -> None:
-        meta = json.loads(fsio.read_text(fsio.join(self.path, "_meta.json")))
-        meta.update(changes)
-        fsio.write_atomic(
-            fsio.join(self.path, "_meta.json"), json.dumps(meta, indent=1)
-        )
+    def _update_meta(self, transform) -> None:
+        """Serialized read-modify-write of ``_meta.json``: an exclusive
+        ``_meta.lock`` (the same put-if-absent primitive commits use)
+        brackets read -> ``transform(meta)`` -> write, so two
+        concurrent DDLs compose instead of silently losing one change —
+        the property Delta gets by putting metadata in the commit
+        protocol. ``transform`` mutates/validates against the FRESH
+        on-disk meta (a handle's cached view may be stale) and may
+        raise to abort. The handle's fields are refreshed from the
+        result."""
+        meta_path = fsio.join(self.path, "_meta.json")
+        lock = fsio.join(self.path, "_meta.lock")
+        deadline = time.time() + 10.0
+        while True:
+            try:
+                fsio.publish_exclusive(lock, uuid.uuid4().hex)
+                break
+            except FileExistsError:
+                if time.time() > deadline:
+                    raise RuntimeError(
+                        f"timed out acquiring {lock!r} — another DDL is "
+                        "in flight, or a crashed one left the lock; "
+                        "delete the file to recover"
+                    ) from None
+                time.sleep(0.05)
+        try:
+            meta = json.loads(fsio.read_pointer_text(meta_path))
+            transform(meta)
+            fsio.write_atomic(meta_path, json.dumps(meta, indent=1))
+        finally:
+            fsio.remove(lock)
+        self._load_meta(meta)
 
     def enable_cdc(self) -> None:
         """Delta ``SET TBLPROPERTIES (delta.enableChangeDataFeed=true)``
@@ -653,8 +707,7 @@ class LakehouseTable:
             raise ValueError(
                 "change data feed supports copy-on-write tables only"
             )
-        self._update_meta(cdc_enabled=True)
-        self.cdc_enabled = True
+        self._update_meta(lambda meta: meta.update(cdc_enabled=True))
 
     def add_constraint(self, name: str, predicate: str) -> None:
         """Delta ``ALTER TABLE ... ADD CONSTRAINT name CHECK (pred)``:
@@ -676,17 +729,29 @@ class LakehouseTable:
                 f"cannot add constraint {name!r}: existing rows violate "
                 f"{predicate!r}"
             )
-        self.constraints = {**self.constraints, name: predicate}
-        self._update_meta(constraints=self.constraints)
+
+        def transform(meta):
+            cons = meta.get("constraints", {})
+            if name in cons:  # re-check against FRESH meta inside lock
+                raise ValueError(f"constraint exists: {name!r}")
+            cons[name] = predicate
+            meta["constraints"] = cons
+
+        self._update_meta(transform)
 
     def drop_constraint(self, name: str) -> None:
         """Delta ``ALTER TABLE ... DROP CONSTRAINT``."""
         if name not in self.constraints:
             raise ValueError(f"no such constraint: {name!r}")
-        self.constraints = {
-            k: v for k, v in self.constraints.items() if k != name
-        }
-        self._update_meta(constraints=self.constraints)
+
+        def transform(meta):
+            cons = meta.get("constraints", {})
+            if name not in cons:
+                raise ValueError(f"no such constraint: {name!r}")
+            del cons[name]
+            meta["constraints"] = cons
+
+        self._update_meta(transform)
 
     def version_as_of(self, instant: str) -> int:
         """Delta ``TIMESTAMP AS OF`` / Hudi ``as.of.instant``: the latest
@@ -762,6 +827,7 @@ class LakehouseTable:
         foreachBatch streaming writer needs so a micro-batch replayed
         after a crash (table commit landed, stream checkpoint didn't)
         cannot double-apply."""
+        self._refresh_meta()
         commit_time = mf.make_commit_time()
         prev = self._commit(None)
         if txn_app_id is not None and txn_version is not None:
@@ -939,6 +1005,7 @@ class LakehouseTable:
         failing the batch — the pipeline idiom where bad records route
         to a quarantine sink rather than abort the load. One map-only
         predicate split; no extra shuffle."""
+        self._refresh_meta()
         source = self._apply_generated(self._physical(source))
         if self.precombine is not None:
             source = precombine_dedup(
@@ -1022,6 +1089,7 @@ class LakehouseTable:
         delete is a base-file rewrite — equivalent to Hudi deleting via
         a compaction-scheduled plan; a log-tombstone fast path would be
         the next refinement if delete latency ever matters."""
+        self._refresh_meta()
         if self.table_type == MERGE_ON_READ and self._commit(None).log_files:
             self.compact()
         commit_time = mf.make_commit_time()
@@ -1438,7 +1506,7 @@ class LakehouseTable:
             return {
                 int(k): v
                 for k, v in json.loads(
-                    fsio.read_text(self._savepoints_path())
+                    fsio.read_pointer_text(self._savepoints_path())
                 ).items()
             }
         except FileNotFoundError:

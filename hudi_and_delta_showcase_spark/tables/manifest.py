@@ -30,17 +30,22 @@ per (path, version, file identity) so repeated snapshot resolution —
 history scans, time travel, streaming instant resolution — reads each
 delta once per process.
 
-Atomicity: commit files are PUBLISHED PUT-IF-ABSENT (``fsio.
-publish_exclusive`` — a unique temp hard-linked into place locally,
-``create(overwrite=false)`` on Hadoop filesystems), so two genuinely
-concurrent writers racing for the same version get exactly one winner
-and the loser a ``concurrent write detected`` error that feeds the OCC
-rebase loop; readers never see a torn commit. All metadata IO routes
-through ``fsio``: plain-path tables keep the zero-overhead POSIX fast
-path, while ``scheme://`` table roots (gs/s3a/hdfs/file) use the active
-SparkSession's Hadoop connectors — the reference's own deployment keeps
-this log-equivalent on GCS (/root/reference/README.md:1170-1181). See
-``fsio``'s module docstring for the object-store conditional-put caveat.
+Atomicity: commit files are PUBLISHED PUT-IF-ABSENT through the
+pluggable commit coordinator (``fsio.publish_exclusive`` /
+``fsio.set_commit_coordinator`` — POSIX hard-link locally, temp +
+exclusive FileContext rename on HDFS, conditional create on object
+stores, or an external lock table), so two genuinely concurrent
+writers racing for the same version get exactly one winner and the
+loser a ``concurrent write detected`` error that feeds the OCC rebase
+loop; readers never see a torn commit. Defense in depth for misdeployed
+backends: readers retry-then-flag unparseable commit files
+(``_read_json_record``) and writers quarantine stale wreckage
+(``_quarantine_if_torn``) so a crashed publish can never permanently
+wedge a version. All metadata IO routes through ``fsio``: plain-path
+tables keep the zero-overhead POSIX fast path, while ``scheme://``
+table roots (gs/s3a/hdfs/file) use the active SparkSession's Hadoop
+connectors — the reference's own deployment keeps this log-equivalent
+on GCS (/root/reference/README.md:1170-1181).
 """
 
 from __future__ import annotations
@@ -48,6 +53,7 @@ from __future__ import annotations
 import copy
 import json
 import time
+import uuid
 from dataclasses import asdict, dataclass, field
 
 from hudi_and_delta_showcase_spark.tables import fsio
@@ -243,6 +249,27 @@ _snapshot_cache: dict[tuple, Commit] = {}
 _SNAPSHOT_CACHE_MAX = 2048
 
 
+def _read_json_record(path: str) -> dict:
+    """Parse a commit/checkpoint JSON file, retrying briefly on a torn
+    read (empty/partial bytes): on backends whose publish is not
+    single-shot-atomic a reader can catch a commit mid-write; the
+    retries outlast any realistic in-flight window, after which the
+    file is declared torn with a pointer at the quarantine recovery
+    (``_quarantine_if_torn`` runs from the next writer's publish)."""
+    for i in range(3):
+        try:
+            return json.loads(fsio.read_text(path))
+        except (ValueError, UnicodeDecodeError):
+            if i < 2:
+                time.sleep(0.1)
+    raise RuntimeError(
+        f"torn commit file {path!r}: not parseable as JSON after "
+        "retries — a writer crashed mid-publish on a backend without "
+        "an atomic publish primitive; the next commit attempt will "
+        "quarantine it (see TORN_COMMIT_GRACE_SECONDS)"
+    )
+
+
 def read_commit(table_path: str, version: int) -> Commit:
     """Full snapshot of the table state as of ``version``.
 
@@ -257,9 +284,9 @@ def read_commit(table_path: str, version: int) -> Commit:
     if cached is None:
         ckpt = fsio.join(d, f"{version:08d}.checkpoint.json")
         if fsio.exists(ckpt):
-            cached = Commit(**json.loads(fsio.read_text(ckpt)))
+            cached = Commit(**_read_json_record(ckpt))
         else:
-            rec = json.loads(fsio.read_text(final))
+            rec = _read_json_record(final)
             if rec.pop("delta", False):
                 cached = _apply_delta(read_commit(table_path, version - 1), rec)
             else:
@@ -438,7 +465,7 @@ def latest_version(table_path: str) -> int | None:
     start = None
     try:
         start = int(
-            json.loads(fsio.read_text(fsio.join(d, "_last_checkpoint")))[
+            json.loads(fsio.read_pointer_text(fsio.join(d, "_last_checkpoint")))[
                 "version"
             ]
         )
@@ -458,13 +485,48 @@ def latest_commit(table_path: str) -> Commit | None:
     return read_commit(table_path, v) if v is not None else None
 
 
+#: Age (seconds) beyond which a zero-length / unparseable commit file is
+#: judged a crashed writer's wreckage rather than an in-flight publish,
+#: and may be quarantined so the version becomes claimable again. Only
+#: relevant on backends whose publish is not single-shot-atomic; the
+#: built-in coordinators never leave a torn final file.
+TORN_COMMIT_GRACE_SECONDS = 60.0
+
+
+def _quarantine_if_torn(final: str) -> bool:
+    """True if ``final`` held a stale torn commit (empty / non-JSON)
+    that was moved aside to ``<final>.corrupt-<uuid>`` — the recovery
+    path for a writer that crashed mid-publish on a backend without an
+    atomic publish primitive. Fresh torn files (within the grace
+    window) are left alone: they may be a publish in flight."""
+    try:
+        mtime, size = fsio.stat_identity(final)
+    except FileNotFoundError:
+        return False
+    age = time.time() - (mtime / 1000.0 if fsio.is_remote(final) else mtime / 1e9)
+    if age < TORN_COMMIT_GRACE_SECONDS:
+        return False
+    try:
+        json.loads(fsio.read_text(final))
+        return False  # parseable: a real commit, not wreckage
+    except FileNotFoundError:
+        return False
+    except (ValueError, UnicodeDecodeError):
+        pass
+    try:
+        fsio.move(final, f"{final}.corrupt-{uuid.uuid4().hex[:8]}")
+        return True
+    except (OSError, FileNotFoundError):
+        return False  # someone else quarantined or claimed it first
+
+
 def append_commit(table_path: str, commit: Commit) -> None:
     d = commits_dir(table_path)
     fsio.makedirs(d)
     final = fsio.join(d, f"{commit.version:08d}.json")
     # cheap pre-check; the PHYSICAL gate is the exclusive publish below,
     # which two truly concurrent writers cannot both win
-    if fsio.exists(final):
+    if fsio.exists(final) and not _quarantine_if_torn(final):
         raise RuntimeError(
             f"concurrent write detected: commit {commit.version} already exists"
         )
@@ -473,12 +535,24 @@ def append_commit(table_path: str, commit: Commit) -> None:
         record = _commit_delta(read_commit(table_path, commit.version - 1), commit)
     else:  # first commit (or detached version): full snapshot
         record = asdict(commit)
+    payload = json.dumps(record, indent=1)
     try:
-        fsio.publish_exclusive(final, json.dumps(record, indent=1))
+        fsio.publish_exclusive(final, payload)
     except FileExistsError:
-        raise RuntimeError(
-            f"concurrent write detected: commit {commit.version} already exists"
-        ) from None
+        # a loser — unless the occupant is a crashed writer's torn file,
+        # in which case quarantine it and reclaim the version
+        if not _quarantine_if_torn(final):
+            raise RuntimeError(
+                f"concurrent write detected: commit {commit.version} "
+                "already exists"
+            ) from None
+        try:
+            fsio.publish_exclusive(final, payload)
+        except FileExistsError:
+            raise RuntimeError(
+                f"concurrent write detected: commit {commit.version} "
+                "already exists"
+            ) from None
     if commit.version > 0 and commit.version % CHECKPOINT_INTERVAL == 0:
         ckpt = fsio.join(d, f"{commit.version:08d}.checkpoint.json")
         fsio.write_atomic(ckpt, json.dumps(asdict(commit), indent=1))

@@ -286,3 +286,223 @@ def test_apply_cdc_stream_over_file_uri_table(spark, tmp_path):
              for r in t.read().select("pk_id", "value", "is_deleted").collect()}
     assert state[2] == (201, False) and state[3][1] is True
     assert len(state) == 5
+
+
+# --------------------------------------------------------------------- #
+# commit coordinators (r6: pluggable publish + torn-commit recovery)
+# --------------------------------------------------------------------- #
+
+
+def test_lock_table_coordinator_thread_race(tmp_path):
+    """The external-coordination reference implementation: N threads
+    racing publish through the lock table get exactly one winner, and
+    the winner's bytes survive intact."""
+    import threading
+
+    coord = fsio.LockTableCoordinator()
+    target = str(tmp_path / "00000003.json")
+    outcomes = []
+    barrier = threading.Barrier(8)
+
+    def worker(i):
+        barrier.wait()
+        try:
+            coord.publish(target, json.dumps({"writer": i}))
+            outcomes.append(("win", i))
+        except FileExistsError:
+            outcomes.append(("lose", i))
+
+    threads = [threading.Thread(target=worker, args=(i,)) for i in range(8)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join(timeout=30)
+    wins = [i for tag, i in outcomes if tag == "win"]
+    assert len(wins) == 1
+    assert json.loads(fsio.read_text(target)) == {"writer": wins[0]}
+
+
+def test_hadoop_rename_coordinator_file_uri(spark, tmp_path):
+    """The HDFS-style publish (unique temp + exclusive FileContext
+    rename): fully-written bytes become visible atomically, a second
+    publish raises, and the loser's temp is cleaned up."""
+    coord = fsio.HadoopRenameCoordinator()
+    target = f"file://{tmp_path}/00000005.json"
+    coord.publish(target, '{"v": "winner"}')
+    with pytest.raises(FileExistsError):
+        coord.publish(target, '{"v": "loser"}')
+    assert json.loads(fsio.read_text(target)) == {"v": "winner"}
+    # no .tmp litter (checksum-FS .crc sidecars are expected)
+    left = [f for f in os.listdir(tmp_path) if not f.endswith(".crc")]
+    assert sorted(left) == ["00000005.json"]
+
+
+def test_coordinator_prefix_routing(tmp_path):
+    """set_commit_coordinator routes publishes by longest prefix; the
+    default (POSIX link) serves everything else."""
+
+    class Recording(fsio.CommitCoordinator):
+        def __init__(self):
+            self.calls = []
+
+        def publish(self, path, text):
+            self.calls.append(path)
+            fsio.write_atomic(path, text)
+
+    rec = Recording()
+    os.makedirs(tmp_path / "special")
+    try:
+        fsio.set_commit_coordinator(str(tmp_path / "special"), rec)
+        fsio.publish_exclusive(str(tmp_path / "special" / "c.json"), "{}")
+        fsio.publish_exclusive(str(tmp_path / "plain.json"), "{}")
+        assert rec.calls == [str(tmp_path / "special" / "c.json")]
+        assert isinstance(
+            fsio.coordinator_for("hdfs://nn/t/c.json"),
+            fsio.HadoopRenameCoordinator,
+        )
+        assert isinstance(
+            fsio.coordinator_for("gs://b/t/c.json"),
+            fsio.HadoopCreateCoordinator,
+        )
+    finally:
+        fsio.clear_commit_coordinators()
+
+
+def test_write_atomic_remote_readers_never_see_absent(spark, tmp_path):
+    """Hammer the pointer-file contract over the Hadoop path: one
+    writer rewriting _meta.json-style content while readers poll via
+    read_pointer_text — every read returns complete, parseable JSON
+    (stale or new, never torn, never FileNotFoundError)."""
+    import threading
+
+    target = f"file://{tmp_path}/_meta.json"
+    fsio.write_atomic(target, json.dumps({"gen": 0}))
+    stop = threading.Event()
+    errors = []
+
+    def reader():
+        while not stop.is_set():
+            try:
+                doc = json.loads(fsio.read_pointer_text(target))
+                assert "gen" in doc
+            except Exception as exc:  # noqa: BLE001
+                errors.append(repr(exc))
+                return
+
+    t = threading.Thread(target=reader)
+    t.start()
+    for gen in range(1, 40):
+        fsio.write_atomic(target, json.dumps({"gen": gen}))
+    stop.set()
+    t.join(timeout=30)
+    assert not errors, errors
+    assert json.loads(fsio.read_text(target)) == {"gen": 39}
+
+
+# --------------------------------------------------------------------- #
+# torn-commit quarantine (crashed writer on a non-atomic backend)
+# --------------------------------------------------------------------- #
+
+
+def test_torn_commit_quarantined_and_version_reclaimed(tmp_path, monkeypatch):
+    """A zero-length commit file (writer crashed mid-publish on a
+    backend without an atomic publish) must not wedge the version
+    forever: once stale, the next writer quarantines it and claims the
+    version."""
+    table = str(tmp_path / "tbl")
+    mf.append_commit(
+        table, mf.Commit(version=0, action="insert",
+                         commit_time=mf.make_commit_time())
+    )
+    torn = os.path.join(table, "_commits", "00000001.json")
+    open(torn, "w").close()  # zero bytes: the torn artifact
+    # fresh wreckage is within the grace window: still a conflict
+    with pytest.raises(RuntimeError, match="concurrent write detected"):
+        mf.append_commit(
+            table, mf.Commit(version=1, action="insert",
+                             commit_time=mf.make_commit_time())
+        )
+    monkeypatch.setattr(mf, "TORN_COMMIT_GRACE_SECONDS", 0.0)
+    c1 = mf.Commit(version=1, action="insert",
+                   commit_time=mf.make_commit_time(), files=["a.parquet"])
+    mf.append_commit(table, c1)  # quarantine + reclaim
+    assert mf.read_commit(table, 1).files == ["a.parquet"]
+    corrupt = [
+        f for f in os.listdir(os.path.join(table, "_commits"))
+        if ".corrupt-" in f
+    ]
+    assert len(corrupt) == 1  # wreckage preserved for forensics
+
+
+def test_read_commit_torn_file_raises_informative(tmp_path):
+    table = str(tmp_path / "tbl")
+    mf.append_commit(
+        table, mf.Commit(version=0, action="insert",
+                         commit_time=mf.make_commit_time())
+    )
+    with open(os.path.join(table, "_commits", "00000000.json"), "w") as fh:
+        fh.write('{"version": 0, "act')  # partial write
+    mf._snapshot_cache.clear()
+    with pytest.raises(RuntimeError, match="torn commit"):
+        mf.read_commit(table, 0)
+
+
+# --------------------------------------------------------------------- #
+# _meta.json DDL: serialized updates + fresh-handle enforcement
+# --------------------------------------------------------------------- #
+
+
+def test_concurrent_ddls_compose(spark, tmp_path):
+    """Two handles adding DIFFERENT constraints concurrently: both land
+    (the lock-bracketed read-modify-write cannot lose one)."""
+    import threading
+
+    import pyspark.sql.functions as F
+
+    from hudi_and_delta_showcase_spark.tables import LakehouseTable
+
+    df = spark.range(10).select(
+        F.col("id").alias("k"), (F.col("id") * 10).alias("v")
+    )
+    path = str(tmp_path / "tbl")
+    LakehouseTable.create(spark, path, df, key_cols=["k"])
+    h1 = LakehouseTable(spark, path)
+    h2 = LakehouseTable(spark, path)
+    barrier = threading.Barrier(2)
+    errors = []
+
+    def ddl(handle, name):
+        barrier.wait()
+        try:
+            handle.add_constraint(name, "v IS NOT NULL")
+        except Exception as exc:  # noqa: BLE001
+            errors.append(repr(exc))
+
+    t1 = threading.Thread(target=ddl, args=(h1, "c1"))
+    t2 = threading.Thread(target=ddl, args=(h2, "c2"))
+    t1.start(); t2.start(); t1.join(30); t2.join(30)
+    assert not errors, errors
+    fresh = LakehouseTable(spark, path)
+    assert set(fresh.constraints) == {"c1", "c2"}
+
+
+def test_stale_handle_enforces_new_constraint(spark, tmp_path):
+    """A handle opened BEFORE a concurrent ADD CONSTRAINT still
+    enforces it on its next write (metadata is resolved per-write, not
+    per-handle)."""
+    import pyspark.sql.functions as F
+
+    from hudi_and_delta_showcase_spark.tables import LakehouseTable
+
+    df = spark.range(10).select(
+        F.col("id").alias("k"), (F.col("id") * 10).alias("v")
+    )
+    path = str(tmp_path / "tbl")
+    LakehouseTable.create(spark, path, df, key_cols=["k"])
+    stale = LakehouseTable(spark, path)           # opened first
+    LakehouseTable(spark, path).add_constraint("pos", "v >= 0")
+    bad = spark.range(1).select(
+        F.col("id").alias("k"), F.lit(-5).alias("v")
+    )
+    with pytest.raises(ValueError, match="CHECK constraint violation"):
+        stale.upsert(bad)
