@@ -269,6 +269,141 @@ def snapshot_diff_envelopes(
     )
 
 
+def _resolve_col(df: DataFrame, name: str) -> str:
+    """Case-insensitive column resolution (JDBC dialects fold unquoted
+    identifiers — Derby/Oracle to upper case)."""
+    by_lower = {c.lower(): c for c in df.columns}
+    if name in df.columns:
+        return name
+    if name.lower() in by_lower:
+        return by_lower[name.lower()]
+    raise ValueError(f"no such column: {name!r} in {df.columns}")
+
+
+def read_jdbc_watermark_increment(
+    spark: SparkSession,
+    url: str,
+    table: str,
+    watermark_column: str,
+    key_column: str,
+    last_watermark=None,
+    last_key=None,
+    **jdbc_kwargs,
+) -> DataFrame:
+    """The reference's CONTINUOUS-capture mode without a binlog reader
+    (Datastream tails the MySQL binlog, /root/reference/README.md:
+    97-174): a timestamp+incrementing watermark pull — the Kafka
+    Connect JDBC source idiom. Each sync reads ONLY rows past the
+    (watermark, key) keyset cursor::
+
+        wm > last_watermark OR (wm = last_watermark AND pk > last_key)
+
+    The predicate is expressed as DataFrame filters, which Spark's
+    JDBC source pushes into the remote query verbatim (verify with
+    ``.explain``: ``PushedFilters: [*Or(GreaterThan(...`` — the ``*``
+    marks source-evaluated), so per-sync cost is O(changes) at the
+    source, not O(snapshot) like ``snapshot_diff_envelopes``'s
+    full-outer diff. The key tiebreak makes the cursor a strict total
+    order: rows sharing the boundary timestamp are neither lost nor
+    re-read across syncs.
+
+    What a watermark tail CANNOT see (vs a real log): DELETEs (no row
+    left to carry the new timestamp — run a periodic
+    ``snapshot_diff_envelopes`` reconciliation or source tombstones),
+    and multiple updates within one sync interval collapse to the
+    final image. ``last_watermark=None`` bootstraps with the full
+    table (the backfill).
+
+    ``watermark_column`` must be monotone for changed rows (MySQL
+    ``updated_at TIMESTAMP ... ON UPDATE NOW()``, README.md:74-75) and
+    indexed at the source for the pushed predicate to be cheap."""
+    snap = read_jdbc_snapshot(spark, url, table, **jdbc_kwargs)
+    if last_watermark is None:
+        return snap
+    import datetime as _dt
+
+    if isinstance(last_watermark, _dt.datetime):
+        # NEVER F.lit(datetime): PySpark builds an LTZ literal through
+        # the JVM default zone, and the cast back to NTZ then applies
+        # the SESSION zone — under a non-UTC session the watermark
+        # silently shifts and the pull re-reads (or skips) rows. A
+        # wall-time string cast to the column type is zone-independent.
+        last_watermark = last_watermark.strftime("%Y-%m-%d %H:%M:%S.%f")
+    wm_col = F.col(_resolve_col(snap, watermark_column))
+    wm_lit = F.lit(last_watermark).cast(
+        snap.schema[_resolve_col(snap, watermark_column)].dataType
+    )
+    pred = wm_col > wm_lit
+    if last_key is not None:
+        pred = pred | (
+            (wm_col == wm_lit)
+            & (F.col(_resolve_col(snap, key_column)) > F.lit(last_key))
+        )
+    return snap.filter(pred)
+
+
+def increment_watermark(
+    increment: DataFrame, watermark_column: str, key_column: str
+) -> tuple:
+    """(max watermark, max key at that watermark) of a pulled
+    increment — the keyset cursor to persist for the next sync. One
+    tiny aggregate job (the increment is O(changes)). Returns
+    (None, None) for an empty increment: keep the previous cursor."""
+    wm = _resolve_col(increment, watermark_column)
+    key = _resolve_col(increment, key_column)
+    row = increment.groupBy().agg(F.max(F.col(wm)).alias("wm")).collect()[0]
+    if row["wm"] is None:
+        return (None, None)
+    top = (
+        increment.filter(F.col(wm) == F.lit(row["wm"]))
+        .agg(F.max(F.col(key)).alias("k"))
+        .collect()[0]
+    )
+    return (row["wm"], top["k"])
+
+
+def watermark_tail_envelopes(
+    increment: DataFrame,
+    source_table: str,
+    database: str,
+    primary_keys: list[str],
+    created_column: str | None = None,
+    updated_column: str | None = None,
+    payload_cols: list[str] | None = None,
+    read_timestamp=None,
+    stream_name: str = "jdbc-watermark-tail",
+) -> DataFrame:
+    """Wrap a watermark increment in Datastream CHANGE envelopes
+    (``read_method='mysql-cdc-binlog'``) feeding the same streaming
+    apply as real binlog drops. Change type: with ``created_column``
+    AND ``updated_column`` given, a row whose creation timestamp equals
+    its update timestamp has never been updated -> ``INSERT``; else
+    ``UPDATE-INSERT`` (MySQL's paired ``DEFAULT NOW()`` / ``ON UPDATE
+    NOW()`` columns, README.md:74-75, make this exact). Without them
+    every row is ``UPDATE-INSERT`` — identical downstream behavior,
+    the keyed upsert treats both as upserts. DELETEs never appear in a
+    watermark tail (see ``read_jdbc_watermark_increment``)."""
+    if created_column is not None and updated_column is not None:
+        created = F.col(_resolve_col(increment, created_column))
+        updated = F.col(_resolve_col(increment, updated_column))
+        change = F.when(
+            created == updated, F.lit("INSERT")
+        ).otherwise(F.lit("UPDATE-INSERT"))
+    else:
+        change = F.lit("UPDATE-INSERT")
+    rows = (
+        increment.withColumn(
+            "payload", _payload_struct(increment, payload_cols)
+        )
+        .withColumn("__change_type", change)
+        .withColumn("__is_deleted", F.lit(False))
+    )
+    return _wrap_envelopes(
+        rows, source_table, database, primary_keys,
+        read_timestamp, "mysql-cdc-binlog", stream_name,
+    )
+
+
 def jdbc_backfill_to_drop_dir(
     spark: SparkSession,
     url: str,

@@ -42,6 +42,9 @@ PRIORITY: tuple[str, ...] = (
     # r5: S10 native — real JDBC snapshot (embedded Derby) -> Datastream
     # envelopes -> streaming CDC apply, the reference's MySQL loop
     "cdc_jdbc_backfill_loop",
+    # r6: S10 continuous capture — O(changes) watermark tail with the
+    # keyset predicate pushed into the remote JDBC scan
+    "cdc_jdbc_watermark_tail",
     # on-disk lakehouse protocols (S3 _delta_log, S2 .hoodie timeline) —
     # promoted in r4 so the protocol flagships earn driver rows
     "delta_log_roundtrip",
@@ -101,13 +104,15 @@ PRIORITY: tuple[str, ...] = (
     "sketch_distinct_gate",
     # -- multimodal -------------------------------------------------------
     "multimodal_dedup_decode",
-    "multimodal_frame_sample",
     # ==== below the line: checked only if the driver looks past 50 =======
     # (oracle-bearing variants first, rows-only last; r4 demoted four
     # redundant family variants to make room for the protocol/streaming
     # flagships above, then sketch_percentile_gate for the deletion-vector
     # row — all stay registered and FULL_LOCAL-checked)
     "sketch_percentile_gate",
+    # r6 demoted for the watermark-tail driver row (multimodal keeps
+    # one top-50 representative, multimodal_dedup_decode)
+    "multimodal_frame_sample",
     "join_anti",
     "text_quality_scores",
     "cdc_hard_delete_state",

@@ -1570,6 +1570,113 @@ def cdc_jdbc_incremental_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "cdc_jdbc_watermark_tail",
+    oracle="""
+    SELECT * FROM (VALUES
+      (1, 'apple',    10, 1673496060, 'INSERT',        FALSE),
+      (2, 'samsung', 201, 1673501401, 'UPDATE-INSERT', FALSE),
+      (3, 'dell',     30, 1673496060, 'INSERT',        FALSE),
+      (4, 'motorola', 40, 1673496060, 'INSERT',        FALSE),
+      (5, 'htc',      50, 1673501400, 'INSERT',        FALSE)
+    ) AS t(pk_id, name, value, updated_at, change_type, is_deleted)
+    """,
+    tags=("cdc", "jdbc", "source", "incremental"),
+)
+def cdc_jdbc_watermark_tail(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S10's change half at O(changes) per sync: a timestamp +
+    incrementing WATERMARK pull (the Kafka Connect JDBC idiom) stands
+    in for Datastream's binlog tail — the reference's continuous-
+    capture operating mode (README.md:97-174). After the backfill, the
+    source mutates (insert pk5, update pk2, delete pk3); the next sync
+    reads ONLY rows past the (updated_at, pk_id) keyset cursor — the
+    predicate is pushed into the remote JDBC query
+    (tests/test_jdbc_source.py pins ``PushedFilters``), so the source
+    is never re-scanned, unlike ``cdc_jdbc_incremental_diff``'s
+    full-outer snapshot diff. The MySQL-style created_at/updated_at
+    pair classifies INSERT vs UPDATE-INSERT exactly.
+
+    The documented caveat is IN the oracle: pk3's DELETE leaves no row
+    for the tail to see, so dell survives — delete capture needs the
+    periodic snapshot-diff reconciliation or source tombstones."""
+    from hudi_and_delta_showcase_spark.jdbc_source import (
+        increment_watermark,
+        read_jdbc_snapshot,
+        read_jdbc_watermark_increment,
+        snapshot_to_envelopes,
+        watermark_tail_envelopes,
+    )
+    from hudi_and_delta_showcase_spark.streaming.cdc_stream import (
+        apply_cdc_stream,
+    )
+
+    root = tempfile.mkdtemp(prefix="jdbc_wm_")
+    url = f"jdbc:derby:{root}/srcdb;create=true"
+    jvm = spark._jvm
+    # keep derby.log out of the caller's working directory
+    jvm.java.lang.System.setProperty("derby.system.home", root)
+    jvm.java.lang.Class.forName("org.apache.derby.jdbc.EmbeddedDriver")
+    conn = jvm.java.sql.DriverManager.getConnection(url)
+    st = conn.createStatement()
+    st.executeUpdate(
+        "CREATE TABLE HUDI_DELTA_TEST (pk_id INT PRIMARY KEY, "
+        "name VARCHAR(64), value INT, updated_at TIMESTAMP, "
+        "created_at TIMESTAMP)"
+    )
+    for pk, name, value in [
+        (1, "apple", 10), (2, "samsung", 20),
+        (3, "dell", 30), (4, "motorola", 40),
+    ]:
+        st.executeUpdate(
+            f"INSERT INTO HUDI_DELTA_TEST VALUES ({pk}, '{name}', {value}, "
+            "TIMESTAMP('2023-01-12 04:01:00'), "
+            "TIMESTAMP('2023-01-12 04:00:00'))"
+        )
+    drv = {"driver": "org.apache.derby.jdbc.EmbeddedDriver"}
+    snap0 = read_jdbc_snapshot(spark, url, "HUDI_DELTA_TEST", **drv)
+    env0 = snapshot_to_envelopes(
+        snap0, "hudi_delta_test", "db", ["pk_id"],
+        read_timestamp="2023-01-12 04:05:00",
+    )
+    drop = f"{root}/drop"
+    env0.coalesce(1).write.parquet(f"{drop}/b0")
+    apply_cdc_stream(
+        spark, f"{drop}/*/", f"{root}/table", checkpoint_dir=f"{root}/ckpt"
+    )
+    # persist the keyset cursor BEFORE the source mutates
+    wm, key = increment_watermark(snap0, "updated_at", "pk_id")
+
+    # source-side churn: insert, update, and the tail-invisible delete
+    st.executeUpdate(
+        "INSERT INTO HUDI_DELTA_TEST VALUES (5, 'htc', 50, "
+        "TIMESTAMP('2023-01-12 05:30:00'), TIMESTAMP('2023-01-12 05:30:00'))"
+    )
+    st.executeUpdate(
+        "UPDATE HUDI_DELTA_TEST SET value = 201, "
+        "updated_at = TIMESTAMP('2023-01-12 05:30:01') WHERE pk_id = 2"
+    )
+    st.executeUpdate("DELETE FROM HUDI_DELTA_TEST WHERE pk_id = 3")
+    st.close()
+    conn.close()
+
+    inc = read_jdbc_watermark_increment(
+        spark, url, "HUDI_DELTA_TEST", "updated_at", "pk_id",
+        last_watermark=wm, last_key=key, **drv,
+    )
+    changes = watermark_tail_envelopes(
+        inc, "hudi_delta_test", "db", ["pk_id"],
+        created_column="created_at", updated_column="updated_at",
+        read_timestamp="2023-01-12 05:31:00",
+    )
+    changes.coalesce(1).write.parquet(f"{drop}/b1")
+    table = apply_cdc_stream(
+        spark, f"{drop}/*/", f"{root}/table", checkpoint_dir=f"{root}/ckpt"
+    )
+    return table.read().select(
+        "pk_id", "name", "value", "updated_at", "change_type", "is_deleted"
+    )
+
+
+@query(
     "cdc_convert_in_place",
     oracle=f"""
     SELECT event_id, user_id, ts, event_type, value FROM events

@@ -198,3 +198,135 @@ def test_snapshot_diff_envelopes_classifies_changes(spark):
     from hudi_and_delta_showcase_spark.operators.cdc import ENVELOPE_SCHEMA
 
     assert env.schema.simpleString() == ENVELOPE_SCHEMA.simpleString()
+
+
+# --------------------------------------------------------------------- #
+# r6: watermark-incremental tail (O(changes) per sync)
+# --------------------------------------------------------------------- #
+
+
+@pytest.fixture()
+def churn_db(spark):
+    """A mutable copy of the golden table for watermark-tail tests
+    (function-scoped: each test gets fresh churn)."""
+    db = tempfile.mkdtemp(prefix="derby_wm_") + "/srcdb"
+    url = f"jdbc:derby:{db};create=true"
+    jvm = spark._jvm
+    jvm.java.lang.Class.forName("org.apache.derby.jdbc.EmbeddedDriver")
+    conn = jvm.java.sql.DriverManager.getConnection(url)
+    st = conn.createStatement()
+    st.executeUpdate(
+        "CREATE TABLE HUDI_DELTA_TEST ("
+        "pk_id INT PRIMARY KEY, name VARCHAR(64), value INT, "
+        "updated_at TIMESTAMP, created_at TIMESTAMP)"
+    )
+    for pk, name, value in GOLDEN_ROWS:
+        st.executeUpdate(
+            f"INSERT INTO HUDI_DELTA_TEST VALUES ({pk}, '{name}', {value}, "
+            "TIMESTAMP('2023-01-12 04:01:00'), "
+            "TIMESTAMP('2023-01-12 04:00:00'))"
+        )
+    yield url, conn
+    conn.close()
+
+
+DRV = {"driver": "org.apache.derby.jdbc.EmbeddedDriver"}
+
+
+def test_watermark_predicate_is_pushed_to_source(spark, churn_db):
+    """The whole keyset predicate (wm > W OR (wm = W AND pk > K)) must
+    reach the remote JDBC query — the '*' prefix in PushedFilters marks
+    source-side evaluation; without it each sync re-scans the source
+    and the O(changes) claim is void."""
+    from hudi_and_delta_showcase_spark.jdbc_source import (
+        read_jdbc_watermark_increment,
+    )
+
+    url, _ = churn_db
+    inc = read_jdbc_watermark_increment(
+        spark, url, "HUDI_DELTA_TEST", "updated_at", "pk_id",
+        last_watermark="2023-01-12 04:01:00", last_key=2, **DRV,
+    )
+    jvm = spark._jvm
+    plan = inc._jdf.queryExecution().explainString(
+        jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    )
+    assert "PushedFilters: [*Or(GreaterThan(UPDATED_AT" in plan, plan
+    assert "GreaterThan(PK_ID,2)" in plan, plan
+
+
+def test_watermark_tail_is_o_changes_and_exact(spark, churn_db):
+    """After churn, the pull returns EXACTLY the changed rows (keyset
+    cursor: boundary-timestamp rows neither lost nor re-read), and the
+    envelopes classify INSERT vs UPDATE-INSERT via created/updated."""
+    from hudi_and_delta_showcase_spark.jdbc_source import (
+        increment_watermark,
+        read_jdbc_snapshot,
+        read_jdbc_watermark_increment,
+        watermark_tail_envelopes,
+    )
+
+    url, conn = churn_db
+    snap0 = read_jdbc_snapshot(spark, url, "HUDI_DELTA_TEST", **DRV)
+    wm, key = increment_watermark(snap0, "updated_at", "pk_id")
+    assert str(wm).startswith("2023-01-12 04:01") and key == 4
+
+    st = conn.createStatement()
+    st.executeUpdate(
+        "INSERT INTO HUDI_DELTA_TEST VALUES (5, 'htc', 50, "
+        "TIMESTAMP('2023-01-12 05:30:00'), TIMESTAMP('2023-01-12 05:30:00'))"
+    )
+    st.executeUpdate(
+        "UPDATE HUDI_DELTA_TEST SET value = 201, "
+        "updated_at = TIMESTAMP('2023-01-12 05:30:01') WHERE pk_id = 2"
+    )
+    st.executeUpdate("DELETE FROM HUDI_DELTA_TEST WHERE pk_id = 3")
+    st.close()
+
+    inc = read_jdbc_watermark_increment(
+        spark, url, "HUDI_DELTA_TEST", "updated_at", "pk_id",
+        last_watermark=wm, last_key=key, **DRV,
+    )
+    rows = {r.PK_ID: r for r in inc.collect()}
+    assert set(rows) == {2, 5}  # O(changes): only the churned rows
+    env = watermark_tail_envelopes(
+        inc, "hudi_delta_test", "db", ["pk_id"],
+        created_column="created_at", updated_column="updated_at",
+    )
+    kinds = {
+        r["payload"]["pk_id"]: r["source_metadata"]["change_type"]
+        for r in env.collect()
+    }
+    assert kinds == {5: "INSERT", 2: "UPDATE-INSERT"}
+    # the advanced cursor re-pulls nothing (no lost, no re-read)
+    wm2, key2 = increment_watermark(inc, "updated_at", "pk_id")
+    again = read_jdbc_watermark_increment(
+        spark, url, "HUDI_DELTA_TEST", "updated_at", "pk_id",
+        last_watermark=wm2, last_key=key2, **DRV,
+    )
+    assert again.count() == 0
+
+
+def test_watermark_boundary_key_tiebreak(spark, churn_db):
+    """Two rows sharing the boundary timestamp: a cursor mid-timestamp
+    (wm, key) pulls only the higher key — the classic keyset-pagination
+    edge a bare 'wm > W' predicate gets wrong (it would re-read or
+    drop boundary rows)."""
+    from hudi_and_delta_showcase_spark.jdbc_source import (
+        read_jdbc_watermark_increment,
+    )
+
+    url, conn = churn_db
+    st = conn.createStatement()
+    for pk in (6, 7):
+        st.executeUpdate(
+            f"INSERT INTO HUDI_DELTA_TEST VALUES ({pk}, 'pad', 0, "
+            "TIMESTAMP('2023-01-12 06:00:00'), "
+            "TIMESTAMP('2023-01-12 06:00:00'))"
+        )
+    st.close()
+    inc = read_jdbc_watermark_increment(
+        spark, url, "HUDI_DELTA_TEST", "updated_at", "pk_id",
+        last_watermark="2023-01-12 06:00:00", last_key=6, **DRV,
+    )
+    assert [r.PK_ID for r in inc.collect()] == [7]
