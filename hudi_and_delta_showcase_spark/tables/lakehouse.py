@@ -64,6 +64,19 @@ MERGE_ON_READ = "mor"
 HIVE_DEFAULT_PARTITION = "__HIVE_DEFAULT_PARTITION__"
 
 
+def _parse_partition_value(v: str, partition_type: str):
+    """Hive dir value string -> a JSON-stable typed value for the
+    col_stats index (mirrors the scan-time cast in ``_repair_meta``)."""
+    t = partition_type.lower()
+    if t in ("tinyint", "smallint", "int", "integer", "bigint", "long"):
+        return int(v)
+    if t in ("float", "double"):
+        return float(v)
+    if t == "boolean":
+        return v.lower() == "true"
+    return v
+
+
 class LakehouseTable:
     """A keyed, versioned, partitioned table on parquet + manifests."""
 
@@ -90,6 +103,12 @@ class LakehouseTable:
         self.constraints: dict[str, str] = meta.get("constraints", {})
         self.generated_columns: dict[str, str] = meta.get(
             "generated_columns", {}
+        )
+        #: set when a foreign hive layout was adopted by ``convert``:
+        #: the partition column exists only in adopted file PATHS and
+        #: is derived at scan time with this declared type.
+        self.adopted_partition_type: str | None = meta.get(
+            "adopted_partition_type"
         )
         try:
             self._meta_identity = fsio.stat_identity(
@@ -276,6 +295,8 @@ class LakehouseTable:
         precombine: str | None = None,
         tiebreakers: list[str] | None = None,
         table_type: str = COPY_ON_WRITE,
+        partition_by: str | None = None,
+        partition_type: str = "string",
     ) -> "LakehouseTable":
         """Delta ``CONVERT TO DELTA`` / Hudi METADATA_ONLY bootstrap:
         adopt an EXISTING parquet directory as a lakehouse table
@@ -296,10 +317,22 @@ class LakehouseTable:
         file.
 
         Duplicates are adopted as-is (convert never dedups, exactly
-        like Delta's CONVERT). Partitioned layouts are refused for now:
-        the engine's partition pruning keys on its own ``__pp=`` dirs,
-        and silently adopting a foreign hive layout would break the
-        rewrite's partition scoping."""
+        like Delta's CONVERT).
+
+        Hive-partitioned layouts (``col=value`` directories — the
+        reference's own Hudi tables are partitioned, README.md:278,320)
+        are adopted by declaring ``partition_by`` + ``partition_type``,
+        mirroring Delta's ``CONVERT TO DELTA ... PARTITIONED BY (col
+        type)`` (the type must be declared because hive dirs carry only
+        strings). The partition COLUMN exists only in the paths of
+        adopted files, so reads derive it at scan time from
+        ``_metadata.file_path`` (``_repair_meta`` — same discipline as
+        the derived Hudi meta columns; rows from post-adoption engine
+        writes keep their stored column), rewrite scoping maps foreign
+        ``col=value`` dirs alongside the engine's own ``__pp=`` dirs,
+        and the convert commit seeds ``col_stats`` with each file's
+        partition value so partition pruning via ``read_where`` works
+        from version 0."""
         path = fsio.absolutize(path)
         if fsio.exists(fsio.join(path, "_meta.json")):
             raise FileExistsError(f"already a lakehouse table: {path}")
@@ -308,11 +341,26 @@ class LakehouseTable:
         )
         if not files:
             raise FileNotFoundError(f"no parquet files to convert: {path}")
-        if any("=" in f.split("/")[0] for f in files):
+        partitioned = [f for f in files if "=" in f.split("/")[0]]
+        if partitioned and partition_by is None:
             raise ValueError(
-                "hive-partitioned layouts are not convertible in place; "
-                "read + create(partition_by=...) instead"
+                "hive-partitioned layout: declare partition_by (and "
+                "partition_type), like Delta's CONVERT TO DELTA ... "
+                "PARTITIONED BY"
             )
+        adopted_partition = False
+        if partition_by is not None:
+            bad = [
+                f for f in files
+                if not f.split("/")[0].startswith(f"{partition_by}=")
+                or f.count("/") != 1
+            ]
+            if bad:
+                raise ValueError(
+                    f"expected a single-level {partition_by}=<value> "
+                    f"layout for every file; offending: {bad[:3]}"
+                )
+            adopted_partition = True
         fsio.write_atomic(
             fsio.join(path, "_meta.json"),
             json.dumps(
@@ -320,7 +368,7 @@ class LakehouseTable:
                     "key_cols": key_cols,
                     "precombine": precombine,
                     "tiebreakers": tiebreakers or [],
-                    "partition_by": None,
+                    "partition_by": partition_by,
                     "table_type": table_type,
                     "cdc_enabled": False,
                     "global_index": False,
@@ -329,11 +377,29 @@ class LakehouseTable:
                     "record_index": False,
                     "constraints": {},
                     "generated_columns": {},
+                    **(
+                        {"adopted_partition_type": partition_type}
+                        if adopted_partition
+                        else {}
+                    ),
                 },
                 indent=1,
             ),
         )
         table = cls(spark, path)
+        index = table._index_fields(files)
+        if adopted_partition:
+            # seed per-file [v, v] stats for the path-only partition
+            # column: data skipping on it works from version 0 even
+            # though no footer carries the column
+            for f in files:
+                v = table._partition_value_of(f)
+                if v == HIVE_DEFAULT_PARTITION:
+                    continue
+                typed = _parse_partition_value(v, partition_type)
+                index["col_stats"].setdefault(f, {})[partition_by] = [
+                    typed, typed,
+                ]
         mf.append_commit(
             path,
             mf.Commit(
@@ -343,7 +409,7 @@ class LakehouseTable:
                 files=files,
                 log_files=[],
                 stats={"converted_files": len(files)},
-                **table._index_fields(files),
+                **index,
             ),
         )
         return table
@@ -2028,10 +2094,17 @@ class LakehouseTable:
         return kept, skipped
 
     def _partition_value_of(self, rel_file: str) -> str:
+        """Partition value encoded in a file's path: the engine's own
+        ``__pp=`` dirs, or — on adopted foreign layouts — the declared
+        partition column's ``col=value`` dir."""
         parts = dict(
             seg.split("=", 1) for seg in rel_file.split("/") if "=" in seg
         )
-        return urllib.parse.unquote(parts.get("__pp", ""))
+        if "__pp" in parts:
+            return urllib.parse.unquote(parts["__pp"])
+        if self.partition_by and self.partition_by in parts:
+            return urllib.parse.unquote(parts[self.partition_by])
+        return ""
 
     #: allowed type widenings (Delta ``typeWidening`` lattice, the
     #: subset parquet scans can upcast natively): integer chain,
@@ -2172,6 +2245,35 @@ class LakehouseTable:
         overhead on the normal path."""
         if self._convert_time is None:
             return df
+        if (
+            self.partition_by
+            and self.adopted_partition_type
+        ):
+            # adopted hive layout: the partition column lives only in
+            # the PATHS of adopted files — derive it from the scan's
+            # native _metadata.file_path (stays inside codegen, no
+            # per-partition union of scans). Engine-written files carry
+            # the real column; coalesce keeps their stored values.
+            import re as _re
+
+            seg = F.regexp_extract(
+                F.col("_metadata.file_path"),
+                f"/{_re.escape(self.partition_by)}=([^/]+)/",
+                1,
+            )
+            val = F.when(seg == "", F.lit(None)).otherwise(F.url_decode(seg))
+            val = (
+                F.when(val == HIVE_DEFAULT_PARTITION, F.lit(None))
+                .otherwise(val)
+                .cast(self.adopted_partition_type)
+            )
+            if self.partition_by in df.columns:
+                df = df.withColumn(
+                    self.partition_by,
+                    F.coalesce(F.col(self.partition_by), val),
+                )
+            else:
+                df = df.withColumn(self.partition_by, val)
         key = F.concat_ws(
             "|", *[F.col(k).cast("string") for k in self.key_cols]
         )
@@ -2332,12 +2434,7 @@ class LakehouseTable:
         }
         affected, untouched = [], []
         for f in files:
-            parts = dict(
-                seg.split("=", 1)
-                for seg in f.split("/")
-                if "=" in seg
-            )
-            pv = urllib.parse.unquote(parts.get("__pp", ""))
+            pv = self._partition_value_of(f)
             (affected if pv in values else untouched).append(f)
         return affected, untouched
 

@@ -85,7 +85,7 @@ def test_convert_refuses_tables_and_hive_layouts(spark, tmp_path):
     spark.createDataFrame([(1, "a")], "k int, p string").write.partitionBy(
         "p"
     ).parquet(hive)
-    with pytest.raises(ValueError, match="hive-partitioned"):
+    with pytest.raises(ValueError, match="declare partition_by"):
         LakehouseTable.convert(spark, hive, key_cols=["k"])
     with pytest.raises(FileNotFoundError):
         LakehouseTable.convert(
@@ -105,3 +105,118 @@ def test_convert_mor_upsert_merges_logs(spark, tmp_path):
     assert got == {3: 77}
     # ro view still serves the converted base
     assert t.read_ro().filter(F.col("k") == 3).first().v == 30
+
+
+# --------------------------------------------------------------------- #
+# r6: partitioned (hive-layout) CONVERT — Delta CONVERT TO DELTA ...
+# PARTITIONED BY parity; the reference's Hudi tables are partitioned
+# (README.md:278,320)
+# --------------------------------------------------------------------- #
+
+
+def _hive_seed(spark, path):
+    """A foreign hive-partitioned directory: partition col only in the
+    PATHS (Spark's partitionBy drops it from the data files), including
+    a null-partition dir."""
+    df = spark.createDataFrame(
+        [
+            (1, 10, 100, "2023-01-01"),
+            (2, 20, 100, "2023-01-01"),
+            (3, 30, 100, "2023-01-02"),
+            (4, 40, 100, "2023-01-02"),
+            (5, 50, 100, None),
+        ],
+        "k int, v int, sq int, dt string",
+    )
+    df.repartition(1).write.partitionBy("dt").parquet(path)
+    return df
+
+
+def test_partitioned_convert_roundtrip_and_pruning(spark, tmp_path):
+    path = str(tmp_path / "h")
+    src = _hive_seed(spark, path)
+    t = LakehouseTable.convert(
+        spark, path, key_cols=["k"], precombine="sq",
+        partition_by="dt", partition_type="string",
+    )
+    got = t.read().select("k", "v", "dt").orderBy("k")
+    assert [tuple(r) for r in got.collect()] == [
+        (1, 10, "2023-01-01"), (2, 20, "2023-01-01"),
+        (3, 30, "2023-01-02"), (4, 40, "2023-01-02"),
+        (5, 50, None),
+    ]
+    # partition pruning on the adopted layout: read_where skips files
+    # via the seeded col_stats (driver-side), so only one partition's
+    # files are scanned
+    c0 = t._commit(None)
+    pruned = t.read_where("dt", lo="2023-01-02", hi="2023-01-02")
+    assert sorted(r.k for r in pruned.collect()) == [3, 4]
+    stats_files = [
+        f for f in c0.files if c0.col_stats.get(f, {}).get("dt")
+    ]
+    assert stats_files  # partition values seeded into the stats index
+    # rewrite scoping: an upsert touching only 2023-01-01 must leave
+    # the other partitions' adopted files untouched
+    up = spark.createDataFrame(
+        [(1, 11, 101, "2023-01-01")], "k int, v int, sq int, dt string"
+    )
+    t.upsert(up)
+    c1 = t._commit(None)
+    untouched = [f for f in c1.files if f in c0.files]
+    assert any(f.startswith("dt=2023-01-02") for f in untouched)
+    assert not any(f.startswith("dt=2023-01-01") for f in untouched)
+    after = {(r.k, r.v) for r in t.read().select("k", "v").collect()}
+    assert (1, 11) in after and (3, 30) in after and (5, 50) in after
+    # time travel still sees the pre-upsert adopted state
+    assert t.read(version=0).filter(F.col("k") == 1).first().v == 10
+
+
+def test_partitioned_convert_typed_partition(spark, tmp_path):
+    """Declared non-string partition type: hive dir strings cast at
+    scan time, typed values seeded into col_stats (so range pruning
+    compares numerically, not lexically)."""
+    path = str(tmp_path / "h")
+    df = spark.createDataFrame(
+        [(i, i * 10, b) for i, b in [(1, 2), (2, 2), (3, 10), (4, 10)]],
+        "k int, v int, bucket int",
+    )
+    df.repartition(1).write.partitionBy("bucket").parquet(path)
+    t = LakehouseTable.convert(
+        spark, path, key_cols=["k"],
+        partition_by="bucket", partition_type="int",
+    )
+    assert dict(t.read().select("k", "bucket").collect()) == {
+        1: 2, 2: 2, 3: 10, 4: 10
+    }
+    assert t.read().schema["bucket"].dataType.simpleString() == "int"
+    c0 = t._commit(None)
+    vals = {
+        c0.col_stats[f]["bucket"][0]
+        for f in c0.files if "bucket" in c0.col_stats.get(f, {})
+    }
+    assert vals == {2, 10}  # typed, not "10" < "2" lexical strings
+    # numeric range skip: bucket >= 10 keeps only the bucket=10 file
+    assert sorted(r.k for r in t.read_where("bucket", lo=10).collect()) == [
+        3, 4,
+    ]
+
+
+def test_partitioned_convert_validations(spark, tmp_path):
+    # multi-level layouts refused
+    deep = str(tmp_path / "deep")
+    spark.createDataFrame(
+        [(1, "a", "x")], "k int, p string, q string"
+    ).write.partitionBy("p", "q").parquet(deep)
+    with pytest.raises(ValueError, match="single-level"):
+        LakehouseTable.convert(
+            spark, deep, key_cols=["k"], partition_by="p"
+        )
+    # wrong column name refused
+    flat = str(tmp_path / "flat")
+    spark.createDataFrame([(1, "a")], "k int, p string").write.partitionBy(
+        "p"
+    ).parquet(flat)
+    with pytest.raises(ValueError, match="single-level"):
+        LakehouseTable.convert(
+            spark, flat, key_cols=["k"], partition_by="wrong"
+        )
