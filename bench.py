@@ -1,9 +1,11 @@
 """Benchmark harness: times the headline queries (registry entries with
 ``bench=True``) at $SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) on
 local[$SPARK_GRAFT_CPUS] and prints ONE JSON line. Each headline query
-runs twice in the same session and reports the per-query minimum — the
-host shows intermittent hypervisor contention (round-1 finding), and
-best-of-2 measures the code rather than the noise.
+runs three times in the same session and reports the per-query MEDIAN,
+plus the [min, max] spread per query — the host shows intermittent
+hypervisor contention (round-1 finding; the r5 committed-vs-refreshed
+1.6s drift was pure noise), and a median with a published spread makes
+round-over-round deltas attributable instead of noise-limited.
 
 Each query is materialized via a count-style full evaluation
 (``df.write.format("noop")``) so timings include the complete plan without
@@ -56,20 +58,22 @@ def main() -> None:
         "overwrite"
     ).save()
 
-    # Best-of-2 per query: this host shows intermittent hypervisor
+    # Median-of-3 per query: this host shows intermittent hypervisor
     # contention (documented in round 1: identical code fluctuating
-    # 30-80s total). Two passes and the per-query minimum measure the
-    # CODE, not the neighbor's workload; both passes share one session
-    # so JVM/codegen warmup cancels out.
-    timings: dict[str, float] = {}
-    for _pass in range(2):
+    # 30-80s total). The median ignores one contention spike per query
+    # while staying an honest central estimate (a minimum over-rewards
+    # lucky runs); the published [min, max] spread shows whether a
+    # round-over-round delta exceeds the noise band. All passes share
+    # one session so JVM/codegen warmup cancels out.
+    runs: dict[str, list[float]] = {n: [] for n in headline}
+    for _pass in range(3):
         for name, q in sorted(headline.items()):
             t0 = time.perf_counter()
             q.fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
-            dt = round(time.perf_counter() - t0, 4)
-            if name not in timings or dt < timings[name]:
-                timings[name] = dt
+            runs[name].append(round(time.perf_counter() - t0, 4))
 
+    timings = {n: sorted(ts)[len(ts) // 2] for n, ts in runs.items()}
+    spread = {n: [min(ts), max(ts)] for n, ts in runs.items()}
     total = round(sum(timings.values()), 4)
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
 
@@ -106,6 +110,8 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
+                "spread": spread,
+                "n": 3,
                 "sf": float(sf) if sf else sf_dir,
                 "cpus": cpus,
             }

@@ -265,6 +265,47 @@ def _hot_demoted_prefix_candidates(
     )
 
 
+#: probe-verdict memo: (df semantic hash, hot_df) -> (stamp, alarmed).
+#: The semantic hash keys the ANALYZED PLAN, not file contents — an
+#: in-place append to the same parquet dir reuses the entry — so
+#: entries expire after PROBE_CACHE_TTL_SECONDS. A stale entry can only
+#: delay the alarm for a corpus that just turned hot (slower, never
+#: wrong: the counting join stays exact); a cached alarm always
+#: recomputes the exact hot set.
+_PROBE_CACHE: dict[tuple, tuple] = {}
+PROBE_CACHE_TTL_SECONDS = 300.0
+
+
+def _probe_alarm(df: DataFrame, shingles_col: str, hot_df: int) -> bool:
+    """True when the sampled smoke alarm suspects a hot shingle."""
+    import time
+
+    try:
+        key = (df.semanticHash(), hot_df)
+    except Exception:  # pragma: no cover - plan not hashable
+        key = None
+    if key is not None:
+        hit = _PROBE_CACHE.get(key)
+        if hit is not None and time.time() - hit[0] < PROBE_CACHE_TTL_SECONDS:
+            return hit[1]
+    frac = 0.0625
+    probe_cut = max(1, int(hot_df * frac / 2))
+    alarmed = not (
+        df.sample(frac, seed=7)
+        .coalesce(4)
+        .select(F.explode(shingles_col).alias("__s"))
+        .groupBy("__s")
+        .agg(F.count(F.lit(1)).alias("__df"))
+        .filter(F.col("__df") > probe_cut)
+        .isEmpty()
+    )
+    if key is not None:
+        _PROBE_CACHE[key] = (time.time(), alarmed)
+        while len(_PROBE_CACHE) > 256:
+            _PROBE_CACHE.pop(next(iter(_PROBE_CACHE)))
+    return alarmed
+
+
 def jaccard_pairs(
     df: DataFrame,
     id_col: str,
@@ -372,19 +413,15 @@ def jaccard_pairs(
         # aggregation and switches to bounded prefix candidates.
         # Plain row Sample measured FASTEST of the probe shapes tried
         # (vs an id-hash filter pushed below the projection, and vs a
-        # full-corpus df aggregation): ~0.65s warm at sf0.1 against
-        # ~1.0-1.2s for the alternatives — the sampled aggregation's
-        # shuffle volume dominates, not where the sample sits.
-        frac = 0.0625
-        probe_cut = max(1, int(hot_df * frac / 2))
-        suspicious = (
-            df.sample(frac, seed=7)
-            .select(F.explode(shingles_col).alias("__s"))
-            .groupBy("__s")
-            .agg(F.count(F.lit(1)).alias("__df"))
-            .filter(F.col("__df") > probe_cut)
-        )
-        if suspicious.limit(1).count() > 0:
+        # full-corpus df aggregation) — the sampled aggregation's
+        # shuffle volume dominates, not where the sample sits. The
+        # sample is coalesced to a handful of tasks: 6% of the corpus
+        # on 32 scan tasks was pure scheduling overhead (r5's +17%
+        # bench regression on clean corpora); AQE then collapses the
+        # probe's reduce side too. The verdict is memoized per corpus
+        # plan (semantic hash + TTL) so repeated analyses of one corpus
+        # pay the alarm once, not per call.
+        if _probe_alarm(df, shingles_col, hot_df):
             hot = (
                 posting.groupBy("shingle")
                 .agg(F.count(F.lit(1)).alias("__df"))

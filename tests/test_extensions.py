@@ -381,3 +381,28 @@ def test_ann_query_side_caps_fail_loudly(spark, sf_dir):
     # max_queries=None disables the guard entirely
     assert S.topk_bruteforce(q, emb, "vec_id", "embedding", k=2,
                              max_queries=None).count() > 0
+
+
+def test_jaccard_probe_verdict_memoized_with_ttl(spark):
+    """The hot-shingle smoke alarm is memoized per corpus plan: a
+    second call with the same analyzed plan reuses the verdict (no
+    probe job), and an expired entry re-probes — r6's fix for the
+    always-on probe taxing clean corpora on every call."""
+    import time
+
+    df = spark.createDataFrame(
+        [(i, [f"uniq {i} {j}" for j in range(4)]) for i in range(40)],
+        "doc_id long, shingles array<string>",
+    )
+    D._PROBE_CACHE.clear()
+    assert D._probe_alarm(df, "shingles", 8) is False
+    assert len(D._PROBE_CACHE) == 1
+    key = next(iter(D._PROBE_CACHE))
+    # poison the entry: a cache hit must return it verbatim (proves the
+    # probe job did not re-run)
+    D._PROBE_CACHE[key] = (time.time(), True)
+    assert D._probe_alarm(df, "shingles", 8) is True
+    # an expired entry re-probes and self-heals
+    D._PROBE_CACHE[key] = (time.time() - 10 * D.PROBE_CACHE_TTL_SECONDS, True)
+    assert D._probe_alarm(df, "shingles", 8) is False
+    assert D._PROBE_CACHE[key][1] is False
