@@ -53,7 +53,7 @@ def stream_tumbling_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     fixture timestamps NTZ for timezone independence)."""
     sdf = read_events_stream(spark, sf_dir)
     agg = tumbling_counts(sdf, window="1 hour")
-    return run_to_memory(agg, mode="complete")
+    return run_to_memory(agg, mode="complete", state_partitions=8)
 
 
 @query(
@@ -79,7 +79,7 @@ def stream_sliding_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
     windows starting at bucket(ts) and bucket(ts)-30min."""
     sdf = read_events_stream(spark, sf_dir)
     agg = sliding_avg(sdf, window="1 hour", slide="30 minutes")
-    return run_to_memory(agg, mode="complete")
+    return run_to_memory(agg, mode="complete", state_partitions=8)
 
 
 @query(
@@ -112,7 +112,7 @@ def stream_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     end = last event + gap, Spark's session_window contract)."""
     sdf = read_events_stream(spark, sf_dir)
     agg = session_stats(sdf, gap="30 minutes")
-    return run_to_memory(agg, mode="complete")
+    return run_to_memory(agg, mode="complete", state_partitions=8)
 
 
 @query(
@@ -135,7 +135,7 @@ def stream_stateful_user_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     key, so the update-mode output is exactly the final state."""
     sdf = read_events_stream(spark, sf_dir)
     out = stateful_user_stats(sdf)
-    return run_to_memory(out, mode="update")
+    return run_to_memory(out, mode="update", state_partitions=8)
 
 
 @query(
@@ -188,7 +188,7 @@ def stream_watermarked_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
             "sum_value",
         )
     )
-    return run_to_memory(agg, mode="append")
+    return run_to_memory(agg, mode="append", state_partitions=8)
 
 
 @query(
@@ -240,8 +240,12 @@ def stream_watermarked_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_events",
         )
     )
-    return run_to_memory(agg, mode="append")
+    return run_to_memory(agg, mode="append", state_partitions=8)
 
+
+#: stream_gold_agg's bronze-table fixture path per sf_dir (see the
+#: memoization note in that query).
+_GOLD_BRONZE_CACHE: dict[str, str] = {}
 
 # Golden post-merge state of the reference scenario (README.md:470-552):
 # 4-row backfill, then {insert pk5 htc, update pk2 -> 201, soft-delete pk3}.
@@ -336,7 +340,7 @@ def stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         & (F.col("purchase_ts") >= F.col("click_ts"))
         & (F.col("purchase_ts") <= F.col("click_ts") + F.expr("INTERVAL 1 HOUR")),
     ).select("click_id", "purchase_id", "user_id", "click_ts", "purchase_ts")
-    return run_to_memory(joined, mode="append")
+    return run_to_memory(joined, mode="append", state_partitions=8)
 
 
 @query(
@@ -356,7 +360,7 @@ def stream_dedup_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
     columns stay NTZ by design)."""
     sdf = read_events_stream(spark, sf_dir)
     deduped = sdf.select("user_id", "event_type").dropDuplicates()
-    return run_to_memory(deduped, mode="append")
+    return run_to_memory(deduped, mode="append", state_partitions=8)
 
 
 @query(
@@ -397,7 +401,8 @@ def stream_table_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = _make_table(spark, sf_dir, "cow")  # create(base) + upsert(incr)
     t.optimize(target_files=4)  # file re-org: no logical changes
     changes = run_to_memory(
-        read_table_changes_stream(spark, t.path), mode="append"
+        read_table_changes_stream(spark, t.path), mode="append",
+        state_partitions=8,
     )
     n_instants = changes.select("_hoodie_commit_time").distinct().count()
     w = Window.partitionBy("user_id").orderBy(
@@ -449,18 +454,30 @@ def stream_gold_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     from hudi_and_delta_showcase_spark.io import load_table
     from hudi_and_delta_showcase_spark.tables import LakehouseTable
 
-    events = load_table(spark, sf_dir, "events").select(*_FINAL_COLS)
-    cutoff = F.lit(CUTOFF).cast("timestamp_ntz")
-    mid = F.lit("2024-01-25 00:00:00").cast("timestamp_ntz")
-    root = tempfile.mkdtemp(prefix="stream_gold_")
-    t = LakehouseTable.create(
-        spark, f"{root}/bronze",
-        events.filter(F.col("ts") < cutoff),
-        key_cols=["user_id"], precombine="ts", tiebreakers=["event_id"],
-        cdc_enabled=True,
-    )
-    t.upsert(events.filter((F.col("ts") >= cutoff) & (F.col("ts") < mid)))
-    t.upsert(events.filter(F.col("ts") >= mid))
+    # The bronze fixture (create + 2 CDC-enabled upserts) is pure,
+    # deterministic setup for the operator under test (the retract-
+    # stream view maintenance); memoize it per sf_dir so repeated
+    # analyses in one process rebuild it once (VERDICT r5 #8 — the
+    # same sharing stream_cdc_apply_golden's fixtures got in r5).
+    bronze = _GOLD_BRONZE_CACHE.get(sf_dir)
+    if bronze is None:
+        events = load_table(spark, sf_dir, "events").select(*_FINAL_COLS)
+        cutoff = F.lit(CUTOFF).cast("timestamp_ntz")
+        mid = F.lit("2024-01-25 00:00:00").cast("timestamp_ntz")
+        root = tempfile.mkdtemp(prefix="stream_gold_")
+        t = LakehouseTable.create(
+            spark, f"{root}/bronze",
+            events.filter(F.col("ts") < cutoff),
+            key_cols=["user_id"], precombine="ts", tiebreakers=["event_id"],
+            cdc_enabled=True,
+        )
+        t.upsert(
+            events.filter((F.col("ts") >= cutoff) & (F.col("ts") < mid))
+        )
+        t.upsert(events.filter(F.col("ts") >= mid))
+        bronze = _GOLD_BRONZE_CACHE[sf_dir] = t.path
+    else:
+        t = LakehouseTable.load(spark, bronze)
 
     cdc_glob = f"{t.path}/cdc/*"
     schema = spark.read.parquet(cdc_glob).schema
@@ -479,13 +496,23 @@ def stream_gold_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         # truncate lineage so state doesn't re-derive every batch chain
         state["gold"] = gold.localCheckpoint()
 
-    q = (
-        stream.writeStream.foreachBatch(apply_batch)
-        .option("checkpointLocation", tempfile.mkdtemp(prefix="gold_ckpt_"))
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    # fixture-scale state sizing, same rationale as run_to_memory's
+    # state_partitions: each micro-batch's agg shuffles a handful of
+    # rows; 32 near-empty partitions are pure scheduling overhead
+    saved = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        q = (
+            stream.writeStream.foreachBatch(apply_batch)
+            .option(
+                "checkpointLocation", tempfile.mkdtemp(prefix="gold_ckpt_")
+            )
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", saved)
     # DECIMAL internally for exact retraction; DOUBLE at the output
     # boundary per the repo-wide aggregate-output convention.
     return state["gold"].select(

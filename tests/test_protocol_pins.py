@@ -328,3 +328,28 @@ def test_delta_spark_reads_export(spark, tmp_path):
         for r in spark.read.format("delta").load(t.path).select("k", "v").collect()
     )
     assert got == [(1, "a"), (2, "b2")]
+
+
+def test_hudi_spark_reads_export(spark, tmp_path):
+    """If the real hudi-spark bundle jar is on the classpath, it must
+    snapshot-read the table whose ``.hoodie`` timeline we exported
+    (mirror of the delta-spark read-back above; the foreign-authored
+    golden in test_hoodie_timeline.py is the jar-less gate). Skips in
+    jar-less environments — Hudi ships as a Spark package jar, not a
+    pip module, so presence is probed in the JVM."""
+    jvm = spark._jvm
+    try:
+        jvm.java.lang.Class.forName("org.apache.hudi.DataSourceReadOptions")
+    except Exception:
+        pytest.skip("hudi-spark bundle jar not on the classpath")
+    from hudi_and_delta_showcase_spark.tables.hoodie_timeline import (
+        export_hoodie_timeline,
+    )
+
+    t = _fixture_table(spark, str(tmp_path / "t"))
+    export_hoodie_timeline(t)
+    got = sorted(
+        (r.k, r.v)
+        for r in spark.read.format("hudi").load(t.path).select("k", "v").collect()
+    )
+    assert got == [(1, "a"), (2, "b2")]
