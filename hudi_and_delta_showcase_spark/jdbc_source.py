@@ -26,7 +26,18 @@ that loop:
   DELETE envelopes (the standard trigger-free JDBC CDC technique —
   Kafka Connect JDBC's mode and Debezium's incremental-snapshot
   fallback do the same). Exact at any scale: one full-outer shuffle
-  join on the primary key.
+  join on the primary key — but O(full snapshot) per sync.
+* ``read_jdbc_watermark_increment`` / ``watermark_tail_envelopes`` —
+  the O(changes) change half: a timestamp+incrementing keyset pull
+  with the predicate pushed into the remote query (Kafka Connect's
+  timestamp+incrementing mode), standing in for the reference's
+  continuous binlog tail. Deletes are invisible to a watermark tail;
+  reconcile with the snapshot diff periodically.
+* ``sync_jdbc_source`` — one schedulable cycle of the whole loop:
+  backfill-or-increment, applied as a keyed upsert with the keyset
+  cursor recorded atomically IN the data commit (crash = replay the
+  same increment, absorbed by the precombine upsert; exactly-once
+  without a streaming checkpoint).
 
 Integration-tested against an in-process Apache Derby database (the
 embedded JDBC driver ships with Spark); any JDBC URL + driver works the
@@ -431,3 +442,105 @@ def jdbc_backfill_to_drop_dir(
     ).localCheckpoint(eager=True)
     env.write.mode("append").parquet(drop_dir)
     return env.count()
+
+
+def sync_jdbc_source(
+    spark: SparkSession,
+    url: str,
+    table: str,
+    table_path: str,
+    watermark_column: str = "updated_at",
+    key_column: str = "pk_id",
+    created_column: str | None = "created_at",
+    database: str = "db",
+    primary_keys: list[str] | None = None,
+    table_type: str = "cow",
+    **jdbc_kwargs,
+) -> dict:
+    """ONE cycle of the continuous-capture loop (the reference's
+    Datastream mode as a schedulable batch job): backfill on the first
+    call, O(changes) watermark pull on every later call, applied as a
+    keyed upsert into the lakehouse table at ``table_path``.
+
+    EXACTLY-ONCE across crashes without a streaming checkpoint: the
+    keyset cursor rides IN the data commit itself
+    (``stats['jdbc_sync_cursor']``), so a cycle either lands rows AND
+    cursor atomically or neither; a crashed cycle's retry re-pulls the
+    same increment and the precombine-keyed upsert absorbs the replay.
+    The cursor is recovered by scanning the timeline newest-first for
+    the last sync commit — O(commits since last sync), which in a sync
+    loop is a handful of maintenance commits at most.
+
+    Returns ``{"mode", "rows", "cursor"}``. Deletes are invisible to a
+    watermark tail (see ``read_jdbc_watermark_increment``); run a
+    periodic ``snapshot_diff_envelopes`` reconciliation for them.
+    """
+    from hudi_and_delta_showcase_spark.streaming.cdc_stream import (
+        normalize_cdc_batch,
+    )
+    from hudi_and_delta_showcase_spark.tables import LakehouseTable, fsio
+    from hudi_and_delta_showcase_spark.tables import manifest as mf
+
+    pks = primary_keys or [key_column]
+    exists = fsio.exists(fsio.join(table_path, "_meta.json"))
+    cursor = None
+    if exists:
+        t = LakehouseTable.load(spark, table_path)
+        for commit in reversed(t.history()):
+            if "jdbc_sync_cursor" in commit.stats:
+                cursor = commit.stats["jdbc_sync_cursor"]
+                break
+
+    if not exists:
+        # backfill cycle: full snapshot, BACKFILL envelopes, create
+        snap = read_jdbc_snapshot(
+            spark, url, table, **jdbc_kwargs
+        ).localCheckpoint(eager=True)
+        env = snapshot_to_envelopes(snap, table.lower(), database, pks)
+        rows = normalize_cdc_batch(env).localCheckpoint(eager=True)
+        wm, key = increment_watermark(snap, watermark_column, key_column)
+        LakehouseTable.create(
+            spark, table_path, rows,
+            key_cols=[k.lower() for k in pks],
+            precombine="updated_at", tiebreakers=["change_type"],
+            table_type=table_type,
+            extra_stats={"jdbc_sync_cursor": _cursor_json(wm, key)},
+        )
+        return {
+            "mode": "backfill",
+            "rows": rows.count(),
+            "cursor": _cursor_json(wm, key),
+        }
+
+    last_wm, last_key = (cursor or (None, None))
+    inc = read_jdbc_watermark_increment(
+        spark, url, table, watermark_column, key_column,
+        last_watermark=last_wm, last_key=last_key, **jdbc_kwargs,
+    ).localCheckpoint(eager=True)  # freeze: cursor + rows see ONE pull
+    n = inc.count()
+    if n == 0:
+        return {"mode": "incremental", "rows": 0, "cursor": cursor}
+    wm, key = increment_watermark(inc, watermark_column, key_column)
+    env = watermark_tail_envelopes(
+        inc, table.lower(), database, pks,
+        created_column=created_column, updated_column=watermark_column,
+    )
+    rows = normalize_cdc_batch(env)
+    t = LakehouseTable.load(spark, table_path)
+    t.upsert(rows, extra_stats={"jdbc_sync_cursor": _cursor_json(wm, key)})
+    return {
+        "mode": "incremental",
+        "rows": n,
+        "cursor": _cursor_json(wm, key),
+    }
+
+
+def _cursor_json(wm, key) -> list:
+    """JSON-stable keyset cursor: the watermark as a wall-time string
+    (timezone-independent — see read_jdbc_watermark_increment's note on
+    datetime literals), the key as-is."""
+    import datetime as _dt
+
+    if isinstance(wm, _dt.datetime):
+        wm = wm.strftime("%Y-%m-%d %H:%M:%S.%f")
+    return [wm, key]

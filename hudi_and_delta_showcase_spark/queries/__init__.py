@@ -143,6 +143,8 @@ PRIORITY: tuple[str, ...] = (
     "cdc_gdpr_purge",
     # r5: snapshot-diff CDC (the change half of S10, trigger-free)
     "cdc_jdbc_incremental_diff",
+    # r6: two-cycle sync loop with the keyset cursor in the commit
+    "cdc_jdbc_sync_loop",
     # r5: in-place CONVERT of a foreign parquet dir (Delta CONVERT TO DELTA)
     "cdc_convert_in_place",
     # r5: post-create ALTER TABLE ADD CONSTRAINT with snapshot validation

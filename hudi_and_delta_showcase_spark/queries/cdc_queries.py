@@ -1677,6 +1677,80 @@ def cdc_jdbc_watermark_tail(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "cdc_jdbc_sync_loop",
+    oracle="""
+    SELECT * FROM (VALUES
+      (1, 'apple',    10, 1673496060, 'INSERT',        FALSE),
+      (2, 'samsung', 201, 1673501401, 'UPDATE-INSERT', FALSE),
+      (3, 'dell',     30, 1673496060, 'INSERT',        FALSE),
+      (4, 'motorola', 40, 1673496060, 'INSERT',        FALSE),
+      (5, 'htc',      50, 1673501400, 'INSERT',        FALSE)
+    ) AS t(pk_id, name, value, updated_at, change_type, is_deleted)
+    """,
+    tags=("cdc", "jdbc", "source", "incremental"),
+)
+def cdc_jdbc_sync_loop(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The WHOLE continuous-capture loop as two ``sync_jdbc_source``
+    cycles: cycle 1 backfills (snapshot -> envelopes -> table create,
+    keyset cursor recorded IN the commit), source churns (insert pk5,
+    update pk2, delete pk3), cycle 2 recovers the cursor from the
+    timeline and applies only the O(changes) watermark increment. Same
+    golden final state as ``cdc_jdbc_watermark_tail`` (incl. the
+    documented delete-invisibility caveat on pk3), but exercised
+    through the crash-atomic cursor-in-commit sync API instead of
+    hand-carried state."""
+    from hudi_and_delta_showcase_spark.jdbc_source import sync_jdbc_source
+
+    root = tempfile.mkdtemp(prefix="jdbc_sync_")
+    url = f"jdbc:derby:{root}/srcdb;create=true"
+    jvm = spark._jvm
+    # keep derby.log out of the caller's working directory
+    jvm.java.lang.System.setProperty("derby.system.home", root)
+    jvm.java.lang.Class.forName("org.apache.derby.jdbc.EmbeddedDriver")
+    conn = jvm.java.sql.DriverManager.getConnection(url)
+    st = conn.createStatement()
+    st.executeUpdate(
+        "CREATE TABLE HUDI_DELTA_TEST (pk_id INT PRIMARY KEY, "
+        "name VARCHAR(64), value INT, updated_at TIMESTAMP, "
+        "created_at TIMESTAMP)"
+    )
+    for pk, name, value in [
+        (1, "apple", 10), (2, "samsung", 20),
+        (3, "dell", 30), (4, "motorola", 40),
+    ]:
+        st.executeUpdate(
+            f"INSERT INTO HUDI_DELTA_TEST VALUES ({pk}, '{name}', {value}, "
+            "TIMESTAMP('2023-01-12 04:01:00'), "
+            "TIMESTAMP('2023-01-12 04:00:00'))"
+        )
+    drv = {"driver": "org.apache.derby.jdbc.EmbeddedDriver"}
+    target = f"{root}/table"
+    first = sync_jdbc_source(spark, url, "HUDI_DELTA_TEST", target, **drv)
+    assert first["mode"] == "backfill" and first["rows"] == 4
+
+    st.executeUpdate(
+        "INSERT INTO HUDI_DELTA_TEST VALUES (5, 'htc', 50, "
+        "TIMESTAMP('2023-01-12 05:30:00'), TIMESTAMP('2023-01-12 05:30:00'))"
+    )
+    st.executeUpdate(
+        "UPDATE HUDI_DELTA_TEST SET value = 201, "
+        "updated_at = TIMESTAMP('2023-01-12 05:30:01') WHERE pk_id = 2"
+    )
+    st.executeUpdate("DELETE FROM HUDI_DELTA_TEST WHERE pk_id = 3")
+    st.close()
+    conn.close()
+
+    second = sync_jdbc_source(spark, url, "HUDI_DELTA_TEST", target, **drv)
+    assert second["mode"] == "incremental" and second["rows"] == 2
+
+    from hudi_and_delta_showcase_spark.tables import LakehouseTable
+
+    return LakehouseTable.load(spark, target).read().select(
+        "pk_id", "name", "value", "updated_at", "change_type", "is_deleted"
+    )
+
+
+@query(
     "cdc_convert_in_place",
     oracle=f"""
     SELECT event_id, user_id, ts, event_type, value FROM events

@@ -155,6 +155,7 @@ class LakehouseTable:
         record_index: bool = False,
         constraints: dict[str, str] | None = None,
         generated_columns: dict[str, str] | None = None,
+        extra_stats: dict | None = None,
     ) -> "LakehouseTable":
         """C1 bulk insert: write batch as version 0, stamp meta columns
         (the reference's initial hudi insert, README.md:276-291).
@@ -277,7 +278,8 @@ class LakehouseTable:
                 commit_time=commit_time,
                 files=files,
                 log_files=[],
-                stats={"written_files": len(files)},
+                stats={"written_files": len(files),
+                       **(extra_stats or {})},
                 cdc_files=cdc_added,
                 ri_files=table._write_record_index(files, 0),
                 table_schema=schema_json,
@@ -878,6 +880,7 @@ class LakehouseTable:
         _validated: bool = False,
         txn_app_id: str | None = None,
         txn_version: int | None = None,
+        extra_stats: dict | None = None,
     ) -> mf.Commit:
         """C2 (CoW) / C3 (MoR) keyed upsert with precombine dedup.
 
@@ -923,7 +926,8 @@ class LakehouseTable:
                 commit_time=commit_time,
                 files=prev.files,
                 log_files=prev.log_files + new_logs,
-                stats={"log_files_added": len(new_logs)},
+                stats={"log_files_added": len(new_logs),
+                       **(extra_stats or {})},
                 key_ranges=prev.key_ranges,
                 col_stats=prev.col_stats,
                 key_blooms=prev.key_blooms,
@@ -1046,6 +1050,7 @@ class LakehouseTable:
                 "bloom_skipped_files": len(bloom_skipped),
                 "record_index_skipped_files": len(ri_skipped),
                 "written_files": len(new_files),
+                **(extra_stats or {}),
             },
             ri_files=prev.ri_files
             + self._write_record_index(new_files, version),
@@ -1737,7 +1742,9 @@ class LakehouseTable:
         self, df: DataFrame, commit_dir: str, log: bool = False
     ) -> list[str]:
         sub = "log" if log else "data"
-        rel_dir = os.path.join(sub, f"{commit_dir}-{uuid.uuid4().hex[:8]}")
+        # "/" not os.path.join: rel_dir is recorded in the MANIFEST,
+        # which must be byte-stable across host OSes
+        rel_dir = f"{sub}/{commit_dir}-{uuid.uuid4().hex[:8]}"
         out = fsio.join(self.path, rel_dir)
         # _hoodie_file_name is a READ-time column (_metadata.file_name);
         # persisting it would accrete a stale column on every rewrite.
@@ -1954,9 +1961,7 @@ class LakehouseTable:
         ).select(
             F.col("_hoodie_record_key"), self._dv_file_col().alias("file")
         )
-        rel_dir = os.path.join(
-            "_index", f"ri-c{version:05d}-{uuid.uuid4().hex[:8]}"
-        )
+        rel_dir = f"_index/ri-c{version:05d}-{uuid.uuid4().hex[:8]}"
         scan.write.parquet(fsio.join(self.path, rel_dir))
         return sorted(
             fsio.relpath(p, self.path)
@@ -2352,9 +2357,7 @@ class LakehouseTable:
         changes = changes.withColumn(
             "_commit_version", F.lit(version)
         ).withColumn("_cdc_commit_time", F.lit(commit_time))
-        rel_dir = os.path.join(
-            "cdc", f"c{version:05d}-{uuid.uuid4().hex[:8]}"
-        )
+        rel_dir = f"cdc/c{version:05d}-{uuid.uuid4().hex[:8]}"
         out = fsio.join(self.path, rel_dir)
         changes.write.mode("error").parquet(out)
         return sorted(
@@ -2403,7 +2406,7 @@ class LakehouseTable:
 
     def _write_dv_files(self, hits: DataFrame, commit_dir: str) -> list[str]:
         """Write ``(file_name, pos)`` rows as a DV sidecar under dv/."""
-        rel_dir = os.path.join("dv", f"{commit_dir}-{uuid.uuid4().hex[:8]}")
+        rel_dir = f"dv/{commit_dir}-{uuid.uuid4().hex[:8]}"
         out = fsio.join(self.path, rel_dir)
         hits.write.mode("error").parquet(out)
         return sorted(

@@ -330,3 +330,65 @@ def test_watermark_boundary_key_tiebreak(spark, churn_db):
         last_watermark="2023-01-12 06:00:00", last_key=6, **DRV,
     )
     assert [r.PK_ID for r in inc.collect()] == [7]
+
+
+def test_sync_jdbc_source_cycles_and_crash_replay(spark, churn_db, tmp_path):
+    """Full sync cycles: backfill creates the table with the cursor in
+    commit 0; churn; incremental cycle applies O(changes); an empty
+    cycle commits nothing. Crash atomicity: replaying the increment
+    against a table whose cursor did NOT advance (simulated crash
+    before commit) converges to the same state — the precombine upsert
+    absorbs the replay."""
+    from hudi_and_delta_showcase_spark.jdbc_source import sync_jdbc_source
+    from hudi_and_delta_showcase_spark.tables import LakehouseTable
+
+    url, conn = churn_db
+    target = str(tmp_path / "t")
+    r = sync_jdbc_source(spark, url, "HUDI_DELTA_TEST", target, **DRV)
+    assert r["mode"] == "backfill" and r["rows"] == 4
+    t = LakehouseTable.load(spark, target)
+    assert "jdbc_sync_cursor" in t.history()[0].stats
+
+    st = conn.createStatement()
+    st.executeUpdate(
+        "UPDATE HUDI_DELTA_TEST SET value = 999, "
+        "updated_at = TIMESTAMP('2023-01-12 05:00:00') WHERE pk_id = 1"
+    )
+    st.close()
+    r2 = sync_jdbc_source(spark, url, "HUDI_DELTA_TEST", target, **DRV)
+    assert r2["mode"] == "incremental" and r2["rows"] == 1
+    versions_after = LakehouseTable.load(spark, target)._commit(None).version
+
+    # no churn: empty increment -> NO new commit (cursor unchanged)
+    r3 = sync_jdbc_source(spark, url, "HUDI_DELTA_TEST", target, **DRV)
+    assert r3["rows"] == 0 and r3["cursor"] == r2["cursor"]
+    assert (
+        LakehouseTable.load(spark, target)._commit(None).version
+        == versions_after
+    )
+
+    # crash simulation: re-apply the SAME increment as if the previous
+    # cycle's commit had not landed — the state must converge, not
+    # double-apply
+    from hudi_and_delta_showcase_spark.jdbc_source import (
+        read_jdbc_watermark_increment,
+        watermark_tail_envelopes,
+    )
+    from hudi_and_delta_showcase_spark.streaming.cdc_stream import (
+        normalize_cdc_batch,
+    )
+
+    inc = read_jdbc_watermark_increment(
+        spark, url, "HUDI_DELTA_TEST", "updated_at", "pk_id",
+        last_watermark="2023-01-12 04:01:00", last_key=4, **DRV,
+    )
+    env = watermark_tail_envelopes(
+        inc, "hudi_delta_test", "db", ["pk_id"],
+        created_column="created_at", updated_column="updated_at",
+    )
+    LakehouseTable.load(spark, target).upsert(normalize_cdc_batch(env))
+    final = {
+        (r.pk_id, r.value)
+        for r in LakehouseTable.load(spark, target).read().collect()
+    }
+    assert final == {(1, 999), (2, 20), (3, 30), (4, 40)}
