@@ -188,7 +188,7 @@ def _read_checkpoint(path: str) -> tuple[int, dict, dict[str, bool]] | None:
         return None
     import pyarrow.parquet as pq
 
-    cp_version = json.loads(fsio.read_pointer_text(lc))["version"]
+    cp_version = json.loads(fsio.read_pointer_text(lc, attempts=2))["version"]
     cp = fsio.join(
         _log_dir(path), f"{cp_version:020d}.checkpoint.parquet"
     )

@@ -207,11 +207,6 @@ class LakehouseTable:
         where bad records route to a quarantine sink instead of failing
         the load. Validation is a map-only filter fused into the write
         scan: zero extra shuffles at any scale."""
-        if cdc_enabled and table_type == MERGE_ON_READ:
-            raise ValueError(
-                "change data feed supports copy-on-write tables only "
-                "(MoR log rows are unclassified until compaction)"
-            )
         path = fsio.absolutize(path)
         if fsio.exists(fsio.join(path, "_meta.json")):
             if mode == "overwrite":
@@ -770,11 +765,9 @@ class LakehouseTable:
         on an existing table: change capture begins with the NEXT
         commit — earlier versions have no change files, exactly Delta's
         behavior (``table_changes`` from a pre-enablement version
-        errors). MoR is unsupported, as at create."""
-        if self.table_type == MERGE_ON_READ:
-            raise ValueError(
-                "change data feed supports copy-on-write tables only"
-            )
+        errors). Works on MoR too (r6): pre-images resolve through the
+        key-pruned ``_rt`` view at write time, Hudi's
+        ``hoodie.table.cdc.enabled`` semantics."""
         self._update_meta(lambda meta: meta.update(cdc_enabled=True))
 
     def add_constraint(self, name: str, predicate: str) -> None:
@@ -920,12 +913,27 @@ class LakehouseTable:
 
         if self.table_type == MERGE_ON_READ:
             new_logs = self._write_files(stamped, f"l{version:05d}", log=True)
+            mor_cdc: list[str] = []
+            if self.cdc_enabled:
+                # Hudi MoR CDC (hoodie.table.cdc.enabled): pre-images
+                # are the RT-RESOLVED current rows holding the batch's
+                # keys — base scan filtered on the record key (pushed
+                # down; logs are unindexed until compaction, as in
+                # Hudi), NOT a full-table diff. Post/insert split by
+                # the same key probe the CoW branch uses.
+                pre_source = self._read_rt_physical().drop(
+                    "_hoodie_file_name"
+                )
+                mor_cdc = self._classify_upsert_cdc(
+                    pre_source, stamped, version, commit_time
+                )
             commit = mf.Commit(
                 version=version,
                 action="upsert",
                 commit_time=commit_time,
                 files=prev.files,
                 log_files=prev.log_files + new_logs,
+                cdc_files=mor_cdc,
                 stats={"log_files_added": len(new_logs),
                        **(extra_stats or {})},
                 key_ranges=prev.key_ranges,
@@ -992,39 +1000,15 @@ class LakehouseTable:
                 # change data feed (Delta CDF): matched old rows are
                 # update pre-images; source rows split update/insert by
                 # the same key probe. O(changes) extra IO, opt-in.
-                pre = target.join(source_keys, cond, "left_semi").select(
-                    *[
-                        c
-                        for c in target.columns
-                        if c != "_hoodie_file_name"
-                    ]
-                )
-                matched_keys = F.broadcast(
-                    pre.select(*keys).distinct().alias("m")
-                )
-                mcond = None
-                for c in keys:
-                    e = F.col(f"p.{c}").eqNullSafe(F.col(f"m.{c}"))
-                    mcond = e if mcond is None else mcond & e
-                post = stamped.alias("p")
-                upd_post = post.join(matched_keys, mcond, "left_semi")
-                ins_post = post.join(matched_keys, mcond, "left_anti")
-                cdc_added = self._write_cdc_files(
-                    pre.withColumn(
-                        "_change_type", F.lit("update_preimage")
-                    )
-                    .unionByName(
-                        upd_post.withColumn(
-                            "_change_type", F.lit("update_postimage")
-                        ),
-                        allowMissingColumns=True,
-                    )
-                    .unionByName(
-                        ins_post.withColumn(
-                            "_change_type", F.lit("insert")
-                        ),
-                        allowMissingColumns=True,
+                cdc_added = self._classify_upsert_cdc(
+                    target.select(
+                        *[
+                            c
+                            for c in target.columns
+                            if c != "_hoodie_file_name"
+                        ]
                     ),
+                    stamped,
                     version,
                     commit_time,
                 )
@@ -1577,7 +1561,7 @@ class LakehouseTable:
             return {
                 int(k): v
                 for k, v in json.loads(
-                    fsio.read_pointer_text(self._savepoints_path())
+                    fsio.read_pointer_text(self._savepoints_path(), attempts=2)
                 ).items()
             }
         except FileNotFoundError:
@@ -2344,6 +2328,48 @@ class LakehouseTable:
                 "left_anti",
             )
             .drop("__dv_file", "__dv_pos")
+        )
+
+    def _classify_upsert_cdc(
+        self,
+        target: DataFrame,
+        stamped: DataFrame,
+        version: int,
+        commit_time: str,
+    ) -> list[str]:
+        """Split an upsert batch into CDF rows: ``target`` rows whose
+        key matches the batch are update pre-images; batch rows split
+        update-post/insert by the same key probe. One broadcast of the
+        batch's DISTINCT keys — O(changes), never O(table)."""
+        keys = self._resolution_cols()
+        source_keys = F.broadcast(stamped.select(*keys).distinct().alias("s"))
+        cond = None
+        for c in keys:
+            e = F.col(f"t.{c}").eqNullSafe(F.col(f"s.{c}"))
+            cond = e if cond is None else cond & e
+        pre = target.alias("t").join(source_keys, cond, "left_semi")
+        matched_keys = F.broadcast(pre.select(*keys).distinct().alias("m"))
+        mcond = None
+        for c in keys:
+            e = F.col(f"p.{c}").eqNullSafe(F.col(f"m.{c}"))
+            mcond = e if mcond is None else mcond & e
+        post = stamped.alias("p")
+        upd_post = post.join(matched_keys, mcond, "left_semi")
+        ins_post = post.join(matched_keys, mcond, "left_anti")
+        return self._write_cdc_files(
+            pre.withColumn("_change_type", F.lit("update_preimage"))
+            .unionByName(
+                upd_post.withColumn(
+                    "_change_type", F.lit("update_postimage")
+                ),
+                allowMissingColumns=True,
+            )
+            .unionByName(
+                ins_post.withColumn("_change_type", F.lit("insert")),
+                allowMissingColumns=True,
+            ),
+            version,
+            commit_time,
         )
 
     def _write_cdc_files(

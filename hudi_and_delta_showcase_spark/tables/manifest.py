@@ -465,7 +465,15 @@ def latest_version(table_path: str) -> int | None:
     start = None
     try:
         start = int(
-            json.loads(fsio.read_pointer_text(fsio.join(d, "_last_checkpoint")))[
+            # attempts=2: an ABSENT pointer is the normal state of young
+            # tables and the caller falls back to a listing anyway —
+            # one retry covers a swap window without taxing the
+            # common miss
+            json.loads(
+                fsio.read_pointer_text(
+                    fsio.join(d, "_last_checkpoint"), attempts=2
+                )
+            )[
                 "version"
             ]
         )

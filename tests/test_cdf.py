@@ -59,9 +59,55 @@ def test_dv_delete_also_feeds_cdf(spark, tmp_path):
     assert _changes(t, 1) == {(2, "delete")}
 
 
-def test_mor_cdf_rejected(spark, tmp_path):
-    with pytest.raises(ValueError, match="copy-on-write"):
-        _make(spark, tmp_path, table_type="mor")
+def test_mor_cdf_classifies_changes(spark, tmp_path):
+    """r6: CDF on merge-on-read — pre-images resolve through the
+    key-pruned _rt view at write time (Hudi hoodie.table.cdc.enabled
+    semantics), so a log-append upsert still emits exact
+    pre/post/insert classification."""
+    t = _make(spark, tmp_path, table_type="mor")
+    t.upsert(
+        spark.createDataFrame([(2, "a", 21, 200), (4, "c", 40, 200)], SCHEMA)
+    )
+    assert _changes(t, 1) == {
+        (2, "update_preimage"), (2, "update_postimage"), (4, "insert"),
+    }
+    pre = t.read_changes(1, 1).filter(
+        "_change_type = 'update_preimage'"
+    ).collect()[0]
+    assert pre.v == 20 and pre._commit_version == 1
+    # second upsert: the pre-image must be the RT-RESOLVED latest value
+    # (the log row from v1, not the stale base row)
+    t.upsert(spark.createDataFrame([(2, "a", 22, 300)], SCHEMA))
+    pre2 = t.read_changes(2, 2).filter(
+        "_change_type = 'update_preimage'"
+    ).collect()[0]
+    assert pre2.v == 21
+    # compaction is a file re-org: no change rows
+    t.compact()
+    with pytest.raises(ValueError, match="no change files"):
+        t.read_changes(3, 3)
+
+
+def test_mor_cdf_equals_cow_cdf(spark, tmp_path):
+    """The same upsert sequence must produce identical change feeds on
+    CoW and MoR tables (storage discipline is a physical choice, CDF is
+    a logical contract)."""
+    batches = [
+        [(2, "a", 21, 200), (4, "c", 40, 200)],
+        [(4, "c", 41, 300), (5, "d", 50, 300)],
+    ]
+    feeds = {}
+    for kind in ("cow", "mor"):
+        t = _make(spark, tmp_path / kind, table_type=kind)
+        for b in batches:
+            t.upsert(spark.createDataFrame(b, SCHEMA))
+        feeds[kind] = sorted(
+            (r._commit_version, r.k, r._change_type, r.v)
+            for r in t.read_changes(0).select(
+                "_commit_version", "k", "_change_type", "v"
+            ).collect()
+        )
+    assert feeds["cow"] == feeds["mor"]
 
 
 def test_reorg_commits_emit_nothing(spark, tmp_path):

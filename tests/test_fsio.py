@@ -383,7 +383,14 @@ def test_write_atomic_remote_readers_never_see_absent(spark, tmp_path):
     def reader():
         while not stop.is_set():
             try:
-                doc = json.loads(fsio.read_pointer_text(target))
+                # generous budget: the CONTRACT is that a sufficient
+                # retry budget always covers the swap window (on file://
+                # Hadoop's overwrite-rename is internally delete+rename,
+                # and under heavy host load the writer can sit
+                # descheduled mid-swap for hundreds of ms)
+                doc = json.loads(
+                    fsio.read_pointer_text(target, attempts=40, delay=0.1)
+                )
                 assert "gen" in doc
             except Exception as exc:  # noqa: BLE001
                 errors.append(repr(exc))
