@@ -147,6 +147,8 @@ PRIORITY: tuple[str, ...] = (
     "cdc_jdbc_sync_loop",
     # r5: in-place CONVERT of a foreign parquet dir (Delta CONVERT TO DELTA)
     "cdc_convert_in_place",
+    # r6: zero-copy shallow clone (Delta SHALLOW CLONE)
+    "cdc_shallow_clone",
     # r5: post-create ALTER TABLE ADD CONSTRAINT with snapshot validation
     "cdc_constraint_evolution",
     "cdc_stats_skipping_read",

@@ -1751,6 +1751,39 @@ def cdc_jdbc_sync_loop(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "cdc_shallow_clone",
+    oracle=_LATEST_ALL_SQL,
+    tags=("cdc", "table", "clone"),
+)
+def cdc_shallow_clone(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Delta SHALLOW CLONE (r6): clone the pre-cutoff table zero-copy
+    (version 0 references the source's files — asserted: no parquet
+    bytes under the clone), upsert the post-cutoff batch into the CLONE
+    only, and read the clone back. The clone must equal latest-per-key
+    over all events (the upsert applied) while the SOURCE still equals
+    the pre-cutoff snapshot (divergence without interference) — the
+    source assertion runs in-function; the clone state is the oracle
+    row."""
+    base, incr = _split(spark, sf_dir)
+    root = tempfile.mkdtemp(prefix="clone_")
+    src_t = LakehouseTable.create(
+        spark, f"{root}/src", base,
+        key_cols=["user_id"], precombine="ts", tiebreakers=["event_id"],
+    )
+    clone = LakehouseTable.clone(spark, src_t.path, f"{root}/clone")
+    import os as _os
+
+    assert not any(
+        f.endswith(".parquet")
+        for _d, _s, fs in _os.walk(f"{root}/clone") for f in fs
+    ), "shallow clone must copy zero data files"
+    clone.upsert(incr)
+    # divergence: the source is untouched by the clone's upsert
+    assert src_t.read().count() == base.select("user_id").distinct().count()
+    return clone.read().select(*_FINAL_COLS)
+
+
+@query(
     "cdc_convert_in_place",
     oracle=f"""
     SELECT event_id, user_id, ts, event_type, value FROM events

@@ -95,6 +95,16 @@ def join(path: str, *parts: str) -> str:
     return os.path.join(path, *parts)
 
 
+def resolve(base: str, entry: str) -> str:
+    """Join a manifest FILE ENTRY to a table root: relative entries
+    live under the root; absolute or URI entries (shallow-clone
+    references into another table's directory) pass through verbatim
+    on every backend."""
+    if is_remote(entry) or entry.startswith("/"):
+        return entry
+    return join(base, entry)
+
+
 def uri_path(path: str) -> str:
     """The path component of a URI (scheme/authority stripped), or the
     path itself when local. ``file:///x`` and ``file:/x`` both -> /x."""

@@ -412,6 +412,71 @@ class LakehouseTable:
         return table
 
     @classmethod
+    def clone(
+        cls, spark: SparkSession, src_path: str, dest_path: str
+    ) -> "LakehouseTable":
+        """Delta ``CREATE TABLE ... SHALLOW CLONE``: a zero-copy table
+        whose version 0 REFERENCES the source's current files (as
+        absolute paths — ``fsio.resolve`` passes them through), copying
+        only metadata: O(1) data IO however big the table. The clone
+        then diverges independently — upserts rewrite only the
+        partitions they touch (rewritten data lands under the clone;
+        untouched source files stay referenced), ``optimize()``
+        materializes it fully, and ``vacuum`` on either table never
+        deletes the other's files (vacuum only walks its OWN root; a
+        clone's references into the source dir are invisible to the
+        source's vacuum, so vacuum the source only after its clones are
+        materialized or dropped — Delta documents the same hazard).
+
+        The file-skipping indexes (key ranges, column stats, blooms)
+        come along re-keyed to the absolute references; the record
+        index does not (its rows name source-relative paths) — the
+        probe tier is conservative until the clone's own writes rebuild
+        it. Change-data-feed history is NOT inherited (the clone's feed
+        starts at its own version 1, like Delta). Tables with
+        outstanding deletion vectors must ``optimize()`` first (DV
+        entries name source-relative files)."""
+        src = cls(spark, src_path)
+        prev = src._commit(None)
+        if prev.dv_files:
+            raise ValueError(
+                "cannot shallow-clone a table with outstanding deletion "
+                "vectors: run optimize() on the source first"
+            )
+        dest = fsio.absolutize(dest_path)
+        if fsio.exists(fsio.join(dest, "_meta.json")):
+            raise FileExistsError(f"already a lakehouse table: {dest}")
+        fsio.makedirs(dest)
+        fsio.write_atomic(
+            fsio.join(dest, "_meta.json"),
+            fsio.read_pointer_text(fsio.join(src.path, "_meta.json")),
+        )
+
+        def ref(f: str) -> str:
+            return fsio.resolve(src.path, f)
+
+        mf.append_commit(
+            dest,
+            mf.Commit(
+                version=0,
+                action="clone",
+                commit_time=mf.make_commit_time(),
+                files=[ref(f) for f in prev.files],
+                log_files=[ref(f) for f in prev.log_files],
+                stats={
+                    "cloned_from": src.path,
+                    "source_version": prev.version,
+                },
+                key_ranges={ref(f): v for f, v in prev.key_ranges.items()},
+                col_stats={ref(f): v for f, v in prev.col_stats.items()},
+                key_blooms={ref(f): v for f, v in prev.key_blooms.items()},
+                table_schema=prev.table_schema,
+                column_mapping=dict(prev.column_mapping),
+            ),
+        )
+        return cls(spark, dest)
+
+    @classmethod
     def load(cls, spark: SparkSession, path: str) -> "LakehouseTable":
         return cls(spark, path)
 
@@ -691,7 +756,7 @@ class LakehouseTable:
         schema = self._commit_schema(prev)
         if schema is None:  # legacy table: derive once
             schema = self.spark.read.option("mergeSchema", "true").parquet(
-                *[fsio.join(self.path, f)
+                *[fsio.resolve(self.path, f)
                   for f in prev.files + prev.log_files]
             ).schema
         if phys not in schema.fieldNames():
@@ -1644,7 +1709,7 @@ class LakehouseTable:
         missing = [
             f
             for f in [*target.files, *target.log_files, *target.dv_files]
-            if not fsio.exists(fsio.join(self.path, f))
+            if not fsio.exists(fsio.resolve(self.path, f))
         ]
         if missing:
             raise RuntimeError(
@@ -1830,7 +1895,7 @@ class LakehouseTable:
         out: dict[str, dict[str, list]] = {}
         ok = (str, int, float, bool)
         for rel in rel_files:
-            src = fsio.join(self.path, rel)
+            src = fsio.resolve(self.path, rel)
             try:
                 if fsio.is_remote(src):
                     # footer read via pyarrow's own URI-aware FS layer
@@ -1956,7 +2021,7 @@ class LakehouseTable:
 
     def _ri_scan(self, commit: mf.Commit) -> DataFrame:
         return self.spark.read.parquet(
-            *[fsio.join(self.path, f) for f in commit.ri_files]
+            *[fsio.resolve(self.path, f) for f in commit.ri_files]
         )
 
     def _probe_ri_hits(
@@ -2130,7 +2195,7 @@ class LakehouseTable:
             if not prev.files and not prev.log_files:
                 return source, prev.table_schema
             cur = self.spark.read.option("mergeSchema", "true").parquet(
-                *[fsio.join(self.path, f)
+                *[fsio.resolve(self.path, f)
                   for f in prev.files + prev.log_files]
             ).schema
         fields = {f.name: f.dataType for f in cur.fields}
@@ -2187,7 +2252,7 @@ class LakehouseTable:
     def _read_parquet(
         self, rel_files: list[str], commit: mf.Commit | None = None
     ) -> DataFrame:
-        paths = [fsio.join(self.path, f) for f in rel_files]
+        paths = [fsio.resolve(self.path, f) for f in rel_files]
         schema = self._commit_schema(commit)
         if schema is not None:
             # type-widened table: declare the current schema so legacy
@@ -2316,7 +2381,7 @@ class LakehouseTable:
         if not commit.dv_files:
             return df
         dv = self.spark.read.parquet(
-            *[fsio.join(self.path, f) for f in commit.dv_files]
+            *[fsio.resolve(self.path, f) for f in commit.dv_files]
         ).select("file_name", "pos")
         return (
             df.withColumn("__dv_file", self._dv_file_col())
@@ -2424,7 +2489,7 @@ class LakehouseTable:
             raise ValueError(
                 f"no change files in versions [{begin_version}, {end}]"
             )
-        paths = [fsio.join(self.path, f) for f in files]
+        paths = [fsio.resolve(self.path, f) for f in files]
         return self._logical(
             self.spark.read.option("mergeSchema", "true").parquet(*paths),
             self._commit(end),
