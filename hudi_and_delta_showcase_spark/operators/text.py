@@ -331,3 +331,79 @@ def lm_cross_entropy(
             ).alias("avg_cross_entropy"),
         )
     )
+
+
+def chunk_overlapping(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    window: int = 32,
+    stride: int = 24,
+) -> DataFrame:
+    """RAG-style document chunking: overlapping windows of ``window``
+    whitespace tokens advancing by ``stride`` (overlap = window -
+    stride). One row per chunk with (doc id, chunk_idx, chunk text,
+    n_tokens).
+
+    Chunk count is exact integer math shared with the SQL oracle:
+    1 chunk when n <= window, else ((n - window + stride - 1) div
+    stride) + 1 — the final chunk is the only short one, and every
+    token is covered (the pigeonhole a retriever needs: no gap can
+    exceed zero tokens).
+
+    Scale shape: ``transform`` over a ``sequence`` builds the chunk
+    list per row, ``posexplode`` fans out — map-only, no shuffle, no
+    UDF; output volume is input x (1/stride overlap factor), the same
+    multiplier any chunker pays."""
+    if stride <= 0 or window <= 0 or stride > window:
+        raise ValueError("need 0 < stride <= window")
+    toks = F.split(F.col(text_col), " ")
+    n = F.size(toks)
+    n_chunks = F.when(n <= window, F.lit(1)).otherwise(
+        ((n - window + (stride - 1)) / stride).cast("int") + 1
+    )
+    chunks = F.transform(
+        F.sequence(F.lit(0), n_chunks - 1),
+        lambda i: F.array_join(
+            F.slice(toks, i * stride + 1, window), " "
+        ),
+    )
+    return (
+        df.select(
+            F.col(id_col),
+            n.alias("__n"),
+            F.posexplode(chunks).alias("chunk_idx", "chunk"),
+        )
+        .withColumn(
+            "n_tokens",
+            F.least(
+                F.lit(window), F.col("__n") - F.col("chunk_idx") * stride
+            ),
+        )
+        .drop("__n")
+    )
+
+
+def length_buckets(
+    df: DataFrame,
+    text_col: str,
+    group_cols: list[str],
+    bucket_width: int = 32,
+) -> DataFrame:
+    """Inference/training batch planning: bucket documents by
+    whitespace-token length into fixed-width buckets and aggregate
+    (count, token sum) per (group, bucket) — the stats a
+    length-bucketed batcher needs to build padding-efficient batches.
+    Map + one partial-aggregated groupBy; mergeable at any scale."""
+    n = F.size(F.split(F.col(text_col), " "))
+    return (
+        df.withColumn(
+            "len_bucket",
+            (n / bucket_width).cast("bigint") * bucket_width,
+        )
+        .groupBy(*group_cols, "len_bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(n).alias("sum_tokens"),
+        )
+    )

@@ -179,6 +179,9 @@ PRIORITY: tuple[str, ...] = (
     "q17_small_quantity_revenue",
     "q22_global_sales_opportunity",
     "text_lang_id",
+    # r6: RAG chunking + length-bucketed batching stats
+    "text_chunk_overlap",
+    "text_length_buckets",
     "dedup_components",
     "sample_train_split",
     "agg_cube",

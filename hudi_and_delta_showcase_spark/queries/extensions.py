@@ -508,6 +508,62 @@ def text_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return T.token_count_bpe(docs, "doc_id", "text")
 
 
+@query(
+    "text_chunk_overlap",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, string_split(text, ' ') AS t FROM documents
+    ), sized AS (
+      SELECT doc_id, t, len(t) AS n,
+             CASE WHEN len(t) <= 32 THEN 1
+                  ELSE (len(t) - 32 + 23) // 24 + 1 END AS nc
+      FROM toks
+    )
+    SELECT s.doc_id,
+           g.i AS chunk_idx,
+           array_to_string(s.t[g.i*24+1 : g.i*24+32], ' ') AS chunk,
+           least(32, s.n - g.i*24) AS n_tokens
+    FROM sized s,
+         LATERAL (SELECT unnest(generate_series(0, s.nc - 1)) AS i) g
+    """,
+    tags=("text", "rag"),
+)
+def text_chunk_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RAG document chunking (r6): overlapping 32-token windows, stride
+    24 — transform-over-sequence + posexplode, map-only, no UDF. The
+    oracle mirrors the exact integer chunk-count formula, so boundary
+    behavior (short docs, final short chunk) is pinned cross-engine."""
+    docs = load_table(spark, sf_dir, "documents")
+    out = T.chunk_overlapping(docs, "doc_id", "text", window=32, stride=24)
+    return out.select(
+        "doc_id",
+        F.col("chunk_idx").cast("bigint").alias("chunk_idx"),
+        "chunk",
+        F.col("n_tokens").cast("bigint").alias("n_tokens"),
+    )
+
+
+@query(
+    "text_length_buckets",
+    oracle="""
+    SELECT lang,
+           (len(string_split(text, ' ')) // 32) * 32 AS len_bucket,
+           COUNT(*) AS n_docs,
+           SUM(len(string_split(text, ' '))) AS sum_tokens
+    FROM documents
+    GROUP BY lang, (len(string_split(text, ' ')) // 32) * 32
+    """,
+    tags=("text", "batching"),
+)
+def text_length_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Length-bucketed batch planning (r6): fixed-width token-length
+    buckets per language with doc counts and token sums — the stats a
+    padding-efficient inference/training batcher packs from. Map + one
+    partial-aggregated groupBy."""
+    docs = load_table(spark, sf_dir, "documents")
+    return T.length_buckets(docs, "text", ["lang"], bucket_width=32)
+
+
 # ---------------------------------------------------------------------------
 # Multimodal plumbing
 # ---------------------------------------------------------------------------

@@ -406,3 +406,41 @@ def test_jaccard_probe_verdict_memoized_with_ttl(spark):
     D._PROBE_CACHE[key] = (time.time() - 10 * D.PROBE_CACHE_TTL_SECONDS, True)
     assert D._probe_alarm(df, "shingles", 8) is False
     assert D._PROBE_CACHE[key][1] is False
+
+
+def test_chunk_overlapping_covers_every_token(spark):
+    """Chunker invariants: every token index is covered by >= 1 chunk,
+    consecutive chunks overlap by window - stride, the final chunk is
+    the only short one, and a short doc yields exactly one chunk."""
+    import hudi_and_delta_showcase_spark.operators.text as T
+
+    df = spark.createDataFrame(
+        [
+            (1, " ".join(f"t{i}" for i in range(100))),  # 100 tokens
+            (2, " ".join(f"t{i}" for i in range(7))),    # short doc
+            (3, " ".join(f"t{i}" for i in range(32))),   # exactly window
+            (4, " ".join(f"t{i}" for i in range(33))),   # window + 1
+        ],
+        "doc_id long, text string",
+    )
+    out = T.chunk_overlapping(df, "doc_id", "text", window=32, stride=24)
+    rows = sorted(
+        (r.doc_id, r.chunk_idx, r.chunk.split(" "), r.n_tokens)
+        for r in out.collect()
+    )
+    by_doc = {}
+    for d, i, toks, n in rows:
+        assert len(toks) == n
+        by_doc.setdefault(d, []).append((i, toks))
+    assert len(by_doc[2]) == 1 and len(by_doc[2][0][1]) == 7
+    assert len(by_doc[3]) == 1          # n == window: one full chunk
+    assert len(by_doc[4]) == 2          # one extra token -> second chunk
+    # doc 1: full coverage, fixed overlap
+    covered = set()
+    for i, toks in by_doc[1]:
+        start = i * 24
+        assert toks == [f"t{j}" for j in range(start, start + len(toks))]
+        covered.update(range(start, start + len(toks)))
+    assert covered == set(range(100))
+    full = [toks for _i, toks in by_doc[1][:-1]]
+    assert all(len(t) == 32 for t in full)
