@@ -149,6 +149,8 @@ PRIORITY: tuple[str, ...] = (
     "cdc_convert_in_place",
     # r6: zero-copy shallow clone (Delta SHALLOW CLONE)
     "cdc_shallow_clone",
+    # r6: change data feed on merge-on-read (RT-resolved pre-images)
+    "cdc_mor_changes_feed",
     # r5: post-create ALTER TABLE ADD CONSTRAINT with snapshot validation
     "cdc_constraint_evolution",
     "cdc_stats_skipping_read",

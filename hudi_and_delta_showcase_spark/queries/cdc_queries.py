@@ -1784,6 +1784,66 @@ def cdc_shallow_clone(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "cdc_mor_changes_feed",
+    oracle="""
+    WITH pre AS (
+      SELECT event_id, user_id, ts, event_type, value FROM (
+        SELECT *, ROW_NUMBER() OVER (
+          PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+        FROM events WHERE ts < TIMESTAMP '{CUTOFF}'
+      ) WHERE rn = 1
+    ), allv AS (
+      SELECT event_id, user_id, ts, event_type, value FROM (
+        SELECT *, ROW_NUMBER() OVER (
+          PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+        FROM events
+      ) WHERE rn = 1
+    ), upd AS (
+      SELECT user_id FROM pre
+      WHERE user_id IN (SELECT user_id FROM events
+                        WHERE ts >= TIMESTAMP '{CUTOFF}')
+    )
+    SELECT 0 AS commit_version, 'insert' AS change_type, user_id, event_id, value
+    FROM pre
+    UNION ALL
+    SELECT 1, 'update_preimage', p.user_id, p.event_id, p.value
+    FROM pre p JOIN upd u ON p.user_id = u.user_id
+    UNION ALL
+    SELECT 1, 'update_postimage', a.user_id, a.event_id, a.value
+    FROM allv a JOIN upd u ON a.user_id = u.user_id
+    UNION ALL
+    SELECT 1, 'insert', a.user_id, a.event_id, a.value
+    FROM allv a
+    WHERE a.user_id NOT IN (SELECT user_id FROM pre)
+      AND a.user_id IN (SELECT user_id FROM events
+                        WHERE ts >= TIMESTAMP '{CUTOFF}')
+    """.replace("{CUTOFF}", CUTOFF),
+    tags=("cdc", "table", "cdf", "mor"),
+)
+def cdc_mor_changes_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """r6: change data feed on a MERGE-ON-READ table — the log-append
+    upsert still emits exact pre/post/insert classification because
+    pre-images resolve through the key-pruned RT view at write time
+    (Hudi ``hoodie.table.cdc.enabled`` semantics). Feed rows are the
+    full oracle surface: v0 insert images = latest-per-key pre-cutoff;
+    v1 pre-images = prior values of updated keys, post-images = final
+    values, inserts = new keys."""
+    base, incr = _split(spark, sf_dir)
+    path = tempfile.mkdtemp(prefix="mor_cdf_")
+    t = LakehouseTable.create(
+        spark, f"{path}/t", base,
+        key_cols=["user_id"], precombine="ts", tiebreakers=["event_id"],
+        table_type="mor", cdc_enabled=True,
+    )
+    t.upsert(incr)
+    return t.read_changes(0).select(
+        F.col("_commit_version").cast("int").alias("commit_version"),
+        F.col("_change_type").alias("change_type"),
+        "user_id", "event_id", "value",
+    )
+
+
+@query(
     "cdc_convert_in_place",
     oracle=f"""
     SELECT event_id, user_id, ts, event_type, value FROM events
