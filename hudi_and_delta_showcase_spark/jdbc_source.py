@@ -110,6 +110,7 @@ def snapshot_to_envelopes(
     payload_cols: list[str] | None = None,
     read_timestamp=None,
     stream_name: str = "jdbc-backfill",
+    payload_mode: str = "golden",
 ) -> DataFrame:
     """Wrap snapshot rows as Datastream BACKFILL envelopes
     (``ENVELOPE_SCHEMA``): ``change_type='INSERT'``,
@@ -123,7 +124,8 @@ def snapshot_to_envelopes(
     differs). Timestamp payload fields are cast to TIMESTAMP_NTZ at the
     session zone — the same convention the parquet fixtures use."""
     rows = snapshot.withColumn(
-        "payload", _payload_struct(snapshot, payload_cols)
+        "payload", _payload_struct(snapshot, payload_cols,
+                                   payload_mode=payload_mode)
     ).withColumn("__change_type", F.lit("INSERT")).withColumn(
         "__is_deleted", F.lit(False)
     )
@@ -134,11 +136,35 @@ def snapshot_to_envelopes(
 
 
 def _payload_struct(
-    df: DataFrame, payload_cols: list[str] | None, prefix: str = ""
+    df: DataFrame, payload_cols: list[str] | None, prefix: str = "",
+    payload_mode: str = "golden",
 ) -> F.Column:
     """Build the envelope ``payload`` struct from ``df``'s columns,
     resolving names case-insensitively (JDBC dialects fold unquoted
-    identifiers to upper case)."""
+    identifiers to upper case).
+
+    ``payload_mode="golden"`` (default) casts to the reference's golden
+    payload schema — byte-compatible with the Datastream fixtures.
+    ``"auto"`` derives the payload from the SNAPSHOT'S OWN schema
+    (lowercased field names; SQL TIMESTAMPs as NTZ), so ANY relational
+    table rides the same envelope pipeline."""
+    if payload_mode == "auto":
+        cols = payload_cols or [
+            c[len(prefix):] if prefix and c.startswith(prefix) else c
+            for c in df.columns
+            if not prefix or c.startswith(prefix)
+        ]
+        by_lower = {c.lower(): c for c in df.columns}
+        parts = []
+        for c in cols:
+            srcc = by_lower.get((prefix + c).lower())
+            if srcc is None:
+                raise ValueError(f"snapshot lacks payload column: {c!r}")
+            col = F.col(srcc)
+            if df.schema[srcc].dataType.typeName().startswith("timestamp"):
+                col = col.cast("timestamp_ntz")
+            parts.append(col.alias(c.lower()))
+        return F.struct(*parts)
     payload_fields = [
         f.name for f in ENVELOPE_SCHEMA["payload"].dataType.fields
     ]
@@ -207,10 +233,15 @@ def _wrap_envelopes(
         meta.alias("source_metadata"),
         F.col("payload"),
     )
-    # pin the exact envelope schema (field order + types)
+    # pin the exact envelope schema (field order + types) around
+    # whatever payload type the rows carry — golden payloads pin to the
+    # byte-compatible golden contract, auto payloads to their own type
+    from hudi_and_delta_showcase_spark.operators.cdc import envelope_schema
+
+    schema = envelope_schema(env.schema["payload"].dataType)
     return env.select(
         *[F.col(f.name).cast(f.dataType).alias(f.name)
-          for f in ENVELOPE_SCHEMA.fields]
+          for f in schema.fields]
     )
 
 
@@ -223,6 +254,7 @@ def snapshot_diff_envelopes(
     payload_cols: list[str] | None = None,
     read_timestamp=None,
     stream_name: str = "jdbc-incremental",
+    payload_mode: str = "golden",
 ) -> DataFrame:
     """The CDC half of S10 WITHOUT a binlog reader: diff two keyed
     snapshots into Datastream change envelopes — rows only in ``new``
@@ -255,8 +287,12 @@ def snapshot_diff_envelopes(
         o[f"o_{k}"].eqNullSafe(n[f"n_{k}"]) for k in keys_l
     ]
     joined = o.join(n, cond, "full_outer")
-    o_payload = _payload_struct(joined, payload_cols, prefix="o_")
-    n_payload = _payload_struct(joined, payload_cols, prefix="n_")
+    o_payload = _payload_struct(
+        joined, payload_cols, prefix="o_", payload_mode=payload_mode
+    )
+    n_payload = _payload_struct(
+        joined, payload_cols, prefix="n_", payload_mode=payload_mode
+    )
     present_o = F.col(f"o_{keys_l[0]}").isNotNull()
     present_n = F.col(f"n_{keys_l[0]}").isNotNull()
     change = (
@@ -383,6 +419,7 @@ def watermark_tail_envelopes(
     payload_cols: list[str] | None = None,
     read_timestamp=None,
     stream_name: str = "jdbc-watermark-tail",
+    payload_mode: str = "golden",
 ) -> DataFrame:
     """Wrap a watermark increment in Datastream CHANGE envelopes
     (``read_method='mysql-cdc-binlog'``) feeding the same streaming
@@ -404,7 +441,9 @@ def watermark_tail_envelopes(
         change = F.lit("UPDATE-INSERT")
     rows = (
         increment.withColumn(
-            "payload", _payload_struct(increment, payload_cols)
+            "payload",
+            _payload_struct(increment, payload_cols,
+                            payload_mode=payload_mode),
         )
         .withColumn("__change_type", change)
         .withColumn("__is_deleted", F.lit(False))
@@ -492,17 +531,23 @@ def sync_jdbc_source(
                 break
 
     if not exists:
-        # backfill cycle: full snapshot, BACKFILL envelopes, create
+        # backfill cycle: full snapshot, BACKFILL envelopes, create.
+        # payload_mode="auto": the envelope payload is derived from the
+        # SOURCE TABLE'S OWN schema, so any relational table syncs —
+        # not just the reference's golden 5-column shape.
         snap = read_jdbc_snapshot(
             spark, url, table, **jdbc_kwargs
         ).localCheckpoint(eager=True)
-        env = snapshot_to_envelopes(snap, table.lower(), database, pks)
+        env = snapshot_to_envelopes(
+            snap, table.lower(), database, pks, payload_mode="auto"
+        )
         rows = normalize_cdc_batch(env).localCheckpoint(eager=True)
         wm, key = increment_watermark(snap, watermark_column, key_column)
         LakehouseTable.create(
             spark, table_path, rows,
             key_cols=[k.lower() for k in pks],
-            precombine="updated_at", tiebreakers=["change_type"],
+            precombine=watermark_column.lower(),
+            tiebreakers=["change_type"],
             table_type=table_type,
             extra_stats={"jdbc_sync_cursor": _cursor_json(wm, key)},
         )
@@ -521,9 +566,15 @@ def sync_jdbc_source(
     if n == 0:
         return {"mode": "incremental", "rows": 0, "cursor": cursor}
     wm, key = increment_watermark(inc, watermark_column, key_column)
+    by_lower = {c.lower(): c for c in inc.columns}
     env = watermark_tail_envelopes(
         inc, table.lower(), database, pks,
-        created_column=created_column, updated_column=watermark_column,
+        created_column=(
+            created_column if created_column
+            and created_column.lower() in by_lower else None
+        ),
+        updated_column=watermark_column,
+        payload_mode="auto",
     )
     rows = normalize_cdc_batch(env)
     t = LakehouseTable.load(spark, table_path)

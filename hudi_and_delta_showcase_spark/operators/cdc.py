@@ -51,6 +51,38 @@ PAYLOAD_SCHEMA = StructType(
     ]
 )
 
+def envelope_schema(payload_type: StructType) -> StructType:
+    """The Datastream envelope around an ARBITRARY payload row type —
+    the envelope's own fields are source-schema-independent
+    (README.md:299-320), so any relational table can ride the same
+    pipeline; ``ENVELOPE_SCHEMA`` is this factory applied to the
+    reference's golden payload."""
+    return StructType(
+        [
+            StructField("uuid", StringType()),
+            StructField("read_timestamp", TimestampNTZType()),
+            StructField("source_timestamp", TimestampNTZType()),
+            StructField("object", StringType()),
+            StructField("read_method", StringType()),
+            StructField("stream_name", StringType()),
+            StructField("schema_key", StringType()),
+            StructField(
+                "sort_keys",
+                ArrayType(
+                    StructType(
+                        [
+                            StructField("member0", StringType()),
+                            StructField("member1", LongType()),
+                        ]
+                    )
+                ),
+            ),
+            StructField("source_metadata", SOURCE_METADATA_SCHEMA),
+            StructField("payload", payload_type),
+        ]
+    )
+
+
 ENVELOPE_SCHEMA = StructType(
     [
         StructField("uuid", StringType()),

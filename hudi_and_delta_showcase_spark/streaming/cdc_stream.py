@@ -32,29 +32,39 @@ from hudi_and_delta_showcase_spark.tables import LakehouseTable
 
 
 def read_envelope_stream(
-    spark: SparkSession, drop_dir: str, max_files_per_trigger: int | None = 1
+    spark: SparkSession,
+    drop_dir: str,
+    max_files_per_trigger: int | None = 1,
+    envelope_type=None,
 ) -> DataFrame:
     """File-source stream of Datastream CDC envelopes (parquet files in a
     drop directory; the reference's files are Avro — same envelope, format
-    per io.read_avro availability)."""
-    reader = spark.readStream.schema(ENVELOPE_SCHEMA)
+    per io.read_avro availability). ``envelope_type`` declares the full
+    envelope schema for non-golden payloads (``operators.cdc.
+    envelope_schema(payload_type)``); default is the golden contract."""
+    reader = spark.readStream.schema(envelope_type or ENVELOPE_SCHEMA)
     if max_files_per_trigger is not None:
         reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
     return reader.parquet(drop_dir)
 
 
 def normalize_cdc_batch(batch: DataFrame) -> DataFrame:
-    """The reference's per-batch prep: flatten the envelope, convert the
-    payload timestamps to epoch seconds (README.md:267,270-273), keep the
-    change markers for soft-delete semantics (README.md:529)."""
+    """The reference's per-batch prep, payload-schema-GENERIC: flatten
+    the envelope, convert every timestamp payload column to epoch
+    seconds (README.md:267,270-273), keep the change markers for
+    soft-delete semantics (README.md:529). The payload's own fields —
+    whatever table is riding the envelope — become the row columns, so
+    any relational source flows through the same apply loop."""
+    payload_fields = batch.schema["payload"].dataType
+    ts_cols = [
+        f.name
+        for f in payload_fields.fields
+        if f.dataType.typeName().startswith("timestamp")
+    ]
     flat = flatten_envelope(batch)
-    flat = normalize_timestamps(flat, ["updated_at", "created_at"])
+    flat = normalize_timestamps(flat, ts_cols)
     return flat.select(
-        "pk_id",
-        "name",
-        "value",
-        "updated_at",
-        "created_at",
+        *[f.name for f in payload_fields.fields],
         flat["source_metadata.change_type"].alias("change_type"),
         flat["source_metadata.is_deleted"].alias("is_deleted"),
     )
@@ -67,6 +77,9 @@ def apply_cdc_stream(
     checkpoint_dir: str | None = None,
     max_files_per_trigger: int | None = 1,
     table_type: str = "cow",
+    key_cols: list[str] | None = None,
+    precombine: str = "updated_at",
+    envelope_type=None,
 ) -> LakehouseTable:
     """Consume every envelope file currently in ``drop_dir`` (availableNow)
     and merge each micro-batch into the lakehouse table at ``table_path``
@@ -74,7 +87,9 @@ def apply_cdc_stream(
 
     Returns the table handle after the stream drains."""
     checkpoint_dir = checkpoint_dir or tempfile.mkdtemp(prefix="cdc_ckpt_")
-    stream = read_envelope_stream(spark, drop_dir, max_files_per_trigger)
+    stream = read_envelope_stream(
+        spark, drop_dir, max_files_per_trigger, envelope_type=envelope_type
+    )
 
     # writer identity for idempotent commits (Delta txnAppId): tied to
     # the checkpoint, whose batch ids are the monotonically increasing
@@ -93,8 +108,8 @@ def apply_cdc_stream(
                 spark,
                 table_path,
                 rows,
-                key_cols=["pk_id"],
-                precombine="updated_at",
+                key_cols=key_cols or ["pk_id"],
+                precombine=precombine,
                 tiebreakers=["change_type"],
                 table_type=table_type,
             )

@@ -392,3 +392,72 @@ def test_sync_jdbc_source_cycles_and_crash_replay(spark, churn_db, tmp_path):
         for r in LakehouseTable.load(spark, target).read().collect()
     }
     assert final == {(1, 999), (2, 20), (3, 30), (4, 40)}
+
+
+def test_sync_generic_source_schema(spark, tmp_path):
+    """r6: the sync loop is payload-schema-GENERIC — a source table
+    with a completely different shape (products: sku/price/qty) rides
+    the same envelope pipeline: auto-derived payload struct, timestamp
+    normalization over ITS timestamp columns, watermark on modified_at,
+    composite state preserved across cycles."""
+    from hudi_and_delta_showcase_spark.jdbc_source import sync_jdbc_source
+    from hudi_and_delta_showcase_spark.tables import LakehouseTable
+
+    db = tempfile.mkdtemp(prefix="derby_gen_") + "/srcdb"
+    url = f"jdbc:derby:{db};create=true"
+    jvm = spark._jvm
+    jvm.java.lang.Class.forName("org.apache.derby.jdbc.EmbeddedDriver")
+    conn = jvm.java.sql.DriverManager.getConnection(url)
+    st = conn.createStatement()
+    st.executeUpdate(
+        "CREATE TABLE PRODUCTS (id INT PRIMARY KEY, sku VARCHAR(32), "
+        "price DOUBLE, qty INT, modified_at TIMESTAMP, "
+        "created_at TIMESTAMP)"
+    )
+    for i, sku, price, qty in [
+        (1, "A-1", 9.5, 3), (2, "B-2", 19.0, 7), (3, "C-3", 5.25, 0),
+    ]:
+        st.executeUpdate(
+            f"INSERT INTO PRODUCTS VALUES ({i}, '{sku}', {price}, {qty}, "
+            "TIMESTAMP('2024-06-01 10:00:00'), "
+            "TIMESTAMP('2024-06-01 10:00:00'))"
+        )
+    target = str(tmp_path / "products")
+    r = sync_jdbc_source(
+        spark, url, "PRODUCTS", target,
+        watermark_column="modified_at", key_column="id",
+        primary_keys=["id"],
+        driver="org.apache.derby.jdbc.EmbeddedDriver",
+    )
+    assert r["mode"] == "backfill" and r["rows"] == 3
+    t = LakehouseTable.load(spark, target)
+    assert t.key_cols == ["id"] and t.precombine == "modified_at"
+    cols = set(t.read().columns)
+    assert {"id", "sku", "price", "qty", "modified_at",
+            "created_at", "change_type", "is_deleted"} <= cols
+
+    st.executeUpdate(
+        "UPDATE PRODUCTS SET price = 21.0, "
+        "modified_at = TIMESTAMP('2024-06-02 08:00:00') WHERE id = 2"
+    )
+    st.executeUpdate(
+        "INSERT INTO PRODUCTS VALUES (4, 'D-4', 1.0, 9, "
+        "TIMESTAMP('2024-06-02 09:00:00'), TIMESTAMP('2024-06-02 09:00:00'))"
+    )
+    st.close(); conn.close()
+    r2 = sync_jdbc_source(
+        spark, url, "PRODUCTS", target,
+        watermark_column="modified_at", key_column="id",
+        primary_keys=["id"],
+        driver="org.apache.derby.jdbc.EmbeddedDriver",
+    )
+    assert r2["mode"] == "incremental" and r2["rows"] == 2
+    state = {
+        r.id: (r.sku, r.price, r.qty, r.change_type)
+        for r in t.read().collect()
+    }
+    assert state[2] == ("B-2", 21.0, 7, "UPDATE-INSERT")
+    assert state[4] == ("D-4", 1.0, 9, "INSERT")
+    assert state[1][3] == "INSERT" and len(state) == 4
+    # modified_at normalized to epoch seconds like the golden loop
+    assert t.read().filter("id = 4").first().modified_at == 1717318800
