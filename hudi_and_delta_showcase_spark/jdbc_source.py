@@ -494,6 +494,7 @@ def sync_jdbc_source(
     database: str = "db",
     primary_keys: list[str] | None = None,
     table_type: str = "cow",
+    reconcile_deletes: bool = False,
     **jdbc_kwargs,
 ) -> dict:
     """ONE cycle of the continuous-capture loop (the reference's
@@ -510,9 +511,16 @@ def sync_jdbc_source(
     the last sync commit — O(commits since last sync), which in a sync
     loop is a handful of maintenance commits at most.
 
-    Returns ``{"mode", "rows", "cursor"}``. Deletes are invisible to a
-    watermark tail (see ``read_jdbc_watermark_increment``); run a
-    periodic ``snapshot_diff_envelopes`` reconciliation for them.
+    Returns ``{"mode", "rows", "cursor"}`` (+ ``"deletes"`` when
+    reconciling). Deletes are invisible to a watermark tail (see
+    ``read_jdbc_watermark_increment``); ``reconcile_deletes=True`` adds
+    a KEY-ONLY reconciliation to the cycle: the source's key column is
+    read with the projection pushed into the remote query (O(source
+    keys), not O(row data)), anti-joined against the target's live
+    keys, and the vanished keys are soft-deleted with their last-seen
+    image — Datastream's DELETE envelope semantics (README.md:529).
+    Run it on a slower cadence than the watermark pull, like any
+    snapshot-based delete sweep.
     """
     from hudi_and_delta_showcase_spark.streaming.cdc_stream import (
         normalize_cdc_batch,
@@ -564,7 +572,13 @@ def sync_jdbc_source(
     ).localCheckpoint(eager=True)  # freeze: cursor + rows see ONE pull
     n = inc.count()
     if n == 0:
-        return {"mode": "incremental", "rows": 0, "cursor": cursor}
+        out = {"mode": "incremental", "rows": 0, "cursor": cursor}
+        if reconcile_deletes:
+            out["deletes"] = _reconcile_deleted_keys(
+                spark, url, table, table_path, key_column, pks, database,
+                **jdbc_kwargs,
+            )
+        return out
     wm, key = increment_watermark(inc, watermark_column, key_column)
     by_lower = {c.lower(): c for c in inc.columns}
     env = watermark_tail_envelopes(
@@ -579,11 +593,76 @@ def sync_jdbc_source(
     rows = normalize_cdc_batch(env)
     t = LakehouseTable.load(spark, table_path)
     t.upsert(rows, extra_stats={"jdbc_sync_cursor": _cursor_json(wm, key)})
-    return {
+    out = {
         "mode": "incremental",
         "rows": n,
         "cursor": _cursor_json(wm, key),
     }
+    if reconcile_deletes:
+        out["deletes"] = _reconcile_deleted_keys(
+            spark, url, table, table_path, key_column, pks, database,
+            **jdbc_kwargs,
+        )
+    return out
+
+
+def _reconcile_deleted_keys(
+    spark: SparkSession,
+    url: str,
+    table: str,
+    table_path: str,
+    key_column: str,
+    pks: list[str],
+    database: str,
+    **jdbc_kwargs,
+) -> int:
+    """Soft-delete target rows whose key vanished at the source. The
+    source read selects ONLY the key column (Spark's JDBC source pushes
+    the projection into the remote query), so the sweep costs O(source
+    keys); the last-seen image comes from the TARGET (a deleted source
+    row has no image to give). Returns the number of keys deleted."""
+    from hudi_and_delta_showcase_spark.streaming.cdc_stream import (
+        normalize_cdc_batch,
+    )
+    from hudi_and_delta_showcase_spark.tables import LakehouseTable
+
+    t = LakehouseTable.load(spark, table_path)
+    keys_l = [k.lower() for k in pks]
+    live = t.read().filter(~F.col("is_deleted"))
+    snap_keys = read_jdbc_snapshot(spark, url, table, **jdbc_kwargs)
+    snap_keys = snap_keys.select(
+        *[
+            # cast to the TARGET's key type (JDBC dialects may widen)
+            F.col(_resolve_col(snap_keys, k))
+            .cast(live.schema[k].dataType)
+            .alias(k)
+            for k in keys_l
+        ]
+    )
+    gone = live.join(snap_keys, keys_l, "left_anti").localCheckpoint(
+        eager=True
+    )
+    n = gone.count()
+    if n == 0:
+        return 0
+    payload_cols = [
+        c for c in gone.columns if c not in ("change_type", "is_deleted")
+        and not c.startswith("_hoodie_")
+    ]
+    rows = (
+        gone.withColumn(
+            "payload",
+            _payload_struct(gone, payload_cols, payload_mode="auto"),
+        )
+        .withColumn("__change_type", F.lit("DELETE"))
+        .withColumn("__is_deleted", F.lit(True))
+    )
+    env = _wrap_envelopes(
+        rows, table.lower(), database, pks, None,
+        "mysql-cdc-binlog", "jdbc-delete-reconcile",
+    )
+    t.upsert(normalize_cdc_batch(env))
+    return n
 
 
 def _cursor_json(wm, key) -> list:

@@ -461,3 +461,40 @@ def test_sync_generic_source_schema(spark, tmp_path):
     assert state[1][3] == "INSERT" and len(state) == 4
     # modified_at normalized to epoch seconds like the golden loop
     assert t.read().filter("id = 4").first().modified_at == 1717318800
+
+
+def test_sync_reconcile_deletes(spark, churn_db, tmp_path):
+    """The delete sweep: after the source loses pk3, a reconciling
+    cycle soft-deletes it in the target with its last-seen image —
+    closing the watermark tail's delete blindness. The source read is
+    key-only (projection pushed): pinned via the executed plan's
+    ReadSchema."""
+    from hudi_and_delta_showcase_spark.jdbc_source import sync_jdbc_source
+    from hudi_and_delta_showcase_spark.tables import LakehouseTable
+
+    url, conn = churn_db
+    target = str(tmp_path / "t")
+    sync_jdbc_source(spark, url, "HUDI_DELTA_TEST", target, **DRV)
+    st = conn.createStatement()
+    st.executeUpdate("DELETE FROM HUDI_DELTA_TEST WHERE pk_id = 3")
+    st.close()
+    # plain cycle: delete invisible
+    r = sync_jdbc_source(spark, url, "HUDI_DELTA_TEST", target, **DRV)
+    assert r["rows"] == 0 and "deletes" not in r
+    t = LakehouseTable.load(spark, target)
+    assert t.read().filter("pk_id = 3").first().is_deleted is False
+    # reconciling cycle: key-only sweep finds and soft-deletes pk3
+    r2 = sync_jdbc_source(
+        spark, url, "HUDI_DELTA_TEST", target, reconcile_deletes=True, **DRV
+    )
+    assert r2["deletes"] == 1
+    row = t.read().filter("pk_id = 3").first()
+    assert row.is_deleted is True and row.name == "dell" and row.value == 30
+    assert row.change_type == "DELETE"
+    # live rows untouched
+    assert t.read().filter("NOT is_deleted").count() == 3
+    # idempotent: a second sweep deletes nothing
+    r3 = sync_jdbc_source(
+        spark, url, "HUDI_DELTA_TEST", target, reconcile_deletes=True, **DRV
+    )
+    assert r3["deletes"] == 0
