@@ -145,6 +145,8 @@ PRIORITY: tuple[str, ...] = (
     "cdc_jdbc_incremental_diff",
     # r6: two-cycle sync loop with the keyset cursor in the commit
     "cdc_jdbc_sync_loop",
+    # r6: + key-only delete sweep -> the reference's exact golden state
+    "cdc_jdbc_delete_reconcile",
     # r5: in-place CONVERT of a foreign parquet dir (Delta CONVERT TO DELTA)
     "cdc_convert_in_place",
     # r6: zero-copy shallow clone (Delta SHALLOW CLONE)

@@ -1844,6 +1844,81 @@ def cdc_mor_changes_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "cdc_jdbc_delete_reconcile",
+    oracle="""
+    SELECT * FROM (VALUES
+      (1, 'apple',    10, 1673496060, 'INSERT',        FALSE),
+      (2, 'samsung', 201, 1673501401, 'UPDATE-INSERT', FALSE),
+      (3, 'dell',     30, 1673496060, 'DELETE',        TRUE),
+      (4, 'motorola', 40, 1673496060, 'INSERT',        FALSE),
+      (5, 'htc',      50, 1673501400, 'INSERT',        FALSE)
+    ) AS t(pk_id, name, value, updated_at, change_type, is_deleted)
+    """,
+    tags=("cdc", "jdbc", "source", "incremental"),
+)
+def cdc_jdbc_delete_reconcile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The sync loop WITH the key-only delete sweep: same two cycles as
+    ``cdc_jdbc_sync_loop``, but the incremental cycle reconciles
+    deletes — pk3's source-side DELETE (invisible to the watermark
+    tail) is detected by anti-joining the pushed key-only source read
+    against the target's live keys and soft-deleted with its last-seen
+    image. Final state = the reference scenario's exact golden
+    post-merge outputs, soft delete retained (README.md:511-531) —
+    closing the caveat `cdc_jdbc_sync_loop`'s oracle documents."""
+    from hudi_and_delta_showcase_spark.jdbc_source import sync_jdbc_source
+
+    root = tempfile.mkdtemp(prefix="jdbc_recon_")
+    url = f"jdbc:derby:{root}/srcdb;create=true"
+    jvm = spark._jvm
+    # keep derby.log out of the caller's working directory
+    jvm.java.lang.System.setProperty("derby.system.home", root)
+    jvm.java.lang.Class.forName("org.apache.derby.jdbc.EmbeddedDriver")
+    conn = jvm.java.sql.DriverManager.getConnection(url)
+    st = conn.createStatement()
+    st.executeUpdate(
+        "CREATE TABLE HUDI_DELTA_TEST (pk_id INT PRIMARY KEY, "
+        "name VARCHAR(64), value INT, updated_at TIMESTAMP, "
+        "created_at TIMESTAMP)"
+    )
+    for pk, name, value in [
+        (1, "apple", 10), (2, "samsung", 20),
+        (3, "dell", 30), (4, "motorola", 40),
+    ]:
+        st.executeUpdate(
+            f"INSERT INTO HUDI_DELTA_TEST VALUES ({pk}, '{name}', {value}, "
+            "TIMESTAMP('2023-01-12 04:01:00'), "
+            "TIMESTAMP('2023-01-12 04:00:00'))"
+        )
+    drv = {"driver": "org.apache.derby.jdbc.EmbeddedDriver"}
+    target = f"{root}/table"
+    sync_jdbc_source(spark, url, "HUDI_DELTA_TEST", target, **drv)
+
+    st.executeUpdate(
+        "INSERT INTO HUDI_DELTA_TEST VALUES (5, 'htc', 50, "
+        "TIMESTAMP('2023-01-12 05:30:00'), TIMESTAMP('2023-01-12 05:30:00'))"
+    )
+    st.executeUpdate(
+        "UPDATE HUDI_DELTA_TEST SET value = 201, "
+        "updated_at = TIMESTAMP('2023-01-12 05:30:01') WHERE pk_id = 2"
+    )
+    st.executeUpdate("DELETE FROM HUDI_DELTA_TEST WHERE pk_id = 3")
+    st.close()
+    conn.close()
+
+    r = sync_jdbc_source(
+        spark, url, "HUDI_DELTA_TEST", target,
+        reconcile_deletes=True, **drv,
+    )
+    assert r["rows"] == 2 and r["deletes"] == 1
+
+    from hudi_and_delta_showcase_spark.tables import LakehouseTable
+
+    return LakehouseTable.load(spark, target).read().select(
+        "pk_id", "name", "value", "updated_at", "change_type", "is_deleted"
+    )
+
+
+@query(
     "cdc_convert_in_place",
     oracle=f"""
     SELECT event_id, user_id, ts, event_type, value FROM events
