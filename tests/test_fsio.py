@@ -513,3 +513,62 @@ def test_stale_handle_enforces_new_constraint(spark, tmp_path):
     )
     with pytest.raises(ValueError, match="CHECK constraint violation"):
         stale.upsert(bad)
+
+
+def test_occ_rebase_through_lock_table_coordinator(tmp_path):
+    """The FULL OCC loop driven through a registered coordinator: the
+    commit publish routes by prefix into the lock-table backend (the
+    plain-S3 strategy), threads race real append_commit_rebase calls,
+    and every blind insert lands at a distinct contiguous version with
+    all files merged — proving the coordinator interface carries the
+    engine's commit protocol, not just raw publishes."""
+    import threading
+
+    class Counting(fsio.LockTableCoordinator):
+        def __init__(self):
+            self.published = []
+
+        def publish(self, path, text):
+            super().publish(path, text)
+            self.published.append(path)
+
+    coord = Counting()
+    table = str(tmp_path / "tbl")
+    try:
+        fsio.set_commit_coordinator(str(tmp_path), coord)
+        mf.append_commit(
+            table, mf.Commit(version=0, action="insert",
+                             commit_time=mf.make_commit_time(),
+                             files=["base.parquet"]),
+        )
+        barrier = threading.Barrier(6)
+        errors = []
+
+        def writer(i):
+            barrier.wait()
+            try:
+                mf.append_commit_rebase(
+                    table,
+                    mf.Commit(version=1, action="insert",
+                              commit_time=mf.make_commit_time(),
+                              files=["base.parquet", f"w{i}.parquet"]),
+                )
+            except Exception as exc:  # noqa: BLE001
+                errors.append(repr(exc))
+
+        threads = [
+            threading.Thread(target=writer, args=(i,)) for i in range(6)
+        ]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join(timeout=60)
+        assert not errors, errors
+        latest = mf.latest_commit(table)
+        assert latest.version == 6  # contiguous: every writer landed
+        assert sorted(latest.files) == sorted(
+            ["base.parquet"] + [f"w{i}.parquet" for i in range(6)]
+        )
+        assert coord.published  # commits actually flowed through it
+    finally:
+        fsio.clear_commit_coordinators()
