@@ -254,3 +254,22 @@ def test_dynamic_partition_pruning_on_partitioned_table(spark, sf_dir, tmp_path)
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "dynamicpruning" in plan.lower()
     assert out.count() == events.filter(F.col("event_type") == "click").count()
+
+
+def test_chunking_is_map_only(spark, sf_dir):
+    """text_chunk_overlap must stay a single map-side pipeline: no
+    Exchange anywhere (chunk fan-out is transform+posexplode over the
+    scan — a shuffle here would mean the chunker materializes or
+    repartitions the corpus, a needless 100 TB pass)."""
+    plan = _plan(spark, sf_dir, "text_chunk_overlap")
+    assert "Exchange" not in plan, plan
+    assert "Generate" in plan  # the posexplode fan-out
+
+
+def test_length_buckets_single_partial_agg(spark, sf_dir):
+    """text_length_buckets: one partial-aggregated groupBy — exactly
+    one Exchange, with HashAggregate partials on the map side."""
+    plan = _plan(spark, sf_dir, "text_length_buckets")
+    # formatted mode prints each node twice (tree + details)
+    assert len(re.findall(r"\(\d+\) Exchange", plan)) == 1, plan
+    assert "partial_" in plan
