@@ -182,32 +182,71 @@ def write_checkpoint(spark: SparkSession, path: str) -> int:
     return version
 
 
-def _read_checkpoint(path: str) -> tuple[int, dict, dict[str, bool]] | None:
-    lc = fsio.join(_log_dir(path), "_last_checkpoint")
-    if not fsio.exists(lc):
-        return None
+def _read_parquet_rows(cp: str) -> list[dict]:
     import pyarrow.parquet as pq
 
-    cp_version = json.loads(fsio.read_pointer_text(lc, attempts=2))["version"]
-    cp = fsio.join(
-        _log_dir(path), f"{cp_version:020d}.checkpoint.parquet"
-    )
     if fsio.is_remote(cp):
         import pyarrow.fs as pafs
 
         pfs, ppath = pafs.FileSystem.from_uri(cp)
         with pfs.open_input_file(ppath) as fh:
-            tbl = pq.read_table(fh).to_pylist()
+            return pq.read_table(fh).to_pylist()
+    return pq.read_table(cp).to_pylist()
+
+
+def _read_checkpoint(path: str) -> tuple[int, dict, dict[str, bool]] | None:
+    """Resolve the newest checkpoint via ``_last_checkpoint``. Handles
+    BOTH checkpoint dialects:
+
+    * this engine's compact ``(kind, json)`` rows, and
+    * the REAL Delta protocol's classic checkpoint — one action per
+      row in struct-typed columns (``add`` / ``metaData`` / ``remove``
+      / ``txn`` / ``protocol``), including multi-part checkpoints
+      (``_last_checkpoint.parts`` +
+      ``{v}.checkpoint.{i}.{parts}.parquet`` naming).
+
+    The foreign dialect is what a long-lived delta-spark table ALWAYS
+    has — its early JSON commits expire, so a reader that cannot start
+    from the parquet checkpoint cannot read the table at all."""
+    lc = fsio.join(_log_dir(path), "_last_checkpoint")
+    if not fsio.exists(lc):
+        return None
+    lc_doc = json.loads(fsio.read_pointer_text(lc, attempts=2))
+    cp_version = lc_doc["version"]
+    parts = lc_doc.get("parts")
+    if parts:
+        cp_files = [
+            fsio.join(
+                _log_dir(path),
+                f"{cp_version:020d}.checkpoint."
+                f"{i:010d}.{parts:010d}.parquet",
+            )
+            for i in range(1, parts + 1)
+        ]
     else:
-        tbl = pq.read_table(cp).to_pylist()
+        cp_files = [
+            fsio.join(_log_dir(path), f"{cp_version:020d}.checkpoint.parquet")
+        ]
     meta: dict = {}
     live: dict[str, bool] = {}
-    for row in tbl:
-        payload = json.loads(row["json"])
-        if row["kind"] == "metaData":
-            meta = payload
-        elif row["kind"] == "add":
-            live[payload["path"]] = True
+    for cp in cp_files:
+        for row in _read_parquet_rows(cp):
+            if "kind" in row:  # this engine's compact dialect
+                payload = json.loads(row["json"])
+                if row["kind"] == "metaData":
+                    meta = payload
+                elif row["kind"] == "add":
+                    live[payload["path"]] = True
+                continue
+            # foreign (delta-spark) dialect: struct-typed action columns
+            if row.get("metaData") is not None:
+                meta = {
+                    k: v for k, v in row["metaData"].items() if v is not None
+                }
+            if row.get("add") is not None:
+                live[row["add"]["path"]] = True
+            # remove rows in checkpoints are vacuum tombstones, not
+            # live-set state; txn/protocol don't affect the scan
     return cp_version, meta, live
 
 
@@ -215,20 +254,29 @@ def _replay(
     path: str, version: int | None, use_checkpoint: bool = True
 ) -> tuple[dict, list[str]]:
     versions = _list_versions(path)
-    if not versions:
+    cp = _read_checkpoint(path) if use_checkpoint else None
+    if not versions and cp is None:
         raise FileNotFoundError(f"no _delta_log commits under {path}")
-    upto = versions[-1] if version is None else version
-    if upto not in versions:
-        raise ValueError(f"version {upto} not in log (have {versions})")
+    newest = max(
+        versions[-1] if versions else -1, cp[0] if cp is not None else -1
+    )
+    upto = newest if version is None else version
+    # valid targets: a listed JSON commit, or exactly a checkpoint whose
+    # JSON commits have EXPIRED (the long-lived-table state — replay
+    # starts from the checkpoint alone)
+    if upto not in versions and not (cp is not None and cp[0] == upto):
+        raise ValueError(
+            f"version {upto} not in log (have {versions}"
+            + (f", checkpoint at {cp[0]}" if cp is not None else "")
+            + ")"
+        )
     meta: dict = {}
     live: dict[str, bool] = {}
     start = 0
-    if use_checkpoint:
-        cp = _read_checkpoint(path)
+    if cp is not None and cp[0] <= upto:
         # a checkpoint is only usable when it does not overshoot the
         # requested time-travel version
-        if cp is not None and cp[0] <= upto:
-            start, meta, live = cp[0] + 1, dict(cp[1]), dict(cp[2])
+        start, meta, live = cp[0] + 1, dict(cp[1]), dict(cp[2])
     for v in versions:
         if v < start:
             continue
@@ -263,9 +311,34 @@ def read_delta_table(
     schema = StructType.fromJson(json.loads(meta["schemaString"]))
     if not files:
         return spark.createDataFrame([], schema)
-    return spark.read.schema(schema).parquet(
+    df = spark.read.schema(schema).parquet(
         *[fsio.join(path, f) for f in files]
     )
+    part_cols = meta.get("partitionColumns") or []
+    if part_cols:
+        # Delta stores partition column VALUES only in the hive-style
+        # directory names (data files never carry the columns) — derive
+        # them from the scan's native file path, in codegen, exactly as
+        # the engine's adopted-partition CONVERT does.
+        import re as _re
+
+        import pyspark.sql.functions as F
+
+        for c in part_cols:
+            seg = F.regexp_extract(
+                F.col("_metadata.file_path"),
+                f"/{_re.escape(c)}=([^/]+)/",
+                1,
+            )
+            val = F.when(seg == "", F.lit(None)).otherwise(F.url_decode(seg))
+            val = (
+                F.when(val == "__HIVE_DEFAULT_PARTITION__", F.lit(None))
+                .otherwise(val)
+                .cast(schema[c].dataType)
+            )
+            df = df.withColumn(c, F.coalesce(F.col(c), val))
+        df = df.select(*[f.name for f in schema.fields])
+    return df
 
 
 def delta_history(path: str) -> list[dict]:

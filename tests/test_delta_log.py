@@ -174,3 +174,134 @@ def test_export_refuses_unrepresentable_state(spark, tmp_path):
         export_delta_log(t)
     t.compact()
     assert export_delta_log(t) >= 0
+
+
+def test_reads_foreign_parquet_checkpoint_with_expired_json(spark, tmp_path):
+    """The long-lived real-Delta state: a delta-spark-authored table
+    whose early JSON commits EXPIRED, leaving only the classic parquet
+    checkpoint (struct-typed action columns, multi-part naming) plus
+    newer JSON commits. Our reader must start from the foreign
+    checkpoint, replay the remaining JSON, and derive the hive
+    partition columns the data files do not carry."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    root = str(tmp_path / "t")
+    log = os.path.join(root, "_delta_log")
+    os.makedirs(log)
+    # data files in hive layout, WITHOUT the partition column in the
+    # file (delta-spark never stores partition columns in data files)
+    for part, ks in [("a", [1, 2]), ("b", [3])]:
+        os.makedirs(os.path.join(root, f"p={part}"), exist_ok=True)
+        pq.write_table(
+            pa.table({"k": pa.array(ks, pa.int64()),
+                      "v": pa.array([k * 10 for k in ks], pa.int64())}),
+            os.path.join(root, f"p={part}", "part-000.snappy.parquet"),
+        )
+    schema_string = json.dumps({
+        "type": "struct",
+        "fields": [
+            {"name": "k", "type": "long", "nullable": True, "metadata": {}},
+            {"name": "v", "type": "long", "nullable": True, "metadata": {}},
+            {"name": "p", "type": "string", "nullable": True, "metadata": {}},
+        ],
+    })
+    meta_struct = {
+        "id": "11111111-2222-3333-4444-555555555555",
+        "name": None, "description": None,
+        "format": {"provider": "parquet", "options": {}},
+        "schemaString": schema_string,
+        "partitionColumns": ["p"],
+        "configuration": {},
+        "createdTime": 1700000000000,
+    }
+    # classic MULTI-PART checkpoint at version 10: struct-typed action
+    # columns, one action per row, nulls elsewhere (delta-spark shape)
+    add_type = pa.struct([
+        ("path", pa.string()),
+        ("partitionValues", pa.map_(pa.string(), pa.string())),
+        ("size", pa.int64()),
+        ("modificationTime", pa.int64()),
+        ("dataChange", pa.bool_()),
+    ])
+    meta_type = pa.struct([
+        ("id", pa.string()), ("name", pa.string()),
+        ("description", pa.string()),
+        ("format", pa.struct([("provider", pa.string()),
+                              ("options", pa.map_(pa.string(), pa.string()))])),
+        ("schemaString", pa.string()),
+        ("partitionColumns", pa.list_(pa.string())),
+        ("configuration", pa.map_(pa.string(), pa.string())),
+        ("createdTime", pa.int64()),
+    ])
+    proto_type = pa.struct([("minReaderVersion", pa.int32()),
+                            ("minWriterVersion", pa.int32())])
+
+    def cp_table(rows_add, row_meta, row_proto):
+        n = len(rows_add) + (1 if row_meta else 0) + (1 if row_proto else 0)
+        adds, metas, protos = [], [], []
+        if row_proto:
+            adds.append(None); metas.append(None)
+            protos.append({"minReaderVersion": 1, "minWriterVersion": 2})
+        if row_meta:
+            adds.append(None); metas.append(row_meta); protos.append(None)
+        for a in rows_add:
+            adds.append(a); metas.append(None); protos.append(None)
+        assert len(adds) == n
+        return pa.table({
+            "add": pa.array(adds, add_type),
+            "metaData": pa.array(metas, meta_type),
+            "protocol": pa.array(protos, proto_type),
+        })
+
+    def add_row(path):
+        part = path.split("=", 1)[1].split("/", 1)[0]
+        return {"path": path, "partitionValues": [("p", part)],
+                "size": 100, "modificationTime": 1700000000000,
+                "dataChange": True}
+
+    pq.write_table(
+        cp_table([add_row("p=a/part-000.snappy.parquet")], meta_struct,
+                 True),
+        os.path.join(log, "00000000000000000010.checkpoint."
+                          "0000000001.0000000002.parquet"),
+    )
+    pq.write_table(
+        cp_table([add_row("p=b/part-000.snappy.parquet")], None, None),
+        os.path.join(log, "00000000000000000010.checkpoint."
+                          "0000000002.0000000002.parquet"),
+    )
+    with open(os.path.join(log, "_last_checkpoint"), "w") as fh:
+        json.dump({"version": 10, "size": 5, "parts": 2}, fh)
+    # JSON commits 0..10 EXPIRED (absent); one newer commit adds a row
+    os.makedirs(os.path.join(root, "p=c"), exist_ok=True)
+    pq.write_table(
+        pa.table({"k": pa.array([4], pa.int64()),
+                  "v": pa.array([40], pa.int64())}),
+        os.path.join(root, "p=c", "part-000.snappy.parquet"),
+    )
+    with open(os.path.join(log, "00000000000000000011.json"), "w") as fh:
+        fh.write(json.dumps({"add": {
+            "path": "p=c/part-000.snappy.parquet",
+            "partitionValues": {"p": "c"}, "size": 100,
+            "modificationTime": 1700000001000, "dataChange": True,
+        }}) + "\n")
+
+    from hudi_and_delta_showcase_spark.tables.delta_log import (
+        delta_history,
+        read_delta_table,
+    )
+
+    got = sorted(
+        (r.k, r.v, r.p) for r in read_delta_table(spark, root).collect()
+    )
+    assert got == [(1, 10, "a"), (2, 20, "a"), (3, 30, "b"), (4, 40, "c")]
+    # time travel to the checkpoint version itself (no JSON there)
+    got10 = sorted(
+        (r.k, r.p)
+        for r in read_delta_table(spark, root, version=10).collect()
+    )
+    assert got10 == [(1, "a"), (2, "a"), (3, "b")]
+    # a pre-checkpoint version is genuinely unreadable: clear error
+    with pytest.raises(ValueError, match="not in log"):
+        read_delta_table(spark, root, version=3)
