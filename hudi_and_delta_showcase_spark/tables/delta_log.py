@@ -140,11 +140,14 @@ def write_checkpoint(spark: SparkSession, path: str) -> int:
     the live actions plus ``_last_checkpoint`` — replay then starts from
     the checkpoint instead of commit 0, making snapshot resolution
     O(commits-since-checkpoint) no matter how long the table has lived
-    (real Delta writes one every 10 commits). File naming and
-    ``_last_checkpoint`` follow the protocol; the checkpoint's INTERNAL
-    row schema is simplified (kind/json pairs rather than the typed
-    action struct columns), so the JSON commit log remains the
-    delta-spark-compatible surface."""
+    (real Delta writes one every 10 commits).
+
+    The checkpoint is written in the PROTOCOL dialect — one action per
+    row in struct-typed ``protocol`` / ``metaData`` / ``add`` columns —
+    because ``_last_checkpoint`` actively points every reader here: a
+    delta-spark reader follows it and must be able to parse what it
+    finds (r6; the old compact kind/json dialect remains readable for
+    tables checkpointed by earlier versions of this engine)."""
     import pyarrow as pa
     import pyarrow.parquet as pq
 
@@ -153,18 +156,72 @@ def write_checkpoint(spark: SparkSession, path: str) -> int:
         raise FileNotFoundError(f"no _delta_log commits under {path}")
     version = versions[-1]
     meta, files = _replay(path, version, use_checkpoint=False)
-    rows = [
-        {"kind": "protocol", "json": json.dumps(_PROTOCOL)},
-        {"kind": "metaData", "json": json.dumps(meta)},
-    ] + [
-        {"kind": "add", "json": json.dumps({"path": f, "dataChange": False})}
+    proto_type = pa.struct(
+        [("minReaderVersion", pa.int32()), ("minWriterVersion", pa.int32())]
+    )
+    meta_type = pa.struct(
+        [
+            ("id", pa.string()),
+            ("name", pa.string()),
+            ("description", pa.string()),
+            (
+                "format",
+                pa.struct(
+                    [
+                        ("provider", pa.string()),
+                        ("options", pa.map_(pa.string(), pa.string())),
+                    ]
+                ),
+            ),
+            ("schemaString", pa.string()),
+            ("partitionColumns", pa.list_(pa.string())),
+            ("configuration", pa.map_(pa.string(), pa.string())),
+            ("createdTime", pa.int64()),
+        ]
+    )
+    add_type = pa.struct(
+        [
+            ("path", pa.string()),
+            ("partitionValues", pa.map_(pa.string(), pa.string())),
+            ("size", pa.int64()),
+            ("modificationTime", pa.int64()),
+            ("dataChange", pa.bool_()),
+        ]
+    )
+    meta_row = {
+        "id": meta.get("id"),
+        "name": meta.get("name"),
+        "description": meta.get("description"),
+        "format": {
+            "provider": meta.get("format", {}).get("provider", "parquet"),
+            "options": list(
+                (meta.get("format", {}).get("options") or {}).items()
+            ),
+        },
+        "schemaString": meta.get("schemaString"),
+        "partitionColumns": meta.get("partitionColumns") or [],
+        "configuration": list((meta.get("configuration") or {}).items()),
+        "createdTime": meta.get("createdTime"),
+    }
+    n = 2 + len(files)
+    protos = [dict(_PROTOCOL)] + [None] * (n - 1)
+    metas = [None, meta_row] + [None] * len(files)
+    adds = [None, None] + [
+        {
+            "path": f,
+            "partitionValues": [],
+            "size": fsio.file_size(fsio.join(path, f)),
+            "modificationTime": int(time.time() * 1000),
+            "dataChange": False,
+        }
         for f in files
     ]
     cp = fsio.join(_log_dir(path), f"{version:020d}.checkpoint.parquet")
     tbl = pa.table(
         {
-            "kind": [r["kind"] for r in rows],
-            "json": [r["json"] for r in rows],
+            "protocol": pa.array(protos, proto_type),
+            "metaData": pa.array(metas, meta_type),
+            "add": pa.array(adds, add_type),
         }
     )
     if fsio.is_remote(cp):
@@ -177,7 +234,7 @@ def write_checkpoint(spark: SparkSession, path: str) -> int:
         pq.write_table(tbl, cp)
     fsio.write_atomic(
         fsio.join(_log_dir(path), "_last_checkpoint"),
-        json.dumps({"version": version, "size": len(rows)}),
+        json.dumps({"version": version, "size": n}),
     )
     return version
 
