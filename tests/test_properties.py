@@ -270,3 +270,43 @@ def test_exact_money_sum_survives_int64_overflow(spark):
     neg = df.select((-F.col("x")).alias("x"))
     got_neg = neg.agg(_exact_money(F.col("x"), 4).alias("s")).collect()[0]["s"]
     assert got_neg == -float(n * per_row) / 10**4
+
+
+@settings(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(st.data())
+def test_chunker_covers_and_reconstructs(spark, data):
+    """For ANY (n_tokens, window, stride <= window): every token index
+    is covered, chunk starts advance by exactly stride, only the final
+    chunk may be short, and the chunk count matches the closed-form
+    shared with the SQL oracle."""
+    from hudi_and_delta_showcase_spark.operators.text import (
+        chunk_overlapping,
+    )
+
+    n = data.draw(st.integers(1, 120))
+    window = data.draw(st.integers(1, 40))
+    stride = data.draw(st.integers(1, window))
+    df = spark.createDataFrame(
+        [(0, " ".join(f"t{i}" for i in range(n)))], "doc_id long, text string"
+    )
+    rows = sorted(
+        (r.chunk_idx, r.chunk.split(" "), r.n_tokens)
+        for r in chunk_overlapping(
+            df, "doc_id", "text", window=window, stride=stride
+        ).collect()
+    )
+    expect_chunks = 1 if n <= window else -(-(n - window) // stride) + 1
+    assert len(rows) == expect_chunks
+    covered = set()
+    for i, toks, nt in rows:
+        assert len(toks) == nt
+        start = i * stride
+        assert toks == [f"t{j}" for j in range(start, start + nt)]
+        if i < len(rows) - 1:
+            assert nt == window  # only the final chunk may be short
+        covered.update(range(start, start + nt))
+    assert covered == set(range(n))
