@@ -63,6 +63,10 @@ MERGE_ON_READ = "mor"
 #: Spark/Hive's directory token for a null partition value.
 HIVE_DEFAULT_PARTITION = "__HIVE_DEFAULT_PARTITION__"
 
+#: age beyond which a ``_meta.lock`` is judged a crashed DDL's wreckage
+#: and broken by the next waiter (a DDL holds it for milliseconds).
+META_LOCK_TAKEOVER_SECONDS = 30.0
+
 
 def _parse_partition_value(v: str, partition_type: str):
     """Hive dir value string -> a JSON-stable typed value for the
@@ -810,11 +814,27 @@ class LakehouseTable:
                 fsio.publish_exclusive(lock, uuid.uuid4().hex)
                 break
             except FileExistsError:
+                # stale-lock takeover: a DDL is a sub-second metadata
+                # write, so a lock older than the takeover window can
+                # only be a crashed holder's wreckage — break it
+                # (removal is idempotent if two waiters race to break)
+                try:
+                    mtime, _size = fsio.stat_identity(lock)
+                    age = time.time() - (
+                        mtime / 1000.0
+                        if fsio.is_remote(lock)
+                        else mtime / 1e9
+                    )
+                    if age > META_LOCK_TAKEOVER_SECONDS:
+                        fsio.remove(lock)
+                        continue
+                except (FileNotFoundError, OSError):
+                    continue  # holder released (or a waiter broke it)
                 if time.time() > deadline:
                     raise RuntimeError(
                         f"timed out acquiring {lock!r} — another DDL is "
-                        "in flight, or a crashed one left the lock; "
-                        "delete the file to recover"
+                        "in flight (crashed holders are broken "
+                        f"automatically after {META_LOCK_TAKEOVER_SECONDS}s)"
                     ) from None
                 time.sleep(0.05)
         try:

@@ -258,3 +258,23 @@ def test_enable_cdc_after_create(spark, tmp_path):
     assert types == ["update_postimage", "update_preimage"]
     with pytest.raises(ValueError, match="no change files"):
         t2.read_changes(0, 1)  # pre-enablement commits captured nothing
+
+
+def test_meta_lock_stale_takeover(spark, tmp_path, monkeypatch):
+    """A crashed DDL's leftover _meta.lock must not wedge future DDLs:
+    once past the takeover window the next waiter breaks it."""
+    import pyspark.sql.functions as F
+
+    import hudi_and_delta_showcase_spark.tables.lakehouse as lh
+    from hudi_and_delta_showcase_spark.tables import LakehouseTable, fsio
+
+    df = spark.range(5).select(
+        F.col("id").alias("k"), (F.col("id") * 10).alias("v")
+    )
+    path = str(tmp_path / "t")
+    t = LakehouseTable.create(spark, path, df, key_cols=["k"])
+    fsio.publish_exclusive(fsio.join(path, "_meta.lock"), "dead-holder")
+    monkeypatch.setattr(lh, "META_LOCK_TAKEOVER_SECONDS", 0.0)
+    t.add_constraint("pos", "v >= 0")          # breaks the stale lock
+    assert "pos" in LakehouseTable(spark, path).constraints
+    assert not fsio.exists(fsio.join(path, "_meta.lock"))
