@@ -356,3 +356,118 @@ def execute_delete(
         return {"deleted": 0, "commits": []}
     commit = table.delete(keys)
     return {"deleted": n, "commits": [commit.version]}
+
+
+# --------------------------------------------------------------------- #
+# Delta utility DDL as SQL strings (r6): the statements the reference's
+# Delta half would issue from a notebook (README.md:1230-1240 names
+# VACUUM/OPTIMIZE; the rest are the standard Delta utility surface)
+# resolved against the same name -> LakehouseTable registry MERGE uses.
+# --------------------------------------------------------------------- #
+
+_DDL_RES: list[tuple[str, re.Pattern]] = [
+    ("vacuum", re.compile(
+        r"^\s*VACUUM\s+(?P<t>\w+)"
+        r"(?:\s+RETAIN\s+(?P<n>\d+)\s+VERSIONS?)?"
+        r"(?:\s+(?P<dry>DRY\s+RUN))?\s*$",
+        re.IGNORECASE)),
+    ("optimize", re.compile(
+        r"^\s*OPTIMIZE\s+(?P<t>\w+)"
+        r"(?:\s+ZORDER\s+BY\s*\(\s*(?P<z>[\w\s,]+?)\s*\))?\s*$",
+        re.IGNORECASE)),
+    ("restore", re.compile(
+        r"^\s*RESTORE\s+TABLE\s+(?P<t>\w+)\s+TO\s+VERSION\s+AS\s+OF"
+        r"\s+(?P<v>\d+)\s*$",
+        re.IGNORECASE)),
+    ("history", re.compile(
+        r"^\s*DESCRIBE\s+HISTORY\s+(?P<t>\w+)\s*$", re.IGNORECASE)),
+    ("add_constraint", re.compile(
+        r"^\s*ALTER\s+TABLE\s+(?P<t>\w+)\s+ADD\s+CONSTRAINT\s+"
+        r"(?P<name>\w+)\s+CHECK\s*\(\s*(?P<pred>.+?)\s*\)\s*$",
+        re.IGNORECASE | re.DOTALL)),
+    ("drop_constraint", re.compile(
+        r"^\s*ALTER\s+TABLE\s+(?P<t>\w+)\s+DROP\s+CONSTRAINT\s+"
+        r"(?P<name>\w+)\s*$",
+        re.IGNORECASE)),
+    ("rename_column", re.compile(
+        r"^\s*ALTER\s+TABLE\s+(?P<t>\w+)\s+RENAME\s+COLUMN\s+"
+        r"(?P<a>\w+)\s+TO\s+(?P<b>\w+)\s*$",
+        re.IGNORECASE)),
+    ("drop_column", re.compile(
+        r"^\s*ALTER\s+TABLE\s+(?P<t>\w+)\s+DROP\s+COLUMN\s+(?P<a>\w+)\s*$",
+        re.IGNORECASE)),
+    ("clone", re.compile(
+        r"^\s*CREATE\s+TABLE\s+(?:delta\s*\.\s*)?`(?P<dest>[^`]+)`"
+        r"\s+SHALLOW\s+CLONE\s+(?P<t>\w+)\s*$",
+        re.IGNORECASE)),
+]
+
+
+def execute_ddl(
+    spark: SparkSession,
+    sql: str,
+    tables: dict[str, LakehouseTable],
+) -> dict:
+    """Run one Delta-style utility statement against the registry:
+
+    * ``VACUUM t [RETAIN n VERSIONS] [DRY RUN]``
+    * ``OPTIMIZE t [ZORDER BY (c1, c2)]``
+    * ``RESTORE TABLE t TO VERSION AS OF n``
+    * ``DESCRIBE HISTORY t``
+    * ``ALTER TABLE t ADD CONSTRAINT name CHECK (pred)`` / ``DROP
+      CONSTRAINT name`` / ``RENAME COLUMN a TO b`` / ``DROP COLUMN a``
+    * ``CREATE TABLE delta.`/dest/path` SHALLOW CLONE t``
+
+    Returns ``{"statement", ...result fields}``; unknown statements
+    raise ValueError (never silently no-op)."""
+    for kind, rx in _DDL_RES:
+        m = rx.match(sql)
+        if not m:
+            continue
+        name = m.group("t")
+        if name not in tables:
+            raise KeyError(f"unknown table in DDL: {name}")
+        t = tables[name]
+        if kind == "vacuum":
+            out = t.vacuum(
+                retain_versions=int(m.group("n") or 1),
+                dry_run=bool(m.group("dry")),
+            )
+            return {"statement": "vacuum", **out}
+        if kind == "optimize":
+            z = m.group("z")
+            commit = t.optimize(
+                zorder_by=[c.strip() for c in z.split(",")] if z else None
+            )
+            return {"statement": "optimize", "version": commit.version}
+        if kind == "restore":
+            commit = t.restore(int(m.group("v")))
+            return {"statement": "restore", "version": commit.version}
+        if kind == "history":
+            return {
+                "statement": "history",
+                "history": [
+                    {
+                        "version": c.version,
+                        "operation": c.action,
+                        "timestamp": c.commit_time,
+                    }
+                    for c in reversed(t.history())
+                ],
+            }
+        if kind == "add_constraint":
+            t.add_constraint(m.group("name"), m.group("pred"))
+            return {"statement": "add_constraint", "name": m.group("name")}
+        if kind == "drop_constraint":
+            t.drop_constraint(m.group("name"))
+            return {"statement": "drop_constraint", "name": m.group("name")}
+        if kind == "rename_column":
+            c = t.rename_column(m.group("a"), m.group("b"))
+            return {"statement": "rename_column", "version": c.version}
+        if kind == "drop_column":
+            c = t.drop_column(m.group("a"))
+            return {"statement": "drop_column", "version": c.version}
+        if kind == "clone":
+            clone = LakehouseTable.clone(spark, t.path, m.group("dest"))
+            return {"statement": "clone", "path": clone.path}
+    raise ValueError(f"unsupported DDL statement: {sql!r}")

@@ -233,3 +233,53 @@ def test_sql_update_quoted_literals(spark, tmp_path):
     )
     r = t.read().collect()[0]
     assert (r.name, r.value) == ("x,y(z", 11)
+
+
+def test_execute_ddl_statements(spark, tmp_path):
+    """r6: the Delta utility DDL surface as literal SQL strings — the
+    notebook statements a reference user would paste, resolved against
+    the same registry MERGE uses."""
+    import pyspark.sql.functions as F
+
+    from hudi_and_delta_showcase_spark.tables import LakehouseTable
+    from hudi_and_delta_showcase_spark.tables.merge_sql import execute_ddl
+
+    df = spark.range(40).select(
+        F.col("id").alias("k"), (F.col("id") * 10).alias("v"),
+        F.expr(
+            "cast('2024-01-01' as timestamp_ntz)"
+            " + make_interval(0,0,0,0,0,0,id)"
+        ).alias("ts"),
+    )
+    t = LakehouseTable.create(
+        spark, str(tmp_path / "t"), df, key_cols=["k"], precombine="ts"
+    )
+    tables = {"events_tbl": t}
+    run = lambda s: execute_ddl(spark, s, tables)  # noqa: E731
+
+    assert run("ALTER TABLE events_tbl ADD CONSTRAINT pos CHECK (v >= 0)")[
+        "name"
+    ] == "pos"
+    assert "pos" in LakehouseTable(spark, t.path).constraints
+    assert run("OPTIMIZE events_tbl")["statement"] == "optimize"
+    t.upsert(df.limit(3).withColumn("v", F.col("v") + 1))
+    hist = run("DESCRIBE HISTORY events_tbl")["history"]
+    assert hist[0]["operation"] == "upsert" and hist[-1]["version"] == 0
+    assert run("RESTORE TABLE events_tbl TO VERSION AS OF 0")["statement"] \
+        == "restore"
+    dry = run("VACUUM events_tbl RETAIN 2 VERSIONS DRY RUN")
+    assert dry["statement"] == "vacuum" and "would_remove_files" in dry
+    clone_path = str(tmp_path / "c")
+    assert run(
+        f"CREATE TABLE delta.`{clone_path}` SHALLOW CLONE events_tbl"
+    )["path"] == clone_path
+    assert LakehouseTable(spark, clone_path).read().count() == 40
+    assert run("ALTER TABLE events_tbl RENAME COLUMN v TO val")[
+        "statement"
+    ] == "rename_column"
+    assert "val" in LakehouseTable(spark, t.path).read().columns
+    assert run("ALTER TABLE events_tbl DROP CONSTRAINT pos")["name"] == "pos"
+    with pytest.raises(ValueError, match="unsupported DDL"):
+        run("TRUNCATE TABLE events_tbl")
+    with pytest.raises(KeyError):
+        run("OPTIMIZE nosuch")
