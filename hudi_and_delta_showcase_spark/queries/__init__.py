@@ -182,6 +182,16 @@ PRIORITY: tuple[str, ...] = (
     "q15_top_supplier",
     "q17_small_quantity_revenue",
     "q22_global_sales_opportunity",
+    # r6: the partsupp-dependent TPC-H shapes, re-aimed at lineitem facts
+    # (the fixture has no partsupp) — Q2 min-per-group equality join,
+    # Q9 5-way profit rollup, Q11 global-scalar HAVING, Q16 NOT IN +
+    # COUNT DISTINCT, Q20 dominance threshold, Q21 EXISTS/NOT-EXISTS
+    "q2_min_cost_supplier",
+    "q9_product_profit",
+    "q11_important_parts",
+    "q16_part_supplier_counts",
+    "q20_dominant_shippers",
+    "q21_waiting_suppliers",
     "text_lang_id",
     # r6: RAG chunking + length-bucketed batching stats
     "text_chunk_overlap",

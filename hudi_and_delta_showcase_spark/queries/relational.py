@@ -1981,3 +1981,394 @@ def join_dynamic_partition_pruning(spark: SparkSession, sf_dir: str) -> DataFram
     return out.withColumn(
         "dpp_in_plan", F.lit("dynamicpruning" in plan.lower())
     )
+
+
+# ---------------------------------------------------------------------------
+# r6: TPC-H Q2/Q9/Q11/Q16/Q20/Q21 shapes over the trimmed star schema.
+# The fixture has no partsupp table, so the partsupp-dependent queries are
+# re-aimed at observable lineitem facts (unit price, shipped quantity,
+# line value) while keeping each query's DISTINGUISHING operator shape:
+# Q2's per-group min equality join, Q9's 5-way join + year rollup, Q11's
+# global-scalar HAVING, Q16's NOT IN + COUNT DISTINCT, Q20's grouped
+# dominance threshold, Q21's EXISTS / NOT-EXISTS only-late-supplier chain.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q2_min_cost_supplier",
+    oracle="""
+    WITH costs AS (
+      SELECT l.l_partkey, l.l_suppkey,
+             l.l_extendedprice / l.l_quantity AS unit_cost
+      FROM lineitem l
+      JOIN part p ON p.p_partkey = l.l_partkey
+      WHERE p.p_size IN (10, 15, 20, 25)
+    ),
+    best AS (
+      SELECT l_partkey, MIN(unit_cost) AS min_cost
+      FROM costs GROUP BY l_partkey
+    )
+    SELECT DISTINCT s.s_acctbal, s.s_name, n.n_name, c.l_partkey AS p_partkey
+    FROM costs c
+    JOIN best b ON b.l_partkey = c.l_partkey AND c.unit_cost = b.min_cost
+    JOIN supplier s ON s.s_suppkey = c.l_suppkey
+    JOIN nation n ON n.n_nationkey = s.s_nationkey
+    ORDER BY s_acctbal DESC, n_name, s_name, p_partkey
+    LIMIT 100
+    """,
+    tags=("join", "agg", "subquery"),
+)
+def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2 shape (minimum-cost supplier per part): the correlated
+    MIN subquery becomes a per-part aggregate joined back on equality
+    with the aggregated minimum — the standard decorrelation, expressed
+    directly so Catalyst never sees a correlated plan. Unit cost is an
+    IEEE double division (identical expression tree in both engines,
+    bit-deterministic); MIN is order-independent, so no decimal detour
+    is needed. The part filter (1/300 of parts) broadcasts; the per-part
+    best-cost table is |matched parts| rows and broadcasts back against
+    the probe side, so the only shuffle is the MIN aggregation's own
+    exchange. (Filter is size-only: the tiny fixture SFs carry too few
+    parts for a conjunctive size x type cut to survive.) ORDER BY covers every output column -> total order is
+    deterministic under the LIMIT."""
+    li = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part").filter(
+        F.col("p_size").isin(10, 15, 20, 25)
+    )
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation")
+    costs = (
+        li.join(F.broadcast(p), p.p_partkey == li.l_partkey)
+        .select(
+            "l_partkey",
+            "l_suppkey",
+            (F.col("l_extendedprice") / F.col("l_quantity")).alias("unit_cost"),
+        )
+    )
+    best = costs.groupBy("l_partkey").agg(F.min("unit_cost").alias("min_cost"))
+    return (
+        costs.alias("c")
+        .join(
+            F.broadcast(best).alias("b"),
+            (F.col("c.l_partkey") == F.col("b.l_partkey"))
+            & (F.col("c.unit_cost") == F.col("b.min_cost")),
+        )
+        .join(F.broadcast(s), F.col("c.l_suppkey") == s.s_suppkey)
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .select(
+            "s_acctbal",
+            "s_name",
+            "n_name",
+            F.col("c.l_partkey").alias("p_partkey"),
+        )
+        .distinct()
+        .orderBy(F.col("s_acctbal").desc(), "n_name", "s_name", "p_partkey")
+        .limit(100)
+    )
+
+
+@query(
+    "q9_product_profit",
+    oracle="""
+    SELECT n.n_name AS nation,
+           CAST(YEAR(o.o_orderdate) AS BIGINT) AS o_year,
+           CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))
+                      * (1 - CAST(l.l_discount AS DECIMAL(18,2)))
+                    - CAST(p.p_retailprice AS DECIMAL(18,2))
+                      * CAST(l.l_quantity AS DECIMAL(18,2))
+                      * CAST(0.1 AS DECIMAL(2,1))) AS DOUBLE) AS sum_profit
+    FROM lineitem l
+    JOIN part p     ON p.p_partkey = l.l_partkey
+    JOIN supplier s ON s.s_suppkey = l.l_suppkey
+    JOIN orders o   ON o.o_orderkey = l.l_orderkey
+    JOIN nation n   ON n.n_nationkey = s.s_nationkey
+    WHERE p.p_name LIKE '%red%'
+    GROUP BY n.n_name, YEAR(o.o_orderdate)
+    ORDER BY nation, o_year DESC
+    """,
+    tags=("join", "agg"),
+)
+def q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9 shape (profit by supplier nation and order year): the
+    ps_supplycost term has no partsupp to come from, so cost is proxied
+    as 10% of retail price x quantity — preserving Q9's defining shape,
+    a 5-way join with a mixed-sign money expression rolled up by
+    nation x year. Exactness: revenue is cents x (100 - discount-cents)
+    x 10 (scale 5) and cost is retail-cents x quantity-cents (scale
+    2+2+1(0.1) = 5), so one bigint expression per row carries the exact
+    profit x 10^5; the oracle's DECIMAL subtraction lands on the same
+    scale-5 rational. Dimensions broadcast; the lineitem-orders join is
+    the only large shuffle and AQE owns its strategy."""
+    li = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part").filter(F.col("p_name").like("%red%"))
+    s = load_table(spark, sf_dir, "supplier")
+    o = load_table(spark, sf_dir, "orders")
+    n = load_table(spark, sf_dir, "nation")
+    profit5 = _cents("l_extendedprice") * (
+        F.lit(100) - _cents("l_discount")
+    ) * 10 - _cents("p_retailprice") * _cents("l_quantity")
+    return (
+        li.join(F.broadcast(p), p.p_partkey == li.l_partkey)
+        .join(F.broadcast(s), s.s_suppkey == li.l_suppkey)
+        .join(o, o.o_orderkey == li.l_orderkey)
+        .join(F.broadcast(n), n.n_nationkey == s.s_nationkey)
+        .groupBy(
+            F.col("n_name").alias("nation"),
+            F.year("o_orderdate").cast("bigint").alias("o_year"),
+        )
+        .agg(_exact_money(profit5, 5).alias("sum_profit"))
+        .orderBy("nation", F.col("o_year").desc())
+    )
+
+
+@query(
+    "q11_important_parts",
+    oracle="""
+    WITH filtered AS (
+      SELECT l.l_partkey, CAST(l.l_extendedprice AS DECIMAL(18,2)) AS val
+      FROM lineitem l
+      JOIN supplier s ON s.s_suppkey = l.l_suppkey
+      JOIN nation n ON n.n_nationkey = s.s_nationkey
+      WHERE n.n_name = 'NATION_3'
+    )
+    SELECT l_partkey AS p_key,
+           CAST(SUM(val) AS DOUBLE) AS part_value
+    FROM filtered
+    GROUP BY l_partkey
+    HAVING SUM(val) * (SELECT COUNT(DISTINCT l_partkey) FROM filtered)
+           > 2 * (SELECT SUM(val) FROM filtered)
+    ORDER BY part_value DESC, p_key
+    """,
+    tags=("join", "agg", "subquery"),
+)
+def q11_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11 shape (important stock: per-group value measured
+    against a GLOBAL scalar aggregate in HAVING): parts whose traded
+    value from one nation's suppliers exceeds 2x the average part's.
+    The relative (2x-average) threshold keeps the qualifying tail
+    scale-free — a fixed fraction like TPC-H's 0.0001/SF would select
+    everything at small SF and nothing at large.
+
+    The global scalar is ONE row derived from the same per-part
+    aggregate (sum of sums + count of groups — no second scan of
+    lineitem) and joins back as a broadcast-able literal cross join.
+    Exactness: per-part sums accumulate cents in DECIMAL(38,0) (exact,
+    unwrappable) and the threshold compare multiplies integers —
+    sum x n_parts > 2 x total — the same integer inequality the
+    oracle's decimal arithmetic evaluates."""
+    li = load_table(spark, sf_dir, "lineitem")
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation").filter(F.col("n_name") == "NATION_3")
+    filtered = (
+        li.join(F.broadcast(s), s.s_suppkey == li.l_suppkey)
+        .join(F.broadcast(n), n.n_nationkey == s.s_nationkey)
+        .select("l_partkey", _cents("l_extendedprice").alias("val_cents"))
+    )
+    per_part = filtered.groupBy("l_partkey").agg(
+        F.sum(F.col("val_cents").cast("decimal(38,0)")).alias("cents_sum")
+    )
+    totals = per_part.agg(
+        F.sum("cents_sum").alias("total_cents"),
+        F.count(F.lit(1)).cast("decimal(38,0)").alias("n_parts"),
+    )
+    return (
+        per_part.crossJoin(F.broadcast(totals))
+        .filter(
+            F.col("cents_sum") * F.col("n_parts")
+            > F.lit(2).cast("decimal(38,0)") * F.col("total_cents")
+        )
+        .select(
+            F.col("l_partkey").alias("p_key"),
+            (F.col("cents_sum") / 100).cast("double").alias("part_value"),
+        )
+        .orderBy(F.col("part_value").desc(), "p_key")
+    )
+
+
+@query(
+    "q16_part_supplier_counts",
+    oracle="""
+    SELECT p.p_brand, p.p_type, p.p_size,
+           COUNT(DISTINCT l.l_suppkey) AS supplier_cnt
+    FROM lineitem l
+    JOIN part p ON p.p_partkey = l.l_partkey
+    WHERE p.p_brand <> 'Brand#1'
+      AND p.p_size IN (1, 5, 10, 15, 20, 25, 30, 35)
+      AND l.l_suppkey NOT IN (
+        SELECT s_suppkey FROM supplier WHERE s_acctbal < 0
+      )
+    GROUP BY p.p_brand, p.p_type, p.p_size
+    ORDER BY supplier_cnt DESC, p_brand, p_type, p_size
+    """,
+    tags=("join", "agg", "anti"),
+)
+def q16_part_supplier_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16 shape (supplier diversity per part group, excluding
+    complained-about suppliers): the NOT IN subquery is a LEFT ANTI
+    join — legal because s_suppkey is non-null, so NOT IN's
+    three-valued-logic trap never fires. The exclusion set (suppliers
+    in arrears) broadcasts; COUNT(DISTINCT) runs as Spark's two-phase
+    distinct-aggregate (partial distinct per map task, exact merge) —
+    no driver-side set. ORDER BY appends all group keys after the
+    count, so the sort is total and LIMIT-free."""
+    li = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part").filter(
+        (F.col("p_brand") != "Brand#1")
+        & F.col("p_size").isin(1, 5, 10, 15, 20, 25, 30, 35)
+    )
+    bad = load_table(spark, sf_dir, "supplier").filter(
+        F.col("s_acctbal") < 0
+    ).select("s_suppkey")
+    return (
+        li.join(F.broadcast(bad), li.l_suppkey == bad.s_suppkey, "left_anti")
+        .join(F.broadcast(p), p.p_partkey == F.col("l_partkey"))
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+        .orderBy(F.col("supplier_cnt").desc(), "p_brand", "p_type", "p_size")
+    )
+
+
+@query(
+    "q20_dominant_shippers",
+    oracle="""
+    WITH promo_1996 AS (
+      SELECT l.l_partkey, l.l_suppkey,
+             CAST(l.l_quantity AS DECIMAL(18,2)) AS qty
+      FROM lineitem l
+      JOIN part p ON p.p_partkey = l.l_partkey
+      WHERE p.p_type = 'PROMO'
+        AND l.l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+        AND l.l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'
+    ),
+    per_supp AS (
+      SELECT l_partkey, l_suppkey, SUM(qty) AS supp_qty
+      FROM promo_1996 GROUP BY l_partkey, l_suppkey
+    ),
+    per_part AS (
+      SELECT l_partkey, SUM(qty) AS part_qty FROM promo_1996 GROUP BY l_partkey
+    )
+    SELECT DISTINCT s.s_name, n.n_name
+    FROM per_supp ps
+    JOIN per_part pp ON pp.l_partkey = ps.l_partkey
+    JOIN supplier s ON s.s_suppkey = ps.l_suppkey
+    JOIN nation n ON n.n_nationkey = s.s_nationkey
+    WHERE ps.supp_qty * 2 > pp.part_qty
+    ORDER BY s_name, n_name
+    """,
+    tags=("join", "agg", "window", "subquery"),
+)
+def q20_dominant_shippers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20 shape (suppliers holding a dominant share: per-group
+    quantity measured against its parent group's total): suppliers who
+    shipped MORE THAN HALF of some promo part's 1996 volume. The
+    availqty > 0.5 x shipped threshold becomes supp_qty x 2 > part_qty.
+
+    The per-part total is a window SUM over the (part, supplier)
+    aggregate — the part-level re-aggregation rides the same data the
+    first groupBy produced instead of re-scanning lineitem and joining
+    (the oracle spells the join formulation; values are identical).
+    Quantities sum as integer cents, so the dominance compare is exact
+    integer arithmetic in both engines."""
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp_ntz"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01 00:00:00").cast("timestamp_ntz"))
+    )
+    p = load_table(spark, sf_dir, "part").filter(F.col("p_type") == "PROMO")
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation")
+    per_supp = (
+        li.join(F.broadcast(p), p.p_partkey == li.l_partkey)
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(F.sum(_cents("l_quantity")).alias("supp_qty_cents"))
+    )
+    w = Window.partitionBy("l_partkey")
+    return (
+        per_supp.withColumn("part_qty_cents", F.sum("supp_qty_cents").over(w))
+        .filter(F.col("supp_qty_cents") * 2 > F.col("part_qty_cents"))
+        .join(F.broadcast(s), s.s_suppkey == F.col("l_suppkey"))
+        .join(F.broadcast(n), n.n_nationkey == s.s_nationkey)
+        .select("s_name", "n_name")
+        .distinct()
+        .orderBy("s_name", "n_name")
+    )
+
+
+@query(
+    "q21_waiting_suppliers",
+    oracle="""
+    SELECT s.s_name, COUNT(*) AS numwait
+    FROM supplier s
+    JOIN lineitem l1 ON l1.l_suppkey = s.s_suppkey
+    JOIN orders o ON o.o_orderkey = l1.l_orderkey
+    WHERE o.o_orderstatus = 'F'
+      AND l1.l_shipdate > o.o_orderdate + INTERVAL 90 DAY
+      AND EXISTS (
+        SELECT 1 FROM lineitem l2
+        WHERE l2.l_orderkey = l1.l_orderkey
+          AND l2.l_suppkey <> l1.l_suppkey
+      )
+      AND NOT EXISTS (
+        SELECT 1 FROM lineitem l3
+        WHERE l3.l_orderkey = l1.l_orderkey
+          AND l3.l_suppkey <> l1.l_suppkey
+          AND l3.l_shipdate > o.o_orderdate + INTERVAL 90 DAY
+      )
+    GROUP BY s.s_name
+    ORDER BY numwait DESC, s_name
+    LIMIT 100
+    """,
+    tags=("join", "agg", "semi", "anti", "subquery"),
+)
+def q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 shape (suppliers who kept orders waiting): late line
+    items (shipped >90 days after order date — the fixture carries no
+    commit/receipt dates, so lateness is measured against the order
+    date) on multi-supplier finalized orders where this supplier was
+    the ONLY late one. (TPC-H's nation cut is dropped: the smallest
+    fixture SF has 10 suppliers across 25 nations, so any single-nation
+    filter empties the result.)
+
+    Rather than compile the EXISTS / NOT-EXISTS pair into two more
+    joins against lineitem (three probes of the big table), both are
+    folded into ONE per-order aggregate over the already-joined rows:
+    n_supps > 1 <=> EXISTS(other supplier), n_late_supps = 1 <=>
+    NOT EXISTS(other late supplier) for a supplier that is itself late.
+    The per-(order, supplier) late count then contributes exactly the
+    rows the correlated formulation would count. lineitem is scanned
+    once; the order-level aggregate joins back keyed on l_orderkey
+    (same shuffle key as the group-by that produced it, so Spark
+    reuses the exchange); the supplier/nation dims broadcast.
+    COUNT(*) over l1 = SUM of per-pair late counts."""
+    orders_f = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderstatus") == "F")
+        .select("o_orderkey", "o_orderdate")
+    )
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_shipdate"
+    )
+    s = load_table(spark, sf_dir, "supplier")
+    tagged = li.join(orders_f, li.l_orderkey == orders_f.o_orderkey).withColumn(
+        "late",
+        F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 90 DAYS"),
+    )
+    order_stats = tagged.groupBy("l_orderkey").agg(
+        F.countDistinct("l_suppkey").alias("n_supps"),
+        F.countDistinct(F.when(F.col("late"), F.col("l_suppkey"))).alias(
+            "n_late_supps"
+        ),
+    )
+    pair_late = (
+        tagged.groupBy("l_orderkey", "l_suppkey")
+        .agg(F.sum(F.when(F.col("late"), 1).otherwise(0)).alias("late_cnt"))
+        .filter(F.col("late_cnt") > 0)
+    )
+    return (
+        pair_late.join(order_stats, "l_orderkey")
+        .filter((F.col("n_supps") > 1) & (F.col("n_late_supps") == 1))
+        .join(F.broadcast(s), s.s_suppkey == F.col("l_suppkey"))
+        .groupBy("s_name")
+        .agg(F.sum("late_cnt").alias("numwait"))
+        .orderBy(F.col("numwait").desc(), "s_name")
+        .limit(100)
+    )
