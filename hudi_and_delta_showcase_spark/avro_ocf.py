@@ -268,14 +268,20 @@ def ocf_decode(blob: bytes) -> tuple[dict, list[Any]]:
 
 def ocf_encode(
     schema: dict, records: list[Any], codec: str = "deflate",
-    sync: bytes = b"\x00" * 16,
+    sync: bytes = b"\x00" * 16, extra_meta: dict[str, bytes] | None = None,
 ) -> bytes:
-    """Encode records into one OCF blob (single block)."""
+    """Encode records into one OCF blob (single block).
+
+    ``extra_meta`` adds application metadata entries to the file header
+    (Avro spec reserves only the ``avro.`` prefix) — Iceberg manifests
+    carry their table schema / partition spec / format version there.
+    """
     out = io.BytesIO()
     out.write(MAGIC)
     meta = {
         "avro.schema": json.dumps(schema).encode("utf-8"),
         "avro.codec": codec.encode("utf-8"),
+        **(extra_meta or {}),
     }
     _write_long(out, len(meta))
     for k, v in meta.items():

@@ -49,6 +49,8 @@ PRIORITY: tuple[str, ...] = (
     # promoted in r4 so the protocol flagships earn driver rows
     "delta_log_roundtrip",
     "hoodie_timeline_roundtrip",
+    # r6: third protocol — real Iceberg v1 metadata tree (UniForm/XTable)
+    "iceberg_metadata_roundtrip",
     # r4: liquid-style incremental clustering
     "cdc_liquid_clustering",
     # -- relational core (J1, A1/A2, TPC-H shapes) ------------------------
@@ -88,7 +90,6 @@ PRIORITY: tuple[str, ...] = (
     # -- similarity / ANN -------------------------------------------------
     "similarity_topk_bruteforce",
     "similarity_lsh_containment",
-    "similarity_ivf_containment",
     # -- text analysis (quality scoring also runs inside
     # pipeline_corpus_curation's driver row) ------------------------------
     "text_tfidf_top_terms",
@@ -110,6 +111,10 @@ PRIORITY: tuple[str, ...] = (
     # flagships above, then sketch_percentile_gate for the deletion-vector
     # row — all stay registered and FULL_LOCAL-checked)
     "sketch_percentile_gate",
+    # r6 demoted for the Iceberg-protocol driver row (ANN keeps two
+    # top-50 representatives: bruteforce + LSH containment; IVF and PQ
+    # stay FULL_LOCAL-checked)
+    "similarity_ivf_containment",
     # r6 demoted for the watermark-tail driver row (multimodal keeps
     # one top-50 representative, multimodal_dedup_decode)
     "multimodal_frame_sample",

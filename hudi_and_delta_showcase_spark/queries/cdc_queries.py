@@ -672,6 +672,51 @@ def hoodie_timeline_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "iceberg_metadata_roundtrip",
+    oracle=f"""
+    SELECT event_id, user_id, ts, event_type, value,
+           (SELECT COUNT(*) FROM events WHERE ts < TIMESTAMP '{CUTOFF}')
+             AS v0_rows
+    FROM events
+    """,
+    tags=("cdc", "iceberg", "source"),
+)
+def iceberg_metadata_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The REAL Iceberg v1 on-disk metadata tree (no iceberg jar),
+    completing tri-format interop next to ``delta_log_roundtrip`` and
+    ``hoodie_timeline_roundtrip``: commit the pre-cutoff events as a
+    lakehouse table, upsert the post-cutoff slice, export BOTH commits
+    as Iceberg snapshots (metadata.json + manifest-list/manifest Avro,
+    written by the repo's own OCF codec with Iceberg field-ids), then
+    read the current snapshot back through the Iceberg metadata path —
+    version-hint -> metadata.json -> manifest-list -> manifests -> one
+    parquet scan. ``v0_rows`` time-travels to the FIRST snapshot-id, so
+    the snapshot timeline is value-verified too (UniForm/XTable-style
+    export, reference lakehouse deployment at README.md:264,1176)."""
+    from hudi_and_delta_showcase_spark.tables.iceberg_meta import (
+        export_iceberg_metadata,
+        iceberg_snapshots,
+        read_iceberg_table,
+    )
+
+    base, incr = _split(spark, sf_dir)
+    path = tempfile.mkdtemp(prefix="iceberg_rt_") + "/events_ice"
+    t = LakehouseTable.create(
+        spark, path, base,
+        key_cols=["event_id"], precombine="ts", table_type="cow",
+    )
+    t.upsert(incr)
+    export_iceberg_metadata(t)
+    first = iceberg_snapshots(path)[0]["snapshot-id"]
+    v0_rows = read_iceberg_table(spark, path, snapshot_id=first).count()
+    return (
+        read_iceberg_table(spark, path)
+        .select(*_FINAL_COLS)
+        .withColumn("v0_rows", F.lit(v0_rows).cast("long"))
+    )
+
+
+@query(
     "cdc_medallion_sync",
     oracle=_LATEST_ALL_SQL,
     tags=("cdc", "table", "incremental"),

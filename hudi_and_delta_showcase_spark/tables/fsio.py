@@ -219,6 +219,22 @@ def read_text(path: str) -> str:
     return bytes(data).decode("utf-8")
 
 
+def read_bytes(path: str) -> bytes:
+    """``read_text`` for binary metadata files (Avro manifests)."""
+    if not is_remote(path):
+        with open(path, "rb") as fh:
+            return fh.read()
+    fs, jvm, p = _jfs(path)
+    if not fs.exists(p):
+        raise FileNotFoundError(path)
+    stream = fs.open(p)
+    try:
+        data = jvm.org.apache.commons.io.IOUtils.toByteArray(stream)
+    finally:
+        stream.close()
+    return bytes(data)
+
+
 def _hwrite(fs, p, data: bytes, overwrite: bool) -> None:
     out = fs.create(p, overwrite)
     try:
@@ -257,11 +273,15 @@ def _fcontext_rename(path: str, tmp_uri: str, overwrite: bool) -> None:
 def write_atomic(path: str, text: str) -> None:
     """Overwrite-style metadata write: readers see old or new bytes,
     never a torn file (see module docstring for per-backend nuance)."""
-    data = text.encode("utf-8")
+    write_bytes_atomic(path, text.encode("utf-8"))
+
+
+def write_bytes_atomic(path: str, data: bytes) -> None:
+    """``write_atomic`` for binary metadata files (Avro manifests)."""
     if not is_remote(path):
         tmp = f"{path}.{uuid.uuid4().hex[:8]}.tmp"
-        with open(tmp, "w") as fh:
-            fh.write(text)
+        with open(tmp, "wb") as fh:
+            fh.write(data)
         os.replace(tmp, path)
         return
     fs, jvm, p = _jfs(path)

@@ -1,0 +1,298 @@
+"""Iceberg v1 metadata export / read-back (tables/iceberg_meta.py).
+
+Same three-gate strategy as the Delta/Hudi protocol tests:
+value-verified round trips (snapshot + time travel), a structure-pinned
+golden of the emitted metadata tree (volatile fields normalized), and a
+conditional read-back through the real engine (pyiceberg) that skips
+where the package is absent.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+
+import pytest
+
+from hudi_and_delta_showcase_spark.avro_ocf import ocf_decode
+from hudi_and_delta_showcase_spark.tables import LakehouseTable
+from hudi_and_delta_showcase_spark.tables.iceberg_meta import (
+    export_iceberg_metadata,
+    iceberg_snapshots,
+    read_iceberg_metadata,
+    read_iceberg_table,
+)
+
+GOLDEN_DIR = os.path.join(os.path.dirname(__file__), "golden")
+
+
+def _fixture_table(spark, path):
+    df = spark.createDataFrame(
+        [(1, "a", 1), (2, "b", 1)], "k int, v string, sq int"
+    ).coalesce(1)
+    t = LakehouseTable.create(spark, path, df, key_cols=["k"], precombine="sq")
+    t.upsert(
+        spark.createDataFrame([(2, "b2", 2)], "k int, v string, sq int")
+        .coalesce(1)
+    )
+    return t
+
+
+def _rows(df):
+    return sorted((r.k, r.v) for r in df.select("k", "v").collect())
+
+
+# --------------------------------------------------------------------- #
+# value round trips
+# --------------------------------------------------------------------- #
+
+
+def test_snapshot_roundtrip_and_time_travel(spark, tmp_path):
+    t = _fixture_table(spark, str(tmp_path / "t"))
+    assert export_iceberg_metadata(t) == 2
+    assert _rows(read_iceberg_table(spark, t.path)) == [(1, "a"), (2, "b2")]
+    snaps = iceberg_snapshots(t.path)
+    assert len(snaps) == 2
+    assert _rows(
+        read_iceberg_table(spark, t.path, snapshot_id=snaps[0]["snapshot-id"])
+    ) == [(1, "a"), (2, "b")]
+    # parent link + operation classification
+    assert snaps[1]["parent-snapshot-id"] == snaps[0]["snapshot-id"]
+    assert snaps[0]["summary"]["operation"] == "append"
+    assert snaps[1]["summary"]["operation"] == "overwrite"  # CoW rewrite
+    assert snaps[1]["summary"]["total-records"] == "2"
+
+
+def test_incremental_idempotent_export(spark, tmp_path):
+    t = _fixture_table(spark, str(tmp_path / "t"))
+    assert export_iceberg_metadata(t) == 2
+    tree = sorted(os.listdir(os.path.join(t.path, "metadata")))
+    # second call: nothing new to export, no files touched
+    assert export_iceberg_metadata(t) == 2
+    assert sorted(os.listdir(os.path.join(t.path, "metadata"))) == tree
+    # a third commit exports exactly one more snapshot
+    t.upsert(
+        spark.createDataFrame([(3, "c", 3)], "k int, v string, sq int")
+        .coalesce(1)
+    )
+    assert export_iceberg_metadata(t) == 3
+    assert len(iceberg_snapshots(t.path)) == 3
+    assert _rows(read_iceberg_table(spark, t.path)) == [
+        (1, "a"), (2, "b2"), (3, "c"),
+    ]
+
+
+def test_existing_entries_carry_stable_counts(spark, tmp_path):
+    """Files carried over between snapshots are EXISTING entries that
+    keep the record counts and adding snapshot-id from the first
+    export — no re-scan of old files on incremental export."""
+    df = spark.createDataFrame(
+        [(1, "p0", "a", 1)], "k int, p string, v string, sq int"
+    )
+    t = LakehouseTable.create(
+        spark, str(tmp_path / "t"), df,
+        key_cols=["k"], precombine="sq", partition_by="p",
+    )
+    export_iceberg_metadata(t)
+    # second commit lands in a DIFFERENT partition: the CoW rewrite is
+    # partition-scoped, so p0's file carries over as EXISTING
+    t.upsert(
+        spark.createDataFrame(
+            [(9, "p1", "z", 1)], "k int, p string, v string, sq int"
+        )
+    )
+    export_iceberg_metadata(t)
+    meta = read_iceberg_metadata(t.path)
+    snap = meta["snapshots"][-1]
+    _, manifests = ocf_decode(
+        open(snap["manifest-list"], "rb").read()
+    )
+    assert manifests[0]["existing_data_files_count"] == 1
+    assert manifests[0]["added_data_files_count"] == 1
+    _, entries = ocf_decode(open(manifests[0]["manifest_path"], "rb").read())
+    by_status = {e["data_file"]["file_path"]: e for e in entries}
+    sids = {e["snapshot_id"] for e in entries}
+    # at least one entry was added by the FIRST snapshot (carried over)
+    assert meta["snapshots"][0]["snapshot-id"] in sids
+    assert all(e["data_file"]["record_count"] >= 1 for e in by_status.values())
+
+
+def test_refuses_uncompacted_mor(spark, tmp_path):
+    df = spark.createDataFrame([(1, "a", 1)], "k int, v string, sq int")
+    t = LakehouseTable.create(
+        spark, str(tmp_path / "mor"), df,
+        key_cols=["k"], precombine="sq", table_type="mor",
+    )
+    t.upsert(spark.createDataFrame([(1, "a2", 2)], "k int, v string, sq int"))
+    with pytest.raises(RuntimeError, match="compact"):
+        export_iceberg_metadata(t)
+    t.compact()
+    assert export_iceberg_metadata(t) >= 1
+
+
+# --------------------------------------------------------------------- #
+# spec conformance
+# --------------------------------------------------------------------- #
+
+
+def test_metadata_json_spec_fields(spark, tmp_path):
+    t = _fixture_table(spark, str(tmp_path / "t"))
+    export_iceberg_metadata(t)
+    meta = read_iceberg_metadata(t.path)
+    for key in (
+        "format-version", "table-uuid", "location", "last-updated-ms",
+        "last-column-id", "schema", "schemas", "current-schema-id",
+        "partition-spec", "partition-specs", "default-spec-id",
+        "sort-orders", "default-sort-order-id", "properties",
+        "current-snapshot-id", "snapshots", "snapshot-log",
+    ):
+        assert key in meta, key
+    assert meta["format-version"] == 1
+    # every schema field carries an id; ids are unique and dense
+    ids = [f["id"] for f in meta["schema"]["fields"]]
+    assert ids == sorted(set(ids))
+    assert meta["last-column-id"] >= max(ids)
+    # version-hint points at the latest metadata file
+    hint = open(os.path.join(t.path, "metadata", "version-hint.text")).read()
+    assert os.path.exists(
+        os.path.join(t.path, "metadata", f"v{int(hint)}.metadata.json")
+    )
+
+
+def test_manifest_avro_headers_and_field_ids(spark, tmp_path):
+    t = _fixture_table(spark, str(tmp_path / "t"))
+    export_iceberg_metadata(t)
+    snap = iceberg_snapshots(t.path)[-1]
+    schema_ml, manifests = ocf_decode(open(snap["manifest-list"], "rb").read())
+    assert all("field-id" in f for f in schema_ml["fields"])
+    raw = open(manifests[0]["manifest_path"], "rb").read()
+    assert manifests[0]["manifest_length"] == len(raw)
+    schema_m, entries = ocf_decode(raw)
+    assert all("field-id" in f for f in schema_m["fields"])
+    # header metadata: decode manually to check the iceberg keys
+    from hudi_and_delta_showcase_spark.avro_ocf import MAGIC, _Reader
+
+    r = _Reader(raw)
+    assert r.read(4) == MAGIC
+    hdr = {}
+    while True:
+        n = r.read_long()
+        if n == 0:
+            break
+        for _ in range(abs(n)):
+            k = r.read_bytes().decode()
+            hdr[k] = r.read_bytes()
+    for key in ("schema", "partition-spec", "partition-spec-id",
+                "format-version", "content"):
+        assert key in hdr, key
+    assert hdr["format-version"] == b"1"
+    json.loads(hdr["schema"])  # a valid Iceberg schema document
+    # data_file invariants
+    for e in entries:
+        df_rec = e["data_file"]
+        assert df_rec["file_format"] == "PARQUET"
+        assert df_rec["record_count"] >= 1
+        assert df_rec["file_size_in_bytes"] > 0
+
+
+# --------------------------------------------------------------------- #
+# structure golden
+# --------------------------------------------------------------------- #
+
+_UUID_RE = re.compile(
+    r"[0-9a-f]{8}-[0-9a-f]{4}-[0-9a-f]{4}-[0-9a-f]{4}-[0-9a-f]{12}"
+)
+_INSTANT_RE = re.compile(r"\b20\d{15}\b")
+_PART_RE = re.compile(r"part-[0-9a-zA-Z\-]+(?:\.snappy)?\.parquet")
+_COMMIT_DIR_RE = re.compile(r"(c\d{5})-[0-9a-f]+")
+
+
+def _normalize(obj, root=""):
+    if isinstance(obj, dict):
+        out = {}
+        for k, v in sorted(obj.items()):
+            if k in ("last-updated-ms", "timestamp-ms", "manifest_length",
+                     "file_size_in_bytes"):
+                out[k] = "<num>" if isinstance(v, int) else v
+            else:
+                out[k] = _normalize(v, root)
+        return out
+    if isinstance(obj, list):
+        return [_normalize(v, root) for v in obj]
+    if isinstance(obj, str):
+        s = obj.replace(root, "<root>") if root else obj
+        s = _PART_RE.sub("<part>", s)
+        s = _COMMIT_DIR_RE.sub(r"\1-<hex>", s)
+        s = _UUID_RE.sub("<uuid>", s)
+        s = _INSTANT_RE.sub("<instant>", s)
+        return s
+    if isinstance(obj, int) and obj > 10**16:  # snapshot ids (instants)
+        return "<instant>"
+    return obj
+
+
+def _pin(name: str, got) -> None:
+    path = os.path.join(GOLDEN_DIR, name)
+    if not os.path.exists(path):  # pragma: no cover - fixture generation
+        with open(path, "w") as fh:
+            json.dump(got, fh, indent=1, sort_keys=True)
+        pytest.skip(f"golden {name} written; rerun to enforce")
+    want = json.load(open(path))
+    assert got == want, (
+        f"exported protocol structure drifted from {name} — if the "
+        "change is INTENTIONAL, delete the golden and rerun to re-pin"
+    )
+
+
+def test_iceberg_export_structure_pinned(spark, tmp_path):
+    t = _fixture_table(spark, str(tmp_path / "t"))
+    export_iceberg_metadata(t)
+    root = os.path.abspath(t.path)
+    meta_dir = os.path.join(t.path, "metadata")
+    # normalized names collide (both manifests become <uuid>-m0.avro), so
+    # each name maps to the LIST of its files' normalized contents, sorted
+    # canonically — deterministic across runs regardless of uuid order
+    tree: dict[str, list] = {}
+    for fn in sorted(os.listdir(meta_dir)):
+        key = _normalize(fn, root)
+        full = os.path.join(meta_dir, fn)
+        if fn.endswith(".metadata.json"):
+            content = _normalize(json.load(open(full)), root)
+        elif fn.endswith(".avro"):
+            schema, records = ocf_decode(open(full, "rb").read())
+            content = {
+                "schema": _normalize(schema, root),
+                "records": _normalize(records, root),
+            }
+        else:
+            content = _normalize(open(full).read(), root)
+        tree.setdefault(key, []).append(content)
+    for key in tree:
+        tree[key].sort(key=lambda c: json.dumps(c, sort_keys=True))
+    _pin("iceberg_export_golden.json", tree)
+
+
+# --------------------------------------------------------------------- #
+# real-engine read-back (runs only where pyiceberg exists)
+# --------------------------------------------------------------------- #
+
+
+def test_pyiceberg_reads_export(spark, tmp_path):
+    """If the real pyiceberg package is present, its StaticTable must
+    load our metadata.json and scan the current snapshot (mirror of the
+    delta-spark/hudi-jar read-backs; the golden above is the
+    package-less gate)."""
+    pytest.importorskip("pyiceberg")
+    from pyiceberg.table import StaticTable
+
+    t = _fixture_table(spark, str(tmp_path / "t"))
+    n = export_iceberg_metadata(t)
+    st = StaticTable.from_metadata(
+        os.path.join(t.path, "metadata", f"v{n}.metadata.json")
+    )
+    got = sorted(
+        (r["k"], r["v"])
+        for r in st.scan().to_arrow().select(["k", "v"]).to_pylist()
+    )
+    assert got == [(1, "a"), (2, "b2")]
