@@ -34,13 +34,15 @@ driver-side footer loop). Reads resolve version-hint -> metadata.json ->
 manifest-list -> manifests entirely through ``fsio`` (object-store
 capable) and hand the resulting file list to one parquet scan.
 
+Partitioned tables export a real IDENTITY partition spec: this engine
+keeps partition columns IN the data files (hive ``__pp=`` dirs are an
+extra pruning layer), exactly what Iceberg's identity transform
+expects, and each manifest entry carries the file's typed partition
+value — a foreign reader prunes manifest entries on it. Adopted
+foreign layouts whose partition column exists only in paths export
+unpartitioned (see ``_partition_spec``).
+
 Deliberate v1 simplifications, documented not hidden:
-- Partitioned tables export with an UNPARTITIONED spec: this engine
-  keeps partition columns IN the data files (hive ``__pp=`` dirs are an
-  extra pruning layer), which Iceberg's identity transform also expects,
-  but manifest-level partition summaries are not synthesized — a foreign
-  reader gets correct results without partition pruning (same contract
-  as ``export_delta_log``).
 - One schema per metadata version (the table's CURRENT read schema):
   time travel across schema-evolution boundaries through the Iceberg
   view sees the current schema, like Delta UniForm before Iceberg
@@ -182,32 +184,61 @@ MANIFEST_LIST_SCHEMA = {
     ],
 }
 
-_DATA_FILE_SCHEMA = {
-    "type": "record",
-    "name": "r2",
-    "fields": [
-        _f("file_path", "string", 100),
-        _f("file_format", "string", 101),
-        # unpartitioned spec -> empty partition tuple (spec: field ids
-        # for partition data start at 1000; none here)
-        _f("partition", {"type": "record", "name": "r102", "fields": []}, 102),
-        _f("record_count", "long", 103),
-        _f("file_size_in_bytes", "long", 104),
-        # required in v1 manifests, ignored by readers (spec note)
-        _f("block_size_in_bytes", "long", 105),
-    ],
+#: Avro primitive for a partition value, by Iceberg partition-field type.
+_PART_AVRO = {
+    "int": "int",
+    "long": "long",
+    "float": "float",
+    "double": "double",
+    "boolean": "boolean",
+    "string": "string",
 }
 
-#: manifest_entry record — one row per data file in a manifest.
-MANIFEST_ENTRY_SCHEMA = {
-    "type": "record",
-    "name": "manifest_entry",
-    "fields": [
-        _f("status", "int", 0),
-        _f("snapshot_id", "long", 1, optional=True),
-        _f("data_file", _DATA_FILE_SCHEMA, 2),
-    ],
-}
+
+def manifest_entry_schema(spec_fields: list[dict]) -> dict:
+    """The manifest_entry Avro schema for one partition spec: the
+    ``partition`` tuple (field-id 102) carries one optional field per
+    spec field, named after the partition field with its declared
+    field-id (1000+). Unpartitioned spec -> empty tuple."""
+    part_fields = [
+        _f(
+            sf["name"],
+            _PART_AVRO.get(sf.get("result-type", "string"), "string"),
+            sf["field-id"],
+            optional=True,
+        )
+        for sf in spec_fields
+    ]
+    data_file = {
+        "type": "record",
+        "name": "r2",
+        "fields": [
+            _f("file_path", "string", 100),
+            _f("file_format", "string", 101),
+            _f(
+                "partition",
+                {"type": "record", "name": "r102", "fields": part_fields},
+                102,
+            ),
+            _f("record_count", "long", 103),
+            _f("file_size_in_bytes", "long", 104),
+            # required in v1 manifests, ignored by readers (spec note)
+            _f("block_size_in_bytes", "long", 105),
+        ],
+    }
+    return {
+        "type": "record",
+        "name": "manifest_entry",
+        "fields": [
+            _f("status", "int", 0),
+            _f("snapshot_id", "long", 1, optional=True),
+            _f("data_file", data_file, 2),
+        ],
+    }
+
+
+#: the unpartitioned shape, kept importable for tests
+MANIFEST_ENTRY_SCHEMA = manifest_entry_schema([])
 
 STATUS_EXISTING, STATUS_ADDED, STATUS_DELETED = 0, 1, 2
 
@@ -259,6 +290,64 @@ def _record_counts(spark, table_path: str, rel_files: list[str]) -> dict[str, in
     )
     by_base = {r.fp.rsplit("/", 1)[-1]: r["count"] for r in rows}
     return {f: int(by_base.get(f.rsplit("/", 1)[-1], 0)) for f in rel_files}
+
+
+
+#: Spark/Hive's directory token for a null partition value (mirrors
+#: lakehouse.HIVE_DEFAULT_PARTITION without importing the module).
+_HIVE_NULL = "__HIVE_DEFAULT_PARTITION__"
+
+
+def _partition_spec(table, ice_schema: dict) -> list[dict]:
+    """Identity partition-spec fields for the table's partition column
+    (empty for unpartitioned tables). Internal dicts carry an extra
+    ``result-type`` key (the Avro/Iceberg primitive of the partition
+    value) that is STRIPPED before serialization — the spec JSON has
+    only name/transform/source-id/field-id.
+
+    Adopted foreign layouts whose partition column lives only in file
+    paths (not in the parquet files) export UNPARTITIONED: identity
+    readers materialize missing identity columns from partition
+    metadata, but this engine's own read-back is a plain parquet scan
+    and must stay value-complete."""
+    col = getattr(table, "partition_by", None)
+    if not col or getattr(table, "adopted_partition_type", None):
+        return []
+    by_name = {f["name"]: f for f in ice_schema["fields"]}
+    if col not in by_name:
+        return []
+    src = by_name[col]
+    rtype = src["type"] if isinstance(src["type"], str) else "string"
+    if rtype not in _PART_AVRO:
+        rtype = "string"
+    return [
+        {
+            "name": col,
+            "transform": "identity",
+            "source-id": src["id"],
+            "field-id": 1000,
+            "result-type": rtype,
+        }
+    ]
+
+
+def _spec_json(spec_fields: list[dict]) -> list[dict]:
+    return [
+        {k: v for k, v in sf.items() if k != "result-type"}
+        for sf in spec_fields
+    ]
+
+
+def _typed_partition_value(raw: str | None, rtype: str):
+    if raw is None or raw == _HIVE_NULL:
+        return None
+    if rtype in ("int", "long"):
+        return int(raw)
+    if rtype in ("float", "double"):
+        return float(raw)
+    if rtype == "boolean":
+        return raw.lower() == "true"
+    return raw
 
 
 def export_iceberg_metadata(table) -> int:
@@ -323,6 +412,15 @@ def export_iceberg_metadata(table) -> int:
         new_files = [f for f in cur if f not in prior_meta]
         counts = _record_counts(table.spark, table.path, new_files)
 
+        schema_json = json.loads(
+            c.table_schema
+            or json.dumps(
+                table._read_base(c).drop("_hoodie_file_name").schema.jsonValue()
+            )
+        )
+        ice_schema, last_col = spark_schema_to_iceberg(schema_json)
+        spec_fields = _partition_spec(table, ice_schema)
+
         entries = []
         for f in cur:
             if f in prior_meta:
@@ -339,7 +437,13 @@ def export_iceberg_metadata(table) -> int:
                     "data_file": {
                         "file_path": fsio.join(location, f),
                         "file_format": "PARQUET",
-                        "partition": {},
+                        "partition": {
+                            sf["name"]: _typed_partition_value(
+                                table._partition_value_of(f),
+                                sf["result-type"],
+                            )
+                            for sf in spec_fields
+                        },
                         "record_count": rows,
                         "file_size_in_bytes": size,
                         "block_size_in_bytes": 64 * 1024 * 1024,
@@ -355,17 +459,10 @@ def export_iceberg_metadata(table) -> int:
         for f in removed:
             del prior_meta[f]
 
-        schema_json = json.loads(
-            c.table_schema
-            or json.dumps(
-                table._read_base(c).drop("_hoodie_file_name").schema.jsonValue()
-            )
-        )
-        ice_schema, last_col = spark_schema_to_iceberg(schema_json)
         header = {
             "schema": json.dumps(ice_schema).encode(),
             "schema-id": b"0",
-            "partition-spec": b"[]",
+            "partition-spec": json.dumps(_spec_json(spec_fields)).encode(),
             "partition-spec-id": b"0",
             "format-version": str(FORMAT_VERSION).encode(),
             "content": b"data",
@@ -374,7 +471,8 @@ def export_iceberg_metadata(table) -> int:
         manifest_name = f"{uuid.uuid5(uuid.NAMESPACE_URL, f'{table_uuid}:m{v}')}-m0.avro"
         manifest_path = fsio.join(meta_dir, manifest_name)
         manifest_bytes = ocf_encode(
-            MANIFEST_ENTRY_SCHEMA, entries, codec="null", extra_meta=header
+            manifest_entry_schema(spec_fields), entries,
+            codec="null", extra_meta=header,
         )
         fsio.write_bytes_atomic(manifest_path, manifest_bytes)
 
@@ -450,10 +548,12 @@ def export_iceberg_metadata(table) -> int:
             "schema": ice_schema,
             "schemas": [ice_schema],
             "current-schema-id": 0,
-            "partition-spec": [],
-            "partition-specs": [{"spec-id": 0, "fields": []}],
+            "partition-spec": _spec_json(spec_fields),
+            "partition-specs": [
+                {"spec-id": 0, "fields": _spec_json(spec_fields)}
+            ],
             "default-spec-id": 0,
-            "last-partition-id": 999,
+            "last-partition-id": 1000 if spec_fields else 999,
             "sort-orders": [{"order-id": 0, "fields": []}],
             "default-sort-order-id": 0,
             "properties": {"write.format.default": "parquet"},

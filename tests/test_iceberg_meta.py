@@ -296,3 +296,55 @@ def test_pyiceberg_reads_export(spark, tmp_path):
         for r in st.scan().to_arrow().select(["k", "v"]).to_pylist()
     )
     assert got == [(1, "a"), (2, "b2")]
+
+
+def test_partitioned_identity_spec(spark, tmp_path):
+    """Partitioned tables export a real identity partition spec and
+    typed per-file partition values in the manifest entries."""
+    df = spark.createDataFrame(
+        [(1, 10, "a", 1), (2, 20, "b", 1)], "k int, p int, v string, sq int"
+    )
+    t = LakehouseTable.create(
+        spark, str(tmp_path / "t"), df,
+        key_cols=["k"], precombine="sq", partition_by="p",
+    )
+    export_iceberg_metadata(t)
+    meta = read_iceberg_metadata(t.path)
+    spec = meta["partition-specs"][0]["fields"]
+    assert spec == [
+        {
+            "name": "p",
+            "transform": "identity",
+            "source-id": next(
+                f["id"] for f in meta["schema"]["fields"] if f["name"] == "p"
+            ),
+            "field-id": 1000,
+        }
+    ]
+    assert meta["last-partition-id"] == 1000
+    snap = iceberg_snapshots(t.path)[-1]
+    _, manifests = ocf_decode(open(snap["manifest-list"], "rb").read())
+    raw = open(manifests[0]["manifest_path"], "rb").read()
+    schema_m, entries = ocf_decode(raw)
+    # typed partition tuple per file: int values 10 and 20
+    assert sorted(e["data_file"]["partition"]["p"] for e in entries) == [10, 20]
+    # spec header present and non-empty
+    from hudi_and_delta_showcase_spark.avro_ocf import MAGIC, _Reader
+
+    r = _Reader(raw)
+    assert r.read(4) == MAGIC
+    hdr = {}
+    while True:
+        n = r.read_long()
+        if n == 0:
+            break
+        for _ in range(abs(n)):
+            key = r.read_bytes().decode()
+            hdr[key] = r.read_bytes()
+    assert json.loads(hdr["partition-spec"]) == spec
+    # read-back still value-complete (identity column lives in the files)
+    got = sorted(
+        (r2.k, r2.p, r2.v)
+        for r2 in read_iceberg_table(spark, t.path).select("k", "p", "v").collect()
+    )
+    assert got == [(1, 10, "a"), (2, 20, "b")]
