@@ -273,3 +273,34 @@ def test_length_buckets_single_partial_agg(spark, sf_dir):
     # formatted mode prints each node twice (tree + details)
     assert len(re.findall(r"\(\d+\) Exchange", plan)) == 1, plan
     assert "partial_" in plan
+
+
+def test_runtime_bloom_filter_join_pruning(spark, sf_dir):
+    """Runtime (bloom-filter) join filtering — Spark's row-level
+    complement to dynamic partition pruning: when a selective filter
+    sits on one side of a SHUFFLE join, the optimizer injects a bloom
+    filter built from that side into the big side's scan, pruning rows
+    BEFORE the shuffle. This is the knob that keeps selective fact-dim
+    shuffle joins from exchanging the whole fact table at 100 TB.
+
+    The driver's data volumes broadcast the filtered side, so the
+    shuffle shape is forced here with session confs (newSession: shared
+    context, independent SQL conf) — asserting the optimizer DOES
+    inject the filter when broadcast is off the table."""
+    s = spark.newSession()
+    s.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    s.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+    s.conf.set("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
+    s.conf.set("spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold", "100MB")
+    s.conf.set("spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold", "0")
+    from pyspark.sql import functions as F
+
+    li = s.read.parquet(f"{sf_dir}/lineitem.parquet")
+    o = s.read.parquet(f"{sf_dir}/orders.parquet").filter(
+        F.col("o_orderpriority") == "1-URGENT"
+    )
+    joined = li.join(o, li.l_orderkey == o.o_orderkey).groupBy(
+        "o_orderpriority"
+    ).count()
+    plan = _formatted_plan(joined)
+    assert "bloom_filter" in plan.lower() or "BloomFilter" in plan, plan[:2000]
