@@ -576,23 +576,76 @@ def export_iceberg_metadata(table) -> int:
 # --------------------------------------------------------------------------
 
 
+def _resolve(table_path: str, path: str) -> str:
+    """Manifest/metadata locations are absolute in the spec, but
+    relocated (copied) tables carry stale roots: if the recorded
+    absolute path is missing, re-anchor its ``metadata/``-or-``data/``
+    suffix under the actual table root (same contract as
+    ``fsio.resolve`` for manifest entries)."""
+    if fsio.exists(path):
+        return path
+    for marker in ("/metadata/", "/data/"):
+        if marker in path:
+            return fsio.join(
+                table_path, marker.strip("/"), path.split(marker, 1)[1]
+            )
+    return path
+
+
 def _snapshot_entries(table_path: str, snap: dict) -> list[dict]:
-    """Live manifest entries (status != DELETED) of one snapshot."""
-    _, manifests = ocf_decode(fsio.read_bytes(snap["manifest-list"]))
+    """Live manifest entries (status != DELETED) of one snapshot.
+    Accepts FOREIGN-authored manifest lists too: v2 lists carry a
+    ``content`` column (0=data, 1=deletes) — a snapshot with live
+    delete files cannot be served by a scan-only reader and fails
+    loudly instead of returning deleted rows."""
+    _, manifests = ocf_decode(
+        fsio.read_bytes(_resolve(table_path, snap["manifest-list"]))
+    )
     out: list[dict] = []
     for m in manifests:
-        _, entries = ocf_decode(fsio.read_bytes(m["manifest_path"]))
+        if m.get("content", 0) == 1:  # v2 delete manifest
+            raise RuntimeError(
+                "iceberg snapshot carries delete files (merge-on-read); "
+                "compact the table with its writing engine before reading"
+            )
+        _, entries = ocf_decode(
+            fsio.read_bytes(_resolve(table_path, m["manifest_path"]))
+        )
         out.extend(e for e in entries if e["status"] != STATUS_DELETED)
     return out
 
 
-def read_iceberg_metadata(table_path: str, version: int | None = None) -> dict:
-    """Load ``v{N}.metadata.json`` (latest per version-hint by default)."""
-    if version is None:
-        version = int(
-            fsio.read_pointer_text(_version_hint(table_path)).strip()
+_FOREIGN_META_RE = re.compile(r"^(\d+)-[0-9a-f-]+\.metadata\.json$")
+
+
+def _latest_metadata_file(table_path: str) -> str:
+    """The newest metadata json WITHOUT a version-hint (foreign trees:
+    iceberg-java writes ``00000-<uuid>.metadata.json`` and relies on
+    the catalog, not a hint file): one listing of ``metadata/``,
+    highest numeric prefix wins (both naming styles accepted)."""
+    best_v, best = -1, None
+    for fn in fsio.listdir(_meta_dir(table_path)):
+        m = _FOREIGN_META_RE.match(fn) or re.match(
+            r"^v(\d+)\.metadata\.json$", fn
         )
-    return json.loads(fsio.read_text(_metadata_file(table_path, version)))
+        if m and int(m.group(1)) > best_v:
+            best_v, best = int(m.group(1)), fn
+    if best is None:
+        raise FileNotFoundError(f"no metadata json under {table_path}")
+    return fsio.join(_meta_dir(table_path), best)
+
+
+def read_iceberg_metadata(table_path: str, version: int | None = None) -> dict:
+    """Load the table metadata json: ``v{N}.metadata.json`` per
+    version-hint when present (our exporter / Hadoop tables), else the
+    highest-versioned metadata file in ``metadata/`` (foreign trees
+    without a hint — catalog-managed layouts)."""
+    if version is not None:
+        return json.loads(fsio.read_text(_metadata_file(table_path, version)))
+    if fsio.exists(_version_hint(table_path)):
+        v = int(fsio.read_pointer_text(_version_hint(table_path)).strip())
+        return json.loads(fsio.read_text(_metadata_file(table_path, v)))
+    return json.loads(fsio.read_text(_latest_metadata_file(table_path)))
 
 
 def iceberg_snapshots(table_path: str) -> list[dict]:
@@ -601,19 +654,24 @@ def iceberg_snapshots(table_path: str) -> list[dict]:
 
 
 def read_iceberg_table(spark, table_path: str, snapshot_id: int | None = None):
-    """Snapshot-read an Iceberg metadata tree written by
-    ``export_iceberg_metadata`` (current snapshot by default,
-    ``snapshot_id`` for time travel): version-hint -> metadata.json ->
-    manifest-list avro -> manifest avro -> one parquet scan over the
-    live files. Metadata IO is fsio (object-store capable); the listing
-    cost is O(manifests of one snapshot), never a directory walk."""
+    """Snapshot-read an Iceberg metadata tree — ours or FOREIGN-authored
+    (iceberg-java / pyiceberg v1 or v2 trees: catalog-style metadata
+    naming without a version-hint, v2 manifest columns, relocated
+    absolute paths re-anchored; snapshots carrying delete files are
+    refused loudly). Current snapshot by default, ``snapshot_id`` for
+    time travel: metadata.json -> manifest-list avro -> manifest avro
+    -> one parquet scan over the live files. Metadata IO is fsio
+    (object-store capable); the listing cost is O(manifests of one
+    snapshot), never a directory walk."""
     meta = read_iceberg_metadata(table_path)
     snaps = {s["snapshot-id"]: s for s in meta["snapshots"]}
     sid = snapshot_id if snapshot_id is not None else meta["current-snapshot-id"]
     if sid not in snaps:
         raise ValueError(f"unknown snapshot-id {sid}")
     entries = _snapshot_entries(table_path, snaps[sid])
-    files = [e["data_file"]["file_path"] for e in entries]
+    files = [
+        _resolve(table_path, e["data_file"]["file_path"]) for e in entries
+    ]
     if not files:
         raise ValueError("snapshot has no data files")
     return spark.read.parquet(*files)

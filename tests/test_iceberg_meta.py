@@ -348,3 +348,204 @@ def test_partitioned_identity_spec(spark, tmp_path):
         for r2 in read_iceberg_table(spark, t.path).select("k", "p", "v").collect()
     )
     assert got == [(1, 10, "a"), (2, 20, "b")]
+
+
+# --------------------------------------------------------------------- #
+# foreign-authored trees (reader pin, v2)
+# --------------------------------------------------------------------- #
+
+
+def _foreign_v2_tree(root: str) -> tuple[int, int]:
+    """Author an Iceberg v2 tree the way iceberg-java writes it:
+    catalog-style ``00001-<uuid>.metadata.json`` naming with NO
+    version-hint, deflate-coded manifests with the v2 columns
+    (sequence numbers, data_file.content), absolute locations.
+    Returns (snapshot_id_v1, snapshot_id_v2)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from hudi_and_delta_showcase_spark.avro_ocf import ocf_encode
+
+    os.makedirs(os.path.join(root, "data"))
+    os.makedirs(os.path.join(root, "metadata"))
+    f0 = os.path.join(root, "data", "00000-0-dat-a.parquet")
+    f1 = os.path.join(root, "data", "00001-0-dat-b.parquet")
+    pq.write_table(
+        pa.table({"k": pa.array([1, 2], pa.int32()), "v": pa.array(["a", "b"])}),
+        f0,
+    )
+    pq.write_table(
+        pa.table({"k": pa.array([3], pa.int32()), "v": pa.array(["c"])}), f1
+    )
+
+    def opt(name, t, fid):
+        return {"name": name, "type": ["null", t], "default": None,
+                "field-id": fid}
+
+    data_file = {
+        "type": "record", "name": "r2",
+        "fields": [
+            {"name": "content", "type": "int", "field-id": 134},
+            {"name": "file_path", "type": "string", "field-id": 100},
+            {"name": "file_format", "type": "string", "field-id": 101},
+            {"name": "partition",
+             "type": {"type": "record", "name": "r102", "fields": []},
+             "field-id": 102},
+            {"name": "record_count", "type": "long", "field-id": 103},
+            {"name": "file_size_in_bytes", "type": "long", "field-id": 104},
+        ],
+    }
+    entry_schema = {
+        "type": "record", "name": "manifest_entry",
+        "fields": [
+            {"name": "status", "type": "int", "field-id": 0},
+            opt("snapshot_id", "long", 1),
+            opt("sequence_number", "long", 3),
+            opt("file_sequence_number", "long", 4),
+            {"name": "data_file", "type": data_file, "field-id": 2},
+        ],
+    }
+    mlist_schema = {
+        "type": "record", "name": "manifest_file",
+        "fields": [
+            {"name": "manifest_path", "type": "string", "field-id": 500},
+            {"name": "manifest_length", "type": "long", "field-id": 501},
+            {"name": "partition_spec_id", "type": "int", "field-id": 502},
+            {"name": "content", "type": "int", "field-id": 517},
+            {"name": "sequence_number", "type": "long", "field-id": 515},
+            {"name": "min_sequence_number", "type": "long", "field-id": 516},
+            {"name": "added_snapshot_id", "type": "long", "field-id": 503},
+            {"name": "added_data_files_count", "type": "int", "field-id": 504},
+            {"name": "existing_data_files_count", "type": "int", "field-id": 505},
+            {"name": "deleted_data_files_count", "type": "int", "field-id": 506},
+        ],
+    }
+
+    def entry(status, sid, seq, path, rows):
+        return {
+            "status": status, "snapshot_id": sid, "sequence_number": seq,
+            "file_sequence_number": seq,
+            "data_file": {
+                "content": 0, "file_path": path, "file_format": "PARQUET",
+                "partition": {}, "record_count": rows,
+                "file_size_in_bytes": os.path.getsize(path),
+            },
+        }
+
+    sid1, sid2 = 4910595700949954304, 6713521412982384639
+    m1 = os.path.join(root, "metadata", "aaa-1111-m0.avro")
+    b1 = ocf_encode(entry_schema, [entry(1, sid1, 1, f0, 2)], codec="deflate")
+    open(m1, "wb").write(b1)
+    m2 = os.path.join(root, "metadata", "bbb-2222-m0.avro")
+    b2 = ocf_encode(
+        entry_schema,
+        [entry(0, sid1, 1, f0, 2), entry(1, sid2, 2, f1, 1)],
+        codec="deflate",
+    )
+    open(m2, "wb").write(b2)
+
+    def mfile(path, blob, content, seq, sid, a, e):
+        return {
+            "manifest_path": path, "manifest_length": len(blob),
+            "partition_spec_id": 0, "content": content,
+            "sequence_number": seq, "min_sequence_number": 1,
+            "added_snapshot_id": sid,
+            "added_data_files_count": a, "existing_data_files_count": e,
+            "deleted_data_files_count": 0,
+        }
+
+    l1 = os.path.join(root, "metadata", f"snap-{sid1}-1-ccc.avro")
+    open(l1, "wb").write(
+        ocf_encode(mlist_schema, [mfile(m1, b1, 0, 1, sid1, 1, 0)],
+                   codec="deflate")
+    )
+    l2 = os.path.join(root, "metadata", f"snap-{sid2}-1-ddd.avro")
+    open(l2, "wb").write(
+        ocf_encode(mlist_schema, [mfile(m2, b2, 0, 2, sid2, 1, 1)],
+                   codec="deflate")
+    )
+
+    schema = {
+        "type": "struct", "schema-id": 0,
+        "fields": [
+            {"id": 1, "name": "k", "required": False, "type": "int"},
+            {"id": 2, "name": "v", "required": False, "type": "string"},
+        ],
+    }
+    meta = {
+        "format-version": 2, "table-uuid": "9c3b1712-0000-4000-8000-000000000001",
+        "location": root, "last-sequence-number": 2,
+        "last-updated-ms": 1700000100000, "last-column-id": 2,
+        "current-schema-id": 0, "schemas": [schema], "schema": schema,
+        "default-spec-id": 0, "partition-specs": [{"spec-id": 0, "fields": []}],
+        "last-partition-id": 999, "default-sort-order-id": 0,
+        "sort-orders": [{"order-id": 0, "fields": []}], "properties": {},
+        "current-snapshot-id": sid2,
+        "snapshots": [
+            {"sequence-number": 1, "snapshot-id": sid1,
+             "timestamp-ms": 1700000000000,
+             "summary": {"operation": "append"}, "manifest-list": l1,
+             "schema-id": 0},
+            {"sequence-number": 2, "snapshot-id": sid2,
+             "parent-snapshot-id": sid1, "timestamp-ms": 1700000100000,
+             "summary": {"operation": "append"}, "manifest-list": l2,
+             "schema-id": 0},
+        ],
+        "snapshot-log": [], "metadata-log": [],
+    }
+    with open(
+        os.path.join(
+            root, "metadata",
+            "00002-7a1f0000-0000-4000-8000-000000000002.metadata.json",
+        ),
+        "w",
+    ) as fh:
+        json.dump(meta, fh)
+    return sid1, sid2
+
+
+def test_reads_foreign_v2_tree(spark, tmp_path):
+    """A v2 tree as iceberg-java writes it — catalog metadata naming,
+    no version-hint, deflate manifests with sequence-number columns —
+    must serve the correct snapshot and time travel."""
+    root = str(tmp_path / "ice_foreign")
+    sid1, sid2 = _foreign_v2_tree(root)
+    assert _rows(read_iceberg_table(spark, root)) == [
+        (1, "a"), (2, "b"), (3, "c"),
+    ]
+    assert _rows(read_iceberg_table(spark, root, snapshot_id=sid1)) == [
+        (1, "a"), (2, "b"),
+    ]
+
+
+def test_reads_relocated_foreign_tree(spark, tmp_path):
+    """A copied table (absolute paths recorded under the OLD root) must
+    re-anchor metadata and data locations under the new root."""
+    import shutil
+
+    src = str(tmp_path / "orig")
+    _foreign_v2_tree(src)
+    dst = str(tmp_path / "copied")
+    shutil.copytree(src, dst)
+    shutil.rmtree(src)  # the recorded absolute locations are now dead
+    assert _rows(read_iceberg_table(spark, dst)) == [
+        (1, "a"), (2, "b"), (3, "c"),
+    ]
+
+
+def test_refuses_v2_delete_manifests(spark, tmp_path):
+    """A snapshot whose manifest list carries a DELETE manifest
+    (content=1) cannot be served by a scan-only reader: loud failure,
+    never silently-undeleted rows."""
+    root = str(tmp_path / "ice_del")
+    sid1, sid2 = _foreign_v2_tree(root)
+    # rewrite snapshot 2's manifest list entry as a delete manifest
+    from hudi_and_delta_showcase_spark.avro_ocf import ocf_decode as dec
+    from hudi_and_delta_showcase_spark.avro_ocf import ocf_encode as enc
+
+    l2 = os.path.join(root, "metadata", f"snap-{sid2}-1-ddd.avro")
+    schema, recs = dec(open(l2, "rb").read())
+    recs[0]["content"] = 1
+    open(l2, "wb").write(enc(schema, recs, codec="deflate"))
+    with pytest.raises(RuntimeError, match="delete files"):
+        read_iceberg_table(spark, root)
