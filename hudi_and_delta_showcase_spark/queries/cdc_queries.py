@@ -357,6 +357,37 @@ def cdc_column_mapping_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: gold bronze fixture path per sf_dir — SHARED by the batch and
+#: streaming gold-aggregate twins (both need the same 3-commit
+#: CDC-enabled bronze table and only ever read it after build).
+_GOLD_BRONZE_CACHE: dict[str, str] = {}
+
+
+def gold_bronze_fixture(spark: SparkSession, sf_dir: str) -> LakehouseTable:
+    """The CDC-enabled bronze events table (base + 2 upsert slices)
+    behind cdc_incremental_gold_agg AND stream_gold_agg: pure,
+    deterministic setup for the operators under test, memoized per
+    (process, sf_dir) so the second twin — and repeated analyses in
+    one process — pay zero rebuild (VERDICT r5 #8)."""
+    path = _GOLD_BRONZE_CACHE.get(sf_dir)
+    if path is not None:
+        return LakehouseTable.load(spark, path)
+    events = load_table(spark, sf_dir, "events").select(*_FINAL_COLS)
+    cutoff = F.lit(CUTOFF).cast("timestamp_ntz")
+    mid = F.lit("2024-01-25 00:00:00").cast("timestamp_ntz")
+    root = tempfile.mkdtemp(prefix="gold_bronze_")
+    t = LakehouseTable.create(
+        spark, f"{root}/bronze",
+        events.filter(F.col("ts") < cutoff),
+        key_cols=["user_id"], precombine="ts", tiebreakers=["event_id"],
+        cdc_enabled=True,
+    )
+    t.upsert(events.filter((F.col("ts") >= cutoff) & (F.col("ts") < mid)))
+    t.upsert(events.filter(F.col("ts") >= mid))
+    _GOLD_BRONZE_CACHE[sf_dir] = t.path
+    return t
+
+
 @query(
     "cdc_incremental_gold_agg",
     oracle="""
@@ -388,22 +419,7 @@ def cdc_incremental_gold_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         apply_delta,
     )
 
-    events = load_table(spark, sf_dir, "events").select(*_FINAL_COLS)
-    cutoff = F.lit(CUTOFF).cast("timestamp_ntz")
-    mid = F.lit("2024-01-25 00:00:00").cast("timestamp_ntz")
-    slices = [
-        events.filter(F.col("ts") < cutoff),
-        events.filter((F.col("ts") >= cutoff) & (F.col("ts") < mid)),
-        events.filter(F.col("ts") >= mid),
-    ]
-    root = tempfile.mkdtemp(prefix="gold_agg_")
-    t = LakehouseTable.create(
-        spark, f"{root}/bronze", slices[0],
-        key_cols=["user_id"], precombine="ts", tiebreakers=["event_id"],
-        cdc_enabled=True,
-    )
-    t.upsert(slices[1])
-    t.upsert(slices[2])
+    t = gold_bronze_fixture(spark, sf_dir)
     gold = None
     for v in range(3):  # one delta apply per commit, never a rescan
         delta = agg_delta(
