@@ -56,6 +56,7 @@ from __future__ import annotations
 
 import json
 import re
+import struct as _struct
 import uuid
 from datetime import datetime, timezone
 
@@ -195,6 +196,70 @@ _PART_AVRO = {
 }
 
 
+def _bounds_map(name: str, fid: int, key_id: int, val_id: int) -> dict:
+    """Avro node for an Iceberg bounds column: array-of-(key, value)
+    records with ``logicalType: map`` — the k/v-record encoding real
+    Iceberg writers use for int-keyed maps."""
+    return {
+        "name": name,
+        "type": [
+            "null",
+            {
+                "type": "array",
+                "logicalType": "map",
+                "items": {
+                    "type": "record",
+                    "name": f"k{key_id}_v{val_id}",
+                    "fields": [
+                        {"name": "key", "type": "int", "field-id": key_id},
+                        {"name": "value", "type": "bytes", "field-id": val_id},
+                    ],
+                },
+            },
+        ],
+        "default": None,
+        "field-id": fid,
+    }
+
+
+#: Iceberg single-value binary serialization (spec appendix D) for the
+#: bound types exported. Strings are deliberately NOT exported: parquet
+#: footer statistics may be writer-truncated, and a truncated UPPER
+#: bound understates the true max — a correctness bug in any foreign
+#: reader that trusts it. Numerics/booleans are always exact.
+_BOUND_PACK = {
+    "int": lambda v: _struct.pack("<i", int(v)),
+    "long": lambda v: _struct.pack("<q", int(v)),
+    "float": lambda v: _struct.pack("<f", float(v)),
+    "double": lambda v: _struct.pack("<d", float(v)),
+    "boolean": lambda v: b"\x01" if v else b"\x00",
+}
+
+
+def _file_bounds(
+    col_stats: dict | None, ice_schema: dict
+) -> tuple[list | None, list | None]:
+    """col_stats {column: [min, max]} -> (lower_bounds, upper_bounds)
+    as Iceberg k/v lists keyed by field-id, exact-serializable types
+    only. None when the file has no usable stats."""
+    if not col_stats:
+        return None, None
+    lo, hi = [], []
+    for f in ice_schema["fields"]:
+        t = f["type"]
+        if not isinstance(t, str) or t not in _BOUND_PACK:
+            continue
+        rng = col_stats.get(f["name"])
+        if not rng or rng[0] is None or rng[1] is None:
+            continue
+        try:
+            lo.append({"key": f["id"], "value": _BOUND_PACK[t](rng[0])})
+            hi.append({"key": f["id"], "value": _BOUND_PACK[t](rng[1])})
+        except (TypeError, ValueError, _struct.error):
+            continue
+    return (lo or None), (hi or None)
+
+
 def manifest_entry_schema(spec_fields: list[dict]) -> dict:
     """The manifest_entry Avro schema for one partition spec: the
     ``partition`` tuple (field-id 102) carries one optional field per
@@ -224,6 +289,8 @@ def manifest_entry_schema(spec_fields: list[dict]) -> dict:
             _f("file_size_in_bytes", "long", 104),
             # required in v1 manifests, ignored by readers (spec note)
             _f("block_size_in_bytes", "long", 105),
+            _bounds_map("lower_bounds", 125, 126, 127),
+            _bounds_map("upper_bounds", 128, 129, 130),
         ],
     }
     return {
@@ -430,6 +497,7 @@ def export_iceberg_metadata(table) -> int:
                 rows = counts[f]
                 size = fsio.file_size(fsio.join(table.path, f))
                 added_sid, status = sid, STATUS_ADDED
+            bounds = _file_bounds(c.col_stats.get(f), ice_schema)
             entries.append(
                 {
                     "status": status,
@@ -447,6 +515,12 @@ def export_iceberg_metadata(table) -> int:
                         "record_count": rows,
                         "file_size_in_bytes": size,
                         "block_size_in_bytes": 64 * 1024 * 1024,
+                        # data-skipping bounds from the commit's own
+                        # col-stats index (cumulative per live file) —
+                        # foreign engines prune files without reading
+                        # any footer
+                        "lower_bounds": bounds[0],
+                        "upper_bounds": bounds[1],
                     },
                 }
             )

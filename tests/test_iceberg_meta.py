@@ -209,6 +209,8 @@ _COMMIT_DIR_RE = re.compile(r"(c\d{5})-[0-9a-f]+")
 
 
 def _normalize(obj, root=""):
+    if isinstance(obj, (bytes, bytearray)):  # bounds values
+        return "0x" + bytes(obj).hex()
     if isinstance(obj, dict):
         out = {}
         for k, v in sorted(obj.items()):
@@ -549,3 +551,34 @@ def test_refuses_v2_delete_manifests(spark, tmp_path):
     open(l2, "wb").write(enc(schema, recs, codec="deflate"))
     with pytest.raises(RuntimeError, match="delete files"):
         read_iceberg_table(spark, root)
+
+
+def test_manifest_bounds_match_data(spark, tmp_path):
+    """lower/upper bounds in the manifest entries carry the engine's
+    col-stats index in Iceberg single-value binary form — exact for the
+    numeric columns, absent for strings (parquet footer string stats
+    may be writer-truncated; a truncated upper bound would overstate
+    skipping safety)."""
+    import struct
+
+    df = spark.createDataFrame(
+        [(5, "a", 1.5, 1), (9, "b", -2.25, 1)], "k int, v string, x double, sq int"
+    ).coalesce(1)
+    t = LakehouseTable.create(
+        spark, str(tmp_path / "t"), df, key_cols=["k"], precombine="sq"
+    )
+    export_iceberg_metadata(t)
+    snap = iceberg_snapshots(t.path)[-1]
+    _, manifests = ocf_decode(open(snap["manifest-list"], "rb").read())
+    _, entries = ocf_decode(open(manifests[0]["manifest_path"], "rb").read())
+    meta = read_iceberg_metadata(t.path)
+    fid = {f["name"]: f["id"] for f in meta["schema"]["fields"]}
+    e = entries[0]["data_file"]
+    lo = {b["key"]: b["value"] for b in e["lower_bounds"]}
+    hi = {b["key"]: b["value"] for b in e["upper_bounds"]}
+    assert bytes(lo[fid["k"]]) == struct.pack("<i", 5)
+    assert bytes(hi[fid["k"]]) == struct.pack("<i", 9)
+    assert bytes(lo[fid["x"]]) == struct.pack("<d", -2.25)
+    assert bytes(hi[fid["x"]]) == struct.pack("<d", 1.5)
+    # no string bounds exported (truncation risk)
+    assert fid["v"] not in lo and fid["v"] not in hi
