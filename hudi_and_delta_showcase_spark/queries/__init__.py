@@ -154,6 +154,8 @@ PRIORITY: tuple[str, ...] = (
     "cdc_jdbc_delete_reconcile",
     # r5: in-place CONVERT of a foreign parquet dir (Delta CONVERT TO DELTA)
     "cdc_convert_in_place",
+    # r6: incoming XTable direction — adopt a pure Iceberg tree in place
+    "cdc_convert_iceberg",
     # r6: zero-copy shallow clone (Delta SHALLOW CLONE)
     "cdc_shallow_clone",
     # r6: change data feed on merge-on-read (RT-resolved pre-images)

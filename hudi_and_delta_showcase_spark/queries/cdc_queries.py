@@ -20,6 +20,7 @@ for non-ANSI operators (SURVEY §7 "oracle expressibility").
 
 from __future__ import annotations
 
+import os
 import tempfile
 
 import pyspark.sql.functions as F
@@ -2009,6 +2010,58 @@ def cdc_convert_in_place(spark: SparkSession, sf_dir: str) -> DataFrame:
     root = tempfile.mkdtemp(prefix="convert_")
     base.coalesce(2).write.parquet(f"{root}/t")  # a foreign parquet dir
     t = LakehouseTable.convert(
+        spark, f"{root}/t",
+        key_cols=["user_id"], precombine="ts", tiebreakers=["event_id"],
+    )
+    t.upsert(incr)
+    return t.read().select(*_FINAL_COLS)
+
+
+@query(
+    "cdc_convert_iceberg",
+    oracle=f"""
+    SELECT event_id, user_id, ts, event_type, value FROM events
+    WHERE ts < TIMESTAMP '{CUTOFF}'
+      AND user_id NOT IN (
+        SELECT user_id FROM events WHERE ts >= TIMESTAMP '{CUTOFF}'
+      )
+    UNION ALL
+    SELECT event_id, user_id, ts, event_type, value FROM (
+      SELECT *, ROW_NUMBER() OVER (
+        PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+      FROM events WHERE ts >= TIMESTAMP '{CUTOFF}'
+    ) WHERE rn = 1
+    """,
+    tags=("cdc", "table", "convert", "iceberg"),
+)
+def cdc_convert_iceberg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CONVERT FROM ICEBERG (the incoming XTable direction): a pure
+    Iceberg table — data files plus a metadata/ tree, no lakehouse
+    metadata — is adopted IN PLACE from its CURRENT snapshot's live
+    file list (metadata.json -> manifest-list -> manifests; dead files
+    from unexpired snapshots are ignored, never a directory walk), and
+    the adopted table immediately serves keyed upserts. Same oracle
+    contract as cdc_convert_in_place: convert never dedups; upserted
+    users resolve to their latest post-cutoff event."""
+    import shutil
+
+    base, incr = _split(spark, sf_dir)
+    from hudi_and_delta_showcase_spark.tables.iceberg_meta import (
+        export_iceberg_metadata,
+    )
+
+    root = tempfile.mkdtemp(prefix="convert_ice_")
+    # stage a REAL iceberg tree: write through the engine, export, then
+    # strip the engine's own metadata so only iceberg remains
+    seed = LakehouseTable.create(
+        spark, f"{root}/t", base,
+        key_cols=["user_id"], precombine="ts", tiebreakers=["event_id"],
+    )
+    export_iceberg_metadata(seed)
+    os.remove(f"{root}/t/_meta.json")
+    shutil.rmtree(f"{root}/t/_commits")
+
+    t = LakehouseTable.convert_iceberg(
         spark, f"{root}/t",
         key_cols=["user_id"], precombine="ts", tiebreakers=["event_id"],
     )

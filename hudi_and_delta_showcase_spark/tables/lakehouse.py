@@ -416,6 +416,89 @@ class LakehouseTable:
         return table
 
     @classmethod
+    def convert_iceberg(
+        cls,
+        spark: SparkSession,
+        path: str,
+        key_cols: list[str],
+        precombine: str | None = None,
+        tiebreakers: list[str] | None = None,
+        table_type: str = COPY_ON_WRITE,
+    ) -> "LakehouseTable":
+        """``convert`` for an Apache Iceberg table (the incoming XTable
+        direction, complementing ``iceberg_meta.export_iceberg_metadata``):
+        adopt the CURRENT Iceberg snapshot in place, metadata-only.
+
+        Unlike the directory-walk convert, the live file set comes from
+        the Iceberg metadata itself (metadata.json -> manifest-list ->
+        manifests), so files orphaned by Iceberg's own history — dead
+        snapshots not yet expired — are correctly ignored rather than
+        resurrected; they stay on disk untouched (this engine's vacuum
+        only ever deletes files its own commits referenced). Snapshots
+        carrying v2 delete files are refused upstream (the read path's
+        rule: never silently serve undeleted rows). Identity-partitioned
+        Iceberg tables keep their partition column in the data files,
+        so they adopt as unpartitioned lakehouse tables: reads are
+        value-complete; only rewrite scoping loses partition
+        granularity until files cycle."""
+        from hudi_and_delta_showcase_spark.tables import iceberg_meta as im
+
+        path = fsio.absolutize(path)
+        if fsio.exists(fsio.join(path, "_meta.json")):
+            raise FileExistsError(f"already a lakehouse table: {path}")
+        meta = im.read_iceberg_metadata(path)
+        snap = {s["snapshot-id"]: s for s in meta["snapshots"]}[
+            meta["current-snapshot-id"]
+        ]
+        entries = im._snapshot_entries(path, snap)
+        files = sorted(
+            fsio.relpath(
+                im._resolve(path, e["data_file"]["file_path"]), path
+            )
+            for e in entries
+        )
+        if not files:
+            raise FileNotFoundError(f"current snapshot lists no files: {path}")
+        fsio.write_atomic(
+            fsio.join(path, "_meta.json"),
+            json.dumps(
+                {
+                    "key_cols": key_cols,
+                    "precombine": precombine,
+                    "tiebreakers": tiebreakers or [],
+                    "partition_by": None,
+                    "table_type": table_type,
+                    "cdc_enabled": False,
+                    "global_index": False,
+                    "bloom_index": False,
+                    "deletion_vectors": False,
+                    "record_index": False,
+                    "constraints": {},
+                    "generated_columns": {},
+                },
+                indent=1,
+            ),
+        )
+        table = cls(spark, path)
+        mf.append_commit(
+            path,
+            mf.Commit(
+                version=0,
+                action="convert",
+                commit_time=mf.make_commit_time(),
+                files=files,
+                log_files=[],
+                stats={
+                    "converted_files": len(files),
+                    "source_format": "iceberg",
+                    "source_snapshot_id": meta["current-snapshot-id"],
+                },
+                **table._index_fields(files),
+            ),
+        )
+        return table
+
+    @classmethod
     def clone(
         cls, spark: SparkSession, src_path: str, dest_path: str
     ) -> "LakehouseTable":

@@ -582,3 +582,57 @@ def test_manifest_bounds_match_data(spark, tmp_path):
     assert bytes(hi[fid["x"]]) == struct.pack("<d", 1.5)
     # no string bounds exported (truncation risk)
     assert fid["v"] not in lo and fid["v"] not in hi
+
+
+# --------------------------------------------------------------------- #
+# CONVERT from Iceberg (incoming XTable direction)
+# --------------------------------------------------------------------- #
+
+
+def test_convert_iceberg_adopts_current_snapshot(spark, tmp_path):
+    """convert_iceberg adopts the CURRENT snapshot's live files
+    metadata-only — dead files from older snapshots are ignored, and
+    the adopted table upserts like a native one afterwards."""
+    import shutil
+
+    t = _fixture_table(spark, str(tmp_path / "t"))
+    export_iceberg_metadata(t)
+    # strip the engine's own metadata: what remains is a pure Iceberg
+    # table (data files + metadata/ tree)
+    os.remove(os.path.join(t.path, "_meta.json"))
+    shutil.rmtree(os.path.join(t.path, "_commits"))
+
+    adopted = LakehouseTable.convert_iceberg(
+        spark, t.path, key_cols=["k"], precombine="sq"
+    )
+    assert _rows(adopted.read()) == [(1, "a"), (2, "b2")]
+    # version-0 commit lists exactly the LIVE snapshot files (the CoW
+    # rewrite's superseded file stays on disk but is not adopted)
+    c0 = adopted.history()[0]
+    assert c0.action == "convert"
+    assert c0.stats["source_format"] == "iceberg"
+    from hudi_and_delta_showcase_spark.tables.iceberg_meta import (
+        _snapshot_entries,
+    )
+
+    live = {
+        e["data_file"]["file_path"].rsplit("/", 1)[-1]
+        for e in _snapshot_entries(t.path, iceberg_snapshots(t.path)[-1])
+    }
+    assert {f.rsplit("/", 1)[-1] for f in c0.files} == live
+    # post-adoption writes work natively
+    adopted.upsert(
+        spark.createDataFrame([(1, "a9", 9)], "k int, v string, sq int")
+    )
+    assert _rows(adopted.read()) == [(1, "a9"), (2, "b2")]
+
+
+def test_convert_foreign_iceberg_v2_tree(spark, tmp_path):
+    """A foreign-authored v2 tree (no lakehouse metadata at all)
+    adopts directly."""
+    root = str(tmp_path / "ice_foreign")
+    _foreign_v2_tree(root)
+    adopted = LakehouseTable.convert_iceberg(
+        spark, root, key_cols=["k"]
+    )
+    assert _rows(adopted.read()) == [(1, "a"), (2, "b"), (3, "c")]
