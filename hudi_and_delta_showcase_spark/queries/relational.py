@@ -2025,11 +2025,13 @@ def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     directly so Catalyst never sees a correlated plan. Unit cost is an
     IEEE double division (identical expression tree in both engines,
     bit-deterministic); MIN is order-independent, so no decimal detour
-    is needed. The part filter (1/300 of parts) broadcasts; the per-part
-    best-cost table is |matched parts| rows and broadcasts back against
-    the probe side, so the only shuffle is the MIN aggregation's own
-    exchange. (Filter is size-only: the tiny fixture SFs carry too few
-    parts for a conjunctive size x type cut to survive.) ORDER BY covers every output column -> total order is
+    is needed. The part filter (4 of 50 sizes) broadcasts under the
+    repo's planning position that the part dim stays broadcastable well
+    past sf100 (module docstring); the per-part best-cost table is
+    |matched parts| rows and broadcasts back against the probe side, so
+    the only shuffle is the MIN aggregation's own exchange. (Filter is
+    size-only: the tiny fixture SFs carry too few parts for a
+    conjunctive size x type cut to survive.) ORDER BY covers every output column -> total order is
     deterministic under the LIMIT."""
     li = load_table(spark, sf_dir, "lineitem")
     p = load_table(spark, sf_dir, "part").filter(

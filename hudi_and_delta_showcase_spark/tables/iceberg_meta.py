@@ -450,10 +450,17 @@ def export_iceberg_metadata(table) -> int:
     # if resuming, else empty)
     snapshots: list[dict] = []
     snapshot_log: list[dict] = []
+    metadata_log: list[dict] = []
     if done >= 1:
         prior = json.loads(fsio.read_text(_metadata_file(table.path, done)))
         snapshots = prior["snapshots"]
         snapshot_log = prior["snapshot-log"]
+        metadata_log = prior.get("metadata-log", []) + [
+            {
+                "timestamp-ms": prior["last-updated-ms"],
+                "metadata-file": _metadata_file(table.path, done),
+            }
+        ]
 
     prior_meta: dict[str, tuple] = {}  # rel -> (rows, size, added_sid)
     parent_sid: int | None = snapshots[-1]["snapshot-id"] if snapshots else None
@@ -634,12 +641,21 @@ def export_iceberg_metadata(table) -> int:
             "current-snapshot-id": sid,
             "snapshots": snapshots,
             "snapshot-log": snapshot_log,
-            "metadata-log": [],
+            # previous metadata files, oldest first (spec: the lineage
+            # a catalog can use for metadata rollback)
+            "metadata-log": list(metadata_log),
         }
         fsio.write_atomic(
             _metadata_file(table.path, v + 1), json.dumps(metadata, indent=1)
         )
         fsio.write_atomic(_version_hint(table.path), str(v + 1))
+        # the file just written becomes lineage for the NEXT version
+        metadata_log.append(
+            {
+                "timestamp-ms": ts_ms,
+                "metadata-file": _metadata_file(table.path, v + 1),
+            }
+        )
         parent_sid = sid
         exported = v + 1
     return exported
