@@ -1345,7 +1345,8 @@ def cdc_drop_column(spark: SparkSession, sf_dir: str) -> DataFrame:
     "cdc_uniform_export",
     oracle="""
     SELECT event_id, user_id, ts, event_type, value,
-           TRUE AS export_incremental, TRUE AS hoodie_export_matches
+           TRUE AS export_incremental, TRUE AS hoodie_export_matches,
+           TRUE AS iceberg_export_matches
     FROM (
       SELECT *, ROW_NUMBER() OVER (
         PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
@@ -1355,13 +1356,14 @@ def cdc_drop_column(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("cdc", "table", "interop"),
 )
 def cdc_uniform_export(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Delta UniForm / Apache XTable interop, BOTH directions: the
+    """Delta UniForm / Apache XTable interop, ALL THREE formats: the
     lakehouse table's manifest timeline is exported as a REAL
-    ``_delta_log`` AND a real ``.hoodie`` instant timeline over the
-    SAME parquet files (metadata-only, no data copied). Final state
-    read back through the DELTA-protocol reader must equal
-    latest-per-key over all events; ``hoodie_export_matches`` pins
-    that the HUDI-protocol reader serves the identical rows, and
+    ``_delta_log``, a real ``.hoodie`` instant timeline, AND a real
+    Iceberg ``metadata/`` tree over the SAME parquet files
+    (metadata-only, no data copied). Final state read back through the
+    DELTA-protocol reader must equal latest-per-key over all events;
+    ``hoodie_export_matches`` / ``iceberg_export_matches`` pin that the
+    HUDI- and ICEBERG-protocol readers serve the identical rows, and
     ``export_incremental`` that re-export appends rather than
     rewrites."""
     from hudi_and_delta_showcase_spark.tables.delta_log import (
@@ -1388,16 +1390,28 @@ def cdc_uniform_export(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     export_hoodie_timeline(t)
+    from hudi_and_delta_showcase_spark.tables.iceberg_meta import (
+        export_iceberg_metadata,
+        read_iceberg_table,
+    )
+
+    export_iceberg_metadata(t)
     via_delta = read_delta_table(spark, t.path).select(*_FINAL_COLS)
     via_hudi = read_hoodie_table(spark, t.path).select(*_FINAL_COLS)
+    via_iceberg = read_iceberg_table(spark, t.path).select(*_FINAL_COLS)
     hoodie_matches = (
         via_hudi.exceptAll(via_delta).isEmpty()
         and via_delta.exceptAll(via_hudi).isEmpty()
+    )
+    iceberg_matches = (
+        via_iceberg.exceptAll(via_delta).isEmpty()
+        and via_delta.exceptAll(via_iceberg).isEmpty()
     )
     return (
         via_delta
         .withColumn("export_incremental", F.lit(bool(export_incremental)))
         .withColumn("hoodie_export_matches", F.lit(bool(hoodie_matches)))
+        .withColumn("iceberg_export_matches", F.lit(bool(iceberg_matches)))
     )
 
 
