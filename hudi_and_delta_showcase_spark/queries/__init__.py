@@ -156,6 +156,8 @@ PRIORITY: tuple[str, ...] = (
     "cdc_convert_in_place",
     # r6: incoming XTable direction — adopt a pure Iceberg tree in place
     "cdc_convert_iceberg",
+    # r6: bounds-pruned range read through the Iceberg metadata path
+    "iceberg_stats_skipping_read",
     # r6: zero-copy shallow clone (Delta SHALLOW CLONE)
     "cdc_shallow_clone",
     # r6: change data feed on merge-on-read (RT-resolved pre-images)

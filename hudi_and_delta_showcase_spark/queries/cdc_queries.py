@@ -1020,6 +1020,44 @@ def cdc_stats_skipping_read(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "iceberg_stats_skipping_read",
+    oracle="""
+    SELECT event_id, user_id, ts, event_type, value,
+           TRUE AS files_pruned
+    FROM events WHERE user_id BETWEEN 10 AND 40
+    """,
+    tags=("cdc", "iceberg", "scan"),
+)
+def iceberg_stats_skipping_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data skipping THROUGH the Iceberg metadata path: cluster the
+    table on ``user_id``, export it as an Iceberg tree (whose manifest
+    entries carry the col-stats bounds), then range-read via
+    ``read_iceberg_where`` — file pruning happens purely against the
+    manifest bounds, exactly how an Iceberg planner serves a selective
+    predicate on a 100 TB table without touching one parquet footer.
+    ``files_pruned`` asserts the scan read a strict subset of the live
+    files, folded into the oracle row."""
+    from hudi_and_delta_showcase_spark.tables.iceberg_meta import (
+        export_iceberg_metadata,
+        read_iceberg_where,
+    )
+
+    events = load_table(spark, sf_dir, "events").select(*_FINAL_COLS)
+    path = tempfile.mkdtemp(prefix="icestatsskip_") + "/events_tbl"
+    t = LakehouseTable.create(
+        spark, path, events,
+        key_cols=["event_id"], precombine="ts",
+    )
+    t.optimize(target_files=8, cluster_by=["user_id"])
+    export_iceberg_metadata(t)
+    out = read_iceberg_where(spark, path, "user_id", lo=10, hi=40)
+    pruned = 0 < len(out.inputFiles()) < len(t._commit(None).files)
+    return out.select(*_FINAL_COLS).withColumn(
+        "files_pruned", F.lit(pruned)
+    )
+
+
+@query(
     "cdc_concurrent_writers",
     oracle="""
     SELECT event_id, user_id, ts, event_type, value FROM (

@@ -636,3 +636,33 @@ def test_convert_foreign_iceberg_v2_tree(spark, tmp_path):
         spark, root, key_cols=["k"]
     )
     assert _rows(adopted.read()) == [(1, "a"), (2, "b"), (3, "c")]
+
+
+def test_read_iceberg_where_prunes_on_bounds(spark, tmp_path):
+    """read_iceberg_where skips files purely on manifest bounds: two
+    disjoint-range files, a selective range touches exactly one."""
+    from hudi_and_delta_showcase_spark.tables.iceberg_meta import (
+        read_iceberg_where,
+    )
+
+    lo_df = spark.createDataFrame(
+        [(i, "lo", 1) for i in range(1, 11)], "k int, v string, sq int"
+    ).coalesce(1)
+    hi_df = spark.createDataFrame(
+        [(i, "hi", 1) for i in range(100, 111)], "k int, v string, sq int"
+    ).coalesce(1)
+    t = LakehouseTable.create(
+        spark, str(tmp_path / "t"), lo_df, key_cols=["k"], precombine="sq",
+        partition_by="v",
+    )
+    t.upsert(hi_df)
+    export_iceberg_metadata(t)
+    out = read_iceberg_where(spark, t.path, "k", lo=100, hi=105)
+    # correct rows...
+    assert sorted(r.k for r in out.collect()) == list(range(100, 106))
+    # ...from a scan that lists ONLY the matching file
+    assert len(out.inputFiles()) == 1
+    # empty intersection: zero rows, schema preserved
+    none = read_iceberg_where(spark, t.path, "k", lo=50, hi=60)
+    assert none.count() == 0
+    assert [f.name for f in none.schema.fields][:2] == ["k", "v"]
