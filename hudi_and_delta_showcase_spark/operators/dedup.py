@@ -567,9 +567,19 @@ def simhash_near_pairs(
     fps: DataFrame, id_col: str, max_hamming: int = 3, chunks: int = 4
 ) -> DataFrame:
     """Near-dup pairs by Hamming distance <= k on SimHash fingerprints.
-    Candidate generation: pigeonhole over ``chunks`` 16-bit chunks (any
-    pair within distance k < chunks shares at least one exact chunk) —
-    a band join, not a cross join; verification via bit_count(xor)."""
+    Candidate generation: a band join over ``chunks`` equal bit-chunks
+    (never a cross join); verification via bit_count(xor).
+
+    Recall contract, stated precisely: the pigeonhole guarantee — any
+    pair within distance k shares at least one exact chunk — holds ONLY
+    for ``max_hamming < chunks``. Above that (the default call sites
+    use k=8 over 4 chunks, the Manku-style 64-bit web-dedup shape)
+    candidate generation is PROBABILISTIC: a pair whose k errors spread
+    across every chunk is missed. Guaranteeing k=8 by pigeonhole would
+    need 16 4-bit chunks, whose 16-value buckets collide into a
+    near-quadratic candidate set — strictly worse at scale than the
+    recall-floor-gated 16-bit banding (floor asserted against exact
+    Jaccard truth in tests/test_extensions.py)."""
     chunk_bits = 64 // chunks
     mask = (1 << chunk_bits) - 1
     chunked = fps.select(

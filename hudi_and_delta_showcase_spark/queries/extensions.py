@@ -203,9 +203,10 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query("dedup_simhash", oracle=None, tags=("dedup",))
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash(64-bit) near-dup pairs, Hamming <= 8, pigeonhole-banded
-    candidates. xxhash64 has no DuckDB twin -> rows-only check here;
-    recall vs exact Jaccard asserted in tests/test_extensions.py."""
+    """SimHash(64-bit) near-dup pairs, Hamming <= 8, 16-bit-banded
+    candidates (probabilistic above Hamming 3 — see simhash_near_pairs'
+    recall contract). xxhash64 has no DuckDB twin -> rows-only check
+    here; recall vs exact Jaccard asserted in tests/test_extensions.py."""
     toks = D.tokenize(load_table(spark, sf_dir, "documents"), "text")
     fps = D.simhash(toks, "doc_id", "tokens")
     return D.simhash_near_pairs(fps, "doc_id", max_hamming=8)
