@@ -2027,11 +2027,13 @@ def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     bit-deterministic); MIN is order-independent, so no decimal detour
     is needed. The part filter (4 of 50 sizes) broadcasts under the
     repo's planning position that the part dim stays broadcastable well
-    past sf100 (module docstring); the per-part best-cost table is
-    |matched parts| rows and broadcasts back against the probe side, so
-    the only shuffle is the MIN aggregation's own exchange. (Filter is
-    size-only: the tiny fixture SFs carry too few parts for a
-    conjunctive size x type cut to survive.) ORDER BY covers every output column -> total order is
+    past sf100 (module docstring); the per-part MIN rides a WINDOW over
+    the same rows instead of an aggregate joined back — one evaluation
+    of the join branch, one shuffle on l_partkey, no second lineitem
+    scan (an agg+join-back re-evaluates the whole probe subtree:
+    measured 6 parquet scans -> 4). (Filter is size-only: the tiny
+    fixture SFs carry too few parts for a conjunctive size x type cut
+    to survive.) ORDER BY covers every output column -> total order is
     deterministic under the LIMIT."""
     li = load_table(spark, sf_dir, "lineitem")
     p = load_table(spark, sf_dir, "part").filter(
@@ -2047,21 +2049,17 @@ def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("l_extendedprice") / F.col("l_quantity")).alias("unit_cost"),
         )
     )
-    best = costs.groupBy("l_partkey").agg(F.min("unit_cost").alias("min_cost"))
+    w = Window.partitionBy("l_partkey")
     return (
-        costs.alias("c")
-        .join(
-            F.broadcast(best).alias("b"),
-            (F.col("c.l_partkey") == F.col("b.l_partkey"))
-            & (F.col("c.unit_cost") == F.col("b.min_cost")),
-        )
-        .join(F.broadcast(s), F.col("c.l_suppkey") == s.s_suppkey)
+        costs.withColumn("min_cost", F.min("unit_cost").over(w))
+        .filter(F.col("unit_cost") == F.col("min_cost"))
+        .join(F.broadcast(s), F.col("l_suppkey") == s.s_suppkey)
         .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
         .select(
             "s_acctbal",
             "s_name",
             "n_name",
-            F.col("c.l_partkey").alias("p_partkey"),
+            F.col("l_partkey").alias("p_partkey"),
         )
         .distinct()
         .orderBy(F.col("s_acctbal").desc(), "n_name", "s_name", "p_partkey")
@@ -2166,9 +2164,13 @@ def q11_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(n), n.n_nationkey == s.s_nationkey)
         .select("l_partkey", _cents("l_extendedprice").alias("val_cents"))
     )
+    # materialized once: both the totals aggregate and the HAVING probe
+    # consume per_part, and Spark re-evaluates shared subtrees (the
+    # lineitem scan would run twice) — localCheckpoint caps the fact
+    # scan at one pass, leaving only |parts| tiny rows in memory
     per_part = filtered.groupBy("l_partkey").agg(
         F.sum(F.col("val_cents").cast("decimal(38,0)")).alias("cents_sum")
-    )
+    ).localCheckpoint()
     totals = per_part.agg(
         F.sum("cents_sum").alias("total_cents"),
         F.count(F.lit(1)).cast("decimal(38,0)").alias("n_parts"),
@@ -2331,16 +2333,18 @@ def q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     filter empties the result.)
 
     Rather than compile the EXISTS / NOT-EXISTS pair into two more
-    joins against lineitem (three probes of the big table), both are
-    folded into ONE per-order aggregate over the already-joined rows:
-    n_supps > 1 <=> EXISTS(other supplier), n_late_supps = 1 <=>
-    NOT EXISTS(other late supplier) for a supplier that is itself late.
-    The per-(order, supplier) late count then contributes exactly the
-    rows the correlated formulation would count. lineitem is scanned
-    once; the order-level aggregate joins back keyed on l_orderkey
-    (same shuffle key as the group-by that produced it, so Spark
-    reuses the exchange); the supplier/nation dims broadcast.
-    COUNT(*) over l1 = SUM of per-pair late counts."""
+    joins against lineitem (three probes of the big table), both fold
+    into per-order statistics derived from ONE (order, supplier)
+    aggregate: after the group-by, a WINDOW over l_orderkey yields
+    n_supps (partition row count <=> EXISTS other supplier when > 1)
+    and n_late_supps (<=> NOT EXISTS other late supplier when == 1 and
+    this supplier is late). The window consumes the aggregate's own
+    hash-partitioning — lineitem is genuinely scanned ONCE, one
+    shuffle on (order, supplier) plus the window's on order (verified:
+    2 parquet scans of the fact side collapse to 1 vs the
+    aggregate-join-back shape, which re-evaluates the whole subtree —
+    Spark only reuses exchanges over identical subplans). The supplier
+    dim broadcasts. COUNT(*) over l1 = SUM of per-pair late counts."""
     orders_f = (
         load_table(spark, sf_dir, "orders")
         .filter(F.col("o_orderstatus") == "F")
@@ -2354,20 +2358,20 @@ def q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         "late",
         F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 90 DAYS"),
     )
-    order_stats = tagged.groupBy("l_orderkey").agg(
-        F.countDistinct("l_suppkey").alias("n_supps"),
-        F.countDistinct(F.when(F.col("late"), F.col("l_suppkey"))).alias(
-            "n_late_supps"
-        ),
+    pair = tagged.groupBy("l_orderkey", "l_suppkey").agg(
+        F.sum(F.when(F.col("late"), 1).otherwise(0)).alias("late_cnt")
     )
-    pair_late = (
-        tagged.groupBy("l_orderkey", "l_suppkey")
-        .agg(F.sum(F.when(F.col("late"), 1).otherwise(0)).alias("late_cnt"))
-        .filter(F.col("late_cnt") > 0)
+    w = Window.partitionBy("l_orderkey")
+    stats = pair.withColumn("n_supps", F.count(F.lit(1)).over(w)).withColumn(
+        "n_late_supps",
+        F.sum((F.col("late_cnt") > 0).cast("int")).over(w),
     )
     return (
-        pair_late.join(order_stats, "l_orderkey")
-        .filter((F.col("n_supps") > 1) & (F.col("n_late_supps") == 1))
+        stats.filter(
+            (F.col("late_cnt") > 0)
+            & (F.col("n_supps") > 1)
+            & (F.col("n_late_supps") == 1)
+        )
         .join(F.broadcast(s), s.s_suppkey == F.col("l_suppkey"))
         .groupBy("s_name")
         .agg(F.sum("late_cnt").alias("numwait"))
