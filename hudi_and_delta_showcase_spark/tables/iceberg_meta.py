@@ -346,6 +346,8 @@ def _record_counts(spark, table_path: str, rel_files: list[str]) -> dict[str, in
     group-count ``_metadata.file_path``. Keys are the relative names."""
     if not rel_files:
         return {}
+    import urllib.parse
+
     from pyspark.sql import functions as F
 
     paths = [fsio.join(table_path, f) for f in rel_files]
@@ -355,8 +357,23 @@ def _record_counts(spark, table_path: str, rel_files: list[str]) -> dict[str, in
         .count()
         .collect()  # one row per FILE — metadata-scale
     )
-    by_base = {r.fp.rsplit("/", 1)[-1]: r["count"] for r in rows}
-    return {f: int(by_base.get(f.rsplit("/", 1)[-1], 0)) for f in rel_files}
+    # key by ROOT-RELATIVE path, never basename: a partitioned write
+    # reuses one task's part-file name across every partition directory
+    # (same ambiguity the bloom index hit, lakehouse.py), so basenames
+    # collide between a commit's files
+    root = fsio.uri_path(table_path).rstrip("/") + "/"
+    by_rel: dict[str, int] = {}
+    for r in rows:
+        local = urllib.parse.unquote(urllib.parse.urlparse(r.fp).path)
+        if local.startswith(root):
+            by_rel[local[len(root):]] = r["count"]
+    missing = [f for f in rel_files if f not in by_rel]
+    if missing:
+        raise RuntimeError(
+            f"record-count scan did not cover {len(missing)} files "
+            f"(first: {missing[0]!r}) — path mapping drifted"
+        )
+    return {f: int(by_rel[f]) for f in rel_files}
 
 
 

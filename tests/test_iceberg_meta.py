@@ -666,3 +666,31 @@ def test_read_iceberg_where_prunes_on_bounds(spark, tmp_path):
     none = read_iceberg_where(spark, t.path, "k", lo=50, hi=60)
     assert none.count() == 0
     assert [f.name for f in none.schema.fields][:2] == ["k", "v"]
+
+
+def test_record_counts_distinguish_same_basename_files(spark, tmp_path):
+    """A single write task reuses its part-file name across every
+    partition directory (part-00000-<uuid> in BOTH __pp dirs), so
+    record counts must key by root-relative path, never basename."""
+    df = spark.createDataFrame(
+        [(1, "p0", 1), (2, "p0", 1), (3, "p1", 1), (4, "p1", 1), (5, "p1", 1)],
+        "k int, p string, sq int",
+    ).coalesce(1)  # ONE task -> identical basenames in both partition dirs
+    t = LakehouseTable.create(
+        spark, str(tmp_path / "t"), df,
+        key_cols=["k"], precombine="sq", partition_by="p",
+    )
+    export_iceberg_metadata(t)
+    snap = iceberg_snapshots(t.path)[-1]
+    _, manifests = ocf_decode(open(snap["manifest-list"], "rb").read())
+    _, entries = ocf_decode(open(manifests[0]["manifest_path"], "rb").read())
+    counts = {
+        e["data_file"]["partition"]["p"]: e["data_file"]["record_count"]
+        for e in entries
+    }
+    basenames = {
+        e["data_file"]["file_path"].rsplit("/", 1)[-1] for e in entries
+    }
+    assert len(entries) == 2
+    assert len(basenames) == 1, "fixture must hit the shared-basename case"
+    assert counts == {"p0": 2, "p1": 3}
