@@ -798,6 +798,8 @@ def read_iceberg_where(
     snaps = {s["snapshot-id"]: s for s in meta["snapshots"]}
     sid = snapshot_id if snapshot_id is not None else meta["current-snapshot-id"]
     entries = _snapshot_entries(table_path, snaps[sid])
+    if not entries:
+        raise ValueError("snapshot has no data files")
     keep = []
     for e in entries:
         df_rec = e["data_file"]

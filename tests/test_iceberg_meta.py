@@ -241,14 +241,23 @@ def _pin(name: str, got) -> None:
             json.dump(got, fh, indent=1, sort_keys=True)
         pytest.skip(f"golden {name} written; rerun to enforce")
     want = json.load(open(path))
+    if got != want:  # drop the full structure where a human can diff it
+        with open(f"/tmp/{name}.got.json", "w") as fh:
+            json.dump(got, fh, indent=1, sort_keys=True)
     assert got == want, (
         f"exported protocol structure drifted from {name} — if the "
-        "change is INTENTIONAL, delete the golden and rerun to re-pin"
+        "change is INTENTIONAL, delete the golden and rerun to re-pin "
+        f"(actual structure dumped to /tmp/{name}.got.json)"
     )
 
 
 def test_iceberg_export_structure_pinned(spark, tmp_path):
-    t = _fixture_table(spark, str(tmp_path / "t"))
+    # the golden encodes the rewrite's output FILE COUNT, which follows
+    # the session's shuffle-partition/AQE state — pin it to one file so
+    # the structure is identical standalone and mid-suite
+    s = spark.newSession()
+    s.conf.set("spark.sql.shuffle.partitions", "1")
+    t = _fixture_table(s, str(tmp_path / "t"))
     export_iceberg_metadata(t)
     root = os.path.abspath(t.path)
     meta_dir = os.path.join(t.path, "metadata")
