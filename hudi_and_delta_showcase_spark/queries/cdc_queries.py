@@ -2122,6 +2122,56 @@ def cdc_convert_iceberg(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "tpch_refresh_rf1_rf2",
+    oracle="""
+    SELECT o_orderpriority,
+           COUNT(*) AS n_orders,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+             AS sum_totalprice
+    FROM orders
+    WHERE o_orderkey % 7 <> 0
+    GROUP BY o_orderpriority
+    ORDER BY o_orderpriority
+    """,
+    tags=("cdc", "table", "tpch"),
+)
+def tpch_refresh_rf1_rf2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H's refresh half (RF1/RF2) on the lakehouse: bulk-load 90%
+    of orders, RF1-insert the held-out 10% as a keyed upsert, then
+    RF2-delete every 7th orderkey — the insert/delete maintenance
+    streams the benchmark specifies alongside Q1-Q22 — and aggregate
+    the surviving table per priority. Both refresh batches are
+    O(affected files) commits (partition + key-range pruned), never
+    table rewrites; the oracle recomputes the final state from scratch.
+    Exact money via the repo-wide cents convention."""
+    from hudi_and_delta_showcase_spark.queries.relational import (
+        _cents,
+        _exact_money,
+    )
+
+    orders = load_table(spark, sf_dir, "orders")
+    base = orders.filter(F.col("o_orderkey") % 10 != 0)
+    rf1 = orders.filter(F.col("o_orderkey") % 10 == 0)
+    path = tempfile.mkdtemp(prefix="tpch_rf_") + "/orders_tbl"
+    t = LakehouseTable.create(
+        spark, path, base, key_cols=["o_orderkey"], precombine="o_orderdate",
+    )
+    t.upsert(rf1)  # RF1: new sales
+    t.delete(  # RF2: old sales fall off the horizon
+        orders.filter(F.col("o_orderkey") % 7 == 0).select("o_orderkey")
+    )
+    return (
+        t.read()
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            _exact_money(_cents("o_totalprice"), 2).alias("sum_totalprice"),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
+@query(
     "cdc_constraint_evolution",
     oracle=f"""
     WITH base AS (
