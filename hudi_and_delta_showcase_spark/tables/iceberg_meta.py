@@ -365,15 +365,16 @@ def _record_counts(spark, table_path: str, rel_files: list[str]) -> dict[str, in
     by_rel: dict[str, int] = {}
     for r in rows:
         local = urllib.parse.unquote(urllib.parse.urlparse(r.fp).path)
-        if local.startswith(root):
-            by_rel[local[len(root):]] = r["count"]
-    missing = [f for f in rel_files if f not in by_rel]
-    if missing:
-        raise RuntimeError(
-            f"record-count scan did not cover {len(missing)} files "
-            f"(first: {missing[0]!r}) — path mapping drifted"
-        )
-    return {f: int(by_rel[f]) for f in rel_files}
+        if not local.startswith(root):
+            # a scanned row we cannot attribute = real mapping drift
+            # (an empty file is NOT this: it contributes no group rows
+            # at all and correctly records count 0 below)
+            raise RuntimeError(
+                f"record-count scan returned a path outside the table "
+                f"root: {r.fp!r} vs {root!r}"
+            )
+        by_rel[local[len(root):]] = r["count"]
+    return {f: int(by_rel.get(f, 0)) for f in rel_files}
 
 
 
