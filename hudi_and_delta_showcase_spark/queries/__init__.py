@@ -160,6 +160,8 @@ PRIORITY: tuple[str, ...] = (
     "iceberg_stats_skipping_read",
     # r6: TPC-H's RF1/RF2 refresh streams as lakehouse upsert + delete
     "tpch_refresh_rf1_rf2",
+    # r6: Delta's WHEN NOT MATCHED BY SOURCE clause (full-sync MERGE)
+    "sql_merge_by_source",
     # r6: zero-copy shallow clone (Delta SHALLOW CLONE)
     "cdc_shallow_clone",
     # r6: change data feed on merge-on-read (RT-resolved pre-images)

@@ -2122,6 +2122,48 @@ def cdc_convert_iceberg(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "sql_merge_by_source",
+    oracle=f"""
+    SELECT event_id, user_id, ts, event_type, value FROM (
+      SELECT *, ROW_NUMBER() OVER (
+        PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+      FROM events WHERE ts >= TIMESTAMP '{CUTOFF}'
+    ) WHERE rn = 1
+    """,
+    tags=("cdc", "table", "sql", "merge"),
+)
+def sql_merge_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Delta's WHEN NOT MATCHED BY SOURCE clause — full-sync MERGE: the
+    post-cutoff latest-per-key batch is the complete desired state, so
+    matched keys update, new keys insert, and target keys ABSENT from
+    the source delete in the same statement (one anti-probe of the
+    key-pruned target scan, one delete commit shared with any matched
+    deletes). Final state == exactly the source batch."""
+    from hudi_and_delta_showcase_spark.operators.cdc import precombine_dedup
+    from hudi_and_delta_showcase_spark.tables.merge_sql import execute_merge
+
+    base, incr = _split(spark, sf_dir)
+    path = tempfile.mkdtemp(prefix="lakehouse_bysrc_")
+    t = LakehouseTable.create(
+        spark, f"{path}/events_tbl", base,
+        key_cols=["user_id"], precombine="ts", tiebreakers=["event_id"],
+    )
+    precombine_dedup(
+        incr, ["user_id"], "ts", ["event_id"]
+    ).createOrReplaceTempView("events_full_sync_src")
+    execute_merge(
+        spark,
+        """MERGE INTO events_tbl t USING events_full_sync_src s
+           ON t.user_id = s.user_id
+           WHEN MATCHED THEN UPDATE SET *
+           WHEN NOT MATCHED THEN INSERT *
+           WHEN NOT MATCHED BY SOURCE THEN DELETE""",
+        {"events_tbl": t},
+    )
+    return t.read().select(*_FINAL_COLS)
+
+
+@query(
     "tpch_refresh_rf1_rf2",
     oracle="""
     SELECT o_orderpriority,

@@ -20,6 +20,7 @@ clauses; anything else raises):
     ON <equality conjunction over the target's resolution columns>
     { WHEN MATCHED [AND <cond>] THEN { UPDATE SET * | DELETE } }*
     [ WHEN NOT MATCHED [AND <cond>] THEN INSERT * ]
+    [ WHEN NOT MATCHED BY SOURCE [AND <cond>] THEN DELETE ]
 
 Execution model (Delta semantics, Spark-first physical plan):
 each source row is routed to the FIRST clause whose condition it
@@ -52,7 +53,8 @@ _HEAD_RE = re.compile(
     re.IGNORECASE | re.DOTALL,
 )
 _CLAUSE_RE = re.compile(
-    r"WHEN\s+(?P<not>NOT\s+)?MATCHED(?:\s+AND\s+(?P<cond>.+?))?\s+THEN\s+"
+    r"WHEN\s+(?P<not>NOT\s+)?MATCHED(?P<bysrc>\s+BY\s+SOURCE)?"
+    r"(?:\s+AND\s+(?P<cond>.+?))?\s+THEN\s+"
     r"(?P<action>UPDATE\s+SET\s+\*|INSERT\s+\*|DELETE)",
     re.IGNORECASE | re.DOTALL,
 )
@@ -63,6 +65,11 @@ class MergeClause:
     matched: bool
     condition: str | None  # SQL expr over t./s. columns, None = always
     action: str  # update | insert | delete
+    #: Delta's third clause group: WHEN NOT MATCHED BY SOURCE operates
+    #: on TARGET rows whose key is absent from the source (sync
+    #: deletion). Only DELETE is supported — the star-clause grammar
+    #: has no source columns to SET from on this branch.
+    by_source: bool = False
 
 
 @dataclass(frozen=True)
@@ -83,7 +90,16 @@ def parse_merge(sql: str) -> MergeSpec:
     for m in _CLAUSE_RE.finditer(sql):
         action = re.sub(r"\s+", " ", m.group("action").upper())
         matched = m.group("not") is None
-        if action == "DELETE" and not matched:
+        by_source = m.group("bysrc") is not None
+        if by_source:
+            if matched:
+                raise ValueError("WHEN MATCHED BY SOURCE is not valid")
+            if action != "DELETE":
+                raise ValueError(
+                    "WHEN NOT MATCHED BY SOURCE supports only DELETE "
+                    "(no source columns exist to SET from)"
+                )
+        elif action == "DELETE" and not matched:
             raise ValueError("WHEN NOT MATCHED THEN DELETE is not valid")
         if action == "INSERT *" and matched:
             raise ValueError("WHEN MATCHED THEN INSERT is not valid")
@@ -94,6 +110,7 @@ def parse_merge(sql: str) -> MergeSpec:
                 matched=matched,
                 condition=(m.group("cond") or "").strip() or None,
                 action=action.split(" ")[0].lower(),
+                by_source=by_source,
             )
         )
     if not clauses:
@@ -185,10 +202,13 @@ def execute_merge(
         ).alias("__matched"),
     )
 
+    src_clauses = [c for c in spec.clauses if not c.by_source]
+    bysrc_clauses = [c for c in spec.clauses if c.by_source]
+
     # first-satisfied-clause routing, exactly Delta's clause order
     action = F.lit(None).cast("string")
     assigned = F.lit(False)
-    for c in spec.clauses:
+    for c in src_clauses:
         hit = F.col("__matched") if c.matched else ~F.col("__matched")
         if c.condition is not None:
             cond = re.sub(
@@ -205,16 +225,41 @@ def execute_merge(
         .agg(F.count(F.lit(1)).alias("n"))
         .collect()
     }
-    commits = []
-    deletes = routed.filter(F.col("__action") == "delete")
-    if counts.get("delete"):
-        commits.append(
-            table.delete(
-                deletes.select(
-                    *[F.col(s).alias(t) for t, s in key_map.items()]
+    # Delta's third clause group: TARGET rows whose key is absent from
+    # the source (one left-anti probe of the key-pruned target scan),
+    # optionally filtered by the clause conditions over target columns
+    deleted_by_source = 0
+    bysrc_keys = None
+    if bysrc_clauses:
+        tcols = list(key_map.keys())
+        src_keys = src.select(
+            *[
+                F.col(f"{spec.source_alias}.{sc}").alias(tc)
+                for tc, sc in key_map.items()
+            ]
+        ).distinct()
+        missing = table.read().join(src_keys, tcols, "left_anti")
+        keep = F.lit(False)
+        for c in bysrc_clauses:
+            hit = F.lit(True)
+            if c.condition is not None:
+                hit = F.expr(
+                    re.sub(rf"\b{spec.target_alias}\.", "", c.condition)
                 )
-            ).version
-        )
+            keep = keep | hit
+        bysrc_keys = missing.filter(keep).select(*tcols).distinct()
+        deleted_by_source = bysrc_keys.count()
+
+    commits = []
+    deletes = routed.filter(F.col("__action") == "delete").select(
+        *[F.col(s).alias(t) for t, s in key_map.items()]
+    )
+    if counts.get("delete") or deleted_by_source:
+        all_deletes = deletes
+        if bysrc_keys is not None:
+            # one delete commit for both clause groups
+            all_deletes = deletes.unionByName(bysrc_keys)
+        commits.append(table.delete(all_deletes).version)
     # UPDATE SET * / INSERT * write the TARGET's data columns (the
     # source may carry extras, e.g. CDC envelope fields) — Delta's
     # star-clause resolves against the target schema the same way
@@ -232,6 +277,7 @@ def execute_merge(
         "updated": counts.get("update", 0),
         "inserted": counts.get("insert", 0),
         "deleted": counts.get("delete", 0),
+        "deleted_by_source": deleted_by_source,
         "skipped": counts.get(None, 0),
         "commits": commits,
     }

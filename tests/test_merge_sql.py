@@ -113,6 +113,7 @@ def test_unmatched_tombstone_skipped(spark, tmp_path):
         {"m": t},
     )
     assert stats == {
+        "deleted_by_source": 0,
         "updated": 0, "inserted": 0, "deleted": 0, "skipped": 1,
         "commits": [],
     }
@@ -283,3 +284,59 @@ def test_execute_ddl_statements(spark, tmp_path):
         run("TRUNCATE TABLE events_tbl")
     with pytest.raises(KeyError):
         run("OPTIMIZE nosuch")
+
+
+def test_not_matched_by_source_delete(spark, tmp_path):
+    """Delta's third clause group: target rows whose key is absent from
+    the source are deleted (sync semantics), optionally condition-
+    filtered, in the SAME delete commit as matched deletes."""
+    from hudi_and_delta_showcase_spark.tables.merge_sql import execute_merge
+
+    t = LakehouseTable.create(
+        spark,
+        str(tmp_path / "m"),
+        spark.createDataFrame(
+            [(1, "a", 1), (2, "b", 1), (3, "c", 1), (4, "d", 1)],
+            "pk_id int, v string, sq int",
+        ),
+        key_cols=["pk_id"], precombine="sq",
+    )
+    spark.createDataFrame(
+        [(2, "b2", 2, False), (5, "e", 2, False)],
+        "pk_id int, v string, sq int, is_deleted boolean",
+    ).createOrReplaceTempView("sync_batch")
+    stats = execute_merge(
+        spark,
+        """MERGE INTO m USING sync_batch s ON m.pk_id = s.pk_id
+           WHEN MATCHED THEN UPDATE SET *
+           WHEN NOT MATCHED THEN INSERT *
+           WHEN NOT MATCHED BY SOURCE AND m.pk_id > 1 THEN DELETE""",
+        {"m": t},
+    )
+    assert stats["updated"] == 1 and stats["inserted"] == 1
+    assert stats["deleted_by_source"] == 2  # pk 3,4 gone; pk 1 kept by cond
+    got = sorted((r.pk_id, r.v) for r in t.read().select("pk_id", "v").collect())
+    assert got == [(1, "a"), (2, "b2"), (5, "e")]
+    # unconditional variant mirrors a full sync
+    spark.createDataFrame(
+        [(2, "b3", 3, False)], "pk_id int, v string, sq int, is_deleted boolean"
+    ).createOrReplaceTempView("sync_batch2")
+    stats = execute_merge(
+        spark,
+        """MERGE INTO m USING sync_batch2 s ON m.pk_id = s.pk_id
+           WHEN MATCHED THEN UPDATE SET *
+           WHEN NOT MATCHED BY SOURCE THEN DELETE""",
+        {"m": t},
+    )
+    assert stats["deleted_by_source"] == 2
+    assert [r.pk_id for r in t.read().select("pk_id").collect()] == [2]
+
+
+def test_not_matched_by_source_rejects_update(spark):
+    from hudi_and_delta_showcase_spark.tables.merge_sql import parse_merge
+
+    with pytest.raises(ValueError, match="only DELETE"):
+        parse_merge(
+            """MERGE INTO m USING s ON m.k = s.k
+               WHEN NOT MATCHED BY SOURCE THEN UPDATE SET *"""
+        )
