@@ -761,6 +761,67 @@ def iceberg_snapshots(table_path: str) -> list[dict]:
     return read_iceberg_metadata(table_path)["snapshots"]
 
 
+def expire_iceberg_snapshots(table_path: str, keep_last: int = 1) -> dict:
+    """Iceberg ``expireSnapshots`` over an exported tree: drop all but
+    the newest ``keep_last`` snapshots from the current metadata and
+    delete the manifest-list/manifest Avro files only the expired
+    snapshots referenced. METADATA-ONLY — data files are never touched
+    (they belong to the source table's own vacuum lifecycle), and
+    manifests shared with surviving snapshots survive. The rewritten
+    metadata keeps its version number (a new metadata version is an
+    EXPORT concept; expiration edits retention, exactly like the
+    reference engines), so version-hint stays valid.
+
+    Returns {"expired": n, "deleted_files": [...]} for observability."""
+    if keep_last < 1:
+        raise ValueError("keep_last must be >= 1")
+    if not fsio.exists(_version_hint(table_path)):
+        raise FileNotFoundError(
+            "expire works on exported trees (version-hint present)"
+        )
+    version = int(fsio.read_pointer_text(_version_hint(table_path)).strip())
+    meta = json.loads(fsio.read_text(_metadata_file(table_path, version)))
+    snaps = meta["snapshots"]
+    if len(snaps) <= keep_last:
+        return {"expired": 0, "deleted_files": []}
+    expired, kept = snaps[:-keep_last], snaps[-keep_last:]
+
+    def refs(snapshot: dict) -> set[str]:
+        out = {snapshot["manifest-list"]}
+        _, manifests = ocf_decode(
+            fsio.read_bytes(_resolve(table_path, snapshot["manifest-list"]))
+        )
+        out.update(m["manifest_path"] for m in manifests)
+        return out
+
+    live: set[str] = set()
+    for sn in kept:
+        live |= refs(sn)
+    dead: set[str] = set()
+    for sn in expired:
+        dead |= refs(sn)
+    dead -= live
+
+    kept_ids = {sn["snapshot-id"] for sn in kept}
+    meta["snapshots"] = kept
+    meta["snapshot-log"] = [
+        e for e in meta["snapshot-log"] if e["snapshot-id"] in kept_ids
+    ]
+    # the oldest kept snapshot loses its expired parent
+    if kept and kept[0].get("parent-snapshot-id") not in kept_ids:
+        kept[0].pop("parent-snapshot-id", None)
+    fsio.write_atomic(
+        _metadata_file(table_path, version), json.dumps(meta, indent=1)
+    )
+    deleted = []
+    for path in sorted(dead):
+        p = _resolve(table_path, path)
+        if fsio.exists(p):
+            fsio.remove(p)
+            deleted.append(p)
+    return {"expired": len(expired), "deleted_files": deleted}
+
+
 _BOUND_UNPACK = {
     "int": lambda b: _struct.unpack("<i", b)[0],
     "long": lambda b: _struct.unpack("<q", b)[0],

@@ -703,3 +703,79 @@ def test_record_counts_distinguish_same_basename_files(spark, tmp_path):
     assert len(entries) == 2
     assert len(basenames) == 1, "fixture must hit the shared-basename case"
     assert counts == {"p0": 2, "p1": 3}
+
+
+# --------------------------------------------------------------------- #
+# snapshot expiration
+# --------------------------------------------------------------------- #
+
+
+def test_expire_snapshots_metadata_only(spark, tmp_path):
+    from hudi_and_delta_showcase_spark.tables.iceberg_meta import (
+        expire_iceberg_snapshots,
+    )
+
+    t = _fixture_table(spark, str(tmp_path / "t"))
+    t.upsert(spark.createDataFrame([(3, "c", 3)], "k int, v string, sq int"))
+    export_iceberg_metadata(t)
+    snaps = iceberg_snapshots(t.path)
+    assert len(snaps) == 3
+    data_before = sorted(
+        f for _, _, fs in os.walk(os.path.join(t.path, "data")) for f in fs
+    )
+    res = expire_iceberg_snapshots(t.path, keep_last=1)
+    assert res["expired"] == 2
+    assert len(res["deleted_files"]) == 4  # 2 manifest-lists + 2 manifests
+    # current snapshot still serves; expired ids are gone
+    assert _rows(read_iceberg_table(spark, t.path)) == [
+        (1, "a"), (2, "b2"), (3, "c"),
+    ]
+    kept = iceberg_snapshots(t.path)
+    assert len(kept) == 1 and "parent-snapshot-id" not in kept[0]
+    with pytest.raises(ValueError, match="unknown snapshot-id"):
+        read_iceberg_table(spark, t.path, snapshot_id=snaps[0]["snapshot-id"])
+    # METADATA-ONLY: every data file untouched
+    data_after = sorted(
+        f for _, _, fs in os.walk(os.path.join(t.path, "data")) for f in fs
+    )
+    assert data_after == data_before
+    # idempotent / no-op below the floor
+    assert expire_iceberg_snapshots(t.path, keep_last=1) == {
+        "expired": 0, "deleted_files": [],
+    }
+    # incremental export continues cleanly after expiration
+    t.upsert(spark.createDataFrame([(4, "d", 4)], "k int, v string, sq int"))
+    export_iceberg_metadata(t)
+    assert len(iceberg_snapshots(t.path)) == 2
+
+
+def test_expire_keeps_shared_manifests(spark, tmp_path):
+    """A manifest referenced by BOTH an expired and a kept snapshot
+    (iceberg-java reuses manifests across snapshots) must survive."""
+    from hudi_and_delta_showcase_spark.avro_ocf import ocf_decode as dec
+    from hudi_and_delta_showcase_spark.avro_ocf import ocf_encode as enc
+    from hudi_and_delta_showcase_spark.tables.iceberg_meta import (
+        expire_iceberg_snapshots,
+    )
+
+    root = str(tmp_path / "ice")
+    sid1, sid2 = _foreign_v2_tree(root)
+    # rewrite snapshot 2's manifest list to ALSO reference snapshot 1's
+    # manifest (the reuse pattern), and give the tree a version hint so
+    # expire accepts it
+    l1 = os.path.join(root, "metadata", f"snap-{sid1}-1-ccc.avro")
+    l2 = os.path.join(root, "metadata", f"snap-{sid2}-1-ddd.avro")
+    s1, r1 = dec(open(l1, "rb").read())
+    s2, r2 = dec(open(l2, "rb").read())
+    shared = r1[0]["manifest_path"]
+    open(l2, "wb").write(enc(s2, r2 + [r1[0]], codec="deflate"))
+    import glob
+
+    meta_file = glob.glob(os.path.join(root, "metadata", "*.metadata.json"))[0]
+    os.rename(meta_file, os.path.join(root, "metadata", "v1.metadata.json"))
+    open(os.path.join(root, "metadata", "version-hint.text"), "w").write("1")
+
+    res = expire_iceberg_snapshots(root, keep_last=1)
+    assert res["expired"] == 1
+    assert os.path.exists(shared), "shared manifest must survive"
+    assert not os.path.exists(l1), "expired-only manifest list is deleted"
