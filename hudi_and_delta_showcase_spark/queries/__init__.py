@@ -164,6 +164,8 @@ PRIORITY: tuple[str, ...] = (
     "sql_merge_by_source",
     # r6: zero-copy shallow clone (Delta SHALLOW CLONE)
     "cdc_shallow_clone",
+    # r6: deep clone — distributed byte-copy, self-contained survivor
+    "cdc_deep_clone",
     # r6: change data feed on merge-on-read (RT-resolved pre-images)
     "cdc_mor_changes_feed",
     # r5: post-create ALTER TABLE ADD CONSTRAINT with snapshot validation

@@ -1898,6 +1898,35 @@ def cdc_shallow_clone(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "cdc_deep_clone",
+    oracle=_LATEST_ALL_SQL,
+    tags=("cdc", "table", "clone"),
+)
+def cdc_deep_clone(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Delta DEEP CLONE: byte-copy the pre-cutoff table's live files as
+    a distributed pyarrow-fs job (same relative names -> every
+    file-skipping index entry carries over verbatim), DELETE the source
+    outright, then upsert the post-cutoff batch into the surviving
+    clone. A shallow clone would be unreadable the moment its source
+    died; the deep clone must serve latest-per-key over all events from
+    its own files alone."""
+    import shutil
+
+    base, incr = _split(spark, sf_dir)
+    root = tempfile.mkdtemp(prefix="deepclone_")
+    src_t = LakehouseTable.create(
+        spark, f"{root}/src", base,
+        key_cols=["user_id"], precombine="ts", tiebreakers=["event_id"],
+    )
+    clone = LakehouseTable.clone(
+        spark, src_t.path, f"{root}/clone", deep=True
+    )
+    shutil.rmtree(src_t.path)  # self-containment is the contract
+    clone.upsert(incr)
+    return clone.read().select(*_FINAL_COLS)
+
+
+@query(
     "cdc_mor_changes_feed",
     oracle="""
     WITH pre AS (

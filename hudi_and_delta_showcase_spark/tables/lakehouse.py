@@ -68,6 +68,43 @@ HIVE_DEFAULT_PARTITION = "__HIVE_DEFAULT_PARTITION__"
 META_LOCK_TAKEOVER_SECONDS = 30.0
 
 
+def _distributed_copy(spark, pairs: list[tuple[str, str]]) -> None:
+    """Byte-copy (src, dst) file pairs as a Spark job — one partition
+    per slice of files, pyarrow.fs inside the task (py4j/Hadoop is
+    driver-only; pyarrow's URI-aware filesystems work in executors for
+    file/s3/gcs/hdfs). Parent dirs are created per task; 8 MiB chunked
+    streaming keeps executor memory flat on arbitrarily large files."""
+    if not pairs:
+        return
+
+    def copy_slice(it):
+        import pyarrow.fs as pafs
+
+        def fs_of(p):
+            if "://" not in p:
+                return pafs.LocalFileSystem(), p
+            return pafs.FileSystem.from_uri(p)
+
+        for src, dst in it:
+            sfs, sp = fs_of(src)
+            dfs, dp = fs_of(dst)
+            parent = dp.rsplit("/", 1)[0]
+            dfs.create_dir(parent, recursive=True)
+            with sfs.open_input_stream(sp) as r:
+                with dfs.open_output_stream(dp) as w:
+                    while True:
+                        chunk = r.read(8 << 20)
+                        if not chunk:
+                            break
+                        w.write(chunk)
+        return iter(())
+
+    n = min(len(pairs), 64)
+    spark.sparkContext.parallelize(pairs, n).mapPartitions(
+        copy_slice
+    ).count()
+
+
 def _parse_partition_value(v: str, partition_type: str):
     """Hive dir value string -> a JSON-stable typed value for the
     col_stats index (mirrors the scan-time cast in ``_repair_meta``)."""
@@ -500,7 +537,11 @@ class LakehouseTable:
 
     @classmethod
     def clone(
-        cls, spark: SparkSession, src_path: str, dest_path: str
+        cls,
+        spark: SparkSession,
+        src_path: str,
+        dest_path: str,
+        deep: bool = False,
     ) -> "LakehouseTable":
         """Delta ``CREATE TABLE ... SHALLOW CLONE``: a zero-copy table
         whose version 0 REFERENCES the source's current files (as
@@ -539,8 +580,28 @@ class LakehouseTable:
             fsio.read_pointer_text(fsio.join(src.path, "_meta.json")),
         )
 
-        def ref(f: str) -> str:
-            return fsio.resolve(src.path, f)
+        if deep:
+            # Delta DEEP CLONE: byte-copy the source's LIVE files (base
+            # + MoR logs) under the same relative names, one task per
+            # file slice — a DISTRIBUTED pyarrow-fs copy, never a
+            # driver-side loop (the copy is the operation; O(live data)
+            # cluster IO is its floor). Relative names surviving means
+            # every file-skipping index entry carries over verbatim.
+            _distributed_copy(
+                spark,
+                [
+                    (fsio.resolve(src.path, f), fsio.join(dest, f))
+                    for f in [*prev.files, *prev.log_files]
+                ],
+            )
+
+            def ref(f: str) -> str:
+                return f  # self-contained: dest-relative names
+
+        else:
+
+            def ref(f: str) -> str:
+                return fsio.resolve(src.path, f)
 
         mf.append_commit(
             dest,
@@ -553,6 +614,7 @@ class LakehouseTable:
                 stats={
                     "cloned_from": src.path,
                     "source_version": prev.version,
+                    "clone_depth": "deep" if deep else "shallow",
                 },
                 key_ranges={ref(f): v for f, v in prev.key_ranges.items()},
                 col_stats={ref(f): v for f, v in prev.col_stats.items()},

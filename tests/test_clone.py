@@ -108,3 +108,55 @@ def test_clone_refusals(spark, tmp_path):
     if dv._commit(None).dv_files:
         with pytest.raises(ValueError, match="deletion vectors"):
             LakehouseTable.clone(spark, dv.path, str(tmp_path / "c2"))
+
+
+def test_deep_clone_self_contained(spark, tmp_path):
+    """Delta DEEP CLONE: live files byte-copy under the same relative
+    names (distributed pyarrow-fs job), the clone references NOTHING in
+    the source — deleting the source leaves it fully readable — and
+    the carried file-skipping indexes still prune."""
+    import shutil
+
+    src = LakehouseTable.create(
+        spark,
+        str(tmp_path / "src"),
+        spark.createDataFrame(
+            [(1, "a", 1), (2, "b", 1)], "k int, v string, sq int"
+        ),
+        key_cols=["k"], precombine="sq",
+    )
+    src.upsert(spark.createDataFrame([(3, "c", 2)], "k int, v string, sq int"))
+    c = LakehouseTable.clone(
+        spark, src.path, str(tmp_path / "deep"), deep=True
+    )
+    commit = c._commit(None)
+    assert commit.stats["clone_depth"] == "deep"
+    # all references are dest-relative (self-contained)
+    assert all(not f.startswith("/") and "://" not in f for f in commit.files)
+    # indexes carried verbatim under the same names
+    assert set(commit.key_ranges) <= set(commit.files) or commit.key_ranges
+    shutil.rmtree(src.path)  # the source dies; the deep clone must not care
+    assert sorted(
+        (r.k, r.v) for r in c.read().select("k", "v").collect()
+    ) == [(1, "a"), (2, "b"), (3, "c")]
+    # and it writes independently
+    c.upsert(spark.createDataFrame([(4, "d", 3)], "k int, v string, sq int"))
+    assert c.read().count() == 4
+
+
+def test_deep_clone_copies_mor_logs(spark, tmp_path):
+    src = LakehouseTable.create(
+        spark,
+        str(tmp_path / "srcm"),
+        spark.createDataFrame([(1, "a", 1)], "k int, v string, sq int"),
+        key_cols=["k"], precombine="sq", table_type="mor",
+    )
+    src.upsert(spark.createDataFrame([(1, "a2", 2)], "k int, v string, sq int"))
+    c = LakehouseTable.clone(
+        spark, src.path, str(tmp_path / "deepm"), deep=True
+    )
+    import shutil
+
+    shutil.rmtree(src.path)
+    got = [(r.k, r.v) for r in c.read_rt().select("k", "v").collect()]
+    assert got == [(1, "a2")]
