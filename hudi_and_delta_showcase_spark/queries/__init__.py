@@ -168,6 +168,9 @@ PRIORITY: tuple[str, ...] = (
     "cdc_deep_clone",
     # r6: change data feed on merge-on-read (RT-resolved pre-images)
     "cdc_mor_changes_feed",
+    # r6: Iceberg-style partition-spec evolution (metadata-only DDL,
+    # per-file spec pruning, rewrites converge to the current spec)
+    "cdc_partition_evolution",
     # r5: post-create ALTER TABLE ADD CONSTRAINT with snapshot validation
     "cdc_constraint_evolution",
     "cdc_stats_skipping_read",

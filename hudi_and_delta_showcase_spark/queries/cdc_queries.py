@@ -2299,3 +2299,57 @@ def cdc_constraint_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
     t2 = LakehouseTable(spark, f"{path}/events_tbl")  # fresh handle sees it
     t2.upsert_quarantine(bad_incr)
     return t2.read().select(*_FINAL_COLS)
+
+
+@query(
+    "cdc_partition_evolution",
+    oracle="""
+    SELECT
+      o_orderkey,
+      o_orderpriority,
+      o_orderstatus,
+      CAST(
+        CASE WHEN o_orderkey % 5 = 0 THEN o_totalprice + 1
+             ELSE o_totalprice END AS DOUBLE
+      ) AS total
+    FROM orders
+    WHERE o_orderkey % 3 <> 0 OR o_orderkey % 5 = 0
+    """,
+    tags=("cdc", "table", "ddl"),
+)
+def cdc_partition_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Iceberg-style partition-spec evolution end-to-end: create the
+    table partitioned by ``o_orderpriority``, EVOLVE the spec to
+    ``o_orderstatus`` with a metadata-only DDL (zero files rewritten),
+    then upsert a batch that both updates old-spec files (pruned
+    against THEIR OWN column, see ``evolve_partitioning``) and writes
+    new files under the new spec. The final read spans both layouts;
+    the oracle is the plain merge semantics over ``orders``."""
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderpriority", "o_orderstatus", "o_totalprice"
+    )
+    base = orders.filter(F.col("o_orderkey") % 3 != 0).withColumn(
+        "sq", F.lit(1)
+    )
+    batch = (
+        orders.filter(F.col("o_orderkey") % 5 == 0)
+        .withColumn("o_totalprice", F.col("o_totalprice") + F.lit(1.0))
+        .withColumn("sq", F.lit(2))
+    )
+    path = tempfile.mkdtemp(prefix="lakehouse_pevo_")
+    t = LakehouseTable.create(
+        spark,
+        f"{path}/orders_tbl",
+        base,
+        key_cols=["o_orderkey"],
+        precombine="sq",
+        partition_by="o_orderpriority",
+    )
+    t.evolve_partitioning("o_orderstatus")
+    t.upsert(batch)
+    return t.read().select(
+        "o_orderkey",
+        "o_orderpriority",
+        "o_orderstatus",
+        F.col("o_totalprice").alias("total"),
+    )

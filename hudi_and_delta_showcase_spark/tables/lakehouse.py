@@ -39,6 +39,7 @@ from __future__ import annotations
 
 import json
 import os
+import re
 import time
 import urllib.parse
 import uuid
@@ -62,6 +63,10 @@ MERGE_ON_READ = "mor"
 
 #: Spark/Hive's directory token for a null partition value.
 HIVE_DEFAULT_PARTITION = "__HIVE_DEFAULT_PARTITION__"
+
+#: engine partition-dir token: ``__pp`` (spec 0) / ``__pp{i}`` (spec i
+#: after partition evolution — see ``evolve_partitioning``).
+_PP_TOKEN_RE = re.compile(r"^__pp(\d*)$")
 
 #: age beyond which a ``_meta.lock`` is judged a crashed DDL's wreckage
 #: and broken by the next waiter (a DDL holds it for milliseconds).
@@ -135,6 +140,15 @@ class LakehouseTable:
         self.precombine: str | None = meta["precombine"]
         self.tiebreakers: list[str] = meta.get("tiebreakers", [])
         self.partition_by: str | None = meta["partition_by"]
+        #: partition-spec HISTORY (Iceberg spec-evolution model): entry i
+        #: is the partition column files written under spec i used (None
+        #: = unpartitioned). ``partition_by`` is always the LAST entry —
+        #: the spec new writes use. Tables that never evolved have no
+        #: meta key and collapse to the single-spec fast path.
+        specs = meta.get("partition_specs")
+        self.partition_specs: list[str | None] = (
+            list(specs) if specs else [self.partition_by]
+        )
         self.table_type: str = meta["table_type"]
         self.cdc_enabled: bool = meta.get("cdc_enabled", False)
         self.global_index: bool = meta.get("global_index", False)
@@ -874,7 +888,9 @@ class LakehouseTable:
         phys = self._phys_name(name, prev)
         protected = set(
             self.key_cols
-            + ([self.partition_by] if self.partition_by else [])
+            # every HISTORICAL spec column stays protected: files written
+            # under an old spec still partition-prune against it
+            + [s for s in self.partition_specs if s]
             + ([self.precombine] if self.precombine else [])
             + self.tiebreakers
         )
@@ -1041,6 +1057,64 @@ class LakehouseTable:
                 raise ValueError(f"no such constraint: {name!r}")
             del cons[name]
             meta["constraints"] = cons
+
+        self._update_meta(transform)
+
+    def evolve_partitioning(self, column: str | None) -> None:
+        """Iceberg-style partition-spec evolution (Iceberg spec
+        `ALTER TABLE ... REPLACE PARTITION FIELD`): a METADATA-ONLY DDL
+        that changes the partition column for writes going FORWARD —
+        zero existing files are rewritten. ``None`` un-partitions.
+
+        Why this is safe without a rewrite (the Iceberg argument,
+        re-expressed on this engine's layout):
+
+        * Every spec column also lives IN the data files (the hive dirs
+          duplicate it), so readers never depend on the layout — scans
+          are explicit file lists and all read-side pruning
+          (``read_where``) is per-file column STATS, spec-agnostic.
+        * Each file's own spec is encoded in its directory token
+          (``__pp=`` for spec 0, ``__pp{i}=`` for spec i — see
+          ``_partition_spec_value_of``), so upsert partition pruning
+          and the non-global index's partition matching evaluate each
+          file against the BATCH VALUES OF THAT FILE'S OWN COLUMN:
+          pruning stays exact across the evolution instead of
+          degrading to scan-everything.
+        * Rewrite commits (compact / optimize) emit output under the
+          CURRENT spec, so maintenance naturally converges the table
+          to the new layout — Iceberg's migration story (spec-id per
+          manifest entry), with zero upfront IO.
+        * OCC: two concurrent writers whose touched partitions belong
+          to DIFFERENT specs cannot prove disjointness, so the rebase
+          rules treat cross-spec overlap as a conflict (conservative,
+          and only in the brief window around an evolution).
+
+        Like the single-spec engine (and Hudi's non-global index), the
+        exactness of partition pruning assumes a record's value for
+        each HISTORICAL spec column is stable per key; a key whose old
+        spec-column value changed routes like a new record in old-spec
+        files (standard non-global-index semantics). Tables needing
+        key moves across partitions use ``global_index=True``, which
+        never partition-prunes."""
+        if column is not None:
+            cols = set(self.read().columns)
+            if column not in cols:
+                raise ValueError(
+                    f"partition column {column!r} not in table schema"
+                )
+            if column.startswith("_hoodie"):
+                raise ValueError("cannot partition by a meta column")
+
+        def transform(meta):
+            cur = meta["partition_by"]
+            if column == cur:
+                raise ValueError(
+                    f"partition spec is already {column!r}"
+                )
+            specs = list(meta.get("partition_specs") or [cur])
+            specs.append(column)
+            meta["partition_specs"] = specs
+            meta["partition_by"] = column
 
         self._update_meta(transform)
 
@@ -1968,9 +2042,14 @@ class LakehouseTable:
         if self.partition_by and not log:
             # duplicate the partition column into hive-style dirs (__pp=v)
             # while keeping it in the data files -> reads stay plain
-            # file-list scans and pruning is a path-prefix filter.
-            df = df.withColumn("__pp", F.col(self.partition_by).cast("string"))
-            writer = df.write.mode("error").partitionBy("__pp")
+            # file-list scans and pruning is a path-prefix filter. After
+            # a partition-spec evolution the token carries the spec
+            # index (__pp{i}=v) so every file self-identifies which
+            # spec laid it out (see evolve_partitioning).
+            idx = len(self.partition_specs) - 1
+            tok = "__pp" if idx == 0 else f"__pp{idx}"
+            df = df.withColumn(tok, F.col(self.partition_by).cast("string"))
+            writer = df.write.mode("error").partitionBy(tok)
         writer.parquet(out)
         return sorted(
             fsio.relpath(p, self.path)
@@ -2252,30 +2331,76 @@ class LakehouseTable:
         )
         if disjoint < len(spans) // 2:
             return affected, []
-        pp_of = {f: self._partition_value_of(f) for f in ranged}
-        ranges_df = self.spark.createDataFrame(
-            [(f, pp_of[f], ranges[f][0], ranges[f][1]) for f in ranged],
-            "f string, pp string, kmin string, kmax string",
-        )
         # Global index: the key's previous row may live in ANY partition,
         # so the probe matches on key range alone; non-global also
-        # requires the partition to match.
+        # requires the partition to match — against each file's OWN
+        # spec column (files written before a partition evolution carry
+        # a different spec; see evolve_partitioning). The source side
+        # carries one array slot per live spec column and each file
+        # row carries the 1-based slot index of ITS spec (0 = no known
+        # spec / column missing from the batch: match-all,
+        # conservative).
+        partitioned = bool(self.partition_by) and not self.global_index
+        spec_cols: list[str] = []
+        pi_of: dict[str, int] = {}
+        if partitioned:
+            src_cols = set(stamped.columns)
+            spec_cols = [
+                c
+                for c in dict.fromkeys(
+                    s for s in self.partition_specs if s
+                )
+                if c in src_cols
+            ]
+            for f in ranged:
+                idx, _pv = self._partition_spec_value_of(f)
+                col = (
+                    self.partition_specs[idx]
+                    if 0 <= idx < len(self.partition_specs)
+                    else None
+                )
+                pi_of[f] = (
+                    spec_cols.index(col) + 1
+                    if col is not None and col in spec_cols
+                    else 0
+                )
+        pp_of = {f: self._partition_spec_value_of(f)[1] for f in ranged}
+        ranges_df = self.spark.createDataFrame(
+            [
+                (f, pi_of.get(f, 0), pp_of[f], ranges[f][0], ranges[f][1])
+                for f in ranged
+            ],
+            "f string, pi int, pp string, kmin string, kmax string",
+        )
         src = stamped.select(
             F.col("_hoodie_record_key").alias("k"),
             (
-                F.coalesce(
-                    F.col(self.partition_by).cast("string"),
-                    F.lit(HIVE_DEFAULT_PARTITION),
+                F.array(
+                    *[
+                        F.coalesce(
+                            F.col(c).cast("string"),
+                            F.lit(HIVE_DEFAULT_PARTITION),
+                        )
+                        for c in spec_cols
+                    ]
                 )
-                if self.partition_by and not self.global_index
-                else F.lit("")
-            ).alias("pp"),
+                if spec_cols
+                else F.array().cast("array<string>")
+            ).alias("pps"),
         ).distinct()
         cond = (F.col("s.k") >= F.col("r.kmin")) & (
             F.col("s.k") <= F.col("r.kmax")
         )
-        if self.partition_by and not self.global_index:
-            cond = (F.col("s.pp") == F.col("r.pp")) & cond
+        if partitioned and spec_cols:
+            # F.get (0-based) returns null out of bounds — never throws,
+            # even under ANSI where element_at(_, 0) would error.
+            cond = (
+                (F.col("r.pi") == F.lit(0))
+                | (
+                    F.get(F.col("s.pps"), F.col("r.pi") - 1)
+                    == F.col("r.pp")
+                )
+            ) & cond
         hits = {
             r.f
             for r in src.alias("s")
@@ -2324,6 +2449,29 @@ class LakehouseTable:
         if self.partition_by and self.partition_by in parts:
             return urllib.parse.unquote(parts[self.partition_by])
         return ""
+
+    def _partition_spec_value_of(self, rel_file: str) -> tuple[int, str]:
+        """(spec index, partition value) a file's path encodes: ``__pp=``
+        is spec 0, ``__pp{i}=`` spec i (see ``evolve_partitioning``);
+        adopted foreign layouts use the declared column's own
+        ``col=value`` dir. Spec index -1 = no partition dir / unknown
+        spec — such a file is NEVER partition-pruned (conservative)."""
+        for seg in rel_file.split("/"):
+            if "=" not in seg or seg.endswith(".parquet"):
+                continue
+            k, v = seg.split("=", 1)
+            m = _PP_TOKEN_RE.match(k)
+            if m:
+                idx = int(m.group(1)) if m.group(1) else 0
+                if idx >= len(self.partition_specs):
+                    return (-1, "")  # foreign/newer token: conservative
+                return (idx, urllib.parse.unquote(v))
+            if k in self.partition_specs:
+                return (
+                    self.partition_specs.index(k),
+                    urllib.parse.unquote(v),
+                )
+        return (-1, "")
 
     #: allowed type widenings (Delta ``typeWidening`` lattice, the
     #: subset parquet scans can upcast natively): integer chain,
@@ -2464,8 +2612,12 @@ class LakehouseTable:
         overhead on the normal path."""
         if self._convert_time is None:
             return df
+        # adopted files were laid out under the ORIGINAL spec — after a
+        # partition evolution that column is partition_specs[0], not
+        # partition_by.
+        adopted_col = self.partition_specs[0]
         if (
-            self.partition_by
+            adopted_col
             and self.adopted_partition_type
         ):
             # adopted hive layout: the partition column lives only in
@@ -2477,7 +2629,7 @@ class LakehouseTable:
 
             seg = F.regexp_extract(
                 F.col("_metadata.file_path"),
-                f"/{_re.escape(self.partition_by)}=([^/]+)/",
+                f"/{_re.escape(adopted_col)}=([^/]+)/",
                 1,
             )
             val = F.when(seg == "", F.lit(None)).otherwise(F.url_decode(seg))
@@ -2486,13 +2638,13 @@ class LakehouseTable:
                 .otherwise(val)
                 .cast(self.adopted_partition_type)
             )
-            if self.partition_by in df.columns:
+            if adopted_col in df.columns:
                 df = df.withColumn(
-                    self.partition_by,
-                    F.coalesce(F.col(self.partition_by), val),
+                    adopted_col,
+                    F.coalesce(F.col(adopted_col), val),
                 )
             else:
-                df = df.withColumn(self.partition_by, val)
+                df = df.withColumn(adopted_col, val)
         key = F.concat_ws(
             "|", *[F.col(k).cast("string") for k in self.key_cols]
         )
@@ -2683,18 +2835,41 @@ class LakehouseTable:
         falls to the key-range probe (Hudi's global-index cost)."""
         if not self.partition_by or self.global_index:
             return files, []
-        # null partition values land in the hive default-partition dir —
-        # match them under the same token str(None) would never hit
+        # After a partition evolution, files written under an OLD spec
+        # prune against the batch's values of THAT spec's column (every
+        # spec column also lives in the data) — one distinct job over
+        # all live spec columns covers every spec at once. Null
+        # partition values land in the hive default-partition dir —
+        # match them under the same token str(None) would never hit.
+        spec_cols = [
+            c
+            for c in dict.fromkeys(s for s in self.partition_specs if s)
+            if c in source.columns
+        ]
+        if not spec_cols:
+            return files, []
+        rows = source.select(
+            *[F.col(c).cast("string").alias(c) for c in spec_cols]
+        ).distinct().collect()
         values = {
-            HIVE_DEFAULT_PARTITION if r[0] is None else str(r[0])
-            for r in source.select(
-                F.col(self.partition_by).cast("string")
-            ).distinct().collect()
+            c: {
+                HIVE_DEFAULT_PARTITION if r[c] is None else str(r[c])
+                for r in rows
+            }
+            for c in spec_cols
         }
         affected, untouched = [], []
         for f in files:
-            pv = self._partition_value_of(f)
-            (affected if pv in values else untouched).append(f)
+            idx, pv = self._partition_spec_value_of(f)
+            col = (
+                self.partition_specs[idx]
+                if 0 <= idx < len(self.partition_specs)
+                else None
+            )
+            if col is None or col not in values or pv in values[col]:
+                affected.append(f)  # unknown spec: conservative hit
+            else:
+                untouched.append(f)
         return affected, untouched
 
 

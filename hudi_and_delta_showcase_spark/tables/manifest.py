@@ -369,6 +369,19 @@ def _check_rebase(ours: dict, theirs: dict, winner_actions: list[str]) -> None:
             raise ConcurrentWriteConflict(
                 f"concurrent writes in partitions {sorted(clash)[:3]}"
             )
+        # Partition disjointness is only provable within ONE partition
+        # spec: after a partition evolution (__pp= vs __pp1= dir
+        # tokens), two writers' partition sets can be token-disjoint
+        # while overlapping in rows. Cross-spec overlap is therefore a
+        # conflict — conservative, and only in the brief window where
+        # mixed-spec writes race.
+        our_specs = {p.split("=", 1)[0] for p in our_parts}
+        their_specs = {p.split("=", 1)[0] for p in their_parts}
+        if our_parts and their_parts and our_specs != their_specs:
+            raise ConcurrentWriteConflict(
+                "concurrent writes under different partition specs "
+                f"({sorted(our_specs)} vs {sorted(their_specs)})"
+            )
         if theirs["dv_files_add"] and (
             ours["files_add"] or ours["files_remove"] or ours["log_files_add"]
         ):
