@@ -175,6 +175,8 @@ PRIORITY: tuple[str, ...] = (
     "cdc_constraint_evolution",
     "cdc_stats_skipping_read",
     "cdc_bloom_skipping_upsert",
+    # r6: Hudi BUCKET index — arithmetic upsert routing, no probe scan
+    "cdc_bucket_index_routing",
     # r4: record-level index (exact key->file tier)
     "cdc_record_index_lookup",
     "cdc_restore_version",

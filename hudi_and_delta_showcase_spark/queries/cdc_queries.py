@@ -2353,3 +2353,32 @@ def cdc_partition_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_orderstatus",
         F.col("o_totalprice").alias("total"),
     )
+
+
+@query(
+    "cdc_bucket_index_routing",
+    oracle=_LATEST_ALL_SQL,
+    tags=("cdc", "table", "upsert", "index"),
+)
+def cdc_bucket_index_routing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hudi BUCKET-index upsert end-to-end: the table hash-routes every
+    row to one of 16 fixed buckets by record key, and the incremental
+    batch routes to its buckets ARITHMETICALLY — no footer/bloom probe
+    job (see ``LakehouseTable.create(bucket_count=...)``). Final state
+    must equal the same latest-per-key oracle as the unbucketed CoW
+    roundtrip — bucketing changes the physical routing, never the
+    merge semantics."""
+    base, incr = _split(spark, sf_dir)
+    path = tempfile.mkdtemp(prefix="lakehouse_bucket_")
+    t = LakehouseTable.create(
+        spark,
+        f"{path}/events_tbl",
+        base,
+        key_cols=["user_id"],
+        precombine="ts",
+        tiebreakers=["event_id"],
+        bucket_count=16,
+    )
+    c = t.upsert(incr)
+    assert "bucket_skipped_files" in c.stats
+    return t.read().select(*_FINAL_COLS)

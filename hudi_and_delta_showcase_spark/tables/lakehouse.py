@@ -155,6 +155,7 @@ class LakehouseTable:
         self.bloom_index: bool = meta.get("bloom_index", False)
         self.deletion_vectors: bool = meta.get("deletion_vectors", False)
         self.record_index: bool = meta.get("record_index", False)
+        self.bucket_count: int | None = meta.get("bucket_count")
         self.constraints: dict[str, str] = meta.get("constraints", {})
         self.generated_columns: dict[str, str] = meta.get(
             "generated_columns", {}
@@ -208,6 +209,7 @@ class LakehouseTable:
         bloom_index: bool = False,
         deletion_vectors: bool = False,
         record_index: bool = False,
+        bucket_count: int | None = None,
         constraints: dict[str, str] | None = None,
         generated_columns: dict[str, str] | None = None,
         extra_stats: dict | None = None,
@@ -261,7 +263,24 @@ class LakehouseTable:
         and hands the violating rows back — the data-pipeline idiom
         where bad records route to a quarantine sink instead of failing
         the load. Validation is a map-only filter fused into the write
-        scan: zero extra shuffles at any scale."""
+        scan: zero extra shuffles at any scale.
+
+        ``bucket_count`` (Hudi ``hoodie.index.type=BUCKET`` with
+        ``hoodie.bucket.index.num.buckets``) hash-routes every row to
+        one of N fixed buckets by record key (``pmod(xxhash64(key),
+        N)``, encoded in each file's ``__bk=`` dir). Upserts and point
+        lookups then route by PURE ARITHMETIC — candidate files are
+        the batch's buckets, no footer/bloom/index probe JOB at all —
+        which at 100 TB removes the probe scan entirely and bounds
+        file-group count at N per partition. The trade-offs are
+        Hudi's: N is fixed at creation (pick for target file size at
+        expected volume), and a batch spraying all N buckets rewrites
+        the whole partition (bucket indexes shine on key-skewed,
+        incremental workloads). OCC bonus: on unpartitioned tables the
+        bucket dir doubles as the partition token, so bucket-disjoint
+        concurrent upserts COMMUTE under the rebase rules instead of
+        conflicting. Composes with range/bloom tiers (they prune
+        further within the routed buckets)."""
         path = fsio.absolutize(path)
         if fsio.exists(fsio.join(path, "_meta.json")):
             if mode == "overwrite":
@@ -283,6 +302,7 @@ class LakehouseTable:
                     "bloom_index": bloom_index,
                     "deletion_vectors": deletion_vectors,
                     "record_index": record_index,
+                    "bucket_count": bucket_count,
                     "constraints": constraints or {},
                     "generated_columns": generated_columns or {},
                 },
@@ -298,6 +318,12 @@ class LakehouseTable:
             )
         df = table._enforce_constraints(df)
         stamped = table._stamp_meta(df, commit_time)
+        if bucket_count:
+            # align tasks to buckets: one initial file per bucket
+            # instead of tasks x buckets (see optimize's bucket note)
+            stamped = stamped.withColumn(
+                "__bko", table._bucket_expr()
+            ).repartition(int(bucket_count), F.col("__bko")).drop("__bko")
         files = table._write_files(stamped, f"c{0:05d}")
         # record the physical read schema in the commit (Delta's
         # metaData action): upserts reconcile types against THIS instead
@@ -753,6 +779,28 @@ class LakehouseTable:
                 rng = commit.key_ranges.get(f)
                 if rng is None or any(rng[0] <= rk <= rng[1] for rk in rks):
                     candidates.append(f)
+        if self.bucket_count and len(candidates) > 1:
+            # bucket-index routing: the keys' hash buckets name the
+            # candidate files arithmetically (one tiny 1-task job to
+            # evaluate the engine hash on k keys — exact, no false
+            # positives beyond hash collisions within a bucket)
+            kdf = self.spark.createDataFrame(
+                self.spark.sparkContext.parallelize(
+                    [(k,) for k in sorted(rks)], 1
+                ),
+                "_hoodie_record_key string",
+            )
+            key_buckets = {
+                r[0]
+                for r in kdf.select(
+                    self._bucket_expr().alias("b")
+                ).distinct().collect()
+            }
+            candidates = [
+                f
+                for f in candidates
+                if (b := self._bucket_of(f)) is None or b in key_buckets
+            ]
         # bloom tier for point lookups: on unclustered tables the ranges
         # above keep nearly every file; the per-file blooms cut the scan
         # to the files that can actually hold one of the keys
@@ -1257,6 +1305,15 @@ class LakehouseTable:
         # column, and only partitions present in the source are rewritten
         # — O(affected partitions), never O(table).
         affected, untouched = self._split_affected(prev.files, source)
+        # Bucket-index tier: hash-route the batch to its buckets —
+        # candidate files shrink to the touched buckets with no probe
+        # scan of table data (Hudi BUCKET index).
+        bucket_skipped: list[str] = []
+        if self.bucket_count:
+            affected, bucket_skipped = self._split_bucket_affected(
+                affected, stamped
+            )
+            untouched = untouched + bucket_skipped
         # Second pruning tier — key-level file skipping (Hudi bloom/range
         # index): within affected partitions, rewrite only files whose
         # footer key range intersects the batch. At 100 TB this is the
@@ -1324,6 +1381,15 @@ class LakehouseTable:
                     version,
                     commit_time,
                 )
+        if self.bucket_count:
+            # keep ONE new file per touched bucket: align write tasks
+            # to buckets (an unaligned shuffle output would cross every
+            # task with every bucket dir)
+            merged = merged.withColumn(
+                "__bko", self._bucket_expr()
+            ).repartition(
+                int(self.bucket_count), F.col("__bko")
+            ).drop("__bko")
         new_files = self._write_files(merged, f"c{version:05d}")
         commit = mf.Commit(
             version=version,
@@ -1334,6 +1400,7 @@ class LakehouseTable:
             stats={
                 "rewritten_files": len(affected),
                 "carried_over_files": len(untouched),
+                "bucket_skipped_files": len(bucket_skipped),
                 "key_range_skipped_files": len(range_skipped),
                 "bloom_skipped_files": len(bloom_skipped),
                 "record_index_skipped_files": len(ri_skipped),
@@ -1458,6 +1525,11 @@ class LakehouseTable:
         keys = self._physical(keys).select(*kcols).distinct()
         affected, untouched = self._split_affected(prev.files, keys)
         stamped_keys = self._stamp_meta(keys, commit_time)
+        if self.bucket_count:
+            affected, bucket_skipped = self._split_bucket_affected(
+                affected, stamped_keys
+            )
+            untouched = untouched + bucket_skipped
         affected, range_skipped = self._probe_key_hits(
             affected, prev.key_ranges, stamped_keys
         )
@@ -1584,6 +1656,11 @@ class LakehouseTable:
         rt = self._read_rt_physical()  # files keep PHYSICAL names
         version = prev.version + 1
         commit_time = mf.make_commit_time()
+        if self.bucket_count:
+            # one output file per bucket (see optimize's bucket note)
+            rt = rt.withColumn("__bko", self._bucket_expr()).repartition(
+                int(self.bucket_count), F.col("__bko")
+            ).drop("__bko")
         files = self._write_files(rt, f"c{version:05d}")
         commit = mf.Commit(
             version=version,
@@ -1685,6 +1762,19 @@ class LakehouseTable:
             df = df.repartition(n, F.col(self.partition_by))
         else:
             df = df.coalesce(n)
+        if self.bucket_count:
+            # bucket-index tables: align tasks to buckets so the write's
+            # partitionBy(__bk) emits ONE file per bucket (a range- or
+            # hash-repartitioned df would cross every task with every
+            # bucket dir -> tasks x buckets files). Cluster/z-order
+            # intent degrades gracefully to sort-within-bucket.
+            sort_cols = (cluster_by or []) + (zorder_by or [])
+            df = df.withColumn("__bko", self._bucket_expr()).repartition(
+                min(n, int(self.bucket_count)), F.col("__bko")
+            )
+            if sort_cols:
+                df = df.sortWithinPartitions("__bko", *sort_cols)
+            df = df.drop("__bko")
         files = self._write_files(df, f"c{version:05d}")
         stats: dict = {"before_files": len(prev.files), "after_files": len(files)}
         if cluster_by:
@@ -2039,6 +2129,7 @@ class LakehouseTable:
         if "_hoodie_file_name" in df.columns:
             df = df.drop("_hoodie_file_name")
         writer = df.write.mode("error")
+        part_tokens: list[str] = []
         if self.partition_by and not log:
             # duplicate the partition column into hive-style dirs (__pp=v)
             # while keeping it in the data files -> reads stay plain
@@ -2049,7 +2140,15 @@ class LakehouseTable:
             idx = len(self.partition_specs) - 1
             tok = "__pp" if idx == 0 else f"__pp{idx}"
             df = df.withColumn(tok, F.col(self.partition_by).cast("string"))
-            writer = df.write.mode("error").partitionBy(tok)
+            part_tokens.append(tok)
+        if self.bucket_count and not log:
+            # bucket-index layout: every file belongs to exactly one
+            # hash bucket of the record key (__bk= dir). Routing is
+            # then arithmetic — see create()'s bucket_count docs.
+            df = df.withColumn("__bk", self._bucket_expr())
+            part_tokens.append("__bk")
+        if part_tokens:
+            writer = df.write.mode("error").partitionBy(*part_tokens)
         writer.parquet(out)
         return sorted(
             fsio.relpath(p, self.path)
@@ -2449,6 +2548,49 @@ class LakehouseTable:
         if self.partition_by and self.partition_by in parts:
             return urllib.parse.unquote(parts[self.partition_by])
         return ""
+
+    def _bucket_expr(self) -> F.Column:
+        """The bucket id of each row: ``pmod(xxhash64(record_key), N)``
+        — pure codegen arithmetic, identical on the write path, the
+        upsert router and the point-lookup router."""
+        return F.pmod(
+            F.xxhash64(F.col("_hoodie_record_key")),
+            F.lit(self.bucket_count),
+        ).cast("int")
+
+    def _bucket_of(self, rel_file: str) -> int | None:
+        """Bucket id encoded in a file's ``__bk=`` dir, or None for
+        files written before bucketing existed (conservative: such a
+        file is a candidate for every batch)."""
+        for seg in rel_file.split("/"):
+            if seg.startswith("__bk="):
+                try:
+                    return int(seg[5:])
+                except ValueError:
+                    return None
+        return None
+
+    def _split_bucket_affected(
+        self, files: list[str], stamped: DataFrame
+    ) -> tuple[list[str], list[str]]:
+        """Bucket-index routing tier (Hudi BUCKET index): candidate
+        files are exactly the batch keys' hash buckets. One tiny
+        distinct over the batch's bucket ids (ints — the job's output
+        is <= N rows no matter the batch size); the file-side check is
+        driver-side metadata, no probe scan of table data at all."""
+        if not self.bucket_count:
+            return files, []
+        hit_buckets = {
+            r[0]
+            for r in stamped.select(
+                self._bucket_expr().alias("b")
+            ).distinct().collect()
+        }
+        affected, skipped = [], []
+        for f in files:
+            b = self._bucket_of(f)
+            (affected if b is None or b in hit_buckets else skipped).append(f)
+        return affected, skipped
 
     def _partition_spec_value_of(self, rel_file: str) -> tuple[int, str]:
         """(spec index, partition value) a file's path encodes: ``__pp=``
