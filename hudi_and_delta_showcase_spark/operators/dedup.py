@@ -306,6 +306,51 @@ def _probe_alarm(df: DataFrame, shingles_col: str, hot_df: int) -> bool:
     return alarmed
 
 
+def duplicate_spans(
+    df: DataFrame,
+    id_col: str,
+    grams_col: str,
+    min_docs: int = 2,
+) -> DataFrame:
+    """Exact substring-level dedup, k-gram bucket formulation (the
+    scalable rendering of suffix-array substring dedup a la
+    "Deduplicating Training Data Makes Language Models Better": any
+    duplicated span of >= k tokens necessarily shares all its k-grams,
+    so flagging docs by duplicated k-grams finds every such span —
+    recall 1.0 for spans >= k by construction).
+
+    Input: per-doc DISTINCT k-gram arrays (``word_shingles(..., n=k)``).
+    Output: ``(id_col, dup_spans)`` — docs holding at least one k-gram
+    that appears in >= ``min_docs`` distinct documents, with the count
+    of such shared grams.
+
+    Scale shape: explode -> two hash shuffles on the gram string
+    (count-distinct-docs per gram; join flagged grams back). Linear in
+    corpus grams, partial-aggregated map-side; never all-pairs. The
+    exploded gram table feeds both the aggregate and the join-back, so
+    it is localCheckpoint'd once (at cluster scale: persist to disk) —
+    re-shingling the corpus twice costs more than the materialization.
+    Hot grams (boilerplate shared by millions of docs) stay safe: the
+    per-gram aggregate is partial-aggregated, and join-back fan-out is
+    bounded by the exploded table's own row count."""
+    eg = (
+        df.select(F.col(id_col), F.explode(grams_col).alias("g"))
+        .localCheckpoint(eager=False)
+    )
+    dup = (
+        eg.groupBy("g")
+        .agg(F.countDistinct(id_col).alias("nd"))
+        .filter(F.col("nd") >= min_docs)
+        .select("g")
+    )
+    # grams are per-doc distinct already -> plain count per doc
+    return (
+        eg.join(dup, "g")
+        .groupBy(id_col)
+        .agg(F.count("g").alias("dup_spans"))
+    )
+
+
 def jaccard_pairs(
     df: DataFrame,
     id_col: str,

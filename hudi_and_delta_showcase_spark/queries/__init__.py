@@ -135,6 +135,8 @@ PRIORITY: tuple[str, ...] = (
     "agg_grouping_sets",
     "window_running_sum",
     "dedup_embedding_cosine",
+    # r6: exact substring-level dedup (k-gram buckets, Lee et al.)
+    "dedup_substring_spans",
     "sample_stratified_take",
     # r4: temperature-based language rebalancing + vocab build
     "sample_temperature_mix",

@@ -122,6 +122,38 @@ def dedup_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "dedup_substring_spans",
+    oracle=f"""
+    WITH {_TOKS_CTE},
+    grams AS (
+      SELECT doc_id,
+             list_distinct(list_transform(
+               generate_series(1, greatest(len(w) - 7, 0)),
+               i -> array_to_string(w[i:i+7], ' '))) AS gs
+      FROM toks
+    ),
+    eg AS (SELECT doc_id, UNNEST(gs) AS g FROM grams),
+    dup AS (
+      SELECT g FROM eg GROUP BY g HAVING COUNT(DISTINCT doc_id) >= 2
+    )
+    SELECT e.doc_id, COUNT(*) AS dup_spans
+    FROM eg e JOIN dup d USING (g)
+    GROUP BY e.doc_id
+    """,
+    tags=("dedup", "text"),
+)
+def dedup_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact substring-level dedup (Lee et al. suffix-array dedup, the
+    k-gram bucket rendering that distributes): flag documents sharing
+    any exact 8-token span with another document, with the count of
+    shared 8-grams per doc. Recall 1.0 for duplicated spans >= 8
+    tokens by the pigeonhole argument in ``duplicate_spans``. The
+    oracle brute-forces the same grams in DuckDB."""
+    sh = _docs_shingled(spark, sf_dir, n=8)
+    return D.duplicate_spans(sh, "doc_id", "shingles")
+
+
+@query(
     "dedup_minhash_lsh",
     oracle=f"""
     WITH {_SHINGLES_CTE},

@@ -444,3 +444,44 @@ def test_chunk_overlapping_covers_every_token(spark):
     assert covered == set(range(100))
     full = [toks for _i, toks in by_doc[1][:-1]]
     assert all(len(t) == 32 for t in full)
+
+
+def test_duplicate_spans_flags_shared_8grams(spark):
+    shared = "a b c d e f g h"          # exactly 8 tokens
+    docs = spark.createDataFrame(
+        spark.sparkContext.parallelize(
+            [
+                (1, f"intro {shared} outro one"),
+                (2, f"other prefix {shared} tail"),
+                (3, "completely unrelated words that never repeat here"),
+                (4, "short doc"),        # < 8 tokens: no grams at all
+            ],
+            1,
+        ),
+        "doc_id int, text string",
+    )
+    sh = D.word_shingles(D.tokenize(docs, "text"), "tokens", 8)
+    out = {
+        r.doc_id: r.dup_spans
+        for r in D.duplicate_spans(sh, "doc_id", "shingles").collect()
+    }
+    # docs 1 and 2 share exactly the one 8-gram; 3 and 4 are absent
+    assert out == {1: 1, 2: 1}
+
+
+def test_duplicate_spans_counts_every_shared_gram(spark):
+    # a 9-token shared span contains two shared 8-grams
+    span = "a b c d e f g h i"
+    docs = spark.createDataFrame(
+        spark.sparkContext.parallelize(
+            [(1, f"x {span}"), (2, f"{span} y z"), (3, "nothing shared")],
+            1,
+        ),
+        "doc_id int, text string",
+    )
+    sh = D.word_shingles(D.tokenize(docs, "text"), "tokens", 8)
+    out = {
+        r.doc_id: r.dup_spans
+        for r in D.duplicate_spans(sh, "doc_id", "shingles").collect()
+    }
+    assert out == {1: 2, 2: 2}
