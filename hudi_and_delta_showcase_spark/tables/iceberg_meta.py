@@ -398,6 +398,21 @@ def _partition_spec(table, ice_schema: dict) -> list[dict]:
     col = getattr(table, "partition_by", None)
     if not col or getattr(table, "adopted_partition_type", None):
         return []
+    # After a partition-spec evolution, live files may still carry an
+    # OLD spec's layout; attributing their path value to the CURRENT
+    # column would let a foreign reader mis-prune (or materialize a
+    # wrong identity value). This single-spec export goes
+    # UNPARTITIONED until maintenance has converged every live file to
+    # the current spec (a multi-spec export — Iceberg's spec-id per
+    # manifest — is the richer follow-up).
+    specs = getattr(table, "partition_specs", [col])
+    if len(specs) > 1:
+        cur = len(specs) - 1
+        live = table._commit(None).files
+        if any(
+            table._partition_spec_value_of(f)[0] != cur for f in live
+        ):
+            return []
     by_name = {f["name"]: f for f in ice_schema["fields"]}
     if col not in by_name:
         return []

@@ -779,3 +779,46 @@ def test_expire_keeps_shared_manifests(spark, tmp_path):
     assert res["expired"] == 1
     assert os.path.exists(shared), "shared manifest must survive"
     assert not os.path.exists(l1), "expired-only manifest list is deleted"
+
+
+def test_mixed_spec_table_exports_unpartitioned_until_converged(
+    spark, tmp_path
+):
+    """After a partition-spec evolution, live files span two layouts —
+    the single-spec export must go UNPARTITIONED (a current-spec
+    attribution of old-spec path values would let a foreign reader
+    mis-prune). Once maintenance converges every live file to the
+    current spec, the identity spec comes back."""
+    df = spark.createDataFrame(
+        spark.sparkContext.parallelize(
+            [(1, 10, "a", 1), (2, 20, "b", 1)], 1
+        ),
+        "k int, p int, v string, sq int",
+    )
+    t = LakehouseTable.create(
+        spark, str(tmp_path / "t"), df,
+        key_cols=["k"], precombine="sq", partition_by="p",
+    )
+    t.evolve_partitioning("v")
+    t.upsert(
+        spark.createDataFrame(
+            spark.sparkContext.parallelize([(3, 30, "c", 2)], 1),
+            "k int, p int, v string, sq int",
+        )
+    )
+    export_iceberg_metadata(t)
+    meta = read_iceberg_metadata(t.path)
+    assert meta["partition-specs"][0]["fields"] == []
+    # converge the layout, re-export: identity spec on the NEW column
+    t.optimize(target_files=1)
+    export_iceberg_metadata(t)
+    meta = read_iceberg_metadata(t.path)
+    fields = meta["partition-specs"][-1]["fields"]
+    assert [f["name"] for f in fields] == ["v"]
+    got = sorted(
+        (r.k, r.p, r.v)
+        for r in read_iceberg_table(spark, t.path)
+        .select("k", "p", "v")
+        .collect()
+    )
+    assert got == [(1, 10, "a"), (2, 20, "b"), (3, 30, "c")]
