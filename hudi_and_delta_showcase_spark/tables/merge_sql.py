@@ -446,6 +446,16 @@ _DDL_RES: list[tuple[str, re.Pattern]] = [
         r"^\s*CREATE\s+TABLE\s+(?:delta\s*\.\s*)?`(?P<dest>[^`]+)`"
         r"\s+SHALLOW\s+CLONE\s+(?P<t>\w+)\s*$",
         re.IGNORECASE)),
+    # Iceberg partition-spec evolution (Iceberg SQL's REPLACE PARTITION
+    # FIELD collapsed to the single-identity-field shape this engine
+    # supports); DROP PARTITION FIELD un-partitions going forward.
+    ("evolve_partition", re.compile(
+        r"^\s*ALTER\s+TABLE\s+(?P<t>\w+)\s+REPLACE\s+PARTITION\s+FIELD"
+        r"\s+WITH\s+(?P<col>\w+)\s*$",
+        re.IGNORECASE)),
+    ("drop_partition_field", re.compile(
+        r"^\s*ALTER\s+TABLE\s+(?P<t>\w+)\s+DROP\s+PARTITION\s+FIELD\s*$",
+        re.IGNORECASE)),
 ]
 
 
@@ -463,6 +473,8 @@ def execute_ddl(
     * ``ALTER TABLE t ADD CONSTRAINT name CHECK (pred)`` / ``DROP
       CONSTRAINT name`` / ``RENAME COLUMN a TO b`` / ``DROP COLUMN a``
     * ``CREATE TABLE delta.`/dest/path` SHALLOW CLONE t``
+    * ``ALTER TABLE t REPLACE PARTITION FIELD WITH col`` / ``DROP
+      PARTITION FIELD`` (Iceberg partition-spec evolution)
 
     Returns ``{"statement", ...result fields}``; unknown statements
     raise ValueError (never silently no-op)."""
@@ -516,4 +528,13 @@ def execute_ddl(
         if kind == "clone":
             clone = LakehouseTable.clone(spark, t.path, m.group("dest"))
             return {"statement": "clone", "path": clone.path}
+        if kind == "evolve_partition":
+            t.evolve_partitioning(m.group("col"))
+            return {
+                "statement": "evolve_partition",
+                "partition_by": m.group("col"),
+            }
+        if kind == "drop_partition_field":
+            t.evolve_partitioning(None)
+            return {"statement": "evolve_partition", "partition_by": None}
     raise ValueError(f"unsupported DDL statement: {sql!r}")

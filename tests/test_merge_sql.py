@@ -340,3 +340,30 @@ def test_not_matched_by_source_rejects_update(spark):
             """MERGE INTO m USING s ON m.k = s.k
                WHEN NOT MATCHED BY SOURCE THEN UPDATE SET *"""
         )
+
+
+def test_ddl_replace_partition_field(spark, tmp_path):
+    from hudi_and_delta_showcase_spark.tables.merge_sql import execute_ddl
+
+    df = spark.createDataFrame(
+        spark.sparkContext.parallelize(
+            [(1, "US", "a", 1), (2, "EU", "b", 1)], 1
+        ),
+        "k int, region string, category string, sq int",
+    )
+    t = LakehouseTable.create(
+        spark, str(tmp_path / "t"), df,
+        key_cols=["k"], precombine="sq", partition_by="region",
+    )
+    out = execute_ddl(
+        spark,
+        "ALTER TABLE t REPLACE PARTITION FIELD WITH category",
+        {"t": t},
+    )
+    assert out == {
+        "statement": "evolve_partition", "partition_by": "category",
+    }
+    assert t.partition_by == "category"
+    out = execute_ddl(spark, "ALTER TABLE t DROP PARTITION FIELD", {"t": t})
+    assert out["partition_by"] is None
+    assert t.partition_specs == ["region", "category", None]
