@@ -173,6 +173,9 @@ PRIORITY: tuple[str, ...] = (
     # r6: Iceberg-style partition-spec evolution (metadata-only DDL,
     # per-file spec pruning, rewrites converge to the current spec)
     "cdc_partition_evolution",
+    # r6: SCD Type 2 dimension maintenance (close-out + append, one
+    # upsert commit per change batch)
+    "cdc_scd2_dimension",
     # r5: post-create ALTER TABLE ADD CONSTRAINT with snapshot validation
     "cdc_constraint_evolution",
     "cdc_stats_skipping_read",

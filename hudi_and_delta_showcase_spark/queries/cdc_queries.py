@@ -2382,3 +2382,62 @@ def cdc_bucket_index_routing(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = t.upsert(incr)
     assert "bucket_skipped_files" in c.stats
     return t.read().select(*_FINAL_COLS)
+
+
+@query(
+    "cdc_scd2_dimension",
+    oracle=f"""
+    WITH pre AS (
+      SELECT user_id, event_type, value, ts FROM (
+        SELECT *, ROW_NUMBER() OVER (
+          PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+        FROM events WHERE ts < TIMESTAMP '{CUTOFF}'
+      ) WHERE rn = 1
+    ),
+    post AS (
+      SELECT user_id, event_type, value, ts FROM (
+        SELECT *, ROW_NUMBER() OVER (
+          PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+        FROM events WHERE ts >= TIMESTAMP '{CUTOFF}'
+      ) WHERE rn = 1
+    )
+    SELECT u.user_id, u.event_type, u.value,
+           u.ts AS effective_from,
+           p.ts AS effective_to,
+           p.user_id IS NULL AS is_current
+    FROM pre u LEFT JOIN post p ON u.user_id = p.user_id
+    UNION ALL
+    SELECT p.user_id, p.event_type, p.value, p.ts,
+           CAST(NULL AS TIMESTAMP), TRUE
+    FROM post p
+    """,
+    tags=("cdc", "table", "scd"),
+)
+def cdc_scd2_dimension(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD Type 2 dimension maintenance end-to-end: the pre-cutoff
+    change batch creates the dimension, the post-cutoff batch CLOSES
+    each touched key's current version (effective_to stamped,
+    is_current false) and appends the new current row — one upsert
+    commit per batch (``operators/scd.py``). The oracle derives the
+    same version chain from the raw events with window SQL."""
+    from hudi_and_delta_showcase_spark.operators.scd import (
+        scd2_apply,
+        scd2_create,
+    )
+
+    base, incr = _split(spark, sf_dir)
+    path = tempfile.mkdtemp(prefix="lakehouse_scd2_")
+    t = scd2_create(
+        spark,
+        f"{path}/dim_users",
+        base,
+        natural_key="user_id",
+        ts_col="ts",
+        tiebreakers=["event_id"],
+    )
+    scd2_apply(t, incr, natural_key="user_id", ts_col="ts",
+               tiebreakers=["event_id"])
+    return t.read().select(
+        "user_id", "event_type", "value",
+        "effective_from", "effective_to", "is_current",
+    )
