@@ -407,3 +407,63 @@ def length_buckets(
             F.sum(n).alias("sum_tokens"),
         )
     )
+
+
+def bm25_topk(
+    docs: DataFrame,
+    query_terms: list[str],
+    k: int = 25,
+    k1: float = 1.2,
+    b: float = 0.75,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """BM25 retrieval (Robertson/Sparck-Jones, the Lucene idf variant):
+    score every document against a bag of query terms, return the
+    top-k. The retrieval primitive of corpus curation — quality-biased
+    selection, topic filtering, retrieval-based decontamination.
+
+    Scale shape: tokenize -> explode filtered TO THE QUERY TERMS before
+    any shuffle (the per-(doc,term) aggregate only ever sees matching
+    postings, O(matching) not O(corpus tokens)); corpus stats (N,
+    avgdl) ride a broadcast 1-row crossJoin — no driver collect; the
+    tiny per-term df side broadcasts; top-k is TakeOrderedAndProject.
+
+    Cross-engine determinism: each term's contribution is rounded to
+    6dp and cast DECIMAL(18,6) BEFORE the per-doc sum — decimal
+    summation is exact and order-independent, so Spark and an ANSI
+    oracle agree bit-for-bit (the double sum of even 4 terms is
+    summation-order dependent at the last ulp)."""
+    from hudi_and_delta_showcase_spark.operators.dedup import tokenize
+
+    toks = tokenize(docs, text_col)
+    lens = toks.select(F.col(id_col), F.size("tokens").alias("dl"))
+    stats = lens.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.avg("dl").alias("avgdl"),
+    )
+    terms = toks.select(
+        F.col(id_col), F.explode("tokens").alias("term")
+    ).filter(F.col("term").isin(*query_terms))
+    tf = terms.groupBy(id_col, "term").agg(F.count(F.lit(1)).alias("tf"))
+    df_ = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    idf = F.log(
+        1.0
+        + (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5)
+    )
+    norm = F.col("tf") * (k1 + 1.0) / (
+        F.col("tf")
+        + k1 * (1.0 - b + b * F.col("dl") / F.col("avgdl"))
+    )
+    contrib = F.round(idf * norm, 6).cast("decimal(18,6)")
+    scored = (
+        tf.join(F.broadcast(df_), "term")
+        .join(lens, id_col)
+        .crossJoin(F.broadcast(stats))
+        .withColumn("__c", contrib)
+        .groupBy(id_col)
+        .agg(F.sum("__c").cast("double").alias("score"))
+    )
+    return scored.orderBy(
+        F.desc("score"), F.col(id_col).asc()
+    ).limit(k)

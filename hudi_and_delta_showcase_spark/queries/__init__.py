@@ -141,6 +141,8 @@ PRIORITY: tuple[str, ...] = (
     # r4: temperature-based language rebalancing + vocab build
     "sample_temperature_mix",
     "text_vocab_topk",
+    # r6: BM25 retrieval (query-filtered postings, decimal-exact sums)
+    "text_bm25_topk",
     "text_lm_cross_entropy",
     "pipeline_budget_select",
     "cdc_soft_delete_state",

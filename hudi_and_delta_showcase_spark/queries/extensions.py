@@ -1699,3 +1699,49 @@ def pipeline_budget_select(spark: SparkSession, sf_dir: str) -> DataFrame:
     return budget_select(
         scored, "doc_id", "n_tokens", "ce", budget=6000
     )
+
+
+_BM25_TERMS = ("spark", "join", "merge", "stream")
+
+
+@query(
+    "text_bm25_topk",
+    oracle=f"""
+    WITH {_TOKS_CTE},
+    lens AS (SELECT doc_id, len(w) AS dl FROM toks),
+    stats AS (SELECT COUNT(*) AS n_docs, AVG(dl) AS avgdl FROM lens),
+    terms AS (
+      SELECT doc_id, UNNEST(w) AS term FROM toks
+    ),
+    tf AS (
+      SELECT doc_id, term, COUNT(*) AS tf FROM terms
+      WHERE term IN ('spark', 'join', 'merge', 'stream')
+      GROUP BY doc_id, term
+    ),
+    df AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term),
+    scored AS (
+      SELECT tf.doc_id,
+             CAST(round(
+               ln(1.0 + (stats.n_docs - df.df + 0.5) / (df.df + 0.5))
+               * tf.tf * 2.2 / (tf.tf + 1.2 * (1.0 - 0.75
+                 + 0.75 * lens.dl / stats.avgdl)),
+               6) AS DECIMAL(18,6)) AS c
+      FROM tf
+      JOIN df ON tf.term = df.term
+      JOIN lens ON tf.doc_id = lens.doc_id
+      CROSS JOIN stats
+    )
+    SELECT doc_id, CAST(SUM(c) AS DOUBLE) AS score
+    FROM scored GROUP BY doc_id
+    ORDER BY score DESC, doc_id ASC LIMIT 25
+    """,
+    tags=("text", "search"),
+)
+def text_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 top-25 retrieval for a fixed 4-term query over the corpus
+    (``operators/text.py::bm25_topk`` — postings filtered to the query
+    terms before any shuffle, broadcast stats, decimal-exact per-doc
+    sums, TakeOrdered top-k). Oracle replays the identical Lucene-idf
+    formula in SQL."""
+    docs = load_table(spark, sf_dir, "documents")
+    return T.bm25_topk(docs, list(_BM25_TERMS), k=25)

@@ -485,3 +485,27 @@ def test_duplicate_spans_counts_every_shared_gram(spark):
         for r in D.duplicate_spans(sh, "doc_id", "shingles").collect()
     }
     assert out == {1: 2, 2: 2}
+
+
+def test_bm25_ranks_matching_docs(spark):
+    from hudi_and_delta_showcase_spark.operators import text as T2
+
+    docs = spark.createDataFrame(
+        spark.sparkContext.parallelize(
+            [
+                (1, "spark spark spark join"),      # heavy on query terms
+                (2, "spark table scan"),            # one hit
+                (3, "unrelated words only here"),   # no hits
+                (4, "join join merge stream spark"),
+            ],
+            1,
+        ),
+        "doc_id int, text string",
+    )
+    out = T2.bm25_topk(docs, ["spark", "join", "merge", "stream"], k=10)
+    rows = out.collect()
+    ids = [r.doc_id for r in rows]
+    assert 3 not in ids, "doc with zero query terms scored"
+    assert ids[0] == 4, "doc matching all terms should rank first"
+    assert all(rows[i].score >= rows[i + 1].score
+               for i in range(len(rows) - 1))
