@@ -1987,15 +1987,43 @@ class LakehouseTable:
             json.dumps({str(k): v for k, v in sp.items()}),
         )
 
-    def vacuum(self, retain_versions: int = 1, dry_run: bool = False) -> dict:
+    def vacuum(
+        self,
+        retain_versions: int = 1,
+        dry_run: bool = False,
+        retain_hours: float | None = None,
+    ) -> dict:
         """D7 VACUUM: physically delete data files not referenced by the
         newest ``retain_versions`` commits (README.md:1240: old files
         remain until vacuum) — nor by any SAVEPOINTED version (Hudi
         savepoint semantics: pinned versions survive retention).
         ``dry_run`` (Delta ``VACUUM ... DRY RUN``) lists what WOULD be
-        deleted without touching anything."""
+        deleted without touching anything.
+
+        ``retain_hours`` (Delta ``VACUUM ... RETAIN n HOURS``, default
+        retention ``delta.deletedFileRetentionDuration``): additionally
+        retains every version whose commit time falls within the last
+        n hours — the time-travel-safety contract Delta enforces so
+        readers as-of a recent timestamp never lose their files. The
+        retention sets UNION (a version survives if either rule keeps
+        it): versions, hours, and savepoints."""
         versions = mf.list_versions(self.path)
         retained = versions[-max(1, retain_versions):]
+        if retain_hours is not None:
+            cutoff_ms = int(time.time() * 1000) - int(
+                retain_hours * 3600 * 1000
+            )
+            cutoff = (
+                time.strftime(
+                    "%Y%m%d%H%M%S", time.gmtime(cutoff_ms / 1000)
+                )
+                + f"{cutoff_ms % 1000:03d}"
+            )
+            retained += [
+                v
+                for v in versions
+                if mf.read_commit(self.path, v).commit_time >= cutoff
+            ]
         retained = sorted(set(retained) | set(self.savepoints()))
         keep: set[str] = set()
         for v in retained:

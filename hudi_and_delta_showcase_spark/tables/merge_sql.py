@@ -414,7 +414,7 @@ def execute_delete(
 _DDL_RES: list[tuple[str, re.Pattern]] = [
     ("vacuum", re.compile(
         r"^\s*VACUUM\s+(?P<t>\w+)"
-        r"(?:\s+RETAIN\s+(?P<n>\d+)\s+VERSIONS?)?"
+        r"(?:\s+RETAIN\s+(?P<n>\d+)\s+(?P<unit>VERSIONS?|HOURS?))?"
         r"(?:\s+(?P<dry>DRY\s+RUN))?\s*$",
         re.IGNORECASE)),
     ("optimize", re.compile(
@@ -487,8 +487,11 @@ def execute_ddl(
             raise KeyError(f"unknown table in DDL: {name}")
         t = tables[name]
         if kind == "vacuum":
+            unit = (m.group("unit") or "VERSIONS").upper()
+            hours = unit.startswith("HOUR")
             out = t.vacuum(
-                retain_versions=int(m.group("n") or 1),
+                retain_versions=1 if hours else int(m.group("n") or 1),
+                retain_hours=float(m.group("n")) if hours else None,
                 dry_run=bool(m.group("dry")),
             )
             return {"statement": "vacuum", **out}

@@ -367,3 +367,32 @@ def test_ddl_replace_partition_field(spark, tmp_path):
     out = execute_ddl(spark, "ALTER TABLE t DROP PARTITION FIELD", {"t": t})
     assert out["partition_by"] is None
     assert t.partition_specs == ["region", "category", None]
+
+
+def test_vacuum_retain_hours(spark, tmp_path):
+    from hudi_and_delta_showcase_spark.tables.merge_sql import execute_ddl
+
+    df = spark.createDataFrame(
+        spark.sparkContext.parallelize([(1, 1, 1), (2, 2, 1)], 1),
+        "k int, v int, sq int",
+    )
+    t = LakehouseTable.create(
+        spark, str(tmp_path / "t"), df, key_cols=["k"], precombine="sq"
+    )
+    t.upsert(
+        spark.createDataFrame(
+            spark.sparkContext.parallelize([(1, 99, 2)], 1),
+            "k int, v int, sq int",
+        )
+    )
+    # recent commits are all inside the 1-hour window: nothing removable
+    out = execute_ddl(spark, "VACUUM t RETAIN 1 HOURS DRY RUN", {"t": t})
+    assert out["would_remove_files"] == []
+    assert set(out["retained_versions"]) == {0, 1}
+    # zero-hour window falls back to version retention (newest only)
+    out = execute_ddl(spark, "VACUUM t RETAIN 0 HOURS DRY RUN", {"t": t})
+    assert out["retained_versions"] == [1]
+    assert out["would_remove_files"], "v0's rewritten file not listed"
+    # time travel to v1 still intact after the real vacuum
+    execute_ddl(spark, "VACUUM t RETAIN 0 HOURS", {"t": t})
+    assert t.read().count() == 2
