@@ -178,6 +178,9 @@ PRIORITY: tuple[str, ...] = (
     # r6: SCD Type 2 dimension maintenance (close-out + append, one
     # upsert commit per change batch)
     "cdc_scd2_dimension",
+    # r6: delta-join IVM — a materialized join view maintained from
+    # both sides' change feeds, O(changes) per apply
+    "cdc_incremental_join_view",
     # r5: post-create ALTER TABLE ADD CONSTRAINT with snapshot validation
     "cdc_constraint_evolution",
     "cdc_stats_skipping_read",

@@ -2441,3 +2441,81 @@ def cdc_scd2_dimension(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id", "event_type", "value",
         "effective_from", "effective_to", "is_current",
     )
+
+
+@query(
+    "cdc_incremental_join_view",
+    oracle="""
+    SELECT e.event_id, e.user_id, e.value,
+           c.c_name, c.c_mktsegment,
+           CASE WHEN c.c_custkey % 10 = 0 THEN c.c_acctbal + 1000
+                ELSE c.c_acctbal END AS acctbal
+    FROM events e
+    JOIN customer c ON e.user_id = c.c_custkey
+    """,
+    tags=("cdc", "table", "join", "incremental"),
+)
+def cdc_incremental_join_view(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental materialized-JOIN-view maintenance (delta-join IVM,
+    ``operators/incremental.py::join_view_apply``): the view holds
+    events enriched with customer attributes; after its initial build,
+    a fact batch (post-cutoff events) and a dim batch (an account-
+    balance update to every 10th customer) are folded in from the two
+    tables' CHANGE FEEDS — O(changes) work, never a view rebuild. The
+    oracle recomputes the final join from scratch."""
+    from hudi_and_delta_showcase_spark.operators.incremental import (
+        join_view_apply,
+    )
+
+    events = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "ts", "value"
+    )
+    cutoff = F.lit(CUTOFF).cast("timestamp_ntz")
+    fact_base = events.filter(F.col("ts") < cutoff)
+    fact_incr = events.filter(F.col("ts") >= cutoff)
+    customer = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_name", "c_mktsegment", "c_acctbal"
+    )
+    dim_incr = customer.filter(F.col("c_custkey") % 10 == 0).withColumn(
+        "c_acctbal", F.col("c_acctbal") + F.lit(1000.0)
+    )
+
+    path = tempfile.mkdtemp(prefix="lakehouse_ivm_")
+    fact = LakehouseTable.create(
+        spark, f"{path}/fact_events", fact_base,
+        key_cols=["event_id"], precombine="ts", cdc_enabled=True,
+    )
+    dim = LakehouseTable.create(
+        spark, f"{path}/dim_customer", customer,
+        key_cols=["c_custkey"], cdc_enabled=True,
+    )
+    attrs = ["c_name", "c_mktsegment", "c_acctbal"]
+    # initial materialization: one full join, the view's version 0
+    view = LakehouseTable.create(
+        spark,
+        f"{path}/view_enriched",
+        fact.read().select("event_id", "user_id", "ts", "value").join(
+            dim.read().select(
+                F.col("c_custkey").alias("__dk"), *attrs
+            ),
+            F.col("user_id") == F.col("__dk"),
+            "left",
+        ).drop("__dk"),
+        key_cols=["event_id"],
+        precombine="ts",
+    )
+    fact_v, dim_v = fact._commit(None).version, dim._commit(None).version
+    # the two source commits land...
+    fact.upsert(fact_incr)
+    dim.upsert(dim_incr)
+    # ...and ONE incremental apply folds both change feeds in
+    join_view_apply(
+        view, fact, dim,
+        fk="user_id", dim_key="c_custkey", dim_attrs=attrs,
+        fact_since=fact_v + 1, dim_since=dim_v + 1,
+    )
+    return view.read().select(
+        "event_id", "user_id", "value",
+        "c_name", "c_mktsegment",
+        F.col("c_acctbal").alias("acctbal"),
+    )
