@@ -437,7 +437,12 @@ def bm25_topk(
     from hudi_and_delta_showcase_spark.operators.dedup import tokenize
 
     toks = tokenize(docs, text_col)
-    lens = toks.select(F.col(id_col), F.size("tokens").alias("dl"))
+    # (doc_id, dl) is tiny — checkpoint it so the length-join and the
+    # corpus-stats aggregate share ONE tokenizing scan of the corpus
+    # instead of re-reading the text column for each
+    lens = toks.select(
+        F.col(id_col), F.size("tokens").alias("dl")
+    ).localCheckpoint(eager=False)
     stats = lens.agg(
         F.count(F.lit(1)).alias("n_docs"),
         F.avg("dl").alias("avgdl"),
