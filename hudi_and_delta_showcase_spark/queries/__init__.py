@@ -53,6 +53,9 @@ PRIORITY: tuple[str, ...] = (
     "iceberg_metadata_roundtrip",
     # r4: liquid-style incremental clustering
     "cdc_liquid_clustering",
+    # r6: metadata-only COUNT/MIN/MAX from manifest footers (Delta
+    # OptimizeMetadataOnlyQuery) — fails loudly if it would scan
+    "cdc_metadata_only_agg",
     # -- relational core (J1, A1/A2, TPC-H shapes) ------------------------
     "latest_change_per_key",
     "q1_pricing_summary",
@@ -78,7 +81,6 @@ PRIORITY: tuple[str, ...] = (
     "stream_cdc_apply_golden",
     "stream_tumbling_counts",
     "stream_stateful_user_stats",
-    "stream_dedup_keys",
     "stream_watermarked_counts",
     "stream_table_changes",
     # r4: streaming retract-stream materialized view over the CDF
@@ -111,6 +113,10 @@ PRIORITY: tuple[str, ...] = (
     # flagships above, then sketch_percentile_gate for the deletion-vector
     # row — all stay registered and FULL_LOCAL-checked)
     "sketch_percentile_gate",
+    # r6 demoted for the metadata-only-agg driver row (streaming keeps
+    # six top-50 representatives; dropDuplicates dedup semantics also
+    # proven by dedup_exact_rows + the stateful row)
+    "stream_dedup_keys",
     # r6 demoted for the Iceberg-protocol driver row (ANN keeps two
     # top-50 representatives: bruteforce + LSH containment; IVF and PQ
     # stay FULL_LOCAL-checked)

@@ -1020,6 +1020,29 @@ def cdc_stats_skipping_read(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "cdc_metadata_only_agg",
+    oracle=f"""
+    SELECT COUNT(*) AS count_rows,
+           MIN(value) AS min_value,
+           MAX(value) AS max_value
+    FROM ({_LATEST_ALL_SQL})
+    """,
+    tags=("cdc", "table", "agg"),
+)
+def cdc_metadata_only_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Metadata-only aggregation (Delta OptimizeMetadataOnlyQuery /
+    per-AddFile ``numRecords``): after the create+upsert cycle,
+    ``COUNT(*)`` and ``MIN/MAX(value)`` are answered purely from the
+    manifest's footer row counts and column stats —
+    ``require_metadata_only=True`` makes the query FAIL rather than
+    silently scan, so the green row proves zero-data-IO aggregation,
+    the 100 TB instant-count path. The oracle recomputes the same
+    aggregate over the table's logical post-state in SQL."""
+    t = _make_table(spark, sf_dir, "cow")
+    return t.metadata_agg(["value"], require_metadata_only=True)
+
+
+@query(
     "iceberg_stats_skipping_read",
     oracle="""
     SELECT event_id, user_id, ts, event_type, value,

@@ -658,6 +658,7 @@ class LakehouseTable:
                 },
                 key_ranges={ref(f): v for f, v in prev.key_ranges.items()},
                 col_stats={ref(f): v for f, v in prev.col_stats.items()},
+                row_counts={ref(f): v for f, v in prev.row_counts.items()},
                 key_blooms={ref(f): v for f, v in prev.key_blooms.items()},
                 table_schema=prev.table_schema,
                 column_mapping=dict(prev.column_mapping),
@@ -909,6 +910,7 @@ class LakehouseTable:
             stats={"renamed_from": old, "renamed_to": new},
             key_ranges=dict(prev.key_ranges),
             col_stats=dict(prev.col_stats),
+            row_counts=dict(prev.row_counts),
             key_blooms=dict(prev.key_blooms),
             dv_files=list(prev.dv_files),
             txn=dict(prev.txn),
@@ -990,6 +992,7 @@ class LakehouseTable:
             stats={"dropped_column": name, "physical_name": phys},
             key_ranges=dict(prev.key_ranges),
             col_stats=dict(prev.col_stats),
+            row_counts=dict(prev.row_counts),
             key_blooms=dict(prev.key_blooms),
             dv_files=list(prev.dv_files),
             txn=dict(prev.txn),
@@ -1290,6 +1293,7 @@ class LakehouseTable:
                        **(extra_stats or {})},
                 key_ranges=prev.key_ranges,
                 col_stats=prev.col_stats,
+                row_counts=prev.row_counts,
                 key_blooms=prev.key_blooms,
                 dv_files=list(prev.dv_files),
                 txn=new_txn,
@@ -1593,6 +1597,7 @@ class LakehouseTable:
                 },
                 key_ranges=prev.key_ranges,
                 col_stats=prev.col_stats,
+                row_counts=prev.row_counts,
                 key_blooms=prev.key_blooms,
                 dv_files=prev.dv_files + dv_added,
                 txn=dict(prev.txn),
@@ -2084,6 +2089,7 @@ class LakehouseTable:
             stats={"restored_version": version},
             key_ranges=dict(target.key_ranges),
             col_stats=dict(target.col_stats),
+            row_counts=dict(target.row_counts),
             key_blooms=dict(target.key_blooms),
             dv_files=list(target.dv_files),
             # writer watermarks never rewind: carry the LATEST txn map,
@@ -2210,7 +2216,8 @@ class LakehouseTable:
         entries from the previous commit for untouched files; plus, on
         ``bloom_index`` tables, an 8 KiB key bloom per new file (one
         extra scan of just-written data)."""
-        stats = self._file_column_stats(new_files)
+        row_counts: dict[str, int] = {}
+        stats = self._file_column_stats(new_files, counts_out=row_counts)
         key_ranges = {
             f: c["_hoodie_record_key"]
             for f, c in stats.items()
@@ -2245,22 +2252,32 @@ class LakehouseTable:
                     key_ranges[f] = carry_from.key_ranges[f]
                 if f in carry_from.col_stats:
                     col_stats[f] = carry_from.col_stats[f]
+                if f in carry_from.row_counts:
+                    row_counts[f] = carry_from.row_counts[f]
                 if f in carry_from.key_blooms:
                     key_blooms[f] = carry_from.key_blooms[f]
         return {
             "key_ranges": key_ranges,
             "col_stats": col_stats,
+            "row_counts": row_counts,
             "key_blooms": key_blooms,
         }
 
     def _file_column_stats(
-        self, rel_files: list[str], cols: list[str] | None = None
+        self,
+        rel_files: list[str],
+        cols: list[str] | None = None,
+        counts_out: dict[str, int] | None = None,
     ) -> dict[str, dict[str, list]]:
         """Column-stats index (Hudi col-stats / Delta data skipping):
         per-file [min, max] for each requested column, harvested from
         parquet footers in one pass per file. Only JSON-stable scalar
         types are recorded (str/int/float/bool); other types are left
-        unindexed and scanned conservatively."""
+        unindexed and scanned conservatively.
+
+        ``counts_out`` (if given) receives each readable file's EXACT
+        footer row count — the same single footer open feeds both
+        indexes, so metadata-only COUNT(*) costs no extra IO."""
         import pyarrow.parquet as pq
 
         out: dict[str, dict[str, list]] = {}
@@ -2281,6 +2298,8 @@ class LakehouseTable:
                     md = pq.ParquetFile(src).metadata
             except Exception:
                 continue
+            if counts_out is not None:
+                counts_out[rel] = md.num_rows
             names = md.schema.names
             # cols=None: index every scalar column, capped at 32 like
             # Delta's default stats collection
@@ -2364,6 +2383,117 @@ class LakehouseTable:
         if hi is not None:
             df = df.filter(F.col(col) <= hi)
         return self._logical(df, commit)
+
+    def metadata_agg(
+        self,
+        cols: list[str] | tuple = (),
+        version: int | None = None,
+        require_metadata_only: bool = False,
+    ) -> DataFrame:
+        """Metadata-only aggregation (Delta's OptimizeMetadataOnlyQuery /
+        ``numRecords``-based COUNT): answer ``COUNT(*)`` and per-column
+        ``MIN``/``MAX`` from the manifest's footer indexes with ZERO
+        data-file IO — at 100 TB the difference between milliseconds of
+        driver arithmetic and a full scan. Returns one row:
+        ``count_rows`` then ``min_<col>``/``max_<col>`` per requested
+        logical column, identically shaped on both paths.
+
+        The metadata path is used only when it is provably EXACT:
+
+        * no unmerged MoR log files (log rows add/overwrite),
+        * every live file has a recorded footer row count,
+        * min/max only for numeric/boolean columns (parquet writers may
+          TRUNCATE string footer stats, which widens bounds — safe for
+          skipping, wrong for answers) with stats on every non-empty
+          live file, and only when no deletion vectors are live
+          (removing rows can tighten a column's true min/max),
+        * live deletion vectors reduce COUNT via their exact sidecar
+          cardinality — an O(deleted rows) sidecar scan, never a data
+          scan.
+
+        Anything short of that falls back to one ordinary scan-side
+        aggregate (or raises when ``require_metadata_only``), so
+        callers always get the exact answer."""
+        from pyspark.sql import types as Ty
+
+        commit = self._commit(version)
+        df = self.read(version)  # logical schema source + scan fallback
+        numeric_ok = (
+            Ty.ByteType, Ty.ShortType, Ty.IntegerType, Ty.LongType,
+            Ty.FloatType, Ty.DoubleType, Ty.BooleanType,
+        )
+        reasons: list[str] = []
+        if self.table_type == MERGE_ON_READ and commit.log_files:
+            reasons.append("unmerged MoR log files")
+        if any(f not in commit.row_counts for f in commit.files):
+            reasons.append("live file(s) without a footer row count")
+        # empty files can't carry column stats; they don't affect min/max
+        stat_files = [
+            f for f in commit.files if commit.row_counts.get(f, 1) != 0
+        ]
+        col_vals: dict[str, tuple] = {}
+        for c in cols:
+            phys = self._phys_name(c, commit)
+            dt = df.schema[c].dataType
+            if not isinstance(dt, numeric_ok):
+                reasons.append(
+                    f"{c}: {dt.simpleString()} footer stats may be "
+                    "truncated; only numeric/boolean are exact"
+                )
+                continue
+            if commit.dv_files:
+                reasons.append(f"{c}: live deletion vectors")
+                continue
+            entries = [
+                commit.col_stats.get(f, {}).get(phys) for f in stat_files
+            ]
+            if any(e is None for e in entries):
+                reasons.append(f"{c}: live file(s) without footer stats")
+            elif entries:
+                col_vals[c] = (
+                    min(e[0] for e in entries),
+                    max(e[1] for e in entries),
+                )
+            else:
+                col_vals[c] = (None, None)
+        if not reasons:
+            n = sum(commit.row_counts[f] for f in commit.files)
+            if commit.dv_files and n:
+                dv = (
+                    self.spark.read.parquet(
+                        *[fsio.resolve(self.path, f) for f in commit.dv_files]
+                    )
+                    .select("file_name", "pos")
+                    .distinct()
+                )
+                live = self.spark.createDataFrame(
+                    [(f,) for f in commit.files], "file_name string"
+                )
+                n -= dv.join(live, "file_name", "semi").count()
+            schema = Ty.StructType(
+                [Ty.StructField("count_rows", Ty.LongType(), False)]
+                + [
+                    fld
+                    for c in cols
+                    for fld in (
+                        Ty.StructField(f"min_{c}", df.schema[c].dataType),
+                        Ty.StructField(f"max_{c}", df.schema[c].dataType),
+                    )
+                ]
+            )
+            row = tuple([n] + [v for c in cols for v in col_vals[c]])
+            return self.spark.createDataFrame([row], schema)
+        if require_metadata_only:
+            raise ValueError(
+                "metadata-only aggregation is not exact here: "
+                + "; ".join(reasons)
+            )
+        aggs = [F.count(F.lit(1)).cast("long").alias("count_rows")] + [
+            a
+            for c in cols
+            for a in (F.min(c).alias(f"min_{c}"), F.max(c).alias(f"max_{c}"))
+        ]
+        return df.agg(*aggs)
 
     def _write_record_index(
         self, new_files: list[str], version: int

@@ -76,6 +76,12 @@ class Commit:
     #: column-stats index behind ``read_where`` data skipping (Delta
     #: stats / Hudi col-stats-index role). Same conservative contract.
     col_stats: dict = field(default_factory=dict)
+    #: per-file EXACT row counts from the parquet footer (Delta's
+    #: per-AddFile ``numRecords``) — the input to metadata-only
+    #: aggregation (``LakehouseTable.metadata_agg``): COUNT(*) answered
+    #: from the manifest with zero data IO. Absent entries mean
+    #: "unknown" and force the scan fallback for count queries.
+    row_counts: dict = field(default_factory=dict)
     #: per-file key bloom bitmaps (base64) — the third skipping tier
     #: (Hudi BLOOM index), built only for tables created with
     #: ``bloom_index=True``. Prunes candidate files even when key
@@ -159,7 +165,14 @@ CHECKPOINT_INTERVAL = 10
 #: files), not cumulative state, so deltas carry it verbatim.
 _LIST_FIELDS = ("files", "log_files", "dv_files", "ri_files")
 #: dict-valued Commit fields delta-encoded as <name>_set / <name>_unset.
-_DICT_FIELDS = ("key_ranges", "col_stats", "key_blooms", "txn", "column_mapping")
+_DICT_FIELDS = (
+    "key_ranges",
+    "col_stats",
+    "row_counts",
+    "key_blooms",
+    "txn",
+    "column_mapping",
+)
 
 
 def list_versions(table_path: str) -> list[int]:
