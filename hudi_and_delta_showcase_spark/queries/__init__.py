@@ -191,6 +191,8 @@ PRIORITY: tuple[str, ...] = (
     "cdc_constraint_evolution",
     "cdc_stats_skipping_read",
     "cdc_bloom_skipping_upsert",
+    # r6: per-file blooms on NON-key columns (Delta bloomFilter index)
+    "cdc_column_bloom_lookup",
     # r6: Hudi BUCKET index — arithmetic upsert routing, no probe scan
     "cdc_bucket_index_routing",
     # r4: record-level index (exact key->file tier)

@@ -989,6 +989,41 @@ def cdc_bloom_skipping_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "cdc_column_bloom_lookup",
+    oracle="""
+    SELECT o_orderkey, o_custkey, o_totalprice,
+           TRUE AS files_pruned
+    FROM orders WHERE o_custkey = 8
+    """,
+    tags=("cdc", "table", "scan", "bloom"),
+)
+def cdc_column_bloom_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Column-level bloom filter index (Delta
+    ``delta.bloomFilter.enabled`` on arbitrary columns): the table is
+    clustered by its KEY, so every file's ``o_custkey`` [min, max]
+    spans most of the customer range and the stats tier cannot prune —
+    exactly the regime where Delta reaches for per-file column blooms.
+    The equality read probes each candidate file's 8 KiB ``o_custkey``
+    bloom and scans only claimed files; ``files_pruned`` pins that a
+    strict subset of the live files was read, folded into the oracle
+    row."""
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+    path = tempfile.mkdtemp(prefix="colbloom_") + "/orders_tbl"
+    t = LakehouseTable.create(
+        spark, path, orders,
+        key_cols=["o_orderkey"], bloom_columns=["o_custkey"],
+    )
+    t.optimize(target_files=24, cluster_by=["o_orderkey"])
+    out = t.read_where("o_custkey", 8, 8)
+    pruned = 0 < len(out.inputFiles()) < len(t._commit(None).files)
+    return out.select("o_orderkey", "o_custkey", "o_totalprice").withColumn(
+        "files_pruned", F.lit(pruned)
+    )
+
+
+@query(
     "cdc_stats_skipping_read",
     oracle="""
     SELECT event_id, user_id, ts, event_type, value,

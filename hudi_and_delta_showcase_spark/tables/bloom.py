@@ -141,3 +141,19 @@ def probe_blooms(
         .collect()
     )
     return {r.f for r in rows}
+
+
+def typed_literal_df(
+    spark: SparkSession, col: str, value, type_str: str
+) -> DataFrame:
+    """One-row DataFrame holding ``value`` cast to ``type_str`` under
+    column name ``col`` — the probe side of a typed bloom. Datetimes are
+    serialized to wall-time strings BEFORE the cast: ``F.lit(datetime)``
+    builds an LTZ literal through the JVM default zone and a later NTZ
+    cast applies the session zone, silently shifting the probed value
+    under non-UTC driver sessions."""
+    import datetime as _dt
+
+    if isinstance(value, _dt.datetime):
+        value = value.strftime("%Y-%m-%d %H:%M:%S.%f")
+    return spark.range(1).select(F.lit(value).cast(type_str).alias(col))

@@ -153,6 +153,7 @@ class LakehouseTable:
         self.cdc_enabled: bool = meta.get("cdc_enabled", False)
         self.global_index: bool = meta.get("global_index", False)
         self.bloom_index: bool = meta.get("bloom_index", False)
+        self.bloom_columns: list[str] = meta.get("bloom_columns", [])
         self.deletion_vectors: bool = meta.get("deletion_vectors", False)
         self.record_index: bool = meta.get("record_index", False)
         self.bucket_count: int | None = meta.get("bucket_count")
@@ -210,6 +211,7 @@ class LakehouseTable:
         deletion_vectors: bool = False,
         record_index: bool = False,
         bucket_count: int | None = None,
+        bloom_columns: list[str] | None = None,
         constraints: dict[str, str] | None = None,
         generated_columns: dict[str, str] | None = None,
         extra_stats: dict | None = None,
@@ -280,7 +282,15 @@ class LakehouseTable:
         bucket dir doubles as the partition token, so bucket-disjoint
         concurrent upserts COMMUTE under the rebase rules instead of
         conflicting. Composes with range/bloom tiers (they prune
-        further within the routed buckets)."""
+        further within the routed buckets).
+
+        ``bloom_columns`` (Delta ``delta.bloomFilter.enabled`` column
+        indexes / Hudi's any-column bloom) stores an 8 KiB bloom per
+        file per NAMED DATA COLUMN, serving EQUALITY reads
+        (``read_where(col, v, v)``) on unclustered high-cardinality
+        columns — exactly where min/max stats decline because every
+        file spans most of the value range. Build cost: one extra scan
+        of each commit's new files per indexed column."""
         path = fsio.absolutize(path)
         if fsio.exists(fsio.join(path, "_meta.json")):
             if mode == "overwrite":
@@ -303,6 +313,7 @@ class LakehouseTable:
                     "deletion_vectors": deletion_vectors,
                     "record_index": record_index,
                     "bucket_count": bucket_count,
+                    "bloom_columns": bloom_columns or [],
                     "constraints": constraints or {},
                     "generated_columns": generated_columns or {},
                 },
@@ -660,6 +671,7 @@ class LakehouseTable:
                 col_stats={ref(f): v for f, v in prev.col_stats.items()},
                 row_counts={ref(f): v for f, v in prev.row_counts.items()},
                 key_blooms={ref(f): v for f, v in prev.key_blooms.items()},
+                column_blooms={ref(f): v for f, v in prev.column_blooms.items()},
                 table_schema=prev.table_schema,
                 column_mapping=dict(prev.column_mapping),
             ),
@@ -912,6 +924,7 @@ class LakehouseTable:
             col_stats=dict(prev.col_stats),
             row_counts=dict(prev.row_counts),
             key_blooms=dict(prev.key_blooms),
+            column_blooms=dict(prev.column_blooms),
             dv_files=list(prev.dv_files),
             txn=dict(prev.txn),
             ri_files=list(prev.ri_files),
@@ -994,6 +1007,7 @@ class LakehouseTable:
             col_stats=dict(prev.col_stats),
             row_counts=dict(prev.row_counts),
             key_blooms=dict(prev.key_blooms),
+            column_blooms=dict(prev.column_blooms),
             dv_files=list(prev.dv_files),
             txn=dict(prev.txn),
             ri_files=list(prev.ri_files),
@@ -1295,6 +1309,7 @@ class LakehouseTable:
                 col_stats=prev.col_stats,
                 row_counts=prev.row_counts,
                 key_blooms=prev.key_blooms,
+                column_blooms=prev.column_blooms,
                 dv_files=list(prev.dv_files),
                 txn=new_txn,
                 ri_files=list(prev.ri_files),
@@ -1599,6 +1614,7 @@ class LakehouseTable:
                 col_stats=prev.col_stats,
                 row_counts=prev.row_counts,
                 key_blooms=prev.key_blooms,
+                column_blooms=prev.column_blooms,
                 dv_files=prev.dv_files + dv_added,
                 txn=dict(prev.txn),
                 cdc_files=cdc_added,
@@ -2091,6 +2107,7 @@ class LakehouseTable:
             col_stats=dict(target.col_stats),
             row_counts=dict(target.row_counts),
             key_blooms=dict(target.key_blooms),
+            column_blooms=dict(target.column_blooms),
             dv_files=list(target.dv_files),
             # writer watermarks never rewind: carry the LATEST txn map,
             # not the restore target's (stream progress is not data)
@@ -2246,6 +2263,33 @@ class LakehouseTable:
                 rel = os.path.relpath(local, root_path)
                 if rel in wanted:
                     key_blooms[rel] = b64
+        column_blooms: dict[str, dict[str, str]] = {}
+        if self.bloom_columns and new_files:
+            from hudi_and_delta_showcase_spark.tables.bloom import (
+                build_file_blooms,
+            )
+
+            wanted = set(new_files)
+            root_path = fsio.uri_path(self.path)
+            for col in self.bloom_columns:
+                scan = self.spark.read.option("mergeSchema", "true").parquet(
+                    *[fsio.join(self.path, f) for f in new_files]
+                ).select(F.col("_metadata.file_path").alias("__fp"), col)
+                # xxhash64 is TYPE-dependent, so each bloom records the
+                # hashed type beside the bitmap; the probe replays the
+                # literal under each recorded type — blooms stay valid
+                # across type-widening evolution (legacy narrow files
+                # keep narrow-typed blooms, new wide files get wide ones)
+                t_str = scan.schema[col].dataType.simpleString()
+                for uri, b64 in build_file_blooms(
+                    scan, key_col=col, file_col="__fp"
+                ).items():
+                    local = urllib.parse.unquote(
+                        urllib.parse.urlparse(uri).path
+                    )
+                    rel = os.path.relpath(local, root_path)
+                    if rel in wanted:
+                        column_blooms.setdefault(rel, {})[col] = [t_str, b64]
         if carry_from is not None:
             for f in carried or []:
                 if f in carry_from.key_ranges:
@@ -2256,11 +2300,14 @@ class LakehouseTable:
                     row_counts[f] = carry_from.row_counts[f]
                 if f in carry_from.key_blooms:
                     key_blooms[f] = carry_from.key_blooms[f]
+                if f in carry_from.column_blooms:
+                    column_blooms[f] = carry_from.column_blooms[f]
         return {
             "key_ranges": key_ranges,
             "col_stats": col_stats,
             "row_counts": row_counts,
             "key_blooms": key_blooms,
+            "column_blooms": column_blooms,
         }
 
     def _file_column_stats(
@@ -2356,6 +2403,36 @@ class LakehouseTable:
                 keep.append(f)
             elif (lo is None or rng[1] >= lo) and (hi is None or rng[0] <= hi):
                 keep.append(f)
+        if lo is not None and hi is not None and lo == hi:
+            # column-bloom tier (Delta bloomFilter column index): for
+            # EQUALITY reads, probe each candidate's per-column bloom.
+            # Blooms are grouped by their recorded hash type and the
+            # literal is replayed under each type, so blooms built
+            # before a type widening still answer correctly (an
+            # overflowing narrow cast can only mis-hash for a value the
+            # narrow file could not contain anyway).
+            by_type: dict[str, dict[str, str]] = {}
+            for f in keep:
+                ent = commit.column_blooms.get(f, {}).get(col)
+                if ent is not None:
+                    by_type.setdefault(ent[0], {})[f] = ent[1]
+            if by_type:
+                from hudi_and_delta_showcase_spark.tables.bloom import (
+                    probe_blooms,
+                    typed_literal_df,
+                )
+
+                hits: set[str] = set()
+                for t_str, blooms in by_type.items():
+                    keys_df = typed_literal_df(self.spark, col, lo, t_str)
+                    hits |= probe_blooms(
+                        self.spark, keys_df, blooms, key_col=col
+                    )
+                keep = [
+                    f
+                    for f in keep
+                    if col not in commit.column_blooms.get(f, {}) or f in hits
+                ]
         if self.table_type == MERGE_ON_READ and commit.log_files:
             pruned = mf.Commit(**{**commit.__dict__, "files": keep})
             base = self._read_base(pruned)

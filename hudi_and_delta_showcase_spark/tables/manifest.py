@@ -88,6 +88,14 @@ class Commit:
     #: ranges fully overlap (unclustered tables). Absent entries are
     #: conservatively treated as hits.
     key_blooms: dict = field(default_factory=dict)
+    #: per-file, per-column bloom bitmaps (base64) for NON-key data
+    #: columns (Delta's ``delta.bloomFilter.enabled`` column indexes /
+    #: Hudi's any-column bloom tier): ``{file: {physical_col: b64}}``,
+    #: built only for columns named in the table's ``bloom_columns``
+    #: meta. Serves EQUALITY lookups on unclustered columns where
+    #: min/max ranges fully overlap. Same conservative contract as
+    #: ``key_blooms``: trusted to SKIP, absent entries always hit.
+    column_blooms: dict = field(default_factory=dict)
     #: change-data-feed sidecar files for THIS commit (Delta CDF change
     #: files / Hudi CDC supplemental log) — post-images + change types,
     #: O(changes) extra write IO, written only when the table has
@@ -170,6 +178,7 @@ _DICT_FIELDS = (
     "col_stats",
     "row_counts",
     "key_blooms",
+    "column_blooms",
     "txn",
     "column_mapping",
 )
