@@ -123,19 +123,13 @@ def minhash_signatures(
     return df.withColumn("minhash", sig).select(id_col, "minhash")
 
 
-def lsh_candidate_pairs(
-    sigs: DataFrame,
-    id_col: str,
-    bands: int,
-    hash_fn: str = "md5",
-    max_bucket: int | None = None,
+def band_hashes(
+    sigs: DataFrame, id_col: str, bands: int, hash_fn: str = "md5"
 ) -> DataFrame:
-    """Band the signatures and emit candidate pairs sharing >=1 band
-    bucket. This is the scale path: a self-join on (band, band_key) —
-    shuffle on band keys, never a cross join.
-
-    ``max_bucket`` drops degenerate buckets (skew guard: a bucket of B
-    docs emits B^2 pairs; stop-shingle-like buckets explode at scale).
+    """LSH banding: one ``(doc, band, band_key)`` row per document per
+    band, ``band_key`` hashing that band's signature slice. The shared
+    primitive under pairwise LSH (``lsh_candidate_pairs``) and the
+    incremental corpus index (``incremental_lsh_dedup``).
 
     The signature length must be divisible by ``bands`` — trailing
     hashes would otherwise be silently ignored, quietly lowering
@@ -189,6 +183,23 @@ def lsh_candidate_pairs(
             )
         ).alias("bk"),
     ).select("doc", "bk.band", "bk.band_key")
+    return banded
+
+
+def lsh_candidate_pairs(
+    sigs: DataFrame,
+    id_col: str,
+    bands: int,
+    hash_fn: str = "md5",
+    max_bucket: int | None = None,
+) -> DataFrame:
+    """Band the signatures and emit candidate pairs sharing >=1 band
+    bucket. This is the scale path: a self-join on (band, band_key) —
+    shuffle on band keys, never a cross join.
+
+    ``max_bucket`` drops degenerate buckets (skew guard: a bucket of B
+    docs emits B^2 pairs; stop-shingle-like buckets explode at scale)."""
+    banded = band_hashes(sigs, id_col, bands, hash_fn)
 
     if max_bucket is not None:
         w = Window.partitionBy("band", "band_key")
@@ -569,6 +580,106 @@ def connected_components(
         if changed == 0:
             break
     return labels.select(F.col("v").alias(id_col), F.col("lbl").alias("component"))
+
+
+def create_lsh_index(spark, path: str):
+    """Create the empty persisted band index behind
+    ``incremental_lsh_dedup``: a MERGE-ON-READ lakehouse table keyed on
+    ``(band, band_key)`` holding the smallest document id seen per LSH
+    bucket. MoR because a batch's band keys are md5-uniform — they
+    touch EVERY region of the key space, so a CoW upsert would rewrite
+    the whole index each sync; the MoR upsert appends O(batch) log
+    rows instead (later commit wins per key — correct, the writer
+    folds min(old, new) before writing) and periodic ``compact()``
+    amortizes the merge. This is the same economics that puts Hudi's
+    own metadata table on MoR."""
+    from hudi_and_delta_showcase_spark.tables import LakehouseTable
+
+    empty = spark.createDataFrame(
+        [], "band int, band_key string, min_doc_id long"
+    )
+    return LakehouseTable.create(
+        spark,
+        path,
+        empty,
+        key_cols=["band", "band_key"],
+        table_type="mor",
+    )
+
+
+def incremental_lsh_dedup(
+    index,
+    sigs: DataFrame,
+    id_col: str,
+    bands: int = 8,
+    hash_fn: str = "md5",
+) -> DataFrame:
+    """Incremental corpus dedup against a PERSISTED LSH band index:
+    process one arriving batch in O(batch + touched index buckets)
+    instead of re-running LSH over the whole corpus — the only dedup
+    shape that survives a continuously-growing 100 TB corpus.
+
+    Rule (exact, order-independent within the stream): a document is
+    ``dropped`` iff it shares >=1 LSH band bucket with ANY
+    smaller-id document seen so far; ``dup_of`` is the smallest such
+    earlier document. The index stores min(doc_id) per (band,
+    band_key); a batch consults the index plus its own intra-batch
+    band minima, then folds its minima back in via one keyed upsert.
+    Because each bucket's stored min is the GLOBAL min of all prior
+    docs in that bucket, the batch verdicts equal the one-shot
+    all-at-once computation whenever batches arrive in nondecreasing
+    id order (out-of-order ids stay conservative-correct for the NEW
+    doc but cannot retract an already-emitted verdict — same contract
+    as any streaming dedup).
+
+    Scale shape: banding is map-side; the index lookup is one shuffle
+    join on (band, band_key) against a bucket-indexed table; the
+    verdict is batch-sized and localCheckpointed so the returned frame
+    is frozen BEFORE the index advances. Returns
+    ``(<id_col>, status, dup_of)``."""
+    bh = band_hashes(sigs, id_col, bands, hash_fn).localCheckpoint(
+        eager=False
+    )
+    idx = index.read().select(
+        "band", "band_key", F.col("min_doc_id").alias("__idx_min")
+    )
+    intra = bh.groupBy("band", "band_key").agg(
+        F.min("doc").alias("__batch_min")
+    )
+    joined = (
+        bh.join(intra, ["band", "band_key"])
+        .join(idx, ["band", "band_key"], "left")
+    )
+    earlier = F.least(
+        F.when(F.col("__idx_min") < F.col("doc"), F.col("__idx_min")),
+        F.when(F.col("__batch_min") < F.col("doc"), F.col("__batch_min")),
+    )
+    verdict = (
+        joined.groupBy(F.col("doc").alias(id_col))
+        .agg(F.min(earlier).alias("dup_of"))
+        .select(
+            id_col,
+            F.when(F.col("dup_of").isNull(), F.lit("kept"))
+            .otherwise(F.lit("dropped"))
+            .alias("status"),
+            "dup_of",
+        )
+        .localCheckpoint(eager=True)  # freeze vs the index upsert below
+    )
+    # fold this batch's minima into the index: upserts REPLACE stored
+    # rows (commit order wins), so merge min(old, new) here, not via
+    # precombine
+    index.upsert(
+        intra.join(idx, ["band", "band_key"], "left").select(
+            "band",
+            "band_key",
+            F.least(
+                F.col("__batch_min"),
+                F.coalesce(F.col("__idx_min"), F.col("__batch_min")),
+            ).alias("min_doc_id"),
+        )
+    )
+    return verdict
 
 
 def simhash(

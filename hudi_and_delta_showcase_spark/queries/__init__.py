@@ -88,7 +88,11 @@ PRIORITY: tuple[str, ...] = (
     # -- dedup extensions -------------------------------------------------
     "dedup_exact_rows",
     "dedup_minhash_lsh",
-    "dedup_jaccard_pairs",
+    # r6: O(batch) dedup against a persisted MoR band index — the
+    # continuously-growing-corpus shape (exact-Jaccard semantics keep a
+    # top-50 voice inside dedup_minhash_lsh's verify stage;
+    # dedup_jaccard_pairs stays bench + FULL_LOCAL)
+    "dedup_incremental_index",
     # -- similarity / ANN -------------------------------------------------
     "similarity_topk_bruteforce",
     "similarity_lsh_containment",
@@ -117,6 +121,10 @@ PRIORITY: tuple[str, ...] = (
     # six top-50 representatives; dropDuplicates dedup semantics also
     # proven by dedup_exact_rows + the stateful row)
     "stream_dedup_keys",
+    # r6 demoted for the incremental-index driver row (still bench-timed
+    # and FULL_LOCAL-checked; exact Jaccard also verifies inside
+    # dedup_minhash_lsh)
+    "dedup_jaccard_pairs",
     # r6 demoted for the Iceberg-protocol driver row (ANN keeps two
     # top-50 representatives: bruteforce + LSH containment; IVF and PQ
     # stay FULL_LOCAL-checked)

@@ -204,6 +204,71 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "dedup_incremental_index",
+    oracle=f"""
+    WITH {_SHINGLES_CTE},
+    exploded AS (
+      SELECT doc_id, UNNEST(s) AS sv FROM sh
+    ),
+    hashes AS (
+      SELECT e.doc_id, h.h AS h,
+             MIN(('0x' || substr(md5(e.sv), 1, 12))::BIGINT
+                 + h.h * ('0x' || substr(md5(e.sv), 13, 12))::BIGINT) AS mh
+      FROM exploded e
+      CROSS JOIN (SELECT UNNEST(generate_series(0, 15)) AS h) h
+      GROUP BY e.doc_id, h.h
+    ),
+    bands AS (
+      SELECT doc_id, h // 2 AS band,
+             md5(string_agg(mh::VARCHAR, '|' ORDER BY h)) AS band_key
+      FROM hashes GROUP BY doc_id, h // 2
+    ),
+    coll AS (
+      SELECT a.doc_id, MIN(b.doc_id) AS dup_of
+      FROM bands a JOIN bands b
+        ON a.band = b.band AND a.band_key = b.band_key
+       AND b.doc_id < a.doc_id
+      GROUP BY a.doc_id
+    )
+    SELECT d.doc_id,
+           CASE WHEN c.dup_of IS NULL THEN 'kept' ELSE 'dropped' END
+             AS status,
+           c.dup_of
+    FROM documents d LEFT JOIN coll c ON d.doc_id = c.doc_id
+    """,
+    tags=("dedup", "table", "incremental"),
+)
+def dedup_incremental_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental corpus dedup against a PERSISTED LSH band index: the
+    corpus arrives as two batches (split at the median id); each batch
+    is deduped in O(batch + touched buckets) against a merge-on-read
+    lakehouse table holding min(doc_id) per LSH bucket, then folds its
+    banding back in with one keyed upsert — the shape that keeps dedup
+    O(arrivals) on a continuously-growing 100 TB corpus instead of
+    re-running LSH over everything. The oracle computes the SAME
+    verdict one-shot in SQL (dropped iff any smaller-id doc shares a
+    band bucket), which the incremental fold provably equals for
+    ordered batches."""
+    import tempfile
+
+    sh = _docs_shingled(spark, sf_dir)
+    sigs = D.minhash_signatures(
+        sh, "doc_id", "shingles", num_hashes=16, hash_fn="md5"
+    )
+    m = sh.agg(F.max("doc_id")).first()[0] // 2
+    idx = D.create_lsh_index(
+        spark, tempfile.mkdtemp(prefix="lshidx_") + "/index"
+    )
+    r1 = D.incremental_lsh_dedup(
+        idx, sigs.filter(F.col("doc_id") <= m), "doc_id"
+    )
+    r2 = D.incremental_lsh_dedup(
+        idx, sigs.filter(F.col("doc_id") > m), "doc_id"
+    )
+    return r1.unionByName(r2)
+
+
+@query(
     "dedup_embedding_cosine",
     oracle="""
     WITH q AS (

@@ -509,3 +509,86 @@ def test_bm25_ranks_matching_docs(spark):
     assert ids[0] == 4, "doc matching all terms should rank first"
     assert all(rows[i].score >= rows[i + 1].score
                for i in range(len(rows) - 1))
+
+
+# ---------------------------------------------------------------------------
+# incremental LSH dedup index (persisted MoR band index)
+# ---------------------------------------------------------------------------
+
+
+def _one_shot_verdicts(bh):
+    a, b = bh.alias("a"), bh.alias("b")
+    coll = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.band_key") == F.col("b.band_key"))
+            & (F.col("b.doc") < F.col("a.doc")),
+        )
+        .groupBy(F.col("a.doc").alias("doc_id"))
+        .agg(F.min("b.doc").alias("dup_of"))
+    )
+    return {r.doc_id: r.dup_of for r in coll.collect()}
+
+
+def test_incremental_lsh_equals_one_shot_three_batches(
+    spark, docs_shingled, tmp_path
+):
+    sigs = D.minhash_signatures(
+        docs_shingled, "doc_id", "shingles", num_hashes=16, hash_fn="md5"
+    ).cache()
+    hi = sigs.agg(F.max("doc_id")).first()[0]
+    cuts = [hi // 3, 2 * hi // 3]
+    idx = D.create_lsh_index(spark, str(tmp_path / "idx"))
+    parts = [
+        sigs.filter(F.col("doc_id") <= cuts[0]),
+        sigs.filter(
+            (F.col("doc_id") > cuts[0]) & (F.col("doc_id") <= cuts[1])
+        ),
+        sigs.filter(F.col("doc_id") > cuts[1]),
+    ]
+    outs = [D.incremental_lsh_dedup(idx, p, "doc_id") for p in parts]
+    # compacting the MoR index mid-stream must not change verdicts
+    idx.compact()
+    got = {
+        r.doc_id: (r.status, r.dup_of)
+        for o in outs
+        for r in o.collect()
+    }
+    truth = _one_shot_verdicts(D.band_hashes(sigs, "doc_id", 8))
+    want = {
+        r.doc_id: (
+            ("dropped", truth[r.doc_id])
+            if r.doc_id in truth
+            else ("kept", None)
+        )
+        for r in sigs.select("doc_id").collect()
+    }
+    assert got == want
+
+
+def test_incremental_lsh_verdict_frozen_before_index_advances(
+    spark, docs_shingled, tmp_path
+):
+    """The returned frame must reflect the index state at call time even
+    if collected only after later batches advanced the index."""
+    sigs = D.minhash_signatures(
+        docs_shingled, "doc_id", "shingles", num_hashes=16, hash_fn="md5"
+    ).cache()
+    m = sigs.agg(F.max("doc_id")).first()[0] // 2
+    idx = D.create_lsh_index(spark, str(tmp_path / "idx"))
+    r1 = D.incremental_lsh_dedup(
+        idx, sigs.filter(F.col("doc_id") <= m), "doc_id"
+    )
+    r2 = D.incremental_lsh_dedup(
+        idx, sigs.filter(F.col("doc_id") > m), "doc_id"
+    )
+    # collect r1 AFTER r2's upsert already advanced the index
+    n1 = r1.count()
+    n2 = r2.count()
+    assert n1 + n2 == sigs.count()
+    b1 = {r.doc_id for r in r1.collect()}
+    assert b1 == {
+        r.doc_id
+        for r in sigs.filter(F.col("doc_id") <= m).select("doc_id").collect()
+    }
