@@ -82,7 +82,6 @@ PRIORITY: tuple[str, ...] = (
     "stream_tumbling_counts",
     "stream_stateful_user_stats",
     "stream_watermarked_counts",
-    "stream_table_changes",
     # r4: streaming retract-stream materialized view over the CDF
     "stream_gold_agg",
     # -- dedup extensions -------------------------------------------------
@@ -96,11 +95,11 @@ PRIORITY: tuple[str, ...] = (
     # -- similarity / ANN -------------------------------------------------
     "similarity_topk_bruteforce",
     "similarity_lsh_containment",
+    # r6: metadata-filtered exact ANN (pre-filter pushed to the scan)
+    "similarity_topk_filtered",
     # -- text analysis (quality scoring also runs inside
     # pipeline_corpus_curation's driver row) ------------------------------
     "text_tfidf_top_terms",
-    # r4: n-gram train/eval decontamination (LLM-pipeline hygiene pass)
-    "text_decontaminate",
     # -- end-to-end curation pipeline -------------------------------------
     "pipeline_corpus_curation",
     # r4: quality -> dedup -> decontaminate -> pack, one exact oracle
@@ -125,6 +124,13 @@ PRIORITY: tuple[str, ...] = (
     # and FULL_LOCAL-checked; exact Jaccard also verifies inside
     # dedup_minhash_lsh)
     "dedup_jaccard_pairs",
+    # r6 demoted for the filtered-ANN driver row (CDF consumption stays
+    # top-50-proven through stream_gold_agg, which reads table-changes)
+    "stream_table_changes",
+    # r6 demoted to keep the multimodal rep in the top 50 (the same
+    # n-gram decontamination pass runs inside pipeline_llm_dataset's
+    # driver row)
+    "text_decontaminate",
     # r6 demoted for the Iceberg-protocol driver row (ANN keeps two
     # top-50 representatives: bruteforce + LSH containment; IVF and PQ
     # stay FULL_LOCAL-checked)

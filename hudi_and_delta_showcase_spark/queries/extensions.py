@@ -315,6 +315,45 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "similarity_topk_filtered",
+    oracle="""
+    SELECT query_id, neighbor_id, sim, rank FROM (
+      SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+             round(list_cosine_similarity(
+               q.embedding::DOUBLE[], c.embedding::DOUBLE[]), 6) AS sim,
+             ROW_NUMBER() OVER (
+               PARTITION BY q.vec_id
+               ORDER BY round(list_cosine_similarity(
+                 q.embedding::DOUBLE[], c.embedding::DOUBLE[]), 6) DESC,
+                 c.vec_id ASC) AS rank
+      FROM embeddings q JOIN embeddings c
+        ON q.vec_id <> c.vec_id AND c.label = 3
+      WHERE q.vec_id < 5
+    ) WHERE rank <= 10
+    """,
+    tags=("similarity",),
+)
+def similarity_topk_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Filtered vector search (the vector-DB "metadata filter" idiom,
+    PRE-filtering flavor): the corpus predicate (``label = 3``) is
+    applied BEFORE any distance computation, as a plain DataFrame
+    filter that Catalyst pushes into the parquet scan — so the
+    scan+matmul only ever touch the qualifying partition of the
+    corpus, and top-k is exact over exactly the filtered set
+    (post-filtering a k-truncated result would silently return fewer
+    than k rows). At 100 TB the predicate rides the same stats/
+    partition pruning as any other scan."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return S.topk_bruteforce(
+        emb.filter(F.col("vec_id") < 5),
+        emb.filter(F.col("label") == 3),
+        "vec_id",
+        "embedding",
+        k=10,
+    )
+
+
+@query(
     "similarity_topk_bruteforce",
     oracle="""
     SELECT query_id, neighbor_id, sim, rank FROM (
