@@ -37,6 +37,7 @@ Scale notes (100 TB):
 
 from __future__ import annotations
 
+import copy
 import json
 import os
 import re
@@ -129,6 +130,11 @@ class LakehouseTable:
     def __init__(self, spark: SparkSession, path: str):
         self.spark = spark
         self.path = fsio.absolutize(path)
+        #: write-planning snapshot cache (Delta's post-commit snapshot):
+        #: holds the manifest this handle last published (or first
+        #: resolved for a write). Read paths never consult it — only
+        #: ``_commit_for_write`` / ``_publish`` below.
+        self._latest_commit: mf.Commit | None = None
         self._load_meta(
             json.loads(
                 fsio.read_pointer_text(fsio.join(self.path, "_meta.json"))
@@ -870,7 +876,7 @@ class LakehouseTable:
         Simultaneous, like ``_logical``."""
         inverse = {
             log: phys
-            for phys, log in self._commit(None).column_mapping.items()
+            for phys, log in self._commit_for_write().column_mapping.items()
         }
         if not inverse:
             return df
@@ -931,7 +937,7 @@ class LakehouseTable:
             table_schema=prev.table_schema,
             column_mapping=mapping,
         )
-        commit = mf.append_commit_rebase(self.path, commit)
+        commit = self._publish(commit)
         return commit
 
     def drop_column(self, name: str) -> mf.Commit:
@@ -1014,7 +1020,7 @@ class LakehouseTable:
             table_schema=json.dumps(new_schema.jsonValue()),
             column_mapping=mapping,
         )
-        return mf.append_commit_rebase(self.path, commit)
+        return self._publish(commit)
 
     # ------------------------------------------------------------------ #
     # table-property evolution (Delta ALTER TABLE ... SET TBLPROPERTIES /
@@ -1260,7 +1266,7 @@ class LakehouseTable:
         cannot double-apply."""
         self._refresh_meta()
         commit_time = mf.make_commit_time()
-        prev = self._commit(None)
+        prev = self._commit_for_write()
         if txn_app_id is not None and txn_version is not None:
             last = prev.txn.get(txn_app_id)
             if last is not None and txn_version <= last:
@@ -1316,7 +1322,7 @@ class LakehouseTable:
                 table_schema=table_schema,
                 column_mapping=dict(prev.column_mapping),
             )
-            commit = mf.append_commit_rebase(self.path, commit)
+            commit = self._publish(commit)
             return commit
 
         # ---- CoW: partition-scoped rewrite (C8) ----
@@ -1438,7 +1444,7 @@ class LakehouseTable:
             **self._index_fields(new_files, carry_from=prev,
                                  carried=untouched),
         )
-        commit = mf.append_commit_rebase(self.path, commit)
+        commit = self._publish(commit)
         return commit
 
     def upsert_quarantine(
@@ -1535,10 +1541,11 @@ class LakehouseTable:
         a compaction-scheduled plan; a log-tombstone fast path would be
         the next refinement if delete latency ever matters."""
         self._refresh_meta()
-        if self.table_type == MERGE_ON_READ and self._commit(None).log_files:
+        prev = self._commit_for_write()
+        if self.table_type == MERGE_ON_READ and prev.log_files:
             self.compact()
+            prev = self._commit_for_write()  # the compaction commit
         commit_time = mf.make_commit_time()
-        prev = self._commit(None)
         version = prev.version + 1
         kcols = self._resolution_cols()
         keys = self._physical(keys).select(*kcols).distinct()
@@ -1622,7 +1629,7 @@ class LakehouseTable:
                 table_schema=prev.table_schema,
                 column_mapping=dict(prev.column_mapping),
             )
-            commit = mf.append_commit_rebase(self.path, commit)
+            commit = self._publish(commit)
             return commit
 
         new_files: list[str] = []
@@ -1663,7 +1670,7 @@ class LakehouseTable:
             **self._index_fields(new_files, carry_from=prev,
                                  carried=untouched),
         )
-        commit = mf.append_commit_rebase(self.path, commit)
+        commit = self._publish(commit)
         return commit
 
     def compact(self) -> mf.Commit:
@@ -1671,7 +1678,7 @@ class LakehouseTable:
         compaction the reference schedules, README.md:605,918)."""
         if self.table_type != MERGE_ON_READ:
             raise ValueError("compact() applies to merge-on-read tables")
-        prev = self._commit(None)
+        prev = self._commit_for_write()
         if not prev.log_files:
             return prev
         rt = self._read_rt_physical()  # files keep PHYSICAL names
@@ -1696,7 +1703,7 @@ class LakehouseTable:
             column_mapping=dict(prev.column_mapping),
             **self._index_fields(files),
         )
-        commit = mf.append_commit_rebase(self.path, commit)
+        commit = self._publish(commit)
         return commit
 
     # ------------------------------------------------------------------ #
@@ -1736,7 +1743,7 @@ class LakehouseTable:
         their skipping indexes; deletion vectors on them stay live."""
         if cluster_by and zorder_by:
             raise ValueError("cluster_by and zorder_by are exclusive")
-        prev = self._commit(None)
+        prev = self._commit_for_write()
         if incremental:
             return self._optimize_incremental(
                 prev, target_files, cluster_by, zorder_by
@@ -1823,7 +1830,7 @@ class LakehouseTable:
             column_mapping=dict(prev.column_mapping),
             **self._index_fields(files),
         )
-        commit = mf.append_commit_rebase(self.path, commit)
+        commit = self._publish(commit)
         return commit
 
     def _optimize_incremental(
@@ -1921,7 +1928,7 @@ class LakehouseTable:
             column_mapping=dict(prev.column_mapping),
             **self._index_fields(new_files, carry_from=prev, carried=carried),
         )
-        return mf.append_commit_rebase(self.path, commit)
+        return self._publish(commit)
 
     _Z_BITS = 4  # quantile buckets per dimension = 2**_Z_BITS
 
@@ -2118,7 +2125,7 @@ class LakehouseTable:
             # restores data AND schema): take the TARGET's mapping
             column_mapping=dict(target.column_mapping),
         )
-        commit = mf.append_commit_rebase(self.path, commit)
+        commit = self._publish(commit)
         return commit
 
     # ------------------------------------------------------------------ #
@@ -2146,6 +2153,38 @@ class LakehouseTable:
                 raise RuntimeError(f"no commits in {self.path}")
             return commit
         return mf.read_commit(self.path, version)
+
+    def _commit_for_write(self) -> mf.Commit:
+        """Write-planning snapshot: the cached post-commit snapshot when
+        this handle has resolved/published before, else one fresh
+        resolution. Staleness is safe BY CONSTRUCTION under OCC —
+        planning against an old base only means the prepared version
+        collides at publish and rebases (or raises
+        ``ConcurrentWriteConflict``), the exact window any concurrent
+        writer already occupies between read and publish. The payoff is
+        object-store economics: a steady-state writer (a foreachBatch
+        loop) does ZERO ``_last_checkpoint`` reads and ZERO directory
+        LISTs per commit — the put-if-absent publish itself is the
+        coherence point. Read paths (``read``/``read_rt``/
+        ``read_changes``/``version_as_of``) never use this; they keep
+        per-query fresh resolution."""
+        if self._latest_commit is None:
+            self._latest_commit = self._commit(None)
+        # deep copy, same contract as manifest._snapshot_cache: callers
+        # feed the dict/list fields straight into their next Commit
+        return copy.deepcopy(self._latest_commit)
+
+    def _publish(self, commit: mf.Commit) -> mf.Commit:
+        """Publish through OCC and remember the result as the next
+        write-planning base. On conflict the cache is dropped so a
+        caller's retry starts from a fresh read."""
+        try:
+            final = mf.append_commit_rebase(self.path, commit)
+        except Exception:
+            self._latest_commit = None
+            raise
+        self._latest_commit = copy.deepcopy(final)
+        return final
 
     def _stamp_meta(self, df: DataFrame, commit_time: str) -> DataFrame:
         """§1.5: Hudi's meta columns as ordinary derived columns."""
