@@ -135,6 +135,8 @@ PRIORITY: tuple[str, ...] = (
     # top-50 representatives: bruteforce + LSH containment; IVF and PQ
     # stay FULL_LOCAL-checked)
     "similarity_ivf_containment",
+    # r6: Misra-Gries heavy hitters, exact counts via two-phase verify
+    "sketch_heavy_hitters",
     # r6 demoted for the watermark-tail driver row (multimodal keeps
     # one top-50 representative, multimodal_dedup_decode)
     "multimodal_frame_sample",

@@ -20,6 +20,7 @@ from hudi_and_delta_showcase_spark.operators import dedup as D
 from hudi_and_delta_showcase_spark.operators import multimodal as M
 from hudi_and_delta_showcase_spark.operators import sampling as SA
 from hudi_and_delta_showcase_spark.operators import similarity as S
+from hudi_and_delta_showcase_spark.operators import sketches as SK
 from hudi_and_delta_showcase_spark.operators import text as T
 from hudi_and_delta_showcase_spark.queries.registry import query
 
@@ -1325,6 +1326,39 @@ def sketch_percentile_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("gk_within_1pct"),
         )
     )
+
+
+@query(
+    "sketch_heavy_hitters",
+    oracle=f"""
+    WITH {_TOKS_CTE},
+    t AS (SELECT UNNEST(w) AS tok FROM toks),
+    n AS (SELECT COUNT(*) AS n_total FROM t)
+    SELECT tok AS token, cnt, round(cnt * 1.0 / n_total, 6) AS share
+    FROM (SELECT tok, COUNT(*) AS cnt FROM t GROUP BY tok)
+    CROSS JOIN n
+    WHERE cnt >= n_total * 0.002
+    """,
+    tags=("sketch", "text", "agg"),
+)
+def sketch_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frequent tokens (>= 0.2% of all occurrences) with EXACT counts,
+    via the Misra-Gries two-phase plan (``operators/sketches.py``): a
+    map-only capacity-8192 sketch pass emits per-partition candidate
+    summaries, the candidate union (pigeonhole-guaranteed superset of
+    every qualifying token) is broadcast, and a second map-only scan
+    counts candidates exactly — the unbounded vocabulary tail NEVER
+    shuffles, unlike the oracle's full GROUP BY. The scale path for
+    stopword/boilerplate discovery over a 100 TB corpus."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        F.explode(
+            F.filter(
+                F.split(F.lower(F.col("text")), " "), lambda t: t != ""
+            )
+        ).alias("tok")
+    )
+    return SK.heavy_hitters(toks, "tok", min_share=0.002, capacity=8192)
 
 
 # ---------------------------------------------------------------------------
