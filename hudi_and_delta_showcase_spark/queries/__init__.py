@@ -172,6 +172,8 @@ PRIORITY: tuple[str, ...] = (
     "cdc_medallion_sync",
     "table_history",
     "cdc_gdpr_purge",
+    # r6: FSCK REPAIR TABLE — vanished-file recovery via repair commit
+    "cdc_fsck_repair",
     # r5: snapshot-diff CDC (the change half of S10, trigger-free)
     "cdc_jdbc_incremental_diff",
     # r6: two-cycle sync loop with the keyset cursor in the commit

@@ -826,6 +826,44 @@ def table_history(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "cdc_fsck_repair",
+    oracle="""
+    SELECT event_id, user_id, ts, event_type, value
+    FROM events WHERE event_type <> 'click'
+    """,
+    tags=("cdc", "table", "maintenance"),
+)
+def cdc_fsck_repair(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Delta ``FSCK REPAIR TABLE``: the 'click' partition's base files
+    vanish behind the table's back (simulating lifecycle deletion);
+    before repair the snapshot scan would fail with
+    FileNotFoundException, after ``fsck()`` the dead references are
+    dropped by an ordinary repair commit and the table serves every
+    surviving partition. Discovery is one recursive LIST against the
+    manifest (never a HEAD per file); skipping indexes are pruned with
+    their files. Rows in the vanished files are lost — exactly Delta's
+    FSCK contract — hence the oracle: all events outside the vanished
+    partition."""
+    events = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "ts", "event_type", "value"
+    )
+    path = tempfile.mkdtemp(prefix="lakehouse_fsck_")
+    t = LakehouseTable.create(
+        spark,
+        f"{path}/events_tbl",
+        events,
+        key_cols=["event_id"],
+        partition_by="event_type",
+    )
+    for f in t._commit(None).files:
+        if "__pp=click/" in f:
+            os.remove(os.path.join(t.path, f))
+    report = t.fsck()
+    assert report["repaired"], "fsck found nothing to repair"
+    return t.read().select("event_id", "user_id", "ts", "event_type", "value")
+
+
+@query(
     "cdc_gdpr_purge",
     oracle=f"""
     SELECT event_id, user_id, ts, event_type, value,

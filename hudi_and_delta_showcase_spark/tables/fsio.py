@@ -95,12 +95,19 @@ def join(path: str, *parts: str) -> str:
     return os.path.join(path, *parts)
 
 
+def is_external_entry(entry: str) -> bool:
+    """True for manifest file entries that resolve OUTSIDE the table
+    root (absolute/URI shallow-clone references), false for ordinary
+    table-relative entries."""
+    return is_remote(entry) or entry.startswith("/")
+
+
 def resolve(base: str, entry: str) -> str:
     """Join a manifest FILE ENTRY to a table root: relative entries
     live under the root; absolute or URI entries (shallow-clone
     references into another table's directory) pass through verbatim
     on every backend."""
-    if is_remote(entry) or entry.startswith("/"):
+    if is_external_entry(entry):
         return entry
     return join(base, entry)
 

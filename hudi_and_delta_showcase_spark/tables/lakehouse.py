@@ -298,6 +298,11 @@ class LakehouseTable:
         file spans most of the value range. Build cost: one extra scan
         of each commit's new files per indexed column."""
         path = fsio.absolutize(path)
+        if table_type not in (COPY_ON_WRITE, MERGE_ON_READ):
+            raise ValueError(
+                f"table_type must be {COPY_ON_WRITE!r} or "
+                f"{MERGE_ON_READ!r}, got {table_type!r}"
+            )
         if fsio.exists(fsio.join(path, "_meta.json")):
             if mode == "overwrite":
                 fsio.rmtree(path)
@@ -2079,6 +2084,82 @@ class LakehouseTable:
                 "retained_versions": retained,
             }
         return {"removed_files": removed, "retained_versions": retained}
+
+    def fsck(self, dry_run: bool = False) -> dict:
+        """Delta ``FSCK REPAIR TABLE``: find live-snapshot manifest
+        entries whose underlying files have VANISHED (deleted behind the
+        table's back — lifecycle rules, manual cleanup, a partial
+        restore) and, unless ``dry_run``, publish a repair commit that
+        drops the dead references so snapshot reads stop failing with
+        ``FileNotFoundException``. Rows that lived only in a vanished
+        file are lost — exactly Delta's FSCK contract — but every
+        surviving file keeps serving, and history is preserved (the
+        repair is an ordinary commit; time travel BEFORE it still sees
+        the dead references, as in Delta).
+
+        Discovery is LISTING-driven for table-rooted entries — one
+        recursive listing per storage subdir, the same object-store
+        prefix-LIST economics as ``vacuum`` (O(files/page) RPCs), never
+        a HEAD per manifest entry; only entries resolving OUTSIDE the
+        table root (shallow-clone references into a source table) fall
+        back to a per-file existence probe, and those are rare by
+        construction. Skipping indexes (key ranges, col stats, row
+        counts, blooms) are pruned alongside their files so
+        metadata-only aggregation can never answer from a dead entry."""
+        prev = self._commit_for_write()
+        present: set[str] = set()
+        for sub in ("data", "log", "dv", "_index"):
+            for full in fsio.walk_files(fsio.join(self.path, sub)):
+                present.add(fsio.relpath(full, self.path))
+
+        def _missing(entries: list[str]) -> list[str]:
+            out = []
+            for e in entries:
+                if fsio.is_external_entry(e):
+                    if not fsio.exists(fsio.resolve(self.path, e)):
+                        out.append(e)
+                elif e not in present:
+                    out.append(e)
+            return out
+
+        dead = {
+            "files": _missing(prev.files),
+            "log_files": _missing(prev.log_files),
+            "dv_files": _missing(prev.dv_files),
+            "ri_files": _missing(prev.ri_files),
+        }
+        n_dead = sum(len(v) for v in dead.values())
+        if dry_run or n_dead == 0:
+            return {"missing": dead, "repaired": False}
+        gone = set(dead["files"])
+        commit = mf.Commit(
+            version=prev.version + 1,
+            action="fsck",
+            commit_time=mf.make_commit_time(),
+            files=[f for f in prev.files if f not in gone],
+            log_files=[
+                f for f in prev.log_files if f not in set(dead["log_files"])
+            ],
+            stats={"fsck_removed": n_dead, **{k: v for k, v in dead.items() if v}},
+            key_ranges={k: v for k, v in prev.key_ranges.items() if k not in gone},
+            col_stats={k: v for k, v in prev.col_stats.items() if k not in gone},
+            row_counts={k: v for k, v in prev.row_counts.items() if k not in gone},
+            key_blooms={k: v for k, v in prev.key_blooms.items() if k not in gone},
+            column_blooms={
+                k: v for k, v in prev.column_blooms.items() if k not in gone
+            },
+            dv_files=[
+                f for f in prev.dv_files if f not in set(dead["dv_files"])
+            ],
+            txn=dict(prev.txn),
+            ri_files=[
+                f for f in prev.ri_files if f not in set(dead["ri_files"])
+            ],
+            table_schema=prev.table_schema,
+            column_mapping=dict(prev.column_mapping),
+        )
+        self._publish(commit)
+        return {"missing": dead, "repaired": True}
 
     def restore(self, version: int) -> mf.Commit:
         """Delta ``RESTORE TABLE ... VERSION AS OF`` / Hudi
