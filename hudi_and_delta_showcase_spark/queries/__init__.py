@@ -174,6 +174,9 @@ PRIORITY: tuple[str, ...] = (
     "cdc_gdpr_purge",
     # r6: FSCK REPAIR TABLE — vanished-file recovery via repair commit
     "cdc_fsck_repair",
+    # r6: Iceberg v2 position-delete export + read-back (DV tables
+    # export without materialization)
+    "iceberg_pos_delete_roundtrip",
     # r5: snapshot-diff CDC (the change half of S10, trigger-free)
     "cdc_jdbc_incremental_diff",
     # r6: two-cycle sync loop with the keyset cursor in the commit

@@ -734,6 +734,45 @@ def iceberg_metadata_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "iceberg_pos_delete_roundtrip",
+    oracle="""
+    SELECT event_id, user_id, ts, event_type, value
+    FROM events WHERE event_id % 7 <> 0
+    """,
+    tags=("cdc", "iceberg", "source"),
+)
+def iceberg_pos_delete_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Iceberg v2 POSITION deletes end-to-end: a deletion-vector table
+    (merge-on-read DELETE — base files untouched) exports WITHOUT
+    materializing the deletes — the DV set becomes sorted
+    ``(file_path, pos)`` position-delete parquet under a ``content=1``
+    delete manifest with sequence numbers, the one-way v1 -> v2 tree
+    upgrade — and the Iceberg read path applies them by the same
+    (file, row_index) anti-join the engine's own DV reader uses. The
+    oracle is the logical post-delete state; a reader that ignores the
+    delete manifest resurrects every seventh event and hash-fails."""
+    from hudi_and_delta_showcase_spark.tables.iceberg_meta import (
+        export_iceberg_metadata,
+        read_iceberg_metadata,
+        read_iceberg_table,
+    )
+
+    events = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "ts", "event_type", "value"
+    )
+    path = tempfile.mkdtemp(prefix="iceberg_pd_") + "/events_ice"
+    t = LakehouseTable.create(
+        spark, path, events, key_cols=["event_id"], deletion_vectors=True
+    )
+    t.delete(events.filter(F.col("event_id") % 7 == 0).select("event_id"))
+    export_iceberg_metadata(t)
+    assert read_iceberg_metadata(path)["format-version"] == 2
+    return read_iceberg_table(spark, path).select(
+        "event_id", "user_id", "ts", "event_type", "value"
+    )
+
+
+@query(
     "cdc_medallion_sync",
     oracle=_LATEST_ALL_SQL,
     tags=("cdc", "table", "incremental"),

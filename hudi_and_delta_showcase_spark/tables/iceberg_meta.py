@@ -42,14 +42,24 @@ value — a foreign reader prunes manifest entries on it. Adopted
 foreign layouts whose partition column exists only in paths export
 unpartitioned (see ``_partition_spec``).
 
-Deliberate v1 simplifications, documented not hidden:
+Format version: trees start v1 and upgrade ONE WAY to v2 the first
+time an exported commit carries deletion vectors — the DV set becomes
+Iceberg POSITION DELETE files (sorted ``(file_path, pos)`` parquet
+under ``metadata/deletes/``, kept out of ``data/`` so the lakehouse
+VACUUM lifecycle never reaps exported artifacts) listed by a
+``content=1`` delete manifest with spec-conformant sequence numbers.
+The reader side applies position deletes from our trees AND
+foreign-authored v2 trees via the same anti-join the engine's own DV
+reader uses; equality deletes are refused loudly (their value
+semantics belong to the writing engine).
+
+Deliberate simplifications, documented not hidden:
 - One schema per metadata version (the table's CURRENT read schema):
   time travel across schema-evolution boundaries through the Iceberg
   view sees the current schema, like Delta UniForm before Iceberg
   schema-id history landed.
-- MoR tables must be compacted and deletion vectors materialized before
-  export (v1 has no delete files) — same preconditions as the Delta
-  export.
+- MoR tables must be compacted before export (log files have no
+  Iceberg rendering) — same precondition as the Delta export.
 """
 
 from __future__ import annotations
@@ -185,6 +195,35 @@ MANIFEST_LIST_SCHEMA = {
     ],
 }
 
+#: v2 manifest_file — spec renames the count fields and adds the
+#: content / sequence-number triple (required in v2: readers route
+#: content=1 manifests to the delete path and order deletes by
+#: sequence number).
+MANIFEST_LIST_SCHEMA_V2 = {
+    "type": "record",
+    "name": "manifest_file",
+    "fields": [
+        _f("manifest_path", "string", 500),
+        _f("manifest_length", "long", 501),
+        _f("partition_spec_id", "int", 502),
+        _f("content", "int", 517),
+        _f("sequence_number", "long", 515),
+        _f("min_sequence_number", "long", 516),
+        _f("added_snapshot_id", "long", 503),
+        _f("added_files_count", "int", 504),
+        _f("existing_files_count", "int", 505),
+        _f("deleted_files_count", "int", 506),
+        _f("added_rows_count", "long", 512),
+        _f("existing_rows_count", "long", 513),
+        _f("deleted_rows_count", "long", 514),
+    ],
+}
+
+#: manifest-list content values (v2)
+MANIFEST_CONTENT_DATA, MANIFEST_CONTENT_DELETES = 0, 1
+#: data_file.content values (v2)
+FILE_CONTENT_DATA, FILE_CONTENT_POS_DELETES, FILE_CONTENT_EQ_DELETES = 0, 1, 2
+
 #: Avro primitive for a partition value, by Iceberg partition-field type.
 _PART_AVRO = {
     "int": "int",
@@ -260,11 +299,18 @@ def _file_bounds(
     return (lo or None), (hi or None)
 
 
-def manifest_entry_schema(spec_fields: list[dict]) -> dict:
+def manifest_entry_schema(
+    spec_fields: list[dict], format_version: int = 1
+) -> dict:
     """The manifest_entry Avro schema for one partition spec: the
     ``partition`` tuple (field-id 102) carries one optional field per
     spec field, named after the partition field with its declared
-    field-id (1000+). Unpartitioned spec -> empty tuple."""
+    field-id (1000+). Unpartitioned spec -> empty tuple. v2 adds the
+    required ``data_file.content`` discriminator (0=data, 1=position
+    deletes) and the entry-level sequence-number pair (written
+    explicitly — inheritance is a reader permission, not a writer
+    obligation); v1 stays byte-identical to what earlier exports
+    pinned."""
     part_fields = [
         _f(
             sf["name"],
@@ -274,33 +320,37 @@ def manifest_entry_schema(spec_fields: list[dict]) -> dict:
         )
         for sf in spec_fields
     ]
-    data_file = {
-        "type": "record",
-        "name": "r2",
-        "fields": [
-            _f("file_path", "string", 100),
-            _f("file_format", "string", 101),
-            _f(
-                "partition",
-                {"type": "record", "name": "r102", "fields": part_fields},
-                102,
-            ),
-            _f("record_count", "long", 103),
-            _f("file_size_in_bytes", "long", 104),
-            # required in v1 manifests, ignored by readers (spec note)
-            _f("block_size_in_bytes", "long", 105),
-            _bounds_map("lower_bounds", 125, 126, 127),
-            _bounds_map("upper_bounds", 128, 129, 130),
-        ],
-    }
+    df_fields = [
+        _f("file_path", "string", 100),
+        _f("file_format", "string", 101),
+        _f(
+            "partition",
+            {"type": "record", "name": "r102", "fields": part_fields},
+            102,
+        ),
+        _f("record_count", "long", 103),
+        _f("file_size_in_bytes", "long", 104),
+        # required in v1 manifests, ignored by readers (spec note)
+        _f("block_size_in_bytes", "long", 105),
+        _bounds_map("lower_bounds", 125, 126, 127),
+        _bounds_map("upper_bounds", 128, 129, 130),
+    ]
+    if format_version >= 2:
+        df_fields.insert(0, _f("content", "int", 134))
+    data_file = {"type": "record", "name": "r2", "fields": df_fields}
+    entry_fields = [
+        _f("status", "int", 0),
+        _f("snapshot_id", "long", 1, optional=True),
+    ]
+    if format_version >= 2:
+        entry_fields += [
+            _f("sequence_number", "long", 3, optional=True),
+            _f("file_sequence_number", "long", 4, optional=True),
+        ]
     return {
         "type": "record",
         "name": "manifest_entry",
-        "fields": [
-            _f("status", "int", 0),
-            _f("snapshot_id", "long", 1, optional=True),
-            _f("data_file", data_file, 2),
-        ],
+        "fields": entry_fields + [_f("data_file", data_file, 2)],
     }
 
 
@@ -465,10 +515,6 @@ def export_iceberg_metadata(table) -> int:
         raise ValueError("empty table")
     if latest.log_files:
         raise RuntimeError("compact() MoR log files before export")
-    if latest.dv_files:
-        raise RuntimeError(
-            "materialize deletion vectors (compact/optimize) before export"
-        )
     meta_dir = _meta_dir(table.path)
     fsio.makedirs(meta_dir)
 
@@ -495,25 +541,45 @@ def export_iceberg_metadata(table) -> int:
             }
         ]
 
-    prior_meta: dict[str, tuple] = {}  # rel -> (rows, size, added_sid)
+    # format version: stays whatever the existing tree is; upgrades to
+    # v2 (and never back) the first time a pending commit carries
+    # deletion vectors — exactly Iceberg's one-way v1 -> v2 upgrade.
+    # v1 snapshots under a v2 tree read as sequence number 0, per spec.
+    fmt = FORMAT_VERSION
+    if done >= 1:
+        fmt = prior.get("format-version", FORMAT_VERSION)
+    versions = sorted(mf.list_versions(table.path))
+    if any(
+        mf.read_commit(table.path, v).dv_files
+        for v in versions
+        if v + 1 > done
+    ):
+        fmt = 2
+
+    prior_meta: dict[str, tuple] = {}  # rel -> (rows, size, sid, seq)
     parent_sid: int | None = snapshots[-1]["snapshot-id"] if snapshots else None
     # rebuild prior live-file metadata from the last exported manifest so
     # EXISTING entries carry stable counts without re-scanning old files
     if parent_sid is not None:
-        for entry in _snapshot_entries(table.path, snapshots[-1]):
+        prior_data, _prior_dels = _snapshot_entries(
+            table.path, snapshots[-1], with_deletes=True
+        )
+        for entry in prior_data:
             rel = fsio.relpath(entry["data_file"]["file_path"], location)
             prior_meta[rel] = (
                 entry["data_file"]["record_count"],
                 entry["data_file"]["file_size_in_bytes"],
                 entry["snapshot_id"],
+                entry.get("sequence_number") or 0,
             )
 
     exported = done
-    for v in sorted(mf.list_versions(table.path)):
+    for v in versions:
         if v + 1 <= done:
             continue
         c = mf.read_commit(table.path, v)
         sid = int(c.commit_time)
+        seq = v + 1  # v2 data sequence number; strictly commit-ordered
         ts_ms = _commit_ms(c.commit_time)
         cur = sorted(set(c.files))
         new_files = [f for f in cur if f not in prior_meta]
@@ -531,107 +597,227 @@ def export_iceberg_metadata(table) -> int:
         entries = []
         for f in cur:
             if f in prior_meta:
-                rows, size, added_sid = prior_meta[f]
+                rows, size, added_sid, added_seq = prior_meta[f]
                 status = STATUS_EXISTING
             else:
                 rows = counts[f]
                 size = fsio.file_size(fsio.join(table.path, f))
-                added_sid, status = sid, STATUS_ADDED
+                added_sid, added_seq, status = sid, seq, STATUS_ADDED
             bounds = _file_bounds(c.col_stats.get(f), ice_schema)
-            entries.append(
-                {
-                    "status": status,
-                    "snapshot_id": added_sid,
-                    "data_file": {
-                        "file_path": fsio.join(location, f),
-                        "file_format": "PARQUET",
-                        "partition": {
-                            sf["name"]: _typed_partition_value(
-                                table._partition_value_of(f),
-                                sf["result-type"],
-                            )
-                            for sf in spec_fields
-                        },
-                        "record_count": rows,
-                        "file_size_in_bytes": size,
-                        "block_size_in_bytes": 64 * 1024 * 1024,
-                        # data-skipping bounds from the commit's own
-                        # col-stats index (cumulative per live file) —
-                        # foreign engines prune files without reading
-                        # any footer
-                        "lower_bounds": bounds[0],
-                        "upper_bounds": bounds[1],
-                    },
-                }
-            )
-            prior_meta[f] = (
-                entries[-1]["data_file"]["record_count"],
-                entries[-1]["data_file"]["file_size_in_bytes"],
-                added_sid,
-            )
+            data_file = {
+                "file_path": fsio.join(location, f),
+                "file_format": "PARQUET",
+                "partition": {
+                    sf["name"]: _typed_partition_value(
+                        table._partition_value_of(f),
+                        sf["result-type"],
+                    )
+                    for sf in spec_fields
+                },
+                "record_count": rows,
+                "file_size_in_bytes": size,
+                "block_size_in_bytes": 64 * 1024 * 1024,
+                # data-skipping bounds from the commit's own
+                # col-stats index (cumulative per live file) —
+                # foreign engines prune files without reading
+                # any footer
+                "lower_bounds": bounds[0],
+                "upper_bounds": bounds[1],
+            }
+            entry = {
+                "status": status,
+                "snapshot_id": added_sid,
+                "data_file": data_file,
+            }
+            if fmt >= 2:
+                data_file["content"] = FILE_CONTENT_DATA
+                # explicit sequence numbers (inheritance is a reader
+                # permission, not a writer obligation)
+                entry["sequence_number"] = added_seq
+                entry["file_sequence_number"] = added_seq
+            entries.append(entry)
+            prior_meta[f] = (rows, size, added_sid, added_seq)
         removed = [f for f in list(prior_meta) if f not in set(cur)]
         for f in removed:
             del prior_meta[f]
+
+        # ---- v2 position deletes: the commit's cumulative DV set as
+        # sorted (file_path, pos) parquet under metadata/deletes/ (kept
+        # out of data/ so the lakehouse VACUUM lifecycle never reaps
+        # exported artifacts), plus a content=1 delete manifest ----
+        del_entries: list[dict] = []
+        if c.dv_files:
+            del_rel = f"deletes/s{sid}"
+            del_dir = fsio.join(meta_dir, del_rel)
+            from pyspark.sql import functions as F
+
+            (
+                table.spark.read.parquet(
+                    *[fsio.resolve(table.path, f) for f in c.dv_files]
+                )
+                .select(
+                    F.concat(
+                        F.lit(location + "/"), F.col("file_name")
+                    ).alias("file_path"),
+                    F.col("pos").cast("long").alias("pos"),
+                )
+                # spec: rows within a position-delete file are sorted by
+                # (file_path, pos); a global sort range-partitions the
+                # output so every part file satisfies it
+                .sort("file_path", "pos")
+                .write.mode("overwrite")
+                .parquet(del_dir)
+            )
+            del_files = sorted(
+                fsio.relpath(p, table.path)
+                for p in fsio.walk_files(del_dir, ".parquet")
+            )
+            del_counts = _record_counts(table.spark, table.path, del_files)
+            for f in del_files:
+                del_entries.append(
+                    {
+                        "status": STATUS_ADDED,
+                        "snapshot_id": sid,
+                        "sequence_number": seq,
+                        "file_sequence_number": seq,
+                        "data_file": {
+                            "content": FILE_CONTENT_POS_DELETES,
+                            "file_path": fsio.join(location, f),
+                            "file_format": "PARQUET",
+                            "partition": {
+                                sf["name"]: None for sf in spec_fields
+                            },
+                            "record_count": del_counts[f],
+                            "file_size_in_bytes": fsio.file_size(
+                                fsio.join(table.path, f)
+                            ),
+                            "block_size_in_bytes": 64 * 1024 * 1024,
+                            "lower_bounds": None,
+                            "upper_bounds": None,
+                        },
+                    }
+                )
 
         header = {
             "schema": json.dumps(ice_schema).encode(),
             "schema-id": b"0",
             "partition-spec": json.dumps(_spec_json(spec_fields)).encode(),
             "partition-spec-id": b"0",
-            "format-version": str(FORMAT_VERSION).encode(),
+            "format-version": str(fmt).encode(),
             "content": b"data",
         }
 
+        entry_schema = manifest_entry_schema(spec_fields, fmt)
         manifest_name = f"{uuid.uuid5(uuid.NAMESPACE_URL, f'{table_uuid}:m{v}')}-m0.avro"
         manifest_path = fsio.join(meta_dir, manifest_name)
         manifest_bytes = ocf_encode(
-            manifest_entry_schema(spec_fields), entries,
-            codec="null", extra_meta=header,
+            entry_schema, entries, codec="null", extra_meta=header,
         )
         fsio.write_bytes_atomic(manifest_path, manifest_bytes)
+        del_manifest_name, del_manifest_bytes = None, b""
+        if del_entries:
+            del_manifest_name = (
+                f"{uuid.uuid5(uuid.NAMESPACE_URL, f'{table_uuid}:d{v}')}-m1.avro"
+            )
+            del_manifest_bytes = ocf_encode(
+                entry_schema,
+                del_entries,
+                codec="null",
+                extra_meta={**header, "content": b"deletes"},
+            )
+            fsio.write_bytes_atomic(
+                fsio.join(meta_dir, del_manifest_name), del_manifest_bytes
+            )
 
         added = [e for e in entries if e["status"] == STATUS_ADDED]
         existing = [e for e in entries if e["status"] == STATUS_EXISTING]
-        list_entries = [
-            {
-                "manifest_path": fsio.join(location, "metadata", manifest_name),
-                "manifest_length": len(manifest_bytes),
-                "partition_spec_id": 0,
-                "added_snapshot_id": sid,
-                "added_data_files_count": len(added),
-                "existing_data_files_count": len(existing),
-                "deleted_data_files_count": len(removed),
-                "added_rows_count": sum(
-                    e["data_file"]["record_count"] for e in added
-                ),
-                "existing_rows_count": sum(
-                    e["data_file"]["record_count"] for e in existing
-                ),
-                "deleted_rows_count": 0,
-            }
-        ]
+        counts_v1 = {
+            "added_data_files_count": len(added),
+            "existing_data_files_count": len(existing),
+            "deleted_data_files_count": len(removed),
+        }
+        counts_v2 = {
+            "added_files_count": len(added),
+            "existing_files_count": len(existing),
+            "deleted_files_count": len(removed),
+        }
+        rows_common = {
+            "added_rows_count": sum(
+                e["data_file"]["record_count"] for e in added
+            ),
+            "existing_rows_count": sum(
+                e["data_file"]["record_count"] for e in existing
+            ),
+            "deleted_rows_count": 0,
+        }
+        data_manifest_entry = {
+            "manifest_path": fsio.join(location, "metadata", manifest_name),
+            "manifest_length": len(manifest_bytes),
+            "partition_spec_id": 0,
+            "added_snapshot_id": sid,
+            **(counts_v1 if fmt < 2 else counts_v2),
+            **rows_common,
+        }
+        if fmt >= 2:
+            data_manifest_entry.update(
+                {
+                    "content": MANIFEST_CONTENT_DATA,
+                    "sequence_number": seq,
+                    # oldest data sequence still referenced by an
+                    # EXISTING entry in this manifest
+                    "min_sequence_number": min(
+                        (e["sequence_number"] for e in entries), default=seq
+                    ),
+                }
+            )
+        list_entries = [data_manifest_entry]
+        if del_entries:
+            list_entries.append(
+                {
+                    "manifest_path": fsio.join(
+                        location, "metadata", del_manifest_name
+                    ),
+                    "manifest_length": len(del_manifest_bytes),
+                    "partition_spec_id": 0,
+                    "added_snapshot_id": sid,
+                    "content": MANIFEST_CONTENT_DELETES,
+                    "sequence_number": seq,
+                    "min_sequence_number": seq,
+                    "added_files_count": len(del_entries),
+                    "existing_files_count": 0,
+                    "deleted_files_count": 0,
+                    "added_rows_count": sum(
+                        e["data_file"]["record_count"] for e in del_entries
+                    ),
+                    "existing_rows_count": 0,
+                    "deleted_rows_count": 0,
+                }
+            )
         list_name = (
             f"snap-{sid}-1-"
             f"{uuid.uuid5(uuid.NAMESPACE_URL, f'{table_uuid}:s{v}')}.avro"
         )
+        list_meta = {
+            "format-version": str(fmt).encode(),
+            "snapshot-id": str(sid).encode(),
+            "parent-snapshot-id": str(parent_sid).encode(),
+        }
+        if fmt >= 2:
+            list_meta["sequence-number"] = str(seq).encode()
         fsio.write_bytes_atomic(
             fsio.join(meta_dir, list_name),
             ocf_encode(
-                MANIFEST_LIST_SCHEMA,
+                MANIFEST_LIST_SCHEMA if fmt < 2 else MANIFEST_LIST_SCHEMA_V2,
                 list_entries,
                 codec="null",
-                extra_meta={
-                    "format-version": str(FORMAT_VERSION).encode(),
-                    "snapshot-id": str(sid).encode(),
-                    "parent-snapshot-id": str(parent_sid).encode(),
-                },
+                extra_meta=list_meta,
             ),
         )
 
         operation = "append"
         if c.action in ("overwrite", "restore"):
             operation = "overwrite"
-        elif removed and not added:
+        elif (removed or del_entries) and not added:
             operation = "delete"
         elif removed:
             operation = "overwrite"
@@ -648,13 +834,16 @@ def export_iceberg_metadata(table) -> int:
             },
             "manifest-list": fsio.join(location, "metadata", list_name),
         }
+        if fmt >= 2:
+            snap["sequence-number"] = seq
+            snap["summary"]["total-delete-files"] = str(len(del_entries))
         if parent_sid is not None:
             snap["parent-snapshot-id"] = parent_sid
         snapshots.append(snap)
         snapshot_log.append({"timestamp-ms": ts_ms, "snapshot-id": sid})
 
         metadata = {
-            "format-version": FORMAT_VERSION,
+            "format-version": fmt,
             "table-uuid": table_uuid,
             "location": location,
             "last-updated-ms": ts_ms,
@@ -678,6 +867,8 @@ def export_iceberg_metadata(table) -> int:
             # a catalog can use for metadata rollback)
             "metadata-log": list(metadata_log),
         }
+        if fmt >= 2:
+            metadata["last-sequence-number"] = seq
         fsio.write_atomic(
             _metadata_file(table.path, v + 1), json.dumps(metadata, indent=1)
         )
@@ -715,27 +906,48 @@ def _resolve(table_path: str, path: str) -> str:
     return path
 
 
-def _snapshot_entries(table_path: str, snap: dict) -> list[dict]:
+def _snapshot_entries(
+    table_path: str, snap: dict, with_deletes: bool = False
+) -> list[dict] | tuple[list[dict], list[dict]]:
     """Live manifest entries (status != DELETED) of one snapshot.
     Accepts FOREIGN-authored manifest lists too: v2 lists carry a
-    ``content`` column (0=data, 1=deletes) — a snapshot with live
-    delete files cannot be served by a scan-only reader and fails
-    loudly instead of returning deleted rows."""
+    ``content`` column (0=data, 1=deletes). With ``with_deletes``
+    returns ``(data_entries, delete_entries)`` — POSITION deletes only
+    (``data_file.content=1``); equality deletes (content=2) need the
+    writing engine's value semantics and are refused loudly, as is any
+    delete-bearing snapshot when the caller didn't opt in."""
     _, manifests = ocf_decode(
         fsio.read_bytes(_resolve(table_path, snap["manifest-list"]))
     )
-    out: list[dict] = []
+    data: list[dict] = []
+    deletes: list[dict] = []
     for m in manifests:
-        if m.get("content", 0) == 1:  # v2 delete manifest
-            raise RuntimeError(
-                "iceberg snapshot carries delete files (merge-on-read); "
-                "compact the table with its writing engine before reading"
-            )
         _, entries = ocf_decode(
             fsio.read_bytes(_resolve(table_path, m["manifest_path"]))
         )
-        out.extend(e for e in entries if e["status"] != STATUS_DELETED)
-    return out
+        live = [e for e in entries if e["status"] != STATUS_DELETED]
+        if m.get("content", 0) == MANIFEST_CONTENT_DELETES:
+            for e in live:
+                if (
+                    e["data_file"].get("content", FILE_CONTENT_POS_DELETES)
+                    == FILE_CONTENT_EQ_DELETES
+                ):
+                    raise RuntimeError(
+                        "iceberg snapshot carries EQUALITY deletes; only "
+                        "position deletes are readable without the "
+                        "writing engine — compact the table there first"
+                    )
+            deletes.extend(live)
+        else:
+            data.extend(live)
+    if deletes and not with_deletes:
+        raise RuntimeError(
+            "iceberg snapshot carries delete files (merge-on-read); "
+            "compact the table with its writing engine before reading"
+        )
+    if with_deletes:
+        return data, deletes
+    return data
 
 
 _FOREIGN_META_RE = re.compile(r"^(\d+)-[0-9a-f-]+\.metadata\.json$")
@@ -807,6 +1019,21 @@ def expire_iceberg_snapshots(table_path: str, keep_last: int = 1) -> dict:
             fsio.read_bytes(_resolve(table_path, snapshot["manifest-list"]))
         )
         out.update(m["manifest_path"] for m in manifests)
+        # OUR exported position-delete parquet lives under metadata/
+        # (expire owns the metadata tree's lifecycle); foreign delete
+        # files under data/ stay untouched, like all data files
+        marker = "/metadata/deletes/"
+        for m in manifests:
+            if m.get("content", 0) != MANIFEST_CONTENT_DELETES:
+                continue
+            _, entries = ocf_decode(
+                fsio.read_bytes(_resolve(table_path, m["manifest_path"]))
+            )
+            out.update(
+                e["data_file"]["file_path"]
+                for e in entries
+                if marker in e["data_file"]["file_path"]
+            )
         return out
 
     live: set[str] = set()
@@ -874,7 +1101,9 @@ def read_iceberg_where(
     unpack = _BOUND_UNPACK.get(ftype if isinstance(ftype, str) else "")
     snaps = {s["snapshot-id"]: s for s in meta["snapshots"]}
     sid = snapshot_id if snapshot_id is not None else meta["current-snapshot-id"]
-    entries = _snapshot_entries(table_path, snaps[sid])
+    entries, deletes = _snapshot_entries(
+        table_path, snaps[sid], with_deletes=True
+    )
     if not entries:
         raise ValueError("snapshot has no data files")
     keep = []
@@ -895,6 +1124,9 @@ def read_iceberg_where(
         )
         return base.filter(F.lit(False))
     df = spark.read.parquet(*[_resolve(table_path, p) for p in keep])
+    if deletes:
+        # position deletes for pruned-away files simply never match
+        df = _apply_pos_deletes(spark, df, entries, deletes, table_path)
     c = F.col(col)
     if lo is not None:
         df = df.filter(c >= F.lit(lo))
@@ -903,14 +1135,78 @@ def read_iceberg_where(
     return df
 
 
+def _apply_pos_deletes(
+    spark, df, data_entries: list[dict], delete_entries: list[dict],
+    table_path: str,
+):
+    """Drop rows named by v2 POSITION delete files: anti-join the
+    scan's native ``(_metadata.file_path, _metadata.row_index)``
+    against the delete rows' ``(file_path, pos)``.
+
+    Path identity is exact, not conventional: delete rows reference the
+    AUTHOR's recorded data-file paths, which on a relocated tree differ
+    from where the files actually live — so a manifest-scale
+    ``recorded -> normalized scan path`` mapping (built from the same
+    ``_resolve`` the data scan used) is broadcast under the delete rows
+    and rewrites them before the anti-join. The delete side is a
+    parquet scan with known size stats (deleted rows, not table rows),
+    so Catalyst broadcasts it while small and AQE falls back to a
+    shuffle join when a table accumulates huge vectors — the base scan
+    keeps its pushdown/pruning either way (same shape as the engine's
+    own ``_apply_dvs``). Sequence-number ordering is not needed for
+    position deletes: they name immutable file paths, and a file added
+    after a delete file cannot appear in it."""
+    from pyspark.sql import functions as F
+
+    # scheme/authority-insensitive path form, computed identically on
+    # the scan side (in-plan regexp) and the mapping side (uri_path).
+    # Spark renders _metadata.file_path in BOTH URI shapes depending on
+    # the filesystem ("file:/x" single-slash local, "s3a://bucket/x"
+    # with authority) — strip "scheme:" plus an optional "//authority"
+    strip = r"^[a-zA-Z][a-zA-Z0-9+.-]*:(//[^/]*)?"
+    mapping = [
+        (
+            e["data_file"]["file_path"],
+            fsio.uri_path(_resolve(table_path, e["data_file"]["file_path"])),
+        )
+        for e in data_entries
+    ]
+    map_df = spark.createDataFrame(mapping, "file_path string, __scan string")
+    dels = (
+        spark.read.parquet(
+            *[
+                _resolve(table_path, e["data_file"]["file_path"])
+                for e in delete_entries
+            ]
+        )
+        .select("file_path", "pos")
+        .join(F.broadcast(map_df), "file_path")
+        .select(F.col("__scan").alias("__del_path"), F.col("pos").alias("__del_pos"))
+    )
+    return (
+        df.withColumn(
+            "__path", F.regexp_replace(F.col("_metadata.file_path"), strip, "")
+        )
+        .withColumn("__pos", F.col("_metadata.row_index"))
+        .join(
+            dels,
+            (F.col("__path") == dels["__del_path"])
+            & (F.col("__pos") == dels["__del_pos"]),
+            "left_anti",
+        )
+        .drop("__path", "__pos")
+    )
+
+
 def read_iceberg_table(spark, table_path: str, snapshot_id: int | None = None):
     """Snapshot-read an Iceberg metadata tree — ours or FOREIGN-authored
     (iceberg-java / pyiceberg v1 or v2 trees: catalog-style metadata
     naming without a version-hint, v2 manifest columns, relocated
-    absolute paths re-anchored; snapshots carrying delete files are
-    refused loudly). Current snapshot by default, ``snapshot_id`` for
-    time travel: metadata.json -> manifest-list avro -> manifest avro
-    -> one parquet scan over the live files. Metadata IO is fsio
+    absolute paths re-anchored). v2 POSITION deletes are applied via
+    anti-join (``_apply_pos_deletes``); equality deletes are refused
+    loudly. Current snapshot by default, ``snapshot_id`` for time
+    travel: metadata.json -> manifest-list avro -> manifest avro ->
+    one parquet scan over the live files. Metadata IO is fsio
     (object-store capable); the listing cost is O(manifests of one
     snapshot), never a directory walk."""
     meta = read_iceberg_metadata(table_path)
@@ -918,10 +1214,15 @@ def read_iceberg_table(spark, table_path: str, snapshot_id: int | None = None):
     sid = snapshot_id if snapshot_id is not None else meta["current-snapshot-id"]
     if sid not in snaps:
         raise ValueError(f"unknown snapshot-id {sid}")
-    entries = _snapshot_entries(table_path, snaps[sid])
+    entries, deletes = _snapshot_entries(
+        table_path, snaps[sid], with_deletes=True
+    )
     files = [
         _resolve(table_path, e["data_file"]["file_path"]) for e in entries
     ]
     if not files:
         raise ValueError("snapshot has no data files")
-    return spark.read.parquet(*files)
+    df = spark.read.parquet(*files)
+    if deletes:
+        df = _apply_pos_deletes(spark, df, entries, deletes, table_path)
+    return df

@@ -544,21 +544,28 @@ def test_reads_relocated_foreign_tree(spark, tmp_path):
     ]
 
 
-def test_refuses_v2_delete_manifests(spark, tmp_path):
-    """A snapshot whose manifest list carries a DELETE manifest
-    (content=1) cannot be served by a scan-only reader: loud failure,
-    never silently-undeleted rows."""
+def test_refuses_v2_equality_deletes(spark, tmp_path):
+    """Position deletes are applied (tests/test_iceberg_deletes.py);
+    EQUALITY deletes need the writing engine's value semantics and a
+    snapshot carrying them fails loudly, never silently-undeleted
+    rows."""
     root = str(tmp_path / "ice_del")
     sid1, sid2 = _foreign_v2_tree(root)
-    # rewrite snapshot 2's manifest list entry as a delete manifest
     from hudi_and_delta_showcase_spark.avro_ocf import ocf_decode as dec
     from hudi_and_delta_showcase_spark.avro_ocf import ocf_encode as enc
 
+    # rewrite snapshot 2's second manifest as an equality-delete
+    # manifest (list entry content=1, data_file content=2)
+    m2 = os.path.join(root, "metadata", "bbb-2222-m0.avro")
+    schema, recs = dec(open(m2, "rb").read())
+    for r in recs:
+        r["data_file"]["content"] = 2
+    open(m2, "wb").write(enc(schema, recs, codec="deflate"))
     l2 = os.path.join(root, "metadata", f"snap-{sid2}-1-ddd.avro")
     schema, recs = dec(open(l2, "rb").read())
     recs[0]["content"] = 1
     open(l2, "wb").write(enc(schema, recs, codec="deflate"))
-    with pytest.raises(RuntimeError, match="delete files"):
+    with pytest.raises(RuntimeError, match="EQUALITY deletes"):
         read_iceberg_table(spark, root)
 
 
