@@ -177,6 +177,8 @@ PRIORITY: tuple[str, ...] = (
     # r6: Iceberg v2 position-delete export + read-back (DV tables
     # export without materialization)
     "iceberg_pos_delete_roundtrip",
+    # r6: Delta row tracking — stable _row_id across UPDATE
+    "cdc_row_tracking_stability",
     # r5: snapshot-diff CDC (the change half of S10, trigger-free)
     "cdc_jdbc_incremental_diff",
     # r6: two-cycle sync loop with the keyset cursor in the commit

@@ -734,6 +734,63 @@ def iceberg_metadata_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "cdc_row_tracking_stability",
+    oracle=f"""
+    SELECT user_id,
+           user_id IN (
+             SELECT DISTINCT user_id FROM events
+             WHERE ts < TIMESTAMP '{CUTOFF}'
+           ) AS id_preserved
+    FROM (
+      SELECT user_id FROM (
+        SELECT *, ROW_NUMBER() OVER (
+          PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+        FROM events
+      ) WHERE rn = 1
+    )
+    """,
+    tags=("cdc", "table", "row-tracking"),
+)
+def cdc_row_tracking_stability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Delta ROW TRACKING: every row carries a stable ``_row_id`` that
+    an UPDATE preserves — the logical row keeps its identity while its
+    content changes — and an INSERT mints fresh. The query snapshots
+    version 0's (user_id, _row_id) pairs, upserts the post-cutoff
+    batch, and emits per-user whether the id actually survived; the
+    oracle states the contract exactly (preserved iff the user existed
+    before the upsert), so a tracking bug in either direction — a
+    re-minted id on update, or a reused id on insert — hash-fails.
+    The inherit is one key-probe join against rows the CoW rewrite
+    reads anyway (operators unchanged for untracked tables)."""
+    base, incr = _split(spark, sf_dir)
+    path = tempfile.mkdtemp(prefix="lakehouse_rowtrack_")
+    t = LakehouseTable.create(
+        spark,
+        f"{path}/events_tbl",
+        base,
+        key_cols=["user_id"],
+        precombine="ts",
+        tiebreakers=["event_id"],
+        row_tracking=True,
+    )
+    # version-0 ids: the file list resolves NOW, so the lazy plan keeps
+    # reading the pre-upsert files (CoW: old files live until vacuum)
+    ids0 = t.read().select("user_id", F.col("_row_id").alias("rid0"))
+    t.upsert(incr)
+    return (
+        t.read()
+        .select("user_id", "_row_id")
+        .join(ids0, "user_id", "left")
+        .select(
+            "user_id",
+            F.coalesce(
+                F.col("_row_id") == F.col("rid0"), F.lit(False)
+            ).alias("id_preserved"),
+        )
+    )
+
+
+@query(
     "iceberg_pos_delete_roundtrip",
     oracle="""
     SELECT event_id, user_id, ts, event_type, value

@@ -167,6 +167,9 @@ class LakehouseTable:
         self.generated_columns: dict[str, str] = meta.get(
             "generated_columns", {}
         )
+        #: Delta row tracking: rows carry a stable _row_id that UPDATE
+        #: (upsert), OPTIMIZE, and RESTORE preserve (CoW only)
+        self.row_tracking: bool = meta.get("row_tracking", False)
         #: set when a foreign hive layout was adopted by ``convert``:
         #: the partition column exists only in adopted file PATHS and
         #: is derived at scan time with this declared type.
@@ -220,6 +223,7 @@ class LakehouseTable:
         bloom_columns: list[str] | None = None,
         constraints: dict[str, str] | None = None,
         generated_columns: dict[str, str] | None = None,
+        row_tracking: bool = False,
         extra_stats: dict | None = None,
     ) -> "LakehouseTable":
         """C1 bulk insert: write batch as version 0, stamp meta columns
@@ -303,6 +307,11 @@ class LakehouseTable:
                 f"table_type must be {COPY_ON_WRITE!r} or "
                 f"{MERGE_ON_READ!r}, got {table_type!r}"
             )
+        if row_tracking and table_type == MERGE_ON_READ:
+            # a MoR log row has no pre-image to inherit from until
+            # compaction resolves it; Delta (the feature's origin) has
+            # no MoR either — refuse rather than track approximately
+            raise ValueError("row_tracking requires a copy-on-write table")
         if fsio.exists(fsio.join(path, "_meta.json")):
             if mode == "overwrite":
                 fsio.rmtree(path)
@@ -327,6 +336,7 @@ class LakehouseTable:
                     "bloom_columns": bloom_columns or [],
                     "constraints": constraints or {},
                     "generated_columns": generated_columns or {},
+                    "row_tracking": row_tracking,
                 },
                 indent=1,
             ),
@@ -1375,6 +1385,29 @@ class LakehouseTable:
                 self._read_parquet(affected, prev), prev
             ).alias("t")
             keys = self._resolution_cols()
+            if self.row_tracking:
+                # Delta row tracking: an UPDATE keeps the logical row's
+                # identity — matched batch rows inherit the pre-image's
+                # _row_id via one key-probe join against the rows the
+                # rewrite is reading anyway; unmatched (insert) rows
+                # keep their freshly-stamped id. Runs BEFORE the merge
+                # and CDC classify so post-images carry the stable id.
+                pre = target.select(
+                    *[F.col(f"t.{c}").alias(f"__rk_{c}") for c in keys],
+                    F.col("t._row_id").alias("__old_rid"),
+                )
+                icond = None
+                for c in keys:
+                    e = F.col(c).eqNullSafe(F.col(f"__rk_{c}"))
+                    icond = e if icond is None else icond & e
+                stamped = (
+                    stamped.join(pre, icond, "left")
+                    .withColumn(
+                        "_row_id",
+                        F.coalesce(F.col("__old_rid"), F.col("_row_id")),
+                    )
+                    .drop("__old_rid", *[f"__rk_{c}" for c in keys])
+                )
             source_keys = F.broadcast(
                 stamped.select(*keys).distinct().alias("s")
             )
@@ -2277,7 +2310,7 @@ class LakehouseTable:
             if self.partition_by and self.partition_by in df.columns
             else F.lit("")
         )
-        return (
+        out = (
             df.withColumn("_hoodie_commit_time", F.lit(commit_time))
             .withColumn(
                 "_hoodie_commit_seqno",
@@ -2286,6 +2319,12 @@ class LakehouseTable:
             .withColumn("_hoodie_record_key", key)
             .withColumn("_hoodie_partition_path", pp)
         )
+        if self.row_tracking:
+            # fresh id at birth (globally unique: commit_time + per-write
+            # monotonic id); the upsert merge OVERWRITES this for matched
+            # rows with the pre-image's id — Delta row-tracking semantics
+            out = out.withColumn("_row_id", F.col("_hoodie_commit_seqno"))
+        return out
 
     def _write_files(
         self, df: DataFrame, commit_dir: str, log: bool = False
