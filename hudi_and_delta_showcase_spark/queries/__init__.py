@@ -137,6 +137,8 @@ PRIORITY: tuple[str, ...] = (
     "similarity_ivf_containment",
     # r6: Misra-Gries heavy hitters, exact counts via two-phase verify
     "sketch_heavy_hitters",
+    # r6: distributed PCA, full-rank rotation-inversion gate
+    "similarity_pca_reconstruction",
     # r6 demoted for the watermark-tail driver row (multimodal keeps
     # one top-50 representative, multimodal_dedup_decode)
     "multimodal_frame_sample",

