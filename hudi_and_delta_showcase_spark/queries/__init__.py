@@ -191,6 +191,8 @@ PRIORITY: tuple[str, ...] = (
     "cdc_convert_in_place",
     # r6: incoming XTable direction — adopt a pure Iceberg tree in place
     "cdc_convert_iceberg",
+    # r6: CONVERT FROM DELTA — log-replay adoption, orphans excluded
+    "cdc_convert_delta",
     # r6: bounds-pruned range read through the Iceberg metadata path
     "iceberg_stats_skipping_read",
     # r6: TPC-H's RF1/RF2 refresh streams as lakehouse upsert + delete

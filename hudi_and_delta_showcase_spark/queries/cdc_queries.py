@@ -2291,6 +2291,51 @@ def cdc_convert_in_place(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "cdc_convert_delta",
+    oracle=f"""
+    SELECT event_id, user_id, ts, event_type, value FROM events
+    WHERE ts < TIMESTAMP '{CUTOFF}'
+      AND user_id NOT IN (
+        SELECT user_id FROM events WHERE ts >= TIMESTAMP '{CUTOFF}'
+      )
+    UNION ALL
+    SELECT event_id, user_id, ts, event_type, value FROM (
+      SELECT *, ROW_NUMBER() OVER (
+        PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+      FROM events WHERE ts >= TIMESTAMP '{CUTOFF}'
+    ) WHERE rn = 1
+    """,
+    tags=("cdc", "table", "convert"),
+)
+def cdc_convert_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CONVERT FROM DELTA (completing the adoption matrix: hive
+    parquet, Iceberg, Delta): a pure ``_delta_log`` table — first
+    written with a decoy batch, then OVERWRITTEN with the pre-cutoff
+    events, so the log's live set differs from the directory's
+    contents — is adopted IN PLACE from log replay; the decoy's
+    orphaned files (on disk awaiting Delta VACUUM) must NOT resurrect,
+    or the oracle hash-fails. The adopted table immediately serves
+    keyed upserts. Same oracle contract as cdc_convert_in_place:
+    convert never dedups; upserted users resolve to their latest
+    post-cutoff event."""
+    from hudi_and_delta_showcase_spark.tables.delta_log import (
+        write_delta_table,
+    )
+
+    base, incr = _split(spark, sf_dir)
+    root = tempfile.mkdtemp(prefix="convert_delta_") + "/t"
+    decoy = base.limit(50).withColumn("user_id", F.col("user_id") + 900000)
+    write_delta_table(decoy.coalesce(1), root)
+    write_delta_table(base.coalesce(2), root, mode="overwrite")
+    t = LakehouseTable.convert_delta(
+        spark, root,
+        key_cols=["user_id"], precombine="ts", tiebreakers=["event_id"],
+    )
+    t.upsert(incr)
+    return t.read().select(*_FINAL_COLS)
+
+
+@query(
     "cdc_convert_iceberg",
     oracle=f"""
     SELECT event_id, user_id, ts, event_type, value FROM events

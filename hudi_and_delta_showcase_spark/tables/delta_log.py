@@ -398,6 +398,91 @@ def read_delta_table(
     return df
 
 
+def adopt_delta_snapshot(path: str) -> tuple[dict, list[str]]:
+    """The current snapshot's ``(metaData, live files)`` for CONVERT
+    FROM DELTA adoption, with loud guards on everything a
+    metadata-only adoption cannot represent:
+
+    * **deletion vectors** — a live AddFile carrying a
+      ``deletionVector`` means the parquet bytes alone over-serve the
+      snapshot (deleted rows resurrect);
+    * **column mapping** — physical file columns differ from logical
+      names; the adopted scan would expose physical names;
+    * **advanced reader protocol** — ``minReaderVersion > 1`` signals
+      features this reader does not implement; refusing beats silently
+      mis-reading (delta-spark does the same for unknown features).
+
+    DV evidence is gathered from BOTH the JSON commits and foreign
+    classic checkpoints (a long-lived table's only record of old
+    adds)."""
+    meta, files = _replay(path, None)
+    conf = meta.get("configuration") or {}
+    if (conf.get("delta.columnMapping.mode") or "none") != "none":
+        raise RuntimeError(
+            "delta table uses column mapping; its physical file columns "
+            "cannot be adopted by name"
+        )
+    live = set(files)
+    dv_paths: set[str] = set()
+
+    def _note(add: dict) -> None:
+        if add and add.get("deletionVector") and add["path"] in live:
+            dv_paths.add(add["path"])
+
+    for v in _list_versions(path):
+        for line in fsio.read_text(_commit_file(path, v)).splitlines():
+            if not line.strip():
+                continue
+            action = json.loads(line)
+            if "protocol" in action:
+                if action["protocol"].get("minReaderVersion", 1) > 1:
+                    raise RuntimeError(
+                        "delta reader protocol "
+                        f"{action['protocol']} is beyond this adopter; "
+                        "compact/drop features with the writing engine"
+                    )
+            elif "add" in action:
+                _note(action["add"])
+    cp = _read_checkpoint(path)
+    if cp is not None:
+        parts = None
+        lc = json.loads(
+            fsio.read_pointer_text(
+                fsio.join(_log_dir(path), "_last_checkpoint"), attempts=2
+            )
+        )
+        parts = lc.get("parts")
+        names = (
+            [
+                f"{cp[0]:020d}.checkpoint.{i:010d}.{parts:010d}.parquet"
+                for i in range(1, parts + 1)
+            ]
+            if parts
+            else [f"{cp[0]:020d}.checkpoint.parquet"]
+        )
+        for name in names:
+            for row in _read_parquet_rows(fsio.join(_log_dir(path), name)):
+                if "kind" in row:
+                    continue  # our own dialect never carries DVs
+                if row.get("protocol") is not None and (
+                    row["protocol"].get("minReaderVersion") or 1
+                ) > 1:
+                    raise RuntimeError(
+                        f"delta reader protocol {row['protocol']} is "
+                        "beyond this adopter"
+                    )
+                if row.get("add") is not None:
+                    _note({k: v for k, v in row["add"].items()})
+    if dv_paths:
+        raise RuntimeError(
+            "delta snapshot carries deletion vectors on "
+            f"{len(dv_paths)} live files; a metadata-only adoption "
+            "would resurrect deleted rows — compact with the writing "
+            "engine first"
+        )
+    return meta, files
+
+
 def delta_history(path: str) -> list[dict]:
     """The commitInfo timeline (DESCRIBE HISTORY equivalent)."""
     out = []

@@ -525,6 +525,111 @@ class LakehouseTable:
         return table
 
     @classmethod
+    def convert_delta(
+        cls,
+        spark: SparkSession,
+        path: str,
+        key_cols: list[str],
+        precombine: str | None = None,
+        tiebreakers: list[str] | None = None,
+        table_type: str = COPY_ON_WRITE,
+    ) -> "LakehouseTable":
+        """``convert`` for a Delta table (CONVERT FROM DELTA — the
+        inverse of ``delta_log.export_delta_log``, completing the
+        adoption matrix: hive-parquet, Iceberg, Delta): adopt the
+        CURRENT ``_delta_log`` snapshot in place, metadata-only.
+
+        The live-file list comes from log replay (checkpoint-aware),
+        so files Delta has removed — old CoW versions awaiting VACUUM
+        — are correctly ignored, not resurrected; they stay on disk
+        untouched. Snapshots carrying deletion vectors, column
+        mapping, or an advanced reader protocol are refused loudly
+        (``delta_log.adopt_delta_snapshot``): a metadata-only adoption
+        cannot represent them. Partitioned Delta tables adopt with the
+        same path-derived mechanism as hive-layout ``convert`` — Delta
+        data files never CONTAIN the partition column, only the
+        ``col=value`` dirs name it — including the version-0
+        ``col_stats`` seed so partition pruning works immediately
+        (single partition column; multi-column layouts are refused,
+        same bound as ``convert``)."""
+        from hudi_and_delta_showcase_spark.tables import delta_log as dl
+
+        path = fsio.absolutize(path)
+        if fsio.exists(fsio.join(path, "_meta.json")):
+            raise FileExistsError(f"already a lakehouse table: {path}")
+        meta_d, files = dl.adopt_delta_snapshot(path)
+        if not files:
+            raise FileNotFoundError(f"current snapshot lists no files: {path}")
+        part_cols = meta_d.get("partitionColumns") or []
+        if len(part_cols) > 1:
+            raise ValueError(
+                f"multi-column partitioning {part_cols} is beyond "
+                "convert's single-level adoption (same bound as hive "
+                "convert)"
+            )
+        partition_by = part_cols[0] if part_cols else None
+        partition_type = "string"
+        if partition_by is not None:
+            from pyspark.sql.types import StructType
+
+            schema = StructType.fromJson(
+                json.loads(meta_d["schemaString"])
+            )
+            partition_type = schema[partition_by].dataType.simpleString()
+        fsio.write_atomic(
+            fsio.join(path, "_meta.json"),
+            json.dumps(
+                {
+                    "key_cols": key_cols,
+                    "precombine": precombine,
+                    "tiebreakers": tiebreakers or [],
+                    "partition_by": partition_by,
+                    "table_type": table_type,
+                    "cdc_enabled": False,
+                    "global_index": False,
+                    "bloom_index": False,
+                    "deletion_vectors": False,
+                    "record_index": False,
+                    "constraints": {},
+                    "generated_columns": {},
+                    **(
+                        {"adopted_partition_type": partition_type}
+                        if partition_by is not None
+                        else {}
+                    ),
+                },
+                indent=1,
+            ),
+        )
+        table = cls(spark, path)
+        index = table._index_fields(sorted(files))
+        if partition_by is not None:
+            for f in files:
+                v = table._partition_value_of(f)
+                if v is None or v == HIVE_DEFAULT_PARTITION:
+                    continue
+                typed = _parse_partition_value(v, partition_type)
+                index["col_stats"].setdefault(f, {})[partition_by] = [
+                    typed, typed,
+                ]
+        mf.append_commit(
+            path,
+            mf.Commit(
+                version=0,
+                action="convert",
+                commit_time=mf.make_commit_time(),
+                files=sorted(files),
+                log_files=[],
+                stats={
+                    "converted_files": len(files),
+                    "source_format": "delta",
+                },
+                **index,
+            ),
+        )
+        return table
+
+    @classmethod
     def convert_iceberg(
         cls,
         spark: SparkSession,
