@@ -193,6 +193,9 @@ PRIORITY: tuple[str, ...] = (
     "cdc_convert_iceberg",
     # r6: CONVERT FROM DELTA — log-replay adoption, orphans excluded
     "cdc_convert_delta",
+    # r6: CONVERT FROM HOODIE — timeline-replay adoption, stale slices
+    # excluded; all three protocols now adopt AND export
+    "cdc_convert_hoodie",
     # r6: bounds-pruned range read through the Iceberg metadata path
     "iceberg_stats_skipping_read",
     # r6: TPC-H's RF1/RF2 refresh streams as lakehouse upsert + delete

@@ -2291,6 +2291,49 @@ def cdc_convert_in_place(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "cdc_convert_hoodie",
+    oracle=f"""
+    SELECT event_id, user_id, ts, event_type, value FROM events
+    WHERE ts < TIMESTAMP '{CUTOFF}'
+      AND user_id NOT IN (
+        SELECT user_id FROM events WHERE ts >= TIMESTAMP '{CUTOFF}'
+      )
+    UNION ALL
+    SELECT event_id, user_id, ts, event_type, value FROM (
+      SELECT *, ROW_NUMBER() OVER (
+        PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+      FROM events WHERE ts >= TIMESTAMP '{CUTOFF}'
+    ) WHERE rn = 1
+    """,
+    tags=("cdc", "table", "convert"),
+)
+def cdc_convert_hoodie(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CONVERT FROM HOODIE, completing the adoption matrix in BOTH
+    directions for all three protocols: a pure ``.hoodie``-timeline
+    table — first written with a decoy batch, then OVERWRITTEN with
+    the pre-cutoff events, so stale file slices sit on disk awaiting
+    Hudi's cleaner — is adopted IN PLACE from timeline replay (latest
+    slice per file group); resurrecting the decoy's slices hash-fails
+    the oracle. The adopted table immediately serves keyed upserts.
+    Same oracle contract as the other converts."""
+    from hudi_and_delta_showcase_spark.tables.hoodie_timeline import (
+        write_hoodie_table,
+    )
+
+    base, incr = _split(spark, sf_dir)
+    root = tempfile.mkdtemp(prefix="convert_hoodie_") + "/t"
+    decoy = base.limit(50).withColumn("user_id", F.col("user_id") + 900000)
+    write_hoodie_table(decoy.coalesce(1), root)
+    write_hoodie_table(base.coalesce(2), root, mode="overwrite")
+    t = LakehouseTable.convert_hoodie(
+        spark, root,
+        key_cols=["user_id"], precombine="ts", tiebreakers=["event_id"],
+    )
+    t.upsert(incr)
+    return t.read().select(*_FINAL_COLS)
+
+
+@query(
     "cdc_convert_delta",
     oracle=f"""
     SELECT event_id, user_id, ts, event_type, value FROM events

@@ -525,6 +525,96 @@ class LakehouseTable:
         return table
 
     @classmethod
+    def convert_hoodie(
+        cls,
+        spark: SparkSession,
+        path: str,
+        key_cols: list[str],
+        precombine: str | None = None,
+        tiebreakers: list[str] | None = None,
+        table_type: str = COPY_ON_WRITE,
+    ) -> "LakehouseTable":
+        """``convert`` for a ``.hoodie``-layout Hudi table, completing
+        the adoption matrix in BOTH directions for all three protocols
+        (export: delta/hoodie/iceberg; adopt: hive/delta/hoodie/
+        iceberg): adopt the current timeline snapshot in place,
+        metadata-only.
+
+        The live set is the timeline's latest file slice per file
+        group (``hoodie_timeline._latest_file_slices`` — the same
+        replay the foreign-authored-timeline reader pins: overwrite
+        barriers, replacecommit ``replacedFileIds``), so superseded
+        slices awaiting Hudi's cleaner are ignored, never resurrected.
+        Merge-on-read timelines are refused loudly: a ``deltacommit``
+        means HoodieLogFile blocks this engine cannot fold — compact
+        with Hudi first (its own RO view would silently UNDER-serve).
+        Real-Hudi data files already carry the ``_hoodie_*`` meta
+        columns, so adopted reads serve them as written; files from
+        this engine's own ``export_hoodie_timeline`` behave
+        identically."""
+        from hudi_and_delta_showcase_spark.tables import (
+            hoodie_timeline as ht,
+        )
+
+        path = fsio.absolutize(path)
+        if fsio.exists(fsio.join(path, "_meta.json")):
+            raise FileExistsError(f"already a lakehouse table: {path}")
+        hd = fsio.join(path, ".hoodie")
+        if fsio.isdir(hd):
+            mor = [
+                f
+                for f in fsio.listdir(hd)
+                if ".deltacommit" in f or f.endswith(".compaction.requested")
+            ]
+            if mor:
+                raise RuntimeError(
+                    "merge-on-read .hoodie timeline (deltacommit log "
+                    f"blocks, e.g. {mor[0]!r}); compact with Hudi before "
+                    "adoption — a base-only read would silently drop "
+                    "unmerged updates"
+                )
+        files = sorted(ht._latest_file_slices(path).values())
+        if not files:
+            raise FileNotFoundError(f"no completed commits under {path}")
+        fsio.write_atomic(
+            fsio.join(path, "_meta.json"),
+            json.dumps(
+                {
+                    "key_cols": key_cols,
+                    "precombine": precombine,
+                    "tiebreakers": tiebreakers or [],
+                    "partition_by": None,
+                    "table_type": table_type,
+                    "cdc_enabled": False,
+                    "global_index": False,
+                    "bloom_index": False,
+                    "deletion_vectors": False,
+                    "record_index": False,
+                    "constraints": {},
+                    "generated_columns": {},
+                },
+                indent=1,
+            ),
+        )
+        table = cls(spark, path)
+        mf.append_commit(
+            path,
+            mf.Commit(
+                version=0,
+                action="convert",
+                commit_time=mf.make_commit_time(),
+                files=files,
+                log_files=[],
+                stats={
+                    "converted_files": len(files),
+                    "source_format": "hoodie",
+                },
+                **table._index_fields(files),
+            ),
+        )
+        return table
+
+    @classmethod
     def convert_delta(
         cls,
         spark: SparkSession,
