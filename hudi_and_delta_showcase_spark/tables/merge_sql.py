@@ -456,6 +456,10 @@ _DDL_RES: list[tuple[str, re.Pattern]] = [
     ("drop_partition_field", re.compile(
         r"^\s*ALTER\s+TABLE\s+(?P<t>\w+)\s+DROP\s+PARTITION\s+FIELD\s*$",
         re.IGNORECASE)),
+    ("fsck", re.compile(
+        r"^\s*FSCK\s+REPAIR\s+TABLE\s+(?P<t>\w+)"
+        r"(?:\s+(?P<dry>DRY\s+RUN))?\s*$",
+        re.IGNORECASE)),
 ]
 
 
@@ -470,6 +474,7 @@ def execute_ddl(
     * ``OPTIMIZE t [ZORDER BY (c1, c2)]``
     * ``RESTORE TABLE t TO VERSION AS OF n``
     * ``DESCRIBE HISTORY t``
+    * ``FSCK REPAIR TABLE t [DRY RUN]``
     * ``ALTER TABLE t ADD CONSTRAINT name CHECK (pred)`` / ``DROP
       CONSTRAINT name`` / ``RENAME COLUMN a TO b`` / ``DROP COLUMN a``
     * ``CREATE TABLE delta.`/dest/path` SHALLOW CLONE t``
@@ -501,6 +506,9 @@ def execute_ddl(
                 zorder_by=[c.strip() for c in z.split(",")] if z else None
             )
             return {"statement": "optimize", "version": commit.version}
+        if kind == "fsck":
+            out = t.fsck(dry_run=bool(m.group("dry")))
+            return {"statement": "fsck", **out}
         if kind == "restore":
             commit = t.restore(int(m.group("v")))
             return {"statement": "restore", "version": commit.version}

@@ -280,6 +280,9 @@ def test_execute_ddl_statements(spark, tmp_path):
     ] == "rename_column"
     assert "val" in LakehouseTable(spark, t.path).read().columns
     assert run("ALTER TABLE events_tbl DROP CONSTRAINT pos")["name"] == "pos"
+    fsck = run("FSCK REPAIR TABLE events_tbl DRY RUN")
+    assert fsck["statement"] == "fsck" and fsck["repaired"] is False
+    assert fsck["missing"]["files"] == []
     with pytest.raises(ValueError, match="unsupported DDL"):
         run("TRUNCATE TABLE events_tbl")
     with pytest.raises(KeyError):

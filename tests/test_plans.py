@@ -304,3 +304,48 @@ def test_runtime_bloom_filter_join_pruning(spark, sf_dir):
     ).count()
     plan = _formatted_plan(joined)
     assert "bloom_filter" in plan.lower() or "BloomFilter" in plan, plan[:2000]
+
+
+def test_filtered_ann_pushes_corpus_predicate(spark, sf_dir):
+    """similarity_topk_filtered is the PRE-filter idiom: the corpus
+    predicate must reach the parquet scan — a post-filter plan would
+    compute distances for the whole corpus first."""
+    plan = _plan(spark, sf_dir, "similarity_topk_filtered")
+    assert re.search(r"PushedFilters: \[[^\]]*EqualTo\(label,3\)", plan)
+    assert re.search(r"PushedFilters: \[[^\]]*LessThan\(vec_id,5\)", plan)
+    assert "CartesianProduct" not in plan
+
+
+def test_pca_moment_pass_is_shuffle_free(spark, sf_dir):
+    """The PCA fit's moment pass must be map-only: partitions summarize
+    locally and the driver folds — an Exchange here would shuffle the
+    vector column for no reason."""
+    from hudi_and_delta_showcase_spark.io import load_table
+    from hudi_and_delta_showcase_spark.operators.linalg import (
+        _moment_partials,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    plan = _formatted_plan(_moment_partials(emb, "embedding"))
+    assert "Exchange" not in plan
+    # and the scan reads only the vector column
+    m = re.search(r"ReadSchema: struct<([^>]*)>", plan)
+    assert m and "vec_id" not in m.group(1) and "label" not in m.group(1)
+
+
+def test_heavy_hitters_sketch_pass_is_shuffle_free(spark, sf_dir):
+    """The Misra-Gries sketch pass likewise summarizes per partition
+    with no Exchange before the mapInPandas."""
+    import pyspark.sql.functions as F
+
+    from hudi_and_delta_showcase_spark.io import load_table
+    from hudi_and_delta_showcase_spark.operators.sketches import mg_partials
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        F.explode(
+            F.filter(F.split(F.lower(F.col("text")), " "), lambda t: t != "")
+        ).alias("tok")
+    )
+    plan = _formatted_plan(mg_partials(toks, "tok", 4096))
+    assert "Exchange" not in plan
