@@ -202,6 +202,8 @@ PRIORITY: tuple[str, ...] = (
     "tpch_refresh_rf1_rf2",
     # r6: Delta's WHEN NOT MATCHED BY SOURCE clause (full-sync MERGE)
     "sql_merge_by_source",
+    # r6: literal read-SQL — VERSION/TIMESTAMP AS OF + table_changes TVF
+    "sql_time_travel_select",
     # r6: zero-copy shallow clone (Delta SHALLOW CLONE)
     "cdc_shallow_clone",
     # r6: deep clone — distributed byte-copy, self-contained survivor

@@ -2291,6 +2291,82 @@ def cdc_convert_in_place(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "sql_time_travel_select",
+    oracle=f"""
+    WITH v0 AS (
+      SELECT event_id, user_id FROM (
+        SELECT *, ROW_NUMBER() OVER (
+          PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+        FROM events WHERE ts < TIMESTAMP '{CUTOFF}'
+      ) WHERE rn = 1
+    ),
+    post AS (
+      SELECT event_id, user_id FROM (
+        SELECT *, ROW_NUMBER() OVER (
+          PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+        FROM events WHERE ts >= TIMESTAMP '{CUTOFF}'
+      ) WHERE rn = 1
+    )
+    SELECT event_id, user_id, 'v0' AS tag FROM v0
+    UNION ALL
+    SELECT event_id, user_id, 'ts0' AS tag FROM v0
+    UNION ALL
+    SELECT event_id, user_id, 'chg_post' AS tag FROM post
+    UNION ALL
+    SELECT v0.event_id, v0.user_id, 'chg_pre' AS tag FROM v0
+    WHERE v0.user_id IN (SELECT user_id FROM post)
+    """,
+    tags=("cdc", "sql", "cdf"),
+)
+def sql_time_travel_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The literal Delta read-SQL forms a reference user types
+    (``merge_sql.execute_query``): ``VERSION AS OF`` and ``TIMESTAMP
+    AS OF`` time travel (the instant taken from the table's own
+    history, as a user would) plus the ``table_changes('t', 1, 1)``
+    CDF table-valued function — all three resolved against one
+    CDC-enabled table and value-pinned: v0 by version and v0 by
+    timestamp must agree row-for-row, and the change feed's pre/post
+    split must match the relational definition of the upsert."""
+    from hudi_and_delta_showcase_spark.tables.merge_sql import execute_query
+
+    base, incr = _split(spark, sf_dir)
+    path = tempfile.mkdtemp(prefix="sql_tt_")
+    t = LakehouseTable.create(
+        spark, f"{path}/events_tbl", base,
+        key_cols=["user_id"], precombine="ts", tiebreakers=["event_id"],
+        cdc_enabled=True,
+    )
+    t.upsert(incr)
+    tables = {"events_tbl": t}
+    q = lambda s: execute_query(spark, s, tables)  # noqa: E731
+    v0 = q("SELECT * FROM events_tbl VERSION AS OF 0")
+    ts0 = q(
+        "SELECT * FROM events_tbl TIMESTAMP AS OF "
+        f"'{t.history()[0].commit_time}'"
+    )
+    chg = q("SELECT * FROM table_changes('events_tbl', 1, 1)")
+    pick = lambda df, tag: df.select(  # noqa: E731
+        "event_id", "user_id", F.lit(tag).alias("tag")
+    )
+    return (
+        pick(v0, "v0")
+        .unionAll(pick(ts0, "ts0"))
+        .unionAll(
+            pick(
+                chg.filter(
+                    F.col("_change_type").isin("insert", "update_postimage")
+                ),
+                "chg_post",
+            )
+        )
+        .unionAll(
+            pick(chg.filter(F.col("_change_type") == "update_preimage"),
+                 "chg_pre")
+        )
+    )
+
+
+@query(
     "cdc_convert_hoodie",
     oracle=f"""
     SELECT event_id, user_id, ts, event_type, value FROM events

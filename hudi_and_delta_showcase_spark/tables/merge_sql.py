@@ -463,6 +463,59 @@ _DDL_RES: list[tuple[str, re.Pattern]] = [
 ]
 
 
+_QUERY_RES: list[tuple[str, re.Pattern]] = [
+    ("version_as_of", re.compile(
+        r"^\s*SELECT\s+\*\s+FROM\s+(?P<t>\w+)\s+VERSION\s+AS\s+OF"
+        r"\s+(?P<v>\d+)\s*$",
+        re.IGNORECASE)),
+    ("timestamp_as_of", re.compile(
+        r"^\s*SELECT\s+\*\s+FROM\s+(?P<t>\w+)\s+TIMESTAMP\s+AS\s+OF"
+        r"\s+'(?P<ts>[^']+)'\s*$",
+        re.IGNORECASE)),
+    ("table_changes", re.compile(
+        r"^\s*SELECT\s+\*\s+FROM\s+table_changes\s*\(\s*'(?P<t>\w+)'\s*,"
+        r"\s*(?P<v1>\d+)\s*(?:,\s*(?P<v2>\d+)\s*)?\)\s*$",
+        re.IGNORECASE)),
+]
+
+
+def execute_query(
+    spark: SparkSession,
+    sql: str,
+    tables: dict[str, "LakehouseTable"],
+) -> "DataFrame":
+    """The literal Delta read-SQL forms, resolved against the same
+    registry MERGE/DDL use:
+
+    * ``SELECT * FROM t VERSION AS OF n`` (time travel by version)
+    * ``SELECT * FROM t TIMESTAMP AS OF 'instant'`` (by instant —
+      the newest version committed at or before it)
+    * ``SELECT * FROM table_changes('t', v1[, v2])`` (the CDF TVF)
+
+    Only the ``SELECT *`` shape is parsed here — the return value is a
+    DataFrame, so projections/filters/joins compose in Spark (or
+    register it as a temp view and continue in full Spark SQL); a SQL
+    string dialect would just shadow Catalyst. Unknown statements raise
+    ValueError, never a silent no-op."""
+    for kind, rx in _QUERY_RES:
+        m = rx.match(sql)
+        if not m:
+            continue
+        name = m.group("t")
+        if name not in tables:
+            raise KeyError(f"unknown table in query: {name}")
+        t = tables[name]
+        if kind == "version_as_of":
+            return t.read(version=int(m.group("v")))
+        if kind == "timestamp_as_of":
+            return t.read(version=t.version_as_of(m.group("ts")))
+        v2 = m.group("v2")
+        return t.read_changes(
+            int(m.group("v1")), int(v2) if v2 is not None else None
+        )
+    raise ValueError(f"unsupported query SQL: {sql!r}")
+
+
 def execute_ddl(
     spark: SparkSession,
     sql: str,

@@ -399,3 +399,40 @@ def test_vacuum_retain_hours(spark, tmp_path):
     # time travel to v1 still intact after the real vacuum
     execute_ddl(spark, "VACUUM t RETAIN 0 HOURS", {"t": t})
     assert t.read().count() == 2
+
+
+def test_execute_query_read_sql(spark, tmp_path):
+    """The literal read-SQL forms: time travel by version and by
+    instant agree, the CDF TVF bounds default to latest, and unknown
+    shapes raise."""
+    import pyspark.sql.functions as F
+
+    from hudi_and_delta_showcase_spark.tables import LakehouseTable
+    from hudi_and_delta_showcase_spark.tables.merge_sql import execute_query
+
+    df = spark.createDataFrame(
+        [(1, "a", 1), (2, "b", 1)], "pk_id int, v string, sq int"
+    )
+    t = LakehouseTable.create(
+        spark, str(tmp_path / "t"), df, key_cols=["pk_id"],
+        precombine="sq", cdc_enabled=True,
+    )
+    t.upsert(spark.createDataFrame([(2, "b2", 2)], "pk_id int, v string, sq int"))
+    tables = {"t": t}
+    q = lambda s: execute_query(spark, s, tables)  # noqa: E731
+
+    v0 = sorted((r.pk_id, r.v) for r in q("SELECT * FROM t VERSION AS OF 0").collect())
+    assert v0 == [(1, "a"), (2, "b")]
+    ts = t.history()[0].commit_time
+    assert sorted(
+        (r.pk_id, r.v)
+        for r in q(f"SELECT * FROM t TIMESTAMP AS OF '{ts}'").collect()
+    ) == v0
+    chg = q("SELECT * FROM table_changes('t', 1)")  # end defaults to latest
+    assert {r._change_type for r in chg.collect()} == {
+        "update_preimage", "update_postimage"
+    }
+    with pytest.raises(ValueError, match="unsupported query"):
+        q("SELECT pk_id FROM t VERSION AS OF 0")
+    with pytest.raises(KeyError):
+        q("SELECT * FROM nosuch VERSION AS OF 0")
