@@ -158,6 +158,10 @@ PRIORITY: tuple[str, ...] = (
     "pipeline_sequence_pack",
     "agg_grouping_sets",
     "window_running_sum",
+    # r6: batch gap-sessionization (one shuffle, shared window sort)
+    "window_sessionize_events",
+    # r6: distribution-drift PSI monitor (pre/post-cutoff buckets)
+    "stats_drift_psi",
     "dedup_embedding_cosine",
     # r6: exact substring-level dedup (k-gram buckets, Lee et al.)
     "dedup_substring_spans",

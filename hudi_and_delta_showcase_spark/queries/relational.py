@@ -22,6 +22,7 @@ import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession, Window
 
 from hudi_and_delta_showcase_spark.io import load_table
+from hudi_and_delta_showcase_spark.queries.cdc_queries import CUTOFF
 from hudi_and_delta_showcase_spark.queries.registry import query
 
 
@@ -1121,6 +1122,138 @@ def window_rank_topn_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
         o.withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") <= 3)
         .select("o_custkey", "o_orderkey", "o_totalprice", "rn")
+    )
+
+
+@query(
+    "window_sessionize_events",
+    oracle="""
+    WITH marked AS (
+      SELECT user_id, ts, event_id,
+             CASE WHEN LAG(ts) OVER w IS NULL
+                    OR ts - LAG(ts) OVER w > INTERVAL 30 MINUTE
+                  THEN 1 ELSE 0 END AS new_s
+      FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    sess AS (
+      SELECT *, SUM(new_s) OVER (
+        PARTITION BY user_id ORDER BY ts, event_id
+        ROWS UNBOUNDED PRECEDING) AS session_id
+      FROM marked
+    )
+    SELECT user_id, session_id, COUNT(*) AS n_events,
+           MIN(ts) AS session_start, MAX(ts) AS session_end
+    FROM sess GROUP BY user_id, session_id
+    """,
+    tags=("window", "agg"),
+)
+def window_sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BATCH sessionization (the training-episode builder: group a
+    user's event stream into sessions split at >30 min gaps) via the
+    classic gap-marker + running-sum idiom: LAG flags session starts,
+    a cumulative SUM numbers them, one aggregate summarizes. All three
+    windows/aggregates share ONE hash partitioning on user_id — a
+    single Exchange, the two window passes reuse its sort — so at
+    100 TB this is one shuffle of the events table, not three. The
+    streaming twin (session_window) is stream_session_windows; this is
+    the batch/backfill path, numerically pinned against the SQL
+    definition."""
+    events = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(F.asc("ts"), F.asc("event_id"))
+    marked = events.withColumn(
+        "new_s",
+        F.when(
+            F.lag("ts").over(w).isNull()
+            | (
+                F.col("ts")
+                > F.lag("ts").over(w) + F.expr("INTERVAL 30 MINUTES")
+            ),
+            F.lit(1),
+        ).otherwise(F.lit(0)),
+    )
+    sess = marked.withColumn(
+        "session_id",
+        F.sum("new_s").over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ),
+    )
+    return sess.groupBy("user_id", "session_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.min("ts").alias("session_start"),
+        F.max("ts").alias("session_end"),
+    )
+
+
+@query(
+    "stats_drift_psi",
+    oracle=f"""
+    WITH pre AS (
+      SELECT CAST(FLOOR(value / 50) AS BIGINT) AS bucket, COUNT(*) AS n
+      FROM events WHERE ts < TIMESTAMP '{CUTOFF}' GROUP BY 1
+    ),
+    post AS (
+      SELECT CAST(FLOOR(value / 50) AS BIGINT) AS bucket, COUNT(*) AS n
+      FROM events WHERE ts >= TIMESTAMP '{CUTOFF}' GROUP BY 1
+    ),
+    tot AS (
+      SELECT (SELECT SUM(n) FROM pre) AS np, (SELECT SUM(n) FROM post) AS nq,
+             (SELECT COUNT(*) FROM (
+                SELECT bucket FROM pre UNION SELECT bucket FROM post)) AS b
+    )
+    SELECT bucket,
+           COALESCE(pre.n, 0) AS n_pre,
+           COALESCE(post.n, 0) AS n_post,
+           round(
+             ((COALESCE(pre.n, 0) + 1.0) / (np + b)
+              - (COALESCE(post.n, 0) + 1.0) / (nq + b))
+             * ln(((COALESCE(pre.n, 0) + 1.0) / (np + b))
+                  / ((COALESCE(post.n, 0) + 1.0) / (nq + b))),
+             9) AS psi_term
+    FROM pre FULL OUTER JOIN post USING (bucket) CROSS JOIN tot
+    """,
+    tags=("agg", "stats"),
+)
+def stats_drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution drift between two corpus slices (the data-ops
+    monitor run before shipping a new training mix): per-bucket
+    Population Stability Index terms of the ``value`` distribution,
+    pre- vs post-cutoff, Laplace-smoothed so empty buckets stay
+    finite. One scan, one tiny bucket aggregate each side, a
+    bucket-count-sized join — map-side partials do all the work at
+    100 TB. Terms rounded at 9dp so Spark's and DuckDB's libm ln()
+    agree bit-for-bit; sum the column for the headline PSI (> 0.2 =
+    actionable drift by the usual convention)."""
+    events = load_table(spark, sf_dir, "events")
+    bucket = F.floor(F.col("value") / 50).cast("bigint").alias("bucket")
+    cutoff = F.lit(CUTOFF).cast("timestamp_ntz")
+    pre = (
+        events.filter(F.col("ts") < cutoff).select(bucket)
+        .groupBy("bucket").agg(F.count(F.lit(1)).alias("n_pre"))
+    )
+    post = (
+        events.filter(F.col("ts") >= cutoff).select(bucket)
+        .groupBy("bucket").agg(F.count(F.lit(1)).alias("n_post"))
+    )
+    both = (
+        pre.join(post, "bucket", "full_outer")
+        .select(
+            "bucket",
+            F.coalesce("n_pre", F.lit(0)).alias("n_pre"),
+            F.coalesce("n_post", F.lit(0)).alias("n_post"),
+        )
+    )
+    tot = both.agg(
+        F.sum("n_pre").alias("np"),
+        F.sum("n_post").alias("nq"),
+        F.count(F.lit(1)).alias("b"),
+    )
+    p = (F.col("n_pre") + 1.0) / (F.col("np") + F.col("b"))
+    q = (F.col("n_post") + 1.0) / (F.col("nq") + F.col("b"))
+    return both.crossJoin(F.broadcast(tot)).select(
+        "bucket",
+        "n_pre",
+        "n_post",
+        F.round((p - q) * F.log(p / q), 9).alias("psi_term"),
     )
 
 
