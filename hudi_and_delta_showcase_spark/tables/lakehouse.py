@@ -111,6 +111,43 @@ def _distributed_copy(spark, pairs: list[tuple[str, str]]) -> None:
     ).count()
 
 
+#: removable-file count past which VACUUM deletes as a Spark job
+#: instead of a driver loop. A serial driver loop is fine locally, but
+#: on an object store it is O(files) sequential DELETE round-trips —
+#: vacuuming 100k expired files at ~50 ms RPC is ~80 minutes serial
+#: and seconds distributed.
+VACUUM_DISTRIBUTED_THRESHOLD = 64
+
+
+def _distributed_remove(spark, paths: list[str]) -> int:
+    """Delete files as a Spark job — same executor-side pyarrow.fs
+    pattern as ``_distributed_copy``. Already-missing files are
+    tolerated (a racing vacuum or lifecycle rule got there first; the
+    outcome is identical)."""
+    if not paths:
+        return 0
+
+    def rm_slice(it):
+        import pyarrow.fs as pafs
+
+        def fs_of(p):
+            if "://" not in p:
+                return pafs.LocalFileSystem(), p
+            return pafs.FileSystem.from_uri(p)
+
+        for p in it:
+            fs, pp = fs_of(p)
+            try:
+                fs.delete_file(pp)
+            except FileNotFoundError:
+                pass
+        return iter(())
+
+    n = min(len(paths), 64)
+    spark.sparkContext.parallelize(paths, n).mapPartitions(rm_slice).count()
+    return len(paths)
+
+
 def _parse_partition_value(v: str, partition_type: str):
     """Hive dir value string -> a JSON-stable typed value for the
     col_stats index (mirrors the scan-time cast in ``_repair_meta``)."""
@@ -2294,23 +2331,28 @@ class LakehouseTable:
             keep.update(c.cdc_files)
             keep.update(c.dv_files)
             keep.update(c.ri_files)
-        removed = 0
+        doomed: list[str] = []
         would_remove: list[str] = []
         for sub in ("data", "log", "cdc", "dv", "_index"):
             root = fsio.join(self.path, sub)
             for full in fsio.walk_files(root, ".parquet"):
                 rel = fsio.relpath(full, self.path)
                 if rel not in keep:
-                    if dry_run:
-                        would_remove.append(rel)
-                    else:
-                        fsio.remove(full)
-                        removed += 1
+                    would_remove.append(rel)
+                    doomed.append(full)
         if dry_run:
             return {
                 "would_remove_files": sorted(would_remove),
                 "retained_versions": retained,
             }
+        if len(doomed) > VACUUM_DISTRIBUTED_THRESHOLD:
+            # large expirations delete executor-side: O(files/slices)
+            # wall time instead of O(files) serial driver RPCs
+            removed = _distributed_remove(self.spark, doomed)
+        else:
+            for full in doomed:
+                fsio.remove(full)
+            removed = len(doomed)
         return {"removed_files": removed, "retained_versions": retained}
 
     def fsck(self, dry_run: bool = False) -> dict:

@@ -96,3 +96,24 @@ def test_fsck_repairs_vanished_mor_log(spark, events, tmp_path):
     assert t._commit(None).log_files == []
     # RO and RT views both serve again from base files alone
     assert t.read_ro().count() == t.read().count() == events.count()
+
+
+def test_vacuum_distributed_remove_path(spark, events, tmp_path, monkeypatch):
+    """Past the threshold, VACUUM deletes executor-side (pyarrow.fs) —
+    the outcome must be identical to the serial driver loop."""
+    from hudi_and_delta_showcase_spark.tables import lakehouse as lh
+
+    monkeypatch.setattr(lh, "VACUUM_DISTRIBUTED_THRESHOLD", 1)
+    t = lh.LakehouseTable.create(
+        spark, str(tmp_path / "t"), events, key_cols=["event_id"]
+    )
+    t.upsert(events.limit(100))  # v1 rewrites: v0 files become removable
+    t.upsert(events.limit(100))
+    dry = t.vacuum(retain_versions=1, dry_run=True)
+    assert len(dry["would_remove_files"]) > 1
+    out = t.vacuum(retain_versions=1)
+    assert out["removed_files"] == len(dry["would_remove_files"])
+    # removed on disk, and the live snapshot still serves
+    for rel in dry["would_remove_files"]:
+        assert not os.path.exists(os.path.join(t.path, rel))
+    assert t.read().count() == events.count()
