@@ -528,6 +528,23 @@ def export_delta_log(table) -> int:
             "materialize deletion vectors (compact/optimize) before export"
         )
     fsio.makedirs(_log_dir(table.path))
+    # table properties, Delta's exact conventions: CHECK constraints as
+    # delta.constraints.<name> (writer v3 — a foreign delta writer must
+    # understand them to not violate them) and the CDF flag (writer v4).
+    # Reader version stays 1: neither feature changes how files READ.
+    # Properties reflect the table's CURRENT meta (constraints live in
+    # _meta.json, unversioned — same approximation as the schema note
+    # above for pre-widening versions).
+    props: dict[str, str] = {
+        f"delta.constraints.{name}": pred
+        for name, pred in (table.constraints or {}).items()
+    }
+    protocol = dict(_PROTOCOL)
+    if table.cdc_enabled:
+        props["delta.enableChangeDataFeed"] = "true"
+        protocol["minWriterVersion"] = max(protocol["minWriterVersion"], 4)
+    elif props:
+        protocol["minWriterVersion"] = max(protocol["minWriterVersion"], 3)
     done = set(_list_versions(table.path))
     exported = -1
     prior_files: set[str] = set()
@@ -542,7 +559,7 @@ def export_delta_log(table) -> int:
         now = int(time.time() * 1000)
         actions: list[dict] = []
         if v == 0:
-            actions.append({"protocol": _PROTOCOL})
+            actions.append({"protocol": protocol})
         if schema_json != prior_schema or v == 0:
             schema_str = schema_json
             if schema_str is None:
@@ -557,7 +574,7 @@ def export_delta_log(table) -> int:
                         "format": {"provider": "parquet", "options": {}},
                         "schemaString": schema_str,
                         "partitionColumns": [],
-                        "configuration": {},
+                        "configuration": props,
                         "createdTime": now,
                     }
                 }

@@ -305,3 +305,58 @@ def test_reads_foreign_parquet_checkpoint_with_expired_json(spark, tmp_path):
     # a pre-checkpoint version is genuinely unreadable: clear error
     with pytest.raises(ValueError, match="not in log"):
         read_delta_table(spark, root, version=3)
+
+
+def test_export_carries_table_properties(spark, tmp_path):
+    """Constraints export as delta.constraints.* and CDF as
+    delta.enableChangeDataFeed, with the writer version raised so a
+    foreign delta writer is REQUIRED to understand them (reader stays
+    1: neither changes how files read). Feature-free tables keep the
+    byte-identical protocol-1/2 export the goldens pin."""
+    import json as _json
+    import os as _os
+
+    from hudi_and_delta_showcase_spark.tables import LakehouseTable
+    from hudi_and_delta_showcase_spark.tables.delta_log import (
+        export_delta_log,
+    )
+
+    df = spark.createDataFrame([(1, 10, 1)], "k int, v int, sq int")
+    t = LakehouseTable.create(
+        spark, str(tmp_path / "t"), df, key_cols=["k"], precombine="sq",
+        cdc_enabled=True, constraints={"v_pos": "v >= 0"},
+    )
+    export_delta_log(t)
+    actions = [
+        _json.loads(line)
+        for line in open(
+            _os.path.join(t.path, "_delta_log", f"{0:020d}.json")
+        ).read().splitlines()
+        if line.strip()
+    ]
+    proto = next(a["protocol"] for a in actions if "protocol" in a)
+    meta = next(a["metaData"] for a in actions if "metaData" in a)
+    assert proto == {"minReaderVersion": 1, "minWriterVersion": 4}
+    assert meta["configuration"] == {
+        "delta.constraints.v_pos": "v >= 0",
+        "delta.enableChangeDataFeed": "true",
+    }
+
+    # feature-free export unchanged (protocol 1/2, empty configuration)
+    t2 = LakehouseTable.create(
+        spark, str(tmp_path / "t2"), df, key_cols=["k"], precombine="sq"
+    )
+    export_delta_log(t2)
+    actions2 = [
+        _json.loads(line)
+        for line in open(
+            _os.path.join(t2.path, "_delta_log", f"{0:020d}.json")
+        ).read().splitlines()
+        if line.strip()
+    ]
+    assert next(a["protocol"] for a in actions2 if "protocol" in a) == {
+        "minReaderVersion": 1, "minWriterVersion": 2,
+    }
+    assert next(a["metaData"] for a in actions2 if "metaData" in a)[
+        "configuration"
+    ] == {}
