@@ -1101,6 +1101,45 @@ class LakehouseTable:
         """C7: the commit timeline (Hudi `.hoodie` / Delta `_delta_log`)."""
         return [mf.read_commit(self.path, v) for v in mf.list_versions(self.path)]
 
+    def detail(self) -> dict:
+        """Delta ``DESCRIBE DETAIL``: one metadata-only summary of the
+        current snapshot — latest-commit read plus ``_meta.json``, zero
+        data IO and zero listings. ``num_rows`` comes from the
+        manifest's per-file footer counts and is None when any live
+        file lacks one (adopted files before their first rewrite) —
+        absent beats wrong."""
+        c = self._commit(None)
+        rc = [c.row_counts.get(f) for f in c.files]
+        return {
+            "format": "lakehouse",
+            "location": self.path,
+            "table_type": self.table_type,
+            "version": c.version,
+            "last_commit_time": c.commit_time,
+            "num_files": len(c.files),
+            "num_log_files": len(c.log_files),
+            "num_rows": None if any(r is None for r in rc) else sum(rc),
+            "partition_columns": (
+                [self.partition_by] if self.partition_by else []
+            ),
+            "key_columns": list(self.key_cols),
+            "features": sorted(
+                name
+                for name, on in (
+                    ("cdc", self.cdc_enabled),
+                    ("deletion_vectors", self.deletion_vectors),
+                    ("global_index", self.global_index),
+                    ("bloom_index", self.bloom_index),
+                    ("record_index", self.record_index),
+                    ("bucket_index", bool(self.bucket_count)),
+                    ("row_tracking", self.row_tracking),
+                    ("constraints", bool(self.constraints)),
+                    ("generated_columns", bool(self.generated_columns)),
+                )
+                if on
+            ),
+        }
+
     # ------------------------------------------------------------------ #
     # column mapping (Delta columnMapping.mode=name)
     # ------------------------------------------------------------------ #

@@ -427,6 +427,8 @@ _DDL_RES: list[tuple[str, re.Pattern]] = [
         re.IGNORECASE)),
     ("history", re.compile(
         r"^\s*DESCRIBE\s+HISTORY\s+(?P<t>\w+)\s*$", re.IGNORECASE)),
+    ("detail", re.compile(
+        r"^\s*DESCRIBE\s+DETAIL\s+(?P<t>\w+)\s*$", re.IGNORECASE)),
     ("add_constraint", re.compile(
         r"^\s*ALTER\s+TABLE\s+(?P<t>\w+)\s+ADD\s+CONSTRAINT\s+"
         r"(?P<name>\w+)\s+CHECK\s*\(\s*(?P<pred>.+?)\s*\)\s*$",
@@ -528,6 +530,7 @@ def execute_ddl(
     * ``RESTORE TABLE t TO VERSION AS OF n``
     * ``DESCRIBE HISTORY t``
     * ``FSCK REPAIR TABLE t [DRY RUN]``
+    * ``DESCRIBE DETAIL t``
     * ``ALTER TABLE t ADD CONSTRAINT name CHECK (pred)`` / ``DROP
       CONSTRAINT name`` / ``RENAME COLUMN a TO b`` / ``DROP COLUMN a``
     * ``CREATE TABLE delta.`/dest/path` SHALLOW CLONE t``
@@ -559,6 +562,8 @@ def execute_ddl(
                 zorder_by=[c.strip() for c in z.split(",")] if z else None
             )
             return {"statement": "optimize", "version": commit.version}
+        if kind == "detail":
+            return {"statement": "detail", **t.detail()}
         if kind == "fsck":
             out = t.fsck(dry_run=bool(m.group("dry")))
             return {"statement": "fsck", **out}

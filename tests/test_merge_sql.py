@@ -436,3 +436,22 @@ def test_execute_query_read_sql(spark, tmp_path):
         q("SELECT pk_id FROM t VERSION AS OF 0")
     with pytest.raises(KeyError):
         q("SELECT * FROM nosuch VERSION AS OF 0")
+
+
+def test_describe_detail(spark, tmp_path):
+    from hudi_and_delta_showcase_spark.tables import LakehouseTable
+    from hudi_and_delta_showcase_spark.tables.merge_sql import execute_ddl
+
+    df = spark.createDataFrame(
+        [(1, "a", 1), (2, "b", 1)], "pk_id int, part string, sq int"
+    ).coalesce(1)
+    t = LakehouseTable.create(
+        spark, str(tmp_path / "t"), df, key_cols=["pk_id"],
+        precombine="sq", partition_by="part", cdc_enabled=True,
+    )
+    d = execute_ddl(spark, "DESCRIBE DETAIL t", {"t": t})
+    assert d["statement"] == "detail"
+    assert d["table_type"] == "cow" and d["version"] == 0
+    assert d["num_files"] == 2 and d["num_rows"] == 2  # one file/partition
+    assert d["partition_columns"] == ["part"]
+    assert d["features"] == ["cdc"]
