@@ -1982,6 +1982,92 @@ class LakehouseTable:
         commit = self._publish(commit)
         return commit
 
+    def _optimize_partition(
+        self,
+        prev: mf.Commit,
+        value: str,
+        target_files: int | None,
+        cluster_by: list[str] | None,
+        zorder_by: list[str] | None,
+    ) -> mf.Commit:
+        """Delta ``OPTIMIZE t WHERE part = v``: rewrite ONE partition's
+        files, carry every other file with its skipping indexes intact
+        — at 100 TB the difference between touching the hot partition
+        and rewriting the table. Deletion vectors on the rewritten
+        files materialize (their old entries reference dead file names
+        and simply never match again); DVs on carried files stay live.
+        MoR log files must be compacted first (they are unindexed by
+        partition), and spec-evolved tables are refused — a value means
+        different things under different specs."""
+        if not self.partition_by:
+            raise ValueError("where_partition requires a partitioned table")
+        if len(self.partition_specs) > 1:
+            raise ValueError(
+                "where_partition on a spec-evolved table is ambiguous; "
+                "run a full optimize to converge the layout first"
+            )
+        if prev.log_files:
+            raise RuntimeError("compact() MoR log files before a scoped "
+                               "optimize")
+        scoped = [
+            f for f in prev.files if self._partition_value_of(f) == value
+        ]
+        if not scoped:
+            return prev
+        carried = [f for f in prev.files if f not in set(scoped)]
+        df = self._apply_dvs(self._read_parquet(scoped, prev), prev)
+        cluster_by = (
+            [self._phys_name(c, prev) for c in cluster_by]
+            if cluster_by
+            else None
+        )
+        zorder_by = (
+            [self._phys_name(c, prev) for c in zorder_by]
+            if zorder_by
+            else None
+        )
+        n = target_files or 1
+        if zorder_by:
+            z, _zb = self._morton_key(df, zorder_by)
+            df = (
+                df.withColumn("__z", z)
+                .repartitionByRange(n, F.col("__z"))
+                .sortWithinPartitions("__z", *zorder_by)
+                .drop("__z")
+            )
+        elif cluster_by:
+            df = df.repartitionByRange(
+                n, *[F.col(c) for c in cluster_by]
+            ).sortWithinPartitions(*cluster_by)
+        else:
+            df = df.coalesce(n)
+        version = prev.version + 1
+        new_files = self._write_files(df, f"c{version:05d}")
+        commit = mf.Commit(
+            version=version,
+            action="optimize",
+            commit_time=mf.make_commit_time(),
+            files=carried + new_files,
+            log_files=[],
+            stats={
+                "optimize_where": f"{self.partition_by}={value}",
+                "before_files": len(prev.files),
+                "rewritten_files": len(scoped),
+                "carried_over_files": len(carried),
+                "after_files": len(new_files),
+            },
+            dv_files=list(prev.dv_files),
+            txn=dict(prev.txn),
+            ri_files=prev.ri_files
+            + self._write_record_index(new_files, version),
+            table_schema=prev.table_schema,
+            column_mapping=dict(prev.column_mapping),
+            **self._index_fields(
+                new_files, carry_from=prev, carried=carried
+            ),
+        )
+        return self._publish(commit)
+
     def compact(self) -> mf.Commit:
         """MoR compaction: fold log files into a fresh base (the async
         compaction the reference schedules, README.md:605,918)."""
@@ -2025,6 +2111,7 @@ class LakehouseTable:
         cluster_by: list[str] | None = None,
         zorder_by: list[str] | None = None,
         incremental: bool = False,
+        where_partition=None,
     ) -> mf.Commit:
         """D8 OPTIMIZE: compact small files into ~target_files per
         partition (the reference's file-compaction maintenance,
@@ -2053,6 +2140,16 @@ class LakehouseTable:
         if cluster_by and zorder_by:
             raise ValueError("cluster_by and zorder_by are exclusive")
         prev = self._commit_for_write()
+        if where_partition is not None:
+            if incremental:
+                raise ValueError(
+                    "where_partition and incremental are exclusive "
+                    "(a scoped restack is not a clustering generation)"
+                )
+            return self._optimize_partition(
+                prev, str(where_partition), target_files, cluster_by,
+                zorder_by,
+            )
         if incremental:
             return self._optimize_incremental(
                 prev, target_files, cluster_by, zorder_by

@@ -419,6 +419,7 @@ _DDL_RES: list[tuple[str, re.Pattern]] = [
         re.IGNORECASE)),
     ("optimize", re.compile(
         r"^\s*OPTIMIZE\s+(?P<t>\w+)"
+        r"(?:\s+WHERE\s+(?P<wc>\w+)\s*=\s*'?(?P<wv>[^'\s]+)'?)?"
         r"(?:\s+ZORDER\s+BY\s*\(\s*(?P<z>[\w\s,]+?)\s*\))?\s*$",
         re.IGNORECASE)),
     ("restore", re.compile(
@@ -526,7 +527,7 @@ def execute_ddl(
     """Run one Delta-style utility statement against the registry:
 
     * ``VACUUM t [RETAIN n VERSIONS] [DRY RUN]``
-    * ``OPTIMIZE t [ZORDER BY (c1, c2)]``
+    * ``OPTIMIZE t [WHERE part = v] [ZORDER BY (c1, c2)]``
     * ``RESTORE TABLE t TO VERSION AS OF n``
     * ``DESCRIBE HISTORY t``
     * ``FSCK REPAIR TABLE t [DRY RUN]``
@@ -558,8 +559,15 @@ def execute_ddl(
             return {"statement": "vacuum", **out}
         if kind == "optimize":
             z = m.group("z")
+            wc, wv = m.group("wc"), m.group("wv")
+            if wc is not None and wc != t.partition_by:
+                raise ValueError(
+                    f"OPTIMIZE ... WHERE supports only the partition "
+                    f"column {t.partition_by!r}, got {wc!r}"
+                )
             commit = t.optimize(
-                zorder_by=[c.strip() for c in z.split(",")] if z else None
+                zorder_by=[c.strip() for c in z.split(",")] if z else None,
+                where_partition=wv,
             )
             return {"statement": "optimize", "version": commit.version}
         if kind == "detail":

@@ -226,3 +226,76 @@ def test_maintenance_plan_survives_column_rename(spark, tmp_path):
     last = max(t.history(), key=lambda c: c.version)
     assert last.stats.get("cluster_spec") == "v"  # physical spelling
     assert t.read().count() == 600
+
+
+def test_optimize_where_partition_scoped(spark, sf_dir, tmp_path):
+    """OPTIMIZE ... WHERE rewrites ONE partition and carries the rest
+    with their skipping indexes; deletion vectors on carried files stay
+    live and rewritten files materialize theirs."""
+    import pyspark.sql.functions as F
+
+    from hudi_and_delta_showcase_spark.io import load_table
+    from hudi_and_delta_showcase_spark.tables import LakehouseTable
+
+    ev = load_table(spark, sf_dir, "events").limit(300).withColumn(
+        "pp", (F.col("user_id") % 3).cast("string")
+    )
+    t = LakehouseTable.create(
+        spark, str(tmp_path / "t"), ev, key_cols=["event_id"],
+        partition_by="pp", deletion_vectors=True,
+    )
+    # fragment partition pp=1 with two more commits, and DV-delete one
+    # row in pp=0 (a CARRIED partition) and one in pp=1 (REWRITTEN)
+    extra = ev.filter(F.col("pp") == "1").limit(40).withColumn(
+        "event_id", F.col("event_id") + 1_000_000
+    )
+    t.upsert(extra)
+    victims = [
+        r.event_id
+        for r in ev.filter(F.col("pp") == "0").limit(1).collect()
+    ] + [r.event_id for r in ev.filter(F.col("pp") == "1").limit(1).collect()]
+    t.delete(spark.createDataFrame([(v,) for v in victims], "event_id long")
+             .join(t.read().select("event_id", "pp"), "event_id"))
+    before = t._commit(None)
+    n_before = t.read().count()
+    p1_files = [f for f in before.files if "__pp=1" in f]
+    other_files = [f for f in before.files if "__pp=1" not in f]
+    assert len(p1_files) >= 2
+
+    c = t.optimize(where_partition="1")
+    assert c.stats["optimize_where"] == "pp=1"
+    assert c.stats["rewritten_files"] == len(p1_files)
+    # untouched partitions carried byte-identically, with their indexes
+    assert set(other_files) <= set(c.files)
+    for f in other_files:
+        assert c.row_counts.get(f) == before.row_counts.get(f)
+    # one output file for the scoped partition, fewer total files
+    assert len([f for f in c.files if "__pp=1" in f]) == 1
+    # value-identical table (both DV deletes still honored)
+    assert t.read().count() == n_before
+    assert not t.read().filter(F.col("event_id").isin(victims)).count()
+
+
+def test_optimize_where_sql_and_guards(spark, sf_dir, tmp_path):
+    import pyspark.sql.functions as F
+    import pytest as _pytest
+
+    from hudi_and_delta_showcase_spark.io import load_table
+    from hudi_and_delta_showcase_spark.tables import LakehouseTable
+    from hudi_and_delta_showcase_spark.tables.merge_sql import execute_ddl
+
+    ev = load_table(spark, sf_dir, "events").limit(100).withColumn(
+        "pp", (F.col("user_id") % 2).cast("string")
+    )
+    t = LakehouseTable.create(
+        spark, str(tmp_path / "t"), ev, key_cols=["event_id"],
+        partition_by="pp",
+    )
+    t.upsert(ev.limit(30).withColumn("value", F.col("value") + 1))
+    out = execute_ddl(spark, "OPTIMIZE t WHERE pp = '1'", {"t": t})
+    assert out["statement"] == "optimize"
+    assert t._commit(None).stats["optimize_where"] == "pp=1"
+    with _pytest.raises(ValueError, match="partition column"):
+        execute_ddl(spark, "OPTIMIZE t WHERE value = 3", {"t": t})
+    with _pytest.raises(ValueError, match="exclusive"):
+        t.optimize(where_partition="1", incremental=True)
