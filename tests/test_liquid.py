@@ -299,3 +299,28 @@ def test_optimize_where_sql_and_guards(spark, sf_dir, tmp_path):
         execute_ddl(spark, "OPTIMIZE t WHERE value = 3", {"t": t})
     with _pytest.raises(ValueError, match="exclusive"):
         t.optimize(where_partition="1", incremental=True)
+
+
+def test_optimize_where_with_clustering(spark, sf_dir, tmp_path):
+    """cluster_by inside a scoped optimize range-partitions the
+    partition's rows so the new files carry disjoint key ranges."""
+    import pyspark.sql.functions as F
+
+    from hudi_and_delta_showcase_spark.io import load_table
+    from hudi_and_delta_showcase_spark.tables import LakehouseTable
+
+    ev = load_table(spark, sf_dir, "events").limit(200).withColumn(
+        "pp", (F.col("user_id") % 2).cast("string")
+    )
+    t = LakehouseTable.create(
+        spark, str(tmp_path / "t"), ev, key_cols=["event_id"],
+        partition_by="pp",
+    )
+    c = t.optimize(where_partition="1", target_files=2, cluster_by=["value"])
+    new = [f for f in c.files if "__pp=1" in f]
+    assert len(new) == 2
+    ranges = sorted(
+        tuple(c.col_stats[f]["value"]) for f in new if f in c.col_stats
+    )
+    assert len(ranges) == 2 and ranges[0][1] <= ranges[1][0]
+    assert t.read().count() == 200
