@@ -13,7 +13,12 @@ from hudi_and_delta_showcase_spark.operators import linalg as L
 
 @pytest.fixture(scope="module")
 def emb(spark, sf_dir):
-    return load_table(spark, sf_dir, "embeddings").cache()
+    # unpersist on teardown: a lingering cached embeddings relation
+    # would substitute InMemoryRelation into every LATER test's plan
+    # over the same scan (test_plans asserts on the parquet plans)
+    df = load_table(spark, sf_dir, "embeddings").cache()
+    yield df
+    df.unpersist()
 
 
 @pytest.fixture(scope="module")
