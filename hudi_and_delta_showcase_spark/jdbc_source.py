@@ -398,15 +398,17 @@ def increment_watermark(
     (None, None) for an empty increment: keep the previous cursor."""
     wm = _resolve_col(increment, watermark_column)
     key = _resolve_col(increment, key_column)
-    row = increment.groupBy().agg(F.max(F.col(wm)).alias("wm")).collect()[0]
-    if row["wm"] is None:
-        return (None, None)
-    top = (
-        increment.filter(F.col(wm) == F.lit(row["wm"]))
-        .agg(F.max(F.col(key)).alias("k"))
+    # ONE aggregate job: max(struct(wm, key)) orders lexicographically
+    # by watermark then key, so its struct IS the keyset cursor — no
+    # second filtered-max pass over the source-side scan per sync.
+    row = (
+        increment.filter(F.col(wm).isNotNull())
+        .agg(F.max(F.struct(F.col(wm).alias("wm"), F.col(key).alias("k"))).alias("c"))
         .collect()[0]
     )
-    return (row["wm"], top["k"])
+    if row["c"] is None:
+        return (None, None)
+    return (row["c"]["wm"], row["c"]["k"])
 
 
 def watermark_tail_envelopes(

@@ -146,9 +146,35 @@ def join_view_apply(
                 F.col("_change_type").isin("insert", "update_postimage")
             ).select(*fact_cols)
         )
-        del_keys = fc.filter(F.col("_change_type") == "delete").select(
-            *[c for c in fact_cols if c in view.key_cols]
-        ).distinct()
+        # Delete only keys whose LATEST change in the consumed window is
+        # a delete: a key deleted then re-inserted within the same window
+        # is upserted by `parts` and must NOT be removed afterwards
+        # (delete runs after the upsert below). One groupBy over the
+        # already-read feed — O(changes), no extra scan.
+        kc = [c for c in fact_cols if c in view.key_cols]
+        last = fc.groupBy(*kc).agg(
+            F.max(
+                F.when(
+                    F.col("_change_type") == "delete",
+                    F.col("_commit_version"),
+                )
+            ).alias("__del_v"),
+            F.max(
+                F.when(
+                    F.col("_change_type").isin(
+                        "insert", "update_postimage"
+                    ),
+                    F.col("_commit_version"),
+                )
+            ).alias("__up_v"),
+        )
+        del_keys = last.filter(
+            F.col("__del_v").isNotNull()
+            & (
+                F.col("__up_v").isNull()
+                | (F.col("__del_v") > F.col("__up_v"))
+            )
+        ).select(*kc)
     dc = _changes(dim, dim_since)
     if dc is not None:
         changed = dc.filter(

@@ -1105,11 +1105,29 @@ class LakehouseTable:
         """Delta ``DESCRIBE DETAIL``: one metadata-only summary of the
         current snapshot — latest-commit read plus ``_meta.json``, zero
         data IO and zero listings. ``num_rows`` comes from the
-        manifest's per-file footer counts and is None when any live
-        file lacks one (adopted files before their first rewrite) —
+        manifest's per-file footer counts and is None when it cannot be
+        exact — a live file lacks a footer count (adopted files before
+        their first rewrite) or unmerged MoR log files hold rows the
+        footers don't see. Live deletion vectors are subtracted via the
+        same O(deleted rows) sidecar semi-join ``metadata_agg`` uses —
         absent beats wrong."""
         c = self._commit(None)
         rc = [c.row_counts.get(f) for f in c.files]
+        num_rows = None
+        if not any(r is None for r in rc) and not c.log_files:
+            num_rows = sum(rc)
+            if c.dv_files and num_rows:
+                dv = (
+                    self.spark.read.parquet(
+                        *[fsio.resolve(self.path, f) for f in c.dv_files]
+                    )
+                    .select("file_name", "pos")
+                    .distinct()
+                )
+                live = self.spark.createDataFrame(
+                    [(f,) for f in c.files], "file_name string"
+                )
+                num_rows -= dv.join(live, "file_name", "semi").count()
         return {
             "format": "lakehouse",
             "location": self.path,
@@ -1118,7 +1136,7 @@ class LakehouseTable:
             "last_commit_time": c.commit_time,
             "num_files": len(c.files),
             "num_log_files": len(c.log_files),
-            "num_rows": None if any(r is None for r in rc) else sum(rc),
+            "num_rows": num_rows,
             "partition_columns": (
                 [self.partition_by] if self.partition_by else []
             ),
@@ -2041,6 +2059,20 @@ class LakehouseTable:
             ).sortWithinPartitions(*cluster_by)
         else:
             df = df.coalesce(n)
+        if self.bucket_count:
+            # mirror optimize()'s bucket branch: align tasks to buckets
+            # so _write_files' partitionBy(__bk) emits ONE file per
+            # bucket — a range/hash-repartitioned df would cross every
+            # task with every bucket dir (tasks x buckets files),
+            # defeating target_files. Cluster/z-order intent degrades
+            # gracefully to sort-within-bucket.
+            sort_cols = (cluster_by or []) + (zorder_by or [])
+            df = df.withColumn("__bko", self._bucket_expr()).repartition(
+                min(n, int(self.bucket_count)), F.col("__bko")
+            )
+            if sort_cols:
+                df = df.sortWithinPartitions("__bko", *sort_cols)
+            df = df.drop("__bko")
         version = prev.version + 1
         new_files = self._write_files(df, f"c{version:05d}")
         commit = mf.Commit(
@@ -2514,7 +2546,7 @@ class LakehouseTable:
         metadata-only aggregation can never answer from a dead entry."""
         prev = self._commit_for_write()
         present: set[str] = set()
-        for sub in ("data", "log", "dv", "_index"):
+        for sub in ("data", "log", "dv", "_index", "cdc"):
             for full in fsio.walk_files(fsio.join(self.path, sub)):
                 present.add(fsio.relpath(full, self.path))
 
@@ -2534,7 +2566,21 @@ class LakehouseTable:
             "dv_files": _missing(prev.dv_files),
             "ri_files": _missing(prev.ri_files),
         }
+        # CDF sidecars are per-HISTORICAL-commit references that
+        # `read_changes` replays; a vanished one can't be dropped from
+        # the live snapshot (history is immutable), so FSCK REPORTS it
+        # — the operator learns which version ranges read_changes will
+        # refuse — but never counts it toward the repair commit.
+        cdc_refs = sorted(
+            {
+                f
+                for v in mf.list_versions(self.path)
+                for f in mf.read_commit(self.path, v).cdc_files
+            }
+        )
+        dead_cdc = _missing(cdc_refs)
         n_dead = sum(len(v) for v in dead.values())
+        dead["cdc_files"] = dead_cdc
         if dry_run or n_dead == 0:
             return {"missing": dead, "repaired": False}
         gone = set(dead["files"])

@@ -419,7 +419,8 @@ _DDL_RES: list[tuple[str, re.Pattern]] = [
         re.IGNORECASE)),
     ("optimize", re.compile(
         r"^\s*OPTIMIZE\s+(?P<t>\w+)"
-        r"(?:\s+WHERE\s+(?P<wc>\w+)\s*=\s*'?(?P<wv>[^'\s]+)'?)?"
+        r"(?:\s+WHERE\s+(?P<wc>\w+)\s*=\s*"
+        r"(?:'(?P<wvq>[^']*)'|(?P<wv>[^'\s]+)))?"
         r"(?:\s+ZORDER\s+BY\s*\(\s*(?P<z>[\w\s,]+?)\s*\))?\s*$",
         re.IGNORECASE)),
     ("restore", re.compile(
@@ -559,7 +560,10 @@ def execute_ddl(
             return {"statement": "vacuum", **out}
         if kind == "optimize":
             z = m.group("z")
-            wc, wv = m.group("wc"), m.group("wv")
+            # quoted capture wins: WHERE region = 'US East' carries the
+            # space the bare-token alternative can't
+            wc = m.group("wc")
+            wv = m.group("wvq") if m.group("wvq") is not None else m.group("wv")
             if wc is not None and wc != t.partition_by:
                 raise ValueError(
                     f"OPTIMIZE ... WHERE supports only the partition "

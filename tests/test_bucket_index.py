@@ -140,3 +140,41 @@ def test_bucket_disjoint_writers_commute_same_bucket_conflicts():
     )
     with pytest.raises(ConcurrentWriteConflict):
         _check_rebase(ours, clash, ["upsert"])
+
+
+def test_scoped_optimize_respects_bucket_layout(spark, tmp_path):
+    """OPTIMIZE ... WHERE on a bucket-indexed partitioned table must
+    align tasks to buckets like full optimize() does — otherwise the
+    write's partitionBy(__bk) fans each task across every bucket dir
+    (tasks x buckets files), defeating target_files (ADVICE r6)."""
+    base = spark.createDataFrame(
+        spark.sparkContext.parallelize(
+            [(i, i * 10, 100, str(i % 2)) for i in range(1, 41)], 4
+        ),
+        "k int, v int, sq int, pp string",
+    )
+    t = LakehouseTable.create(
+        spark, str(tmp_path / "t"), base,
+        key_cols=["k"], precombine="sq", bucket_count=N,
+        partition_by="pp",
+    )
+    # fragment pp=1 with two more commits
+    t.upsert(_rows(spark, [(1, 111, 101)]).withColumn("pp", F.lit("1")))
+    t.upsert(_rows(spark, [(3, 333, 102)]).withColumn("pp", F.lit("1")))
+    before = t._commit(None)
+    p1_before = [f for f in before.files if "__pp=1" in f]
+    assert len(p1_before) >= N  # spans every bucket
+    # cluster intent + target_files > 1 is the regression path: without
+    # bucket alignment, repartitionByRange(2, k) crosses 2 tasks with
+    # every bucket dir -> up to 2xN files, 2 per bucket
+    c = t.optimize(where_partition="1", target_files=2, cluster_by=["k"])
+    p1_after = [f for f in c.files if "__pp=1" in f]
+    # one file per bucket at most, never tasks x buckets
+    assert len(p1_after) <= N
+    buckets = {t._bucket_of(f) for f in p1_after}
+    assert len(p1_after) == len(buckets), "more than one file per bucket"
+    # value-identical
+    got = {(r.k, r.v) for r in t.read().select("k", "v").collect()}
+    assert got == {(1, 111), (3, 333)} | {
+        (i, i * 10) for i in range(2, 41) if i != 3
+    }

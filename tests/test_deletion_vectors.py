@@ -192,3 +192,25 @@ def test_dv_sidecar_schema_and_positions(spark, tmp_path):
     for r in dv.collect():
         assert r.file_name in set(c.files)  # table-relative live paths
         assert r.pos >= 0
+
+
+def test_describe_detail_num_rows_subtracts_live_dvs(spark, tmp_path):
+    """detail()'s num_rows must honor live deletion vectors via the
+    same sidecar semi-join metadata_agg uses — the raw footer sum
+    would overcount deleted rows (ADVICE r6)."""
+    t = _make(spark, tmp_path)
+    assert t.detail()["num_rows"] == 5
+    t.delete(_keys(spark, 2, 4))
+    assert t._commit(None).dv_files  # DVs live, base files untouched
+    assert t.detail()["num_rows"] == 3
+
+
+def test_describe_detail_num_rows_none_with_mor_logs(spark, tmp_path):
+    """Unmerged MoR log rows aren't in the footer counts — num_rows
+    must be None (absent beats wrong), and recover after compaction."""
+    t = _make(spark, tmp_path, table_type="mor")
+    t.upsert(_base(spark).limit(2).withColumn("ts", F.col("ts") + 1))
+    assert t._commit(None).log_files
+    assert t.detail()["num_rows"] is None
+    t.compact()
+    assert t.detail()["num_rows"] == 5

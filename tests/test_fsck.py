@@ -28,7 +28,13 @@ def test_fsck_clean_table_is_noop(spark, events, tmp_path):
     )
     report = t.fsck()
     assert report == {
-        "missing": {"files": [], "log_files": [], "dv_files": [], "ri_files": []},
+        "missing": {
+            "files": [],
+            "log_files": [],
+            "dv_files": [],
+            "ri_files": [],
+            "cdc_files": [],
+        },
         "repaired": False,
     }
     assert t._commit(None).version == 0  # no empty repair commit
@@ -59,6 +65,7 @@ def test_fsck_repairs_vanished_base_file(spark, events, tmp_path):
             "log_files": [],
             "dv_files": [],
             "ri_files": [],
+            "cdc_files": [],
         },
         "repaired": False,
     }
@@ -117,3 +124,27 @@ def test_vacuum_distributed_remove_path(spark, events, tmp_path, monkeypatch):
     for rel in dry["would_remove_files"]:
         assert not os.path.exists(os.path.join(t.path, rel))
     assert t.read().count() == events.count()
+
+
+def test_fsck_reports_vanished_cdc_sidecar(spark, events, tmp_path):
+    """CDF sidecars belong to HISTORICAL commits, so FSCK can't repair
+    them away — but it must REPORT them so the operator knows which
+    version ranges read_changes will refuse (ADVICE r6)."""
+    t = LakehouseTable.create(
+        spark, str(tmp_path / "t"), events, key_cols=["event_id"],
+        precombine="ts", cdc_enabled=True,
+    )
+    t.upsert(events.limit(20).withColumn("value", F.col("value") + 1))
+    cdc_refs = [
+        f for v in mf.list_versions(t.path)
+        for f in mf.read_commit(t.path, v).cdc_files
+    ]
+    assert cdc_refs
+    victim = cdc_refs[0]
+    _vanish(t, victim)
+    report = t.fsck(dry_run=True)
+    assert report["missing"]["cdc_files"] == [victim]
+    # a vanished CDF sidecar alone never triggers a repair commit
+    report = t.fsck()
+    assert report["repaired"] is False
+    assert t._commit(None).action != "fsck"

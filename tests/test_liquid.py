@@ -324,3 +324,28 @@ def test_optimize_where_with_clustering(spark, sf_dir, tmp_path):
     )
     assert len(ranges) == 2 and ranges[0][1] <= ranges[1][0]
     assert t.read().count() == 200
+
+
+def test_optimize_where_quoted_value_with_space(spark, tmp_path):
+    """WHERE region = 'US East' — a quoted partition value containing
+    a space must parse (ADVICE r6: the bare-token regex refused it)."""
+    import pyspark.sql.functions as F
+
+    from hudi_and_delta_showcase_spark.tables import LakehouseTable
+    from hudi_and_delta_showcase_spark.tables.merge_sql import execute_ddl
+
+    df = spark.createDataFrame(
+        [(i, "US East" if i % 2 else "EU West", i * 10)
+         for i in range(1, 21)],
+        "k int, region string, v int",
+    )
+    t = LakehouseTable.create(
+        spark, str(tmp_path / "t"), df, key_cols=["k"],
+        partition_by="region",
+    )
+    t.upsert(df.filter(F.col("region") == "US East").limit(3)
+             .withColumn("v", F.col("v") + 1))
+    out = execute_ddl(spark, "OPTIMIZE t WHERE region = 'US East'", {"t": t})
+    assert out["statement"] == "optimize"
+    assert t._commit(None).stats["optimize_where"] == "region=US East"
+    assert t.read().count() == 20
