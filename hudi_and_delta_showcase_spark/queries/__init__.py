@@ -197,6 +197,9 @@ PRIORITY: tuple[str, ...] = (
     "cdc_convert_iceberg",
     # r6: CONVERT FROM DELTA — log-replay adoption, orphans excluded
     "cdc_convert_delta",
+    # r7: CONVERT FROM DELTA with live deletion vectors (modern
+    # delta-spark's default) — foreign DV -> engine sidecar, no rewrite
+    "cdc_convert_delta_dv",
     # r6: CONVERT FROM HOODIE — timeline-replay adoption, stale slices
     # excluded; all three protocols now adopt AND export
     "cdc_convert_hoodie",

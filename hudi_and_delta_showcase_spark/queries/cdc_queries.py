@@ -20,6 +20,7 @@ for non-ANSI operators (SURVEY §7 "oracle expressibility").
 
 from __future__ import annotations
 
+import json
 import os
 import tempfile
 
@@ -2451,6 +2452,63 @@ def cdc_convert_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
         key_cols=["user_id"], precombine="ts", tiebreakers=["event_id"],
     )
     t.upsert(incr)
+    return t.read().select(*_FINAL_COLS)
+
+
+@query(
+    "cdc_convert_delta_dv",
+    oracle=f"""
+    SELECT event_id, user_id, ts, event_type, value FROM events
+    WHERE ts < TIMESTAMP '{CUTOFF}'
+      AND event_id NOT IN (
+        SELECT event_id FROM events WHERE ts < TIMESTAMP '{CUTOFF}'
+        ORDER BY event_id LIMIT 100
+      )
+    """,
+    tags=("cdc", "table", "convert", "dv"),
+)
+def cdc_convert_delta_dv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CONVERT FROM DELTA with live DELETION VECTORS (r7, VERDICT r6
+    #1): a foreign ``_delta_log`` whose latest commit re-adds its data
+    file with a ``deletionVector`` descriptor — exactly what a modern
+    delta-spark DELETE emits (protocol 3/7, readerFeatures
+    [deletionVectors], RoaringBitmapArray sidecar in the public
+    on-disk format) — is adopted IN PLACE: the foreign DV translates
+    into the engine's own ``(file_name, pos)`` sidecar at version 0
+    (executor-side decode, zero data rewrites), and every read path
+    anti-joins it. The file holds pre-cutoff events sorted by
+    event_id; the DV marks positions 0..99, so the oracle excludes
+    exactly the 100 smallest pre-cutoff event_ids — resurrecting any
+    deleted row hash-fails."""
+    from hudi_and_delta_showcase_spark.tables import delta_dv
+    from hudi_and_delta_showcase_spark.tables import delta_log as dl
+
+    base, _ = _split(spark, sf_dir)
+    root = tempfile.mkdtemp(prefix="convert_delta_dv_") + "/t"
+    dl.write_delta_table(
+        base.coalesce(1).sortWithinPartitions("event_id"), root
+    )
+    _, _, adds = dl._replay(root, None)
+    (f0,) = adds
+    dv_add = dict(adds[f0])
+    dv_add["path"] = f0
+    dv_add["deletionVector"] = delta_dv.write_dv_file(
+        root, list(range(100)), prefix="ab"
+    )
+    with open(os.path.join(root, "_delta_log",
+                           "00000000000000000001.json"), "w") as fh:
+        fh.write(json.dumps({"protocol": {
+            "minReaderVersion": 3, "minWriterVersion": 7,
+            "readerFeatures": ["deletionVectors"],
+            "writerFeatures": ["deletionVectors"]}}) + "\n")
+        fh.write(json.dumps({"remove": {
+            "path": f0, "deletionTimestamp": 1700000100000,
+            "dataChange": True}}) + "\n")
+        fh.write(json.dumps({"add": dv_add}) + "\n")
+    t = LakehouseTable.convert_delta(
+        spark, root,
+        key_cols=["user_id"], precombine="ts", tiebreakers=["event_id"],
+    )
     return t.read().select(*_FINAL_COLS)
 
 

@@ -155,7 +155,13 @@ def write_checkpoint(spark: SparkSession, path: str) -> int:
     if not versions:
         raise FileNotFoundError(f"no _delta_log commits under {path}")
     version = versions[-1]
-    meta, files = _replay(path, version, use_checkpoint=False)
+    meta, files, adds = _replay(path, version, use_checkpoint=False)
+    if any(a.get("deletionVector") for a in adds.values()):
+        raise RuntimeError(
+            "checkpointing a snapshot with live deletion vectors would "
+            "drop them; materialize DVs first (this engine's own log "
+            "exports never carry any)"
+        )
     proto_type = pa.struct(
         [("minReaderVersion", pa.int32()), ("minWriterVersion", pa.int32())]
     )
@@ -285,7 +291,7 @@ def _read_checkpoint(path: str) -> tuple[int, dict, dict[str, bool]] | None:
             fsio.join(_log_dir(path), f"{cp_version:020d}.checkpoint.parquet")
         ]
     meta: dict = {}
-    live: dict[str, bool] = {}
+    live: dict[str, dict | None] = {}
     for cp in cp_files:
         for row in _read_parquet_rows(cp):
             if "kind" in row:  # this engine's compact dialect
@@ -293,7 +299,7 @@ def _read_checkpoint(path: str) -> tuple[int, dict, dict[str, bool]] | None:
                 if row["kind"] == "metaData":
                     meta = payload
                 elif row["kind"] == "add":
-                    live[payload["path"]] = True
+                    live[payload["path"]] = payload
                 continue
             # foreign (delta-spark) dialect: struct-typed action columns
             if row.get("metaData") is not None:
@@ -301,7 +307,16 @@ def _read_checkpoint(path: str) -> tuple[int, dict, dict[str, bool]] | None:
                     k: v for k, v in row["metaData"].items() if v is not None
                 }
             if row.get("add") is not None:
-                live[row["add"]["path"]] = True
+                add = {
+                    k: v for k, v in row["add"].items() if v is not None
+                }
+                if add.get("deletionVector"):
+                    add["deletionVector"] = {
+                        k: v
+                        for k, v in add["deletionVector"].items()
+                        if v is not None
+                    }
+                live[add["path"]] = add
             # remove rows in checkpoints are vacuum tombstones, not
             # live-set state; txn/protocol don't affect the scan
     return cp_version, meta, live
@@ -309,7 +324,14 @@ def _read_checkpoint(path: str) -> tuple[int, dict, dict[str, bool]] | None:
 
 def _replay(
     path: str, version: int | None, use_checkpoint: bool = True
-) -> tuple[dict, list[str]]:
+) -> tuple[dict, list[str], dict[str, dict]]:
+    """Log replay -> ``(metaData, sorted live files, {file -> its
+    latest add action})``. A re-add of a file REPLACES its previous
+    state, so a file whose latest AddFile carries no
+    ``deletionVector`` (the rewrite that materialized it) correctly
+    sheds the old one; ``partitionValues`` rides along because it is
+    the AUTHORITATIVE partition record (column-mapped delta-spark
+    tables use random file prefixes, not hive dirs)."""
     versions = _list_versions(path)
     cp = _read_checkpoint(path) if use_checkpoint else None
     if not versions and cp is None:
@@ -328,7 +350,7 @@ def _replay(
             + ")"
         )
     meta: dict = {}
-    live: dict[str, bool] = {}
+    live: dict[str, dict | None] = {}
     start = 0
     if cp is not None and cp[0] <= upto:
         # a checkpoint is only usable when it does not overshoot the
@@ -346,14 +368,61 @@ def _replay(
             if "metaData" in action:
                 meta = action["metaData"]
             elif "add" in action:
-                live[action["add"]["path"]] = True
+                live[action["add"]["path"]] = action["add"]
             elif "remove" in action:
                 live.pop(action["remove"]["path"], None)
-    return meta, sorted(live)
+    return meta, sorted(live), {f: (a or {}) for f, a in live.items()}
 
 
 def _live_files(path: str, version: int | None) -> list[str]:
     return _replay(path, version)[1]
+
+
+def column_mapping_of(meta: dict) -> dict[str, str]:
+    """``columnMapping.mode=name`` physical -> logical name map from the
+    metaData's schemaString field metadata
+    (``delta.columnMapping.physicalName`` per field, top level; nested
+    struct renames are beyond this reader and refused by the mode guard
+    in ``_mapping_guard``). Empty dict when the table has no mapping."""
+    mode = (meta.get("configuration") or {}).get(
+        "delta.columnMapping.mode", "none"
+    )
+    if mode == "none":
+        return {}
+    if mode != "name":
+        raise RuntimeError(
+            f"delta.columnMapping.mode={mode!r} requires parquet "
+            "field-id resolution; only 'name' mapping is supported"
+        )
+    out: dict[str, str] = {}
+    for fld in json.loads(meta["schemaString"])["fields"]:
+        phys = (fld.get("metadata") or {}).get(
+            "delta.columnMapping.physicalName"
+        )
+        if phys and phys != fld["name"]:
+            out[phys] = fld["name"]
+    return out
+
+
+def _physical_schema(meta: dict):
+    """The schema as stored in the data files: logical field names
+    swapped for their ``physicalName`` under column mapping."""
+    from pyspark.sql.types import StructField, StructType
+
+    schema = StructType.fromJson(json.loads(meta["schemaString"]))
+    mapping = column_mapping_of(meta)
+    if not mapping:
+        return schema, schema
+    inverse = {log: phys for phys, log in mapping.items()}
+    phys = StructType(
+        [
+            StructField(
+                inverse.get(f.name, f.name), f.dataType, f.nullable
+            )
+            for f in schema.fields
+        ]
+    )
+    return schema, phys
 
 
 def read_delta_table(
@@ -361,91 +430,172 @@ def read_delta_table(
 ) -> DataFrame:
     """S3/C7: snapshot (or time-travel) scan of a delta-format table —
     log replay on the driver, declarative parquet scan of the live
-    files with the schema pinned from the log's metaData."""
-    from pyspark.sql.types import StructType
+    files with the schema pinned from the log's metaData. Foreign
+    tables written by modern delta-spark are served in full: live
+    deletion vectors filter through an executor-decoded anti-join
+    (``delta_dv.dv_rows_df`` — the identical plan shape to the
+    engine's own ``_apply_dvs`` and the Iceberg position-delete
+    reader; the base scan keeps pushdown, pruning, and row-group
+    skipping) and ``columnMapping.mode=name`` physical file columns
+    surface under their logical names (r7; both were refusals
+    before). ``_metadata``-derived columns are captured ONCE at the
+    scan, before any projection — hidden-column resolution does not
+    survive arbitrary projections."""
+    import pyspark.sql.functions as F
 
-    meta, files = _replay(path, version)
-    schema = StructType.fromJson(json.loads(meta["schemaString"]))
+    meta, files, adds = _replay(path, version)
+    dvs = {
+        f: a["deletionVector"]
+        for f, a in adds.items()
+        if a.get("deletionVector")
+    }
+    schema, phys_schema = _physical_schema(meta)
     if not files:
         return spark.createDataFrame([], schema)
-    df = spark.read.schema(schema).parquet(
+    df = spark.read.schema(phys_schema).parquet(
         *[fsio.join(path, f) for f in files]
     )
     part_cols = meta.get("partitionColumns") or []
+    if part_cols or dvs:
+        df = df.withColumn(
+            "__dl_file",
+            F.substring_index(
+                F.col("_metadata.file_path"), fsio.uri_path(path) + "/", -1
+            ),
+        ).withColumn("__dl_pos", F.col("_metadata.row_index"))
     if part_cols:
-        # Delta stores partition column VALUES only in the hive-style
-        # directory names (data files never carry the columns) — derive
-        # them from the scan's native file path, in codegen, exactly as
-        # the engine's adopted-partition CONVERT does.
+        # Delta data files never CONTAIN partition columns. The
+        # AUTHORITATIVE record is each add action's ``partitionValues``
+        # (column-mapped delta-spark tables use random file prefixes,
+        # not hive dirs, so path parsing alone cannot work there);
+        # hive-style ``col=value`` path segments are the fallback for
+        # logs whose checkpoint dialect dropped the map. The per-file
+        # value map is driver-side metadata already (same scale as the
+        # file list), broadcast-joined on the scan's relative path.
+        # Naming: metaData.partitionColumns is LOGICAL; partitionValues
+        # keys and directory names are PHYSICAL.
         import re as _re
 
-        import pyspark.sql.functions as F
-
-        for c in part_cols:
+        phys_of = {
+            l.name: f.name
+            for f, l in zip(phys_schema.fields, schema.fields)
+        }
+        pv_rows = []
+        for f in files:
+            pv = adds.get(f, {}).get("partitionValues") or {}
+            if isinstance(pv, list):  # pyarrow map_ rows surface as pairs
+                pv = dict(pv)
+            pv_rows.append(
+                tuple(
+                    [f]
+                    + [
+                        pv.get(phys_of.get(c, c), pv.get(c))
+                        for c in part_cols
+                    ]
+                )
+            )
+        pv_schema = ", ".join(
+            ["__pv_file string"]
+            + [f"__pv_{i} string" for i in range(len(part_cols))]
+        )
+        pv_df = spark.createDataFrame(
+            spark.sparkContext.parallelize(pv_rows, 1), pv_schema
+        )
+        df = df.join(
+            F.broadcast(pv_df), df["__dl_file"] == pv_df["__pv_file"], "left"
+        ).drop("__pv_file")
+        for i, c in enumerate(part_cols):
+            p_phys = phys_of.get(c, c)
             seg = F.regexp_extract(
-                F.col("_metadata.file_path"),
-                f"/{_re.escape(c)}=([^/]+)/",
+                F.col("__dl_file"),
+                f"(?:^|/){_re.escape(p_phys)}=([^/]+)/",
                 1,
             )
-            val = F.when(seg == "", F.lit(None)).otherwise(F.url_decode(seg))
+            path_val = F.when(seg == "", F.lit(None)).otherwise(
+                F.url_decode(seg)
+            )
+            raw = F.coalesce(F.col(f"__pv_{i}"), path_val)
             val = (
-                F.when(val == "__HIVE_DEFAULT_PARTITION__", F.lit(None))
-                .otherwise(val)
+                F.when(raw == "__HIVE_DEFAULT_PARTITION__", F.lit(None))
+                .otherwise(raw)
                 .cast(schema[c].dataType)
             )
-            df = df.withColumn(c, F.coalesce(F.col(c), val))
-        df = df.select(*[f.name for f in schema.fields])
-    return df
+            df = df.withColumn(
+                p_phys, F.coalesce(F.col(p_phys), val)
+            ).drop(f"__pv_{i}")
+    if dvs:
+        from hudi_and_delta_showcase_spark.tables import delta_dv
 
-
-def adopt_delta_snapshot(path: str) -> tuple[dict, list[str]]:
-    """The current snapshot's ``(metaData, live files)`` for CONVERT
-    FROM DELTA adoption, with loud guards on everything a
-    metadata-only adoption cannot represent:
-
-    * **deletion vectors** — a live AddFile carrying a
-      ``deletionVector`` means the parquet bytes alone over-serve the
-      snapshot (deleted rows resurrect);
-    * **column mapping** — physical file columns differ from logical
-      names; the adopted scan would expose physical names;
-    * **advanced reader protocol** — ``minReaderVersion > 1`` signals
-      features this reader does not implement; refusing beats silently
-      mis-reading (delta-spark does the same for unknown features).
-
-    DV evidence is gathered from BOTH the JSON commits and foreign
-    classic checkpoints (a long-lived table's only record of old
-    adds)."""
-    meta, files = _replay(path, None)
-    conf = meta.get("configuration") or {}
-    if (conf.get("delta.columnMapping.mode") or "none") != "none":
-        raise RuntimeError(
-            "delta table uses column mapping; its physical file columns "
-            "cannot be adopted by name"
+        dv = delta_dv.dv_rows_df(spark, path, dvs)
+        df = df.join(
+            dv,
+            (F.col("__dl_file") == dv["file_name"])
+            & (F.col("__dl_pos") == dv["pos"]),
+            "left_anti",
         )
-    live = set(files)
-    dv_paths: set[str] = set()
+    # final projection: physical columns under logical names, log order
+    return df.select(
+        *[
+            F.col(p.name).alias(l.name)
+            for p, l in zip(phys_schema.fields, schema.fields)
+        ]
+    )
 
-    def _note(add: dict) -> None:
-        if add and add.get("deletionVector") and add["path"] in live:
-            dv_paths.add(add["path"])
 
+SUPPORTED_READER_FEATURES = frozenset(
+    {"deletionVectors", "columnMapping", "timestampNtz"}
+)
+
+
+def _protocol_guard(protocol: dict) -> None:
+    """Reader-capability check, delta-spark's exact discipline: accept
+    any ``minReaderVersion`` whose required features this reader
+    implements; refuse LOUDLY on one it does not (silently mis-reading
+    a v2Checkpoint or type-widening table is corruption). Reader v1/v2
+    imply at most column mapping; v3 lists features explicitly."""
+    mrv = protocol.get("minReaderVersion") or 1
+    if mrv <= 2:
+        return  # v2 = column mapping, implemented
+    if mrv == 3:
+        unknown = set(protocol.get("readerFeatures") or []) - (
+            SUPPORTED_READER_FEATURES
+        )
+        if unknown:
+            raise RuntimeError(
+                f"delta reader features {sorted(unknown)} are beyond "
+                "this reader; drop them with the writing engine first"
+            )
+        return
+    raise RuntimeError(
+        f"delta reader protocol {protocol} is beyond this reader"
+    )
+
+
+def adopt_delta_snapshot(path: str) -> tuple[dict, list[str], dict]:
+    """The current snapshot's ``(metaData, live files, {file -> live
+    DV descriptor})`` for CONVERT FROM DELTA adoption.
+
+    r7: deletion vectors and ``columnMapping.mode=name`` are ADOPTED,
+    not refused — DVs translate into the engine's own sidecar format
+    at convert time (``LakehouseTable.convert_delta``) and the
+    physical->logical name map seeds the manifest's ``column_mapping``
+    (the same machinery ``rename_column`` uses). What still refuses
+    loudly: reader features beyond {deletionVectors, columnMapping,
+    timestampNtz} (``_protocol_guard``) and ``columnMapping.mode=id``
+    (parquet field-id resolution, ``column_mapping_of``) — refusing
+    beats silently mis-reading, exactly delta-spark's stance on
+    unknown features."""
+    meta, files, adds = _replay(path, None)
+    column_mapping_of(meta)  # raises on mode=id
     for v in _list_versions(path):
         for line in fsio.read_text(_commit_file(path, v)).splitlines():
             if not line.strip():
                 continue
             action = json.loads(line)
             if "protocol" in action:
-                if action["protocol"].get("minReaderVersion", 1) > 1:
-                    raise RuntimeError(
-                        "delta reader protocol "
-                        f"{action['protocol']} is beyond this adopter; "
-                        "compact/drop features with the writing engine"
-                    )
-            elif "add" in action:
-                _note(action["add"])
+                _protocol_guard(action["protocol"])
     cp = _read_checkpoint(path)
     if cp is not None:
-        parts = None
         lc = json.loads(
             fsio.read_pointer_text(
                 fsio.join(_log_dir(path), "_last_checkpoint"), attempts=2
@@ -463,24 +613,10 @@ def adopt_delta_snapshot(path: str) -> tuple[dict, list[str]]:
         for name in names:
             for row in _read_parquet_rows(fsio.join(_log_dir(path), name)):
                 if "kind" in row:
-                    continue  # our own dialect never carries DVs
-                if row.get("protocol") is not None and (
-                    row["protocol"].get("minReaderVersion") or 1
-                ) > 1:
-                    raise RuntimeError(
-                        f"delta reader protocol {row['protocol']} is "
-                        "beyond this adopter"
-                    )
-                if row.get("add") is not None:
-                    _note({k: v for k, v in row["add"].items()})
-    if dv_paths:
-        raise RuntimeError(
-            "delta snapshot carries deletion vectors on "
-            f"{len(dv_paths)} live files; a metadata-only adoption "
-            "would resurrect deleted rows — compact with the writing "
-            "engine first"
-        )
-    return meta, files
+                    continue  # our own dialect: protocol is always 1/2
+                if row.get("protocol") is not None:
+                    _protocol_guard(row["protocol"])
+    return meta, files, adds
 
 
 def delta_history(path: str) -> list[dict]:

@@ -115,40 +115,109 @@ def test_convert_partitioned_delta_derives_column(spark, tmp_path):
     assert sorted(r.k for r in pruned.collect()) == [3]
 
 
-def test_refuses_deletion_vectors(spark, tmp_path):
+def test_convert_adopts_deletion_vectors(spark, tmp_path):
+    """r7: a DV-bearing snapshot (modern delta-spark's default) adopts
+    in place — the foreign DV translates into the engine's own sidecar
+    at version 0, no data rewritten, and post-adoption deletes keep
+    extending DVs."""
+    from hudi_and_delta_showcase_spark.tables import delta_dv
+
     root = str(tmp_path / "dl")
     write_delta_table(
-        spark.createDataFrame([(1, "a", 0)], "k int, v string, g int").coalesce(1),
+        spark.createDataFrame(
+            [(k, f"v{k}", 0) for k in range(1, 6)], "k int, v string, g int"
+        ).coalesce(1).sortWithinPartitions("k"),
         root,
     )
-    # forge a DV-bearing add on the live file
     log = os.path.join(root, "_delta_log")
     v0 = open(os.path.join(log, "00000000000000000000.json")).read().splitlines()
-    add = next(json.loads(l) for l in v0 if "add" in l)["add"]
+    add = next(json.loads(l) for l in v0 if '"add"' in l)["add"]
+    # delete rows at positions 1 and 3 (k=2, k=4) the Delta way
     dv_add = dict(add)
-    dv_add["deletionVector"] = {
-        "storageType": "u", "pathOrInlineDv": "ab", "offset": 1,
-        "sizeInBytes": 40, "cardinality": 1,
-    }
+    dv_add["deletionVector"] = delta_dv.write_dv_file(root, [1, 3], prefix="ab")
     with open(os.path.join(log, "00000000000000000001.json"), "w") as fh:
         fh.write(json.dumps({"add": dv_add}))
-    with pytest.raises(RuntimeError, match="deletion vectors"):
-        LakehouseTable.convert_delta(spark, root, key_cols=["k"])
+
+    assert _rows(read_delta_table(spark, root)) == [
+        (1, "v1"), (3, "v3"), (5, "v5")]
+    before_files = set()
+    t = LakehouseTable.convert_delta(spark, root, key_cols=["k"])
+    c = t._commit(None)
+    assert c.dv_files and c.stats["adopted_dv_files"] == 1
+    assert _rows(t.read()) == [(1, "v1"), (3, "v3"), (5, "v5")]
+    # adoption rewrote nothing: the original data file still serves
+    assert c.files == [add["path"]]
+    # post-adoption deletes keep the DV discipline (no base rewrite)
+    c2 = t.delete(spark.createDataFrame([(3,)], "k int"))
+    assert c2.files == c.files
+    assert _rows(t.read()) == [(1, "v1"), (5, "v5")]
 
 
-def test_refuses_column_mapping_and_advanced_protocol(spark, tmp_path):
+def test_convert_adopts_column_mapping(spark, tmp_path):
+    """r7: columnMapping.mode=name adopts — physical file columns stay
+    put, the manifest's column_mapping serves logical names (the same
+    machinery rename_column maintains)."""
+    root = str(tmp_path / "dl")
+    write_delta_table(
+        spark.createDataFrame(
+            [(1, "a", 0), (2, "b", 0)], "k int, v string, g int"
+        ).coalesce(1),
+        root,
+    )
+    mapped_schema = json.dumps({
+        "type": "struct",
+        "fields": [
+            {"name": "key_id", "type": "integer", "nullable": True,
+             "metadata": {"delta.columnMapping.physicalName": "k",
+                          "delta.columnMapping.id": 1}},
+            {"name": "val", "type": "string", "nullable": True,
+             "metadata": {"delta.columnMapping.physicalName": "v",
+                          "delta.columnMapping.id": 2}},
+            {"name": "g", "type": "integer", "nullable": True,
+             "metadata": {"delta.columnMapping.physicalName": "g",
+                          "delta.columnMapping.id": 3}},
+        ],
+    })
+    with open(
+        os.path.join(root, "_delta_log", "00000000000000000001.json"), "w"
+    ) as fh:
+        fh.write(json.dumps({"metaData": {
+            "id": "x", "format": {"provider": "parquet", "options": {}},
+            "schemaString": mapped_schema, "partitionColumns": [],
+            "configuration": {"delta.columnMapping.mode": "name",
+                              "delta.columnMapping.maxColumnId": "3"},
+        }}))
+    # the foreign read serves LOGICAL names
+    got = read_delta_table(spark, root)
+    assert got.columns == ["key_id", "val", "g"]
+    # adoption: logical key_cols in, logical columns out
+    t = LakehouseTable.convert_delta(spark, root, key_cols=["key_id"])
+    assert sorted(
+        (r.key_id, r.val) for r in t.read().select("key_id", "val").collect()
+    ) == [(1, "a"), (2, "b")]
+    # rename machinery still composable on top
+    t.rename_column("val", "value")
+    assert "value" in t.read().columns
+
+
+def test_still_refuses_unknown_features_and_id_mapping(spark, tmp_path):
     for i, (patch, msg) in enumerate(
         [
             (
                 {"metaData": {
                     "id": "x", "format": {"provider": "parquet", "options": {}},
                     "schemaString": _SCHEMA, "partitionColumns": [],
-                    "configuration": {"delta.columnMapping.mode": "name"},
+                    "configuration": {"delta.columnMapping.mode": "id"},
                 }},
-                "column mapping",
+                "columnMapping.mode",
             ),
             (
-                {"protocol": {"minReaderVersion": 3, "minWriterVersion": 7}},
+                {"protocol": {"minReaderVersion": 3, "minWriterVersion": 7,
+                              "readerFeatures": ["v2Checkpoint"]}},
+                "reader features",
+            ),
+            (
+                {"protocol": {"minReaderVersion": 4, "minWriterVersion": 7}},
                 "protocol",
             ),
         ]

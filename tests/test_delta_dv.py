@@ -1,0 +1,107 @@
+"""Delta deletion-vector codec: Z85, RoaringBitmapArray portable
+(de)serialization, CRC framing, descriptor resolution — all pure
+Python, pinned against the public specs' own test vectors."""
+
+from __future__ import annotations
+
+import struct
+
+import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from hudi_and_delta_showcase_spark.tables import delta_dv as dv
+
+
+def test_z85_spec_vector():
+    # the ZeroMQ RFC 32 reference vector
+    raw = bytes([0x86, 0x4F, 0xD2, 0x6F, 0xB5, 0x59, 0xF7, 0x5B])
+    assert dv.z85_encode(raw) == "HelloWorld"
+    assert dv.z85_decode("HelloWorld") == raw
+
+
+@given(st.binary(min_size=0, max_size=64).filter(lambda b: len(b) % 4 == 0))
+def test_z85_roundtrip(raw):
+    assert dv.z85_decode(dv.z85_encode(raw)) == raw
+
+
+@settings(max_examples=30, deadline=None)
+@given(
+    st.lists(
+        st.integers(min_value=0, max_value=(1 << 33)),
+        max_size=300,
+        unique=True,
+    )
+)
+def test_roaring_array_roundtrip(positions):
+    data = dv.serialize_dv_data(positions)
+    assert dv.deserialize_dv_data(data) == sorted(positions)
+
+
+def test_roaring_bitset_container_roundtrip():
+    # > 4096 values in one 16-bit key forces a bitset container
+    vals = sorted(set(range(0, 60000, 7)))
+    assert len(vals) > 4096
+    assert dv.deserialize_dv_data(dv.serialize_dv_data(vals)) == vals
+
+
+def test_roaring_run_container_parses():
+    """Foreign writers may emit run containers (cookie 12347): build
+    one by hand per the RoaringFormatSpec and check the reader."""
+    # one run container, key 0, values 10..20 (card 11), plus run 40..40
+    cookie = dv._SERIAL_COOKIE | ((1 - 1) << 16)
+    blob = struct.pack("<i", cookie)
+    blob += bytes([0b1])  # container 0 is a run container
+    blob += struct.pack("<HH", 0, 12 - 1)  # key 0, cardinality 12
+    # < NO_OFFSET_THRESHOLD containers with runs -> no offset header
+    blob += struct.pack("<H", 2)  # two runs
+    blob += struct.pack("<HHHH", 10, 10, 40, 0)  # [10,20], [40,40]
+    data = struct.pack("<iq", dv.MAGIC, 1) + blob
+    assert dv.deserialize_dv_data(data) == list(range(10, 21)) + [40]
+
+
+def test_dv_file_roundtrip_and_crc(tmp_path):
+    desc = dv.write_dv_file(str(tmp_path), [0, 5, 9], prefix="ab")
+    assert desc["storageType"] == "u"
+    assert desc["cardinality"] == 3
+    assert dv.read_dv_positions(desc, str(tmp_path)) == [0, 5, 9]
+    # corrupt one payload byte -> CRC must fail loudly
+    rel = dv.dv_relative_path(desc["pathOrInlineDv"])
+    full = tmp_path / rel
+    blob = bytearray(full.read_bytes())
+    blob[6] ^= 0xFF
+    full.write_bytes(bytes(blob))
+    with pytest.raises(ValueError, match="checksum"):
+        dv.read_dv_positions(desc, str(tmp_path))
+
+
+def test_inline_descriptor_roundtrip(tmp_path):
+    desc = dv.inline_dv_descriptor([2, 3, 1000])
+    assert desc["storageType"] == "i"
+    assert dv.read_dv_positions(desc, str(tmp_path)) == [2, 3, 1000]
+
+
+def test_uuid_path_derivation_roundtrips_prefix():
+    import uuid
+
+    u = uuid.uuid4()
+    enc = "xy" + dv.z85_encode(u.bytes)
+    assert dv.dv_relative_path(enc) == f"xy/deletion_vector_{u}.bin"
+    enc = dv.z85_encode(u.bytes)
+    assert dv.dv_relative_path(enc) == f"deletion_vector_{u}.bin"
+
+
+def test_dv_rows_df_decodes_executor_side(spark, tmp_path):
+    """The read path's descriptor -> (file, pos) explode: one output
+    row per deleted position, decoded in tasks (mapInPandas), engine
+    sidecar shape."""
+    d1 = dv.write_dv_file(str(tmp_path), [1, 3])
+    d2 = dv.inline_dv_descriptor([0])
+    out = dv.dv_rows_df(
+        spark, str(tmp_path), {"f1.parquet": d1, "f2.parquet": d2}
+    )
+    assert sorted(tuple(r) for r in out.collect()) == [
+        ("f1.parquet", 1),
+        ("f1.parquet", 3),
+        ("f2.parquet", 0),
+    ]

@@ -353,3 +353,139 @@ def test_hudi_spark_reads_export(spark, tmp_path):
         for r in spark.read.format("hudi").load(t.path).select("k", "v").collect()
     )
     assert got == [(1, "a"), (2, "b2")]
+
+
+def test_reader_accepts_delta_spark_dv_log(spark, tmp_path):
+    """A _delta_log shaped exactly as modern delta-spark (DV-enabled,
+    protocol 3/7 with readerFeatures) writes it: the DELETE re-adds the
+    file with a deletionVector descriptor and tightBounds=false stats.
+    Our reader must apply the DV; time travel to v0 must not (r7)."""
+    from hudi_and_delta_showcase_spark.tables import delta_dv
+    from hudi_and_delta_showcase_spark.tables.delta_log import (
+        read_delta_table,
+    )
+
+    root = str(tmp_path / "dl")
+    log = os.path.join(root, "_delta_log")
+    os.makedirs(log)
+    f0 = "part-00000-3a7e6b9e-0d86-4a5e-9f21-000000000001-c000.snappy.parquet"
+    _write_parquet(os.path.join(root, f0), [1, 2, 3, 4], ["a", "b", "c", "d"])
+    # positions 1 and 2 (k=2, k=3) deleted; DV authored in the public
+    # on-disk format (version byte + BE size/CRC framing + magic +
+    # RoaringBitmapArray portable), random-prefix path like Databricks
+    dv_desc = delta_dv.write_dv_file(root, [1, 2], prefix="ab")
+    v0 = [
+        {"commitInfo": {
+            "timestamp": 1700000000000, "operation": "WRITE",
+            "operationParameters": {"mode": "ErrorIfExists"},
+            "engineInfo": "Apache-Spark/3.5.0 Delta-Lake/3.1.0",
+            "txnId": "8fd6f62e-0001-4b92-a0c9-5da4a021f07b"}},
+        {"protocol": {
+            "minReaderVersion": 3, "minWriterVersion": 7,
+            "readerFeatures": ["deletionVectors"],
+            "writerFeatures": ["deletionVectors"]}},
+        {"metaData": {
+            "id": "7f9a2cdc-2bb1-4a8c-8e5d-2f4a1e82d7c2",
+            "format": {"provider": "parquet", "options": {}},
+            "schemaString": _SCHEMA_STRING, "partitionColumns": [],
+            "configuration": {"delta.enableDeletionVectors": "true"},
+            "createdTime": 1700000000000}},
+        {"add": {
+            "path": f0, "partitionValues": {}, "size": 900,
+            "modificationTime": 1700000000000, "dataChange": True,
+            "stats": json.dumps({"numRecords": 4,
+                                 "minValues": {"k": 1}, "maxValues": {"k": 4},
+                                 "nullCount": {"k": 0, "v": 0}})}},
+    ]
+    v1 = [
+        {"commitInfo": {
+            "timestamp": 1700000100000, "operation": "DELETE",
+            "operationParameters": {"predicate": '["(k IN (2, 3))"]'},
+            "readVersion": 0,
+            "operationMetrics": {"numDeletedRows": "2",
+                                 "numDeletionVectorsAdded": "1"},
+            "engineInfo": "Apache-Spark/3.5.0 Delta-Lake/3.1.0",
+            "txnId": "8fd6f62e-0002-4b92-a0c9-5da4a021f07b"}},
+        {"remove": {
+            "path": f0, "deletionTimestamp": 1700000100000,
+            "dataChange": True, "extendedFileMetadata": True,
+            "partitionValues": {}, "size": 900}},
+        {"add": {
+            "path": f0, "partitionValues": {}, "size": 900,
+            "modificationTime": 1700000000000, "dataChange": True,
+            "deletionVector": dv_desc,
+            "stats": json.dumps({"numRecords": 4, "tightBounds": False})}},
+    ]
+    for v, actions in enumerate([v0, v1]):
+        with open(os.path.join(log, f"{v:020d}.json"), "w") as fh:
+            fh.write("\n".join(json.dumps(a) for a in actions) + "\n")
+
+    snap = sorted(tuple(r) for r in read_delta_table(spark, root).collect())
+    assert snap == [(1, "a"), (4, "d")]
+    tt = sorted(
+        tuple(r) for r in read_delta_table(spark, root, version=0).collect()
+    )
+    assert tt == [(1, "a"), (2, "b"), (3, "c"), (4, "d")]
+
+
+def test_reader_accepts_column_mapped_partitioned_log(spark, tmp_path):
+    """columnMapping.mode=name the way delta-spark lays it out: random
+    file prefixes (NO hive dirs), physical col-xxx column names in the
+    files, partition values ONLY in add.partitionValues under physical
+    names, logical names only in the schemaString (r7)."""
+    from hudi_and_delta_showcase_spark.tables.delta_log import (
+        read_delta_table,
+    )
+
+    root = str(tmp_path / "dl")
+    log = os.path.join(root, "_delta_log")
+    os.makedirs(log)
+    schema = json.dumps({
+        "type": "struct",
+        "fields": [
+            {"name": "k", "type": "integer", "nullable": True,
+             "metadata": {"delta.columnMapping.id": 1,
+                          "delta.columnMapping.physicalName": "col-aaa1"}},
+            {"name": "v", "type": "string", "nullable": True,
+             "metadata": {"delta.columnMapping.id": 2,
+                          "delta.columnMapping.physicalName": "col-aaa2"}},
+            {"name": "g", "type": "integer", "nullable": True,
+             "metadata": {"delta.columnMapping.id": 3,
+                          "delta.columnMapping.physicalName": "col-aaa3"}},
+        ],
+    })
+    files = {}
+    for g, (ks, vs) in {0: ([1, 2], ["a", "b"]), 1: ([3], ["c"])}.items():
+        rel = f"{g}x/part-00000-0000000{g}-c000.snappy.parquet"
+        os.makedirs(os.path.join(root, f"{g}x"), exist_ok=True)
+        pq.write_table(
+            pa.table({"col-aaa1": pa.array(ks, pa.int32()),
+                      "col-aaa2": pa.array(vs, pa.string())}),
+            os.path.join(root, rel),
+        )
+        files[rel] = g
+    actions = [
+        {"protocol": {"minReaderVersion": 2, "minWriterVersion": 5}},
+        {"metaData": {
+            "id": "9f9a2cdc-2bb1-4a8c-8e5d-2f4a1e82d7c3",
+            "format": {"provider": "parquet", "options": {}},
+            "schemaString": schema,
+            "partitionColumns": ["g"],
+            "configuration": {"delta.columnMapping.mode": "name",
+                              "delta.columnMapping.maxColumnId": "3"},
+            "createdTime": 1700000000000}},
+    ] + [
+        {"add": {"path": rel, "partitionValues": {"col-aaa3": str(g)},
+                 "size": 500, "modificationTime": 1700000000000,
+                 "dataChange": True}}
+        for rel, g in files.items()
+    ]
+    with open(os.path.join(log, "00000000000000000000.json"), "w") as fh:
+        fh.write("\n".join(json.dumps(a) for a in actions) + "\n")
+
+    got = read_delta_table(spark, root)
+    assert got.columns == ["k", "v", "g"]
+    assert sorted(tuple(r) for r in got.collect()) == [
+        (1, "a", 0), (2, "b", 0), (3, "c", 1)]
+    # filters on logical names push down to the physical scan
+    assert {r.k for r in got.filter("g = 1").collect()} == {3}
