@@ -23,7 +23,11 @@ PRIORITY: tuple[str, ...] = (
     "cdc_upsert_cow_roundtrip",
     "cdc_time_travel",
     "cdc_upsert_mor_rt",
-    "cdc_upsert_mor_ro",
+    # r7: foreign .hoodie MERGE_ON_READ adoption — HoodieLogFormat Avro
+    # blocks decoded executor-side into the _rt merge (demotes the _ro
+    # variant below the line: S5 keeps its RT rep here and the RO
+    # staleness contract stays FULL_LOCAL + pytest-pinned)
+    "cdc_convert_hoodie_mor",
     "cdc_optimize_vacuum",
     "cdc_merge_routing",
     "cdc_incremental_pull",
@@ -75,8 +79,11 @@ PRIORITY: tuple[str, ...] = (
     "show_create_table",
     # r4: the reference's literal MERGE INTO statement as a SQL string
     "sql_merge_into",
-    # r4: the scenario's UPDATE/DELETE statements as direct lakehouse DML
-    "sql_update_delete",
+    # r7: CONVERT FROM DELTA with live deletion vectors — the
+    # default-on modern delta-spark shape (demotes sql_update_delete:
+    # SQL-DML parsing keeps its top-50 rep in sql_merge_into; the
+    # UPDATE/DELETE row stays FULL_LOCAL + pytest-pinned)
+    "cdc_convert_delta_dv",
     # -- structured streaming (§2.10) -------------------------------------
     "stream_cdc_apply_golden",
     "stream_tumbling_counts",
@@ -116,6 +123,11 @@ PRIORITY: tuple[str, ...] = (
     # flagships above, then sketch_percentile_gate for the deletion-vector
     # row — all stay registered and FULL_LOCAL-checked)
     "sketch_percentile_gate",
+    # r7 demoted for the foreign-MoR driver row (RO staleness also
+    # asserted by tests/test_convert_hoodie.py and the MoR suite)
+    "cdc_upsert_mor_ro",
+    # r7 demoted for the DV-adoption driver row
+    "sql_update_delete",
     # r6 demoted for the metadata-only-agg driver row (streaming keeps
     # six top-50 representatives; dropDuplicates dedup semantics also
     # proven by dedup_exact_rows + the stateful row)
@@ -197,9 +209,6 @@ PRIORITY: tuple[str, ...] = (
     "cdc_convert_iceberg",
     # r6: CONVERT FROM DELTA — log-replay adoption, orphans excluded
     "cdc_convert_delta",
-    # r7: CONVERT FROM DELTA with live deletion vectors (modern
-    # delta-spark's default) — foreign DV -> engine sidecar, no rewrite
-    "cdc_convert_delta_dv",
     # r6: CONVERT FROM HOODIE — timeline-replay adoption, stale slices
     # excluded; all three protocols now adopt AND export
     "cdc_convert_hoodie",

@@ -25,7 +25,7 @@ import os
 import tempfile
 
 import pyspark.sql.functions as F
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 
 from hudi_and_delta_showcase_spark.io import load_table
 from hudi_and_delta_showcase_spark.operators.upsert import merge_routing
@@ -2452,6 +2452,52 @@ def cdc_convert_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
         key_cols=["user_id"], precombine="ts", tiebreakers=["event_id"],
     )
     t.upsert(incr)
+    return t.read().select(*_FINAL_COLS)
+
+
+@query(
+    "cdc_convert_hoodie_mor",
+    oracle=_LATEST_ALL_SQL,
+    tags=("cdc", "table", "convert", "mor"),
+)
+def cdc_convert_hoodie_mor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CONVERT FROM HOODIE on a MERGE-ON-READ timeline (r7, VERDICT r6
+    #2): a foreign ``.hoodie`` table — base parquet file group + a
+    ``deltacommit`` whose dot-hidden HoodieLogFormat log file holds one
+    Avro data block of upserts — adopts IN PLACE: base files stay
+    byte-identical, the surviving log blocks decode executor-side and
+    materialize as engine log files, and the ``_rt`` merge folds them
+    commit-order-first. Base = pre-cutoff events; the log block holds
+    each post-cutoff user's LATEST event, so the adopted RT view must
+    equal latest-event-per-user over ALL events — any stale base row
+    (Hudi's ``_ro`` staleness) or dropped log record hash-fails. The
+    log-record build collects O(post-cutoff users) rows to encode the
+    Avro block — fixture construction, the same bounded-collect class
+    as the JDBC envelope queries."""
+    from hudi_and_delta_showcase_spark.avro_ocf import spark_schema_to_avro
+    from hudi_and_delta_showcase_spark.tables import hoodie_timeline as ht
+
+    base, incr = _split(spark, sf_dir)
+    root = tempfile.mkdtemp(prefix="convert_hoodie_mor_") + "/t"
+    ht.write_hoodie_table(base.coalesce(1), root)
+    ((fid, s),) = ht.latest_file_slices_rt(root).items()
+    w = Window.partitionBy("user_id").orderBy(
+        F.desc("ts"), F.desc("event_id")
+    )
+    latest_incr = (
+        incr.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+    records = [r.asDict() for r in latest_incr.collect()]
+    ht.append_log_commit(
+        root, fid, s["base_instant"], records,
+        spark_schema_to_avro(base.schema),
+    )
+    t = LakehouseTable.convert_hoodie(
+        spark, root,
+        key_cols=["user_id"], precombine="ts", tiebreakers=["event_id"],
+    )
     return t.read().select(*_FINAL_COLS)
 
 

@@ -74,6 +74,7 @@ def list_instants(path: str, state: str = "commit") -> list[str]:
         return []
     suffix = {
         "commit": ".commit",
+        "deltacommit": ".deltacommit",
         "inflight": ".inflight",
         "requested": ".commit.requested",
     }[state]
@@ -84,6 +85,15 @@ def list_instants(path: str, state: str = "commit") -> list[str]:
             if stem.isdigit():
                 out.append(stem)
     return sorted(out)
+
+
+def _completed_instants(path: str) -> list[tuple[str, str]]:
+    """All COMPLETED instants (commit + deltacommit), time-sorted, as
+    ``(instant, kind)`` — MoR timelines interleave the two kinds."""
+    return sorted(
+        [(i, "commit") for i in list_instants(path, "commit")]
+        + [(i, "deltacommit") for i in list_instants(path, "deltacommit")]
+    )
 
 
 def write_hoodie_table(
@@ -205,12 +215,240 @@ def read_hoodie_table(
 ) -> DataFrame:
     """S2/C7: snapshot (or time-travel) scan of a ``.hoodie``-layout
     table — timeline replay on the driver, declarative parquet scan of
-    the latest file slices. Only COMPLETED instants are visible."""
-    slices = _latest_file_slices(path, as_of_instant)
-    files = sorted(fsio.join(path, p) for p in slices.values())
+    the latest file slices. Only COMPLETED instants are visible. For a
+    MoR timeline this is the READ-OPTIMIZED view (base files only —
+    Hudi's ``_ro``); ``read_hoodie_table_rt`` folds the log blocks."""
+    slices = latest_file_slices_rt(path, as_of_instant)
+    files = sorted(
+        fsio.join(path, s["base"]) for s in slices.values() if s["base"]
+    )
     if not files:
         raise FileNotFoundError(f"no completed commits under {path}")
     return spark.read.parquet(*files)
+
+
+def latest_file_slices_rt(
+    path: str, as_of_instant: str | None = None
+) -> dict[str, dict]:
+    """MoR-aware slice resolution: fileId -> ``{"base", "base_instant",
+    "logs"}``. Base files come from commit/deltacommit write stats
+    exactly as ``_latest_file_slices``; ``.log`` write stats attach to
+    the slice whose base instant matches the ``baseInstant`` embedded
+    in their name — after a compaction writes a newer base, stale logs
+    stop attaching, Hudi's exact slice rule."""
+    from hudi_and_delta_showcase_spark.tables import hoodie_log as hl
+
+    instants = _completed_instants(path)
+    if as_of_instant is not None:
+        instants = [(i, k) for i, k in instants if i <= as_of_instant]
+    bases: dict[str, tuple[str, str]] = {}  # fid -> (instant, path)
+    logs: dict[str, list[tuple[str, int, str]]] = {}
+    barrier = ""
+    for instant, kind in instants:
+        meta = json.loads(
+            fsio.read_text(
+                fsio.join(_hoodie_dir(path), f"{instant}.{kind}")
+            )
+        )
+        if meta.get("operationType") == "INSERT_OVERWRITE":
+            bases.clear()
+            logs.clear()
+            barrier = instant
+        else:
+            for fid in (
+                meta.get("extraMetadata", {}).get("replacedFileIds") or []
+            ):
+                bases.pop(fid, None)
+                logs.pop(fid, None)
+        for stats in meta.get("partitionToWriteStats", {}).values():
+            for st in stats:
+                fid, p = st["fileId"], st["path"]
+                info = hl.parse_log_file_name(p)
+                if info is not None:
+                    logs.setdefault(fid, []).append(
+                        (info["base_instant"], info["version"], p)
+                    )
+                elif instant >= barrier and (
+                    fid not in bases or instant > bases[fid][0]
+                ):
+                    bases[fid] = (instant, p)
+    out: dict[str, dict] = {}
+    for fid, (b_instant, b_path) in bases.items():
+        out[fid] = {
+            "base": b_path,
+            "base_instant": b_instant,
+            "logs": [
+                p
+                for (bi, _v, p) in sorted(logs.get(fid, []))
+                if bi == b_instant
+            ],
+        }
+    # log-only file groups (inserts routed to logs, no base yet)
+    for fid, entries in logs.items():
+        if fid not in out:
+            out[fid] = {
+                "base": None,
+                "base_instant": None,
+                "logs": [p for (_bi, _v, p) in sorted(entries)],
+            }
+    return out
+
+
+def read_properties(path: str) -> dict[str, str]:
+    props_file = fsio.join(_hoodie_dir(path), "hoodie.properties")
+    props: dict[str, str] = {}
+    if fsio.exists(props_file):
+        for line in fsio.read_text(props_file).splitlines():
+            line = line.strip()
+            if line and not line.startswith("#") and "=" in line:
+                k, _, v = line.partition("=")
+                props[k] = v
+    return props
+
+
+def read_hoodie_table_rt(
+    spark: SparkSession,
+    path: str,
+    key_fields: list[str] | None = None,
+    precombine: str | None = None,
+    as_of_instant: str | None = None,
+) -> DataFrame:
+    """Hudi MoR ``_rt`` view of a FOREIGN ``.hoodie`` table (r7,
+    verdict #2): base parquet ∪ HoodieLogFormat Avro blocks, resolved
+    latest-per-key — HoodieParquetRealtimeInputFormat semantics
+    without the hudi bundle. Log blocks decode EXECUTOR-side
+    (``hoodie_log.read_log_records_df``), one task per file group.
+
+    Merge order is instant DESC then precombine DESC — commit order
+    first, precombine within a commit, the engine's (and Hudi's
+    overwrite-with-latest payload's) exact discipline. Base rows take
+    their slice's base instant (from the file-group naming convention;
+    stored ``_hoodie_commit_time`` wins when populated); log rows take
+    their block's INSTANT_TIME header. Key/precombine fields default
+    from ``hoodie.properties`` (``hoodie.table.recordkey.fields`` /
+    ``hoodie.table.precombine.field``)."""
+    import pyspark.sql.functions as F
+    from pyspark.sql import Window
+
+    from hudi_and_delta_showcase_spark.tables import hoodie_log as hl
+
+    props = read_properties(path)
+    if key_fields is None:
+        rk = props.get("hoodie.table.recordkey.fields")
+        if not rk:
+            raise ValueError(
+                "no key_fields given and hoodie.properties carries no "
+                "hoodie.table.recordkey.fields"
+            )
+        key_fields = [c.strip() for c in rk.split(",") if c.strip()]
+    if precombine is None:
+        precombine = props.get("hoodie.table.precombine.field") or None
+
+    slices = latest_file_slices_rt(path, as_of_instant)
+    log_only = [fid for fid, s in slices.items() if s["base"] is None]
+    if log_only:
+        raise ValueError(
+            f"file groups {log_only[:3]} have log files but no base "
+            "file; this reader resolves base+log slices only"
+        )
+    base_paths = sorted(fsio.join(path, s["base"]) for s in slices.values())
+    log_paths = sorted(p for s in slices.values() for p in s["logs"])
+    if not base_paths:
+        raise FileNotFoundError(f"no completed commits under {path}")
+    base = spark.read.parquet(*base_paths)
+    # slice instant from the file-group naming convention
+    # <fileId>_<writeToken>_<instant>.parquet, stored meta column wins
+    name_instant = F.regexp_extract(
+        F.col("_metadata.file_name"), r"_(\d{14,17})\.parquet$", 1
+    )
+    inst = F.when(name_instant == "", F.lit(None)).otherwise(name_instant)
+    if "_hoodie_commit_time" in base.columns:
+        inst = F.coalesce(F.col("_hoodie_commit_time"), inst)
+    base = base.withColumn("_hl_instant", inst)
+    if not log_paths:
+        return base.drop("_hl_instant")
+    logs = hl.read_log_records_df(
+        spark, path, log_paths, base.drop("_hl_instant").schema,
+        valid_instants=frozenset(i for i, _k in _completed_instants(path)),
+    )
+    union = base.unionByName(logs, allowMissingColumns=True)
+    order = [F.desc("_hl_instant")]
+    if precombine:
+        order.append(F.desc(precombine))
+    w = Window.partitionBy(*key_fields).orderBy(*order)
+    return (
+        union.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn", "_hl_instant")
+    )
+
+
+def append_log_commit(
+    path: str,
+    file_id: str,
+    base_instant: str,
+    records: list[dict],
+    avro_schema: dict,
+) -> str:
+    """Author one MoR delta commit the way Hudi lays it out: a hidden
+    ``.log`` file of one Avro data block appended to ``file_id``'s
+    slice, plus the ``.deltacommit`` instant (requested -> inflight ->
+    completed) whose write stats reference the log file. Used by the
+    protocol-pin goldens and the foreign-MoR registry query; real Hudi
+    writers produce exactly this shape (one rolled log file per
+    commit)."""
+    from hudi_and_delta_showcase_spark.tables import hoodie_log as hl
+
+    instant = mf.make_commit_time()
+    existing = [
+        p
+        for s in latest_file_slices_rt(path).values()
+        if s["base_instant"] == base_instant or s["base_instant"] is None
+        for p in s["logs"]
+    ]
+    version = (
+        max(
+            (hl.parse_log_file_name(p)["version"] for p in existing),
+            default=0,
+        )
+        + 1
+    )
+    req = fsio.join(_hoodie_dir(path), f"{instant}.deltacommit.requested")
+    fsio.write_atomic(req, "")
+    inflight = fsio.join(_hoodie_dir(path), f"{instant}.deltacommit.inflight")
+    fsio.write_atomic(inflight, "")
+    log_name = hl.log_file_name(file_id, base_instant, version=version)
+    hl.write_log_file(
+        fsio.join(path, log_name),
+        [hl.avro_data_block(records, avro_schema, instant)],
+    )
+    meta = {
+        "partitionToWriteStats": {
+            NON_PARTITIONED: [
+                {
+                    "fileId": file_id,
+                    "path": log_name,
+                    "prevCommit": base_instant,
+                    "numWrites": len(records),
+                    "numUpdateWrites": len(records),
+                    "fileSizeInBytes": fsio.file_size(
+                        fsio.join(path, log_name)
+                    ),
+                    "logVersion": version,
+                }
+            ]
+        },
+        "compacted": False,
+        "extraMetadata": {},
+        "operationType": "UPSERT",
+    }
+    fsio.write_atomic(
+        fsio.join(_hoodie_dir(path), f"{instant}.deltacommit"),
+        json.dumps(meta, indent=2),
+    )
+    fsio.remove(inflight)
+    fsio.remove(req)
+    return instant
 
 
 def export_hoodie_timeline(table) -> str:

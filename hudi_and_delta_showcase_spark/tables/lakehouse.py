@@ -578,17 +578,28 @@ class LakehouseTable:
         metadata-only.
 
         The live set is the timeline's latest file slice per file
-        group (``hoodie_timeline._latest_file_slices`` — the same
+        group (``hoodie_timeline.latest_file_slices_rt`` — the same
         replay the foreign-authored-timeline reader pins: overwrite
         barriers, replacecommit ``replacedFileIds``), so superseded
         slices awaiting Hudi's cleaner are ignored, never resurrected.
-        Merge-on-read timelines are refused loudly: a ``deltacommit``
-        means HoodieLogFile blocks this engine cannot fold — compact
-        with Hudi first (its own RO view would silently UNDER-serve).
         Real-Hudi data files already carry the ``_hoodie_*`` meta
         columns, so adopted reads serve them as written; files from
         this engine's own ``export_hoodie_timeline`` behave
-        identically."""
+        identically.
+
+        r7 (verdict #2): MERGE-ON-READ timelines adopt too. Each file
+        group's surviving HoodieLogFormat Avro blocks (rollback command
+        blocks honored) decode EXECUTOR-side and materialize as this
+        engine's parquet log files — O(log records), i.e. O(changes
+        since the last Hudi compaction), never O(table); base files
+        stay byte-identical in place. Rows keep their delta commit's
+        instant as ``_hoodie_commit_time``, so the ``_rt`` merge
+        (commit order first, precombine second) resolves exactly as
+        Hudi's realtime view; base rows without stored meta columns
+        take their slice instant from the file-group naming convention
+        (``_repair_meta``). Log-only file groups and delete/HFile/
+        parquet log blocks refuse loudly (``hoodie_log``). A MoR
+        timeline forces ``table_type='mor'``."""
         from hudi_and_delta_showcase_spark.tables import (
             hoodie_timeline as ht,
         )
@@ -596,23 +607,19 @@ class LakehouseTable:
         path = fsio.absolutize(path)
         if fsio.exists(fsio.join(path, "_meta.json")):
             raise FileExistsError(f"already a lakehouse table: {path}")
-        hd = fsio.join(path, ".hoodie")
-        if fsio.isdir(hd):
-            mor = [
-                f
-                for f in fsio.listdir(hd)
-                if ".deltacommit" in f or f.endswith(".compaction.requested")
-            ]
-            if mor:
-                raise RuntimeError(
-                    "merge-on-read .hoodie timeline (deltacommit log "
-                    f"blocks, e.g. {mor[0]!r}); compact with Hudi before "
-                    "adoption — a base-only read would silently drop "
-                    "unmerged updates"
-                )
-        files = sorted(ht._latest_file_slices(path).values())
+        slices = ht.latest_file_slices_rt(path)
+        log_only = [f for f, s in slices.items() if s["base"] is None]
+        if log_only:
+            raise RuntimeError(
+                f"file groups {log_only[:3]} have log files but no base "
+                "file; compact with Hudi before adoption"
+            )
+        files = sorted(s["base"] for s in slices.values())
+        log_paths = sorted(p for s in slices.values() for p in s["logs"])
         if not files:
             raise FileNotFoundError(f"no completed commits under {path}")
+        if log_paths:
+            table_type = MERGE_ON_READ
         fsio.write_atomic(
             fsio.join(path, "_meta.json"),
             json.dumps(
@@ -634,6 +641,33 @@ class LakehouseTable:
             ),
         )
         table = cls(spark, path)
+        log_files: list[str] = []
+        if log_paths:
+            from hudi_and_delta_showcase_spark.tables import (
+                hoodie_log as hl,
+            )
+
+            base_schema = spark.read.parquet(
+                *[fsio.join(path, f) for f in files]
+            ).schema
+            logs = hl.read_log_records_df(
+                spark, path, log_paths, base_schema,
+                valid_instants=frozenset(
+                    i for i, _k in ht._completed_instants(path)
+                ),
+            )
+            if "_hoodie_commit_time" in base_schema.fieldNames():
+                logs = logs.withColumn(
+                    "_hoodie_commit_time",
+                    F.coalesce(
+                        F.col("_hoodie_commit_time"), F.col("_hl_instant")
+                    ),
+                ).drop("_hl_instant")
+            else:
+                logs = logs.withColumnRenamed(
+                    "_hl_instant", "_hoodie_commit_time"
+                )
+            log_files = table._write_files(logs, "l00000", log=True)
         mf.append_commit(
             path,
             mf.Commit(
@@ -641,10 +675,15 @@ class LakehouseTable:
                 action="convert",
                 commit_time=mf.make_commit_time(),
                 files=files,
-                log_files=[],
+                log_files=log_files,
                 stats={
                     "converted_files": len(files),
                     "source_format": "hoodie",
+                    **(
+                        {"adopted_log_files": len(log_paths)}
+                        if log_paths
+                        else {}
+                    ),
                 },
                 **table._index_fields(files),
             ),
@@ -3667,11 +3706,22 @@ class LakehouseTable:
             if self.partition_by and self.partition_by in df.columns
             else F.lit("")
         )
+        # adopted files following Hudi's file-group naming convention
+        # (<fileId>_<writeToken>_<instant>.parquet) keep their SLICE
+        # instant — an adopted MoR table's log rows (stamped with their
+        # delta commit instant) must outrank base rows in the _rt merge,
+        # and the convert time (now) would outrank everything. Files
+        # without the convention (plain hive parquet) fall back to the
+        # convert commit time, as before.
+        name_instant = F.regexp_extract(
+            F.col("_metadata.file_name"), r"_(\d{14,17})\.parquet$", 1
+        )
+        ct = F.when(name_instant != "", name_instant).otherwise(
+            F.lit(self._convert_time)
+        )
         derived = {
-            "_hoodie_commit_time": F.lit(self._convert_time),
-            "_hoodie_commit_seqno": F.concat_ws(
-                "_", F.lit(self._convert_time), key
-            ),
+            "_hoodie_commit_time": ct,
+            "_hoodie_commit_seqno": F.concat_ws("_", ct, key),
             "_hoodie_record_key": key,
             "_hoodie_partition_path": pp,
         }

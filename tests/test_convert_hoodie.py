@@ -1,5 +1,6 @@
 """CONVERT FROM HOODIE: metadata-only adoption of a .hoodie timeline —
-stale file slices excluded, MoR timelines refused."""
+stale file slices excluded; MoR timelines adopt via the HoodieLogFormat
+reader (r7), log-only file groups refused."""
 
 from __future__ import annotations
 
@@ -9,6 +10,8 @@ import pytest
 
 from hudi_and_delta_showcase_spark.tables import LakehouseTable
 from hudi_and_delta_showcase_spark.tables.hoodie_timeline import (
+    append_log_commit,
+    latest_file_slices_rt,
     read_hoodie_table,
     write_hoodie_table,
 )
@@ -34,13 +37,101 @@ def test_adopts_live_slices_not_stale_groups(spark, tmp_path):
     assert _rows(t.read()) == [(1, "a"), (2, "b2"), (3, "c")]
 
 
-def test_refuses_mor_timeline(spark, tmp_path):
-    root = str(tmp_path / "ht")
-    write_hoodie_table(
-        spark.createDataFrame([(1, "a")], "k int, v string").coalesce(1), root
+def _mor_fixture(spark, root: str):
+    """Foreign .hoodie MoR table: one base file group + two delta
+    commits of HoodieLogFormat Avro blocks."""
+    from hudi_and_delta_showcase_spark.avro_ocf import spark_schema_to_avro
+
+    base = spark.createDataFrame(
+        [(1, "a", 100), (2, "b", 100), (3, "c", 100)],
+        "k long, v string, sq long",
     )
-    open(os.path.join(root, ".hoodie", "20240101000000000.deltacommit"), "w").close()
-    with pytest.raises(RuntimeError, match="deltacommit"):
+    write_hoodie_table(base.coalesce(1), root)
+    ((fid, s),) = latest_file_slices_rt(root).items()
+    schema = spark_schema_to_avro(base.schema)
+    append_log_commit(
+        root, fid, s["base_instant"],
+        [{"k": 2, "v": "b2", "sq": 101}, {"k": 4, "v": "d", "sq": 100}],
+        schema,
+    )
+    # later commit with an OLDER precombine still wins (commit order
+    # first — the engine's CoW==MoR pinned discipline, Hudi's default
+    # overwrite-with-latest payload)
+    append_log_commit(
+        root, fid, s["base_instant"], [{"k": 2, "v": "b3", "sq": 99}], schema
+    )
+    return fid, s
+
+
+def test_adopts_mor_timeline(spark, tmp_path):
+    """r7 (verdict #2): a foreign MoR timeline adopts — base files stay
+    byte-identical, surviving log blocks materialize as engine log
+    files, and the _rt merge resolves exactly like Hudi's realtime
+    view."""
+    root = str(tmp_path / "ht")
+    _mor_fixture(spark, root)
+    t = LakehouseTable.convert_hoodie(
+        spark, root, key_cols=["k"], precombine="sq"
+    )
+    assert t.table_type == "mor"
+    c = t._commit(None)
+    assert c.log_files and c.stats["adopted_log_files"] == 2
+    got = sorted(
+        (r.k, r.v, r.sq) for r in t.read().select("k", "v", "sq").collect()
+    )
+    assert got == [(1, "a", 100), (2, "b3", 99), (3, "c", 100),
+                   (4, "d", 100)]
+    # RO view: base only, exactly Hudi's _ro staleness
+    assert _rows(t.read_ro()) == [(1, "a"), (2, "b"), (3, "c")]
+    # compaction folds; upserts keep working on top
+    t.compact()
+    assert t._commit(None).log_files == []
+    t.upsert(spark.createDataFrame([(1, "a9", 200)],
+                                   "k long, v string, sq long"))
+    assert _rows(t.read()) == [(1, "a9"), (2, "b3"), (3, "c"), (4, "d")]
+
+
+def test_mor_rollback_block_drops_target_instant(spark, tmp_path):
+    """A COMMAND/rollback block invalidates earlier blocks of its
+    target instant — Hudi's crash-undo, applied at decode time."""
+    from hudi_and_delta_showcase_spark.avro_ocf import spark_schema_to_avro
+    from hudi_and_delta_showcase_spark.tables import hoodie_log as hl
+    from hudi_and_delta_showcase_spark.tables import fsio
+
+    root = str(tmp_path / "ht")
+    fid, s = _mor_fixture(spark, root)
+    # roll back the LAST delta commit (the b3 block): Hudi APPENDS the
+    # rollback command block to the group's latest log file
+    logs = latest_file_slices_rt(root)[fid]["logs"]
+    last = fsio.join(root, logs[-1])
+    last_blob = fsio.read_bytes(last)
+    last_instant = hl.parse_log_blob(last_blob)[0]["header"][hl.INSTANT_TIME]
+    fsio.write_bytes_atomic(
+        last,
+        last_blob + hl.rollback_block(last_instant, "20990101000000000"),
+    )
+    from hudi_and_delta_showcase_spark.tables.hoodie_timeline import (
+        read_hoodie_table_rt,
+    )
+
+    rt = read_hoodie_table_rt(spark, root, key_fields=["k"],
+                              precombine="sq")
+    got = sorted((r.k, r.v) for r in rt.select("k", "v").collect())
+    assert got == [(1, "a"), (2, "b2"), (3, "c"), (4, "d")]
+
+
+def test_refuses_log_only_file_group(spark, tmp_path):
+    from hudi_and_delta_showcase_spark.avro_ocf import spark_schema_to_avro
+
+    root = str(tmp_path / "ht")
+    base = spark.createDataFrame([(1, "a", 100)], "k long, v string, sq long")
+    write_hoodie_table(base.coalesce(1), root)
+    schema = spark_schema_to_avro(base.schema)
+    append_log_commit(
+        root, "orphan-fid", "20240101000000000",
+        [{"k": 9, "v": "x", "sq": 1}], schema,
+    )
+    with pytest.raises(RuntimeError, match="no base"):
         LakehouseTable.convert_hoodie(spark, root, key_cols=["k"])
 
 

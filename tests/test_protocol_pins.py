@@ -489,3 +489,119 @@ def test_reader_accepts_column_mapped_partitioned_log(spark, tmp_path):
         (1, "a", 0), (2, "b", 0), (3, "c", 1)]
     # filters on logical names push down to the physical scan
     assert {r.k for r in got.filter("g = 1").collect()} == {3}
+
+
+def test_reader_accepts_hudi_authored_mor_timeline(spark, tmp_path):
+    """A MERGE_ON_READ .hoodie timeline as Hudi 0.12 writes it —
+    deltacommit instants with HoodieDeltaWriteStat fields (logVersion/
+    logOffset/logFiles), a dot-hidden HoodieLogFormat log file of Avro
+    data blocks, recordkey/precombine declared in hoodie.properties —
+    must serve the RO view from base files alone and the RT view with
+    the log records folded (r7)."""
+    from hudi_and_delta_showcase_spark.tables import hoodie_log as hl
+    from hudi_and_delta_showcase_spark.tables.hoodie_timeline import (
+        read_hoodie_table,
+        read_hoodie_table_rt,
+    )
+
+    root = str(tmp_path / "ht")
+    hd = os.path.join(root, ".hoodie")
+    os.makedirs(hd)
+    with open(os.path.join(hd, "hoodie.properties"), "w") as fh:
+        fh.write(
+            "#Properties saved on Wed Nov 15 00:00:00 UTC 2023\n"
+            "hoodie.table.name=events\n"
+            "hoodie.table.type=MERGE_ON_READ\n"
+            "hoodie.table.version=5\n"
+            "hoodie.timeline.layout.version=1\n"
+            "hoodie.table.recordkey.fields=k\n"
+            "hoodie.table.precombine.field=sq\n"
+            "hoodie.compaction.payload.class="
+            "org.apache.hudi.common.model.OverwriteWithLatestAvroPayload\n"
+            "hoodie.table.base.file.format=PARQUET\n"
+        )
+    with open(os.path.join(root, ".hoodie_partition_metadata"), "w") as fh:
+        fh.write("#partition metadata\ncommitTime=20231115000000001\n"
+                 "partitionDepth=0\n")
+    fid = "1d1a2b3c-0000-4000-8000-000000000001-0"
+    i1, i2 = "20231115000000001", "20231115000100001"
+    base = f"{fid}_0-5-21_{i1}.parquet"
+    pq.write_table(
+        pa.table({
+            "k": pa.array([1, 2], pa.int64()),
+            "v": pa.array(["a", "b"]),
+            "sq": pa.array([100, 100], pa.int64()),
+        }),
+        os.path.join(root, base),
+    )
+    avro_schema = {
+        "type": "record", "name": "events_record", "fields": [
+            {"name": "k", "type": ["null", "long"]},
+            {"name": "v", "type": ["null", "string"]},
+            {"name": "sq", "type": ["null", "long"]},
+        ],
+    }
+    log_name = hl.log_file_name(fid, i1, version=1, token="0-9-41")
+    hl.write_log_file(
+        os.path.join(root, log_name),
+        [hl.avro_data_block(
+            [{"k": 2, "v": "b2", "sq": 101},
+             {"k": 3, "v": "c", "sq": 100}],
+            avro_schema, i2)],
+    )
+    meta1 = {
+        "partitionToWriteStats": {"": [{
+            "fileId": fid, "path": base, "prevCommit": "null",
+            "numWrites": 2, "numDeletes": 0, "numUpdateWrites": 0,
+            "numInserts": 2, "totalWriteBytes": 900,
+            "totalWriteErrors": 0, "partitionPath": "",
+            "fileSizeInBytes": 900,
+        }]},
+        "compacted": False,
+        "extraMetadata": {},
+        "operationType": "INSERT",
+    }
+    meta2 = {
+        "partitionToWriteStats": {"": [{
+            "fileId": fid, "path": log_name, "prevCommit": i1,
+            "numWrites": 2, "numDeletes": 0, "numUpdateWrites": 1,
+            "numInserts": 1, "totalWriteBytes": 300,
+            "totalWriteErrors": 0, "partitionPath": "",
+            "totalLogRecords": 0, "totalLogBlocks": 0,
+            "fileSizeInBytes": 300, "logVersion": 1, "logOffset": 0,
+            "baseFile": base, "logFiles": [log_name],
+        }]},
+        "compacted": False,
+        "extraMetadata": {},
+        "operationType": "UPSERT",
+    }
+    open(os.path.join(hd, f"{i1}.commit.requested"), "w").close()
+    open(os.path.join(hd, f"{i1}.inflight"), "w").close()
+    with open(os.path.join(hd, f"{i1}.commit"), "w") as fh:
+        json.dump(meta1, fh, indent=2)
+    open(os.path.join(hd, f"{i2}.deltacommit.requested"), "w").close()
+    open(os.path.join(hd, f"{i2}.deltacommit.inflight"), "w").close()
+    with open(os.path.join(hd, f"{i2}.deltacommit"), "w") as fh:
+        json.dump(meta2, fh, indent=2)
+
+    ro = sorted(
+        (r.k, r.v) for r in read_hoodie_table(spark, root).collect()
+    )
+    assert ro == [(1, "a"), (2, "b")]  # base only: Hudi's _ro staleness
+    # RT folds the log; key/precombine resolve from hoodie.properties
+    rt = sorted(
+        (r.k, r.v, r.sq)
+        for r in read_hoodie_table_rt(spark, root).collect()
+    )
+    assert rt == [(1, "a", 100), (2, "b2", 101), (3, "c", 100)]
+    # adoption serves the identical RT state
+    from hudi_and_delta_showcase_spark.tables import LakehouseTable
+
+    t = LakehouseTable.convert_hoodie(
+        spark, root, key_cols=["k"], precombine="sq"
+    )
+    adopted = sorted(
+        (r.k, r.v, r.sq)
+        for r in t.read().select("k", "v", "sq").collect()
+    )
+    assert adopted == rt
