@@ -214,6 +214,9 @@ PRIORITY: tuple[str, ...] = (
     "cdc_convert_hoodie",
     # r6: bounds-pruned range read through the Iceberg metadata path
     "iceberg_stats_skipping_read",
+    # r7: Iceberg v2 EQUALITY deletes on read (Flink CDC writer shape),
+    # strict data_seq < delete_seq ordering
+    "iceberg_equality_delete_read",
     # r6: TPC-H's RF1/RF2 refresh streams as lakehouse upsert + delete
     "tpch_refresh_rf1_rf2",
     # r6: Delta's WHEN NOT MATCHED BY SOURCE clause (full-sync MERGE)

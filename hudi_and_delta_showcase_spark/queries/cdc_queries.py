@@ -23,6 +23,7 @@ from __future__ import annotations
 import json
 import os
 import tempfile
+import uuid
 
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession, Window
@@ -1248,6 +1249,172 @@ def iceberg_stats_skipping_read(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(*_FINAL_COLS).withColumn(
         "files_pruned", F.lit(pruned)
     )
+
+
+@query(
+    "iceberg_equality_delete_read",
+    oracle=f"""
+    SELECT event_id, user_id, ts, event_type, value FROM events
+    WHERE ts < TIMESTAMP '{CUTOFF}'
+      AND user_id NOT IN (
+        SELECT user_id FROM events WHERE ts >= TIMESTAMP '{CUTOFF}'
+      )
+    UNION ALL
+    SELECT event_id, user_id, ts, event_type, value FROM (
+      SELECT *, ROW_NUMBER() OVER (
+        PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+      FROM events WHERE ts >= TIMESTAMP '{CUTOFF}'
+    ) WHERE rn = 1
+    """,
+    tags=("cdc", "iceberg", "scan", "eq-delete"),
+)
+def iceberg_equality_delete_read(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Iceberg v2 EQUALITY deletes on read (r7, VERDICT r6 #3) — the
+    exact shape a Flink CDC writer emits: sequence 1 holds the
+    pre-cutoff events; sequence 2 is one upsert checkpoint carrying an
+    equality-delete file on ``user_id`` (every post-cutoff user) plus
+    a data file of those users' latest events. The reader must kill
+    pre-cutoff rows of deleted users via the null-safe
+    ``equality_ids`` anti-join with STRICT ``data_seq < delete_seq``
+    ordering — the same-sequence re-inserts survive, which is what
+    makes Flink's delete+insert protocol correct. Data files are
+    written by Spark jobs (never collected); only the O(files)
+    metadata tree is authored on the driver."""
+    from hudi_and_delta_showcase_spark.avro_ocf import ocf_encode
+    from hudi_and_delta_showcase_spark.tables import fsio
+    from hudi_and_delta_showcase_spark.tables.iceberg_meta import (
+        read_iceberg_table,
+    )
+
+    base, incr = _split(spark, sf_dir)
+    root = tempfile.mkdtemp(prefix="ice_eqdel_") + "/t"
+    w = Window.partitionBy("user_id").orderBy(
+        F.desc("ts"), F.desc("event_id")
+    )
+    latest_incr = (
+        incr.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+    parts: dict[str, list[str]] = {}
+    for sub, df in (
+        ("base", base),
+        ("eqdel", incr.select("user_id").distinct()),
+        ("new", latest_incr),
+    ):
+        df.write.parquet(f"{root}/data/{sub}")
+        parts[sub] = sorted(
+            fsio.relpath(p, root)
+            for p in fsio.walk_files(f"{root}/data/{sub}", ".parquet")
+        )
+
+    # -- hand-author the v2 metadata tree (driver-side, O(files)) ----
+    def opt(name, t, fid):
+        return {"name": name, "type": ["null", t], "default": None,
+                "field-id": fid}
+
+    data_file = {
+        "type": "record", "name": "r2", "fields": [
+            {"name": "content", "type": "int", "field-id": 134},
+            {"name": "file_path", "type": "string", "field-id": 100},
+            {"name": "file_format", "type": "string", "field-id": 101},
+            {"name": "partition",
+             "type": {"type": "record", "name": "r102", "fields": []},
+             "field-id": 102},
+            {"name": "record_count", "type": "long", "field-id": 103},
+            {"name": "file_size_in_bytes", "type": "long", "field-id": 104},
+            opt("equality_ids", {"type": "array", "items": "int"}, 135),
+        ],
+    }
+    entry_schema = {
+        "type": "record", "name": "manifest_entry", "fields": [
+            {"name": "status", "type": "int", "field-id": 0},
+            opt("snapshot_id", "long", 1),
+            opt("sequence_number", "long", 3),
+            opt("file_sequence_number", "long", 4),
+            {"name": "data_file", "type": data_file, "field-id": 2},
+        ],
+    }
+    mlist_schema = {
+        "type": "record", "name": "manifest_file", "fields": [
+            {"name": "manifest_path", "type": "string", "field-id": 500},
+            {"name": "manifest_length", "type": "long", "field-id": 501},
+            {"name": "partition_spec_id", "type": "int", "field-id": 502},
+            {"name": "content", "type": "int", "field-id": 517},
+            {"name": "sequence_number", "type": "long", "field-id": 515},
+            {"name": "min_sequence_number", "type": "long", "field-id": 516},
+            {"name": "added_snapshot_id", "type": "long", "field-id": 503},
+        ],
+    }
+
+    def entry(rel, seq, content, eq_ids=None):
+        return {
+            "status": 1, "snapshot_id": SID, "sequence_number": seq,
+            "file_sequence_number": seq,
+            "data_file": {
+                "content": content, "file_path": f"{root}/{rel}",
+                "file_format": "PARQUET", "partition": {},
+                "record_count": -1,
+                "file_size_in_bytes": fsio.file_size(fsio.join(root, rel)),
+                "equality_ids": eq_ids,
+            },
+        }
+
+    SID = 8800000000000000001
+    fsio.makedirs(f"{root}/metadata")
+    manifests = []
+    for name, entries, content in (
+        ("m0", [entry(r, 1, 0) for r in parts["base"]]
+         + [entry(r, 2, 0) for r in parts["new"]], 0),
+        # equality_ids=[2]: user_id is field id 2 in the schema below
+        ("m1", [entry(r, 2, 2, [2]) for r in parts["eqdel"]], 1),
+    ):
+        blob = ocf_encode(entry_schema, entries, codec="deflate")
+        p = f"{root}/metadata/eq-{name}.avro"
+        fsio.write_bytes_atomic(p, blob)
+        manifests.append({
+            "manifest_path": p, "manifest_length": len(blob),
+            "partition_spec_id": 0, "content": content,
+            "sequence_number": 2, "min_sequence_number": 1,
+            "added_snapshot_id": SID,
+        })
+    mlist = f"{root}/metadata/snap-{SID}-1-eq.avro"
+    fsio.write_bytes_atomic(
+        mlist, ocf_encode(mlist_schema, manifests, codec="deflate")
+    )
+    schema = {
+        "type": "struct", "schema-id": 0, "fields": [
+            {"id": 1, "name": "event_id", "required": False, "type": "long"},
+            {"id": 2, "name": "user_id", "required": False, "type": "long"},
+            {"id": 3, "name": "ts", "required": False, "type": "timestamp"},
+            {"id": 4, "name": "event_type", "required": False,
+             "type": "string"},
+            {"id": 5, "name": "value", "required": False, "type": "double"},
+        ],
+    }
+    meta = {
+        "format-version": 2, "table-uuid": str(uuid.uuid4()),
+        "location": root, "last-sequence-number": 2,
+        "last-updated-ms": 1700000000000, "last-column-id": 5,
+        "current-schema-id": 0, "schemas": [schema], "schema": schema,
+        "default-spec-id": 0,
+        "partition-specs": [{"spec-id": 0, "fields": []}],
+        "last-partition-id": 999, "default-sort-order-id": 0,
+        "sort-orders": [{"order-id": 0, "fields": []}], "properties": {},
+        "current-snapshot-id": SID,
+        "snapshots": [{"sequence-number": 2, "snapshot-id": SID,
+                       "timestamp-ms": 1700000000000,
+                       "summary": {"operation": "overwrite"},
+                       "manifest-list": mlist, "schema-id": 0}],
+        "snapshot-log": [], "metadata-log": [],
+    }
+    fsio.write_atomic(
+        f"{root}/metadata/00001-{uuid.uuid4()}.metadata.json",
+        json.dumps(meta),
+    )
+    return read_iceberg_table(spark, root).select(*_FINAL_COLS)
 
 
 @query(

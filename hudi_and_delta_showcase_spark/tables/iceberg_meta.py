@@ -50,16 +50,21 @@ VACUUM lifecycle never reaps exported artifacts) listed by a
 ``content=1`` delete manifest with spec-conformant sequence numbers.
 The reader side applies position deletes from our trees AND
 foreign-authored v2 trees via the same anti-join the engine's own DV
-reader uses; equality deletes are refused loudly (their value
-semantics belong to the writing engine).
+reader uses; EQUALITY deletes (the Flink-CDC writer shape) apply too
+(r7, ``_apply_eq_deletes``: null-safe anti-join on the equality_ids
+columns, sequence-number ordered). Metadata-only ADOPTION of any
+delete-bearing snapshot still refuses loudly.
 
-Deliberate simplifications, documented not hidden:
-- One schema per metadata version (the table's CURRENT read schema):
-  time travel across schema-evolution boundaries through the Iceberg
-  view sees the current schema, like Delta UniForm before Iceberg
-  schema-id history landed.
-- MoR tables must be compacted before export (log files have no
-  Iceberg rendering) — same precondition as the Delta export.
+Schema history (r7): the metadata's ``schemas`` list carries every
+distinct schema the table has exported, each with its own schema-id,
+and every snapshot references the id it was written under — time
+travel through the Iceberg view sees each version's OWN schema,
+matching the engine's per-version read schemas under type widening /
+drop column.
+
+Deliberate simplification, documented not hidden: MoR tables must be
+compacted before export (log files have no Iceberg rendering) — same
+precondition as the Delta export.
 """
 
 from __future__ import annotations
@@ -530,6 +535,15 @@ def export_iceberg_metadata(table) -> int:
     snapshots: list[dict] = []
     snapshot_log: list[dict] = []
     metadata_log: list[dict] = []
+    # schema HISTORY (r7, verdict #6): every distinct schema the table
+    # has exported, each with its own schema-id; snapshots reference
+    # theirs, so time travel through the Iceberg view sees each
+    # version's OWN schema (matching the engine's per-version read
+    # schemas under type widening / drop column). Dedup by canonical
+    # JSON — spark_schema_to_iceberg assigns field ids
+    # deterministically, so an unchanged schema round-trips identical.
+    schema_list: list[dict] = []
+    schema_ids: dict[str, int] = {}
     if done >= 1:
         prior = json.loads(fsio.read_text(_metadata_file(table.path, done)))
         snapshots = prior["snapshots"]
@@ -540,6 +554,13 @@ def export_iceberg_metadata(table) -> int:
                 "metadata-file": _metadata_file(table.path, done),
             }
         ]
+        schema_list = prior.get("schemas") or [prior["schema"]]
+        for s in schema_list:
+            key = json.dumps(
+                {k: v for k, v in s.items() if k != "schema-id"},
+                sort_keys=True,
+            )
+            schema_ids[key] = s.get("schema-id", 0)
 
     # format version: stays whatever the existing tree is; upgrades to
     # v2 (and never back) the first time a pending commit carries
@@ -561,7 +582,7 @@ def export_iceberg_metadata(table) -> int:
     # rebuild prior live-file metadata from the last exported manifest so
     # EXISTING entries carry stable counts without re-scanning old files
     if parent_sid is not None:
-        prior_data, _prior_dels = _snapshot_entries(
+        prior_data, _prior_dels, _prior_eq = _snapshot_entries(
             table.path, snapshots[-1], with_deletes=True
         )
         for entry in prior_data:
@@ -592,6 +613,20 @@ def export_iceberg_metadata(table) -> int:
             )
         )
         ice_schema, last_col = spark_schema_to_iceberg(schema_json)
+        skey = json.dumps(
+            {k: v for k, v in ice_schema.items() if k != "schema-id"},
+            sort_keys=True,
+        )
+        if skey in schema_ids:
+            cur_schema_id = schema_ids[skey]
+        else:
+            cur_schema_id = (
+                max((s.get("schema-id", 0) for s in schema_list), default=-1)
+                + 1
+            )
+            schema_ids[skey] = cur_schema_id
+            schema_list.append({**ice_schema, "schema-id": cur_schema_id})
+        ice_schema = {**ice_schema, "schema-id": cur_schema_id}
         spec_fields = _partition_spec(table, ice_schema)
 
         entries = []
@@ -700,7 +735,7 @@ def export_iceberg_metadata(table) -> int:
 
         header = {
             "schema": json.dumps(ice_schema).encode(),
-            "schema-id": b"0",
+            "schema-id": str(cur_schema_id).encode(),
             "partition-spec": json.dumps(_spec_json(spec_fields)).encode(),
             "partition-spec-id": b"0",
             "format-version": str(fmt).encode(),
@@ -833,6 +868,7 @@ def export_iceberg_metadata(table) -> int:
                 ),
             },
             "manifest-list": fsio.join(location, "metadata", list_name),
+            "schema-id": cur_schema_id,
         }
         if fmt >= 2:
             snap["sequence-number"] = seq
@@ -849,8 +885,8 @@ def export_iceberg_metadata(table) -> int:
             "last-updated-ms": ts_ms,
             "last-column-id": last_col,
             "schema": ice_schema,
-            "schemas": [ice_schema],
-            "current-schema-id": 0,
+            "schemas": schema_list,
+            "current-schema-id": cur_schema_id,
             "partition-spec": _spec_json(spec_fields),
             "partition-specs": [
                 {"spec-id": 0, "fields": _spec_json(spec_fields)}
@@ -912,41 +948,50 @@ def _snapshot_entries(
     """Live manifest entries (status != DELETED) of one snapshot.
     Accepts FOREIGN-authored manifest lists too: v2 lists carry a
     ``content`` column (0=data, 1=deletes). With ``with_deletes``
-    returns ``(data_entries, delete_entries)`` — POSITION deletes only
-    (``data_file.content=1``); equality deletes (content=2) need the
-    writing engine's value semantics and are refused loudly, as is any
-    delete-bearing snapshot when the caller didn't opt in."""
+    returns ``(data_entries, pos_delete_entries, eq_delete_entries)``
+    split by ``data_file.content`` (1=position, 2=equality, r7).
+    Every entry gets its resolved DATA SEQUENCE NUMBER stamped as
+    ``__seq`` — the entry's own ``sequence_number`` when written, else
+    inherited from the manifest-list row (the v2 inheritance rule for
+    ADDED entries); equality-delete application orders on it. A
+    delete-bearing snapshot still refuses when the caller didn't opt
+    in (metadata-only adoption cannot represent it)."""
     _, manifests = ocf_decode(
         fsio.read_bytes(_resolve(table_path, snap["manifest-list"]))
     )
     data: list[dict] = []
-    deletes: list[dict] = []
+    pos_deletes: list[dict] = []
+    eq_deletes: list[dict] = []
     for m in manifests:
         _, entries = ocf_decode(
             fsio.read_bytes(_resolve(table_path, m["manifest_path"]))
         )
         live = [e for e in entries if e["status"] != STATUS_DELETED]
+        m_seq = m.get("sequence_number") or 0
+        for e in live:
+            e["__seq"] = (
+                e.get("sequence_number")
+                if e.get("sequence_number") is not None
+                else m_seq
+            )
         if m.get("content", 0) == MANIFEST_CONTENT_DELETES:
             for e in live:
                 if (
                     e["data_file"].get("content", FILE_CONTENT_POS_DELETES)
                     == FILE_CONTENT_EQ_DELETES
                 ):
-                    raise RuntimeError(
-                        "iceberg snapshot carries EQUALITY deletes; only "
-                        "position deletes are readable without the "
-                        "writing engine — compact the table there first"
-                    )
-            deletes.extend(live)
+                    eq_deletes.append(e)
+                else:
+                    pos_deletes.append(e)
         else:
             data.extend(live)
-    if deletes and not with_deletes:
+    if (pos_deletes or eq_deletes) and not with_deletes:
         raise RuntimeError(
             "iceberg snapshot carries delete files (merge-on-read); "
             "compact the table with its writing engine before reading"
         )
     if with_deletes:
-        return data, deletes
+        return data, pos_deletes, eq_deletes
     return data
 
 
@@ -1101,7 +1146,7 @@ def read_iceberg_where(
     unpack = _BOUND_UNPACK.get(ftype if isinstance(ftype, str) else "")
     snaps = {s["snapshot-id"]: s for s in meta["snapshots"]}
     sid = snapshot_id if snapshot_id is not None else meta["current-snapshot-id"]
-    entries, deletes = _snapshot_entries(
+    entries, deletes, eq_deletes = _snapshot_entries(
         table_path, snaps[sid], with_deletes=True
     )
     if not entries:
@@ -1127,6 +1172,10 @@ def read_iceberg_where(
     if deletes:
         # position deletes for pruned-away files simply never match
         df = _apply_pos_deletes(spark, df, entries, deletes, table_path)
+    if eq_deletes:
+        df = _apply_eq_deletes(
+            spark, df, entries, eq_deletes, table_path, meta
+        )
     c = F.col(col)
     if lo is not None:
         df = df.filter(c >= F.lit(lo))
@@ -1198,13 +1247,98 @@ def _apply_pos_deletes(
     )
 
 
+def _current_schema_fields(meta: dict) -> list[dict]:
+    """Top-level fields of the metadata's current schema (v1 ``schema``
+    key or v2 ``schemas``+``current-schema-id``)."""
+    if "schemas" in meta:
+        sid = meta.get("current-schema-id", 0)
+        for s in meta["schemas"]:
+            if s.get("schema-id", 0) == sid:
+                return s["fields"]
+    if "schema" in meta:
+        return meta["schema"]["fields"]
+    raise ValueError("iceberg metadata carries no schema")
+
+
+def _apply_eq_deletes(
+    spark, df, data_entries: list[dict], eq_entries: list[dict],
+    table_path: str, meta: dict,
+):
+    """Drop rows named by v2 EQUALITY delete files (r7, verdict #3 —
+    the shape Flink CDC writers emit): each delete file lists values
+    for the columns named by its ``equality_ids``; a data row dies when
+    it matches any delete row on ALL those columns (null-safe, the
+    spec's null=null rule) AND its file's data sequence number is
+    STRICTLY below the delete file's (``data_seq < delete_seq`` —
+    position deletes use <=; a row re-inserted AFTER the delete
+    survives, which is what makes Flink's delete+insert upserts
+    correct).
+
+    Plan shape: one broadcast of the manifest-scale (scan path -> data
+    sequence number) map stamps ``__seq`` on the scan; delete files
+    group by (equality_ids, sequence number) — Flink emits one id-set,
+    so this is typically ONE extra parquet scan of O(deleted keys)
+    rows — and each group becomes a null-safe LEFT ANTI hash join.
+    The base scan keeps its pushdown and pruning; the delete side has
+    known size stats so Catalyst broadcasts while small."""
+    from pyspark.sql import functions as F
+
+    fields = {f["id"]: f["name"] for f in _current_schema_fields(meta)}
+    strip = r"^[a-zA-Z][a-zA-Z0-9+.-]*:(//[^/]*)?"
+    seq_rows = [
+        (
+            fsio.uri_path(_resolve(table_path, e["data_file"]["file_path"])),
+            int(e.get("__seq") or 0),
+        )
+        for e in data_entries
+    ]
+    seq_df = spark.createDataFrame(seq_rows, "__scan string, __seq long")
+    df = df.withColumn(
+        "__path", F.regexp_replace(F.col("_metadata.file_path"), strip, "")
+    ).join(
+        F.broadcast(seq_df), F.col("__path") == seq_df["__scan"], "left"
+    ).drop("__scan")
+    groups: dict[tuple, list[dict]] = {}
+    for e in eq_entries:
+        ids = tuple(e["data_file"].get("equality_ids") or [])
+        if not ids:
+            raise ValueError(
+                "equality delete file without equality_ids: "
+                + e["data_file"]["file_path"]
+            )
+        unknown = [i for i in ids if i not in fields]
+        if unknown:
+            raise ValueError(
+                f"equality_ids {unknown} not in the current schema"
+            )
+        groups.setdefault((ids, int(e.get("__seq") or 0)), []).append(e)
+    for (ids, dseq), group in sorted(groups.items()):
+        cols = [fields[i] for i in ids]
+        dels = (
+            spark.read.parquet(
+                *[
+                    _resolve(table_path, e["data_file"]["file_path"])
+                    for e in group
+                ]
+            )
+            .select(*[F.col(c).alias(f"__eq_{c}") for c in cols])
+            .distinct()
+        )
+        cond = F.lit(dseq) > F.col("__seq")
+        for c in cols:
+            cond = cond & F.col(c).eqNullSafe(F.col(f"__eq_{c}"))
+        df = df.join(dels, cond, "left_anti")
+    return df.drop("__path", "__seq")
+
+
 def read_iceberg_table(spark, table_path: str, snapshot_id: int | None = None):
     """Snapshot-read an Iceberg metadata tree — ours or FOREIGN-authored
     (iceberg-java / pyiceberg v1 or v2 trees: catalog-style metadata
     naming without a version-hint, v2 manifest columns, relocated
     absolute paths re-anchored). v2 POSITION deletes are applied via
-    anti-join (``_apply_pos_deletes``); equality deletes are refused
-    loudly. Current snapshot by default, ``snapshot_id`` for time
+    anti-join (``_apply_pos_deletes``); EQUALITY deletes via
+    sequence-ordered null-safe anti-join (``_apply_eq_deletes``, r7).
+    Current snapshot by default, ``snapshot_id`` for time
     travel: metadata.json -> manifest-list avro -> manifest avro ->
     one parquet scan over the live files. Metadata IO is fsio
     (object-store capable); the listing cost is O(manifests of one
@@ -1214,7 +1348,7 @@ def read_iceberg_table(spark, table_path: str, snapshot_id: int | None = None):
     sid = snapshot_id if snapshot_id is not None else meta["current-snapshot-id"]
     if sid not in snaps:
         raise ValueError(f"unknown snapshot-id {sid}")
-    entries, deletes = _snapshot_entries(
+    entries, deletes, eq_deletes = _snapshot_entries(
         table_path, snaps[sid], with_deletes=True
     )
     files = [
@@ -1225,4 +1359,8 @@ def read_iceberg_table(spark, table_path: str, snapshot_id: int | None = None):
     df = spark.read.parquet(*files)
     if deletes:
         df = _apply_pos_deletes(spark, df, entries, deletes, table_path)
+    if eq_deletes:
+        df = _apply_eq_deletes(
+            spark, df, entries, eq_deletes, table_path, meta
+        )
     return df

@@ -213,6 +213,14 @@ class LakehouseTable:
         self.adopted_partition_type: str | None = meta.get(
             "adopted_partition_type"
         )
+        #: adopted multi-column hive layouts (r7): columns BEYOND the
+        #: first, {name -> declared type}. The first column is the
+        #: engine's partition_by (rewrite scoping, OPTIMIZE WHERE);
+        #: the extras exist only in adopted file paths — derived at
+        #: scan time and seeded into col_stats for pruning.
+        self.adopted_extra_partitions: dict[str, str] = meta.get(
+            "adopted_extra_partitions", {}
+        )
         try:
             self._meta_identity = fsio.stat_identity(
                 fsio.join(self.path, "_meta.json")
@@ -479,7 +487,17 @@ class LakehouseTable:
         ``col=value`` dirs alongside the engine's own ``__pp=`` dirs,
         and the convert commit seeds ``col_stats`` with each file's
         partition value so partition pruning via ``read_where`` works
-        from version 0."""
+        from version 0.
+
+        r7 (verdict #7): MULTI-COLUMN hive nesting
+        (``k1=v1/k2=v2/...``) adopts too — pass lists for
+        ``partition_by``/``partition_type``. The FIRST column becomes
+        the engine's partition column (rewrite scoping, OPTIMIZE
+        WHERE); the rest derive at scan time and seed ``col_stats``,
+        so ``read_where`` prunes on EVERY level from version 0.
+        Post-adoption engine writes lay files out under ``__pp=<k1>``
+        only — the extra columns live in the data files from then on,
+        where footer stats keep the pruning exact."""
         path = fsio.absolutize(path)
         if fsio.exists(fsio.join(path, "_meta.json")):
             raise FileExistsError(f"already a lakehouse table: {path}")
@@ -495,19 +513,35 @@ class LakehouseTable:
                 "partition_type), like Delta's CONVERT TO DELTA ... "
                 "PARTITIONED BY"
             )
-        adopted_partition = False
-        if partition_by is not None:
+        part_cols = (
+            [partition_by]
+            if isinstance(partition_by, str)
+            else list(partition_by or [])
+        )
+        part_types = (
+            [partition_type]
+            if isinstance(partition_type, str)
+            else list(partition_type or [])
+        )
+        if part_cols and len(part_types) != len(part_cols):
+            raise ValueError(
+                "declare one partition_type per partition_by column"
+            )
+        adopted_partition = bool(part_cols)
+        if adopted_partition:
             bad = [
                 f for f in files
-                if not f.split("/")[0].startswith(f"{partition_by}=")
-                or f.count("/") != 1
+                if f.count("/") != len(part_cols)
+                or any(
+                    not f.split("/")[i].startswith(f"{c}=")
+                    for i, c in enumerate(part_cols)
+                )
             ]
             if bad:
                 raise ValueError(
-                    f"expected a single-level {partition_by}=<value> "
+                    f"expected a {'/'.join(c + '=<v>' for c in part_cols)} "
                     f"layout for every file; offending: {bad[:3]}"
                 )
-            adopted_partition = True
         fsio.write_atomic(
             fsio.join(path, "_meta.json"),
             json.dumps(
@@ -515,7 +549,7 @@ class LakehouseTable:
                     "key_cols": key_cols,
                     "precombine": precombine,
                     "tiebreakers": tiebreakers or [],
-                    "partition_by": partition_by,
+                    "partition_by": part_cols[0] if part_cols else None,
                     "table_type": table_type,
                     "cdc_enabled": False,
                     "global_index": False,
@@ -525,8 +559,17 @@ class LakehouseTable:
                     "constraints": {},
                     "generated_columns": {},
                     **(
-                        {"adopted_partition_type": partition_type}
+                        {"adopted_partition_type": part_types[0]}
                         if adopted_partition
+                        else {}
+                    ),
+                    **(
+                        {
+                            "adopted_extra_partitions": dict(
+                                zip(part_cols[1:], part_types[1:])
+                            )
+                        }
+                        if len(part_cols) > 1
                         else {}
                     ),
                 },
@@ -536,17 +579,21 @@ class LakehouseTable:
         table = cls(spark, path)
         index = table._index_fields(files)
         if adopted_partition:
-            # seed per-file [v, v] stats for the path-only partition
-            # column: data skipping on it works from version 0 even
-            # though no footer carries the column
+            # seed per-file [v, v] stats for every path-only partition
+            # column: data skipping on them works from version 0 even
+            # though no footer carries the columns
             for f in files:
-                v = table._partition_value_of(f)
-                if v == HIVE_DEFAULT_PARTITION:
-                    continue
-                typed = _parse_partition_value(v, partition_type)
-                index["col_stats"].setdefault(f, {})[partition_by] = [
-                    typed, typed,
-                ]
+                segs = dict(
+                    seg.split("=", 1)
+                    for seg in f.split("/")
+                    if "=" in seg
+                )
+                for c, t in zip(part_cols, part_types):
+                    v = urllib.parse.unquote(segs.get(c, ""))
+                    if not v or v == HIVE_DEFAULT_PARTITION:
+                        continue
+                    typed = _parse_partition_value(v, t)
+                    index["col_stats"].setdefault(f, {})[c] = [typed, typed]
         mf.append_commit(
             path,
             mf.Commit(
@@ -750,34 +797,35 @@ class LakehouseTable:
         key_cols = [to_phys.get(c, c) for c in key_cols]
         precombine = to_phys.get(precombine, precombine)
         tiebreakers = [to_phys.get(c, c) for c in (tiebreakers or [])]
-        part_cols = meta_d.get("partitionColumns") or []
-        if len(part_cols) > 1:
-            raise ValueError(
-                f"multi-column partitioning {part_cols} is beyond "
-                "convert's single-level adoption (same bound as hive "
-                "convert)"
-            )
-        partition_by = (
-            to_phys.get(part_cols[0], part_cols[0]) if part_cols else None
-        )
-        partition_type = "string"
-        if partition_by is not None:
+        part_cols_logical = meta_d.get("partitionColumns") or []
+        part_cols = [to_phys.get(c, c) for c in part_cols_logical]
+        partition_by = part_cols[0] if part_cols else None
+        part_types: list[str] = []
+        if part_cols:
             from pyspark.sql.types import StructType
 
             schema = StructType.fromJson(
                 json.loads(meta_d["schemaString"])
             )
-            partition_type = schema[part_cols[0]].dataType.simpleString()
+            part_types = [
+                schema[c].dataType.simpleString()
+                for c in part_cols_logical
+            ]
             hive_laid = all(
-                f.split("/")[0].startswith(f"{partition_by}=")
+                f.count("/") == len(part_cols)
+                and all(
+                    f.split("/")[i].startswith(f"{c}=")
+                    for i, c in enumerate(part_cols)
+                )
                 for f in files
             )
             if not hive_laid:
                 raise ValueError(
                     "partitioned delta snapshot without hive-style "
-                    f"{partition_by}=<value> dirs (column-mapped "
-                    "layouts record partitions only in partitionValues)"
-                    " — read it via read_delta_table instead"
+                    f"{'/'.join(c + '=<v>' for c in part_cols)} dirs "
+                    "(column-mapped layouts record partitions only in "
+                    "partitionValues) — read it via read_delta_table "
+                    "instead"
                 )
         fsio.write_atomic(
             fsio.join(path, "_meta.json"),
@@ -801,8 +849,17 @@ class LakehouseTable:
                     "constraints": {},
                     "generated_columns": {},
                     **(
-                        {"adopted_partition_type": partition_type}
+                        {"adopted_partition_type": part_types[0]}
                         if partition_by is not None
+                        else {}
+                    ),
+                    **(
+                        {
+                            "adopted_extra_partitions": dict(
+                                zip(part_cols[1:], part_types[1:])
+                            )
+                        }
+                        if len(part_cols) > 1
                         else {}
                     ),
                 },
@@ -812,14 +869,20 @@ class LakehouseTable:
         table = cls(spark, path)
         index = table._index_fields(sorted(files))
         if partition_by is not None:
+            import urllib.parse as _up
+
             for f in files:
-                v = table._partition_value_of(f)
-                if v is None or v == HIVE_DEFAULT_PARTITION:
-                    continue
-                typed = _parse_partition_value(v, partition_type)
-                index["col_stats"].setdefault(f, {})[partition_by] = [
-                    typed, typed,
-                ]
+                segs = dict(
+                    seg.split("=", 1)
+                    for seg in f.split("/")
+                    if "=" in seg
+                )
+                for c, t in zip(part_cols, part_types):
+                    v = _up.unquote(segs.get(c, ""))
+                    if not v or v == HIVE_DEFAULT_PARTITION:
+                        continue
+                    typed = _parse_partition_value(v, t)
+                    index["col_stats"].setdefault(f, {})[c] = [typed, typed]
         dv_map = {
             f: a["deletionVector"]
             for f, a in adds.items()
@@ -3669,35 +3732,33 @@ class LakehouseTable:
         # partition evolution that column is partition_specs[0], not
         # partition_by.
         adopted_col = self.partition_specs[0]
-        if (
-            adopted_col
-            and self.adopted_partition_type
-        ):
-            # adopted hive layout: the partition column lives only in
-            # the PATHS of adopted files — derive it from the scan's
+        adopted = []
+        if adopted_col and self.adopted_partition_type:
+            adopted.append((adopted_col, self.adopted_partition_type))
+        adopted.extend(self.adopted_extra_partitions.items())
+        for col, ptype in adopted:
+            # adopted hive layout: the partition column(s) live only in
+            # the PATHS of adopted files — derive them from the scan's
             # native _metadata.file_path (stays inside codegen, no
             # per-partition union of scans). Engine-written files carry
-            # the real column; coalesce keeps their stored values.
+            # the real columns; coalesce keeps their stored values.
             import re as _re
 
             seg = F.regexp_extract(
                 F.col("_metadata.file_path"),
-                f"/{_re.escape(adopted_col)}=([^/]+)/",
+                f"/{_re.escape(col)}=([^/]+)/",
                 1,
             )
             val = F.when(seg == "", F.lit(None)).otherwise(F.url_decode(seg))
             val = (
                 F.when(val == HIVE_DEFAULT_PARTITION, F.lit(None))
                 .otherwise(val)
-                .cast(self.adopted_partition_type)
+                .cast(ptype)
             )
-            if adopted_col in df.columns:
-                df = df.withColumn(
-                    adopted_col,
-                    F.coalesce(F.col(adopted_col), val),
-                )
+            if col in df.columns:
+                df = df.withColumn(col, F.coalesce(F.col(col), val))
             else:
-                df = df.withColumn(adopted_col, val)
+                df = df.withColumn(col, val)
         key = F.concat_ws(
             "|", *[F.col(k).cast("string") for k in self.key_cols]
         )

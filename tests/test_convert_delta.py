@@ -235,3 +235,63 @@ def test_still_refuses_unknown_features_and_id_mapping(spark, tmp_path):
             fh.write(json.dumps(patch))
         with pytest.raises(RuntimeError, match=msg):
             LakehouseTable.convert_delta(spark, root, key_cols=["k"])
+
+
+def test_convert_multi_column_partitioned_delta(spark, tmp_path):
+    """r7: a Delta snapshot with TWO partitionColumns adopts — both
+    columns derive from paths, pruning works on either level."""
+    root = str(tmp_path / "dlm")
+    os.makedirs(os.path.join(root, "_delta_log"))
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    schema = json.dumps({
+        "type": "struct",
+        "fields": [
+            {"name": "k", "type": "integer", "nullable": True, "metadata": {}},
+            {"name": "g", "type": "integer", "nullable": True, "metadata": {}},
+            {"name": "h", "type": "string", "nullable": True, "metadata": {}},
+        ],
+    })
+    adds = []
+    for g in (0, 1):
+        for h in ("x", "y"):
+            rel = f"g={g}/h={h}/part-0000{g}-{h}-c000.snappy.parquet"
+            os.makedirs(os.path.dirname(os.path.join(root, rel)),
+                        exist_ok=True)
+            ks = [g * 10 + (1 if h == "x" else 2)]
+            pq.write_table(
+                pa.table({"k": pa.array(ks, pa.int32())}),
+                os.path.join(root, rel),
+            )
+            adds.append({"add": {
+                "path": rel, "partitionValues": {"g": str(g), "h": h},
+                "size": 400, "modificationTime": 1700000000000,
+                "dataChange": True}})
+    actions = [
+        {"protocol": {"minReaderVersion": 1, "minWriterVersion": 2}},
+        {"metaData": {
+            "id": "af000000-0000-4000-8000-000000000009",
+            "format": {"provider": "parquet", "options": {}},
+            "schemaString": schema, "partitionColumns": ["g", "h"],
+            "configuration": {}}},
+    ] + adds
+    with open(os.path.join(root, "_delta_log",
+                           "00000000000000000000.json"), "w") as fh:
+        fh.write("\n".join(json.dumps(a) for a in actions))
+
+    got = read_delta_table(spark, root)
+    assert sorted(tuple(r) for r in got.collect()) == [
+        (1, 0, "x"), (2, 0, "y"), (11, 1, "x"), (12, 1, "y")]
+
+    t = LakehouseTable.convert_delta(spark, root, key_cols=["k"])
+    assert sorted(
+        (r.k, r.g, r.h) for r in t.read().select("k", "g", "h").collect()
+    ) == [(1, 0, "x"), (2, 0, "y"), (11, 1, "x"), (12, 1, "y")]
+    all_files = len(t._commit(None).files)
+    r1 = t.read_where("g", lo=1, hi=1)
+    assert sorted(r.k for r in r1.collect()) == [11, 12]
+    assert 0 < len(r1.inputFiles()) < all_files
+    r2 = t.read_where("h", lo="y", hi="y")
+    assert sorted(r.k for r in r2.collect()) == [2, 12]
+    assert 0 < len(r2.inputFiles()) < all_files

@@ -544,29 +544,154 @@ def test_reads_relocated_foreign_tree(spark, tmp_path):
     ]
 
 
-def test_refuses_v2_equality_deletes(spark, tmp_path):
-    """Position deletes are applied (tests/test_iceberg_deletes.py);
-    EQUALITY deletes need the writing engine's value semantics and a
-    snapshot carrying them fails loudly, never silently-undeleted
-    rows."""
-    root = str(tmp_path / "ice_del")
-    sid1, sid2 = _foreign_v2_tree(root)
+def _add_equality_delete_snapshot(root: str, sid2: int) -> int:
+    """Extend the foreign v2 tree with snapshot 3 (sequence 3), the
+    Flink-CDC upsert shape: one EQUALITY delete file on k (field id 1)
+    naming k in {2, 3}, plus a NEW data file at the SAME sequence
+    re-inserting k=3 — the strict ``data_seq < delete_seq`` rule must
+    kill the old k=2/k=3 rows and keep the re-insert."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
     from hudi_and_delta_showcase_spark.avro_ocf import ocf_decode as dec
     from hudi_and_delta_showcase_spark.avro_ocf import ocf_encode as enc
 
-    # rewrite snapshot 2's second manifest as an equality-delete
-    # manifest (list entry content=1, data_file content=2)
+    sid3 = 7713521412982384640
+    eqf = os.path.join(root, "data", "00002-0-eq-deletes.parquet")
+    pq.write_table(pa.table({"k": pa.array([2, 3], pa.int32())}), eqf)
+    newf = os.path.join(root, "data", "00003-0-dat-c.parquet")
+    pq.write_table(
+        pa.table({"k": pa.array([3], pa.int32()), "v": pa.array(["c2"])}),
+        newf,
+    )
+    # reuse the tree's own entry/list writer schemas, + equality_ids
     m2 = os.path.join(root, "metadata", "bbb-2222-m0.avro")
-    schema, recs = dec(open(m2, "rb").read())
+    entry_schema, old_entries = dec(open(m2, "rb").read())
+    df_schema = next(
+        f["type"] for f in entry_schema["fields"] if f["name"] == "data_file"
+    )
+    df_schema["fields"].append(
+        {"name": "equality_ids",
+         "type": ["null", {"type": "array", "items": "int"}],
+         "default": None, "field-id": 135}
+    )
+    for e in old_entries:
+        e["data_file"]["equality_ids"] = None
+
+    def entry(status, sid, seq, path, rows, content, eq_ids=None):
+        return {
+            "status": status, "snapshot_id": sid, "sequence_number": seq,
+            "file_sequence_number": seq,
+            "data_file": {
+                "content": content, "file_path": path,
+                "file_format": "PARQUET", "partition": {},
+                "record_count": rows,
+                "file_size_in_bytes": os.path.getsize(path),
+                "equality_ids": eq_ids,
+            },
+        }
+
+    # data manifest: both prior files EXISTING + the re-insert ADDED
+    m3 = os.path.join(root, "metadata", "ccc-3333-m0.avro")
+    carried = [dict(e, status=0) for e in old_entries]
+    b3 = enc(
+        entry_schema,
+        carried + [entry(1, sid3, 3, newf, 1, content=0)],
+        codec="deflate",
+    )
+    open(m3, "wb").write(b3)
+    # equality-delete manifest (list content=1, data_file content=2)
+    m3d = os.path.join(root, "metadata", "ccc-3333-m1.avro")
+    b3d = enc(
+        entry_schema,
+        [entry(1, sid3, 3, eqf, 2, content=2, eq_ids=[1])],
+        codec="deflate",
+    )
+    open(m3d, "wb").write(b3d)
+
+    mlist_path = os.path.join(root, "metadata", f"snap-{sid2}-1-ddd.avro")
+    mlist_schema, _rows = dec(open(mlist_path, "rb").read())
+
+    def mfile(path, blob, content, seq, a, e):
+        return {
+            "manifest_path": path, "manifest_length": len(blob),
+            "partition_spec_id": 0, "content": content,
+            "sequence_number": seq, "min_sequence_number": 1,
+            "added_snapshot_id": sid3,
+            "added_data_files_count": a, "existing_data_files_count": e,
+            "deleted_data_files_count": 0,
+        }
+
+    l3 = os.path.join(root, "metadata", f"snap-{sid3}-1-eee.avro")
+    open(l3, "wb").write(
+        enc(
+            mlist_schema,
+            [mfile(m3, b3, 0, 3, 1, 2), mfile(m3d, b3d, 1, 3, 1, 0)],
+            codec="deflate",
+        )
+    )
+    meta_path = os.path.join(
+        root, "metadata",
+        "00002-7a1f0000-0000-4000-8000-000000000002.metadata.json",
+    )
+    meta = json.load(open(meta_path))
+    meta["snapshots"].append(
+        {"sequence-number": 3, "snapshot-id": sid3,
+         "parent-snapshot-id": sid2, "timestamp-ms": 1700000200000,
+         "summary": {"operation": "overwrite"}, "manifest-list": l3,
+         "schema-id": 0}
+    )
+    meta["current-snapshot-id"] = sid3
+    meta["last-sequence-number"] = 3
+    with open(
+        os.path.join(
+            root, "metadata",
+            "00003-7a1f0000-0000-4000-8000-000000000003.metadata.json",
+        ),
+        "w",
+    ) as fh:
+        json.dump(meta, fh)
+    return sid3
+
+
+def test_reads_v2_equality_deletes(spark, tmp_path):
+    """r7 (verdict #3): EQUALITY deletes — the Flink CDC writer shape —
+    apply on read: rows matching the delete file's equality_ids columns
+    die when their data sequence is STRICTLY below the delete's; a row
+    re-inserted at the delete's own sequence survives (that strictness
+    is what makes Flink's delete+insert upserts correct)."""
+    root = str(tmp_path / "ice_eq")
+    sid1, sid2 = _foreign_v2_tree(root)
+    sid3 = _add_equality_delete_snapshot(root, sid2)
+    got = sorted(
+        tuple(r) for r in read_iceberg_table(spark, root).collect()
+    )
+    # base had (1,a),(2,b) @seq1 and (3,c) @seq2; eq-delete k in {2,3}
+    # @seq3 kills both; re-insert (3,c2) @seq3 survives the strict <
+    assert got == [(1, "a"), (3, "c2")]
+    # time travel BEFORE the delete still sees the old rows
+    tt = sorted(
+        tuple(r)
+        for r in read_iceberg_table(spark, root, snapshot_id=sid2).collect()
+    )
+    assert tt == [(1, "a"), (2, "b"), (3, "c")]
+
+
+def test_equality_delete_without_ids_fails_loudly(spark, tmp_path):
+    root = str(tmp_path / "ice_eq2")
+    _sid1, sid2 = _foreign_v2_tree(root)
+    _add_equality_delete_snapshot(root, sid2)
+    # strip the equality_ids -> the reader must refuse, never undelete
+    from hudi_and_delta_showcase_spark.avro_ocf import ocf_decode as dec
+    from hudi_and_delta_showcase_spark.avro_ocf import ocf_encode as enc
+
+    m3d = os.path.join(root, "metadata", "ccc-3333-m1.avro")
+    schema, recs = dec(open(m3d, "rb").read())
     for r in recs:
-        r["data_file"]["content"] = 2
-    open(m2, "wb").write(enc(schema, recs, codec="deflate"))
-    l2 = os.path.join(root, "metadata", f"snap-{sid2}-1-ddd.avro")
-    schema, recs = dec(open(l2, "rb").read())
-    recs[0]["content"] = 1
-    open(l2, "wb").write(enc(schema, recs, codec="deflate"))
-    with pytest.raises(RuntimeError, match="EQUALITY deletes"):
-        read_iceberg_table(spark, root)
+        r["data_file"]["equality_ids"] = None
+    open(m3d, "wb").write(enc(schema, recs, codec="deflate"))
+    with pytest.raises(ValueError, match="equality_ids"):
+        read_iceberg_table(spark, root).collect()
 
 
 def test_manifest_bounds_match_data(spark, tmp_path):
@@ -829,3 +954,46 @@ def test_mixed_spec_table_exports_unpartitioned_until_converged(
         .collect()
     )
     assert got == [(1, 10, "a"), (2, 20, "b"), (3, 30, "c")]
+
+
+def test_schema_history_per_snapshot(spark, tmp_path):
+    """r7 (verdict #6): the exported metadata carries the FULL schemas
+    list with per-snapshot schema-id — a snapshot written before a
+    schema evolution references the OLD schema, not the current one."""
+    df = spark.createDataFrame(
+        [(1, 10, 1)], "k int, v int, sq int"
+    ).coalesce(1)
+    t = LakehouseTable.create(
+        spark, str(tmp_path / "t"), df, key_cols=["k"], precombine="sq"
+    )
+    export_iceberg_metadata(t)
+    # upserting a WIDER batch evolves the table schema (typeWidening)
+    t.upsert(
+        spark.createDataFrame(
+            [(2, 2**40, 2)], "k int, v long, sq int"
+        ).coalesce(1)
+    )
+    export_iceberg_metadata(t)
+    meta = read_iceberg_metadata(t.path)
+    ids = {s["schema-id"] for s in meta["schemas"]}
+    assert len(meta["schemas"]) == 2 and len(ids) == 2
+    snap_ids = [s["schema-id"] for s in meta["snapshots"]]
+    # v0 (int) schema, then the widened (long) schema on later snaps
+    assert snap_ids[0] != snap_ids[-1]
+    assert meta["current-snapshot-id"] == meta["snapshots"][-1]["snapshot-id"]
+    assert meta["current-schema-id"] == snap_ids[-1]
+    by_id = {s["schema-id"]: s for s in meta["schemas"]}
+    old_v = next(
+        f["type"] for f in by_id[snap_ids[0]]["fields"] if f["name"] == "v"
+    )
+    new_v = next(
+        f["type"] for f in by_id[snap_ids[-1]]["fields"] if f["name"] == "v"
+    )
+    assert (old_v, new_v) == ("int", "long")
+    # an UNCHANGED schema on the next commit reuses its id (no growth)
+    t.upsert(spark.createDataFrame(
+        [(3, 3, 3)], "k int, v long, sq int").coalesce(1))
+    export_iceberg_metadata(t)
+    meta2 = read_iceberg_metadata(t.path)
+    assert len(meta2["schemas"]) == 2
+    assert meta2["snapshots"][-1]["schema-id"] == snap_ids[-1]
