@@ -217,6 +217,9 @@ PRIORITY: tuple[str, ...] = (
     # r7: Iceberg v2 EQUALITY deletes on read (Flink CDC writer shape),
     # strict data_seq < delete_seq ordering
     "iceberg_equality_delete_read",
+    # late r7: delete-bearing Iceberg ADOPTION — delete state becomes
+    # the engine's DV sidecar at version 0, data files byte-identical
+    "cdc_convert_iceberg_deletes",
     # r6: TPC-H's RF1/RF2 refresh streams as lakehouse upsert + delete
     "tpch_refresh_rf1_rf2",
     # r6: Delta's WHEN NOT MATCHED BY SOURCE clause (full-sync MERGE)

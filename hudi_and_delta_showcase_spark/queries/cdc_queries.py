@@ -1279,14 +1279,21 @@ def iceberg_equality_delete_read(
     pre-cutoff rows of deleted users via the null-safe
     ``equality_ids`` anti-join with STRICT ``data_seq < delete_seq``
     ordering — the same-sequence re-inserts survive, which is what
-    makes Flink's delete+insert protocol correct. Data files are
-    written by Spark jobs (never collected); only the O(files)
-    metadata tree is authored on the driver."""
-    from hudi_and_delta_showcase_spark.avro_ocf import ocf_encode
-    from hudi_and_delta_showcase_spark.tables import fsio
+    makes Flink's delete+insert protocol correct."""
     from hudi_and_delta_showcase_spark.tables.iceberg_meta import (
         read_iceberg_table,
     )
+
+    root = _author_eq_delete_tree(spark, sf_dir)
+    return read_iceberg_table(spark, root).select(*_FINAL_COLS)
+
+
+def _author_eq_delete_tree(spark: SparkSession, sf_dir: str) -> str:
+    """Hand-author the Flink-CDC-shaped v2 tree both eq-delete queries
+    share. Data files are written by Spark jobs (never collected);
+    only the O(files) metadata tree is authored on the driver."""
+    from hudi_and_delta_showcase_spark.avro_ocf import ocf_encode
+    from hudi_and_delta_showcase_spark.tables import fsio
 
     base, incr = _split(spark, sf_dir)
     root = tempfile.mkdtemp(prefix="ice_eqdel_") + "/t"
@@ -1414,7 +1421,44 @@ def iceberg_equality_delete_read(
         f"{root}/metadata/00001-{uuid.uuid4()}.metadata.json",
         json.dumps(meta),
     )
-    return read_iceberg_table(spark, root).select(*_FINAL_COLS)
+    return root
+
+
+@query(
+    "cdc_convert_iceberg_deletes",
+    oracle=f"""
+    SELECT event_id, user_id, ts, event_type, value FROM events
+    WHERE ts < TIMESTAMP '{CUTOFF}'
+      AND user_id NOT IN (
+        SELECT user_id FROM events WHERE ts >= TIMESTAMP '{CUTOFF}'
+      )
+    UNION ALL
+    SELECT event_id, user_id, ts, event_type, value FROM (
+      SELECT *, ROW_NUMBER() OVER (
+        PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+      FROM events WHERE ts >= TIMESTAMP '{CUTOFF}'
+    ) WHERE rn = 1
+    """,
+    tags=("cdc", "iceberg", "convert", "eq-delete"),
+)
+def cdc_convert_iceberg_deletes(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """CONVERT FROM ICEBERG on a DELETE-BEARING v2 snapshot (late r7):
+    the same Flink-CDC-shaped tree as ``iceberg_equality_delete_read``
+    adopts in place — the equality-delete state materializes as the
+    engine's DV sidecar at version 0 (``deleted_positions_df``: the
+    read path's sequence-ordered null-safe join, inverted to FIND the
+    rows), data files byte-identical. The adopted table must serve the
+    identical post-delete state through the normal ``_apply_dvs``
+    path; a resurrected pre-cutoff row of an upserted user hash-fails
+    the oracle."""
+    root = _author_eq_delete_tree(spark, sf_dir)
+    t = LakehouseTable.convert_iceberg(
+        spark, root,
+        key_cols=["user_id"], precombine="ts", tiebreakers=["event_id"],
+    )
+    return t.read().select(*_FINAL_COLS)
 
 
 @query(

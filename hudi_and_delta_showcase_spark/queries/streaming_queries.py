@@ -430,10 +430,14 @@ def stream_table_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("streaming", "cdc", "incremental", "cdf"),
 )
 def stream_gold_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """STREAMING incremental view maintenance: the bronze table's change
-    data feed sidecar directory is itself a file stream; each micro-batch
-    of change rows becomes retraction deltas (+post, -pre) merged into
-    the running gold aggregate in foreachBatch. Retraction algebra is
+    """STREAMING incremental view maintenance, the production
+    bootstrap-then-tail pattern: the gold state SEEDS from the bronze
+    table's version-0 change feed (one batch ``read_changes(0, 0)`` —
+    an add-only commit, so the images are synthesized from its data
+    files, Delta CDF's rule; no sidecar bytes exist for it, r7), then
+    the sidecar directory streams every LATER commit's changes; each
+    micro-batch becomes retraction deltas (+post, -pre) merged into
+    the running aggregate in foreachBatch. Retraction algebra is
     commutative, so file-discovery order across commits cannot change
     the result; decimal sums make the drained state EXACTLY equal the
     oracle's from-scratch recompute. This is the retract-stream
@@ -464,7 +468,14 @@ def stream_gold_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         .option("maxFilesPerTrigger", 2)
         .parquet(cdc_glob)
     )
-    state: dict = {"gold": None}
+    # bootstrap: version 0's insert images (synthesized — add-only
+    # commits write no sidecar) seed the aggregate before the tail
+    seed = agg_delta(t.read_changes(0, 0), ["event_type"], ["value"])
+    state: dict = {
+        "gold": apply_delta(
+            None, seed, ["event_type"], ["value"]
+        ).localCheckpoint()
+    }
 
     def apply_batch(batch: DataFrame, _bid: int) -> None:
         delta = agg_delta(batch, ["event_type"], ["value"])

@@ -1331,6 +1331,127 @@ def _apply_eq_deletes(
     return df.drop("__path", "__seq")
 
 
+def deleted_positions_df(
+    spark, table_path: str, data_entries: list[dict],
+    pos_entries: list[dict], eq_entries: list[dict], meta: dict,
+):
+    """Every (table-relative data file, row index) a snapshot's v2
+    delete files remove — the engine's DV-sidecar shape, so
+    ``LakehouseTable.convert_iceberg`` can ADOPT delete-bearing
+    snapshots by materializing their delete state as sidecars (r7):
+    data files stay byte-identical; only the O(deleted rows) delete
+    set is computed.
+
+    Position deletes translate directly (their ``(file_path, pos)``
+    rows re-anchor through the recorded->relative path map, broadcast,
+    manifest scale). Equality deletes need one scan of the CANDIDATE
+    data files (those with ``data_seq < delete_seq``) semi-joined on
+    the equality_ids columns — the same null-safe condition the read
+    path's anti-join uses, inverted to FIND the rows instead of
+    dropping them."""
+    from pyspark.sql import functions as F
+
+    strip = r"^[a-zA-Z][a-zA-Z0-9+.-]*:(//[^/]*)?"
+    rel_map = [
+        (
+            e["data_file"]["file_path"],
+            fsio.uri_path(_resolve(table_path, e["data_file"]["file_path"])),
+            fsio.relpath(
+                _resolve(table_path, e["data_file"]["file_path"]), table_path
+            ),
+        )
+        for e in data_entries
+    ]
+    parts = []
+    if pos_entries:
+        map_df = spark.createDataFrame(
+            [(rec, rel) for rec, _scan, rel in rel_map],
+            "file_path string, __rel string",
+        )
+        parts.append(
+            spark.read.parquet(
+                *[
+                    _resolve(table_path, e["data_file"]["file_path"])
+                    for e in pos_entries
+                ]
+            )
+            .select("file_path", "pos")
+            .join(F.broadcast(map_df), "file_path")
+            .select(
+                F.col("__rel").alias("file_name"),
+                F.col("pos").cast("long").alias("pos"),
+            )
+        )
+    if eq_entries:
+        fields = {f["id"]: f["name"] for f in _current_schema_fields(meta)}
+        groups: dict[tuple, list[dict]] = {}
+        for e in eq_entries:
+            ids = tuple(e["data_file"].get("equality_ids") or [])
+            if not ids:
+                raise ValueError(
+                    "equality delete file without equality_ids: "
+                    + e["data_file"]["file_path"]
+                )
+            groups.setdefault((ids, int(e.get("__seq") or 0)), []).append(e)
+        scan_rel = spark.createDataFrame(
+            [(scan, rel) for _rec, scan, rel in rel_map],
+            "__scan string, __rel string",
+        )
+        for (ids, dseq), group in sorted(groups.items()):
+            cols = [fields[i] for i in ids]
+            cand = [
+                e for e in data_entries if int(e.get("__seq") or 0) < dseq
+            ]
+            if not cand:
+                continue
+            dels = (
+                spark.read.parquet(
+                    *[
+                        _resolve(table_path, e["data_file"]["file_path"])
+                        for e in group
+                    ]
+                )
+                .select(*[F.col(c).alias(f"__eq_{c}") for c in cols])
+                .distinct()
+            )
+            df = (
+                spark.read.parquet(
+                    *[
+                        _resolve(table_path, e["data_file"]["file_path"])
+                        for e in cand
+                    ]
+                )
+                .withColumn(
+                    "__path",
+                    F.regexp_replace(
+                        F.col("_metadata.file_path"), strip, ""
+                    ),
+                )
+                .withColumn("pos", F.col("_metadata.row_index"))
+            )
+            cond = None
+            for c in cols:
+                e2 = F.col(c).eqNullSafe(F.col(f"__eq_{c}"))
+                cond = e2 if cond is None else cond & e2
+            matched = df.join(dels, cond, "left_semi")
+            parts.append(
+                matched.join(
+                    F.broadcast(scan_rel),
+                    F.col("__path") == F.col("__scan"),
+                )
+                .select(
+                    F.col("__rel").alias("file_name"),
+                    F.col("pos").cast("long").alias("pos"),
+                )
+            )
+    if not parts:
+        raise ValueError("no delete entries to materialize")
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out.distinct()
+
+
 def read_iceberg_table(spark, table_path: str, snapshot_id: int | None = None):
     """Snapshot-read an Iceberg metadata tree — ours or FOREIGN-authored
     (iceberg-java / pyiceberg v1 or v2 trees: catalog-style metadata

@@ -416,13 +416,6 @@ class LakehouseTable:
                 ]
             ).jsonValue()
         )
-        cdc_added: list[str] = []
-        if cdc_enabled:
-            cdc_added = table._write_cdc_files(
-                stamped.withColumn("_change_type", F.lit("insert")),
-                0,
-                commit_time,
-            )
         mf.append_commit(
             path,
             mf.Commit(
@@ -431,9 +424,15 @@ class LakehouseTable:
                 commit_time=commit_time,
                 files=files,
                 log_files=[],
+                # Delta CDF's add-only rule (r7): a blind insert writes
+                # NO change sidecar — read_changes synthesizes the
+                # insert images from the commit's own data files, so a
+                # CDC-enabled bulk load costs ONE write of the batch,
+                # not two.
                 stats={"written_files": len(files),
+                       **({"cdc_add_only": True} if cdc_enabled else {}),
                        **(extra_stats or {})},
-                cdc_files=cdc_added,
+                cdc_files=[],
                 ri_files=table._write_record_index(files, 0),
                 table_schema=schema_json,
                 **table._index_fields(files),
@@ -936,13 +935,21 @@ class LakehouseTable:
         manifests), so files orphaned by Iceberg's own history — dead
         snapshots not yet expired — are correctly ignored rather than
         resurrected; they stay on disk untouched (this engine's vacuum
-        only ever deletes files its own commits referenced). Snapshots
-        carrying v2 delete files are refused upstream (the read path's
-        rule: never silently serve undeleted rows). Identity-partitioned
-        Iceberg tables keep their partition column in the data files,
-        so they adopt as unpartitioned lakehouse tables: reads are
-        value-complete; only rewrite scoping loses partition
-        granularity until files cycle."""
+        only ever deletes files its own commits referenced).
+
+        r7: snapshots carrying v2 DELETE files adopt too — their whole
+        delete state (position deletes directly; equality deletes via
+        the same sequence-ordered null-safe join the read path uses)
+        materializes as the engine's ``(file_name, pos)`` DV sidecar
+        at version 0 (``iceberg_meta.deleted_positions_df``): data
+        files stay byte-identical, O(deleted rows) sidecar IO plus one
+        scan of the equality-candidate files, and every read path
+        applies the sidecar through the normal ``_apply_dvs``
+        anti-join. Identity-partitioned Iceberg tables keep their
+        partition column in the data files, so they adopt as
+        unpartitioned lakehouse tables: reads are value-complete; only
+        rewrite scoping loses partition granularity until files
+        cycle."""
         from hudi_and_delta_showcase_spark.tables import iceberg_meta as im
 
         path = fsio.absolutize(path)
@@ -952,7 +959,9 @@ class LakehouseTable:
         snap = {s["snapshot-id"]: s for s in meta["snapshots"]}[
             meta["current-snapshot-id"]
         ]
-        entries = im._snapshot_entries(path, snap)
+        entries, pos_dels, eq_dels = im._snapshot_entries(
+            path, snap, with_deletes=True
+        )
         files = sorted(
             fsio.relpath(
                 im._resolve(path, e["data_file"]["file_path"]), path
@@ -961,6 +970,20 @@ class LakehouseTable:
         )
         if not files:
             raise FileNotFoundError(f"current snapshot lists no files: {path}")
+        if (pos_dels or eq_dels) and any(f.startswith("..") for f in files):
+            # DV sidecar identity is the file's path RELATIVE to the
+            # table root; a delete-bearing tree whose recorded data
+            # paths resolve OUTSIDE the root (a live duplicate of the
+            # source tree) cannot carry that identity — refuse instead
+            # of silently resurrecting rows, BEFORE any adoption
+            # metadata lands. Relocate (move/copy the whole tree,
+            # retire the source) and adopt again.
+            outside = next(f for f in files if f.startswith(".."))
+            raise RuntimeError(
+                "delete-bearing snapshot references data files "
+                f"outside the table root (e.g. {outside!r}); "
+                "relocate the tree before adoption"
+            )
         fsio.write_atomic(
             fsio.join(path, "_meta.json"),
             json.dumps(
@@ -973,7 +996,9 @@ class LakehouseTable:
                     "cdc_enabled": False,
                     "global_index": False,
                     "bloom_index": False,
-                    "deletion_vectors": False,
+                    # adopted delete state lives in DV sidecars; the
+                    # flag keeps later deletes on the same discipline
+                    "deletion_vectors": bool(pos_dels or eq_dels),
                     "record_index": False,
                     "constraints": {},
                     "generated_columns": {},
@@ -982,6 +1007,14 @@ class LakehouseTable:
             ),
         )
         table = cls(spark, path)
+        dv_files: list[str] = []
+        if pos_dels or eq_dels:
+            dv_files = table._write_dv_files(
+                im.deleted_positions_df(
+                    spark, path, entries, pos_dels, eq_dels, meta
+                ),
+                "c00000",
+            )
         mf.append_commit(
             path,
             mf.Commit(
@@ -994,7 +1027,16 @@ class LakehouseTable:
                     "converted_files": len(files),
                     "source_format": "iceberg",
                     "source_snapshot_id": meta["current-snapshot-id"],
+                    **(
+                        {
+                            "adopted_delete_files": len(pos_dels)
+                            + len(eq_dels)
+                        }
+                        if (pos_dels or eq_dels)
+                        else {}
+                    ),
                 },
+                dv_files=dv_files,
                 **table._index_fields(files),
             ),
         )
@@ -1828,12 +1870,25 @@ class LakehouseTable:
             )
             untouched = untouched + bloom_skipped
         cdc_added: list[str] = []
+        add_only_cdc = False
         if affected:
             # apply DVs before the rewrite so rows already deleted via
             # deletion vectors don't resurrect into the new files
             target = self._apply_dvs(
                 self._read_parquet(affected, prev), prev
-            ).alias("t")
+            )
+            if self.cdc_enabled:
+                # CDC consumes target TWICE (kept anti-join + pre-image
+                # semi-join) and the batch THREE times (merge, post,
+                # insert split): a lazy localCheckpoint materializes
+                # each once on first use — the affected files are
+                # scanned once instead of twice and the batch's
+                # dedup/constraint pipeline runs once instead of three
+                # times, at toy scale also 3 fewer fixed-cost jobs
+                # (measured 10 -> 7 per CDC upsert).
+                target = target.localCheckpoint(eager=False)
+                stamped = stamped.localCheckpoint(eager=False)
+            target = target.alias("t")
             keys = self._resolution_cols()
             if self.row_tracking:
                 # Delta row tracking: an UPDATE keeps the logical row's
@@ -1888,12 +1943,10 @@ class LakehouseTable:
                 )
         else:
             merged = stamped
-            if self.cdc_enabled:
-                cdc_added = self._write_cdc_files(
-                    stamped.withColumn("_change_type", F.lit("insert")),
-                    version,
-                    commit_time,
-                )
+            # every source row is an insert (no affected files): the
+            # commit's new data files ARE the change set — Delta CDF's
+            # add-only rule, read_changes synthesizes (r7)
+            add_only_cdc = self.cdc_enabled
         if self.bucket_count:
             # keep ONE new file per touched bucket: align write tasks
             # to buckets (an unaligned shuffle output would cross every
@@ -1918,6 +1971,7 @@ class LakehouseTable:
                 "bloom_skipped_files": len(bloom_skipped),
                 "record_index_skipped_files": len(ri_skipped),
                 "written_files": len(new_files),
+                **({"cdc_add_only": True} if add_only_cdc else {}),
                 **(extra_stats or {}),
             },
             ri_files=prev.ri_files
@@ -3911,7 +3965,11 @@ class LakehouseTable:
 
         Reads ONLY the O(changes) sidecar files of the requested
         commits; file re-org commits (compact/optimize/restore)
-        contribute nothing, exactly like Delta CDF."""
+        contribute nothing, exactly like Delta CDF. ADD-ONLY commits
+        (bulk insert, upsert that matched no existing key) carry no
+        sidecar at all — their insert images are synthesized here from
+        the commit's own new data files (Delta CDF's exact rule), so a
+        CDC-enabled load never writes its batch twice (r7)."""
         if not self.cdc_enabled:
             raise ValueError(
                 "change data feed requires cdc_enabled=True at create()"
@@ -3921,21 +3979,41 @@ class LakehouseTable:
             if end_version is None
             else end_version
         )
-        files = [
-            f
-            for v in mf.list_versions(self.path)
-            if begin_version <= v <= end
-            for f in mf.read_commit(self.path, v).cdc_files
-        ]
-        if not files:
+        files: list[str] = []
+        parts: list[DataFrame] = []
+        prior_files: set[str] = set()
+        for v in mf.list_versions(self.path):
+            if v > end:
+                break
+            c = mf.read_commit(self.path, v)
+            if v >= begin_version:
+                files.extend(c.cdc_files)
+                if c.stats.get("cdc_add_only"):
+                    new = [f for f in c.files if f not in prior_files]
+                    if new:
+                        parts.append(
+                            self._read_parquet(new, c)
+                            .drop("_hoodie_file_name")
+                            .withColumn("_change_type", F.lit("insert"))
+                            .withColumn("_commit_version", F.lit(v))
+                            .withColumn(
+                                "_cdc_commit_time", F.lit(c.commit_time)
+                            )
+                        )
+            prior_files = set(c.files)
+        if files:
+            paths = [fsio.resolve(self.path, f) for f in files]
+            parts.append(
+                self.spark.read.option("mergeSchema", "true").parquet(*paths)
+            )
+        if not parts:
             raise ValueError(
                 f"no change files in versions [{begin_version}, {end}]"
             )
-        paths = [fsio.resolve(self.path, f) for f in files]
-        return self._logical(
-            self.spark.read.option("mergeSchema", "true").parquet(*paths),
-            self._commit(end),
-        )
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p, allowMissingColumns=True)
+        return self._logical(out, self._commit(end))
 
     def _write_dv_files(self, hits: DataFrame, commit_dir: str) -> list[str]:
         """Write ``(file_name, pos)`` rows as a DV sidecar under dv/."""

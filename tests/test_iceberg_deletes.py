@@ -109,18 +109,56 @@ def test_optimize_materializes_and_export_continues(spark, tmp_path):
     assert _keys(read_iceberg_table(spark, t.path)) == _keys(t.read())
 
 
-def test_convert_refuses_live_position_deletes(spark, tmp_path):
-    """CONVERT FROM ICEBERG adopts data files only — adopting a
-    delete-bearing snapshot would resurrect deleted rows, so it must
-    refuse loudly."""
+def test_convert_adopts_live_position_deletes(spark, tmp_path):
+    """r7: CONVERT FROM ICEBERG on a delete-bearing v2 snapshot — the
+    position-delete state materializes as the engine's DV sidecar at
+    version 0 (data files byte-identical, O(deleted rows) IO) and
+    every read honors it; post-adoption deletes stay on the DV
+    discipline."""
     t = _dv_table(spark, str(tmp_path / "t"))
     export_iceberg_metadata(t)
+    src_files = sorted(t._commit(None).files)
     foreign = str(tmp_path / "foreign")
+    # a genuine RELOCATION: the tree moves, the source retires (while
+    # the source tree is still live, recorded paths resolve outside
+    # the new root and adoption refuses — tested below)
     shutil.copytree(t.path, foreign)
     os.remove(os.path.join(foreign, "_meta.json"))
     shutil.rmtree(os.path.join(foreign, "_commits"))
-    with pytest.raises(RuntimeError, match="delete files"):
+    with pytest.raises(RuntimeError, match="outside the table root"):
         LakehouseTable.convert_iceberg(spark, foreign, key_cols=["k"])
+    shutil.rmtree(t.path)
+    a = LakehouseTable.convert_iceberg(spark, foreign, key_cols=["k"])
+    c = a._commit(None)
+    assert c.dv_files and c.stats["adopted_delete_files"] >= 1
+    want = [k for k in range(40) if k not in (3, 7, 11, 25)]
+    assert _keys(a.read()) == want
+    # no data bytes rewritten: the adopted files are the source's own
+    assert sorted(c.files) == src_files
+    # deletes keep extending sidecars, never rewriting base files
+    c2 = a.delete(spark.createDataFrame([(30,)], "k int"))
+    assert c2.files == c.files
+    assert _keys(a.read()) == [k for k in want if k != 30]
+
+
+def test_convert_adopts_equality_deletes(spark, tmp_path):
+    """r7: equality deletes materialize at adoption through the same
+    sequence-ordered join the read path uses — same-sequence
+    re-inserts survive in the adopted table too."""
+    from tests.test_iceberg_meta import (
+        _add_equality_delete_snapshot,
+        _foreign_v2_tree,
+    )
+
+    root = str(tmp_path / "ice_eq")
+    _sid1, sid2 = _foreign_v2_tree(root)
+    _add_equality_delete_snapshot(root, sid2)
+    a = LakehouseTable.convert_iceberg(spark, root, key_cols=["k"])
+    assert a._commit(None).dv_files
+    got = sorted(
+        (r.k, r.v) for r in a.read().select("k", "v").collect()
+    )
+    assert got == [(1, "a"), (3, "c2")]
 
 
 def test_expire_reaps_our_exported_delete_parquet(spark, tmp_path):
