@@ -220,6 +220,9 @@ PRIORITY: tuple[str, ...] = (
     # late r7: delete-bearing Iceberg ADOPTION — delete state becomes
     # the engine's DV sidecar at version 0, data files byte-identical
     "cdc_convert_iceberg_deletes",
+    # late r7: Delta DV EXPORT — live engine DVs render as real
+    # RoaringBitmapArray bins + protocol 3/7, zero materialization
+    "delta_dv_export_roundtrip",
     # r6: TPC-H's RF1/RF2 refresh streams as lakehouse upsert + delete
     "tpch_refresh_rf1_rf2",
     # r6: Delta's WHEN NOT MATCHED BY SOURCE clause (full-sync MERGE)

@@ -1425,6 +1425,41 @@ def _author_eq_delete_tree(spark: SparkSession, sf_dir: str) -> str:
 
 
 @query(
+    "delta_dv_export_roundtrip",
+    oracle=f"""
+    SELECT event_id, user_id, ts, event_type, value FROM events
+    WHERE ts < TIMESTAMP '{CUTOFF}'
+      AND event_id NOT IN (
+        SELECT event_id FROM events WHERE ts < TIMESTAMP '{CUTOFF}'
+          AND user_id % 7 = 0
+      )
+    """,
+    tags=("cdc", "table", "delta", "dv", "export"),
+)
+def delta_dv_export_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Delta DV EXPORT (late r7): a lakehouse table with LIVE deletion
+    vectors exports its ``_delta_log`` WITHOUT materialization — the
+    engine sidecar becomes a real RoaringBitmapArray DV bin and the
+    data file re-adds with a ``deletionVector`` descriptor under
+    protocol 3/7, exactly what a delta-spark DELETE emits — and the
+    foreign-protocol reader must serve the post-delete state from the
+    log alone. Any resurrected deleted row (or over-deleted survivor)
+    hash-fails the oracle."""
+    from hudi_and_delta_showcase_spark.tables import delta_log as dl
+
+    base, _ = _split(spark, sf_dir)
+    root = tempfile.mkdtemp(prefix="delta_dv_export_") + "/t"
+    t = LakehouseTable.create(
+        spark, root, base,
+        key_cols=["event_id"], precombine="ts", deletion_vectors=True,
+    )
+    t.delete(base.filter(F.col("user_id") % 7 == 0).select("event_id"))
+    assert t._commit(None).dv_files  # merge-on-read delete state, live
+    dl.export_delta_log(t)
+    return dl.read_delta_table(spark, root).select(*_FINAL_COLS)
+
+
+@query(
     "cdc_convert_iceberg_deletes",
     oracle=f"""
     SELECT event_id, user_id, ts, event_type, value FROM events

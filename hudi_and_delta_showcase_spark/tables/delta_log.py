@@ -642,8 +642,20 @@ def export_delta_log(table) -> int:
     Version numbers map 1:1 to manifest versions; schema changes
     (type widening, drop) emit a fresh ``metaData`` action in their
     version. MoR tables must be compacted first (log files have no
-    Delta representation) and deletion-vector state must be empty
-    (protocol 1/2 readers cannot apply DVs).
+    Delta representation).
+
+    r7: DELETION-VECTOR state exports WITHOUT materialization — the
+    engine's ``(file_name, pos)`` sidecars become REAL Delta DV files
+    (RoaringBitmapArray bins under ``dvx/``, authored executor-side,
+    one task per affected data file) and each DV-bearing version
+    re-adds its files with ``deletionVector`` descriptors, exactly the
+    remove+add a delta-spark DELETE emits. The first DV-bearing
+    version upgrades the exported protocol to 3/7 with
+    readerFeatures/writerFeatures (Delta's in-commit feature-enable
+    action); feature-free tables keep exporting at protocol 1/2
+    byte-identically to earlier rounds. O(deleted rows) extra IO per
+    DV-bearing commit, zero data-file rewrites — the mirror of the
+    Iceberg exporter's position-delete path.
 
     Partitioned tables export as UNPARTITIONED Delta (empty
     ``partitionColumns``): this engine keeps the partition column IN
@@ -659,10 +671,6 @@ def export_delta_log(table) -> int:
         raise ValueError("empty table")
     if prev.log_files:
         raise RuntimeError("compact() MoR log files before export")
-    if prev.dv_files:
-        raise RuntimeError(
-            "materialize deletion vectors (compact/optimize) before export"
-        )
     fsio.makedirs(_log_dir(table.path))
     # table properties, Delta's exact conventions: CHECK constraints as
     # delta.constraints.<name> (writer v3 — a foreign delta writer must
@@ -681,21 +689,55 @@ def export_delta_log(table) -> int:
         protocol["minWriterVersion"] = max(protocol["minWriterVersion"], 4)
     elif props:
         protocol["minWriterVersion"] = max(protocol["minWriterVersion"], 3)
+    # DV-bearing history upgrades the protocol to the features form;
+    # v7 lists every active writer feature, legacy ones included
+    has_dvs = any(
+        mf.read_commit(table.path, v).dv_files
+        for v in mf.list_versions(table.path)
+    )
+    if has_dvs:
+        features = ["deletionVectors"]
+        if table.constraints:
+            features.append("checkConstraints")
+        if table.cdc_enabled:
+            features.append("changeDataFeed")
+        protocol = {
+            "minReaderVersion": 3,
+            "minWriterVersion": 7,
+            "readerFeatures": ["deletionVectors"],
+            "writerFeatures": sorted(features),
+        }
+        props["delta.enableDeletionVectors"] = "true"
     done = set(_list_versions(table.path))
+    # resuming an export whose already-written log predates the first
+    # DV: the first NEW commit must carry the protocol upgrade (Delta's
+    # in-commit feature enable)
+    need_upgrade = (
+        has_dvs
+        and bool(done)
+        and not any(
+            mf.read_commit(table.path, v).dv_files
+            for v in mf.list_versions(table.path)
+            if v in done
+        )
+    )
     exported = -1
     prior_files: set[str] = set()
     prior_schema: str | None = None
+    prior_dv_sidecars: set[str] = set()
     for v in sorted(mf.list_versions(table.path)):
         c = mf.read_commit(table.path, v)
         schema_json = c.table_schema or None
         if v in done:
             prior_files = set(c.files)
             prior_schema = schema_json or prior_schema
+            prior_dv_sidecars = set(c.dv_files)
             continue
         now = int(time.time() * 1000)
         actions: list[dict] = []
-        if v == 0:
+        if v == 0 or need_upgrade:
             actions.append({"protocol": protocol})
+            need_upgrade = False
         if schema_json != prior_schema or v == 0:
             schema_str = schema_json
             if schema_str is None:
@@ -716,21 +758,59 @@ def export_delta_log(table) -> int:
                 }
             )
         cur = set(c.files)
-        for f in sorted(cur - prior_files):
+        # -- deletion vectors (r7): files whose DV state CHANGED at
+        # this commit re-add with a fresh descriptor — the remove+add
+        # a delta-spark DELETE emits. Affected files = those named by
+        # the commit's NEW sidecars; each one's FULL live position set
+        # (old sidecars still apply) serializes to a real DV bin,
+        # authored executor-side (one task per file), descriptors
+        # collected at manifest scale.
+        dv_descriptors: dict[str, dict] = {}
+        dv_changed: set[str] = set()
+        changed_sidecars = sorted(
+            set(c.dv_files) ^ prior_dv_sidecars
+        )  # added OR retired (restore) sidecars both change file state
+        if changed_sidecars:
+            dv_changed = {
+                r.file_name
+                for r in table.spark.read.parquet(
+                    *[fsio.resolve(table.path, s) for s in changed_sidecars]
+                )
+                .select("file_name")
+                .distinct()
+                .collect()
+                if r.file_name in cur
+            }
+            if dv_changed and c.dv_files:
+                # full LIVE set per file; a file whose set emptied
+                # (restore past its delete) re-adds descriptor-free
+                dv_descriptors = _author_dv_bins(
+                    table, sorted(c.dv_files), sorted(dv_changed), v
+                )
+        for f in sorted((cur - prior_files) | dv_changed):
             mtime, size = fsio.stat_identity(fsio.join(table.path, f))
-            actions.append(
-                {
-                    "add": {
-                        "path": f,
-                        "partitionValues": {},
-                        "size": size,
-                        "modificationTime": int(mtime / 1_000_000)
-                        if not fsio.is_remote(table.path)
-                        else int(mtime),
-                        "dataChange": True,
+            if f in dv_changed and f in prior_files:
+                actions.append(
+                    {
+                        "remove": {
+                            "path": f,
+                            "deletionTimestamp": now,
+                            "dataChange": True,
+                        }
                     }
-                }
-            )
+                )
+            add = {
+                "path": f,
+                "partitionValues": {},
+                "size": size,
+                "modificationTime": int(mtime / 1_000_000)
+                if not fsio.is_remote(table.path)
+                else int(mtime),
+                "dataChange": True,
+            }
+            if f in dv_descriptors:
+                add["deletionVector"] = dv_descriptors[f]
+            actions.append({"add": add})
         for f in sorted(prior_files - cur):
             actions.append(
                 {
@@ -757,5 +837,45 @@ def export_delta_log(table) -> int:
         )
         prior_files = cur
         prior_schema = schema_json or prior_schema
+        prior_dv_sidecars = set(c.dv_files)
         exported = v
     return max(exported, max(done) if done else -1)
+
+
+def _author_dv_bins(
+    table, sidecars: list[str], affected: list[str], version: int
+) -> dict[str, dict]:
+    """Serialize each affected data file's FULL live delete set as a
+    real Delta DV bin (``delta_dv.write_dv_file`` — version byte + BE
+    size/CRC framing + RoaringBitmapArray), EXECUTOR-side: one
+    ``applyInPandas`` task per file writes its own bin under ``dvx/``
+    and returns only the descriptor — O(deleted rows) work and
+    manifest-scale driver traffic, never a position funnel."""
+    import pandas as pd
+    import pyspark.sql.functions as F
+
+    root = table.path
+    rows = (
+        table.spark.read.parquet(
+            *[fsio.resolve(root, s) for s in sidecars]
+        )
+        .filter(F.col("file_name").isin(affected))
+        .select("file_name", "pos")
+        .distinct()
+    )
+
+    def _write(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        from hudi_and_delta_showcase_spark.tables import delta_dv
+
+        fn = pdf["file_name"].iloc[0]
+        desc = delta_dv.write_dv_file(
+            root, sorted(int(p) for p in pdf["pos"]), prefix="dvx"
+        )
+        return pd.DataFrame(
+            {"file_name": [fn], "descriptor": [json.dumps(desc)]}
+        )
+
+    out = rows.groupBy("file_name").applyInPandas(
+        _write, "file_name string, descriptor string"
+    ).collect()
+    return {r.file_name: json.loads(r.descriptor) for r in out}

@@ -459,8 +459,20 @@ def export_hoodie_timeline(table) -> str:
     fileId from its path); a commit that removed files lists their
     fileIds as ``replacedFileIds`` (Hudi's replacecommit semantics).
     Incremental and idempotent via the ``lakehouseVersion`` marker each
-    exported instant carries. MoR logs / live deletion vectors must be
-    folded first, as for the Delta export. Returns the newest instant."""
+    exported instant carries. Returns the newest instant.
+
+    MoR logs and live deletion vectors must be folded first — and for
+    MoR this is a SEMANTIC bound, not a missing feature (r7, after the
+    HoodieLogFormat reader landed): Hudi's realtime view merges a log
+    file only against ITS OWN file group's base file, so exporting the
+    engine's table-wide log batches would require routing every log row
+    to the file group holding its key's base row — information a
+    non-clustered table does not have. Rendering them as log-only
+    groups instead would silently change merge semantics (Hudi never
+    merges across groups). Compaction folds the ambiguity away;
+    refusing until then beats a view that serves different rows under
+    Hudi than under this engine. (The import direction has no such
+    ambiguity: foreign log files arrive already group-scoped.)"""
     if table._commit(None).log_files:
         raise RuntimeError("compact() MoR log files before export")
     if table._commit(None).dv_files:

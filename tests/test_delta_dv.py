@@ -105,3 +105,89 @@ def test_dv_rows_df_decodes_executor_side(spark, tmp_path):
         ("f1.parquet", 3),
         ("f2.parquet", 0),
     ]
+
+
+def test_export_delta_log_with_deletion_vectors(spark, tmp_path):
+    """r7: DV state exports WITHOUT materialization — the engine
+    sidecar becomes a real Delta DV bin, the file re-adds with a
+    descriptor, the protocol upgrades to 3/7 with readerFeatures, and
+    our own foreign-reader path round-trips the values."""
+    import json as _json
+    import os as _os
+
+    from hudi_and_delta_showcase_spark.tables import LakehouseTable
+    from hudi_and_delta_showcase_spark.tables.delta_log import (
+        read_delta_table,
+        export_delta_log,
+    )
+
+    df = spark.createDataFrame(
+        [(k, f"v{k}") for k in range(1, 9)], "k int, v string"
+    ).coalesce(1)
+    t = LakehouseTable.create(
+        spark, str(tmp_path / "t"), df, key_cols=["k"],
+        deletion_vectors=True,
+    )
+    t.delete(spark.createDataFrame([(2,), (5,)], "k int"))
+    assert t._commit(None).dv_files  # still merge-on-read state
+    export_delta_log(t)
+    # the exported log round-trips through the Delta-protocol reader
+    got = sorted(
+        (r.k, r.v)
+        for r in read_delta_table(spark, t.path).select("k", "v").collect()
+    )
+    assert got == [(k, f"v{k}") for k in range(1, 9) if k not in (2, 5)]
+    # time travel to the pre-delete version sees all rows
+    tt = sorted(
+        r.k for r in read_delta_table(spark, t.path, version=0).collect()
+    )
+    assert tt == list(range(1, 9))
+    # protocol carries the feature form; the DV add is a remove+add
+    log0 = open(
+        _os.path.join(t.path, "_delta_log", "00000000000000000000.json")
+    ).read()
+    proto = next(
+        _json.loads(l)["protocol"]
+        for l in log0.splitlines()
+        if '"protocol"' in l
+    )
+    assert proto["minReaderVersion"] == 3
+    assert "deletionVectors" in proto["readerFeatures"]
+    log1 = [
+        _json.loads(l)
+        for l in open(
+            _os.path.join(t.path, "_delta_log", "00000000000000000001.json")
+        ).read().splitlines()
+    ]
+    adds = [a["add"] for a in log1 if "add" in a]
+    assert len(adds) == 1 and adds[0]["deletionVector"]["cardinality"] == 2
+    assert any("remove" in a for a in log1)
+    # incremental: a later DV delete exports its own re-add
+    t.delete(spark.createDataFrame([(7,)], "k int"))
+    export_delta_log(t)
+    got2 = sorted(
+        r.k for r in read_delta_table(spark, t.path).collect()
+    )
+    assert got2 == [1, 3, 4, 6, 8]
+
+
+def test_export_feature_free_table_stays_protocol_12(spark, tmp_path):
+    from hudi_and_delta_showcase_spark.tables import LakehouseTable
+    from hudi_and_delta_showcase_spark.tables.delta_log import (
+        export_delta_log,
+    )
+    import json as _json
+    import os as _os
+
+    df = spark.createDataFrame([(1, "a")], "k int, v string").coalesce(1)
+    t = LakehouseTable.create(spark, str(tmp_path / "t"), df, key_cols=["k"])
+    export_delta_log(t)
+    log0 = open(
+        _os.path.join(t.path, "_delta_log", "00000000000000000000.json")
+    ).read()
+    proto = next(
+        _json.loads(l)["protocol"]
+        for l in log0.splitlines()
+        if '"protocol"' in l
+    )
+    assert proto == {"minReaderVersion": 1, "minWriterVersion": 2}
