@@ -156,14 +156,13 @@ def write_checkpoint(spark: SparkSession, path: str) -> int:
         raise FileNotFoundError(f"no _delta_log commits under {path}")
     version = versions[-1]
     meta, files, adds = _replay(path, version, use_checkpoint=False)
-    if any(a.get("deletionVector") for a in adds.values()):
-        raise RuntimeError(
-            "checkpointing a snapshot with live deletion vectors would "
-            "drop them; materialize DVs first (this engine's own log "
-            "exports never carry any)"
-        )
     proto_type = pa.struct(
-        [("minReaderVersion", pa.int32()), ("minWriterVersion", pa.int32())]
+        [
+            ("minReaderVersion", pa.int32()),
+            ("minWriterVersion", pa.int32()),
+            ("readerFeatures", pa.list_(pa.string())),
+            ("writerFeatures", pa.list_(pa.string())),
+        ]
     )
     meta_type = pa.struct(
         [
@@ -192,6 +191,18 @@ def write_checkpoint(spark: SparkSession, path: str) -> int:
             ("size", pa.int64()),
             ("modificationTime", pa.int64()),
             ("dataChange", pa.bool_()),
+            (
+                "deletionVector",
+                pa.struct(
+                    [
+                        ("storageType", pa.string()),
+                        ("pathOrInlineDv", pa.string()),
+                        ("offset", pa.int32()),
+                        ("sizeInBytes", pa.int32()),
+                        ("cardinality", pa.int64()),
+                    ]
+                ),
+            ),
         ]
     )
     meta_row = {
@@ -210,24 +221,52 @@ def write_checkpoint(spark: SparkSession, path: str) -> int:
         "createdTime": meta.get("createdTime"),
     }
     n = 2 + len(files)
-    protos = [dict(_PROTOCOL)] + [None] * (n - 1)
+    # the checkpoint must carry the LOG'S protocol (a DV-bearing export
+    # runs 3/7 with feature lists; writing the default 1/2 here would
+    # LOWER the table's protocol for readers that start from the
+    # checkpoint) and each live add's DV descriptor + partitionValues
+    proto = dict(_PROTOCOL)
+    for v in versions:
+        for line in fsio.read_text(_commit_file(path, v)).splitlines():
+            if line.strip() and '"protocol"' in line:
+                action = json.loads(line)
+                if "protocol" in action:
+                    proto = action["protocol"]
+    protos = [proto] + [None] * (n - 1)
     metas = [None, meta_row] + [None] * len(files)
-    adds = [None, None] + [
-        {
+
+    def _add_row(f: str) -> dict:
+        a = adds.get(f) or {}
+        pv = a.get("partitionValues") or {}
+        if isinstance(pv, list):
+            pv = dict(pv)
+        dv = a.get("deletionVector")
+        return {
             "path": f,
-            "partitionValues": [],
+            "partitionValues": list(pv.items()),
             "size": fsio.file_size(fsio.join(path, f)),
             "modificationTime": int(time.time() * 1000),
             "dataChange": False,
+            "deletionVector": (
+                {
+                    "storageType": dv.get("storageType"),
+                    "pathOrInlineDv": dv.get("pathOrInlineDv"),
+                    "offset": dv.get("offset"),
+                    "sizeInBytes": dv.get("sizeInBytes"),
+                    "cardinality": dv.get("cardinality"),
+                }
+                if dv
+                else None
+            ),
         }
-        for f in files
-    ]
+
+    add_rows = [None, None] + [_add_row(f) for f in files]
     cp = fsio.join(_log_dir(path), f"{version:020d}.checkpoint.parquet")
     tbl = pa.table(
         {
             "protocol": pa.array(protos, proto_type),
             "metaData": pa.array(metas, meta_type),
-            "add": pa.array(adds, add_type),
+            "add": pa.array(add_rows, add_type),
         }
     )
     if fsio.is_remote(cp):
@@ -306,6 +345,17 @@ def _read_checkpoint(path: str) -> tuple[int, dict, dict[str, bool]] | None:
                 meta = {
                     k: v for k, v in row["metaData"].items() if v is not None
                 }
+                # pyarrow map columns surface as pair LISTS; the JSON
+                # dialect (and every consumer) expects dicts
+                for mk in ("configuration",):
+                    if isinstance(meta.get(mk), list):
+                        meta[mk] = dict(meta[mk])
+                if isinstance(meta.get("format"), dict) and isinstance(
+                    meta["format"].get("options"), list
+                ):
+                    meta["format"]["options"] = dict(
+                        meta["format"]["options"]
+                    )
             if row.get("add") is not None:
                 add = {
                     k: v for k, v in row["add"].items() if v is not None

@@ -191,3 +191,36 @@ def test_export_feature_free_table_stays_protocol_12(spark, tmp_path):
         if '"protocol"' in l
     )
     assert proto == {"minReaderVersion": 1, "minWriterVersion": 2}
+
+
+def test_checkpoint_carries_dvs_and_protocol(spark, tmp_path):
+    """A checkpoint of a DV-bearing export must carry the 3/7 protocol
+    and every live add's descriptor — a reader starting from the
+    checkpoint alone (expired JSON commits) must not resurrect rows."""
+    import os as _os
+
+    from hudi_and_delta_showcase_spark.tables import LakehouseTable
+    from hudi_and_delta_showcase_spark.tables.delta_log import (
+        export_delta_log,
+        read_delta_table,
+        write_checkpoint,
+    )
+
+    df = spark.createDataFrame(
+        [(k, f"v{k}") for k in range(1, 7)], "k int, v string"
+    ).coalesce(1)
+    t = LakehouseTable.create(
+        spark, str(tmp_path / "t"), df, key_cols=["k"],
+        deletion_vectors=True,
+    )
+    t.delete(spark.createDataFrame([(4,)], "k int"))
+    export_delta_log(t)
+    write_checkpoint(spark, t.path)
+    # expire the JSON commits: replay must start from the checkpoint
+    for f in _os.listdir(_os.path.join(t.path, "_delta_log")):
+        if f.endswith(".json") and f[:-5].isdigit():
+            _os.remove(_os.path.join(t.path, "_delta_log", f))
+    got = sorted(
+        r.k for r in read_delta_table(spark, t.path).collect()
+    )
+    assert got == [1, 2, 3, 5, 6]
