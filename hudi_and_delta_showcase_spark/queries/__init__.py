@@ -223,6 +223,9 @@ PRIORITY: tuple[str, ...] = (
     # late r7: Delta DV EXPORT — live engine DVs render as real
     # RoaringBitmapArray bins + protocol 3/7, zero materialization
     "delta_dv_export_roundtrip",
+    # late r7: Delta CDF both ways — cdc actions in the exported log,
+    # table_changes() semantics read back (add-only inserts synthesized)
+    "delta_cdf_export_roundtrip",
     # r6: TPC-H's RF1/RF2 refresh streams as lakehouse upsert + delete
     "tpch_refresh_rf1_rf2",
     # r6: Delta's WHEN NOT MATCHED BY SOURCE clause (full-sync MERGE)

@@ -1460,6 +1460,71 @@ def delta_dv_export_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "delta_cdf_export_roundtrip",
+    oracle="""
+    WITH pre AS (
+      SELECT event_id, user_id, ts, event_type, value FROM (
+        SELECT *, ROW_NUMBER() OVER (
+          PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+        FROM events WHERE ts < TIMESTAMP '{CUTOFF}'
+      ) WHERE rn = 1
+    ), allv AS (
+      SELECT event_id, user_id, ts, event_type, value FROM (
+        SELECT *, ROW_NUMBER() OVER (
+          PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+        FROM events
+      ) WHERE rn = 1
+    ), upd AS (
+      SELECT user_id FROM pre
+      WHERE user_id IN (SELECT user_id FROM events
+                        WHERE ts >= TIMESTAMP '{CUTOFF}')
+    )
+    SELECT 0 AS commit_version, 'insert' AS change_type, user_id, event_id, value
+    FROM pre
+    UNION ALL
+    SELECT 1, 'update_preimage', p.user_id, p.event_id, p.value
+    FROM pre p JOIN upd u ON p.user_id = u.user_id
+    UNION ALL
+    SELECT 1, 'update_postimage', a.user_id, a.event_id, a.value
+    FROM allv a JOIN upd u ON a.user_id = u.user_id
+    UNION ALL
+    SELECT 1, 'insert', a.user_id, a.event_id, a.value
+    FROM allv a
+    WHERE a.user_id NOT IN (SELECT user_id FROM pre)
+      AND a.user_id IN (SELECT user_id FROM events
+                        WHERE ts >= TIMESTAMP '{CUTOFF}')
+    """.replace("{CUTOFF}", CUTOFF),
+    tags=("cdc", "table", "cdf", "delta", "export"),
+)
+def delta_cdf_export_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Delta CHANGE DATA FEED through the exported ``_delta_log`` (late
+    r7): the engine's CDC sidecars become real ``cdc`` actions and
+    ``read_delta_changes`` — Delta's ``table_changes()`` semantics
+    against the raw protocol — must replay the identical feed the
+    engine's own ``read_changes`` serves: version-0 inserts
+    SYNTHESIZED from the add actions (the commit carries no cdc action,
+    Delta's add-only rule), version-1 pre/post/insert images from the
+    exported change files. Same full-surface oracle as
+    cdc_mor_changes_feed."""
+    from hudi_and_delta_showcase_spark.tables import delta_log as dl
+
+    base, incr = _split(spark, sf_dir)
+    path = tempfile.mkdtemp(prefix="delta_cdf_")
+    t = LakehouseTable.create(
+        spark, f"{path}/t", base,
+        key_cols=["user_id"], precombine="ts", tiebreakers=["event_id"],
+        cdc_enabled=True,
+    )
+    t.upsert(incr)
+    dl.export_delta_log(t)
+    return dl.read_delta_changes(spark, t.path, 0).select(
+        F.col("_commit_version").cast("int").alias("commit_version"),
+        F.col("_change_type").alias("change_type"),
+        "user_id", "event_id", "value",
+    )
+
+
+@query(
     "cdc_convert_iceberg_deletes",
     oracle=f"""
     SELECT event_id, user_id, ts, event_type, value FROM events

@@ -621,6 +621,86 @@ def _protocol_guard(protocol: dict) -> None:
     )
 
 
+def read_delta_changes(
+    spark: SparkSession,
+    path: str,
+    begin_version: int = 0,
+    end_version: int | None = None,
+) -> DataFrame:
+    """Delta CHANGE DATA FEED read over a ``_delta_log`` —
+    ``table_changes()`` semantics against the raw protocol (r7):
+    per commit, rows come from its ``cdc`` actions' change files when
+    any exist (Delta's rule: a commit with cdc actions is described by
+    them ALONE), else are synthesized as inserts from its
+    ``dataChange`` add actions (the add-only rule); a commit that
+    removed data without either refuses loudly — its row-level changes
+    are unknowable from the log. Output: data columns +
+    ``_change_type`` / ``_commit_version`` / ``_commit_timestamp``,
+    delta-spark's exact read schema. O(changes) IO per commit."""
+    import pyspark.sql.functions as F
+
+    versions = _list_versions(path)
+    if not versions:
+        raise FileNotFoundError(f"no _delta_log commits under {path}")
+    end = versions[-1] if end_version is None else end_version
+    stamps = ("_change_type", "_commit_version", "_commit_timestamp",
+              "_cdc_commit_time")
+    parts: list[DataFrame] = []
+    for v in versions:
+        if v < begin_version or v > end:
+            continue
+        cdc_paths: list[str] = []
+        add_paths: list[str] = []
+        removed = False
+        ts_ms: int | None = None
+        for line in fsio.read_text(_commit_file(path, v)).splitlines():
+            if not line.strip():
+                continue
+            a = json.loads(line)
+            if "cdc" in a:
+                cdc_paths.append(a["cdc"]["path"])
+            elif "add" in a and a["add"].get("dataChange"):
+                add_paths.append(a["add"]["path"])
+            elif "remove" in a and a["remove"].get("dataChange"):
+                removed = True
+            elif "commitInfo" in a:
+                ts_ms = a["commitInfo"].get("timestamp")
+        if cdc_paths:
+            df = spark.read.option("mergeSchema", "true").parquet(
+                *[fsio.join(path, p) for p in cdc_paths]
+            )
+        elif add_paths and not removed:
+            df = (
+                spark.read.option("mergeSchema", "true")
+                .parquet(*[fsio.join(path, p) for p in add_paths])
+                .withColumn("_change_type", F.lit("insert"))
+            )
+        elif removed:
+            raise ValueError(
+                f"version {v} removed data without change files; its "
+                "row-level changes are unknowable from the log"
+            )
+        else:
+            continue  # metadata-only commit
+        df = df.drop(
+            *[c for c in stamps if c != "_change_type" and c in df.columns]
+        )
+        df = df.withColumn("_commit_version", F.lit(v).cast("long"))
+        df = df.withColumn(
+            "_commit_timestamp",
+            (F.lit(ts_ms).cast("long") / 1000).cast("timestamp"),
+        )
+        parts.append(df)
+    if not parts:
+        raise ValueError(
+            f"no changes in versions [{begin_version}, {end}]"
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p, allowMissingColumns=True)
+    return out
+
+
 def adopt_delta_snapshot(path: str) -> tuple[dict, list[str], dict]:
     """The current snapshot's ``(metaData, live files, {file -> live
     DV descriptor})`` for CONVERT FROM DELTA adoption.
@@ -868,6 +948,22 @@ def export_delta_log(table) -> int:
                         "path": f,
                         "deletionTimestamp": now,
                         "dataChange": True,
+                    }
+                }
+            )
+        # change data feed (r7): the engine's O(changes) CDC sidecars
+        # export as Delta ``cdc`` actions — a CDF consumer of the log
+        # (read_delta_changes / delta-spark table_changes) replays this
+        # commit from them alone. Add-only commits carry none, Delta's
+        # exact synthesize-from-adds rule.
+        for f in sorted(c.cdc_files):
+            actions.append(
+                {
+                    "cdc": {
+                        "path": f,
+                        "partitionValues": {},
+                        "size": fsio.file_size(fsio.join(table.path, f)),
+                        "dataChange": False,
                     }
                 }
             )

@@ -360,3 +360,106 @@ def test_export_carries_table_properties(spark, tmp_path):
     assert next(a["metaData"] for a in actions2 if "metaData" in a)[
         "configuration"
     ] == {}
+
+
+def test_read_delta_changes_foreign_log(spark, tmp_path):
+    """read_delta_changes against a hand-authored foreign log: commit 0
+    add-only (inserts synthesized), commit 1 with a cdc action (used
+    ALONE), commit 2 a compaction re-org (dataChange=false, silent),
+    commit 3 a remove without change files (refuses loudly)."""
+    import json as _json
+    import os as _os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import pytest as _pytest
+
+    from hudi_and_delta_showcase_spark.tables.delta_log import (
+        read_delta_changes,
+    )
+
+    root = str(tmp_path / "dl")
+    log = _os.path.join(root, "_delta_log")
+    _os.makedirs(log)
+    _os.makedirs(_os.path.join(root, "_change_data"))
+    schema = _json.dumps({
+        "type": "struct",
+        "fields": [
+            {"name": "k", "type": "integer", "nullable": True, "metadata": {}},
+            {"name": "v", "type": "string", "nullable": True, "metadata": {}},
+        ],
+    })
+    f0 = "part-00000-aaaa-c000.snappy.parquet"
+    pq.write_table(
+        pa.table({"k": pa.array([1, 2], pa.int32()),
+                  "v": pa.array(["a", "b"])}),
+        _os.path.join(root, f0),
+    )
+    cdc1 = "_change_data/cdc-00000-bbbb.c000.snappy.parquet"
+    pq.write_table(
+        pa.table({"k": pa.array([2, 2], pa.int32()),
+                  "v": pa.array(["b", "b2"]),
+                  "_change_type": pa.array(
+                      ["update_preimage", "update_postimage"])}),
+        _os.path.join(root, cdc1),
+    )
+    f1 = "part-00001-cccc-c000.snappy.parquet"
+    pq.write_table(
+        pa.table({"k": pa.array([1, 2], pa.int32()),
+                  "v": pa.array(["a", "b2"])}),
+        _os.path.join(root, f1),
+    )
+    commits = [
+        [  # v0: add-only
+            {"protocol": {"minReaderVersion": 1, "minWriterVersion": 4}},
+            {"metaData": {
+                "id": "x", "format": {"provider": "parquet", "options": {}},
+                "schemaString": schema, "partitionColumns": [],
+                "configuration": {"delta.enableChangeDataFeed": "true"}}},
+            {"add": {"path": f0, "partitionValues": {}, "size": 1,
+                     "modificationTime": 1, "dataChange": True}},
+            {"commitInfo": {"timestamp": 1700000000000,
+                            "operation": "WRITE"}},
+        ],
+        [  # v1: UPDATE with a cdc action — changes come from it ALONE
+            {"remove": {"path": f0, "deletionTimestamp": 2,
+                        "dataChange": True}},
+            {"add": {"path": f1, "partitionValues": {}, "size": 1,
+                     "modificationTime": 2, "dataChange": True}},
+            {"cdc": {"path": cdc1, "partitionValues": {}, "size": 1,
+                     "dataChange": False}},
+            {"commitInfo": {"timestamp": 1700000100000,
+                            "operation": "UPDATE"}},
+        ],
+        [  # v2: re-org, dataChange=false everywhere -> no changes
+            {"remove": {"path": f1, "deletionTimestamp": 3,
+                        "dataChange": False}},
+            {"add": {"path": f1, "partitionValues": {}, "size": 1,
+                     "modificationTime": 3, "dataChange": False}},
+            {"commitInfo": {"timestamp": 1700000200000,
+                            "operation": "OPTIMIZE"}},
+        ],
+        [  # v3: data removed without change files -> unknowable
+            {"remove": {"path": f1, "deletionTimestamp": 4,
+                        "dataChange": True}},
+            {"commitInfo": {"timestamp": 1700000300000,
+                            "operation": "DELETE"}},
+        ],
+    ]
+    for v, actions in enumerate(commits):
+        with open(_os.path.join(log, f"{v:020d}.json"), "w") as fh:
+            fh.write("\n".join(_json.dumps(a) for a in actions) + "\n")
+
+    feed = read_delta_changes(spark, root, 0, 2)
+    got = sorted(
+        (r._commit_version, r._change_type, r.k, r.v)
+        for r in feed.collect()
+    )
+    assert got == [
+        (0, "insert", 1, "a"),
+        (0, "insert", 2, "b"),
+        (1, "update_postimage", 2, "b2"),
+        (1, "update_preimage", 2, "b"),
+    ]
+    with _pytest.raises(ValueError, match="unknowable"):
+        read_delta_changes(spark, root, 3, 3).collect()
