@@ -718,3 +718,154 @@ def semantic_dedup(
     drop = pairs.select(F.col("doc_b").alias(id_col)).distinct()
     kept = df.join(drop, id_col, "left_anti")
     return kept, pairs
+
+
+# ---------------------------------------------------------------------------
+# incremental persisted IVF index (the vector-DB ingest path, r7)
+# ---------------------------------------------------------------------------
+
+
+def create_ivf_index(
+    spark,
+    path: str,
+    corpus: DataFrame,
+    id_col: str,
+    vec_col: str,
+    n_centroids: int = 16,
+    train_sample: int = 2048,
+    iters: int = 8,
+    seed: int = 42,
+):
+    """Build a PERSISTED IVF index as a lakehouse table — the ANN
+    sibling of ``dedup.create_lsh_index``: a continuously-ingesting
+    vector corpus must not re-train/re-assign per batch.
+
+    The coarse quantizer trains ONCE on a bounded sample (standard IVF
+    practice: O(sample), never O(corpus)) and freezes into
+    ``_ivf_model.json`` beside the table — every later upsert and
+    query assigns against the SAME centroids, so cell ids stay
+    comparable across the index's lifetime (re-training would orphan
+    every stored assignment; rebuild the index to re-center). Rows are
+    ``(id, vec, cell)`` keyed on id — re-ingesting a vector replaces
+    its previous version even when its cell changed (MoR latest-per-key
+    merge). MERGE-ON-READ because ingest batches spread across cells:
+    a CoW upsert would rewrite most inverted lists every batch, the
+    MoR log append costs O(batch) (same economics as the LSH band
+    index). ``optimize(cluster_by=['cell'])`` lays version 0 out as
+    real inverted lists — disjoint cell ranges per file — so a probe
+    reads O(matching lists) through ``read_where``'s stats pruning."""
+    import json as _json
+
+    from hudi_and_delta_showcase_spark.tables import LakehouseTable, fsio
+
+    sample = np.vstack(
+        [r[0] for r in corpus.select(vec_col).limit(train_sample).collect()]
+    ).astype("float64")
+    cents = _spherical_kmeans(sample, n_centroids, iters, seed)
+    assigned = ivf_assign(
+        corpus.select(
+            F.col(id_col).alias("id"), F.col(vec_col).alias("vec")
+        ),
+        "vec", cents, nprobe=1,
+    )
+    t = LakehouseTable.create(
+        spark, path, assigned, key_cols=["id"], table_type="mor"
+    )
+    t.optimize(target_files=max(4, n_centroids // 4), cluster_by=["cell"])
+    fsio.write_atomic(
+        fsio.join(path, "_ivf_model.json"),
+        _json.dumps(
+            {
+                "centroids": cents.tolist(),
+                "n_centroids": n_centroids,
+                "id_col": id_col,
+                "vec_col": vec_col,
+            }
+        ),
+    )
+    return t
+
+
+def _ivf_model(index) -> "np.ndarray":
+    import json as _json
+
+    from hudi_and_delta_showcase_spark.tables import fsio
+
+    doc = _json.loads(
+        fsio.read_text(fsio.join(index.path, "_ivf_model.json"))
+    )
+    return np.asarray(doc["centroids"], dtype="float64")
+
+
+def ivf_index_upsert(index, batch: DataFrame, id_col: str, vec_col: str):
+    """Ingest a batch into the persisted index: assign against the
+    FROZEN centroids (one map-only pass) and MoR-upsert — O(batch) log
+    append, no inverted list rewritten; periodic ``compact()`` +
+    ``optimize(cluster_by=['cell'])`` restore tight lists."""
+    cents = _ivf_model(index)
+    return index.upsert(
+        ivf_assign(
+            batch.select(
+                F.col(id_col).alias("id"), F.col(vec_col).alias("vec")
+            ),
+            "vec", cents, nprobe=1,
+        )
+    )
+
+
+def ivf_index_topk(
+    index,
+    queries: DataFrame,
+    id_col: str,
+    vec_col: str,
+    k: int = 10,
+    nprobe: int = 4,
+    max_queries: int | None = MAX_QUERY_SIDE,
+) -> DataFrame:
+    """Probe the persisted index: queries assign to their ``nprobe``
+    nearest cells, each probed cell becomes ONE stats-pruned list read
+    (``read_where`` on the clustered ``cell`` column — O(matching
+    files) after optimize, with MoR logs merged in), candidates join
+    on cell and re-rank by exact cosine. The probed-cell set is
+    nprobe x |queries| distinct ints — driver-side metadata scale."""
+    from functools import reduce
+
+    cents = _ivf_model(index)
+    qb = ivf_assign(
+        _bound_query_side(
+            queries.select(
+                F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec")
+            ),
+            max_queries,
+            "ivf_index_topk",
+        ),
+        "q_vec", cents, nprobe=nprobe,
+    )
+    cells = sorted(r.cell for r in qb.select("cell").distinct().collect())
+    lists = reduce(
+        lambda a, b: a.unionByName(b),
+        [
+            index.read_where("cell", lo=c, hi=c).select(
+                F.col("id").alias("neighbor_id"),
+                F.col("vec").alias("c_vec"),
+                "cell",
+            )
+            for c in cells
+        ],
+    )
+    cand = (
+        lists.join(F.broadcast(qb), "cell")
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select("query_id", "q_vec", "neighbor_id", "c_vec")
+    )
+    scored = with_cosine(cand, "q_vec", "c_vec", "cosine").withColumn(
+        "sim", F.round("cosine", 6)
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("sim"), F.asc("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "sim", "rank")
+    )

@@ -226,6 +226,9 @@ PRIORITY: tuple[str, ...] = (
     # late r7: Delta CDF both ways — cdc actions in the exported log,
     # table_changes() semantics read back (add-only inserts synthesized)
     "delta_cdf_export_roundtrip",
+    # late r7: incremental persisted IVF index (vector-DB ingest path) —
+    # frozen quantizer, O(batch) MoR ingest, list-pruned probes
+    "similarity_incremental_ivf",
     # r6: TPC-H's RF1/RF2 refresh streams as lakehouse upsert + delete
     "tpch_refresh_rf1_rf2",
     # r6: Delta's WHEN NOT MATCHED BY SOURCE clause (full-sync MERGE)

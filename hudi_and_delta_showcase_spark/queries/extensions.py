@@ -558,6 +558,56 @@ def similarity_ivf_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "similarity_incremental_ivf",
+    oracle="""
+    SELECT query_id, neighbor_id, sim, rank FROM (
+      SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+             round(list_cosine_similarity(
+               q.embedding::DOUBLE[], c.embedding::DOUBLE[]), 6) AS sim,
+             ROW_NUMBER() OVER (
+               PARTITION BY q.vec_id
+               ORDER BY round(list_cosine_similarity(
+                 q.embedding::DOUBLE[], c.embedding::DOUBLE[]), 6) DESC,
+                 c.vec_id ASC) AS rank
+      FROM embeddings q JOIN embeddings c ON q.vec_id <> c.vec_id
+      WHERE q.vec_id < 5
+    ) WHERE rank <= 10
+    """,
+    tags=("similarity", "incremental"),
+)
+def similarity_incremental_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INCREMENTAL persisted ANN index (r7) — the vector-DB ingest
+    path, the ANN sibling of dedup_incremental_index: the IVF index is
+    a MoR lakehouse table of (id, vec, cell) clustered by cell (real
+    inverted lists: one stats-pruned read per probed cell) with the
+    coarse quantizer FROZEN at build, so a new embedding batch costs
+    one assign pass + one O(batch) log append — never a corpus
+    re-train/re-assign. Built from 80% of the corpus, one batch
+    upserts the rest (and re-ingests two ids with their final vectors
+    — latest-per-key replacement), then an EXHAUSTIVE probe
+    (nprobe = n_centroids) must reproduce the brute-force exact
+    top-10 over the FULL corpus bit-for-bit — any dropped list, stale
+    replaced vector, or mis-merged log row flips the check. The
+    recall/nprobe tradeoff at selective probes stays pytest-gated,
+    like the other ANN rows."""
+    import tempfile as _tempfile
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    cut = F.col("vec_id") % 5 == 0
+    root = _tempfile.mkdtemp(prefix="ivf_index_") + "/idx"
+    idx = S.create_ivf_index(
+        spark, root, emb.filter(~cut), "vec_id", "embedding",
+        n_centroids=8,
+    )
+    batch = emb.filter(cut | (F.col("vec_id") < 2))
+    S.ivf_index_upsert(idx, batch, "vec_id", "embedding")
+    return S.ivf_index_topk(
+        idx, emb.filter(F.col("vec_id") < 5), "vec_id", "embedding",
+        k=10, nprobe=8,
+    )
+
+
+@query(
     "embedding_label_centroid_sim",
     oracle="""
     WITH dims AS (
