@@ -229,6 +229,9 @@ PRIORITY: tuple[str, ...] = (
     # late r7: incremental persisted IVF index (vector-DB ingest path) —
     # frozen quantizer, O(batch) MoR ingest, list-pruned probes
     "similarity_incremental_ivf",
+    # late r7: STREAMING corpus dedup against the persisted band index —
+    # the continuous-ingest loop, O(batch) per trigger
+    "stream_incremental_dedup",
     # r6: TPC-H's RF1/RF2 refresh streams as lakehouse upsert + delete
     "tpch_refresh_rf1_rf2",
     # r6: Delta's WHEN NOT MATCHED BY SOURCE clause (full-sync MERGE)
