@@ -573,9 +573,20 @@ def stream_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
     stage = tempfile.mkdtemp(prefix="docs_stream_") + "/in"
     # range partitioning gives part files whose NAME order equals id
-    # order — the file source lists alphabetically, so micro-batches
-    # arrive nondecreasing in doc_id (the incremental contract)
+    # order; the file source DISCOVERS by modification time though, and
+    # parallel write tasks finish in any order — pin strictly
+    # increasing mtimes in name order so micro-batches arrive
+    # nondecreasing in doc_id (the incremental contract; an
+    # out-of-order arrival stays conservative-correct but diverges
+    # from the one-shot oracle)
     docs.repartitionByRange(3, "doc_id").write.parquet(stage)
+    import os as _os
+
+    base_t = 1_700_000_000
+    for i, fn in enumerate(
+        sorted(f for f in _os.listdir(stage) if f.endswith(".parquet"))
+    ):
+        _os.utime(_os.path.join(stage, fn), (base_t + i, base_t + i))
     idx = D.create_lsh_index(
         spark, tempfile.mkdtemp(prefix="lshidx_stream_") + "/index"
     )
