@@ -475,8 +475,32 @@ def _physical_schema(meta: dict):
     return schema, phys
 
 
+def version_as_of_timestamp(path: str, ts_ms: int) -> int:
+    """Delta ``TIMESTAMP AS OF`` resolution against a raw
+    ``_delta_log`` (r7): the LAST version whose commitInfo timestamp is
+    <= the requested instant — delta-spark's exact rule (a timestamp
+    before the first commit errors). O(commits) driver IO."""
+    best: int | None = None
+    for v in _list_versions(path):
+        for line in fsio.read_text(_commit_file(path, v)).splitlines():
+            if not line.strip() or '"commitInfo"' not in line:
+                continue
+            a = json.loads(line)
+            if "commitInfo" in a:
+                t = a["commitInfo"].get("timestamp")
+                if t is not None and t <= ts_ms:
+                    best = v
+                break
+    if best is None:
+        raise ValueError(
+            f"timestamp {ts_ms} predates the first commit of {path}"
+        )
+    return best
+
+
 def read_delta_table(
-    spark: SparkSession, path: str, version: int | None = None
+    spark: SparkSession, path: str, version: int | None = None,
+    timestamp_ms: int | None = None,
 ) -> DataFrame:
     """S3/C7: snapshot (or time-travel) scan of a delta-format table —
     log replay on the driver, declarative parquet scan of the live
@@ -490,9 +514,14 @@ def read_delta_table(
     surface under their logical names (r7; both were refusals
     before). ``_metadata``-derived columns are captured ONCE at the
     scan, before any projection — hidden-column resolution does not
-    survive arbitrary projections."""
+    survive arbitrary projections. ``timestamp_ms`` resolves TIMESTAMP
+    AS OF semantics (mutually exclusive with ``version``)."""
     import pyspark.sql.functions as F
 
+    if timestamp_ms is not None:
+        if version is not None:
+            raise ValueError("pass version OR timestamp_ms, not both")
+        version = version_as_of_timestamp(path, timestamp_ms)
     meta, files, adds = _replay(path, version)
     dvs = {
         f: a["deletionVector"]

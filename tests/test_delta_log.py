@@ -463,3 +463,47 @@ def test_read_delta_changes_foreign_log(spark, tmp_path):
     ]
     with _pytest.raises(ValueError, match="unknowable"):
         read_delta_changes(spark, root, 3, 3).collect()
+
+
+def test_timestamp_as_of_foreign_log(spark, tmp_path):
+    """TIMESTAMP AS OF against a raw _delta_log: last version whose
+    commitInfo timestamp <= the instant; pre-first-commit errors."""
+    import json as _json
+    import os as _os
+
+    import pytest as _pytest
+
+    from hudi_and_delta_showcase_spark.tables.delta_log import (
+        read_delta_table,
+        version_as_of_timestamp,
+        write_delta_table,
+    )
+
+    root = str(tmp_path / "dl")
+    write_delta_table(
+        spark.createDataFrame([(1, "a")], "k int, v string").coalesce(1),
+        root,
+    )
+    write_delta_table(
+        spark.createDataFrame([(2, "b")], "k int, v string").coalesce(1),
+        root,
+    )
+    # pin deterministic commitInfo timestamps
+    log = _os.path.join(root, "_delta_log")
+    for v, ts in ((0, 1_700_000_000_000), (1, 1_700_000_100_000)):
+        p = _os.path.join(log, f"{v:020d}.json")
+        lines = []
+        for line in open(p).read().splitlines():
+            a = _json.loads(line)
+            if "commitInfo" in a:
+                a["commitInfo"]["timestamp"] = ts
+            lines.append(_json.dumps(a))
+        open(p, "w").write("\n".join(lines))
+    assert version_as_of_timestamp(root, 1_700_000_050_000) == 0
+    assert version_as_of_timestamp(root, 1_700_000_100_000) == 1
+    got = read_delta_table(spark, root, timestamp_ms=1_700_000_050_000)
+    assert [r.k for r in got.collect()] == [1]
+    with _pytest.raises(ValueError, match="predates"):
+        version_as_of_timestamp(root, 1)
+    with _pytest.raises(ValueError, match="not both"):
+        read_delta_table(spark, root, version=1, timestamp_ms=5)

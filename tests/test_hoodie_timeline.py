@@ -140,3 +140,41 @@ def test_export_lakehouse_timeline_as_hoodie(spark, tmp_path):
     assert {
         r.k for r in read_hoodie_table(spark, t.path).select("k").collect()
     } == {1, 2, 3, 4}
+
+
+def test_incremental_query_foreign_timeline(spark, tmp_path):
+    """Hudi incremental query on a foreign .hoodie timeline: rows
+    committed in (begin, end] only — carried-forward rows keep their
+    original stamp and stay excluded."""
+    from hudi_and_delta_showcase_spark.tables.hoodie_timeline import (
+        list_instants,
+        read_hoodie_incremental,
+        write_hoodie_table,
+    )
+
+    root = str(tmp_path / "ht")
+    write_hoodie_table(
+        spark.createDataFrame([(1, "a"), (2, "b")], "k int, v string")
+        .coalesce(1),
+        root,
+    )
+    write_hoodie_table(
+        spark.createDataFrame([(3, "c")], "k int, v string").coalesce(1),
+        root,
+    )
+    write_hoodie_table(
+        spark.createDataFrame([(4, "d")], "k int, v string").coalesce(1),
+        root,
+    )
+    i1, i2, i3 = list_instants(root)
+    pull = read_hoodie_incremental(spark, root, begin_instant=i1)
+    assert sorted((r.k, r.v) for r in pull.select("k", "v").collect()) == [
+        (3, "c"), (4, "d")]
+    pull2 = read_hoodie_incremental(
+        spark, root, begin_instant=i1, end_instant=i2
+    )
+    assert [r.k for r in pull2.collect()] == [3]
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="no commits"):
+        read_hoodie_incremental(spark, root, begin_instant=i3)
