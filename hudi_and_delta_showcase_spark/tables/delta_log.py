@@ -606,6 +606,15 @@ def read_delta_table(
         from hudi_and_delta_showcase_spark.tables import delta_dv
 
         dv = delta_dv.dv_rows_df(spark, path, dvs)
+        # the decoded side is a mapInPandas output with NO size stats,
+        # so Catalyst would default to a sort-merge anti-join — but the
+        # descriptors already carry the EXACT total cardinality
+        # (driver-side metadata), so broadcast whenever it provably
+        # fits; a snapshot with tens of millions of deleted rows falls
+        # back to the shuffle join
+        total = sum(int(d.get("cardinality") or 0) for d in dvs.values())
+        if 0 < total <= 10_000_000:
+            dv = F.broadcast(dv)
         df = df.join(
             dv,
             (F.col("__dl_file") == dv["file_name"])

@@ -224,3 +224,39 @@ def test_checkpoint_carries_dvs_and_protocol(spark, tmp_path):
         r.k for r in read_delta_table(spark, t.path).collect()
     )
     assert got == [1, 2, 3, 5, 6]
+
+
+def test_dv_full_circle_export_then_adopt(spark, tmp_path):
+    """Full circle: an engine DV table exports a real DV-bearing
+    _delta_log; stripping the engine metadata and ADOPTING the export
+    as a foreign table must reproduce the identical state — the
+    descriptor written by the exporter round-trips through the
+    adopter's decoder bit-for-bit."""
+    import os as _os
+    import shutil as _shutil
+
+    from hudi_and_delta_showcase_spark.tables import LakehouseTable
+    from hudi_and_delta_showcase_spark.tables.delta_log import (
+        export_delta_log,
+    )
+
+    df = spark.createDataFrame(
+        [(k, f"v{k}") for k in range(1, 20)], "k int, v string"
+    ).coalesce(1)
+    t = LakehouseTable.create(
+        spark, str(tmp_path / "t"), df, key_cols=["k"],
+        deletion_vectors=True,
+    )
+    t.delete(spark.createDataFrame([(3,), (9,), (15,)], "k int"))
+    export_delta_log(t)
+    want = sorted((r.k, r.v) for r in t.read().select("k", "v").collect())
+
+    foreign = str(tmp_path / "foreign")
+    _shutil.copytree(t.path, foreign)
+    _os.remove(_os.path.join(foreign, "_meta.json"))
+    _shutil.rmtree(_os.path.join(foreign, "_commits"))
+    _shutil.rmtree(_os.path.join(foreign, "dv"))  # engine sidecars gone
+    a = LakehouseTable.convert_delta(spark, foreign, key_cols=["k"])
+    got = sorted((r.k, r.v) for r in a.read().select("k", "v").collect())
+    assert got == want
+    assert a._commit(None).dv_files  # re-materialized as engine sidecars

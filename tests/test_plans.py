@@ -349,3 +349,68 @@ def test_heavy_hitters_sketch_pass_is_shuffle_free(spark, sf_dir):
     )
     plan = _formatted_plan(mg_partials(toks, "tok", 4096))
     assert "Exchange" not in plan
+
+
+def test_foreign_delta_dv_read_keeps_pushdown(spark, tmp_path):
+    """The FOREIGN Delta DV read (r7) must keep the same scale shape as
+    the engine's own DV path: the data predicate reaches the parquet
+    scan BELOW the anti-join, and the (small) decoded-DV side is the
+    broadcast build — never a shuffle of table data."""
+    import json
+    import os
+
+    import pyspark.sql.functions as F
+
+    from hudi_and_delta_showcase_spark.tables import delta_dv
+    from hudi_and_delta_showcase_spark.tables.delta_log import (
+        read_delta_table,
+        write_delta_table,
+    )
+
+    root = str(tmp_path / "dl")
+    write_delta_table(
+        spark.createDataFrame(
+            [(k, float(k)) for k in range(1, 50)], "k int, value double"
+        ).coalesce(1),
+        root,
+    )
+    log = os.path.join(root, "_delta_log")
+    v0 = open(os.path.join(log, "00000000000000000000.json")).read()
+    add = next(
+        json.loads(l) for l in v0.splitlines() if '"add"' in l
+    )["add"]
+    dv_add = dict(add)
+    dv_add["deletionVector"] = delta_dv.write_dv_file(root, [1, 3])
+    with open(os.path.join(log, "00000000000000000001.json"), "w") as fh:
+        fh.write(json.dumps({"add": dv_add}))
+    plan = _formatted_plan(
+        read_delta_table(spark, root).filter(F.col("value") > 10.0)
+    )
+    assert re.search(r"PushedFilters: \[[^\]]*value", plan)
+    assert "BroadcastHashJoin" in plan and "LeftAnti" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_iceberg_eq_delete_read_keeps_pushdown(spark, tmp_path):
+    """Equality-delete application (r7) must not disturb the base
+    scan: predicate pushed below the null-safe anti-join, delete side
+    broadcast."""
+    import pyspark.sql.functions as F
+
+    from tests.test_iceberg_meta import (
+        _add_equality_delete_snapshot,
+        _foreign_v2_tree,
+    )
+    from hudi_and_delta_showcase_spark.tables.iceberg_meta import (
+        read_iceberg_table,
+    )
+
+    root = str(tmp_path / "ice")
+    _sid1, sid2 = _foreign_v2_tree(root)
+    _add_equality_delete_snapshot(root, sid2)
+    plan = _formatted_plan(
+        read_iceberg_table(spark, root).filter(F.col("k") > 0)
+    )
+    assert re.search(r"PushedFilters: \[[^\]]*k", plan)
+    assert "LeftAnti" in plan
+    assert "SortMergeJoin" not in plan
