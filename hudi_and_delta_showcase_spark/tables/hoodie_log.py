@@ -181,32 +181,61 @@ def rollback_block(target_instant: str, instant: str) -> bytes:
     )
 
 
+def _frame_one(blob: bytes, pos: int) -> tuple[dict, int, bytes, int]:
+    """Frame the block starting at ``pos`` (which must point at MAGIC)
+    -> (header, type, content, end offset). Raises on any framing
+    inconsistency — the caller treats that as a corrupt region."""
+    pos += 6
+    (block_len,) = struct.unpack_from(">q", blob, pos)
+    pos += 8
+    end = pos + block_len
+    if block_len <= 0 or end > len(blob):
+        raise ValueError("truncated HoodieLogFormat block")
+    version, btype = struct.unpack_from(">ii", blob, pos)
+    pos += 8
+    if version != FORMAT_VERSION:
+        raise ValueError(f"unsupported log format version {version}")
+    header, pos = _read_meta(blob, pos)
+    (clen,) = struct.unpack_from(">q", blob, pos)
+    pos += 8
+    if clen < 0 or pos + clen > len(blob):
+        raise ValueError("truncated HoodieLogFormat content")
+    content = blob[pos : pos + clen]
+    pos += clen
+    _footer, pos = _read_meta(blob, pos)
+    (total,) = struct.unpack_from(">q", blob, pos)
+    pos += 8
+    if pos != end or total != 6 + 8 + block_len:
+        raise ValueError("HoodieLogFormat block length mismatch")
+    return header, btype, content, end
+
+
 def parse_log_blob(blob: bytes) -> list[dict]:
     """One ``.log`` file -> its blocks, in order:
-    ``{"type", "header", "records"?}``."""
+    ``{"type", "header", "records"?}``.
+
+    Crash tolerance, Hudi's exact reader discipline: a block that can't
+    frame (torn append from a crashed writer, or flipped bytes) becomes
+    a CORRUPT marker and the scan resumes at the NEXT ``#HUDI#`` magic
+    — later intact blocks still serve; a torn TAIL simply ends the
+    file. The corrupt region's rows are gone either way, which is
+    correct: its commit never completed, so the timeline-validity
+    filter would have dropped them regardless."""
     pos = 0
     blocks: list[dict] = []
     while pos < len(blob):
         if blob[pos : pos + 6] != MAGIC:
             raise ValueError(f"bad HoodieLogFormat magic at offset {pos}")
-        pos += 6
-        (block_len,) = struct.unpack_from(">q", blob, pos)
-        pos += 8
-        end = pos + block_len
-        version, btype = struct.unpack_from(">ii", blob, pos)
-        pos += 8
-        if version != FORMAT_VERSION:
-            raise ValueError(f"unsupported log format version {version}")
-        header, pos = _read_meta(blob, pos)
-        (clen,) = struct.unpack_from(">q", blob, pos)
-        pos += 8
-        content = blob[pos : pos + clen]
-        pos += clen
-        _footer, pos = _read_meta(blob, pos)
-        (total,) = struct.unpack_from(">q", blob, pos)
-        pos += 8
-        if pos != end or total != 6 + 8 + block_len:
-            raise ValueError("HoodieLogFormat block length mismatch")
+        try:
+            header, btype, content, end = _frame_one(blob, pos)
+        except (ValueError, struct.error):
+            nxt = blob.find(MAGIC, pos + 6)
+            blocks.append({"type": CORRUPT_BLOCK, "header": {}})
+            if nxt < 0:
+                break  # torn tail
+            pos = nxt
+            continue
+        pos = end
         block = {"type": btype, "header": header}
         if btype == AVRO_DATA_BLOCK:
             schema = json.loads(header[SCHEMA])

@@ -50,14 +50,31 @@ def test_refuses_delete_and_hfile_blocks():
         hl.parse_log_blob(fake)
 
 
-def test_bad_magic_and_length_fail_loudly():
+def test_bad_leading_magic_fails_loudly():
     good = hl.avro_data_block([{"k": 1, "v": "a"}], _SCHEMA, "001")
+    # a file that doesn't START with the magic isn't a log file at all
     with pytest.raises(ValueError, match="magic"):
         hl.parse_log_blob(b"NOTHUD" + good[6:])
-    corrupt = bytearray(good)
-    corrupt[7] ^= 0x01  # flip a block-length byte
-    with pytest.raises(ValueError):
-        hl.parse_log_blob(bytes(corrupt))
+
+
+def test_torn_tail_and_corrupt_block_recovery():
+    """Hudi's crash discipline: a torn APPEND (truncated tail) ends the
+    scan; a corrupt block mid-file becomes a CORRUPT marker and the
+    reader resumes at the next magic — later intact blocks still
+    serve."""
+    b1 = hl.avro_data_block([{"k": 1, "v": "a"}], _SCHEMA, "001")
+    b2 = hl.avro_data_block([{"k": 2, "v": "b"}], _SCHEMA, "002")
+    # torn tail: the writer crashed mid-append of b2
+    torn = b1 + b2[: len(b2) // 2]
+    blocks = hl.parse_log_blob(torn)
+    assert [b["type"] for b in blocks] == [hl.AVRO_DATA_BLOCK,
+                                           hl.CORRUPT_BLOCK]
+    assert hl.resolve_log_blocks([torn]) == [("001", [{"k": 1, "v": "a"}])]
+    # corrupt middle: flipped length byte in b1, intact b2 after it
+    corrupt = bytearray(b1 + b2)
+    corrupt[7] ^= 0x01
+    out = hl.resolve_log_blocks([bytes(corrupt)])
+    assert out == [("002", [{"k": 2, "v": "b"}])]
 
 
 def test_log_file_name_roundtrip():
