@@ -58,6 +58,9 @@ SENSITIVE = [
     "agg_distinct",
     "stream_tumbling_counts",
     "stream_gold_agg",
+    # r7: micro-batch ordering + CDF synthesis through the exported log
+    "stream_incremental_dedup",
+    "delta_cdf_export_roundtrip",
 ]
 
 
