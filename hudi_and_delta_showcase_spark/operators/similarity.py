@@ -447,12 +447,21 @@ def topk_lsh(
         cb.join(F.broadcast(qb), ["table", "bucket"])
         .filter(F.col("neighbor_id") != F.col("query_id"))
         .select("query_id", "q_vec", "neighbor_id", "c_vec")
-        # dedup multiprobe/multitable hits by id pair only — a full
-        # .distinct() would shuffle-hash the embedding arrays themselves
-        .dropDuplicates(["query_id", "neighbor_id"])
     )
-    scored = with_cosine(cand, "q_vec", "c_vec", "cosine").withColumn(
-        "sim", F.round("cosine", 6)
+    # Score BEFORE deduping multitable/multiprobe hits: the cosine is
+    # map-side (the join is broadcast, rows never moved yet), so the
+    # only shuffle in the whole operator carries skinny
+    # (ids, sim) rows instead of both embedding vectors — ~50x less
+    # shuffle volume for a ~1.2x duplicate-scoring overhead (r7;
+    # deduping first would shuffle 2x dim doubles per candidate).
+    scored = (
+        with_cosine(cand, "q_vec", "c_vec", "cosine")
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round("cosine", 6).alias("sim"),
+        )
+        .dropDuplicates(["query_id", "neighbor_id"])
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("neighbor_id"))
     return (
