@@ -310,3 +310,81 @@ def test_chunker_covers_and_reconstructs(spark, data):
             assert nt == window  # only the final chunk may be short
         covered.update(range(start, start + nt))
     assert covered == set(range(n))
+
+
+@settings(
+    max_examples=5, deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(base=BATCH, incr=BATCH)
+def test_triformat_exports_serve_native_state(spark, base, incr):
+    """Interop capstone (r7): for ANY create+upsert history, the three
+    exported protocol views — Delta ``_delta_log``, Hudi ``.hoodie``,
+    Iceberg ``metadata/`` — must serve the IDENTICAL state the native
+    reader serves, current version and all."""
+    from hudi_and_delta_showcase_spark.tables.delta_log import (
+        export_delta_log,
+        read_delta_table,
+    )
+    from hudi_and_delta_showcase_spark.tables.hoodie_timeline import (
+        export_hoodie_timeline,
+        read_hoodie_table,
+    )
+    from hudi_and_delta_showcase_spark.tables.iceberg_meta import (
+        export_iceberg_metadata,
+        read_iceberg_table,
+    )
+
+    path = tempfile.mkdtemp(prefix="triformat_") + "/t"
+    t = LakehouseTable.create(
+        spark, path, _df(spark, base), key_cols=["k"], precombine="v"
+    )
+    t.upsert(_df(spark, incr))
+    export_delta_log(t)
+    export_hoodie_timeline(t)
+    export_iceberg_metadata(t)
+    native = _final(t.read())
+    assert _final(read_delta_table(spark, path)) == native
+    assert _final(read_hoodie_table(spark, path)) == native
+    assert _final(read_iceberg_table(spark, path)) == native
+
+
+@settings(
+    max_examples=5, deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(base=BATCH, dels=st.sets(st.integers(0, 5), min_size=1, max_size=4))
+def test_dv_exports_serve_native_state(spark, base, dels):
+    """DV interop capstone (r7): with LIVE deletion vectors, the Delta
+    export (real DV bins) and the Iceberg export (position deletes)
+    both serve the native post-delete state for any delete set; the
+    foreign-Delta ADOPTION of our own export round-trips it again."""
+    import os
+    import shutil
+
+    from hudi_and_delta_showcase_spark.tables.delta_log import (
+        export_delta_log,
+        read_delta_table,
+    )
+    from hudi_and_delta_showcase_spark.tables.iceberg_meta import (
+        export_iceberg_metadata,
+        read_iceberg_table,
+    )
+
+    path = tempfile.mkdtemp(prefix="dvformat_") + "/t"
+    t = LakehouseTable.create(
+        spark, path, _df(spark, base), key_cols=["k"], precombine="v",
+        deletion_vectors=True,
+    )
+    t.delete(spark.createDataFrame([(k,) for k in sorted(dels)], "k int"))
+    export_delta_log(t)
+    export_iceberg_metadata(t)
+    native = _final(t.read())
+    assert _final(read_delta_table(spark, path)) == native
+    assert _final(read_iceberg_table(spark, path)) == native
+    foreign = path + "_foreign"
+    shutil.copytree(path, foreign)
+    os.remove(os.path.join(foreign, "_meta.json"))
+    shutil.rmtree(os.path.join(foreign, "_commits"))
+    a = LakehouseTable.convert_delta(spark, foreign, key_cols=["k"])
+    assert _final(a.read()) == native
