@@ -398,16 +398,18 @@ def read_hoodie_table_rt(
         precombine = props.get("hoodie.table.precombine.field") or None
 
     slices = latest_file_slices_rt(path, as_of_instant)
-    log_only = [fid for fid, s in slices.items() if s["base"] is None]
-    if log_only:
-        raise ValueError(
-            f"file groups {log_only[:3]} have log files but no base "
-            "file; this reader resolves base+log slices only"
-        )
-    base_paths = sorted(fsio.join(path, s["base"]) for s in slices.values())
+    base_paths = sorted(
+        fsio.join(path, s["base"]) for s in slices.values() if s["base"]
+    )
+    # LOG-ONLY file groups (inserts routed straight to logs — Hudi
+    # does this under some index types) contribute records with no
+    # base side; the union merge handles them like any other rows (r7)
     log_paths = sorted(p for s in slices.values() for p in s["logs"])
     if not base_paths:
-        raise FileNotFoundError(f"no completed commits under {path}")
+        raise FileNotFoundError(
+            f"no base files under {path}; an all-log table needs at "
+            "least one compacted slice to pin the table schema"
+        )
     base = spark.read.parquet(*base_paths)
     # slice instant from the file-group naming convention
     # <fileId>_<writeToken>_<instant>.parquet, stored meta column wins

@@ -654,16 +654,16 @@ class LakehouseTable:
         if fsio.exists(fsio.join(path, "_meta.json")):
             raise FileExistsError(f"already a lakehouse table: {path}")
         slices = ht.latest_file_slices_rt(path)
-        log_only = [f for f, s in slices.items() if s["base"] is None]
-        if log_only:
-            raise RuntimeError(
-                f"file groups {log_only[:3]} have log files but no base "
-                "file; compact with Hudi before adoption"
-            )
-        files = sorted(s["base"] for s in slices.values())
+        files = sorted(s["base"] for s in slices.values() if s["base"])
+        # log-only file groups (no base yet) adopt too: their records
+        # materialize into the engine's log files like any others —
+        # the engine's MoR logs are table-wide, not group-scoped (r7)
         log_paths = sorted(p for s in slices.values() for p in s["logs"])
         if not files:
-            raise FileNotFoundError(f"no completed commits under {path}")
+            raise FileNotFoundError(
+                f"no base files under {path}; compact at least one "
+                "slice with Hudi so a schema-bearing base exists"
+            )
         if log_paths:
             table_type = MERGE_ON_READ
         fsio.write_atomic(

@@ -120,8 +120,14 @@ def test_mor_rollback_block_drops_target_instant(spark, tmp_path):
     assert got == [(1, "a"), (2, "b2"), (3, "c"), (4, "d")]
 
 
-def test_refuses_log_only_file_group(spark, tmp_path):
+def test_log_only_file_group_adopts_and_serves(spark, tmp_path):
+    """A LOG-ONLY file group (inserts routed straight to logs, no base
+    yet) reads and adopts: its records union into the merge like any
+    others (r7 — the engine's MoR logs are table-wide)."""
     from hudi_and_delta_showcase_spark.avro_ocf import spark_schema_to_avro
+    from hudi_and_delta_showcase_spark.tables.hoodie_timeline import (
+        read_hoodie_table_rt,
+    )
 
     root = str(tmp_path / "ht")
     base = spark.createDataFrame([(1, "a", 100)], "k long, v string, sq long")
@@ -131,7 +137,38 @@ def test_refuses_log_only_file_group(spark, tmp_path):
         root, "orphan-fid", "20240101000000000",
         [{"k": 9, "v": "x", "sq": 1}], schema,
     )
-    with pytest.raises(RuntimeError, match="no base"):
+    rt = read_hoodie_table_rt(spark, root, key_fields=["k"], precombine="sq")
+    assert sorted((r.k, r.v) for r in rt.select("k", "v").collect()) == [
+        (1, "a"), (9, "x")]
+    t = LakehouseTable.convert_hoodie(
+        spark, root, key_cols=["k"], precombine="sq"
+    )
+    assert _rows(t.read()) == [(1, "a"), (9, "x")]
+
+
+def test_all_log_table_still_refused(spark, tmp_path):
+    """A table with NO base file at all has no schema-bearing slice —
+    refuse loudly rather than guess a schema."""
+    import os as _os
+
+    from hudi_and_delta_showcase_spark.avro_ocf import spark_schema_to_avro
+    from hudi_and_delta_showcase_spark.tables.hoodie_timeline import (
+        read_hoodie_table_rt,
+    )
+    from pyspark.sql.types import StructType
+
+    root = str(tmp_path / "ht")
+    _os.makedirs(_os.path.join(root, ".hoodie"))
+    schema = spark_schema_to_avro(
+        StructType.fromDDL("k long, v string, sq long")
+    )
+    append_log_commit(
+        root, "only-fid", "20240101000000000",
+        [{"k": 1, "v": "a", "sq": 1}], schema,
+    )
+    with pytest.raises(FileNotFoundError, match="no base files"):
+        read_hoodie_table_rt(spark, root, key_fields=["k"])
+    with pytest.raises(FileNotFoundError, match="no base files"):
         LakehouseTable.convert_hoodie(spark, root, key_cols=["k"])
 
 
