@@ -736,6 +736,15 @@ def read_delta_changes(
     out = parts[0]
     for p in parts[1:]:
         out = out.unionByName(p, allowMissingColumns=True)
+    # column-mapped tables store PHYSICAL names in data and change
+    # files alike; serve the feed under logical names like the
+    # snapshot read does
+    meta, _files, _adds = _replay(path, end)
+    mapping = column_mapping_of(meta)
+    if mapping:
+        out = out.select(
+            *[out[c].alias(mapping.get(c, c)) for c in out.columns]
+        )
     return out
 
 

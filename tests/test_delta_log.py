@@ -507,3 +507,50 @@ def test_timestamp_as_of_foreign_log(spark, tmp_path):
         version_as_of_timestamp(root, 1)
     with _pytest.raises(ValueError, match="not both"):
         read_delta_table(spark, root, version=1, timestamp_ms=5)
+
+
+def test_cdf_read_serves_logical_names_under_column_mapping(spark, tmp_path):
+    """read_delta_changes on a column-mapped log serves LOGICAL names,
+    like the snapshot read — change files store physical columns."""
+    import json as _json
+    import os as _os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from hudi_and_delta_showcase_spark.tables.delta_log import (
+        read_delta_changes,
+    )
+
+    root = str(tmp_path / "dl")
+    log = _os.path.join(root, "_delta_log")
+    _os.makedirs(log)
+    schema = _json.dumps({
+        "type": "struct",
+        "fields": [
+            {"name": "k", "type": "integer", "nullable": True,
+             "metadata": {"delta.columnMapping.id": 1,
+                          "delta.columnMapping.physicalName": "col-x1"}},
+        ],
+    })
+    f0 = "part-00000-aaaa-c000.snappy.parquet"
+    pq.write_table(
+        pa.table({"col-x1": pa.array([1, 2], pa.int32())}),
+        _os.path.join(root, f0),
+    )
+    actions = [
+        {"protocol": {"minReaderVersion": 2, "minWriterVersion": 5}},
+        {"metaData": {
+            "id": "x", "format": {"provider": "parquet", "options": {}},
+            "schemaString": schema, "partitionColumns": [],
+            "configuration": {"delta.columnMapping.mode": "name",
+                              "delta.enableChangeDataFeed": "true"}}},
+        {"add": {"path": f0, "partitionValues": {}, "size": 1,
+                 "modificationTime": 1, "dataChange": True}},
+        {"commitInfo": {"timestamp": 1700000000000, "operation": "WRITE"}},
+    ]
+    with open(_os.path.join(log, "00000000000000000000.json"), "w") as fh:
+        fh.write("\n".join(_json.dumps(a) for a in actions))
+    feed = read_delta_changes(spark, root, 0, 0)
+    assert "k" in feed.columns and "col-x1" not in feed.columns
+    assert sorted(r.k for r in feed.collect()) == [1, 2]
