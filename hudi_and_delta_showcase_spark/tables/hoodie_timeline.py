@@ -242,7 +242,13 @@ def read_hoodie_incremental(
     excluded, exactly Hudi's contract. Files without stored meta
     columns (this engine's own exports) derive the stamp from the
     file-group naming convention. O(changed files) IO, the pull that
-    makes a foreign Hudi table a medallion source."""
+    makes a foreign Hudi table a medallion source.
+
+    Scope: BASE-FILE commits (CoW tables, and MoR compaction commits).
+    A MoR deltacommit's log-borne changes have no per-row commit stamp
+    until compaction folds them — pull after compaction, or serve the
+    current state via ``read_hoodie_table_rt`` (the same bound Hudi's
+    own incremental RO view has)."""
     import pyspark.sql.functions as F
 
     instants = _completed_instants(path)
