@@ -87,3 +87,28 @@ def test_log_file_name_roundtrip():
         "token": "0-7-3",
     }
     assert hl.parse_log_file_name("part-0000.parquet") is None
+
+
+def test_block_roundtrip_property():
+    """Hypothesis: any record batch survives the Avro-block framing."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    rec = st.fixed_dictionaries({
+        "k": st.one_of(st.none(), st.integers(-2**40, 2**40)),
+        "v": st.one_of(st.none(), st.text(max_size=12)),
+    })
+
+    @settings(max_examples=50, deadline=None)
+    @given(st.lists(rec, min_size=0, max_size=8),
+           st.lists(rec, min_size=1, max_size=4))
+    def _roundtrip(r1, r2):
+        b1 = hl.avro_data_block(r1, _SCHEMA, "001")
+        b2 = hl.avro_data_block(r2, _SCHEMA, "002")
+        out = hl.resolve_log_blocks([b1, b2])
+        want = ([("001", r1)] if r1 else []) + [("002", r2)]
+        # empty batches still frame/parse; records match field-for-field
+        assert [(i, rs) for i, rs in out if rs] == [
+            (i, rs) for i, rs in want if rs]
+
+    _roundtrip()
