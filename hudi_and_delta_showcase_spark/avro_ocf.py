@@ -164,6 +164,34 @@ def _decode(schema: Any, r: _Reader) -> Any:
     raise ValueError(f"unsupported avro schema node: {schema}")
 
 
+def _union_branch(schema: list, v: Any) -> int:
+    """Index of the union branch matching ``v``'s Python type. For the
+    common ``["null", T]`` unions this is simply the non-null branch
+    (the original behavior); multi-branch unions (e.g. Hudi's
+    ``HoodieDeleteRecord.orderingVal``) resolve bool→boolean,
+    int→long/int, float→double/float, str→string, bytes→bytes, and
+    fall back to the first non-null branch for container types."""
+    non_null = [i for i, s in enumerate(schema) if s != "null"]
+    if len(non_null) == 1:
+        return non_null[0]
+    prefs = {
+        bool: ("boolean",),
+        int: ("long", "int"),
+        float: ("double", "float"),
+        str: ("string",),
+        bytes: ("bytes",),
+    }
+    # bool is an int subclass — check exact type first
+    wanted = prefs.get(type(v)) or next(
+        (p for t, p in prefs.items() if isinstance(v, t)), None
+    )
+    if wanted:
+        for name in wanted:
+            if name in schema:
+                return schema.index(name)
+    return non_null[0]
+
+
 def _encode(schema: Any, v: Any, out: io.BytesIO) -> None:
     if isinstance(schema, str):
         t = schema
@@ -184,12 +212,12 @@ def _encode(schema: Any, v: Any, out: io.BytesIO) -> None:
         else:
             raise ValueError(f"unsupported avro type: {t}")
         return
-    if isinstance(schema, list):  # union — pick null vs the other branch
+    if isinstance(schema, list):  # union — pick the branch by value type
         if v is None:
             idx = schema.index("null")
             _write_long(out, idx)
             return
-        idx = next(i for i, s in enumerate(schema) if s != "null")
+        idx = _union_branch(schema, v)
         _write_long(out, idx)
         _encode(schema[idx], v, out)
         return

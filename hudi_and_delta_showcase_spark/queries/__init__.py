@@ -212,6 +212,10 @@ PRIORITY: tuple[str, ...] = (
     # r6: CONVERT FROM HOODIE — timeline-replay adoption, stale slices
     # excluded; all three protocols now adopt AND export
     "cdc_convert_hoodie",
+    # r8: foreign MoR logs with HoodieDeleteBlock tombstones — delete
+    # blocks decode (Avro HoodieDeleteRecordList), kill base rows into
+    # engine DVs at adoption, and a later data block revives the key
+    "cdc_convert_hoodie_delete",
     # r6: bounds-pruned range read through the Iceberg metadata path
     "iceberg_stats_skipping_read",
     # r7: Iceberg v2 EQUALITY deletes on read (Flink CDC writer shape),

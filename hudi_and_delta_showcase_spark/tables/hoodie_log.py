@@ -35,8 +35,18 @@ schema rides the SCHEMA header as JSON — decoded with this repo's own
 with ``COMMAND_BLOCK_TYPE=0`` (rollback-previous) invalidates every
 earlier block whose INSTANT_TIME equals its TARGET_INSTANT_TIME —
 exactly how Hudi undoes a failed delta commit without mutating bytes.
-HFILE/PARQUET data blocks and DELETE blocks (kryo-serialized keys)
-refuse loudly rather than mis-decode.
+
+DELETE content (r8, verdict r7 #1 — a delete since the last
+compaction is the NORMAL state of a CDC-fed MoR table): int32 content
+version, int32 payload length, payload. Version >= 3 (Hudi >= 0.14)
+is an Avro-binary ``HoodieDeleteRecordList``
+(hudi-common/src/main/avro/HoodieDeleteRecordList.avsc): an array of
+``{recordKey, partitionPath, orderingVal}``. Versions 1/2 are
+Java-kryo-serialized ``HoodieKey[]`` / ``DeleteRecord[]`` — refused
+loudly (compact with Hudi first) rather than mis-decoded. Tombstones
+fold into the ``_rt`` merge ordered by block instant (then in-file
+block sequence), so delete-then-reinsert resolves exactly as Hudi's
+log scanner. HFILE/PARQUET data blocks still refuse loudly.
 
 Log file naming: ``.<fileId>_<baseInstant>.log.<version>_<writeToken>``
 — hidden files, keyed to the base file slice they extend; a compaction
@@ -80,6 +90,53 @@ SCHEMA = 2
 COMMAND_BLOCK_TYPE = 3
 
 ROLLBACK_PREVIOUS_BLOCK = 0  # HoodieCommandBlockTypeEnum
+
+#: Delete-block content versions: 1 = kryo HoodieKey[], 2 = kryo
+#: DeleteRecord[], 3+ = Avro HoodieDeleteRecordList (Hudi >= 0.14).
+DELETE_CONTENT_VERSION = 3
+
+#: Public schema of a modern DELETE block's payload —
+#: hudi-common/src/main/avro/HoodieDeleteRecordList.avsc. Avro binary
+#: carries no schema, so the reader MUST use the writer's exact shape;
+#: a foreign block whose union layout diverges fails loudly in decode
+#: rather than serving wrong keys.
+DELETE_RECORD_LIST_SCHEMA = {
+    "namespace": "org.apache.hudi.avro.model",
+    "type": "record",
+    "name": "HoodieDeleteRecordList",
+    "fields": [
+        {
+            "name": "deleteRecordList",
+            "type": {
+                "type": "array",
+                "items": {
+                    "type": "record",
+                    "name": "HoodieDeleteRecord",
+                    "fields": [
+                        {
+                            "name": "recordKey",
+                            "type": ["null", "string"],
+                            "default": None,
+                        },
+                        {
+                            "name": "partitionPath",
+                            "type": ["null", "string"],
+                            "default": None,
+                        },
+                        {
+                            "name": "orderingVal",
+                            "type": [
+                                "null", "string", "int", "long",
+                                "float", "double", "bytes", "boolean",
+                            ],
+                            "default": None,
+                        },
+                    ],
+                },
+            },
+        }
+    ],
+}
 
 _LOG_NAME_RE = re.compile(
     r"^\.(?P<fid>.+)_(?P<base>\d+)\.log\.(?P<ver>\d+)_(?P<token>.+)$"
@@ -169,6 +226,34 @@ def avro_data_block(
     )
 
 
+def delete_block(
+    deletes: list[dict], instant: str
+) -> bytes:
+    """Author a ``HoodieDeleteBlock`` the way Hudi >= 0.14 lays it out
+    (protocol-pin goldens + the foreign-MoR delete registry query):
+    content = int32 version (3) + int32 payload length + Avro-binary
+    ``HoodieDeleteRecordList``. Each entry:
+    ``{"recordKey": str, "partitionPath": str|None,
+    "orderingVal": precombine value|None}``."""
+    recs = [
+        {
+            "recordKey": d["recordKey"],
+            "partitionPath": d.get("partitionPath"),
+            "orderingVal": d.get("orderingVal"),
+        }
+        for d in deletes
+    ]
+    body = io.BytesIO()
+    avro_ocf._encode(
+        DELETE_RECORD_LIST_SCHEMA, {"deleteRecordList": recs}, body
+    )
+    payload = body.getvalue()
+    content = struct.pack(">ii", DELETE_CONTENT_VERSION, len(payload))
+    return _frame_block(
+        DELETE_BLOCK, {INSTANT_TIME: instant}, content + payload
+    )
+
+
 def rollback_block(target_instant: str, instant: str) -> bytes:
     return _frame_block(
         COMMAND_BLOCK,
@@ -251,14 +336,26 @@ def parse_log_blob(blob: bytes) -> list[dict]:
                 records.append(avro_ocf._decode(schema, r))
                 cpos += ln
             block["records"] = records
+        elif btype == DELETE_BLOCK:
+            v, ln = struct.unpack_from(">ii", content, 0)
+            if v < DELETE_CONTENT_VERSION:
+                raise ValueError(
+                    f"HoodieDeleteBlock content version {v} is "
+                    "Java-kryo-serialized (legacy pre-0.14 writer), "
+                    "beyond this reader; compact with Hudi first"
+                )
+            r = avro_ocf._Reader(content[8 : 8 + ln])
+            block["deletes"] = avro_ocf._decode(
+                DELETE_RECORD_LIST_SCHEMA, r
+            )["deleteRecordList"]
         elif btype == COMMAND_BLOCK:
             pass  # rollback semantics applied in resolve_log_blocks
         elif btype == CORRUPT_BLOCK:
             pass  # explicitly marked dead by Hudi; carries no rows
         else:
             raise ValueError(
-                f"HoodieLogFormat block type {btype} (delete/hfile/"
-                "parquet) is beyond this reader; compact with Hudi first"
+                f"HoodieLogFormat block type {btype} (hfile/parquet "
+                "data) is beyond this reader; compact with Hudi first"
             )
         blocks.append(block)
     return blocks
@@ -266,27 +363,32 @@ def parse_log_blob(blob: bytes) -> list[dict]:
 
 def resolve_log_blocks(
     blobs: list[bytes], valid_instants: frozenset[str] | None = None
-) -> list[tuple[str, list[dict]]]:
+) -> list[tuple[str, list[dict], list[dict]]]:
     """Blocks of one FILE GROUP's logs (file order = log version order)
-    -> surviving ``(instant, records)`` pairs: rollback command blocks
-    drop every earlier block whose INSTANT_TIME equals their
-    TARGET_INSTANT_TIME (Hudi's crash-undo — writers APPEND the
-    rollback block to the group's latest log file), corrupt blocks
-    drop themselves, and — when ``valid_instants`` is given — data
-    blocks from instants that never COMPLETED on the timeline are
-    skipped, exactly Hudi's log-scanner validity rule for crashes that
-    never got a rollback."""
-    out: list[tuple[str, list[dict]]] = []
+    -> surviving ``(instant, records, deletes)`` triples in log order:
+    rollback command blocks drop every earlier block whose INSTANT_TIME
+    equals their TARGET_INSTANT_TIME (Hudi's crash-undo — writers
+    APPEND the rollback block to the group's latest log file), corrupt
+    blocks drop themselves, and — when ``valid_instants`` is given —
+    data/delete blocks from instants that never COMPLETED on the
+    timeline are skipped, exactly Hudi's log-scanner validity rule for
+    crashes that never got a rollback. A data block yields
+    ``(instant, records, [])``; a delete block
+    ``(instant, [], delete_records)`` — list position is the in-file
+    block sequence the merge uses to break same-instant ties."""
+    out: list[tuple[str, list[dict], list[dict]]] = []
     for blob in blobs:
         for b in parse_log_blob(blob):
             if b["type"] == COMMAND_BLOCK:
                 tgt = b["header"].get(TARGET_INSTANT_TIME)
-                out = [(i, r) for i, r in out if i != tgt]
-            elif b["type"] == AVRO_DATA_BLOCK:
+                out = [e for e in out if e[0] != tgt]
+            elif b["type"] in (AVRO_DATA_BLOCK, DELETE_BLOCK):
                 inst = b["header"][INSTANT_TIME]
                 if valid_instants is not None and inst not in valid_instants:
                     continue
-                out.append((inst, b["records"]))
+                out.append(
+                    (inst, b.get("records", []), b.get("deletes", []))
+                )
     return out
 
 
@@ -299,8 +401,82 @@ def write_log_file(path: str, blocks: list[bytes]) -> None:
 # --------------------------------------------------------------------- #
 
 
+def _parse_record_key(rk: str, key_fields: list[str]) -> dict[str, str | None]:
+    """Invert Hudi's key generators: SimpleKeyGenerator emits the bare
+    value; ComplexKeyGenerator emits ``f1:v1,f2:v2`` with ``__null__``
+    / ``__empty__`` sentinels (public KeyGenUtils constants). Raises on
+    any shape that doesn't map onto ``key_fields`` — a tombstone whose
+    key can't be reconstructed must fail loudly, never silently
+    no-op."""
+    if len(key_fields) == 1 and ":" not in rk:
+        return {key_fields[0]: rk}
+    vals: dict[str, str | None] = {}
+    for part in rk.split(","):
+        name, sep, v = part.partition(":")
+        if not sep or name not in key_fields:
+            raise ValueError(
+                f"cannot map Hudi recordKey {rk!r} onto key fields "
+                f"{key_fields}"
+            )
+        vals[name] = (
+            None if v == "__null__" else "" if v == "__empty__" else v
+        )
+    missing = set(key_fields) - set(vals)
+    if missing:
+        raise ValueError(
+            f"Hudi recordKey {rk!r} is missing key fields {sorted(missing)}"
+        )
+    return vals
+
+
+def _key_from_string(v: str, dt):
+    """recordKey segment -> typed key column value (delete blocks carry
+    keys only as strings)."""
+    import decimal
+
+    from pyspark.sql import types as T
+
+    if isinstance(
+        dt, (T.ByteType, T.ShortType, T.IntegerType, T.LongType)
+    ):
+        return int(v)
+    if isinstance(dt, (T.FloatType, T.DoubleType)):
+        return float(v)
+    if isinstance(dt, T.DecimalType):
+        return decimal.Decimal(v)
+    if isinstance(dt, T.BooleanType):
+        return v == "true"
+    if isinstance(dt, T.StringType):
+        return v
+    raise ValueError(
+        f"cannot reconstruct a key column of type {dt} from a Hudi "
+        "delete-block recordKey"
+    )
+
+
+def _ordering_compatible(v, dt) -> bool:
+    """Can a delete record's ``orderingVal`` be served as the
+    precombine column? (Conservative: a mismatch merges on instant
+    order alone, which is still Hudi's primary discipline.)"""
+    from pyspark.sql import types as T
+
+    if isinstance(v, bool):
+        return isinstance(dt, T.BooleanType)
+    if isinstance(v, int):
+        return isinstance(
+            dt, (T.ByteType, T.ShortType, T.IntegerType, T.LongType,
+                 T.FloatType, T.DoubleType)
+        )
+    if isinstance(v, float):
+        return isinstance(dt, (T.FloatType, T.DoubleType))
+    if isinstance(v, str):
+        return isinstance(dt, T.StringType)
+    return False
+
+
 def read_log_records_df(spark, table_path: str, log_paths: list[str],
-                        spark_schema, valid_instants=None):
+                        spark_schema, valid_instants=None,
+                        key_fields=None, precombine=None):
     """Decode foreign MoR log files into rows, EXECUTOR-side: one
     input row per log file (the path list is already driver-side
     manifest metadata), grouped per FILE GROUP — a rollback block can
@@ -309,11 +485,22 @@ def read_log_records_df(spark, table_path: str, log_paths: list[str],
     (Hudi log files are dot-hidden, which Spark's ``binaryFile``
     source silently filters out). Output columns: the table schema +
     ``_hl_instant`` (each record's block instant, the MoR merge-order
-    key). O(log bytes) total work, parallel per file group."""
+    key) + ``_hl_seq`` (block sequence within the group's log replay,
+    the same-instant tiebreaker) + ``_hl_deleted`` (true for
+    delete-block tombstones, whose key columns are reconstructed from
+    the recordKey and whose precombine column — when type-compatible —
+    carries the delete record's orderingVal). A delete block without
+    ``key_fields`` fails loudly. O(log bytes) total work, parallel per
+    file group."""
     import pandas as pd
 
     cols = [f.name for f in spark_schema.fields]
-    out_schema = spark_schema.add("_hl_instant", "string")
+    dtypes = {f.name: f.dataType for f in spark_schema.fields}
+    out_schema = (
+        spark_schema.add("_hl_instant", "string")
+        .add("_hl_seq", "long")
+        .add("_hl_deleted", "boolean")
+    )
     rows_in = []
     for p in sorted(log_paths):
         info = parse_log_file_name(p)
@@ -333,9 +520,36 @@ def read_log_records_df(spark, table_path: str, log_paths: list[str],
         )
         blobs = [fsio.read_bytes(fsio.join(table_path, rel)) for rel in rels]
         rows: list[list] = []
-        for instant, records in resolve_log_blocks(blobs, valid_instants):
+        for seq, (instant, records, deletes) in enumerate(
+            resolve_log_blocks(blobs, valid_instants)
+        ):
             for rec in records:
-                rows.append([rec.get(c) for c in cols] + [instant])
-        return pd.DataFrame(rows, columns=cols + ["_hl_instant"])
+                rows.append([rec.get(c) for c in cols] + [instant, seq, False])
+            for d in deletes:
+                if key_fields is None:
+                    raise ValueError(
+                        "HoodieDeleteBlock present but no key fields "
+                        "known (hoodie.table.recordkey.fields missing "
+                        "and none given)"
+                    )
+                kv = _parse_record_key(d["recordKey"], key_fields)
+                vals = {
+                    k: None if v is None else _key_from_string(v, dtypes[k])
+                    for k, v in kv.items()
+                }
+                ov = d.get("orderingVal")
+                if (
+                    precombine
+                    and precombine in dtypes
+                    and ov is not None
+                    and _ordering_compatible(ov, dtypes[precombine])
+                ):
+                    vals[precombine] = ov
+                rows.append(
+                    [vals.get(c) for c in cols] + [instant, seq, True]
+                )
+        return pd.DataFrame(
+            rows, columns=cols + ["_hl_instant", "_hl_seq", "_hl_deleted"]
+        )
 
     return src.groupBy("fid").applyInPandas(_decode, out_schema)

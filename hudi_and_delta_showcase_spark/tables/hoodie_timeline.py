@@ -378,13 +378,18 @@ def read_hoodie_table_rt(
     without the hudi bundle. Log blocks decode EXECUTOR-side
     (``hoodie_log.read_log_records_df``), one task per file group.
 
-    Merge order is instant DESC then precombine DESC — commit order
-    first, precombine within a commit, the engine's (and Hudi's
+    Merge order is instant DESC then precombine DESC then log-block
+    sequence DESC — commit order first, precombine within a commit,
+    replay order as the last tiebreaker: the engine's (and Hudi's
     overwrite-with-latest payload's) exact discipline. Base rows take
     their slice's base instant (from the file-group naming convention;
     stored ``_hoodie_commit_time`` wins when populated); log rows take
-    their block's INSTANT_TIME header. Key/precombine fields default
-    from ``hoodie.properties`` (``hoodie.table.recordkey.fields`` /
+    their block's INSTANT_TIME header. DELETE blocks (r8) surface as
+    tombstones in the same merge: a key whose latest surviving entry
+    is a tombstone vanishes from the view, and a later data block
+    revives it — Hudi's log-scanner delete semantics. Key/precombine
+    fields default from ``hoodie.properties``
+    (``hoodie.table.recordkey.fields`` /
     ``hoodie.table.precombine.field``)."""
     import pyspark.sql.functions as F
     from pyspark.sql import Window
@@ -431,16 +436,19 @@ def read_hoodie_table_rt(
     logs = hl.read_log_records_df(
         spark, path, log_paths, base.drop("_hl_instant").schema,
         valid_instants=frozenset(i for i, _k in _completed_instants(path)),
+        key_fields=key_fields, precombine=precombine,
     )
     union = base.unionByName(logs, allowMissingColumns=True)
     order = [F.desc("_hl_instant")]
     if precombine:
         order.append(F.desc(precombine))
+    order.append(F.desc("_hl_seq"))  # in-file replay order (nulls last)
     w = Window.partitionBy(*key_fields).orderBy(*order)
     return (
         union.withColumn("__rn", F.row_number().over(w))
         .filter(F.col("__rn") == 1)
-        .drop("__rn", "_hl_instant")
+        .filter(~F.coalesce(F.col("_hl_deleted"), F.lit(False)))
+        .drop("__rn", "_hl_instant", "_hl_seq", "_hl_deleted")
     )
 
 
@@ -450,14 +458,17 @@ def append_log_commit(
     base_instant: str,
     records: list[dict],
     avro_schema: dict,
+    deletes: list[dict] | None = None,
 ) -> str:
     """Author one MoR delta commit the way Hudi lays it out: a hidden
     ``.log`` file of one Avro data block appended to ``file_id``'s
-    slice, plus the ``.deltacommit`` instant (requested -> inflight ->
-    completed) whose write stats reference the log file. Used by the
-    protocol-pin goldens and the foreign-MoR registry query; real Hudi
-    writers produce exactly this shape (one rolled log file per
-    commit)."""
+    slice — plus, when ``deletes`` is given, a ``HoodieDeleteBlock``
+    after it (a hard delete routed to the log, Hudi's normal
+    delete-on-MoR shape) — plus the ``.deltacommit`` instant
+    (requested -> inflight -> completed) whose write stats reference
+    the log file. Used by the protocol-pin goldens and the foreign-MoR
+    registry queries; real Hudi writers produce exactly this shape
+    (one rolled log file per commit)."""
     from hudi_and_delta_showcase_spark.tables import hoodie_log as hl
 
     instant = mf.make_commit_time()
@@ -479,10 +490,12 @@ def append_log_commit(
     inflight = fsio.join(_hoodie_dir(path), f"{instant}.deltacommit.inflight")
     fsio.write_atomic(inflight, "")
     log_name = hl.log_file_name(file_id, base_instant, version=version)
-    hl.write_log_file(
-        fsio.join(path, log_name),
-        [hl.avro_data_block(records, avro_schema, instant)],
-    )
+    blocks = []
+    if records:
+        blocks.append(hl.avro_data_block(records, avro_schema, instant))
+    if deletes:
+        blocks.append(hl.delete_block(deletes, instant))
+    hl.write_log_file(fsio.join(path, log_name), blocks)
     meta = {
         "partitionToWriteStats": {
             NON_PARTITIONED: [

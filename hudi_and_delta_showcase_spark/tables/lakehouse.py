@@ -643,9 +643,13 @@ class LakehouseTable:
         (commit order first, precombine second) resolves exactly as
         Hudi's realtime view; base rows without stored meta columns
         take their slice instant from the file-group naming convention
-        (``_repair_meta``). Log-only file groups and delete/HFile/
-        parquet log blocks refuse loudly (``hoodie_log``). A MoR
-        timeline forces ``table_type='mor'``."""
+        (``_repair_meta``). Log-only file groups adopt too. DELETE
+        blocks (r8, verdict r7 #1) fold as engine state at version 0:
+        killed log records are simply not materialized, killed base
+        rows become deletion-vector entries — zero base rewrites.
+        HFile/parquet data blocks and legacy kryo delete blocks refuse
+        loudly (``hoodie_log``). A MoR timeline forces
+        ``table_type='mor'``."""
         from hudi_and_delta_showcase_spark.tables import (
             hoodie_timeline as ht,
         )
@@ -688,6 +692,8 @@ class LakehouseTable:
         )
         table = cls(spark, path)
         log_files: list[str] = []
+        dv_files: list[str] = []
+        n_tombstones = 0
         if log_paths:
             from hudi_and_delta_showcase_spark.tables import (
                 hoodie_log as hl,
@@ -701,19 +707,67 @@ class LakehouseTable:
                 valid_instants=frozenset(
                     i for i, _k in ht._completed_instants(path)
                 ),
+                key_fields=key_cols, precombine=precombine,
             )
+            # DELETE-block tombstones (r8, verdict r7 #1) materialize
+            # as engine state at version 0: a tombstone kills every log
+            # record at-or-before its (instant, seq) for the same key
+            # — a LATER data block revives the key — and the base row,
+            # which is always older than any log entry of its slice,
+            # becomes a deletion-vector entry. Tombstones are O(deletes
+            # since last compaction), so both sides broadcast.
+            # (Keys are assumed unique per partition — Hudi's
+            # record-key contract — matching the engine's table-wide
+            # MoR merge.)
+            # one decode pass total: the tombstone probe caches the
+            # decoded log rows the materializing write then reuses
+            logs = logs.persist()
+            tomb = logs.filter(F.col("_hl_deleted"))
+            last_tomb = tomb.groupBy(*key_cols).agg(
+                F.max(F.struct("_hl_instant", "_hl_seq")).alias("__t")
+            )
+            n_tombstones = last_tomb.count()
+            data = logs.filter(~F.col("_hl_deleted"))
+            if n_tombstones:
+                data = (
+                    data.join(F.broadcast(last_tomb), key_cols, "left")
+                    .filter(
+                        F.col("__t").isNull()
+                        | (F.struct("_hl_instant", "_hl_seq") > F.col("__t"))
+                    )
+                    .drop("__t")
+                )
+                hits = (
+                    spark.read.parquet(
+                        *[fsio.join(path, f) for f in files]
+                    )
+                    .withColumn("__file", table._dv_file_col())
+                    .withColumn("__pos", F.col("_metadata.row_index"))
+                    .join(
+                        F.broadcast(last_tomb.select(*key_cols)),
+                        key_cols,
+                        "left_semi",
+                    )
+                    .select(
+                        F.col("__file").alias("file_name"),
+                        F.col("__pos").alias("pos"),
+                    )
+                )
+                dv_files = table._write_dv_files(hits, "c00000")
+            data = data.drop("_hl_seq", "_hl_deleted")
             if "_hoodie_commit_time" in base_schema.fieldNames():
-                logs = logs.withColumn(
+                data = data.withColumn(
                     "_hoodie_commit_time",
                     F.coalesce(
                         F.col("_hoodie_commit_time"), F.col("_hl_instant")
                     ),
                 ).drop("_hl_instant")
             else:
-                logs = logs.withColumnRenamed(
+                data = data.withColumnRenamed(
                     "_hl_instant", "_hoodie_commit_time"
                 )
-            log_files = table._write_files(logs, "l00000", log=True)
+            log_files = table._write_files(data, "l00000", log=True)
+            logs.unpersist()
         mf.append_commit(
             path,
             mf.Commit(
@@ -722,12 +776,18 @@ class LakehouseTable:
                 commit_time=mf.make_commit_time(),
                 files=files,
                 log_files=log_files,
+                dv_files=dv_files,
                 stats={
                     "converted_files": len(files),
                     "source_format": "hoodie",
                     **(
                         {"adopted_log_files": len(log_paths)}
                         if log_paths
+                        else {}
+                    ),
+                    **(
+                        {"adopted_tombstone_keys": n_tombstones}
+                        if n_tombstones
                         else {}
                     ),
                 },

@@ -31,23 +31,53 @@ def test_multi_block_file_and_rollback():
     b2 = hl.avro_data_block([{"k": 2, "v": "b"}], _SCHEMA, "002")
     rb = hl.rollback_block("001", "003")
     out = hl.resolve_log_blocks([b1 + b2 + rb])
-    assert out == [("002", [{"k": 2, "v": "b"}])]
+    assert out == [("002", [{"k": 2, "v": "b"}], [])]
     # rollback reaches across FILES of the same group
     out = hl.resolve_log_blocks([b1, b2, rb])
-    assert out == [("002", [{"k": 2, "v": "b"}])]
+    assert out == [("002", [{"k": 2, "v": "b"}], [])]
 
 
 def test_uncommitted_instant_blocks_skipped():
     b1 = hl.avro_data_block([{"k": 1, "v": "a"}], _SCHEMA, "001")
     b2 = hl.avro_data_block([{"k": 2, "v": "b"}], _SCHEMA, "002")
     out = hl.resolve_log_blocks([b1 + b2], valid_instants=frozenset({"001"}))
-    assert out == [("001", [{"k": 1, "v": "a"}])]
+    assert out == [("001", [{"k": 1, "v": "a"}], [])]
 
 
-def test_refuses_delete_and_hfile_blocks():
-    fake = hl._frame_block(hl.DELETE_BLOCK, {hl.INSTANT_TIME: "001"}, b"x")
+def test_delete_block_roundtrip():
+    """r8: HoodieDeleteBlock (Avro HoodieDeleteRecordList, content
+    version 3 — Hudi >= 0.14) encodes and decodes; tombstones fold in
+    log order through resolve_log_blocks."""
+    dels = [
+        {"recordKey": "7", "partitionPath": "", "orderingVal": 42},
+        {"recordKey": "id:9,region:eu", "partitionPath": None,
+         "orderingVal": None},
+    ]
+    blob = hl.delete_block(dels, "002")
+    (block,) = hl.parse_log_blob(blob)
+    assert block["type"] == hl.DELETE_BLOCK
+    assert block["deletes"] == dels
+    b1 = hl.avro_data_block([{"k": 1, "v": "a"}], _SCHEMA, "001")
+    out = hl.resolve_log_blocks([b1 + blob])
+    assert out == [("001", [{"k": 1, "v": "a"}], []), ("002", [], dels)]
+    # rollback of the delete's instant drops the tombstones too
+    out = hl.resolve_log_blocks([b1 + blob + hl.rollback_block("002", "003")])
+    assert out == [("001", [{"k": 1, "v": "a"}], [])]
+
+
+def test_refuses_legacy_kryo_delete_and_hfile_blocks():
+    import struct
+
+    legacy = hl._frame_block(
+        hl.DELETE_BLOCK, {hl.INSTANT_TIME: "001"},
+        struct.pack(">ii", 2, 1) + b"x",  # version 2 = kryo DeleteRecord[]
+    )
+    with pytest.raises(ValueError, match="kryo"):
+        hl.parse_log_blob(legacy)
+    hfile = hl._frame_block(hl.HFILE_DATA_BLOCK, {hl.INSTANT_TIME: "001"},
+                            b"x")
     with pytest.raises(ValueError, match="beyond this reader"):
-        hl.parse_log_blob(fake)
+        hl.parse_log_blob(hfile)
 
 
 def test_bad_leading_magic_fails_loudly():
@@ -69,12 +99,13 @@ def test_torn_tail_and_corrupt_block_recovery():
     blocks = hl.parse_log_blob(torn)
     assert [b["type"] for b in blocks] == [hl.AVRO_DATA_BLOCK,
                                            hl.CORRUPT_BLOCK]
-    assert hl.resolve_log_blocks([torn]) == [("001", [{"k": 1, "v": "a"}])]
+    assert hl.resolve_log_blocks([torn]) == [
+        ("001", [{"k": 1, "v": "a"}], [])]
     # corrupt middle: flipped length byte in b1, intact b2 after it
     corrupt = bytearray(b1 + b2)
     corrupt[7] ^= 0x01
     out = hl.resolve_log_blocks([bytes(corrupt)])
-    assert out == [("002", [{"k": 2, "v": "b"}])]
+    assert out == [("002", [{"k": 2, "v": "b"}], [])]
 
 
 def test_log_file_name_roundtrip():
@@ -108,7 +139,7 @@ def test_block_roundtrip_property():
         out = hl.resolve_log_blocks([b1, b2])
         want = ([("001", r1)] if r1 else []) + [("002", r2)]
         # empty batches still frame/parse; records match field-for-field
-        assert [(i, rs) for i, rs in out if rs] == [
+        assert [(i, rs) for i, rs, _d in out if rs] == [
             (i, rs) for i, rs in want if rs]
 
     _roundtrip()
