@@ -152,10 +152,18 @@ def write_checkpoint(spark: SparkSession, path: str) -> int:
     import pyarrow.parquet as pq
 
     versions = _list_versions(path)
-    if not versions:
+    prev_cp = _read_checkpoint(path)
+    if not versions and prev_cp is None:
         raise FileNotFoundError(f"no _delta_log commits under {path}")
-    version = versions[-1]
-    meta, files, adds = _replay(path, version, use_checkpoint=False)
+    version = max(
+        versions[-1] if versions else -1,
+        prev_cp[0] if prev_cp is not None else -1,
+    )
+    # checkpoint-aware replay: a foreign log whose early JSON commits
+    # expired (metadata retention) still rebuilds the FULL live set —
+    # replaying surviving commits alone would silently drop the
+    # checkpoint-era files
+    meta, files, adds = _replay(path, version)
     proto_type = pa.struct(
         [
             ("minReaderVersion", pa.int32()),
@@ -224,9 +232,16 @@ def write_checkpoint(spark: SparkSession, path: str) -> int:
     # the checkpoint must carry the LOG'S protocol (a DV-bearing export
     # runs 3/7 with feature lists; writing the default 1/2 here would
     # LOWER the table's protocol for readers that start from the
-    # checkpoint) and each live add's DV descriptor + partitionValues
+    # checkpoint) and each live add's DV descriptor + partitionValues.
+    # Base = the prior CHECKPOINT's protocol row when the JSON commit
+    # that carried the action has expired; later commits overlay.
     proto = dict(_PROTOCOL)
+    proto_floor = -1
+    if prev_cp is not None and prev_cp[3]:
+        proto, proto_floor = dict(prev_cp[3]), prev_cp[0]
     for v in versions:
+        if v <= proto_floor:
+            continue
         for line in fsio.read_text(_commit_file(path, v)).splitlines():
             if line.strip() and '"protocol"' in line:
                 action = json.loads(line)
@@ -296,28 +311,18 @@ def _read_parquet_rows(cp: str) -> list[dict]:
     return pq.read_table(cp).to_pylist()
 
 
-def _read_checkpoint(path: str) -> tuple[int, dict, dict[str, bool]] | None:
-    """Resolve the newest checkpoint via ``_last_checkpoint``. Handles
-    BOTH checkpoint dialects:
-
-    * this engine's compact ``(kind, json)`` rows, and
-    * the REAL Delta protocol's classic checkpoint — one action per
-      row in struct-typed columns (``add`` / ``metaData`` / ``remove``
-      / ``txn`` / ``protocol``), including multi-part checkpoints
-      (``_last_checkpoint.parts`` +
-      ``{v}.checkpoint.{i}.{parts}.parquet`` naming).
-
-    The foreign dialect is what a long-lived delta-spark table ALWAYS
-    has — its early JSON commits expire, so a reader that cannot start
-    from the parquet checkpoint cannot read the table at all."""
-    lc = fsio.join(_log_dir(path), "_last_checkpoint")
-    if not fsio.exists(lc):
-        return None
-    lc_doc = json.loads(fsio.read_pointer_text(lc, attempts=2))
+def _checkpoint_files(path: str, lc_doc: dict) -> list[str]:
+    """Resolve ``_last_checkpoint`` to the checkpoint file list across
+    the protocol's three naming schemes: multi-part classic
+    (``parts`` + ``{v}.checkpoint.{i}.{parts}.parquet``), single-file
+    classic (``{v}.checkpoint.parquet``), and V2's UUID naming
+    (``{v}.checkpoint.{uuid}.parquet`` / ``.json``) — found by listing,
+    since ``_last_checkpoint`` does not carry the UUID in every
+    writer's dialect."""
     cp_version = lc_doc["version"]
     parts = lc_doc.get("parts")
     if parts:
-        cp_files = [
+        return [
             fsio.join(
                 _log_dir(path),
                 f"{cp_version:020d}.checkpoint."
@@ -325,14 +330,76 @@ def _read_checkpoint(path: str) -> tuple[int, dict, dict[str, bool]] | None:
             )
             for i in range(1, parts + 1)
         ]
-    else:
-        cp_files = [
-            fsio.join(_log_dir(path), f"{cp_version:020d}.checkpoint.parquet")
+    classic = fsio.join(
+        _log_dir(path), f"{cp_version:020d}.checkpoint.parquet"
+    )
+    if fsio.exists(classic):
+        return [classic]
+    prefix = f"{cp_version:020d}.checkpoint."
+    uuid_named = sorted(
+        f
+        for f in fsio.listdir(_log_dir(path))
+        if f.startswith(prefix) and f.endswith((".parquet", ".json"))
+    )
+    if not uuid_named:
+        raise FileNotFoundError(
+            f"_last_checkpoint points at version {cp_version} but no "
+            f"checkpoint file matches {prefix}* under {_log_dir(path)}"
+        )
+    # exactly one UUID-named checkpoint is current; writers clean the
+    # rest, but prefer the lexicographically last for determinism
+    return [fsio.join(_log_dir(path), uuid_named[-1])]
+
+
+def _checkpoint_action_rows(cp: str) -> list[dict]:
+    """One checkpoint (or sidecar) file -> action rows. V2 checkpoints
+    may be JSON (newline-delimited actions, same shape as commits);
+    classic and sidecar files are parquet with struct-typed action
+    columns."""
+    if cp.endswith(".json"):
+        return [
+            json.loads(line)
+            for line in fsio.read_text(cp).splitlines()
+            if line.strip()
         ]
+    return _read_parquet_rows(cp)
+
+
+def _read_checkpoint(
+    path: str,
+) -> tuple[int, dict, dict[str, bool], dict | None] | None:
+    """Resolve the newest checkpoint via ``_last_checkpoint`` ->
+    ``(version, metaData, {path -> add}, protocol | None)``. Handles
+    ALL THREE checkpoint dialects:
+
+    * this engine's compact ``(kind, json)`` rows,
+    * the REAL Delta protocol's classic checkpoint — one action per
+      row in struct-typed columns (``add`` / ``metaData`` / ``remove``
+      / ``txn`` / ``protocol``), including multi-part checkpoints
+      (``_last_checkpoint.parts`` +
+      ``{v}.checkpoint.{i}.{parts}.parquet`` naming), and
+    * **V2 checkpoints** (r8, the ``v2Checkpoint`` reader feature
+      newer Databricks writers flip to once any table feature is
+      enabled): a UUID-named manifest holding ``checkpointMetadata`` +
+      ``sidecar`` actions (plus protocol/metaData), with the add
+      actions in sidecar parquet files under ``_delta_log/_sidecars/``
+      — both the parquet and JSON manifest forms.
+
+    The foreign dialects are what a long-lived delta-spark table
+    ALWAYS has — its early JSON commits expire, so a reader that
+    cannot start from the checkpoint cannot read the table at all."""
+    lc = fsio.join(_log_dir(path), "_last_checkpoint")
+    if not fsio.exists(lc):
+        return None
+    lc_doc = json.loads(fsio.read_pointer_text(lc, attempts=2))
+    cp_version = lc_doc["version"]
     meta: dict = {}
     live: dict[str, dict | None] = {}
-    for cp in cp_files:
-        for row in _read_parquet_rows(cp):
+    protocol: dict | None = None
+    pending = list(_checkpoint_files(path, lc_doc))
+    while pending:
+        cp = pending.pop(0)
+        for row in _checkpoint_action_rows(cp):
             if "kind" in row:  # this engine's compact dialect
                 payload = json.loads(row["json"])
                 if row["kind"] == "metaData":
@@ -341,6 +408,30 @@ def _read_checkpoint(path: str) -> tuple[int, dict, dict[str, bool]] | None:
                     live[payload["path"]] = payload
                 continue
             # foreign (delta-spark) dialect: struct-typed action columns
+            if row.get("sidecar") is not None:
+                # V2: adds live in sidecar files, manifest-relative to
+                # _delta_log/_sidecars/ (absolute paths allowed)
+                sp = row["sidecar"]["path"]
+                pending.append(
+                    sp
+                    if "://" in sp or sp.startswith("/")
+                    else fsio.join(_log_dir(path), "_sidecars", sp)
+                )
+            if row.get("checkpointMetadata") is not None:
+                # V2 manifests self-describe their snapshot version;
+                # a mismatch with _last_checkpoint means a torn swap
+                v2v = row["checkpointMetadata"].get("version")
+                if v2v is not None and int(v2v) != cp_version:
+                    raise RuntimeError(
+                        f"checkpointMetadata.version {v2v} does not "
+                        f"match _last_checkpoint version {cp_version}"
+                    )
+            if row.get("protocol") is not None:
+                p = {
+                    k: v for k, v in row["protocol"].items() if v is not None
+                }
+                if p:
+                    protocol = p
             if row.get("metaData") is not None:
                 meta = {
                     k: v for k, v in row["metaData"].items() if v is not None
@@ -368,8 +459,8 @@ def _read_checkpoint(path: str) -> tuple[int, dict, dict[str, bool]] | None:
                     }
                 live[add["path"]] = add
             # remove rows in checkpoints are vacuum tombstones, not
-            # live-set state; txn/protocol don't affect the scan
-    return cp_version, meta, live
+            # live-set state; txn doesn't affect the scan
+    return cp_version, meta, live, protocol
 
 
 def _replay(
@@ -631,7 +722,7 @@ def read_delta_table(
 
 
 SUPPORTED_READER_FEATURES = frozenset(
-    {"deletionVectors", "columnMapping", "timestampNtz"}
+    {"deletionVectors", "columnMapping", "timestampNtz", "v2Checkpoint"}
 )
 
 
@@ -772,27 +863,8 @@ def adopt_delta_snapshot(path: str) -> tuple[dict, list[str], dict]:
             if "protocol" in action:
                 _protocol_guard(action["protocol"])
     cp = _read_checkpoint(path)
-    if cp is not None:
-        lc = json.loads(
-            fsio.read_pointer_text(
-                fsio.join(_log_dir(path), "_last_checkpoint"), attempts=2
-            )
-        )
-        parts = lc.get("parts")
-        names = (
-            [
-                f"{cp[0]:020d}.checkpoint.{i:010d}.{parts:010d}.parquet"
-                for i in range(1, parts + 1)
-            ]
-            if parts
-            else [f"{cp[0]:020d}.checkpoint.parquet"]
-        )
-        for name in names:
-            for row in _read_parquet_rows(fsio.join(_log_dir(path), name)):
-                if "kind" in row:
-                    continue  # our own dialect: protocol is always 1/2
-                if row.get("protocol") is not None:
-                    _protocol_guard(row["protocol"])
+    if cp is not None and cp[3]:
+        _protocol_guard(cp[3])
     return meta, files, adds
 
 

@@ -212,8 +212,10 @@ def test_still_refuses_unknown_features_and_id_mapping(spark, tmp_path):
                 "columnMapping.mode",
             ),
             (
+                # v2Checkpoint/typeWidening graduated to supported (r8);
+                # variantType is a real Delta 4.x feature still beyond us
                 {"protocol": {"minReaderVersion": 3, "minWriterVersion": 7,
-                              "readerFeatures": ["v2Checkpoint"]}},
+                              "readerFeatures": ["variantType"]}},
                 "reader features",
             ),
             (

@@ -605,3 +605,168 @@ def test_reader_accepts_hudi_authored_mor_timeline(spark, tmp_path):
         for r in t.read().select("k", "v", "sq").collect()
     )
     assert adopted == rt
+
+
+def _v2_checkpoint_fixture(root: str, manifest_kind: str) -> None:
+    """A foreign Delta table whose ONLY snapshot source is a V2
+    checkpoint (JSON commits expired — the long-lived Databricks-table
+    state): UUID-named manifest carrying checkpointMetadata + sidecar
+    + protocol + metaData actions, add actions in a sidecar parquet
+    under _delta_log/_sidecars/. ``manifest_kind``: 'parquet' | 'json'.
+    Shapes from the public delta-io PROTOCOL.md (V2 spec files)."""
+    log = os.path.join(root, "_delta_log")
+    side_dir = os.path.join(log, "_sidecars")
+    os.makedirs(side_dir)
+    f0 = "part-00000-9c8e2d70-0001-4d9c-b1f0-000000000001-c000.snappy.parquet"
+    f1 = "part-00000-9c8e2d70-0002-4d9c-b1f0-000000000002-c000.snappy.parquet"
+    _write_parquet(os.path.join(root, f0), [1, 2], ["a", "b"])
+    _write_parquet(os.path.join(root, f1), [3, 4], ["c", "d"])
+    sc_name = "016ae953-37a9-438e-8683-9a9a4a79a395.parquet"
+    add_type = pa.struct([
+        ("path", pa.string()),
+        ("partitionValues", pa.map_(pa.string(), pa.string())),
+        ("size", pa.int64()),
+        ("modificationTime", pa.int64()),
+        ("dataChange", pa.bool_()),
+        ("stats", pa.string()),
+    ])
+    adds = [
+        {"path": f0, "partitionValues": [], "size": 900,
+         "modificationTime": 1700000000000, "dataChange": True,
+         "stats": json.dumps({"numRecords": 2})},
+        {"path": f1, "partitionValues": [], "size": 900,
+         "modificationTime": 1700000000000, "dataChange": True,
+         "stats": json.dumps({"numRecords": 2})},
+    ]
+    pq.write_table(
+        pa.table({"add": pa.array(adds, add_type)}),
+        os.path.join(side_dir, sc_name),
+    )
+    protocol = {
+        "minReaderVersion": 3, "minWriterVersion": 7,
+        "readerFeatures": ["v2Checkpoint"],
+        "writerFeatures": ["v2Checkpoint"],
+    }
+    meta = {
+        "id": "2c3f1d9e-77aa-4c40-9f3a-9e5bcd0e6f10",
+        "format": {"provider": "parquet", "options": {}},
+        "schemaString": _SCHEMA_STRING, "partitionColumns": [],
+        "configuration": {}, "createdTime": 1700000000000,
+    }
+    cpm = {"version": 1}
+    sidecar = {"path": sc_name, "sizeInBytes": 900,
+               "modificationTime": 1700000000000}
+    manifest = (
+        f"00000000000000000001.checkpoint."
+        f"80a083e8-7026-4e79-81be-64bd76c43a11.{manifest_kind}"
+    )
+    if manifest_kind == "json":
+        actions = [
+            {"checkpointMetadata": cpm},
+            {"sidecar": sidecar},
+            {"protocol": protocol},
+            {"metaData": meta},
+        ]
+        with open(os.path.join(log, manifest), "w") as fh:
+            fh.write("\n".join(json.dumps(a) for a in actions) + "\n")
+    else:
+        cpm_type = pa.struct([("version", pa.int64())])
+        sc_type = pa.struct([
+            ("path", pa.string()), ("sizeInBytes", pa.int64()),
+            ("modificationTime", pa.int64()),
+        ])
+        proto_type = pa.struct([
+            ("minReaderVersion", pa.int32()),
+            ("minWriterVersion", pa.int32()),
+            ("readerFeatures", pa.list_(pa.string())),
+            ("writerFeatures", pa.list_(pa.string())),
+        ])
+        meta_pa = dict(meta)
+        meta_pa["format"] = {"provider": "parquet", "options": []}
+        meta_pa["configuration"] = []
+        meta_type = pa.struct([
+            ("id", pa.string()),
+            ("format", pa.struct([
+                ("provider", pa.string()),
+                ("options", pa.map_(pa.string(), pa.string())),
+            ])),
+            ("schemaString", pa.string()),
+            ("partitionColumns", pa.list_(pa.string())),
+            ("configuration", pa.map_(pa.string(), pa.string())),
+            ("createdTime", pa.int64()),
+        ])
+        pq.write_table(
+            pa.table({
+                "checkpointMetadata": pa.array(
+                    [cpm, None, None, None], cpm_type),
+                "sidecar": pa.array([None, sidecar, None, None], sc_type),
+                "protocol": pa.array([None, None, protocol, None],
+                                     proto_type),
+                "metaData": pa.array([None, None, None, meta_pa],
+                                     meta_type),
+            }),
+            os.path.join(log, manifest),
+        )
+    with open(os.path.join(log, "_last_checkpoint"), "w") as fh:
+        fh.write(json.dumps({"version": 1, "size": 4,
+                             "sizeInBytes": 2048}))
+
+
+@pytest.mark.parametrize("manifest_kind", ["parquet", "json"])
+def test_reader_accepts_v2_checkpoint(spark, tmp_path, manifest_kind):
+    """r8 (verdict r7 #2): a V2-checkpoint-only foreign snapshot —
+    UUID-named manifest + sidecar adds, no surviving JSON commits —
+    serves through read_delta_table and adopts through convert_delta;
+    a later JSON commit replays on top of the checkpoint."""
+    from hudi_and_delta_showcase_spark.tables import LakehouseTable
+    from hudi_and_delta_showcase_spark.tables.delta_log import (
+        read_delta_table,
+    )
+
+    root = str(tmp_path / "dl")
+    _v2_checkpoint_fixture(root, manifest_kind)
+    snap = sorted(tuple(r) for r in read_delta_table(spark, root).collect())
+    assert snap == [(1, "a"), (2, "b"), (3, "c"), (4, "d")]
+
+    # a commit AFTER the checkpoint replays on top of it
+    f2 = "part-00000-9c8e2d70-0003-4d9c-b1f0-000000000003-c000.snappy.parquet"
+    _write_parquet(os.path.join(root, f2), [5], ["e"])
+    v2 = [
+        {"commitInfo": {"timestamp": 1700000200000, "operation": "WRITE"}},
+        {"add": {"path": f2, "partitionValues": {}, "size": 400,
+                 "modificationTime": 1700000200000, "dataChange": True}},
+    ]
+    with open(os.path.join(root, "_delta_log",
+                           "00000000000000000002.json"), "w") as fh:
+        fh.write("\n".join(json.dumps(a) for a in v2) + "\n")
+    snap = sorted(tuple(r) for r in read_delta_table(spark, root).collect())
+    assert snap == [(1, "a"), (2, "b"), (3, "c"), (4, "d"), (5, "e")]
+
+    t = LakehouseTable.convert_delta(spark, root, key_cols=["k"])
+    assert sorted((r.k, r.v) for r in t.read().select("k", "v").collect()) \
+        == [(1, "a"), (2, "b"), (3, "c"), (4, "d"), (5, "e")]
+
+
+def test_v2_checkpoint_metadata_version_mismatch_refuses(spark, tmp_path):
+    """A manifest whose checkpointMetadata.version disagrees with
+    _last_checkpoint is a torn swap — refuse, don't serve a mix."""
+    from hudi_and_delta_showcase_spark.tables.delta_log import (
+        read_delta_table,
+    )
+
+    root = str(tmp_path / "dl")
+    _v2_checkpoint_fixture(root, "json")
+    lc = os.path.join(root, "_delta_log", "_last_checkpoint")
+    with open(lc, "w") as fh:
+        fh.write(json.dumps({"version": 1, "size": 4}))
+    manifest = [
+        f for f in os.listdir(os.path.join(root, "_delta_log"))
+        if ".checkpoint." in f
+    ][0]
+    mp = os.path.join(root, "_delta_log", manifest)
+    lines = open(mp).read().splitlines()
+    lines[0] = json.dumps({"checkpointMetadata": {"version": 7}})
+    with open(mp, "w") as fh:
+        fh.write("\n".join(lines) + "\n")
+    with pytest.raises(RuntimeError, match="checkpointMetadata"):
+        read_delta_table(spark, root).collect()
