@@ -60,7 +60,14 @@ _SHINGLE_CACHE: dict[tuple, DataFrame] = {}
 
 
 def _docs_shingled(spark: SparkSession, sf_dir: str, n: int = 3) -> DataFrame:
-    key = (spark.sparkContext.applicationId, sf_dir, n)
+    app = spark.sparkContext.applicationId
+    # single-app cache (r8, r7-advice #5): entries from ENDED sessions
+    # are dead weight (their checkpoint blocks are gone with the
+    # executors) — evict anything keyed to another applicationId so a
+    # long-lived process cycling sessions stays bounded.
+    for k in [k for k in _SHINGLE_CACHE if k[0] != app]:
+        del _SHINGLE_CACHE[k]
+    key = (app, sf_dir, n)
     hit = _SHINGLE_CACHE.get(key)
     if hit is not None:
         return hit

@@ -299,6 +299,19 @@ def write_checkpoint(spark: SparkSession, path: str) -> int:
     return version
 
 
+def parquet_column_names(fpath: str) -> set[str]:
+    """Footer-only column-name read (id-mapped adoption guard)."""
+    import pyarrow.parquet as pq
+
+    if fsio.is_remote(fpath):
+        import pyarrow.fs as pafs
+
+        pfs, ppath = pafs.FileSystem.from_uri(fpath)
+        with pfs.open_input_file(ppath) as fh:
+            return set(pq.read_schema(fh).names)
+    return set(pq.read_schema(fpath).names)
+
+
 def _read_parquet_rows(cp: str) -> list[dict]:
     import pyarrow.parquet as pq
 
@@ -519,22 +532,32 @@ def _live_files(path: str, version: int | None) -> list[str]:
     return _replay(path, version)[1]
 
 
-def column_mapping_of(meta: dict) -> dict[str, str]:
-    """``columnMapping.mode=name`` physical -> logical name map from the
-    metaData's schemaString field metadata
-    (``delta.columnMapping.physicalName`` per field, top level; nested
-    struct renames are beyond this reader and refused by the mode guard
-    in ``_mapping_guard``). Empty dict when the table has no mapping."""
+def _mapping_mode(meta: dict) -> str:
     mode = (meta.get("configuration") or {}).get(
         "delta.columnMapping.mode", "none"
     )
-    if mode == "none":
-        return {}
-    if mode != "name":
+    if mode not in ("none", "name", "id"):
         raise RuntimeError(
-            f"delta.columnMapping.mode={mode!r} requires parquet "
-            "field-id resolution; only 'name' mapping is supported"
+            f"delta.columnMapping.mode={mode!r} is beyond this reader"
         )
+    return mode
+
+
+def column_mapping_of(meta: dict) -> dict[str, str]:
+    """``columnMapping`` physical -> logical name map from the
+    metaData's schemaString field metadata
+    (``delta.columnMapping.physicalName`` per field, top level; nested
+    struct renames are beyond this reader and refused by the mode guard
+    in ``_mapping_guard``). Empty dict when the table has no mapping.
+
+    Both ``name`` and ``id`` modes (r8) record a ``physicalName`` that
+    is assigned once at column creation and NEVER changes on rename —
+    the map applies to either; id mode additionally resolves columns in
+    the data files by parquet FIELD ID (``_physical_schema`` attaches
+    the ids, the scan runs under
+    ``spark.sql.parquet.fieldId.read.enabled``)."""
+    if _mapping_mode(meta) == "none":
+        return {}
     out: dict[str, str] = {}
     for fld in json.loads(meta["schemaString"])["fields"]:
         phys = (fld.get("metadata") or {}).get(
@@ -547,18 +570,38 @@ def column_mapping_of(meta: dict) -> dict[str, str]:
 
 def _physical_schema(meta: dict):
     """The schema as stored in the data files: logical field names
-    swapped for their ``physicalName`` under column mapping."""
+    swapped for their ``physicalName`` under column mapping. In id
+    mode each physical field also carries ``parquet.field.id``
+    metadata (from ``delta.columnMapping.id``), which Spark's parquet
+    reader uses to match file columns BY FIELD ID when
+    ``spark.sql.parquet.fieldId.read.enabled`` is on — the
+    spec-required resolution for id-mapped tables; a file without ids
+    then fails loudly instead of mis-matching by name."""
     from pyspark.sql.types import StructField, StructType
 
     schema = StructType.fromJson(json.loads(meta["schemaString"]))
-    mapping = column_mapping_of(meta)
-    if not mapping:
+    mode = _mapping_mode(meta)
+    if mode == "none":
         return schema, schema
+    mapping = column_mapping_of(meta)
     inverse = {log: phys for phys, log in mapping.items()}
+    ids: dict[str, int] = {}
+    if mode == "id":
+        for fld in json.loads(meta["schemaString"])["fields"]:
+            fid = (fld.get("metadata") or {}).get("delta.columnMapping.id")
+            if fid is None:
+                raise RuntimeError(
+                    f"columnMapping.mode=id but field {fld['name']!r} "
+                    "carries no delta.columnMapping.id"
+                )
+            ids[fld["name"]] = int(fid)
     phys = StructType(
         [
             StructField(
-                inverse.get(f.name, f.name), f.dataType, f.nullable
+                inverse.get(f.name, f.name),
+                f.dataType,
+                f.nullable,
+                {"parquet.field.id": ids[f.name]} if mode == "id" else None,
             )
             for f in schema.fields
         ]
@@ -568,11 +611,15 @@ def _physical_schema(meta: dict):
 
 def version_as_of_timestamp(path: str, ts_ms: int) -> int:
     """Delta ``TIMESTAMP AS OF`` resolution against a raw
-    ``_delta_log`` (r7): the LAST version whose commitInfo timestamp is
+    ``_delta_log``: the LAST version whose commitInfo timestamp is
     <= the requested instant — delta-spark's exact rule (a timestamp
-    before the first commit errors). O(commits) driver IO."""
-    best: int | None = None
-    for v in _list_versions(path):
+    before the first commit errors). r8: the scan walks versions
+    NEWEST → OLDEST and stops at the first qualifying commit — the
+    highest qualifying version by construction, so identical results
+    without assuming monotonic timestamps (Delta doesn't guarantee
+    them), and O(1) commit reads for the common recent-timestamp case
+    instead of O(commits)."""
+    for v in reversed(_list_versions(path)):
         for line in fsio.read_text(_commit_file(path, v)).splitlines():
             if not line.strip() or '"commitInfo"' not in line:
                 continue
@@ -580,13 +627,11 @@ def version_as_of_timestamp(path: str, ts_ms: int) -> int:
             if "commitInfo" in a:
                 t = a["commitInfo"].get("timestamp")
                 if t is not None and t <= ts_ms:
-                    best = v
+                    return v
                 break
-    if best is None:
-        raise ValueError(
-            f"timestamp {ts_ms} predates the first commit of {path}"
-        )
-    return best
+    raise ValueError(
+        f"timestamp {ts_ms} predates the first commit of {path}"
+    )
 
 
 def read_delta_table(
@@ -622,6 +667,12 @@ def read_delta_table(
     schema, phys_schema = _physical_schema(meta)
     if not files:
         return spark.createDataFrame([], schema)
+    if _mapping_mode(meta) == "id":
+        # id-mapped tables resolve file columns by parquet field id
+        # (the ids ride the requested schema's field metadata). The
+        # flag only changes behavior for schemas that CARRY ids, so
+        # leaving it on session-wide is inert for every other scan.
+        spark.conf.set("spark.sql.parquet.fieldId.read.enabled", "true")
     df = spark.read.schema(phys_schema).parquet(
         *[fsio.join(path, f) for f in files]
     )
@@ -701,10 +752,19 @@ def read_delta_table(
         # so Catalyst would default to a sort-merge anti-join — but the
         # descriptors already carry the EXACT total cardinality
         # (driver-side metadata), so broadcast whenever it provably
-        # fits; a snapshot with tens of millions of deleted rows falls
-        # back to the shuffle join
+        # fits. Gate on estimated BYTES, not row count (r8, r7-advice
+        # #2): each decoded row is (file_name string, pos long), so a
+        # 10M-row cap could mean hundreds of MB collected on the
+        # driver and shipped to every executor. ~64 MB keeps the hint
+        # inside normal broadcast budgets; bigger DV sets fall back to
+        # the shuffle join AQE plans from the decoded side's runtime
+        # stats.
         total = sum(int(d.get("cardinality") or 0) for d in dvs.values())
-        if 0 < total <= 10_000_000:
+        avg_name = (
+            sum(len(f) for f in dvs) / len(dvs) if dvs else 0
+        )
+        est_bytes = total * (avg_name + 24)
+        if 0 < est_bytes <= 64 * 1024 * 1024:
             dv = F.broadcast(dv)
         df = df.join(
             dv,
@@ -721,8 +781,22 @@ def read_delta_table(
     )
 
 
+#: r8 adds ``v2Checkpoint`` (UUID manifest + sidecars, `_read_checkpoint`)
+#: and ``typeWidening`` (+ its delta-spark 3.x preview name): the read
+#: path already pins ``metaData.schemaString`` onto the scan and Spark
+#: 4's parquet reader performs the PROTOCOL.md-sanctioned widening
+#: conversions (int8→…→int64, float→double, int→double, date→
+#: timestamp_ntz) on legacy-narrow files natively — the engine's own
+#: widening (`cdc_type_widening`) uses the same mechanism.
 SUPPORTED_READER_FEATURES = frozenset(
-    {"deletionVectors", "columnMapping", "timestampNtz", "v2Checkpoint"}
+    {
+        "deletionVectors",
+        "columnMapping",
+        "timestampNtz",
+        "v2Checkpoint",
+        "typeWidening",
+        "typeWidening-preview",
+    }
 )
 
 
@@ -847,14 +921,16 @@ def adopt_delta_snapshot(path: str) -> tuple[dict, list[str], dict]:
     not refused — DVs translate into the engine's own sidecar format
     at convert time (``LakehouseTable.convert_delta``) and the
     physical->logical name map seeds the manifest's ``column_mapping``
-    (the same machinery ``rename_column`` uses). What still refuses
-    loudly: reader features beyond {deletionVectors, columnMapping,
-    timestampNtz} (``_protocol_guard``) and ``columnMapping.mode=id``
-    (parquet field-id resolution, ``column_mapping_of``) — refusing
-    beats silently mis-reading, exactly delta-spark's stance on
-    unknown features."""
+    (the same machinery ``rename_column`` uses). r8 extends this to
+    ``mode=id``: physicalNames are assigned once and never change on
+    rename, so the same map adopts id-mapped tables (whose files all
+    carry field ids by construction — id mode is set at creation).
+    What still refuses loudly: reader features beyond
+    ``SUPPORTED_READER_FEATURES`` (``_protocol_guard``) and
+    nested-struct renames — refusing beats silently mis-reading,
+    exactly delta-spark's stance on unknown features."""
     meta, files, adds = _replay(path, None)
-    column_mapping_of(meta)  # raises on mode=id
+    column_mapping_of(meta)  # raises on unknown mapping modes
     for v in _list_versions(path):
         for line in fsio.read_text(_commit_file(path, v)).splitlines():
             if not line.strip():

@@ -240,9 +240,15 @@ def read_hoodie_incremental(
     keep rows whose ``_hoodie_commit_time`` falls inside it — rows
     carried forward by a rewrite keep their original stamp and are
     excluded, exactly Hudi's contract. Files without stored meta
-    columns (this engine's own exports) derive the stamp from the
-    file-group naming convention. O(changed files) IO, the pull that
-    makes a foreign Hudi table a medallion source.
+    columns derive the stamp from the file-group naming convention
+    (``<fileId>_<writeToken>_<instant>.parquet``), and — r8, closing
+    the r7-advice gap — files matching NEITHER (this engine's own
+    ``export_hoodie_timeline`` keeps ``part-*.parquet`` names) take
+    the instant of the commit whose write stats introduced them,
+    joined per file from the timeline replay already in hand; no row
+    can end up with an empty stamp and silently vanish. O(changed
+    files) IO, the pull that makes a foreign Hudi table a medallion
+    source.
 
     Scope: BASE-FILE commits (CoW tables, and MoR compaction commits).
     A MoR deltacommit's log-borne changes have no per-row commit stamp
@@ -255,7 +261,7 @@ def read_hoodie_incremental(
     if not instants:
         raise FileNotFoundError(f"no completed commits under {path}")
     end = end_instant if end_instant is not None else instants[-1][0]
-    new_files: list[str] = []
+    file_instant: dict[str, str] = {}  # rel path -> introducing instant
     for instant, kind in instants:
         if not (begin_instant < instant <= end):
             continue
@@ -265,25 +271,57 @@ def read_hoodie_incremental(
         for stats in meta.get("partitionToWriteStats", {}).values():
             for st in stats:
                 if st["path"].endswith(".parquet"):
-                    new_files.append(st["path"])
-    if not new_files:
+                    file_instant[st["path"]] = instant
+    if not file_instant:
         raise ValueError(
             f"no commits in instant range ({begin_instant}, {end}]"
         )
     df = spark.read.parquet(
-        *[fsio.join(path, f) for f in sorted(set(new_files))]
+        *[fsio.join(path, f) for f in sorted(file_instant)]
+    )
+    # commit-derived stamp: one tiny broadcast map (basename ->
+    # introducing instant; basenames are unique under Hudi's uuid
+    # file-group naming AND the engine's part-uuid export naming)
+    fmap = spark.createDataFrame(
+        spark.sparkContext.parallelize(
+            sorted(
+                (f.rsplit("/", 1)[-1], i)
+                for f, i in file_instant.items()
+            ),
+            1,
+        ),
+        "__f string, __fi string",
     )
     name_instant = F.regexp_extract(
-        F.col("_metadata.file_name"), r"_(\d{14,17})\.parquet$", 1
+        F.col("_metadata.file_name"), r"_\d+-\d+-\d+_(\d{14,17})\.parquet$", 1
     )
-    stamp = (
-        F.coalesce(F.col("_hoodie_commit_time"), name_instant)
-        if "_hoodie_commit_time" in df.columns
-        else name_instant
+    df = df.join(
+        F.broadcast(fmap),
+        F.col("_metadata.file_name") == F.col("__f"),
+        "left",
+    ).drop("__f")
+    # a stamp is only trusted when it names an instant of THIS
+    # timeline: stored meta columns written under a DIFFERENT commit
+    # coordinate system (an engine table exported via
+    # export_hoodie_timeline keeps its lakehouse commit times) would
+    # otherwise fail the range filter for every row. Hudi archives old
+    # instants, so on a long archived foreign timeline carried-forward
+    # rows in rewritten files fall back to the commit-derived stamp —
+    # the same rows-as-of-file-commit bound Hudi's own archived
+    # incremental reads have.
+    all_instants = [i for i, _k in instants]
+    valid = lambda c: F.when(c.isin(all_instants), c)  # noqa: E731
+    parts = [
+        valid(F.when(name_instant == "", F.lit(None)).otherwise(name_instant)),
+        F.col("__fi"),
+    ]
+    if "_hoodie_commit_time" in df.columns:
+        parts.insert(0, valid(F.col("_hoodie_commit_time")))
+    return (
+        df.withColumn("__hc", F.coalesce(*parts))
+        .filter((F.col("__hc") > begin_instant) & (F.col("__hc") <= end))
+        .drop("__hc", "__fi")
     )
-    return df.withColumn("__hc", stamp).filter(
-        (F.col("__hc") > begin_instant) & (F.col("__hc") <= end)
-    ).drop("__hc")
 
 
 def latest_file_slices_rt(
@@ -425,7 +463,8 @@ def read_hoodie_table_rt(
     # slice instant from the file-group naming convention
     # <fileId>_<writeToken>_<instant>.parquet, stored meta column wins
     name_instant = F.regexp_extract(
-        F.col("_metadata.file_name"), r"_(\d{14,17})\.parquet$", 1
+        F.col("_metadata.file_name"),
+        r"_\d+-\d+-\d+_(\d{14,17})\.parquet$", 1,
     )
     inst = F.when(name_instant == "", F.lit(None)).otherwise(name_instant)
     if "_hoodie_commit_time" in base.columns:

@@ -852,6 +852,27 @@ class LakehouseTable:
         if not files:
             raise FileNotFoundError(f"current snapshot lists no files: {path}")
         mapping = dl.column_mapping_of(meta_d)  # physical -> logical
+        if dl._mapping_mode(meta_d) == "id":
+            # id-mapped adoption rides the physicalName map (assigned
+            # once, never renamed), which is only sound while every
+            # file's columns are actually NAMED by their physicalName
+            # — true for delta-spark id-mode writers. Verify per file
+            # (footer-only reads, the same O(files) driver class as
+            # the stats harvest below) and refuse divergence loudly:
+            # the engine's post-adoption reads match by name.
+            phys_names = {
+                f.name for f in dl._physical_schema(meta_d)[1].fields
+            }
+            for f in sorted(files):
+                have = dl.parquet_column_names(fsio.join(path, f))
+                missing = phys_names - have
+                if missing:
+                    raise RuntimeError(
+                        f"id-mapped file {f} stores columns {sorted(have)}"
+                        f" without physicalNames {sorted(missing)}; read "
+                        "it via read_delta_table (field-id resolution) "
+                        "instead of adopting"
+                    )
         to_phys = {log: phys for phys, log in mapping.items()}
         key_cols = [to_phys.get(c, c) for c in key_cols]
         precombine = to_phys.get(precombine, precombine)
@@ -954,6 +975,20 @@ class LakehouseTable:
             dv_files = table._write_dv_files(
                 delta_dv.dv_rows_df(spark, path, dv_map), "c00000"
             )
+        # foreign TYPE-WIDENED table (r8, typeWidening reader feature):
+        # fields carrying delta.typeChanges metadata mean legacy files
+        # are narrower than the current schema — pin the commit's
+        # table_schema (physical names) so every engine read declares
+        # the widened schema and Spark's parquet reader upcasts, the
+        # same mechanism the engine's own widen_column uses.
+        widened_schema: str | None = None
+        if any(
+            (f.get("metadata") or {}).get("delta.typeChanges")
+            for f in json.loads(meta_d["schemaString"])["fields"]
+        ):
+            widened_schema = json.dumps(
+                dl._physical_schema(meta_d)[1].jsonValue()
+            )
         mf.append_commit(
             path,
             mf.Commit(
@@ -962,6 +997,7 @@ class LakehouseTable:
                 commit_time=mf.make_commit_time(),
                 files=sorted(files),
                 log_files=[],
+                table_schema=widened_schema,
                 stats={
                     "converted_files": len(files),
                     "source_format": "delta",
@@ -3887,9 +3923,14 @@ class LakehouseTable:
         # delta commit instant) must outrank base rows in the _rt merge,
         # and the convert time (now) would outrank everything. Files
         # without the convention (plain hive parquet) fall back to the
-        # convert commit time, as before.
+        # convert commit time, as before. Anchored on the FULL
+        # convention — writeToken digits included — so a plain-hive
+        # dump that merely ends in a timestamp-like digit run
+        # (events_20240101123045.parquet) is NOT mistaken for a file
+        # group (r8, r7-advice #3).
         name_instant = F.regexp_extract(
-            F.col("_metadata.file_name"), r"_(\d{14,17})\.parquet$", 1
+            F.col("_metadata.file_name"),
+            r"_\d+-\d+-\d+_(\d{14,17})\.parquet$", 1,
         )
         ct = F.when(name_instant != "", name_instant).otherwise(
             F.lit(self._convert_time)

@@ -178,3 +178,34 @@ def test_incremental_query_foreign_timeline(spark, tmp_path):
 
     with _pytest.raises(ValueError, match="no commits"):
         read_hoodie_incremental(spark, root, begin_instant=i3)
+
+
+def test_incremental_pull_on_engine_export_stamps_from_commits(
+    spark, tmp_path
+):
+    """r8 (r7-advice, medium): an incremental pull over THIS ENGINE'S
+    export_hoodie_timeline output — whose parquet files keep their
+    part-*.parquet names, matching neither stored meta columns nor the
+    file-group naming convention — must stamp rows with the instant
+    whose write stats introduced their file, not silently filter
+    everything to zero rows."""
+    from hudi_and_delta_showcase_spark.tables import LakehouseTable
+    from hudi_and_delta_showcase_spark.tables.hoodie_timeline import (
+        export_hoodie_timeline,
+        list_instants,
+        read_hoodie_incremental,
+    )
+
+    root = str(tmp_path / "lh")
+    t = LakehouseTable.create(
+        spark, root,
+        spark.createDataFrame([(1, "a"), (2, "b")], "k int, v string"),
+        key_cols=["k"],
+    )
+    t.upsert(spark.createDataFrame([(3, "c")], "k int, v string"))
+    export_hoodie_timeline(t)
+    instants = list_instants(root)
+    assert len(instants) >= 2
+    pull = read_hoodie_incremental(spark, root, begin_instant=instants[-2])
+    got = sorted((r.k, r.v) for r in pull.select("k", "v").collect())
+    assert got == [(3, "c")]

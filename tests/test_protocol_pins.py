@@ -770,3 +770,229 @@ def test_v2_checkpoint_metadata_version_mismatch_refuses(spark, tmp_path):
         fh.write("\n".join(lines) + "\n")
     with pytest.raises(RuntimeError, match="checkpointMetadata"):
         read_delta_table(spark, root).collect()
+
+
+def test_reader_accepts_type_widened_log(spark, tmp_path):
+    """r8 (verdict r7 #4): a foreign table that widened k int->long
+    (typeWidening reader feature; delta.typeChanges field metadata)
+    keeps its legacy INT32 file — reads and adoption must upcast it
+    under the commit-recorded schema."""
+    from hudi_and_delta_showcase_spark.tables import LakehouseTable
+    from hudi_and_delta_showcase_spark.tables.delta_log import (
+        read_delta_table,
+    )
+
+    root = str(tmp_path / "dl")
+    log = os.path.join(root, "_delta_log")
+    os.makedirs(log)
+    f0 = "part-00000-aa00-c000.snappy.parquet"   # int32 era
+    f1 = "part-00000-bb00-c000.snappy.parquet"   # int64 era
+    _write_parquet(os.path.join(root, f0), [1, 2], ["a", "b"])
+    pq.write_table(
+        pa.table({"k": pa.array([3000000000], pa.int64()),
+                  "v": pa.array(["c"])}),
+        os.path.join(root, f1),
+    )
+    widened = json.dumps({
+        "type": "struct",
+        "fields": [
+            {"name": "k", "type": "long", "nullable": True,
+             "metadata": {"delta.typeChanges": [
+                 {"fromType": "integer", "toType": "long",
+                  "tableVersion": 1}]}},
+            {"name": "v", "type": "string", "nullable": True,
+             "metadata": {}},
+        ],
+    })
+    v0 = [
+        {"protocol": {"minReaderVersion": 1, "minWriterVersion": 2}},
+        {"metaData": {
+            "id": "x", "format": {"provider": "parquet", "options": {}},
+            "schemaString": _SCHEMA_STRING, "partitionColumns": [],
+            "configuration": {}, "createdTime": 1700000000000}},
+        {"add": {"path": f0, "partitionValues": {}, "size": 600,
+                 "modificationTime": 1700000000000, "dataChange": True}},
+    ]
+    v1 = [
+        {"protocol": {"minReaderVersion": 3, "minWriterVersion": 7,
+                      "readerFeatures": ["typeWidening"],
+                      "writerFeatures": ["typeWidening"]}},
+        {"metaData": {
+            "id": "x", "format": {"provider": "parquet", "options": {}},
+            "schemaString": widened, "partitionColumns": [],
+            "configuration": {"delta.enableTypeWidening": "true"},
+            "createdTime": 1700000000000}},
+        {"add": {"path": f1, "partitionValues": {}, "size": 600,
+                 "modificationTime": 1700000100000, "dataChange": True}},
+    ]
+    for v, actions in enumerate([v0, v1]):
+        with open(os.path.join(log, f"{v:020d}.json"), "w") as fh:
+            fh.write("\n".join(json.dumps(a) for a in actions) + "\n")
+
+    df = read_delta_table(spark, root)
+    assert df.schema["k"].dataType.simpleString() == "bigint"
+    assert sorted(tuple(r) for r in df.collect()) == [
+        (1, "a"), (2, "b"), (3000000000, "c")]
+
+    t = LakehouseTable.convert_delta(spark, root, key_cols=["k"])
+    got = t.read().select("k", "v")
+    assert got.schema["k"].dataType.simpleString() == "bigint"
+    assert sorted(tuple(r) for r in got.collect()) == [
+        (1, "a"), (2, "b"), (3000000000, "c")]
+    # the adopted table keeps upserting across the width boundary
+    t.upsert(spark.createDataFrame([(2, "b2")], "k long, v string"))
+    assert sorted((r.k, r.v) for r in t.read().select("k", "v").collect()) \
+        == [(1, "a"), (2, "b2"), (3000000000, "c")]
+
+
+def test_reader_accepts_id_mapped_log(spark, tmp_path):
+    """r8 (verdict r7 #6): columnMapping.mode=id — file columns resolve
+    by parquet FIELD ID, not name. The fixture's file deliberately
+    stores a column name that matches NEITHER the logical nor the
+    current physicalName; only the field id links them, so a
+    name-matched read would return nulls/fail."""
+    from hudi_and_delta_showcase_spark.tables import LakehouseTable
+    from hudi_and_delta_showcase_spark.tables.delta_log import (
+        read_delta_table,
+    )
+
+    root = str(tmp_path / "dl")
+    log = os.path.join(root, "_delta_log")
+    os.makedirs(log)
+    f0 = "part-00000-cc00-c000.snappy.parquet"
+    pq.write_table(
+        pa.table({
+            "legacy-col-1": pa.array([1, 2], pa.int32()),
+            "legacy-col-2": pa.array(["a", "b"]),
+        }).cast(pa.schema([
+            pa.field("legacy-col-1", pa.int32(),
+                     metadata={b"PARQUET:field_id": b"1"}),
+            pa.field("legacy-col-2", pa.string(),
+                     metadata={b"PARQUET:field_id": b"2"}),
+        ])),
+        os.path.join(root, f0),
+    )
+    schema_string = json.dumps({
+        "type": "struct",
+        "fields": [
+            {"name": "k", "type": "integer", "nullable": True,
+             "metadata": {"delta.columnMapping.id": 1,
+                          "delta.columnMapping.physicalName": "col-aaa"}},
+            {"name": "v", "type": "string", "nullable": True,
+             "metadata": {"delta.columnMapping.id": 2,
+                          "delta.columnMapping.physicalName": "col-bbb"}},
+        ],
+    })
+    v0 = [
+        {"protocol": {"minReaderVersion": 2, "minWriterVersion": 5}},
+        {"metaData": {
+            "id": "x", "format": {"provider": "parquet", "options": {}},
+            "schemaString": schema_string, "partitionColumns": [],
+            "configuration": {"delta.columnMapping.mode": "id",
+                              "delta.columnMapping.maxColumnId": "2"},
+            "createdTime": 1700000000000}},
+        {"add": {"path": f0, "partitionValues": {}, "size": 600,
+                 "modificationTime": 1700000000000, "dataChange": True}},
+    ]
+    with open(os.path.join(log, "00000000000000000000.json"), "w") as fh:
+        fh.write("\n".join(json.dumps(a) for a in v0) + "\n")
+
+    df = read_delta_table(spark, root)
+    assert df.columns == ["k", "v"]
+    assert sorted(tuple(r) for r in df.collect()) == [(1, "a"), (2, "b")]
+
+
+def test_id_mapped_adoption(spark, tmp_path):
+    """id-mode adoption rides the (never-renamed) physicalName map when
+    file columns are named by it — the delta-spark layout; a file whose
+    columns diverge from the physicalNames refuses adoption loudly and
+    stays readable via read_delta_table."""
+    from hudi_and_delta_showcase_spark.tables import LakehouseTable
+
+    root = str(tmp_path / "dl")
+    log = os.path.join(root, "_delta_log")
+    os.makedirs(log)
+    f0 = "part-00000-dd00-c000.snappy.parquet"
+    pq.write_table(
+        pa.table({
+            "col-aaa": pa.array([1, 2], pa.int32()),
+            "col-bbb": pa.array(["a", "b"]),
+        }).cast(pa.schema([
+            pa.field("col-aaa", pa.int32(),
+                     metadata={b"PARQUET:field_id": b"1"}),
+            pa.field("col-bbb", pa.string(),
+                     metadata={b"PARQUET:field_id": b"2"}),
+        ])),
+        os.path.join(root, f0),
+    )
+    schema_string = json.dumps({
+        "type": "struct",
+        "fields": [
+            {"name": "k", "type": "integer", "nullable": True,
+             "metadata": {"delta.columnMapping.id": 1,
+                          "delta.columnMapping.physicalName": "col-aaa"}},
+            {"name": "v", "type": "string", "nullable": True,
+             "metadata": {"delta.columnMapping.id": 2,
+                          "delta.columnMapping.physicalName": "col-bbb"}},
+        ],
+    })
+    v0 = [
+        {"protocol": {"minReaderVersion": 2, "minWriterVersion": 5}},
+        {"metaData": {
+            "id": "x", "format": {"provider": "parquet", "options": {}},
+            "schemaString": schema_string, "partitionColumns": [],
+            "configuration": {"delta.columnMapping.mode": "id",
+                              "delta.columnMapping.maxColumnId": "2"},
+            "createdTime": 1700000000000}},
+        {"add": {"path": f0, "partitionValues": {}, "size": 600,
+                 "modificationTime": 1700000000000, "dataChange": True}},
+    ]
+    with open(os.path.join(log, "00000000000000000000.json"), "w") as fh:
+        fh.write("\n".join(json.dumps(a) for a in v0) + "\n")
+
+    t = LakehouseTable.convert_delta(spark, root, key_cols=["k"])
+    got = t.read().select("k", "v")
+    assert sorted(tuple(r) for r in got.collect()) == [(1, "a"), (2, "b")]
+    t.upsert(spark.createDataFrame([(2, "b2")], "k int, v string"))
+    assert sorted(tuple(r)
+                  for r in t.read().select("k", "v").collect()) == [
+        (1, "a"), (2, "b2")]
+
+
+def test_id_mapped_divergent_file_refuses_adoption(spark, tmp_path):
+    import pytest as _pytest
+
+    from hudi_and_delta_showcase_spark.tables import LakehouseTable
+
+    root = str(tmp_path / "dl")
+    log = os.path.join(root, "_delta_log")
+    os.makedirs(log)
+    f0 = "part-00000-ee00-c000.snappy.parquet"
+    pq.write_table(
+        pa.table({"legacy": pa.array([1], pa.int32())}).cast(pa.schema([
+            pa.field("legacy", pa.int32(),
+                     metadata={b"PARQUET:field_id": b"1"})])),
+        os.path.join(root, f0),
+    )
+    schema_string = json.dumps({
+        "type": "struct",
+        "fields": [
+            {"name": "k", "type": "integer", "nullable": True,
+             "metadata": {"delta.columnMapping.id": 1,
+                          "delta.columnMapping.physicalName": "col-aaa"}},
+        ],
+    })
+    v0 = [
+        {"protocol": {"minReaderVersion": 2, "minWriterVersion": 5}},
+        {"metaData": {
+            "id": "x", "format": {"provider": "parquet", "options": {}},
+            "schemaString": schema_string, "partitionColumns": [],
+            "configuration": {"delta.columnMapping.mode": "id"},
+            "createdTime": 1700000000000}},
+        {"add": {"path": f0, "partitionValues": {}, "size": 300,
+                 "modificationTime": 1700000000000, "dataChange": True}},
+    ]
+    with open(os.path.join(log, "00000000000000000000.json"), "w") as fh:
+        fh.write("\n".join(json.dumps(a) for a in v0) + "\n")
+    with _pytest.raises(RuntimeError, match="physicalNames"):
+        LakehouseTable.convert_delta(spark, root, key_cols=["k"])
