@@ -146,35 +146,46 @@ def join_view_apply(
                 F.col("_change_type").isin("insert", "update_postimage")
             ).select(*fact_cols)
         )
-        # Delete only keys whose LATEST change in the consumed window is
-        # a delete: a key deleted then re-inserted within the same window
-        # is upserted by `parts` and must NOT be removed afterwards
-        # (delete runs after the upsert below). One groupBy over the
-        # already-read feed — O(changes), no extra scan.
-        kc = [c for c in fact_cols if c in view.key_cols]
-        last = fc.groupBy(*kc).agg(
-            F.max(
-                F.when(
-                    F.col("_change_type") == "delete",
-                    F.col("_commit_version"),
-                )
-            ).alias("__del_v"),
-            F.max(
-                F.when(
-                    F.col("_change_type").isin(
-                        "insert", "update_postimage"
-                    ),
-                    F.col("_commit_version"),
-                )
-            ).alias("__up_v"),
+        # Delete handling is gated on DRIVER-SIDE commit metadata (r8):
+        # delete change rows only ever come from action="delete"
+        # commits, so when the consumed window has none — the common
+        # append/update sync — the delete branch costs zero jobs
+        # instead of a CDF aggregation + probe per apply.
+        has_deletes = any(
+            c.action == "delete" and c.version >= fact_since
+            for c in fact.history()
         )
-        del_keys = last.filter(
-            F.col("__del_v").isNotNull()
-            & (
-                F.col("__up_v").isNull()
-                | (F.col("__del_v") > F.col("__up_v"))
+        if has_deletes:
+            # Delete only keys whose LATEST change in the consumed
+            # window is a delete: a key deleted then re-inserted within
+            # the same window is upserted by `parts` and must NOT be
+            # removed afterwards (delete runs after the upsert below).
+            # One groupBy over the already-read feed — O(changes), no
+            # extra scan.
+            kc = [c for c in fact_cols if c in view.key_cols]
+            last = fc.groupBy(*kc).agg(
+                F.max(
+                    F.when(
+                        F.col("_change_type") == "delete",
+                        F.col("_commit_version"),
+                    )
+                ).alias("__del_v"),
+                F.max(
+                    F.when(
+                        F.col("_change_type").isin(
+                            "insert", "update_postimage"
+                        ),
+                        F.col("_commit_version"),
+                    )
+                ).alias("__up_v"),
             )
-        ).select(*kc)
+            del_keys = last.filter(
+                F.col("__del_v").isNotNull()
+                & (
+                    F.col("__up_v").isNull()
+                    | (F.col("__del_v") > F.col("__up_v"))
+                )
+            ).select(*kc)
     dc = _changes(dim, dim_since)
     if dc is not None:
         changed = dc.filter(

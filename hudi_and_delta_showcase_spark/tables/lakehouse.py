@@ -4000,9 +4000,15 @@ class LakehouseTable:
         commit_time: str,
     ) -> list[str]:
         """Split an upsert batch into CDF rows: ``target`` rows whose
-        key matches the batch are update pre-images; batch rows split
-        update-post/insert by the same key probe. One broadcast of the
-        batch's DISTINCT keys — O(changes), never O(table)."""
+        key matches the batch are update pre-images; batch rows are
+        update post-images when a pre-image shares their key, else
+        inserts. One broadcast of the batch's DISTINCT keys finds the
+        pre-images; the post/insert split is a window over the union's
+        keys (r8) — O(changes) rows through one hash exchange instead
+        of a second broadcast build+probe, one fewer job per CDC
+        commit. O(changes) total, never O(table)."""
+        from pyspark.sql import Window
+
         keys = self._resolution_cols()
         source_keys = F.broadcast(stamped.select(*keys).distinct().alias("s"))
         cond = None
@@ -4010,29 +4016,22 @@ class LakehouseTable:
             e = F.col(f"t.{c}").eqNullSafe(F.col(f"s.{c}"))
             cond = e if cond is None else cond & e
         pre = target.alias("t").join(source_keys, cond, "left_semi")
-        matched_keys = F.broadcast(pre.select(*keys).distinct().alias("m"))
-        mcond = None
-        for c in keys:
-            e = F.col(f"p.{c}").eqNullSafe(F.col(f"m.{c}"))
-            mcond = e if mcond is None else mcond & e
-        post = stamped.alias("p")
-        upd_post = post.join(matched_keys, mcond, "left_semi")
-        ins_post = post.join(matched_keys, mcond, "left_anti")
-        return self._write_cdc_files(
-            pre.withColumn("_change_type", F.lit("update_preimage"))
-            .unionByName(
-                upd_post.withColumn(
-                    "_change_type", F.lit("update_postimage")
-                ),
-                allowMissingColumns=True,
-            )
-            .unionByName(
-                ins_post.withColumn("_change_type", F.lit("insert")),
-                allowMissingColumns=True,
-            ),
-            version,
-            commit_time,
+        tagged = pre.withColumn("__cdc_src", F.lit("t")).unionByName(
+            stamped.withColumn("__cdc_src", F.lit("s")),
+            allowMissingColumns=True,
         )
+        # window partitioning groups null keys together — the same
+        # null-safe match discipline as the eqNullSafe probes
+        n_pre = F.sum(
+            F.when(F.col("__cdc_src") == "t", 1).otherwise(0)
+        ).over(Window.partitionBy(*keys))
+        classified = tagged.withColumn(
+            "_change_type",
+            F.when(F.col("__cdc_src") == "t", F.lit("update_preimage"))
+            .when(n_pre > 0, F.lit("update_postimage"))
+            .otherwise(F.lit("insert")),
+        ).drop("__cdc_src")
+        return self._write_cdc_files(classified, version, commit_time)
 
     def _write_cdc_files(
         self, changes: DataFrame, version: int, commit_time: str
