@@ -546,9 +546,10 @@ def _mapping_mode(meta: dict) -> str:
 def column_mapping_of(meta: dict) -> dict[str, str]:
     """``columnMapping`` physical -> logical name map from the
     metaData's schemaString field metadata
-    (``delta.columnMapping.physicalName`` per field, top level; nested
-    struct renames are beyond this reader and refused by the mode guard
-    in ``_mapping_guard``). Empty dict when the table has no mapping.
+    (``delta.columnMapping.physicalName`` per field). TOP LEVEL only —
+    this map feeds the manifest/rename machinery; nested renames are
+    handled structurally in ``_physical_schema`` (r8), which the scan
+    path uses. Empty dict when the table has no mapping.
 
     Both ``name`` and ``id`` modes (r8) record a ``physicalName`` that
     is assigned once at column creation and NEVER changes on rename —
@@ -570,41 +571,62 @@ def column_mapping_of(meta: dict) -> dict[str, str]:
 
 def _physical_schema(meta: dict):
     """The schema as stored in the data files: logical field names
-    swapped for their ``physicalName`` under column mapping. In id
-    mode each physical field also carries ``parquet.field.id``
-    metadata (from ``delta.columnMapping.id``), which Spark's parquet
-    reader uses to match file columns BY FIELD ID when
+    swapped for their ``physicalName`` under column mapping —
+    RECURSIVELY (r8): nested struct fields (including structs inside
+    arrays and maps) carry their own ``physicalName``, and serving
+    them under logical inner names would silently null the renamed
+    fields out of the scan. In id mode every physical field also
+    carries ``parquet.field.id`` metadata (from
+    ``delta.columnMapping.id``), which Spark's parquet reader uses to
+    match file columns BY FIELD ID when
     ``spark.sql.parquet.fieldId.read.enabled`` is on — the
     spec-required resolution for id-mapped tables; a file without ids
     then fails loudly instead of mis-matching by name."""
-    from pyspark.sql.types import StructField, StructType
+    from pyspark.sql.types import StructType
 
-    schema = StructType.fromJson(json.loads(meta["schemaString"]))
+    schema_json = json.loads(meta["schemaString"])
+    schema = StructType.fromJson(schema_json)
     mode = _mapping_mode(meta)
     if mode == "none":
         return schema, schema
-    mapping = column_mapping_of(meta)
-    inverse = {log: phys for phys, log in mapping.items()}
-    ids: dict[str, int] = {}
-    if mode == "id":
-        for fld in json.loads(meta["schemaString"])["fields"]:
-            fid = (fld.get("metadata") or {}).get("delta.columnMapping.id")
+
+    def phys_type(t):
+        if isinstance(t, dict):
+            if t.get("type") == "struct":
+                return {"type": "struct",
+                        "fields": [phys_field(f) for f in t["fields"]]}
+            if t.get("type") == "array":
+                return {**t, "elementType": phys_type(t["elementType"])}
+            if t.get("type") == "map":
+                return {
+                    **t,
+                    "keyType": phys_type(t["keyType"]),
+                    "valueType": phys_type(t["valueType"]),
+                }
+        return t
+
+    def phys_field(f):
+        md = f.get("metadata") or {}
+        name = md.get("delta.columnMapping.physicalName") or f["name"]
+        out_md = {}
+        if mode == "id":
+            fid = md.get("delta.columnMapping.id")
             if fid is None:
                 raise RuntimeError(
-                    f"columnMapping.mode=id but field {fld['name']!r} "
+                    f"columnMapping.mode=id but field {f['name']!r} "
                     "carries no delta.columnMapping.id"
                 )
-            ids[fld["name"]] = int(fid)
-    phys = StructType(
-        [
-            StructField(
-                inverse.get(f.name, f.name),
-                f.dataType,
-                f.nullable,
-                {"parquet.field.id": ids[f.name]} if mode == "id" else None,
-            )
-            for f in schema.fields
-        ]
+            out_md["parquet.field.id"] = int(fid)
+        return {
+            "name": name,
+            "type": phys_type(f["type"]),
+            "nullable": f.get("nullable", True),
+            "metadata": out_md,
+        }
+
+    phys = StructType.fromJson(
+        {"type": "struct",
+         "fields": [phys_field(f) for f in schema_json["fields"]]}
     )
     return schema, phys
 
@@ -772,10 +794,18 @@ def read_delta_table(
             & (F.col("__dl_pos") == dv["pos"]),
             "left_anti",
         )
-    # final projection: physical columns under logical names, log order
+    # final projection: physical columns under logical names, log
+    # order. A column whose TYPE differs only in nested field names
+    # (nested renames under column mapping, r8) casts to the logical
+    # struct — struct casts match by position, which is exactly the
+    # rename semantics.
     return df.select(
         *[
-            F.col(p.name).alias(l.name)
+            (
+                F.col(p.name)
+                if p.dataType == l.dataType
+                else F.col(p.name).cast(l.dataType)
+            ).alias(l.name)
             for p, l in zip(phys_schema.fields, schema.fields)
         ]
     )

@@ -46,7 +46,10 @@ Java-kryo-serialized ``HoodieKey[]`` / ``DeleteRecord[]`` — refused
 loudly (compact with Hudi first) rather than mis-decoded. Tombstones
 fold into the ``_rt`` merge ordered by block instant (then in-file
 block sequence), so delete-then-reinsert resolves exactly as Hudi's
-log scanner. HFILE/PARQUET data blocks still refuse loudly.
+log scanner. PARQUET data blocks
+(``hoodie.logfile.data.block.format=parquet``) decode too — their
+content is one in-memory parquet file, PAR1-framed. HFILE data blocks
+still refuse loudly (HBase HFile codec, a format Hudi is retiring).
 
 Log file naming: ``.<fileId>_<baseInstant>.log.<version>_<writeToken>``
 — hidden files, keyed to the base file slice they extend; a compaction
@@ -226,6 +229,27 @@ def avro_data_block(
     )
 
 
+def parquet_data_block(records: list[dict], instant: str,
+                       arrow_schema=None) -> bytes:
+    """Author a parquet-format data block the way Hudi lays it out
+    under ``hoodie.logfile.data.block.format=parquet``: the content is
+    one in-memory parquet file (protocol-pin goldens; the reader path
+    is ``parse_log_blob``)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    buf = io.BytesIO()
+    tbl = (
+        pa.Table.from_pylist(records, schema=arrow_schema)
+        if records or arrow_schema
+        else pa.table({})
+    )
+    pq.write_table(tbl, buf)
+    return _frame_block(
+        PARQUET_DATA_BLOCK, {INSTANT_TIME: instant}, buf.getvalue()
+    )
+
+
 def delete_block(
     deletes: list[dict], instant: str
 ) -> bytes:
@@ -348,14 +372,31 @@ def parse_log_blob(blob: bytes) -> list[dict]:
             block["deletes"] = avro_ocf._decode(
                 DELETE_RECORD_LIST_SCHEMA, r
             )["deleteRecordList"]
+        elif btype == PARQUET_DATA_BLOCK:
+            # hoodie.logfile.data.block.format=parquet: the content IS
+            # a parquet file (HoodieParquetDataBlock serializes records
+            # straight through a parquet writer — PAR1 magic at both
+            # ends). Guard on the magic so a future framing change
+            # refuses instead of mis-decoding.
+            if content[:4] != b"PAR1" or content[-4:] != b"PAR1":
+                raise ValueError(
+                    "HoodieLogFormat parquet data block without PAR1 "
+                    "framing is beyond this reader; compact with Hudi "
+                    "first"
+                )
+            import pyarrow.parquet as pq
+
+            block["records"] = pq.read_table(
+                io.BytesIO(content)
+            ).to_pylist()
         elif btype == COMMAND_BLOCK:
             pass  # rollback semantics applied in resolve_log_blocks
         elif btype == CORRUPT_BLOCK:
             pass  # explicitly marked dead by Hudi; carries no rows
         else:
             raise ValueError(
-                f"HoodieLogFormat block type {btype} (hfile/parquet "
-                "data) is beyond this reader; compact with Hudi first"
+                f"HoodieLogFormat block type {btype} (hfile data) is "
+                "beyond this reader; compact with Hudi first"
             )
         blocks.append(block)
     return blocks
@@ -382,7 +423,9 @@ def resolve_log_blocks(
             if b["type"] == COMMAND_BLOCK:
                 tgt = b["header"].get(TARGET_INSTANT_TIME)
                 out = [e for e in out if e[0] != tgt]
-            elif b["type"] in (AVRO_DATA_BLOCK, DELETE_BLOCK):
+            elif b["type"] in (
+                AVRO_DATA_BLOCK, PARQUET_DATA_BLOCK, DELETE_BLOCK
+            ):
                 inst = b["header"][INSTANT_TIME]
                 if valid_instants is not None and inst not in valid_instants:
                     continue

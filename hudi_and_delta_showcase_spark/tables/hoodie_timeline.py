@@ -498,6 +498,7 @@ def append_log_commit(
     records: list[dict],
     avro_schema: dict,
     deletes: list[dict] | None = None,
+    block_format: str = "avro",
 ) -> str:
     """Author one MoR delta commit the way Hudi lays it out: a hidden
     ``.log`` file of one Avro data block appended to ``file_id``'s
@@ -531,7 +532,11 @@ def append_log_commit(
     log_name = hl.log_file_name(file_id, base_instant, version=version)
     blocks = []
     if records:
-        blocks.append(hl.avro_data_block(records, avro_schema, instant))
+        blocks.append(
+            hl.parquet_data_block(records, instant)
+            if block_format == "parquet"
+            else hl.avro_data_block(records, avro_schema, instant)
+        )
     if deletes:
         blocks.append(hl.delete_block(deletes, instant))
     hl.write_log_file(fsio.join(path, log_name), blocks)

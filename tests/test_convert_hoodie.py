@@ -260,3 +260,34 @@ def test_mor_delete_block_same_instant_order(spark, tmp_path):
     rt = read_hoodie_table_rt(spark, root, key_fields=["k"], precombine="sq")
     assert sorted((r.k, r.v) for r in rt.select("k", "v").collect()) == [
         (2, "b")]
+
+
+def test_mor_parquet_log_block_rt_and_adopt(spark, tmp_path):
+    """r8: a foreign MoR table whose delta commit wrote a PARQUET data
+    block (hoodie.logfile.data.block.format=parquet) reads via _rt and
+    adopts exactly like the Avro shape."""
+    from hudi_and_delta_showcase_spark.avro_ocf import spark_schema_to_avro
+    from hudi_and_delta_showcase_spark.tables.hoodie_timeline import (
+        read_hoodie_table_rt,
+    )
+
+    root = str(tmp_path / "ht")
+    base = spark.createDataFrame(
+        [(1, "a", 100), (2, "b", 100)], "k long, v string, sq long"
+    )
+    write_hoodie_table(base.coalesce(1), root)
+    ((fid, s),) = latest_file_slices_rt(root).items()
+    schema = spark_schema_to_avro(base.schema)
+    append_log_commit(
+        root, fid, s["base_instant"],
+        [{"k": 2, "v": "b2", "sq": 101}, {"k": 3, "v": "c", "sq": 100}],
+        schema, block_format="parquet",
+    )
+    rt = read_hoodie_table_rt(spark, root, key_fields=["k"], precombine="sq")
+    assert sorted((r.k, r.v) for r in rt.select("k", "v").collect()) == [
+        (1, "a"), (2, "b2"), (3, "c")]
+    t = LakehouseTable.convert_hoodie(
+        spark, root, key_cols=["k"], precombine="sq"
+    )
+    assert t.table_type == "mor"
+    assert _rows(t.read()) == [(1, "a"), (2, "b2"), (3, "c")]

@@ -143,3 +143,24 @@ def test_block_roundtrip_property():
             (i, rs) for i, rs in want if rs]
 
     _roundtrip()
+
+
+def test_parquet_data_block_roundtrip():
+    """r8: hoodie.logfile.data.block.format=parquet — the block content
+    is one in-memory parquet file; records fold into the replay just
+    like Avro blocks."""
+    recs = [{"k": 1, "v": "a"}, {"k": 2, "v": None}]
+    blob = hl.parquet_data_block(recs, "004")
+    (block,) = hl.parse_log_blob(blob)
+    assert block["type"] == hl.PARQUET_DATA_BLOCK
+    assert block["records"] == recs
+    b1 = hl.avro_data_block([{"k": 9, "v": "z"}], _SCHEMA, "003")
+    out = hl.resolve_log_blocks([b1 + blob])
+    assert out == [("003", [{"k": 9, "v": "z"}], []), ("004", recs, [])]
+    # a torn parquet block refuses loudly rather than mis-decoding
+    import struct
+
+    bad = hl._frame_block(hl.PARQUET_DATA_BLOCK, {hl.INSTANT_TIME: "005"},
+                          b"NOTP" + b"x" * 16)
+    with pytest.raises(ValueError, match="PAR1"):
+        hl.parse_log_blob(bad)

@@ -996,3 +996,69 @@ def test_id_mapped_divergent_file_refuses_adoption(spark, tmp_path):
         fh.write("\n".join(json.dumps(a) for a in v0) + "\n")
     with _pytest.raises(RuntimeError, match="physicalNames"):
         LakehouseTable.convert_delta(spark, root, key_cols=["k"])
+
+
+def test_reader_serves_nested_struct_renames(spark, tmp_path):
+    """r8: column-mapped tables rename NESTED struct fields too — the
+    file stores the physical inner name; serving the logical schema
+    without recursive resolution would silently null the field. The
+    physical schema resolves names at every level and the final
+    projection casts the struct back to logical names."""
+    from hudi_and_delta_showcase_spark.tables.delta_log import (
+        read_delta_table,
+    )
+
+    root = str(tmp_path / "dl")
+    log = os.path.join(root, "_delta_log")
+    os.makedirs(log)
+    f0 = "part-00000-ff00-c000.snappy.parquet"
+    pq.write_table(
+        pa.table({
+            "col-top": pa.array(
+                [{"col-inner": 7, "keep": "x"},
+                 {"col-inner": 8, "keep": "y"}],
+                pa.struct([("col-inner", pa.int64()),
+                           ("keep", pa.string())]),
+            ),
+            "k": pa.array([1, 2], pa.int32()),
+        }),
+        os.path.join(root, f0),
+    )
+    schema_string = json.dumps({
+        "type": "struct",
+        "fields": [
+            {"name": "payload",
+             "type": {"type": "struct", "fields": [
+                 {"name": "amount", "type": "long", "nullable": True,
+                  "metadata": {
+                      "delta.columnMapping.physicalName": "col-inner"}},
+                 {"name": "keep", "type": "string", "nullable": True,
+                  "metadata": {}},
+             ]},
+             "nullable": True,
+             "metadata": {
+                 "delta.columnMapping.physicalName": "col-top"}},
+            {"name": "k", "type": "integer", "nullable": True,
+             "metadata": {}},
+        ],
+    })
+    v0 = [
+        {"protocol": {"minReaderVersion": 2, "minWriterVersion": 5}},
+        {"metaData": {
+            "id": "x", "format": {"provider": "parquet", "options": {}},
+            "schemaString": schema_string, "partitionColumns": [],
+            "configuration": {"delta.columnMapping.mode": "name"},
+            "createdTime": 1700000000000}},
+        {"add": {"path": f0, "partitionValues": {}, "size": 600,
+                 "modificationTime": 1700000000000, "dataChange": True}},
+    ]
+    with open(os.path.join(log, "00000000000000000000.json"), "w") as fh:
+        fh.write("\n".join(json.dumps(a) for a in v0) + "\n")
+
+    df = read_delta_table(spark, root)
+    assert df.columns == ["payload", "k"]
+    assert [f.name for f in df.schema["payload"].dataType.fields] == [
+        "amount", "keep"]
+    got = sorted((r.k, r.payload.amount, r.payload.keep)
+                 for r in df.collect())
+    assert got == [(1, 7, "x"), (2, 8, "y")]
