@@ -85,7 +85,14 @@ def write_delta_table(df: DataFrame, path: str, mode: str = "append") -> int:
     emits `remove` actions for every previously live file."""
     fsio.makedirs(_log_dir(path))
     versions = _list_versions(path)
-    version = (versions[-1] + 1) if versions else 0
+    # a checkpoint-only log (JSON commits expired by metadata
+    # retention) still advances from the CHECKPOINT's version — reusing
+    # version numbers would corrupt replay (r8)
+    cp_v = -1
+    lc = fsio.join(_log_dir(path), "_last_checkpoint")
+    if fsio.exists(lc):
+        cp_v = json.loads(fsio.read_pointer_text(lc, attempts=2))["version"]
+    version = max(versions[-1] if versions else -1, cp_v) + 1
     now = int(time.time() * 1000)
 
     actions: list[dict] = []
@@ -104,7 +111,7 @@ def write_delta_table(df: DataFrame, path: str, mode: str = "append") -> int:
             }
         )
     if mode == "overwrite" and version > 0:
-        for f in _live_files(path, versions[-1]):
+        for f in _live_files(path, version - 1):
             actions.append(
                 {
                     "remove": {
@@ -135,7 +142,8 @@ def write_delta_table(df: DataFrame, path: str, mode: str = "append") -> int:
     return version
 
 
-def write_checkpoint(spark: SparkSession, path: str) -> int:
+def write_checkpoint(spark: SparkSession, path: str,
+                     v2: bool = False) -> int:
     """Write a checkpoint at the current version: one parquet file of
     the live actions plus ``_last_checkpoint`` — replay then starts from
     the checkpoint instead of commit 0, making snapshot resolution
@@ -147,7 +155,15 @@ def write_checkpoint(spark: SparkSession, path: str) -> int:
     because ``_last_checkpoint`` actively points every reader here: a
     delta-spark reader follows it and must be able to parse what it
     finds (r6; the old compact kind/json dialect remains readable for
-    tables checkpointed by earlier versions of this engine)."""
+    tables checkpointed by earlier versions of this engine).
+
+    ``v2=True`` (r8) writes the V2 SPEC instead: a UUID-named manifest
+    (``{v}.checkpoint.{uuid}.parquet``) holding ``checkpointMetadata``
+    + ``sidecar`` + protocol/metaData rows, with the add actions in a
+    sidecar parquet under ``_delta_log/_sidecars/`` — the layout newer
+    Databricks writers emit. The protocol is upgraded to carry the
+    ``v2Checkpoint`` feature (spec requirement for tables whose
+    current checkpoint is V2)."""
     import pyarrow as pa
     import pyarrow.parquet as pq
 
@@ -276,6 +292,87 @@ def write_checkpoint(spark: SparkSession, path: str) -> int:
         }
 
     add_rows = [None, None] + [_add_row(f) for f in files]
+
+    def _pq_write(tbl, dst: str) -> None:
+        if fsio.is_remote(dst):
+            import pyarrow.fs as pafs
+
+            pfs, ppath = pafs.FileSystem.from_uri(dst)
+            with pfs.open_output_stream(ppath) as out:
+                pq.write_table(tbl, out)
+        else:
+            pq.write_table(tbl, dst)
+
+    if v2:
+        # spec: a table whose current checkpoint is V2 must carry the
+        # v2Checkpoint feature — upgrade the protocol row (and the
+        # log's readers) accordingly
+        proto = {
+            "minReaderVersion": 3,
+            "minWriterVersion": 7,
+            "readerFeatures": sorted(
+                set(proto.get("readerFeatures") or []) | {"v2Checkpoint"}
+            ),
+            "writerFeatures": sorted(
+                set(proto.get("writerFeatures") or []) | {"v2Checkpoint"}
+            ),
+        }
+        side_dir = fsio.join(_log_dir(path), "_sidecars")
+        fsio.makedirs(side_dir)
+        sc_name = f"{uuid.uuid4()}.parquet"
+        sc_path = fsio.join(side_dir, sc_name)
+        _pq_write(
+            pa.table(
+                {"add": pa.array([_add_row(f) for f in files], add_type)}
+            ),
+            sc_path,
+        )
+        cpm_type = pa.struct([("version", pa.int64())])
+        sc_type = pa.struct(
+            [
+                ("path", pa.string()),
+                ("sizeInBytes", pa.int64()),
+                ("modificationTime", pa.int64()),
+            ]
+        )
+        sidecar_row = {
+            "path": sc_name,
+            "sizeInBytes": fsio.file_size(sc_path),
+            "modificationTime": int(time.time() * 1000),
+        }
+        manifest = pa.table(
+            {
+                "checkpointMetadata": pa.array(
+                    [{"version": version}, None, None, None], cpm_type
+                ),
+                "sidecar": pa.array(
+                    [None, sidecar_row, None, None], sc_type
+                ),
+                "protocol": pa.array(
+                    [None, None, proto, None], proto_type
+                ),
+                "metaData": pa.array(
+                    [None, None, None, meta_row], meta_type
+                ),
+            }
+        )
+        cp = fsio.join(
+            _log_dir(path),
+            f"{version:020d}.checkpoint.{uuid.uuid4()}.parquet",
+        )
+        _pq_write(manifest, cp)
+        fsio.write_atomic(
+            fsio.join(_log_dir(path), "_last_checkpoint"),
+            json.dumps(
+                {
+                    "version": version,
+                    "size": 4 + len(files),
+                    "sizeInBytes": fsio.file_size(cp),
+                }
+            ),
+        )
+        return version
+
     cp = fsio.join(_log_dir(path), f"{version:020d}.checkpoint.parquet")
     tbl = pa.table(
         {
@@ -284,14 +381,7 @@ def write_checkpoint(spark: SparkSession, path: str) -> int:
             "add": pa.array(add_rows, add_type),
         }
     )
-    if fsio.is_remote(cp):
-        import pyarrow.fs as pafs
-
-        pfs, ppath = pafs.FileSystem.from_uri(cp)
-        with pfs.open_output_stream(ppath) as out:
-            pq.write_table(tbl, out)
-    else:
-        pq.write_table(tbl, cp)
+    _pq_write(tbl, cp)
     fsio.write_atomic(
         fsio.join(_log_dir(path), "_last_checkpoint"),
         json.dumps({"version": version, "size": n}),

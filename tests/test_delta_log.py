@@ -598,3 +598,48 @@ def test_timestamp_as_of_reverse_scan_read_count(spark, tmp_path, monkeypatch):
     reads.clear()
     with pytest.raises(ValueError, match="predates"):
         dl.version_as_of_timestamp(root, t0 - 1)
+
+
+def test_write_v2_checkpoint_roundtrip(spark, tmp_path):
+    """r8: the engine WRITES the V2 checkpoint spec too — UUID manifest
+    + sidecar adds + checkpointMetadata + upgraded protocol — and its
+    own reader (the same code path that accepts Databricks-authored V2
+    checkpoints) serves the snapshot from it alone after the JSON
+    commits expire."""
+    import glob as _glob
+
+    from hudi_and_delta_showcase_spark.tables import delta_log as dl
+
+    root = str(tmp_path / "dl")
+    dl.write_delta_table(
+        spark.createDataFrame([(1, "a"), (2, "b")], "k int, v string")
+        .coalesce(1), root)
+    dl.write_delta_table(
+        spark.createDataFrame([(3, "c")], "k int, v string").coalesce(1),
+        root)
+    v = dl.write_checkpoint(spark, root, v2=True)
+    assert v == 1
+    log = os.path.join(root, "_delta_log")
+    manifests = _glob.glob(
+        os.path.join(log, "00000000000000000001.checkpoint.*.parquet"))
+    assert len(manifests) == 1
+    assert _glob.glob(os.path.join(log, "_sidecars", "*.parquet"))
+    # expire the JSON commits: the V2 checkpoint is the only source
+    for j in _glob.glob(os.path.join(log, "*.json")):
+        os.remove(j)
+    got = sorted(tuple(r)
+                 for r in dl.read_delta_table(spark, root).collect())
+    assert got == [(1, "a"), (2, "b"), (3, "c")]
+    cp = dl._read_checkpoint(root)
+    assert "v2Checkpoint" in (cp[3] or {}).get("readerFeatures", [])
+    # a rewritten checkpoint keeps the feature protocol (no downgrade)
+    dl.write_delta_table(
+        spark.createDataFrame([(4, "d")], "k int, v string").coalesce(1),
+        root)
+    dl.write_checkpoint(spark, root)  # classic rewrite on top
+    cp2 = dl._read_checkpoint(root)
+    assert cp2[0] == 2
+    assert "v2Checkpoint" in (cp2[3] or {}).get("readerFeatures", [])
+    got = sorted(tuple(r)
+                 for r in dl.read_delta_table(spark, root).collect())
+    assert got == [(1, "a"), (2, "b"), (3, "c"), (4, "d")]
