@@ -85,6 +85,7 @@ CORRUPT_BLOCK = 2
 AVRO_DATA_BLOCK = 3
 HFILE_DATA_BLOCK = 4
 PARQUET_DATA_BLOCK = 5
+CDC_DATA_BLOCK = 6
 
 # HeaderMetadataType ordinals
 INSTANT_TIME = 0
@@ -346,7 +347,12 @@ def parse_log_blob(blob: bytes) -> list[dict]:
             continue
         pos = end
         block = {"type": btype, "header": header}
-        if btype == AVRO_DATA_BLOCK:
+        if btype in (AVRO_DATA_BLOCK, CDC_DATA_BLOCK):
+            # CDC_DATA (hoodie.table.cdc.enabled supplemental logging)
+            # shares the Avro data block's exact content layout; its
+            # records are change images, NOT table rows — decoded here
+            # so a cdc-bearing foreign table doesn't refuse, excluded
+            # from the _rt merge in resolve_log_blocks.
             schema = json.loads(header[SCHEMA])
             v, n = struct.unpack_from(">ii", content, 0)
             if v != AVRO_CONTENT_VERSION:

@@ -164,3 +164,28 @@ def test_parquet_data_block_roundtrip():
                           b"NOTP" + b"x" * 16)
     with pytest.raises(ValueError, match="PAR1"):
         hl.parse_log_blob(bad)
+
+
+def test_cdc_data_block_tolerated_not_merged():
+    """r8: CDC_DATA blocks (hoodie.table.cdc.enabled supplemental
+    logging; same content layout as Avro data blocks) decode instead
+    of refusing, but their change images do NOT fold into the data
+    merge."""
+    import struct
+
+    data = hl.avro_data_block([{"k": 1, "v": "a"}], _SCHEMA, "001")
+    # reframe an avro payload under the CDC ordinal
+    cdc_rec = [{"k": 1, "v": "op=u"}]
+    inner = hl.avro_data_block(cdc_rec, _SCHEMA, "002")
+    _h, _t, content, _e = hl._frame_one(inner, 0)
+    cdc = hl._frame_block(
+        hl.CDC_DATA_BLOCK,
+        {hl.INSTANT_TIME: "002", hl.SCHEMA: __import__("json").dumps(_SCHEMA)},
+        content,
+    )
+    blocks = hl.parse_log_blob(data + cdc)
+    assert [b["type"] for b in blocks] == [hl.AVRO_DATA_BLOCK,
+                                           hl.CDC_DATA_BLOCK]
+    assert blocks[1]["records"] == cdc_rec
+    out = hl.resolve_log_blocks([data + cdc])
+    assert out == [("001", [{"k": 1, "v": "a"}], [])]
