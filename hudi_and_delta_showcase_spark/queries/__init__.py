@@ -216,6 +216,10 @@ PRIORITY: tuple[str, ...] = (
     # blocks decode (Avro HoodieDeleteRecordList), kill base rows into
     # engine DVs at adoption, and a later data block revives the key
     "cdc_convert_hoodie_delete",
+    # r8: poll-tail of a foreign .hoodie timeline — (begin, latest]
+    # incremental pulls per landed commit, O(changed files) each, the
+    # union exactly re-assembles the table
+    "cdc_hoodie_incremental_tail",
     # r6: bounds-pruned range read through the Iceberg metadata path
     "iceberg_stats_skipping_read",
     # r7: Iceberg v2 EQUALITY deletes on read (Flink CDC writer shape),

@@ -2889,6 +2889,46 @@ def cdc_convert_hoodie_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "cdc_hoodie_incremental_tail",
+    oracle="SELECT event_id, user_id, ts, event_type, value FROM events",
+    tags=("cdc", "hoodie", "incremental", "streaming"),
+)
+def cdc_hoodie_incremental_tail(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Continuous INCREMENTAL TAIL of a foreign ``.hoodie`` timeline
+    (r8) — the Hudi-source sibling of ``cdc_jdbc_watermark_tail``: a
+    foreign writer lands three commits; after each one, the consumer
+    polls ``read_hoodie_incremental`` over exactly the new instant
+    range ``(last_seen, latest]`` — O(changed files) IO per poll,
+    never a snapshot re-read — and the union of the three pulls must
+    equal the full table (no row lost, none double-delivered; either
+    hash-fails the oracle). This is the loop that makes a foreign Hudi
+    table a medallion bronze source without Spark's streaming file
+    source ever seeing it."""
+    from hudi_and_delta_showcase_spark.tables import hoodie_timeline as ht
+
+    events = load_table(spark, sf_dir, "events").select(*_FINAL_COLS)
+    c1 = F.lit(CUTOFF).cast("timestamp_ntz")
+    c2 = F.lit("2024-01-25 00:00:00").cast("timestamp_ntz")
+    parts = [
+        events.filter(F.col("ts") < c1),
+        events.filter((F.col("ts") >= c1) & (F.col("ts") < c2)),
+        events.filter(F.col("ts") >= c2),
+    ]
+    root = tempfile.mkdtemp(prefix="hoodie_tail_") + "/t"
+    begin = "0"
+    acc: DataFrame | None = None
+    for p in parts:
+        ht.write_hoodie_table(p.coalesce(1), root)
+        end = ht.list_instants(root)[-1]
+        batch = ht.read_hoodie_incremental(
+            spark, root, begin_instant=begin, end_instant=end
+        )
+        acc = batch if acc is None else acc.unionByName(batch)
+        begin = end
+    return acc.select(*_FINAL_COLS)
+
+
+@query(
     "cdc_convert_delta_dv",
     oracle=f"""
     SELECT event_id, user_id, ts, event_type, value FROM events
