@@ -575,7 +575,12 @@ def _replay(
     ``deletionVector`` (the rewrite that materialized it) correctly
     sheds the old one; ``partitionValues`` rides along because it is
     the AUTHORITATIVE partition record (column-mapped delta-spark
-    tables use random file prefixes, not hive dirs)."""
+    tables use random file prefixes, not hive dirs). Every protocol
+    action encountered (commits AND checkpoint) passes
+    ``_protocol_guard`` (r8): a snapshot requiring reader features
+    this engine lacks refuses on EVERY read path, delta-spark's
+    discipline — previously only adoption guarded and a plain read
+    could silently mis-serve e.g. a variant-typed table."""
     versions = _list_versions(path)
     cp = _read_checkpoint(path) if use_checkpoint else None
     if not versions and cp is None:
@@ -600,6 +605,8 @@ def _replay(
         # a checkpoint is only usable when it does not overshoot the
         # requested time-travel version
         start, meta, live = cp[0] + 1, dict(cp[1]), dict(cp[2])
+        if cp[3]:
+            _protocol_guard(cp[3])
     for v in versions:
         if v < start:
             continue
@@ -615,6 +622,8 @@ def _replay(
                 live[action["add"]["path"]] = action["add"]
             elif "remove" in action:
                 live.pop(action["remove"]["path"], None)
+            elif "protocol" in action:
+                _protocol_guard(action["protocol"])
     return meta, sorted(live), {f: (a or {}) for f, a in live.items()}
 
 
@@ -1049,18 +1058,8 @@ def adopt_delta_snapshot(path: str) -> tuple[dict, list[str], dict]:
     ``SUPPORTED_READER_FEATURES`` (``_protocol_guard``) and
     nested-struct renames — refusing beats silently mis-reading,
     exactly delta-spark's stance on unknown features."""
-    meta, files, adds = _replay(path, None)
+    meta, files, adds = _replay(path, None)  # guards the protocol (r8)
     column_mapping_of(meta)  # raises on unknown mapping modes
-    for v in _list_versions(path):
-        for line in fsio.read_text(_commit_file(path, v)).splitlines():
-            if not line.strip():
-                continue
-            action = json.loads(line)
-            if "protocol" in action:
-                _protocol_guard(action["protocol"])
-    cp = _read_checkpoint(path)
-    if cp is not None and cp[3]:
-        _protocol_guard(cp[3])
     return meta, files, adds
 
 

@@ -643,3 +643,25 @@ def test_write_v2_checkpoint_roundtrip(spark, tmp_path):
     got = sorted(tuple(r)
                  for r in dl.read_delta_table(spark, root).collect())
     assert got == [(1, "a"), (2, "b"), (3, "c"), (4, "d")]
+
+
+def test_read_path_guards_reader_protocol(spark, tmp_path):
+    """r8: the PLAIN READ path refuses unknown reader features too —
+    previously only adoption guarded, so read_delta_table could
+    silently mis-serve e.g. a variant-typed table."""
+    from hudi_and_delta_showcase_spark.tables import delta_log as dl
+
+    root = str(tmp_path / "dl")
+    dl.write_delta_table(
+        spark.createDataFrame([(1, "a")], "k int, v string").coalesce(1),
+        root)
+    with open(os.path.join(root, "_delta_log",
+                           "00000000000000000001.json"), "w") as fh:
+        fh.write(json.dumps({"protocol": {
+            "minReaderVersion": 3, "minWriterVersion": 7,
+            "readerFeatures": ["variantType"]}}) + "\n")
+    with pytest.raises(RuntimeError, match="reader features"):
+        dl.read_delta_table(spark, root).collect()
+    # time travel BEFORE the upgrade still serves
+    got = dl.read_delta_table(spark, root, version=0).collect()
+    assert [tuple(r) for r in got] == [(1, "a")]
