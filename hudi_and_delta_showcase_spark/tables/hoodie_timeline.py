@@ -36,6 +36,7 @@ from __future__ import annotations
 
 import json
 import posixpath
+import re
 import uuid
 
 from pyspark.sql import DataFrame, SparkSession
@@ -324,6 +325,54 @@ def read_hoodie_incremental(
     )
 
 
+_BASE_FILE_RE = re.compile(
+    r"^(?P<fid>.+)_\d+-\d+-\d+_(?P<instant>\d{14,17})\.parquet$"
+)
+
+
+def _archived_file_slices(
+    path: str, horizon: str
+) -> tuple[dict[str, tuple[str, str]], dict[str, list]]:
+    """Slice discovery BELOW the active timeline's horizon, by LISTING
+    (r8): Hudi ARCHIVES old instants out of ``.hoodie`` (default after
+    ~30 commits), taking their write stats with them — replaying only
+    the active timeline silently drops every file group last written
+    before the horizon, which is the NORMAL state of any long-lived
+    table. Hudi's own readers fall back to file listing there, under
+    the same rule this uses: a file-group-named file whose instant
+    precedes the EARLIEST active instant is definitionally committed
+    (failed writes are rolled back before their instant can archive,
+    and slices replaced by an archived replacecommit are CLEANED
+    before it may archive — Hudi's archiver-after-cleaner ordering —
+    so listing cannot resurrect them).
+    Returns seed (bases, logs) keyed by fileId; the active-timeline
+    replay then layers newer slices, overwrite barriers, and
+    replacecommits on top. Only invoked when ``.hoodie/archived/`` is
+    non-empty, so unarchived tables pay nothing. O(data files) listing
+    — exactly what any Hudi reader without the metadata table does."""
+    from hudi_and_delta_showcase_spark.tables import hoodie_log as hl
+
+    bases: dict[str, tuple[str, str]] = {}
+    logs: dict[str, list] = {}
+    for full in fsio.walk_files(path):
+        rel = fsio.relpath(full, path)
+        if rel.startswith(".hoodie/") or rel.startswith(".staging"):
+            continue
+        name = rel.rsplit("/", 1)[-1]
+        m = _BASE_FILE_RE.match(name)
+        if m and m.group("instant") <= horizon:
+            fid, inst = m.group("fid"), m.group("instant")
+            if fid not in bases or inst > bases[fid][0]:
+                bases[fid] = (inst, rel)
+            continue
+        info = hl.parse_log_file_name(name)
+        if info is not None and info["base_instant"] <= horizon:
+            logs.setdefault(info["file_id"], []).append(
+                (info["base_instant"], info["version"], rel)
+            )
+    return bases, logs
+
+
 def latest_file_slices_rt(
     path: str, as_of_instant: str | None = None
 ) -> dict[str, dict]:
@@ -332,14 +381,28 @@ def latest_file_slices_rt(
     exactly as ``_latest_file_slices``; ``.log`` write stats attach to
     the slice whose base instant matches the ``baseInstant`` embedded
     in their name — after a compaction writes a newer base, stale logs
-    stop attaching, Hudi's exact slice rule."""
+    stop attaching, Hudi's exact slice rule. On ARCHIVED timelines
+    (``.hoodie/archived/`` non-empty) slices older than the earliest
+    active instant are discovered by listing first
+    (``_archived_file_slices``)."""
     from hudi_and_delta_showcase_spark.tables import hoodie_log as hl
 
-    instants = _completed_instants(path)
+    all_instants = _completed_instants(path)
+    instants = all_instants
     if as_of_instant is not None:
         instants = [(i, k) for i, k in instants if i <= as_of_instant]
     bases: dict[str, tuple[str, str]] = {}  # fid -> (instant, path)
     logs: dict[str, list[tuple[str, int, str]]] = {}
+    arch_dir = fsio.join(_hoodie_dir(path), "archived")
+    if (
+        all_instants
+        and fsio.isdir(arch_dir)
+        and any(fsio.listdir(arch_dir))
+    ):
+        horizon = all_instants[0][0]
+        if as_of_instant is not None:
+            horizon = min(horizon, as_of_instant)
+        bases, logs = _archived_file_slices(path, horizon)
     barrier = ""
     for instant, kind in instants:
         meta = json.loads(

@@ -209,3 +209,76 @@ def test_incremental_pull_on_engine_export_stamps_from_commits(
     pull = read_hoodie_incremental(spark, root, begin_instant=instants[-2])
     got = sorted((r.k, r.v) for r in pull.select("k", "v").collect())
     assert got == [(3, "c")]
+
+
+def test_archived_timeline_serves_by_listing(spark, tmp_path):
+    """r8: Hudi ARCHIVES old instants out of .hoodie (the normal state
+    of any long-lived table), taking their write stats with them —
+    slices below the horizon must be discovered by listing, layered
+    under the active timeline's replay (newer slices supersede,
+    overwrite barriers still clear)."""
+    import shutil
+
+    from hudi_and_delta_showcase_spark.tables import LakehouseTable
+    from hudi_and_delta_showcase_spark.tables.hoodie_timeline import (
+        latest_file_slices_rt,
+    )
+
+    root = str(tmp_path / "ht")
+    for batch in ([(1, "a")], [(2, "b")], [(3, "c")]):
+        write_hoodie_table(
+            spark.createDataFrame(batch, "k int, v string").coalesce(1),
+            root,
+        )
+    i1, i2, i3 = list_instants(root)
+    # simulate archival of the FIRST commit: instant files move into
+    # .hoodie/archived (content opaque to the reader)
+    arch = os.path.join(root, ".hoodie", "archived")
+    os.makedirs(arch)
+    os.rename(
+        os.path.join(root, ".hoodie", f"{i1}.commit"),
+        os.path.join(arch, "commits_.archive.1_1-0-1"),
+    )
+    assert list_instants(root) == [i2, i3]
+    got = sorted(
+        (r.k, r.v)
+        for r in read_hoodie_table(spark, root).select("k", "v").collect()
+    )
+    assert got == [(1, "a"), (2, "b"), (3, "c")]
+    # time travel BELOW the horizon serves the listed state
+    tt = sorted(
+        (r.k, r.v)
+        for r in read_hoodie_table(spark, root, as_of_instant=i1)
+        .select("k", "v").collect()
+    )
+    assert tt == [(1, "a")]
+    # adoption sees the archived slice too
+    t = LakehouseTable.convert_hoodie(spark, root, key_cols=["k"])
+    assert sorted((r.k, r.v) for r in t.read().select("k", "v").collect()) \
+        == [(1, "a"), (2, "b"), (3, "c")]
+
+
+def test_archived_timeline_respects_overwrite_barrier(spark, tmp_path):
+    """A file below the horizon that was superseded by an ACTIVE
+    INSERT_OVERWRITE must NOT resurrect via listing."""
+    root = str(tmp_path / "ht")
+    write_hoodie_table(
+        spark.createDataFrame([(1, "old")], "k int, v string").coalesce(1),
+        root,
+    )
+    write_hoodie_table(
+        spark.createDataFrame([(2, "new")], "k int, v string").coalesce(1),
+        root, mode="overwrite",
+    )
+    i1, i2 = list_instants(root)
+    arch = os.path.join(root, ".hoodie", "archived")
+    os.makedirs(arch)
+    os.rename(
+        os.path.join(root, ".hoodie", f"{i1}.commit"),
+        os.path.join(arch, "commits_.archive.1_1-0-1"),
+    )
+    got = sorted(
+        (r.k, r.v)
+        for r in read_hoodie_table(spark, root).select("k", "v").collect()
+    )
+    assert got == [(2, "new")]
