@@ -76,6 +76,7 @@ def list_instants(path: str, state: str = "commit") -> list[str]:
     suffix = {
         "commit": ".commit",
         "deltacommit": ".deltacommit",
+        "replacecommit": ".replacecommit",
         "inflight": ".inflight",
         "requested": ".commit.requested",
     }[state]
@@ -89,11 +90,16 @@ def list_instants(path: str, state: str = "commit") -> list[str]:
 
 
 def _completed_instants(path: str) -> list[tuple[str, str]]:
-    """All COMPLETED instants (commit + deltacommit), time-sorted, as
-    ``(instant, kind)`` — MoR timelines interleave the two kinds."""
+    """All COMPLETED instants (commit + deltacommit + replacecommit —
+    clustering/insert-overwrite land as the third kind on foreign
+    timelines, r8), time-sorted, as ``(instant, kind)``."""
     return sorted(
         [(i, "commit") for i in list_instants(path, "commit")]
         + [(i, "deltacommit") for i in list_instants(path, "deltacommit")]
+        + [
+            (i, "replacecommit")
+            for i in list_instants(path, "replacecommit")
+        ]
     )
 
 
@@ -420,6 +426,15 @@ def latest_file_slices_rt(
             ):
                 bases.pop(fid, None)
                 logs.pop(fid, None)
+            # foreign replacecommit (clustering / insert_overwrite):
+            # HoodieReplaceCommitMetadata records the replaced groups
+            # top-level, per partition (r8)
+            for fids in (
+                meta.get("partitionToReplaceFileIds") or {}
+            ).values():
+                for fid in fids:
+                    bases.pop(fid, None)
+                    logs.pop(fid, None)
         for stats in meta.get("partitionToWriteStats", {}).values():
             for st in stats:
                 fid, p = st["fileId"], st["path"]

@@ -1062,3 +1062,117 @@ def test_reader_serves_nested_struct_renames(spark, tmp_path):
     got = sorted((r.k, r.payload.amount, r.payload.keep)
                  for r in df.collect())
     assert got == [(1, 7, "x"), (2, 8, "y")]
+
+
+def test_reader_accepts_partitioned_hudi_timeline(spark, tmp_path):
+    """r8: a foreign PARTITIONED .hoodie table — Hudi partition dirs
+    are plain path segments (2024/01/...), NOT hive key=value, and the
+    partition column lives IN the data files; write-stat paths are
+    table-relative including the partition dir. Snapshot read and MoR
+    slice resolution must serve it."""
+    from hudi_and_delta_showcase_spark.tables.hoodie_timeline import (
+        latest_file_slices_rt,
+        read_hoodie_table,
+    )
+
+    root = str(tmp_path / "ht")
+    hd = os.path.join(root, ".hoodie")
+    os.makedirs(hd)
+    with open(os.path.join(hd, "hoodie.properties"), "w") as fh:
+        fh.write("hoodie.table.name=ev\nhoodie.table.type=COPY_ON_WRITE\n")
+    i1 = "20240101000000001"
+    fid_a = "0d1a2b3c-0000-4000-8000-00000000000a-0"
+    fid_b = "0d1a2b3c-0000-4000-8000-00000000000b-0"
+    rel_a = f"2024/01/{fid_a}_0-1-1_{i1}.parquet"
+    rel_b = f"2024/02/{fid_b}_0-1-2_{i1}.parquet"
+    for rel, ks, vs in ((rel_a, [1], ["jan"]), (rel_b, [2], ["feb"])):
+        os.makedirs(os.path.dirname(os.path.join(root, rel)), exist_ok=True)
+        _write_parquet(os.path.join(root, rel), ks, vs)
+        with open(os.path.join(root, os.path.dirname(rel),
+                               ".hoodie_partition_metadata"), "w") as fh:
+            fh.write(f"#partition metadata\ncommitTime={i1}\n"
+                     "partitionDepth=2\n")
+    meta = {
+        "partitionToWriteStats": {
+            "2024/01": [{"fileId": fid_a, "path": rel_a,
+                         "prevCommit": "null", "numWrites": 1,
+                         "fileSizeInBytes": 700}],
+            "2024/02": [{"fileId": fid_b, "path": rel_b,
+                         "prevCommit": "null", "numWrites": 1,
+                         "fileSizeInBytes": 700}],
+        },
+        "compacted": False, "extraMetadata": {},
+        "operationType": "INSERT",
+    }
+    with open(os.path.join(hd, f"{i1}.commit"), "w") as fh:
+        fh.write(json.dumps(meta))
+    got = sorted(
+        (r.k, r.v)
+        for r in read_hoodie_table(spark, root).select("k", "v").collect()
+    )
+    assert got == [(1, "jan"), (2, "feb")]
+    slices = latest_file_slices_rt(root)
+    assert {s["base"] for s in slices.values()} == {rel_a, rel_b}
+
+
+def test_reader_accepts_clustering_replacecommit(spark, tmp_path):
+    """r8: a foreign CLUSTERING commit lands as `<instant>.replacecommit`
+    with HoodieReplaceCommitMetadata — new clustered file groups in
+    partitionToWriteStats, replaced groups in the top-level
+    partitionToReplaceFileIds. The snapshot must serve the clustered
+    file only; time travel before it serves the originals."""
+    from hudi_and_delta_showcase_spark.tables.hoodie_timeline import (
+        read_hoodie_table,
+    )
+
+    root = str(tmp_path / "ht")
+    hd = os.path.join(root, ".hoodie")
+    os.makedirs(hd)
+    with open(os.path.join(hd, "hoodie.properties"), "w") as fh:
+        fh.write("hoodie.table.name=ev\nhoodie.table.type=COPY_ON_WRITE\n")
+    with open(os.path.join(root, ".hoodie_partition_metadata"), "w") as fh:
+        fh.write("#partition metadata\ncommitTime=20240101000000001\n"
+                 "partitionDepth=0\n")
+    i1, i2 = "20240101000000001", "20240101000100001"
+    fid_a = "0d1a2b3c-0000-4000-8000-00000000000a-0"
+    fid_b = "0d1a2b3c-0000-4000-8000-00000000000b-0"
+    fid_c = "0d1a2b3c-0000-4000-8000-00000000000c-0"
+    fa = f"{fid_a}_0-1-1_{i1}.parquet"
+    fb = f"{fid_b}_0-1-2_{i1}.parquet"
+    fc = f"{fid_c}_0-2-1_{i2}.parquet"
+    _write_parquet(os.path.join(root, fa), [1], ["a"])
+    _write_parquet(os.path.join(root, fb), [2], ["b"])
+    _write_parquet(os.path.join(root, fc), [1, 2], ["a", "b"])
+    c1 = {
+        "partitionToWriteStats": {"": [
+            {"fileId": fid_a, "path": fa, "prevCommit": "null",
+             "numWrites": 1, "fileSizeInBytes": 700},
+            {"fileId": fid_b, "path": fb, "prevCommit": "null",
+             "numWrites": 1, "fileSizeInBytes": 700},
+        ]},
+        "compacted": False, "extraMetadata": {},
+        "operationType": "INSERT",
+    }
+    c2 = {
+        "partitionToWriteStats": {"": [
+            {"fileId": fid_c, "path": fc, "prevCommit": "null",
+             "numWrites": 2, "fileSizeInBytes": 900},
+        ]},
+        "partitionToReplaceFileIds": {"": [fid_a, fid_b]},
+        "compacted": False, "extraMetadata": {},
+        "operationType": "CLUSTER",
+    }
+    with open(os.path.join(hd, f"{i1}.commit"), "w") as fh:
+        fh.write(json.dumps(c1))
+    with open(os.path.join(hd, f"{i2}.replacecommit"), "w") as fh:
+        fh.write(json.dumps(c2))
+
+    snap = read_hoodie_table(spark, root)
+    got = sorted((r.k, r.v) for r in snap.select("k", "v").collect())
+    assert got == [(1, "a"), (2, "b")]
+    # exactly the clustered file serves (no double rows = replaced
+    # groups really dropped)
+    assert snap.count() == 2
+    tt = read_hoodie_table(spark, root, as_of_instant=i1)
+    assert sorted((r.k, r.v) for r in tt.select("k", "v").collect()) == [
+        (1, "a"), (2, "b")]
