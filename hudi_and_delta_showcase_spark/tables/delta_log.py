@@ -746,7 +746,11 @@ def version_as_of_timestamp(path: str, ts_ms: int) -> int:
                 continue
             a = json.loads(line)
             if "commitInfo" in a:
-                t = a["commitInfo"].get("timestamp")
+                ci = a["commitInfo"]
+                # inCommitTimestamp (the ICT writer feature) is the
+                # AUTHORITATIVE instant when present — monotonic by
+                # spec, unlike the file-derived `timestamp`
+                t = ci.get("inCommitTimestamp", ci.get("timestamp"))
                 if t is not None and t <= ts_ms:
                     return v
                 break

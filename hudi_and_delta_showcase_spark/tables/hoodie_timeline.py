@@ -68,15 +68,57 @@ def _write_properties(path: str, name: str) -> None:
     )
 
 
+#: Hudi 1.x completed-instant stem: requestedTime_completionTime
+_V8_STEM_RE = re.compile(r"^(\d{14,17})_(\d{14,17})$")
+
+
+def _timeline_dir(path: str) -> str:
+    """Where the instant files live: ``.hoodie/`` for table versions
+    <= 6, ``.hoodie/timeline/`` for Hudi 1.x (table version 8) — the
+    layout change every 1.x-written table carries (r8)."""
+    td = fsio.join(_hoodie_dir(path), "timeline")
+    return td if fsio.isdir(td) else _hoodie_dir(path)
+
+
+def _completed_instant_files(path: str) -> dict[tuple[str, str], str]:
+    """(instant, kind) -> instant file NAME, across BOTH timeline
+    layouts: pre-1.0 ``<instant>.<action>`` and 1.x
+    ``<requested>_<completion>.<action>`` (the instant is the
+    requested time, Hudi's 1.x convention)."""
+    d = _timeline_dir(path)
+    out: dict[tuple[str, str], str] = {}
+    if not fsio.isdir(d):
+        return out
+    for f in fsio.listdir(d):
+        for kind in ("commit", "deltacommit", "replacecommit"):
+            suf = "." + kind
+            if not f.endswith(suf):
+                continue
+            stem = f[: -len(suf)]
+            if stem.isdigit():
+                out[(stem, kind)] = f
+            else:
+                m = _V8_STEM_RE.match(stem)
+                if m:
+                    out[(m.group(1), kind)] = f
+    return out
+
+
+def _read_instant_meta(path: str, instant: str, kind: str) -> dict:
+    name = _completed_instant_files(path)[(instant, kind)]
+    return json.loads(fsio.read_text(fsio.join(_timeline_dir(path), name)))
+
+
 def list_instants(path: str, state: str = "commit") -> list[str]:
     """Completed (or requested/inflight) instant times, sorted."""
-    d = _hoodie_dir(path)
+    if state in ("commit", "deltacommit", "replacecommit"):
+        return sorted(
+            i for (i, k) in _completed_instant_files(path) if k == state
+        )
+    d = _timeline_dir(path)
     if not fsio.isdir(d):
         return []
     suffix = {
-        "commit": ".commit",
-        "deltacommit": ".deltacommit",
-        "replacecommit": ".replacecommit",
         "inflight": ".inflight",
         "requested": ".commit.requested",
     }[state]
@@ -194,9 +236,7 @@ def _latest_file_slices(
     slices: dict[str, tuple[str, str]] = {}
     barrier = ""
     for instant in instants:
-        meta = json.loads(
-            fsio.read_text(fsio.join(_hoodie_dir(path), f"{instant}.commit"))
-        )
+        meta = _read_instant_meta(path, instant, "commit")
         if meta.get("operationType") == "INSERT_OVERWRITE":
             slices.clear()
             barrier = instant
@@ -272,9 +312,7 @@ def read_hoodie_incremental(
     for instant, kind in instants:
         if not (begin_instant < instant <= end):
             continue
-        meta = json.loads(
-            fsio.read_text(fsio.join(_hoodie_dir(path), f"{instant}.{kind}"))
-        )
+        meta = _read_instant_meta(path, instant, kind)
         for stats in meta.get("partitionToWriteStats", {}).values():
             for st in stats:
                 if st["path"].endswith(".parquet"):
@@ -399,23 +437,23 @@ def latest_file_slices_rt(
         instants = [(i, k) for i, k in instants if i <= as_of_instant]
     bases: dict[str, tuple[str, str]] = {}  # fid -> (instant, path)
     logs: dict[str, list[tuple[str, int, str]]] = {}
-    arch_dir = fsio.join(_hoodie_dir(path), "archived")
-    if (
-        all_instants
-        and fsio.isdir(arch_dir)
-        and any(fsio.listdir(arch_dir))
-    ):
+    # pre-1.0 archives to .hoodie/archived/; 1.x to the LSM tree at
+    # .hoodie/timeline/history/
+    archived = any(
+        fsio.isdir(d) and any(fsio.listdir(d))
+        for d in (
+            fsio.join(_hoodie_dir(path), "archived"),
+            fsio.join(_hoodie_dir(path), "timeline", "history"),
+        )
+    )
+    if all_instants and archived:
         horizon = all_instants[0][0]
         if as_of_instant is not None:
             horizon = min(horizon, as_of_instant)
         bases, logs = _archived_file_slices(path, horizon)
     barrier = ""
     for instant, kind in instants:
-        meta = json.loads(
-            fsio.read_text(
-                fsio.join(_hoodie_dir(path), f"{instant}.{kind}")
-            )
-        )
+        meta = _read_instant_meta(path, instant, kind)
         if meta.get("operationType") == "INSERT_OVERWRITE":
             bases.clear()
             logs.clear()
@@ -684,11 +722,7 @@ def export_hoodie_timeline(table) -> str:
         )
     done: dict[int, str] = {}
     for instant in list_instants(table.path):
-        meta = json.loads(
-            fsio.read_text(
-                fsio.join(_hoodie_dir(table.path), f"{instant}.commit")
-            )
-        )
+        meta = _read_instant_meta(table.path, instant, "commit")
         v = meta.get("extraMetadata", {}).get("lakehouseVersion")
         if v is not None:
             done[int(v)] = instant

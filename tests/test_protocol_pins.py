@@ -1176,3 +1176,77 @@ def test_reader_accepts_clustering_replacecommit(spark, tmp_path):
     tt = read_hoodie_table(spark, root, as_of_instant=i1)
     assert sorted((r.k, r.v) for r in tt.select("k", "v").collect()) == [
         (1, "a"), (2, "b")]
+
+
+def test_reader_accepts_hudi_1x_timeline_layout(spark, tmp_path):
+    """r8: Hudi 1.x (table version 8) moves instants to
+    .hoodie/timeline/ and names completed ones
+    <requestedTime>_<completionTime>.<action>. Snapshot + MoR realtime
+    reads and adoption must resolve through the new layout."""
+    from hudi_and_delta_showcase_spark.avro_ocf import spark_schema_to_avro
+    from hudi_and_delta_showcase_spark.tables import LakehouseTable
+    from hudi_and_delta_showcase_spark.tables import hoodie_log as hl
+    from hudi_and_delta_showcase_spark.tables.hoodie_timeline import (
+        read_hoodie_table,
+        read_hoodie_table_rt,
+    )
+    from pyspark.sql.types import StructType
+
+    root = str(tmp_path / "ht")
+    tl = os.path.join(root, ".hoodie", "timeline")
+    os.makedirs(tl)
+    with open(os.path.join(root, ".hoodie", "hoodie.properties"), "w") as fh:
+        fh.write("hoodie.table.name=ev\nhoodie.table.type=MERGE_ON_READ\n"
+                 "hoodie.table.version=8\n"
+                 "hoodie.table.recordkey.fields=k\n"
+                 "hoodie.table.precombine.field=sq\n")
+    i1, c1 = "20240101000000001", "20240101000000999"
+    i2, c2 = "20240101000100001", "20240101000100999"
+    fid = "0d1a2b3c-0000-4000-8000-00000000000a-0"
+    base_file = f"{fid}_0-1-1_{i1}.parquet"
+    pq.write_table(
+        pa.table({"k": pa.array([1, 2], pa.int64()),
+                  "v": pa.array(["a", "b"]),
+                  "sq": pa.array([100, 100], pa.int64())}),
+        os.path.join(root, base_file),
+    )
+    log_name = hl.log_file_name(fid, i1, version=1)
+    schema = spark_schema_to_avro(
+        StructType.fromDDL("k long, v string, sq long")
+    )
+    hl.write_log_file(
+        os.path.join(root, log_name),
+        [hl.avro_data_block([{"k": 2, "v": "b2", "sq": 101}], schema, i2)],
+    )
+    commit1 = {
+        "partitionToWriteStats": {"": [
+            {"fileId": fid, "path": base_file, "prevCommit": "null",
+             "numWrites": 2, "fileSizeInBytes": 800}]},
+        "compacted": False, "extraMetadata": {},
+        "operationType": "INSERT",
+    }
+    delta2 = {
+        "partitionToWriteStats": {"": [
+            {"fileId": fid, "path": log_name, "prevCommit": i1,
+             "numWrites": 1, "fileSizeInBytes": 200}]},
+        "compacted": False, "extraMetadata": {},
+        "operationType": "UPSERT",
+    }
+    with open(os.path.join(tl, f"{i1}_{c1}.commit"), "w") as fh:
+        fh.write(json.dumps(commit1))
+    with open(os.path.join(tl, f"{i2}_{c2}.deltacommit"), "w") as fh:
+        fh.write(json.dumps(delta2))
+
+    ro = sorted((r.k, r.v)
+                for r in read_hoodie_table(spark, root)
+                .select("k", "v").collect())
+    assert ro == [(1, "a"), (2, "b")]
+    rt = sorted((r.k, r.v)
+                for r in read_hoodie_table_rt(spark, root)
+                .select("k", "v").collect())
+    assert rt == [(1, "a"), (2, "b2")]
+    t = LakehouseTable.convert_hoodie(
+        spark, root, key_cols=["k"], precombine="sq"
+    )
+    assert sorted((r.k, r.v) for r in t.read().select("k", "v").collect()) \
+        == [(1, "a"), (2, "b2")]
