@@ -228,6 +228,10 @@ PRIORITY: tuple[str, ...] = (
     # late r7: delete-bearing Iceberg ADOPTION — delete state becomes
     # the engine's DV sidecar at version 0, data files byte-identical
     "cdc_convert_iceberg_deletes",
+    # r8: equality-delete EXPORT dialect — delete commits render as
+    # deleted-key files (equality_ids + sequence precedence), the
+    # Flink-CDC shape, O(deleted keys) per commit
+    "iceberg_equality_delete_export",
     # late r7: Delta DV EXPORT — live engine DVs render as real
     # RoaringBitmapArray bins + protocol 3/7, zero materialization
     "delta_dv_export_roundtrip",

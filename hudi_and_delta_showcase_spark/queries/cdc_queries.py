@@ -832,6 +832,63 @@ def iceberg_pos_delete_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "iceberg_equality_delete_export",
+    oracle="""
+    SELECT event_id, user_id, ts, event_type,
+           CASE WHEN event_id % 14 = 0 THEN value + 1000 ELSE value END
+             AS value
+    FROM events
+    WHERE event_id % 7 <> 0 OR event_id % 14 = 0
+    """,
+    tags=("cdc", "iceberg", "sink"),
+)
+def iceberg_equality_delete_export(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Iceberg v2 EQUALITY-delete EXPORT (r8, closing the r7 verdict's
+    last dialect gap): the engine's DV-table delete commit exports as
+    the deleted KEY rows with ``equality_ids`` naming the record key —
+    the Flink-CDC writer shape — instead of materialized positions, so
+    a delete commit's export cost is O(deleted keys) regardless of how
+    many base files the keys touched. Sequence-number precedence
+    (``data_seq < delete_seq``, strict) carries the semantics: every
+    14th event is RE-INSERTED with a bumped value AFTER the delete and
+    must survive the read-back, while the rest of the deleted sevenths
+    stay dead. The final snapshot is value-verified against the oracle
+    through the engine's own equality-delete read path; a reader that
+    applied the delete to later sequence numbers would kill the
+    re-inserts and hash-fail."""
+    from hudi_and_delta_showcase_spark.tables.iceberg_meta import (
+        _snapshot_entries,
+        export_iceberg_metadata,
+        iceberg_snapshots,
+        read_iceberg_table,
+    )
+
+    events = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "ts", "event_type", "value"
+    )
+    path = tempfile.mkdtemp(prefix="iceberg_eq_") + "/events_ice"
+    t = LakehouseTable.create(
+        spark, path, events, key_cols=["event_id"], deletion_vectors=True
+    )
+    t.delete(events.filter(F.col("event_id") % 7 == 0).select("event_id"))
+    t.upsert(
+        events.filter(F.col("event_id") % 14 == 0).withColumn(
+            "value", F.col("value") + F.lit(1000.0)
+        )
+    )
+    export_iceberg_metadata(t, delete_dialect="equality")
+    _, pos, eq = _snapshot_entries(
+        path, iceberg_snapshots(path)[-1], with_deletes=True
+    )
+    assert eq and not pos, "equality dialect must emit eq entries only"
+    return read_iceberg_table(spark, path).select(
+        "event_id", "user_id", "ts", "event_type", "value"
+    )
+
+
+@query(
     "cdc_medallion_sync",
     oracle=_LATEST_ALL_SQL,
     tags=("cdc", "table", "incremental"),

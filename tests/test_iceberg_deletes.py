@@ -182,3 +182,106 @@ def _walk(root):
     for dirpath, _dirs, files in os.walk(root):
         for f in files:
             yield os.path.join(dirpath, f)
+
+
+# ---------------------------------------------------------------------------
+# equality-delete EXPORT dialect (r8)
+# ---------------------------------------------------------------------------
+
+from hudi_and_delta_showcase_spark.tables.iceberg_meta import (  # noqa: E402
+    FILE_CONTENT_EQ_DELETES,
+    STATUS_ADDED,
+    STATUS_EXISTING,
+    _snapshot_entries,
+)
+
+
+def test_equality_export_roundtrip_and_reinsert(spark, tmp_path):
+    """Delete commits export as deleted-KEY files (equality_ids = the
+    record key's field id); strict data_seq < delete_seq means a key
+    re-inserted AFTER the delete survives the read-back."""
+    t = _dv_table(spark, str(tmp_path / "t"))  # deletes 3, 7, 11, 25
+    t.upsert(
+        spark.createDataFrame([(3, "v3new", 99)], "k int, v string, g int")
+    )
+    t.delete(spark.createDataFrame([(11,), (12,)], "k int"))
+    export_iceberg_metadata(t, delete_dialect="equality")
+
+    got = read_iceberg_table(spark, t.path)
+    assert sorted((r.k, r.v) for r in got.collect()) == sorted(
+        (r.k, r.v) for r in t.read().select("k", "v").collect()
+    )
+    ks = _keys(got)
+    assert 3 in ks and all(k not in ks for k in (7, 11, 12, 25))
+
+    snaps = iceberg_snapshots(t.path)
+    data, pos, eq = _snapshot_entries(t.path, snaps[-1], with_deletes=True)
+    assert pos == [], "equality dialect must not emit position entries"
+    assert eq, "delete commits must emit equality entries"
+    # field id 1 = column k; every eq entry names exactly the key
+    assert all(e["data_file"]["equality_ids"] == [1] for e in eq)
+    assert all(
+        e["data_file"]["content"] == FILE_CONTENT_EQ_DELETES for e in eq
+    )
+    # the first delete's entries ride EXISTING with their ORIGINAL
+    # sequence number; the second delete's are ADDED at its own
+    seqs = {(e["status"], e["sequence_number"]) for e in eq}
+    assert (STATUS_EXISTING, 2) in seqs and (STATUS_ADDED, 4) in seqs
+    # the delete file bodies are the KEYS, not positions
+    eq_paths = [e["data_file"]["file_path"] for e in eq]
+    body = spark.read.parquet(*eq_paths)
+    assert body.columns == ["k"]
+    # 11 appears once: the second delete found it already dead, so its
+    # increment (and thus its eq file) carries only 12
+    assert sorted(r.k for r in body.collect()) == [3, 7, 11, 12, 25]
+
+
+def test_equality_export_time_travel_and_idempotent(spark, tmp_path):
+    t = _dv_table(spark, str(tmp_path / "t"))
+    v1 = export_iceberg_metadata(t, delete_dialect="equality")
+    assert export_iceberg_metadata(t, delete_dialect="equality") == v1
+    snaps = iceberg_snapshots(t.path)
+    v0 = read_iceberg_table(
+        spark, t.path, snapshot_id=snaps[0]["snapshot-id"]
+    )
+    assert len(_keys(v0)) == 40
+    # incremental continuation keeps prior eq files EXISTING
+    t.delete(spark.createDataFrame([(30,)], "k int"))
+    assert export_iceberg_metadata(t, delete_dialect="equality") == v1 + 1
+    got = read_iceberg_table(spark, t.path)
+    assert len(_keys(got)) == 35 and 30 not in _keys(got)
+
+
+def test_equality_export_optimize_resets_delete_state(spark, tmp_path):
+    """OPTIMIZE rewrites the base (DV set resets): dead groups drop
+    out of the next snapshot's manifests entirely."""
+    t = _dv_table(spark, str(tmp_path / "t"))
+    export_iceberg_metadata(t, delete_dialect="equality")
+    t.optimize()
+    export_iceberg_metadata(t, delete_dialect="equality")
+    snaps = iceberg_snapshots(t.path)
+    assert snaps[-1]["summary"]["total-delete-files"] == "0"
+    assert _keys(read_iceberg_table(spark, t.path)) == _keys(t.read())
+
+
+def test_equality_export_refuses_column_mapping(spark, tmp_path):
+    t = _dv_table(spark, str(tmp_path / "t"))
+    t.rename_column("v", "val")
+    with pytest.raises(RuntimeError, match="column mapping"):
+        export_iceberg_metadata(t, delete_dialect="equality")
+    with pytest.raises(ValueError, match="delete_dialect"):
+        export_iceberg_metadata(t, delete_dialect="positional")
+
+
+def test_equality_export_expire_keeps_shared_eq_files(spark, tmp_path):
+    """An eq file is SHARED by every later snapshot via EXISTING
+    entries; expiring old snapshots must not reap it while a kept
+    snapshot still references it."""
+    t = _dv_table(spark, str(tmp_path / "t"))
+    t.upsert(
+        spark.createDataFrame([(50, "x", 0)], "k int, v string, g int")
+    )
+    export_iceberg_metadata(t, delete_dialect="equality")
+    expire_iceberg_snapshots(t.path, keep_last=1)
+    got = read_iceberg_table(spark, t.path)
+    assert _keys(got) == _keys(t.read())
