@@ -216,7 +216,11 @@ def join_view_apply(
             F.col(fk) == F.col("__dk"),
             "left",
         ).drop("__dk")
-        commit = view.upsert(enriched)
+        # the upsert consumes its source several times (affected-file
+        # probes, key broadcast, the write); a lazy localCheckpoint
+        # pays the two-scan enrich join ONCE at O(changes) size instead
+        # of re-executing it per consumer
+        commit = view.upsert(enriched.localCheckpoint(eager=False))
     if del_keys is not None and del_keys.limit(1).count() > 0:
         commit = view.delete(del_keys)
     return commit
