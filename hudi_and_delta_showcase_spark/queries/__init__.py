@@ -232,6 +232,10 @@ PRIORITY: tuple[str, ...] = (
     # deleted-key files (equality_ids + sequence precedence), the
     # Flink-CDC shape, O(deleted keys) per commit
     "iceberg_equality_delete_export",
+    # r8: Iceberg FORMAT-VERSION 3 deletion vectors — Puffin
+    # deletion-vector-v1 blobs fetched by manifest byte range, decoded
+    # executor-side into the shared position-delete anti-join
+    "iceberg_v3_dv_read",
     # late r7: Delta DV EXPORT — live engine DVs render as real
     # RoaringBitmapArray bins + protocol 3/7, zero materialization
     "delta_dv_export_roundtrip",

@@ -242,6 +242,34 @@ def read_bytes(path: str) -> bytes:
     return bytes(data)
 
 
+def read_byte_range(path: str, offset: int, length: int) -> bytes:
+    """Positioned read of ``length`` bytes at ``offset`` — the access
+    shape Puffin blobs need (a DV file holds many blobs; readers fetch
+    one without streaming the file). POSIX seek locally; Hadoop
+    positioned ``readFully`` for scheme:// paths."""
+    if not is_remote(path):
+        with open(path, "rb") as fh:
+            fh.seek(offset)
+            data = fh.read(length)
+        if len(data) != length:
+            raise EOFError(
+                f"short read at {path}:{offset}+{length} (got {len(data)})"
+            )
+        return data
+    fs, jvm, p = _jfs(path)
+    if not fs.exists(p):
+        raise FileNotFoundError(path)
+    stream = fs.open(p)
+    try:
+        # py4j passes arrays by value (a readFully(buf) mutation would
+        # not propagate back): seek + bounded IOUtils copy instead
+        stream.seek(offset)
+        data = jvm.org.apache.commons.io.IOUtils.toByteArray(stream, length)
+    finally:
+        stream.close()
+    return bytes(data)
+
+
 def _hwrite(fs, p, data: bytes, overwrite: bool) -> None:
     out = fs.create(p, overwrite)
     try:

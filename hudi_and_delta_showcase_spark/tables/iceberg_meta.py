@@ -356,6 +356,14 @@ def manifest_entry_schema(
                 "field-id": 135,
             }
         )
+    if format_version >= 3:
+        # v3 deletion vectors: a content=1 entry names the Puffin file
+        # plus the blob's byte range and its single referenced data file
+        df_fields += [
+            _f("referenced_data_file", "string", 143, optional=True),
+            _f("content_offset", "long", 144, optional=True),
+            _f("content_size_in_bytes", "long", 145, optional=True),
+        ]
     data_file = {"type": "record", "name": "r2", "fields": df_fields}
     entry_fields = [
         _f("status", "int", 0),
@@ -1369,6 +1377,71 @@ def read_iceberg_where(
     return df
 
 
+def _is_dv_entry(e: dict) -> bool:
+    """v3 deletion-vector entry: content=1 with a referenced data file
+    and a Puffin byte range (vs a v2 position-delete parquet)."""
+    df_rec = e["data_file"]
+    return bool(df_rec.get("referenced_data_file")) or (
+        str(df_rec.get("file_format", "")).upper() == "PUFFIN"
+    )
+
+
+def _pos_delete_rows(
+    spark, table_path: str, delete_entries: list[dict]
+):
+    """All position-delete rows of a snapshot as ONE ``(file_path,
+    pos)`` DataFrame, whatever dialect each entry speaks: v2 parquet
+    delete files scan directly; v3 deletion vectors (Puffin blobs,
+    r8) decode executor-side from the exact byte ranges the manifest
+    recorded — per-blob fetches, never a whole-file stream."""
+    from pyspark.sql import functions as F
+
+    pq = [e for e in delete_entries if not _is_dv_entry(e)]
+    dv = [e for e in delete_entries if _is_dv_entry(e)]
+    parts = []
+    if pq:
+        parts.append(
+            spark.read.parquet(
+                *[
+                    _resolve(table_path, e["data_file"]["file_path"])
+                    for e in pq
+                ]
+            ).select("file_path", F.col("pos").cast("long").alias("pos"))
+        )
+    if dv:
+        from hudi_and_delta_showcase_spark.tables import puffin
+
+        missing = [
+            e["data_file"]["file_path"]
+            for e in dv
+            if e["data_file"].get("content_offset") is None
+            or e["data_file"].get("content_size_in_bytes") is None
+        ]
+        if missing:
+            raise ValueError(
+                "deletion-vector entries without content_offset/"
+                f"content_size_in_bytes: {missing}"
+            )
+        parts.append(
+            puffin.dv_rows_df(
+                spark,
+                [
+                    (
+                        _resolve(table_path, e["data_file"]["file_path"]),
+                        int(e["data_file"]["content_offset"]),
+                        int(e["data_file"]["content_size_in_bytes"]),
+                        e["data_file"]["referenced_data_file"],
+                    )
+                    for e in dv
+                ],
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
 def _apply_pos_deletes(
     spark, df, data_entries: list[dict], delete_entries: list[dict],
     table_path: str,
@@ -1406,14 +1479,9 @@ def _apply_pos_deletes(
         for e in data_entries
     ]
     map_df = spark.createDataFrame(mapping, "file_path string, __scan string")
+    raw = _pos_delete_rows(spark, table_path, delete_entries)
     dels = (
-        spark.read.parquet(
-            *[
-                _resolve(table_path, e["data_file"]["file_path"])
-                for e in delete_entries
-            ]
-        )
-        .select("file_path", "pos")
+        raw
         .join(F.broadcast(map_df), "file_path")
         .select(F.col("__scan").alias("__del_path"), F.col("pos").alias("__del_pos"))
     )
@@ -1554,13 +1622,7 @@ def deleted_positions_df(
             "file_path string, __rel string",
         )
         parts.append(
-            spark.read.parquet(
-                *[
-                    _resolve(table_path, e["data_file"]["file_path"])
-                    for e in pos_entries
-                ]
-            )
-            .select("file_path", "pos")
+            _pos_delete_rows(spark, table_path, pos_entries)
             .join(F.broadcast(map_df), "file_path")
             .select(
                 F.col("__rel").alias("file_name"),
