@@ -675,6 +675,12 @@ def export_iceberg_metadata(table, delete_dialect: str = "position") -> int:
     ):
         fmt = 2
 
+    # savepoints export as tag refs; read once, reused per snapshot
+    try:
+        sp_map = dict(table.savepoints())
+    except Exception:
+        sp_map = {}
+
     # equality dialect: attribute each DV sidecar file to the DELETE
     # commit that authored it (the set increment vs the prior version)
     # — one group per delete commit, carrying the commit's snapshot id
@@ -1071,6 +1077,25 @@ def export_iceberg_metadata(table, delete_dialect: str = "position") -> int:
         snapshots.append(snap)
         snapshot_log.append({"timestamp-ms": ts_ms, "snapshot-id": sid})
 
+        # refs: the live head as the main BRANCH (every Iceberg writer
+        # maintains refs.main) and each engine savepoint at an exported
+        # version as a TAG — savepoints pin versions against vacuum,
+        # exactly Iceberg's tag-retention semantics
+        snap_ids = {s["snapshot-id"] for s in snapshots}
+        refs = {"main": {"snapshot-id": sid, "type": "branch"}}
+        for spv, label in sorted(sp_map.items()):
+            if spv > v:
+                continue
+            try:
+                sp_sid = int(mf.read_commit(table.path, spv).commit_time)
+            except FileNotFoundError:
+                continue
+            if sp_sid in snap_ids:
+                refs[label or f"savepoint-v{spv}"] = {
+                    "snapshot-id": sp_sid,
+                    "type": "tag",
+                }
+
         metadata = {
             "format-version": fmt,
             "table-uuid": table_uuid,
@@ -1092,6 +1117,7 @@ def export_iceberg_metadata(table, delete_dialect: str = "position") -> int:
             "current-snapshot-id": sid,
             "snapshots": snapshots,
             "snapshot-log": snapshot_log,
+            "refs": refs,
             # previous metadata files, oldest first (spec: the lineage
             # a catalog can use for metadata rollback)
             "metadata-log": list(metadata_log),
@@ -1249,7 +1275,22 @@ def expire_iceberg_snapshots(table_path: str, keep_last: int = 1) -> dict:
     snaps = meta["snapshots"]
     if len(snaps) <= keep_last:
         return {"expired": 0, "deleted_files": []}
-    expired, kept = snaps[:-keep_last], snaps[-keep_last:]
+    # refs PROTECT their snapshots (Iceberg's rule: a branch/tag head
+    # never expires out from under the ref)
+    ref_ids = {
+        r["snapshot-id"] for r in (meta.get("refs") or {}).values()
+    }
+    tail = {s["snapshot-id"] for s in snaps[-keep_last:]}
+    expired = [
+        s
+        for s in snaps[:-keep_last]
+        if s["snapshot-id"] not in ref_ids
+    ]
+    kept = [
+        s
+        for s in snaps
+        if s["snapshot-id"] in tail or s["snapshot-id"] in ref_ids
+    ]
 
     def refs(snapshot: dict) -> set[str]:
         out = {snapshot["manifest-list"]}
@@ -1699,21 +1740,62 @@ def deleted_positions_df(
     return out.distinct()
 
 
-def read_iceberg_table(spark, table_path: str, snapshot_id: int | None = None):
+def read_iceberg_table(
+    spark,
+    table_path: str,
+    snapshot_id: int | None = None,
+    ref: str | None = None,
+    as_of_timestamp_ms: int | None = None,
+):
     """Snapshot-read an Iceberg metadata tree — ours or FOREIGN-authored
-    (iceberg-java / pyiceberg v1 or v2 trees: catalog-style metadata
+    (iceberg-java / pyiceberg v1, v2 or v3 trees: catalog-style metadata
     naming without a version-hint, v2 manifest columns, relocated
     absolute paths re-anchored). v2 POSITION deletes are applied via
-    anti-join (``_apply_pos_deletes``); EQUALITY deletes via
-    sequence-ordered null-safe anti-join (``_apply_eq_deletes``, r7).
-    Current snapshot by default, ``snapshot_id`` for time
-    travel: metadata.json -> manifest-list avro -> manifest avro ->
-    one parquet scan over the live files. Metadata IO is fsio
-    (object-store capable); the listing cost is O(manifests of one
-    snapshot), never a directory walk."""
+    anti-join (``_apply_pos_deletes``), v3 deletion vectors through the
+    same join (Puffin blobs, r8); EQUALITY deletes via sequence-ordered
+    null-safe anti-join (``_apply_eq_deletes``, r7). Current snapshot
+    by default; pick ONE of ``snapshot_id``, ``ref`` (a branch or tag
+    from the metadata's ``refs`` map — Iceberg's ``VERSION AS OF
+    'name'``) or ``as_of_timestamp_ms`` (the latest snapshot-log entry
+    at or below the instant — ``TIMESTAMP AS OF``) for time travel:
+    metadata.json -> manifest-list avro -> manifest avro -> one parquet
+    scan over the live files. Metadata IO is fsio (object-store
+    capable); the listing cost is O(manifests of one snapshot), never
+    a directory walk."""
     meta = read_iceberg_metadata(table_path)
+    picked = [
+        x for x in (snapshot_id, ref, as_of_timestamp_ms) if x is not None
+    ]
+    if len(picked) > 1:
+        raise ValueError(
+            "pick ONE of snapshot_id / ref / as_of_timestamp_ms"
+        )
     snaps = {s["snapshot-id"]: s for s in meta["snapshots"]}
-    sid = snapshot_id if snapshot_id is not None else meta["current-snapshot-id"]
+    if ref is not None:
+        refs = meta.get("refs") or {}
+        if ref not in refs:
+            raise ValueError(
+                f"unknown ref {ref!r} (known: {sorted(refs)})"
+            )
+        sid = refs[ref]["snapshot-id"]
+    elif as_of_timestamp_ms is not None:
+        log = [
+            e
+            for e in (meta.get("snapshot-log") or [])
+            if e["timestamp-ms"] <= as_of_timestamp_ms
+        ]
+        if not log:
+            raise ValueError(
+                f"no snapshot at or before timestamp {as_of_timestamp_ms}"
+            )
+        # snapshot-log is chronological per spec
+        sid = log[-1]["snapshot-id"]
+    else:
+        sid = (
+            snapshot_id
+            if snapshot_id is not None
+            else meta["current-snapshot-id"]
+        )
     if sid not in snaps:
         raise ValueError(f"unknown snapshot-id {sid}")
     entries, deletes, eq_deletes = _snapshot_entries(

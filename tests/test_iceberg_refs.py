@@ -1,0 +1,87 @@
+"""Iceberg refs (branches/tags) + timestamp travel: exports carry a
+``main`` branch and savepoint TAGS; reads resolve any of snapshot_id /
+ref / as_of_timestamp_ms; expire protects ref'd snapshots."""
+
+from __future__ import annotations
+
+import pytest
+
+from hudi_and_delta_showcase_spark.tables import LakehouseTable
+from hudi_and_delta_showcase_spark.tables.iceberg_meta import (
+    expire_iceberg_snapshots,
+    export_iceberg_metadata,
+    read_iceberg_metadata,
+    read_iceberg_table,
+)
+
+
+def _t(spark, path):
+    df = spark.createDataFrame(
+        [(i, f"v{i}") for i in range(8)], "k int, v string"
+    ).coalesce(1)
+    t = LakehouseTable.create(spark, path, df, key_cols=["k"])
+    t.savepoint(0, label="golden")
+    t.upsert(spark.createDataFrame([(1, "v1b"), (99, "x")], "k int, v string"))
+    t.upsert(spark.createDataFrame([(2, "v2b")], "k int, v string"))
+    return t
+
+
+def _keys(df):
+    return sorted(r.k for r in df.collect())
+
+
+def test_export_writes_main_branch_and_savepoint_tag(spark, tmp_path):
+    t = _t(spark, str(tmp_path / "t"))
+    export_iceberg_metadata(t)
+    meta = read_iceberg_metadata(t.path)
+    refs = meta["refs"]
+    assert refs["main"]["type"] == "branch"
+    assert refs["main"]["snapshot-id"] == meta["current-snapshot-id"]
+    assert refs["golden"]["type"] == "tag"
+    assert refs["golden"]["snapshot-id"] == meta["snapshots"][0]["snapshot-id"]
+
+    assert _keys(read_iceberg_table(spark, t.path, ref="main")) == _keys(
+        t.read()
+    )
+    tagged = read_iceberg_table(spark, t.path, ref="golden")
+    assert _keys(tagged) == list(range(8))  # pre-upsert state
+    with pytest.raises(ValueError, match="unknown ref"):
+        read_iceberg_table(spark, t.path, ref="nope")
+    with pytest.raises(ValueError, match="pick ONE"):
+        read_iceberg_table(spark, t.path, ref="main", snapshot_id=1)
+
+
+def test_timestamp_travel_via_snapshot_log(spark, tmp_path):
+    t = _t(spark, str(tmp_path / "t"))
+    export_iceberg_metadata(t)
+    meta = read_iceberg_metadata(t.path)
+    log = meta["snapshot-log"]
+    assert len(log) == 3
+    # exactly the first snapshot's instant -> first snapshot
+    first = read_iceberg_table(
+        spark, t.path, as_of_timestamp_ms=log[0]["timestamp-ms"]
+    )
+    assert _keys(first) == list(range(8))
+    # between snapshots 2 and 3 -> snapshot 2
+    mid = read_iceberg_table(
+        spark, t.path, as_of_timestamp_ms=log[2]["timestamp-ms"] - 1
+    )
+    assert _keys(mid) == list(range(8)) + [99]
+    with pytest.raises(ValueError, match="no snapshot at or before"):
+        read_iceberg_table(
+            spark, t.path, as_of_timestamp_ms=log[0]["timestamp-ms"] - 1
+        )
+
+
+def test_expire_protects_tagged_snapshot(spark, tmp_path):
+    t = _t(spark, str(tmp_path / "t"))
+    export_iceberg_metadata(t)
+    out = expire_iceberg_snapshots(t.path, keep_last=1)
+    meta = read_iceberg_metadata(t.path)
+    kept_ids = {s["snapshot-id"] for s in meta["snapshots"]}
+    # the tagged snapshot survived; the untagged middle one expired
+    assert meta["refs"]["golden"]["snapshot-id"] in kept_ids
+    assert len(meta["snapshots"]) == 2 and out["expired"] == 1
+    assert _keys(read_iceberg_table(spark, t.path, ref="golden")) == list(
+        range(8)
+    )
