@@ -929,6 +929,12 @@ SUPPORTED_READER_FEATURES = frozenset(
         "v2Checkpoint",
         "typeWidening",
         "typeWidening-preview",
+        # r8: variant columns — schemaString's "variant" parses to
+        # Spark's native VariantType and the parquet scan decodes the
+        # (metadata, value) group itself; nothing else in the read
+        # path is type-sensitive
+        "variantType",
+        "variantType-preview",
     }
 )
 
@@ -1078,6 +1084,23 @@ def delta_history(path: str) -> list[dict]:
     return out
 
 
+def _schema_has_variant(node) -> bool:
+    """True when a Spark schema-JSON tree contains a VARIANT type
+    anywhere (top-level, nested struct/array/map element)."""
+    if isinstance(node, str):
+        return node == "variant"
+    if isinstance(node, list):
+        return any(_schema_has_variant(x) for x in node)
+    if isinstance(node, dict):
+        return any(
+            _schema_has_variant(v)
+            for k, v in node.items()
+            if k in ("type", "fields", "elementType", "keyType",
+                     "valueType", "sqlType")
+        )
+    return False
+
+
 def export_delta_log(table) -> int:
     """UniForm / XTable-style interop: materialize the lakehouse
     table's commit timeline as a REAL ``_delta_log`` in the same
@@ -1156,6 +1179,36 @@ def export_delta_log(table) -> int:
             "writerFeatures": sorted(features),
         }
         props["delta.enableDeletionVectors"] = "true"
+    # variant columns change how files READ (the shredded group needs a
+    # variant-aware reader): the protocol must name the feature, or a
+    # legacy reader would surface raw structs (r8)
+    latest = mf.latest_commit(table.path)
+    latest_schema = latest.table_schema if latest else None
+    if latest_schema is None and latest is not None:
+        latest_schema = json.dumps(
+            table._read_base(latest).drop("_hoodie_file_name")
+            .schema.jsonValue()
+        )
+    if latest_schema and _schema_has_variant(json.loads(latest_schema)):
+        if protocol.get("minReaderVersion") == 3:
+            protocol["readerFeatures"] = sorted(
+                set(protocol["readerFeatures"]) | {"variantType"}
+            )
+            protocol["writerFeatures"] = sorted(
+                set(protocol["writerFeatures"]) | {"variantType"}
+            )
+        else:
+            features = ["variantType"]
+            if table.constraints:
+                features.append("checkConstraints")
+            if table.cdc_enabled:
+                features.append("changeDataFeed")
+            protocol = {
+                "minReaderVersion": 3,
+                "minWriterVersion": 7,
+                "readerFeatures": ["variantType"],
+                "writerFeatures": sorted(features),
+            }
     done = set(_list_versions(table.path))
     # resuming an export whose already-written log predates the first
     # DV: the first NEW commit must carry the protocol upgrade (Delta's

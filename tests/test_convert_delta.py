@@ -212,10 +212,11 @@ def test_still_refuses_unknown_features_and_id_mapping(spark, tmp_path):
                 "columnMapping.mode",
             ),
             (
-                # v2Checkpoint/typeWidening graduated to supported (r8);
-                # variantType is a real Delta 4.x feature still beyond us
+                # v2Checkpoint/typeWidening/variantType graduated to
+                # supported (r8); checkpointProtection is a real Delta
+                # feature still beyond us
                 {"protocol": {"minReaderVersion": 3, "minWriterVersion": 7,
-                              "readerFeatures": ["variantType"]}},
+                              "readerFeatures": ["checkpointProtection"]}},
                 "reader features",
             ),
             (

@@ -659,7 +659,7 @@ def test_read_path_guards_reader_protocol(spark, tmp_path):
                            "00000000000000000001.json"), "w") as fh:
         fh.write(json.dumps({"protocol": {
             "minReaderVersion": 3, "minWriterVersion": 7,
-            "readerFeatures": ["variantType"]}}) + "\n")
+            "readerFeatures": ["checkpointProtection"]}}) + "\n")
     with pytest.raises(RuntimeError, match="reader features"):
         dl.read_delta_table(spark, root).collect()
     # time travel BEFORE the upgrade still serves

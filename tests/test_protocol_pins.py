@@ -1250,3 +1250,109 @@ def test_reader_accepts_hudi_1x_timeline_layout(spark, tmp_path):
     )
     assert sorted((r.k, r.v) for r in t.read().select("k", "v").collect()) \
         == [(1, "a"), (2, "b2")]
+
+
+def test_reader_accepts_variant_log(spark, tmp_path):
+    """r8: variantType reader feature — a foreign table with a VARIANT
+    column (delta-spark 4 / Databricks shape) reads under Spark's
+    native VariantType and adopts; the shredded (metadata, value)
+    parquet group needs no engine-side handling."""
+    from hudi_and_delta_showcase_spark.tables import LakehouseTable
+    from hudi_and_delta_showcase_spark.tables.delta_log import (
+        read_delta_table,
+    )
+
+    root = str(tmp_path / "dl")
+    log = os.path.join(root, "_delta_log")
+    os.makedirs(log)
+    f0 = "part-00000-vv00-c000.snappy.parquet"
+    # author the variant parquet the way a Spark writer would
+    spark.sql(
+        "select 1 as k, parse_json('{\"a\": 1}') as v "
+        "union all select 2, parse_json('[2, 3]')"
+    ).coalesce(1).write.mode("overwrite").parquet(str(tmp_path / "stage"))
+    import glob as _glob
+    import shutil as _shutil
+
+    _shutil.copy(
+        _glob.glob(str(tmp_path / "stage" / "*.parquet"))[0],
+        os.path.join(root, f0),
+    )
+    schema = json.dumps({
+        "type": "struct",
+        "fields": [
+            {"name": "k", "type": "integer", "nullable": True,
+             "metadata": {}},
+            {"name": "v", "type": "variant", "nullable": True,
+             "metadata": {}},
+        ],
+    })
+    actions = [
+        {"protocol": {"minReaderVersion": 3, "minWriterVersion": 7,
+                      "readerFeatures": ["variantType"],
+                      "writerFeatures": ["variantType"]}},
+        {"metaData": {
+            "id": "x", "format": {"provider": "parquet", "options": {}},
+            "schemaString": schema, "partitionColumns": [],
+            "configuration": {}, "createdTime": 1700000000000}},
+        {"add": {"path": f0, "partitionValues": {}, "size": 900,
+                 "modificationTime": 1700000000000, "dataChange": True}},
+    ]
+    with open(os.path.join(log, f"{0:020d}.json"), "w") as fh:
+        fh.write("\n".join(json.dumps(a) for a in actions) + "\n")
+
+    df = read_delta_table(spark, root)
+    assert df.schema["v"].dataType.simpleString() == "variant"
+    got = sorted(
+        (r.k, r.j)
+        for r in df.selectExpr("k", "to_json(v) as j").collect()
+    )
+    assert got == [(1, '{"a":1}'), (2, "[2,3]")]
+
+    t = LakehouseTable.convert_delta(spark, root, key_cols=["k"])
+    a = sorted(
+        (r.k, r.j)
+        for r in t.read().selectExpr("k", "to_json(v) as j").collect()
+    )
+    assert a == got
+    # adopted table keeps upserting variant payloads
+    t.upsert(spark.sql("select 1 as k, parse_json('\"z\"') as v"))
+    a2 = sorted(
+        (r.k, r.j)
+        for r in t.read().selectExpr("k", "to_json(v) as j").collect()
+    )
+    assert a2 == [(1, '"z"'), (2, "[2,3]")]
+
+
+def test_variant_export_carries_feature_protocol(spark, tmp_path):
+    """r8: an engine table holding a VARIANT column exports with the
+    variantType reader+writer features (protocol 3/7) — a legacy
+    reader must refuse rather than surface raw shredded structs — and
+    the exported log reads back value-identical."""
+    from hudi_and_delta_showcase_spark.tables import LakehouseTable
+    from hudi_and_delta_showcase_spark.tables.delta_log import (
+        export_delta_log,
+        read_delta_table,
+    )
+
+    df = spark.sql(
+        "select 1 as k, parse_json('{\"a\": 1}') as v "
+        "union all select 2, parse_json('[2, 3]')"
+    )
+    t = LakehouseTable.create(
+        spark, str(tmp_path / "t"), df, key_cols=["k"]
+    )
+    export_delta_log(t)
+    log0 = os.path.join(t.path, "_delta_log", f"{0:020d}.json")
+    actions = [json.loads(x) for x in open(log0) if x.strip()]
+    proto = next(a["protocol"] for a in actions if "protocol" in a)
+    assert proto["minReaderVersion"] == 3
+    assert "variantType" in proto["readerFeatures"]
+    assert "variantType" in proto["writerFeatures"]
+
+    back = read_delta_table(spark, t.path)
+    got = sorted(
+        (r.k, r.j)
+        for r in back.selectExpr("k", "to_json(v) as j").collect()
+    )
+    assert got == [(1, '{"a":1}'), (2, "[2,3]")]
