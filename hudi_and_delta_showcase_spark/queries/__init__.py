@@ -236,6 +236,9 @@ PRIORITY: tuple[str, ...] = (
     # deletion-vector-v1 blobs fetched by manifest byte range, decoded
     # executor-side into the shared position-delete anti-join
     "iceberg_v3_dv_read",
+    # r8: v3 EXPORT — engine DV state as Puffin blobs + row lineage
+    # (first_row_id / next-row-id), read back through the same path
+    "iceberg_v3_dv_export",
     # late r7: Delta DV EXPORT — live engine DVs render as real
     # RoaringBitmapArray bins + protocol 3/7, zero materialization
     "delta_dv_export_roundtrip",

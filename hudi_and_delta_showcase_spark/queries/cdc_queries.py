@@ -889,6 +889,53 @@ def iceberg_equality_delete_export(
 
 
 @query(
+    "iceberg_v3_dv_export",
+    oracle="""
+    SELECT event_id, user_id, ts, event_type, value
+    FROM events WHERE event_id % 7 <> 0
+    """,
+    tags=("cdc", "iceberg", "sink"),
+)
+def iceberg_v3_dv_export(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Iceberg FORMAT-VERSION 3 EXPORT (r8): the engine's DV-table
+    delete state renders as real Puffin deletion vectors — one
+    ``deletion-vector-v1`` blob per deleted-from data file, manifest
+    entries carrying the blob byte range + referenced file — plus v3
+    row lineage (explicit ``first_row_id`` per data file, running
+    ``next-row-id``). The tree reads back through the engine's own v3
+    DV path and is value-verified against the logical post-delete
+    state; together with ``iceberg_v3_dv_read`` this closes v3 DVs in
+    BOTH directions."""
+    from hudi_and_delta_showcase_spark.tables.iceberg_meta import (
+        _snapshot_entries,
+        export_iceberg_metadata,
+        iceberg_snapshots,
+        read_iceberg_metadata,
+        read_iceberg_table,
+    )
+
+    events = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "ts", "event_type", "value"
+    )
+    path = tempfile.mkdtemp(prefix="iceberg_v3x_") + "/events_ice"
+    t = LakehouseTable.create(
+        spark, path, events, key_cols=["event_id"], deletion_vectors=True
+    )
+    t.delete(events.filter(F.col("event_id") % 7 == 0).select("event_id"))
+    export_iceberg_metadata(t, format_version=3)
+    meta = read_iceberg_metadata(path)
+    assert meta["format-version"] == 3 and "next-row-id" in meta
+    _, pos, eq = _snapshot_entries(
+        path, iceberg_snapshots(path)[-1], with_deletes=True
+    )
+    assert pos and not eq
+    assert all(e["data_file"]["file_format"] == "PUFFIN" for e in pos)
+    return read_iceberg_table(spark, path).select(
+        "event_id", "user_id", "ts", "event_type", "value"
+    )
+
+
+@query(
     "iceberg_v3_dv_read",
     oracle="""
     SELECT event_id, user_id, ts, event_type, value
@@ -968,6 +1015,7 @@ def iceberg_v3_dv_read(spark: SparkSession, sf_dir: str) -> DataFrame:
             "lower_bounds": None,
             "upper_bounds": None,
             "equality_ids": None,
+            "first_row_id": None,
             "referenced_data_file": ref,
             "content_offset": off,
             "content_size_in_bytes": size,

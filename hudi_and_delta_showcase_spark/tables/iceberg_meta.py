@@ -357,9 +357,11 @@ def manifest_entry_schema(
             }
         )
     if format_version >= 3:
-        # v3 deletion vectors: a content=1 entry names the Puffin file
-        # plus the blob's byte range and its single referenced data file
+        # v3: row-lineage first_row_id on data files; deletion vectors
+        # (content=1 entries) name the Puffin file plus the blob's byte
+        # range and its single referenced data file
         df_fields += [
+            _f("first_row_id", "long", 142, optional=True),
             _f("referenced_data_file", "string", 143, optional=True),
             _f("content_offset", "long", 144, optional=True),
             _f("content_size_in_bytes", "long", 145, optional=True),
@@ -574,7 +576,11 @@ def _write_eq_delete_files(
     )
 
 
-def export_iceberg_metadata(table, delete_dialect: str = "position") -> int:
+def export_iceberg_metadata(
+    table,
+    delete_dialect: str = "position",
+    format_version: int | None = None,
+) -> int:
     """Materialize the table's commit timeline as an Iceberg v1
     ``metadata/`` tree in the same directory (see module docstring).
     Returns the latest metadata version number written (1-based, as in
@@ -597,7 +603,17 @@ def export_iceberg_metadata(table, delete_dialect: str = "position") -> int:
       instead of a cumulative rewrite per snapshot. Refused under
       column mapping (delete keys are logical names, files store
       physical); DV rows not authored by a delete commit stay
-      position-encoded in the same manifest."""
+      position-encoded in the same manifest.
+
+    ``format_version=3`` (r8) exports the v3 dialect: delete state
+    becomes Puffin DELETION VECTORS — one ``deletion-vector-v1`` blob
+    per deleted-from data file, the manifest entry carrying the blob's
+    byte range and referenced file (position-delete parquet is illegal
+    in v3) — and row lineage is assigned (explicit ``first_row_id``
+    per data file, running ``next-row-id`` in the metadata). One-way:
+    an existing v3 tree never downgrades. Writing the per-snapshot
+    Puffin file collects O(live deleted rows) on the driver — the same
+    cost class as the Delta DV export's bin writer."""
     from hudi_and_delta_showcase_spark.tables import manifest as mf
 
     latest = mf.latest_commit(table.path)
@@ -664,6 +680,9 @@ def export_iceberg_metadata(table, delete_dialect: str = "position") -> int:
     # v2 (and never back) the first time a pending commit carries
     # deletion vectors — exactly Iceberg's one-way v1 -> v2 upgrade.
     # v1 snapshots under a v2 tree read as sequence number 0, per spec.
+    # ``format_version=3`` opts into the v3 dialect: delete state
+    # exports as Puffin DELETION VECTORS (position-delete parquet is
+    # illegal in v3) and data files carry row-lineage first_row_id.
     fmt = FORMAT_VERSION
     if done >= 1:
         fmt = prior.get("format-version", FORMAT_VERSION)
@@ -673,7 +692,27 @@ def export_iceberg_metadata(table, delete_dialect: str = "position") -> int:
         for v in versions
         if v + 1 > done
     ):
-        fmt = 2
+        fmt = max(fmt, 2)
+    if format_version is not None:
+        if format_version not in (2, 3):
+            raise ValueError(
+                f"format_version must be 2 or 3, got {format_version}"
+            )
+        if format_version < fmt:
+            raise ValueError(
+                f"cannot downgrade an exported tree from v{fmt} to "
+                f"v{format_version}"
+            )
+        fmt = format_version
+    if fmt >= 3 and delete_dialect == "equality":
+        raise ValueError(
+            "pick ONE delete dialect for v3: deletion vectors are the "
+            "v3 position dialect; export equality deletes under v2"
+        )
+    # row lineage (v3): every data file gets an explicit first_row_id;
+    # the running next-row-id persists in the metadata
+    next_row_id = int(prior.get("next-row-id", 0)) if done >= 1 else 0
+    prior_frid: dict[str, int | None] = {}
 
     # savepoints export as tag refs; read once, reused per snapshot
     try:
@@ -718,6 +757,7 @@ def export_iceberg_metadata(table, delete_dialect: str = "position") -> int:
                 entry["snapshot_id"],
                 entry.get("sequence_number") or 0,
             )
+            prior_frid[rel] = entry["data_file"].get("first_row_id")
 
     exported = done
     for v in versions:
@@ -755,6 +795,7 @@ def export_iceberg_metadata(table, delete_dialect: str = "position") -> int:
         spec_fields = _partition_spec(table, ice_schema)
 
         entries = []
+        snap_first_row = next_row_id
         for f in cur:
             if f in prior_meta:
                 rows, size, added_sid, added_seq = prior_meta[f]
@@ -763,6 +804,9 @@ def export_iceberg_metadata(table, delete_dialect: str = "position") -> int:
                 rows = counts[f]
                 size = fsio.file_size(fsio.join(table.path, f))
                 added_sid, added_seq, status = sid, seq, STATUS_ADDED
+                if fmt >= 3:
+                    prior_frid[f] = next_row_id
+                    next_row_id += rows
             bounds = _file_bounds(c.col_stats.get(f), ice_schema)
             data_file = {
                 "file_path": fsio.join(location, f),
@@ -796,6 +840,13 @@ def export_iceberg_metadata(table, delete_dialect: str = "position") -> int:
                 # permission, not a writer obligation)
                 entry["sequence_number"] = added_seq
                 entry["file_sequence_number"] = added_seq
+            if fmt >= 3:
+                # row lineage: explicit assignment (inheritance is,
+                # again, a reader permission)
+                data_file["first_row_id"] = prior_frid.get(f)
+                data_file["referenced_data_file"] = None
+                data_file["content_offset"] = None
+                data_file["content_size_in_bytes"] = None
             entries.append(entry)
             prior_meta[f] = (rows, size, added_sid, added_seq)
         removed = [f for f in list(prior_meta) if f not in set(cur)]
@@ -865,7 +916,69 @@ def export_iceberg_metadata(table, delete_dialect: str = "position") -> int:
                             },
                         }
                     )
-        if pos_rels:
+        if pos_rels and fmt >= 3:
+            # v3: the live DV state as Puffin deletion vectors — one
+            # blob per deleted-from data file, byte ranges recorded on
+            # the manifest entries (position-delete parquet is illegal
+            # in v3). O(live deleted rows) through the driver, the
+            # size of the vectors themselves.
+            from pyspark.sql import functions as F
+
+            from hudi_and_delta_showcase_spark.tables import puffin
+
+            del_path = fsio.join(meta_dir, f"deletes/s{sid}.puffin")
+            fsio.makedirs(fsio.join(meta_dir, "deletes"))
+            live_rel = set(cur)
+            grouped = (
+                table.spark.read.parquet(
+                    *[fsio.resolve(table.path, f) for f in pos_rels]
+                )
+                .groupBy("file_name")
+                .agg(F.collect_set(F.col("pos").cast("long")).alias("ps"))
+                .collect()
+            )
+            dv_map = {
+                fsio.join(location, r["file_name"]): sorted(
+                    int(p) for p in r["ps"]
+                )
+                for r in grouped
+                # inert rows name files the live set no longer holds
+                if r["file_name"] in live_rel
+            }
+            if dv_map:
+                ranges = puffin.write_puffin_dvs(del_path, dv_map, sid, seq)
+                puffin_loc = fsio.join(
+                    location, fsio.relpath(del_path, table.path)
+                )
+                puffin_size = fsio.file_size(del_path)
+                for ref, (off, blen, card) in sorted(ranges.items()):
+                    del_entries.append(
+                        {
+                            "status": STATUS_ADDED,
+                            "snapshot_id": sid,
+                            "sequence_number": seq,
+                            "file_sequence_number": seq,
+                            "data_file": {
+                                "content": FILE_CONTENT_POS_DELETES,
+                                "file_path": puffin_loc,
+                                "file_format": "PUFFIN",
+                                "partition": {
+                                    sf["name"]: None for sf in spec_fields
+                                },
+                                "record_count": card,
+                                "file_size_in_bytes": puffin_size,
+                                "block_size_in_bytes": 64 * 1024 * 1024,
+                                "lower_bounds": None,
+                                "upper_bounds": None,
+                                "equality_ids": None,
+                                "first_row_id": None,
+                                "referenced_data_file": ref,
+                                "content_offset": off,
+                                "content_size_in_bytes": blen,
+                            },
+                        }
+                    )
+        elif pos_rels:
             del_rel = f"deletes/s{sid}"
             del_dir = fsio.join(meta_dir, del_rel)
             from pyspark.sql import functions as F
@@ -1072,6 +1185,8 @@ def export_iceberg_metadata(table, delete_dialect: str = "position") -> int:
         if fmt >= 2:
             snap["sequence-number"] = seq
             snap["summary"]["total-delete-files"] = str(len(del_entries))
+        if fmt >= 3:
+            snap["first-row-id"] = snap_first_row
         if parent_sid is not None:
             snap["parent-snapshot-id"] = parent_sid
         snapshots.append(snap)
@@ -1124,6 +1239,8 @@ def export_iceberg_metadata(table, delete_dialect: str = "position") -> int:
         }
         if fmt >= 2:
             metadata["last-sequence-number"] = seq
+        if fmt >= 3:
+            metadata["next-row-id"] = next_row_id
         fsio.write_atomic(
             _metadata_file(table.path, v + 1), json.dumps(metadata, indent=1)
         )

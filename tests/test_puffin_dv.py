@@ -306,3 +306,96 @@ def test_convert_adopts_v3_dv_tree(spark, tmp_path):
     # post-adoption deletes keep extending sidecars
     a.delete(spark.createDataFrame([(3,)], "k int"))
     assert _rows(a.read().select("k", "v")) == [(2, "b")]
+
+
+# ---------------------------------------------------------------------------
+# v3 EXPORT: engine DV state -> Puffin deletion vectors + row lineage
+# ---------------------------------------------------------------------------
+
+from hudi_and_delta_showcase_spark.tables.iceberg_meta import (  # noqa: E402
+    export_iceberg_metadata,
+    iceberg_snapshots,
+    read_iceberg_metadata,
+    _snapshot_entries,
+)
+
+
+def _dv_table(spark, path):
+    df = spark.createDataFrame(
+        [(i, f"v{i}") for i in range(40)], "k int, v string"
+    ).coalesce(2)
+    t = LakehouseTable.create(
+        spark, path, df, key_cols=["k"], deletion_vectors=True
+    )
+    t.delete(spark.createDataFrame([(3,), (7,), (25,)], "k int"))
+    return t
+
+
+def test_v3_export_roundtrip(spark, tmp_path):
+    t = _dv_table(spark, str(tmp_path / "t"))
+    export_iceberg_metadata(t, format_version=3)
+    meta = read_iceberg_metadata(t.path)
+    assert meta["format-version"] == 3
+    # row lineage: every data file got an explicit first_row_id and
+    # the metadata carries the running next-row-id
+    assert meta["next-row-id"] == 40
+    snaps = iceberg_snapshots(t.path)
+    assert [s["first-row-id"] for s in snaps] == [0, 40]
+    data, pos, eq = _snapshot_entries(t.path, snaps[-1], with_deletes=True)
+    assert eq == []
+    assert pos and all(
+        e["data_file"]["file_format"] == "PUFFIN"
+        and e["data_file"]["referenced_data_file"]
+        and e["data_file"]["content_offset"] is not None
+        for e in pos
+    )
+    frids = sorted(e["data_file"]["first_row_id"] for e in data)
+    rows = sorted(e["data_file"]["record_count"] for e in data)
+    assert frids[0] == 0 and len(frids) == 2
+    assert frids[1] in rows  # second file starts after the first
+    # the blobs decode through the same read path
+    got = read_iceberg_table(spark, t.path)
+    ks = sorted(r.k for r in got.collect())
+    assert ks == [k for k in range(40) if k not in (3, 7, 25)]
+    # time travel below the delete
+    v0 = read_iceberg_table(spark, t.path, snapshot_id=snaps[0]["snapshot-id"])
+    assert v0.count() == 40
+
+
+def test_v3_export_incremental_and_adoption(spark, tmp_path):
+    t = _dv_table(spark, str(tmp_path / "t"))
+    v1 = export_iceberg_metadata(t, format_version=3)
+    assert export_iceberg_metadata(t, format_version=3) == v1
+    # once v3, always v3 — a later export without the flag stays v3,
+    # and an explicit downgrade refuses
+    t.delete(spark.createDataFrame([(30,)], "k int"))
+    v2 = export_iceberg_metadata(t)
+    assert v2 == v1 + 1
+    assert read_iceberg_metadata(t.path)["format-version"] == 3
+    with pytest.raises(ValueError, match="downgrade"):
+        export_iceberg_metadata(t, format_version=2)
+    got = read_iceberg_table(spark, t.path)
+    assert sorted(r.k for r in got.collect()) == [
+        k for k in range(40) if k not in (3, 7, 25, 30)
+    ]
+    # the v3 tree adopts back (full circle)
+    import os
+    import shutil
+
+    foreign = str(tmp_path / "foreign")
+    shutil.copytree(t.path, foreign)
+    os.remove(os.path.join(foreign, "_meta.json"))
+    shutil.rmtree(os.path.join(foreign, "_commits"))
+    shutil.rmtree(t.path)
+    a = LakehouseTable.convert_iceberg(spark, foreign, key_cols=["k"])
+    assert sorted(r.k for r in a.read().collect()) == [
+        k for k in range(40) if k not in (3, 7, 25, 30)
+    ]
+
+
+def test_v3_export_refuses_equality_dialect(spark, tmp_path):
+    t = _dv_table(spark, str(tmp_path / "t"))
+    with pytest.raises(ValueError, match="v3"):
+        export_iceberg_metadata(
+            t, delete_dialect="equality", format_version=3
+        )
