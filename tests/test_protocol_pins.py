@@ -1356,3 +1356,38 @@ def test_variant_export_carries_feature_protocol(spark, tmp_path):
         for r in back.selectExpr("k", "to_json(v) as j").collect()
     )
     assert got == [(1, '{"a":1}'), (2, "[2,3]")]
+
+
+def test_variant_and_dv_export_protocol_merges_features(spark, tmp_path):
+    """A table holding BOTH deletion vectors and a variant column must
+    export one 3/7 protocol listing both features — the variant branch
+    merges into the DV branch's feature lists rather than replacing
+    them."""
+    from hudi_and_delta_showcase_spark.tables import LakehouseTable
+    from hudi_and_delta_showcase_spark.tables.delta_log import (
+        export_delta_log,
+        read_delta_table,
+    )
+
+    df = spark.sql(
+        "select 1 as k, parse_json('{\"a\": 1}') as v "
+        "union all select 2, parse_json('[2]') "
+        "union all select 3, parse_json('null')"
+    )
+    t = LakehouseTable.create(
+        spark, str(tmp_path / "t"), df,
+        key_cols=["k"], deletion_vectors=True,
+    )
+    t.delete(spark.createDataFrame([(2,)], "k int"))
+    export_delta_log(t)
+    log0 = os.path.join(t.path, "_delta_log", f"{0:020d}.json")
+    actions = [json.loads(x) for x in open(log0) if x.strip()]
+    proto = next(a["protocol"] for a in actions if "protocol" in a)
+    assert set(proto["readerFeatures"]) >= {"deletionVectors", "variantType"}
+    assert set(proto["writerFeatures"]) >= {"deletionVectors", "variantType"}
+    back = read_delta_table(spark, t.path)
+    got = sorted(
+        (r.k, r.j)
+        for r in back.selectExpr("k", "to_json(v) as j").collect()
+    )
+    assert got == [(1, '{"a":1}'), (3, "null")]
