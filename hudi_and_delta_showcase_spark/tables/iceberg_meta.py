@@ -1643,6 +1643,19 @@ def _apply_pos_deletes(
         .join(F.broadcast(map_df), "file_path")
         .select(F.col("__scan").alias("__del_path"), F.col("pos").alias("__del_pos"))
     )
+    # v3 DV rows come out of mapInPandas with NO size stats, so
+    # Catalyst would default the anti-join to sort-merge — but every
+    # delete entry records its exact cardinality, so broadcast when the
+    # decoded side provably fits (~64 MB; estimated bytes, not rows —
+    # the same gate as the Delta DV read). Bigger sets fall back to the
+    # shuffle join AQE plans from runtime stats.
+    total = sum(int(e["data_file"].get("record_count") or 0) for e in delete_entries)
+    avg_path = (
+        sum(len(s) for _r, s in mapping) / len(mapping) if mapping else 0
+    )
+    est_bytes = total * (avg_path + 24)
+    if 0 < est_bytes <= 64 * 1024 * 1024:
+        dels = F.broadcast(dels)
     return (
         df.withColumn(
             "__path", F.regexp_replace(F.col("_metadata.file_path"), strip, "")

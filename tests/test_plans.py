@@ -412,5 +412,28 @@ def test_iceberg_eq_delete_read_keeps_pushdown(spark, tmp_path):
         read_iceberg_table(spark, root).filter(F.col("k") > 0)
     )
     assert re.search(r"PushedFilters: \[[^\]]*k", plan)
-    assert "LeftAnti" in plan
+    assert "BroadcastHashJoin" in plan and "LeftAnti" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_iceberg_v3_dv_read_keeps_pushdown(spark, tmp_path):
+    """The v3 Puffin DV read (r8) must keep the v2 position-delete
+    plan shape: the data predicate reaches the parquet scan BELOW the
+    anti-join, and the decoded-DV side joins hash-side (AQE picks
+    broadcast from its measured size) — never a shuffle of table
+    data driven by the delete side."""
+    import pyspark.sql.functions as F
+
+    from hudi_and_delta_showcase_spark.tables.iceberg_meta import (
+        read_iceberg_table,
+    )
+    from tests.test_puffin_dv import _foreign_v3_tree
+
+    root = str(tmp_path / "ice_v3")
+    _foreign_v3_tree(root)
+    plan = _formatted_plan(
+        read_iceberg_table(spark, root).filter(F.col("k") > 1)
+    )
+    assert re.search(r"PushedFilters: \[[^\]]*k", plan)
+    assert "BroadcastHashJoin" in plan and "LeftAnti" in plan
     assert "SortMergeJoin" not in plan
