@@ -399,3 +399,27 @@ def test_v3_export_refuses_equality_dialect(spark, tmp_path):
         export_iceberg_metadata(
             t, delete_dialect="equality", format_version=3
         )
+
+
+# ---------------------------------------------------------------------------
+# property: any position set roundtrips the blob codec
+# ---------------------------------------------------------------------------
+
+from hypothesis import given, settings, strategies as st  # noqa: E402
+
+
+@settings(max_examples=60, deadline=None)
+@given(
+    st.sets(
+        st.one_of(
+            st.integers(min_value=0, max_value=1 << 20),
+            # straddle container boundaries and high-key space
+            st.integers(min_value=(1 << 32) - 8, max_value=(1 << 32) + 8),
+            st.integers(min_value=0, max_value=(1 << 40)),
+        ),
+        max_size=400,
+    )
+)
+def test_dv_blob_roundtrip_property(positions):
+    blob = puffin.encode_dv_blob(sorted(positions))
+    assert puffin.decode_dv_blob(blob) == sorted(positions)
