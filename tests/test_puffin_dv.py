@@ -423,3 +423,26 @@ from hypothesis import given, settings, strategies as st  # noqa: E402
 def test_dv_blob_roundtrip_property(positions):
     blob = puffin.encode_dv_blob(sorted(positions))
     assert puffin.decode_dv_blob(blob) == sorted(positions)
+
+
+def test_dv_entry_without_byte_range_refuses(spark, tmp_path):
+    """A deletion-vector entry whose manifest omits content_offset /
+    content_size_in_bytes cannot be decoded — the reader must refuse
+    loudly, never silently skip the deletes."""
+    from hudi_and_delta_showcase_spark.tables.iceberg_meta import (
+        _pos_delete_rows,
+    )
+
+    entry = {
+        "data_file": {
+            "content": 1,
+            "file_path": str(tmp_path / "dv.puffin"),
+            "file_format": "PUFFIN",
+            "record_count": 2,
+            "referenced_data_file": str(tmp_path / "a.parquet"),
+            "content_offset": None,
+            "content_size_in_bytes": None,
+        }
+    }
+    with pytest.raises(ValueError, match="content_offset"):
+        _pos_delete_rows(spark, str(tmp_path), [entry])
