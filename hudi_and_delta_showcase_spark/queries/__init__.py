@@ -190,6 +190,9 @@ PRIORITY: tuple[str, ...] = (
     "cdc_medallion_sync",
     "table_history",
     "cdc_gdpr_purge",
+    # r8: REORG APPLY (PURGE) — DV-density-targeted rewrite, vectors
+    # shed with the rewrite, sparse files carried untouched
+    "cdc_reorg_purge",
     # r6: FSCK REPAIR TABLE — vanished-file recovery via repair commit
     "cdc_fsck_repair",
     # r6: Iceberg v2 position-delete export + read-back (DV tables

@@ -1273,6 +1273,41 @@ def cdc_gdpr_purge(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "cdc_reorg_purge",
+    oracle="""
+    SELECT event_id, user_id, ts, event_type, value,
+           TRUE AS vectors_shed
+    FROM events WHERE event_id % 3 <> 0
+    """,
+    tags=("cdc", "table", "maintenance"),
+)
+def cdc_reorg_purge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REORG TABLE ... APPLY (PURGE) — the compaction half of the DV
+    lifecycle (r8): a deletion-vector delete keeps the commit
+    O(deleted rows), but once a third of every file is dead the scan
+    keeps paying for rows the anti-join discards. ``reorg_purge``
+    rewrites ONLY files whose deleted fraction crossed the threshold
+    (all of them here, by construction), applying and then SHEDDING
+    their vectors — ``vectors_shed`` pins that the purge commit
+    carries zero DV sidecars while a second no-op call (nothing left
+    over the threshold) declines to commit. The oracle is the logical
+    post-delete state: a purge that dropped or resurrected a row
+    hash-fails."""
+    events = load_table(spark, sf_dir, "events").select(*_FINAL_COLS)
+    path = tempfile.mkdtemp(prefix="reorg_") + "/events_tbl"
+    t = LakehouseTable.create(
+        spark, path, events, key_cols=["event_id"], deletion_vectors=True
+    )
+    t.delete(events.filter(F.col("event_id") % 3 == 0).select("event_id"))
+    c = t.reorg_purge(min_deleted_ratio=0.2)
+    shed = c is not None and c.dv_files == [] and c.stats["purged_files"] > 0
+    noop = t.reorg_purge(min_deleted_ratio=0.2) is None
+    return t.read().select(*_FINAL_COLS).withColumn(
+        "vectors_shed", F.lit(bool(shed and noop))
+    )
+
+
+@query(
     "cdc_restore_version",
     oracle=f"""
     SELECT event_id, user_id, ts, event_type, value,

@@ -2582,6 +2582,89 @@ class LakehouseTable:
         commit = self._publish(commit)
         return commit
 
+    def reorg_purge(self, min_deleted_ratio: float = 0.05):
+        """Delta ``REORG TABLE ... APPLY (PURGE)``: materialize
+        deletion vectors ONLY for files whose deleted-row fraction has
+        crossed ``min_deleted_ratio`` — the compaction half of the DV
+        lifecycle. A DV keeps each delete O(deleted rows) at write
+        time, but a mostly-dead file keeps paying full scan IO for
+        rows the anti-join discards; purge rewrites exactly those
+        files with their vectors applied, drops the now-dead vector
+        rows from the sidecar set, and carries every sparse file (and
+        its live DVs) untouched. O(purged bytes + deleted rows), never
+        O(table) — at 100 TB the difference between a nightly
+        touch-up and a full rewrite. Files without a recorded row
+        count (rare adopted edges) are conservatively left alone.
+        Returns ``None`` without committing when nothing crosses the
+        threshold, so schedulers can call it unconditionally."""
+        self._refresh_meta()
+        prev = self._commit_for_write()
+        if not prev.dv_files:
+            return None
+        if not 0 < min_deleted_ratio <= 1:
+            raise ValueError("min_deleted_ratio must be in (0, 1]")
+        dv = self.spark.read.parquet(
+            *[fsio.resolve(self.path, f) for f in prev.dv_files]
+        ).select("file_name", "pos")
+        # per-file deleted counts: O(deleted rows) in, O(files) out
+        per_file = {
+            r["file_name"]: r["n"]
+            for r in dv.groupBy("file_name").agg(
+                F.count_distinct("pos").alias("n")
+            ).collect()
+        }
+        live = set(prev.files)
+        victims = sorted(
+            f
+            for f, dead in per_file.items()
+            if f in live
+            and prev.row_counts.get(f)
+            and dead / prev.row_counts[f] >= min_deleted_ratio
+        )
+        if not victims:
+            return None
+        version = prev.version + 1
+        commit_time = mf.make_commit_time()
+        rewritten = self._apply_dvs(
+            self._read_parquet(victims, prev), prev
+        )
+        new_files = self._write_files(rewritten, f"c{version:05d}")
+        untouched = [f for f in prev.files if f not in set(victims)]
+        # shed the purged vectors: keep only rows naming surviving
+        # files (Delta's purge drops the DV descriptors with the
+        # rewrite) — one O(deleted rows) filter, empty set drops the
+        # sidecars entirely
+        surviving = dv.filter(
+            F.col("file_name").isin([f for f in untouched if f in per_file])
+        )
+        new_dvs: list[str] = []
+        if any(f in per_file for f in untouched):
+            new_dvs = self._write_dv_files(surviving, f"c{version:05d}")
+        commit = mf.Commit(
+            version=version,
+            action="purge",
+            commit_time=commit_time,
+            files=untouched + new_files,
+            log_files=prev.log_files,
+            stats={
+                "purged_files": len(victims),
+                "carried_over_files": len(untouched),
+                "written_files": len(new_files),
+                "purged_dv_rows": sum(
+                    per_file[f] for f in victims
+                ),
+            },
+            dv_files=new_dvs,
+            txn=dict(prev.txn),
+            ri_files=prev.ri_files
+            + self._write_record_index(new_files, version),
+            table_schema=prev.table_schema,
+            column_mapping=dict(prev.column_mapping),
+            **self._index_fields(new_files, carry_from=prev,
+                                 carried=untouched),
+        )
+        return self._publish(commit)
+
     def _optimize_incremental(
         self,
         prev: mf.Commit,

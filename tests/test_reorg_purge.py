@@ -1,0 +1,61 @@
+"""REORG ... APPLY (PURGE): DV-density-targeted rewrite — only files
+whose deleted fraction crossed the threshold rewrite; sparse files and
+their live vectors carry over untouched."""
+
+from __future__ import annotations
+
+from hudi_and_delta_showcase_spark.tables import LakehouseTable
+
+
+def _t(spark, path):
+    df = spark.createDataFrame(
+        [(i, f"v{i}") for i in range(40)], "k int, v string"
+    ).coalesce(2)
+    return LakehouseTable.create(
+        spark, path, df, key_cols=["k"], deletion_vectors=True
+    )
+
+
+def _keys(t):
+    return sorted(r.k for r in t.read().select("k").collect())
+
+
+def test_purge_rewrites_only_dense_files(spark, tmp_path):
+    t = _t(spark, str(tmp_path / "t"))
+    # one file holds 0..19, the other 20..39: kill 15/20 of the first,
+    # 1/20 of the second
+    dense = [(k,) for k in range(15)]
+    t.delete(spark.createDataFrame(dense + [(25,)], "k int"))
+    before = t._commit(None)
+    want = _keys(t)
+
+    c = t.reorg_purge(min_deleted_ratio=0.5)
+    assert c is not None
+    assert c.stats["purged_files"] == 1
+    assert c.stats["carried_over_files"] == 1
+    assert c.stats["purged_dv_rows"] == 15
+    # the sparse file keeps its live vector; the dense one shed its
+    assert c.dv_files and c.dv_files != before.dv_files
+    assert _keys(t) == want
+    # the carried file is byte-identical (same relative path)
+    assert len(set(before.files) & set(c.files)) == 1
+    # below threshold now: purge is a no-op, no commit
+    assert t.reorg_purge(min_deleted_ratio=0.5) is None
+    assert t._commit(None).version == c.version
+
+    # time travel below the purge still serves the DV view
+    assert sorted(
+        r.k for r in t.read(version=before.version).select("k").collect()
+    ) == want
+
+
+def test_purge_to_zero_drops_all_sidecars(spark, tmp_path):
+    t = _t(spark, str(tmp_path / "t"))
+    t.delete(spark.createDataFrame([(1,), (2,), (21,)], "k int"))
+    c = t.reorg_purge(min_deleted_ratio=0.01)
+    assert c is not None and c.dv_files == []
+    assert c.stats["purged_files"] == 2
+    assert _keys(t) == [k for k in range(40) if k not in (1, 2, 21)]
+    # further deletes go back on the DV discipline
+    c2 = t.delete(spark.createDataFrame([(30,)], "k int"))
+    assert c2.dv_files and c2.files == c.files
