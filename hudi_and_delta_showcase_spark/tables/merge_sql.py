@@ -464,6 +464,10 @@ _DDL_RES: list[tuple[str, re.Pattern]] = [
         r"^\s*FSCK\s+REPAIR\s+TABLE\s+(?P<t>\w+)"
         r"(?:\s+(?P<dry>DRY\s+RUN))?\s*$",
         re.IGNORECASE)),
+    # Delta's REORG TABLE t APPLY (PURGE): DV-density-targeted rewrite
+    ("reorg_purge", re.compile(
+        r"^\s*REORG\s+TABLE\s+(?P<t>\w+)\s+APPLY\s*\(\s*PURGE\s*\)\s*$",
+        re.IGNORECASE)),
 ]
 
 
@@ -532,6 +536,7 @@ def execute_ddl(
     * ``RESTORE TABLE t TO VERSION AS OF n``
     * ``DESCRIBE HISTORY t``
     * ``FSCK REPAIR TABLE t [DRY RUN]``
+    * ``REORG TABLE t APPLY (PURGE)``
     * ``DESCRIBE DETAIL t``
     * ``ALTER TABLE t ADD CONSTRAINT name CHECK (pred)`` / ``DROP
       CONSTRAINT name`` / ``RENAME COLUMN a TO b`` / ``DROP COLUMN a``
@@ -579,6 +584,15 @@ def execute_ddl(
         if kind == "fsck":
             out = t.fsck(dry_run=bool(m.group("dry")))
             return {"statement": "fsck", **out}
+        if kind == "reorg_purge":
+            commit = t.reorg_purge()
+            return {
+                "statement": "reorg_purge",
+                "version": commit.version if commit else None,
+                "purged_files": (
+                    commit.stats["purged_files"] if commit else 0
+                ),
+            }
         if kind == "restore":
             commit = t.restore(int(m.group("v")))
             return {"statement": "restore", "version": commit.version}

@@ -59,3 +59,18 @@ def test_purge_to_zero_drops_all_sidecars(spark, tmp_path):
     # further deletes go back on the DV discipline
     c2 = t.delete(spark.createDataFrame([(30,)], "k int"))
     assert c2.dv_files and c2.files == c.files
+
+
+def test_reorg_purge_sql_statement(spark, tmp_path):
+    """The Delta dialect form: REORG TABLE t APPLY (PURGE)."""
+    from hudi_and_delta_showcase_spark.tables.merge_sql import execute_ddl
+
+    t = _t(spark, str(tmp_path / "t"))
+    t.delete(spark.createDataFrame([(k,) for k in range(12)], "k int"))
+    out = execute_ddl(spark, "REORG TABLE ev APPLY (PURGE)", {"ev": t})
+    assert out["statement"] == "reorg_purge"
+    assert out["purged_files"] == 1 and out["version"] == 2
+    assert _keys(t) == list(range(12, 40))
+    # idempotent at the SQL surface too
+    out2 = execute_ddl(spark, "reorg table ev apply (purge)", {"ev": t})
+    assert out2["version"] is None and out2["purged_files"] == 0
