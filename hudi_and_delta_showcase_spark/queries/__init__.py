@@ -242,6 +242,9 @@ PRIORITY: tuple[str, ...] = (
     # r8: v3 EXPORT — engine DV state as Puffin blobs + row lineage
     # (first_row_id / next-row-id), read back through the same path
     "iceberg_v3_dv_export",
+    # r8: tbl$snapshots inspection relation over the exported tree,
+    # value-checked against fixture-derived truth
+    "iceberg_snapshots_table",
     # late r7: Delta DV EXPORT — live engine DVs render as real
     # RoaringBitmapArray bins + protocol 3/7, zero materialization
     "delta_dv_export_roundtrip",

@@ -889,6 +889,53 @@ def iceberg_equality_delete_export(
 
 
 @query(
+    "iceberg_snapshots_table",
+    oracle=f"""
+    SELECT 1 AS ordinal, 'append' AS operation,
+           (SELECT COUNT(*) FROM events WHERE ts < TIMESTAMP '{CUTOFF}')
+             AS total_records
+    UNION ALL
+    SELECT 2, 'overwrite', (SELECT COUNT(*) FROM events)
+    """,
+    tags=("cdc", "iceberg", "introspection"),
+)
+def iceberg_snapshots_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Iceberg's ``tbl$snapshots`` inspection relation (r8,
+    ``iceberg_meta.iceberg_metadata_table``): exported trees answer
+    metadata questions as DataFrames — here, each snapshot's operation
+    and its summary's running ``total-records``, value-checked against
+    fixture-derived truth (snapshot 1 = the pre-cutoff slice at
+    'append'; snapshot 2 = everything at 'overwrite' — the upsert
+    rewrites key-overlapping files, so files were REMOVED and Iceberg's
+    operation taxonomy says overwrite even though event_id uniqueness
+    makes every row an insert). Driver-side metadata only — no data
+    files read."""
+    from hudi_and_delta_showcase_spark.tables.iceberg_meta import (
+        export_iceberg_metadata,
+        iceberg_metadata_table,
+    )
+    from pyspark.sql import Window
+
+    base, incr = _split(spark, sf_dir)
+    path = tempfile.mkdtemp(prefix="iceberg_meta_t_") + "/events_ice"
+    t = LakehouseTable.create(
+        spark, path, base,
+        key_cols=["event_id"], precombine="ts", table_type="cow",
+    )
+    t.upsert(incr)
+    export_iceberg_metadata(t)
+    snaps = iceberg_metadata_table(spark, path, "snapshots")
+    w = Window.orderBy("committed_at_ms", "snapshot_id")
+    return snaps.select(
+        F.row_number().over(w).alias("ordinal"),
+        F.col("operation"),
+        F.element_at(F.col("summary"), "total-records")
+        .cast("long")
+        .alias("total_records"),
+    )
+
+
+@query(
     "iceberg_v3_dv_export",
     oracle="""
     SELECT event_id, user_id, ts, event_type, value

@@ -1262,6 +1262,150 @@ def export_iceberg_metadata(
 # --------------------------------------------------------------------------
 
 
+def iceberg_metadata_table(spark, table_path: str, kind: str):
+    """Iceberg's inspection relations (``SELECT * FROM tbl$snapshots``
+    et al.) over an exported or foreign tree, as DataFrames:
+
+    * ``snapshots`` — committed_at / snapshot_id / parent_id /
+      operation / manifest_list / summary
+    * ``history`` — made_current_at / snapshot_id / parent_id /
+      is_current_ancestor (from the snapshot log)
+    * ``manifests`` — path / length / partition_spec_id / content /
+      added_snapshot_id + the count triple, current snapshot
+    * ``files`` / ``delete_files`` — the current snapshot's live
+      data / delete entries (content, path, format, record_count,
+      size, sequence number)
+
+    All driver-side metadata (the same JSON/Avro the snapshot reader
+    already parses) — O(manifests), no data IO; the result is a
+    DataFrame so the inspection composes with filters/joins like any
+    relation."""
+    def _df(rows, schema):
+        # one-partition fixture build: the list is driver metadata and
+        # the default one-task-per-core RDD path costs ~6s of Python
+        # worker spawn for nothing
+        if rows:
+            return spark.createDataFrame(
+                spark.sparkContext.parallelize(rows, 1), schema
+            )
+        return spark.createDataFrame([], schema)
+
+    meta = read_iceberg_metadata(table_path)
+    snaps = meta.get("snapshots") or []
+    if kind == "snapshots":
+        rows = [
+            (
+                int(s["timestamp-ms"]),
+                int(s["snapshot-id"]),
+                (
+                    int(s["parent-snapshot-id"])
+                    if s.get("parent-snapshot-id") is not None
+                    else None
+                ),
+                s.get("summary", {}).get("operation"),
+                s.get("manifest-list"),
+                {k: str(v) for k, v in (s.get("summary") or {}).items()},
+            )
+            for s in snaps
+        ]
+        return _df(
+            rows,
+            "committed_at_ms long, snapshot_id long, parent_id long, "
+            "operation string, manifest_list string, "
+            "summary map<string,string>",
+        )
+    if kind == "history":
+        ancestors = set()
+        cur = {s["snapshot-id"]: s for s in snaps}.get(
+            meta.get("current-snapshot-id")
+        )
+        while cur is not None:
+            ancestors.add(cur["snapshot-id"])
+            cur = {s["snapshot-id"]: s for s in snaps}.get(
+                cur.get("parent-snapshot-id")
+            )
+        rows = [
+            (
+                int(e["timestamp-ms"]),
+                int(e["snapshot-id"]),
+                e["snapshot-id"] in ancestors,
+            )
+            for e in (meta.get("snapshot-log") or [])
+        ]
+        return _df(
+            rows,
+            "made_current_at_ms long, snapshot_id long, "
+            "is_current_ancestor boolean",
+        )
+    if not snaps:
+        raise ValueError("tree has no snapshots")
+    current = next(
+        s for s in snaps
+        if s["snapshot-id"] == meta["current-snapshot-id"]
+    )
+    if kind == "manifests":
+        _, manifests = ocf_decode(
+            fsio.read_bytes(_resolve(table_path, current["manifest-list"]))
+        )
+        rows = [
+            (
+                m["manifest_path"],
+                int(m["manifest_length"]),
+                int(m.get("partition_spec_id") or 0),
+                int(m.get("content") or 0),
+                int(m.get("added_snapshot_id") or 0),
+                int(
+                    m.get("added_files_count")
+                    or m.get("added_data_files_count")
+                    or 0
+                ),
+                int(
+                    m.get("existing_files_count")
+                    or m.get("existing_data_files_count")
+                    or 0
+                ),
+                int(
+                    m.get("deleted_files_count")
+                    or m.get("deleted_data_files_count")
+                    or 0
+                ),
+            )
+            for m in manifests
+        ]
+        return _df(
+            rows,
+            "path string, length long, partition_spec_id int, "
+            "content int, added_snapshot_id long, added_files_count int, "
+            "existing_files_count int, deleted_files_count int",
+        )
+    if kind in ("files", "delete_files"):
+        data, pos, eq = _snapshot_entries(
+            table_path, current, with_deletes=True
+        )
+        entries = data if kind == "files" else pos + eq
+        rows = [
+            (
+                int(e["data_file"].get("content") or 0),
+                e["data_file"]["file_path"],
+                str(e["data_file"].get("file_format") or "PARQUET"),
+                int(e["data_file"]["record_count"]),
+                int(e["data_file"]["file_size_in_bytes"]),
+                int(e.get("__seq") or 0),
+            )
+            for e in entries
+        ]
+        return _df(
+            rows,
+            "content int, file_path string, file_format string, "
+            "record_count long, file_size_in_bytes long, "
+            "sequence_number long",
+        )
+    raise ValueError(
+        f"unknown metadata table {kind!r} (snapshots, history, "
+        "manifests, files, delete_files)"
+    )
+
+
 def _resolve(table_path: str, path: str) -> str:
     """Manifest/metadata locations are absolute in the spec, but
     relocated (copied) tables carry stale roots: if the recorded

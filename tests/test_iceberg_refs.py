@@ -85,3 +85,41 @@ def test_expire_protects_tagged_snapshot(spark, tmp_path):
     assert _keys(read_iceberg_table(spark, t.path, ref="golden")) == list(
         range(8)
     )
+
+
+def test_metadata_tables(spark, tmp_path):
+    """The $snapshots / $history / $manifests / $files / $delete_files
+    inspection relations over an exported tree."""
+    from hudi_and_delta_showcase_spark.tables.iceberg_meta import (
+        iceberg_metadata_table,
+    )
+
+    df = spark.createDataFrame(
+        [(i, f"v{i}") for i in range(10)], "k int, v string"
+    ).coalesce(1)
+    t = LakehouseTable.create(
+        spark, str(tmp_path / "t"), df, key_cols=["k"],
+        deletion_vectors=True,
+    )
+    t.delete(spark.createDataFrame([(3,)], "k int"))
+    export_iceberg_metadata(t)
+
+    snaps = iceberg_metadata_table(spark, t.path, "snapshots").collect()
+    assert [r.operation for r in snaps] == ["append", "delete"]
+    assert snaps[1].parent_id == snaps[0].snapshot_id
+    assert snaps[0].summary["operation"] == "append"
+
+    hist = iceberg_metadata_table(spark, t.path, "history").collect()
+    assert len(hist) == 2 and all(r.is_current_ancestor for r in hist)
+
+    man = iceberg_metadata_table(spark, t.path, "manifests").collect()
+    assert {r.content for r in man} == {0, 1}
+
+    files = iceberg_metadata_table(spark, t.path, "files")
+    assert files.agg({"record_count": "sum"}).collect()[0][0] == 10
+    dels = iceberg_metadata_table(spark, t.path, "delete_files").collect()
+    assert len(dels) >= 1 and all(r.content == 1 for r in dels)
+    assert sum(r.record_count for r in dels) == 1
+
+    with pytest.raises(ValueError, match="unknown metadata table"):
+        iceberg_metadata_table(spark, t.path, "partitions")
