@@ -118,6 +118,10 @@ PRIORITY: tuple[str, ...] = (
     # -- multimodal -------------------------------------------------------
     "multimodal_dedup_decode",
     # ==== below the line: checked only if the driver looks past 50 =======
+    # r8: MERGE WITH SCHEMA EVOLUTION — star clauses carry the
+    # source's new columns into the target (additive evolution; the
+    # star-clause MERGE family keeps its top-50 rep in sql_merge_into)
+    "sql_merge_schema_evolution",
     # (oracle-bearing variants first, rows-only last; r4 demoted four
     # redundant family variants to make room for the protocol/streaming
     # flagships above, then sketch_percentile_gate for the deletion-vector

@@ -261,6 +261,74 @@ def cdc_hard_delete_state(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "sql_merge_schema_evolution",
+    oracle=f"""
+    WITH base AS (
+      SELECT event_id, user_id, ts, event_type, value FROM (
+        SELECT *, ROW_NUMBER() OVER (
+          PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+        FROM events WHERE ts < TIMESTAMP '{CUTOFF}'
+      ) WHERE rn = 1
+    ),
+    inc AS (
+      SELECT event_id, user_id, ts, event_type, value FROM (
+        SELECT *, ROW_NUMBER() OVER (
+          PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+        FROM events WHERE ts >= TIMESTAMP '{CUTOFF}'
+      ) WHERE rn = 1
+    )
+    SELECT event_id, user_id, ts, event_type, value, 'cdc' AS src_tag
+    FROM inc
+    UNION ALL
+    SELECT b.event_id, b.user_id, b.ts, b.event_type, b.value,
+           CAST(NULL AS VARCHAR) AS src_tag
+    FROM base b
+    WHERE NOT EXISTS (SELECT 1 FROM inc WHERE inc.user_id = b.user_id)
+    """,
+    tags=("cdc", "table", "sql", "merge"),
+)
+def sql_merge_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``MERGE WITH SCHEMA EVOLUTION INTO`` (r8, Delta's explicit
+    opt-in clause): the CDC batch carries a column the target never
+    had (``src_tag``); with the clause, the star-actions ADD it to the
+    target via additive evolution inside the upsert, rows the batch
+    never touched read it back as null, and the statement WITHOUT the
+    clause would have dropped the column entirely (pinned in
+    ``tests/test_merge_sql.py``). The oracle derives the same final
+    table from the raw events."""
+    from hudi_and_delta_showcase_spark.operators.cdc import precombine_dedup
+    from hudi_and_delta_showcase_spark.tables.merge_sql import execute_merge
+
+    base, incr = _split(spark, sf_dir)
+    path = tempfile.mkdtemp(prefix="lakehouse_mergesev_")
+    t = LakehouseTable.create(
+        spark,
+        f"{path}/events_tbl",
+        base,
+        key_cols=["user_id"],
+        precombine="ts",
+        tiebreakers=["event_id"],
+    )
+    precombine_dedup(
+        incr, ["user_id"], "ts", ["event_id"]
+    ).withColumn("src_tag", F.lit("cdc")).createOrReplaceTempView(
+        "events_cdc_sev_src"
+    )
+    execute_merge(
+        spark,
+        """MERGE WITH SCHEMA EVOLUTION INTO events_tbl t
+           USING events_cdc_sev_src s
+           ON t.user_id = s.user_id
+           WHEN MATCHED THEN UPDATE SET *
+           WHEN NOT MATCHED THEN INSERT *""",
+        {"events_tbl": t},
+    )
+    return t.read().select(
+        "event_id", "user_id", "ts", "event_type", "value", "src_tag"
+    )
+
+
+@query(
     "sql_merge_into",
     oracle=f"""
     WITH base AS (

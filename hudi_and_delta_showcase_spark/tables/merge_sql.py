@@ -46,7 +46,8 @@ from pyspark.sql import DataFrame, SparkSession
 from hudi_and_delta_showcase_spark.tables.lakehouse import LakehouseTable
 
 _HEAD_RE = re.compile(
-    r"^\s*MERGE\s+INTO\s+(?P<target>\w+)(?:\s+AS)?(?:\s+(?P<talias>\w+))?"
+    r"^\s*MERGE\s+(?P<sev>WITH\s+SCHEMA\s+EVOLUTION\s+)?"
+    r"INTO\s+(?P<target>\w+)(?:\s+AS)?(?:\s+(?P<talias>\w+))?"
     r"\s+USING\s+(?P<source>\w+)(?:\s+AS)?(?:\s+(?P<salias>\w+))?"
     r"\s+ON\s+(?P<on>.+?)"
     r"(?=\s+WHEN\s+)",
@@ -80,6 +81,10 @@ class MergeSpec:
     source_alias: str
     on: str
     clauses: tuple[MergeClause, ...]
+    #: MERGE WITH SCHEMA EVOLUTION INTO ... (Delta's explicit opt-in):
+    #: star clauses ADD new source columns to the target instead of
+    #: dropping them; existing rows read the new column as null
+    schema_evolution: bool = False
 
 
 def parse_merge(sql: str) -> MergeSpec:
@@ -123,6 +128,7 @@ def parse_merge(sql: str) -> MergeSpec:
         source_alias=head.group("salias") or head.group("source"),
         on=head.group("on").strip(),
         clauses=tuple(clauses),
+        schema_evolution=head.group("sev") is not None,
     )
 
 
@@ -268,6 +274,14 @@ def execute_merge(
         for c in table.read().columns
         if not c.startswith("_hoodie_") and c != "__pp"
     ]
+    if spec.schema_evolution:
+        # WITH SCHEMA EVOLUTION: star clauses carry the source's NEW
+        # columns into the target (additive evolution inside upsert);
+        # without it extras drop, Delta's default
+        known = set(data_cols) | {"__matched", "__action"}
+        data_cols = data_cols + [
+            c for c in routed.columns if c not in known
+        ]
     writes = routed.filter(
         F.col("__action").isin("update", "insert")
     ).select(*data_cols)

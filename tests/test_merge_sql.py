@@ -455,3 +455,55 @@ def test_describe_detail(spark, tmp_path):
     assert d["num_files"] == 2 and d["num_rows"] == 2  # one file/partition
     assert d["partition_columns"] == ["part"]
     assert d["features"] == ["cdc"]
+
+
+def test_merge_with_schema_evolution(spark, tmp_path):
+    """MERGE WITH SCHEMA EVOLUTION INTO: star clauses ADD the source's
+    new columns to the target (additive evolution inside the upsert);
+    pre-existing rows read the new column as null. Without the clause,
+    extras keep dropping (Delta's default)."""
+    from hudi_and_delta_showcase_spark.tables import LakehouseTable
+    from hudi_and_delta_showcase_spark.tables.merge_sql import execute_merge
+
+    t = LakehouseTable.create(
+        spark,
+        str(tmp_path / "t"),
+        spark.createDataFrame([(1, "a"), (2, "b")], "k int, v string"),
+        key_cols=["k"],
+    )
+    spark.createDataFrame(
+        [(2, "b2", "eu"), (3, "c", "us")], "k int, v string, region string"
+    ).createOrReplaceTempView("src_ev")
+
+    # default: extras drop
+    out = execute_merge(
+        spark,
+        "MERGE INTO t USING src_ev s ON t.k = s.k "
+        "WHEN MATCHED THEN UPDATE SET * "
+        "WHEN NOT MATCHED THEN INSERT *",
+        {"t": t},
+    )
+    assert out["updated"] == 1 and out["inserted"] == 1
+    assert "region" not in t.read().columns
+
+    spark.createDataFrame(
+        [(3, "c3", "us"), (4, "d", "ap")], "k int, v string, region string"
+    ).createOrReplaceTempView("src_ev2")
+    out = execute_merge(
+        spark,
+        "MERGE WITH SCHEMA EVOLUTION INTO t USING src_ev2 s ON t.k = s.k "
+        "WHEN MATCHED THEN UPDATE SET * "
+        "WHEN NOT MATCHED THEN INSERT *",
+        {"t": t},
+    )
+    assert out["updated"] == 1 and out["inserted"] == 1
+    got = {
+        r.k: (r.v, r.region)
+        for r in t.read().select("k", "v", "region").collect()
+    }
+    assert got == {
+        1: ("a", None),       # untouched row: new column backfills null
+        2: ("b2", None),      # updated BEFORE evolution: no region
+        3: ("c3", "us"),
+        4: ("d", "ap"),
+    }
