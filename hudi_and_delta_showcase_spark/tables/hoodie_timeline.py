@@ -230,23 +230,30 @@ def _latest_file_slices(
     """fileId -> path of the latest completed file slice <= as_of.
     Overwrite commits reset the group set: only file groups written at
     or after the newest INSERT_OVERWRITE instant are live."""
-    instants = list_instants(path)
+    instants = _completed_instants(path)
     if as_of_instant is not None:
-        instants = [i for i in instants if i <= as_of_instant]
+        instants = [(i, k) for i, k in instants if i <= as_of_instant]
     slices: dict[str, tuple[str, str]] = {}
     barrier = ""
-    for instant in instants:
-        meta = _read_instant_meta(path, instant, "commit")
+    for instant, kind in instants:
+        meta = _read_instant_meta(path, instant, kind)
         if meta.get("operationType") == "INSERT_OVERWRITE":
             slices.clear()
             barrier = instant
         else:
             # Hudi replacecommit semantics: this instant replaces the
-            # listed file groups (clustering / partial rewrites)
+            # listed file groups (clustering / partial rewrites) —
+            # both the engine's extraMetadata marker and the real
+            # HoodieReplaceCommitMetadata top-level field (r8)
             for fid in (
                 meta.get("extraMetadata", {}).get("replacedFileIds") or []
             ):
                 slices.pop(fid, None)
+            for fids in (
+                meta.get("partitionToReplaceFileIds") or {}
+            ).values():
+                for fid in fids:
+                    slices.pop(fid, None)
         for stats in meta.get("partitionToWriteStats", {}).values():
             for st in stats:
                 fid, p = st["fileId"], st["path"]
@@ -721,8 +728,8 @@ def export_hoodie_timeline(table) -> str:
             table.path, posixpath.basename(table.path.rstrip("/"))
         )
     done: dict[int, str] = {}
-    for instant in list_instants(table.path):
-        meta = _read_instant_meta(table.path, instant, "commit")
+    for instant, kind in _completed_instants(table.path):
+        meta = _read_instant_meta(table.path, instant, kind)
         v = meta.get("extraMetadata", {}).get("lakehouseVersion")
         if v is not None:
             done[int(v)] = instant
@@ -750,16 +757,33 @@ def export_hoodie_timeline(table) -> str:
             }
             for f in sorted(cur - prior)
         ]
+        replaced = sorted(fid(f) for f in prior - cur)
         meta = {
             "partitionToWriteStats": {NON_PARTITIONED: stats},
             "compacted": False,
             "extraMetadata": {
                 "lakehouseVersion": str(v),
-                "replacedFileIds": sorted(fid(f) for f in prior - cur),
+                # kept alongside the real field so timelines exported
+                # by earlier engine versions and this one read alike
+                "replacedFileIds": replaced,
             },
             "operationType": "UPSERT" if v else "INSERT",
         }
-        final = fsio.join(_hoodie_dir(table.path), f"{instant}.commit")
+        suffix = "commit"
+        if replaced:
+            # real Hudi taxonomy (r8): a commit that replaces file
+            # groups is a REPLACECOMMIT carrying the replaced ids
+            # top-level (HoodieReplaceCommitMetadata) — clustering for
+            # the maintenance actions, overwrite for table-resetting
+            # ones; upserts keep UPSERT (the replace list carries the
+            # semantics, as in latest_file_slices_rt's replay)
+            suffix = "replacecommit"
+            meta["partitionToReplaceFileIds"] = {NON_PARTITIONED: replaced}
+            if c.action in ("optimize", "purge", "compact"):
+                meta["operationType"] = "CLUSTER"
+            elif c.action in ("overwrite", "restore"):
+                meta["operationType"] = "INSERT_OVERWRITE_TABLE"
+        final = fsio.join(_hoodie_dir(table.path), f"{instant}.{suffix}")
         fsio.write_atomic(final, json.dumps(meta, indent=2))
         prior = cur
         last_instant = instant

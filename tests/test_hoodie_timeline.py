@@ -116,7 +116,13 @@ def test_export_lakehouse_timeline_as_hoodie(spark, tmp_path):
     t.upsert(spark.createDataFrame([(2, 22, 2), (3, 30, 2)],
                                    "k int, v int, sq int"))
     i1 = export_hoodie_timeline(t)
-    assert len(list_instants(str(tmp_path / "t"))) == 2
+    # r8: the key-overlapping upsert replaced a file group, so it
+    # exports as a REAL replacecommit — one .commit + one .replacecommit
+    from hudi_and_delta_showcase_spark.tables.hoodie_timeline import (
+        _completed_instants,
+    )
+    kinds = [k for _i, k in _completed_instants(str(tmp_path / "t"))]
+    assert kinds == ["commit", "replacecommit"]
     native = {(r.k, r.v) for r in t.read().select("k", "v").collect()}
     via_hudi = {
         (r.k, r.v)
@@ -124,7 +130,7 @@ def test_export_lakehouse_timeline_as_hoodie(spark, tmp_path):
     }
     assert native == via_hudi
     # time travel: the first instant serves version-0 state
-    first = list_instants(str(tmp_path / "t"))[0]
+    first = _completed_instants(str(tmp_path / "t"))[0][0]
     v0 = {
         (r.k, r.v)
         for r in read_hoodie_table(spark, t.path, as_of_instant=first)
@@ -136,7 +142,7 @@ def test_export_lakehouse_timeline_as_hoodie(spark, tmp_path):
     t.upsert(spark.createDataFrame([(4, 40, 3)], "k int, v int, sq int"))
     i2 = export_hoodie_timeline(t)
     assert i2 > i1
-    assert len(list_instants(str(tmp_path / "t"))) == 3
+    assert len(_completed_instants(str(tmp_path / "t"))) == 3
     assert {
         r.k for r in read_hoodie_table(spark, t.path).select("k").collect()
     } == {1, 2, 3, 4}
@@ -204,7 +210,10 @@ def test_incremental_pull_on_engine_export_stamps_from_commits(
     )
     t.upsert(spark.createDataFrame([(3, "c")], "k int, v string"))
     export_hoodie_timeline(t)
-    instants = list_instants(root)
+    from hudi_and_delta_showcase_spark.tables.hoodie_timeline import (
+        _completed_instants,
+    )
+    instants = [i for i, _k in _completed_instants(root)]
     assert len(instants) >= 2
     pull = read_hoodie_incremental(spark, root, begin_instant=instants[-2])
     got = sorted((r.k, r.v) for r in pull.select("k", "v").collect())

@@ -303,7 +303,7 @@ def test_hoodie_export_structure_pinned(spark, tmp_path):
     hd = os.path.join(t.path, ".hoodie")
     instants = {}
     for fn in sorted(os.listdir(hd)):
-        if fn.endswith(".commit"):
+        if fn.endswith((".commit", ".replacecommit")):
             key = _INSTANT_RE.sub("<instant>", fn)
             instants[key] = _normalize(json.load(open(os.path.join(hd, fn))))
     props = _normalize(open(os.path.join(hd, "hoodie.properties")).read())
