@@ -227,6 +227,9 @@ PRIORITY: tuple[str, ...] = (
     # incremental pulls per landed commit, O(changed files) each, the
     # union exactly re-assembles the table
     "cdc_hoodie_incremental_tail",
+    # r8: the Delta-source sibling — change-feed tail over a foreign
+    # _delta_log, O(changes) per poll under the add-only CDF rule
+    "cdc_delta_changes_tail",
     # r6: bounds-pruned range read through the Iceberg metadata path
     "iceberg_stats_skipping_read",
     # r7: Iceberg v2 EQUALITY deletes on read (Flink CDC writer shape),

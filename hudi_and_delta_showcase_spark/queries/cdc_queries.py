@@ -3346,6 +3346,45 @@ def cdc_hoodie_incremental_tail(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "cdc_delta_changes_tail",
+    oracle="SELECT event_id, user_id, ts, event_type, value FROM events",
+    tags=("cdc", "delta", "incremental", "streaming"),
+)
+def cdc_delta_changes_tail(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Continuous CHANGE-FEED TAIL of a foreign ``_delta_log`` (r8) —
+    the Delta-source sibling of ``cdc_hoodie_incremental_tail``: a
+    foreign writer lands three append commits; after each one, the
+    consumer polls ``read_delta_changes`` over exactly the new version
+    range ``[last_seen + 1, latest]`` — O(changes) IO per poll, rows
+    synthesized from the commits' dataChange adds under Delta's
+    add-only CDF rule — and the union of the three pulls must equal
+    the full table (no row lost, none double-delivered; either
+    hash-fails the oracle). With the Hudi and JDBC tails, every
+    source protocol now feeds a medallion bronze incrementally."""
+    from hudi_and_delta_showcase_spark.tables import delta_log as dl
+
+    events = load_table(spark, sf_dir, "events").select(*_FINAL_COLS)
+    c1 = F.lit(CUTOFF).cast("timestamp_ntz")
+    c2 = F.lit("2024-01-25 00:00:00").cast("timestamp_ntz")
+    parts = [
+        events.filter(F.col("ts") < c1),
+        events.filter((F.col("ts") >= c1) & (F.col("ts") < c2)),
+        events.filter(F.col("ts") >= c2),
+    ]
+    root = tempfile.mkdtemp(prefix="delta_tail_") + "/t"
+    last = -1
+    acc: DataFrame | None = None
+    for p in parts:
+        latest = dl.write_delta_table(p.coalesce(1), root)
+        batch = dl.read_delta_changes(
+            spark, root, begin_version=last + 1, end_version=latest
+        )
+        acc = batch if acc is None else acc.unionByName(batch)
+        last = latest
+    return acc.select(*_FINAL_COLS)
+
+
+@query(
     "cdc_convert_delta_dv",
     oracle=f"""
     SELECT event_id, user_id, ts, event_type, value FROM events
