@@ -1391,3 +1391,34 @@ def test_variant_and_dv_export_protocol_merges_features(spark, tmp_path):
         for r in back.selectExpr("k", "to_json(v) as j").collect()
     )
     assert got == [(1, '{"a":1}'), (3, "null")]
+
+
+def test_reader_tolerates_domain_metadata_actions(spark, tmp_path):
+    """Modern Databricks logs carry domainMetadata actions (liquid
+    clustering state, row-tracking domains); they are writer-side
+    bookkeeping and must not disturb reads or adoption."""
+    from hudi_and_delta_showcase_spark.tables import LakehouseTable
+    from hudi_and_delta_showcase_spark.tables import delta_log as dl
+
+    root = str(tmp_path / "t")
+    dl.write_delta_table(
+        spark.createDataFrame([(1, "a"), (2, "b")], "k int, v string")
+        .coalesce(1),
+        root,
+    )
+    with open(
+        os.path.join(root, "_delta_log", f"{1:020d}.json"), "w"
+    ) as fh:
+        fh.write(json.dumps({"domainMetadata": {
+            "domain": "delta.clustering",
+            "configuration": "{\"clusteringColumns\":[[\"k\"]]}",
+            "removed": False}}) + "\n")
+        fh.write(json.dumps({"commitInfo": {
+            "timestamp": 1700000000000, "operation": "CLUSTER"}}) + "\n")
+    assert sorted(
+        tuple(r) for r in dl.read_delta_table(spark, root).collect()
+    ) == [(1, "a"), (2, "b")]
+    a = LakehouseTable.convert_delta(spark, root, key_cols=["k"])
+    assert sorted(
+        tuple(r) for r in a.read().select("k", "v").collect()
+    ) == [(1, "a"), (2, "b")]
