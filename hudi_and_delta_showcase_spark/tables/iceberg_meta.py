@@ -1272,6 +1272,8 @@ def iceberg_metadata_table(spark, table_path: str, kind: str):
       is_current_ancestor (from the snapshot log)
     * ``manifests`` — path / length / partition_spec_id / content /
       added_snapshot_id + the count triple, current snapshot
+    * ``partitions`` — per-partition record/file counts over the
+      current snapshot's live data entries
     * ``files`` / ``delete_files`` — the current snapshot's live
       data / delete entries (content, path, format, record_count,
       size, sequence number)
@@ -1378,6 +1380,25 @@ def iceberg_metadata_table(spark, table_path: str, kind: str):
             "content int, added_snapshot_id long, added_files_count int, "
             "existing_files_count int, deleted_files_count int",
         )
+    if kind == "partitions":
+        data, _pos, _eq = _snapshot_entries(
+            table_path, current, with_deletes=True
+        )
+        agg: dict[tuple, list[int]] = {}
+        for e in data:
+            part = e["data_file"].get("partition") or {}
+            key = tuple(sorted((k, str(v)) for k, v in part.items()))
+            got = agg.setdefault(key, [0, 0])
+            got[0] += int(e["data_file"]["record_count"])
+            got[1] += 1
+        rows = [
+            (dict(key), rc, fc) for key, (rc, fc) in sorted(agg.items())
+        ]
+        return _df(
+            rows,
+            "partition map<string,string>, record_count long, "
+            "file_count int",
+        )
     if kind in ("files", "delete_files"):
         data, pos, eq = _snapshot_entries(
             table_path, current, with_deletes=True
@@ -1402,7 +1423,7 @@ def iceberg_metadata_table(spark, table_path: str, kind: str):
         )
     raise ValueError(
         f"unknown metadata table {kind!r} (snapshots, history, "
-        "manifests, files, delete_files)"
+        "manifests, partitions, files, delete_files)"
     )
 
 

@@ -122,4 +122,28 @@ def test_metadata_tables(spark, tmp_path):
     assert sum(r.record_count for r in dels) == 1
 
     with pytest.raises(ValueError, match="unknown metadata table"):
-        iceberg_metadata_table(spark, t.path, "partitions")
+        iceberg_metadata_table(spark, t.path, "entries")
+
+
+def test_partitions_metadata_table(spark, tmp_path):
+    from hudi_and_delta_showcase_spark.tables.iceberg_meta import (
+        iceberg_metadata_table,
+    )
+
+    df = spark.createDataFrame(
+        [(i, "us" if i % 2 else "eu") for i in range(10)],
+        "k int, region string",
+    )
+    t = LakehouseTable.create(
+        spark, str(tmp_path / "t"), df,
+        key_cols=["k"], partition_by="region",
+    )
+    export_iceberg_metadata(t)
+    parts = {
+        tuple(sorted(r.partition.items())): (r.record_count, r.file_count)
+        for r in iceberg_metadata_table(spark, t.path, "partitions")
+        .collect()
+    }
+    assert parts[(("region", "eu"),)][0] == 5
+    assert parts[(("region", "us"),)][0] == 5
+    assert all(fc >= 1 for _rc, fc in parts.values())
