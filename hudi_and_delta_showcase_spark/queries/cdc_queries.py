@@ -1078,6 +1078,7 @@ def iceberg_v3_dv_read(spark: SparkSession, sf_dir: str) -> DataFrame:
     from hudi_and_delta_showcase_spark.tables import fsio, puffin
     from hudi_and_delta_showcase_spark.tables.iceberg_meta import (
         MANIFEST_LIST_SCHEMA_V2,
+        _record_counts,
         manifest_entry_schema,
         read_iceberg_table,
         spark_schema_to_iceberg,
@@ -1114,9 +1115,8 @@ def iceberg_v3_dv_read(spark: SparkSession, sf_dir: str) -> DataFrame:
         sequence_number=2,
     )
     entry_schema = manifest_entry_schema([], 3)
-    counts = {
-        f: spark.read.parquet(f).count() for f in files
-    }
+    counts = _record_counts(spark, root, [fsio.relpath(f, root) for f in files])
+    counts = {fsio.resolve(root, r): n for r, n in counts.items()}
 
     def _dfile(path, rows, ref=None, off=None, size=None):
         return {

@@ -1181,15 +1181,28 @@ def export_delta_log(table) -> int:
         props["delta.enableDeletionVectors"] = "true"
     # variant columns change how files READ (the shredded group needs a
     # variant-aware reader): the protocol must name the feature, or a
-    # legacy reader would surface raw structs (r8)
-    latest = mf.latest_commit(table.path)
-    latest_schema = latest.table_schema if latest else None
-    if latest_schema is None and latest is not None:
-        latest_schema = json.dumps(
-            table._read_base(latest).drop("_hoodie_file_name")
-            .schema.jsonValue()
+    # legacy reader would surface raw structs (r8). Scan EVERY version's
+    # commit schema (mirror of has_dvs) — a variant column introduced
+    # mid-history still demands the feature, whatever HEAD looks like
+    variant_versions = {
+        v
+        for v in mf.list_versions(table.path)
+        if (sc := mf.read_commit(table.path, v).table_schema)
+        and _schema_has_variant(json.loads(sc))
+    }
+    has_variant = bool(variant_versions)
+    if not has_variant and prev.table_schema is None:
+        # legacy schema-less table: derive HEAD's schema once
+        has_variant = _schema_has_variant(
+            json.loads(
+                json.dumps(
+                    table._read_base(prev)
+                    .drop("_hoodie_file_name")
+                    .schema.jsonValue()
+                )
+            )
         )
-    if latest_schema and _schema_has_variant(json.loads(latest_schema)):
+    if has_variant:
         if protocol.get("minReaderVersion") == 3:
             protocol["readerFeatures"] = sorted(
                 set(protocol["readerFeatures"]) | {"variantType"}
@@ -1211,16 +1224,17 @@ def export_delta_log(table) -> int:
             }
     done = set(_list_versions(table.path))
     # resuming an export whose already-written log predates the first
-    # DV: the first NEW commit must carry the protocol upgrade (Delta's
-    # in-commit feature enable)
+    # feature-bearing commit (DV or variant): the first NEW commit must
+    # carry the protocol upgrade (Delta's in-commit feature enable)
+    feature_versions = variant_versions | {
+        v
+        for v in mf.list_versions(table.path)
+        if mf.read_commit(table.path, v).dv_files
+    }
     need_upgrade = (
-        has_dvs
+        (has_dvs or has_variant)
         and bool(done)
-        and not any(
-            mf.read_commit(table.path, v).dv_files
-            for v in mf.list_versions(table.path)
-            if v in done
-        )
+        and not (feature_versions & done)
     )
     exported = -1
     prior_files: set[str] = set()

@@ -1317,15 +1317,14 @@ def iceberg_metadata_table(spark, table_path: str, kind: str):
             "summary map<string,string>",
         )
     if kind == "history":
+        by_id = {s["snapshot-id"]: s for s in snaps}
         ancestors = set()
-        cur = {s["snapshot-id"]: s for s in snaps}.get(
-            meta.get("current-snapshot-id")
-        )
-        while cur is not None:
+        cur = by_id.get(meta.get("current-snapshot-id"))
+        while cur is not None and cur["snapshot-id"] not in ancestors:
+            # the visited check doubles as a cycle guard for corrupt
+            # parent chains
             ancestors.add(cur["snapshot-id"])
-            cur = {s["snapshot-id"]: s for s in snaps}.get(
-                cur.get("parent-snapshot-id")
-            )
+            cur = by_id.get(cur.get("parent-snapshot-id"))
         rows = [
             (
                 int(e["timestamp-ms"]),
@@ -1701,11 +1700,15 @@ def read_iceberg_where(
 
 
 def _is_dv_entry(e: dict) -> bool:
-    """v3 deletion-vector entry: content=1 with a referenced data file
-    and a Puffin byte range (vs a v2 position-delete parquet)."""
+    """v3 deletion-vector entry: a Puffin blob reference (vs a v2
+    position-delete parquet). Keyed on the FORMAT / byte range, not on
+    ``referenced_data_file`` alone — v2 writers may legally stamp field
+    143 on FILE-SCOPED position-delete parquet too, and those must
+    keep scanning as parquet."""
     df_rec = e["data_file"]
-    return bool(df_rec.get("referenced_data_file")) or (
+    return (
         str(df_rec.get("file_format", "")).upper() == "PUFFIN"
+        or df_rec.get("content_offset") is not None
     )
 
 

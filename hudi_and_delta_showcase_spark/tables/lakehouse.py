@@ -2597,12 +2597,12 @@ class LakehouseTable:
         count (rare adopted edges) are conservatively left alone.
         Returns ``None`` without committing when nothing crosses the
         threshold, so schedulers can call it unconditionally."""
+        if not 0 < min_deleted_ratio <= 1:
+            raise ValueError("min_deleted_ratio must be in (0, 1]")
         self._refresh_meta()
         prev = self._commit_for_write()
         if not prev.dv_files:
             return None
-        if not 0 < min_deleted_ratio <= 1:
-            raise ValueError("min_deleted_ratio must be in (0, 1]")
         dv = self.spark.read.parquet(
             *[fsio.resolve(self.path, f) for f in prev.dv_files]
         ).select("file_name", "pos")
@@ -2629,7 +2629,8 @@ class LakehouseTable:
             self._read_parquet(victims, prev), prev
         )
         new_files = self._write_files(rewritten, f"c{version:05d}")
-        untouched = [f for f in prev.files if f not in set(victims)]
+        vset = set(victims)
+        untouched = [f for f in prev.files if f not in vset]
         # shed the purged vectors: keep only rows naming surviving
         # files (Delta's purge drops the DV descriptors with the
         # rewrite) — one O(deleted rows) filter, empty set drops the

@@ -277,10 +277,16 @@ def execute_merge(
     if spec.schema_evolution:
         # WITH SCHEMA EVOLUTION: star clauses carry the source's NEW
         # columns into the target (additive evolution inside upsert);
-        # without it extras drop, Delta's default
+        # without it extras drop, Delta's default. Engine-internal
+        # columns a source view may carry (_hoodie_* meta, partition /
+        # bucket tokens) are never data — same exclusions as data_cols
         known = set(data_cols) | {"__matched", "__action"}
         data_cols = data_cols + [
-            c for c in routed.columns if c not in known
+            c
+            for c in routed.columns
+            if c not in known
+            and not c.startswith("_hoodie_")
+            and not re.match(r"__pp\d*$|__bk$", c)
         ]
     writes = routed.filter(
         F.col("__action").isin("update", "insert")

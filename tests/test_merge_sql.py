@@ -507,3 +507,45 @@ def test_merge_with_schema_evolution(spark, tmp_path):
         3: ("c3", "us"),
         4: ("d", "ap"),
     }
+
+
+def test_schema_evolution_never_leaks_engine_internals(spark, tmp_path):
+    """A source view built from another LakehouseTable.read() carries
+    _hoodie_* meta columns; WITH SCHEMA EVOLUTION must not persist
+    them (or partition/bucket tokens) as target data columns."""
+    from hudi_and_delta_showcase_spark.tables import LakehouseTable
+    from hudi_and_delta_showcase_spark.tables.merge_sql import execute_merge
+
+    src_t = LakehouseTable.create(
+        spark,
+        str(tmp_path / "src"),
+        spark.createDataFrame(
+            [(5, "e", 1.0)], "k int, v string, score double"
+        ),
+        key_cols=["k"],
+    )
+    t = LakehouseTable.create(
+        spark,
+        str(tmp_path / "t"),
+        spark.createDataFrame([(1, "a")], "k int, v string"),
+        key_cols=["k"],
+    )
+    src_t.read().createOrReplaceTempView("src_medallion")
+    assert any(
+        c.startswith("_hoodie_")
+        for c in spark.table("src_medallion").columns
+    )
+    execute_merge(
+        spark,
+        "MERGE WITH SCHEMA EVOLUTION INTO t USING src_medallion s "
+        "ON t.k = s.k "
+        "WHEN MATCHED THEN UPDATE SET * "
+        "WHEN NOT MATCHED THEN INSERT *",
+        {"t": t},
+    )
+    cols = t.read().columns
+    data_cols = [c for c in cols if not c.startswith("_hoodie_")]
+    # score evolved in; no double _hoodie_* columns, no tokens
+    assert "score" in data_cols
+    assert not any(c.startswith("__") for c in cols)
+    assert len([c for c in cols if c == "_hoodie_commit_time"]) == 1

@@ -1422,3 +1422,38 @@ def test_reader_tolerates_domain_metadata_actions(spark, tmp_path):
     assert sorted(
         tuple(r) for r in a.read().select("k", "v").collect()
     ) == [(1, "a"), (2, "b")]
+
+
+def test_variant_added_after_partial_export_upgrades_protocol(spark, tmp_path):
+    """An export begun before a variant column existed must emit the
+    3/7 variantType protocol on the first NEW commit once the schema
+    gains one — the same in-commit feature-enable discipline the DV
+    resume path uses."""
+    from hudi_and_delta_showcase_spark.tables import LakehouseTable
+    from hudi_and_delta_showcase_spark.tables.delta_log import (
+        export_delta_log,
+        read_delta_table,
+    )
+
+    t = LakehouseTable.create(
+        spark, str(tmp_path / "t"),
+        spark.createDataFrame([(1, "a")], "k int, v string"),
+        key_cols=["k"],
+    )
+    export_delta_log(t)  # protocol 1/2 at version 0
+    t.upsert(spark.sql(
+        "select 2 as k, 'b' as v, parse_json('{\"x\": 1}') as payload"
+    ))
+    export_delta_log(t)
+    log = os.path.join(t.path, "_delta_log")
+    v1 = [json.loads(x) for x in open(
+        os.path.join(log, f"{1:020d}.json")) if x.strip()]
+    proto = next((a["protocol"] for a in v1 if "protocol" in a), None)
+    assert proto is not None, "resumed export must emit the upgrade"
+    assert "variantType" in proto["readerFeatures"]
+    back = read_delta_table(spark, t.path)
+    got = sorted(
+        (r.k, r.j)
+        for r in back.selectExpr("k", "to_json(payload) as j").collect()
+    )
+    assert got == [(1, None), (2, '{"x":1}')]

@@ -446,3 +446,25 @@ def test_dv_entry_without_byte_range_refuses(spark, tmp_path):
     }
     with pytest.raises(ValueError, match="content_offset"):
         _pos_delete_rows(spark, str(tmp_path), [entry])
+
+
+def test_file_scoped_v2_pos_delete_parquet_not_mistaken_for_dv():
+    """v2 writers may stamp referenced_data_file (field 143) on
+    FILE-SCOPED position-delete parquet; only the format / byte range
+    marks a Puffin deletion vector."""
+    from hudi_and_delta_showcase_spark.tables.iceberg_meta import (
+        _is_dv_entry,
+    )
+
+    pos_parquet = {"data_file": {
+        "content": 1, "file_path": "d.parquet", "file_format": "PARQUET",
+        "referenced_data_file": "a.parquet",
+        "content_offset": None, "content_size_in_bytes": None,
+    }}
+    dv = {"data_file": {
+        "content": 1, "file_path": "d.puffin", "file_format": "PUFFIN",
+        "referenced_data_file": "a.parquet",
+        "content_offset": 4, "content_size_in_bytes": 40,
+    }}
+    assert not _is_dv_entry(pos_parquet)
+    assert _is_dv_entry(dv)
