@@ -285,3 +285,37 @@ def test_equality_export_expire_keeps_shared_eq_files(spark, tmp_path):
     expire_iceberg_snapshots(t.path, keep_last=1)
     got = read_iceberg_table(spark, t.path)
     assert _keys(got) == _keys(t.read())
+
+
+def test_equality_export_partitioned_table(spark, tmp_path):
+    """A PARTITIONED (non-global-index) DV table resolves deletes on
+    (key, partition): the equality files must carry BOTH columns and
+    equality_ids must name both field ids — a key deleted in one
+    partition must not kill its twin in another."""
+    df = spark.createDataFrame(
+        [(k, f"v{k}", g) for k in range(10) for g in ("a", "b")],
+        "k int, v string, g string",
+    )
+    t = LakehouseTable.create(
+        spark, str(tmp_path / "t"), df,
+        key_cols=["k"], partition_by="g", deletion_vectors=True,
+    )
+    # delete k=3 only in partition a
+    t.delete(spark.createDataFrame([(3, "a")], "k int, g string"))
+    export_iceberg_metadata(t, delete_dialect="equality")
+    got = read_iceberg_table(spark, t.path)
+    rows = sorted((r.k, r.g) for r in got.select("k", "g").collect())
+    assert (3, "a") not in rows and (3, "b") in rows
+    assert rows == sorted(
+        (r.k, r.g) for r in t.read().select("k", "g").collect()
+    )
+    snaps = iceberg_snapshots(t.path)
+    _, pos, eq = _snapshot_entries(t.path, snaps[-1], with_deletes=True)
+    assert pos == [] and eq
+    # both resolution columns ride equality_ids (k=1, g=3 in the
+    # exported schema's field order k, v, g)
+    ids = eq[0]["data_file"]["equality_ids"]
+    assert len(ids) == 2
+    body = spark.read.parquet(eq[0]["data_file"]["file_path"])
+    assert sorted(body.columns) == ["g", "k"]
+    assert [(r.k, r.g) for r in body.collect()] == [(3, "a")]

@@ -468,3 +468,33 @@ def test_file_scoped_v2_pos_delete_parquet_not_mistaken_for_dv():
     }}
     assert not _is_dv_entry(pos_parquet)
     assert _is_dv_entry(dv)
+
+
+def test_v3_export_partitioned_table(spark, tmp_path):
+    """A partitioned DV table exports v3 with the same Puffin-per-
+    snapshot layout: vectors reference the hive-laid data files and
+    the partition-scoped delete stays partition-scoped on read-back."""
+    df = spark.createDataFrame(
+        [(k, f"v{k}", g) for k in range(10) for g in ("a", "b")],
+        "k int, v string, g string",
+    )
+    t = LakehouseTable.create(
+        spark, str(tmp_path / "t"), df,
+        key_cols=["k"], partition_by="g", deletion_vectors=True,
+    )
+    t.delete(spark.createDataFrame([(3, "a")], "k int, g string"))
+    export_iceberg_metadata(t, format_version=3)
+    got = read_iceberg_table(spark, t.path)
+    rows = sorted((r.k, r.g) for r in got.select("k", "g").collect())
+    assert (3, "a") not in rows and (3, "b") in rows
+    assert rows == sorted(
+        (r.k, r.g) for r in t.read().select("k", "g").collect()
+    )
+    snaps = iceberg_snapshots(t.path)
+    _, pos, eq = _snapshot_entries(t.path, snaps[-1], with_deletes=True)
+    assert eq == [] and pos
+    assert all(
+        e["data_file"]["file_format"] == "PUFFIN"
+        and e["data_file"]["referenced_data_file"]
+        for e in pos
+    )
