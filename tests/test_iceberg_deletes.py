@@ -319,3 +319,15 @@ def test_equality_export_partitioned_table(spark, tmp_path):
     body = spark.read.parquet(eq[0]["data_file"]["file_path"])
     assert sorted(body.columns) == ["g", "k"]
     assert [(r.k, r.g) for r in body.collect()] == [(3, "a")]
+
+
+def test_equality_export_survives_relocation(spark, tmp_path):
+    """Equality-delete files record the author's absolute paths; a
+    copied tree must re-anchor them or deleted keys resurface."""
+    t = _dv_table(spark, str(tmp_path / "t"))
+    export_iceberg_metadata(t, delete_dialect="equality")
+    moved = str(tmp_path / "moved")
+    shutil.copytree(t.path, moved)
+    shutil.rmtree(t.path)
+    got = read_iceberg_table(spark, moved)
+    assert _keys(got) == [k for k in range(40) if k not in (3, 7, 11, 25)]

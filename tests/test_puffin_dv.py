@@ -498,3 +498,27 @@ def test_v3_export_partitioned_table(spark, tmp_path):
         and e["data_file"]["referenced_data_file"]
         for e in pos
     )
+
+
+def test_v3_expire_reaps_puffin(spark, tmp_path):
+    """Expired snapshots' Puffin files live under metadata/deletes/
+    and must reap with them; the kept snapshot still reads."""
+    from hudi_and_delta_showcase_spark.tables.iceberg_meta import (
+        expire_iceberg_snapshots,
+    )
+
+    t = _dv_table(spark, str(tmp_path / "t"))  # delete at v1
+    t.delete(spark.createDataFrame([(30,)], "k int"))  # v2
+    export_iceberg_metadata(t, format_version=3)
+    snaps = iceberg_snapshots(t.path)
+    old_sid = snaps[1]["snapshot-id"]
+    old_puffin = os.path.join(
+        t.path, "metadata", "deletes", f"s{old_sid}.puffin"
+    )
+    assert os.path.exists(old_puffin)
+    expire_iceberg_snapshots(t.path, keep_last=1)
+    assert not os.path.exists(old_puffin)
+    got = read_iceberg_table(spark, t.path)
+    assert sorted(r.k for r in got.collect()) == [
+        k for k in range(40) if k not in (3, 7, 25, 30)
+    ]
