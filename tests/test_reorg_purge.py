@@ -74,3 +74,33 @@ def test_reorg_purge_sql_statement(spark, tmp_path):
     # idempotent at the SQL surface too
     out2 = execute_ddl(spark, "reorg table ev apply (purge)", {"ev": t})
     assert out2["version"] is None and out2["purged_files"] == 0
+
+
+def test_purge_mor_table_with_live_logs(spark, tmp_path):
+    """On a MoR table, purge rewrites only DV-dense BASE files; log
+    records land on the realtime view unchanged (the merge resolves by
+    key, not by file), so purging never disturbs unfolded upserts."""
+    df = spark.createDataFrame(
+        [(i, f"v{i}") for i in range(20)], "k int, v string"
+    ).coalesce(1)
+    t = LakehouseTable.create(
+        spark, str(tmp_path / "t"), df,
+        key_cols=["k"], table_type="mor", deletion_vectors=True,
+    )
+    # delete on MoR compacts first, then records DVs on the new base
+    t.delete(spark.createDataFrame([(k,) for k in range(10)], "k int"))
+    # fresh log-borne upserts on top of the DV state
+    t.upsert(spark.createDataFrame([(15, "vX"), (30, "new")],
+                                   "k int, v string"))
+    before = sorted(
+        (r.k, r.v) for r in t.read().select("k", "v").collect()
+    )
+    c = t.reorg_purge(min_deleted_ratio=0.3)
+    assert c is not None and c.dv_files == []
+    assert c.log_files, "unfolded logs must carry through the purge"
+    after = sorted(
+        (r.k, r.v) for r in t.read().select("k", "v").collect()
+    )
+    assert after == before
+    assert (15, "vX") in after and (30, "new") in after
+    assert all(k >= 10 for k, _v in after)
