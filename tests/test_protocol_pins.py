@@ -1457,3 +1457,25 @@ def test_variant_added_after_partial_export_upgrades_protocol(spark, tmp_path):
         for r in back.selectExpr("k", "to_json(payload) as j").collect()
     )
     assert got == [(1, None), (2, '{"x":1}')]
+
+
+def test_variant_column_survives_rename(spark, tmp_path):
+    """Metadata-only RENAME over a VARIANT column: the mapped read
+    serves the logical name, values intact."""
+    from hudi_and_delta_showcase_spark.tables import LakehouseTable
+
+    t = LakehouseTable.create(
+        spark, str(tmp_path / "t"),
+        spark.sql("select 1 as k, parse_json('{\"a\": 1}') as payload"),
+        key_cols=["k"],
+    )
+    t.rename_column("payload", "body")
+    got = t.read().selectExpr("k", "to_json(body) as j").collect()
+    assert [(r.k, r.j) for r in got] == [(1, '{"a":1}')]
+    # upserts keep flowing through the logical name
+    t.upsert(spark.sql("select 2 as k, parse_json('[5]') as body"))
+    got = sorted(
+        (r.k, r.j)
+        for r in t.read().selectExpr("k", "to_json(body) as j").collect()
+    )
+    assert got == [(1, '{"a":1}'), (2, "[5]")]
