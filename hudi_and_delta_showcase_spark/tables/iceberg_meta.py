@@ -576,6 +576,93 @@ def _write_eq_delete_files(
     )
 
 
+def _author_puffin_dvs(
+    table,
+    sidecars: list[str],
+    live: list[str],
+    location: str,
+    snapshot_id: int,
+    sequence_number: int,
+) -> dict[str, dict]:
+    """Author one snapshot's deletion vectors as ONE single-blob Puffin
+    container per deleted-from data file, EXECUTOR-side: an
+    ``applyInPandas`` task per file serializes that file's live delete
+    set (``puffin.write_puffin_dvs``) under ``metadata/deletes/`` and
+    returns only its descriptor row — the O(deleted rows) encode work
+    stays on executors and the driver receives manifest-scale traffic
+    (path + byte range + cardinality per file), the exact shape of the
+    Delta ``dvx/`` export (``delta_log._author_dv_bins``). Iceberg
+    manifests reference DV blobs per-file by byte range, so nothing in
+    the spec requires one container per snapshot.
+
+    Returns ``{location-anchored data file -> {"puffin", "off", "len",
+    "card", "size"}}``."""
+    import pandas as pd
+    import pyspark.sql.functions as F
+
+    root = table.path
+    spark = table.spark
+    # inert sidecar rows name files the live set no longer holds;
+    # the live list is manifest-scale (the driver already carries it)
+    live_df = F.broadcast(
+        spark.createDataFrame([(f,) for f in live], "file_name string")
+    )
+    rows = (
+        spark.read.parquet(*[fsio.resolve(root, s) for s in sidecars])
+        .select("file_name", F.col("pos").cast("long").alias("pos"))
+        .join(live_df, "file_name", "left_semi")
+        .distinct()
+    )
+
+    def _write(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        import hashlib
+
+        from hudi_and_delta_showcase_spark.tables import puffin
+
+        fn = pdf["file_name"].iloc[0]
+        ref = fsio.join(location, fn)
+        tag = hashlib.sha256(fn.encode()).hexdigest()[:16]
+        rel = f"metadata/deletes/s{snapshot_id}-{tag}.puffin"
+        path = fsio.join(root, rel)
+        ranges = puffin.write_puffin_dvs(
+            path,
+            {ref: sorted(int(p) for p in pdf["pos"])},
+            snapshot_id,
+            sequence_number,
+        )
+        off, blen, card = ranges[ref]
+        return pd.DataFrame(
+            {
+                "file_name": [fn],
+                "puffin_rel": [rel],
+                "off": [off],
+                "blen": [blen],
+                "card": [card],
+                "size": [fsio.file_size(path)],
+            }
+        )
+
+    out = (
+        rows.groupBy("file_name")
+        .applyInPandas(
+            _write,
+            "file_name string, puffin_rel string, off long, blen long, "
+            "card long, size long",
+        )
+        .collect()
+    )
+    return {
+        fsio.join(location, r.file_name): {
+            "puffin": fsio.join(location, r.puffin_rel),
+            "off": int(r.off),
+            "len": int(r.blen),
+            "card": int(r.card),
+            "size": int(r.size),
+        }
+        for r in out
+    }
+
+
 def export_iceberg_metadata(
     table,
     delete_dialect: str = "position",
@@ -611,9 +698,11 @@ def export_iceberg_metadata(
     byte range and referenced file (position-delete parquet is illegal
     in v3) — and row lineage is assigned (explicit ``first_row_id``
     per data file, running ``next-row-id`` in the metadata). One-way:
-    an existing v3 tree never downgrades. Writing the per-snapshot
-    Puffin file collects O(live deleted rows) on the driver — the same
-    cost class as the Delta DV export's bin writer."""
+    an existing v3 tree never downgrades. The vectors are authored
+    EXECUTOR-side — one single-blob Puffin container per deleted-from
+    file via ``_author_puffin_dvs`` (r10) — so the driver only ever
+    sees manifest-scale descriptor rows, the same cost class as the
+    Delta DV export's executor-written ``dvx/`` bins."""
     from hudi_and_delta_showcase_spark.tables import manifest as mf
 
     latest = mf.latest_commit(table.path)
@@ -918,66 +1007,44 @@ def export_iceberg_metadata(
                     )
         if pos_rels and fmt >= 3:
             # v3: the live DV state as Puffin deletion vectors — one
-            # blob per deleted-from data file, byte ranges recorded on
+            # single-blob container per deleted-from data file, authored
+            # EXECUTOR-side (``_author_puffin_dvs``: an applyInPandas
+            # task per file, mirroring the Delta dvx export). The driver
+            # sees only descriptor rows — manifest-scale traffic, never
+            # an O(deleted rows) positions funnel. Byte ranges land on
             # the manifest entries (position-delete parquet is illegal
-            # in v3). O(live deleted rows) through the driver, the
-            # size of the vectors themselves.
-            from pyspark.sql import functions as F
-
-            from hudi_and_delta_showcase_spark.tables import puffin
-
-            del_path = fsio.join(meta_dir, f"deletes/s{sid}.puffin")
+            # in v3).
             fsio.makedirs(fsio.join(meta_dir, "deletes"))
-            live_rel = set(cur)
-            grouped = (
-                table.spark.read.parquet(
-                    *[fsio.resolve(table.path, f) for f in pos_rels]
-                )
-                .groupBy("file_name")
-                .agg(F.collect_set(F.col("pos").cast("long")).alias("ps"))
-                .collect()
+            descs = _author_puffin_dvs(
+                table, pos_rels, cur, location, sid, seq
             )
-            dv_map = {
-                fsio.join(location, r["file_name"]): sorted(
-                    int(p) for p in r["ps"]
-                )
-                for r in grouped
-                # inert rows name files the live set no longer holds
-                if r["file_name"] in live_rel
-            }
-            if dv_map:
-                ranges = puffin.write_puffin_dvs(del_path, dv_map, sid, seq)
-                puffin_loc = fsio.join(
-                    location, fsio.relpath(del_path, table.path)
-                )
-                puffin_size = fsio.file_size(del_path)
-                for ref, (off, blen, card) in sorted(ranges.items()):
-                    del_entries.append(
-                        {
-                            "status": STATUS_ADDED,
-                            "snapshot_id": sid,
-                            "sequence_number": seq,
-                            "file_sequence_number": seq,
-                            "data_file": {
-                                "content": FILE_CONTENT_POS_DELETES,
-                                "file_path": puffin_loc,
-                                "file_format": "PUFFIN",
-                                "partition": {
-                                    sf["name"]: None for sf in spec_fields
-                                },
-                                "record_count": card,
-                                "file_size_in_bytes": puffin_size,
-                                "block_size_in_bytes": 64 * 1024 * 1024,
-                                "lower_bounds": None,
-                                "upper_bounds": None,
-                                "equality_ids": None,
-                                "first_row_id": None,
-                                "referenced_data_file": ref,
-                                "content_offset": off,
-                                "content_size_in_bytes": blen,
+            for ref, d in sorted(descs.items()):
+                del_entries.append(
+                    {
+                        "status": STATUS_ADDED,
+                        "snapshot_id": sid,
+                        "sequence_number": seq,
+                        "file_sequence_number": seq,
+                        "data_file": {
+                            "content": FILE_CONTENT_POS_DELETES,
+                            "file_path": d["puffin"],
+                            "file_format": "PUFFIN",
+                            "partition": {
+                                sf["name"]: None for sf in spec_fields
                             },
-                        }
-                    )
+                            "record_count": d["card"],
+                            "file_size_in_bytes": d["size"],
+                            "block_size_in_bytes": 64 * 1024 * 1024,
+                            "lower_bounds": None,
+                            "upper_bounds": None,
+                            "equality_ids": None,
+                            "first_row_id": None,
+                            "referenced_data_file": ref,
+                            "content_offset": d["off"],
+                            "content_size_in_bytes": d["len"],
+                        },
+                    }
+                )
         elif pos_rels:
             del_rel = f"deletes/s{sid}"
             del_dir = fsio.join(meta_dir, del_rel)

@@ -393,6 +393,37 @@ def test_v3_export_incremental_and_adoption(spark, tmp_path):
     ]
 
 
+def test_v3_export_positions_never_collected(spark, tmp_path, monkeypatch):
+    """The v3 DV export must stay executor-authored: every DataFrame
+    the export collects on the driver is manifest-scale (descriptor /
+    count columns), never row positions or position sets — the exact
+    funnel the r8/r9 verdicts flagged at the old per-snapshot writer."""
+    try:  # pyspark 4: the concrete class defines its own collect
+        from pyspark.sql.classic.dataframe import DataFrame
+    except ImportError:  # pragma: no cover - pyspark 3 layout
+        from pyspark.sql import DataFrame
+
+    t = _dv_table(spark, str(tmp_path / "t"))
+    seen: list[list[str]] = []
+    orig = DataFrame.collect
+
+    def spy(self):
+        seen.append(list(self.columns))
+        return orig(self)
+
+    monkeypatch.setattr(DataFrame, "collect", spy)
+    export_iceberg_metadata(t, format_version=3)
+    monkeypatch.setattr(DataFrame, "collect", orig)
+    assert seen, "the export collects descriptor rows"
+    for cols in seen:
+        assert "pos" not in cols and "ps" not in cols, cols
+    # the per-file containers it wrote decode through the read path
+    got = read_iceberg_table(spark, t.path)
+    assert sorted(r.k for r in got.collect()) == [
+        k for k in range(40) if k not in (3, 7, 25)
+    ]
+
+
 def test_v3_export_refuses_equality_dialect(spark, tmp_path):
     t = _dv_table(spark, str(tmp_path / "t"))
     with pytest.raises(ValueError, match="v3"):
@@ -507,17 +538,19 @@ def test_v3_expire_reaps_puffin(spark, tmp_path):
         expire_iceberg_snapshots,
     )
 
+    import glob
+
     t = _dv_table(spark, str(tmp_path / "t"))  # delete at v1
     t.delete(spark.createDataFrame([(30,)], "k int"))  # v2
     export_iceberg_metadata(t, format_version=3)
     snaps = iceberg_snapshots(t.path)
     old_sid = snaps[1]["snapshot-id"]
-    old_puffin = os.path.join(
-        t.path, "metadata", "deletes", f"s{old_sid}.puffin"
+    old_puffins = glob.glob(
+        os.path.join(t.path, "metadata", "deletes", f"s{old_sid}-*.puffin")
     )
-    assert os.path.exists(old_puffin)
+    assert old_puffins
     expire_iceberg_snapshots(t.path, keep_last=1)
-    assert not os.path.exists(old_puffin)
+    assert not any(os.path.exists(p) for p in old_puffins)
     got = read_iceberg_table(spark, t.path)
     assert sorted(r.k for r in got.collect()) == [
         k for k in range(40) if k not in (3, 7, 25, 30)
