@@ -252,6 +252,11 @@ PRIORITY: tuple[str, ...] = (
     # r8: tbl$snapshots inspection relation over the exported tree,
     # value-checked against fixture-derived truth
     "iceberg_snapshots_table",
+    # r10: manifest-level file pruning — predicate pushes into the
+    # manifest walk (identity-partition values + bounds fields 125-130)
+    # before the file list is built; `pruned` column proves the file
+    # count shrank, so an unpruned read hash-fails
+    "iceberg_pruned_read",
     # late r7: Delta DV EXPORT — live engine DVs render as real
     # RoaringBitmapArray bins + protocol 3/7, zero materialization
     "delta_dv_export_roundtrip",

@@ -804,6 +804,52 @@ def iceberg_metadata_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "iceberg_pruned_read",
+    oracle="""
+    SELECT event_id, user_id, ts, event_type, value, TRUE AS pruned
+    FROM events
+    WHERE event_type = 'click' AND user_id <= 75
+    """,
+    tags=("cdc", "iceberg", "source", "pruning"),
+)
+def iceberg_pruned_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Manifest-level file pruning on an Iceberg read (r10, verdict
+    #2): the events table lands partitioned by event_type, exports an
+    Iceberg tree (identity partition spec + per-file bounds from the
+    commit's col-stats index), and the read takes a PREDICATE that
+    prunes manifest entries on partition values and lower/upper bounds
+    (manifest fields 125-130) before the file list is built — how an
+    Iceberg planner reduces a 100 TB snapshot to O(matching files)
+    without touching a footer. ``pruned`` carries the proof through
+    the oracle: it is TRUE only when the pruned file list is strictly
+    smaller than the snapshot's, so a silently-unpruned read
+    hash-fails (reference: the metadata-driven read discipline the
+    showcase delegates to its table formats, README.md:1235-1240)."""
+    from hudi_and_delta_showcase_spark.tables.iceberg_meta import (
+        export_iceberg_metadata,
+        read_iceberg_table,
+    )
+
+    events = load_table(spark, sf_dir, "events").select(*_FINAL_COLS)
+    path = tempfile.mkdtemp(prefix="iceberg_prune_") + "/events_ice"
+    t = LakehouseTable.create(
+        spark, path, events,
+        key_cols=["event_id"], precombine="ts",
+        partition_by="event_type",
+    )
+    export_iceberg_metadata(t)
+    full_files = len(read_iceberg_table(spark, path).inputFiles())
+    pruned = read_iceberg_table(
+        spark, path,
+        predicate=[("event_type", "=", "click"), ("user_id", "<=", 75)],
+    )
+    is_pruned = len(pruned.inputFiles()) < full_files
+    return pruned.select(*_FINAL_COLS).withColumn(
+        "pruned", F.lit(is_pruned)
+    )
+
+
+@query(
     "cdc_row_tracking_stability",
     oracle=f"""
     SELECT user_id,

@@ -1766,6 +1766,147 @@ def read_iceberg_where(
     return df
 
 
+#: reader-side single-value decoders for manifest bound pruning. The
+#: EXPORT side deliberately never writes string bounds (parquet footer
+#: stats may be writer-truncated the wrong way), but Iceberg MANIFEST
+#: bounds are spec-valid by contract — truncated upper bounds must be
+#: rounded up (spec "Appendix D: Single-value serialization") — so a
+#: foreign tree's string bounds are safe to prune on.
+_PRUNE_UNPACK = {
+    **_BOUND_UNPACK,
+    "string": lambda b: bytes(b).decode("utf-8", "replace"),
+    "date": lambda b: _struct.unpack("<i", b)[0],
+}
+
+_PRED_OPS = ("=", "<", "<=", ">", ">=", "in")
+
+
+def _normalize_predicate(predicate) -> list[tuple]:
+    """``[(col, op, value)]`` conjuncts; op in =,<,<=,>,>=,in."""
+    conjuncts = []
+    for item in predicate:
+        col, op, val = item
+        if op not in _PRED_OPS:
+            raise ValueError(
+                f"unsupported predicate op {op!r} (one of {_PRED_OPS})"
+            )
+        if op == "in":
+            val = list(val)
+            if not val:
+                raise ValueError(f"empty IN list for column {col!r}")
+        conjuncts.append((col, op, val))
+    return conjuncts
+
+
+def _identity_partition_names(meta: dict) -> dict[str, list[str]]:
+    """source column name -> partition field names usable for pruning:
+    only IDENTITY-transform fields, and only names every spec that
+    defines them binds to the same source column (partition-spec
+    evolution can legally rebind a name; an ambiguous name carries a
+    bucket/truncate value under one spec and must not prune)."""
+    schema = meta.get("schema") or (meta.get("schemas") or [{}])[-1]
+    by_id = {f["id"]: f["name"] for f in schema.get("fields", [])}
+    seen: dict[str, set] = {}
+    for spec in meta.get("partition-specs") or []:
+        for pf in spec.get("fields", []):
+            seen.setdefault(pf["name"], set()).add(
+                (pf.get("transform"), pf.get("source-id"))
+            )
+    out: dict[str, list[str]] = {}
+    for pname, sources in seen.items():
+        if len(sources) != 1:
+            continue
+        transform, source_id = next(iter(sources))
+        col = by_id.get(source_id)
+        if transform == "identity" and col is not None:
+            out.setdefault(col, []).append(pname)
+    return out
+
+
+def _interval_can_match(fmin, fmax, op: str, val) -> bool:
+    """Can a file whose column values lie in [fmin, fmax] hold a row
+    satisfying ``col <op> val``? False = provably disjoint = prune."""
+    if op == "=":
+        return fmin <= val <= fmax
+    if op == "in":
+        return any(fmin <= v <= fmax for v in val)
+    if op == "<":
+        return fmin < val
+    if op == "<=":
+        return fmin <= val
+    if op == ">":
+        return fmax > val
+    return fmax >= val  # ">="
+
+
+def _entry_can_match(
+    df_rec: dict,
+    conjuncts: list[tuple],
+    fields_by_name: dict[str, dict],
+    ident_parts: dict[str, list[str]],
+) -> bool:
+    """Manifest-level file pruning: partition values (identity
+    transform — the value IS the column value for every row of the
+    file) plus lower/upper bounds (manifest fields 125-130). Keeps the
+    file unless some conjunct PROVES it cannot match; files without
+    usable metadata for a column scan conservatively."""
+    part = df_rec.get("partition") or {}
+    lob = hib = None  # decode lazily; most prunes hit the partition
+    for col, op, val in conjuncts:
+        for pname in ident_parts.get(col, ()):
+            if pname not in part:
+                continue  # older-spec entry: no value recorded
+            pv = part[pname]
+            # a null identity partition value means every row of the
+            # file is null in this column: no comparison matches
+            if pv is None or not _interval_can_match(pv, pv, op, val):
+                return False
+        f = fields_by_name.get(col)
+        ftype = f["type"] if f and isinstance(f["type"], str) else None
+        unpack = _PRUNE_UNPACK.get(ftype or "")
+        if unpack is None:
+            continue
+        if lob is None:
+            lob = {
+                b["key"]: b["value"]
+                for b in (df_rec.get("lower_bounds") or [])
+            }
+            hib = {
+                b["key"]: b["value"]
+                for b in (df_rec.get("upper_bounds") or [])
+            }
+        fid = f["id"]
+        if fid not in lob or fid not in hib:
+            continue
+        fmin, fmax = unpack(bytes(lob[fid])), unpack(bytes(hib[fid]))
+        if not _interval_can_match(fmin, fmax, op, val):
+            return False
+    return True
+
+
+def _predicate_filter(df, conjuncts: list[tuple]):
+    """The exact row-level filters the pruned scan still needs (file
+    pruning is necessary, never sufficient) — built as plain Column
+    comparisons so Catalyst pushes them into the parquet scan."""
+    from pyspark.sql import functions as F
+
+    for col, op, val in conjuncts:
+        c = F.col(col)
+        if op == "=":
+            df = df.filter(c == F.lit(val))
+        elif op == "in":
+            df = df.filter(c.isin(val))
+        elif op == "<":
+            df = df.filter(c < F.lit(val))
+        elif op == "<=":
+            df = df.filter(c <= F.lit(val))
+        elif op == ">":
+            df = df.filter(c > F.lit(val))
+        else:
+            df = df.filter(c >= F.lit(val))
+    return df
+
+
 def _is_dv_entry(e: dict) -> bool:
     """v3 deletion-vector entry: a Puffin blob reference (vs a v2
     position-delete parquet). Keyed on the FORMAT / byte range, not on
@@ -2111,6 +2252,7 @@ def read_iceberg_table(
     snapshot_id: int | None = None,
     ref: str | None = None,
     as_of_timestamp_ms: int | None = None,
+    predicate: list[tuple] | None = None,
 ):
     """Snapshot-read an Iceberg metadata tree — ours or FOREIGN-authored
     (iceberg-java / pyiceberg v1, v2 or v3 trees: catalog-style metadata
@@ -2126,7 +2268,17 @@ def read_iceberg_table(
     metadata.json -> manifest-list avro -> manifest avro -> one parquet
     scan over the live files. Metadata IO is fsio (object-store
     capable); the listing cost is O(manifests of one snapshot), never
-    a directory walk."""
+    a directory walk.
+
+    ``predicate`` (r10) is a list of ``(column, op, value)`` conjuncts
+    (op in ``=,<,<=,>,>=,in``) used the way an Iceberg planner uses
+    them: manifest entries are PRUNED on identity-partition values and
+    the per-file ``lower_bounds``/``upper_bounds`` (manifest fields
+    125-130) BEFORE the file list is built — a 100 TB snapshot scans
+    O(matching files), not every live file — then the exact filters
+    apply on the surviving scan, where parquet row-group skipping
+    finishes the job. Files without usable metadata for a referenced
+    column are scanned conservatively."""
     meta = read_iceberg_metadata(table_path)
     picked = [
         x for x in (snapshot_id, ref, as_of_timestamp_ms) if x is not None
@@ -2166,16 +2318,45 @@ def read_iceberg_table(
     entries, deletes, eq_deletes = _snapshot_entries(
         table_path, snaps[sid], with_deletes=True
     )
+    if not entries:
+        raise ValueError("snapshot has no data files")
+    conjuncts = _normalize_predicate(predicate) if predicate else []
+    if conjuncts:
+        fields_by_name = {
+            f["name"]: f
+            for f in (
+                meta.get("schema") or (meta.get("schemas") or [{}])[-1]
+            ).get("fields", [])
+        }
+        ident_parts = _identity_partition_names(meta)
+        kept = [
+            e
+            for e in entries
+            if _entry_can_match(
+                e["data_file"], conjuncts, fields_by_name, ident_parts
+            )
+        ]
+        if not kept:
+            # every file pruned: preserve the schema with an empty
+            # scan of one live file (same shape as read_iceberg_where)
+            from pyspark.sql import functions as F
+
+            base = spark.read.parquet(
+                _resolve(table_path, entries[0]["data_file"]["file_path"])
+            )
+            return base.filter(F.lit(False))
+        entries = kept
     files = [
         _resolve(table_path, e["data_file"]["file_path"]) for e in entries
     ]
-    if not files:
-        raise ValueError("snapshot has no data files")
     df = spark.read.parquet(*files)
     if deletes:
+        # deletes referencing pruned-away files simply never match
         df = _apply_pos_deletes(spark, df, entries, deletes, table_path)
     if eq_deletes:
         df = _apply_eq_deletes(
             spark, df, entries, eq_deletes, table_path, meta
         )
+    if conjuncts:
+        df = _predicate_filter(df, conjuncts)
     return df
