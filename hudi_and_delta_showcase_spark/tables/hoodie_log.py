@@ -41,9 +41,11 @@ compaction is the NORMAL state of a CDC-fed MoR table): int32 content
 version, int32 payload length, payload. Version >= 3 (Hudi >= 0.14)
 is an Avro-binary ``HoodieDeleteRecordList``
 (hudi-common/src/main/avro/HoodieDeleteRecordList.avsc): an array of
-``{recordKey, partitionPath, orderingVal}``. Versions 1/2 are
-Java-kryo-serialized ``HoodieKey[]`` / ``DeleteRecord[]`` — refused
-loudly (compact with Hudi first) rather than mis-decoded. Tombstones
+``{recordKey, partitionPath, orderingVal}``. Versions 1/2 (pre-0.14
+writers, the dominant installed base) are Java-kryo-serialized
+``HoodieKey[]`` / ``DeleteRecord[]`` — decoded too (r10) by a minimal
+Kryo 4 stream reader (``_kryo_delete_records``); genuinely unknown
+versions/classes still refuse loudly. Tombstones
 fold into the ``_rt`` merge ordered by block instant (then in-file
 block sequence), so delete-then-reinsert resolves exactly as Hudi's
 log scanner. PARQUET data blocks
@@ -279,6 +281,266 @@ def delete_block(
     )
 
 
+# --------------------------------------------------------------------- #
+# legacy kryo delete payloads (content v1/v2, Hudi < 0.14)
+# --------------------------------------------------------------------- #
+#
+# Pre-0.14 HoodieDeleteBlocks carry Java-Kryo-serialized arrays —
+# content v1 = ``kryo.writeClassAndObject(HoodieKey[])``, v2 =
+# ``DeleteRecord[]`` — produced by Hudi's SerializationUtils: a stock
+# Kryo 4 (kryo-shaded) with ``registrationRequired=false`` and default
+# reference tracking. The wire shape is therefore plain public Kryo
+# format (https://github.com/EsotericSoftware/kryo — varints, the
+# ascii/utf8 string encoding, NAME class records, reference markers)
+# over two tiny POJOs serialized by FieldSerializer in field-name
+# order: HoodieKey{partitionPath, recordKey}, DeleteRecord{hoodieKey,
+# orderingVal}. This decoder speaks exactly that subset and refuses
+# loudly on anything else (unknown class names, exotic orderingVal
+# types), never mis-decoding.
+
+#: Kryo 4's default registrations, in constructor order (ids 0-8);
+#: writeClass emits id+2. Primitive wrappers share the primitive's id.
+_KRYO_REGISTERED = {
+    0: "int", 1: "java.lang.String", 2: "float", 3: "boolean",
+    4: "byte", 5: "char", 6: "short", 7: "long", 8: "double",
+}
+
+_HOODIE_KEY_CLS = "org.apache.hudi.common.model.HoodieKey"
+_DELETE_RECORD_CLS = "org.apache.hudi.common.model.DeleteRecord"
+
+
+class _KryoReader:
+    """Minimal Kryo 4 stream reader: varints, strings, class records,
+    reference markers — just enough for the two legacy delete payloads."""
+
+    def __init__(self, buf: bytes):
+        self.buf = buf
+        self.pos = 0
+        self.names: dict[int, str] = {}  # nameId -> class name
+        self.objs: list = []  # reference table, write-registration order
+
+    def byte(self) -> int:
+        b = self.buf[self.pos]
+        self.pos += 1
+        return b
+
+    def varint(self) -> int:
+        """writeVarInt(value, optimizePositive=true): LEB128, 7 bits
+        per byte, high bit = continuation."""
+        out = shift = 0
+        while True:
+            b = self.byte()
+            out |= (b & 0x7F) << shift
+            if not b & 0x80:
+                return out
+            shift += 7
+            if shift > 63:
+                raise ValueError("kryo varint overflow")
+
+    def zigzag32(self) -> int:
+        v = self.varint()
+        v = (v >> 1) ^ -(v & 1)
+        return v
+
+    def zigzag64(self) -> int:
+        return self.zigzag32()  # same transform, width-agnostic here
+
+    def string(self) -> str | None:
+        """Input.readString: high bit of the first byte picks utf8
+        (length+1 prefixed) vs ascii (bytes until a 0x80-flagged
+        terminator, which IS the last char)."""
+        b = self.byte()
+        if b & 0x80 == 0:
+            chars = [b]
+            while chars[-1] & 0x80 == 0:
+                chars.append(self.byte())
+            chars[-1] &= 0x7F
+            return bytes(chars).decode("ascii")
+        length = b & 0x3F
+        if b & 0x40:
+            b2 = self.byte()
+            length |= (b2 & 0x7F) << 6
+            if b2 & 0x80:
+                b3 = self.byte()
+                length |= (b3 & 0x7F) << 13
+                if b3 & 0x80:
+                    raise ValueError("kryo string length beyond reader")
+        if length == 0:
+            return None
+        if length == 1:
+            return ""
+        # length counts CHARS + 1; utf-8 bytes decode until that many
+        # chars have been produced
+        n_chars, start = length - 1, self.pos
+        out = []
+        while len(out) < n_chars:
+            c = self.buf[self.pos]
+            if c < 0x80:
+                out.append(chr(c))
+                self.pos += 1
+            elif c < 0xE0:
+                out.append(
+                    self.buf[self.pos : self.pos + 2].decode("utf-8")
+                )
+                self.pos += 2
+            else:
+                out.append(
+                    self.buf[self.pos : self.pos + 3].decode("utf-8")
+                )
+                self.pos += 3
+        del start
+        return "".join(out)
+
+    def read_class(self) -> str | None:
+        """readClass: varint 0 = null, 1 = NAME record (nameId, then
+        the class name string on first sight), else registered id+2."""
+        cid = self.varint()
+        if cid == 0:
+            return None
+        if cid == 1:
+            nid = self.varint()
+            if nid in self.names:
+                return self.names[nid]
+            name = self.string()
+            if name is None:
+                raise ValueError("kryo NAME record without a name")
+            self.names[nid] = name
+            return name
+        reg = _KRYO_REGISTERED.get(cid - 2)
+        if reg is None:
+            raise ValueError(
+                f"kryo registered class id {cid - 2} is beyond this "
+                "reader; compact with Hudi first"
+            )
+        return reg
+
+    def read_ref(self, may_be_null: bool):
+        """readReferenceOrNull for a reference-tracked type. Returns
+        ``("null", None)``, ``("ref", object)`` for a back-reference,
+        or ``("new", slot)`` — the caller must fill ``objs[slot]``."""
+        m = self.varint()
+        if m == 0:
+            if not may_be_null:
+                raise ValueError("kryo null marker on non-null field")
+            return ("null", None)
+        if m == 1:
+            self.objs.append(None)  # reserve in registration order
+            return ("new", len(self.objs) - 1)
+        try:
+            return ("ref", self.objs[m - 2])
+        except IndexError:
+            raise ValueError(f"kryo back-reference {m - 2} out of range")
+
+    def ref_string(self) -> str | None:
+        kind, val = self.read_ref(may_be_null=True)
+        if kind == "null":
+            return None
+        if kind == "ref":
+            if not isinstance(val, str):
+                raise ValueError("kryo back-reference is not a string")
+            return val
+        s = self.string()
+        self.objs[val] = s
+        return s
+
+    def read_hoodie_key(self) -> dict:
+        """FieldSerializer(HoodieKey): fields in name order —
+        partitionPath, recordKey — each a nullable tracked String."""
+        pp = self.ref_string()
+        rk = self.ref_string()
+        return {"recordKey": rk, "partitionPath": pp}
+
+    def read_ordering_val(self):
+        """DeleteRecord.orderingVal is declared Comparable, so the
+        concrete class rides the stream; wrappers are un-tracked
+        fixed/varint scalars, String is a tracked string."""
+        cls = self.read_class()
+        if cls is None:
+            return None
+        if cls in ("int", "java.lang.Integer"):
+            return self.zigzag32()
+        if cls in ("long", "java.lang.Long"):
+            return self.zigzag64()
+        if cls in ("double", "java.lang.Double"):
+            v = struct.unpack_from("<d", self.buf, self.pos)[0]
+            self.pos += 8
+            return v
+        if cls in ("float", "java.lang.Float"):
+            v = struct.unpack_from("<f", self.buf, self.pos)[0]
+            self.pos += 4
+            return float(v)
+        if cls in ("boolean", "java.lang.Boolean"):
+            return self.byte() != 0
+        if cls == "java.lang.String":
+            kind, val = self.read_ref(may_be_null=False)
+            if kind == "ref":
+                return val
+            s = self.string()
+            self.objs[val] = s
+            return s
+        raise ValueError(
+            f"kryo orderingVal class {cls!r} is beyond this reader; "
+            "compact with Hudi first"
+        )
+
+
+def _kryo_delete_records(payload: bytes, version: int) -> list[dict]:
+    """Decode a legacy delete payload (content v1 = HoodieKey[], v2 =
+    DeleteRecord[]) into the modern HoodieDeleteRecordList dict shape
+    ``{recordKey, partitionPath, orderingVal}``."""
+    k = _KryoReader(payload)
+    arr_cls = k.read_class()
+    want = _HOODIE_KEY_CLS if version == 1 else _DELETE_RECORD_CLS
+    if arr_cls != f"[L{want};":
+        raise ValueError(
+            f"HoodieDeleteBlock content v{version} payload is not a "
+            f"kryo {want}[] (got {arr_cls!r}); compact with Hudi first"
+        )
+    kind, _ = k.read_ref(may_be_null=False)
+    if kind == "ref":
+        raise ValueError("kryo delete array is a back-reference")
+    n = k.varint() - 1
+    if n < 0:
+        raise ValueError("kryo delete array without a length")
+    out: list[dict] = []
+    for _ in range(n):
+        cls = k.read_class()
+        if cls is None:
+            continue  # a null element deletes nothing
+        if cls != want:
+            raise ValueError(
+                f"kryo delete element class {cls!r} (expected {want})"
+            )
+        kind, val = k.read_ref(may_be_null=False)
+        if kind == "ref":
+            out.append(dict(val))
+            continue
+        slot = val
+        if version == 1:
+            rec = k.read_hoodie_key()
+            rec["orderingVal"] = None
+        else:
+            # FieldSerializer(DeleteRecord): hoodieKey, orderingVal
+            hk_cls = k.read_class()
+            if hk_cls is None:
+                rec = {"recordKey": None, "partitionPath": None}
+            else:
+                if hk_cls != _HOODIE_KEY_CLS:
+                    raise ValueError(
+                        f"kryo DeleteRecord.hoodieKey class {hk_cls!r}"
+                    )
+                hkind, hval = k.read_ref(may_be_null=False)
+                if hkind == "ref":
+                    rec = dict(hval)
+                else:
+                    rec = k.read_hoodie_key()
+                    k.objs[hval] = dict(rec)
+            rec["orderingVal"] = k.read_ordering_val()
+        k.objs[slot] = dict(rec)
+        out.append(rec)
+    return out
+
+
 def rollback_block(target_instant: str, instant: str) -> bytes:
     return _frame_block(
         COMMAND_BLOCK,
@@ -368,16 +630,22 @@ def parse_log_blob(blob: bytes) -> list[dict]:
             block["records"] = records
         elif btype == DELETE_BLOCK:
             v, ln = struct.unpack_from(">ii", content, 0)
-            if v < DELETE_CONTENT_VERSION:
-                raise ValueError(
-                    f"HoodieDeleteBlock content version {v} is "
-                    "Java-kryo-serialized (legacy pre-0.14 writer), "
-                    "beyond this reader; compact with Hudi first"
+            if v in (1, 2):
+                # legacy pre-0.14 writers: Java-kryo HoodieKey[] /
+                # DeleteRecord[] (r10, closing verdict r8/r9 #4)
+                block["deletes"] = _kryo_delete_records(
+                    content[8 : 8 + ln], v
                 )
-            r = avro_ocf._Reader(content[8 : 8 + ln])
-            block["deletes"] = avro_ocf._decode(
-                DELETE_RECORD_LIST_SCHEMA, r
-            )["deleteRecordList"]
+            elif v < 1:
+                raise ValueError(
+                    f"HoodieDeleteBlock content version {v} is beyond "
+                    "this reader; compact with Hudi first"
+                )
+            else:
+                r = avro_ocf._Reader(content[8 : 8 + ln])
+                block["deletes"] = avro_ocf._decode(
+                    DELETE_RECORD_LIST_SCHEMA, r
+                )["deleteRecordList"]
         elif btype == PARQUET_DATA_BLOCK:
             # hoodie.logfile.data.block.format=parquet: the content IS
             # a parquet file (HoodieParquetDataBlock serializes records

@@ -232,6 +232,54 @@ def test_mor_delete_block_rt_and_adopt(spark, tmp_path):
     assert _rows(t.read()) == [(1, "a"), (2, "b3"), (3, "c9"), (4, "d2")]
 
 
+def test_mor_legacy_kryo_delete_block_rt_and_adopt(spark, tmp_path, monkeypatch):
+    """A pre-0.14 foreign MoR table whose delete block is the legacy
+    kryo DeleteRecord[] payload (content v2) reads via _rt and adopts
+    exactly like a modern v3 block (r10, verdict r8/r9 #4). The block
+    bytes are authored by the test-side Kryo 4 writer in
+    test_hoodie_log.py and decoded by hoodie_log._kryo_delete_records."""
+    from hudi_and_delta_showcase_spark.avro_ocf import spark_schema_to_avro
+    from hudi_and_delta_showcase_spark.tables import hoodie_log as hl
+    from hudi_and_delta_showcase_spark.tables.hoodie_timeline import (
+        read_hoodie_table_rt,
+    )
+    from pyspark.sql.types import StructType
+
+    from tests.test_hoodie_log import _delete_block_legacy, _kryo_v2_payload
+
+    root = str(tmp_path / "ht")
+    fid, s = _mor_fixture(spark, root)  # base 1/2/3 + upsert k2, insert k4
+    schema = spark_schema_to_avro(
+        StructType.fromDDL("k long, v string, sq long")
+    )
+
+    def legacy_delete_block(deletes, instant):
+        payload = _kryo_v2_payload(
+            [(d.get("partitionPath"), d["recordKey"], d.get("orderingVal"))
+             for d in deletes]
+        )
+        return _delete_block_legacy(payload, 2, instant)
+
+    monkeypatch.setattr(hl, "delete_block", legacy_delete_block)
+    append_log_commit(
+        root, fid, s["base_instant"], [], schema,
+        deletes=[
+            {"recordKey": "3", "orderingVal": 100},
+            {"recordKey": "4", "orderingVal": 100},
+        ],
+    )
+    monkeypatch.undo()
+
+    rt = read_hoodie_table_rt(spark, root, key_fields=["k"], precombine="sq")
+    assert sorted((r.k, r.v) for r in rt.select("k", "v").collect()) == [
+        (1, "a"), (2, "b3")]
+    t = LakehouseTable.convert_hoodie(
+        spark, root, key_cols=["k"], precombine="sq"
+    )
+    assert t._commit(None).stats["adopted_tombstone_keys"] == 2
+    assert _rows(t.read()) == [(1, "a"), (2, "b3")]
+
+
 def test_mor_delete_block_same_instant_order(spark, tmp_path):
     """Within one delta commit the in-file block sequence breaks the
     tie: data-then-delete kills the row; the tombstone's orderingVal

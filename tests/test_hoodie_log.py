@@ -65,19 +65,235 @@ def test_delete_block_roundtrip():
     assert out == [("001", [{"k": 1, "v": "a"}], [])]
 
 
-def test_refuses_legacy_kryo_delete_and_hfile_blocks():
+def test_refuses_unknown_delete_version_and_hfile_blocks():
     import struct
 
-    legacy = hl._frame_block(
+    v0 = hl._frame_block(
         hl.DELETE_BLOCK, {hl.INSTANT_TIME: "001"},
-        struct.pack(">ii", 2, 1) + b"x",  # version 2 = kryo DeleteRecord[]
+        struct.pack(">ii", 0, 1) + b"x",
     )
-    with pytest.raises(ValueError, match="kryo"):
-        hl.parse_log_blob(legacy)
+    with pytest.raises(ValueError, match="beyond this reader"):
+        hl.parse_log_blob(v0)
     hfile = hl._frame_block(hl.HFILE_DATA_BLOCK, {hl.INSTANT_TIME: "001"},
                             b"x")
     with pytest.raises(ValueError, match="beyond this reader"):
         hl.parse_log_blob(hfile)
+
+
+# --------------------------------------------------------------------- #
+# legacy kryo delete payloads (content v1/v2, Hudi < 0.14) — goldens
+# authored here by a test-side Kryo 4 writer mirroring the public wire
+# format (varints, ascii/utf8 strings, NAME class records, reference
+# markers), decoded by hoodie_log._kryo_delete_records
+# --------------------------------------------------------------------- #
+
+import struct as _struct  # noqa: E402
+
+
+class _KryoWriter:
+    def __init__(self):
+        self.out = bytearray()
+        self.names: dict[str, int] = {}
+        self.next_ref = 0
+
+    def varint(self, v: int):
+        while True:
+            b = v & 0x7F
+            v >>= 7
+            if v:
+                self.out.append(b | 0x80)
+            else:
+                self.out.append(b)
+                return
+
+    def zigzag(self, v: int):
+        self.varint((v << 1) ^ (v >> 63) if v < 0 else v << 1)
+
+    def string(self, s: str):
+        # Output.writeString: ascii fast path for 1 < len < 64, else
+        # utf8 with a (charCount+1) length whose first byte sets 0x80
+        if 1 < len(s) < 64 and all(ord(c) < 0x80 for c in s):
+            b = bytearray(s.encode("ascii"))
+            b[-1] |= 0x80
+            self.out += b
+            return
+        n = len(s) + 1
+        if n >> 6 == 0:
+            self.out.append(n | 0x80)
+        elif n >> 13 == 0:
+            self.out.append((n & 0x3F) | 0x40 | 0x80)
+            self.out.append(n >> 6)
+        else:
+            raise AssertionError("golden strings stay short")
+        self.out += s.encode("utf-8")
+
+    def clazz(self, name: str):
+        self.varint(1)  # NAME record
+        if name in self.names:
+            self.varint(self.names[name])
+            return
+        nid = len(self.names)
+        self.names[name] = nid
+        self.varint(nid)
+        self.string(name)
+
+    def new_ref(self) -> int:
+        """NOT_NULL marker for a new tracked object; returns its id."""
+        self.varint(1)
+        rid = self.next_ref
+        self.next_ref += 1
+        return rid
+
+    def back_ref(self, rid: int):
+        self.varint(rid + 2)
+
+    def tracked_string(self, s: str | None):
+        if s is None:
+            self.varint(0)
+            return None
+        rid = self.new_ref()
+        self.string(s)
+        return rid
+
+
+_HK = "org.apache.hudi.common.model.HoodieKey"
+_DR = "org.apache.hudi.common.model.DeleteRecord"
+
+
+def _kryo_v1_payload(keys, back_ref_last=False) -> bytes:
+    w = _KryoWriter()
+    w.clazz(f"[L{_HK};")
+    w.new_ref()  # the array itself
+    w.varint(len(keys) + (2 if back_ref_last else 1))
+    first_rid = None
+    for pp, rk in keys:
+        w.clazz(_HK)
+        rid = w.new_ref()
+        if first_rid is None:
+            first_rid = rid
+        w.tracked_string(pp)  # FieldSerializer: partitionPath first
+        w.tracked_string(rk)
+    if back_ref_last:  # a repeated element arrives as a back-reference
+        w.clazz(_HK)
+        w.back_ref(first_rid)
+    return bytes(w.out)
+
+
+def _kryo_v2_payload(records) -> bytes:
+    """records: (pp, rk, ordering_val) with int/long/double/str/None."""
+    w = _KryoWriter()
+    w.clazz(f"[L{_DR};")
+    w.new_ref()
+    w.varint(len(records) + 1)
+    for pp, rk, ov in records:
+        w.clazz(_DR)
+        w.new_ref()
+        # field hoodieKey (declared non-final -> class rides the wire)
+        w.clazz(_HK)
+        w.new_ref()
+        w.tracked_string(pp)
+        w.tracked_string(rk)
+        # field orderingVal (Comparable -> concrete class rides)
+        if ov is None:
+            w.varint(0)  # null class
+        elif isinstance(ov, bool):
+            w.varint(3 + 2)  # registered boolean
+            w.out.append(1 if ov else 0)
+        elif isinstance(ov, int) and -(2**31) <= ov < 2**31:
+            w.varint(0 + 2)  # registered int
+            w.zigzag(ov)
+        elif isinstance(ov, int):
+            w.varint(7 + 2)  # registered long
+            w.zigzag(ov)
+        elif isinstance(ov, float):
+            w.varint(8 + 2)  # registered double
+            w.out += _struct.pack("<d", ov)
+        else:
+            w.varint(1 + 2)  # registered String
+            w.new_ref()
+            w.string(ov)
+    return bytes(w.out)
+
+
+def _delete_block_legacy(payload: bytes, version: int, instant: str) -> bytes:
+    content = _struct.pack(">ii", version, len(payload)) + payload
+    return hl._frame_block(
+        hl.DELETE_BLOCK, {hl.INSTANT_TIME: instant}, content
+    )
+
+
+def test_kryo_v1_hoodie_keys_decode():
+    payload = _kryo_v1_payload(
+        [("2024/01/01", "k1"), ("2024/01/01", "id:9,region:eu"),
+         (None, "ké-unicode"), ("", "x")]
+    )
+    blob = _delete_block_legacy(payload, 1, "001")
+    (block,) = hl.parse_log_blob(blob)
+    assert block["type"] == hl.DELETE_BLOCK
+    assert block["deletes"] == [
+        {"recordKey": "k1", "partitionPath": "2024/01/01",
+         "orderingVal": None},
+        {"recordKey": "id:9,region:eu", "partitionPath": "2024/01/01",
+         "orderingVal": None},
+        {"recordKey": "ké-unicode", "partitionPath": None,
+         "orderingVal": None},
+        {"recordKey": "x", "partitionPath": "", "orderingVal": None},
+    ]
+
+
+def test_kryo_v1_back_reference_element():
+    payload = _kryo_v1_payload([("p", "k1")], back_ref_last=True)
+    blob = _delete_block_legacy(payload, 1, "001")
+    (block,) = hl.parse_log_blob(blob)
+    assert [d["recordKey"] for d in block["deletes"]] == ["k1", "k1"]
+
+
+def test_kryo_v2_delete_records_decode():
+    payload = _kryo_v2_payload([
+        ("p", "k1", 42),            # int orderingVal
+        ("p", "k2", 2**40),         # long
+        (None, "k3", 1.5),          # double
+        ("p", "k4", "2024-01-02"),  # string
+        ("p", "k5", None),          # absent
+        ("p", "k6", -7),            # negative int (zigzag)
+    ])
+    blob = _delete_block_legacy(payload, 2, "002")
+    (block,) = hl.parse_log_blob(blob)
+    assert block["deletes"] == [
+        {"recordKey": "k1", "partitionPath": "p", "orderingVal": 42},
+        {"recordKey": "k2", "partitionPath": "p", "orderingVal": 2**40},
+        {"recordKey": "k3", "partitionPath": None, "orderingVal": 1.5},
+        {"recordKey": "k4", "partitionPath": "p",
+         "orderingVal": "2024-01-02"},
+        {"recordKey": "k5", "partitionPath": "p", "orderingVal": None},
+        {"recordKey": "k6", "partitionPath": "p", "orderingVal": -7},
+    ]
+
+
+def test_kryo_unknown_shapes_still_refuse():
+    # wrong array class
+    w = _KryoWriter()
+    w.clazz("[Lcom.example.Other;")
+    with pytest.raises(ValueError, match="compact with Hudi"):
+        hl._kryo_delete_records(bytes(w.out) + b"\x01\x02", 1)
+    # exotic orderingVal class refuses instead of mis-decoding
+    w = _KryoWriter()
+    w.clazz(f"[L{_DR};")
+    w.new_ref()
+    w.varint(2)
+    w.clazz(_DR)
+    w.new_ref()
+    w.clazz(_HK)
+    w.new_ref()
+    w.tracked_string("p")
+    w.tracked_string("k")
+    w.clazz("org.apache.avro.util.Utf8")
+    with pytest.raises(ValueError, match="orderingVal"):
+        hl._kryo_delete_records(bytes(w.out), 2)
+    # truncated payload surfaces as a loud error, not wrong keys
+    good = _kryo_v1_payload([("p", "k1")])
+    with pytest.raises((ValueError, IndexError)):
+        hl._kryo_delete_records(good[: len(good) - 2], 1)
 
 
 def test_bad_leading_magic_fails_loudly():
