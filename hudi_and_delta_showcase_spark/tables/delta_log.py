@@ -935,6 +935,28 @@ SUPPORTED_READER_FEATURES = frozenset(
         # path is type-sensitive
         "variantType",
         "variantType-preview",
+        # r10: vacuumProtocolCheck constrains VACUUM (writers must
+        # protocol-check before deleting files), not the read path —
+        # and this engine never vacuums a foreign table in place, so
+        # accepting it is free (delta-io PROTOCOL.md "Vacuum Protocol
+        # Check"; delta-spark reads such tables unconditionally too)
+        "vacuumProtocolCheck",
+    }
+)
+
+#: Features whose SEMANTICS this reader understands well enough to
+#: refuse with a pinned, actionable message instead of the generic
+#: unknown-feature error: catalog-managed tables route commits through
+#: a coordinator, so the _delta_log directory alone may be STALE — a
+#: filesystem-only reader serving it could silently time-travel.
+_COORDINATED_COMMIT_FEATURES = frozenset(
+    {
+        "coordinatedCommits",
+        "coordinatedCommits-preview",
+        "catalogManaged",
+        "catalogManaged-preview",
+        "catalogOwned",
+        "catalogOwned-preview",
     }
 )
 
@@ -944,14 +966,26 @@ def _protocol_guard(protocol: dict) -> None:
     any ``minReaderVersion`` whose required features this reader
     implements; refuse LOUDLY on one it does not (silently mis-reading
     a v2Checkpoint or type-widening table is corruption). Reader v1/v2
-    imply at most column mapping; v3 lists features explicitly."""
+    imply at most column mapping; v3 lists features explicitly. The
+    coordinated-commits/catalog-managed family gets its own pinned
+    refusal: the filesystem log may legitimately trail the
+    coordinator, so 'this directory is not the source of truth' beats
+    a generic unknown-feature error."""
     mrv = protocol.get("minReaderVersion") or 1
     if mrv <= 2:
         return  # v2 = column mapping, implemented
     if mrv == 3:
-        unknown = set(protocol.get("readerFeatures") or []) - (
-            SUPPORTED_READER_FEATURES
-        )
+        feats = set(protocol.get("readerFeatures") or [])
+        coordinated = feats & _COORDINATED_COMMIT_FEATURES
+        if coordinated:
+            raise RuntimeError(
+                f"delta table uses {sorted(coordinated)}: commits "
+                "route through a commit coordinator and the _delta_log "
+                "directory alone may be stale; read it through the "
+                "owning catalog, or ALTER TABLE ... DROP FEATURE with "
+                "the writing engine first"
+            )
+        unknown = feats - SUPPORTED_READER_FEATURES
         if unknown:
             raise RuntimeError(
                 f"delta reader features {sorted(unknown)} are beyond "

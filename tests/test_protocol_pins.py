@@ -1479,3 +1479,80 @@ def test_variant_column_survives_rename(spark, tmp_path):
         for r in t.read().selectExpr("k", "to_json(body) as j").collect()
     )
     assert got == [(1, '{"a":1}'), (2, "[5]")]
+
+
+def test_protocol_guard_reader_features_both_ways():
+    """r10 (verdict r8/r9 #5): `vacuumProtocolCheck` is accepted — it
+    constrains VACUUM, not the read path, and this engine never vacuums
+    a foreign table in place — while the coordinated-commits /
+    catalog-managed family refuses with a PINNED message naming the
+    real hazard (the filesystem log may trail the coordinator), and
+    genuinely unknown features keep the generic loud refusal."""
+    from hudi_and_delta_showcase_spark.tables.delta_log import (
+        _protocol_guard,
+    )
+
+    # accepted: the full supported set plus vacuumProtocolCheck
+    _protocol_guard({
+        "minReaderVersion": 3, "minWriterVersion": 7,
+        "readerFeatures": [
+            "deletionVectors", "columnMapping", "timestampNtz",
+            "v2Checkpoint", "typeWidening", "variantType",
+            "vacuumProtocolCheck",
+        ],
+    })
+    # legacy reader versions still pass untouched
+    _protocol_guard({"minReaderVersion": 1, "minWriterVersion": 2})
+    _protocol_guard({"minReaderVersion": 2, "minWriterVersion": 5})
+
+    # pinned refusal: coordinated commits / catalog-managed family
+    for feat in ("coordinatedCommits", "catalogManaged",
+                 "catalogOwned-preview"):
+        with pytest.raises(RuntimeError, match="commit coordinator"):
+            _protocol_guard({
+                "minReaderVersion": 3, "minWriterVersion": 7,
+                "readerFeatures": ["deletionVectors", feat],
+            })
+
+    # unknown features keep the generic loud refusal
+    with pytest.raises(RuntimeError, match="beyond this reader"):
+        _protocol_guard({
+            "minReaderVersion": 3, "minWriterVersion": 7,
+            "readerFeatures": ["someFutureFeature"],
+        })
+    with pytest.raises(RuntimeError, match="beyond this reader"):
+        _protocol_guard({"minReaderVersion": 4})
+
+
+def test_reader_accepts_vacuum_protocol_check_log(spark, tmp_path):
+    """End-to-end: a foreign _delta_log whose protocol lists
+    vacuumProtocolCheck reads like any other table."""
+    from hudi_and_delta_showcase_spark.tables.delta_log import (
+        read_delta_table,
+    )
+
+    root = str(tmp_path / "dl")
+    log = os.path.join(root, "_delta_log")
+    os.makedirs(log)
+    f0 = "part-00000-3a7e6b9e-0d86-4a5e-9f21-00000000000a-c000.snappy.parquet"
+    _write_parquet(os.path.join(root, f0), [1, 2], ["a", "b"])
+    v0 = [
+        {"protocol": {
+            "minReaderVersion": 3, "minWriterVersion": 7,
+            "readerFeatures": ["vacuumProtocolCheck"],
+            "writerFeatures": ["vacuumProtocolCheck"]}},
+        {"metaData": {
+            "id": "7f9a2cdc-2bb1-4a8c-8e5d-2f4a1e82d7aa",
+            "format": {"provider": "parquet", "options": {}},
+            "schemaString": _SCHEMA_STRING, "partitionColumns": [],
+            "configuration": {}, "createdTime": 1700000000000}},
+        {"add": {
+            "path": f0, "partitionValues": {}, "size": 900,
+            "modificationTime": 1700000000000, "dataChange": True}},
+    ]
+    with open(os.path.join(log, "00000000000000000000.json"), "w") as fh:
+        fh.write("\n".join(json.dumps(a) for a in v0))
+    got = sorted(
+        (r.k, r.v) for r in read_delta_table(spark, root).collect()
+    )
+    assert got == [(1, "a"), (2, "b")]
