@@ -399,14 +399,22 @@ def _archived_file_slices(
     Returns seed (bases, logs) keyed by fileId; the active-timeline
     replay then layers newer slices, overwrite barriers, and
     replacecommits on top. Only invoked when ``.hoodie/archived/`` is
-    non-empty, so unarchived tables pay nothing. O(data files) listing
-    — exactly what any Hudi reader without the metadata table does."""
+    non-empty, so unarchived tables pay nothing. The listing PREFERS
+    the table's own metadata table (``.hoodie/metadata/files``, r10 —
+    O(partitions + live files) metadata IO, the reason the partition
+    exists) and falls back to the O(data files) recursive walk —
+    exactly what any Hudi reader without the metadata table does."""
     from hudi_and_delta_showcase_spark.tables import hoodie_log as hl
+    from hudi_and_delta_showcase_spark.tables import hoodie_metadata
 
     bases: dict[str, tuple[str, str]] = {}
     logs: dict[str, list] = {}
-    for full in fsio.walk_files(path):
-        rel = fsio.relpath(full, path)
+    listing = hoodie_metadata.list_data_files(path)
+    if listing is None:
+        listing = [
+            fsio.relpath(full, path) for full in fsio.walk_files(path)
+        ]
+    for rel in listing:
         if rel.startswith(".hoodie/") or rel.startswith(".staging"):
             continue
         name = rel.rsplit("/", 1)[-1]
