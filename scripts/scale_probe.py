@@ -27,6 +27,13 @@ QUERIES = [
     "cdc_upsert_cow_roundtrip",
     "stream_incremental_dedup",
     "q5_regional_revenue",
+    # r10 (verdict r8/r9 task 6): the interop READ families at 10x
+    # deleted-row counts — each query authors its foreign tree from the
+    # events fixture and deletes a fixed fraction, so the 10x run holds
+    # 10x the deletion-vector/tombstone volume
+    "cdc_convert_delta_dv",       # foreign Delta DV read
+    "iceberg_v3_dv_read",         # Iceberg v3 Puffin DV read
+    "cdc_convert_hoodie_delete",  # foreign Hudi MoR _rt + delete blocks
 ]
 
 
