@@ -62,6 +62,34 @@ def _split(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, DataFrame]:
     )
 
 
+#: (applicationId, sf_dir) -> prototype path for _clone_base_table
+_BASE_PROTO_CACHE: dict[tuple[str, str], str] = {}
+
+
+def _clone_base_table(spark: SparkSession, sf_dir: str) -> LakehouseTable:
+    """Shared harness fixture for the SQL-MERGE variants (r10, sweep-
+    cost trim): the (pre-cutoff events, key user_id, precombine ts,
+    tiebreaker event_id) prototype builds ONCE per session+sf_dir and
+    every caller takes a SHALLOW CLONE — O(metadata) per query instead
+    of a full table rewrite. Clones diverge independently (rewrites
+    land under the clone; the prototype is never mutated or vacuumed
+    within the session), so each variant's merge semantics are exactly
+    what a fresh table would give — pinned against the same oracles."""
+    key = (spark.sparkContext.applicationId, sf_dir)
+    proto = _BASE_PROTO_CACHE.get(key)
+    if proto is None:
+        base, _ = _split(spark, sf_dir)
+        proto = tempfile.mkdtemp(prefix="lakehouse_proto_") + "/events_tbl"
+        LakehouseTable.create(
+            spark, proto, base,
+            key_cols=["user_id"], precombine="ts",
+            tiebreakers=["event_id"],
+        )
+        _BASE_PROTO_CACHE[key] = proto
+    path = tempfile.mkdtemp(prefix="lakehouse_clone_") + "/events_tbl"
+    return LakehouseTable.clone(spark, proto, path)
+
+
 def _make_table(
     spark: SparkSession, sf_dir: str, table_type: str
 ) -> LakehouseTable:
@@ -299,16 +327,8 @@ def sql_merge_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
     from hudi_and_delta_showcase_spark.operators.cdc import precombine_dedup
     from hudi_and_delta_showcase_spark.tables.merge_sql import execute_merge
 
-    base, incr = _split(spark, sf_dir)
-    path = tempfile.mkdtemp(prefix="lakehouse_mergesev_")
-    t = LakehouseTable.create(
-        spark,
-        f"{path}/events_tbl",
-        base,
-        key_cols=["user_id"],
-        precombine="ts",
-        tiebreakers=["event_id"],
-    )
+    _base, incr = _split(spark, sf_dir)
+    t = _clone_base_table(spark, sf_dir)
     precombine_dedup(
         incr, ["user_id"], "ts", ["event_id"]
     ).withColumn("src_tag", F.lit("cdc")).createOrReplaceTempView(
@@ -365,16 +385,8 @@ def sql_merge_into(spark: SparkSession, sf_dir: str) -> DataFrame:
     from hudi_and_delta_showcase_spark.operators.cdc import precombine_dedup
     from hudi_and_delta_showcase_spark.tables.merge_sql import execute_merge
 
-    base, incr = _split(spark, sf_dir)
-    path = tempfile.mkdtemp(prefix="lakehouse_mergesql_")
-    t = LakehouseTable.create(
-        spark,
-        f"{path}/events_tbl",
-        base,
-        key_cols=["user_id"],
-        precombine="ts",
-        tiebreakers=["event_id"],
-    )
+    _base, incr = _split(spark, sf_dir)
+    t = _clone_base_table(spark, sf_dir)
     precombine_dedup(
         incr, ["user_id"], "ts", ["event_id"]
     ).createOrReplaceTempView("events_cdc_merge_src")
@@ -3560,12 +3572,8 @@ def sql_merge_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     from hudi_and_delta_showcase_spark.operators.cdc import precombine_dedup
     from hudi_and_delta_showcase_spark.tables.merge_sql import execute_merge
 
-    base, incr = _split(spark, sf_dir)
-    path = tempfile.mkdtemp(prefix="lakehouse_bysrc_")
-    t = LakehouseTable.create(
-        spark, f"{path}/events_tbl", base,
-        key_cols=["user_id"], precombine="ts", tiebreakers=["event_id"],
-    )
+    _base, incr = _split(spark, sf_dir)
+    t = _clone_base_table(spark, sf_dir)
     precombine_dedup(
         incr, ["user_id"], "ts", ["event_id"]
     ).createOrReplaceTempView("events_full_sync_src")
