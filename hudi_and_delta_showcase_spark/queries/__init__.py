@@ -257,6 +257,10 @@ PRIORITY: tuple[str, ...] = (
     # before the file list is built; `pruned` column proves the file
     # count shrank, so an unpruned read hash-fails
     "iceberg_pruned_read",
+    # r10: the _delta_log twin — adds pruned on partitionValues +
+    # exported stats (numRecords/minValues/maxValues now stamped by
+    # export_delta_log), same files-shrank proof column
+    "delta_pruned_read",
     # late r7: Delta DV EXPORT — live engine DVs render as real
     # RoaringBitmapArray bins + protocol 3/7, zero materialization
     "delta_dv_export_roundtrip",

@@ -816,6 +816,52 @@ def iceberg_metadata_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "delta_pruned_read",
+    oracle="""
+    SELECT event_id, user_id, ts, event_type, value, TRUE AS pruned
+    FROM events
+    WHERE event_type = 'purchase' AND user_id <= 75
+    """,
+    tags=("cdc", "delta", "source", "pruning"),
+)
+def delta_pruned_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stats-based file pruning on a Delta read (r10, the `_delta_log`
+    twin of ``iceberg_pruned_read``): the events table lands
+    partitioned by event_type, exports a real `_delta_log` whose add
+    actions carry ``stats`` (numRecords + minValues/maxValues straight
+    from the manifest's row-count/col-stats indexes — r10 export
+    addition), and the read takes a PREDICATE that prunes add actions
+    on those stats before the file list is built — delta-spark's data
+    skipping discipline against the raw protocol. ``pruned`` carries
+    the proof through the oracle: TRUE only when the pruned file list
+    is strictly smaller than the snapshot's."""
+    from hudi_and_delta_showcase_spark.tables.delta_log import (
+        export_delta_log,
+        read_delta_table,
+    )
+
+    events = load_table(spark, sf_dir, "events").select(*_FINAL_COLS)
+    path = tempfile.mkdtemp(prefix="delta_prune_") + "/events_dl"
+    t = LakehouseTable.create(
+        spark, path, events,
+        key_cols=["event_id"], precombine="ts",
+        partition_by="event_type",
+    )
+    export_delta_log(t)
+    full_files = len(read_delta_table(spark, path).inputFiles())
+    pruned = read_delta_table(
+        spark, path,
+        predicate=[
+            ("event_type", "=", "purchase"), ("user_id", "<=", 75),
+        ],
+    )
+    is_pruned = len(pruned.inputFiles()) < full_files
+    return pruned.select(*_FINAL_COLS).withColumn(
+        "pruned", F.lit(is_pruned)
+    )
+
+
+@query(
     "iceberg_pruned_read",
     oracle="""
     SELECT event_id, user_id, ts, event_type, value, TRUE AS pruned

@@ -762,6 +762,7 @@ def version_as_of_timestamp(path: str, ts_ms: int) -> int:
 def read_delta_table(
     spark: SparkSession, path: str, version: int | None = None,
     timestamp_ms: int | None = None,
+    predicate: list[tuple] | None = None,
 ) -> DataFrame:
     """S3/C7: snapshot (or time-travel) scan of a delta-format table —
     log replay on the driver, declarative parquet scan of the live
@@ -776,20 +777,64 @@ def read_delta_table(
     before). ``_metadata``-derived columns are captured ONCE at the
     scan, before any projection — hidden-column resolution does not
     survive arbitrary projections. ``timestamp_ms`` resolves TIMESTAMP
-    AS OF semantics (mutually exclusive with ``version``)."""
+    AS OF semantics (mutually exclusive with ``version``).
+
+    ``predicate`` (r10) is a list of ``(column, op, value)`` conjuncts
+    (op in ``=,<,<=,>,>=,in``) used the way delta-spark's data skipping
+    uses the log: add actions are PRUNED on their ``partitionValues``
+    and ``stats`` minValues/maxValues before the file list is built —
+    a filtered 100 TB snapshot scans (and DV-decodes) O(matching
+    files) — then the exact filters apply on the surviving scan, where
+    parquet row-group skipping finishes the job. Files without usable
+    metadata for a referenced column scan conservatively."""
     import pyspark.sql.functions as F
+
+    from hudi_and_delta_showcase_spark.tables.iceberg_meta import (
+        _normalize_predicate,
+        _predicate_filter,
+    )
 
     if timestamp_ms is not None:
         if version is not None:
             raise ValueError("pass version OR timestamp_ms, not both")
         version = version_as_of_timestamp(path, timestamp_ms)
     meta, files, adds = _replay(path, version)
+    schema, phys_schema = _physical_schema(meta)
+    conjuncts = _normalize_predicate(predicate) if predicate else []
+    if conjuncts and files:
+        phys_by_logical = {
+            l.name: f.name
+            for f, l in zip(phys_schema.fields, schema.fields)
+        }
+        lpart = meta.get("partitionColumns") or []
+        kept = [
+            f
+            for f in files
+            if _add_can_match(
+                adds.get(f, {}), conjuncts, lpart, phys_by_logical
+            )
+        ]
+        if not kept:
+            base = spark.read.schema(phys_schema).parquet(
+                fsio.join(path, files[0])
+            )
+            empty = base.filter(F.lit(False))
+            return empty.select(
+                *[
+                    (
+                        F.col(p.name)
+                        if p.dataType == l.dataType
+                        else F.col(p.name).cast(l.dataType)
+                    ).alias(l.name)
+                    for p, l in zip(phys_schema.fields, schema.fields)
+                ]
+            )
+        files = kept
     dvs = {
         f: a["deletionVector"]
         for f, a in adds.items()
-        if a.get("deletionVector")
+        if a.get("deletionVector") and f in set(files)
     }
-    schema, phys_schema = _physical_schema(meta)
     if not files:
         return spark.createDataFrame([], schema)
     if _mapping_mode(meta) == "id":
@@ -902,7 +947,7 @@ def read_delta_table(
     # (nested renames under column mapping, r8) casts to the logical
     # struct — struct casts match by position, which is exactly the
     # rename semantics.
-    return df.select(
+    df = df.select(
         *[
             (
                 F.col(p.name)
@@ -912,6 +957,11 @@ def read_delta_table(
             for p, l in zip(phys_schema.fields, schema.fields)
         ]
     )
+    if conjuncts:
+        # file pruning is necessary, never sufficient — the exact
+        # filters land on the logical columns and push into the scan
+        df = _predicate_filter(df, conjuncts)
+    return df
 
 
 #: r8 adds ``v2Checkpoint`` (UUID manifest + sidecars, `_read_checkpoint`)
@@ -1357,6 +1407,9 @@ def export_delta_log(table) -> int:
                 else int(mtime),
                 "dataChange": True,
             }
+            stats = _add_stats_json(c, f)
+            if stats is not None:
+                add["stats"] = stats
             if f in dv_descriptors:
                 add["deletionVector"] = dv_descriptors[f]
             actions.append({"add": add})
@@ -1405,6 +1458,129 @@ def export_delta_log(table) -> int:
         prior_dv_sidecars = set(c.dv_files)
         exported = v
     return max(exported, max(done) if done else -1)
+
+
+def _add_stats_json(c, f: str) -> str | None:
+    """Delta per-AddFile ``stats`` (r10): ``numRecords`` +
+    ``minValues``/``maxValues`` straight from the commit's own
+    row-count and col-stats indexes — metadata the manifest already
+    carries, zero data IO — so foreign Delta readers data-skip on
+    exported tables exactly the way ``read_where`` does natively.
+    Emitted only for exact scalars this exporter computed itself (full
+    values, never truncated, so string bounds stay tight) and only for
+    unmapped tables (under column mapping, Delta stats key on PHYSICAL
+    names — a mismatch would mis-skip, so mapped tables omit stats)."""
+    if c.column_mapping:
+        return None
+    n = c.row_counts.get(f)
+    mins: dict = {}
+    maxs: dict = {}
+    for col, rng in (c.col_stats.get(f) or {}).items():
+        # the per-row write sequence number is never a filter target —
+        # its bounds are pure noise (and volatile in golden pins)
+        if col == "_hoodie_commit_seqno":
+            continue
+        lo, hi = rng[0], rng[1]
+        if lo is None or hi is None:
+            continue
+        if isinstance(lo, bool) != isinstance(hi, bool):
+            continue
+        if not isinstance(lo, (int, float, str, bool)) or not isinstance(
+            hi, (int, float, str, bool)
+        ):
+            continue
+        if isinstance(lo, float) and (lo != lo or hi != hi):
+            continue  # NaN bounds skip nothing safely
+        mins[col] = lo
+        maxs[col] = hi
+    if n is None and not mins:
+        return None
+    out: dict = {}
+    if n is not None:
+        out["numRecords"] = int(n)
+    if mins:
+        out["minValues"] = mins
+        out["maxValues"] = maxs
+    return json.dumps(out)
+
+
+def _add_can_match(
+    add: dict,
+    conjuncts: list[tuple],
+    part_cols: list[str],
+    phys_of: dict[str, str],
+) -> bool:
+    """Delta manifest-level file pruning (r10, the ``_delta_log`` twin
+    of ``iceberg_meta._entry_can_match``): partition values are exact
+    per-file column values; ``add.stats`` minValues/maxValues bound the
+    rest. Keeps the file unless a conjunct PROVES it cannot match;
+    files without usable metadata scan conservatively.
+    ``partitionValues`` keys and stats column names are PHYSICAL under
+    column mapping — ``phys_of`` maps the conjuncts' logical names."""
+    from hudi_and_delta_showcase_spark.tables.iceberg_meta import (
+        _interval_can_match,
+    )
+
+    pv = add.get("partitionValues") or {}
+    if isinstance(pv, list):  # pyarrow map_ rows surface as pairs
+        pv = dict(pv)
+    stats = add.get("stats")
+    st = None
+    if isinstance(stats, str):
+        try:
+            st = json.loads(stats)
+        except ValueError:
+            st = None
+    elif isinstance(stats, dict):
+        st = stats
+    mins = (st or {}).get("minValues") or {}
+    maxs = (st or {}).get("maxValues") or {}
+    for col, op, val in conjuncts:
+        phys = phys_of.get(col, col)
+        if col in part_cols and phys in pv:
+            raw = pv[phys]
+            # Delta stores partition values as strings; a null
+            # (__HIVE_DEFAULT_PARTITION__ or JSON null) means every
+            # row is null in this column — no comparison matches
+            if raw is None or raw == "__HIVE_DEFAULT_PARTITION__":
+                return False
+            typed = _parse_partition_value(raw, val)
+            if typed is not None and not _interval_can_match(
+                typed, typed, op, val
+            ):
+                return False
+        if phys in mins and phys in maxs:
+            lo, hi = mins[phys], maxs[phys]
+            vals = val if op == "in" else [val]
+            ok_types = all(
+                isinstance(lo, type(v)) and isinstance(hi, type(v))
+                or (isinstance(lo, (int, float)) and not isinstance(lo, bool)
+                    and isinstance(hi, (int, float))
+                    and isinstance(v, (int, float))
+                    and not isinstance(v, bool))
+                for v in vals
+            )
+            if ok_types and not _interval_can_match(lo, hi, op, val):
+                return False
+    return True
+
+
+def _parse_partition_value(raw: str, like):
+    """Parse a Delta string partition value into the conjunct value's
+    type; None = unparseable, scan conservatively."""
+    probe = like[0] if isinstance(like, list) else like
+    try:
+        if isinstance(probe, bool):
+            return raw.lower() == "true"
+        if isinstance(probe, int):
+            return int(raw)
+        if isinstance(probe, float):
+            return float(raw)
+        if isinstance(probe, str):
+            return raw
+    except (TypeError, ValueError):
+        return None
+    return None
 
 
 def _author_dv_bins(

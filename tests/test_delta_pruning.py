@@ -1,0 +1,193 @@
+"""Delta manifest-level file pruning + exported add.stats (r10): the
+``_delta_log`` twin of the Iceberg pruning — ``read_delta_table``'s
+``predicate`` prunes add actions on partitionValues and stats
+minValues/maxValues before the file list is built (files-read count
+pinned), and ``export_delta_log`` stamps real stats from the commit's
+own row-count/col-stats indexes so foreign Delta readers data-skip."""
+
+from __future__ import annotations
+
+import json
+import os
+
+import pytest
+
+from hudi_and_delta_showcase_spark.tables import LakehouseTable
+from hudi_and_delta_showcase_spark.tables.delta_log import (
+    _add_can_match,
+    export_delta_log,
+    read_delta_table,
+)
+
+_SCHEMA_STRING = json.dumps({
+    "type": "struct",
+    "fields": [
+        {"name": "k", "type": "integer", "nullable": True, "metadata": {}},
+        {"name": "v", "type": "string", "nullable": True, "metadata": {}},
+    ],
+})
+
+
+def _write_parquet(path, ks, vs):
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    pq.write_table(
+        pa.table({"k": pa.array(ks, pa.int32()), "v": pa.array(vs)}), path
+    )
+
+
+def _foreign_stats_log(root: str, partitioned: bool = False) -> None:
+    """A foreign _delta_log with two adds carrying delta-spark-shaped
+    stats (numRecords/minValues/maxValues), optionally partitioned."""
+    log = os.path.join(root, "_delta_log")
+    os.makedirs(log)
+    f0, f1 = "part-00000-a-c000.snappy.parquet", "part-00001-b-c000.snappy.parquet"
+    _write_parquet(os.path.join(root, f0), [1, 2, 3], ["aa", "ab", "ac"])
+    _write_parquet(os.path.join(root, f1), [100, 200], ["ma", "mb"])
+    schema = _SCHEMA_STRING
+    part_cols = []
+    pv0, pv1 = {}, {}
+    if partitioned:
+        schema = json.dumps({
+            "type": "struct",
+            "fields": json.loads(_SCHEMA_STRING)["fields"] + [
+                {"name": "g", "type": "string", "nullable": True,
+                 "metadata": {}},
+            ],
+        })
+        part_cols = ["g"]
+        pv0, pv1 = {"g": "a"}, {"g": "b"}
+    actions = [
+        {"protocol": {"minReaderVersion": 1, "minWriterVersion": 2}},
+        {"metaData": {
+            "id": "7f9a2cdc-2bb1-4a8c-8e5d-2f4a1e82d7f0",
+            "format": {"provider": "parquet", "options": {}},
+            "schemaString": schema, "partitionColumns": part_cols,
+            "configuration": {}, "createdTime": 1700000000000}},
+        {"add": {
+            "path": f0, "partitionValues": pv0, "size": 900,
+            "modificationTime": 1700000000000, "dataChange": True,
+            "stats": json.dumps({
+                "numRecords": 3,
+                "minValues": {"k": 1, "v": "aa"},
+                "maxValues": {"k": 3, "v": "ac"}})}},
+        {"add": {
+            "path": f1, "partitionValues": pv1, "size": 900,
+            "modificationTime": 1700000000000, "dataChange": True,
+            "stats": json.dumps({
+                "numRecords": 2,
+                "minValues": {"k": 100, "v": "ma"},
+                "maxValues": {"k": 200, "v": "mb"}})}},
+    ]
+    with open(os.path.join(log, "00000000000000000000.json"), "w") as fh:
+        fh.write("\n".join(json.dumps(a) for a in actions))
+
+
+def test_stats_pruning_foreign_log(spark, tmp_path):
+    root = str(tmp_path / "dl")
+    _foreign_stats_log(root)
+    full = read_delta_table(spark, root)
+    assert len(full.inputFiles()) == 2
+    pruned = read_delta_table(spark, root, predicate=[("k", "<=", 50)])
+    assert len(pruned.inputFiles()) == 1  # THE PIN
+    assert sorted(r.k for r in pruned.collect()) == [1, 2, 3]
+    # string bounds prune too
+    pruned = read_delta_table(spark, root, predicate=[("v", ">=", "m")])
+    assert len(pruned.inputFiles()) == 1
+    assert sorted(r.v for r in pruned.collect()) == ["ma", "mb"]
+
+
+def test_partition_value_pruning_foreign_log(spark, tmp_path):
+    root = str(tmp_path / "dl")
+    _foreign_stats_log(root, partitioned=True)
+    pruned = read_delta_table(spark, root, predicate=[("g", "=", "b")])
+    assert len(pruned.inputFiles()) == 1
+    assert sorted((r.k, r.g) for r in pruned.collect()) == [
+        (100, "b"), (200, "b")]
+
+
+def test_all_files_pruned_keeps_schema(spark, tmp_path):
+    root = str(tmp_path / "dl")
+    _foreign_stats_log(root)
+    out = read_delta_table(spark, root, predicate=[("k", ">", 10_000)])
+    assert out.count() == 0
+    assert out.columns == ["k", "v"]
+
+
+def test_missing_stats_scan_conservatively():
+    add = {"partitionValues": {}, "stats": None}
+    assert _add_can_match(add, [("k", "=", 7)], [], {})
+    # corrupt stats JSON must not crash or prune
+    assert _add_can_match(
+        {"partitionValues": {}, "stats": "{broken"}, [("k", "=", 7)], [], {}
+    )
+    # type-mismatched bounds (string stats vs int conjunct) never prune
+    add = {"partitionValues": {}, "stats": json.dumps(
+        {"minValues": {"k": "a"}, "maxValues": {"k": "z"}})}
+    assert _add_can_match(add, [("k", "=", 7)], [], {})
+
+
+def test_null_partition_value_prunes():
+    add = {"partitionValues": {"g": "__HIVE_DEFAULT_PARTITION__"}}
+    assert not _add_can_match(add, [("g", "=", "a")], ["g"], {})
+    assert _add_can_match(
+        {"partitionValues": {}}, [("g", "=", "a")], ["g"], {}
+    )
+
+
+def test_export_stamps_stats_and_foreign_prune_roundtrip(spark, tmp_path):
+    """The engine's own export carries numRecords + min/max from the
+    manifest's indexes — and its own reader prunes on them."""
+    df = spark.createDataFrame(
+        [(k, f"v{k}") for k in range(40)], "k int, v string"
+    ).coalesce(2)
+    t = LakehouseTable.create(
+        spark, str(tmp_path / "t"), df, key_cols=["k"]
+    )
+    export_delta_log(t)
+    log = os.path.join(t.path, "_delta_log", "00000000000000000000.json")
+    adds = [
+        json.loads(line)["add"]
+        for line in open(log)
+        if '"add"' in line
+    ]
+    assert adds and all("stats" in a for a in adds)
+    st = json.loads(adds[0]["stats"])
+    assert st["numRecords"] > 0
+    assert "k" in st["minValues"] and "k" in st["maxValues"]
+    full = read_delta_table(spark, t.path)
+    lo_file_max = min(
+        json.loads(a["stats"])["maxValues"]["k"] for a in adds
+    )
+    pruned = read_delta_table(
+        spark, t.path, predicate=[("k", ">", lo_file_max)]
+    )
+    assert len(pruned.inputFiles()) < len(full.inputFiles())
+    assert sorted(r.k for r in pruned.collect()) == list(
+        range(lo_file_max + 1, 40)
+    )
+
+
+def test_pruning_composes_with_deletion_vectors(spark, tmp_path):
+    """Pruned reads still apply DVs on surviving files; DV descriptors
+    of pruned-away files are never decoded."""
+    df = spark.createDataFrame(
+        [(k, f"v{k}") for k in range(40)], "k int, v string"
+    ).coalesce(2)
+    t = LakehouseTable.create(
+        spark, str(tmp_path / "t"), df, key_cols=["k"],
+        deletion_vectors=True,
+    )
+    t.delete(spark.createDataFrame([(3,), (25,)], "k int"))
+    export_delta_log(t)
+    got = read_delta_table(spark, t.path, predicate=[("k", ">=", 20)])
+    ks = sorted(r.k for r in got.collect())
+    assert ks == [k for k in range(20, 40) if k != 25]
+
+
+def test_bad_predicate_refuses(spark, tmp_path):
+    root = str(tmp_path / "dl")
+    _foreign_stats_log(root)
+    with pytest.raises(ValueError, match="unsupported predicate op"):
+        read_delta_table(spark, root, predicate=[("k", "!=", 3)])
