@@ -1825,18 +1825,23 @@ def _identity_partition_names(meta: dict) -> dict[str, list[str]]:
 
 def _interval_can_match(fmin, fmax, op: str, val) -> bool:
     """Can a file whose column values lie in [fmin, fmax] hold a row
-    satisfying ``col <op> val``? False = provably disjoint = prune."""
-    if op == "=":
-        return fmin <= val <= fmax
-    if op == "in":
-        return any(fmin <= v <= fmax for v in val)
-    if op == "<":
-        return fmin < val
-    if op == "<=":
-        return fmin <= val
-    if op == ">":
-        return fmax > val
-    return fmax >= val  # ">="
+    satisfying ``col <op> val``? False = provably disjoint = prune.
+    A type-mismatched comparison (e.g. a string predicate value
+    against int bounds) proves nothing — scan conservatively."""
+    try:
+        if op == "=":
+            return fmin <= val <= fmax
+        if op == "in":
+            return any(fmin <= v <= fmax for v in val)
+        if op == "<":
+            return fmin < val
+        if op == "<=":
+            return fmin <= val
+        if op == ">":
+            return fmax > val
+        return fmax >= val  # ">="
+    except TypeError:
+        return True
 
 
 def _entry_can_match(
@@ -2346,12 +2351,25 @@ def read_iceberg_table(
             )
             return base.filter(F.lit(False))
         entries = kept
+    if conjuncts and deletes:
+        # FILE-SCOPED delete entries (v3 DVs and stamped v2 parquet)
+        # name their one data file: entries referencing pruned-away
+        # files are dropped before any blob fetch/decode — the delete
+        # side prunes with the data side. Table-scoped entries (no
+        # field 143) stay; their rows for pruned files just never
+        # match the anti-join.
+        kept_paths = {e["data_file"]["file_path"] for e in entries}
+        deletes = [
+            d
+            for d in deletes
+            if not d["data_file"].get("referenced_data_file")
+            or d["data_file"]["referenced_data_file"] in kept_paths
+        ]
     files = [
         _resolve(table_path, e["data_file"]["file_path"]) for e in entries
     ]
     df = spark.read.parquet(*files)
     if deletes:
-        # deletes referencing pruned-away files simply never match
         df = _apply_pos_deletes(spark, df, entries, deletes, table_path)
     if eq_deletes:
         df = _apply_eq_deletes(

@@ -363,3 +363,53 @@ def test_null_identity_partition_prunes():
     # absent key (older spec) stays conservative
     assert _entry_can_match({"partition": {}}, [("g", "=", "a")],
                             fields, ident)
+
+
+def test_pruning_skips_pruned_files_dv_fetch(spark, tmp_path):
+    """File-scoped delete entries (v3 DVs) referencing pruned-away
+    data files are dropped BEFORE any blob fetch: with partition b's
+    Puffin container deleted from disk, the pruned read of partition a
+    still serves, while an unpruned read (which must apply b's DV)
+    fails loudly."""
+    from hudi_and_delta_showcase_spark.tables.iceberg_meta import (
+        _snapshot_entries,
+        iceberg_snapshots,
+    )
+
+    t = _part_table(spark, str(tmp_path / "t"), dv=True)
+    t.delete(
+        spark.createDataFrame([(3, "a"), (25, "b")], "k int, g string")
+    )
+    export_iceberg_metadata(t, format_version=3)
+    snaps = iceberg_snapshots(t.path)
+    _, pos, _eq = _snapshot_entries(t.path, snaps[-1], with_deletes=True)
+    b_puffins = {
+        e["data_file"]["file_path"]
+        for e in pos
+        if "=b/" in (e["data_file"].get("referenced_data_file") or "")
+    }
+    assert b_puffins, "partition b must have its own DV container"
+    for p in b_puffins:
+        os.remove(p)
+    pruned = read_iceberg_table(
+        spark, t.path, predicate=[("g", "=", "a")]
+    )
+    assert _ktuples(pruned) == [
+        (k, "a") for k in range(20) if k != 3
+    ]
+    with pytest.raises(Exception):
+        read_iceberg_table(spark, t.path).collect()
+
+
+def test_type_mismatched_predicate_scans_conservatively():
+    """A predicate value whose type cannot compare against the
+    recorded bounds proves nothing — keep the file, never crash."""
+    assert _interval_can_match(1, 10, "=", "seven")
+    assert _interval_can_match("a", "z", ">", 5)
+    fields = {"k": {"id": 1, "name": "k", "type": "int"}}
+    entry = {
+        "partition": {},
+        "lower_bounds": [{"key": 1, "value": b"\x01\x00\x00\x00"}],
+        "upper_bounds": [{"key": 1, "value": b"\x0a\x00\x00\x00"}],
+    }
+    assert _entry_can_match(entry, [("k", "=", "seven")], fields, {})

@@ -437,3 +437,50 @@ def test_iceberg_v3_dv_read_keeps_pushdown(spark, tmp_path):
     assert re.search(r"PushedFilters: \[[^\]]*k", plan)
     assert "BroadcastHashJoin" in plan and "LeftAnti" in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_pruned_iceberg_read_keeps_pushdown(spark, tmp_path):
+    """r10: the predicate that pruned the manifest ALSO reaches the
+    parquet scan of the surviving files — file pruning and row-group
+    skipping compose, never trade off."""
+    from hudi_and_delta_showcase_spark.tables import LakehouseTable
+    from hudi_and_delta_showcase_spark.tables.iceberg_meta import (
+        export_iceberg_metadata,
+        read_iceberg_table,
+    )
+
+    df = spark.createDataFrame(
+        [(k, f"v{k}", "a" if k < 20 else "b") for k in range(40)],
+        "k int, v string, g string",
+    ).coalesce(2)
+    t = LakehouseTable.create(
+        spark, str(tmp_path / "t"), df, key_cols=["k"], partition_by="g"
+    )
+    export_iceberg_metadata(t)
+    got = read_iceberg_table(
+        spark, t.path, predicate=[("g", "=", "a"), ("k", "<", 5)]
+    )
+    plan = _formatted_plan(got)
+    assert re.search(r"PushedFilters: \[[^\]]*k", plan)
+    assert re.search(r"PushedFilters: \[[^\]]*g", plan)
+    assert len(got.inputFiles()) == 1
+
+
+def test_pruned_delta_read_keeps_pushdown(spark, tmp_path):
+    """r10: same composition for the _delta_log predicate read."""
+    from hudi_and_delta_showcase_spark.tables import LakehouseTable
+    from hudi_and_delta_showcase_spark.tables.delta_log import (
+        export_delta_log,
+        read_delta_table,
+    )
+
+    df = spark.createDataFrame(
+        [(k, f"v{k}") for k in range(40)], "k int, v string"
+    ).coalesce(2)
+    t = LakehouseTable.create(spark, str(tmp_path / "t"), df, key_cols=["k"])
+    export_delta_log(t)
+    full = read_delta_table(spark, t.path)
+    got = read_delta_table(spark, t.path, predicate=[("k", "<", 5)])
+    plan = _formatted_plan(got)
+    assert re.search(r"PushedFilters: \[[^\]]*k", plan)
+    assert len(got.inputFiles()) < len(full.inputFiles())
