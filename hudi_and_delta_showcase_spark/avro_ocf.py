@@ -189,6 +189,40 @@ def _union_branch(schema: list, v: Any) -> int:
         for name in wanted:
             if name in schema:
                 return schema.index(name)
+    if isinstance(v, dict):
+        # record branches (e.g. Hudi's col-stats value WRAPPERS —
+        # BooleanWrapper/LongWrapper/... each a one-field record):
+        # match on the field-name set, then discriminate same-shaped
+        # wrappers by the Python type of each field value
+        recs = [
+            (i, s)
+            for i, s in enumerate(schema)
+            if isinstance(s, dict) and s.get("type") == "record"
+        ]
+        shaped = [
+            (i, s)
+            for i, s in recs
+            if {f["name"] for f in s["fields"]} == set(v.keys())
+        ]
+        if len(shaped) == 1:
+            return shaped[0][0]
+
+        def _fields_accept(s: dict) -> bool:
+            for f in s["fields"]:
+                ft = f["type"]
+                prim = ft if isinstance(ft, str) else (
+                    ft.get("type") if isinstance(ft, dict) else None
+                )
+                want = prefs.get(type(v[f["name"]]))
+                if want and prim not in want:
+                    return False
+            return True
+
+        for i, s in shaped:
+            if _fields_accept(s):
+                return i
+        if shaped:
+            return shaped[0][0]
     return non_null[0]
 
 

@@ -261,6 +261,10 @@ PRIORITY: tuple[str, ...] = (
     # exported stats (numRecords/minValues/maxValues now stamped by
     # export_delta_log), same files-shrank proof column
     "delta_pruned_read",
+    # r10: the .hoodie leg of the pruning triad — export writes a real
+    # .hoodie/metadata table (files + column_stats), the read prunes
+    # base files on its per-file bounds, same files-shrank proof column
+    "hoodie_pruned_read",
     # late r7: Delta DV EXPORT — live engine DVs render as real
     # RoaringBitmapArray bins + protocol 3/7, zero materialization
     "delta_dv_export_roundtrip",

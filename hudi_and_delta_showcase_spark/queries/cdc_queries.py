@@ -908,6 +908,57 @@ def iceberg_pruned_read(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "hoodie_pruned_read",
+    oracle="""
+    SELECT event_id, user_id, ts, event_type, value, TRUE AS pruned
+    FROM events
+    WHERE event_type = 'view' AND user_id <= 75
+    """,
+    tags=("cdc", "hoodie", "source", "pruning"),
+)
+def hoodie_pruned_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Col-stats file pruning on a foreign Hudi read (r10, the
+    ``.hoodie`` leg of the pruning triad): the events table lands
+    partitioned by event_type, exports a real timeline PLUS a real
+    ``.hoodie/metadata`` table (``files`` + ``column_stats`` partitions
+    stamped from the manifest's col-stats/row-count indexes —
+    metadata-only), and the read takes a PREDICATE that prunes base
+    files on the metadata table's per-file bounds before the scan —
+    Hudi's col-stats data-skipping discipline against the raw layout,
+    reducing a filtered 100 TB foreign table to O(matching files).
+    ``pruned`` carries the proof through the oracle: TRUE only when
+    the pruned file list is strictly smaller than the snapshot's
+    (reference: the metadata-driven read discipline the showcase
+    delegates to its table formats, README.md:1235-1240)."""
+    from hudi_and_delta_showcase_spark.tables.hoodie_metadata import (
+        export_hoodie_metadata,
+    )
+    from hudi_and_delta_showcase_spark.tables.hoodie_timeline import (
+        export_hoodie_timeline,
+        read_hoodie_table,
+    )
+
+    events = load_table(spark, sf_dir, "events").select(*_FINAL_COLS)
+    path = tempfile.mkdtemp(prefix="hoodie_prune_") + "/events_ht"
+    t = LakehouseTable.create(
+        spark, path, events,
+        key_cols=["event_id"], precombine="ts",
+        partition_by="event_type",
+    )
+    export_hoodie_timeline(t)
+    export_hoodie_metadata(t)
+    full_files = len(read_hoodie_table(spark, path).inputFiles())
+    pruned = read_hoodie_table(
+        spark, path,
+        predicate=[("event_type", "=", "view"), ("user_id", "<=", 75)],
+    )
+    is_pruned = len(pruned.inputFiles()) < full_files
+    return pruned.select(*_FINAL_COLS).withColumn(
+        "pruned", F.lit(is_pruned)
+    )
+
+
+@query(
     "cdc_row_tracking_stability",
     oracle=f"""
     SELECT user_id,

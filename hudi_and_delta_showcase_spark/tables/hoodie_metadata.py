@@ -65,6 +65,46 @@ def _completed_metadata_instants(md_root: str) -> frozenset[str] | None:
     return frozenset(out)
 
 
+def _partition_log_entries(
+    table_path: str, partition: str
+) -> list[tuple[str, list[dict], list[dict]]] | None:
+    """Surviving ``(instant, records, deletes)`` triples of one
+    metadata-table partition's log slices, in log order — or None when
+    the caller must fall back: no metadata table, a COMPACTED partition
+    (HFile is the default compaction format, an HBase codec beyond
+    this reader), or anything else it cannot prove it decoded
+    correctly. Never guesses."""
+    from hudi_and_delta_showcase_spark.tables import hoodie_log as hl
+
+    part_dir = fsio.join(_metadata_root(table_path), partition)
+    if not fsio.isdir(part_dir):
+        return None
+    valid = _completed_metadata_instants(_metadata_root(table_path))
+    if not valid:
+        return None
+    logs: list[tuple[str, int, str]] = []  # (base_instant, version, path)
+    for fn in sorted(fsio.listdir(part_dir)):
+        info = hl.parse_log_file_name(fn)
+        if info is not None:
+            logs.append(
+                (info["base_instant"], info["version"],
+                 fsio.join(part_dir, fn))
+            )
+            continue
+        if fn.endswith((".hfile", ".parquet", ".orc")):
+            return None
+        # .hoodie_partition_metadata and other markers are inert
+    if not logs:
+        return None
+    out: list[tuple[str, list[dict], list[dict]]] = []
+    for _bi, _v, full in sorted(logs):
+        blob = fsio.read_bytes(full)
+        out.extend(
+            hl.resolve_log_blocks([blob], valid_instants=valid)
+        )
+    return out
+
+
 def read_hoodie_metadata_files(
     table_path: str,
 ) -> dict[str, dict[str, int]] | None:
@@ -73,58 +113,371 @@ def read_hoodie_metadata_files(
     timeline replay / listing: no metadata table, an HFile-compacted
     files partition, or anything else this reader cannot prove it
     decoded correctly. Never guesses."""
-    from hudi_and_delta_showcase_spark.tables import hoodie_log as hl
-
-    files_dir = fsio.join(_metadata_root(table_path), "files")
-    if not fsio.isdir(files_dir):
-        return None
-    valid = _completed_metadata_instants(_metadata_root(table_path))
-    if not valid:
-        return None
-    logs: list[tuple[str, int, str]] = []  # (base_instant, version, path)
-    for fn in sorted(fsio.listdir(files_dir)):
-        info = hl.parse_log_file_name(fn)
-        if info is not None:
-            logs.append(
-                (info["base_instant"], info["version"],
-                 fsio.join(files_dir, fn))
-            )
-            continue
-        if fn.endswith((".hfile", ".parquet", ".orc")):
-            # the files partition COMPACTED to a base file — HFile is
-            # its default compaction format, an HBase codec beyond
-            # this reader — fall back to replay/listing, never guess
-            return None
-        # .hoodie_partition_metadata and other markers are inert
-    if not logs:
+    entries = _partition_log_entries(table_path, "files")
+    if entries is None:
         return None
     state: dict[str, dict[str, int]] = {}
-    for _bi, _v, full in sorted(logs):
-        blob = fsio.read_bytes(full)
-        for instant, records, dels in hl.resolve_log_blocks(
-            [blob], valid_instants=valid
-        ):
-            del instant
-            for d in dels:
-                # a tombstoned metadata record drops its whole
-                # partition entry (cleaner semantics)
-                key = d.get("recordKey")
-                state.pop("" if key == NON_PARTITIONED else key, None)
-            for rec in records:
-                key = rec.get("key")
-                fsmeta = rec.get("filesystemMetadata")
-                if key is None or key == ALL_PARTITIONS_KEY or not fsmeta:
-                    continue
-                part = "" if key == NON_PARTITIONED else key
-                bucket = state.setdefault(part, {})
-                # HoodieMetadataPayload merge: later wins per file,
-                # isDeleted removes
-                for name, inf in fsmeta.items():
-                    if inf.get("isDeleted"):
-                        bucket.pop(name, None)
-                    else:
-                        bucket[name] = int(inf.get("size") or 0)
+    for _instant, records, dels in entries:
+        for d in dels:
+            # a tombstoned metadata record drops its whole
+            # partition entry (cleaner semantics)
+            key = d.get("recordKey")
+            state.pop("" if key == NON_PARTITIONED else key, None)
+        for rec in records:
+            key = rec.get("key")
+            fsmeta = rec.get("filesystemMetadata")
+            if key is None or key == ALL_PARTITIONS_KEY or not fsmeta:
+                continue
+            part = "" if key == NON_PARTITIONED else key
+            bucket = state.setdefault(part, {})
+            # HoodieMetadataPayload merge: later wins per file,
+            # isDeleted removes
+            for name, inf in fsmeta.items():
+                if inf.get("isDeleted"):
+                    bucket.pop(name, None)
+                else:
+                    bucket[name] = int(inf.get("size") or 0)
     return state
+
+
+def _unwrap(v):
+    """Hudi wraps col-stats min/max in one-field WRAPPER records
+    (BooleanWrapper/IntWrapper/.../StringWrapper, each ``{value: x}``)
+    so the union carries a type tag; generic union decode surfaces them
+    as single-key dicts. Unwrap; anything else passes through."""
+    if isinstance(v, dict) and set(v) == {"value"}:
+        return v["value"]
+    return v
+
+
+def read_hoodie_metadata_col_stats(
+    table_path: str,
+) -> dict[str, dict[str, dict]] | None:
+    """``.hoodie/metadata/column_stats`` ->
+    ``{file name: {column: {min, max, null_count, value_count}}}``, or
+    None when the caller must scan unpruned (no col-stats partition, an
+    HFile-compacted one, ...). Hudi's HoodieMetadataColumnStats records
+    key stats by (fileName, columnName) inside the VALUE — the hashed
+    record key is a point-lookup artifact this full-partition read
+    never needs. Merge is later-wins per (file, column); ``isDeleted``
+    removes. File names are unique table-wide under Hudi's uuid
+    file-group naming, so the map keys on base name alone."""
+    entries = _partition_log_entries(table_path, "column_stats")
+    if entries is None:
+        return None
+    state: dict[str, dict[str, dict]] = {}
+    for _instant, records, _dels in entries:
+        # delete records carry only the hashed key — unmappable to a
+        # (file, column) pair; real removals arrive as isDeleted stats
+        for rec in records:
+            cs = rec.get("ColumnStatsMetadata")
+            if not cs:
+                continue
+            fname, col = cs.get("fileName"), cs.get("columnName")
+            if not fname or not col:
+                continue
+            if cs.get("isDeleted"):
+                cols = state.get(fname)
+                if cols is not None:
+                    cols.pop(col, None)
+                    if not cols:
+                        del state[fname]
+                continue
+            state.setdefault(fname, {})[col] = {
+                "min": _unwrap(cs.get("minValue")),
+                "max": _unwrap(cs.get("maxValue")),
+                "null_count": cs.get("nullCount"),
+                "value_count": cs.get("valueCount"),
+            }
+    return state
+
+
+def stats_entry(
+    stats: dict[str, dict[str, dict]], path: str
+) -> dict[str, dict] | None:
+    """Col-stats lookup for a table-relative file path: full path first
+    (this engine's export key — partitioned engine layouts can repeat a
+    BASE name across partition directories), then the base name (real
+    Hudi metadata tables key base names, unique there under uuid
+    file-group naming)."""
+    return stats.get(path) or stats.get(path.rpartition("/")[2])
+
+
+def file_can_match(
+    fname: str, stats: dict[str, dict[str, dict]], conjuncts: list[tuple]
+) -> bool:
+    """Can the file hold a row satisfying every ``(col, op, value)``
+    conjunct, judged on its col-stats entry? False = provably disjoint
+    = prune. Files (or columns) without stats scan conservatively; an
+    all-null column (null_count == value_count) matches no comparison."""
+    from hudi_and_delta_showcase_spark.tables.iceberg_meta import (
+        _interval_can_match,
+    )
+
+    fstats = stats_entry(stats, fname)
+    if not fstats:
+        return True
+    for col, op, val in conjuncts:
+        st = fstats.get(col)
+        if st is None:
+            continue
+        vc, nc = st.get("value_count"), st.get("null_count")
+        if vc is not None and nc is not None and vc == nc:
+            return False
+        lo, hi = st.get("min"), st.get("max")
+        if lo is None or hi is None:
+            continue
+        if not _interval_can_match(lo, hi, op, val):
+            return False
+    return True
+
+
+#: wrapper records of HoodieMetadataColumnStats min/max unions — the
+#: subset of org.apache.hudi.avro.model wrapper types whose values this
+#: exporter emits (exact scalars only, mirroring the Delta exporter's
+#: ``_add_stats_json`` discipline)
+_WRAPPERS = [
+    {"type": "record", "name": "BooleanWrapper",
+     "fields": [{"name": "value", "type": "boolean"}]},
+    {"type": "record", "name": "IntWrapper",
+     "fields": [{"name": "value", "type": "int"}]},
+    {"type": "record", "name": "LongWrapper",
+     "fields": [{"name": "value", "type": "long"}]},
+    {"type": "record", "name": "FloatWrapper",
+     "fields": [{"name": "value", "type": "float"}]},
+    {"type": "record", "name": "DoubleWrapper",
+     "fields": [{"name": "value", "type": "double"}]},
+    {"type": "record", "name": "BytesWrapper",
+     "fields": [{"name": "value", "type": "bytes"}]},
+    {"type": "record", "name": "StringWrapper",
+     "fields": [{"name": "value", "type": "string"}]},
+]
+
+#: HoodieMetadataRecord writer schema for files-partition blocks
+FILES_SCHEMA = {
+    "namespace": "org.apache.hudi.avro.model",
+    "type": "record",
+    "name": "HoodieMetadataRecord",
+    "fields": [
+        {"name": "key", "type": "string"},
+        {"name": "type", "type": "int"},
+        {
+            "name": "filesystemMetadata",
+            "type": [
+                "null",
+                {
+                    "type": "map",
+                    "values": {
+                        "type": "record",
+                        "name": "HoodieMetadataFileInfo",
+                        "fields": [
+                            {"name": "size", "type": "long"},
+                            {"name": "isDeleted", "type": "boolean"},
+                        ],
+                    },
+                },
+            ],
+            "default": None,
+        },
+    ],
+}
+
+#: HoodieMetadataRecord writer schema for column_stats blocks. The
+#: min/max unions inline the SAME wrapper dicts twice (real Hudi
+#: schemas use by-name references; this engine's generic block decoder
+#: resolves inline definitions only, and union branch indexes — the
+#: wire — are identical either way)
+COL_STATS_SCHEMA = {
+    "namespace": "org.apache.hudi.avro.model",
+    "type": "record",
+    "name": "HoodieMetadataRecord",
+    "fields": [
+        {"name": "key", "type": "string"},
+        {"name": "type", "type": "int"},
+        {
+            "name": "ColumnStatsMetadata",
+            "type": [
+                "null",
+                {
+                    "type": "record",
+                    "name": "HoodieMetadataColumnStats",
+                    "fields": [
+                        {"name": "fileName", "type": ["null", "string"],
+                         "default": None},
+                        {"name": "columnName", "type": ["null", "string"],
+                         "default": None},
+                        {"name": "minValue",
+                         "type": ["null", *_WRAPPERS], "default": None},
+                        {"name": "maxValue",
+                         "type": ["null", *_WRAPPERS], "default": None},
+                        {"name": "valueCount", "type": ["null", "long"],
+                         "default": None},
+                        {"name": "nullCount", "type": ["null", "long"],
+                         "default": None},
+                        {"name": "isDeleted", "type": "boolean"},
+                    ],
+                },
+            ],
+            "default": None,
+        },
+    ],
+}
+
+
+def _wrap(v):
+    """Exact-scalar bound -> wrapper record dict (union branch picked
+    by the encoder from the value's Python type); None for bounds this
+    exporter does not emit (non-scalars, NaN, mixed bool/number)."""
+    if isinstance(v, bool):
+        return {"value": v}
+    if isinstance(v, (int, float, str, bytes)):
+        if isinstance(v, float) and v != v:
+            return None  # NaN bounds skip nothing safely
+        return {"value": v}
+    return None
+
+
+def _next_log_version(part_dir: str) -> int:
+    from hudi_and_delta_showcase_spark.tables import hoodie_log as hl
+
+    ver = 0
+    if fsio.isdir(part_dir):
+        for fn in fsio.listdir(part_dir):
+            info = hl.parse_log_file_name(fn)
+            if info is not None:
+                ver = max(ver, info["version"])
+    return ver + 1
+
+
+def export_hoodie_metadata(table) -> str | None:
+    """The metadata-table sibling of ``export_hoodie_timeline`` (r10):
+    materialize the engine table's CURRENT manifest state as a real
+    ``.hoodie/metadata`` MoR table — one deltacommit appending Avro log
+    blocks to the ``files`` partition (partition -> file -> size, with
+    ``isDeleted`` tombstones for files dropped since the last export)
+    and the ``column_stats`` partition (per-file min/max/null/value
+    counts straight from the manifest's col-stats and row-count
+    indexes — metadata-only, zero data IO). Foreign readers of the
+    exported timeline — including this engine's own
+    ``read_hoodie_table(predicate=...)`` — then list files in
+    O(partitions + live files) and prune scans on per-file bounds, the
+    exact job Hudi 0.14+'s metadata table does at 100 TB.
+
+    Divergences from a Hudi-written metadata table, both inert to
+    readers: record KEYS are readable ``column/file`` surrogates
+    rather than Hudi's hashed base64 point-lookup keys (full-partition
+    reads never consult them), and ``hoodie.properties`` does not
+    declare ``hoodie.table.metadata.partitions`` — a real Hudi reader
+    therefore ignores this tree entirely instead of half-trusting it.
+    Idempotent: re-exporting an unchanged table writes nothing.
+    Returns the deltacommit instant, or None for a no-op."""
+    from hudi_and_delta_showcase_spark.tables import hoodie_log as hl
+    from hudi_and_delta_showcase_spark.tables import manifest as mf
+
+    c = table._commit(None)
+    cur: dict[str, dict[str, int]] = {}
+    for f in c.files:
+        part, _, name = f.rpartition("/")
+        cur.setdefault(part, {})[name] = fsio.file_size(
+            fsio.join(table.path, f)
+        )
+    prev = read_hoodie_metadata_files(table.path) or {}
+    if prev == cur:
+        return None
+    md = _metadata_root(table.path)
+    files_dir = fsio.join(md, "files")
+    cs_dir = fsio.join(md, "column_stats")
+    fsio.makedirs(files_dir)
+    fsio.makedirs(cs_dir)
+    fsio.makedirs(fsio.join(md, ".hoodie"))
+    instant = mf.make_commit_time()
+
+    file_records: list[dict] = [{
+        "key": ALL_PARTITIONS_KEY,
+        "type": 1,
+        "filesystemMetadata": {
+            (p or NON_PARTITIONED): {"size": 0, "isDeleted": False}
+            for p in sorted(cur)
+        },
+    }]
+    for part in sorted(set(cur) | set(prev)):
+        fsmeta: dict[str, dict] = {}
+        live = cur.get(part, {})
+        for name, size in live.items():
+            fsmeta[name] = {"size": size, "isDeleted": False}
+        for name in prev.get(part, {}):
+            if name not in live:
+                fsmeta[name] = {"size": 0, "isDeleted": True}
+        file_records.append({
+            "key": part or NON_PARTITIONED,
+            "type": 2,
+            "filesystemMetadata": fsmeta,
+        })
+
+    prev_stats = read_hoodie_metadata_col_stats(table.path) or {}
+    # stats key on the table-RELATIVE path: a partitioned engine layout
+    # can repeat a base name across partition directories (real Hudi's
+    # uuid file-group names never collide, so its base-name keys are
+    # safe there; readers try full path first, then base name)
+    live_names = set(c.files)
+    cs_records: list[dict] = []
+    for f in sorted(c.files):
+        n_rows = c.row_counts.get(f)
+        for col, rng in sorted((c.col_stats.get(f) or {}).items()):
+            if col == "_hoodie_commit_seqno":
+                continue  # write-sequence bounds are pure noise
+            lo, hi = _wrap(rng[0]), _wrap(rng[1])
+            if lo is None or hi is None:
+                continue
+            if isinstance(lo["value"], bool) != isinstance(hi["value"], bool):
+                continue
+            cs_records.append({
+                "key": f"{col}/{f}",
+                "type": 3,
+                "ColumnStatsMetadata": {
+                    "fileName": f, "columnName": col,
+                    "minValue": lo, "maxValue": hi,
+                    "valueCount": None if n_rows is None else int(n_rows),
+                    "nullCount": None,
+                    "isDeleted": False,
+                },
+            })
+    for name, cols in sorted(prev_stats.items()):
+        if name in live_names:
+            continue
+        for col in sorted(cols):
+            cs_records.append({
+                "key": f"{col}/{name}",
+                "type": 3,
+                "ColumnStatsMetadata": {
+                    "fileName": name, "columnName": col,
+                    "minValue": None, "maxValue": None,
+                    "valueCount": None, "nullCount": None,
+                    "isDeleted": True,
+                },
+            })
+
+    hl.write_log_file(
+        fsio.join(files_dir, hl.log_file_name(
+            "files-0000", "00000000000000",
+            version=_next_log_version(files_dir),
+        )),
+        [hl.avro_data_block(file_records, FILES_SCHEMA, instant)],
+    )
+    if cs_records:
+        hl.write_log_file(
+            fsio.join(cs_dir, hl.log_file_name(
+                "col-stats-0000", "00000000000000",
+                version=_next_log_version(cs_dir),
+            )),
+            [hl.avro_data_block(cs_records, COL_STATS_SCHEMA, instant)],
+        )
+    # the completed instant lands LAST: a crash before this line leaves
+    # blocks that every reader skips as never-completed
+    fsio.write_atomic(
+        fsio.join(md, ".hoodie", f"{instant}.deltacommit"), "{}"
+    )
+    return instant
 
 
 def list_data_files(table_path: str) -> list[str] | None:

@@ -1,0 +1,314 @@
+"""Col-stats file pruning for foreign Hudi reads (r10, the Hudi leg of
+the pruning triad — verdict r8/r9 #7's deferred half):
+``export_hoodie_metadata`` materializes the engine manifest's col-stats
+and row-count indexes as a real ``.hoodie/metadata`` table (``files`` +
+``column_stats`` partitions), and ``read_hoodie_table(predicate=...)`` /
+``read_hoodie_table_rt(predicate=...)`` prune base files / file groups
+on those stats before the scan — files-read counts pinned pruned vs
+unpruned, conservativeness pinned where stats are missing."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+
+from hudi_and_delta_showcase_spark.tables import LakehouseTable, fsio
+from hudi_and_delta_showcase_spark.tables import hoodie_log as hl
+from hudi_and_delta_showcase_spark.tables import hoodie_metadata as hm
+from hudi_and_delta_showcase_spark.tables.hoodie_timeline import (
+    append_log_commit,
+    export_hoodie_timeline,
+    latest_file_slices_rt,
+    read_hoodie_table,
+    read_hoodie_table_rt,
+    write_hoodie_table,
+)
+
+
+def _engine_table(spark, path):
+    df = spark.createDataFrame(
+        [(k, f"v{k}", "a" if k < 20 else "b") for k in range(40)],
+        "k int, v string, g string",
+    ).coalesce(2)
+    t = LakehouseTable.create(
+        spark, path, df, key_cols=["k"], partition_by="g"
+    )
+    export_hoodie_timeline(t)
+    assert hm.export_hoodie_metadata(t) is not None
+    return t
+
+
+def _ktuples(df):
+    return sorted((r.k, r.g) for r in df.select("k", "g").collect())
+
+
+# ---------------------------------------------------------------------------
+# engine export: metadata-table state
+# ---------------------------------------------------------------------------
+
+
+def test_export_writes_files_and_col_stats_state(spark, tmp_path):
+    t = _engine_table(spark, str(tmp_path / "t"))
+    c = t._commit(None)
+    state = hm.read_hoodie_metadata_files(t.path)
+    assert state is not None
+    listed = {
+        f"{p}/{n}" if p else n for p, fs in state.items() for n in fs
+    }
+    assert listed == set(c.files)
+    # sizes come from the real files
+    for p, fs in state.items():
+        for n, size in fs.items():
+            rel = f"{p}/{n}" if p else n
+            assert size == fsio.file_size(fsio.join(t.path, rel))
+    stats = hm.read_hoodie_metadata_col_stats(t.path)
+    assert stats is not None
+    for f in c.files:
+        # engine exports key stats by RELATIVE path (partitioned
+        # layouts can repeat a base name across partition dirs)
+        assert stats[f]["k"]["min"] == c.col_stats[f]["k"][0]
+        assert stats[f]["k"]["max"] == c.col_stats[f]["k"][1]
+        assert stats[f]["g"]["min"] == c.col_stats[f]["g"][0]
+        assert stats[f]["k"]["value_count"] == c.row_counts[f]
+        # the write-sequence column's bounds are never exported
+        assert "_hoodie_commit_seqno" not in stats[f]
+
+
+def test_export_idempotent_and_tracks_upserts(spark, tmp_path):
+    t = _engine_table(spark, str(tmp_path / "t"))
+    assert hm.export_hoodie_metadata(t) is None  # unchanged: no-op
+    t.upsert(spark.createDataFrame([(1, "v1x", "a")],
+                                   "k int, v string, g string"))
+    export_hoodie_timeline(t)
+    assert hm.export_hoodie_metadata(t) is not None
+    c = t._commit(None)
+    state = hm.read_hoodie_metadata_files(t.path)
+    listed = {
+        f"{p}/{n}" if p else n for p, fs in state.items() for n in fs
+    }
+    assert listed == set(c.files)  # rewritten file gone, new file in
+    # dropped files' stats tombstoned away too
+    stats = hm.read_hoodie_metadata_col_stats(t.path)
+    assert set(stats) == set(c.files)
+
+
+# ---------------------------------------------------------------------------
+# pruned reads: file-count pins + value equivalence
+# ---------------------------------------------------------------------------
+
+
+def test_pruned_read_scans_fewer_files(spark, tmp_path):
+    t = _engine_table(spark, str(tmp_path / "t"))
+    full = read_hoodie_table(spark, t.path)
+    pruned = read_hoodie_table(
+        spark, t.path, predicate=[("g", "=", "a")]
+    )
+    assert len(pruned.inputFiles()) < len(full.inputFiles())
+    assert _ktuples(pruned) == [(k, "a") for k in range(20)]
+    assert _ktuples(pruned) == _ktuples(full.filter("g = 'a'"))
+    # bounds pruning on a non-partition column
+    pruned_k = read_hoodie_table(
+        spark, t.path, predicate=[("k", ">=", 25)]
+    )
+    assert len(pruned_k.inputFiles()) < len(full.inputFiles())
+    assert _ktuples(pruned_k) == [(k, "b") for k in range(25, 40)]
+
+
+def test_pruned_to_empty_is_schema_stable(spark, tmp_path):
+    t = _engine_table(spark, str(tmp_path / "t"))
+    full = read_hoodie_table(spark, t.path)
+    empty = read_hoodie_table(
+        spark, t.path, predicate=[("k", ">", 10_000)]
+    )
+    assert empty.count() == 0
+    assert empty.schema == full.schema
+
+
+def test_predicate_without_metadata_table_scans_all(spark, tmp_path):
+    """No metadata table -> no pruning, but the row filter still
+    applies (conservative fallback, never an error)."""
+    root = str(tmp_path / "ht")
+    df = spark.createDataFrame(
+        [(1, "a"), (2, "b")], "k long, v string"
+    )
+    write_hoodie_table(df.coalesce(1), root)
+    out = read_hoodie_table(spark, root, predicate=[("k", "=", 2)])
+    assert [(r.k, r.v) for r in out.collect()] == [(2, "b")]
+
+
+# ---------------------------------------------------------------------------
+# foreign golden: Hudi wrapper unions, all-null columns, isDeleted merge
+# ---------------------------------------------------------------------------
+
+
+def _write_cs_commit(root, instant, records, version=1):
+    md = os.path.join(root, ".hoodie", "metadata")
+    cs = os.path.join(md, "column_stats")
+    os.makedirs(cs, exist_ok=True)
+    os.makedirs(os.path.join(md, ".hoodie"), exist_ok=True)
+    blob = hl.avro_data_block(records, hm.COL_STATS_SCHEMA, instant)
+    hl.write_log_file(
+        os.path.join(cs, hl.log_file_name(
+            "col-stats-0000", "00000000000000", version=version)),
+        [blob],
+    )
+    open(os.path.join(md, ".hoodie", f"{instant}.deltacommit"),
+         "w").close()
+
+
+def _cs(fname, col, mn, mx, vc=None, nc=None, deleted=False):
+    return {
+        "key": f"{col}/{fname}", "type": 3,
+        "ColumnStatsMetadata": {
+            "fileName": fname, "columnName": col,
+            "minValue": None if mn is None else {"value": mn},
+            "maxValue": None if mx is None else {"value": mx},
+            "valueCount": vc, "nullCount": nc, "isDeleted": deleted,
+        },
+    }
+
+
+def test_foreign_wrapper_decode_all_null_and_tombstone(tmp_path):
+    root = str(tmp_path / "ht")
+    _write_cs_commit(root, "001", [
+        _cs("f1.parquet", "k", 1, 9, vc=10, nc=0),
+        _cs("f1.parquet", "name", "alpha", "omega"),
+        _cs("f1.parquet", "score", 0.5, 2.5),
+        _cs("f1.parquet", "dead_col", None, None, vc=10, nc=10),
+    ], version=1)
+    # a later commit tombstones one column's stats and tightens another
+    _write_cs_commit(root, "002", [
+        _cs("f1.parquet", "score", None, None, deleted=True),
+        _cs("f1.parquet", "k", 2, 8, vc=10, nc=0),
+    ], version=2)
+    stats = hm.read_hoodie_metadata_col_stats(root)
+    assert stats["f1.parquet"]["k"] == {
+        "min": 2, "max": 8, "null_count": 0, "value_count": 10,
+    }
+    assert stats["f1.parquet"]["name"]["min"] == "alpha"
+    assert "score" not in stats["f1.parquet"]
+    # interval logic: int bounds prune, string bounds prune, the
+    # all-null column refutes every comparison
+    assert not hm.file_can_match("f1.parquet", stats, [("k", ">", 8)])
+    assert hm.file_can_match("f1.parquet", stats, [("k", "=", 5)])
+    assert not hm.file_can_match(
+        "f1.parquet", stats, [("name", "<", "aa")]
+    )
+    assert not hm.file_can_match(
+        "f1.parquet", stats, [("dead_col", "=", 1)]
+    )
+    # type-mismatched comparison proves nothing -> conservative
+    assert hm.file_can_match("f1.parquet", stats, [("k", "=", "x")])
+    # unknown file -> conservative
+    assert hm.file_can_match("other.parquet", stats, [("k", ">", 99)])
+
+
+def test_hfile_compacted_col_stats_fall_back(tmp_path):
+    root = str(tmp_path / "ht")
+    _write_cs_commit(root, "001", [_cs("f1.parquet", "k", 1, 9)])
+    cs = os.path.join(root, ".hoodie", "metadata", "column_stats")
+    open(os.path.join(
+        cs, "col-stats-0000_0-0-0_001.hfile"), "wb").write(b"HF")
+    assert hm.read_hoodie_metadata_col_stats(root) is None
+
+
+# ---------------------------------------------------------------------------
+# MoR realtime view: file-group granularity, conservative with logs
+# ---------------------------------------------------------------------------
+
+
+def _foreign_mor_tree(spark, root):
+    """Two base file groups; group A gets a log update raising one
+    row's sq to 150. Col stats cover both bases; the log file's stats
+    arrive (or not) per test."""
+    from hudi_and_delta_showcase_spark.avro_ocf import spark_schema_to_avro
+
+    base = spark.createDataFrame(
+        [(1, "a", 100), (2, "b", 100), (11, "x", 100), (12, "y", 100)],
+        "k long, v string, sq long",
+    ).repartitionByRange(2, "k")
+    write_hoodie_table(base, root)
+    slices = latest_file_slices_rt(root)
+    by_min = {}
+    for fid, s in slices.items():
+        ks = [
+            r.k for r in spark.read.parquet(
+                fsio.join(root, s["base"])).collect()
+        ]
+        by_min[min(ks)] = (fid, s)
+    fid_a, s_a = by_min[1]
+    schema = spark_schema_to_avro(base.schema)
+    append_log_commit(
+        root, fid_a, s_a["base_instant"],
+        [{"k": 2, "v": "b2", "sq": 150}], schema,
+    )
+    slices = latest_file_slices_rt(root)
+    log_a = slices[fid_a]["logs"][0].rpartition("/")[2]
+    base_a = s_a["base"].rpartition("/")[2]
+    base_b = by_min[11][1]["base"].rpartition("/")[2]
+    return base_a, log_a, base_b
+
+
+def test_rt_group_pruning_conservative_then_pruned(spark, tmp_path):
+    root = str(tmp_path / "ht")
+    base_a, log_a, base_b = _foreign_mor_tree(spark, root)
+    # stats for both bases only: group A's log has NO stats, so a
+    # predicate disjoint with base A must still scan group A
+    _write_cs_commit(root, "0md1", [
+        _cs(base_a, "sq", 100, 100, vc=2, nc=0),
+        _cs(base_b, "sq", 100, 100, vc=2, nc=0),
+    ], version=1)
+    rt = read_hoodie_table_rt(
+        spark, root, key_fields=["k"], precombine="sq",
+        predicate=[("sq", ">", 120)],
+    )
+    got = sorted((r.k, r.v, r.sq) for r in rt.collect())
+    assert got == [(2, "b2", 150)]  # the log row survives the filter
+    assert any(base_a in f for f in rt.inputFiles())
+    # now the log file's stats land too: group B (base-only, disjoint)
+    # prunes; group A stays because its log CAN match
+    _write_cs_commit(root, "0md2", [
+        _cs(log_a, "sq", 150, 150, vc=1, nc=0),
+    ], version=2)
+    rt2 = read_hoodie_table_rt(
+        spark, root, key_fields=["k"], precombine="sq",
+        predicate=[("sq", ">", 120)],
+    )
+    got2 = sorted((r.k, r.v, r.sq) for r in rt2.collect())
+    assert got2 == [(2, "b2", 150)]
+    assert not any(base_b in f for f in rt2.inputFiles())
+    # fully disjoint predicate: every group prunes, one base survives
+    # as the schema anchor, result is empty but schema-stable
+    rt3 = read_hoodie_table_rt(
+        spark, root, key_fields=["k"], precombine="sq",
+        predicate=[("sq", ">", 9000)],
+    )
+    assert rt3.count() == 0
+    assert rt3.schema == rt2.schema
+
+
+def test_rt_post_merge_filter_not_pre_merge(spark, tmp_path):
+    """A log update that moves a row OUT of the predicate range must
+    shadow the in-range base row — pinned by filtering post-merge."""
+    from hudi_and_delta_showcase_spark.avro_ocf import spark_schema_to_avro
+
+    root = str(tmp_path / "ht")
+    base = spark.createDataFrame(
+        [(1, "a", 100), (2, "b", 100)], "k long, v string, sq long"
+    )
+    write_hoodie_table(base.coalesce(1), root)
+    ((fid, s),) = latest_file_slices_rt(root).items()
+    schema = spark_schema_to_avro(base.schema)
+    append_log_commit(
+        root, fid, s["base_instant"],
+        [{"k": 1, "v": "moved", "sq": 500}], schema,
+    )
+    out = read_hoodie_table_rt(
+        spark, root, key_fields=["k"], precombine="sq",
+        predicate=[("sq", "<=", 100)],
+    )
+    got = sorted((r.k, r.v) for r in out.collect())
+    # k=1's latest version has sq=500: excluded; the stale base row
+    # (sq=100) must NOT resurrect
+    assert got == [(2, "b")]
