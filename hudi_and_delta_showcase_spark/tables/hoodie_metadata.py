@@ -232,6 +232,109 @@ def file_can_match(
     return True
 
 
+#: key generators whose hive-style partition path VALUE is the
+#: column's own string representation (identity — no transform), so a
+#: ``col=value`` path segment is trustworthy for pruning. Timestamp /
+#: custom generators transform the source column into the path (e.g.
+#: ``ts=2024-01-01`` from a full timestamp) — pruning on those would
+#: wrongly drop files, so they never prune by path.
+_IDENTITY_KEYGENS = frozenset({
+    "SimpleKeyGenerator", "SimpleAvroKeyGenerator",
+    "ComplexKeyGenerator", "ComplexAvroKeyGenerator",
+    "NonpartitionedKeyGenerator", "NonpartitionedAvroKeyGenerator",
+})
+
+#: Hive's marker segment value for a null partition value
+HIVE_DEFAULT_PARTITION = "__HIVE_DEFAULT_PARTITION__"
+
+
+def hive_path_pruning_ok(props: dict[str, str]) -> bool:
+    """Partition-path pruning is safe only under a declared
+    identity key generator (``hoodie.table.keygenerator.class`` in
+    ``hoodie.properties``). Absent or unknown generators never prune
+    by path — col-stats pruning still applies either way."""
+    kg = props.get("hoodie.table.keygenerator.class", "")
+    return kg.rsplit(".", 1)[-1] in _IDENTITY_KEYGENS
+
+
+def partition_path_values(relpath: str) -> dict[str, str | None]:
+    """Hive-style ``col=value`` segments of a file's partition path ->
+    {column: string value} (None = the hive null marker). Non-hive
+    segments (date-tree layouts like ``2024/01/01``) contribute
+    nothing — they carry no column binding to prune on."""
+    from urllib.parse import unquote
+
+    out: dict[str, str | None] = {}
+    for seg in relpath.split("/")[:-1]:
+        k, eq, v = seg.partition("=")
+        if eq and k:
+            out[unquote(k)] = (
+                None if v == HIVE_DEFAULT_PARTITION else unquote(v)
+            )
+    return out
+
+
+def _typed_path_value(pv: str, like):
+    """Partition path values are strings; compare in the predicate
+    value's type when the string parses cleanly, else prove nothing."""
+    if isinstance(like, bool):
+        return None  # 'true'/'True' casing ambiguity: never prune
+    try:
+        if isinstance(like, int):
+            return int(pv)
+        if isinstance(like, float):
+            return float(pv)
+    except ValueError:
+        return None
+    return pv if isinstance(like, str) else None
+
+
+def path_can_match(relpath: str, conjuncts: list[tuple]) -> bool:
+    """Can a file under this hive-style partition path hold a matching
+    row? Every row of the file carries the segment's exact column
+    value (identity key generator — gate with ``hive_path_pruning_ok``
+    before trusting this), so a disjoint comparison prunes the file;
+    columns not bound by the path scan conservatively."""
+    from hudi_and_delta_showcase_spark.tables.iceberg_meta import (
+        _interval_can_match,
+    )
+
+    values = partition_path_values(relpath)
+    if not values:
+        return True
+    for col, op, val in conjuncts:
+        if col not in values:
+            continue
+        pv = values[col]
+        if pv is None:
+            return False  # all rows null in this column: no comparison
+        like = val[0] if op == "in" and isinstance(val, list) else val
+        typed = _typed_path_value(pv, like)
+        if typed is None:
+            continue
+        if not _interval_can_match(typed, typed, op, val):
+            return False
+    return True
+
+
+def file_provably_disjoint(
+    relpath: str,
+    stats: dict[str, dict[str, dict]],
+    conjuncts: list[tuple],
+    hive_ok: bool,
+) -> bool:
+    """One file's prune verdict, combining both metadata sources: the
+    hive-style partition path (when the key generator makes it
+    trustworthy) and the metadata table's col-stats entry (when one
+    exists). Either one proving disjointness prunes; neither proving
+    anything scans."""
+    if hive_ok and not path_can_match(relpath, conjuncts):
+        return True
+    if stats and stats_entry(stats, relpath) is not None:
+        return not file_can_match(relpath, stats, conjuncts)
+    return False
+
+
 #: wrapper records of HoodieMetadataColumnStats min/max unions — the
 #: subset of org.apache.hudi.avro.model wrapper types whose values this
 #: exporter emits (exact scalars only, mirroring the Delta exporter's

@@ -264,11 +264,17 @@ def _latest_file_slices(
     return {fid: p for fid, (_, p) in slices.items()}
 
 
-def _col_stats_pruning(path: str, predicate) -> tuple[list[tuple], dict]:
+def _col_stats_pruning(
+    path: str, predicate
+) -> tuple[list[tuple], dict, bool]:
     """Shared predicate plumbing for the foreign Hudi read paths (r10):
-    normalized ``(col, op, value)`` conjuncts plus the metadata table's
+    normalized ``(col, op, value)`` conjuncts, the metadata table's
     ``column_stats`` state ({} when absent/compacted — scan unpruned,
-    never guess). Stats are per immutable file, so they prune
+    never guess), and whether hive-style PARTITION-PATH pruning is
+    trustworthy (identity key generator declared in
+    ``hoodie.properties`` — the common real-table case, where the
+    opt-in col-stats index is usually absent but ``col=value`` paths
+    prune for free). Stats are per immutable file, so they prune
     time-travel reads just as safely: a file absent from the current
     stats simply scans conservatively."""
     from hudi_and_delta_showcase_spark.tables import hoodie_metadata as hm
@@ -278,9 +284,11 @@ def _col_stats_pruning(path: str, predicate) -> tuple[list[tuple], dict]:
 
     conjuncts = _normalize_predicate(predicate) if predicate else []
     stats: dict = {}
+    hive_ok = False
     if conjuncts:
         stats = hm.read_hoodie_metadata_col_stats(path) or {}
-    return conjuncts, stats
+        hive_ok = hm.hive_path_pruning_ok(read_properties(path))
+    return conjuncts, stats, hive_ok
 
 
 def read_hoodie_table(
@@ -314,11 +322,12 @@ def read_hoodie_table(
     )
     if not files:
         raise FileNotFoundError(f"no completed commits under {path}")
-    conjuncts, stats = _col_stats_pruning(path, predicate)
+    conjuncts, stats, hive_ok = _col_stats_pruning(path, predicate)
     kept = files
-    if conjuncts and stats:
+    if conjuncts and (stats or hive_ok):
         kept = [
-            f for f in files if hm.file_can_match(f, stats, conjuncts)
+            f for f in files
+            if not hm.file_provably_disjoint(f, stats, conjuncts, hive_ok)
         ]
     if not kept:
         # every file provably disjoint: schema-stable empty result off
@@ -645,19 +654,17 @@ def read_hoodie_table_rt(
         precombine = props.get("hoodie.table.precombine.field") or None
 
     slices = latest_file_slices_rt(path, as_of_instant)
-    conjuncts, stats = _col_stats_pruning(path, predicate)
-    if conjuncts and stats:
+    conjuncts, stats, hive_ok = _col_stats_pruning(path, predicate)
+    if conjuncts and (stats or hive_ok):
 
         def _group_disjoint(s: dict) -> bool:
             names = ([s["base"]] if s["base"] else []) + list(s["logs"])
             if not names:
                 return False
-            for p in names:
-                if hm.stats_entry(stats, p) is None or hm.file_can_match(
-                    p, stats, conjuncts
-                ):
-                    return False
-            return True
+            return all(
+                hm.file_provably_disjoint(p, stats, conjuncts, hive_ok)
+                for p in names
+            )
 
         pruned = {
             fid: s for fid, s in slices.items() if not _group_disjoint(s)

@@ -214,6 +214,103 @@ def test_hfile_compacted_col_stats_fall_back(tmp_path):
 
 
 # ---------------------------------------------------------------------------
+# hive-style partition-path pruning (no col-stats index needed)
+# ---------------------------------------------------------------------------
+
+
+def test_partition_path_values_and_interval_logic():
+    vals = hm.partition_path_values(
+        "g=a/n=7/2024/01/x%20y=sp%20ace/fid_0-0-0_1.parquet"
+    )
+    assert vals == {"g": "a", "n": "7", "x y": "sp ace"}
+    assert hm.partition_path_values("fid_0-0-0_1.parquet") == {}
+    # the hive null marker refutes every comparison on that column
+    nulls = hm.partition_path_values(
+        "g=__HIVE_DEFAULT_PARTITION__/f.parquet"
+    )
+    assert nulls == {"g": None}
+    assert not hm.path_can_match(
+        "g=__HIVE_DEFAULT_PARTITION__/f.parquet", [("g", "=", "a")]
+    )
+    # typed comparison: int predicate vs string segment
+    assert not hm.path_can_match("n=7/f.parquet", [("n", ">", 10)])
+    assert hm.path_can_match("n=7/f.parquet", [("n", "<=", 10)])
+    # unparseable segment for the predicate's type proves nothing
+    assert hm.path_can_match("n=abc/f.parquet", [("n", ">", 10)])
+    # bool predicate values never prune (casing ambiguity)
+    assert hm.path_can_match("b=true/f.parquet", [("b", "=", False)])
+    # 'in' op uses the element type
+    assert not hm.path_can_match("n=7/f.parquet", [("n", "in", [1, 2])])
+    assert hm.path_can_match("n=2/f.parquet", [("n", "in", [1, 2])])
+
+
+def _hive_foreign_tree(tmp_path, keygen=
+                       "org.apache.hudi.keygen.SimpleKeyGenerator"):
+    """Hand-authored hive-partitioned foreign CoW tree: two partitions,
+    one base file each, one completed commit."""
+    import json
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    root = str(tmp_path / "ht")
+    i1 = "20240101000000001"
+    os.makedirs(os.path.join(root, ".hoodie"))
+    stats = {}
+    for part, ks in (("g=a", [1, 2]), ("g=b", [11, 12])):
+        os.makedirs(os.path.join(root, part))
+        rel = f"{part}/fid{part[-1]}_0-0-0_{i1}.parquet"
+        pq.write_table(
+            pa.table({
+                "k": pa.array(ks, pa.int64()),
+                "v": pa.array([f"v{k}" for k in ks]),
+                "g": pa.array([part[-1]] * len(ks)),
+            }),
+            os.path.join(root, rel),
+        )
+        stats[part] = [{"fileId": f"fid{part[-1]}", "path": rel,
+                        "prevCommit": "null", "numWrites": len(ks),
+                        "fileSizeInBytes": 1}]
+    meta = {"partitionToWriteStats": stats, "compacted": False,
+            "extraMetadata": {}, "operationType": "INSERT"}
+    with open(os.path.join(root, ".hoodie", f"{i1}.commit"), "w") as fh:
+        json.dump(meta, fh)
+    props = {
+        "hoodie.table.name": "ht",
+        "hoodie.table.type": "COPY_ON_WRITE",
+        "hoodie.table.keygenerator.class": keygen,
+    }
+    with open(os.path.join(root, ".hoodie", "hoodie.properties"),
+              "w") as fh:
+        fh.write("".join(f"{k}={v}\n" for k, v in props.items()))
+    return root
+
+
+def test_hive_path_pruning_identity_keygen(spark, tmp_path):
+    root = _hive_foreign_tree(tmp_path)
+    full = read_hoodie_table(spark, root)
+    pruned = read_hoodie_table(spark, root, predicate=[("g", "=", "a")])
+    assert len(pruned.inputFiles()) == 1 < len(full.inputFiles())
+    assert sorted((r.k, r.v) for r in pruned.collect()) == [
+        (1, "v1"), (2, "v2")
+    ]
+
+
+def test_hive_path_pruning_gated_on_keygen(spark, tmp_path):
+    """A timestamp key generator TRANSFORMS the column into the path —
+    its segments must never prune (the row filter still applies)."""
+    root = _hive_foreign_tree(
+        tmp_path,
+        keygen="org.apache.hudi.keygen.TimestampBasedKeyGenerator",
+    )
+    pruned = read_hoodie_table(spark, root, predicate=[("g", "=", "a")])
+    assert len(pruned.inputFiles()) == 2  # unpruned scan
+    assert sorted((r.k, r.v) for r in pruned.collect()) == [
+        (1, "v1"), (2, "v2")
+    ]
+
+
+# ---------------------------------------------------------------------------
 # MoR realtime view: file-group granularity, conservative with logs
 # ---------------------------------------------------------------------------
 
