@@ -265,6 +265,10 @@ PRIORITY: tuple[str, ...] = (
     # .hoodie/metadata table (files + column_stats), the read prunes
     # base files on its per-file bounds, same files-shrank proof column
     "hoodie_pruned_read",
+    # r10: the Iceberg leg of the incremental-pull triad — rows ADDED
+    # between two snapshots via parent-lineage walk, replace snapshots
+    # skipped, only contributing manifests opened
+    "iceberg_incremental_read",
     # late r7: Delta DV EXPORT — live engine DVs render as real
     # RoaringBitmapArray bins + protocol 3/7, zero materialization
     "delta_dv_export_roundtrip",

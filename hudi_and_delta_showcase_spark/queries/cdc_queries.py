@@ -908,6 +908,47 @@ def iceberg_pruned_read(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "iceberg_incremental_read",
+    oracle=f"""
+    SELECT event_id, user_id, ts, event_type, value, 'b2' AS batch
+    FROM events WHERE ts >= TIMESTAMP '{CUTOFF}'
+    """,
+    tags=("cdc", "iceberg", "source", "incremental"),
+)
+def iceberg_incremental_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Iceberg INCREMENTAL APPEND SCAN (r10 — the Iceberg leg of the
+    incremental-pull triad, next to Hudi's `cdc_incremental_pull` and
+    Delta's `cdc_delta_changes_tail`): daily-ingest shape — the
+    post-cutoff batch lands in a NEW partition (partition-scoped
+    routing touches no existing file, so the exported snapshot is a
+    real `append`), then `read_iceberg_incremental` pulls exactly the
+    rows added after the first snapshot, opening only the manifests
+    the contributing snapshots added — O(changed files) metadata and
+    data IO on a 100 TB foreign table. Compaction (`replace`)
+    snapshots are skipped; `overwrite`/`delete` refuse loudly
+    (reference: the incremental-consumption pattern the showcase
+    demonstrates on Hudi, README.md:576)."""
+    from hudi_and_delta_showcase_spark.tables.iceberg_meta import (
+        export_iceberg_metadata,
+        iceberg_snapshots,
+        read_iceberg_incremental,
+    )
+
+    base, incr = _split(spark, sf_dir)
+    path = tempfile.mkdtemp(prefix="iceberg_incr_") + "/events_ice"
+    t = LakehouseTable.create(
+        spark, path, base.withColumn("batch", F.lit("b1")),
+        key_cols=["event_id"], precombine="ts", partition_by="batch",
+    )
+    t.upsert(incr.withColumn("batch", F.lit("b2")))
+    export_iceberg_metadata(t)
+    first = iceberg_snapshots(path)[0]["snapshot-id"]
+    return read_iceberg_incremental(
+        spark, path, from_snapshot_id=first
+    ).select(*_FINAL_COLS, "batch")
+
+
+@query(
     "hoodie_pruned_read",
     oracle="""
     SELECT event_id, user_id, ts, event_type, value, TRUE AS pruned
