@@ -269,6 +269,10 @@ PRIORITY: tuple[str, ...] = (
     # between two snapshots via parent-lineage walk, replace snapshots
     # skipped, only contributing manifests opened
     "iceberg_incremental_read",
+    # r10: the _delta_log leg — rows added in a version range of a raw
+    # log without CDF, dataChange=false (OPTIMIZE) versions skipped,
+    # data-removing versions refused toward read_delta_changes
+    "delta_incremental_read",
     # late r7: Delta DV EXPORT — live engine DVs render as real
     # RoaringBitmapArray bins + protocol 3/7, zero materialization
     "delta_dv_export_roundtrip",

@@ -949,6 +949,42 @@ def iceberg_incremental_read(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "delta_incremental_read",
+    oracle=f"""
+    SELECT event_id, user_id, ts, event_type, value, 'b2' AS batch
+    FROM events WHERE ts >= TIMESTAMP '{CUTOFF}'
+    """,
+    tags=("cdc", "delta", "source", "incremental"),
+)
+def delta_incremental_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Delta INCREMENTAL APPEND READ (r10 — the `_delta_log` leg of the
+    append-tail triad, for logs WITHOUT change data feed): same
+    daily-ingest shape as `iceberg_incremental_read` — the post-cutoff
+    batch lands in a new partition, `read_delta_incremental` pulls
+    exactly the rows its versions added, reading only those commits'
+    dataChange add actions — O(changed files) IO. Maintenance versions
+    (all dataChange=false, the exporter's new OPTIMIZE stamping) are
+    skipped; data-removing versions refuse loudly toward
+    `read_delta_changes`."""
+    from hudi_and_delta_showcase_spark.tables.delta_log import (
+        export_delta_log,
+        read_delta_incremental,
+    )
+
+    base, incr = _split(spark, sf_dir)
+    path = tempfile.mkdtemp(prefix="delta_incr_") + "/events_dl"
+    t = LakehouseTable.create(
+        spark, path, base.withColumn("batch", F.lit("b1")),
+        key_cols=["event_id"], precombine="ts", partition_by="batch",
+    )
+    t.upsert(incr.withColumn("batch", F.lit("b2")))
+    export_delta_log(t)
+    return read_delta_incremental(
+        spark, path, from_version=0
+    ).select(*_FINAL_COLS, "batch")
+
+
+@query(
     "hoodie_pruned_read",
     oracle="""
     SELECT event_id, user_id, ts, event_type, value, TRUE AS pruned

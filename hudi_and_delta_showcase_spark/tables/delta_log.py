@@ -830,6 +830,26 @@ def read_delta_table(
                 ]
             )
         files = kept
+    return _scan_adds(
+        spark, path, meta, schema, phys_schema, files, adds, conjuncts
+    )
+
+
+def _scan_adds(
+    spark, path, meta, schema, phys_schema, files, adds, conjuncts
+):
+    """The Delta scan engine shared by the snapshot and incremental
+    readers: physical-schema parquet scan of ``files``, partition
+    columns reconstructed from the authoritative per-add
+    ``partitionValues`` (hive path segments as fallback), live DVs
+    anti-joined, final projection to logical names, exact predicate
+    filters pushed into the scan."""
+    import pyspark.sql.functions as F
+
+    from hudi_and_delta_showcase_spark.tables.iceberg_meta import (
+        _predicate_filter,
+    )
+
     dvs = {
         f: a["deletionVector"]
         for f, a in adds.items()
@@ -962,6 +982,111 @@ def read_delta_table(
         # filters land on the logical columns and push into the scan
         df = _predicate_filter(df, conjuncts)
     return df
+
+
+def read_delta_incremental(
+    spark: SparkSession,
+    path: str,
+    from_version: int,
+    to_version: int | None = None,
+    predicate: list[tuple] | None = None,
+) -> DataFrame:
+    """Delta INCREMENTAL APPEND READ (r10 — the `_delta_log` leg of the
+    append-tail triad, for tables WITHOUT change data feed): the rows
+    added by versions after ``from_version`` (exclusive) up to
+    ``to_version`` (inclusive; None = latest) — delta-spark's streaming
+    source discipline against the raw protocol. Per version only that
+    commit's ``dataChange`` add actions are read — O(changed files) IO.
+    A version whose actions all carry ``dataChange=false`` (OPTIMIZE /
+    compaction) adds no logical rows and is SKIPPED; a version with a
+    ``dataChange`` remove, or an added file carrying a deletion vector,
+    REFUSES loudly (an append-only read cannot represent row removal —
+    use ``read_delta_changes`` on a CDF-enabled log instead).
+    ``predicate`` prunes the added files on partitionValues + stats
+    exactly like the snapshot read."""
+    from hudi_and_delta_showcase_spark.tables.iceberg_meta import (
+        _normalize_predicate,
+    )
+
+    versions = _list_versions(path)
+    if not versions:
+        raise FileNotFoundError(f"no _delta_log commits under {path}")
+    to_v = versions[-1] if to_version is None else to_version
+    if to_v not in versions:
+        raise ValueError(f"version {to_v} not in log (have {versions})")
+    if from_version < to_v and (from_version + 1) not in versions:
+        # the range's first commit already EXPIRED into a checkpoint:
+        # its adds are unrecoverable — fail like a streaming source
+        # with failOnDataLoss, never silently skip
+        raise ValueError(
+            f"version {from_version + 1} no longer in the log "
+            f"(have {versions}): incremental range unrecoverable"
+        )
+    meta, _files, _adds = _replay(path, to_v)  # schema + protocol guard
+    schema, phys_schema = _physical_schema(meta)
+    adds: dict[str, dict] = {}
+    for v in versions:
+        if not (from_version < v <= to_v):
+            continue
+        for line in fsio.read_text(_commit_file(path, v)).splitlines():
+            if not line.strip():
+                continue
+            action = json.loads(line)
+            if "add" in action and action["add"].get("dataChange"):
+                a = action["add"]
+                if a.get("deletionVector"):
+                    raise ValueError(
+                        f"version {v} adds a deletion-vector-bearing "
+                        "file: an append-only incremental read cannot "
+                        "represent row removal — use read_delta_changes"
+                    )
+                adds[a["path"]] = a
+            elif "remove" in action and action["remove"].get("dataChange"):
+                raise ValueError(
+                    f"version {v} removes/changes data: an append-only "
+                    "incremental read cannot represent it — use "
+                    "read_delta_changes on a CDF-enabled log"
+                )
+    if not adds:
+        raise ValueError(
+            f"no data files added in versions ({from_version}, {to_v}]"
+        )
+    files = sorted(adds)
+    conjuncts = _normalize_predicate(predicate) if predicate else []
+    if conjuncts:
+        import pyspark.sql.functions as F
+
+        phys_by_logical = {
+            l.name: f.name
+            for f, l in zip(phys_schema.fields, schema.fields)
+        }
+        lpart = meta.get("partitionColumns") or []
+        kept = [
+            f
+            for f in files
+            if _add_can_match(
+                adds.get(f, {}), conjuncts, lpart, phys_by_logical
+            )
+        ]
+        if not kept:
+            base = spark.read.schema(phys_schema).parquet(
+                fsio.join(path, files[0])
+            )
+            empty = base.filter(F.lit(False))
+            return empty.select(
+                *[
+                    (
+                        F.col(p.name)
+                        if p.dataType == l.dataType
+                        else F.col(p.name).cast(l.dataType)
+                    ).alias(l.name)
+                    for p, l in zip(phys_schema.fields, schema.fields)
+                ]
+            )
+        files = kept
+    return _scan_adds(
+        spark, path, meta, schema, phys_schema, files, adds, conjuncts
+    )
 
 
 #: r8 adds ``v2Checkpoint`` (UUID manifest + sidecars, `_read_checkpoint`)
@@ -1386,6 +1511,11 @@ def export_delta_log(table) -> int:
                 dv_descriptors = _author_dv_bins(
                     table, sorted(c.dv_files), sorted(dv_changed), v
                 )
+        # maintenance rewrites (optimize/compact/reorg-purge) leave the
+        # LOGICAL content unchanged: delta-spark stamps their actions
+        # dataChange=false, which is what keeps CDF reads and streaming
+        # sources from misreading a compaction as inserts (r10)
+        data_change = c.action not in ("optimize", "compact", "purge")
         for f in sorted((cur - prior_files) | dv_changed):
             mtime, size = fsio.stat_identity(fsio.join(table.path, f))
             if f in dv_changed and f in prior_files:
@@ -1394,7 +1524,7 @@ def export_delta_log(table) -> int:
                         "remove": {
                             "path": f,
                             "deletionTimestamp": now,
-                            "dataChange": True,
+                            "dataChange": data_change,
                         }
                     }
                 )
@@ -1405,7 +1535,7 @@ def export_delta_log(table) -> int:
                 "modificationTime": int(mtime / 1_000_000)
                 if not fsio.is_remote(table.path)
                 else int(mtime),
-                "dataChange": True,
+                "dataChange": data_change,
             }
             stats = _add_stats_json(c, f)
             if stats is not None:
@@ -1419,7 +1549,7 @@ def export_delta_log(table) -> int:
                     "remove": {
                         "path": f,
                         "deletionTimestamp": now,
-                        "dataChange": True,
+                        "dataChange": data_change,
                     }
                 }
             )
