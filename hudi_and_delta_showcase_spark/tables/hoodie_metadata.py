@@ -152,6 +152,7 @@ def _unwrap(v):
 
 def read_hoodie_metadata_col_stats(
     table_path: str,
+    columns: frozenset[str] | set[str] | None = None,
 ) -> dict[str, dict[str, dict]] | None:
     """``.hoodie/metadata/column_stats`` ->
     ``{file name: {column: {min, max, null_count, value_count}}}``, or
@@ -161,7 +162,11 @@ def read_hoodie_metadata_col_stats(
     record key is a point-lookup artifact this full-partition read
     never needs. Merge is later-wins per (file, column); ``isDeleted``
     removes. File names are unique table-wide under Hudi's uuid
-    file-group naming, so the map keys on base name alone."""
+    file-group naming, so the map keys on base name alone. ``columns``
+    restricts RETENTION to the named columns (pruning only needs the
+    predicate's columns — at millions of files × tens of columns the
+    full map is pointless driver memory; the decode cost is per-record
+    either way)."""
     entries = _partition_log_entries(table_path, "column_stats")
     if entries is None:
         return None
@@ -175,6 +180,8 @@ def read_hoodie_metadata_col_stats(
                 continue
             fname, col = cs.get("fileName"), cs.get("columnName")
             if not fname or not col:
+                continue
+            if columns is not None and col not in columns:
                 continue
             if cs.get("isDeleted"):
                 cols = state.get(fname)

@@ -286,7 +286,9 @@ def _col_stats_pruning(
     stats: dict = {}
     hive_ok = False
     if conjuncts:
-        stats = hm.read_hoodie_metadata_col_stats(path) or {}
+        stats = hm.read_hoodie_metadata_col_stats(
+            path, columns={c for c, _op, _v in conjuncts}
+        ) or {}
         hive_ok = hm.hive_path_pruning_ok(read_properties(path))
     return conjuncts, stats, hive_ok
 

@@ -1786,8 +1786,81 @@ _PRUNE_UNPACK = {
 _PRED_OPS = ("=", "<", "<=", ">", ">=", "in")
 
 
+#: one SQL literal: single-quoted string ('' escapes ') or a number
+_SQL_VAL = r"('(?:[^']|'')*'|-?\d+(?:\.\d+)?)"
+_SQL_CMP = re.compile(
+    rf"^\s*([A-Za-z_][\w]*)\s*(<=|>=|=|<|>)\s*{_SQL_VAL}\s*$"
+)
+_SQL_IN = re.compile(
+    rf"^\s*([A-Za-z_][\w]*)\s+[Ii][Nn]\s*\("
+    rf"(\s*{_SQL_VAL}(?:\s*,\s*{_SQL_VAL})*\s*)\)\s*$"
+)
+
+
+def _sql_literal(tok: str):
+    if tok.startswith("'"):
+        return tok[1:-1].replace("''", "'")
+    return float(tok) if "." in tok else int(tok)
+
+
+def parse_predicate_sql(s: str) -> list[tuple]:
+    """A conjunct-only SQL WHERE fragment -> ``[(col, op, value)]`` —
+    the string form every predicate-taking reader accepts
+    (``"g = 'a' AND k <= 5 AND t IN ('x', 'y')"``). Deliberately
+    STRICT: ops =,<,<=,>,>=,IN over column-vs-literal, AND only —
+    anything else (OR, !=, functions, column-vs-column) raises rather
+    than silently mis-pruning; express those on the DataFrame after the
+    read."""
+    parts: list[str] = []
+    buf: list[str] = []
+    i, in_q = 0, False
+    up = s.upper()
+    while i < len(s):
+        if s[i] == "'":
+            in_q = not in_q
+        if not in_q and up.startswith("AND", i) and (
+            (i == 0 or not (s[i - 1].isalnum() or s[i - 1] == "_"))
+            and (i + 3 >= len(s)
+                 or not (s[i + 3].isalnum() or s[i + 3] == "_"))
+        ):
+            parts.append("".join(buf))
+            buf = []
+            i += 3
+            continue
+        buf.append(s[i])
+        i += 1
+    parts.append("".join(buf))
+    out: list[tuple] = []
+    for p in parts:
+        m = _SQL_CMP.match(p)
+        if m:
+            out.append((m.group(1), m.group(2), _sql_literal(m.group(3))))
+            continue
+        m = _SQL_IN.match(p)
+        if m:
+            vals = [
+                _sql_literal(v)
+                for v in re.findall(_SQL_VAL, m.group(2))
+            ]
+            out.append((m.group(1), "in", vals))
+            continue
+        raise ValueError(
+            f"unsupported predicate fragment {p.strip()!r}: expected "
+            "`col <op> literal` (op in =,<,<=,>,>=) or `col IN (...)` "
+            "joined by AND"
+        )
+    if not out:
+        raise ValueError("empty predicate string")
+    return out
+
+
 def _normalize_predicate(predicate) -> list[tuple]:
-    """``[(col, op, value)]`` conjuncts; op in =,<,<=,>,>=,in."""
+    """``[(col, op, value)]`` conjuncts; op in =,<,<=,>,>=,in. A STRING
+    predicate is parsed as a conjunct-only SQL WHERE fragment
+    (``parse_predicate_sql``) — accepted by every reader that takes a
+    predicate, since they all normalize through here."""
+    if isinstance(predicate, str):
+        predicate = parse_predicate_sql(predicate)
     conjuncts = []
     for item in predicate:
         col, op, val = item
