@@ -273,6 +273,10 @@ PRIORITY: tuple[str, ...] = (
     # log without CDF, dataChange=false (OPTIMIZE) versions skipped,
     # data-removing versions refused toward read_delta_changes
     "delta_incremental_read",
+    # r10: the .hoodie leg of the change-feed triad — CDC_DATA log
+    # blocks (RFC-51 supplemental logging) served in Delta CDF's exact
+    # taxonomy, executor-side decode, O(changes) IO
+    "hoodie_cdc_changes",
     # late r7: Delta DV EXPORT — live engine DVs render as real
     # RoaringBitmapArray bins + protocol 3/7, zero materialization
     "delta_dv_export_roundtrip",

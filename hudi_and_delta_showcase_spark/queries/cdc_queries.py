@@ -949,6 +949,81 @@ def iceberg_incremental_read(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "hoodie_cdc_changes",
+    oracle=f"""
+    WITH pre AS (
+      SELECT * FROM (
+        SELECT *, ROW_NUMBER() OVER (
+          PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+        FROM events WHERE ts < TIMESTAMP '{CUTOFF}'
+      ) WHERE rn = 1
+    ), post AS (
+      SELECT * FROM (
+        SELECT *, ROW_NUMBER() OVER (
+          PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+        FROM events WHERE ts >= TIMESTAMP '{CUTOFF}'
+      ) WHERE rn = 1
+    )
+    SELECT p.event_id, p.user_id, p.ts, p.event_type, p.value,
+           CASE WHEN q.user_id IS NULL THEN 'insert'
+                ELSE 'update_postimage' END AS change_type
+    FROM post p LEFT JOIN pre q ON p.user_id = q.user_id
+    UNION ALL
+    SELECT q.event_id, q.user_id, q.ts, q.event_type, q.value,
+           'update_preimage' AS change_type
+    FROM pre q JOIN post p ON p.user_id = q.user_id
+    """,
+    tags=("cdc", "hoodie", "source", "cdf"),
+)
+def hoodie_cdc_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hudi CHANGE-DATA-CAPTURE read (r10 — the ``.hoodie`` leg of the
+    change-feed triad): a foreign MoR table written with
+    ``hoodie.table.cdc.enabled`` supplemental logging — base = latest
+    pre-cutoff event per user; one deltacommit upserts each user's
+    post-cutoff latest AND rides the debezium-shaped change images in a
+    CDC_DATA log block (RFC-51 DATA_BEFORE_AFTER). The reader serves
+    Delta CDF's exact taxonomy (an update yields BOTH pre- and
+    post-image rows), decoding blocks executor-side with O(changes) IO
+    — only the commit's own log files open. The block build collects
+    O(users) rows, the same bounded-collect fixture class as the other
+    foreign-MoR queries."""
+    from hudi_and_delta_showcase_spark.avro_ocf import spark_schema_to_avro
+    from hudi_and_delta_showcase_spark.tables import hoodie_timeline as ht
+
+    base, incr = _split(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy(
+        F.desc("ts"), F.desc("event_id")
+    )
+    latest = lambda df: (  # noqa: E731
+        df.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+    pre, post = latest(base), latest(incr)
+    root = tempfile.mkdtemp(prefix="hoodie_cdc_") + "/t"
+    ht.write_hoodie_table(pre.coalesce(1), root)
+    ((fid, s),) = ht.latest_file_slices_rt(root).items()
+    pre_by_user = {r["user_id"]: r.asDict() for r in pre.collect()}
+    records = [r.asDict() for r in post.collect()]
+    cdc_records = []
+    for rec in records:
+        before = pre_by_user.get(rec["user_id"])
+        cdc_records.append({
+            "op": "u" if before else "i",
+            "ts_ms": None,
+            "before": before,
+            "after": rec,
+        })
+    ht.append_log_commit(
+        root, fid, s["base_instant"], records,
+        spark_schema_to_avro(pre.schema), cdc_records=cdc_records,
+    )
+    return ht.read_hoodie_changes(spark, root).select(
+        *_FINAL_COLS, F.col("_change_type").alias("change_type")
+    )
+
+
+@query(
     "delta_incremental_read",
     oracle=f"""
     SELECT event_id, user_id, ts, event_type, value, 'b2' AS batch

@@ -232,6 +232,54 @@ def avro_data_block(
     )
 
 
+def cdc_avro_schema(data_schema: dict) -> dict:
+    """The CDC record schema ``hoodie.table.cdc.enabled`` supplemental
+    logging writes under ``cdc.supplemental.logging.mode=
+    DATA_BEFORE_AFTER`` (RFC-51, debezium-shaped): ``op`` (i/u/d),
+    ``ts_ms``, and the full ``before``/``after`` row images as nested
+    records of the data schema. The two nested definitions carry
+    distinct names (Avro forbids redefinition; references resolve only
+    within one writer's registry) — wire-identical either way."""
+    def _named(name: str) -> dict:
+        return {**data_schema, "name": name}
+
+    return {
+        "namespace": "org.apache.hudi.avro.model",
+        "type": "record",
+        "name": "HoodieCDCRecord",
+        "fields": [
+            {"name": "op", "type": ["null", "string"], "default": None},
+            {"name": "ts_ms", "type": ["null", "string"], "default": None},
+            {"name": "before", "type": ["null", _named("BeforeRecord")],
+             "default": None},
+            {"name": "after", "type": ["null", _named("AfterRecord")],
+             "default": None},
+        ],
+    }
+
+
+def cdc_data_block(
+    records: list[dict], cdc_schema: dict, instant: str
+) -> bytes:
+    """Author a CDC_DATA block (type 6) the way Hudi's CDC supplemental
+    logging lays it out — same content framing as an Avro data block
+    (int32 format version + int32 count + sized Avro-binary records),
+    SCHEMA header carrying the CDC record schema."""
+    body = io.BytesIO()
+    body.write(struct.pack(">ii", AVRO_CONTENT_VERSION, len(records)))
+    for rec in records:
+        rb = io.BytesIO()
+        avro_ocf._encode(cdc_schema, rec, rb)
+        b = rb.getvalue()
+        body.write(struct.pack(">i", len(b)))
+        body.write(b)
+    return _frame_block(
+        CDC_DATA_BLOCK,
+        {INSTANT_TIME: instant, SCHEMA: json.dumps(cdc_schema)},
+        body.getvalue(),
+    )
+
+
 def parquet_data_block(records: list[dict], instant: str,
                        arrow_schema=None) -> bytes:
     """Author a parquet-format data block the way Hudi lays it out
@@ -706,6 +754,28 @@ def resolve_log_blocks(
                 out.append(
                     (inst, b.get("records", []), b.get("deletes", []))
                 )
+    return out
+
+
+def resolve_cdc_blocks(
+    blobs: list[bytes], valid_instants: frozenset[str] | None = None
+) -> list[tuple[str, list[dict]]]:
+    """The CDC sibling of ``resolve_log_blocks``: surviving
+    ``(instant, change records)`` pairs from CDC_DATA blocks, with the
+    same rollback-command and never-completed-instant discipline (a
+    rolled-back commit's change images must vanish exactly like its
+    data blocks)."""
+    out: list[tuple[str, list[dict]]] = []
+    for blob in blobs:
+        for b in parse_log_blob(blob):
+            if b["type"] == COMMAND_BLOCK:
+                tgt = b["header"].get(TARGET_INSTANT_TIME)
+                out = [e for e in out if e[0] != tgt]
+            elif b["type"] == CDC_DATA_BLOCK:
+                inst = b["header"][INSTANT_TIME]
+                if valid_instants is not None and inst not in valid_instants:
+                    continue
+                out.append((inst, b.get("records", [])))
     return out
 
 

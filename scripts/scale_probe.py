@@ -34,6 +34,12 @@ QUERIES = [
     "cdc_convert_delta_dv",       # foreign Delta DV read
     "iceberg_v3_dv_read",         # Iceberg v3 Puffin DV read
     "cdc_convert_hoodie_delete",  # foreign Hudi MoR _rt + delete blocks
+    # late r10: the pruning + incremental-pull legs at 10x row counts —
+    # each builds its foreign tree from events, so the 10x run holds
+    # 10x the files/stats/added-rows the metadata paths must handle
+    "hoodie_pruned_read",         # col-stats + metadata-table pruning
+    "iceberg_incremental_read",   # incremental append scan
+    "delta_incremental_read",     # version-range add-diff read
 ]
 
 
@@ -120,6 +126,16 @@ def main() -> None:
     from hudi_and_delta_showcase_spark.queries import load_all
     from hudi_and_delta_showcase_spark.session import get_spark
 
+    # --only a,b,c: probe just the named families and MERGE their rows
+    # into an existing out file (newly added families ride one probe
+    # run without re-measuring the unchanged ones)
+    names = QUERIES
+    args = [a for a in sys.argv[1:]]
+    if args and args[0] == "--only":
+        names = [n for n in args[1].split(",") if n]
+        args = args[2:]
+    sys.argv[1:] = args
+
     spark = get_spark()
     qs = load_all()
     big = tempfile.mkdtemp(prefix="sf1x10_")
@@ -129,7 +145,7 @@ def main() -> None:
           file=sys.stderr)
 
     out = {}
-    for name in QUERIES:
+    for name in names:
         times = {}
         for tag, sf in (("t1", SF1), ("t10", big)):
             best = None
@@ -143,10 +159,15 @@ def main() -> None:
         print(f"# {name}: {times}", file=sys.stderr)
     print(json.dumps({"copies": COPIES, "base_sf_dir": SF1, "results": out}))
     if len(sys.argv) > 1:
+        merged = out
+        if os.path.exists(sys.argv[1]):
+            with open(sys.argv[1]) as fh:
+                prior = json.load(fh).get("results", {})
+            merged = {**prior, **out}
         with open(sys.argv[1], "w") as fh:
             json.dump(
-                {"copies": COPIES, "base_sf_dir": SF1, "results": out}, fh,
-                indent=1,
+                {"copies": COPIES, "base_sf_dir": SF1, "results": merged},
+                fh, indent=1,
             )
 
 
