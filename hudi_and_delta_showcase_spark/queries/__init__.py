@@ -277,6 +277,11 @@ PRIORITY: tuple[str, ...] = (
     # blocks (RFC-51 supplemental logging) served in Delta CDF's exact
     # taxonomy, executor-side decode, O(changes) IO
     "hoodie_cdc_changes",
+    # r10: the Iceberg leg — changelog scan (create_changelog_view):
+    # per-snapshot insert/delete rows, file-scoped; DV/pos/eq delete
+    # snapshots materialize exactly the newly killed rows; optional
+    # identifier_fields collapse into update pre/post pairs
+    "iceberg_changelog_read",
     # late r7: Delta DV EXPORT — live engine DVs render as real
     # RoaringBitmapArray bins + protocol 3/7, zero materialization
     "delta_dv_export_roundtrip",

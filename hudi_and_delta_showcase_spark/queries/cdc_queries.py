@@ -949,6 +949,60 @@ def iceberg_incremental_read(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "iceberg_changelog_read",
+    oracle=f"""
+    SELECT event_id, user_id, ts, event_type, value,
+           'b2' AS batch, 'insert' AS change_type, 0 AS change_ordinal
+    FROM events WHERE ts >= TIMESTAMP '{CUTOFF}'
+    UNION ALL
+    SELECT event_id, user_id, ts, event_type, value,
+           CASE WHEN ts >= TIMESTAMP '{CUTOFF}' THEN 'b2' ELSE 'b1' END,
+           'delete', 1
+    FROM events WHERE event_id % 7 = 0
+    """,
+    tags=("cdc", "iceberg", "source", "cdf"),
+)
+def iceberg_changelog_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Iceberg CHANGELOG SCAN (r10 — `create_changelog_view` against
+    the raw tree, the Iceberg leg of the change-feed triad): an append
+    snapshot (post-cutoff batch into a new partition) then a
+    DELETION-VECTOR delete snapshot (every event_id % 7 row). The
+    changelog emits the append's rows as `insert` at ordinal 0 and
+    materializes EXACTLY the rows the delete snapshot's DVs killed as
+    `delete` at ordinal 1 — file-scoped (only added files and
+    DV-referenced files scan, never a snapshot diff), with rows
+    already dead at the parent subtracted."""
+    from hudi_and_delta_showcase_spark.tables.iceberg_meta import (
+        export_iceberg_metadata,
+        iceberg_snapshots,
+        read_iceberg_changelog,
+    )
+
+    base, incr = _split(spark, sf_dir)
+    path = tempfile.mkdtemp(prefix="iceberg_chlog_") + "/events_ice"
+    t = LakehouseTable.create(
+        spark, path, base.withColumn("batch", F.lit("b1")),
+        key_cols=["event_id"], precombine="ts", partition_by="batch",
+        deletion_vectors=True,
+    )
+    t.upsert(incr.withColumn("batch", F.lit("b2")))
+    t.delete(
+        t.read()
+        .filter(F.col("event_id") % 7 == 0)
+        .select("event_id", "batch")
+    )
+    export_iceberg_metadata(t)
+    first = iceberg_snapshots(path)[0]["snapshot-id"]
+    return read_iceberg_changelog(
+        spark, path, from_snapshot_id=first
+    ).select(
+        *_FINAL_COLS, "batch",
+        F.col("_change_type").alias("change_type"),
+        F.col("_change_ordinal").alias("change_ordinal"),
+    )
+
+
+@query(
     "hoodie_cdc_changes",
     oracle=f"""
     WITH pre AS (
