@@ -282,6 +282,10 @@ PRIORITY: tuple[str, ...] = (
     # snapshots materialize exactly the newly killed rows; optional
     # identifier_fields collapse into update pre/post pairs
     "iceberg_changelog_read",
+    # r10: engine-manifest leg of the predicate API — read_matching
+    # multi-conjunct stats skipping + bloom equality probes, same
+    # tuple/SQL-string predicates as the foreign readers
+    "cdc_multi_predicate_read",
     # late r7: Delta DV EXPORT — live engine DVs render as real
     # RoaringBitmapArray bins + protocol 3/7, zero materialization
     "delta_dv_export_roundtrip",

@@ -1969,6 +1969,40 @@ def cdc_stats_skipping_read(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "cdc_multi_predicate_read",
+    oracle="""
+    SELECT event_id, user_id, ts, event_type, value,
+           TRUE AS files_pruned
+    FROM events
+    WHERE event_type = 'click' AND user_id BETWEEN 10 AND 40
+    """,
+    tags=("cdc", "table", "scan"),
+)
+def cdc_multi_predicate_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-conjunct stats skipping on the engine's OWN manifest
+    (r10, `read_matching` — the same `(col, op, value)` / SQL-string
+    predicate API every foreign reader takes): cluster on user_id,
+    then serve a two-column conjunct predicate — any provably-disjoint
+    conjunct skips the file driver-side, the exact filters push into
+    the surviving scan. `files_pruned` asserts a strict subset of the
+    table's files was read, folded into the oracle row."""
+    events = load_table(spark, sf_dir, "events").select(*_FINAL_COLS)
+    path = tempfile.mkdtemp(prefix="multipred_") + "/events_tbl"
+    t = LakehouseTable.create(
+        spark, path, events,
+        key_cols=["event_id"], precombine="ts",
+    )
+    t.optimize(target_files=8, cluster_by=["user_id"])
+    out = t.read_matching(
+        "event_type = 'click' AND user_id >= 10 AND user_id <= 40"
+    )
+    pruned = 0 < len(out.inputFiles()) < len(t._commit(None).files)
+    return out.select(*_FINAL_COLS).withColumn(
+        "files_pruned", F.lit(pruned)
+    )
+
+
+@query(
     "cdc_metadata_only_agg",
     oracle=f"""
     SELECT COUNT(*) AS count_rows,

@@ -3406,6 +3406,18 @@ class LakehouseTable:
                     for f in keep
                     if col not in commit.column_blooms.get(f, {}) or f in hits
                 ]
+        df = self._serve_pruned(commit, keep)
+        if lo is not None:
+            df = df.filter(F.col(col) >= lo)
+        if hi is not None:
+            df = df.filter(F.col(col) <= hi)
+        return self._logical(df, commit)
+
+    def _serve_pruned(self, commit: "mf.Commit", keep: list[str]):
+        """Serve a stats-pruned file subset PHYSICALLY (caller applies
+        exact filters, then ``_logical``): MoR merges the pruned base
+        against ALL logs (log rows are never stats-pruned), CoW applies
+        live DVs; an empty keep set serves a schema-stable empty scan."""
         if self.table_type == MERGE_ON_READ and commit.log_files:
             pruned = mf.Commit(**{**commit.__dict__, "files": keep})
             base = self._read_base(pruned)
@@ -3416,23 +3428,79 @@ class LakehouseTable:
                 order.append(F.desc(self.precombine))
             order += [F.desc(t) for t in self.tiebreakers]
             w = Window.partitionBy(*self._resolution_cols()).orderBy(*order)
-            df = (
+            return (
                 df.withColumn("__rn", F.row_number().over(w))
                 .filter(F.col("__rn") == 1)
                 .drop("__rn")
             )
-        elif keep:
-            df = self._apply_dvs(self._read_parquet(keep, commit), commit)
-        else:
-            return self._logical(
-                self._read_base(commit).limit(0).filter(F.lit(False)),
-                commit,
+        if keep:
+            return self._apply_dvs(self._read_parquet(keep, commit), commit)
+        return self._read_base(commit).limit(0).filter(F.lit(False))
+
+    def read_matching(
+        self, predicate, version: int | None = None
+    ) -> DataFrame:
+        """Multi-conjunct stats-pruned read (r10): the engine table's
+        own leg of the predicate API every foreign reader takes —
+        ``[(col, op, value), ...]`` tuples (op in =,<,<=,>,>=,in) or a
+        conjunct-only SQL string. Files are skipped when ANY conjunct
+        is provably disjoint with their footer [min, max] (driver-side
+        against the commit's ``col_stats``); equality conjuncts
+        additionally probe the per-column blooms where recorded; the
+        exact filters land on the surviving scan for row-group
+        skipping. ``read_where`` stays the single-column range
+        convenience over the same machinery."""
+        from hudi_and_delta_showcase_spark.tables.iceberg_meta import (
+            _interval_can_match,
+            _normalize_predicate,
+            _predicate_filter,
+        )
+
+        commit = self._commit(version)
+        conjuncts = _normalize_predicate(predicate)
+        phys = [
+            (self._phys_name(c, commit), op, v) for c, op, v in conjuncts
+        ]
+        keep = []
+        for f in commit.files:
+            ok = True
+            for col, op, val in phys:
+                rng = commit.col_stats.get(f, {}).get(col)
+                if rng is None or rng[0] is None or rng[1] is None:
+                    continue
+                if not _interval_can_match(rng[0], rng[1], op, val):
+                    ok = False
+                    break
+            if ok:
+                keep.append(f)
+        for col, op, val in phys:
+            if op != "=" or not keep:
+                continue
+            by_type: dict[str, dict[str, str]] = {}
+            for f in keep:
+                ent = commit.column_blooms.get(f, {}).get(col)
+                if ent is not None:
+                    by_type.setdefault(ent[0], {})[f] = ent[1]
+            if not by_type:
+                continue
+            from hudi_and_delta_showcase_spark.tables.bloom import (
+                probe_blooms,
+                typed_literal_df,
             )
-        if lo is not None:
-            df = df.filter(F.col(col) >= lo)
-        if hi is not None:
-            df = df.filter(F.col(col) <= hi)
-        return self._logical(df, commit)
+
+            hits: set[str] = set()
+            for t_str, blooms in by_type.items():
+                keys_df = typed_literal_df(self.spark, col, val, t_str)
+                hits |= probe_blooms(
+                    self.spark, keys_df, blooms, key_col=col
+                )
+            keep = [
+                f
+                for f in keep
+                if col not in commit.column_blooms.get(f, {}) or f in hits
+            ]
+        df = self._logical(self._serve_pruned(commit, keep), commit)
+        return _predicate_filter(df, conjuncts)
 
     def metadata_agg(
         self,
