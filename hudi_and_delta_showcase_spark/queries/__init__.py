@@ -286,6 +286,10 @@ PRIORITY: tuple[str, ...] = (
     # multi-conjunct stats skipping + bloom equality probes, same
     # tuple/SQL-string predicates as the foreign readers
     "cdc_multi_predicate_read",
+    # r10: the Iceberg tail — per-snapshot incremental polls whose
+    # union must equal the table; with the Hudi/Delta/JDBC tails every
+    # source protocol feeds a medallion bronze incrementally
+    "iceberg_incremental_tail",
     # late r7: Delta DV EXPORT — live engine DVs render as real
     # RoaringBitmapArray bins + protocol 3/7, zero materialization
     "delta_dv_export_roundtrip",

@@ -949,6 +949,68 @@ def iceberg_incremental_read(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "iceberg_incremental_tail",
+    oracle=f"""
+    SELECT event_id, user_id, ts, event_type, value,
+           CASE WHEN ts < TIMESTAMP '{CUTOFF}' THEN 'b1'
+                WHEN ts < TIMESTAMP '2024-01-25 00:00:00' THEN 'b2'
+                ELSE 'b3' END AS batch
+    FROM events
+    """,
+    tags=("cdc", "iceberg", "source", "incremental"),
+)
+def iceberg_incremental_tail(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Continuous INCREMENTAL TAIL of a foreign Iceberg tree (r10 —
+    the Iceberg-source sibling of ``cdc_hoodie_incremental_tail`` /
+    ``cdc_delta_changes_tail``): three append snapshots land (each
+    batch into a new partition); the consumer polls
+    ``read_iceberg_incremental`` over exactly the new snapshot range
+    ``(last_seen, head]`` after each — O(changed files) per poll,
+    only the contributing snapshots' manifests open — and the union of
+    the three pulls must equal the full table (no row lost, none
+    double-delivered; either hash-fails the oracle). Every source
+    protocol now tails incrementally."""
+    from hudi_and_delta_showcase_spark.tables.iceberg_meta import (
+        export_iceberg_metadata,
+        iceberg_snapshots,
+        read_iceberg_incremental,
+    )
+
+    events = load_table(spark, sf_dir, "events").select(*_FINAL_COLS)
+    c1 = F.lit(CUTOFF).cast("timestamp_ntz")
+    c2 = F.lit("2024-01-25 00:00:00").cast("timestamp_ntz")
+    parts = [
+        ("b1", events.filter(F.col("ts") < c1)),
+        ("b2", events.filter((F.col("ts") >= c1) & (F.col("ts") < c2))),
+        ("b3", events.filter(F.col("ts") >= c2)),
+    ]
+    path = tempfile.mkdtemp(prefix="iceberg_tail_") + "/events_ice"
+    t = None
+    for tag, p in parts:
+        batch = p.withColumn("batch", F.lit(tag))
+        if t is None:
+            t = LakehouseTable.create(
+                spark, path, batch,
+                key_cols=["event_id"], precombine="ts",
+                partition_by="batch",
+            )
+        else:
+            t.upsert(batch)
+    export_iceberg_metadata(t)
+    snaps = iceberg_snapshots(path)
+    acc: DataFrame | None = None
+    last: int | None = None
+    for s in snaps:
+        sid = s["snapshot-id"]
+        pull = read_iceberg_incremental(
+            spark, path, from_snapshot_id=last, to_snapshot_id=sid
+        )
+        acc = pull if acc is None else acc.unionByName(pull)
+        last = sid
+    return acc.select(*_FINAL_COLS, "batch")
+
+
+@query(
     "iceberg_changelog_read",
     oracle=f"""
     SELECT event_id, user_id, ts, event_type, value,

@@ -1349,6 +1349,9 @@ def iceberg_metadata_table(spark, table_path: str, kind: str):
     * ``files`` / ``delete_files`` — the current snapshot's live
       data / delete entries (content, path, format, record_count,
       size, sequence number)
+    * ``refs`` — the refs map (branches + tags, retention fields)
+    * ``entries`` — ALL manifest entries of the current snapshot,
+      DELETED status included (the debugging relation)
 
     All driver-side metadata (the same JSON/Avro the snapshot reader
     already parses) — O(manifests), no data IO; the result is a
@@ -1492,9 +1495,63 @@ def iceberg_metadata_table(spark, table_path: str, kind: str):
             "record_count long, file_size_in_bytes long, "
             "sequence_number long",
         )
+    if kind == "refs":
+        rows = [
+            (
+                name,
+                str(r.get("type", "branch")).upper(),
+                int(r["snapshot-id"]),
+                r.get("max-ref-age-ms"),
+                r.get("min-snapshots-to-keep"),
+            )
+            for name, r in sorted((meta.get("refs") or {}).items())
+        ]
+        return _df(
+            rows,
+            "name string, type string, snapshot_id long, "
+            "max_reference_age_in_ms long, min_snapshots_to_keep int",
+        )
+    if kind == "entries":
+        # ALL manifest entries of the current snapshot, DELETED ones
+        # included — Iceberg's tbl$entries, the debugging relation the
+        # live-only `files` view deliberately hides
+        _, manifests = ocf_decode(
+            fsio.read_bytes(_resolve(table_path, current["manifest-list"]))
+        )
+        rows = []
+        for m in manifests:
+            _, entries = ocf_decode(
+                fsio.read_bytes(_resolve(table_path, m["manifest_path"]))
+            )
+            m_seq = m.get("sequence_number") or 0
+            for e in entries:
+                df_rec = e["data_file"]
+                rows.append((
+                    int(e["status"]),
+                    (
+                        int(e["snapshot_id"])
+                        if e.get("snapshot_id") is not None
+                        else None
+                    ),
+                    int(
+                        e["sequence_number"]
+                        if e.get("sequence_number") is not None
+                        else m_seq
+                    ),
+                    int(df_rec.get("content") or 0),
+                    df_rec["file_path"],
+                    int(df_rec["record_count"]),
+                    int(df_rec["file_size_in_bytes"]),
+                ))
+        return _df(
+            rows,
+            "status int, snapshot_id long, sequence_number long, "
+            "content int, file_path string, record_count long, "
+            "file_size_in_bytes long",
+        )
     raise ValueError(
         f"unknown metadata table {kind!r} (snapshots, history, "
-        "manifests, partitions, files, delete_files)"
+        "manifests, partitions, files, delete_files, refs, entries)"
     )
 
 

@@ -121,8 +121,23 @@ def test_metadata_tables(spark, tmp_path):
     assert len(dels) >= 1 and all(r.content == 1 for r in dels)
     assert sum(r.record_count for r in dels) == 1
 
+    # r10: $refs — the live head as the main branch (savepoints would
+    # appear as TAG rows)
+    refs = iceberg_metadata_table(spark, t.path, "refs").collect()
+    by_name = {r.name: r for r in refs}
+    assert by_name["main"].type == "BRANCH"
+    assert by_name["main"].snapshot_id == snaps[-1].snapshot_id
+
+    # r10: $entries — ALL statuses visible, including the DELETED and
+    # EXISTING bookkeeping the live-only $files view hides
+    entries = iceberg_metadata_table(spark, t.path, "entries").collect()
+    assert {r.status for r in entries} <= {0, 1, 2}
+    assert any(r.status == 1 for r in entries)  # ADDED present
+    data_live = [r for r in entries if r.content == 0 and r.status != 2]
+    assert sum(r.record_count for r in data_live) == 10
+
     with pytest.raises(ValueError, match="unknown metadata table"):
-        iceberg_metadata_table(spark, t.path, "entries")
+        iceberg_metadata_table(spark, t.path, "nope")
 
 
 def test_partitions_metadata_table(spark, tmp_path):
