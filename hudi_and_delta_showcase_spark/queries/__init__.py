@@ -290,6 +290,11 @@ PRIORITY: tuple[str, ...] = (
     # union must equal the table; with the Hudi/Delta/JDBC tails every
     # source protocol feeds a medallion bronze incrementally
     "iceberg_incremental_tail",
+    # r10: DESCRIBE HISTORY / show-commits inspection over raw foreign
+    # logs — the oracle pins the exporter's dataChange stamping and
+    # real Hudi replacecommit taxonomy
+    "delta_history_read",
+    "hoodie_timeline_read",
     # late r7: Delta DV EXPORT — live engine DVs render as real
     # RoaringBitmapArray bins + protocol 3/7, zero materialization
     "delta_dv_export_roundtrip",

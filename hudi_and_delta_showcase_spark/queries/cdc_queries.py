@@ -949,6 +949,91 @@ def iceberg_incremental_read(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "delta_history_read",
+    oracle="""
+    SELECT 0 AS version, 'INSERT' AS operation,
+           TRUE AS adds_are_data_change
+    UNION ALL SELECT 1, 'UPSERT', TRUE
+    UNION ALL SELECT 2, 'OPTIMIZE', FALSE
+    """,
+    tags=("cdc", "delta", "introspection"),
+)
+def delta_history_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DESCRIBE HISTORY over a raw foreign `_delta_log` (r10,
+    `read_delta_history`): per-commit operation + action tallies from
+    the commit JSONs alone, O(versions) metadata. The
+    `adds_are_data_change` column pins the exporter's maintenance
+    stamping through the oracle: the OPTIMIZE version's adds carry
+    `dataChange=false` (so CDF readers and incremental tails skip it),
+    while the INSERT/UPSERT versions' adds are real data changes."""
+    from hudi_and_delta_showcase_spark.tables.delta_log import (
+        export_delta_log,
+        read_delta_history,
+    )
+
+    base, incr = _split(spark, sf_dir)
+    path = tempfile.mkdtemp(prefix="delta_hist_") + "/events_dl"
+    t = LakehouseTable.create(
+        spark, path, base.withColumn("batch", F.lit("b1")),
+        key_cols=["event_id"], precombine="ts", partition_by="batch",
+    )
+    t.upsert(incr.withColumn("batch", F.lit("b2")))
+    t.optimize(target_files=2)
+    export_delta_log(t)
+    h = read_delta_history(spark, path)
+    return h.select(
+        "version", "operation",
+        (
+            (F.col("num_added_files") > 0)
+            & (F.col("num_data_change_added_files")
+               == F.col("num_added_files"))
+        ).alias("adds_are_data_change"),
+    )
+
+
+@query(
+    "hoodie_timeline_read",
+    oracle="""
+    SELECT 1 AS ordinal, 'commit' AS action, 'INSERT' AS operation,
+           FALSE AS replaced_groups
+    UNION ALL SELECT 2, 'commit', 'UPSERT', FALSE
+    UNION ALL SELECT 3, 'replacecommit', 'CLUSTER', TRUE
+    """,
+    tags=("cdc", "hoodie", "introspection"),
+)
+def hoodie_timeline_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hudi `show commits` over a foreign `.hoodie` timeline (r10,
+    `hoodie_timeline_table`): one row per completed instant with its
+    kind, operation type and replaced-group tally — pinning the
+    exporter's real Hudi taxonomy (a pure-append upsert stays a
+    `commit`; the clustering rewrite lands as a `replacecommit` with
+    `operationType=CLUSTER` and a non-empty replaced list)."""
+    from hudi_and_delta_showcase_spark.tables.hoodie_timeline import (
+        export_hoodie_timeline,
+        hoodie_timeline_table,
+    )
+    from pyspark.sql import Window
+
+    base, incr = _split(spark, sf_dir)
+    path = tempfile.mkdtemp(prefix="hoodie_hist_") + "/events_ht"
+    t = LakehouseTable.create(
+        spark, path, base.withColumn("batch", F.lit("b1")),
+        key_cols=["event_id"], precombine="ts", partition_by="batch",
+    )
+    t.upsert(incr.withColumn("batch", F.lit("b2")))
+    t.optimize(target_files=2)
+    export_hoodie_timeline(t)
+    tl = hoodie_timeline_table(spark, path)
+    w = Window.orderBy("instant")
+    return tl.select(
+        F.row_number().over(w).alias("ordinal"),
+        F.col("action"),
+        F.col("operation_type").alias("operation"),
+        (F.col("num_replaced_file_groups") > 0).alias("replaced_groups"),
+    )
+
+
+@query(
     "iceberg_incremental_tail",
     oracle=f"""
     SELECT event_id, user_id, ts, event_type, value,

@@ -730,6 +730,52 @@ def _physical_schema(meta: dict):
     return schema, phys
 
 
+def read_delta_history(spark: SparkSession, path: str) -> DataFrame:
+    """``DESCRIBE HISTORY`` over a raw foreign ``_delta_log`` (r10 —
+    the inspection sibling of ``iceberg_metadata_table`` and
+    ``hoodie_timeline_table``): one row per listed commit with its
+    version, commitInfo operation/timestamp/engine, and the commit's
+    action tallies (adds/removes/cdc, dataChange adds) — all from the
+    commit JSONs the replay already parses, O(versions) driver-side
+    metadata, no data IO."""
+    versions = _list_versions(path)
+    if not versions:
+        raise FileNotFoundError(f"no _delta_log commits under {path}")
+    rows = []
+    for v in versions:
+        op = eng = None
+        ts = None
+        n_add = n_add_dc = n_remove = n_cdc = 0
+        for line in fsio.read_text(_commit_file(path, v)).splitlines():
+            if not line.strip():
+                continue
+            a = json.loads(line)
+            if "commitInfo" in a:
+                ci = a["commitInfo"]
+                op = ci.get("operation")
+                ts = ci.get("timestamp")
+                eng = ci.get("engineInfo")
+            elif "add" in a:
+                n_add += 1
+                if a["add"].get("dataChange"):
+                    n_add_dc += 1
+            elif "remove" in a:
+                n_remove += 1
+            elif "cdc" in a:
+                n_cdc += 1
+        rows.append((
+            v, op, None if ts is None else int(ts), eng,
+            n_add, n_add_dc, n_remove, n_cdc,
+        ))
+    return spark.createDataFrame(
+        spark.sparkContext.parallelize(rows, 1),
+        "version long, operation string, timestamp_ms long, "
+        "engine_info string, num_added_files int, "
+        "num_data_change_added_files int, num_removed_files int, "
+        "num_cdc_files int",
+    )
+
+
 def version_as_of_timestamp(path: str, ts_ms: int) -> int:
     """Delta ``TIMESTAMP AS OF`` resolution against a raw
     ``_delta_log``: the LAST version whose commitInfo timestamp is

@@ -585,6 +585,46 @@ def latest_file_slices_rt(
     return out
 
 
+def hoodie_timeline_table(spark: SparkSession, path: str) -> DataFrame:
+    """Hudi's ``show commits`` / ``.hoodie`` timeline as a DataFrame
+    (r10 — the inspection sibling of ``read_delta_history`` and
+    ``iceberg_metadata_table``): one row per COMPLETED instant with its
+    kind, operation type, and write-stats tallies (files touched,
+    records written where the writer recorded them, bytes) — the
+    instant metadata the replay already parses, O(instants)
+    driver-side, no data IO."""
+    instants = _completed_instants(path)
+    if not instants:
+        raise FileNotFoundError(f"no completed commits under {path}")
+    rows = []
+    for instant, kind in instants:
+        meta = _read_instant_meta(path, instant, kind)
+        n_files = n_writes = n_bytes = 0
+        for stats in meta.get("partitionToWriteStats", {}).values():
+            for st in stats:
+                n_files += 1
+                w = st.get("numWrites")
+                if w is not None and w >= 0:
+                    n_writes += int(w)
+                n_bytes += int(st.get("fileSizeInBytes") or 0)
+        replaced = len(
+            meta.get("extraMetadata", {}).get("replacedFileIds") or []
+        ) + sum(
+            len(v)
+            for v in (meta.get("partitionToReplaceFileIds") or {}).values()
+        )
+        rows.append((
+            instant, kind, meta.get("operationType"),
+            n_files, n_writes, n_bytes, replaced,
+        ))
+    return spark.createDataFrame(
+        spark.sparkContext.parallelize(rows, 1),
+        "instant string, action string, operation_type string, "
+        "num_write_files int, num_writes long, total_bytes long, "
+        "num_replaced_file_groups int",
+    )
+
+
 def read_properties(path: str) -> dict[str, str]:
     props_file = fsio.join(_hoodie_dir(path), "hoodie.properties")
     props: dict[str, str] = {}

@@ -665,3 +665,27 @@ def test_read_path_guards_reader_protocol(spark, tmp_path):
     # time travel BEFORE the upgrade still serves
     got = dl.read_delta_table(spark, root, version=0).collect()
     assert [tuple(r) for r in got] == [(1, "a")]
+
+
+def test_read_delta_history_relation(spark, tmp_path):
+    """r10: DESCRIBE HISTORY over a raw foreign log — per-commit
+    operation and action tallies from the commit JSONs alone."""
+    from hudi_and_delta_showcase_spark.tables.delta_log import (
+        read_delta_history,
+        write_delta_table,
+    )
+
+    root = str(tmp_path / "dl")
+    df = spark.createDataFrame([(1, "a"), (2, "b")], "k long, v string")
+    write_delta_table(df.coalesce(1), root)
+    write_delta_table(
+        spark.createDataFrame([(3, "c")], "k long, v string").coalesce(1),
+        root, mode="overwrite",
+    )
+    rows = read_delta_history(spark, root).collect()
+    assert [r.version for r in rows] == [0, 1]
+    assert rows[0].num_added_files == 1 and rows[0].num_removed_files == 0
+    assert rows[1].num_removed_files == 1  # the overwrite's removes
+    assert all(
+        r.num_data_change_added_files == r.num_added_files for r in rows
+    )

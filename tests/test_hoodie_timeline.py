@@ -291,3 +291,26 @@ def test_archived_timeline_respects_overwrite_barrier(spark, tmp_path):
         for r in read_hoodie_table(spark, root).select("k", "v").collect()
     )
     assert got == [(2, "new")]
+
+
+def test_hoodie_timeline_table_relation(spark, tmp_path):
+    """r10: the show-commits inspection relation over a foreign tree —
+    completed instants only, write-stats tallies from the commit
+    metadata alone."""
+    from hudi_and_delta_showcase_spark.tables.hoodie_timeline import (
+        hoodie_timeline_table,
+        write_hoodie_table,
+    )
+
+    root = str(tmp_path / "ht")
+    df = spark.createDataFrame([(1, "a"), (2, "b")], "k long, v string")
+    write_hoodie_table(df.coalesce(1), root)
+    write_hoodie_table(
+        spark.createDataFrame([(3, "c")], "k long, v string").coalesce(1),
+        root,
+    )
+    rows = hoodie_timeline_table(spark, root).collect()
+    assert [r.action for r in rows] == ["commit", "commit"]
+    assert [r.num_write_files for r in rows] == [1, 1]
+    assert rows[0].instant < rows[1].instant
+    assert all(r.total_bytes > 0 for r in rows)
