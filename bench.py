@@ -98,6 +98,11 @@ def main() -> None:
                     "queries": full,
                     "sf": float(sf) if sf else sf_dir,
                     "cpus": cpus,
+                    # external host pressure at measurement time: the
+                    # quiet-window bar (BASELINE.md) is only binding
+                    # when this is genuinely low — r10 saw idle-load
+                    # 1.8-3.3 inflate single-pass rows ~25% uniformly
+                    "load_avg_1m": round(os.getloadavg()[0], 2),
                 },
                 fh,
                 indent=1,
@@ -114,6 +119,7 @@ def main() -> None:
                 "n": 3,
                 "sf": float(sf) if sf else sf_dir,
                 "cpus": cpus,
+                "load_avg_1m": round(os.getloadavg()[0], 2),
             }
         )
     )
