@@ -207,20 +207,32 @@ def _union_branch(schema: list, v: Any) -> int:
         if len(shaped) == 1:
             return shaped[0][0]
 
-        def _fields_accept(s: dict) -> bool:
+        def _rank(s: dict):
+            """Preference rank per field (lower = better): the value's
+            OWN preference order, so a Python float lands in a
+            'double' branch before a 'float' one and an int in 'long'
+            before 'int' — never a lossy narrower sibling. A field
+            whose type is outside the value's preference list
+            disqualifies the branch."""
+            total = 0
             for f in s["fields"]:
                 ft = f["type"]
                 prim = ft if isinstance(ft, str) else (
                     ft.get("type") if isinstance(ft, dict) else None
                 )
                 want = prefs.get(type(v[f["name"]]))
-                if want and prim not in want:
-                    return False
-            return True
+                if not want:
+                    continue
+                if prim not in want:
+                    return None
+                total += want.index(prim)
+            return total
 
-        for i, s in shaped:
-            if _fields_accept(s):
-                return i
+        ranked = sorted(
+            ((r, i) for i, s in shaped if (r := _rank(s)) is not None),
+        )
+        if ranked:
+            return ranked[0][1]
         if shaped:
             return shaped[0][0]
     return non_null[0]

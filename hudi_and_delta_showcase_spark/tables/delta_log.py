@@ -861,20 +861,9 @@ def read_delta_table(
             )
         ]
         if not kept:
-            base = spark.read.schema(phys_schema).parquet(
-                fsio.join(path, files[0])
-            )
-            empty = base.filter(F.lit(False))
-            return empty.select(
-                *[
-                    (
-                        F.col(p.name)
-                        if p.dataType == l.dataType
-                        else F.col(p.name).cast(l.dataType)
-                    ).alias(l.name)
-                    for p, l in zip(phys_schema.fields, schema.fields)
-                ]
-            )
+            # schema-stable empty: the final projection of any scan is
+            # exactly the LOGICAL schema — no footer read needed
+            return spark.createDataFrame([], schema)
         files = kept
     return _scan_adds(
         spark, path, meta, schema, phys_schema, files, adds, conjuncts
@@ -896,10 +885,11 @@ def _scan_adds(
         _predicate_filter,
     )
 
+    live = set(files)
     dvs = {
         f: a["deletionVector"]
         for f, a in adds.items()
-        if a.get("deletionVector") and f in set(files)
+        if a.get("deletionVector") and f in live
     }
     if not files:
         return spark.createDataFrame([], schema)
@@ -1115,20 +1105,9 @@ def read_delta_incremental(
             )
         ]
         if not kept:
-            base = spark.read.schema(phys_schema).parquet(
-                fsio.join(path, files[0])
-            )
-            empty = base.filter(F.lit(False))
-            return empty.select(
-                *[
-                    (
-                        F.col(p.name)
-                        if p.dataType == l.dataType
-                        else F.col(p.name).cast(l.dataType)
-                    ).alias(l.name)
-                    for p, l in zip(phys_schema.fields, schema.fields)
-                ]
-            )
+            # schema-stable empty: the final projection of any scan is
+            # exactly the LOGICAL schema — no footer read needed
+            return spark.createDataFrame([], schema)
         files = kept
     return _scan_adds(
         spark, path, meta, schema, phys_schema, files, adds, conjuncts

@@ -417,9 +417,13 @@ class _KryoReader:
             return None
         if length == 1:
             return ""
-        # length counts CHARS + 1; utf-8 bytes decode until that many
-        # chars have been produced
-        n_chars, start = length - 1, self.pos
+        # length counts JAVA CHARS (UTF-16 code units) + 1; Kryo
+        # encodes each code unit separately (CESU-8), so a
+        # supplementary-plane character arrives as TWO 3-byte
+        # surrogate sequences — decode them with surrogatepass and
+        # merge the pairs afterwards (r10 review finding: strict utf-8
+        # raised on any non-BMP record key)
+        n_chars = length - 1
         out = []
         while len(out) < n_chars:
             c = self.buf[self.pos]
@@ -433,11 +437,20 @@ class _KryoReader:
                 self.pos += 2
             else:
                 out.append(
-                    self.buf[self.pos : self.pos + 3].decode("utf-8")
+                    self.buf[self.pos : self.pos + 3].decode(
+                        "utf-8", "surrogatepass"
+                    )
                 )
                 self.pos += 3
-        del start
-        return "".join(out)
+        s = "".join(out)
+        if any("\ud800" <= ch <= "\udfff" for ch in s):
+            try:
+                s = s.encode("utf-16", "surrogatepass").decode("utf-16")
+            except UnicodeDecodeError:
+                raise ValueError(
+                    "kryo string carries an unpaired UTF-16 surrogate"
+                ) from None
+        return s
 
     def read_class(self) -> str | None:
         """readClass: varint 0 = null, 1 = NAME record (nameId, then

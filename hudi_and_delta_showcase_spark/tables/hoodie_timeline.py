@@ -817,7 +817,21 @@ def read_hoodie_changes(
             f"no log-bearing commits in instant range "
             f"({begin_instant}, {end}]"
         )
-    data_schema = read_hoodie_table(spark, path).schema
+    # one base-file FOOTER pins the data schema — never the snapshot
+    # scan a change tail must not pay (r10 review finding: the schema
+    # probe was O(table files) per poll)
+    slices = latest_file_slices_rt(path)
+    first_base = next(
+        (s["base"] for s in slices.values() if s["base"]), None
+    )
+    if first_base is None:
+        raise FileNotFoundError(
+            f"no base files under {path}; an all-log table needs at "
+            "least one compacted slice to pin the change-feed schema"
+        )
+    data_schema = spark.read.parquet(
+        fsio.join(path, first_base)
+    ).schema
     cols = [f.name for f in data_schema.fields]
     out_schema = (
         data_schema.add("_change_type", "string")

@@ -2524,7 +2524,28 @@ def _materialize_positions(spark, table_path, entries, pos_df):
     from pyspark.sql import functions as F
 
     strip = r"^[a-zA-Z][a-zA-Z0-9+.-]*:(//[^/]*)?"
-    by_path = {e["data_file"]["file_path"]: e for e in entries}
+    # scan ONLY the files the position rows actually touch: the
+    # distinct file list is delete-set metadata (one small job over
+    # the delete side), while the candidate entry list can be every
+    # carried-over file of the snapshot (r10 review finding — a DV
+    # touching 2 of 500 files must not plan a 500-file scan)
+    touched = {
+        r.file_path for r in pos_df.select("file_path").distinct().collect()
+    }
+    by_path = {
+        rec: e
+        for rec, e in (
+            (e["data_file"]["file_path"], e) for e in entries
+        )
+        if fsio.relpath(_resolve(table_path, rec), table_path) in touched
+    }
+    if not by_path:
+        # the position set was emptied (e.g. fully subtracted by the
+        # parent's delete state): schema-stable empty off one footer
+        df = spark.read.parquet(_resolve(
+            table_path, entries[0]["data_file"]["file_path"]
+        ))
+        return df.filter(F.lit(False))
     mapping = [
         (
             fsio.relpath(_resolve(table_path, rec), table_path),
@@ -2657,6 +2678,25 @@ def read_iceberg_changelog(
                 _resolve(table_path, e["data_file"]["file_path"])
                 for e in added
             ])
+            # a row added AND deleted in the SAME snapshot never
+            # existed logically (spec-legal: a pos delete applies to
+            # data with data_seq <= delete_seq) — apply the snapshot's
+            # delete state to the added files so the changelog agrees
+            # with the snapshot read (r10 review finding)
+            added_paths = {e["data_file"]["file_path"] for e in added}
+            pdel_s = [
+                d for d in pos_s
+                if not d["data_file"].get("referenced_data_file")
+                or d["data_file"]["referenced_data_file"] in added_paths
+            ]
+            if pdel_s:
+                inserts = _apply_pos_deletes(
+                    spark, inserts, added, pdel_s, table_path
+                )
+            if eq_s:
+                inserts = _apply_eq_deletes(
+                    spark, inserts, added, eq_s, table_path, meta
+                )
         if removed:
             # rows already dead at the PARENT must not re-report: apply
             # the parent's delete state, restricted to these files

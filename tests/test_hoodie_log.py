@@ -117,7 +117,10 @@ class _KryoWriter:
             b[-1] |= 0x80
             self.out += b
             return
-        n = len(s) + 1
+        # Java strings count UTF-16 code units; Kryo CESU-8-encodes
+        # each unit separately (surrogate pairs = two 3-byte seqs)
+        units = s.encode("utf-16-be", "surrogatepass")
+        n = len(units) // 2 + 1
         if n >> 6 == 0:
             self.out.append(n | 0x80)
         elif n >> 13 == 0:
@@ -125,7 +128,9 @@ class _KryoWriter:
             self.out.append(n >> 6)
         else:
             raise AssertionError("golden strings stay short")
-        self.out += s.encode("utf-8")
+        for i in range(0, len(units), 2):
+            cu = int.from_bytes(units[i:i + 2], "big")
+            self.out += chr(cu).encode("utf-8", "surrogatepass")
 
     def clazz(self, name: str):
         self.varint(1)  # NAME record
@@ -239,6 +244,18 @@ def test_kryo_v1_hoodie_keys_decode():
          "orderingVal": None},
         {"recordKey": "x", "partitionPath": "", "orderingVal": None},
     ]
+
+
+def test_kryo_non_bmp_record_key_decodes():
+    """r10 review finding: Kryo writes Java chars CESU-8 style —
+    a supplementary-plane character (two surrogate code units, two
+    3-byte sequences) must decode back to the real character, not
+    crash strict utf-8."""
+    key = "user-\U0001F600-42"  # emoji record key
+    payload = _kryo_v1_payload([("2024", key)])
+    blob = _delete_block_legacy(payload, 1, "001")
+    (b,) = hl.parse_log_blob(blob)
+    assert [d["recordKey"] for d in b["deletes"]] == [key]
 
 
 def test_kryo_v1_back_reference_element():

@@ -204,6 +204,33 @@ def test_foreign_wrapper_decode_all_null_and_tombstone(tmp_path):
     assert hm.file_can_match("other.parquet", stats, [("k", ">", 99)])
 
 
+def test_wrapper_union_keeps_width(tmp_path):
+    """Regression (r10 review finding): the wrapper-union encoder must
+    prefer double over float and long over int — a float64 bound
+    squeezed through FloatWrapper loses precision and then MIS-PRUNES
+    (16777217.0 round-trips as 16777216.0 via float32), and a >int32
+    long in IntWrapper is schema-invalid Avro."""
+    import io
+
+    from hudi_and_delta_showcase_spark import avro_ocf
+
+    def roundtrip(val):
+        rec = {"key": "k", "type": 3, "ColumnStatsMetadata": {
+            "fileName": "f", "columnName": "c",
+            "minValue": {"value": val}, "maxValue": {"value": val},
+            "valueCount": None, "nullCount": None, "isDeleted": False}}
+        buf = io.BytesIO()
+        avro_ocf._encode(hm.COL_STATS_SCHEMA, rec, buf)
+        out = avro_ocf._decode(
+            hm.COL_STATS_SCHEMA, avro_ocf._Reader(buf.getvalue())
+        )
+        return hm._unwrap(out["ColumnStatsMetadata"]["minValue"])
+
+    for v in (16777217.0, 2**40, 1.5, 7, "x", True, b"\x01"):
+        got = roundtrip(v)
+        assert got == v and type(got) is type(v), (v, got)
+
+
 def test_hfile_compacted_col_stats_fall_back(tmp_path):
     root = str(tmp_path / "ht")
     _write_cs_commit(root, "001", [_cs("f1.parquet", "k", 1, 9)])

@@ -105,6 +105,193 @@ def test_second_delete_reports_only_new_rows(spark, tmp_path):
     assert _ch(ch) == [(5, "v5", "delete", 0)]
 
 
+def _opt(name, typ, fid):
+    return {"name": name, "type": ["null", typ], "default": None,
+            "field-id": fid}
+
+
+def test_same_snapshot_add_plus_delete_never_inserts_dead_rows(
+    spark, tmp_path
+):
+    """r10 review finding: a foreign writer may ADD a data file and a
+    deletion vector REFERENCING IT in one snapshot (spec-legal,
+    data_seq <= delete_seq) — the dead rows never existed logically,
+    so the changelog must not emit them as inserts (and must not emit
+    deletes for them either), agreeing with the snapshot read."""
+    import json
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from hudi_and_delta_showcase_spark.avro_ocf import ocf_encode
+    from hudi_and_delta_showcase_spark.tables import puffin
+    from hudi_and_delta_showcase_spark.tables.iceberg_meta import (
+        read_iceberg_table,
+    )
+
+    root = str(tmp_path / "ice")
+    os.makedirs(os.path.join(root, "data"))
+    os.makedirs(os.path.join(root, "metadata"))
+    f0 = os.path.join(root, "data", "00000-0-a.parquet")
+    f1 = os.path.join(root, "data", "00001-0-b.parquet")
+    pq.write_table(pa.table({
+        "k": pa.array([1, 2], pa.int32()), "v": pa.array(["a", "b"]),
+    }), f0)
+    pq.write_table(pa.table({
+        "k": pa.array([3, 4, 5], pa.int32()),
+        "v": pa.array(["c", "d", "e"]),
+    }), f1)
+    sid1, sid2 = 7100000000000000001, 7100000000000000002
+    pf = os.path.join(root, "data", "dv-0001.puffin")
+    ranges = puffin.write_puffin_dvs(
+        pf, {f1: [0]}, snapshot_id=sid2, sequence_number=2
+    )
+    dv_off, dv_size, dv_card = ranges[f1]
+
+    data_file = {
+        "type": "record", "name": "r2",
+        "fields": [
+            {"name": "content", "type": "int", "field-id": 134},
+            {"name": "file_path", "type": "string", "field-id": 100},
+            {"name": "file_format", "type": "string", "field-id": 101},
+            {"name": "partition",
+             "type": {"type": "record", "name": "r102", "fields": []},
+             "field-id": 102},
+            {"name": "record_count", "type": "long", "field-id": 103},
+            {"name": "file_size_in_bytes", "type": "long",
+             "field-id": 104},
+            _opt("referenced_data_file", "string", 143),
+            _opt("content_offset", "long", 144),
+            _opt("content_size_in_bytes", "long", 145),
+        ],
+    }
+    entry_schema = {
+        "type": "record", "name": "manifest_entry",
+        "fields": [
+            {"name": "status", "type": "int", "field-id": 0},
+            _opt("snapshot_id", "long", 1),
+            _opt("sequence_number", "long", 3),
+            _opt("file_sequence_number", "long", 4),
+            {"name": "data_file", "type": data_file, "field-id": 2},
+        ],
+    }
+    mlist_schema = {
+        "type": "record", "name": "manifest_file",
+        "fields": [
+            {"name": "manifest_path", "type": "string", "field-id": 500},
+            {"name": "manifest_length", "type": "long", "field-id": 501},
+            {"name": "partition_spec_id", "type": "int", "field-id": 502},
+            {"name": "content", "type": "int", "field-id": 517},
+            {"name": "sequence_number", "type": "long", "field-id": 515},
+            {"name": "min_sequence_number", "type": "long",
+             "field-id": 516},
+            {"name": "added_snapshot_id", "type": "long", "field-id": 503},
+            {"name": "added_data_files_count", "type": "int",
+             "field-id": 504},
+            {"name": "existing_data_files_count", "type": "int",
+             "field-id": 505},
+            {"name": "deleted_data_files_count", "type": "int",
+             "field-id": 506},
+        ],
+    }
+
+    def dentry(sid, seq, path, rows, ref=None, off=None, size=None):
+        return {
+            "status": 1, "snapshot_id": sid, "sequence_number": seq,
+            "file_sequence_number": seq,
+            "data_file": {
+                "content": 0 if ref is None else 1,
+                "file_path": path,
+                "file_format": "PARQUET" if ref is None else "PUFFIN",
+                "partition": {}, "record_count": rows,
+                "file_size_in_bytes": os.path.getsize(path),
+                "referenced_data_file": ref,
+                "content_offset": off,
+                "content_size_in_bytes": size,
+            },
+        }
+
+    def mfile(path, blob, content, seq, sid, a):
+        return {
+            "manifest_path": path, "manifest_length": len(blob),
+            "partition_spec_id": 0, "content": content,
+            "sequence_number": seq, "min_sequence_number": 1,
+            "added_snapshot_id": sid,
+            "added_data_files_count": a, "existing_data_files_count": 0,
+            "deleted_data_files_count": 0,
+        }
+
+    md = os.path.join(root, "metadata")
+    m1 = os.path.join(md, "aaa-m0.avro")
+    b1 = ocf_encode(entry_schema, [dentry(sid1, 1, f0, 2)],
+                    codec="deflate")
+    open(m1, "wb").write(b1)
+    m2 = os.path.join(md, "bbb-m1.avro")
+    b2 = ocf_encode(entry_schema, [dentry(sid2, 2, f1, 3)],
+                    codec="deflate")
+    open(m2, "wb").write(b2)
+    m3 = os.path.join(md, "ccc-m2.avro")
+    b3 = ocf_encode(
+        entry_schema,
+        [dentry(sid2, 2, pf, dv_card, ref=f1, off=dv_off, size=dv_size)],
+        codec="deflate",
+    )
+    open(m3, "wb").write(b3)
+    l1 = os.path.join(md, f"snap-{sid1}-1-x.avro")
+    open(l1, "wb").write(ocf_encode(
+        mlist_schema, [mfile(m1, b1, 0, 1, sid1, 1)], codec="deflate"))
+    l2 = os.path.join(md, f"snap-{sid2}-1-y.avro")
+    open(l2, "wb").write(ocf_encode(
+        mlist_schema,
+        [mfile(m1, b1, 0, 1, sid1, 1), mfile(m2, b2, 0, 2, sid2, 1),
+         mfile(m3, b3, 1, 2, sid2, 1)],
+        codec="deflate",
+    ))
+    schema = {
+        "type": "struct", "schema-id": 0,
+        "fields": [
+            {"id": 1, "name": "k", "required": False, "type": "int"},
+            {"id": 2, "name": "v", "required": False, "type": "string"},
+        ],
+    }
+    meta = {
+        "format-version": 3,
+        "table-uuid": "9c3b1712-0000-4000-8000-00000000c10c",
+        "location": root, "last-sequence-number": 2,
+        "last-updated-ms": 1700000100000, "last-column-id": 2,
+        "current-schema-id": 0, "schemas": [schema], "schema": schema,
+        "default-spec-id": 0,
+        "partition-specs": [{"spec-id": 0, "fields": []}],
+        "last-partition-id": 999, "default-sort-order-id": 0,
+        "sort-orders": [{"order-id": 0, "fields": []}], "properties": {},
+        "current-snapshot-id": sid2,
+        "snapshots": [
+            {"sequence-number": 1, "snapshot-id": sid1,
+             "timestamp-ms": 1700000000000,
+             "summary": {"operation": "append"}, "manifest-list": l1,
+             "schema-id": 0},
+            {"sequence-number": 2, "snapshot-id": sid2,
+             "parent-snapshot-id": sid1, "timestamp-ms": 1700000100000,
+             "summary": {"operation": "overwrite"}, "manifest-list": l2,
+             "schema-id": 0},
+        ],
+        "snapshot-log": [], "metadata-log": [],
+    }
+    with open(os.path.join(
+        md, "00002-7a1f0000-0000-4000-8000-00000000c10c.metadata.json"
+    ), "w") as fh:
+        json.dump(meta, fh)
+
+    # snapshot read hides k=3; the changelog must agree
+    assert sorted(
+        r.k for r in read_iceberg_table(spark, root).collect()
+    ) == [1, 2, 4, 5]
+    ch = read_iceberg_changelog(spark, root, from_snapshot_id=sid1)
+    got = sorted((r.k, r._change_type) for r in ch.collect())
+    assert got == [(4, "insert"), (5, "insert")]
+
+
 def test_replace_snapshots_skipped_and_empty_range_refuses(
     spark, tmp_path
 ):
