@@ -257,6 +257,12 @@ PRIORITY: tuple[str, ...] = (
     # before the file list is built; `pruned` column proves the file
     # count shrank, so an unpruned read hash-fails
     "iceberg_pruned_read",
+    # r11: transform-aware pruning — predicates project through the
+    # spec's day/bucket/truncate/year/month/hour transforms (inclusive
+    # projection, Murmur3 bucket per Appendix B) over trees written by
+    # write_iceberg_dataset; same files-shrank proof column
+    "iceberg_day_pruned_read",
+    "iceberg_bucket_pruned_read",
     # r10: the _delta_log twin — adds pruned on partitionValues +
     # exported stats (numRecords/minValues/maxValues now stamped by
     # export_delta_log), same files-shrank proof column

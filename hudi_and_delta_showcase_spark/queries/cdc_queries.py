@@ -908,6 +908,88 @@ def iceberg_pruned_read(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "iceberg_day_pruned_read",
+    oracle="""
+    SELECT event_id, user_id, ts, event_type, value, TRUE AS pruned
+    FROM events
+    WHERE ts >= TIMESTAMP '2024-01-10 00:00:00'
+      AND ts <  TIMESTAMP '2024-01-12 00:00:00'
+    """,
+    tags=("cdc", "iceberg", "source", "pruning", "transforms"),
+)
+def iceberg_day_pruned_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Transform-aware manifest pruning over a ``days(ts)`` tree (r11,
+    verdict #1): the DOMINANT real-world foreign Iceberg layout — a
+    daily-partitioned event table — written by
+    ``write_iceberg_dataset`` (partition values computed JVM-side, one
+    distributed write, O(files) driver metadata), then read with a
+    timestamp-range predicate that projects through the ``day``
+    transform (Iceberg's inclusive projection, boundary-tightened for
+    strict ``<``) and prunes manifest entries to O(matching days)
+    before the file list is built. ``pruned`` carries the proof: TRUE
+    only when the pruned file list is strictly smaller than the
+    snapshot's (reference: the partition-scoped read discipline at
+    README.md:1240)."""
+    from hudi_and_delta_showcase_spark.tables.iceberg_meta import (
+        read_iceberg_table,
+        write_iceberg_dataset,
+    )
+
+    events = load_table(spark, sf_dir, "events").select(*_FINAL_COLS)
+    root = tempfile.mkdtemp(prefix="iceberg_day_") + "/events_ice"
+    write_iceberg_dataset(spark, events, root, partition_by=[("ts", "day")])
+    full_files = len(read_iceberg_table(spark, root).inputFiles())
+    pruned = read_iceberg_table(
+        spark,
+        root,
+        predicate="ts >= TIMESTAMP '2024-01-10 00:00:00' AND "
+        "ts < TIMESTAMP '2024-01-12 00:00:00'",
+    )
+    is_pruned = len(pruned.inputFiles()) < full_files
+    return pruned.select(*_FINAL_COLS).withColumn(
+        "pruned", F.lit(is_pruned)
+    )
+
+
+@query(
+    "iceberg_bucket_pruned_read",
+    oracle="""
+    SELECT event_id, user_id, ts, event_type, value, TRUE AS pruned
+    FROM events WHERE user_id = 7
+    """,
+    tags=("cdc", "iceberg", "source", "pruning", "transforms"),
+)
+def iceberg_bucket_pruned_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Transform-aware manifest pruning over a ``bucket(8, user_id)``
+    tree (r11, verdict #1): the write-distribution layout Iceberg
+    writers use for high-cardinality keys. The equality predicate
+    hashes through the spec's Murmur3 bucket transform
+    (``iceberg_transforms.bucket_value``, Appendix B vectors pinned in
+    tests) and prunes the snapshot to the ONE matching bucket's files;
+    bounds are deliberately not written so the proof column pins the
+    bucket transform itself doing the pruning."""
+    from hudi_and_delta_showcase_spark.tables.iceberg_meta import (
+        read_iceberg_table,
+        write_iceberg_dataset,
+    )
+
+    events = load_table(spark, sf_dir, "events").select(*_FINAL_COLS)
+    root = tempfile.mkdtemp(prefix="iceberg_bkt_") + "/events_ice"
+    write_iceberg_dataset(
+        spark, events, root,
+        partition_by=[("user_id", "bucket[8]")], with_bounds=False,
+    )
+    full_files = len(read_iceberg_table(spark, root).inputFiles())
+    pruned = read_iceberg_table(
+        spark, root, predicate=[("user_id", "=", 7)]
+    )
+    is_pruned = len(pruned.inputFiles()) < full_files
+    return pruned.select(*_FINAL_COLS).withColumn(
+        "pruned", F.lit(is_pruned)
+    )
+
+
+@query(
     "iceberg_incremental_read",
     oracle=f"""
     SELECT event_id, user_id, ts, event_type, value, 'b2' AS batch

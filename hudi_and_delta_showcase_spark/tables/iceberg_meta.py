@@ -77,6 +77,9 @@ from datetime import datetime, timezone
 
 from hudi_and_delta_showcase_spark.avro_ocf import ocf_decode, ocf_encode
 from hudi_and_delta_showcase_spark.tables import fsio
+from hudi_and_delta_showcase_spark.tables import (
+    iceberg_transforms as ice_transforms,
+)
 
 FORMAT_VERSION = 1
 
@@ -1329,6 +1332,291 @@ def export_iceberg_metadata(
     return exported
 
 
+_TRANSFORM_SUFFIX = {
+    "bucket": "bucket",
+    "truncate": "trunc",
+    "year": "year",
+    "month": "month",
+    "day": "day",
+    "hour": "hour",
+}
+
+
+def write_iceberg_dataset(
+    spark,
+    df,
+    table_path: str,
+    partition_by: list[tuple[str, str]] | None = None,
+    with_bounds: bool = True,
+) -> None:
+    """Author a self-contained single-snapshot Iceberg v2 tree directly
+    from a DataFrame, with an arbitrary TRANSFORM partition spec (r11)
+    — the write-side twin of the transform-aware pruning in
+    ``read_iceberg_table``. ``partition_by`` is a list of
+    ``(source_column, transform)`` pairs, transforms from the spec:
+    ``identity``, ``bucket[N]``, ``truncate[W]``,
+    ``year/month/day/hour`` — e.g. ``[("ts", "day")]`` for the daily
+    event-table layout, ``[("user_id", "bucket[16]")]`` for
+    write-distribution layouts.
+
+    Scale shape: the DATA plane is one distributed Spark write
+    (partition values computed JVM-side for truncate/temporal, via a
+    numpy-vectorized Arrow-batched pandas UDF for bucket —
+    ``iceberg_transforms.transform_column``), clustered by the
+    partition tuple so each output partition lands in O(1) files; the
+    METADATA plane is driver-side but strictly O(files): per-file
+    counts/bounds come back from ONE distributed aggregation (a row
+    per file, never a row per record). Unlike ``export_iceberg_
+    metadata`` (which replays an engine table's commit timeline and
+    only exports its identity layout), this writes a fresh tree from
+    any DataFrame."""
+    import urllib.parse
+
+    if fsio.exists(_version_hint(table_path)):
+        raise ValueError(f"Iceberg tree already exists at {table_path}")
+    from pyspark.sql import functions as F
+
+    schema_json = json.loads(df.schema.json())
+    ice_schema, last_col = spark_schema_to_iceberg(schema_json)
+    by_name = {f["name"]: f for f in ice_schema["fields"]}
+
+    # partition spec: field-ids from 1000 up, iceberg-java's naming
+    spec_fields: list[dict] = []
+    part_cols: list[str] = []  # helper column names, write order
+    out = df
+    for i, (src, transform) in enumerate(partition_by or []):
+        if src not in by_name:
+            raise ValueError(f"unknown partition source column {src!r}")
+        parsed = ice_transforms.parse_transform(transform)
+        if parsed is None:
+            raise ValueError(f"unknown transform {transform!r}")
+        kind, param = parsed
+        stype = by_name[src]["type"]
+        stype = stype if isinstance(stype, str) else "string"
+        if kind == "identity":
+            pname, rtype = src, _PART_AVRO.get(stype, "string")
+        else:
+            pname = f"{src}_{_TRANSFORM_SUFFIX[kind]}"
+            rtype = (
+                _PART_AVRO.get(stype, "string")
+                if kind == "truncate"
+                else "int"
+            )
+        spec_fields.append(
+            {
+                "name": pname,
+                "transform": transform,
+                "source-id": by_name[src]["id"],
+                "field-id": 1000 + i,
+                "result-type": rtype,
+            }
+        )
+        expr = ice_transforms.transform_column(src, transform)
+        if isinstance(expr, ice_transforms._TypedCol):
+            expr = expr.resolve(df.schema[src].dataType)
+        hcol = f"_p_{pname}"
+        part_cols.append(hcol)
+        out = out.withColumn(hcol, expr)
+
+    location = fsio.absolutize(table_path)
+    data_dir = fsio.join(table_path, "data")
+    if part_cols:
+        # cluster by the partition tuple so each partition value lands
+        # in O(1) files (the write-distribution every Iceberg writer
+        # applies); identity sources drop their helper duplicate
+        out.repartition(*[F.col(c) for c in part_cols]).write.partitionBy(
+            *part_cols
+        ).parquet(data_dir)
+    else:
+        out.write.parquet(data_dir)
+
+    # ---- metadata plane: O(files) from here on -------------------------
+    files = sorted(fsio.walk_files(data_dir, suffix=".parquet"))
+    if not files:
+        raise ValueError("write produced no data files")
+
+    # per-file record counts (+ min/max bounds for exactly-serializable
+    # columns) in ONE distributed aggregation — one result row per file
+    bound_fields = [
+        f
+        for f in ice_schema["fields"]
+        if with_bounds
+        and isinstance(f["type"], str)
+        and f["type"] in _BOUND_PACK
+    ]
+    aggs = [F.count(F.lit(1)).alias("_cnt")]
+    for f in bound_fields:
+        aggs.append(F.min(f["name"]).alias(f"_lo_{f['id']}"))
+        aggs.append(F.max(f["name"]).alias(f"_hi_{f['id']}"))
+    stat_rows = (
+        spark.read.parquet(*files)
+        .groupBy(F.input_file_name().alias("_fp"))
+        .agg(*aggs)
+        .collect()
+    )
+    stats = {
+        urllib.parse.unquote(urllib.parse.urlparse(r._fp).path): r
+        for r in stat_rows
+    }
+
+    def _typed_dir_value(raw: str, rtype: str):
+        raw = urllib.parse.unquote(raw)
+        return _typed_partition_value(raw, rtype)
+
+    sid = int(uuid.uuid5(uuid.NAMESPACE_URL, "ds:" + location).int % 10**18)
+    entries = []
+    for fp in files:
+        rel_parts = fsio.relpath(fp, location).split("/")
+        part_vals: dict = {}
+        for comp in rel_parts[:-1]:
+            if "=" not in comp:
+                continue
+            k, _, v = comp.partition("=")
+            for sf in spec_fields:
+                if k == f"_p_{sf['name']}":
+                    part_vals[sf["name"]] = _typed_dir_value(
+                        v, sf["result-type"]
+                    )
+        local = urllib.parse.unquote(
+            urllib.parse.urlparse(fsio.absolutize(fp)).path
+        )
+        st = stats.get(local)
+        lo, hi = None, None
+        if st is not None and bound_fields:
+            lo, hi = [], []
+            for f in bound_fields:
+                lv, hv = st[f"_lo_{f['id']}"], st[f"_hi_{f['id']}"]
+                if lv is None or hv is None:
+                    continue
+                lo.append(
+                    {"key": f["id"], "value": _BOUND_PACK[f["type"]](lv)}
+                )
+                hi.append(
+                    {"key": f["id"], "value": _BOUND_PACK[f["type"]](hv)}
+                )
+            lo, hi = (lo or None), (hi or None)
+        entries.append(
+            {
+                "status": STATUS_ADDED,
+                "snapshot_id": sid,
+                "sequence_number": 1,
+                "file_sequence_number": 1,
+                "data_file": {
+                    "content": FILE_CONTENT_DATA,
+                    "file_path": fsio.absolutize(fp),
+                    "file_format": "PARQUET",
+                    "partition": part_vals,
+                    "record_count": int(st["_cnt"]) if st is not None else 0,
+                    "file_size_in_bytes": fsio.file_size(fp),
+                    "block_size_in_bytes": 67108864,
+                    "lower_bounds": lo,
+                    "upper_bounds": hi,
+                    "equality_ids": None,
+                },
+            }
+        )
+
+    meta_dir = _meta_dir(table_path)
+    fsio.makedirs(meta_dir)
+    table_uuid = str(uuid.uuid5(uuid.NAMESPACE_URL, "iceberg-ds:" + location))
+    header = {
+        "schema": json.dumps(ice_schema).encode(),
+        "schema-id": b"0",
+        "partition-spec": json.dumps(_spec_json(spec_fields)).encode(),
+        "partition-spec-id": b"0",
+        "format-version": b"2",
+        "content": b"data",
+    }
+    manifest_name = f"{uuid.uuid5(uuid.NAMESPACE_URL, table_uuid + ':m0')}-m0.avro"
+    manifest_bytes = ocf_encode(
+        manifest_entry_schema(spec_fields, 2),
+        entries,
+        codec="null",
+        extra_meta=header,
+    )
+    fsio.write_bytes_atomic(fsio.join(meta_dir, manifest_name), manifest_bytes)
+    total_rows = sum(e["data_file"]["record_count"] for e in entries)
+    list_name = (
+        f"snap-{sid}-1-{uuid.uuid5(uuid.NAMESPACE_URL, table_uuid + ':s0')}.avro"
+    )
+    fsio.write_bytes_atomic(
+        fsio.join(meta_dir, list_name),
+        ocf_encode(
+            MANIFEST_LIST_SCHEMA_V2,
+            [
+                {
+                    "manifest_path": fsio.join(
+                        location, "metadata", manifest_name
+                    ),
+                    "manifest_length": len(manifest_bytes),
+                    "partition_spec_id": 0,
+                    "content": MANIFEST_CONTENT_DATA,
+                    "sequence_number": 1,
+                    "min_sequence_number": 1,
+                    "added_snapshot_id": sid,
+                    "added_files_count": len(entries),
+                    "existing_files_count": 0,
+                    "deleted_files_count": 0,
+                    "added_rows_count": total_rows,
+                    "existing_rows_count": 0,
+                    "deleted_rows_count": 0,
+                }
+            ],
+            codec="null",
+            extra_meta={
+                "format-version": b"2",
+                "snapshot-id": str(sid).encode(),
+                "parent-snapshot-id": b"null",
+                "sequence-number": b"1",
+            },
+        ),
+    )
+    ts_ms = 1700000000000
+    metadata = {
+        "format-version": 2,
+        "table-uuid": table_uuid,
+        "location": location,
+        "last-sequence-number": 1,
+        "last-updated-ms": ts_ms,
+        "last-column-id": last_col,
+        "schema": ice_schema,
+        "schemas": [ice_schema],
+        "current-schema-id": 0,
+        "partition-spec": _spec_json(spec_fields),
+        "partition-specs": [{"spec-id": 0, "fields": _spec_json(spec_fields)}],
+        "default-spec-id": 0,
+        "last-partition-id": 1000 + len(spec_fields) - 1
+        if spec_fields
+        else 999,
+        "sort-orders": [{"order-id": 0, "fields": []}],
+        "default-sort-order-id": 0,
+        "properties": {"write.format.default": "parquet"},
+        "current-snapshot-id": sid,
+        "snapshots": [
+            {
+                "sequence-number": 1,
+                "snapshot-id": sid,
+                "timestamp-ms": ts_ms,
+                "summary": {
+                    "operation": "append",
+                    "added-data-files": str(len(entries)),
+                    "total-data-files": str(len(entries)),
+                    "total-records": str(total_rows),
+                },
+                "manifest-list": fsio.join(location, "metadata", list_name),
+                "schema-id": 0,
+            }
+        ],
+        "snapshot-log": [{"timestamp-ms": ts_ms, "snapshot-id": sid}],
+        "refs": {"main": {"snapshot-id": sid, "type": "branch"}},
+        "metadata-log": [],
+    }
+    fsio.write_atomic(
+        _metadata_file(table_path, 1), json.dumps(metadata, indent=1)
+    )
+    fsio.write_atomic(_version_hint(table_path), "1")
+
+
 # --------------------------------------------------------------------------
 # read
 # --------------------------------------------------------------------------
@@ -1843,8 +2131,14 @@ _PRUNE_UNPACK = {
 _PRED_OPS = ("=", "<", "<=", ">", ">=", "in")
 
 
-#: one SQL literal: single-quoted string ('' escapes ') or a number
-_SQL_VAL = r"('(?:[^']|'')*'|-?\d+(?:\.\d+)?)"
+#: one SQL literal: single-quoted string ('' escapes '), optionally
+#: prefixed by the ANSI TIMESTAMP/DATE keyword (r11 — temporal pruning
+#: predicates read naturally: ``ts >= TIMESTAMP '2024-01-10'``), or a
+#: number
+_SQL_VAL = (
+    r"((?:(?:TIMESTAMP|DATE|timestamp|date)\s+)?"
+    r"'(?:[^']|'')*'|-?\d+(?:\.\d+)?)"
+)
 _SQL_CMP = re.compile(
     rf"^\s*([A-Za-z_][\w]*)\s*(<=|>=|=|<|>)\s*{_SQL_VAL}\s*$"
 )
@@ -1855,6 +2149,14 @@ _SQL_IN = re.compile(
 
 
 def _sql_literal(tok: str):
+    import datetime as _dt
+
+    up = tok.upper()
+    if up.startswith(("TIMESTAMP", "DATE")) and tok.endswith("'"):
+        inner = tok[tok.index("'") + 1:-1].replace("''", "'")
+        if up.startswith("DATE"):
+            return _dt.date.fromisoformat(inner)
+        return _dt.datetime.fromisoformat(inner)
     if tok.startswith("'"):
         return tok[1:-1].replace("''", "'")
     return float(tok) if "." in tok else int(tok)
@@ -1933,29 +2235,53 @@ def _normalize_predicate(predicate) -> list[tuple]:
     return conjuncts
 
 
-def _identity_partition_names(meta: dict) -> dict[str, list[str]]:
-    """source column name -> partition field names usable for pruning:
-    only IDENTITY-transform fields, and only names every spec that
-    defines them binds to the same source column (partition-spec
-    evolution can legally rebind a name; an ambiguous name carries a
-    bucket/truncate value under one spec and must not prune)."""
+def _partition_pruners(meta: dict) -> dict[str, list[tuple]]:
+    """source column name -> ``[(partition_field_name, transform,
+    source_type)]`` usable for pruning — every transform
+    ``iceberg_transforms`` can project a predicate through (identity,
+    bucket[N], truncate[W], year/month/day/hour — the r11 extension
+    covering the dominant real-world foreign layouts, ``days(ts)``
+    event tables and ``bucket(N, id)``). Only names every spec that
+    defines them binds to the same (transform, source) survive:
+    partition-spec evolution can legally rebind a name, and an
+    ambiguous name carries a differently-transformed value under one
+    spec and must not prune. Unknown transforms are kept OUT of the
+    map (conservative scan), never an error."""
     schema = meta.get("schema") or (meta.get("schemas") or [{}])[-1]
-    by_id = {f["id"]: f["name"] for f in schema.get("fields", [])}
+    by_id = {
+        f["id"]: (
+            f["name"],
+            f["type"] if isinstance(f.get("type"), str) else None,
+        )
+        for f in schema.get("fields", [])
+    }
     seen: dict[str, set] = {}
     for spec in meta.get("partition-specs") or []:
         for pf in spec.get("fields", []):
             seen.setdefault(pf["name"], set()).add(
                 (pf.get("transform"), pf.get("source-id"))
             )
-    out: dict[str, list[str]] = {}
+    out: dict[str, list[tuple]] = {}
     for pname, sources in seen.items():
         if len(sources) != 1:
             continue
         transform, source_id = next(iter(sources))
-        col = by_id.get(source_id)
-        if transform == "identity" and col is not None:
-            out.setdefault(col, []).append(pname)
+        col, stype = by_id.get(source_id, (None, None))
+        if col is None or transform is None:
+            continue
+        if ice_transforms.parse_transform(transform) is not None:
+            out.setdefault(col, []).append((pname, transform, stype))
     return out
+
+
+def _identity_partition_names(meta: dict) -> dict[str, list[str]]:
+    """Back-compat view of ``_partition_pruners``: source column ->
+    IDENTITY-transform partition field names only."""
+    return {
+        col: [pname for pname, tr, _st in prs if tr == "identity"]
+        for col, prs in _partition_pruners(meta).items()
+        if any(tr == "identity" for _pn, tr, _st in prs)
+    }
 
 
 def _interval_can_match(fmin, fmax, op: str, val) -> bool:
@@ -1983,23 +2309,41 @@ def _entry_can_match(
     df_rec: dict,
     conjuncts: list[tuple],
     fields_by_name: dict[str, dict],
-    ident_parts: dict[str, list[str]],
+    ident_parts: dict[str, list],
 ) -> bool:
-    """Manifest-level file pruning: partition values (identity
-    transform — the value IS the column value for every row of the
-    file) plus lower/upper bounds (manifest fields 125-130). Keeps the
-    file unless some conjunct PROVES it cannot match; files without
-    usable metadata for a column scan conservatively."""
+    """Manifest-level file pruning: partition values — identity fields
+    compare directly; bucket/truncate/temporal fields (r11) compare
+    against the predicate literal PROJECTED through the spec transform
+    (``iceberg_transforms.project_predicate``, Iceberg's inclusive
+    projection) — plus lower/upper bounds (manifest fields 125-130).
+    ``ident_parts`` maps column -> partition fields, each either a bare
+    name (identity, the pre-r11 shape kept for callers/tests) or a
+    ``(name, transform, source_type)`` tuple. Keeps the file unless
+    some conjunct PROVES it cannot match; files without usable
+    metadata for a column scan conservatively."""
     part = df_rec.get("partition") or {}
     lob = hib = None  # decode lazily; most prunes hit the partition
     for col, op, val in conjuncts:
-        for pname in ident_parts.get(col, ()):
+        for pf in ident_parts.get(col, ()):
+            if isinstance(pf, str):
+                pname, transform, stype = pf, "identity", None
+            else:
+                pname, transform, stype = pf
             if pname not in part:
                 continue  # older-spec entry: no value recorded
             pv = part[pname]
-            # a null identity partition value means every row of the
-            # file is null in this column: no comparison matches
-            if pv is None or not _interval_can_match(pv, pv, op, val):
+            # a null partition value means every row of the file is
+            # null in this column (transforms preserve null): no
+            # comparison predicate matches
+            if pv is None:
+                return False
+            proj = ice_transforms.project_predicate(
+                transform, op, val, stype
+            )
+            if proj is None:
+                continue  # not projectable: scan conservatively
+            npv = ice_transforms.normalize_partition_value(pv, transform)
+            if not _interval_can_match(npv, npv, proj[0], proj[1]):
                 return False
         f = fields_by_name.get(col)
         ftype = f["type"] if f and isinstance(f["type"], str) else None
@@ -2027,23 +2371,47 @@ def _entry_can_match(
 def _predicate_filter(df, conjuncts: list[tuple]):
     """The exact row-level filters the pruned scan still needs (file
     pruning is necessary, never sufficient) — built as plain Column
-    comparisons so Catalyst pushes them into the parquet scan."""
+    comparisons so Catalyst pushes them into the parquet scan.
+
+    Temporal literals NEVER go through ``F.lit(datetime)``: PySpark
+    builds an LTZ literal through the JVM default zone and the NTZ
+    cast then applies the SESSION zone — values silently shift under a
+    non-UTC driver session (the engine's r6 watermark-cursor lesson).
+    They serialize to wall-time strings cast to the COLUMN's own
+    type."""
+    import datetime as _dt
+    from functools import reduce
     from pyspark.sql import functions as F
+
+    def _lit(col, v):
+        if isinstance(v, _dt.datetime):
+            return F.lit(v.isoformat(sep=" ")).cast(df.schema[col].dataType)
+        if isinstance(v, _dt.date):
+            return F.lit(v.isoformat()).cast(df.schema[col].dataType)
+        return F.lit(v)
 
     for col, op, val in conjuncts:
         c = F.col(col)
         if op == "=":
-            df = df.filter(c == F.lit(val))
+            df = df.filter(c == _lit(col, val))
         elif op == "in":
-            df = df.filter(c.isin(val))
+            if any(isinstance(v, (_dt.date, _dt.datetime)) for v in val):
+                df = df.filter(
+                    reduce(
+                        lambda a, b: a | b,
+                        [c == _lit(col, v) for v in val],
+                    )
+                )
+            else:
+                df = df.filter(c.isin(val))
         elif op == "<":
-            df = df.filter(c < F.lit(val))
+            df = df.filter(c < _lit(col, val))
         elif op == "<=":
-            df = df.filter(c <= F.lit(val))
+            df = df.filter(c <= _lit(col, val))
         elif op == ">":
-            df = df.filter(c > F.lit(val))
+            df = df.filter(c > _lit(col, val))
         else:
-            df = df.filter(c >= F.lit(val))
+            df = df.filter(c >= _lit(col, val))
     return df
 
 
@@ -2468,7 +2836,7 @@ def read_iceberg_table(
                 meta.get("schema") or (meta.get("schemas") or [{}])[-1]
             ).get("fields", [])
         }
-        ident_parts = _identity_partition_names(meta)
+        ident_parts = _partition_pruners(meta)
         kept = [
             e
             for e in entries
@@ -2902,7 +3270,7 @@ def read_iceberg_incremental(
                 meta.get("schema") or (meta.get("schemas") or [{}])[-1]
             ).get("fields", [])
         }
-        ident_parts = _identity_partition_names(meta)
+        ident_parts = _partition_pruners(meta)
         kept = [
             e
             for e in added_entries

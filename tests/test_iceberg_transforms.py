@@ -1,0 +1,351 @@
+"""Iceberg partition transforms (r11): the spec hash + transform
+functions against the published Appendix B test vectors, inclusive
+predicate projection, and end-to-end transform-partitioned trees
+written by ``write_iceberg_dataset`` and pruned by
+``read_iceberg_table`` — ``days(ts)`` and ``bucket(N, id)`` being the
+dominant real-world foreign Iceberg layouts the r10 verdict called out
+as served stats-only."""
+
+from __future__ import annotations
+
+import struct
+from datetime import date, datetime, timezone
+
+import pytest
+
+from hudi_and_delta_showcase_spark.tables.iceberg_transforms import (
+    bucket_value,
+    murmur3_32,
+    normalize_partition_value,
+    parse_transform,
+    project_predicate,
+    temporal_value,
+    transform_column,
+    truncate_value,
+)
+
+
+def _signed(h: int) -> int:
+    return h - (1 << 32) if h >= (1 << 31) else h
+
+
+# ---------------------------------------------------------------------------
+# spec Appendix B hash vectors (published expected values)
+# ---------------------------------------------------------------------------
+
+
+def test_murmur3_spec_vectors():
+    assert _signed(murmur3_32(struct.pack("<q", 34))) == 2017239379
+    assert _signed(murmur3_32(struct.pack("<q", 17486))) == -653330422
+    assert _signed(murmur3_32(b"iceberg")) == 1210000089
+    assert (
+        _signed(murmur3_32(struct.pack("<q", 1510871468000000)))
+        == -2047944441
+    )
+
+
+def test_bucket_value_types():
+    # int and long hash identically (spec: ints hash as longs)
+    assert bucket_value(34, 16, "int") == bucket_value(34, 16, "long")
+    assert bucket_value("iceberg", 16, "string") == 1210000089 % 16
+    assert (
+        bucket_value(date(2017, 11, 16), 100, "date")
+        == (-653330422 & 0x7FFFFFFF) % 100
+    )
+    # unhashable types refuse (-> conservative scan), never raise
+    assert bucket_value(1.5, 16, "double") is None
+    assert bucket_value(True, 16, "boolean") is None
+
+
+def test_truncate_value():
+    assert truncate_value(1, 10) == 0
+    assert truncate_value(-1, 10) == -10  # spec floor example
+    assert truncate_value(10, 10) == 10
+    assert truncate_value("iceberg", 3) == "ice"
+    assert truncate_value(1.5, 10) is None
+
+
+def test_temporal_values():
+    assert temporal_value(datetime(2024, 1, 15, 8), "day", "timestamp") == (
+        date(2024, 1, 15) - date(1970, 1, 1)
+    ).days
+    assert temporal_value("2024-01-15", "month", "timestamp") == 648
+    assert temporal_value(date(1969, 12, 31), "year", "date") == -1
+    assert (
+        temporal_value(datetime(1970, 1, 1, 5, 30), "hour", "timestamp")
+        == 5
+    )
+    # tz-aware literals normalize to UTC before flooring
+    assert (
+        temporal_value(
+            datetime(2024, 1, 15, 1, 0, tzinfo=timezone.utc),
+            "day",
+            "timestamptz",
+        )
+        == (date(2024, 1, 15) - date(1970, 1, 1)).days
+    )
+    # int literal: micros for timestamp sources, days for date sources
+    assert temporal_value(86_400_000_000, "day", "timestamp") == 1
+    assert temporal_value(3, "day", "date") == 3
+    assert temporal_value("not a time", "day", "timestamp") is None
+
+
+def test_parse_transform():
+    assert parse_transform("identity") == ("identity", None)
+    assert parse_transform("bucket[16]") == ("bucket", 16)
+    assert parse_transform("truncate[4]") == ("truncate", 4)
+    assert parse_transform("day") == ("day", None)
+    assert parse_transform("void") is None
+    assert parse_transform("bucket[0]") is None
+    assert parse_transform("") is None
+
+
+# ---------------------------------------------------------------------------
+# inclusive projection
+# ---------------------------------------------------------------------------
+
+
+def test_project_equality_through_bucket():
+    op, v = project_predicate("bucket[4]", "=", 42, "long")
+    assert op == "=" and v == bucket_value(42, 4, "long")
+    op, vs = project_predicate("bucket[4]", "in", [1, 2], "long")
+    assert op == "in" and vs == [
+        bucket_value(1, 4, "long"), bucket_value(2, 4, "long")
+    ]
+    # range through bucket proves nothing
+    assert project_predicate("bucket[4]", "<", 42, "long") is None
+    # an unhashable member poisons the whole IN projection
+    assert project_predicate("bucket[4]", "in", [1, 2.5], "long") is None
+
+
+def test_project_range_through_monotonic():
+    # < at an exact day boundary excludes the whole boundary day
+    assert project_predicate(
+        "day", "<", datetime(2024, 1, 10), "timestamp"
+    ) == ("<=", 19731)
+    # < strictly inside a day keeps that day
+    assert project_predicate(
+        "day", "<", datetime(2024, 1, 10, 0, 0, 1), "timestamp"
+    ) == ("<=", 19732)
+    assert project_predicate(
+        "day", ">=", datetime(2024, 1, 10), "timestamp"
+    ) == (">=", 19732)
+    assert project_predicate("truncate[10]", "<", 25, "long") == ("<=", 20)
+    # < at an exact truncate boundary excludes the boundary partition
+    assert project_predicate("truncate[10]", "<", 20, "long") == ("<=", 10)
+    assert project_predicate("truncate[3]", "=", "iceberg", "string") == (
+        "=", "ice"
+    )
+    # identity is exact — op passes through untouched
+    assert project_predicate("identity", "<", 7, "long") == ("<", 7)
+
+
+def test_project_unknown_conservative():
+    assert project_predicate("void", "=", 1, "long") is None
+    assert project_predicate("day", "=", object(), "timestamp") is None
+
+
+def test_normalize_partition_value():
+    assert normalize_partition_value(19732, "day") == 19732
+    # an avro decoder honoring the date logical type surfaces date
+    assert normalize_partition_value(date(2024, 1, 10), "day") == 19732
+    assert normalize_partition_value("a", "identity") == "a"
+
+
+# ---------------------------------------------------------------------------
+# Spark-side transform columns agree with the scalar spec functions
+# ---------------------------------------------------------------------------
+
+
+def test_transform_columns_match_scalar(spark):
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import LongType, StringType, TimestampType
+
+    df = spark.createDataFrame(
+        [
+            (1, "alpha", datetime(2024, 1, 15, 8, 30)),
+            (-1, "b", datetime(1969, 12, 31, 23, 0)),
+            (34, "iceberg", datetime(2017, 11, 16, 22, 31, 8)),
+            (None, None, None),
+        ],
+        "k long, s string, ts timestamp",
+    )
+    cols = {
+        "b_k": transform_column("k", "bucket[16]"),
+        "b_s": transform_column("s", "bucket[16]"),
+        "t_k": transform_column("k", "truncate[10]"),
+        "t_s": transform_column("s", "truncate[3]"),
+        "d": transform_column("ts", "day"),
+        "m": transform_column("ts", "month"),
+        "y": transform_column("ts", "year"),
+        "h": transform_column("ts", "hour"),
+    }
+    dtypes = {"k": LongType(), "s": StringType(), "ts": TimestampType()}
+    sel = [F.col("k"), F.col("s"), F.col("ts")]
+    for name, c in cols.items():
+        src = {"b_k": "k", "b_s": "s", "t_k": "k", "t_s": "s"}.get(
+            name, "ts"
+        )
+        from hudi_and_delta_showcase_spark.tables.iceberg_transforms import (
+            _TypedCol,
+        )
+
+        expr = c.resolve(dtypes[src]) if isinstance(c, _TypedCol) else c
+        sel.append(expr.alias(name))
+    for r in df.select(*sel).collect():
+        if r.k is None:
+            assert r.b_k is None and r.t_k is None and r.d is None
+            continue
+        assert r.b_k == bucket_value(r.k, 16, "long")
+        assert r.b_s == bucket_value(r.s, 16, "string")
+        assert r.t_k == truncate_value(r.k, 10)
+        assert r.t_s == truncate_value(r.s, 3)
+        assert r.d == temporal_value(r.ts, "day", "timestamp")
+        assert r.m == temporal_value(r.ts, "month", "timestamp")
+        assert r.y == temporal_value(r.ts, "year", "timestamp")
+        assert r.h == temporal_value(r.ts, "hour", "timestamp")
+
+
+# ---------------------------------------------------------------------------
+# end-to-end: write_iceberg_dataset + transform-aware pruned reads
+# ---------------------------------------------------------------------------
+
+
+def _events(spark):
+    rows = [
+        (i, datetime(2024, 1, 1 + i % 20, i % 24), i % 7, f"e{i % 3}")
+        for i in range(200)
+    ]
+    return spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, kind string"
+    )
+
+
+def test_day_tree_prunes_range(spark, tmp_path):
+    from hudi_and_delta_showcase_spark.tables.iceberg_meta import (
+        read_iceberg_table,
+        write_iceberg_dataset,
+    )
+
+    df = _events(spark)
+    root = str(tmp_path / "day_tree")
+    write_iceberg_dataset(spark, df, root, partition_by=[("ts", "day")])
+    full = read_iceberg_table(spark, root)
+    assert len(full.inputFiles()) == 20
+    pruned = read_iceberg_table(
+        spark,
+        root,
+        predicate="ts >= TIMESTAMP '2024-01-05' AND "
+        "ts < TIMESTAMP '2024-01-08'",
+    )
+    # the files-shrank pin: 3 of 20 day partitions survive
+    assert len(pruned.inputFiles()) == 3
+    expect = sorted(
+        r.event_id
+        for r in df.filter(
+            "ts >= '2024-01-05' and ts < '2024-01-08'"
+        ).collect()
+    )
+    assert sorted(r.event_id for r in pruned.collect()) == expect
+
+
+def test_bucket_tree_prunes_equality(spark, tmp_path):
+    from hudi_and_delta_showcase_spark.tables.iceberg_meta import (
+        read_iceberg_table,
+        write_iceberg_dataset,
+    )
+
+    df = _events(spark)
+    root = str(tmp_path / "bkt_tree")
+    write_iceberg_dataset(
+        spark, df, root,
+        partition_by=[("user_id", "bucket[4]")], with_bounds=False,
+    )
+    full = read_iceberg_table(spark, root)
+    pruned = read_iceberg_table(
+        spark, root, predicate=[("user_id", "=", 3)]
+    )
+    assert len(pruned.inputFiles()) == 1 < len(full.inputFiles())
+    assert sorted(r.event_id for r in pruned.collect()) == sorted(
+        r.event_id for r in df.filter("user_id = 3").collect()
+    )
+    # a RANGE predicate must NOT prune through bucket (not monotonic):
+    # with bounds disabled every file survives
+    ranged = read_iceberg_table(
+        spark, root, predicate=[("user_id", ">=", 3)]
+    )
+    assert len(ranged.inputFiles()) == len(full.inputFiles())
+    assert ranged.count() == df.filter("user_id >= 3").count()
+
+
+def test_multi_transform_tree(spark, tmp_path):
+    from hudi_and_delta_showcase_spark.tables.iceberg_meta import (
+        read_iceberg_table,
+        write_iceberg_dataset,
+    )
+
+    df = _events(spark)
+    root = str(tmp_path / "multi_tree")
+    write_iceberg_dataset(
+        spark, df, root,
+        partition_by=[("ts", "month"), ("user_id", "bucket[2]")],
+    )
+    pruned = read_iceberg_table(
+        spark,
+        root,
+        predicate="user_id = 5 AND ts >= TIMESTAMP '2024-01-01'",
+    )
+    full = read_iceberg_table(spark, root)
+    assert len(pruned.inputFiles()) < len(full.inputFiles())
+    assert sorted(r.event_id for r in pruned.collect()) == sorted(
+        r.event_id for r in df.filter("user_id = 5").collect()
+    )
+
+
+def test_truncate_tree_prunes(spark, tmp_path):
+    from hudi_and_delta_showcase_spark.tables.iceberg_meta import (
+        read_iceberg_table,
+        write_iceberg_dataset,
+    )
+
+    from pyspark.sql import functions as F
+
+    df = _events(spark).withColumn("user_id", F.col("event_id"))
+    root = str(tmp_path / "tr_tree")
+    write_iceberg_dataset(
+        spark, df, root,
+        partition_by=[("user_id", "truncate[50]")], with_bounds=False,
+    )
+    pruned = read_iceberg_table(
+        spark, root, predicate=[("user_id", ">=", 150)]
+    )
+    full = read_iceberg_table(spark, root)
+    assert len(pruned.inputFiles()) == 1 < len(full.inputFiles())
+    assert pruned.count() == 50
+
+
+def test_write_refuses_existing_tree(spark, tmp_path):
+    from hudi_and_delta_showcase_spark.tables.iceberg_meta import (
+        write_iceberg_dataset,
+    )
+
+    df = _events(spark)
+    root = str(tmp_path / "dup_tree")
+    write_iceberg_dataset(spark, df, root, partition_by=[("ts", "day")])
+    with pytest.raises(ValueError, match="already exists"):
+        write_iceberg_dataset(spark, df, root)
+
+
+def test_timestamp_literal_in_predicate_sql():
+    from hudi_and_delta_showcase_spark.tables.iceberg_meta import (
+        parse_predicate_sql,
+    )
+
+    out = parse_predicate_sql(
+        "ts >= TIMESTAMP '2024-01-10' AND d = DATE '2024-01-11' "
+        "AND g = 'TIMESTAMP ''x'''"
+    )
+    assert out[0] == ("ts", ">=", datetime(2024, 1, 10))
+    assert out[1] == ("d", "=", date(2024, 1, 11))
+    # a quoted string that merely CONTAINS the keyword stays a string
+    assert out[2] == ("g", "=", "TIMESTAMP 'x'")
