@@ -283,6 +283,10 @@ PRIORITY: tuple[str, ...] = (
     # blocks (RFC-51 supplemental logging) served in Delta CDF's exact
     # taxonomy, executor-side decode, O(changes) IO
     "hoodie_cdc_changes",
+    # r11: RFC-51 OP_KEY_ONLY mode — op+recordKey-only CDC blocks, both
+    # images synthesized from pre-/post-instant snapshot semi-joins;
+    # same oracle as the DATA_BEFORE_AFTER row, pinning mode equivalence
+    "hoodie_cdc_key_only_changes",
     # r10: the Iceberg leg — changelog scan (create_changelog_view):
     # per-snapshot insert/delete rows, file-scoped; DV/pos/eq delete
     # snapshots materialize exactly the newly killed rows; optional

@@ -1307,6 +1307,81 @@ def hoodie_cdc_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "hoodie_cdc_key_only_changes",
+    oracle=f"""
+    WITH pre AS (
+      SELECT * FROM (
+        SELECT *, ROW_NUMBER() OVER (
+          PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+        FROM events WHERE ts < TIMESTAMP '{CUTOFF}'
+      ) WHERE rn = 1
+    ), post AS (
+      SELECT * FROM (
+        SELECT *, ROW_NUMBER() OVER (
+          PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+        FROM events WHERE ts >= TIMESTAMP '{CUTOFF}'
+      ) WHERE rn = 1
+    )
+    SELECT p.event_id, p.user_id, p.ts, p.event_type, p.value,
+           CASE WHEN q.user_id IS NULL THEN 'insert'
+                ELSE 'update_postimage' END AS change_type
+    FROM post p LEFT JOIN pre q ON p.user_id = q.user_id
+    UNION ALL
+    SELECT q.event_id, q.user_id, q.ts, q.event_type, q.value,
+           'update_preimage' AS change_type
+    FROM pre q JOIN post p ON p.user_id = q.user_id
+    """,
+    tags=("cdc", "hoodie", "source", "cdf"),
+)
+def hoodie_cdc_key_only_changes(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """RFC-51 ``OP_KEY_ONLY`` supplemental logging served through the
+    SAME Delta-CDF taxonomy (r11, verdict #4): the cost-conscious CDC
+    mode real writers enable — the commit's CDC block persists only
+    ``op`` + ``recordKey``, and the reader synthesizes both images by
+    semi-joining the keys against the pre-/post-instant MoR snapshots
+    (``read_hoodie_table_rt(as_of)``). Identical logical change set —
+    and oracle — as `hoodie_cdc_changes`, pinning mode equivalence:
+    a reader that mis-synthesizes either image hash-fails."""
+    from hudi_and_delta_showcase_spark.avro_ocf import spark_schema_to_avro
+    from hudi_and_delta_showcase_spark.tables import hoodie_log as hl
+    from hudi_and_delta_showcase_spark.tables import hoodie_timeline as ht
+
+    base, incr = _split(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy(
+        F.desc("ts"), F.desc("event_id")
+    )
+    latest = lambda df: (  # noqa: E731
+        df.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+    pre, post = latest(base), latest(incr)
+    root = tempfile.mkdtemp(prefix="hoodie_cdc_ko_") + "/t"
+    ht.write_hoodie_table(pre.coalesce(1), root)
+    ((fid, s),) = ht.latest_file_slices_rt(root).items()
+    pre_users = {r.user_id for r in pre.select("user_id").collect()}
+    records = [r.asDict() for r in post.collect()]
+    cdc_records = [
+        {
+            "op": "u" if rec["user_id"] in pre_users else "i",
+            "recordKey": str(rec["user_id"]),
+        }
+        for rec in records
+    ]
+    ht.append_log_commit(
+        root, fid, s["base_instant"], records,
+        spark_schema_to_avro(pre.schema),
+        cdc_records=cdc_records,
+        cdc_schema=hl.cdc_avro_schema_key_only(),
+    )
+    return ht.read_hoodie_changes(
+        spark, root, key_fields=["user_id"]
+    ).select(*_FINAL_COLS, F.col("_change_type").alias("change_type"))
+
+
+@query(
     "delta_incremental_read",
     oracle=f"""
     SELECT event_id, user_id, ts, event_type, value, 'b2' AS batch

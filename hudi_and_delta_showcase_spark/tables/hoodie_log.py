@@ -258,6 +258,43 @@ def cdc_avro_schema(data_schema: dict) -> dict:
     }
 
 
+def cdc_avro_schema_key_only() -> dict:
+    """RFC-51 ``cdc.supplemental.logging.mode=OP_KEY_ONLY``: the
+    storage-cheapest mode — only the operation and the Hudi record key
+    persist; readers synthesize both images by joining the key against
+    the pre-/post-instant snapshots (r11,
+    ``hoodie_timeline.read_hoodie_changes``)."""
+    return {
+        "namespace": "org.apache.hudi.avro.model",
+        "type": "record",
+        "name": "HoodieCDCRecordKeyOnly",
+        "fields": [
+            {"name": "op", "type": ["null", "string"], "default": None},
+            {"name": "recordKey", "type": ["null", "string"],
+             "default": None},
+        ],
+    }
+
+
+def cdc_avro_schema_data_before(data_schema: dict) -> dict:
+    """RFC-51 ``cdc.supplemental.logging.mode=DATA_BEFORE``: op, record
+    key, and the BEFORE image only — the after image is synthesized
+    from the post-instant snapshot (r11)."""
+    return {
+        "namespace": "org.apache.hudi.avro.model",
+        "type": "record",
+        "name": "HoodieCDCRecordDataBefore",
+        "fields": [
+            {"name": "op", "type": ["null", "string"], "default": None},
+            {"name": "recordKey", "type": ["null", "string"],
+             "default": None},
+            {"name": "before",
+             "type": ["null", {**data_schema, "name": "BeforeOnlyRecord"}],
+             "default": None},
+        ],
+    }
+
+
 def cdc_data_block(
     records: list[dict], cdc_schema: dict, instant: str
 ) -> bytes:

@@ -766,31 +766,69 @@ def read_hoodie_table_rt(
     return _predicate_filter(out, conjuncts) if conjuncts else out
 
 
+def _hoodie_record_key_col(key_fields: list[str]):
+    """The Hudi record-key string as a Column: a single key field is
+    its plain string value (SimpleKeyGenerator); composite keys render
+    ``f1:v1,f2:v2`` (ComplexKeyGenerator)."""
+    import pyspark.sql.functions as F
+
+    if len(key_fields) == 1:
+        return F.col(key_fields[0]).cast("string")
+    return F.concat_ws(
+        ",",
+        *[
+            F.concat(F.lit(f + ":"), F.col(f).cast("string"))
+            for f in key_fields
+        ],
+    )
+
+
 def read_hoodie_changes(
     spark: SparkSession,
     path: str,
     begin_instant: str | None = None,
     end_instant: str | None = None,
+    key_fields: list[str] | None = None,
+    predicate: list[tuple] | str | None = None,
 ) -> DataFrame:
     """Hudi CHANGE-DATA-CAPTURE read (r10 — the ``.hoodie`` leg of the
     change-feed triad, next to ``read_delta_changes``): serve the
     row-level change images a ``hoodie.table.cdc.enabled`` writer
-    persists as CDC_DATA log blocks (RFC-51 supplemental logging,
-    ``DATA_BEFORE_AFTER`` mode — debezium-shaped ``op``/``before``/
-    ``after`` records). Output: data columns + ``_change_type``
-    (``insert`` / ``update_preimage`` / ``update_postimage`` /
-    ``delete`` — Delta CDF's exact taxonomy, an update with a before
-    image yields BOTH rows) + ``_commit_instant``.
+    persists as CDC_DATA log blocks (RFC-51 supplemental logging).
+    All THREE logging modes serve (r11, verdict #4):
 
-    O(changes) IO: only the log files written by completed instants in
-    ``(begin_instant, end_instant]`` are opened (their paths are the
-    commits' own write stats — never a listing), and blocks decode
-    EXECUTOR-side, one task per file group, with the same
-    rollback-command / never-completed validity rules as the data
-    merge. An in-range commit WITHOUT CDC blocks contributes nothing —
-    refusal is the caller's call (absence of supplemental logging is
-    not distinguishable from a metadata-only commit); an unknown ``op``
-    refuses loudly rather than mis-classifying."""
+    * ``DATA_BEFORE_AFTER`` — debezium-shaped ``op``/``before``/
+      ``after`` records; images come straight off the block.
+    * ``DATA_BEFORE`` — ``op``/``recordKey``/``before``; the AFTER
+      image is synthesized by semi-joining the record key against the
+      post-instant snapshot (``read_hoodie_table_rt(as_of)``).
+    * ``OP_KEY_ONLY`` — ``op``/``recordKey`` only; BOTH images
+      synthesize, the before side against the snapshot as of the
+      PREVIOUS completed instant.
+
+    Output: data columns + ``_change_type`` (``insert`` /
+    ``update_preimage`` / ``update_postimage`` / ``delete`` — Delta
+    CDF's exact taxonomy, an update with a before image yields BOTH
+    rows) + ``_commit_instant``.
+
+    O(changes) IO in ``DATA_BEFORE_AFTER``: only the log files written
+    by completed instants in ``(begin_instant, end_instant]`` are
+    opened (their paths are the commits' own write stats — never a
+    listing), and blocks decode EXECUTOR-side, one task per file
+    group, with the same rollback-command / never-completed validity
+    rules as the data merge. The key-only modes trade that for
+    RFC-51's documented read cost: one snapshot semi-join per
+    (instant, image side) that needs synthesis — the instant list is
+    metadata-scale, the joins stay distributed, and the per-``as_of``
+    snapshot plan is built once and shared. An in-range commit WITHOUT
+    CDC blocks contributes nothing — refusal is the caller's call
+    (absence of supplemental logging is not distinguishable from a
+    metadata-only commit); an unknown ``op`` refuses loudly rather
+    than mis-classifying.
+
+    ``predicate`` (r11) applies the shared tuple/SQL row filter to the
+    change rows (both images) — CDC blocks carry no col-stats, so this
+    is a row filter pushed into the scan, not file pruning."""
     import pandas as pd
     import pyspark.sql.functions as F
 
@@ -836,6 +874,7 @@ def read_hoodie_changes(
     out_schema = (
         data_schema.add("_change_type", "string")
         .add("_commit_instant", "string")
+        .add("__key", "string")
     )
     rows_in = []
     for p in sorted(log_files):
@@ -857,38 +896,132 @@ def read_hoodie_changes(
         blobs = [fsio.read_bytes(fsio.join(path, rel)) for rel in rels]
         rows: list[list] = []
 
-        def emit(img: dict | None, ctype: str, instant: str) -> None:
-            if img is None:
-                raise ValueError(
-                    f"cdc record of instant {instant} lacks the "
-                    f"{ctype} image"
+        def emit(img: dict | None, ctype: str, instant: str,
+                 key: str | None) -> None:
+            if img is not None:
+                rows.append(
+                    [img.get(c) for c in cols] + [ctype, instant, None]
                 )
-            rows.append([img.get(c) for c in cols] + [ctype, instant])
+            elif key is not None:
+                # key-only modes: a placeholder row naming the record
+                # key — the image synthesizes from a snapshot below
+                rows.append([None] * len(cols) + [ctype, instant, key])
+            else:
+                raise ValueError(
+                    f"cdc record of instant {instant} lacks both the "
+                    f"{ctype} image and a recordKey"
+                )
 
         for instant, records in hl.resolve_cdc_blocks(blobs, valid):
             if (lo is not None and instant <= lo) or instant > hi:
                 continue
             for rec in records:
                 op = rec.get("op")
+                key = rec.get("recordKey")
                 if op == "i":
-                    emit(rec.get("after"), "insert", instant)
+                    emit(rec.get("after"), "insert", instant, key)
                 elif op == "u":
+                    # DATA_BEFORE_AFTER writers may legally omit the
+                    # before image (insert-shaped upsert): skip the
+                    # preimage ONLY when the schema CARRIES a before
+                    # field that is null — a mode without the field
+                    # (OP_KEY_ONLY) synthesizes it instead
                     if rec.get("before") is not None:
-                        emit(rec["before"], "update_preimage", instant)
-                    emit(rec.get("after"), "update_postimage", instant)
+                        emit(rec["before"], "update_preimage",
+                             instant, None)
+                    elif "before" not in rec:
+                        emit(None, "update_preimage", instant, key)
+                    emit(rec.get("after"), "update_postimage",
+                         instant, key)
                 elif op == "d":
-                    emit(rec.get("before"), "delete", instant)
+                    emit(rec.get("before"), "delete", instant, key)
                 else:
                     raise ValueError(
                         f"unknown cdc op {op!r} in instant {instant}"
                     )
         return pd.DataFrame(
-            rows, columns=cols + ["_change_type", "_commit_instant"]
+            rows,
+            columns=cols + ["_change_type", "_commit_instant", "__key"],
         )
 
-    out = src.groupBy("fid").applyInPandas(_decode, out_schema)
+    decoded = src.groupBy("fid").applyInPandas(_decode, out_schema)
+    out = decoded.filter(F.col("__key").isNull()).drop("__key")
+
+    # ---- image synthesis for the key-only modes (r11) -----------------
+    need = decoded.filter(F.col("__key").isNotNull())
+    # the (instant, side) list is metadata-scale: O(instants in range)
+    need_groups = [
+        (r["_commit_instant"], r["_change_type"])
+        for r in need.select("_commit_instant", "_change_type")
+        .distinct()
+        .collect()
+    ]
+    if need_groups:
+        if key_fields is None:
+            props = read_properties(path)
+            rk = props.get("hoodie.table.recordkey.fields")
+            if not rk:
+                raise ValueError(
+                    "key-only CDC mode needs key_fields (none given and "
+                    "hoodie.properties carries no "
+                    "hoodie.table.recordkey.fields)"
+                )
+            key_fields = [c.strip() for c in rk.split(",") if c.strip()]
+        completed = [i for i, _k in instants]
+        snaps_by_asof: dict[str, DataFrame] = {}
+
+        def _snapshot(as_of: str) -> DataFrame:
+            if as_of not in snaps_by_asof:
+                snaps_by_asof[as_of] = read_hoodie_table_rt(
+                    spark, path, key_fields=key_fields,
+                    as_of_instant=as_of,
+                )
+            return snaps_by_asof[as_of]
+
+        for instant, ctype in sorted(need_groups):
+            if ctype in ("insert", "update_postimage"):
+                as_of = instant
+            else:
+                # before images live in the snapshot as of the PREVIOUS
+                # completed instant
+                prior = [i for i in completed if i < instant]
+                if not prior:
+                    raise ValueError(
+                        f"cdc {ctype} at the table's first instant "
+                        f"{instant} has no prior snapshot to synthesize "
+                        "the before image from"
+                    )
+                as_of = prior[-1]
+            keys = (
+                need.filter(
+                    (F.col("_commit_instant") == instant)
+                    & (F.col("_change_type") == ctype)
+                )
+                .select("__key")
+                .distinct()
+            )
+            snap = _snapshot(as_of)
+            img = snap.join(
+                keys,
+                _hoodie_record_key_col(key_fields) == F.col("__key"),
+                "left_semi",
+            )
+            out = out.unionByName(
+                img.select(*cols)
+                .withColumn("_change_type", F.lit(ctype))
+                .withColumn("_commit_instant", F.lit(instant))
+            )
+
     # declarative downstream: stamp as plain columns so filters push
-    return out.select(*cols, "_change_type", "_commit_instant")
+    out = out.select(*cols, "_change_type", "_commit_instant")
+    if predicate:
+        from hudi_and_delta_showcase_spark.tables.iceberg_meta import (
+            _normalize_predicate,
+            _predicate_filter,
+        )
+
+        out = _predicate_filter(out, _normalize_predicate(predicate))
+    return out
 
 
 def append_log_commit(
@@ -900,6 +1033,7 @@ def append_log_commit(
     deletes: list[dict] | None = None,
     block_format: str = "avro",
     cdc_records: list[dict] | None = None,
+    cdc_schema: dict | None = None,
 ) -> str:
     """Author one MoR delta commit the way Hudi lays it out: a hidden
     ``.log`` file of one Avro data block appended to ``file_id``'s
@@ -943,9 +1077,12 @@ def append_log_commit(
     if cdc_records:
         # hoodie.table.cdc.enabled supplemental logging: the commit's
         # change images ride a CDC_DATA block in the same log file
+        # (cdc_schema overrides for the key-only RFC-51 modes, r11)
         blocks.append(
             hl.cdc_data_block(
-                cdc_records, hl.cdc_avro_schema(avro_schema), instant
+                cdc_records,
+                cdc_schema or hl.cdc_avro_schema(avro_schema),
+                instant,
             )
         )
     hl.write_log_file(fsio.join(path, log_name), blocks)

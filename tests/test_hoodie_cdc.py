@@ -125,3 +125,99 @@ def test_no_log_commits_in_range_refuses(spark, tmp_path):
     write_hoodie_table(base.coalesce(1), root)
     with pytest.raises(ValueError, match="no log-bearing commits"):
         read_hoodie_changes(spark, root)
+
+
+def _mode_tree(spark, root, mode):
+    """Foreign MoR table whose CDC commit logs in a KEY-ONLY RFC-51
+    mode: k=2 updated, k=4 inserted, k=3 deleted — same logical change
+    set as `_tree`, so every mode must serve the same taxonomy."""
+    base = spark.createDataFrame(
+        [(1, "a", 100), (2, "b", 100), (3, "c", 100)],
+        "k long, v string, sq long",
+    )
+    write_hoodie_table(base.coalesce(1), root)
+    ((fid, s),) = latest_file_slices_rt(root).items()
+    schema = spark_schema_to_avro(base.schema)
+    if mode == "OP_KEY_ONLY":
+        cdc_schema = hl.cdc_avro_schema_key_only()
+        recs = [
+            {"op": "u", "recordKey": "2"},
+            {"op": "i", "recordKey": "4"},
+            {"op": "d", "recordKey": "3"},
+        ]
+    else:  # DATA_BEFORE
+        cdc_schema = hl.cdc_avro_schema_data_before(schema)
+        recs = [
+            {"op": "u", "recordKey": "2",
+             "before": {"k": 2, "v": "b", "sq": 100}},
+            {"op": "i", "recordKey": "4", "before": None},
+            {"op": "d", "recordKey": "3",
+             "before": {"k": 3, "v": "c", "sq": 100}},
+        ]
+    instant = append_log_commit(
+        root, fid, s["base_instant"],
+        [{"k": 2, "v": "b2", "sq": 101}, {"k": 4, "v": "d", "sq": 100}],
+        schema,
+        deletes=[{"recordKey": "k:3"}],
+        cdc_records=recs, cdc_schema=cdc_schema,
+    )
+    return instant
+
+
+@pytest.mark.parametrize("mode", ["OP_KEY_ONLY", "DATA_BEFORE"])
+def test_key_only_modes_synthesize_images(spark, tmp_path, mode):
+    """r11 (verdict #4): OP_KEY_ONLY / DATA_BEFORE supplemental logging
+    serves the SAME Delta-CDF taxonomy as DATA_BEFORE_AFTER — missing
+    images synthesize by semi-joining record keys against the pre-/
+    post-instant snapshots."""
+    root = str(tmp_path / "ht")
+    _mode_tree(spark, root, mode)
+    ch = read_hoodie_changes(spark, root, key_fields=["k"])
+    got = sorted(
+        (r.k, r.v, r._change_type)
+        for r in ch.select("k", "v", "_change_type").collect()
+    )
+    assert got == [
+        (2, "b", "update_preimage"),
+        (2, "b2", "update_postimage"),
+        (3, "c", "delete"),
+        (4, "d", "insert"),
+    ]
+
+
+def test_key_only_first_instant_delete_refuses(spark, tmp_path):
+    """A before-image synthesis with no prior snapshot is inconsistent
+    CDC state — refuse loudly rather than serve an empty image."""
+    import os
+
+    from hudi_and_delta_showcase_spark.tables.hoodie_timeline import (
+        _completed_instants,
+    )
+
+    root = str(tmp_path / "ht")
+    _mode_tree(spark, root, "OP_KEY_ONLY")
+    # erase the base commit's completed instant marker so the CDC
+    # commit becomes the first completed instant
+    first = _completed_instants(root)[0][0]
+    hdir = os.path.join(root, ".hoodie")
+    for f in sorted(os.listdir(hdir)):
+        if f.startswith(first + ".") and "inflight" not in f \
+                and "requested" not in f:
+            os.remove(os.path.join(hdir, f))
+    with pytest.raises(Exception, match="no prior snapshot|no base"):
+        read_hoodie_changes(spark, root, key_fields=["k"]).collect()
+
+
+def test_cdc_predicate_filters_rows(spark, tmp_path):
+    """r11 (verdict #5): read_hoodie_changes takes the shared tuple/SQL
+    predicate — the row filter applies to both change sides."""
+    root = str(tmp_path / "ht")
+    _tree(spark, root)
+    ch = read_hoodie_changes(spark, root, predicate="k <= 3")
+    got = sorted(
+        (r.k, r._change_type)
+        for r in ch.select("k", "_change_type").collect()
+    )
+    assert got == [
+        (2, "update_postimage"), (2, "update_preimage"), (3, "delete")
+    ]

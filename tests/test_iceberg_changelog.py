@@ -308,3 +308,97 @@ def test_replace_snapshots_skipped_and_empty_range_refuses(
         read_iceberg_changelog(
             spark, t.path, from_snapshot_id=snaps[0]["snapshot-id"]
         )
+
+
+def test_chain_decodes_each_snapshot_once(spark, tmp_path, monkeypatch):
+    """r11 memoization pin: one `_snapshot_entries` decode per snapshot
+    in the range (iteration k's parent entries are iteration k-1's
+    own) — previously each snapshot decoded ~twice, worst-case
+    O(chain²) avro work on long ranges."""
+    from hudi_and_delta_showcase_spark.tables import iceberg_meta as im
+
+    df1 = spark.createDataFrame(
+        [(k, f"v{k}", "p1") for k in range(4)], "k int, v string, b string"
+    ).coalesce(1)
+    t = LakehouseTable.create(
+        spark, str(tmp_path / "t"), df1, key_cols=["k"], partition_by="b"
+    )
+    for i in range(4):
+        t.upsert(spark.createDataFrame(
+            [(100 + i, "x", f"p{2 + i}")], "k int, v string, b string"
+        ))
+    export_iceberg_metadata(t)
+    snaps = iceberg_snapshots(t.path)
+
+    calls: list[int] = []
+    real = im._snapshot_entries
+
+    def counting(table_path, snap, with_deletes=False):
+        calls.append(snap["snapshot-id"])
+        return real(table_path, snap, with_deletes)
+
+    monkeypatch.setattr(im, "_snapshot_entries", counting)
+    ch = im.read_iceberg_changelog(
+        spark, t.path, from_snapshot_id=snaps[0]["snapshot-id"]
+    )
+    got = sorted(r.k for r in ch.collect())
+    assert got == [100, 101, 102, 103]
+    # 4 changed snapshots + the from-snapshot (first parent): 5 decodes,
+    # each snapshot exactly once
+    assert len(calls) == len(set(calls)) == 5
+
+
+def test_changelog_predicate_prunes_and_filters(spark, tmp_path):
+    """r11: the changelog takes the same tuple/SQL predicate as every
+    sibling reader — changed entries prune on partition values before
+    any scan, and the row filter applies to both change sides."""
+    df1 = spark.createDataFrame(
+        [(k, f"v{k}", "a" if k < 4 else "b") for k in range(8)],
+        "k int, v string, g string",
+    ).coalesce(1)
+    t = LakehouseTable.create(
+        spark, str(tmp_path / "t"), df1, key_cols=["k"], partition_by="g"
+    )
+    t.upsert(spark.createDataFrame(
+        [(10, "x", "a"), (11, "y", "b")], "k int, v string, g string"
+    ))
+    export_iceberg_metadata(t)
+    snaps = iceberg_snapshots(t.path)
+    full = read_iceberg_changelog(
+        spark, t.path, from_snapshot_id=snaps[0]["snapshot-id"]
+    )
+    pruned = read_iceberg_changelog(
+        spark, t.path, from_snapshot_id=snaps[0]["snapshot-id"],
+        predicate="g = 'a'",
+    )
+    # files-shrank pin: only partition a's changed files scan
+    assert len(pruned.inputFiles()) < len(full.inputFiles())
+    got = sorted((r.k, r._change_type) for r in pruned.collect())
+    # the upsert rewrote partition a's file: carried rows report as
+    # delete+insert pairs plus the new row's insert — all g='a'
+    assert (10, "insert") in got
+    assert all(
+        r.g == "a" for r in pruned.collect()
+    )
+    assert not [x for x in got if x[0] == 11]
+
+
+def test_changelog_predicate_all_pruned_returns_empty(spark, tmp_path):
+    df1 = spark.createDataFrame(
+        [(k, f"v{k}", "a") for k in range(4)], "k int, v string, g string"
+    ).coalesce(1)
+    t = LakehouseTable.create(
+        spark, str(tmp_path / "t"), df1, key_cols=["k"], partition_by="g"
+    )
+    t.upsert(spark.createDataFrame(
+        [(10, "x", "a")], "k int, v string, g string"
+    ))
+    export_iceberg_metadata(t)
+    snaps = iceberg_snapshots(t.path)
+    out = read_iceberg_changelog(
+        spark, t.path, from_snapshot_id=snaps[0]["snapshot-id"],
+        predicate="g = 'zz'",
+    )
+    assert out.count() == 0
+    assert {"_change_type", "_change_ordinal",
+            "_commit_snapshot_id"} <= set(out.columns)
