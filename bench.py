@@ -30,10 +30,36 @@ REPO = os.path.dirname(os.path.abspath(__file__))
 sys.path.insert(0, REPO)
 
 
+def _await_quiet_window() -> tuple[float, bool]:
+    """Quiet-window enforcement (r11, verdict #3): the r10 committed
+    headline was a noisy-window artifact (uniform 1.25-1.84x at
+    load_avg 4.62). Before ANY measurement, probe the 1-minute load —
+    external pressure, since no Spark session exists yet — and wait it
+    out (up to SPARK_GRAFT_QUIET_RETRIES sleeps of 30 s). If the host
+    never quiets, the record still prints (the driver contract is one
+    JSON line, always) but carries ``quiet: false`` +
+    ``load_avg_1m_pre`` so a noisy number is self-disqualifying under
+    the BASELINE.md bar instead of masquerading as a regression."""
+    threshold = float(os.environ.get("SPARK_GRAFT_QUIET_LOAD", "2.0"))
+    retries = int(os.environ.get("SPARK_GRAFT_QUIET_RETRIES", "3"))
+    pre = os.getloadavg()[0]
+    while pre > threshold and retries > 0:
+        print(
+            f"# host busy pre-run (load_avg_1m {pre:.2f} > "
+            f"{threshold}), waiting 30s",
+            file=sys.stderr,
+        )
+        time.sleep(30)
+        retries -= 1
+        pre = os.getloadavg()[0]
+    return round(pre, 2), pre <= threshold
+
+
 def main() -> None:
     os.environ.setdefault("SPARK_LOCAL_IP", "127.0.0.1")
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", str(os.cpu_count() or 8)))
+    load_pre, quiet = _await_quiet_window()
 
     from hudi_and_delta_showcase_spark import get_spark
     from hudi_and_delta_showcase_spark.queries import load_all
@@ -103,6 +129,8 @@ def main() -> None:
                     # when this is genuinely low — r10 saw idle-load
                     # 1.8-3.3 inflate single-pass rows ~25% uniformly
                     "load_avg_1m": round(os.getloadavg()[0], 2),
+                    "load_avg_1m_pre": load_pre,
+                    "quiet": quiet,
                 },
                 fh,
                 indent=1,
@@ -120,6 +148,8 @@ def main() -> None:
                 "sf": float(sf) if sf else sf_dir,
                 "cpus": cpus,
                 "load_avg_1m": round(os.getloadavg()[0], 2),
+                "load_avg_1m_pre": load_pre,
+                "quiet": quiet,
             }
         )
     )
