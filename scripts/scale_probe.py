@@ -19,6 +19,10 @@ import sys
 import tempfile
 import time
 
+sys.path.insert(
+    0, os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+)
+
 SF1 = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 COPIES = 10
 QUERIES = [
@@ -40,6 +44,13 @@ QUERIES = [
     "hoodie_pruned_read",         # col-stats + metadata-table pruning
     "iceberg_incremental_read",   # incremental append scan
     "delta_incremental_read",     # version-range add-diff read
+    # r11 (verdict r10 task 7): the change-feed triad at 10x change
+    # volume — each query authors its foreign tree/log from events and
+    # serves the full change set, so the 10x run decodes 10x the
+    # CDC blocks / changelog entries / CDF rows
+    "hoodie_cdc_changes",         # RFC-51 CDC_DATA block decode
+    "iceberg_changelog_read",     # changelog scan + update collapse
+    "cdc_delta_changes_tail",     # Delta CDF version-range tail
 ]
 
 
