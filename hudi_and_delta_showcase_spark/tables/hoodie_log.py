@@ -51,7 +51,9 @@ block sequence), so delete-then-reinsert resolves exactly as Hudi's
 log scanner. PARQUET data blocks
 (``hoodie.logfile.data.block.format=parquet``) decode too — their
 content is one in-memory parquet file, PAR1-framed. HFILE data blocks
-still refuse loudly (HBase HFile codec, a format Hudi is retiring).
+(``...=hfile``) decode from r11 through ``tables/hfile.py`` — the
+content is one complete in-memory HBase HFile v3, cell values
+Avro-binary records of the SCHEMA header.
 
 Log file naming: ``.<fileId>_<baseInstant>.log.<version>_<writeToken>``
 — hidden files, keyed to the base file slice they extend; a compaction
@@ -761,14 +763,38 @@ def parse_log_blob(blob: bytes) -> list[dict]:
             block["records"] = pq.read_table(
                 io.BytesIO(content)
             ).to_pylist()
+        elif btype == HFILE_DATA_BLOCK:
+            # hoodie.logfile.data.block.format=hfile: the content IS a
+            # complete HBase HFile v3 (HoodieHFileDataBlock serializes
+            # records through an in-memory HFile writer); cell values
+            # are Avro-binary records of the block's SCHEMA header
+            # (falling back to the HFile's own file-info schema stamp).
+            # r11 — tables/hfile.py; previously a loud refusal.
+            from hudi_and_delta_showcase_spark.tables import hfile as hf
+
+            parsed = hf.read_hfile(bytes(content))
+            schema_raw = header.get(SCHEMA) or parsed["file_info"].get(
+                b"schema", b""
+            ).decode("utf-8")
+            if not schema_raw:
+                raise ValueError(
+                    "HFILE data block carries no record schema (neither "
+                    "the SCHEMA header nor the HFile file info)"
+                )
+            schema = json.loads(schema_raw)
+            records = []
+            for _row, value in parsed["cells"]:
+                r = avro_ocf._Reader(value)
+                records.append(avro_ocf._decode(schema, r))
+            block["records"] = records
         elif btype == COMMAND_BLOCK:
             pass  # rollback semantics applied in resolve_log_blocks
         elif btype == CORRUPT_BLOCK:
             pass  # explicitly marked dead by Hudi; carries no rows
         else:
             raise ValueError(
-                f"HoodieLogFormat block type {btype} (hfile data) is "
-                "beyond this reader; compact with Hudi first"
+                f"HoodieLogFormat block type {btype} is beyond this "
+                "reader; compact with Hudi first"
             )
         blocks.append(block)
     return blocks
@@ -796,7 +822,8 @@ def resolve_log_blocks(
                 tgt = b["header"].get(TARGET_INSTANT_TIME)
                 out = [e for e in out if e[0] != tgt]
             elif b["type"] in (
-                AVRO_DATA_BLOCK, PARQUET_DATA_BLOCK, DELETE_BLOCK
+                AVRO_DATA_BLOCK, PARQUET_DATA_BLOCK, HFILE_DATA_BLOCK,
+                DELETE_BLOCK,
             ):
                 inst = b["header"][INSTANT_TIME]
                 if valid_instants is not None and inst not in valid_instants:

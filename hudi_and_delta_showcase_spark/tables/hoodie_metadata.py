@@ -15,10 +15,13 @@ This reader decodes the LOG-file slices of the ``files`` partition
 decodes them generically off the SCHEMA header) and merges records with
 Hudi's payload rule (later block wins per file; ``isDeleted`` removes).
 Block validity filters on the metadata table's OWN timeline, exactly
-like any MoR read. HFile-COMPACTED base files (the metadata table's
-default compaction format — an HBase codec this engine does not speak)
-return ``None`` so callers FALL BACK to timeline replay / listing;
-young-to-moderately-aged metadata tables are log-only and serve fully.
+like any MoR read. HFile-COMPACTED base files — the metadata table's
+DEFAULT compaction format, so mature 0.14+ tables are exactly the ones
+that have them — decode natively from r11 (``tables/hfile.py``, a
+spec-faithful HBase HFile v3 reader): the latest committed base file
+serves as the slice's fold, its own logs apply on top. Parquet/ORC
+bases or an HFile the reader cannot prove it decoded still return
+``None`` so callers FALL BACK to timeline replay / listing.
 
 Used by ``hoodie_timeline.latest_file_slices_rt``: when the active
 timeline is ARCHIVED (write stats gone), the below-horizon slice
@@ -65,15 +68,58 @@ def _completed_metadata_instants(md_root: str) -> frozenset[str] | None:
     return frozenset(out)
 
 
+_BASE_FILE_RE = None  # compiled lazily below
+
+
+def _parse_base_file_name(fn: str) -> str | None:
+    """``<fileId>_<writeToken>_<instant>.hfile`` -> instant, else None."""
+    import re
+
+    global _BASE_FILE_RE
+    if _BASE_FILE_RE is None:
+        _BASE_FILE_RE = re.compile(r"_\d+-\d+-\d+_(\d{14,17})\.hfile$")
+    m = _BASE_FILE_RE.search(fn)
+    return m.group(1) if m else None
+
+
+def _hfile_base_records(full_path: str) -> list[dict] | None:
+    """Decode an HFile-compacted metadata base file (r11, verdict #6):
+    cells are Avro-binary metadata records, the schema rides the
+    HFile's own file-info ``schema`` key (Hudi's HoodieHFileWriter
+    stamps it). None on anything unprovable — v2 files, unsupported
+    codecs, a missing schema — so callers keep the timeline-replay
+    fallback."""
+    import json
+
+    from hudi_and_delta_showcase_spark import avro_ocf
+    from hudi_and_delta_showcase_spark.tables import hfile
+
+    try:
+        parsed = hfile.read_hfile(fsio.read_bytes(full_path))
+        schema_raw = parsed["file_info"].get(b"schema")
+        if not schema_raw:
+            return None
+        schema = json.loads(schema_raw.decode("utf-8"))
+        out = []
+        for _row, value in parsed["cells"]:
+            r = avro_ocf._Reader(value)
+            out.append(avro_ocf._decode(schema, r))
+        return out
+    except (ValueError, EOFError, KeyError, UnicodeDecodeError):
+        return None
+
+
 def _partition_log_entries(
     table_path: str, partition: str
 ) -> list[tuple[str, list[dict], list[dict]]] | None:
     """Surviving ``(instant, records, deletes)`` triples of one
-    metadata-table partition's log slices, in log order — or None when
-    the caller must fall back: no metadata table, a COMPACTED partition
-    (HFile is the default compaction format, an HBase codec beyond
-    this reader), or anything else it cannot prove it decoded
-    correctly. Never guesses."""
+    metadata-table partition's file slice, in apply order — the latest
+    HFile-COMPACTED base file first when one exists (r11: decoded by
+    ``tables/hfile.py``, closing the r10 gap where mature 0.14+ tables
+    lost the O(partitions) listing path), then its slice's log files.
+    None when the caller must fall back: no metadata table, a
+    parquet/orc-compacted partition, an HFile this reader cannot prove
+    it decoded, or anything else unprovable. Never guesses."""
     from hudi_and_delta_showcase_spark.tables import hoodie_log as hl
 
     part_dir = fsio.join(_metadata_root(table_path), partition)
@@ -83,6 +129,7 @@ def _partition_log_entries(
     if not valid:
         return None
     logs: list[tuple[str, int, str]] = []  # (base_instant, version, path)
+    bases: list[tuple[str, str]] = []  # (instant, path)
     for fn in sorted(fsio.listdir(part_dir)):
         info = hl.parse_log_file_name(fn)
         if info is not None:
@@ -91,12 +138,27 @@ def _partition_log_entries(
                  fsio.join(part_dir, fn))
             )
             continue
-        if fn.endswith((".hfile", ".parquet", ".orc")):
+        if fn.endswith(".hfile"):
+            instant = _parse_base_file_name(fn)
+            if instant is None or instant.split("_")[0] not in valid:
+                return None  # unattributable/uncommitted base: fall back
+            bases.append((instant, fsio.join(part_dir, fn)))
+            continue
+        if fn.endswith((".parquet", ".orc")):
             return None
         # .hoodie_partition_metadata and other markers are inert
-    if not logs:
-        return None
     out: list[tuple[str, list[dict], list[dict]]] = []
+    if bases:
+        # the latest committed base file is the slice's fold of
+        # everything before it; earlier logs are already inside it
+        base_instant, base_path = max(bases)
+        records = _hfile_base_records(base_path)
+        if records is None:
+            return None
+        out.append((base_instant, records, []))
+        logs = [lg for lg in logs if lg[0] == base_instant]
+    if not out and not logs:
+        return None
     for _bi, _v, full in sorted(logs):
         blob = fsio.read_bytes(full)
         out.extend(

@@ -65,7 +65,7 @@ def test_delete_block_roundtrip():
     assert out == [("001", [{"k": 1, "v": "a"}], [])]
 
 
-def test_refuses_unknown_delete_version_and_hfile_blocks():
+def test_refuses_unknown_delete_version_and_torn_hfile_blocks():
     import struct
 
     v0 = hl._frame_block(
@@ -74,10 +74,47 @@ def test_refuses_unknown_delete_version_and_hfile_blocks():
     )
     with pytest.raises(ValueError, match="beyond this reader"):
         hl.parse_log_blob(v0)
+    # an HFILE block whose content is not a real HFile refuses loudly
+    # (r11: well-formed HFile content now DECODES — see below)
     hfile = hl._frame_block(hl.HFILE_DATA_BLOCK, {hl.INSTANT_TIME: "001"},
                             b"x")
-    with pytest.raises(ValueError, match="beyond this reader"):
+    with pytest.raises(ValueError, match="trailer"):
         hl.parse_log_blob(hfile)
+
+
+def test_hfile_data_block_decodes(spark_noop_placeholder=None):
+    """r11: hoodie.logfile.data.block.format=hfile — the block content
+    is a complete in-memory HFile v3; cell values avro-decode with the
+    block SCHEMA header, and the records ride the same merge as avro/
+    parquet blocks."""
+    import io as _io
+    import json as _json
+
+    from hudi_and_delta_showcase_spark import avro_ocf
+    from hudi_and_delta_showcase_spark.tables import hfile as hf
+
+    recs = [{"k": 1, "v": "a"}, {"k": 2, "v": "b"}]
+    cells = []
+    for r in recs:
+        buf = _io.BytesIO()
+        avro_ocf._encode(_SCHEMA, r, buf)
+        cells.append((str(r["k"]).encode(), buf.getvalue()))
+    content = hf.write_hfile(cells)
+    blob = hl._frame_block(
+        hl.HFILE_DATA_BLOCK,
+        {hl.INSTANT_TIME: "001", hl.SCHEMA: _json.dumps(_SCHEMA)},
+        content,
+    )
+    out = hl.resolve_log_blocks([blob])
+    assert out == [("001", recs, [])]
+    # schema can also ride the HFile file info when the header lacks it
+    content2 = hf.write_hfile(
+        cells, {b"schema": _json.dumps(_SCHEMA).encode()}
+    )
+    blob2 = hl._frame_block(
+        hl.HFILE_DATA_BLOCK, {hl.INSTANT_TIME: "001"}, content2
+    )
+    assert hl.resolve_log_blocks([blob2]) == [("001", recs, [])]
 
 
 # --------------------------------------------------------------------- #

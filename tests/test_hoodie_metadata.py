@@ -224,3 +224,142 @@ def test_archived_listing_walk_fallback_still_works(spark, tmp_path):
         for r in read_hoodie_table(spark, root).select("k", "v").collect()
     )
     assert got == [(1, "a"), (2, "b")]
+
+
+# ---------------------------------------------------------------------------
+# r11: HFile-compacted partitions decode natively (tables/hfile.py)
+# ---------------------------------------------------------------------------
+
+
+def _write_md_hfile_base(root: str, instant: str,
+                         records: list[dict]) -> None:
+    """One COMPACTION commit of the metadata files partition: an HFile
+    v3 base file whose cells are (record key, avro-binary record), the
+    record schema stamped in the HFile's file info — the byte shape
+    Hudi's metadata compaction writes."""
+    import io
+    import json
+
+    from hudi_and_delta_showcase_spark import avro_ocf
+    from hudi_and_delta_showcase_spark.tables import hfile
+
+    md = os.path.join(root, ".hoodie", "metadata")
+    files_dir = os.path.join(md, "files")
+    os.makedirs(files_dir, exist_ok=True)
+    os.makedirs(os.path.join(md, ".hoodie"), exist_ok=True)
+    cells = []
+    for rec in sorted(records, key=lambda r: r["key"]):
+        buf = io.BytesIO()
+        avro_ocf._encode(_MD_SCHEMA, rec, buf)
+        cells.append((rec["key"].encode(), buf.getvalue()))
+    blob = hfile.write_hfile(
+        cells, {b"schema": json.dumps(_MD_SCHEMA).encode()}
+    )
+    open(os.path.join(
+        files_dir, f"files-0000_0-0-0_{instant}.hfile"
+    ), "wb").write(blob)
+    open(os.path.join(md, ".hoodie", f"{instant}.commit"), "w").close()
+
+
+def _write_md_log_on_slice(root: str, instant: str, base_instant: str,
+                           records: list[dict], version: int = 1) -> None:
+    md = os.path.join(root, ".hoodie", "metadata")
+    files_dir = os.path.join(md, "files")
+    blob = hl.avro_data_block(records, _MD_SCHEMA, instant)
+    hl.write_log_file(
+        os.path.join(
+            files_dir,
+            hl.log_file_name("files-0000", base_instant, version=version),
+        ),
+        [blob],
+    )
+    open(os.path.join(md, ".hoodie", f"{instant}.deltacommit"), "w").close()
+
+
+def test_hfile_compacted_base_serves(tmp_path):
+    """r11 (verdict #6): an HFile-compacted files partition serves the
+    O(partitions) listing natively — no recursive walk, no fallback."""
+    root = str(tmp_path / "ht")
+    compaction = "20240105000000000"
+    _write_md_hfile_base(root, compaction, [
+        {"key": hoodie_metadata.ALL_PARTITIONS_KEY, "type": 1,
+         "filesystemMetadata": {"2024": {"size": 0, "isDeleted": False}}},
+        _files_record("2024", {"f1_0-0-0_20240101000000001.parquet": 100}),
+        _files_record(".", {"g1_0-0-0_20240101000000001.parquet": 50}),
+    ])
+    state = hoodie_metadata.read_hoodie_metadata_files(root)
+    assert state == {
+        "2024": {"f1_0-0-0_20240101000000001.parquet": 100},
+        "": {"g1_0-0-0_20240101000000001.parquet": 50},
+    }
+
+
+def test_hfile_base_plus_slice_logs_merge(tmp_path):
+    """Logs of the compacted slice apply ON TOP of the HFile fold;
+    pre-compaction logs (older base instant) are already inside the
+    fold and must not replay."""
+    root = str(tmp_path / "ht")
+    # a PRE-compaction log whose adds were later superseded: replaying
+    # it would resurrect f0
+    _write_md_commit(root, "20240101000000001", [
+        _files_record("2024", {"f0_0-0-0_20240101000000001.parquet": 10}),
+    ], version=1)
+    compaction = "20240105000000000"
+    _write_md_hfile_base(root, compaction, [
+        _files_record("2024", {"f1_0-0-0_20240104000000004.parquet": 100}),
+    ])
+    # post-compaction delta: adds f2, deletes f1
+    _write_md_log_on_slice(root, "20240106000000006", compaction, [
+        _files_record("2024", {
+            "f2_0-0-0_20240106000000006.parquet": 200,
+            "f1_0-0-0_20240104000000004.parquet": None,
+        }),
+    ])
+    state = hoodie_metadata.read_hoodie_metadata_files(root)
+    assert state == {
+        "2024": {"f2_0-0-0_20240106000000006.parquet": 200},
+    }
+
+
+def test_hfile_uncommitted_base_falls_back(tmp_path):
+    """An HFile whose instant never completed is unattributable state:
+    the whole partition read refuses toward the fallback."""
+    root = str(tmp_path / "ht")
+    _write_md_commit(root, "20240101000000001",
+                     [_files_record(".", {"a.parquet": 1})])
+    _write_md_hfile_base(root, "20240109000000009",
+                         [_files_record(".", {"b.parquet": 2})])
+    os.remove(os.path.join(
+        root, ".hoodie", "metadata", ".hoodie",
+        "20240109000000009.commit",
+    ))
+    assert hoodie_metadata.read_hoodie_metadata_files(root) is None
+
+
+def test_hfile_gz_and_none_round_trip():
+    from hudi_and_delta_showcase_spark.tables import hfile
+
+    cells = [(f"r{i:04d}".encode(), bytes([i % 251]) * (i % 97 + 1))
+             for i in range(3000)]
+    for comp in ("none", "gz"):
+        blob = hfile.write_hfile(cells, {b"k": b"v"}, compression=comp,
+                                 block_size=2048)
+        parsed = hfile.read_hfile(blob)
+        assert parsed["cells"] == cells
+        assert parsed["file_info"][b"k"] == b"v"
+        assert parsed["entry_count"] == len(cells)
+
+
+def test_hfile_refuses_unsupported(tmp_path):
+    import struct as _s
+
+    from hudi_and_delta_showcase_spark.tables import hfile
+
+    with pytest.raises(ValueError, match="trailer"):
+        hfile.read_hfile(b"\x00" * 5000)
+    blob = bytearray(hfile.write_hfile([(b"a", b"1")]))
+    blob[-4:] = _s.pack(">i", 2)  # masquerade as HFile v2
+    with pytest.raises(ValueError, match="major version"):
+        hfile.read_hfile(bytes(blob))
+    with pytest.raises(ValueError, match="sorted"):
+        hfile.write_hfile([(b"b", b"1"), (b"a", b"2")])
