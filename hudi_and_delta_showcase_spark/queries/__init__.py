@@ -271,6 +271,10 @@ PRIORITY: tuple[str, ...] = (
     # .hoodie/metadata table (files + column_stats), the read prunes
     # base files on its per-file bounds, same files-shrank proof column
     "hoodie_pruned_read",
+    # r11: the same pruning cycle THROUGH an HFile-compacted metadata
+    # table (tables/hfile.py decode; pre-compaction logs deleted so a
+    # silent log-replay fallback is impossible)
+    "hoodie_hfile_pruned_read",
     # r10: the Iceberg leg of the incremental-pull triad — rows ADDED
     # between two snapshots via parent-lineage walk, replace snapshots
     # skipped, only contributing manifests opened

@@ -1469,6 +1469,64 @@ def hoodie_pruned_read(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "hoodie_hfile_pruned_read",
+    oracle="""
+    SELECT event_id, user_id, ts, event_type, value, TRUE AS pruned
+    FROM events
+    WHERE event_type = 'view' AND user_id <= 75
+    """,
+    tags=("cdc", "hoodie", "source", "pruning", "hfile"),
+)
+def hoodie_hfile_pruned_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The `hoodie_pruned_read` cycle THROUGH an HFILE-COMPACTED
+    metadata table (r11, verdict #6): after the export, the metadata
+    table's files/column_stats log slices compact into HBase HFile v3
+    base files (``compact_hoodie_metadata`` — the format real Hudi
+    metadata compaction writes, GZ-coded blocks + protobuf trailer),
+    and the pruned read serves THROUGH the compacted state
+    (``tables/hfile.py``): mature 0.14+ foreign tables — the biggest
+    ones — keep O(matching files) reads instead of losing the
+    metadata path at compaction. The log files are DELETED after
+    compaction so a silent fallback to log replay is impossible;
+    ``pruned`` carries the files-shrank proof through the oracle."""
+    from hudi_and_delta_showcase_spark.tables.hoodie_metadata import (
+        compact_hoodie_metadata,
+        export_hoodie_metadata,
+    )
+    from hudi_and_delta_showcase_spark.tables.hoodie_timeline import (
+        export_hoodie_timeline,
+        read_hoodie_table,
+    )
+
+    events = load_table(spark, sf_dir, "events").select(*_FINAL_COLS)
+    path = tempfile.mkdtemp(prefix="hoodie_hfile_") + "/events_ht"
+    t = LakehouseTable.create(
+        spark, path, events,
+        key_cols=["event_id"], precombine="ts",
+        partition_by="event_type",
+    )
+    export_hoodie_timeline(t)
+    export_hoodie_metadata(t)
+    assert compact_hoodie_metadata(path) is not None
+    # drop the pre-compaction logs: the read below can ONLY be served
+    # by the HFile decode path
+    for part in ("files", "column_stats"):
+        pdir = os.path.join(path, ".hoodie", "metadata", part)
+        for fn in os.listdir(pdir):
+            if ".log." in fn:
+                os.remove(os.path.join(pdir, fn))
+    full_files = len(read_hoodie_table(spark, path).inputFiles())
+    pruned = read_hoodie_table(
+        spark, path,
+        predicate=[("event_type", "=", "view"), ("user_id", "<=", 75)],
+    )
+    is_pruned = len(pruned.inputFiles()) < full_files
+    return pruned.select(*_FINAL_COLS).withColumn(
+        "pruned", F.lit(is_pruned)
+    )
+
+
+@query(
     "cdc_row_tracking_stability",
     oracle=f"""
     SELECT user_id,

@@ -1202,6 +1202,7 @@ def read_delta_changes(
     path: str,
     begin_version: int = 0,
     end_version: int | None = None,
+    predicate: list[tuple] | str | None = None,
 ) -> DataFrame:
     """Delta CHANGE DATA FEED read over a ``_delta_log`` —
     ``table_changes()`` semantics against the raw protocol (r7):
@@ -1212,21 +1213,55 @@ def read_delta_changes(
     removed data without either refuses loudly — its row-level changes
     are unknowable from the log. Output: data columns +
     ``_change_type`` / ``_commit_version`` / ``_commit_timestamp``,
-    delta-spark's exact read schema. O(changes) IO per commit."""
+    delta-spark's exact read schema. O(changes) IO per commit.
+
+    ``predicate`` (r11 — the shared tuple/SQL predicate every sibling
+    reader takes, completing the change-feed triad with
+    ``read_iceberg_changelog`` / ``read_hoodie_changes``): cdc and add
+    actions prune on their ``partitionValues`` + ``stats`` BEFORE any
+    file opens (``_add_can_match``), then the exact row filter applies
+    to the surviving change rows — a filtered CDF tail over a large
+    version range reads O(matching changed files)."""
     import pyspark.sql.functions as F
+
+    from hudi_and_delta_showcase_spark.tables.iceberg_meta import (
+        _normalize_predicate,
+        _predicate_filter,
+    )
 
     versions = _list_versions(path)
     if not versions:
         raise FileNotFoundError(f"no _delta_log commits under {path}")
     end = versions[-1] if end_version is None else end_version
+    # column-mapped tables store PHYSICAL names in data and change
+    # files alike; the feed serves logical names like the snapshot read
+    meta, _files, _adds = _replay(path, end)
+    mapping = column_mapping_of(meta)
+    conjuncts = _normalize_predicate(predicate) if predicate else []
+    schema, phys_schema = (None, None)
+    lpart: list[str] = []
+    phys_by_logical: dict[str, str] = {}
+    if conjuncts:
+        schema, phys_schema = _physical_schema(meta)
+        phys_by_logical = {
+            l.name: f.name
+            for f, l in zip(phys_schema.fields, schema.fields)
+        }
+        lpart = meta.get("partitionColumns") or []
+
+    def _keep(action: dict) -> bool:
+        return not conjuncts or _add_can_match(
+            action, conjuncts, lpart, phys_by_logical
+        )
+
     stamps = ("_change_type", "_commit_version", "_commit_timestamp",
               "_cdc_commit_time")
     parts: list[DataFrame] = []
     for v in versions:
         if v < begin_version or v > end:
             continue
-        cdc_paths: list[str] = []
-        add_paths: list[str] = []
+        cdc_actions: list[dict] = []
+        add_actions: list[dict] = []
         removed = False
         ts_ms: int | None = None
         for line in fsio.read_text(_commit_file(path, v)).splitlines():
@@ -1234,18 +1269,24 @@ def read_delta_changes(
                 continue
             a = json.loads(line)
             if "cdc" in a:
-                cdc_paths.append(a["cdc"]["path"])
+                cdc_actions.append(a["cdc"])
             elif "add" in a and a["add"].get("dataChange"):
-                add_paths.append(a["add"]["path"])
+                add_actions.append(a["add"])
             elif "remove" in a and a["remove"].get("dataChange"):
                 removed = True
             elif "commitInfo" in a:
                 ts_ms = a["commitInfo"].get("timestamp")
-        if cdc_paths:
+        cdc_paths = [c["path"] for c in cdc_actions if _keep(c)]
+        add_paths = [ad["path"] for ad in add_actions if _keep(ad)]
+        if cdc_actions:
+            if not cdc_paths:
+                continue  # every change file pruned
             df = spark.read.option("mergeSchema", "true").parquet(
                 *[fsio.join(path, p) for p in cdc_paths]
             )
-        elif add_paths and not removed:
+        elif add_actions and not removed:
+            if not add_paths:
+                continue
             df = (
                 spark.read.option("mergeSchema", "true")
                 .parquet(*[fsio.join(path, p) for p in add_paths])
@@ -1268,21 +1309,29 @@ def read_delta_changes(
         )
         parts.append(df)
     if not parts:
+        if conjuncts:
+            # every changed file pruned: an EMPTY feed is the correct
+            # filtered answer — serve the logical schema + stamps
+            empty = spark.createDataFrame([], schema)
+            return (
+                empty.withColumn("_change_type", F.lit(None).cast("string"))
+                .withColumn("_commit_version", F.lit(None).cast("long"))
+                .withColumn(
+                    "_commit_timestamp", F.lit(None).cast("timestamp")
+                )
+            )
         raise ValueError(
             f"no changes in versions [{begin_version}, {end}]"
         )
     out = parts[0]
     for p in parts[1:]:
         out = out.unionByName(p, allowMissingColumns=True)
-    # column-mapped tables store PHYSICAL names in data and change
-    # files alike; serve the feed under logical names like the
-    # snapshot read does
-    meta, _files, _adds = _replay(path, end)
-    mapping = column_mapping_of(meta)
     if mapping:
         out = out.select(
             *[out[c].alias(mapping.get(c, c)) for c in out.columns]
         )
+    if conjuncts:
+        out = _predicate_filter(out, conjuncts)
     return out
 
 

@@ -140,8 +140,13 @@ def _partition_log_entries(
             continue
         if fn.endswith(".hfile"):
             instant = _parse_base_file_name(fn)
-            if instant is None or instant.split("_")[0] not in valid:
-                return None  # unattributable/uncommitted base: fall back
+            if instant is None:
+                return None  # unattributable base file: fall back
+            if instant.split("_")[0] not in valid:
+                # an in-progress/crashed compaction's base: ignore it
+                # and keep serving the previous slice (Hudi's rule for
+                # uncommitted base files)
+                continue
             bases.append((instant, fsio.join(part_dir, fn)))
             continue
         if fn.endswith((".parquet", ".orc")):
@@ -629,9 +634,12 @@ def export_hoodie_metadata(table) -> str | None:
                 },
             })
 
+    # logs attach to the CURRENT file slice: after an HFile compaction
+    # (r11) the slice's base instant is the compaction's, and readers
+    # only apply logs whose base instant matches it
     hl.write_log_file(
         fsio.join(files_dir, hl.log_file_name(
-            "files-0000", "00000000000000",
+            "files-0000", _slice_base_instant(files_dir),
             version=_next_log_version(files_dir),
         )),
         [hl.avro_data_block(file_records, FILES_SCHEMA, instant)],
@@ -639,7 +647,7 @@ def export_hoodie_metadata(table) -> str | None:
     if cs_records:
         hl.write_log_file(
             fsio.join(cs_dir, hl.log_file_name(
-                "col-stats-0000", "00000000000000",
+                "col-stats-0000", _slice_base_instant(cs_dir),
                 version=_next_log_version(cs_dir),
             )),
             [hl.avro_data_block(cs_records, COL_STATS_SCHEMA, instant)],
@@ -648,6 +656,110 @@ def export_hoodie_metadata(table) -> str | None:
     # blocks that every reader skips as never-completed
     fsio.write_atomic(
         fsio.join(md, ".hoodie", f"{instant}.deltacommit"), "{}"
+    )
+    return instant
+
+
+def _slice_base_instant(part_dir: str) -> str:
+    """The latest HFile base instant of a metadata partition (the file
+    slice new logs must attach to), or the zero instant for the
+    never-compacted slice."""
+    instants = [
+        _parse_base_file_name(fn)
+        for fn in fsio.listdir(part_dir)
+        if fn.endswith(".hfile")
+    ] if fsio.isdir(part_dir) else []
+    instants = [i for i in instants if i]
+    return max(instants) if instants else "00000000000000"
+
+
+def compact_hoodie_metadata(
+    table_path: str, compression: str = "gz"
+) -> str | None:
+    """Compact the exported metadata table's log slices into HFile v3
+    BASE files (r11) — the format real Hudi metadata compaction
+    writes, and the read path ``tables/hfile.py`` serves. The merged
+    partition state (files listing + column stats, tombstones folded
+    away) lands as one HFile per partition, cells sorted by record
+    key, the Avro record schema stamped in the HFile file info; the
+    compaction commits as a ``.commit`` instant and later exports
+    append their deltas to the NEW slice. O(partition state) work,
+    zero data IO. Returns the compaction instant, or None when there
+    is nothing to compact."""
+    import io
+    import json
+
+    from hudi_and_delta_showcase_spark import avro_ocf
+    from hudi_and_delta_showcase_spark.tables import hfile
+    from hudi_and_delta_showcase_spark.tables import manifest as mf
+
+    md = _metadata_root(table_path)
+    files_state = read_hoodie_metadata_files(table_path)
+    if files_state is None:
+        return None
+    instant = mf.make_commit_time()
+
+    def write_base(part: str, file_id: str, records: list[dict],
+                   schema: dict) -> None:
+        cells = []
+        for rec in sorted(records, key=lambda r: r["key"]):
+            buf = io.BytesIO()
+            avro_ocf._encode(schema, rec, buf)
+            cells.append((rec["key"].encode("utf-8"), buf.getvalue()))
+        blob = hfile.write_hfile(
+            cells,
+            {b"schema": json.dumps(schema).encode()},
+            compression=compression,
+        )
+        fsio.write_bytes_atomic(
+            fsio.join(md, part, f"{file_id}_0-0-0_{instant}.hfile"), blob
+        )
+
+    file_records: list[dict] = [{
+        "key": ALL_PARTITIONS_KEY,
+        "type": 1,
+        "filesystemMetadata": {
+            (p or NON_PARTITIONED): {"size": 0, "isDeleted": False}
+            for p in sorted(files_state)
+        },
+    }]
+    for part in sorted(files_state):
+        file_records.append({
+            "key": part or NON_PARTITIONED,
+            "type": 2,
+            "filesystemMetadata": {
+                name: {"size": size, "isDeleted": False}
+                for name, size in sorted(files_state[part].items())
+            },
+        })
+    write_base("files", "files-0000", file_records, FILES_SCHEMA)
+
+    cs_state = read_hoodie_metadata_col_stats(table_path)
+    if cs_state:
+        cs_records = []
+        for fname in sorted(cs_state):
+            for col, st in sorted(cs_state[fname].items()):
+                lo, hi = _wrap(st.get("min")), _wrap(st.get("max"))
+                if lo is None or hi is None:
+                    continue
+                cs_records.append({
+                    "key": f"{col}/{fname}",
+                    "type": 3,
+                    "ColumnStatsMetadata": {
+                        "fileName": fname, "columnName": col,
+                        "minValue": lo, "maxValue": hi,
+                        "valueCount": st.get("value_count"),
+                        "nullCount": st.get("null_count"),
+                        "isDeleted": False,
+                    },
+                })
+        if cs_records:
+            write_base(
+                "column_stats", "col-stats-0000", cs_records,
+                COL_STATS_SCHEMA,
+            )
+    fsio.write_atomic(
+        fsio.join(md, ".hoodie", f"{instant}.commit"), "{}"
     )
     return instant
 

@@ -94,3 +94,29 @@ def test_empty_range_and_bad_versions_refuse(spark, tree):
         read_delta_incremental(
             spark, tree.path, from_version=0, to_version=99
         )
+
+
+def test_cdf_predicate_prunes_and_filters(spark, tree):
+    """r11: read_delta_changes takes the shared tuple/SQL predicate —
+    add/cdc actions prune on partitionValues + stats before any file
+    opens, the row filter applies to the surviving change rows, and an
+    all-pruned range returns an empty stamped frame."""
+    full = read_delta_changes(spark, tree.path, begin_version=0)
+    pruned = read_delta_changes(
+        spark, tree.path, begin_version=0, predicate="b = 'p2'"
+    )
+    assert len(pruned.inputFiles()) < len(full.inputFiles())
+    assert _rows(pruned) == [(k, "p2") for k in range(100, 120)]
+    # stats pruning on a non-partition column
+    stat = read_delta_changes(
+        spark, tree.path, begin_version=0, predicate=[("k", ">=", 100)]
+    )
+    assert _rows(stat) == [(k, "p2") for k in range(100, 120)]
+    assert len(stat.inputFiles()) < len(full.inputFiles())
+    # all-pruned: empty stamped frame, never a raise
+    empty = read_delta_changes(
+        spark, tree.path, begin_version=0, predicate="b = 'zz'"
+    )
+    assert empty.count() == 0
+    assert {"_change_type", "_commit_version",
+            "_commit_timestamp"} <= set(empty.columns)

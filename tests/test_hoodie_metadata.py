@@ -321,9 +321,10 @@ def test_hfile_base_plus_slice_logs_merge(tmp_path):
     }
 
 
-def test_hfile_uncommitted_base_falls_back(tmp_path):
-    """An HFile whose instant never completed is unattributable state:
-    the whole partition read refuses toward the fallback."""
+def test_hfile_uncommitted_base_ignored(tmp_path):
+    """An HFile whose instant never completed is an in-progress or
+    crashed compaction: Hudi's rule is to IGNORE it and serve the
+    previous slice — the log-only state here."""
     root = str(tmp_path / "ht")
     _write_md_commit(root, "20240101000000001",
                      [_files_record(".", {"a.parquet": 1})])
@@ -333,7 +334,9 @@ def test_hfile_uncommitted_base_falls_back(tmp_path):
         root, ".hoodie", "metadata", ".hoodie",
         "20240109000000009.commit",
     ))
-    assert hoodie_metadata.read_hoodie_metadata_files(root) is None
+    assert hoodie_metadata.read_hoodie_metadata_files(root) == {
+        "": {"a.parquet": 1}
+    }
 
 
 def test_hfile_gz_and_none_round_trip():
@@ -363,3 +366,39 @@ def test_hfile_refuses_unsupported(tmp_path):
         hfile.read_hfile(bytes(blob))
     with pytest.raises(ValueError, match="sorted"):
         hfile.write_hfile([(b"b", b"1"), (b"a", b"2")])
+
+
+def test_compact_then_export_cycle(spark, tmp_path):
+    """r11 write side: compact_hoodie_metadata folds the exported log
+    slices into HFile v3 bases (the format real Hudi compaction
+    writes); later exports append their deltas to the NEW slice and
+    the listing + col-stats reads serve through the compacted state."""
+    from hudi_and_delta_showcase_spark.tables import LakehouseTable
+
+    df = spark.createDataFrame(
+        [(k, f"v{k}", "a" if k < 4 else "b") for k in range(8)],
+        "k int, v string, g string",
+    ).coalesce(1)
+    t = LakehouseTable.create(
+        spark, str(tmp_path / "t"), df, key_cols=["k"], partition_by="g"
+    )
+    assert hoodie_metadata.export_hoodie_metadata(t) is not None
+    before = hoodie_metadata.read_hoodie_metadata_files(t.path)
+    inst = hoodie_metadata.compact_hoodie_metadata(t.path)
+    assert inst is not None
+    md_files = os.listdir(
+        os.path.join(t.path, ".hoodie", "metadata", "files")
+    )
+    assert any(f.endswith(".hfile") for f in md_files)
+    assert hoodie_metadata.read_hoodie_metadata_files(t.path) == before
+    stats = hoodie_metadata.read_hoodie_metadata_col_stats(t.path)
+    assert stats  # col-stats partition compacted and still serves
+    # a post-compaction commit exports a delta onto the NEW slice
+    t.upsert(spark.createDataFrame(
+        [(10, "x", "c")], "k int, v string, g string"
+    ))
+    assert hoodie_metadata.export_hoodie_metadata(t) is not None
+    after = hoodie_metadata.read_hoodie_metadata_files(t.path)
+    assert any("=c" in part for part in after)
+    for part, files in before.items():
+        assert set(files) <= set(after.get(part, {}))
