@@ -296,6 +296,10 @@ PRIORITY: tuple[str, ...] = (
     # snapshots materialize exactly the newly killed rows; optional
     # identifier_fields collapse into update pre/post pairs
     "iceberg_changelog_read",
+    # r11: net_changes collapse — inserts/deletes cancel per row
+    # content across the range, carried rewrite rows vanish; oracle is
+    # a two-way EXCEPT ALL between pre/post states
+    "iceberg_changelog_net",
     # r10: engine-manifest leg of the predicate API — read_matching
     # multi-conjunct stats skipping + bloom equality probes, same
     # tuple/SQL-string predicates as the foreign readers

@@ -1232,6 +1232,59 @@ def iceberg_changelog_read(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "iceberg_changelog_net",
+    oracle=f"""
+    WITH pre AS (
+      SELECT event_id, user_id, ts, event_type, value
+      FROM events WHERE ts < TIMESTAMP '{CUTOFF}'
+    ), post AS (
+      SELECT event_id, user_id, ts, event_type,
+             CASE WHEN user_id <= 50 THEN value * 2 ELSE value END AS value
+      FROM pre
+    )
+    SELECT *, 'insert' AS change_type
+    FROM (SELECT * FROM post EXCEPT ALL SELECT * FROM pre)
+    UNION ALL
+    SELECT *, 'delete' AS change_type
+    FROM (SELECT * FROM pre EXCEPT ALL SELECT * FROM post)
+    """,
+    tags=("cdc", "iceberg", "source", "cdf"),
+)
+def iceberg_changelog_net(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NET-CHANGES changelog scan (r11 — Iceberg's
+    ``create_changelog_view(net_changes=True)``): a CoW upsert doubles
+    ``value`` for the user_id<=50 rows, rewriting whole files, so the
+    RAW changelog emits delete+insert pairs for every carried row —
+    and the net collapse cancels them, leaving exactly the
+    old-content deletes and new-content inserts of genuinely changed
+    rows. The oracle is the two-way EXCEPT ALL between the pre and
+    post states, so any carried row leaking through (or a changed row
+    cancelled wrongly) hash-fails."""
+    from hudi_and_delta_showcase_spark.tables.iceberg_meta import (
+        export_iceberg_metadata,
+        iceberg_snapshots,
+        read_iceberg_changelog,
+    )
+
+    base, _incr = _split(spark, sf_dir)
+    path = tempfile.mkdtemp(prefix="iceberg_net_") + "/events_ice"
+    t = LakehouseTable.create(
+        spark, path, base.withColumn("batch", F.lit("b1")),
+        key_cols=["event_id"], precombine="ts", partition_by="batch",
+    )
+    t.upsert(
+        base.filter(F.col("user_id") <= 50)
+        .withColumn("value", F.col("value") * 2)
+        .withColumn("batch", F.lit("b1"))
+    )
+    export_iceberg_metadata(t)
+    first = iceberg_snapshots(path)[0]["snapshot-id"]
+    return read_iceberg_changelog(
+        spark, path, from_snapshot_id=first, net_changes=True
+    ).select(*_FINAL_COLS, F.col("_change_type").alias("change_type"))
+
+
+@query(
     "hoodie_cdc_changes",
     oracle=f"""
     WITH pre AS (

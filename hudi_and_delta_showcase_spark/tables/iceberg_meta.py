@@ -2957,6 +2957,7 @@ def read_iceberg_changelog(
     to_snapshot_id: int | None = None,
     identifier_fields: list[str] | None = None,
     predicate: list[tuple] | str | None = None,
+    net_changes: bool = False,
 ):
     """Iceberg CHANGELOG SCAN (r10 — Iceberg's ``create_changelog_view``
     against the raw tree): row-level changes between two snapshots,
@@ -2988,11 +2989,26 @@ def read_iceberg_changelog(
     changelog rowFilter semantics — an update whose pre-image fails
     the filter reports only its surviving side).
 
+    ``net_changes`` (r11 — Iceberg's ``create_changelog_view(
+    net_changes=True)``): collapse the whole range to its NET effect —
+    per distinct row content, inserts and deletes cancel, so a row
+    deleted and reinserted unchanged (or carried through a rewrite)
+    disappears, and only genuinely new/gone rows remain, typed by the
+    sign of the net count and stamped with the row's LAST change
+    ordinal. One shuffle on row content; mutually exclusive with
+    ``identifier_fields`` (Iceberg refuses the combination too).
+
     O(changed files + delete sets) IO per snapshot; each snapshot's
     manifests decode ONCE (iteration *k*'s parent entries are
     iteration *k−1*'s own, memoized — the r10 verdict's O(chain²)
     fix)."""
     from pyspark.sql import functions as F
+
+    if net_changes and identifier_fields:
+        raise ValueError(
+            "net_changes and identifier_fields cannot combine: net "
+            "collapse has no update pre/post images to pair"
+        )
 
     meta = read_iceberg_metadata(table_path)
     snaps = {s["snapshot-id"]: s for s in meta["snapshots"]}
@@ -3209,6 +3225,50 @@ def read_iceberg_changelog(
         # row filter BEFORE update collapse (Iceberg applies the scan's
         # rowFilter first, then ChangelogIterator runs on what survives)
         out = _predicate_filter(out, conjuncts)
+    if net_changes:
+        # the net view is a LOGICAL diff: engine lineage stamps
+        # (_hoodie_* meta columns) change on every rewrite and would
+        # block cancellation of logically identical rows — drop them
+        # (Iceberg tables have no such columns; row lineage lives in
+        # the manifest there)
+        data_cols = [
+            c
+            for c in out.columns
+            if c not in (
+                "_change_type", "_change_ordinal", "_commit_snapshot_id"
+            )
+            and not c.startswith("_hoodie_")
+        ]
+        net = (
+            out.groupBy(*data_cols)
+            .agg(
+                F.sum(
+                    F.when(
+                        F.col("_change_type") == "insert", 1
+                    ).otherwise(-1)
+                ).alias("__net"),
+                F.max(
+                    F.struct("_change_ordinal", "_commit_snapshot_id")
+                ).alias("__last"),
+            )
+            .filter(F.col("__net") != 0)
+        )
+        out = net.select(
+            *data_cols,
+            F.when(F.col("__net") > 0, F.lit("insert"))
+            .otherwise(F.lit("delete"))
+            .alias("_change_type"),
+            F.col("__last._change_ordinal").alias("_change_ordinal"),
+            F.col("__last._commit_snapshot_id").alias(
+                "_commit_snapshot_id"
+            ),
+            F.abs(F.col("__net")).alias("__copies"),
+        )
+        # |net| > 1 means the table legitimately holds duplicate rows:
+        # re-expand so the net feed applies as-is
+        return out.withColumn(
+            "__i", F.explode(F.sequence(F.lit(1), F.col("__copies")))
+        ).drop("__copies", "__i")
     if identifier_fields:
         # ChangelogIterator.computeUpdates: a same-key delete+insert
         # within one snapshot is an UPDATE — relabel both sides

@@ -402,3 +402,47 @@ def test_changelog_predicate_all_pruned_returns_empty(spark, tmp_path):
     assert out.count() == 0
     assert {"_change_type", "_change_ordinal",
             "_commit_snapshot_id"} <= set(out.columns)
+
+
+def test_net_changes_cancels_carried_rows(spark, tmp_path):
+    """r11: net_changes=True — a CoW rewrite's carried rows (identical
+    delete+insert across the range) cancel; only genuinely changed
+    content remains, typed by the net sign."""
+    df1 = spark.createDataFrame(
+        [(k, f"v{k}") for k in range(6)], "k int, v string"
+    ).coalesce(1)
+    t = LakehouseTable.create(spark, str(tmp_path / "t"), df1,
+                              key_cols=["k"])
+    t.upsert(spark.createDataFrame([(3, "v3x")], "k int, v string"))
+    export_iceberg_metadata(t)
+    snaps = iceberg_snapshots(t.path)
+    net = read_iceberg_changelog(
+        spark, t.path, from_snapshot_id=snaps[0]["snapshot-id"],
+        net_changes=True,
+    )
+    got = sorted((r.k, r.v, r._change_type) for r in net.collect())
+    assert got == [(3, "v3", "delete"), (3, "v3x", "insert")]
+    # a row deleted and reinserted IDENTICALLY nets to nothing
+    t.delete(spark.createDataFrame([(2,)], "k int"))
+    t.upsert(spark.createDataFrame([(2, "v2")], "k int, v string"))
+    export_iceberg_metadata(t)
+    net2 = read_iceberg_changelog(
+        spark, t.path,
+        from_snapshot_id=iceberg_snapshots(t.path)[1]["snapshot-id"],
+        net_changes=True,
+    )
+    assert not [r for r in net2.collect() if r.k == 2]
+
+
+def test_net_changes_refuses_identifier_fields(spark, tmp_path):
+    df1 = spark.createDataFrame([(1, "a")], "k int, v string").coalesce(1)
+    t = LakehouseTable.create(spark, str(tmp_path / "t"), df1,
+                              key_cols=["k"])
+    t.upsert(spark.createDataFrame([(2, "b")], "k int, v string"))
+    export_iceberg_metadata(t)
+    snaps = iceberg_snapshots(t.path)
+    with pytest.raises(ValueError, match="net_changes"):
+        read_iceberg_changelog(
+            spark, t.path, from_snapshot_id=snaps[0]["snapshot-id"],
+            identifier_fields=["k"], net_changes=True,
+        )
