@@ -263,6 +263,11 @@ PRIORITY: tuple[str, ...] = (
     # write_iceberg_dataset; same files-shrank proof column
     "iceberg_day_pruned_read",
     "iceberg_bucket_pruned_read",
+    # r11: the _delta_log twin — delta.generationExpression partition
+    # filters (CAST AS DATE / YEAR / DATE_FORMAT / SUBSTRING projected,
+    # calendar MONTH/DAY/HOUR equality-only), exporter stamps the
+    # expression + writer v4
+    "delta_generated_pruned_read",
     # r10: the _delta_log twin — adds pruned on partitionValues +
     # exported stats (numRecords/minValues/maxValues now stamped by
     # export_delta_log), same files-shrank proof column

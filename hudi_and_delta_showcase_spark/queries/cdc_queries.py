@@ -908,6 +908,56 @@ def iceberg_pruned_read(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "delta_generated_pruned_read",
+    oracle="""
+    SELECT event_id, user_id, ts, event_type, value, TRUE AS pruned
+    FROM events
+    WHERE ts >= TIMESTAMP '2024-01-10 00:00:00'
+      AND ts <  TIMESTAMP '2024-01-12 00:00:00'
+    """,
+    tags=("cdc", "delta", "source", "pruning", "transforms"),
+)
+def delta_generated_pruned_read(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """GENERATED-COLUMN partition pruning on a Delta read (r11 — the
+    `_delta_log` twin of `iceberg_day_pruned_read`): the dominant
+    delta-spark daily layout — a table partitioned by
+    ``event_date GENERATED ALWAYS AS (CAST(ts AS DATE))`` — exports
+    its ``delta.generationExpression`` in the schemaString, and a
+    timestamp-range predicate on ``ts`` projects through the
+    expression onto the generated partition values
+    (``_generated_projectors``, strict ``<`` boundary-tightened),
+    pruning add actions to O(matching days) before the file list is
+    built. ``pruned`` carries the files-shrank proof through the
+    oracle."""
+    from hudi_and_delta_showcase_spark.tables.delta_log import (
+        export_delta_log,
+        read_delta_table,
+    )
+
+    events = load_table(spark, sf_dir, "events").select(*_FINAL_COLS)
+    path = tempfile.mkdtemp(prefix="delta_gen_") + "/events_dl"
+    t = LakehouseTable.create(
+        spark, path, events,
+        key_cols=["event_id"], precombine="ts",
+        partition_by="event_date",
+        generated_columns={"event_date": "CAST(ts AS DATE)"},
+    )
+    export_delta_log(t)
+    full_files = len(read_delta_table(spark, path).inputFiles())
+    pruned = read_delta_table(
+        spark, path,
+        predicate="ts >= TIMESTAMP '2024-01-10 00:00:00' AND "
+        "ts < TIMESTAMP '2024-01-12 00:00:00'",
+    )
+    is_pruned = len(pruned.inputFiles()) < full_files
+    return pruned.select(*_FINAL_COLS).withColumn(
+        "pruned", F.lit(is_pruned)
+    )
+
+
+@query(
     "iceberg_day_pruned_read",
     oracle="""
     SELECT event_id, user_id, ts, event_type, value, TRUE AS pruned

@@ -27,6 +27,7 @@ source, so 100 TB tables read like any partitioned parquet dataset.
 from __future__ import annotations
 
 import json
+import re
 import time
 import uuid
 
@@ -853,11 +854,13 @@ def read_delta_table(
             for f, l in zip(phys_schema.fields, schema.fields)
         }
         lpart = meta.get("partitionColumns") or []
+        gen_parts = _generated_projectors(meta)
         kept = [
             f
             for f in files
             if _add_can_match(
-                adds.get(f, {}), conjuncts, lpart, phys_by_logical
+                adds.get(f, {}), conjuncts, lpart, phys_by_logical,
+                gen_parts,
             )
         ]
         if not kept:
@@ -1097,11 +1100,13 @@ def read_delta_incremental(
             for f, l in zip(phys_schema.fields, schema.fields)
         }
         lpart = meta.get("partitionColumns") or []
+        gen_parts = _generated_projectors(meta)
         kept = [
             f
             for f in files
             if _add_can_match(
-                adds.get(f, {}), conjuncts, lpart, phys_by_logical
+                adds.get(f, {}), conjuncts, lpart, phys_by_logical,
+                gen_parts,
             )
         ]
         if not kept:
@@ -1248,10 +1253,13 @@ def read_delta_changes(
             for f, l in zip(phys_schema.fields, schema.fields)
         }
         lpart = meta.get("partitionColumns") or []
+        gen_parts = _generated_projectors(meta)
+    else:
+        gen_parts = {}
 
     def _keep(action: dict) -> bool:
         return not conjuncts or _add_can_match(
-            action, conjuncts, lpart, phys_by_logical
+            action, conjuncts, lpart, phys_by_logical, gen_parts
         )
 
     stamps = ("_change_type", "_commit_version", "_commit_timestamp",
@@ -1438,11 +1446,17 @@ def export_delta_log(table) -> int:
         for name, pred in (table.constraints or {}).items()
     }
     protocol = dict(_PROTOCOL)
+    gen_cols: dict[str, str] = getattr(table, "generated_columns", {}) or {}
     if table.cdc_enabled:
         props["delta.enableChangeDataFeed"] = "true"
         protocol["minWriterVersion"] = max(protocol["minWriterVersion"], 4)
     elif props:
         protocol["minWriterVersion"] = max(protocol["minWriterVersion"], 3)
+    if gen_cols:
+        # generated columns are a WRITER concern (spec: writer v4+);
+        # readers treat the metadata as inert — or, r11, derive
+        # partition filters from it
+        protocol["minWriterVersion"] = max(protocol["minWriterVersion"], 4)
     # DV-bearing history upgrades the protocol to the features form;
     # v7 lists every active writer feature, legacy ones included
     has_dvs = any(
@@ -1505,6 +1519,7 @@ def export_delta_log(table) -> int:
                 "readerFeatures": ["variantType"],
                 "writerFeatures": sorted(features),
             }
+    part_cols, _pval_of = _export_partition_info(table)
     done = set(_list_versions(table.path))
     # resuming an export whose already-written log predates the first
     # feature-bearing commit (DV or variant): the first NEW commit must
@@ -1543,13 +1558,25 @@ def export_delta_log(table) -> int:
                     table._read_base(c).drop("_hoodie_file_name")
                     .schema.jsonValue()
                 )
+            if gen_cols:
+                # stamp delta.generationExpression (r11): foreign
+                # delta-spark readers — and this engine's own reads —
+                # derive partition filters from it
+                sj = json.loads(schema_str)
+                for fld in sj.get("fields", []):
+                    expr = gen_cols.get(fld.get("name"))
+                    if expr:
+                        md = dict(fld.get("metadata") or {})
+                        md["delta.generationExpression"] = expr
+                        fld["metadata"] = md
+                schema_str = json.dumps(sj)
             actions.append(
                 {
                     "metaData": {
                         "id": str(uuid.uuid5(uuid.NAMESPACE_URL, table.path)),
                         "format": {"provider": "parquet", "options": {}},
                         "schemaString": schema_str,
-                        "partitionColumns": [],
+                        "partitionColumns": part_cols,
                         "configuration": props,
                         "createdTime": now,
                     }
@@ -1602,9 +1629,17 @@ def export_delta_log(table) -> int:
                         }
                     }
                 )
+            pvs: dict = {}
+            if part_cols:
+                raw = _pval_of(f)
+                pvs = {
+                    part_cols[0]: None
+                    if raw in ("", "__HIVE_DEFAULT_PARTITION__")
+                    else raw
+                }
             add = {
                 "path": f,
-                "partitionValues": {},
+                "partitionValues": pvs,
                 "size": size,
                 "modificationTime": int(mtime / 1_000_000)
                 if not fsio.is_remote(table.path)
@@ -1664,6 +1699,34 @@ def export_delta_log(table) -> int:
     return max(exported, max(done) if done else -1)
 
 
+def _export_partition_info(table) -> tuple[list[str], object]:
+    """``(partitionColumns, value_of)`` for the export (r11): the
+    engine's partition column DECLARES in the metaData — so foreign
+    Delta readers partition-prune exported tables, not just data-skip
+    on stats — when every live file encodes the CURRENT spec (the same
+    guards as ``iceberg_meta._partition_spec``: adopted path-only
+    layouts and unconverged spec evolutions export unpartitioned) and
+    the table is unmapped (partitionValues key on PHYSICAL names under
+    column mapping — same reason stats are omitted there)."""
+    col = getattr(table, "partition_by", None)
+    if not col or getattr(table, "adopted_partition_type", None):
+        return [], None
+    from hudi_and_delta_showcase_spark.tables import manifest as mf
+
+    latest = mf.latest_commit(table.path)
+    if latest is not None and latest.column_mapping:
+        return [], None
+    specs = getattr(table, "partition_specs", [col])
+    if len(specs) > 1:
+        cur = len(specs) - 1
+        live = table._commit(None).files
+        if any(
+            table._partition_spec_value_of(f)[0] != cur for f in live
+        ):
+            return [], None
+    return [col], table._partition_value_of
+
+
 def _add_stats_json(c, f: str) -> str | None:
     """Delta per-AddFile ``stats`` (r10): ``numRecords`` +
     ``minValues``/``maxValues`` straight from the commit's own
@@ -1708,16 +1771,141 @@ def _add_stats_json(c, f: str) -> str | None:
     return json.dumps(out)
 
 
+#: supported delta.generationExpression shapes (delta-spark's
+#: OptimizeGeneratedColumn partition-filter set): the capture groups
+#: are (source column, optional parameter)
+_GEN_CAST_DATE = re.compile(
+    r"^CAST\(\s*`?(\w+)`?\s+AS\s+DATE\s*\)$", re.IGNORECASE
+)
+_GEN_FUNC = re.compile(
+    r"^(YEAR|MONTH|DAY|DAYOFMONTH|HOUR)\(\s*`?(\w+)`?\s*\)$",
+    re.IGNORECASE,
+)
+_GEN_DATE_FORMAT = re.compile(
+    r"^DATE_FORMAT\(\s*`?(\w+)`?\s*,\s*'(yyyy|yyyy-MM|yyyy-MM-dd|"
+    r"yyyy-MM-dd-HH)'\s*\)$"
+)
+_GEN_SUBSTRING = re.compile(
+    r"^SUBSTRING\(\s*`?(\w+)`?\s*,\s*1\s*,\s*(\d+)\s*\)$", re.IGNORECASE
+)
+_STRFTIME = {
+    "yyyy": "%Y",
+    "yyyy-MM": "%Y-%m",
+    "yyyy-MM-dd": "%Y-%m-%d",
+    "yyyy-MM-dd-HH": "%Y-%m-%d-%H",
+}
+
+
+def _gen_project(kind: str, param, op: str, val):
+    """Project ``col <op> val`` through a generation expression into
+    the partition-value domain: ``(op', value)`` such that a file
+    whose generated partition value fails the comparison provably
+    holds no matching row — None when nothing can be proven.
+    Monotonic shapes (CAST AS DATE, YEAR, prefix DATE_FORMATs,
+    SUBSTRING) take range ops (strict ``<`` tightened one microsecond
+    below an exact boundary); calendar MONTH/DAY/HOUR cycle and
+    project equality only."""
+    import datetime as _dt
+
+    from hudi_and_delta_showcase_spark.tables.iceberg_transforms import (
+        _as_datetime,
+    )
+
+    if op == "in":
+        outs = [_gen_project(kind, param, "=", v) for v in val]
+        if any(o is None for o in outs):
+            return None
+        return ("in", [o[1] for o in outs])
+    if kind == "substring":
+        if not isinstance(val, str):
+            return None
+        cut = val[:param]
+        if op == "=":
+            return ("=", cut)
+        return ("<=" if op in ("<", "<=") else ">=", cut)
+    dt = _as_datetime(val, "timestamp")
+    if dt is None:
+        return None
+    if kind in ("month", "day", "hour"):
+        if op != "=":
+            return None  # calendar values cycle: not order-preserving
+        return ("=", {"month": dt.month, "day": dt.day,
+                      "hour": dt.hour}[kind])
+    if op == "<":
+        # an exact-boundary strict bound excludes the whole boundary
+        # partition: project the largest value strictly below it
+        dt = dt - _dt.timedelta(microseconds=1)
+        op = "<="
+    elif op == ">":
+        op = ">="
+    if kind == "date":
+        return (op, dt.date().isoformat())
+    if kind == "year":
+        return (op, dt.year)
+    return (op, dt.strftime(_STRFTIME[param]))  # date_format
+
+
+def _generated_projectors(meta: dict) -> dict[str, list[tuple]]:
+    """source LOGICAL column -> ``[(physical partition field name,
+    kind, param)]`` for partition columns generated from it
+    (``delta.generationExpression`` field metadata, r11) — the layout
+    delta-spark's generated-column partition pruning serves: a
+    predicate on ``ts`` prunes a table partitioned by
+    ``date GENERATED ALWAYS AS (CAST(ts AS DATE))``. Unsupported
+    expressions simply don't prune."""
+    part_cols = set(meta.get("partitionColumns") or [])
+    out: dict[str, list[tuple]] = {}
+    try:
+        fields = json.loads(meta["schemaString"]).get("fields", [])
+    except (KeyError, ValueError):
+        return out
+    for f in fields:
+        if f.get("name") not in part_cols:
+            continue
+        md = f.get("metadata") or {}
+        expr = md.get("delta.generationExpression")
+        if not expr:
+            continue
+        phys = md.get("delta.columnMapping.physicalName", f["name"])
+        expr = expr.strip()
+        m = _GEN_CAST_DATE.match(expr)
+        if m:
+            out.setdefault(m.group(1), []).append((phys, "date", None))
+            continue
+        m = _GEN_FUNC.match(expr)
+        if m:
+            kind = m.group(1).lower()
+            if kind == "dayofmonth":
+                kind = "day"
+            out.setdefault(m.group(2), []).append((phys, kind, None))
+            continue
+        m = _GEN_DATE_FORMAT.match(expr)
+        if m:
+            out.setdefault(m.group(1), []).append(
+                (phys, "date_format", m.group(2))
+            )
+            continue
+        m = _GEN_SUBSTRING.match(expr)
+        if m:
+            out.setdefault(m.group(1), []).append(
+                (phys, "substring", int(m.group(2)))
+            )
+    return out
+
+
 def _add_can_match(
     add: dict,
     conjuncts: list[tuple],
     part_cols: list[str],
     phys_of: dict[str, str],
+    gen_parts: dict[str, list[tuple]] | None = None,
 ) -> bool:
     """Delta manifest-level file pruning (r10, the ``_delta_log`` twin
     of ``iceberg_meta._entry_can_match``): partition values are exact
     per-file column values; ``add.stats`` minValues/maxValues bound the
-    rest. Keeps the file unless a conjunct PROVES it cannot match;
+    rest; ``gen_parts`` (r11) prunes GENERATED partition columns by
+    projecting the predicate literal through the generation expression.
+    Keeps the file unless a conjunct PROVES it cannot match;
     files without usable metadata scan conservatively.
     ``partitionValues`` keys and stats column names are PHYSICAL under
     column mapping — ``phys_of`` maps the conjuncts' logical names."""
@@ -1753,6 +1941,20 @@ def _add_can_match(
                 typed, typed, op, val
             ):
                 return False
+        for pname, kind, param in (gen_parts or {}).get(col, ()):
+            if pname not in pv:
+                continue
+            raw = pv[pname]
+            if raw is None or raw == "__HIVE_DEFAULT_PARTITION__":
+                return False  # generated from an all-null source
+            proj = _gen_project(kind, param, op, val)
+            if proj is None:
+                continue
+            typed = _parse_partition_value(raw, proj[1])
+            if typed is not None and not _interval_can_match(
+                typed, typed, proj[0], proj[1]
+            ):
+                return False
         if phys in mins and phys in maxs:
             lo, hi = mins[phys], maxs[phys]
             vals = val if op == "in" else [val]
@@ -1772,6 +1974,8 @@ def _add_can_match(
 def _parse_partition_value(raw: str, like):
     """Parse a Delta string partition value into the conjunct value's
     type; None = unparseable, scan conservatively."""
+    import datetime as _dt
+
     probe = like[0] if isinstance(like, list) else like
     try:
         if isinstance(probe, bool):
@@ -1780,6 +1984,10 @@ def _parse_partition_value(raw: str, like):
             return int(raw)
         if isinstance(probe, float):
             return float(raw)
+        if isinstance(probe, _dt.datetime):
+            return _dt.datetime.fromisoformat(raw)
+        if isinstance(probe, _dt.date):
+            return _dt.date.fromisoformat(raw)
         if isinstance(probe, str):
             return raw
     except (TypeError, ValueError):

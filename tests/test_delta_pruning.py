@@ -191,3 +191,141 @@ def test_bad_predicate_refuses(spark, tmp_path):
     _foreign_stats_log(root)
     with pytest.raises(ValueError, match="unsupported predicate op"):
         read_delta_table(spark, root, predicate=[("k", "!=", 3)])
+
+
+# ---------------------------------------------------------------------------
+# r11: generated-column partition pruning (delta.generationExpression)
+# ---------------------------------------------------------------------------
+
+
+def _write_ts_parquet(path, ids, days):
+    import datetime as dt
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    ts = [dt.datetime(2024, 1, d, 12, 0) for d in days]
+    pq.write_table(
+        pa.table({"k": pa.array(ids, pa.int64()),
+                  "ts": pa.array(ts, pa.timestamp("us"))}), path
+    )
+
+
+def _foreign_generated_log(root: str, expr: str, pvals: list[str]) -> None:
+    """A foreign _delta_log partitioned by a GENERATED column `d`
+    derived from ts — the delta-spark daily-partition layout."""
+    log = os.path.join(root, "_delta_log")
+    os.makedirs(log)
+    f0, f1 = "part-00000-a-c000.snappy.parquet", "part-00001-b-c000.snappy.parquet"
+    _write_ts_parquet(os.path.join(root, f0), [1, 2], [5, 5])
+    _write_ts_parquet(os.path.join(root, f1), [3, 4], [20, 20])
+    dtype = "date" if "DATE)" in expr else (
+        "integer" if expr.upper().startswith(
+            ("YEAR", "MONTH", "DAY", "HOUR")) else "string")
+    schema = json.dumps({
+        "type": "struct",
+        "fields": [
+            {"name": "k", "type": "long", "nullable": True, "metadata": {}},
+            {"name": "ts", "type": "timestamp", "nullable": True,
+             "metadata": {}},
+            {"name": "d", "type": dtype, "nullable": True,
+             "metadata": {"delta.generationExpression": expr}},
+        ],
+    })
+    actions = [
+        {"protocol": {"minReaderVersion": 1, "minWriterVersion": 4}},
+        {"metaData": {
+            "id": "7f9a2cdc-2bb1-4a8c-8e5d-2f4a1e82d7f1",
+            "format": {"provider": "parquet", "options": {}},
+            "schemaString": schema, "partitionColumns": ["d"],
+            "configuration": {}, "createdTime": 1700000000000}},
+        {"add": {"path": f0, "partitionValues": {"d": pvals[0]},
+                 "size": 900, "modificationTime": 1700000000000,
+                 "dataChange": True}},
+        {"add": {"path": f1, "partitionValues": {"d": pvals[1]},
+                 "size": 900, "modificationTime": 1700000000000,
+                 "dataChange": True}},
+    ]
+    with open(os.path.join(log, "00000000000000000000.json"), "w") as fh:
+        fh.write("\n".join(json.dumps(a) for a in actions))
+
+
+def test_generated_date_partition_prunes_ts_range(spark, tmp_path):
+    root = str(tmp_path / "dl")
+    _foreign_generated_log(root, "CAST(ts AS DATE)",
+                           ["2024-01-05", "2024-01-20"])
+    full = read_delta_table(spark, root)
+    assert len(full.inputFiles()) == 2
+    pruned = read_delta_table(
+        spark, root,
+        predicate="ts >= TIMESTAMP '2024-01-10' AND "
+        "ts < TIMESTAMP '2024-02-01'",
+    )
+    assert len(pruned.inputFiles()) == 1
+    assert sorted(r.k for r in pruned.collect()) == [3, 4]
+    # strict < at an exact midnight boundary excludes the boundary day
+    lt = read_delta_table(
+        spark, root, predicate="ts < TIMESTAMP '2024-01-20'"
+    )
+    assert len(lt.inputFiles()) == 1
+    assert sorted(r.k for r in lt.collect()) == [1, 2]
+
+
+def test_generated_month_partition_prunes_equality_only(spark, tmp_path):
+    root = str(tmp_path / "dl")
+    _foreign_generated_log(root, "MONTH(ts)", ["1", "1"])
+    import datetime as dt
+
+    # equality on ts projects MONTH(ts) = 3 -> both January files prune
+    pruned = read_delta_table(
+        spark, root,
+        predicate=[("ts", "=", dt.datetime(2024, 3, 5))],
+    )
+    assert pruned.count() == 0
+    # a RANGE predicate must NOT prune through a cyclic calendar value
+    ranged = read_delta_table(
+        spark, root, predicate=[("ts", ">=", dt.datetime(2020, 1, 1))]
+    )
+    assert len(ranged.inputFiles()) == 2
+
+
+def test_generated_date_format_partition_prunes(spark, tmp_path):
+    root = str(tmp_path / "dl")
+    _foreign_generated_log(root, "DATE_FORMAT(ts, 'yyyy-MM-dd')",
+                           ["2024-01-05", "2024-01-20"])
+    pruned = read_delta_table(
+        spark, root, predicate="ts >= TIMESTAMP '2024-01-10'"
+    )
+    assert len(pruned.inputFiles()) == 1
+    assert sorted(r.k for r in pruned.collect()) == [3, 4]
+
+
+def test_export_stamps_generation_expression(spark, tmp_path):
+    """r11 export side: a table with generated columns exports
+    delta.generationExpression in the schemaString and writer v4+ —
+    the metadata foreign delta-spark readers (and this engine's own
+    generated-column pruning) derive partition filters from."""
+    df = spark.createDataFrame(
+        [(1, "2024-01-05 10:00:00"), (2, "2024-01-20 10:00:00")],
+        "k int, ts_s string",
+    ).selectExpr("k", "CAST(ts_s AS TIMESTAMP) AS ts")
+    t = LakehouseTable.create(
+        spark, str(tmp_path / "t"), df, key_cols=["k"],
+        generated_columns={"d": "CAST(ts AS DATE)"},
+    )
+    export_delta_log(t)
+    log = os.path.join(t.path, "_delta_log")
+    meta_fields = prot = None
+    for fn in sorted(os.listdir(log)):
+        if not fn.endswith(".json"):
+            continue
+        for line in open(os.path.join(log, fn)):
+            a = json.loads(line)
+            if "metaData" in a:
+                meta_fields = json.loads(
+                    a["metaData"]["schemaString"])["fields"]
+            if "protocol" in a:
+                prot = a["protocol"]
+    d = next(f for f in meta_fields if f["name"] == "d")
+    assert d["metadata"]["delta.generationExpression"] == "CAST(ts AS DATE)"
+    assert prot["minWriterVersion"] >= 4
