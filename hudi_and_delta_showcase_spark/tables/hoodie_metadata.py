@@ -391,18 +391,119 @@ def path_can_match(relpath: str, conjuncts: list[tuple]) -> bool:
     return True
 
 
+#: TimestampBasedKeyGenerator output formats this reader can prune on:
+#: zero-padded, most-significant-unit-first — string order IS time
+#: order, so inclusive range projection through strftime is sound.
+_TS_OUTPUT_FORMATS = {
+    "yyyy": "%Y",
+    "yyyyMM": "%Y%m",
+    "yyyy-MM": "%Y-%m",
+    "yyyy/MM": "%Y/%m",
+    "yyyyMMdd": "%Y%m%d",
+    "yyyy-MM-dd": "%Y-%m-%d",
+    "yyyy/MM/dd": "%Y/%m/%d",
+    "yyyy-MM-dd-HH": "%Y-%m-%d-%H",
+    "yyyyMMddHH": "%Y%m%d%H",
+}
+
+
+def timestamp_path_pruner(props: dict[str, str]) -> tuple[str, str] | None:
+    """``(source column, strftime format)`` when the table declares a
+    TIMESTAMP-BASED key generator whose output format this reader can
+    prune on (r11 — the Hudi leg of the transform-pruning triad, next
+    to Iceberg's ``days(ts)`` and Delta's generated date columns): the
+    partition PATH is the formatted source timestamp (date trees like
+    ``2024/01/10``), so a ``ts`` predicate projects through the format
+    and compares lexicographically. Requires the keygen class, a
+    single partition field, and the ``output.dateformat`` in
+    ``hoodie.properties`` — absent or unsupported (epoch-numeric,
+    sub-day-unordered) formats never prune."""
+    kg = props.get("hoodie.table.keygenerator.class", "")
+    if kg.rsplit(".", 1)[-1] not in (
+        "TimestampBasedKeyGenerator", "TimestampBasedAvroKeyGenerator"
+    ):
+        return None
+    fmt = (
+        props.get("hoodie.keygen.timebased.output.dateformat")
+        or props.get("hoodie.deltastreamer.keygen.timebased.output.dateformat")
+    )
+    fields = props.get("hoodie.table.partition.fields", "")
+    if not fmt or not fields or "," in fields:
+        return None
+    strf = _TS_OUTPUT_FORMATS.get(fmt)
+    if strf is None:
+        return None
+    return fields.split(":")[0], strf
+
+
+def _project_ts_path(fmt: str, op: str, val):
+    """Project ``col <op> val`` onto the formatted-path domain:
+    inclusive projection with the strict-< boundary tightened one
+    microsecond (the shared discipline of the Iceberg/Delta
+    transforms); None = cannot prove anything."""
+    import datetime as _dt
+
+    from hudi_and_delta_showcase_spark.tables.iceberg_transforms import (
+        _as_datetime,
+    )
+
+    if op == "in":
+        outs = [_project_ts_path(fmt, "=", v) for v in val]
+        if any(o is None for o in outs):
+            return None
+        return ("in", [o[1] for o in outs])
+    dt = _as_datetime(val, "timestamp")
+    if dt is None:
+        return None
+    if op == "<":
+        dt = dt - _dt.timedelta(microseconds=1)
+        op = "<="
+    elif op == ">":
+        op = ">="
+    return (op, dt.strftime(fmt))
+
+
+def ts_path_can_match(
+    relpath: str, conjuncts: list[tuple], pruner: tuple[str, str]
+) -> bool:
+    """Can a file under a timestamp-keygen partition path hold a
+    matching row? The file's whole partition directory IS the
+    formatted source value; a disjoint lexicographic comparison
+    prunes."""
+    from hudi_and_delta_showcase_spark.tables.iceberg_meta import (
+        _interval_can_match,
+    )
+
+    col, fmt = pruner
+    pdir = relpath.rsplit("/", 1)[0] if "/" in relpath else ""
+    if not pdir or pdir == HIVE_DEFAULT_PARTITION:
+        return True
+    for c, op, val in conjuncts:
+        if c != col:
+            continue
+        proj = _project_ts_path(fmt, op, val)
+        if proj is None:
+            continue
+        if not _interval_can_match(pdir, pdir, proj[0], proj[1]):
+            return False
+    return True
+
+
 def file_provably_disjoint(
     relpath: str,
     stats: dict[str, dict[str, dict]],
     conjuncts: list[tuple],
     hive_ok: bool,
+    ts_pruner: tuple[str, str] | None = None,
 ) -> bool:
-    """One file's prune verdict, combining both metadata sources: the
+    """One file's prune verdict, combining the metadata sources: the
     hive-style partition path (when the key generator makes it
-    trustworthy) and the metadata table's col-stats entry (when one
-    exists). Either one proving disjointness prunes; neither proving
-    anything scans."""
+    trustworthy), the timestamp-keygen date-tree path (r11), and the
+    metadata table's col-stats entry (when one exists). Any one
+    proving disjointness prunes; none proving anything scans."""
     if hive_ok and not path_can_match(relpath, conjuncts):
+        return True
+    if ts_pruner and not ts_path_can_match(relpath, conjuncts, ts_pruner):
         return True
     if stats and stats_entry(stats, relpath) is not None:
         return not file_can_match(relpath, stats, conjuncts)

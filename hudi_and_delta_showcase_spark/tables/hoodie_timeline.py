@@ -266,7 +266,7 @@ def _latest_file_slices(
 
 def _col_stats_pruning(
     path: str, predicate
-) -> tuple[list[tuple], dict, bool]:
+) -> tuple[list[tuple], dict, bool, tuple | None]:
     """Shared predicate plumbing for the foreign Hudi read paths (r10):
     normalized ``(col, op, value)`` conjuncts, the metadata table's
     ``column_stats`` state ({} when absent/compacted — scan unpruned,
@@ -285,12 +285,16 @@ def _col_stats_pruning(
     conjuncts = _normalize_predicate(predicate) if predicate else []
     stats: dict = {}
     hive_ok = False
+    ts_pruner = None
     if conjuncts:
         stats = hm.read_hoodie_metadata_col_stats(
             path, columns={c for c, _op, _v in conjuncts}
         ) or {}
-        hive_ok = hm.hive_path_pruning_ok(read_properties(path))
-    return conjuncts, stats, hive_ok
+        props = read_properties(path)
+        hive_ok = hm.hive_path_pruning_ok(props)
+        # r11: timestamp-keygen date-tree layouts prune too
+        ts_pruner = hm.timestamp_path_pruner(props)
+    return conjuncts, stats, hive_ok, ts_pruner
 
 
 def read_hoodie_table(
@@ -324,12 +328,16 @@ def read_hoodie_table(
     )
     if not files:
         raise FileNotFoundError(f"no completed commits under {path}")
-    conjuncts, stats, hive_ok = _col_stats_pruning(path, predicate)
+    conjuncts, stats, hive_ok, ts_pruner = _col_stats_pruning(
+        path, predicate
+    )
     kept = files
-    if conjuncts and (stats or hive_ok):
+    if conjuncts and (stats or hive_ok or ts_pruner):
         kept = [
             f for f in files
-            if not hm.file_provably_disjoint(f, stats, conjuncts, hive_ok)
+            if not hm.file_provably_disjoint(
+                f, stats, conjuncts, hive_ok, ts_pruner
+            )
         ]
     if not kept:
         # every file provably disjoint: schema-stable empty result off
@@ -696,15 +704,19 @@ def read_hoodie_table_rt(
         precombine = props.get("hoodie.table.precombine.field") or None
 
     slices = latest_file_slices_rt(path, as_of_instant)
-    conjuncts, stats, hive_ok = _col_stats_pruning(path, predicate)
-    if conjuncts and (stats or hive_ok):
+    conjuncts, stats, hive_ok, ts_pruner = _col_stats_pruning(
+        path, predicate
+    )
+    if conjuncts and (stats or hive_ok or ts_pruner):
 
         def _group_disjoint(s: dict) -> bool:
             names = ([s["base"]] if s["base"] else []) + list(s["logs"])
             if not names:
                 return False
             return all(
-                hm.file_provably_disjoint(p, stats, conjuncts, hive_ok)
+                hm.file_provably_disjoint(
+                    p, stats, conjuncts, hive_ok, ts_pruner
+                )
                 for p in names
             )
 

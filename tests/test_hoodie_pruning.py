@@ -436,3 +436,101 @@ def test_rt_post_merge_filter_not_pre_merge(spark, tmp_path):
     # k=1's latest version has sq=500: excluded; the stale base row
     # (sq=100) must NOT resurrect
     assert got == [(2, "b")]
+
+
+# ---------------------------------------------------------------------------
+# r11: timestamp-keygen date-tree partition-path pruning
+# ---------------------------------------------------------------------------
+
+
+def _date_tree_foreign(tmp_path, fmt="yyyy/MM/dd", declare_fmt=True):
+    """Hand-authored TimestampBasedKeyGenerator CoW tree: the classic
+    Hudi date-tree layout — partition path = formatted ts."""
+    import datetime as dt
+    import json
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    root = str(tmp_path / "ht")
+    i1 = "20240101000000001"
+    os.makedirs(os.path.join(root, ".hoodie"))
+    stats = {}
+    days = {"2024/01/05": [1, 2], "2024/01/20": [11, 12]}
+    if fmt == "yyyy-MM-dd":
+        days = {"2024-01-05": [1, 2], "2024-01-20": [11, 12]}
+    for part, ks in days.items():
+        os.makedirs(os.path.join(root, part))
+        fid = f"fid{ks[0]}"
+        rel = f"{part}/{fid}_0-0-0_{i1}.parquet"
+        day = int(part.replace("/", "-")[8:10])
+        pq.write_table(
+            pa.table({
+                "k": pa.array(ks, pa.int64()),
+                "ts": pa.array(
+                    [dt.datetime(2024, 1, day, 12, 0)] * len(ks),
+                    pa.timestamp("us"),
+                ),
+            }),
+            os.path.join(root, rel),
+        )
+        stats[part] = [{"fileId": fid, "path": rel,
+                        "prevCommit": "null", "numWrites": len(ks),
+                        "fileSizeInBytes": 1}]
+    meta = {"partitionToWriteStats": stats, "compacted": False,
+            "extraMetadata": {}, "operationType": "INSERT"}
+    with open(os.path.join(root, ".hoodie", f"{i1}.commit"), "w") as fh:
+        json.dump(meta, fh)
+    props = {
+        "hoodie.table.name": "ht",
+        "hoodie.table.type": "COPY_ON_WRITE",
+        "hoodie.table.keygenerator.class":
+            "org.apache.hudi.keygen.TimestampBasedKeyGenerator",
+        "hoodie.table.partition.fields": "ts",
+    }
+    if declare_fmt:
+        props["hoodie.keygen.timebased.output.dateformat"] = fmt
+    with open(os.path.join(root, ".hoodie", "hoodie.properties"),
+              "w") as fh:
+        fh.write("".join(f"{k}={v}\n" for k, v in props.items()))
+    return root
+
+
+def test_timestamp_keygen_date_tree_prunes(spark, tmp_path):
+    """r11: a declared TimestampBasedKeyGenerator output format makes
+    the date-tree path prunable — a ts range projects through strftime
+    and compares lexicographically."""
+    root = _date_tree_foreign(tmp_path)
+    full = read_hoodie_table(spark, root)
+    assert len(full.inputFiles()) == 2
+    pruned = read_hoodie_table(
+        spark, root, predicate="ts >= TIMESTAMP '2024-01-10'"
+    )
+    assert len(pruned.inputFiles()) == 1
+    assert sorted(r.k for r in pruned.collect()) == [11, 12]
+    # strict < at an exact day boundary excludes the boundary day
+    lt = read_hoodie_table(
+        spark, root, predicate="ts < TIMESTAMP '2024-01-20'"
+    )
+    assert len(lt.inputFiles()) == 1
+    assert sorted(r.k for r in lt.collect()) == [1, 2]
+
+
+def test_timestamp_keygen_dashed_format_prunes(spark, tmp_path):
+    root = _date_tree_foreign(tmp_path, fmt="yyyy-MM-dd")
+    pruned = read_hoodie_table(
+        spark, root, predicate="ts >= TIMESTAMP '2024-01-10'"
+    )
+    assert len(pruned.inputFiles()) == 1
+    assert sorted(r.k for r in pruned.collect()) == [11, 12]
+
+
+def test_timestamp_keygen_without_format_never_prunes(spark, tmp_path):
+    """No declared output format -> the path value is unattributable:
+    scan everything, row filter still exact."""
+    root = _date_tree_foreign(tmp_path, declare_fmt=False)
+    pruned = read_hoodie_table(
+        spark, root, predicate="ts >= TIMESTAMP '2024-01-10'"
+    )
+    assert len(pruned.inputFiles()) == 2
+    assert sorted(r.k for r in pruned.collect()) == [11, 12]
