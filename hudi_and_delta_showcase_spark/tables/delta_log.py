@@ -1469,6 +1469,11 @@ def export_delta_log(table) -> int:
             features.append("checkConstraints")
         if table.cdc_enabled:
             features.append("changeDataFeed")
+        if gen_cols:
+            # v7 writers only enforce LISTED features: dropping this
+            # would let a foreign writer ignore generationExpression
+            # and then mis-prune against it (r11 review finding)
+            features.append("generatedColumns")
         protocol = {
             "minReaderVersion": 3,
             "minWriterVersion": 7,
@@ -1513,6 +1518,8 @@ def export_delta_log(table) -> int:
                 features.append("checkConstraints")
             if table.cdc_enabled:
                 features.append("changeDataFeed")
+            if gen_cols:
+                features.append("generatedColumns")
             protocol = {
                 "minReaderVersion": 3,
                 "minWriterVersion": 7,
@@ -1782,7 +1789,7 @@ _GEN_FUNC = re.compile(
     re.IGNORECASE,
 )
 _GEN_DATE_FORMAT = re.compile(
-    r"^DATE_FORMAT\(\s*`?(\w+)`?\s*,\s*'(yyyy|yyyy-MM|yyyy-MM-dd|"
+    r"^(?i:DATE_FORMAT)\(\s*`?(\w+)`?\s*,\s*'(yyyy|yyyy-MM|yyyy-MM-dd|"
     r"yyyy-MM-dd-HH)'\s*\)$"
 )
 _GEN_SUBSTRING = re.compile(
@@ -1805,44 +1812,44 @@ def _gen_project(kind: str, param, op: str, val):
     SUBSTRING) take range ops (strict ``<`` tightened one microsecond
     below an exact boundary); calendar MONTH/DAY/HOUR cycle and
     project equality only."""
-    import datetime as _dt
-
     from hudi_and_delta_showcase_spark.tables.iceberg_transforms import (
         _as_datetime,
+        project_monotonic,
     )
 
-    if op == "in":
-        outs = [_gen_project(kind, param, "=", v) for v in val]
-        if any(o is None for o in outs):
-            return None
-        return ("in", [o[1] for o in outs])
     if kind == "substring":
+        if op == "in":
+            outs = [_gen_project(kind, param, "=", v) for v in val]
+            if any(o is None for o in outs):
+                return None
+            return ("in", [o[1] for o in outs])
         if not isinstance(val, str):
             return None
         cut = val[:param]
         if op == "=":
             return ("=", cut)
         return ("<=" if op in ("<", "<=") else ">=", cut)
-    dt = _as_datetime(val, "timestamp")
-    if dt is None:
-        return None
     if kind in ("month", "day", "hour"):
+        if op == "in":
+            outs = [_gen_project(kind, param, "=", v) for v in val]
+            if any(o is None for o in outs):
+                return None
+            return ("in", [o[1] for o in outs])
         if op != "=":
             return None  # calendar values cycle: not order-preserving
+        dt = _as_datetime(val, "timestamp")
+        if dt is None:
+            return None
         return ("=", {"month": dt.month, "day": dt.day,
                       "hour": dt.hour}[kind])
-    if op == "<":
-        # an exact-boundary strict bound excludes the whole boundary
-        # partition: project the largest value strictly below it
-        dt = dt - _dt.timedelta(microseconds=1)
-        op = "<="
-    elif op == ">":
-        op = ">="
-    if kind == "date":
-        return (op, dt.date().isoformat())
-    if kind == "year":
-        return (op, dt.year)
-    return (op, dt.strftime(_STRFTIME[param]))  # date_format
+    # monotonic shapes share the engine-wide projection discipline
+    # (strict-< boundary tightening, inclusive widening)
+    to_value = {
+        "date": lambda dt: dt.date().isoformat(),
+        "year": lambda dt: dt.year,
+        "date_format": lambda dt: dt.strftime(_STRFTIME[param]),
+    }[kind]
+    return project_monotonic(op, val, to_value)
 
 
 def _generated_projectors(meta: dict) -> dict[str, list[tuple]]:

@@ -208,7 +208,10 @@ def _parse_cells(
             (tlen,) = struct.unpack_from(">H", payload, pos)
             pos += 2 + tlen
         if includes_mvcc:
-            _, pos = _pb_read_varint(payload, pos)  # plain varint vlong
+            # the memstore timestamp is a Hadoop WritableUtils vlong
+            # (r11 review finding: NOT a protobuf varint — a multi-byte
+            # sequence id would desync the whole cell stream)
+            _, pos = _hadoop_vint_read(payload, pos)
         if len(key) != klen or len(value) != vlen:
             raise ValueError("truncated HFile cell")
         cells.append((key, value))
@@ -291,7 +294,16 @@ def read_hfile(blob: bytes) -> dict:
     """Parse a whole HFile v3 -> ``{"cells": [(row, value)], "keys":
     [(full key, value)], "file_info": {bytes: bytes}, "entry_count":
     int}``. Raises ``ValueError`` on anything it cannot prove it
-    decodes correctly (the callers' fallback contract)."""
+    decodes correctly (the callers' fallback contract) — including
+    truncated/corrupt structures, whose struct/index errors are
+    normalized to ValueError here so the contract holds."""
+    try:
+        return _read_hfile(blob)
+    except (struct.error, IndexError) as exc:
+        raise ValueError(f"corrupt or truncated HFile: {exc}") from exc
+
+
+def _read_hfile(blob: bytes) -> dict:
     if len(blob) < TRAILER_SIZE:
         raise ValueError("file shorter than an HFile trailer")
     trailer = blob[-TRAILER_SIZE:]
@@ -299,9 +311,17 @@ def read_hfile(blob: bytes) -> dict:
         raise ValueError("missing HFile trailer magic")
     (version_int,) = struct.unpack(">i", blob[-4:])
     major = version_int & 0x00FFFFFF
+    minor = (version_int >> 24) & 0xFF
     if major != 3:
         raise ValueError(
             f"HFile major version {major} unsupported (v3 only)"
+        )
+    if minor < 1:
+        # pre-checksum minor versions use 24-byte block headers — a
+        # different layout than the 33-byte one parsed here
+        raise ValueError(
+            f"HFile v3 minor version {minor} (pre-checksum headers) "
+            "unsupported"
         )
     if trailer[8:12] != PB_MAGIC:
         raise ValueError("HFile v3 trailer is not protobuf-framed")
@@ -497,6 +517,9 @@ def write_hfile(
     if len(trailer) > TRAILER_SIZE - 4:
         raise ValueError("HFile trailer overflow")
     trailer += b"\x00" * (TRAILER_SIZE - 4 - len(trailer))
-    trailer += struct.pack(">i", 3)  # major 3, minor 0
+    # major 3, minor 3: minor >= 1 declares checksum-bearing 33-byte
+    # block headers (r11 review finding — minor 0 would make real
+    # HBase readers parse the pre-checksum 24-byte header layout)
+    trailer += struct.pack(">i", (3 & 0x00FFFFFF) | (3 << 24))
     out.extend(trailer)
     return bytes(out)

@@ -437,30 +437,15 @@ def timestamp_path_pruner(props: dict[str, str]) -> tuple[str, str] | None:
 
 
 def _project_ts_path(fmt: str, op: str, val):
-    """Project ``col <op> val`` onto the formatted-path domain:
-    inclusive projection with the strict-< boundary tightened one
-    microsecond (the shared discipline of the Iceberg/Delta
-    transforms); None = cannot prove anything."""
-    import datetime as _dt
-
+    """Project ``col <op> val`` onto the formatted-path domain via the
+    engine-wide monotonic projection discipline
+    (``iceberg_transforms.project_monotonic`` — inclusive widening,
+    strict-< tightened one microsecond); None = prove nothing."""
     from hudi_and_delta_showcase_spark.tables.iceberg_transforms import (
-        _as_datetime,
+        project_monotonic,
     )
 
-    if op == "in":
-        outs = [_project_ts_path(fmt, "=", v) for v in val]
-        if any(o is None for o in outs):
-            return None
-        return ("in", [o[1] for o in outs])
-    dt = _as_datetime(val, "timestamp")
-    if dt is None:
-        return None
-    if op == "<":
-        dt = dt - _dt.timedelta(microseconds=1)
-        op = "<="
-    elif op == ">":
-        op = ">="
-    return (op, dt.strftime(fmt))
+    return project_monotonic(op, val, lambda dt: dt.strftime(fmt))
 
 
 def ts_path_can_match(
@@ -740,7 +725,7 @@ def export_hoodie_metadata(table) -> str | None:
     # only apply logs whose base instant matches it
     hl.write_log_file(
         fsio.join(files_dir, hl.log_file_name(
-            "files-0000", _slice_base_instant(files_dir),
+            "files-0000", _slice_base_instant(files_dir, md),
             version=_next_log_version(files_dir),
         )),
         [hl.avro_data_block(file_records, FILES_SCHEMA, instant)],
@@ -748,7 +733,7 @@ def export_hoodie_metadata(table) -> str | None:
     if cs_records:
         hl.write_log_file(
             fsio.join(cs_dir, hl.log_file_name(
-                "col-stats-0000", _slice_base_instant(cs_dir),
+                "col-stats-0000", _slice_base_instant(cs_dir, md),
                 version=_next_log_version(cs_dir),
             )),
             [hl.avro_data_block(cs_records, COL_STATS_SCHEMA, instant)],
@@ -761,16 +746,19 @@ def export_hoodie_metadata(table) -> str | None:
     return instant
 
 
-def _slice_base_instant(part_dir: str) -> str:
-    """The latest HFile base instant of a metadata partition (the file
-    slice new logs must attach to), or the zero instant for the
-    never-compacted slice."""
+def _slice_base_instant(part_dir: str, md_root: str) -> str:
+    """The latest COMMITTED HFile base instant of a metadata partition
+    (the file slice new logs must attach to), or the zero instant for
+    the never-compacted slice. Committed only (r11 review finding): a
+    crashed compaction's uncommitted base is IGNORED by readers, so a
+    log attached to it would silently vanish from the served state."""
+    valid = _completed_metadata_instants(md_root) or frozenset()
     instants = [
         _parse_base_file_name(fn)
         for fn in fsio.listdir(part_dir)
         if fn.endswith(".hfile")
     ] if fsio.isdir(part_dir) else []
-    instants = [i for i in instants if i]
+    instants = [i for i in instants if i and i.split("_")[0] in valid]
     return max(instants) if instants else "00000000000000"
 
 

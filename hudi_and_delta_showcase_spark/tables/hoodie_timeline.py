@@ -957,17 +957,24 @@ def read_hoodie_changes(
         )
 
     decoded = src.groupBy("fid").applyInPandas(_decode, out_schema)
-    out = decoded.filter(F.col("__key").isNull()).drop("__key")
 
     # ---- image synthesis for the key-only modes (r11) -----------------
-    need = decoded.filter(F.col("__key").isNotNull())
     # the (instant, side) list is metadata-scale: O(instants in range)
     need_groups = [
         (r["_commit_instant"], r["_change_type"])
-        for r in need.select("_commit_instant", "_change_type")
+        for r in decoded.filter(F.col("__key").isNotNull())
+        .select("_commit_instant", "_change_type")
         .distinct()
         .collect()
     ]
+    if need_groups:
+        # the synthesis loop references `decoded` once per (instant,
+        # side) group: materialize the log decode ONCE (r11 review
+        # finding — without this every group re-reads and re-decodes
+        # all log blobs, O(groups x changes) IO)
+        decoded = decoded.localCheckpoint(eager=True)
+    out = decoded.filter(F.col("__key").isNull()).drop("__key")
+    need = decoded.filter(F.col("__key").isNotNull())
     if need_groups:
         if key_fields is None:
             props = read_properties(path)

@@ -2343,7 +2343,21 @@ def _entry_can_match(
             if proj is None:
                 continue  # not projectable: scan conservatively
             npv = ice_transforms.normalize_partition_value(pv, transform)
-            if not _interval_can_match(npv, npv, proj[0], proj[1]):
+            # normalize the PROJECTED side the same way (r11 review
+            # finding: an identity date/datetime literal must land in
+            # the same epoch-int domain as the normalized pv, or the
+            # comparison TypeErrors into a silent full scan)
+            pop, pval = proj
+            if pop == "in":
+                pval = [
+                    ice_transforms.normalize_partition_value(v, transform)
+                    for v in pval
+                ]
+            else:
+                pval = ice_transforms.normalize_partition_value(
+                    pval, transform
+                )
+            if not _interval_can_match(npv, npv, pop, pval):
                 return False
         f = fields_by_name.get(col)
         ftype = f["type"] if f and isinstance(f["type"], str) else None

@@ -184,10 +184,43 @@ def _bucket_bytes(val, source_type: str | None) -> bytes | None:
 
 
 def bucket_value(val, n: int, source_type: str | None) -> int | None:
-    b = _bucket_bytes(val, source_type)
+    try:
+        b = _bucket_bytes(val, source_type)
+    except struct.error:
+        # a literal outside int64 range hashes nothing provable —
+        # scan conservatively, never crash
+        return None
     if b is None:
         return None
     return (murmur3_32(b) & 0x7FFFFFFF) % n
+
+
+def project_monotonic(op: str, val, to_value):
+    """The SHARED monotonic-projection discipline of every engine
+    pruner (Iceberg temporal transforms, Delta generated columns, Hudi
+    timestamp-keygen paths — r11 review consolidation): map ``col <op>
+    literal`` into transform space via ``to_value(datetime) ->
+    projected value``, widening range ops to inclusive and tightening
+    a strict ``<`` one microsecond below an exact boundary so the
+    boundary partition prunes. Returns ``(op', value)`` or None
+    (unreadable literal -> conservative scan)."""
+    if op == "in":
+        outs = [project_monotonic("=", v, to_value) for v in val]
+        if any(o is None for o in outs):
+            return None
+        return ("in", [o[1] for o in outs])
+    dt = _as_datetime(val, "timestamp")
+    if dt is None:
+        return None
+    if op == "<":
+        dt = dt - timedelta(microseconds=1)
+        op = "<="
+    elif op == ">":
+        op = ">="
+    try:
+        return (op, to_value(dt))
+    except (ValueError, OverflowError):
+        return None
 
 
 def truncate_value(val, w: int):

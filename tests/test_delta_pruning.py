@@ -329,3 +329,60 @@ def test_export_stamps_generation_expression(spark, tmp_path):
     d = next(f for f in meta_fields if f["name"] == "d")
     assert d["metadata"]["delta.generationExpression"] == "CAST(ts AS DATE)"
     assert prot["minWriterVersion"] >= 4
+
+
+def test_lowercase_date_format_expression_projects(spark, tmp_path):
+    """r11 review fix: the common lowercase spelling
+    date_format(ts, 'yyyy-MM-dd') produces a projector too (the format
+    string itself stays case-sensitive)."""
+    from hudi_and_delta_showcase_spark.tables.delta_log import (
+        _generated_projectors,
+    )
+
+    meta = {
+        "partitionColumns": ["d"],
+        "schemaString": json.dumps({
+            "type": "struct",
+            "fields": [{
+                "name": "d", "type": "string", "nullable": True,
+                "metadata": {"delta.generationExpression":
+                             "date_format(ts, 'yyyy-MM-dd')"},
+            }],
+        }),
+    }
+    assert _generated_projectors(meta) == {
+        "ts": [("d", "date_format", "yyyy-MM-dd")]
+    }
+    # a case-mangled FORMAT must not match (YYYY means week-year)
+    meta2 = json.loads(json.dumps(meta))
+    meta2["schemaString"] = meta["schemaString"].replace(
+        "yyyy-MM-dd", "YYYY-MM-DD"
+    )
+    assert _generated_projectors(meta2) == {}
+
+
+def test_v7_protocol_lists_generated_columns_feature(spark, tmp_path):
+    """r11 review fix: a DV-bearing export of a generated-column table
+    must NAME generatedColumns in writerFeatures — v7 writers only
+    enforce listed features."""
+    df = spark.createDataFrame(
+        [(1, "2024-01-05 10:00:00"), (2, "2024-01-20 10:00:00")],
+        "k int, ts_s string",
+    ).selectExpr("k", "CAST(ts_s AS TIMESTAMP) AS ts")
+    t = LakehouseTable.create(
+        spark, str(tmp_path / "t"), df, key_cols=["k"],
+        generated_columns={"d": "CAST(ts AS DATE)"},
+        deletion_vectors=True,
+    )
+    t.delete(spark.createDataFrame([(1,)], "k int"))
+    export_delta_log(t)
+    prot = None
+    log = os.path.join(t.path, "_delta_log")
+    for fn in sorted(os.listdir(log)):
+        if fn.endswith(".json"):
+            for line in open(os.path.join(log, fn)):
+                a = json.loads(line)
+                if "protocol" in a:
+                    prot = a["protocol"]
+    assert prot["minWriterVersion"] == 7
+    assert "generatedColumns" in prot["writerFeatures"]

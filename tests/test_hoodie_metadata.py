@@ -402,3 +402,96 @@ def test_compact_then_export_cycle(spark, tmp_path):
     assert any("=c" in part for part in after)
     for part, files in before.items():
         assert set(files) <= set(after.get(part, {}))
+
+
+def test_hfile_mvcc_vlong_cells_decode():
+    """r11 review fix: the per-cell memstore timestamp is a Hadoop
+    WritableUtils vlong — a multi-byte sequence id must not desync the
+    cell stream."""
+    import struct as _s
+
+    from hudi_and_delta_showcase_spark.tables import hfile
+
+    cells = [(b"a", b"v1"), (b"b", b"v2"), (b"c", b"v3")]
+    payload = bytearray()
+    for row, val in cells:
+        key = hfile.cell_key(row)
+        payload += _s.pack(">ii", len(key), len(val)) + key + val
+        # Hadoop vlong 200 = 0x8F 0xC8 (two bytes, NOT protobuf varint)
+        payload += hfile._hadoop_vint_write(200)
+    got = hfile._parse_cells(bytes(payload), includes_mvcc=True,
+                             includes_tags=False)
+    assert [(hfile.cell_row(k), v) for k, v in got] == cells
+
+
+def test_hfile_truncation_raises_valueerror():
+    """r11 review fix: corrupt structures surface as ValueError (the
+    fallback contract), never struct.error/IndexError."""
+    import struct as _s
+
+    from hudi_and_delta_showcase_spark.tables import hfile
+
+    # a trailer whose protobuf is an endless varint: the raw parse
+    # would IndexError off the buffer — the contract wants ValueError
+    body = b"\x00" * 100
+    trailer = hfile.TRAILER_MAGIC + hfile.PB_MAGIC + b"\xff" * 16
+    trailer += b"\x00" * (hfile.TRAILER_SIZE - len(trailer) - 4)
+    trailer += _s.pack(">i", 3 | (3 << 24))
+    with pytest.raises(ValueError):
+        hfile.read_hfile(body + trailer)
+    # mid-cell truncation inside a data block: struct.error -> ValueError
+    blob = bytearray(hfile.write_hfile(
+        [(f"k{i:03d}".encode(), b"v" * 50) for i in range(50)],
+        compression="none",
+    ))
+    # shrink a data block payload claim past its real extent
+    import struct
+    pos = bytes(blob).find(hfile.DATA_MAGIC)
+    # bump onDiskDataSizeWithHeader so cell parsing walks off the end
+    blob[pos + 29:pos + 33] = struct.pack(">i", 10_000_000)
+    blob[pos + 8:pos + 12] = struct.pack(">i", 10_000_000)
+    with pytest.raises(ValueError):
+        hfile.read_hfile(bytes(blob))
+
+
+def test_hfile_writer_stamps_minor_version():
+    """r11 review fix: checksum-bearing 33-byte headers require
+    minor >= 1 in the trailer version int; minor 0 files refuse."""
+    import struct as _s
+
+    from hudi_and_delta_showcase_spark.tables import hfile
+
+    blob = hfile.write_hfile([(b"a", b"1")])
+    (v,) = _s.unpack(">i", blob[-4:])
+    assert v & 0x00FFFFFF == 3
+    assert (v >> 24) & 0xFF >= 1
+    minor0 = bytearray(blob)
+    minor0[-4:] = _s.pack(">i", 3)
+    with pytest.raises(ValueError, match="minor"):
+        hfile.read_hfile(bytes(minor0))
+
+
+def test_crashed_compaction_then_export_stays_consistent(spark, tmp_path):
+    """r11 review fix: after a compaction that never committed, the
+    next export attaches its log to the last COMMITTED slice — the
+    served state includes the new data instead of silently losing it."""
+    from hudi_and_delta_showcase_spark.tables import LakehouseTable
+
+    df = spark.createDataFrame(
+        [(k, f"v{k}") for k in range(4)], "k int, v string"
+    ).coalesce(1)
+    t = LakehouseTable.create(spark, str(tmp_path / "t"), df,
+                              key_cols=["k"])
+    hoodie_metadata.export_hoodie_metadata(t)
+    inst = hoodie_metadata.compact_hoodie_metadata(t.path)
+    # crash: the compaction's commit marker never lands
+    os.remove(os.path.join(
+        t.path, ".hoodie", "metadata", ".hoodie", f"{inst}.commit"
+    ))
+    t.upsert(spark.createDataFrame([(10, "x")], "k int, v string"))
+    hoodie_metadata.export_hoodie_metadata(t)
+    state = hoodie_metadata.read_hoodie_metadata_files(t.path)
+    assert state is not None
+    live = {n for files in state.values() for n in files}
+    manifest_live = {f.rsplit("/", 1)[-1] for f in t._commit(None).files}
+    assert manifest_live <= live

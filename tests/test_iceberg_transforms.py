@@ -349,3 +349,53 @@ def test_timestamp_literal_in_predicate_sql():
     assert out[1] == ("d", "=", date(2024, 1, 11))
     # a quoted string that merely CONTAINS the keyword stays a string
     assert out[2] == ("g", "=", "TIMESTAMP 'x'")
+
+
+def test_identity_temporal_literal_prunes():
+    """r11 review fix: an identity DATE/TIMESTAMP partition compares
+    after BOTH sides normalize to the epoch-int domain — previously the
+    projected literal stayed a date and TypeError'd into a full scan."""
+    from datetime import date as _date
+
+    from hudi_and_delta_showcase_spark.tables.iceberg_meta import (
+        _entry_can_match,
+    )
+
+    fields = {"d": {"id": 1, "name": "d", "type": "date"}}
+    parts = {"d": [("d", "identity", "date")]}
+    hit = {"partition": {"d": _date(2024, 1, 10)}}
+    miss = {"partition": {"d": _date(2024, 1, 11)}}
+    pred = [("d", "=", _date(2024, 1, 10))]
+    assert _entry_can_match(hit, pred, fields, parts)
+    assert not _entry_can_match(miss, pred, fields, parts)
+    # int-days storage (the manifest's native form) prunes too
+    assert not _entry_can_match(
+        {"partition": {"d": 19733}}, pred, fields, parts
+    )
+    assert _entry_can_match(
+        {"partition": {"d": 19732}}, pred, fields, parts
+    )
+
+
+def test_bucket_out_of_range_literal_conservative():
+    """r11 review fix: a literal outside int64 never crashes the
+    projection — it proves nothing and scans conservatively."""
+    assert bucket_value(2 ** 63, 16, "long") is None
+    assert project_predicate("bucket[4]", "=", 2 ** 63, "long") is None
+
+
+def test_project_monotonic_shared_discipline():
+    from datetime import datetime
+
+    from hudi_and_delta_showcase_spark.tables.iceberg_transforms import (
+        project_monotonic,
+    )
+
+    iso_day = lambda dt: dt.date().isoformat()  # noqa: E731
+    assert project_monotonic("<", datetime(2024, 1, 10), iso_day) == (
+        "<=", "2024-01-09"
+    )
+    assert project_monotonic(
+        "in", [datetime(2024, 1, 10), datetime(2024, 1, 11)], iso_day
+    ) == ("in", ["2024-01-10", "2024-01-11"])
+    assert project_monotonic("=", object(), iso_day) is None
