@@ -284,6 +284,10 @@ PRIORITY: tuple[str, ...] = (
     # between two snapshots via parent-lineage walk, replace snapshots
     # skipped, only contributing manifests opened
     "iceberg_incremental_read",
+    # r11: pruned incremental tail over an APPENDED days(ts) tree —
+    # write_iceberg_dataset(mode=append) + day-transform pruning of the
+    # added entries; the daily-ingest consumption loop
+    "iceberg_day_incremental_read",
     # r10: the _delta_log leg — rows added in a version range of a raw
     # log without CDF, dataChange=false (OPTIMIZE) versions skipped,
     # data-removing versions refused toward read_delta_changes

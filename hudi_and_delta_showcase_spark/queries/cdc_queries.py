@@ -1040,6 +1040,51 @@ def iceberg_bucket_pruned_read(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "iceberg_day_incremental_read",
+    oracle=f"""
+    SELECT event_id, user_id, ts, event_type, value
+    FROM events
+    WHERE ts >= TIMESTAMP '{CUTOFF}'
+      AND ts < TIMESTAMP '2024-01-25 00:00:00'
+    """,
+    tags=("cdc", "iceberg", "source", "incremental", "transforms"),
+)
+def iceberg_day_incremental_read(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """PRUNED incremental tail over an APPENDED ``days(ts)`` tree (r11
+    — `write_iceberg_dataset(mode="append")` composed with the
+    transform-aware pruning and the incremental append scan): the
+    post-cutoff batch lands as a second snapshot (one new manifest at
+    the next sequence number, parent manifest-list rows carried
+    untouched), and the incremental pull takes a day-range predicate
+    that prunes the ADDED entries through the day transform before the
+    scan — the daily-ingest consumption loop a 100 TB event table
+    actually runs: O(matching changed files) per poll."""
+    from hudi_and_delta_showcase_spark.tables.iceberg_meta import (
+        iceberg_snapshots,
+        read_iceberg_incremental,
+        write_iceberg_dataset,
+    )
+
+    base, incr = _split(spark, sf_dir)
+    root = tempfile.mkdtemp(prefix="iceberg_dayinc_") + "/events_ice"
+    write_iceberg_dataset(
+        spark, base.select(*_FINAL_COLS), root,
+        partition_by=[("ts", "day")],
+    )
+    write_iceberg_dataset(
+        spark, incr.select(*_FINAL_COLS), root,
+        partition_by=[("ts", "day")], mode="append",
+    )
+    first = iceberg_snapshots(root)[0]["snapshot-id"]
+    return read_iceberg_incremental(
+        spark, root, from_snapshot_id=first,
+        predicate="ts < TIMESTAMP '2024-01-25 00:00:00'",
+    ).select(*_FINAL_COLS)
+
+
+@query(
     "iceberg_incremental_read",
     oracle=f"""
     SELECT event_id, user_id, ts, event_type, value, 'b2' AS batch

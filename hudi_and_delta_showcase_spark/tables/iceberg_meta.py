@@ -1348,6 +1348,7 @@ def write_iceberg_dataset(
     table_path: str,
     partition_by: list[tuple[str, str]] | None = None,
     with_bounds: bool = True,
+    mode: str = "error",
 ) -> None:
     """Author a self-contained single-snapshot Iceberg v2 tree directly
     from a DataFrame, with an arbitrary TRANSFORM partition spec (r11)
@@ -1369,16 +1370,44 @@ def write_iceberg_dataset(
     per file, never a row per record). Unlike ``export_iceberg_
     metadata`` (which replays an engine table's commit timeline and
     only exports its identity layout), this writes a fresh tree from
-    any DataFrame."""
+    any DataFrame.
+
+    ``mode="append"`` (r11) adds a SNAPSHOT to an existing tree the
+    way Iceberg writers do: the new batch lands under its own
+    ``data/batch-N/`` prefix, ONE new manifest holds its entries at
+    the next sequence number, the prior snapshot's manifest-list rows
+    carry over untouched (no manifest rewrite — O(new files) metadata
+    per append), and the new metadata version records the snapshot
+    with its parent. The DataFrame schema and the declared
+    ``partition_by`` must match the existing tree; mismatches refuse
+    (this writer does not do schema/spec evolution)."""
     import urllib.parse
 
+    if mode not in ("error", "append"):
+        raise ValueError(f"unknown mode {mode!r} (error|append)")
+    prior: dict | None = None
     if fsio.exists(_version_hint(table_path)):
-        raise ValueError(f"Iceberg tree already exists at {table_path}")
+        if mode != "append":
+            raise ValueError(
+                f"Iceberg tree already exists at {table_path}"
+            )
+        prior = read_iceberg_metadata(table_path)
     from pyspark.sql import functions as F
 
     schema_json = json.loads(df.schema.json())
     ice_schema, last_col = spark_schema_to_iceberg(schema_json)
     by_name = {f["name"]: f for f in ice_schema["fields"]}
+    if prior is not None:
+        prior_schema = prior.get("schema") or (
+            prior.get("schemas") or [{}]
+        )[-1]
+        if [
+            (f["name"], f["type"]) for f in prior_schema.get("fields", [])
+        ] != [(f["name"], f["type"]) for f in ice_schema["fields"]]:
+            raise ValueError(
+                "append batch schema does not match the existing tree "
+                "(this writer does not evolve schemas)"
+            )
 
     # partition spec: field-ids from 1000 up, iceberg-java's naming
     spec_fields: list[dict] = []
@@ -1419,7 +1448,32 @@ def write_iceberg_dataset(
         out = out.withColumn(hcol, expr)
 
     location = fsio.absolutize(table_path)
-    data_dir = fsio.join(table_path, "data")
+    version = 1
+    if prior is not None:
+        declared = [
+            {k: sf[k] for k in ("name", "transform", "source-id",
+                                "field-id")}
+            for sf in spec_fields
+        ]
+        prior_spec = (prior.get("partition-specs") or [{}])[0].get(
+            "fields", []
+        )
+        if declared != prior_spec:
+            raise ValueError(
+                "append partition_by does not match the existing "
+                f"tree's spec {prior_spec}"
+            )
+        version = (
+            int(fsio.read_pointer_text(_version_hint(table_path)).strip())
+            + 1
+        )
+    # appends land under their own prefix: new-file discovery is a walk
+    # of O(this batch), and names can never collide across snapshots
+    data_dir = (
+        fsio.join(table_path, "data")
+        if prior is None
+        else fsio.join(table_path, "data", f"batch-{version}")
+    )
     if part_cols:
         # cluster by the partition tuple so each partition value lands
         # in O(1) files (the write-distribution every Iceberg writer
@@ -1463,7 +1517,15 @@ def write_iceberg_dataset(
         raw = urllib.parse.unquote(raw)
         return _typed_partition_value(raw, rtype)
 
-    sid = int(uuid.uuid5(uuid.NAMESPACE_URL, "ds:" + location).int % 10**18)
+    sid = int(
+        uuid.uuid5(
+            uuid.NAMESPACE_URL, f"ds:{location}:v{version}"
+        ).int
+        % 10**18
+    )
+    seq = (
+        1 if prior is None else int(prior.get("last-sequence-number", 0)) + 1
+    )
     entries = []
     for fp in files:
         rel_parts = fsio.relpath(fp, location).split("/")
@@ -1499,8 +1561,8 @@ def write_iceberg_dataset(
             {
                 "status": STATUS_ADDED,
                 "snapshot_id": sid,
-                "sequence_number": 1,
-                "file_sequence_number": 1,
+                "sequence_number": seq,
+                "file_sequence_number": seq,
                 "data_file": {
                     "content": FILE_CONTENT_DATA,
                     "file_path": fsio.absolutize(fp),
@@ -1527,7 +1589,10 @@ def write_iceberg_dataset(
         "format-version": b"2",
         "content": b"data",
     }
-    manifest_name = f"{uuid.uuid5(uuid.NAMESPACE_URL, table_uuid + ':m0')}-m0.avro"
+    manifest_name = (
+        f"{uuid.uuid5(uuid.NAMESPACE_URL, table_uuid + f':m{version}')}"
+        "-m0.avro"
+    )
     manifest_bytes = ocf_encode(
         manifest_entry_schema(spec_fields, 2),
         entries,
@@ -1536,47 +1601,91 @@ def write_iceberg_dataset(
     )
     fsio.write_bytes_atomic(fsio.join(meta_dir, manifest_name), manifest_bytes)
     total_rows = sum(e["data_file"]["record_count"] for e in entries)
+    # appended snapshots CARRY the parent's manifest-list rows as-is —
+    # no manifest rewrite, O(new files) metadata per append
+    carried_rows: list[dict] = []
+    parent_sid: int | None = None
+    if prior is not None:
+        parent_sid = prior["current-snapshot-id"]
+        parent_snap = next(
+            sn
+            for sn in prior["snapshots"]
+            if sn["snapshot-id"] == parent_sid
+        )
+        _, carried_rows = ocf_decode(
+            fsio.read_bytes(
+                _resolve(table_path, parent_snap["manifest-list"])
+            )
+        )
+    new_row = {
+        "manifest_path": fsio.join(location, "metadata", manifest_name),
+        "manifest_length": len(manifest_bytes),
+        "partition_spec_id": 0,
+        "content": MANIFEST_CONTENT_DATA,
+        "sequence_number": seq,
+        "min_sequence_number": seq,
+        "added_snapshot_id": sid,
+        "added_files_count": len(entries),
+        "existing_files_count": 0,
+        "deleted_files_count": 0,
+        "added_rows_count": total_rows,
+        "existing_rows_count": 0,
+        "deleted_rows_count": 0,
+    }
     list_name = (
-        f"snap-{sid}-1-{uuid.uuid5(uuid.NAMESPACE_URL, table_uuid + ':s0')}.avro"
+        f"snap-{sid}-1-"
+        f"{uuid.uuid5(uuid.NAMESPACE_URL, table_uuid + f':s{version}')}.avro"
     )
     fsio.write_bytes_atomic(
         fsio.join(meta_dir, list_name),
         ocf_encode(
             MANIFEST_LIST_SCHEMA_V2,
-            [
-                {
-                    "manifest_path": fsio.join(
-                        location, "metadata", manifest_name
-                    ),
-                    "manifest_length": len(manifest_bytes),
-                    "partition_spec_id": 0,
-                    "content": MANIFEST_CONTENT_DATA,
-                    "sequence_number": 1,
-                    "min_sequence_number": 1,
-                    "added_snapshot_id": sid,
-                    "added_files_count": len(entries),
-                    "existing_files_count": 0,
-                    "deleted_files_count": 0,
-                    "added_rows_count": total_rows,
-                    "existing_rows_count": 0,
-                    "deleted_rows_count": 0,
-                }
-            ],
+            carried_rows + [new_row],
             codec="null",
             extra_meta={
                 "format-version": b"2",
                 "snapshot-id": str(sid).encode(),
-                "parent-snapshot-id": b"null",
-                "sequence-number": b"1",
+                "parent-snapshot-id": (
+                    b"null" if parent_sid is None else str(parent_sid).encode()
+                ),
+                "sequence-number": str(seq).encode(),
             },
         ),
     )
-    ts_ms = 1700000000000
+    ts_ms = 1700000000000 + (version - 1) * 1000
+    snap = {
+        "sequence-number": seq,
+        "snapshot-id": sid,
+        "timestamp-ms": ts_ms,
+        "summary": {
+            "operation": "append",
+            "added-data-files": str(len(entries)),
+            "total-records": str(total_rows),
+        },
+        "manifest-list": fsio.join(location, "metadata", list_name),
+        "schema-id": 0,
+    }
+    if parent_sid is not None:
+        snap["parent-snapshot-id"] = parent_sid
+    snapshots = (prior["snapshots"] if prior is not None else []) + [snap]
+    snapshot_log = (
+        prior.get("snapshot-log", []) if prior is not None else []
+    ) + [{"timestamp-ms": ts_ms, "snapshot-id": sid}]
+    metadata_log = list(
+        prior.get("metadata-log", []) if prior is not None else []
+    )
+    if prior is not None:
+        metadata_log.append(
+            {
+                "timestamp-ms": prior["last-updated-ms"],
+                "metadata-file": _metadata_file(table_path, version - 1),
+            }
+        )
     metadata = {
         "format-version": 2,
         "table-uuid": table_uuid,
         "location": location,
-        "last-sequence-number": 1,
+        "last-sequence-number": seq,
         "last-updated-ms": ts_ms,
         "last-column-id": last_col,
         "schema": ice_schema,
@@ -1592,29 +1701,15 @@ def write_iceberg_dataset(
         "default-sort-order-id": 0,
         "properties": {"write.format.default": "parquet"},
         "current-snapshot-id": sid,
-        "snapshots": [
-            {
-                "sequence-number": 1,
-                "snapshot-id": sid,
-                "timestamp-ms": ts_ms,
-                "summary": {
-                    "operation": "append",
-                    "added-data-files": str(len(entries)),
-                    "total-data-files": str(len(entries)),
-                    "total-records": str(total_rows),
-                },
-                "manifest-list": fsio.join(location, "metadata", list_name),
-                "schema-id": 0,
-            }
-        ],
-        "snapshot-log": [{"timestamp-ms": ts_ms, "snapshot-id": sid}],
+        "snapshots": snapshots,
+        "snapshot-log": snapshot_log,
         "refs": {"main": {"snapshot-id": sid, "type": "branch"}},
-        "metadata-log": [],
+        "metadata-log": metadata_log,
     }
     fsio.write_atomic(
-        _metadata_file(table_path, 1), json.dumps(metadata, indent=1)
+        _metadata_file(table_path, version), json.dumps(metadata, indent=1)
     )
-    fsio.write_atomic(_version_hint(table_path), "1")
+    fsio.write_atomic(_version_hint(table_path), str(version))
 
 
 # --------------------------------------------------------------------------

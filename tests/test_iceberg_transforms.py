@@ -399,3 +399,68 @@ def test_project_monotonic_shared_discipline():
         "in", [datetime(2024, 1, 10), datetime(2024, 1, 11)], iso_day
     ) == ("in", ["2024-01-10", "2024-01-11"])
     assert project_monotonic("=", object(), iso_day) is None
+
+
+def test_append_snapshot_carries_manifests(spark, tmp_path):
+    """r11: mode='append' adds a snapshot the Iceberg way — one new
+    manifest at the next sequence number, parent manifest-list rows
+    carried untouched, parent lineage + snapshot-log intact."""
+    from hudi_and_delta_showcase_spark.tables.iceberg_meta import (
+        iceberg_snapshots,
+        read_iceberg_incremental,
+        read_iceberg_table,
+        write_iceberg_dataset,
+    )
+
+    df = _events(spark)
+    b1 = df.filter("ts < '2024-01-11'")
+    b2 = df.filter("ts >= '2024-01-11'")
+    root = str(tmp_path / "app_tree")
+    write_iceberg_dataset(spark, b1, root, partition_by=[("ts", "day")])
+    write_iceberg_dataset(
+        spark, b2, root, partition_by=[("ts", "day")], mode="append"
+    )
+    snaps = iceberg_snapshots(root)
+    assert len(snaps) == 2
+    assert snaps[1]["parent-snapshot-id"] == snaps[0]["snapshot-id"]
+    full = read_iceberg_table(spark, root)
+    assert full.count() == df.count()
+    # time travel sees only the first batch
+    tt = read_iceberg_table(
+        spark, root, snapshot_id=snaps[0]["snapshot-id"]
+    )
+    assert tt.count() == b1.count()
+    # incremental tail = exactly the appended batch, pruned on demand
+    inc = read_iceberg_incremental(
+        spark, root, from_snapshot_id=snaps[0]["snapshot-id"]
+    )
+    assert inc.count() == b2.count()
+    pruned = read_iceberg_incremental(
+        spark, root, from_snapshot_id=snaps[0]["snapshot-id"],
+        predicate="ts >= TIMESTAMP '2024-01-15'",
+    )
+    assert len(pruned.inputFiles()) < len(inc.inputFiles())
+    assert pruned.count() == df.filter("ts >= '2024-01-15'").count()
+
+
+def test_append_refuses_mismatches(spark, tmp_path):
+    from hudi_and_delta_showcase_spark.tables.iceberg_meta import (
+        write_iceberg_dataset,
+    )
+
+    df = _events(spark)
+    root = str(tmp_path / "ref_tree")
+    write_iceberg_dataset(spark, df, root, partition_by=[("ts", "day")])
+    with pytest.raises(ValueError, match="already exists"):
+        write_iceberg_dataset(spark, df, root,
+                              partition_by=[("ts", "day")])
+    with pytest.raises(ValueError, match="schema"):
+        write_iceberg_dataset(
+            spark, df.drop("kind"), root,
+            partition_by=[("ts", "day")], mode="append",
+        )
+    with pytest.raises(ValueError, match="spec"):
+        write_iceberg_dataset(
+            spark, df, root,
+            partition_by=[("user_id", "bucket[2]")], mode="append",
+        )
