@@ -873,6 +873,30 @@ def read_delta_table(
     )
 
 
+def _files_carry_partition_columns(
+    path, files, schema, phys_schema, part_cols
+) -> bool:
+    """ONE footer probe: do the data files physically contain the
+    partition columns? delta-spark's layout never stores them (the
+    reconstruction join is mandatory there); this engine's exports
+    always do (one writer, uniform layout), and then the pinned-schema
+    scan already served real values."""
+    import pyarrow.parquet as pq
+
+    phys_of = {
+        l.name: f.name for f, l in zip(phys_schema.fields, schema.fields)
+    }
+    try:
+        names = set(
+            pq.read_schema(
+                fsio.uri_path(fsio.join(path, sorted(files)[0]))
+            ).names
+        )
+    except Exception:
+        return False  # unreadable footer: keep the reconstruction join
+    return all(phys_of.get(c, c) in names for c in part_cols)
+
+
 def _scan_adds(
     spark, path, meta, schema, phys_schema, files, adds, conjuncts
 ):
@@ -906,6 +930,16 @@ def _scan_adds(
         *[fsio.join(path, f) for f in files]
     )
     part_cols = meta.get("partitionColumns") or []
+    if part_cols and _files_carry_partition_columns(
+        path, files, schema, phys_schema, part_cols
+    ):
+        # this engine's own exports keep partition columns IN the data
+        # files (unlike delta-spark's layout): the schema-pinned scan
+        # already serves real values, so the partitionValues
+        # reconstruction join below would only rebuild what the scan
+        # read — skip it (r11 sweep finding: the join doubled
+        # fixture-scale read latency on exported tables)
+        part_cols = []
     if part_cols or dvs:
         df = df.withColumn(
             "__dl_file",

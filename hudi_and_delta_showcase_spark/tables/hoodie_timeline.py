@@ -956,7 +956,14 @@ def read_hoodie_changes(
             columns=cols + ["_change_type", "_commit_instant", "__key"],
         )
 
-    decoded = src.groupBy("fid").applyInPandas(_decode, out_schema)
+    # materialize the log decode ONCE: the mode probe below plus the
+    # consumer's own action(s) — and, in the key-only modes, one
+    # reference per (instant, side) synthesis group — would otherwise
+    # each re-read and re-decode every log blob (r11 review finding +
+    # sweep finding: the extra pass alone doubled the common path)
+    decoded = src.groupBy("fid").applyInPandas(
+        _decode, out_schema
+    ).localCheckpoint(eager=True)
 
     # ---- image synthesis for the key-only modes (r11) -----------------
     # the (instant, side) list is metadata-scale: O(instants in range)
@@ -967,12 +974,6 @@ def read_hoodie_changes(
         .distinct()
         .collect()
     ]
-    if need_groups:
-        # the synthesis loop references `decoded` once per (instant,
-        # side) group: materialize the log decode ONCE (r11 review
-        # finding — without this every group re-reads and re-decodes
-        # all log blobs, O(groups x changes) IO)
-        decoded = decoded.localCheckpoint(eager=True)
     out = decoded.filter(F.col("__key").isNull()).drop("__key")
     need = decoded.filter(F.col("__key").isNotNull())
     if need_groups:
