@@ -34,6 +34,11 @@ bytes; no Spark dependency in this module.
 
 Only the plain protobuf wire format is implemented inline (varint +
 length-delimited fields) — no protobuf library dependency.
+
+Reference anchor: the ``.hoodie`` internals the showcase's MoR
+demonstration relies on (reference README.md:556-1154); the metadata
+table itself per the public Hudi RFC-15 spec, whose compacted base
+format is HFile.
 """
 
 from __future__ import annotations

@@ -324,11 +324,16 @@ HIVE_DEFAULT_PARTITION = "__HIVE_DEFAULT_PARTITION__"
 
 def hive_path_pruning_ok(props: dict[str, str]) -> bool:
     """Partition-path pruning is safe only under a declared
-    identity key generator (``hoodie.table.keygenerator.class`` in
+    identity key generator (``hoodie.table.keygenerator.class`` — or
+    the 0.14+ ``hoodie.table.keygenerator.type`` enum — in
     ``hoodie.properties``). Absent or unknown generators never prune
     by path — col-stats pruning still applies either way."""
     kg = props.get("hoodie.table.keygenerator.class", "")
-    return kg.rsplit(".", 1)[-1] in _IDENTITY_KEYGENS
+    if kg.rsplit(".", 1)[-1] in _IDENTITY_KEYGENS:
+        return True
+    return props.get("hoodie.table.keygenerator.type", "").upper() in (
+        "SIMPLE", "COMPLEX", "NON_PARTITION",
+    )
 
 
 def partition_path_values(relpath: str) -> dict[str, str | None]:
@@ -419,8 +424,12 @@ def timestamp_path_pruner(props: dict[str, str]) -> tuple[str, str] | None:
     ``hoodie.properties`` — absent or unsupported (epoch-numeric,
     sub-day-unordered) formats never prune."""
     kg = props.get("hoodie.table.keygenerator.class", "")
-    if kg.rsplit(".", 1)[-1] not in (
-        "TimestampBasedKeyGenerator", "TimestampBasedAvroKeyGenerator"
+    kg_type = props.get("hoodie.table.keygenerator.type", "")
+    if (
+        kg.rsplit(".", 1)[-1]
+        not in ("TimestampBasedKeyGenerator",
+                "TimestampBasedAvroKeyGenerator")
+        and kg_type.upper() != "TIMESTAMP"  # the 0.14+ enum spelling
     ):
         return None
     fmt = (

@@ -534,3 +534,29 @@ def test_timestamp_keygen_without_format_never_prunes(spark, tmp_path):
     )
     assert len(pruned.inputFiles()) == 2
     assert sorted(r.k for r in pruned.collect()) == [11, 12]
+
+
+def test_keygen_type_enum_gates(tmp_path):
+    """0.14+ tables declare hoodie.table.keygenerator.type instead of
+    (or alongside) the class — both spellings gate path pruning."""
+    from hudi_and_delta_showcase_spark.tables.hoodie_metadata import (
+        hive_path_pruning_ok,
+        timestamp_path_pruner,
+    )
+
+    assert hive_path_pruning_ok({"hoodie.table.keygenerator.type": "SIMPLE"})
+    assert not hive_path_pruning_ok(
+        {"hoodie.table.keygenerator.type": "TIMESTAMP"}
+    )
+    assert not hive_path_pruning_ok({})
+    assert timestamp_path_pruner({
+        "hoodie.table.keygenerator.type": "TIMESTAMP",
+        "hoodie.keygen.timebased.output.dateformat": "yyyy-MM-dd",
+        "hoodie.table.partition.fields": "ts",
+    }) == ("ts", "%Y-%m-%d")
+    # epoch-numeric / unknown output formats never prune
+    assert timestamp_path_pruner({
+        "hoodie.table.keygenerator.type": "TIMESTAMP",
+        "hoodie.keygen.timebased.output.dateformat": "unix",
+        "hoodie.table.partition.fields": "ts",
+    }) is None
