@@ -40,8 +40,12 @@ def _await_quiet_window() -> tuple[float, bool]:
     JSON line, always) but carries ``quiet: false`` +
     ``load_avg_1m_pre`` so a noisy number is self-disqualifying under
     the BASELINE.md bar instead of masquerading as a regression."""
-    threshold = float(os.environ.get("SPARK_GRAFT_QUIET_LOAD", "2.0"))
-    retries = int(os.environ.get("SPARK_GRAFT_QUIET_RETRIES", "3"))
+    # threshold 1.0, measured on this host (r11): pre-load 1.49 still
+    # inflated the headline +52% (19.2s) while pre-load 0.68 landed
+    # 12.1s — the box's chronic external load sits ~1.5-3, so "under 2"
+    # is NOT quiet here
+    threshold = float(os.environ.get("SPARK_GRAFT_QUIET_LOAD", "1.0"))
+    retries = int(os.environ.get("SPARK_GRAFT_QUIET_RETRIES", "6"))
     pre = os.getloadavg()[0]
     while pre > threshold and retries > 0:
         print(
