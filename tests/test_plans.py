@@ -484,3 +484,26 @@ def test_pruned_delta_read_keeps_pushdown(spark, tmp_path):
     plan = _formatted_plan(got)
     assert re.search(r"PushedFilters: \[[^\]]*k", plan)
     assert len(got.inputFiles()) < len(full.inputFiles())
+
+
+def test_transform_pruned_reads_push_exact_filters(spark, tmp_path):
+    """r11: the exact row filters a transform-pruned read still needs
+    must reach the parquet scan as PushedFilters — file pruning plus a
+    post-scan-only filter would re-read every surviving row group."""
+    import tempfile
+
+    from hudi_and_delta_showcase_spark.tables.iceberg_meta import (
+        read_iceberg_table,
+        write_iceberg_dataset,
+    )
+
+    ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    root = tempfile.mkdtemp(prefix="ice_plan_") + "/t"
+    write_iceberg_dataset(spark, ev, root, partition_by=[("ts", "day")])
+    df = read_iceberg_table(
+        spark, root,
+        predicate="ts >= TIMESTAMP '2024-01-10' AND user_id = 7",
+    )
+    plan = _formatted_plan(df)
+    assert re.search(r"PushedFilters: \[[^\]]*GreaterThanOrEqual\(ts", plan)
+    assert re.search(r"PushedFilters: \[[^\]]*EqualTo\(user_id,7\)", plan)
