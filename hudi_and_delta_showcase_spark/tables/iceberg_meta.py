@@ -666,6 +666,38 @@ def _author_puffin_dvs(
     }
 
 
+def _sort_orders(
+    ice_schema: dict, cluster_cols: list[str] | None, column_mapping
+) -> list[dict]:
+    """The table's Iceberg ``sort-orders`` (r11): an
+    ``optimize(cluster_by=...)`` generation exports as a real identity
+    ASC sort order (order-id 1) — foreign planners then know clustered
+    data files are range-ordered, exactly what Iceberg's write.sort
+    metadata communicates. Unmapped tables only (the spec stores
+    PHYSICAL names under column mapping); z-order generations stay
+    unexpressed (not an Iceberg sort transform). Order 0 (unsorted) is
+    always present, per spec."""
+    orders = [{"order-id": 0, "fields": []}]
+    if not cluster_cols or column_mapping:
+        return orders
+    by_name = {f["name"]: f for f in ice_schema.get("fields", [])}
+    fields = []
+    for col in cluster_cols:
+        f = by_name.get(col)
+        if f is None:
+            return orders  # renamed/dropped since: unexpressible
+        fields.append(
+            {
+                "transform": "identity",
+                "source-id": f["id"],
+                "direction": "asc",
+                "null-order": "nulls-first",
+            }
+        )
+    orders.append({"order-id": 1, "fields": fields})
+    return orders
+
+
 def export_iceberg_metadata(
     table,
     delete_dialect: str = "position",
@@ -851,6 +883,20 @@ def export_iceberg_metadata(
             )
             prior_frid[rel] = entry["data_file"].get("first_row_id")
 
+    # latest linear clustering spec seen so far: exports as a REAL
+    # Iceberg sort order (r11) so foreign planners know the data files
+    # of clustered tables are range-ordered on these columns. Replays
+    # from v0 so resumed exports land the same order id; z-order is
+    # deliberately not expressible as an Iceberg sort order.
+    sort_spec_cols: list[str] | None = None
+    for sv in versions:
+        if sv + 1 > done:
+            break  # pending versions pick their spec up in the loop
+        sspec = mf.read_commit(table.path, sv).stats.get("cluster_spec")
+        if sspec:
+            sort_spec_cols = [
+                c.strip() for c in sspec.split(",") if c.strip()
+            ]
     exported = done
     for v in versions:
         if v + 1 <= done:
@@ -860,6 +906,11 @@ def export_iceberg_metadata(
         seq = v + 1  # v2 data sequence number; strictly commit-ordered
         ts_ms = _commit_ms(c.commit_time)
         cur = sorted(set(c.files))
+        cspec = c.stats.get("cluster_spec")
+        if cspec:
+            sort_spec_cols = [
+                x.strip() for x in cspec.split(",") if x.strip()
+            ]
         new_files = [f for f in cur if f not in prior_meta]
         counts = _record_counts(table.spark, table.path, new_files)
 
@@ -1301,8 +1352,16 @@ def export_iceberg_metadata(
             ],
             "default-spec-id": 0,
             "last-partition-id": 1000 if spec_fields else 999,
-            "sort-orders": [{"order-id": 0, "fields": []}],
-            "default-sort-order-id": 0,
+            "sort-orders": _sort_orders(
+                ice_schema, sort_spec_cols, latest.column_mapping
+            ),
+            "default-sort-order-id": 1
+            if len(
+                _sort_orders(
+                    ice_schema, sort_spec_cols, latest.column_mapping
+                )
+            ) > 1
+            else 0,
             "properties": {"write.format.default": "parquet"},
             "current-snapshot-id": sid,
             "snapshots": snapshots,

@@ -997,3 +997,47 @@ def test_schema_history_per_snapshot(spark, tmp_path):
     meta2 = read_iceberg_metadata(t.path)
     assert len(meta2["schemas"]) == 2
     assert meta2["snapshots"][-1]["schema-id"] == snap_ids[-1]
+
+
+def test_clustering_exports_as_sort_order(spark, tmp_path):
+    """r11: an optimize(cluster_by=...) generation exports as a real
+    identity ASC sort order (order-id 1, default), so foreign planners
+    know the clustered files are range-ordered; unclustered tables keep
+    the spec's unsorted order 0 only."""
+    import json as _json
+
+    from hudi_and_delta_showcase_spark.tables import LakehouseTable
+    from hudi_and_delta_showcase_spark.tables.iceberg_meta import (
+        export_iceberg_metadata,
+        read_iceberg_metadata,
+    )
+
+    df = spark.createDataFrame(
+        [(k, f"v{k}") for k in range(40)], "k int, v string"
+    ).coalesce(2)
+    t = LakehouseTable.create(spark, str(tmp_path / "t"), df,
+                              key_cols=["k"])
+    export_iceberg_metadata(t)
+    meta = read_iceberg_metadata(t.path)
+    assert meta["default-sort-order-id"] == 0
+    t.optimize(cluster_by=["k"], target_files=2)
+    export_iceberg_metadata(t)
+    meta = read_iceberg_metadata(t.path)
+    assert meta["default-sort-order-id"] == 1
+    order = next(o for o in meta["sort-orders"] if o["order-id"] == 1)
+    kid = next(
+        f["id"] for f in meta["schema"]["fields"] if f["name"] == "k"
+    )
+    assert order["fields"] == [{
+        "transform": "identity", "source-id": kid,
+        "direction": "asc", "null-order": "nulls-first",
+    }]
+    # the unsorted order 0 stays present, per spec
+    assert any(o["order-id"] == 0 for o in meta["sort-orders"])
+    # a later plain commit KEEPS the declared order (resume path reads
+    # the spec back from already-exported versions)
+    t.upsert(spark.createDataFrame([(100, "x")], "k int, v string"))
+    export_iceberg_metadata(t)
+    meta = read_iceberg_metadata(t.path)
+    assert meta["default-sort-order-id"] == 1
+    _json.dumps(meta)  # round-trippable
