@@ -731,6 +731,33 @@ def _physical_schema(meta: dict):
     return schema, phys
 
 
+def delta_clustering_columns(path: str) -> list[list[str]] | None:
+    """The table's declared clustering columns from the LAST
+    ``delta.clustering`` domain-metadata action (r11) — delta-spark's
+    ``DESCRIBE DETAIL clusteringColumns`` source — or None when the
+    log never declared (or removed) clustering. O(versions) metadata
+    scan of the commit JSONs."""
+    out: list[list[str]] | None = None
+    for v in _list_versions(path):
+        for line in fsio.read_text(_commit_file(path, v)).splitlines():
+            if not line.strip() or "domainMetadata" not in line:
+                continue
+            a = json.loads(line)
+            dm = a.get("domainMetadata")
+            if not dm or dm.get("domain") != "delta.clustering":
+                continue
+            if dm.get("removed"):
+                out = None
+                continue
+            try:
+                out = json.loads(dm.get("configuration") or "{}").get(
+                    "clusteringColumns"
+                )
+            except ValueError:
+                out = None
+    return out
+
+
 def read_delta_history(spark: SparkSession, path: str) -> DataFrame:
     """``DESCRIBE HISTORY`` over a raw foreign ``_delta_log`` (r10 —
     the inspection sibling of ``iceberg_metadata_table`` and
@@ -1453,13 +1480,20 @@ def export_delta_log(table) -> int:
     DV-bearing commit, zero data-file rewrites — the mirror of the
     Iceberg exporter's position-delete path.
 
-    Partitioned tables export as UNPARTITIONED Delta (empty
-    ``partitionColumns``): this engine keeps the partition column IN
-    the data files (the hive-style ``__pp=`` dirs are an additional
-    pruning layer), while the Delta protocol requires partition columns
-    to be absent from files and reconstructed from ``partitionValues``.
-    Declaring them would be out-of-spec; a foreign reader therefore
-    gets correct results without partition pruning."""
+    Partitioned tables DECLARE their partition column (r11):
+    ``partitionColumns`` + per-add ``partitionValues`` export under the
+    same adopted-layout/spec-evolution/column-mapping guards as the
+    Iceberg export, so foreign readers partition-prune. This engine
+    also keeps the column IN the data files (its own hive-style
+    ``__pp=`` layer) — readers that reconstruct from partitionValues
+    and readers that scan the stored column see identical values, and
+    this engine's read-back skips the reconstruction join when a
+    footer probe shows the files carry the columns.
+
+    Clustered generations (r11) additionally export delta-spark's
+    ``delta.clustering`` DOMAIN METADATA under the clustering +
+    domainMetadata writer features — the Delta twin of the Iceberg
+    sort-order export."""
     from hudi_and_delta_showcase_spark.tables import manifest as mf
 
     prev = mf.latest_commit(table.path)
@@ -1560,6 +1594,32 @@ def export_delta_log(table) -> int:
                 "readerFeatures": ["variantType"],
                 "writerFeatures": sorted(features),
             }
+    # liquid/linear clustering exports as delta-spark's clustering
+    # DOMAIN METADATA (r11 — the Delta twin of the Iceberg sort-order
+    # export): writer-only features, so minReaderVersion stays put
+    has_clustering = not prev.column_mapping and any(
+        mf.read_commit(table.path, cv).stats.get("cluster_spec")
+        for cv in mf.list_versions(table.path)
+    )
+    if has_clustering:
+        if protocol.get("minWriterVersion") == 7:
+            protocol["writerFeatures"] = sorted(
+                set(protocol["writerFeatures"])
+                | {"clustering", "domainMetadata"}
+            )
+        else:
+            features = ["clustering", "domainMetadata"]
+            if table.constraints:
+                features.append("checkConstraints")
+            if table.cdc_enabled:
+                features.append("changeDataFeed")
+            if gen_cols:
+                features.append("generatedColumns")
+            protocol = {
+                "minReaderVersion": protocol["minReaderVersion"],
+                "minWriterVersion": 7,
+                "writerFeatures": sorted(features),
+            }
     part_cols, _pval_of = _export_partition_info(table)
     done = set(_list_versions(table.path))
     # resuming an export whose already-written log predates the first
@@ -1620,6 +1680,27 @@ def export_delta_log(table) -> int:
                         "partitionColumns": part_cols,
                         "configuration": props,
                         "createdTime": now,
+                    }
+                }
+            )
+        cspec = c.stats.get("cluster_spec")
+        if cspec and has_clustering:
+            # the clustering commit stamps/updates the domain metadata
+            # (delta-spark's OPTIMIZE ... CLUSTER BY shape)
+            actions.append(
+                {
+                    "domainMetadata": {
+                        "domain": "delta.clustering",
+                        "configuration": json.dumps(
+                            {
+                                "clusteringColumns": [
+                                    [x.strip()]
+                                    for x in cspec.split(",")
+                                    if x.strip()
+                                ]
+                            }
+                        ),
+                        "removed": False,
                     }
                 }
             )

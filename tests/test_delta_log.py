@@ -689,3 +689,50 @@ def test_read_delta_history_relation(spark, tmp_path):
     assert all(
         r.num_data_change_added_files == r.num_added_files for r in rows
     )
+
+
+def test_clustering_exports_domain_metadata(spark, tmp_path):
+    """r11 (the Delta twin of the Iceberg sort-order export): an
+    optimize(cluster_by=...) generation exports delta-spark's
+    delta.clustering domain metadata under the clustering +
+    domainMetadata writer features (writer-only: reader version
+    untouched), and delta_clustering_columns reads it back."""
+    import json as _json
+    import os as _os
+
+    from hudi_and_delta_showcase_spark.tables import LakehouseTable
+    from hudi_and_delta_showcase_spark.tables.delta_log import (
+        delta_clustering_columns,
+        export_delta_log,
+        read_delta_table,
+    )
+
+    df = spark.createDataFrame(
+        [(k, f"v{k}") for k in range(40)], "k int, v string"
+    ).coalesce(2)
+    t = LakehouseTable.create(spark, str(tmp_path / "t"), df,
+                              key_cols=["k"])
+    t.optimize(cluster_by=["k"], target_files=2)
+    export_delta_log(t)
+    assert delta_clustering_columns(t.path) == [["k"]]
+    prot = None
+    log = _os.path.join(t.path, "_delta_log")
+    for fn in sorted(_os.listdir(log)):
+        if fn.endswith(".json"):
+            for line in open(_os.path.join(log, fn)):
+                a = _json.loads(line)
+                if "protocol" in a:
+                    prot = a["protocol"]
+    assert prot["minWriterVersion"] == 7
+    assert {"clustering", "domainMetadata"} <= set(prot["writerFeatures"])
+    assert prot["minReaderVersion"] == 1  # writer-only features
+    # the log still reads fine (domainMetadata is replay-inert)
+    assert read_delta_table(spark, t.path).count() == 40
+    # unclustered tables declare nothing
+    t2 = LakehouseTable.create(
+        spark, str(tmp_path / "t2"),
+        spark.createDataFrame([(1, "a")], "k int, v string"),
+        key_cols=["k"],
+    )
+    export_delta_log(t2)
+    assert delta_clustering_columns(t2.path) is None
