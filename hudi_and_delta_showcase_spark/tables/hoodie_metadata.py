@@ -36,7 +36,15 @@ HoodieTableMetadata / HoodieMetadataPayload).
 
 from __future__ import annotations
 
+import re
+from datetime import datetime, timedelta
+from functools import lru_cache
+
 from hudi_and_delta_showcase_spark.tables import fsio
+
+#: naive UTC epoch — integer predicate literals with a declared epoch
+#: unit convert through this for path projection
+_EPOCH_DT = datetime(1970, 1, 1)
 
 #: record key of the partition-list record in the files partition
 ALL_PARTITIONS_KEY = "__all_partitions__"
@@ -412,17 +420,38 @@ _TS_OUTPUT_FORMATS = {
 }
 
 
-def timestamp_path_pruner(props: dict[str, str]) -> tuple[str, str] | None:
-    """``(source column, strftime format)`` when the table declares a
-    TIMESTAMP-BASED key generator whose output format this reader can
-    prune on (r11 — the Hudi leg of the transform-pruning triad, next
-    to Iceberg's ``days(ts)`` and Delta's generated date columns): the
-    partition PATH is the formatted source timestamp (date trees like
-    ``2024/01/10``), so a ``ts`` predicate projects through the format
-    and compares lexicographically. Requires the keygen class, a
-    single partition field, and the ``output.dateformat`` in
-    ``hoodie.properties`` — absent or unsupported (epoch-numeric,
-    sub-day-unordered) formats never prune."""
+#: hoodie.keygen.timebased.timestamp.type values whose NUMERIC input
+#: literals this reader understands: microseconds since the epoch per
+#: unit. Other declared types (SCALAR, DATE_STRING, MIXED) — or an
+#: undeclared type — make integer predicate literals unprovable: a
+#: bare ``ts = 1704844800000`` could be millis on one table and
+#: seconds on another, and guessing micros would project a 2024-epoch
+#: value to 1970 and prune the MATCHING partition (r12 advice fix).
+_TS_INPUT_MICROS = {
+    "UNIX_TIMESTAMP": 1_000_000,  # Hudi's name for epoch SECONDS
+    "EPOCHMILLISECONDS": 1_000,
+    "EPOCHMICROSECONDS": 1,
+}
+
+
+def timestamp_path_pruner(
+    props: dict[str, str],
+) -> tuple[str, str, str | None] | None:
+    """``(source column, strftime format, timestamp.type)`` when the
+    table declares a TIMESTAMP-BASED key generator whose output format
+    this reader can prune on (r11 — the Hudi leg of the
+    transform-pruning triad, next to Iceberg's ``days(ts)`` and
+    Delta's generated date columns): the partition PATH is the
+    formatted source timestamp (date trees like ``2024/01/10``), so a
+    ``ts`` predicate projects through the format and compares
+    lexicographically. Requires the keygen class, a single partition
+    field, the ``output.dateformat`` in ``hoodie.properties``, and an
+    output timezone that is UTC/GMT or unset — a shifted-zone tree
+    formats different wall dates than the reader would project, so
+    any other declared zone disables path pruning entirely. Absent or
+    unsupported (epoch-numeric, sub-day-unordered) formats never
+    prune. The returned ``timestamp.type`` gates integer literals
+    only; date/datetime/ISO-string literals project under any type."""
     kg = props.get("hoodie.table.keygenerator.class", "")
     kg_type = props.get("hoodie.table.keygenerator.type", "")
     if (
@@ -442,40 +471,108 @@ def timestamp_path_pruner(props: dict[str, str]) -> tuple[str, str] | None:
     strf = _TS_OUTPUT_FORMATS.get(fmt)
     if strf is None:
         return None
-    return fields.split(":")[0], strf
+    tz = (
+        props.get("hoodie.keygen.timebased.output.timezone")
+        or props.get("hoodie.deltastreamer.keygen.timebased.output.timezone")
+        or props.get("hoodie.deltastreamer.keygen.timebased.timezone")
+        or ""
+    ).strip()
+    if tz and tz.upper() not in ("UTC", "GMT", "ETC/UTC", "ETC/GMT", "Z"):
+        return None
+    ts_type = (
+        props.get("hoodie.keygen.timebased.timestamp.type")
+        or props.get("hoodie.deltastreamer.keygen.timebased.timestamp.type")
+        or ""
+    ).strip().upper() or None
+    return fields.split(":")[0], strf, ts_type
 
 
-def _project_ts_path(fmt: str, op: str, val):
+def _project_ts_path(fmt: str, op: str, val, ts_type: str | None):
     """Project ``col <op> val`` onto the formatted-path domain via the
     engine-wide monotonic projection discipline
     (``iceberg_transforms.project_monotonic`` — inclusive widening,
-    strict-< tightened one microsecond); None = prove nothing."""
+    strict-< tightened one microsecond); None = prove nothing.
+    Integer literals are convertible only when ``timestamp.type``
+    declares their epoch unit — otherwise the unit is a guess and the
+    only sound answer is a full scan (r12 advice fix)."""
     from hudi_and_delta_showcase_spark.tables.iceberg_transforms import (
         project_monotonic,
     )
 
+    def lift(v):
+        if isinstance(v, bool):
+            return None
+        if isinstance(v, int):
+            mult = _TS_INPUT_MICROS.get(ts_type or "")
+            if mult is None:
+                return None
+            try:
+                return _EPOCH_DT + timedelta(microseconds=v * mult)
+            except OverflowError:
+                return None
+        return v
+
+    if op == "in":
+        vals = [lift(v) for v in val]
+        if any(v is None for v in vals):
+            return None
+        val = vals
+    else:
+        val = lift(val)
+        if val is None:
+            return None
     return project_monotonic(op, val, lambda dt: dt.strftime(fmt))
 
 
+#: strftime directives a supported output format may contain, and the
+#: digit shape each one renders — used to recognise whether a
+#: partition directory IS a value of the declared format before
+#: comparing lexicographically against a projected literal
+_STRF_SHAPE = {"%Y": r"\d{4}", "%m": r"\d{2}", "%d": r"\d{2}",
+               "%H": r"\d{2}"}
+
+
+@lru_cache(maxsize=64)
+def _ts_dir_shape(strf: str):
+    """Compiled full-match regex for 'this directory is a value of the
+    output format'. Hive-style dirs (``ts=2024-01-10``) or foreign
+    layouts fail the shape test and are scanned, never pruned — a
+    lexicographic comparison against a differently-shaped string
+    proves nothing (r12 advice fix)."""
+    out, i = [], 0
+    while i < len(strf):
+        tok = strf[i:i + 2]
+        if tok in _STRF_SHAPE:
+            out.append(_STRF_SHAPE[tok])
+            i += 2
+        else:
+            out.append(re.escape(strf[i]))
+            i += 1
+    return re.compile("".join(out) + r"\Z")
+
+
 def ts_path_can_match(
-    relpath: str, conjuncts: list[tuple], pruner: tuple[str, str]
+    relpath: str, conjuncts: list[tuple], pruner: tuple[str, str, str | None]
 ) -> bool:
     """Can a file under a timestamp-keygen partition path hold a
     matching row? The file's whole partition directory IS the
     formatted source value; a disjoint lexicographic comparison
-    prunes."""
+    prunes. Directories that are not shaped like the output format
+    (hive-style ``col=value``, mixed foreign layouts) always scan."""
     from hudi_and_delta_showcase_spark.tables.iceberg_meta import (
         _interval_can_match,
     )
 
-    col, fmt = pruner
+    col, fmt, ts_type = pruner
     pdir = relpath.rsplit("/", 1)[0] if "/" in relpath else ""
     if not pdir or pdir == HIVE_DEFAULT_PARTITION:
+        return True
+    if "=" in pdir or not _ts_dir_shape(fmt).match(pdir):
         return True
     for c, op, val in conjuncts:
         if c != col:
             continue
-        proj = _project_ts_path(fmt, op, val)
+        proj = _project_ts_path(fmt, op, val, ts_type)
         if proj is None:
             continue
         if not _interval_can_match(pdir, pdir, proj[0], proj[1]):

@@ -553,10 +553,94 @@ def test_keygen_type_enum_gates(tmp_path):
         "hoodie.table.keygenerator.type": "TIMESTAMP",
         "hoodie.keygen.timebased.output.dateformat": "yyyy-MM-dd",
         "hoodie.table.partition.fields": "ts",
-    }) == ("ts", "%Y-%m-%d")
+    }) == ("ts", "%Y-%m-%d", None)
     # epoch-numeric / unknown output formats never prune
     assert timestamp_path_pruner({
         "hoodie.table.keygenerator.type": "TIMESTAMP",
         "hoodie.keygen.timebased.output.dateformat": "unix",
         "hoodie.table.partition.fields": "ts",
     }) is None
+    # a declared non-UTC output timezone disables path pruning: the
+    # tree's wall dates are shifted from what the reader projects
+    assert timestamp_path_pruner({
+        "hoodie.table.keygenerator.type": "TIMESTAMP",
+        "hoodie.keygen.timebased.output.dateformat": "yyyy-MM-dd",
+        "hoodie.keygen.timebased.output.timezone": "America/Los_Angeles",
+        "hoodie.table.partition.fields": "ts",
+    }) is None
+    # ...but UTC spellings keep it, and the declared epoch unit rides
+    # along for integer-literal projection
+    assert timestamp_path_pruner({
+        "hoodie.table.keygenerator.type": "TIMESTAMP",
+        "hoodie.keygen.timebased.output.dateformat": "yyyy-MM-dd",
+        "hoodie.keygen.timebased.output.timezone": "UTC",
+        "hoodie.keygen.timebased.timestamp.type": "EPOCHMILLISECONDS",
+        "hoodie.table.partition.fields": "ts",
+    }) == ("ts", "%Y-%m-%d", "EPOCHMILLISECONDS")
+
+
+def test_ts_path_int_literals_respect_timestamp_type():
+    """r12 advice fix (high): an integer literal's epoch unit comes
+    from hoodie.keygen.timebased.timestamp.type — NOT an assumed
+    micros. With no declared type, integer literals prove nothing
+    (scan); with EPOCHMILLISECONDS, 2024-01-10T00:00Z millis keeps the
+    2024/01/10 partition and prunes a disjoint one; assuming micros
+    would have projected the same literal to 1970 and wrongly pruned
+    the matching partition."""
+    from hudi_and_delta_showcase_spark.tables.hoodie_metadata import (
+        ts_path_can_match,
+    )
+
+    millis = 1704844800000  # 2024-01-10T00:00:00Z in epoch millis
+    conj = [("ts", "=", millis)]
+    # undeclared unit: prove nothing either way
+    pruner = ("ts", "%Y/%m/%d", None)
+    assert ts_path_can_match("2024/01/10/f.parquet", conj, pruner)
+    assert ts_path_can_match("2024/01/11/f.parquet", conj, pruner)
+    # declared millis: keep the matching day, prune the disjoint one
+    pruner = ("ts", "%Y/%m/%d", "EPOCHMILLISECONDS")
+    assert ts_path_can_match("2024/01/10/f.parquet", conj, pruner)
+    assert not ts_path_can_match("2024/01/11/f.parquet", conj, pruner)
+    # UNIX_TIMESTAMP is epoch SECONDS in Hudi's vocabulary
+    pruner = ("ts", "%Y/%m/%d", "UNIX_TIMESTAMP")
+    conj_s = [("ts", "=", millis // 1000)]
+    assert ts_path_can_match("2024/01/10/f.parquet", conj_s, pruner)
+    assert not ts_path_can_match("2024/01/11/f.parquet", conj_s, pruner)
+    # SCALAR / DATE_STRING units are table-config-relative: scan
+    pruner = ("ts", "%Y/%m/%d", "SCALAR")
+    assert ts_path_can_match("2024/01/11/f.parquet", conj, pruner)
+    # non-integer literals project under ANY declared type
+    from datetime import datetime
+
+    conj_dt = [("ts", "=", datetime(2024, 1, 10))]
+    pruner = ("ts", "%Y/%m/%d", None)
+    assert ts_path_can_match("2024/01/10/f.parquet", conj_dt, pruner)
+    assert not ts_path_can_match("2024/01/11/f.parquet", conj_dt, pruner)
+
+
+def test_ts_path_shape_gate_never_prunes_foreign_dirs():
+    """r12 advice fix (high): partition directories not shaped like
+    the declared output format — hive-style ``ts=...`` dirs, foreign
+    layouts — are scanned, never pruned. Before the fix,
+    'ts=2024-01-10' compared lexicographically against '2024-01-10'
+    and =/<=/< predicates pruned EVERY file."""
+    from datetime import datetime
+
+    from hudi_and_delta_showcase_spark.tables.hoodie_metadata import (
+        ts_path_can_match,
+    )
+
+    pruner = ("ts", "%Y-%m-%d", None)
+    conj = [("ts", "=", datetime(2024, 1, 10))]
+    # hive-style dir: shape mismatch -> scan (True), even though the
+    # lexicographic comparison would claim disjoint
+    assert ts_path_can_match("ts=2024-01-10/f.parquet", conj, pruner)
+    assert ts_path_can_match("ts=2024-01-11/f.parquet", conj, pruner)
+    # arbitrary foreign dir names: scan
+    assert ts_path_can_match("batch_007/f.parquet", conj, pruner)
+    assert ts_path_can_match("2024-1-9/f.parquet", conj, pruner)
+    # correctly-shaped dirs still prune on range ops
+    conj_le = [("ts", "<", datetime(2024, 1, 10))]
+    assert ts_path_can_match("2024-01-09/f.parquet", conj_le, pruner)
+    assert not ts_path_can_match("2024-01-10/f.parquet", conj_le, pruner)
+    assert not ts_path_can_match("2024-01-11/f.parquet", conj_le, pruner)
