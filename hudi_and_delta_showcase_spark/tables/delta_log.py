@@ -216,6 +216,7 @@ def write_checkpoint(spark: SparkSession, path: str,
             ("size", pa.int64()),
             ("modificationTime", pa.int64()),
             ("dataChange", pa.bool_()),
+            ("tags", pa.map_(pa.string(), pa.string())),
             (
                 "deletionVector",
                 pa.struct(
@@ -272,6 +273,9 @@ def write_checkpoint(spark: SparkSession, path: str,
         pv = a.get("partitionValues") or {}
         if isinstance(pv, list):
             pv = dict(pv)
+        tags = a.get("tags") or {}
+        if isinstance(tags, list):
+            tags = dict(tags)
         dv = a.get("deletionVector")
         return {
             "path": f,
@@ -279,6 +283,7 @@ def write_checkpoint(spark: SparkSession, path: str,
             "size": fsio.file_size(fsio.join(path, f)),
             "modificationTime": int(time.time() * 1000),
             "dataChange": False,
+            "tags": list(tags.items()) or None,
             "deletionVector": (
                 {
                     "storageType": dv.get("storageType"),
@@ -900,28 +905,25 @@ def read_delta_table(
     )
 
 
-def _files_carry_partition_columns(
-    path, files, schema, phys_schema, part_cols
-) -> bool:
-    """ONE footer probe: do the data files physically contain the
-    partition columns? delta-spark's layout never stores them (the
-    reconstruction join is mandatory there); this engine's exports
-    always do (one writer, uniform layout), and then the pinned-schema
-    scan already served real values."""
-    import pyarrow.parquet as pq
+#: add-action tag this engine's exporter stamps when the data file
+#: physically contains the partition columns (tags are protocol-legal
+#: opaque engine metadata; delta-spark preserves them through its
+#: checkpoints)
+_PART_COLS_IN_FILE_TAG = "partitionColumnsInFile"
 
-    phys_of = {
-        l.name: f.name for f, l in zip(phys_schema.fields, schema.fields)
-    }
-    try:
-        names = set(
-            pq.read_schema(
-                fsio.uri_path(fsio.join(path, sorted(files)[0]))
-            ).names
-        )
-    except Exception:
-        return False  # unreadable footer: keep the reconstruction join
-    return all(phys_of.get(c, c) in names for c in part_cols)
+
+def _add_carries_part_cols(a: dict) -> bool:
+    """Did THIS add's writer declare the partition columns present in
+    the data file itself? Only this engine's exporter stamps the tag,
+    so foreign adds (delta-spark never stores partition columns in
+    data files) answer False and keep the reconstruction join. The
+    per-add answer makes mixed-writer tables sound: the old
+    single-footer probe (r11) generalized sorted(files)[0] to the
+    whole scan and served NULL partition values from foreign files."""
+    tags = a.get("tags") or {}
+    if isinstance(tags, list):  # pyarrow map_ rows surface as pairs
+        tags = dict(tags)
+    return tags.get(_PART_COLS_IN_FILE_TAG) == "true"
 
 
 def _scan_adds(
@@ -957,15 +959,18 @@ def _scan_adds(
         *[fsio.join(path, f) for f in files]
     )
     part_cols = meta.get("partitionColumns") or []
-    if part_cols and _files_carry_partition_columns(
-        path, files, schema, phys_schema, part_cols
+    if part_cols and all(
+        _add_carries_part_cols(adds.get(f, {})) for f in files
     ):
-        # this engine's own exports keep partition columns IN the data
-        # files (unlike delta-spark's layout): the schema-pinned scan
+        # every live add's writer stamped the partition columns as
+        # physically present in its data file (this engine's exports
+        # do; delta-spark's layout never does): the schema-pinned scan
         # already serves real values, so the partitionValues
         # reconstruction join below would only rebuild what the scan
         # read — skip it (r11 sweep finding: the join doubled
-        # fixture-scale read latency on exported tables)
+        # fixture-scale read latency on exported tables). ANY untagged
+        # add — a foreign writer appending to an exported table —
+        # keeps the join for the whole scan (r12 advice fix).
         part_cols = []
     if part_cols or dvs:
         df = df.withColumn(
@@ -1768,6 +1773,15 @@ def export_delta_log(table) -> int:
                 else int(mtime),
                 "dataChange": data_change,
             }
+            if part_cols:
+                # this engine's data files physically CONTAIN the
+                # partition columns (delta-spark's never do); the tag
+                # lets the scan skip the partitionValues
+                # reconstruction join per-FILE — a mixed table where
+                # foreign adds lack the tag keeps the join (r12
+                # advice fix: the old single-footer probe decided for
+                # the whole scan and served NULLs from foreign files)
+                add["tags"] = {_PART_COLS_IN_FILE_TAG: "true"}
             stats = _add_stats_json(c, f)
             if stats is not None:
                 add["stats"] = stats

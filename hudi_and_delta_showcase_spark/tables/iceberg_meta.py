@@ -1337,6 +1337,9 @@ def export_iceberg_metadata(
                     "type": "tag",
                 }
 
+        sort_orders = _sort_orders(
+            ice_schema, sort_spec_cols, latest.column_mapping
+        )
         metadata = {
             "format-version": fmt,
             "table-uuid": table_uuid,
@@ -1352,16 +1355,8 @@ def export_iceberg_metadata(
             ],
             "default-spec-id": 0,
             "last-partition-id": 1000 if spec_fields else 999,
-            "sort-orders": _sort_orders(
-                ice_schema, sort_spec_cols, latest.column_mapping
-            ),
-            "default-sort-order-id": 1
-            if len(
-                _sort_orders(
-                    ice_schema, sort_spec_cols, latest.column_mapping
-                )
-            ) > 1
-            else 0,
+            "sort-orders": sort_orders,
+            "default-sort-order-id": 1 if len(sort_orders) > 1 else 0,
             "properties": {"write.format.default": "parquet"},
             "current-snapshot-id": sid,
             "snapshots": snapshots,
@@ -2290,7 +2285,7 @@ _PRED_OPS = ("=", "<", "<=", ">", ">=", "in")
 #: predicates read naturally: ``ts >= TIMESTAMP '2024-01-10'``), or a
 #: number
 _SQL_VAL = (
-    r"((?:(?:TIMESTAMP|DATE|timestamp|date)\s+)?"
+    r"((?:(?i:TIMESTAMP|DATE)\s+)?"
     r"'(?:[^']|'')*'|-?\d+(?:\.\d+)?)"
 )
 _SQL_CMP = re.compile(

@@ -373,7 +373,18 @@ def _truncate_col(c, w: int):
 
 
 def _bucket_col(c, n: int):
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import LongType, TimestampType
+
     def build(dtype):
+        if isinstance(dtype, TimestampType):
+            # the spec buckets timestamptz as micros since the UTC
+            # epoch, but Arrow hands a pandas UDF the SESSION-zone
+            # wall time for LTZ columns — hash the JVM-side epoch
+            # micros instead so write-side buckets agree with
+            # spec-conforming foreign readers under any session zone
+            # (r12 advice fix)
+            return _bucket_udf(n, LongType())(F.unix_micros(c))
         return _bucket_udf(n, dtype)(c)
 
     return _TypedCol(build)

@@ -386,3 +386,66 @@ def test_v7_protocol_lists_generated_columns_feature(spark, tmp_path):
                     prot = a["protocol"]
     assert prot["minWriterVersion"] == 7
     assert "generatedColumns" in prot["writerFeatures"]
+
+
+def test_mixed_writer_table_serves_real_partition_values(spark, tmp_path):
+    """r12 advice fix (medium): the partitionValues reconstruction
+    join is skipped only when EVERY live add is tagged by this
+    engine's exporter as physically carrying the partition columns.
+    A mixed table — engine-exported files (column in data) plus a
+    foreign delta-spark-style add (column NOT in data) — keeps the
+    join and serves real values for both; the old single-footer probe
+    generalized one engine file to the whole scan and served NULLs
+    from the foreign file."""
+    df = spark.createDataFrame(
+        [(k, f"v{k}", "a" if k < 3 else "b") for k in range(6)],
+        "k int, v string, g string",
+    ).coalesce(1)
+    t = LakehouseTable.create(
+        spark, str(tmp_path / "t"), df, key_cols=["k"], partition_by="g"
+    )
+    export_delta_log(t)
+    log = os.path.join(t.path, "_delta_log")
+    versions = sorted(
+        int(f.split(".")[0]) for f in os.listdir(log) if f.endswith(".json")
+    )
+    adds = []
+    for v in versions:
+        with open(os.path.join(log, f"{v:020d}.json")) as fh:
+            adds += [
+                json.loads(line)["add"] for line in fh if '"add"' in line
+            ]
+    # every engine add is tagged
+    assert adds and all(
+        (a.get("tags") or {}).get("partitionColumnsInFile") == "true"
+        for a in adds
+    )
+    # pure-export read: the join is skipped (no reconstruction alias
+    # in the executed plan), values are real
+    pure = read_delta_table(spark, t.path)
+    assert "__pv_file" not in pure._jdf.queryExecution().executedPlan().toString()
+    assert sorted((r.k, r.g) for r in pure.collect()) == [
+        (k, "a" if k < 3 else "b") for k in range(6)
+    ]
+    # foreign append: data file WITHOUT g, untagged add with
+    # partitionValues — delta-spark's layout
+    foreign = "part-00000-foreign-c000.snappy.parquet"
+    _write_parquet(os.path.join(t.path, foreign), [100, 200], ["fa", "fb"])
+    actions = [
+        {"add": {
+            "path": foreign, "partitionValues": {"g": "z"}, "size": 900,
+            "modificationTime": 1700000000000, "dataChange": True}},
+        {"commitInfo": {"timestamp": 1700000000000,
+                        "operation": "WRITE"}},
+    ]
+    with open(
+        os.path.join(log, f"{versions[-1] + 1:020d}.json"), "w"
+    ) as fh:
+        fh.write("\n".join(json.dumps(a) for a in actions))
+    mixed = read_delta_table(spark, t.path)
+    got = sorted((r.k, r.g) for r in mixed.collect())
+    assert got == [
+        (k, "a" if k < 3 else "b") for k in range(6)
+    ] + [(100, "z"), (200, "z")]
+    # no NULL partition values anywhere
+    assert all(g is not None for _, g in got)

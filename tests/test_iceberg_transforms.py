@@ -464,3 +464,54 @@ def test_append_refuses_mismatches(spark, tmp_path):
             spark, df, root,
             partition_by=[("user_id", "bucket[2]")], mode="append",
         )
+
+
+def test_bucket_ltz_agrees_with_spec_under_non_utc_session(spark):
+    """r12 advice fix (low): the spec buckets timestamptz as micros
+    since the UTC epoch; the write-side bucket column must compute the
+    SAME value whatever spark.sql.session.timeZone says (Arrow hands a
+    pandas UDF session-zone wall time for LTZ — the column now hashes
+    JVM-side unix_micros instead)."""
+    from datetime import datetime, timezone as _tz
+
+    from pyspark.sql.types import TimestampType
+
+    from hudi_and_delta_showcase_spark.tables.iceberg_transforms import (
+        _TypedCol,
+        bucket_value,
+        transform_column,
+    )
+
+    instants = [
+        datetime(2017, 11, 16, 22, 31, 8),
+        datetime(2024, 6, 1, 0, 0, 0),
+        datetime(1969, 12, 31, 23, 0, 0),
+    ]
+    df = spark.createDataFrame([(t,) for t in instants], "ts timestamp")
+    col = transform_column("ts", "bucket[16]")
+    if isinstance(col, _TypedCol):
+        col = col.resolve(TimestampType())
+    prev = spark.conf.get("spark.sql.session.timeZone")
+    try:
+        got = {}
+        for tz in ("UTC", "America/Los_Angeles", "Asia/Kolkata"):
+            spark.conf.set("spark.sql.session.timeZone", tz)
+            got[tz] = [
+                r.b for r in df.select(col.alias("b")).collect()
+            ]
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", prev)
+    # identical under every session zone...
+    assert got["UTC"] == got["America/Los_Angeles"] == got["Asia/Kolkata"]
+    # ...and equal to the scalar spec hash of the UTC-epoch micros
+    # (createDataFrame under the engine's UTC session stored these
+    # naive datetimes as UTC instants)
+    expect = [
+        bucket_value(
+            int(t.replace(tzinfo=_tz.utc).timestamp() * 1_000_000),
+            16,
+            "long",
+        )
+        for t in instants
+    ]
+    assert got["UTC"] == expect
