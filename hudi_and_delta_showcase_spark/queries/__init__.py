@@ -288,6 +288,12 @@ PRIORITY: tuple[str, ...] = (
     # write_iceberg_dataset(mode=append) + day-transform pruning of the
     # added entries; the daily-ingest consumption loop
     "iceberg_day_incremental_read",
+    # r12: RewriteManifests — an append-heavy tree's one-manifest-per-
+    # append metadata bin-packs into ONE manifest as a replace-
+    # operation snapshot (metadata-only, original sequence numbers
+    # kept, incremental/changelog skip it); `packed` proves the
+    # manifest count shrank with every row still served
+    "iceberg_rewrite_manifests_read",
     # r10: the _delta_log leg — rows added in a version range of a raw
     # log without CDF, dataChange=false (OPTIMIZE) versions skipped,
     # data-removing versions refused toward read_delta_changes

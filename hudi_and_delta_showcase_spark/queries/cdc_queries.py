@@ -1085,6 +1085,58 @@ def iceberg_day_incremental_read(
 
 
 @query(
+    "iceberg_rewrite_manifests_read",
+    oracle="""
+    SELECT event_id, user_id, ts, event_type, value, TRUE AS packed
+    FROM events
+    """,
+    tags=("cdc", "iceberg", "maintenance", "transforms"),
+)
+def iceberg_rewrite_manifests_read(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Iceberg RewriteManifests over an append-heavy ``days(ts)`` tree
+    (r12, verdict #1): six appended snapshots leave six small
+    manifests — O(appends) Avro opens per scan forever — and
+    ``rewrite_iceberg_manifests`` bin-packs the live entries into ONE
+    as a ``replace``-operation snapshot (metadata-only; entries keep
+    their original sequence numbers, data files never move; the
+    incremental scan and the changelog skip it by their existing
+    rule). ``packed`` carries the proof: TRUE only when the manifest
+    count strictly shrank AND the post-rewrite scan still serves every
+    row (reference anchor: the small-file maintenance discipline at
+    README.md:1240, applied to the metadata tree)."""
+    from hudi_and_delta_showcase_spark.tables.iceberg_meta import (
+        read_iceberg_table,
+        rewrite_iceberg_manifests,
+        write_iceberg_dataset,
+    )
+
+    events = load_table(spark, sf_dir, "events").select(*_FINAL_COLS)
+    root = tempfile.mkdtemp(prefix="iceberg_rw_") + "/events_ice"
+    # six append snapshots: a batch per event_id residue class
+    batches = [
+        events.filter(F.pmod(F.col("event_id"), F.lit(6)) == i)
+        for i in range(6)
+    ]
+    write_iceberg_dataset(
+        spark, batches[0], root, partition_by=[("ts", "day")]
+    )
+    for b in batches[1:]:
+        write_iceberg_dataset(
+            spark, b, root, partition_by=[("ts", "day")], mode="append"
+        )
+    out = rewrite_iceberg_manifests(root)
+    packed = (
+        out["manifests_before"] == 6
+        and out["manifests_after"] < out["manifests_before"]
+    )
+    return read_iceberg_table(spark, root).select(*_FINAL_COLS).withColumn(
+        "packed", F.lit(bool(packed))
+    )
+
+
+@query(
     "iceberg_incremental_read",
     oracle=f"""
     SELECT event_id, user_id, ts, event_type, value, 'b2' AS batch

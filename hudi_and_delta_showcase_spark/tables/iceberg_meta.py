@@ -2190,6 +2190,263 @@ def expire_iceberg_snapshots(table_path: str, keep_last: int = 1) -> dict:
     return {"expired": len(expired), "deleted_files": deleted}
 
 
+def rewrite_iceberg_manifests(
+    table_path: str, target_size_bytes: int = 8 * 1024 * 1024
+) -> dict:
+    """Iceberg's RewriteManifests action over an exported or
+    dataset-written v2 tree (r12): bin-pack the current snapshot's
+    LIVE data-manifest entries into few new manifests and commit the
+    result as a ``replace``-operation snapshot — metadata-only, data
+    files never move. ``write_iceberg_dataset(mode="append")``
+    deliberately adds ONE manifest per append (O(new files) per
+    write); after N appends every snapshot scan opens N small Avro
+    manifests, and this action is Iceberg's answer (the reference's
+    small-file maintenance discipline, README.md:1240, applied to the
+    metadata tree).
+
+    Protocol shape, matching iceberg-java's BaseRewriteManifests:
+
+    * every surviving entry is rewritten with ``status=EXISTING`` and
+      its ORIGINAL ``snapshot_id`` / ``sequence_number`` /
+      ``file_sequence_number`` made explicit (v2 inheritance only
+      applies to ADDED entries — carrying the data sequence number
+      forward is what keeps equality-delete ordering and incremental
+      scans correct);
+    * each new manifest-list row stamps ``min_sequence_number`` as the
+      min of its entries' sequence numbers (the pruning floor delete
+      application relies on);
+    * delete manifests (``content=1``) carry over untouched;
+    * the new snapshot has operation ``replace`` — no logical change,
+      so the incremental append scan and the changelog both skip it
+      (their existing rule), and time travel to prior snapshots still
+      reads the untouched old manifest lists. ``expire_iceberg_
+      snapshots`` later reclaims the small superseded manifests.
+
+    Entries group by ``partition_spec_id`` (mixed-spec trees bin-pack
+    within each spec; the Avro partition struct differs per spec).
+    Bin size = ``target_size_bytes`` over the observed mean serialized
+    entry size — Iceberg's ``commit.manifest.target-size-bytes``
+    knob, same 8 MiB default.
+
+    Scale shape: O(manifest entries) driver-side metadata, no data
+    IO — the same scale as a snapshot plan; one pass decode, one pass
+    encode. Returns ``{"manifests_before", "manifests_after",
+    "entries"}`` for observability.
+    """
+    if not fsio.exists(_version_hint(table_path)):
+        raise FileNotFoundError(
+            "rewrite_manifests works on exported trees "
+            "(version-hint present)"
+        )
+    version = int(fsio.read_pointer_text(_version_hint(table_path)).strip())
+    meta = json.loads(fsio.read_text(_metadata_file(table_path, version)))
+    if int(meta.get("format-version", 1)) < 2:
+        raise ValueError(
+            "rewrite_manifests requires a format-version 2 tree"
+        )
+    cur_sid = meta["current-snapshot-id"]
+    snap = next(
+        s for s in meta["snapshots"] if s["snapshot-id"] == cur_sid
+    )
+    _, list_rows = ocf_decode(
+        fsio.read_bytes(_resolve(table_path, snap["manifest-list"]))
+    )
+    data_rows = [
+        m for m in list_rows
+        if m.get("content", 0) == MANIFEST_CONTENT_DATA
+    ]
+    delete_rows = [
+        m for m in list_rows
+        if m.get("content", 0) == MANIFEST_CONTENT_DELETES
+    ]
+    if len(data_rows) <= 1:
+        return {
+            "manifests_before": len(data_rows),
+            "manifests_after": len(data_rows),
+            "entries": None,
+        }
+    # decode every data manifest once; group live entries by spec id,
+    # remembering one writer schema per spec (the partition struct
+    # differs across specs, and re-encoding with the schema the
+    # entries were decoded under is exact by construction)
+    by_spec: dict[int, dict] = {}
+    total_bytes = 0
+    for m in data_rows:
+        schema_avro, recs = ocf_decode(
+            fsio.read_bytes(_resolve(table_path, m["manifest_path"]))
+        )
+        total_bytes += int(m.get("manifest_length") or 0)
+        spec_id = int(m.get("partition_spec_id") or 0)
+        g = by_spec.setdefault(
+            spec_id, {"schema": schema_avro, "entries": []}
+        )
+        m_seq = m.get("sequence_number") or 0
+        m_sid = m.get("added_snapshot_id")
+        for e in recs:
+            if e["status"] == STATUS_DELETED:
+                continue
+            seq = (
+                e.get("sequence_number")
+                if e.get("sequence_number") is not None
+                else m_seq
+            )
+            fseq = (
+                e.get("file_sequence_number")
+                if e.get("file_sequence_number") is not None
+                else seq
+            )
+            g["entries"].append(
+                {
+                    "status": STATUS_EXISTING,
+                    "snapshot_id": (
+                        e.get("snapshot_id")
+                        if e.get("snapshot_id") is not None
+                        else m_sid
+                    ),
+                    "sequence_number": seq,
+                    "file_sequence_number": fseq,
+                    "data_file": e["data_file"],
+                }
+            )
+    n_entries = sum(len(g["entries"]) for g in by_spec.values())
+    if n_entries == 0:
+        return {
+            "manifests_before": len(data_rows),
+            "manifests_after": len(data_rows),
+            "entries": 0,
+        }
+    per_manifest = max(
+        1, int(target_size_bytes // max(1, total_bytes // n_entries))
+    )
+    new_sid = int(
+        uuid.uuid5(
+            uuid.NAMESPACE_URL,
+            f"rewrite:{meta['table-uuid']}:v{version + 1}",
+        ).int
+        % 10**18
+    )
+    new_seq = int(meta.get("last-sequence-number", 0)) + 1
+    meta_dir = _meta_dir(table_path)
+    ice_schema = meta.get("schema") or (meta.get("schemas") or [{}])[-1]
+    specs_by_id = {
+        int(sp.get("spec-id", 0)): sp.get("fields", [])
+        for sp in (meta.get("partition-specs") or [])
+    }
+    new_list_rows: list[dict] = []
+    n_new = 0
+    for spec_id in sorted(by_spec):
+        g = by_spec[spec_id]
+        header = {
+            "schema": json.dumps(ice_schema).encode(),
+            "schema-id": str(
+                meta.get("current-schema-id", 0)
+            ).encode(),
+            "partition-spec": json.dumps(
+                specs_by_id.get(spec_id, [])
+            ).encode(),
+            "partition-spec-id": str(spec_id).encode(),
+            "format-version": b"2",
+            "content": b"data",
+        }
+        chunks = [
+            g["entries"][i:i + per_manifest]
+            for i in range(0, len(g["entries"]), per_manifest)
+        ]
+        for ci, chunk in enumerate(chunks):
+            name = (
+                f"{uuid.uuid5(uuid.NAMESPACE_URL, meta['table-uuid'] + f':rw{version + 1}:{spec_id}')}"
+                f"-m{n_new}.avro"
+            )
+            blob = ocf_encode(
+                g["schema"], chunk, codec="null", extra_meta=header
+            )
+            fsio.write_bytes_atomic(fsio.join(meta_dir, name), blob)
+            new_list_rows.append(
+                {
+                    "manifest_path": fsio.join(
+                        meta["location"], "metadata", name
+                    ),
+                    "manifest_length": len(blob),
+                    "partition_spec_id": spec_id,
+                    "content": MANIFEST_CONTENT_DATA,
+                    "sequence_number": new_seq,
+                    "min_sequence_number": min(
+                        e["sequence_number"] for e in chunk
+                    ),
+                    "added_snapshot_id": new_sid,
+                    "added_files_count": 0,
+                    "existing_files_count": len(chunk),
+                    "deleted_files_count": 0,
+                    "added_rows_count": 0,
+                    "existing_rows_count": sum(
+                        int(e["data_file"]["record_count"])
+                        for e in chunk
+                    ),
+                    "deleted_rows_count": 0,
+                }
+            )
+            n_new += 1
+    list_name = (
+        f"snap-{new_sid}-1-"
+        f"{uuid.uuid5(uuid.NAMESPACE_URL, meta['table-uuid'] + f':rws{version + 1}')}.avro"
+    )
+    fsio.write_bytes_atomic(
+        fsio.join(meta_dir, list_name),
+        ocf_encode(
+            MANIFEST_LIST_SCHEMA_V2,
+            new_list_rows + delete_rows,
+            codec="null",
+            extra_meta={
+                "format-version": b"2",
+                "snapshot-id": str(new_sid).encode(),
+                "parent-snapshot-id": str(cur_sid).encode(),
+                "sequence-number": str(new_seq).encode(),
+            },
+        ),
+    )
+    ts_ms = int(meta["last-updated-ms"]) + 1000
+    new_snap = {
+        "sequence-number": new_seq,
+        "snapshot-id": new_sid,
+        "parent-snapshot-id": cur_sid,
+        "timestamp-ms": ts_ms,
+        "summary": {
+            "operation": "replace",
+            "manifests-replaced": str(len(data_rows)),
+            "manifests-created": str(n_new),
+            "entries-processed": str(n_entries),
+        },
+        "manifest-list": fsio.join(meta["location"], "metadata", list_name),
+        "schema-id": meta.get("current-schema-id", 0),
+    }
+    meta["snapshots"] = meta["snapshots"] + [new_snap]
+    meta["snapshot-log"] = meta.get("snapshot-log", []) + [
+        {"timestamp-ms": ts_ms, "snapshot-id": new_sid}
+    ]
+    meta["metadata-log"] = meta.get("metadata-log", []) + [
+        {
+            "timestamp-ms": meta["last-updated-ms"],
+            "metadata-file": _metadata_file(table_path, version),
+        }
+    ]
+    meta["current-snapshot-id"] = new_sid
+    meta["last-sequence-number"] = new_seq
+    meta["last-updated-ms"] = ts_ms
+    refs = dict(meta.get("refs") or {})
+    refs["main"] = {"snapshot-id": new_sid, "type": "branch"}
+    meta["refs"] = refs
+    fsio.write_atomic(
+        _metadata_file(table_path, version + 1),
+        json.dumps(meta, indent=1),
+    )
+    fsio.write_atomic(_version_hint(table_path), str(version + 1))
+    return {
+        "manifests_before": len(data_rows),
+        "manifests_after": n_new,
+        "entries": n_entries,
+    }
+
+
 _BOUND_UNPACK = {
     "int": lambda b: _struct.unpack("<i", b)[0],
     "long": lambda b: _struct.unpack("<q", b)[0],

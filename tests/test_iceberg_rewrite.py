@@ -1,0 +1,217 @@
+"""Iceberg RewriteManifests (r12): bin-pack an append-heavy tree's
+manifests into few, as a ``replace``-operation snapshot — metadata
+only, byte-identical reads, incremental scans skip it, delete
+manifests carry over, old snapshots stay time-travelable."""
+
+from __future__ import annotations
+
+from datetime import datetime
+
+import pytest
+
+from hudi_and_delta_showcase_spark.tables import LakehouseTable
+from hudi_and_delta_showcase_spark.tables.iceberg_meta import (
+    export_iceberg_metadata,
+    iceberg_metadata_table,
+    iceberg_snapshots,
+    read_iceberg_incremental,
+    read_iceberg_metadata,
+    read_iceberg_table,
+    rewrite_iceberg_manifests,
+    write_iceberg_dataset,
+)
+
+
+def _batch(spark, day0: int, n: int, base: int):
+    rows = [
+        (base + i, datetime(2024, 1, day0 + i % 2, i % 24), i % 7)
+        for i in range(n)
+    ]
+    return spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long"
+    ).coalesce(1)
+
+
+def _ids(df):
+    return sorted(r.event_id for r in df.select("event_id").collect())
+
+
+@pytest.fixture(scope="module")
+def appended_tree(spark, tmp_path_factory):
+    """A day-partitioned dataset tree with 20 appends — 21 manifests,
+    one per write, the shape rewrite_manifests exists for."""
+    root = str(tmp_path_factory.mktemp("rw") / "tree")
+    write_iceberg_dataset(
+        spark, _batch(spark, 1, 6, 0), root, partition_by=[("ts", "day")]
+    )
+    for a in range(20):
+        write_iceberg_dataset(
+            spark,
+            _batch(spark, 3 + a, 4, 1000 + 100 * a),
+            root,
+            partition_by=[("ts", "day")],
+            mode="append",
+        )
+    return root
+
+
+def test_rewrite_binpacks_21_manifests_byte_identical(spark, appended_tree):
+    root = appended_tree
+    before_rows = _ids(read_iceberg_table(spark, root))
+    assert len(before_rows) == 6 + 20 * 4
+    manifests = iceberg_metadata_table(spark, root, "manifests")
+    assert manifests.count() == 21  # one per write — the problem
+    pre_meta = read_iceberg_metadata(root)
+    pre_sid = pre_meta["current-snapshot-id"]
+    pre_seq = pre_meta["last-sequence-number"]
+
+    n_files = len(read_iceberg_table(spark, root).inputFiles())
+    out = rewrite_iceberg_manifests(root)
+    assert out["manifests_before"] == 21
+    assert out["manifests_after"] <= 3  # THE PIN (8 MiB target -> 1)
+    assert out["entries"] == n_files  # every live file, none twice
+
+    # the scan now opens <= 3 manifests and serves identical rows
+    manifests = iceberg_metadata_table(spark, root, "manifests")
+    assert manifests.count() == out["manifests_after"] <= 3
+    after = read_iceberg_table(spark, root)
+    assert _ids(after) == before_rows
+    assert len(after.inputFiles()) == out["entries"]
+
+    # the rewrite is a replace snapshot, child of the old head, at the
+    # next sequence number — and main points at it
+    meta = read_iceberg_metadata(root)
+    snaps = iceberg_snapshots(root)
+    assert snaps[-1]["summary"]["operation"] == "replace"
+    assert snaps[-1]["parent-snapshot-id"] == pre_sid
+    assert meta["last-sequence-number"] == pre_seq + 1
+    assert meta["refs"]["main"]["snapshot-id"] == snaps[-1]["snapshot-id"]
+
+    # pruning still works on the packed manifests: one day's files
+    pruned = read_iceberg_table(
+        spark, root,
+        predicate="ts >= TIMESTAMP '2024-01-01' AND "
+        "ts < TIMESTAMP '2024-01-02'",
+    )
+    assert 0 < len(pruned.inputFiles()) < len(after.inputFiles())
+
+    # time travel to the pre-rewrite head reads the untouched old tree
+    old = read_iceberg_table(spark, root, snapshot_id=pre_sid)
+    assert _ids(old) == before_rows
+
+    # idempotent: a second rewrite is a no-op
+    again = rewrite_iceberg_manifests(root)
+    assert again["manifests_after"] == again["manifests_before"]
+
+
+def test_incremental_scan_skips_rewrite_snapshot(spark, appended_tree):
+    root = appended_tree
+    rewrite_iceberg_manifests(root)  # no-op if the first test packed it
+    snaps = iceberg_snapshots(root)
+    appends = [
+        s for s in snaps if s["summary"].get("operation") == "append"
+    ]
+    assert any(
+        s["summary"].get("operation") == "replace" for s in snaps
+    )
+    # pull from the 10th append ACROSS the rewrite boundary
+    from_sid = appends[9]["snapshot-id"]
+    inc = read_iceberg_incremental(spark, root, from_snapshot_id=from_sid)
+    expect = sorted(
+        1000 + 100 * a + i for a in range(9, 20) for i in range(4)
+    )
+    assert _ids(inc) == expect
+
+
+def test_rewrite_carries_delete_manifests(spark, tmp_path):
+    """A DV-bearing exported tree rewrites its data manifests; the
+    delete manifests ride the new manifest list untouched and deleted
+    keys stay deleted."""
+    df = spark.createDataFrame(
+        [(i, f"v{i}", i % 5) for i in range(40)], "k int, v string, g int"
+    ).coalesce(2)
+    t = LakehouseTable.create(
+        spark, str(tmp_path / "t"), df, key_cols=["k"],
+        deletion_vectors=True,
+    )
+    t.upsert(
+        spark.createDataFrame(
+            [(i, f"v{i}", i % 5) for i in range(100, 120)],
+            "k int, v string, g int",
+        ).coalesce(1)
+    )
+    t.delete(spark.createDataFrame([(3,), (7,), (11,)], "k int"))
+    export_iceberg_metadata(t)
+    before = sorted(r.k for r in read_iceberg_table(spark, t.path).collect())
+    assert 3 not in before and len(before) == 57
+    # our export packs ONE data manifest per snapshot; split it in two
+    # to simulate the append-heavy foreign shape rewrite exists for
+    _split_data_manifest(t.path)
+    out = rewrite_iceberg_manifests(t.path)
+    assert out["manifests_before"] == 2
+    assert out["manifests_after"] == 1
+    after = sorted(r.k for r in read_iceberg_table(spark, t.path).collect())
+    assert after == before
+
+
+def _split_data_manifest(root: str) -> None:
+    """Metadata surgery: split the current snapshot's single data
+    manifest into two (same entries, same list row fields) so the
+    tree has something to bin-pack. Delete manifests untouched."""
+    import json
+    import os
+
+    from hudi_and_delta_showcase_spark.avro_ocf import (
+        ocf_decode,
+        ocf_encode,
+    )
+    from hudi_and_delta_showcase_spark.tables.iceberg_meta import (
+        MANIFEST_CONTENT_DATA,
+        MANIFEST_LIST_SCHEMA_V2,
+    )
+
+    hint = os.path.join(root, "metadata", "version-hint.text")
+    v = int(open(hint).read().strip())
+    mpath = os.path.join(root, "metadata", f"v{v}.metadata.json")
+    meta = json.load(open(mpath))
+    snap = next(
+        s
+        for s in meta["snapshots"]
+        if s["snapshot-id"] == meta["current-snapshot-id"]
+    )
+
+    def local(p):
+        return os.path.join(
+            root, "metadata", p.rsplit("/metadata/", 1)[-1]
+        ) if "/metadata/" in p else p
+
+    list_path = local(snap["manifest-list"])
+    _, rows = ocf_decode(open(list_path, "rb").read())
+    data_rows = [
+        r for r in rows if r.get("content", 0) == MANIFEST_CONTENT_DATA
+    ]
+    other = [r for r in rows if r not in data_rows]
+    assert len(data_rows) == 1 and other, "fixture shape"
+    drow = data_rows[0]
+    schema, entries = ocf_decode(open(local(drow["manifest_path"]), "rb").read())
+    assert len(entries) >= 2
+    halves = [entries[: len(entries) // 2], entries[len(entries) // 2:]]
+    new_rows = []
+    for i, half in enumerate(halves):
+        name = f"split-{i}.avro"
+        blob = ocf_encode(schema, half, codec="null")
+        open(os.path.join(root, "metadata", name), "wb").write(blob)
+        r = dict(drow)
+        r["manifest_path"] = drow["manifest_path"].rsplit("/", 1)[0] + "/" + name
+        r["manifest_length"] = len(blob)
+        new_rows.append(r)
+    open(list_path, "wb").write(
+        ocf_encode(
+            MANIFEST_LIST_SCHEMA_V2, new_rows + other, codec="null"
+        )
+    )
+
+
+def test_rewrite_refuses_v1_and_unhinted(tmp_path):
+    with pytest.raises(FileNotFoundError, match="version-hint"):
+        rewrite_iceberg_manifests(str(tmp_path / "nope"))
