@@ -593,6 +593,85 @@ def latest_file_slices_rt(
     return out
 
 
+def _file_versions_rt(
+    path: str, as_of: str | None = None
+) -> list[tuple[str, str | None, bool]]:
+    """EVERY file version of the table up to ``as_of`` with its
+    validity window — ``(relpath, valid_until_instant | None,
+    is_log)`` — the union over all instants of what
+    ``latest_file_slices_rt(path, instant)`` would serve (r12, the
+    multi-version source the batched key-only CDC synthesis reads
+    ONCE instead of building one snapshot plan per instant).
+
+    Validity mirrors slice resolution exactly: a new BASE file closes
+    every open version of its file group at its instant (a CoW
+    rewrite/MoR compaction is a complete group replacement — rows
+    deleted by the rewrite must not resurrect for later as-ofs);
+    ``INSERT_OVERWRITE`` closes everything; replace commits close the
+    named groups. Log files never close anything — their rows carry
+    per-block instants and supersede by the merge order. Files the
+    cleaner already reclaimed are history this listing cannot serve
+    (the same retention exposure Hudi's own RFC-51 key-only read
+    documents)."""
+    from hudi_and_delta_showcase_spark.tables import hoodie_log as hl
+
+    all_instants = _completed_instants(path)
+    instants = all_instants
+    if as_of is not None:
+        instants = [(i, k) for i, k in instants if i <= as_of]
+    versions: list[list] = []  # [relpath, until, is_log, fid]
+    open_by_fid: dict[str, list[int]] = {}
+
+    def _close(fid: str, instant: str) -> None:
+        for ix in open_by_fid.pop(fid, []):
+            versions[ix][1] = instant
+
+    archived = any(
+        fsio.isdir(d) and any(fsio.listdir(d))
+        for d in (
+            fsio.join(_hoodie_dir(path), "archived"),
+            fsio.join(_hoodie_dir(path), "timeline", "history"),
+        )
+    )
+    if all_instants and archived:
+        horizon = all_instants[0][0]
+        if as_of is not None:
+            horizon = min(horizon, as_of)
+        a_bases, a_logs = _archived_file_slices(path, horizon)
+        for fid, (_bi, p) in a_bases.items():
+            open_by_fid.setdefault(fid, []).append(len(versions))
+            versions.append([p, None, False, fid])
+        for fid, entries in a_logs.items():
+            for _bi, _v, p in sorted(entries):
+                open_by_fid.setdefault(fid, []).append(len(versions))
+                versions.append([p, None, True, fid])
+    for instant, kind in instants:
+        meta = _read_instant_meta(path, instant, kind)
+        if meta.get("operationType") == "INSERT_OVERWRITE":
+            for fid in list(open_by_fid):
+                _close(fid, instant)
+        else:
+            for fid in (
+                meta.get("extraMetadata", {}).get("replacedFileIds") or []
+            ):
+                _close(fid, instant)
+            for fids in (
+                meta.get("partitionToReplaceFileIds") or {}
+            ).values():
+                for fid in fids:
+                    _close(fid, instant)
+        for stats in meta.get("partitionToWriteStats", {}).values():
+            for st in stats:
+                fid, p = st["fileId"], st["path"]
+                is_log = hl.parse_log_file_name(p) is not None
+                if not is_log:
+                    # a new base supersedes the group's open history
+                    _close(fid, instant)
+                open_by_fid.setdefault(fid, []).append(len(versions))
+                versions.append([p, None, is_log, fid])
+    return [(p, until, is_log) for p, until, is_log, _fid in versions]
+
+
 def hoodie_timeline_table(spark: SparkSession, path: str) -> DataFrame:
     """Hudi's ``show commits`` / ``.hoodie`` timeline as a DataFrame
     (r10 — the inspection sibling of ``read_delta_history`` and
@@ -883,8 +962,14 @@ def read_hoodie_changes(
         fsio.join(path, first_base)
     ).schema
     cols = [f.name for f in data_schema.fields]
+    # StructType.add mutates in place — copy first, or data_schema
+    # (reused below as the multi-version scan schema) grows the
+    # bookkeeping columns and every join downstream turns ambiguous
+    from pyspark.sql.types import StructType as _St
+
     out_schema = (
-        data_schema.add("_change_type", "string")
+        _St(list(data_schema.fields))
+        .add("_change_type", "string")
         .add("_commit_instant", "string")
         .add("__key", "string")
     )
@@ -987,17 +1072,11 @@ def read_hoodie_changes(
                     "hoodie.table.recordkey.fields)"
                 )
             key_fields = [c.strip() for c in rk.split(",") if c.strip()]
+        from pyspark.sql import Window
+
         completed = [i for i, _k in instants]
-        snaps_by_asof: dict[str, DataFrame] = {}
-
-        def _snapshot(as_of: str) -> DataFrame:
-            if as_of not in snaps_by_asof:
-                snaps_by_asof[as_of] = read_hoodie_table_rt(
-                    spark, path, key_fields=key_fields,
-                    as_of_instant=as_of,
-                )
-            return snaps_by_asof[as_of]
-
+        # target as-of instant per (instant, side) — metadata-scale
+        target_rows = []
         for instant, ctype in sorted(need_groups):
             if ctype in ("insert", "update_postimage"):
                 as_of = instant
@@ -1012,25 +1091,108 @@ def read_hoodie_changes(
                         "the before image from"
                     )
                 as_of = prior[-1]
-            keys = (
-                need.filter(
-                    (F.col("_commit_instant") == instant)
-                    & (F.col("_change_type") == ctype)
+            target_rows.append((instant, ctype, as_of))
+        # ONE multi-version plan resolves every (key, as-of) image —
+        # r12, verdict #2: the old path built one read_hoodie_table_rt
+        # plan + job per (instant, side) group, thousands of driver-
+        # side plan builds on a long poll range. The multi-version
+        # union (every file version in its slice-resolution validity
+        # window, _file_versions_rt) joined to the needed keys and
+        # topped by ONE as-of window is plan-count-constant in the
+        # instant count; the join stays a distributed hash join on the
+        # record key.
+        precombine = read_properties(path).get(
+            "hoodie.table.precombine.field"
+        ) or None
+        by_until: dict[str | None, dict[str, list[str]]] = {}
+        for p, until, is_log in _file_versions_rt(path, as_of=hi):
+            g = by_until.setdefault(until, {"base": [], "log": []})
+            g["log" if is_log else "base"].append(p)
+        mv: DataFrame | None = None
+        name_instant = F.regexp_extract(
+            F.col("_metadata.file_name"),
+            r"_\d+-\d+-\d+_(\d{14,17})\.parquet$", 1,
+        )
+        base_inst = F.when(
+            name_instant == "", F.lit(None)
+        ).otherwise(name_instant)
+        for until, grp in sorted(
+            by_until.items(), key=lambda kv: kv[0] or ""
+        ):
+            parts: list[DataFrame] = []
+            if grp["base"]:
+                b = spark.read.schema(data_schema).parquet(
+                    *[fsio.join(path, p) for p in sorted(grp["base"])]
                 )
-                .select("__key")
-                .distinct()
+                inst = base_inst
+                if "_hoodie_commit_time" in b.columns:
+                    inst = F.coalesce(F.col("_hoodie_commit_time"), inst)
+                parts.append(b.withColumn("_hl_instant", inst))
+            if grp["log"]:
+                parts.append(
+                    hl.read_log_records_df(
+                        spark, path, sorted(grp["log"]), data_schema,
+                        valid_instants=valid, key_fields=key_fields,
+                        precombine=precombine,
+                    )
+                )
+            for piece in parts:
+                piece = piece.withColumn("_hl_until", F.lit(until))
+                mv = (
+                    piece
+                    if mv is None
+                    else mv.unionByName(piece, allowMissingColumns=True)
+                )
+        if mv is None:
+            raise FileNotFoundError(f"no data files under {path}")
+        targets = spark.createDataFrame(
+            spark.sparkContext.parallelize(target_rows, 1),
+            "_tg_instant string, _tg_ctype string, _tg_asof string",
+        )
+        needk = (
+            need.select("__key", "_commit_instant", "_change_type")
+            .distinct()
+            .join(
+                F.broadcast(targets),
+                (F.col("_commit_instant") == F.col("_tg_instant"))
+                & (F.col("_change_type") == F.col("_tg_ctype")),
             )
-            snap = _snapshot(as_of)
-            img = snap.join(
-                keys,
-                _hoodie_record_key_col(key_fields) == F.col("__key"),
-                "left_semi",
+            .select("__key", "_tg_instant", "_tg_ctype", "_tg_asof")
+        )
+        joined = mv.withColumn(
+            "__mvk", _hoodie_record_key_col(key_fields)
+        ).join(
+            needk,
+            (F.col("__mvk") == F.col("__key"))
+            & (F.col("_hl_instant") <= F.col("_tg_asof"))
+            & (
+                F.col("_hl_until").isNull()
+                | (F.col("_tg_asof") < F.col("_hl_until"))
+            ),
+        )
+        order = [F.desc("_hl_instant")]
+        if precombine:
+            order.append(F.desc(precombine))
+        if "_hl_seq" in (mv.columns or []):
+            order.append(F.desc("_hl_seq"))
+        w = Window.partitionBy(
+            "__key", "_tg_instant", "_tg_ctype"
+        ).orderBy(*order)
+        img = (
+            joined.withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") == 1)
+        )
+        if "_hl_deleted" in img.columns:
+            img = img.filter(
+                ~F.coalesce(F.col("_hl_deleted"), F.lit(False))
             )
-            out = out.unionByName(
-                img.select(*cols)
-                .withColumn("_change_type", F.lit(ctype))
-                .withColumn("_commit_instant", F.lit(instant))
+        out = out.unionByName(
+            img.select(
+                *cols,
+                F.col("_tg_ctype").alias("_change_type"),
+                F.col("_tg_instant").alias("_commit_instant"),
             )
+        )
 
     # declarative downstream: stamp as plain columns so filters push
     out = out.select(*cols, "_change_type", "_commit_instant")

@@ -56,7 +56,8 @@ _HEAD_RE = re.compile(
 _CLAUSE_RE = re.compile(
     r"WHEN\s+(?P<not>NOT\s+)?MATCHED(?P<bysrc>\s+BY\s+SOURCE)?"
     r"(?:\s+AND\s+(?P<cond>.+?))?\s+THEN\s+"
-    r"(?P<action>UPDATE\s+SET\s+\*|INSERT\s+\*|DELETE)",
+    r"(?P<action>UPDATE\s+SET\s+(?:\*|.+?)|INSERT\s+\*|DELETE)"
+    r"(?=\s+WHEN\s+|\s*;?\s*$)",
     re.IGNORECASE | re.DOTALL,
 )
 
@@ -67,10 +68,15 @@ class MergeClause:
     condition: str | None  # SQL expr over t./s. columns, None = always
     action: str  # update | insert | delete
     #: Delta's third clause group: WHEN NOT MATCHED BY SOURCE operates
-    #: on TARGET rows whose key is absent from the source (sync
-    #: deletion). Only DELETE is supported — the star-clause grammar
-    #: has no source columns to SET from on this branch.
+    #: on TARGET rows whose key is absent from the source — DELETE
+    #: (sync deletion) or UPDATE SET col = expr, ... over TARGET
+    #: columns (the "mark stale rows" full-sync idiom, r12). ``UPDATE
+    #: SET *`` stays invalid on this branch: no source row exists to
+    #: star-expand from.
     by_source: bool = False
+    #: explicit SET assignments for a by-source UPDATE, as
+    #: ``[(target_col, sql_expr)]`` — None for star/delete actions
+    assignments: tuple[tuple[str, str], ...] | None = None
 
 
 @dataclass(frozen=True)
@@ -91,24 +97,45 @@ def parse_merge(sql: str) -> MergeSpec:
     head = _HEAD_RE.search(sql)
     if not head:
         raise ValueError(f"unparseable MERGE statement: {sql[:120]!r}")
+    talias = head.group("talias") or head.group("target")
     clauses = []
     for m in _CLAUSE_RE.finditer(sql):
-        action = re.sub(r"\s+", " ", m.group("action").upper())
+        raw_action = m.group("action")
+        action = re.sub(r"\s+", " ", raw_action.upper())
         matched = m.group("not") is None
         by_source = m.group("bysrc") is not None
+        assignments = None
         if by_source:
             if matched:
                 raise ValueError("WHEN MATCHED BY SOURCE is not valid")
-            if action != "DELETE":
+            if action.startswith("UPDATE SET"):
+                if action == "UPDATE SET *":
+                    raise ValueError(
+                        "WHEN NOT MATCHED BY SOURCE THEN UPDATE SET * "
+                        "is not valid (no source row to expand from); "
+                        "use explicit SET col = expr assignments"
+                    )
+                # r12: explicit assignments over TARGET columns —
+                # Delta's "mark stale rows" full-sync idiom
+                sets = re.sub(
+                    r"^\s*UPDATE\s+SET\s+", "", raw_action,
+                    flags=re.IGNORECASE,
+                )
+                # assignments speak TARGET columns; the alias prefix
+                # is noise once the expressions run over the target
+                # snapshot directly
+                sets = re.sub(rf"\b{talias}\.", "", sets)
+                assignments = tuple(_split_set_list(sets))
+            elif action != "DELETE":
                 raise ValueError(
-                    "WHEN NOT MATCHED BY SOURCE supports only DELETE "
-                    "(no source columns exist to SET from)"
+                    "WHEN NOT MATCHED BY SOURCE supports DELETE or "
+                    "UPDATE SET col = expr (INSERT has no source row)"
                 )
         elif action == "DELETE" and not matched:
             raise ValueError("WHEN NOT MATCHED THEN DELETE is not valid")
         if action == "INSERT *" and matched:
             raise ValueError("WHEN MATCHED THEN INSERT is not valid")
-        if action == "UPDATE SET *" and not matched:
+        if action == "UPDATE SET *" and not matched and not by_source:
             raise ValueError("WHEN NOT MATCHED THEN UPDATE is not valid")
         clauses.append(
             MergeClause(
@@ -116,6 +143,7 @@ def parse_merge(sql: str) -> MergeSpec:
                 condition=(m.group("cond") or "").strip() or None,
                 action=action.split(" ")[0].lower(),
                 by_source=by_source,
+                assignments=assignments,
             )
         )
     if not clauses:

@@ -221,3 +221,54 @@ def test_cdc_predicate_filters_rows(spark, tmp_path):
     assert got == [
         (2, "update_postimage"), (2, "update_preimage"), (3, "delete")
     ]
+
+
+def test_key_only_batched_synthesis_multi_instant(spark, tmp_path, monkeypatch):
+    """r12 (verdict #2): key-only image synthesis is BATCHED — one
+    multi-version plan resolves every (instant, side), never a
+    read_hoodie_table_rt snapshot per group — and stays exact across
+    instants: the preimage of the THIRD commit is the SECOND commit's
+    value (an intermediate version no final snapshot contains)."""
+    from hudi_and_delta_showcase_spark.tables import hoodie_timeline as ht
+
+    root = str(tmp_path / "ht")
+    base = spark.createDataFrame(
+        [(1, "a", 100), (2, "x", 100)], "k long, v string, sq long"
+    )
+    write_hoodie_table(base.coalesce(1), root)
+    ((fid, s),) = latest_file_slices_rt(root).items()
+    schema = spark_schema_to_avro(base.schema)
+    ko = hl.cdc_avro_schema_key_only()
+    i2 = append_log_commit(
+        root, fid, s["base_instant"],
+        [{"k": 1, "v": "b", "sq": 101}], schema,
+        cdc_records=[{"op": "u", "recordKey": "1"}], cdc_schema=ko,
+    )
+    i3 = append_log_commit(
+        root, fid, s["base_instant"],
+        [{"k": 1, "v": "c", "sq": 102}], schema,
+        cdc_records=[{"op": "u", "recordKey": "1"}], cdc_schema=ko,
+    )
+
+    calls = []
+    orig = ht.read_hoodie_table_rt
+
+    def spy(*a, **kw):
+        calls.append(1)
+        return orig(*a, **kw)
+
+    monkeypatch.setattr(ht, "read_hoodie_table_rt", spy)
+    ch = ht.read_hoodie_changes(spark, root, key_fields=["k"])
+    got = sorted(
+        (r._commit_instant, r._change_type, r.v)
+        for r in ch.select("_commit_instant", "_change_type", "v")
+        .collect()
+    )
+    assert got == [
+        (i2, "update_postimage", "b"),
+        (i2, "update_preimage", "a"),
+        (i3, "update_postimage", "c"),
+        (i3, "update_preimage", "b"),  # the INTERMEDIATE version
+    ]
+    # the plan-count pin: zero per-(instant, side) snapshot builds
+    assert calls == []
