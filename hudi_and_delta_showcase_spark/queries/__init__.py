@@ -122,6 +122,11 @@ PRIORITY: tuple[str, ...] = (
     # source's new columns into the target (additive evolution; the
     # star-clause MERGE family keeps its top-50 rep in sql_merge_into)
     "sql_merge_schema_evolution",
+    # r12: WHEN NOT MATCHED BY SOURCE THEN UPDATE SET — the "mark
+    # stale rows" full-sync idiom; by-source rows route first-
+    # satisfied like the other clause groups and fold into the same
+    # delete/upsert commits
+    "sql_merge_by_source_update",
     # (oracle-bearing variants first, rows-only last; r4 demoted four
     # redundant family variants to make room for the protocol/streaming
     # flagships above, then sketch_percentile_gate for the deletion-vector

@@ -403,6 +403,65 @@ def sql_merge_into(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "sql_merge_by_source_update",
+    oracle=f"""
+    WITH base AS (
+      SELECT event_id, user_id, ts, event_type, value FROM (
+        SELECT *, ROW_NUMBER() OVER (
+          PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+        FROM events WHERE ts < TIMESTAMP '{CUTOFF}'
+      ) WHERE rn = 1
+    ),
+    inc AS (
+      SELECT event_id, user_id, ts, event_type, value FROM (
+        SELECT *, ROW_NUMBER() OVER (
+          PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+        FROM events WHERE ts >= TIMESTAMP '{CUTOFF}'
+      ) WHERE rn = 1
+    )
+    SELECT event_id, user_id, ts, event_type, value FROM inc
+    UNION ALL
+    SELECT b.event_id, b.user_id,
+           b.ts + INTERVAL 1 SECOND AS ts,
+           'stale' AS event_type, b.value
+    FROM base b
+    WHERE NOT EXISTS (SELECT 1 FROM inc WHERE inc.user_id = b.user_id)
+    """,
+    tags=("cdc", "table", "sql", "merge"),
+)
+def sql_merge_by_source_update(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``WHEN NOT MATCHED BY SOURCE THEN UPDATE SET`` (r12, verdict
+    #3) — Delta's "mark stale rows" full-sync idiom: the CDC batch
+    upserts its keys, and every target row whose key the batch does
+    NOT carry updates IN PLACE from expressions over target columns
+    (here: stamped ``event_type='stale'`` with the precombine bumped
+    one second so the rewrite deterministically supersedes). The
+    routing reuses the merge's one existence probe: by-source rows are
+    the target-side anti-join complement, first-satisfied-clause
+    routed like the other two groups, folded into the SAME
+    delete/upsert commits."""
+    from hudi_and_delta_showcase_spark.operators.cdc import precombine_dedup
+    from hudi_and_delta_showcase_spark.tables.merge_sql import execute_merge
+
+    _base, incr = _split(spark, sf_dir)
+    t = _clone_base_table(spark, sf_dir)
+    precombine_dedup(
+        incr, ["user_id"], "ts", ["event_id"]
+    ).createOrReplaceTempView("events_cdc_bysrc_src")
+    execute_merge(
+        spark,
+        """MERGE INTO events_tbl t USING events_cdc_bysrc_src s
+           ON t.user_id = s.user_id
+           WHEN MATCHED THEN UPDATE SET *
+           WHEN NOT MATCHED THEN INSERT *
+           WHEN NOT MATCHED BY SOURCE THEN UPDATE SET
+               event_type = 'stale', ts = t.ts + INTERVAL 1 SECOND""",
+        {"events_tbl": t},
+    )
+    return t.read().select(*_FINAL_COLS)
+
+
+@query(
     "cdc_column_mapping_roundtrip",
     oracle="""
     SELECT event_id, user_id, ts, event_type, amount FROM (

@@ -20,7 +20,8 @@ clauses; anything else raises):
     ON <equality conjunction over the target's resolution columns>
     { WHEN MATCHED [AND <cond>] THEN { UPDATE SET * | DELETE } }*
     [ WHEN NOT MATCHED [AND <cond>] THEN INSERT * ]
-    [ WHEN NOT MATCHED BY SOURCE [AND <cond>] THEN DELETE ]
+    { WHEN NOT MATCHED BY SOURCE [AND <cond>] THEN
+        { DELETE | UPDATE SET <col> = <expr>[, ...] } }*
 
 Execution model (Delta semantics, Spark-first physical plan):
 each source row is routed to the FIRST clause whose condition it
@@ -261,9 +262,12 @@ def execute_merge(
     }
     # Delta's third clause group: TARGET rows whose key is absent from
     # the source (one left-anti probe of the key-pruned target scan),
-    # optionally filtered by the clause conditions over target columns
+    # first-satisfied-clause routed like the source group — DELETE
+    # (sync deletion) or UPDATE SET col = expr ("mark stale", r12)
     deleted_by_source = 0
+    updated_by_source = 0
     bysrc_keys = None
+    bysrc_updates = None
     if bysrc_clauses:
         tcols = list(key_map.keys())
         src_keys = src.select(
@@ -273,16 +277,49 @@ def execute_merge(
             ]
         ).distinct()
         missing = table.read().join(src_keys, tcols, "left_anti")
-        keep = F.lit(False)
-        for c in bysrc_clauses:
+        b_action = F.lit(None).cast("string")
+        b_assigned = F.lit(False)
+        for i, c in enumerate(bysrc_clauses):
             hit = F.lit(True)
             if c.condition is not None:
                 hit = F.expr(
                     re.sub(rf"\b{spec.target_alias}\.", "", c.condition)
                 )
-            keep = keep | hit
-        bysrc_keys = missing.filter(keep).select(*tcols).distinct()
-        deleted_by_source = bysrc_keys.count()
+            b_action = F.when(
+                ~b_assigned & hit, F.lit(f"{c.action}:{i}")
+            ).otherwise(b_action)
+            b_assigned = b_assigned | hit
+        missing = missing.withColumn("__baction", b_action)
+        b_counts = {
+            r["__baction"]: r["n"]
+            for r in missing.groupBy("__baction")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .collect()
+        }
+        del_labels = [
+            f"delete:{i}"
+            for i, c in enumerate(bysrc_clauses)
+            if c.action == "delete"
+        ]
+        deleted_by_source = sum(b_counts.get(x, 0) for x in del_labels)
+        if deleted_by_source:
+            bysrc_keys = (
+                missing.filter(F.col("__baction").isin(del_labels))
+                .select(*tcols)
+                .distinct()
+            )
+        for i, c in enumerate(bysrc_clauses):
+            if c.action != "update" or not b_counts.get(f"update:{i}"):
+                continue
+            updated_by_source += b_counts[f"update:{i}"]
+            rows = missing.filter(F.col("__baction") == f"update:{i}")
+            for col, expr in c.assignments or ():
+                rows = rows.withColumn(col, F.expr(expr))
+            bysrc_updates = (
+                rows
+                if bysrc_updates is None
+                else bysrc_updates.unionByName(rows)
+            )
 
     commits = []
     deletes = routed.filter(F.col("__action") == "delete").select(
@@ -319,13 +356,23 @@ def execute_merge(
     writes = routed.filter(
         F.col("__action").isin("update", "insert")
     ).select(*data_cols)
-    if counts.get("update") or counts.get("insert"):
+    if bysrc_updates is not None:
+        # by-source updated TARGET rows re-enter the same upsert batch
+        # (one write commit for all three clause groups' row changes)
+        writes = writes.unionByName(
+            bysrc_updates.select(
+                *[c for c in data_cols if c in bysrc_updates.columns]
+            ),
+            allowMissingColumns=True,
+        )
+    if counts.get("update") or counts.get("insert") or updated_by_source:
         commits.append(table.upsert(writes).version)
     return {
         "updated": counts.get("update", 0),
         "inserted": counts.get("insert", 0),
         "deleted": counts.get("delete", 0),
         "deleted_by_source": deleted_by_source,
+        "updated_by_source": updated_by_source,
         "skipped": counts.get(None, 0),
         "commits": commits,
     }

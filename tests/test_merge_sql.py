@@ -113,7 +113,7 @@ def test_unmatched_tombstone_skipped(spark, tmp_path):
         {"m": t},
     )
     assert stats == {
-        "deleted_by_source": 0,
+        "deleted_by_source": 0, "updated_by_source": 0,
         "updated": 0, "inserted": 0, "deleted": 0, "skipped": 1,
         "commits": [],
     }
@@ -335,14 +335,72 @@ def test_not_matched_by_source_delete(spark, tmp_path):
     assert [r.pk_id for r in t.read().select("pk_id").collect()] == [2]
 
 
-def test_not_matched_by_source_rejects_update(spark):
+def test_not_matched_by_source_rejects_star_update(spark):
+    """UPDATE SET * stays invalid by-source (no source row to expand
+    from); explicit assignments are the supported shape (r12)."""
     from hudi_and_delta_showcase_spark.tables.merge_sql import parse_merge
 
-    with pytest.raises(ValueError, match="only DELETE"):
+    with pytest.raises(ValueError, match="explicit SET"):
         parse_merge(
             """MERGE INTO m USING s ON m.k = s.k
                WHEN NOT MATCHED BY SOURCE THEN UPDATE SET *"""
         )
+    with pytest.raises(ValueError, match="INSERT has no source row"):
+        parse_merge(
+            """MERGE INTO m USING s ON m.k = s.k
+               WHEN NOT MATCHED BY SOURCE THEN INSERT *"""
+        )
+
+
+def test_not_matched_by_source_update_marks_stale(spark, tmp_path):
+    """r12 (verdict #3): WHEN NOT MATCHED BY SOURCE THEN UPDATE SET —
+    Delta's 'mark stale rows' full-sync idiom. Target rows absent from
+    the source update IN PLACE from expressions over target columns;
+    clause order routes first-satisfied (UPDATE before DELETE here);
+    the updated rows land in the SAME upsert commit as the source
+    group's writes."""
+    from hudi_and_delta_showcase_spark.tables.merge_sql import execute_merge
+
+    t = LakehouseTable.create(
+        spark,
+        str(tmp_path / "m"),
+        spark.createDataFrame(
+            [(1, "a", "live", 1), (2, "b", "live", 1),
+             (3, "c", "live", 1), (4, "d", "live", 1)],
+            "pk_id int, v string, status string, sq int",
+        ),
+        key_cols=["pk_id"], precombine="sq",
+    )
+    spark.createDataFrame(
+        [(2, "b2", "live", 2), (5, "e", "live", 2)],
+        "pk_id int, v string, status string, sq int",
+    ).createOrReplaceTempView("sync_src")
+    stats = execute_merge(
+        spark,
+        """MERGE INTO m USING sync_src s ON m.pk_id = s.pk_id
+           WHEN MATCHED THEN UPDATE SET *
+           WHEN NOT MATCHED THEN INSERT *
+           WHEN NOT MATCHED BY SOURCE AND m.pk_id > 3
+               THEN DELETE
+           WHEN NOT MATCHED BY SOURCE
+               THEN UPDATE SET status = 'stale', sq = m.sq + 1""",
+        {"m": t},
+    )
+    assert stats["updated"] == 1 and stats["inserted"] == 1
+    assert stats["deleted_by_source"] == 1  # pk 4
+    assert stats["updated_by_source"] == 2  # pk 1, 3 marked stale
+    got = sorted(
+        (r.pk_id, r.v, r.status)
+        for r in t.read().select("pk_id", "v", "status").collect()
+    )
+    assert got == [
+        (1, "a", "stale"),
+        (2, "b2", "live"),
+        (3, "c", "stale"),
+        (5, "e", "live"),
+    ]
+    # one delete commit + one upsert commit, all clause groups folded
+    assert len(stats["commits"]) == 2
 
 
 def test_ddl_replace_partition_field(spark, tmp_path):
