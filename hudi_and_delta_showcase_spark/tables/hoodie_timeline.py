@@ -52,12 +52,16 @@ def _hoodie_dir(path: str) -> str:
     return fsio.join(path, ".hoodie")
 
 
-def _write_properties(path: str, name: str) -> None:
+def _write_properties(path: str, name: str, table_version: int = 6) -> None:
     props = {
         "hoodie.table.name": name,
         "hoodie.table.type": "COPY_ON_WRITE",
-        "hoodie.table.version": "6",
-        "hoodie.timeline.layout.version": "1",
+        "hoodie.table.version": str(table_version),
+        # layout 1 = pre-1.0 flat .hoodie/; layout 2 = 1.x's
+        # .hoodie/timeline/ with requested_completion instant names
+        "hoodie.timeline.layout.version": (
+            "2" if table_version >= 8 else "1"
+        ),
         "hoodie.table.base.file.format": "PARQUET",
         "hoodie.populate.meta.fields": "false",
     }
@@ -1297,7 +1301,7 @@ def append_log_commit(
     return instant
 
 
-def export_hoodie_timeline(table) -> str:
+def export_hoodie_timeline(table, table_version: int = 6) -> str:
     """The ``.hoodie`` sibling of ``delta_log.export_delta_log``
     (Apache XTable both ways): materialize the lakehouse manifest
     timeline as Hudi instant files over the SAME parquet files —
@@ -1306,6 +1310,16 @@ def export_hoodie_timeline(table) -> str:
     fileIds as ``replacedFileIds`` (Hudi's replacecommit semantics).
     Incremental and idempotent via the ``lakehouseVersion`` marker each
     exported instant carries. Returns the newest instant.
+
+    ``table_version`` picks the layout DIALECT (r12, verdict #4):
+    ``6`` (default) writes the pre-1.0 flat ``.hoodie/`` timeline;
+    ``8`` writes Hudi 1.x — instant files under ``.hoodie/timeline/``
+    named ``<requestedTime>_<completionTime>.<action>`` with
+    ``hoodie.table.version: 8`` / ``hoodie.timeline.layout.version:
+    2``, the layout every 1.x reader (and this engine's own read
+    side, ``_V8_STEM_RE`` / ``_timeline_dir``) expects. A table
+    already exported in one dialect refuses the other — mixing
+    layouts would hide half the timeline from every reader.
 
     MoR logs and live deletion vectors must be folded first — and for
     MoR this is a SEMANTIC bound, not a missing feature (r7, after the
@@ -1319,6 +1333,10 @@ def export_hoodie_timeline(table) -> str:
     refusing until then beats a view that serves different rows under
     Hudi than under this engine. (The import direction has no such
     ambiguity: foreign log files arrive already group-scoped.)"""
+    if table_version not in (6, 8):
+        raise ValueError(
+            f"unknown hoodie export dialect table_version={table_version}"
+        )
     if table._commit(None).log_files:
         raise RuntimeError("compact() MoR log files before export")
     if table._commit(None).dv_files:
@@ -1326,12 +1344,26 @@ def export_hoodie_timeline(table) -> str:
             "materialize deletion vectors (compact/optimize) before export"
         )
     fsio.makedirs(_hoodie_dir(table.path))
-    if not fsio.exists(
-        fsio.join(_hoodie_dir(table.path), "hoodie.properties")
-    ):
+    props_file = fsio.join(_hoodie_dir(table.path), "hoodie.properties")
+    if not fsio.exists(props_file):
         _write_properties(
-            table.path, posixpath.basename(table.path.rstrip("/"))
+            table.path, posixpath.basename(table.path.rstrip("/")),
+            table_version=table_version,
         )
+    else:
+        declared = read_properties(table.path).get(
+            "hoodie.table.version", "6"
+        )
+        if declared != str(table_version):
+            raise ValueError(
+                f"table already exported as hoodie.table.version="
+                f"{declared}; re-exporting as {table_version} would "
+                "split the timeline across layouts"
+            )
+    instant_dir = _hoodie_dir(table.path)
+    if table_version >= 8:
+        instant_dir = fsio.join(_hoodie_dir(table.path), "timeline")
+        fsio.makedirs(instant_dir)
     done: dict[int, str] = {}
     for instant, kind in _completed_instants(table.path):
         meta = _read_instant_meta(table.path, instant, kind)
@@ -1388,7 +1420,14 @@ def export_hoodie_timeline(table) -> str:
                 meta["operationType"] = "CLUSTER"
             elif c.action in ("overwrite", "restore"):
                 meta["operationType"] = "INSERT_OVERWRITE_TABLE"
-        final = fsio.join(_hoodie_dir(table.path), f"{instant}.{suffix}")
+        if table_version >= 8:
+            # 1.x completed-instant naming: requested_completion stem
+            # (the completion time is its own timeline event in 1.x;
+            # a fresh monotonic time keeps requested < completion)
+            stem = f"{instant}_{mf.make_commit_time()}"
+        else:
+            stem = instant
+        final = fsio.join(instant_dir, f"{stem}.{suffix}")
         fsio.write_atomic(final, json.dumps(meta, indent=2))
         prior = cur
         last_instant = instant

@@ -314,3 +314,92 @@ def test_hoodie_timeline_table_relation(spark, tmp_path):
     assert [r.num_write_files for r in rows] == [1, 1]
     assert rows[0].instant < rows[1].instant
     assert all(r.total_bytes > 0 for r in rows)
+
+
+def test_export_hoodie_timeline_v8_dialect(spark, tmp_path):
+    """r12 (verdict #4): export_hoodie_timeline(table_version=8) writes
+    the Hudi 1.x layout — instant files under .hoodie/timeline/ named
+    <requested>_<completion>.<action>, hoodie.table.version=8 /
+    timeline.layout.version=2 — and the engine's own 1.x read side
+    serves it byte-for-byte-equivalently to the v6 dialect: same rows,
+    same replacecommit taxonomy, same time travel, same incremental
+    re-export."""
+    import os
+
+    from hudi_and_delta_showcase_spark.tables.hoodie_timeline import (
+        _completed_instants,
+        export_hoodie_timeline,
+        read_hoodie_table,
+        read_properties,
+    )
+    from hudi_and_delta_showcase_spark.tables.lakehouse import LakehouseTable
+
+    def build(root):
+        df = spark.createDataFrame(
+            [(1, 10, 1), (2, 20, 1)], "k int, v int, sq int"
+        )
+        t = LakehouseTable.create(
+            spark, root, df, key_cols=["k"], precombine="sq"
+        )
+        t.upsert(
+            spark.createDataFrame(
+                [(2, 22, 2), (3, 30, 2)], "k int, v int, sq int"
+            )
+        )
+        return t
+
+    t8 = build(str(tmp_path / "v8"))
+    export_hoodie_timeline(t8, table_version=8)
+    t6 = build(str(tmp_path / "v6"))
+    export_hoodie_timeline(t6)
+
+    # layout pins: 1.x dir + stem naming + declared version
+    tl = os.path.join(t8.path, ".hoodie", "timeline")
+    names = sorted(os.listdir(tl))
+    assert all(
+        len(n.split(".")[0].split("_")) == 2
+        and all(p.isdigit() for p in n.split(".")[0].split("_"))
+        for n in names
+    ), names
+    req, comp = names[0].split(".")[0].split("_")
+    assert req < comp  # requested strictly before completion
+    props = read_properties(t8.path)
+    assert props["hoodie.table.version"] == "8"
+    assert props["hoodie.timeline.layout.version"] == "2"
+    # no completed instants leak into the flat .hoodie/ dir
+    flat = [
+        f for f in os.listdir(os.path.join(t8.path, ".hoodie"))
+        if f.endswith((".commit", ".replacecommit", ".deltacommit"))
+    ]
+    assert flat == []
+
+    # read-side equivalence with the v6 dialect, taxonomy included
+    assert [k for _i, k in _completed_instants(t8.path)] == [
+        k for _i, k in _completed_instants(t6.path)
+    ] == ["commit", "replacecommit"]
+    rows8 = {(r.k, r.v) for r in read_hoodie_table(spark, t8.path)
+             .select("k", "v").collect()}
+    rows6 = {(r.k, r.v) for r in read_hoodie_table(spark, t6.path)
+             .select("k", "v").collect()}
+    assert rows8 == rows6 == {(1, 10), (2, 22), (3, 30)}
+    first = _completed_instants(t8.path)[0][0]
+    v0 = {(r.k, r.v)
+          for r in read_hoodie_table(spark, t8.path, as_of_instant=first)
+          .select("k", "v").collect()}
+    assert v0 == {(1, 10), (2, 20)}
+
+    # incremental re-export appends one 1.x instant, idempotently
+    t8.upsert(spark.createDataFrame([(4, 40, 3)], "k int, v int, sq int"))
+    export_hoodie_timeline(t8, table_version=8)
+    export_hoodie_timeline(t8, table_version=8)  # no-op
+    assert len(_completed_instants(t8.path)) == 3
+    assert {r.k for r in read_hoodie_table(spark, t8.path)
+            .select("k").collect()} == {1, 2, 3, 4}
+
+    # dialect mixing refuses both ways
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="split the timeline"):
+        export_hoodie_timeline(t8, table_version=6)
+    with _pytest.raises(ValueError, match="split the timeline"):
+        export_hoodie_timeline(t6, table_version=8)
