@@ -1432,9 +1432,14 @@ def write_iceberg_dataset(
     the next sequence number, the prior snapshot's manifest-list rows
     carry over untouched (no manifest rewrite — O(new files) metadata
     per append), and the new metadata version records the snapshot
-    with its parent. The DataFrame schema and the declared
-    ``partition_by`` must match the existing tree; mismatches refuse
-    (this writer does not do schema/spec evolution)."""
+    with its parent. The declared ``partition_by`` must match the
+    existing tree's spec; spec mismatches refuse. The DataFrame schema
+    may be an ADDITIVE evolution of the tree's (r12, verdict #5): a
+    superset batch appends under a new schema-id in the ``schemas``
+    history — existing columns keep their field ids, new primitive
+    columns take ids past ``last-column-id`` and read null from older
+    files (the snapshot scan pins the current schema on evolved
+    trees). Drops, type changes, and nested new columns refuse."""
     import urllib.parse
 
     if mode not in ("error", "append"):
@@ -1450,18 +1455,75 @@ def write_iceberg_dataset(
 
     schema_json = json.loads(df.schema.json())
     ice_schema, last_col = spark_schema_to_iceberg(schema_json)
-    by_name = {f["name"]: f for f in ice_schema["fields"]}
+    schema_id = 0
+    schema_list = [ice_schema]
     if prior is not None:
-        prior_schema = prior.get("schema") or (
-            prior.get("schemas") or [{}]
-        )[-1]
-        if [
+        prior_schemas = prior.get("schemas") or [prior["schema"]]
+        cur_sid = prior.get("current-schema-id", 0)
+        prior_schema = next(
+            (s for s in prior_schemas if s.get("schema-id", 0) == cur_sid),
+            prior_schemas[-1],
+        )
+        prior_pairs = [
             (f["name"], f["type"]) for f in prior_schema.get("fields", [])
-        ] != [(f["name"], f["type"]) for f in ice_schema["fields"]]:
-            raise ValueError(
-                "append batch schema does not match the existing tree "
-                "(this writer does not evolve schemas)"
+        ]
+        new_pairs = [(f["name"], f["type"]) for f in ice_schema["fields"]]
+        if new_pairs == prior_pairs:
+            # unchanged: keep the tree's ids and schema history as-is
+            ice_schema = prior_schema
+            last_col = int(prior.get("last-column-id", last_col))
+            schema_id = cur_sid
+            schema_list = prior_schemas
+        else:
+            # ADDITIVE schema evolution (r12, verdict #5): a superset
+            # batch appends under a NEW schema-id — existing columns
+            # keep their field ids (the identity Iceberg readers
+            # resolve by), new columns take fresh ids past
+            # last-column-id and are optional (old files read null).
+            # Drops and type changes refuse: they are not additive.
+            new_by_name = dict(new_pairs)
+            dropped = [n for n, _t in prior_pairs if n not in new_by_name]
+            changed = [
+                n for n, t in prior_pairs
+                if n in new_by_name and new_by_name[n] != t
+            ]
+            if dropped or changed:
+                raise ValueError(
+                    "append batch schema is not an additive evolution "
+                    f"of the existing tree (dropped={dropped}, "
+                    f"changed={changed})"
+                )
+            prior_by_name = {
+                f["name"]: f for f in prior_schema["fields"]
+            }
+            next_id = int(prior.get("last-column-id", 0))
+            fields = []
+            for f in ice_schema["fields"]:
+                if f["name"] in prior_by_name:
+                    fields.append(dict(prior_by_name[f["name"]]))
+                    continue
+                if not isinstance(f["type"], str):
+                    raise ValueError(
+                        "additive evolution supports primitive new "
+                        f"columns only; {f['name']!r} is nested "
+                        "(nested field-id reassignment is not "
+                        "implemented)"
+                    )
+                next_id += 1
+                fields.append(
+                    {**f, "id": next_id, "required": False}
+                )
+            last_col = next_id
+            schema_id = (
+                max(s.get("schema-id", 0) for s in prior_schemas) + 1
             )
+            ice_schema = {
+                "type": "struct",
+                "schema-id": schema_id,
+                "fields": fields,
+            }
+            schema_list = list(prior_schemas) + [ice_schema]
+    by_name = {f["name"]: f for f in ice_schema["fields"]}
 
     # partition spec: field-ids from 1000 up, iceberg-java's naming
     spec_fields: list[dict] = []
@@ -1637,7 +1699,7 @@ def write_iceberg_dataset(
     table_uuid = str(uuid.uuid5(uuid.NAMESPACE_URL, "iceberg-ds:" + location))
     header = {
         "schema": json.dumps(ice_schema).encode(),
-        "schema-id": b"0",
+        "schema-id": str(schema_id).encode(),
         "partition-spec": json.dumps(_spec_json(spec_fields)).encode(),
         "partition-spec-id": b"0",
         "format-version": b"2",
@@ -1717,7 +1779,7 @@ def write_iceberg_dataset(
             "total-records": str(total_rows),
         },
         "manifest-list": fsio.join(location, "metadata", list_name),
-        "schema-id": 0,
+        "schema-id": schema_id,
     }
     if parent_sid is not None:
         snap["parent-snapshot-id"] = parent_sid
@@ -1743,8 +1805,8 @@ def write_iceberg_dataset(
         "last-updated-ms": ts_ms,
         "last-column-id": last_col,
         "schema": ice_schema,
-        "schemas": [ice_schema],
-        "current-schema-id": 0,
+        "schemas": schema_list,
+        "current-schema-id": schema_id,
         "partition-spec": _spec_json(spec_fields),
         "partition-specs": [{"spec-id": 0, "fields": _spec_json(spec_fields)}],
         "default-spec-id": 0,
@@ -2975,6 +3037,39 @@ def _apply_pos_deletes(
     )
 
 
+def _spark_schema_from_iceberg(fields: list[dict]):
+    """Spark StructType for an all-primitive Iceberg field list, or
+    None when any field is nested/unmappable (caller falls back to
+    file-sampled schema)."""
+    from pyspark.sql import types as T
+
+    atomics = {
+        "boolean": T.BooleanType(),
+        "int": T.IntegerType(),
+        "long": T.LongType(),
+        "float": T.FloatType(),
+        "double": T.DoubleType(),
+        "string": T.StringType(),
+        "binary": T.BinaryType(),
+        "date": T.DateType(),
+        "timestamp": T.TimestampNTZType(),
+        "timestamptz": T.TimestampType(),
+    }
+    out = []
+    for f in fields:
+        t = f.get("type")
+        if not isinstance(t, str):
+            return None
+        dt = atomics.get(t)
+        if dt is None:
+            m = _DECIMAL_RE.fullmatch(t.replace(" ", ""))
+            if not m:
+                return None
+            dt = T.DecimalType(int(m.group(1)), int(m.group(2)))
+        out.append(T.StructField(f["name"], dt, True))
+    return T.StructType(out)
+
+
 def _current_schema_fields(meta: dict) -> list[dict]:
     """Top-level fields of the metadata's current schema (v1 ``schema``
     key or v2 ``schemas``+``current-schema-id``)."""
@@ -3291,7 +3386,17 @@ def read_iceberg_table(
     files = [
         _resolve(table_path, e["data_file"]["file_path"]) for e in entries
     ]
-    df = spark.read.parquet(*files)
+    pinned = None
+    if len(meta.get("schemas") or []) > 1:
+        # evolved tree: files span schema versions, so the scan pins
+        # the CURRENT schema — older files read the added columns as
+        # null instead of whichever file Spark happened to sample
+        pinned = _spark_schema_from_iceberg(_current_schema_fields(meta))
+    df = (
+        spark.read.schema(pinned).parquet(*files)
+        if pinned is not None
+        else spark.read.parquet(*files)
+    )
     if deletes:
         df = _apply_pos_deletes(spark, df, entries, deletes, table_path)
     if eq_deletes:
