@@ -62,6 +62,12 @@ def get_spark(
         .config("spark.ui.enabled", "false")
         .config("spark.sql.parquet.int96RebaseModeInWrite", "CORRECTED")
         .config("spark.sql.parquet.datetimeRebaseModeInWrite", "CORRECTED")
+        # TIMESTAMP_MICROS (not the legacy INT96 default): INT96
+        # columns carry NO parquet min/max statistics, which silently
+        # disables timestamp data-skipping everywhere (r12); micros is
+        # also what every modern reader (and the Iceberg/Delta/Hudi
+        # stats dialects) speak natively
+        .config("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)

@@ -2092,6 +2092,8 @@ def _add_can_match(
             ):
                 return False
         if phys in mins and phys in maxs:
+            import datetime as _dt
+
             lo, hi = mins[phys], maxs[phys]
             vals = val if op == "in" else [val]
             ok_types = all(
@@ -2100,6 +2102,10 @@ def _add_can_match(
                     and isinstance(hi, (int, float))
                     and isinstance(v, (int, float))
                     and not isinstance(v, bool))
+                # temporal literals vs string/int stats bounds: the
+                # shared compare's coercion rule reads Delta's
+                # ISO-string timestamp stats (r12)
+                or isinstance(v, (_dt.date, _dt.datetime))
                 for v in vals
             )
             if ok_types and not _interval_can_match(lo, hi, op, val):

@@ -274,12 +274,45 @@ def _bounds_map(name: str, fid: int, key_id: int, val_id: int) -> dict:
 #: footer statistics may be writer-truncated, and a truncated UPPER
 #: bound understates the true max — a correctness bug in any foreign
 #: reader that trusts it. Numerics/booleans are always exact.
+def _temporal_micros(v) -> int:
+    """datetime / ISO string / epoch-micros int -> spec micros since
+    the UTC epoch (r12 — timestamp bounds now serialize; the manifest
+    index stores footer datetimes as ISO strings)."""
+    import datetime as _dt
+
+    if isinstance(v, str):
+        v = _dt.datetime.fromisoformat(v)
+    if isinstance(v, _dt.datetime):
+        if v.tzinfo is not None:
+            v = v.astimezone(_dt.timezone.utc).replace(tzinfo=None)
+        return (v - _dt.datetime(1970, 1, 1)) // _dt.timedelta(
+            microseconds=1
+        )
+    return int(v)
+
+
+def _temporal_days(v) -> int:
+    import datetime as _dt
+
+    if isinstance(v, str):
+        v = _dt.date.fromisoformat(v)
+    if isinstance(v, _dt.datetime):
+        v = v.date()
+    if isinstance(v, _dt.date):
+        return (v - _dt.date(1970, 1, 1)).days
+    return int(v)
+
+
 _BOUND_PACK = {
     "int": lambda v: _struct.pack("<i", int(v)),
     "long": lambda v: _struct.pack("<q", int(v)),
     "float": lambda v: _struct.pack("<f", float(v)),
     "double": lambda v: _struct.pack("<d", float(v)),
     "boolean": lambda v: b"\x01" if v else b"\x00",
+    # temporal bounds (r12): the spec's single-value binary forms
+    "timestamp": lambda v: _struct.pack("<q", _temporal_micros(v)),
+    "timestamptz": lambda v: _struct.pack("<q", _temporal_micros(v)),
+    "date": lambda v: _struct.pack("<i", _temporal_days(v)),
 }
 
 
@@ -2515,6 +2548,11 @@ _BOUND_UNPACK = {
     "float": lambda b: _struct.unpack("<f", b)[0],
     "double": lambda b: _struct.unpack("<d", b)[0],
     "boolean": lambda b: b != b"\x00",
+    # temporal bounds surface as epoch ints; the shared compare
+    # coerces them against datetime/date literals (r12)
+    "timestamp": lambda b: _struct.unpack("<q", b)[0],
+    "timestamptz": lambda b: _struct.unpack("<q", b)[0],
+    "date": lambda b: _struct.unpack("<i", b)[0],
 }
 
 
@@ -2752,11 +2790,77 @@ def _identity_partition_names(meta: dict) -> dict[str, list[str]]:
     }
 
 
+def _coerce_temporal_bounds(fmin, fmax, like):
+    """Align temporal bound representations with a datetime/date
+    predicate literal (r12 — timestamp col-stats land in three wire
+    forms across the formats): ISO-8601 strings (this engine's
+    manifest/export convention — parquet footer datetimes are stored
+    ``isoformat()`` for JSON stability), epoch MICROS ints for
+    datetimes (Hudi's TimestampMicrosWrapper / Iceberg's timestamp
+    representation), epoch DAYS ints for dates. Returns the coerced
+    ``(fmin, fmax)`` or None when the bounds cannot be read in the
+    literal's domain (no proof — scan)."""
+    import datetime as _dt
+
+    def one(b):
+        if isinstance(like, _dt.datetime):
+            if isinstance(b, _dt.datetime):
+                return b
+            if isinstance(b, str):
+                try:
+                    return _dt.datetime.fromisoformat(b)
+                except ValueError:
+                    return None
+            if isinstance(b, int) and not isinstance(b, bool):
+                try:
+                    return _dt.datetime(1970, 1, 1) + _dt.timedelta(
+                        microseconds=b
+                    )
+                except OverflowError:
+                    return None
+            return None
+        if isinstance(like, _dt.date):
+            if isinstance(b, _dt.datetime):
+                return None  # date literal vs datetime bounds: no proof
+            if isinstance(b, _dt.date):
+                return b
+            if isinstance(b, str):
+                try:
+                    return _dt.date.fromisoformat(b)
+                except ValueError:
+                    return None
+            if isinstance(b, int) and not isinstance(b, bool):
+                try:
+                    return _dt.date(1970, 1, 1) + _dt.timedelta(days=b)
+                except OverflowError:
+                    return None
+            return None
+        return None
+
+    lo, hi = one(fmin), one(fmax)
+    if lo is None or hi is None:
+        return None
+    return lo, hi
+
+
 def _interval_can_match(fmin, fmax, op: str, val) -> bool:
     """Can a file whose column values lie in [fmin, fmax] hold a row
     satisfying ``col <op> val``? False = provably disjoint = prune.
     A type-mismatched comparison (e.g. a string predicate value
-    against int bounds) proves nothing — scan conservatively."""
+    against int bounds) proves nothing — scan conservatively.
+    Temporal literals (datetime/date) additionally read ISO-string
+    and epoch-int bounds through ``_coerce_temporal_bounds`` (r12) so
+    timestamp columns data-skip across every stats dialect."""
+    import datetime as _dt
+
+    like = val[0] if op == "in" and isinstance(val, list) and val else val
+    if isinstance(like, (_dt.datetime, _dt.date)) and not (
+        isinstance(fmin, type(like)) and isinstance(fmax, type(like))
+    ):
+        coerced = _coerce_temporal_bounds(fmin, fmax, like)
+        if coerced is None:
+            return True
+        fmin, fmax = coerced
     try:
         if op == "=":
             return fmin <= val <= fmax

@@ -3291,17 +3291,23 @@ class LakehouseTable:
     ) -> dict[str, dict[str, list]]:
         """Column-stats index (Hudi col-stats / Delta data skipping):
         per-file [min, max] for each requested column, harvested from
-        parquet footers in one pass per file. Only JSON-stable scalar
-        types are recorded (str/int/float/bool); other types are left
+        parquet footers in one pass per file. JSON-stable scalar
+        types record directly (str/int/float/bool); timestamp/date
+        footer stats record as ISO-8601 strings (r12 — JSON-stable,
+        lexicographically time-ordered, coerced back at compare time
+        by ``_interval_can_match``'s temporal rule so ts-range
+        data-skipping works on ingest tables); other types are left
         unindexed and scanned conservatively.
 
         ``counts_out`` (if given) receives each readable file's EXACT
         footer row count — the same single footer open feeds both
         indexes, so metadata-only COUNT(*) costs no extra IO."""
+        import datetime as _dt
+
         import pyarrow.parquet as pq
 
         out: dict[str, dict[str, list]] = {}
-        ok = (str, int, float, bool)
+        ok = (str, int, float, bool, _dt.date)  # datetime is a date
         for rel in rel_files:
             src = fsio.resolve(self.path, rel)
             try:
@@ -3343,7 +3349,22 @@ class LakehouseTable:
                     mins.append(st.min)
                     maxs.append(st.max)
                 if mins:
-                    per_col[col] = [min(mins), max(maxs)]
+                    lo, hi = min(mins), max(maxs)
+                    if isinstance(lo, _dt.datetime):
+                        # naive UTC before serializing: aware bounds
+                        # would re-parse aware and never compare
+                        # against the engine's naive literals
+                        if lo.tzinfo is not None:
+                            lo = lo.astimezone(
+                                _dt.timezone.utc
+                            ).replace(tzinfo=None)
+                            hi = hi.astimezone(
+                                _dt.timezone.utc
+                            ).replace(tzinfo=None)
+                        lo, hi = lo.isoformat(), hi.isoformat()
+                    elif isinstance(lo, _dt.date):
+                        lo, hi = lo.isoformat(), hi.isoformat()
+                    per_col[col] = [lo, hi]
             if per_col:
                 out[rel] = per_col
         return out
@@ -3367,6 +3388,10 @@ class LakehouseTable:
         scanned conservatively; MoR logs are always scanned.
 
         ``col`` is the LOGICAL name; stats are keyed by physical."""
+        from hudi_and_delta_showcase_spark.tables.iceberg_meta import (
+            _interval_can_match,
+        )
+
         commit = self._commit(version)
         col = self._phys_name(col, commit)
         keep = []
@@ -3374,7 +3399,14 @@ class LakehouseTable:
             rng = commit.col_stats.get(f, {}).get(col)
             if rng is None:
                 keep.append(f)
-            elif (lo is None or rng[1] >= lo) and (hi is None or rng[0] <= hi):
+            # the shared compare: type mismatches scan conservatively
+            # and temporal literals coerce against the index's
+            # ISO-string bounds (r12)
+            elif (
+                lo is None or _interval_can_match(rng[0], rng[1], ">=", lo)
+            ) and (
+                hi is None or _interval_can_match(rng[0], rng[1], "<=", hi)
+            ):
                 keep.append(f)
         if lo is not None and hi is not None and lo == hi:
             # column-bloom tier (Delta bloomFilter column index): for
