@@ -127,6 +127,11 @@ PRIORITY: tuple[str, ...] = (
     # satisfied like the other clause groups and fold into the same
     # delete/upsert commits
     "sql_merge_by_source_update",
+    # r12: timestamp-range data skipping — footer datetime stats index
+    # as ISO strings (INT96 carried no stats; the session now writes
+    # TIMESTAMP_MICROS), the shared compare coerces temporal literals,
+    # and the skip carries through all three export dialects
+    "cdc_ts_range_pruned_read",
     # (oracle-bearing variants first, rows-only last; r4 demoted four
     # redundant family variants to make room for the protocol/streaming
     # flagships above, then sketch_percentile_gate for the deletion-vector

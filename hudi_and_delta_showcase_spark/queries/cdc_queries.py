@@ -2624,6 +2624,45 @@ def cdc_multi_predicate_read(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "cdc_ts_range_pruned_read",
+    oracle="""
+    SELECT event_id, user_id, ts, event_type, value,
+           TRUE AS files_pruned
+    FROM events
+    WHERE ts >= TIMESTAMP '2024-01-10 00:00:00'
+      AND ts <  TIMESTAMP '2024-01-12 00:00:00'
+    """,
+    tags=("cdc", "table", "scan", "pruning"),
+)
+def cdc_ts_range_pruned_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TIMESTAMP-range data skipping on the engine's own manifest
+    (r12): the dominant ingest-table read — "last two days of events"
+    — over a table range-clustered on ``ts``. Footer datetime stats
+    index as ISO strings in the manifest (INT96 parquet carried NO
+    stats, silently disabling ts skipping everywhere — the session
+    now writes TIMESTAMP_MICROS), and the shared interval compare
+    coerces the datetime literals against them, so the driver-side
+    check skips every file whose ts window is provably disjoint
+    BEFORE the scan. `files_pruned` asserts a strict subset of the
+    table's files was read, folded into the oracle row."""
+    events = load_table(spark, sf_dir, "events").select(*_FINAL_COLS)
+    path = tempfile.mkdtemp(prefix="tsprune_") + "/events_tbl"
+    t = LakehouseTable.create(
+        spark, path, events,
+        key_cols=["event_id"], precombine="ts",
+    )
+    t.optimize(target_files=8, cluster_by=["ts"])
+    out = t.read_matching(
+        "ts >= TIMESTAMP '2024-01-10 00:00:00' AND "
+        "ts < TIMESTAMP '2024-01-12 00:00:00'"
+    )
+    pruned = 0 < len(out.inputFiles()) < len(t._commit(None).files)
+    return out.select(*_FINAL_COLS).withColumn(
+        "files_pruned", F.lit(pruned)
+    )
+
+
+@query(
     "cdc_metadata_only_agg",
     oracle=f"""
     SELECT COUNT(*) AS count_rows,

@@ -215,3 +215,46 @@ def _split_data_manifest(root: str) -> None:
 def test_rewrite_refuses_v1_and_unhinted(tmp_path):
     with pytest.raises(FileNotFoundError, match="version-hint"):
         rewrite_iceberg_manifests(str(tmp_path / "nope"))
+
+
+def test_rewrite_then_expire_reclaims_small_manifests(spark, tmp_path):
+    """RewriteManifests composes with expireSnapshots the way Iceberg
+    maintenance runs do: the rewrite supersedes the per-append
+    manifests, expiration deletes them (only expired snapshots
+    referenced them), and the packed tree still reads byte-identically
+    from its single surviving manifest list."""
+    import os
+
+    from hudi_and_delta_showcase_spark.tables.iceberg_meta import (
+        expire_iceberg_snapshots,
+    )
+
+    root = str(tmp_path / "tree")
+    write_iceberg_dataset(
+        spark, _batch(spark, 1, 6, 0), root, partition_by=[("ts", "day")]
+    )
+    for a in range(5):
+        write_iceberg_dataset(
+            spark, _batch(spark, 3 + a, 4, 1000 + 100 * a), root,
+            partition_by=[("ts", "day")], mode="append",
+        )
+    before = _ids(read_iceberg_table(spark, root))
+    meta_dir = os.path.join(root, "metadata")
+    n_avro_before = len(
+        [f for f in os.listdir(meta_dir) if f.endswith(".avro")]
+    )
+    out = rewrite_iceberg_manifests(root)
+    assert out["manifests_before"] == 6 and out["manifests_after"] == 1
+    res = expire_iceberg_snapshots(root, keep_last=1)
+    assert res["expired"] >= 5
+    assert len(res["deleted_files"]) > 0
+    n_avro_after = len(
+        [f for f in os.listdir(meta_dir) if f.endswith(".avro")]
+    )
+    # the per-append manifests and their lists are gone; what remains
+    # is the packed manifest + the surviving snapshot's list
+    assert n_avro_after < n_avro_before
+    assert _ids(read_iceberg_table(spark, root)) == before
+    assert (
+        iceberg_metadata_table(spark, root, "manifests").count() == 1
+    )
