@@ -304,6 +304,10 @@ PRIORITY: tuple[str, ...] = (
     # kept, incremental/changelog skip it); `packed` proves the
     # manifest count shrank with every row still served
     "iceberg_rewrite_manifests_read",
+    # r12: RewriteDataFiles — small-file partitions bin-pack in one
+    # distributed job as a replace snapshot; untouched partitions
+    # carry EXISTING entries with original sequence numbers
+    "iceberg_rewrite_datafiles_read",
     # r10: the _delta_log leg — rows added in a version range of a raw
     # log without CDF, dataChange=false (OPTIMIZE) versions skipped,
     # data-removing versions refused toward read_delta_changes

@@ -1196,6 +1196,57 @@ def iceberg_rewrite_manifests_read(
 
 
 @query(
+    "iceberg_rewrite_datafiles_read",
+    oracle="""
+    SELECT event_id, user_id, ts, event_type, value, TRUE AS packed
+    FROM events
+    """,
+    tags=("cdc", "iceberg", "maintenance", "transforms"),
+)
+def iceberg_rewrite_datafiles_read(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Iceberg RewriteDataFiles over a small-file ``days(ts)`` tree
+    (r12 — the DATA-plane sibling of `iceberg_rewrite_manifests_read`):
+    six appends over the SAME day range leave every day partition
+    holding six small files, and ``rewrite_iceberg_data_files``
+    bin-packs each qualifying partition in ONE distributed job
+    (helper transform columns recomputed JVM-side, the dataset
+    writer's own write distribution) committed as a ``replace``
+    snapshot — untouched partitions carry EXISTING entries with their
+    original sequence numbers; incremental scans and the changelog
+    skip the rewrite. ``packed`` proves the live file count strictly
+    shrank with every row still served."""
+    from hudi_and_delta_showcase_spark.tables.iceberg_meta import (
+        read_iceberg_table,
+        rewrite_iceberg_data_files,
+        write_iceberg_dataset,
+    )
+
+    events = load_table(spark, sf_dir, "events").select(*_FINAL_COLS)
+    root = tempfile.mkdtemp(prefix="iceberg_rwd_") + "/events_ice"
+    batches = [
+        events.filter(F.pmod(F.col("event_id"), F.lit(6)) == i)
+        for i in range(6)
+    ]
+    write_iceberg_dataset(
+        spark, batches[0], root, partition_by=[("ts", "day")]
+    )
+    for b in batches[1:]:
+        write_iceberg_dataset(
+            spark, b, root, partition_by=[("ts", "day")], mode="append"
+        )
+    out = rewrite_iceberg_data_files(spark, root)
+    packed = (
+        out["groups_rewritten"] > 0
+        and out["files_after"] < out["files_before"]
+    )
+    return read_iceberg_table(spark, root).select(*_FINAL_COLS).withColumn(
+        "packed", F.lit(bool(packed))
+    )
+
+
+@query(
     "iceberg_incremental_read",
     oracle=f"""
     SELECT event_id, user_id, ts, event_type, value, 'b2' AS batch

@@ -1634,38 +1634,6 @@ def write_iceberg_dataset(
         out.write.parquet(data_dir)
 
     # ---- metadata plane: O(files) from here on -------------------------
-    files = sorted(fsio.walk_files(data_dir, suffix=".parquet"))
-    if not files:
-        raise ValueError("write produced no data files")
-
-    # per-file record counts (+ min/max bounds for exactly-serializable
-    # columns) in ONE distributed aggregation — one result row per file
-    bound_fields = [
-        f
-        for f in ice_schema["fields"]
-        if with_bounds
-        and isinstance(f["type"], str)
-        and f["type"] in _BOUND_PACK
-    ]
-    aggs = [F.count(F.lit(1)).alias("_cnt")]
-    for f in bound_fields:
-        aggs.append(F.min(f["name"]).alias(f"_lo_{f['id']}"))
-        aggs.append(F.max(f["name"]).alias(f"_hi_{f['id']}"))
-    stat_rows = (
-        spark.read.parquet(*files)
-        .groupBy(F.input_file_name().alias("_fp"))
-        .agg(*aggs)
-        .collect()
-    )
-    stats = {
-        urllib.parse.unquote(urllib.parse.urlparse(r._fp).path): r
-        for r in stat_rows
-    }
-
-    def _typed_dir_value(raw: str, rtype: str):
-        raw = urllib.parse.unquote(raw)
-        return _typed_partition_value(raw, rtype)
-
     sid = int(
         uuid.uuid5(
             uuid.NAMESPACE_URL, f"ds:{location}:v{version}"
@@ -1675,57 +1643,10 @@ def write_iceberg_dataset(
     seq = (
         1 if prior is None else int(prior.get("last-sequence-number", 0)) + 1
     )
-    entries = []
-    for fp in files:
-        rel_parts = fsio.relpath(fp, location).split("/")
-        part_vals: dict = {}
-        for comp in rel_parts[:-1]:
-            if "=" not in comp:
-                continue
-            k, _, v = comp.partition("=")
-            for sf in spec_fields:
-                if k == f"_p_{sf['name']}":
-                    part_vals[sf["name"]] = _typed_dir_value(
-                        v, sf["result-type"]
-                    )
-        local = urllib.parse.unquote(
-            urllib.parse.urlparse(fsio.absolutize(fp)).path
-        )
-        st = stats.get(local)
-        lo, hi = None, None
-        if st is not None and bound_fields:
-            lo, hi = [], []
-            for f in bound_fields:
-                lv, hv = st[f"_lo_{f['id']}"], st[f"_hi_{f['id']}"]
-                if lv is None or hv is None:
-                    continue
-                lo.append(
-                    {"key": f["id"], "value": _BOUND_PACK[f["type"]](lv)}
-                )
-                hi.append(
-                    {"key": f["id"], "value": _BOUND_PACK[f["type"]](hv)}
-                )
-            lo, hi = (lo or None), (hi or None)
-        entries.append(
-            {
-                "status": STATUS_ADDED,
-                "snapshot_id": sid,
-                "sequence_number": seq,
-                "file_sequence_number": seq,
-                "data_file": {
-                    "content": FILE_CONTENT_DATA,
-                    "file_path": fsio.absolutize(fp),
-                    "file_format": "PARQUET",
-                    "partition": part_vals,
-                    "record_count": int(st["_cnt"]) if st is not None else 0,
-                    "file_size_in_bytes": fsio.file_size(fp),
-                    "block_size_in_bytes": 67108864,
-                    "lower_bounds": lo,
-                    "upper_bounds": hi,
-                    "equality_ids": None,
-                },
-            }
-        )
+    entries = _dataset_file_entries(
+        spark, location, data_dir, spec_fields, ice_schema,
+        with_bounds, sid, seq,
+    )
 
     meta_dir = _meta_dir(table_path)
     fsio.makedirs(meta_dir)
@@ -1864,6 +1785,104 @@ def write_iceberg_dataset(
 # --------------------------------------------------------------------------
 # read
 # --------------------------------------------------------------------------
+
+
+def _dataset_file_entries(
+    spark, location: str, data_dir: str, spec_fields: list[dict],
+    ice_schema: dict, with_bounds: bool, sid: int, seq: int,
+) -> list[dict]:
+    """Manifest entries for every parquet file under ``data_dir`` —
+    the dataset writer's metadata plane, shared with
+    ``rewrite_iceberg_data_files`` (r12): per-file record counts
+    (+ min/max bounds for exactly-serializable columns) come back
+    from ONE distributed aggregation — one result row per file,
+    never a row per record — and partition values parse from the
+    ``_p_{name}=value`` directory components."""
+    import urllib.parse
+
+    from pyspark.sql import functions as F
+
+    files = sorted(fsio.walk_files(data_dir, suffix=".parquet"))
+    if not files:
+        raise ValueError("write produced no data files")
+    bound_fields = [
+        f
+        for f in ice_schema["fields"]
+        if with_bounds
+        and isinstance(f["type"], str)
+        and f["type"] in _BOUND_PACK
+    ]
+    aggs = [F.count(F.lit(1)).alias("_cnt")]
+    for f in bound_fields:
+        aggs.append(F.min(f["name"]).alias(f"_lo_{f['id']}"))
+        aggs.append(F.max(f["name"]).alias(f"_hi_{f['id']}"))
+    stat_rows = (
+        spark.read.parquet(*files)
+        .groupBy(F.input_file_name().alias("_fp"))
+        .agg(*aggs)
+        .collect()
+    )
+    stats = {
+        urllib.parse.unquote(urllib.parse.urlparse(r._fp).path): r
+        for r in stat_rows
+    }
+
+    def _typed_dir_value(raw: str, rtype: str):
+        raw = urllib.parse.unquote(raw)
+        return _typed_partition_value(raw, rtype)
+
+    entries = []
+    for fp in files:
+        rel_parts = fsio.relpath(fp, location).split("/")
+        part_vals: dict = {}
+        for comp in rel_parts[:-1]:
+            if "=" not in comp:
+                continue
+            k, _, v = comp.partition("=")
+            for sf in spec_fields:
+                if k == f"_p_{sf['name']}":
+                    part_vals[sf["name"]] = _typed_dir_value(
+                        v, sf["result-type"]
+                    )
+        local = urllib.parse.unquote(
+            urllib.parse.urlparse(fsio.absolutize(fp)).path
+        )
+        st = stats.get(local)
+        lo, hi = None, None
+        if st is not None and bound_fields:
+            lo, hi = [], []
+            for f in bound_fields:
+                lv, hv = st[f"_lo_{f['id']}"], st[f"_hi_{f['id']}"]
+                if lv is None or hv is None:
+                    continue
+                lo.append(
+                    {"key": f["id"], "value": _BOUND_PACK[f["type"]](lv)}
+                )
+                hi.append(
+                    {"key": f["id"], "value": _BOUND_PACK[f["type"]](hv)}
+                )
+            lo, hi = (lo or None), (hi or None)
+        entries.append(
+            {
+                "status": STATUS_ADDED,
+                "snapshot_id": sid,
+                "sequence_number": seq,
+                "file_sequence_number": seq,
+                "data_file": {
+                    "content": FILE_CONTENT_DATA,
+                    "file_path": fsio.absolutize(fp),
+                    "file_format": "PARQUET",
+                    "partition": part_vals,
+                    "record_count": int(st["_cnt"]) if st is not None else 0,
+                    "file_size_in_bytes": fsio.file_size(fp),
+                    "block_size_in_bytes": 67108864,
+                    "lower_bounds": lo,
+                    "upper_bounds": hi,
+                    "equality_ids": None,
+                },
+            }
+        )
+    return entries
 
 
 def iceberg_metadata_table(spark, table_path: str, kind: str):
@@ -2539,6 +2558,287 @@ def rewrite_iceberg_manifests(
         "manifests_before": len(data_rows),
         "manifests_after": n_new,
         "entries": n_entries,
+    }
+
+
+def rewrite_iceberg_data_files(
+    spark,
+    table_path: str,
+    target_file_bytes: int = 128 * 1024 * 1024,
+    min_input_files: int = 2,
+) -> dict:
+    """Iceberg's RewriteDataFiles (bin-pack) over a dataset-written v2
+    tree (r12) — the DATA-plane sibling of ``rewrite_iceberg_
+    manifests``: partitions whose files are all below
+    ``target_file_bytes`` compact into few larger files, committed as
+    a ``replace``-operation snapshot (no logical change — incremental
+    scans and the changelog skip it; prior snapshots still time-travel
+    over the untouched old files until expiration's lifecycle).
+
+    Scale shape: candidate selection is O(entries) driver-side
+    metadata; the data plane is ONE distributed job — the union of
+    every qualifying partition's files re-clustered by the partition
+    tuple (the dataset writer's own write distribution, helper
+    transform columns recomputed JVM-side) — and the metadata plane
+    is `_dataset_file_entries`' one aggregation row per packed file.
+    Untouched partitions carry their entries forward as EXISTING with
+    original sequence numbers in the same new manifest.
+
+    Delete-bearing snapshots refuse: compacting under live deletes
+    would need delete application folded into the rewrite (use the
+    source engine's compaction first, as the snapshot reader's own
+    refusal advises)."""
+    if not fsio.exists(_version_hint(table_path)):
+        raise FileNotFoundError(
+            "rewrite_data_files works on exported trees "
+            "(version-hint present)"
+        )
+    version = int(fsio.read_pointer_text(_version_hint(table_path)).strip())
+    meta = json.loads(fsio.read_text(_metadata_file(table_path, version)))
+    if int(meta.get("format-version", 1)) < 2:
+        raise ValueError(
+            "rewrite_data_files requires a format-version 2 tree"
+        )
+    cur_sid = meta["current-snapshot-id"]
+    snap = next(
+        s for s in meta["snapshots"] if s["snapshot-id"] == cur_sid
+    )
+    data, pos_d, eq_d = _snapshot_entries(
+        table_path, snap, with_deletes=True
+    )
+    if pos_d or eq_d:
+        raise ValueError(
+            "snapshot carries delete files: apply/compact deletes with "
+            "the writing engine before rewriting data files"
+        )
+    groups: dict[str, list[dict]] = {}
+    for e in data:
+        key = json.dumps(
+            e["data_file"].get("partition") or {},
+            sort_keys=True, default=str,
+        )
+        groups.setdefault(key, []).append(e)
+    rewrite_groups = {
+        k: es
+        for k, es in groups.items()
+        if len(es) >= min_input_files
+        and all(
+            int(e["data_file"].get("file_size_in_bytes") or 0)
+            < target_file_bytes
+            for e in es
+        )
+    }
+    if not rewrite_groups:
+        return {
+            "groups_rewritten": 0,
+            "files_before": len(data),
+            "files_after": len(data),
+        }
+    kept = [
+        e for k, es in groups.items() if k not in rewrite_groups
+        for e in es
+    ]
+    small = [e for es in rewrite_groups.values() for e in es]
+
+    # spec fields with result-types, reconstructed from the metadata
+    # (the writer derives them from partition_by; same mapping)
+    schema_fields = _current_schema_fields(meta)
+    by_id = {f["id"]: f for f in schema_fields}
+    spec_fields: list[dict] = []
+    for sf in (meta.get("partition-specs") or [{}])[0].get("fields", []):
+        src = by_id.get(sf["source-id"])
+        stype = (src or {}).get("type", "string")
+        stype = stype if isinstance(stype, str) else "string"
+        parsed = ice_transforms.parse_transform(sf["transform"])
+        kind = parsed[0] if parsed else "identity"
+        spec_fields.append(
+            {
+                **sf,
+                "result-type": (
+                    _PART_AVRO.get(stype, "string")
+                    if kind in ("identity", "truncate")
+                    else "int"
+                ),
+                "source-name": (src or {}).get("name"),
+            }
+        )
+
+    from pyspark.sql import functions as F
+
+    pinned = _spark_schema_from_iceberg(schema_fields)
+    paths = [
+        _resolve(table_path, e["data_file"]["file_path"]) for e in small
+    ]
+    df = (
+        spark.read.schema(pinned).parquet(*paths)
+        if pinned is not None
+        else spark.read.parquet(*paths)
+    )
+    out = df
+    part_cols: list[str] = []
+    for sf in spec_fields:
+        if sf["source-name"] is None:
+            raise ValueError(
+                f"partition field {sf['name']} has no source column in "
+                "the current schema; cannot recompute its values"
+            )
+        expr = ice_transforms.transform_column(
+            sf["source-name"], sf["transform"]
+        )
+        if isinstance(expr, ice_transforms._TypedCol):
+            expr = expr.resolve(df.schema[sf["source-name"]].dataType)
+        hcol = f"_p_{sf['name']}"
+        part_cols.append(hcol)
+        out = out.withColumn(hcol, expr)
+    location = meta["location"]
+    data_dir = fsio.join(table_path, "data", f"rewrite-{version + 1}")
+    if part_cols:
+        out.repartition(*[F.col(c) for c in part_cols]).write.partitionBy(
+            *part_cols
+        ).parquet(data_dir)
+    else:
+        out.coalesce(
+            max(
+                1,
+                sum(
+                    int(e["data_file"].get("file_size_in_bytes") or 0)
+                    for e in small
+                )
+                // max(1, target_file_bytes)
+                + 1,
+            )
+        ).write.parquet(data_dir)
+
+    new_sid = int(
+        uuid.uuid5(
+            uuid.NAMESPACE_URL,
+            f"rewrite-data:{meta['table-uuid']}:v{version + 1}",
+        ).int
+        % 10**18
+    )
+    new_seq = int(meta.get("last-sequence-number", 0)) + 1
+    added = _dataset_file_entries(
+        spark, location, data_dir, spec_fields, {
+            "type": "struct", "fields": schema_fields,
+        }, True, new_sid, new_seq,
+    )
+    kept_entries = [
+        {
+            "status": STATUS_EXISTING,
+            "snapshot_id": e.get("snapshot_id"),
+            "sequence_number": e.get("__seq"),
+            "file_sequence_number": (
+                e.get("file_sequence_number")
+                if e.get("file_sequence_number") is not None
+                else e.get("__seq")
+            ),
+            "data_file": e["data_file"],
+        }
+        for e in kept
+    ]
+    meta_dir = _meta_dir(table_path)
+    header = {
+        "schema": json.dumps(
+            {"type": "struct", "fields": schema_fields}
+        ).encode(),
+        "schema-id": str(meta.get("current-schema-id", 0)).encode(),
+        "partition-spec": json.dumps(
+            (meta.get("partition-specs") or [{}])[0].get("fields", [])
+        ).encode(),
+        "partition-spec-id": b"0",
+        "format-version": b"2",
+        "content": b"data",
+    }
+    manifest_name = (
+        f"{uuid.uuid5(uuid.NAMESPACE_URL, meta['table-uuid'] + f':rwd{version + 1}')}"
+        "-m0.avro"
+    )
+    manifest_bytes = ocf_encode(
+        manifest_entry_schema(spec_fields, 2),
+        added + kept_entries,
+        codec="null",
+        extra_meta=header,
+    )
+    fsio.write_bytes_atomic(
+        fsio.join(meta_dir, manifest_name), manifest_bytes
+    )
+    seqs = [new_seq] + [e["sequence_number"] for e in kept_entries]
+    list_row = {
+        "manifest_path": fsio.join(location, "metadata", manifest_name),
+        "manifest_length": len(manifest_bytes),
+        "partition_spec_id": 0,
+        "content": MANIFEST_CONTENT_DATA,
+        "sequence_number": new_seq,
+        "min_sequence_number": min(s for s in seqs if s is not None),
+        "added_snapshot_id": new_sid,
+        "added_files_count": len(added),
+        "existing_files_count": len(kept_entries),
+        "deleted_files_count": 0,
+        "added_rows_count": sum(
+            int(e["data_file"]["record_count"]) for e in added
+        ),
+        "existing_rows_count": sum(
+            int(e["data_file"]["record_count"]) for e in kept_entries
+        ),
+        "deleted_rows_count": 0,
+    }
+    list_name = (
+        f"snap-{new_sid}-1-"
+        f"{uuid.uuid5(uuid.NAMESPACE_URL, meta['table-uuid'] + f':rwds{version + 1}')}.avro"
+    )
+    fsio.write_bytes_atomic(
+        fsio.join(meta_dir, list_name),
+        ocf_encode(
+            MANIFEST_LIST_SCHEMA_V2,
+            [list_row],
+            codec="null",
+            extra_meta={
+                "format-version": b"2",
+                "snapshot-id": str(new_sid).encode(),
+                "parent-snapshot-id": str(cur_sid).encode(),
+                "sequence-number": str(new_seq).encode(),
+            },
+        ),
+    )
+    ts_ms = int(meta["last-updated-ms"]) + 1000
+    new_snap = {
+        "sequence-number": new_seq,
+        "snapshot-id": new_sid,
+        "parent-snapshot-id": cur_sid,
+        "timestamp-ms": ts_ms,
+        "summary": {
+            "operation": "replace",
+            "rewritten-data-files": str(len(small)),
+            "added-data-files": str(len(added)),
+        },
+        "manifest-list": fsio.join(location, "metadata", list_name),
+        "schema-id": meta.get("current-schema-id", 0),
+    }
+    meta["snapshots"] = meta["snapshots"] + [new_snap]
+    meta["snapshot-log"] = meta.get("snapshot-log", []) + [
+        {"timestamp-ms": ts_ms, "snapshot-id": new_sid}
+    ]
+    meta["metadata-log"] = meta.get("metadata-log", []) + [
+        {
+            "timestamp-ms": meta["last-updated-ms"],
+            "metadata-file": _metadata_file(table_path, version),
+        }
+    ]
+    meta["current-snapshot-id"] = new_sid
+    meta["last-sequence-number"] = new_seq
+    meta["last-updated-ms"] = ts_ms
+    refs = dict(meta.get("refs") or {})
+    refs["main"] = {"snapshot-id": new_sid, "type": "branch"}
+    meta["refs"] = refs
+    fsio.write_atomic(
+        _metadata_file(table_path, version + 1),
+        json.dumps(meta, indent=1),
+    )
+    fsio.write_atomic(_version_hint(table_path), str(version + 1))
+    return {
+        "groups_rewritten": len(rewrite_groups),
+        "files_before": len(data),
+        "files_after": len(added) + len(kept_entries),
     }
 
 

@@ -258,3 +258,60 @@ def test_rewrite_then_expire_reclaims_small_manifests(spark, tmp_path):
     assert (
         iceberg_metadata_table(spark, root, "manifests").count() == 1
     )
+
+
+def test_rewrite_data_files_binpacks_partitions(spark, tmp_path):
+    """r12: RewriteDataFiles — overlapping-day appends leave each day
+    partition holding one small file per append; the bin-pack rewrites
+    every qualifying partition into one file as a replace snapshot,
+    byte-identical reads, pruning intact, incremental scans skipping
+    it, second call a no-op."""
+    from hudi_and_delta_showcase_spark.tables.iceberg_meta import (
+        rewrite_iceberg_data_files,
+    )
+
+    root = str(tmp_path / "tree")
+    # 5 appends over the SAME two days -> each day has 5 small files
+    write_iceberg_dataset(
+        spark, _batch(spark, 1, 6, 0), root, partition_by=[("ts", "day")]
+    )
+    for a in range(4):
+        write_iceberg_dataset(
+            spark, _batch(spark, 1, 6, 1000 + 100 * a), root,
+            partition_by=[("ts", "day")], mode="append",
+        )
+    before_rows = _ids(read_iceberg_table(spark, root))
+    n_before = len(read_iceberg_table(spark, root).inputFiles())
+    assert n_before == 10  # 5 writes x 2 days
+
+    out = rewrite_iceberg_data_files(spark, root)
+    assert out["groups_rewritten"] == 2
+    assert out["files_before"] == 10
+    assert out["files_after"] == 2  # one packed file per day
+
+    after = read_iceberg_table(spark, root)
+    assert _ids(after) == before_rows
+    assert len(after.inputFiles()) == 2
+    # day pruning still works on the packed files
+    pruned = read_iceberg_table(
+        spark, root,
+        predicate="ts >= TIMESTAMP '2024-01-01' AND "
+        "ts < TIMESTAMP '2024-01-02'",
+    )
+    assert len(pruned.inputFiles()) == 1
+    # the rewrite is a replace snapshot: incremental pulls skip it
+    snaps = iceberg_snapshots(root)
+    assert snaps[-1]["summary"]["operation"] == "replace"
+    appends = [
+        s for s in snaps if s["summary"].get("operation") == "append"
+    ]
+    inc = read_iceberg_incremental(
+        spark, root, from_snapshot_id=appends[1]["snapshot-id"]
+    )
+    expect = sorted(
+        1000 + 100 * a + i for a in range(1, 4) for i in range(6)
+    )
+    assert _ids(inc) == expect
+    # converged: a second rewrite finds nothing to pack
+    again = rewrite_iceberg_data_files(spark, root)
+    assert again["groups_rewritten"] == 0
