@@ -158,6 +158,8 @@ def _decode(schema: Any, r: _Reader) -> Any:
             return _EPOCH + datetime.timedelta(microseconds=v)
         if lt == "timestamp-millis":
             return _EPOCH + datetime.timedelta(milliseconds=v)
+        if lt == "date":
+            return datetime.date(1970, 1, 1) + datetime.timedelta(days=v)
         return v
     if isinstance(t, (dict, list, str)) and not schema.get("logicalType"):
         return _decode(t, r)  # nested/annotated type
@@ -213,14 +215,30 @@ def _union_branch(schema: list, v: Any) -> int:
             'double' branch before a 'float' one and an int in 'long'
             before 'int' — never a lossy narrower sibling. A field
             whose type is outside the value's preference list
-            disqualifies the branch."""
+            disqualifies the branch. datetime/date field values (r12)
+            demand a temporal logicalType branch — Hudi's
+            TimestampMicrosWrapper / DateWrapper — never a bare
+            long/int sibling that would drop the unit."""
             total = 0
             for f in s["fields"]:
                 ft = f["type"]
                 prim = ft if isinstance(ft, str) else (
                     ft.get("type") if isinstance(ft, dict) else None
                 )
-                want = prefs.get(type(v[f["name"]]))
+                fv = v[f["name"]]
+                if isinstance(fv, datetime.datetime):
+                    lt = ft.get("logicalType") if isinstance(ft, dict) \
+                        else None
+                    if lt not in ("timestamp-micros", "timestamp-millis"):
+                        return None
+                    continue
+                if isinstance(fv, datetime.date):
+                    lt = ft.get("logicalType") if isinstance(ft, dict) \
+                        else None
+                    if lt != "date":
+                        return None
+                    continue
+                want = prefs.get(type(fv))
                 if not want:
                     continue
                 if prim not in want:
@@ -290,12 +308,18 @@ def _encode(schema: Any, v: Any, out: io.BytesIO) -> None:
         out.write(bytes(v))
     elif t in ("int", "long"):
         lt = schema.get("logicalType")
-        if lt == "timestamp-micros":
-            _write_long(out, round((v - _EPOCH).total_seconds() * 1e6))
-        elif lt == "timestamp-millis":
+        if lt == "timestamp-micros" and isinstance(v, datetime.datetime):
+            _write_long(out, (v - _EPOCH) // datetime.timedelta(
+                microseconds=1
+            ))
+        elif lt == "timestamp-millis" and isinstance(v, datetime.datetime):
             _write_long(out, round((v - _EPOCH).total_seconds() * 1e3))
+        elif lt == "date" and isinstance(v, datetime.date):
+            _write_long(
+                out, (v - datetime.date(1970, 1, 1)).days
+            )
         else:
-            _write_long(out, v)
+            _write_long(out, int(v))
     else:
         raise ValueError(f"unsupported avro schema node: {schema}")
 

@@ -620,6 +620,17 @@ _WRAPPERS = [
      "fields": [{"name": "value", "type": "bytes"}]},
     {"type": "record", "name": "StringWrapper",
      "fields": [{"name": "value", "type": "string"}]},
+    # temporal wrappers (r12 — the types Hudi stamps for timestamp/
+    # date column bounds; appended after the scalar seven, safe for
+    # any reader that resolves unions by this OCF's embedded writer
+    # schema, which is how Avro unions are specified to decode)
+    {"type": "record", "name": "TimestampMicrosWrapper",
+     "fields": [{"name": "value",
+                 "type": {"type": "long",
+                          "logicalType": "timestamp-micros"}}]},
+    {"type": "record", "name": "DateWrapper",
+     "fields": [{"name": "value",
+                 "type": {"type": "int", "logicalType": "date"}}]},
 ]
 
 #: HoodieMetadataRecord writer schema for files-partition blocks
@@ -695,13 +706,19 @@ COL_STATS_SCHEMA = {
 
 def _wrap(v):
     """Exact-scalar bound -> wrapper record dict (union branch picked
-    by the encoder from the value's Python type); None for bounds this
-    exporter does not emit (non-scalars, NaN, mixed bool/number)."""
+    by the encoder from the value's Python type — datetime/date values
+    land in TimestampMicrosWrapper/DateWrapper, r12); None for bounds
+    this exporter does not emit (non-scalars, NaN, mixed
+    bool/number)."""
     if isinstance(v, bool):
         return {"value": v}
-    if isinstance(v, (int, float, str, bytes)):
+    if isinstance(v, (int, float, str, bytes, datetime)):
         if isinstance(v, float) and v != v:
             return None  # NaN bounds skip nothing safely
+        return {"value": v}
+    import datetime as _dtm
+
+    if isinstance(v, _dtm.date):
         return {"value": v}
     return None
 
@@ -789,13 +806,41 @@ def export_hoodie_metadata(table) -> str | None:
     # uuid file-group names never collide, so its base-name keys are
     # safe there; readers try full path first, then base name)
     live_names = set(c.files)
+    # temporal columns: the manifest stores their footer bounds as ISO
+    # strings (JSON stability); the EXPORT re-types them so foreign
+    # Hudi readers see the real TimestampMicrosWrapper / DateWrapper
+    # the format stamps for these columns (r12)
+    import datetime as _dtm
+
+    from pyspark.sql import types as _T
+
+    temporal: dict[str, str] = {}
+    for sf in table.read().schema.fields:
+        if isinstance(sf.dataType, (_T.TimestampType, _T.TimestampNTZType)):
+            temporal[sf.name] = "ts"
+        elif isinstance(sf.dataType, _T.DateType):
+            temporal[sf.name] = "date"
+
+    def _retype(col: str, v):
+        kind = temporal.get(col)
+        if kind is None or not isinstance(v, str):
+            return v
+        try:
+            return (
+                _dtm.datetime.fromisoformat(v)
+                if kind == "ts"
+                else _dtm.date.fromisoformat(v)
+            )
+        except ValueError:
+            return v
+
     cs_records: list[dict] = []
     for f in sorted(c.files):
         n_rows = c.row_counts.get(f)
         for col, rng in sorted((c.col_stats.get(f) or {}).items()):
             if col == "_hoodie_commit_seqno":
                 continue  # write-sequence bounds are pure noise
-            lo, hi = _wrap(rng[0]), _wrap(rng[1])
+            lo, hi = _wrap(_retype(col, rng[0])), _wrap(_retype(col, rng[1]))
             if lo is None or hi is None:
                 continue
             if isinstance(lo["value"], bool) != isinstance(hi["value"], bool):
