@@ -2842,6 +2842,68 @@ def rewrite_iceberg_data_files(
     }
 
 
+def remove_orphan_iceberg_files(
+    spark, table_path: str, dry_run: bool = False
+) -> dict:
+    """Iceberg's removeOrphanFiles over an exported/dataset tree (r12
+    — the last leg of the maintenance trilogy next to
+    ``rewrite_iceberg_manifests`` / ``rewrite_iceberg_data_files`` /
+    ``expire_iceberg_snapshots``): delete every file under ``data/``
+    that NO surviving snapshot's manifests reference — the small
+    files a data-file rewrite superseded once expiration dropped the
+    snapshots that could still time-travel to them. ``metadata/`` is
+    never touched (expiration owns its lifecycle, including the
+    exported position-delete parquet under ``metadata/deletes/``).
+
+    Scale shape: the reference set is O(entries across surviving
+    snapshots) driver-side metadata (the same decode expiration
+    already does); the listing is one recursive walk of ``data/``
+    (a flat-namespace LIST on object stores); deletion runs as a
+    distributed job (``lakehouse._distributed_remove``), never a
+    driver-side IO loop. Returns ``{"orphans", "deleted"}`` —
+    ``dry_run=True`` reports without deleting, the guard Iceberg's
+    action ships for racing writers."""
+    if not fsio.exists(_version_hint(table_path)):
+        raise FileNotFoundError(
+            "remove_orphan_files works on exported trees "
+            "(version-hint present)"
+        )
+    meta = read_iceberg_metadata(table_path)
+    referenced: set[str] = set()
+    for snap in meta.get("snapshots") or []:
+        _, manifests = ocf_decode(
+            fsio.read_bytes(_resolve(table_path, snap["manifest-list"]))
+        )
+        for m in manifests:
+            _, entries = ocf_decode(
+                fsio.read_bytes(_resolve(table_path, m["manifest_path"]))
+            )
+            for e in entries:
+                # DELETED entries too: their file may still be live in
+                # an older surviving snapshot — the union is the only
+                # sound reference set
+                referenced.add(
+                    fsio.absolutize(
+                        _resolve(table_path, e["data_file"]["file_path"])
+                    )
+                )
+    data_root = fsio.join(table_path, "data")
+    orphans = sorted(
+        p
+        for p in fsio.walk_files(data_root)
+        if fsio.absolutize(p) not in referenced
+        and not p.rsplit("/", 1)[-1].startswith(("_", "."))
+    )
+    if dry_run or not orphans:
+        return {"orphans": orphans, "deleted": 0}
+    from hudi_and_delta_showcase_spark.tables.lakehouse import (
+        _distributed_remove,
+    )
+
+    n = _distributed_remove(spark, orphans)
+    return {"orphans": orphans, "deleted": n}
+
+
 _BOUND_UNPACK = {
     "int": lambda b: _struct.unpack("<i", b)[0],
     "long": lambda b: _struct.unpack("<q", b)[0],

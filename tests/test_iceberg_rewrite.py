@@ -315,3 +315,48 @@ def test_rewrite_data_files_binpacks_partitions(spark, tmp_path):
     # converged: a second rewrite finds nothing to pack
     again = rewrite_iceberg_data_files(spark, root)
     assert again["groups_rewritten"] == 0
+
+
+def test_remove_orphans_after_rewrite_and_expire(spark, tmp_path):
+    """The full maintenance cycle: data-file rewrite supersedes the
+    small files, expiration drops the snapshots that could time-travel
+    to them, orphan removal reclaims their bytes — and the table reads
+    byte-identically throughout. Live files are NEVER deleted (the
+    dry-run/before pins)."""
+    import os
+
+    from hudi_and_delta_showcase_spark.tables.iceberg_meta import (
+        expire_iceberg_snapshots,
+        remove_orphan_iceberg_files,
+        rewrite_iceberg_data_files,
+    )
+
+    root = str(tmp_path / "tree")
+    write_iceberg_dataset(
+        spark, _batch(spark, 1, 6, 0), root, partition_by=[("ts", "day")]
+    )
+    for a in range(3):
+        write_iceberg_dataset(
+            spark, _batch(spark, 1, 6, 1000 + 100 * a), root,
+            partition_by=[("ts", "day")], mode="append",
+        )
+    before = _ids(read_iceberg_table(spark, root))
+
+    # before any rewrite: nothing is orphaned
+    res = remove_orphan_iceberg_files(spark, root, dry_run=True)
+    assert res["orphans"] == []
+
+    rewrite_iceberg_data_files(spark, root)
+    # old snapshots still reference the small files: still no orphans
+    res = remove_orphan_iceberg_files(spark, root, dry_run=True)
+    assert res["orphans"] == []
+
+    expire_iceberg_snapshots(root, keep_last=1)
+    res = remove_orphan_iceberg_files(spark, root, dry_run=True)
+    assert len(res["orphans"]) == 8  # 4 writes x 2 days, all superseded
+    res = remove_orphan_iceberg_files(spark, root)
+    assert res["deleted"] == 8
+    assert all(not os.path.exists(p) for p in res["orphans"])
+    assert _ids(read_iceberg_table(spark, root)) == before
+    # idempotent
+    assert remove_orphan_iceberg_files(spark, root)["deleted"] == 0
