@@ -134,6 +134,15 @@ def parse_merge(sql: str) -> MergeSpec:
                 )
         elif action == "DELETE" and not matched:
             raise ValueError("WHEN NOT MATCHED THEN DELETE is not valid")
+        elif action.startswith("UPDATE SET") and action != "UPDATE SET *":
+            # explicit assignments are a BY SOURCE-only shape here;
+            # silently star-expanding a matched `UPDATE SET x = 1`
+            # would change semantics — refuse loudly instead
+            raise ValueError(
+                "explicit UPDATE SET assignments are supported only in "
+                "WHEN NOT MATCHED BY SOURCE clauses; matched clauses "
+                "take UPDATE SET *"
+            )
         if action == "INSERT *" and matched:
             raise ValueError("WHEN MATCHED THEN INSERT is not valid")
         if action == "UPDATE SET *" and not matched and not by_source:

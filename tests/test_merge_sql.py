@@ -607,3 +607,18 @@ def test_schema_evolution_never_leaks_engine_internals(spark, tmp_path):
     assert "score" in data_cols
     assert not any(c.startswith("__") for c in cols)
     assert len([c for c in cols if c == "_hoodie_commit_time"]) == 1
+
+
+def test_matched_update_with_explicit_sets_refuses(spark):
+    """A matched clause with explicit assignments must not silently
+    star-expand (r12 review finding on the widened clause grammar)."""
+    with pytest.raises(ValueError, match="BY SOURCE clauses"):
+        parse_merge(
+            """MERGE INTO m USING s ON m.k = s.k
+               WHEN MATCHED THEN UPDATE SET v = 1"""
+        )
+    with pytest.raises(ValueError, match="BY SOURCE clauses"):
+        parse_merge(
+            """MERGE INTO m USING s ON m.k = s.k
+               WHEN NOT MATCHED THEN UPDATE SET v = 1"""
+        )
