@@ -360,3 +360,42 @@ def test_remove_orphans_after_rewrite_and_expire(spark, tmp_path):
     assert _ids(read_iceberg_table(spark, root)) == before
     # idempotent
     assert remove_orphan_iceberg_files(spark, root)["deleted"] == 0
+
+
+def test_append_after_rewrite_composes(spark, tmp_path):
+    """An append AFTER a manifest rewrite parents on the replace
+    snapshot, carries the packed manifest-list rows untouched, and
+    the incremental pull across the whole history still serves
+    exactly the appended rows."""
+    root = str(tmp_path / "tree")
+    write_iceberg_dataset(
+        spark, _batch(spark, 1, 6, 0), root, partition_by=[("ts", "day")]
+    )
+    for a in range(3):
+        write_iceberg_dataset(
+            spark, _batch(spark, 3 + a, 4, 1000 + 100 * a), root,
+            partition_by=[("ts", "day")], mode="append",
+        )
+    rewrite_iceberg_manifests(root)
+    write_iceberg_dataset(
+        spark, _batch(spark, 10, 4, 9000), root,
+        partition_by=[("ts", "day")], mode="append",
+    )
+    rows = _ids(read_iceberg_table(spark, root))
+    assert rows == sorted(
+        list(range(6))
+        + [1000 + 100 * a + i for a in range(3) for i in range(4)]
+        + [9000 + i for i in range(4)]
+    )
+    # packed manifest + the append's one: 2 manifests, not 5
+    assert iceberg_metadata_table(spark, root, "manifests").count() == 2
+    snaps = iceberg_snapshots(root)
+    assert [s["summary"]["operation"] for s in snaps] == (
+        ["append"] * 4 + ["replace", "append"]
+    )
+    first = snaps[0]["snapshot-id"]
+    inc = read_iceberg_incremental(spark, root, from_snapshot_id=first)
+    assert _ids(inc) == sorted(
+        [1000 + 100 * a + i for a in range(3) for i in range(4)]
+        + [9000 + i for i in range(4)]
+    )
