@@ -114,8 +114,22 @@ def main() -> None:
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
 
     if os.environ.get("SPARK_GRAFT_BENCH_ALL"):
+        # per-query quiet gate (r12): the host's pressure is
+        # HYPERVISOR steal arriving in multi-minute bursts (no in-VM
+        # process shows it — only loadavg and inflated walls). A
+        # pre-run probe cannot protect a 5-minute sweep, so with
+        # SPARK_GRAFT_SWEEP_GATE set each query WAITS (bounded) for
+        # the 1-minute load to dip under the gate before measuring —
+        # every recorded wall lands in a quiet slice, which is the
+        # honest measurement of THIS code rather than the neighbors.
+        gate = float(os.environ.get("SPARK_GRAFT_SWEEP_GATE", "0"))
         full: dict[str, float] = {}
         for name, q in all_queries.items():  # PRIORITY order
+            if gate:
+                for _ in range(30):
+                    if os.getloadavg()[0] <= gate:
+                        break
+                    time.sleep(10)
             t0 = time.perf_counter()
             try:
                 q.fn(spark, sf_dir).write.format("noop").mode(
@@ -141,6 +155,7 @@ def main() -> None:
                     "load_avg_1m": round(os.getloadavg()[0], 2),
                     "load_avg_1m_pre": load_pre,
                     "quiet": quiet,
+                    "sweep_gate": gate or None,
                 },
                 fh,
                 indent=1,
