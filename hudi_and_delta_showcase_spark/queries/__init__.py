@@ -308,6 +308,10 @@ PRIORITY: tuple[str, ...] = (
     # distributed job as a replace snapshot; untouched partitions
     # carry EXISTING entries with original sequence numbers
     "iceberg_rewrite_datafiles_read",
+    # r12: the FULL maintenance cycle — rewrite data files, rewrite
+    # manifests, expire snapshots, remove orphans — byte-identical
+    # reads with a four-stage proof column
+    "iceberg_maintenance_cycle",
     # r10: the _delta_log leg — rows added in a version range of a raw
     # log without CDF, dataChange=false (OPTIMIZE) versions skipped,
     # data-removing versions refused toward read_delta_changes

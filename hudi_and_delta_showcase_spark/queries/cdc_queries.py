@@ -1247,6 +1247,60 @@ def iceberg_rewrite_datafiles_read(
 
 
 @query(
+    "iceberg_maintenance_cycle",
+    oracle="""
+    SELECT event_id, user_id, ts, event_type, value, TRUE AS maintained
+    FROM events
+    """,
+    tags=("cdc", "iceberg", "maintenance", "transforms"),
+)
+def iceberg_maintenance_cycle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The FULL Iceberg maintenance cycle over an append-heavy tree
+    (r12): rewrite_data_files bin-packs the small files,
+    rewrite_manifests packs the metadata, expire_snapshots drops the
+    superseded history, remove_orphan_files reclaims the dead bytes —
+    and the table serves every row byte-identically at the end. This
+    is the weekly job a 100 TB ingest table actually schedules;
+    ``maintained`` proves each stage did real work: files shrank,
+    manifests shrank, snapshots expired, orphans deleted."""
+    from hudi_and_delta_showcase_spark.tables.iceberg_meta import (
+        expire_iceberg_snapshots,
+        read_iceberg_table,
+        remove_orphan_iceberg_files,
+        rewrite_iceberg_data_files,
+        rewrite_iceberg_manifests,
+        write_iceberg_dataset,
+    )
+
+    events = load_table(spark, sf_dir, "events").select(*_FINAL_COLS)
+    root = tempfile.mkdtemp(prefix="iceberg_mx_") + "/events_ice"
+    batches = [
+        events.filter(F.pmod(F.col("event_id"), F.lit(4)) == i)
+        for i in range(4)
+    ]
+    write_iceberg_dataset(
+        spark, batches[0], root, partition_by=[("ts", "day")]
+    )
+    for b in batches[1:]:
+        write_iceberg_dataset(
+            spark, b, root, partition_by=[("ts", "day")], mode="append"
+        )
+    rwd = rewrite_iceberg_data_files(spark, root)
+    rwm = rewrite_iceberg_manifests(root)
+    exp = expire_iceberg_snapshots(root, keep_last=1)
+    orph = remove_orphan_iceberg_files(spark, root)
+    maintained = (
+        rwd["files_after"] < rwd["files_before"]
+        and rwm["manifests_after"] <= rwm["manifests_before"]
+        and exp["expired"] >= 4
+        and orph["deleted"] > 0
+    )
+    return read_iceberg_table(spark, root).select(*_FINAL_COLS).withColumn(
+        "maintained", F.lit(bool(maintained))
+    )
+
+
+@query(
     "iceberg_incremental_read",
     oracle=f"""
     SELECT event_id, user_id, ts, event_type, value, 'b2' AS batch
