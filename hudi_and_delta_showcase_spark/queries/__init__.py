@@ -312,6 +312,10 @@ PRIORITY: tuple[str, ...] = (
     # manifests, expire snapshots, remove orphans — byte-identical
     # reads with a four-stage proof column
     "iceberg_maintenance_cycle",
+    # r12: delta-spark's OPTIMIZE against a raw _delta_log — remove+
+    # add dataChange=false bin-pack with fresh stats, DVs compacted
+    # away, writer-protocol guards
+    "delta_optimize_binpack_read",
     # r10: the _delta_log leg — rows added in a version range of a raw
     # log without CDF, dataChange=false (OPTIMIZE) versions skipped,
     # data-removing versions refused toward read_delta_changes

@@ -1247,6 +1247,46 @@ def iceberg_rewrite_datafiles_read(
 
 
 @query(
+    "delta_optimize_binpack_read",
+    oracle="""
+    SELECT event_id, user_id, ts, event_type, value, TRUE AS packed
+    FROM events
+    """,
+    tags=("cdc", "delta", "maintenance"),
+)
+def delta_optimize_binpack_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """delta-spark's OPTIMIZE against a raw ``_delta_log`` (r12 — the
+    Delta sibling of `iceberg_rewrite_datafiles_read`): six appended
+    commits leave six small files, and ``optimize_delta_table``
+    bin-packs them as remove+add actions with ``dataChange=false``
+    (so CDF readers and streaming sources skip the compaction), fresh
+    per-add ``stats`` stamped from the packed footers. ``packed``
+    proves the live file count strictly shrank with every row still
+    served; the pre-OPTIMIZE version stays time-travelable."""
+    from hudi_and_delta_showcase_spark.tables.delta_log import (
+        optimize_delta_table,
+        read_delta_table,
+        write_delta_table,
+    )
+
+    events = load_table(spark, sf_dir, "events").select(*_FINAL_COLS)
+    path = tempfile.mkdtemp(prefix="delta_opt_") + "/events_dl"
+    for i in range(6):
+        write_delta_table(
+            events.filter(F.pmod(F.col("event_id"), F.lit(6)) == i),
+            path, mode="append",
+        )
+    out = optimize_delta_table(spark, path)
+    packed = (
+        out["groups_rewritten"] > 0
+        and out["files_after"] < out["files_before"]
+    )
+    return read_delta_table(spark, path).select(*_FINAL_COLS).withColumn(
+        "packed", F.lit(bool(packed))
+    )
+
+
+@query(
     "iceberg_maintenance_cycle",
     oracle="""
     SELECT event_id, user_id, ts, event_type, value, TRUE AS maintained

@@ -674,6 +674,233 @@ def column_mapping_of(meta: dict) -> dict[str, str]:
     return out
 
 
+def optimize_delta_table(
+    spark: SparkSession,
+    path: str,
+    target_file_bytes: int = 128 * 1024 * 1024,
+    min_input_files: int = 2,
+) -> dict:
+    """delta-spark's OPTIMIZE (bin-pack) against a raw ``_delta_log``
+    (r12 — the Delta sibling of ``rewrite_iceberg_data_files``):
+    partitions whose live files all sit under ``target_file_bytes``
+    compact into few larger files, committed as remove+add actions
+    with ``dataChange=false`` (the stamp that keeps CDF readers and
+    streaming sources from misreading a compaction as inserts). Live
+    deletion vectors COMPACT AWAY — the rewrite scan applies them, so
+    the packed adds carry no descriptor, exactly delta-spark's
+    OPTIMIZE behavior. New adds stamp fresh ``stats`` (numRecords +
+    min/max from the packed files' footers) and the engine's
+    partition-columns-in-file tag.
+
+    Writer-safety guards (appending a commit to a FOREIGN log must
+    honor its protocol): ``delta.appendOnly`` tables refuse (OPTIMIZE
+    emits removes); ``rowTracking`` / ``icebergCompat*`` writer
+    features refuse (their adds need fields this writer does not
+    author); column-mapped tables refuse (the packed files would need
+    physical-name/field-id authoring). Reader-side features pass
+    through ``_protocol_guard`` during replay as on any read.
+
+    Scale shape: candidate selection is O(adds) driver-side; the data
+    plane is ONE distributed job (the qualifying files' scan —
+    DV anti-join included — re-clustered by the partition columns);
+    stats come from one footer pass per packed file (O(new files))."""
+    import urllib.parse
+
+    meta, files, adds = _replay(path, None)
+    if _mapping_mode(meta) != "none":
+        raise ValueError(
+            "OPTIMIZE under column mapping is not supported: packed "
+            "files would need physical-name/field-id authoring; run "
+            "the table's own engine's OPTIMIZE"
+        )
+    conf = meta.get("configuration") or {}
+    if isinstance(conf, list):
+        conf = dict(conf)
+    if str(conf.get("delta.appendOnly", "")).lower() == "true":
+        raise ValueError("delta.appendOnly table: OPTIMIZE emits removes")
+    # protocol writer guard: scan commits + checkpoint for the newest
+    # protocol action (same walk write_checkpoint does)
+    proto = dict(_PROTOCOL)
+    cp = _read_checkpoint(path)
+    if cp is not None and cp[3]:
+        proto = dict(cp[3])
+    for v in _list_versions(path):
+        for line in fsio.read_text(_commit_file(path, v)).splitlines():
+            if line.strip() and '"protocol"' in line:
+                a = json.loads(line)
+                if "protocol" in a:
+                    proto = a["protocol"]
+    bad = set(proto.get("writerFeatures") or []) & {
+        "rowTracking", "icebergCompatV1", "icebergCompatV2",
+    }
+    if bad:
+        raise ValueError(
+            f"writer features {sorted(bad)} need add-action fields "
+            "this writer does not author; refusing to commit"
+        )
+
+    def _pv_of(f: str) -> dict:
+        pv = adds.get(f, {}).get("partitionValues") or {}
+        return dict(pv) if isinstance(pv, list) else pv
+
+    def _size_of(f: str) -> int:
+        s = adds.get(f, {}).get("size")
+        return int(s) if s else fsio.file_size(fsio.join(path, f))
+
+    groups: dict[str, list[str]] = {}
+    for f in files:
+        groups.setdefault(
+            json.dumps(sorted(_pv_of(f).items())), []
+        ).append(f)
+    small = [
+        f
+        for _k, fs in groups.items()
+        if len(fs) >= min_input_files
+        and all(_size_of(x) < target_file_bytes for x in fs)
+        for f in fs
+    ]
+    if not small:
+        return {
+            "groups_rewritten": 0,
+            "files_before": len(files),
+            "files_after": len(files),
+            "version": None,
+        }
+    n_groups = sum(
+        1
+        for fs in groups.values()
+        if len(fs) >= min_input_files
+        and all(_size_of(x) < target_file_bytes for x in fs)
+    )
+    schema, phys_schema = _physical_schema(meta)
+    df = _scan_adds(
+        spark, path, meta, schema, phys_schema, sorted(small), adds, []
+    )
+    part_cols = meta.get("partitionColumns") or []
+    staging = fsio.join(path, f".optimize-{uuid.uuid4().hex[:8]}")
+    if part_cols:
+        import pyspark.sql.functions as F
+
+        df.repartition(*[F.col(c) for c in part_cols]).write.partitionBy(
+            *part_cols
+        ).parquet(staging)
+    else:
+        total = sum(_size_of(f) for f in small)
+        df.coalesce(
+            max(1, total // max(1, target_file_bytes) + 1)
+        ).write.parquet(staging)
+    now = int(time.time() * 1000)
+    new_adds: list[dict] = []
+    for fp in sorted(fsio.walk_files(staging, suffix=".parquet")):
+        rel = fsio.relpath(fp, staging)
+        pv: dict = {}
+        for comp in rel.split("/")[:-1]:
+            if "=" not in comp:
+                continue
+            k, _, v = comp.partition("=")
+            v = urllib.parse.unquote(v)
+            pv[k] = None if v == "__HIVE_DEFAULT_PARTITION__" else v
+        new_name = f"part-{uuid.uuid4().hex}.snappy.parquet"
+        fsio.move(fp, fsio.join(path, new_name))
+        add = {
+            "path": new_name,
+            "partitionValues": pv,
+            "size": fsio.file_size(fsio.join(path, new_name)),
+            "modificationTime": now,
+            "dataChange": False,
+        }
+        stats = _footer_stats_json(fsio.join(path, new_name))
+        if stats is not None:
+            add["stats"] = stats
+        # NO partitionColumnsInFile tag: write.partitionBy strips the
+        # partition columns from the packed files (delta-spark's own
+        # OPTIMIZE layout) — partitionValues is the authoritative
+        # record and the reconstruction join serves it
+        new_adds.append(add)
+    fsio.rmtree(staging)
+    versions = _list_versions(path)
+    cp_v = cp[0] if cp is not None else -1
+    version = max(versions[-1] if versions else -1, cp_v) + 1
+    actions: list[dict] = []
+    for f in sorted(small):
+        actions.append(
+            {
+                "remove": {
+                    "path": f,
+                    "deletionTimestamp": now,
+                    "dataChange": False,
+                }
+            }
+        )
+    actions.extend({"add": a} for a in new_adds)
+    actions.append(
+        {
+            "commitInfo": {
+                "timestamp": now,
+                "operation": "OPTIMIZE",
+                "operationParameters": {
+                    "targetSize": str(target_file_bytes)
+                },
+                "engineInfo": "hudi-and-delta-showcase-spark",
+            }
+        }
+    )
+    fsio.write_atomic(
+        _commit_file(path, version),
+        "\n".join(json.dumps(a) for a in actions),
+    )
+    return {
+        "groups_rewritten": n_groups,
+        "files_before": len(files),
+        "files_after": len(files) - len(small) + len(new_adds),
+        "version": version,
+    }
+
+
+def _footer_stats_json(fpath: str) -> str | None:
+    """Delta ``stats`` JSON (numRecords + minValues/maxValues) from
+    one parquet footer — exact scalars only, timestamps as ISO
+    strings (delta-spark's own stats dialect)."""
+    import datetime as _dt
+
+    import pyarrow.parquet as pq
+
+    try:
+        md = pq.ParquetFile(fsio.uri_path(fpath)).metadata
+    except Exception:
+        return None
+    mins: dict = {}
+    maxs: dict = {}
+    names = md.schema.names
+    for i, col in enumerate(names[:32]):
+        lo = hi = None
+        for rg in range(md.num_row_groups):
+            st = md.row_group(rg).column(i).statistics
+            if st is None or st.min is None or st.max is None:
+                lo = hi = None
+                break
+            lo = st.min if lo is None else min(lo, st.min)
+            hi = st.max if hi is None else max(hi, st.max)
+        if lo is None:
+            continue
+        if isinstance(lo, _dt.datetime):
+            if lo.tzinfo is not None:
+                lo = lo.astimezone(_dt.timezone.utc).replace(tzinfo=None)
+                hi = hi.astimezone(_dt.timezone.utc).replace(tzinfo=None)
+            lo, hi = lo.isoformat(), hi.isoformat()
+        elif isinstance(lo, _dt.date):
+            lo, hi = lo.isoformat(), hi.isoformat()
+        elif not isinstance(lo, (str, int, float, bool)):
+            continue
+        if isinstance(lo, float) and (lo != lo or hi != hi):
+            continue
+        mins[col] = lo
+        maxs[col] = hi
+    return json.dumps(
+        {"numRecords": md.num_rows, "minValues": mins, "maxValues": maxs}
+    )
+
+
 def _physical_schema(meta: dict):
     """The schema as stored in the data files: logical field names
     swapped for their ``physicalName`` under column mapping —
