@@ -957,11 +957,17 @@ def read_log_records_df(spark, table_path: str, log_paths: list[str],
     ``key_fields`` fails loudly. O(log bytes) total work, parallel per
     file group."""
     import pandas as pd
+    from pyspark.sql import types as T
 
     cols = [f.name for f in spark_schema.fields]
     dtypes = {f.name: f.dataType for f in spark_schema.fields}
+    # StructType.add mutates in place and returns self — copy first so
+    # a caller-shared schema object (e.g. the multi-version CDC
+    # synthesis passing one data_schema across validity groups) isn't
+    # left carrying _hl_* fields after the first call.
     out_schema = (
-        spark_schema.add("_hl_instant", "string")
+        T.StructType(list(spark_schema.fields))
+        .add("_hl_instant", "string")
         .add("_hl_seq", "long")
         .add("_hl_deleted", "boolean")
     )

@@ -599,10 +599,10 @@ def latest_file_slices_rt(
 
 def _file_versions_rt(
     path: str, as_of: str | None = None
-) -> list[tuple[str, str | None, bool]]:
+) -> list[tuple[str, str | None, bool, str | None]]:
     """EVERY file version of the table up to ``as_of`` with its
     validity window — ``(relpath, valid_until_instant | None,
-    is_log)`` — the union over all instants of what
+    is_log, opened_instant | None)`` — the union over all instants of what
     ``latest_file_slices_rt(path, instant)`` would serve (r12, the
     multi-version source the batched key-only CDC synthesis reads
     ONCE instead of building one snapshot plan per instant).
@@ -623,7 +623,7 @@ def _file_versions_rt(
     instants = all_instants
     if as_of is not None:
         instants = [(i, k) for i, k in instants if i <= as_of]
-    versions: list[list] = []  # [relpath, until, is_log, fid]
+    versions: list[list] = []  # [relpath, until, is_log, fid, opened]
     open_by_fid: dict[str, list[int]] = {}
 
     def _close(fid: str, instant: str) -> None:
@@ -642,13 +642,13 @@ def _file_versions_rt(
         if as_of is not None:
             horizon = min(horizon, as_of)
         a_bases, a_logs = _archived_file_slices(path, horizon)
-        for fid, (_bi, p) in a_bases.items():
+        for fid, (bi, p) in a_bases.items():
             open_by_fid.setdefault(fid, []).append(len(versions))
-            versions.append([p, None, False, fid])
+            versions.append([p, None, False, fid, bi])
         for fid, entries in a_logs.items():
-            for _bi, _v, p in sorted(entries):
+            for bi, _v, p in sorted(entries):
                 open_by_fid.setdefault(fid, []).append(len(versions))
-                versions.append([p, None, True, fid])
+                versions.append([p, None, True, fid, bi])
     for instant, kind in instants:
         meta = _read_instant_meta(path, instant, kind)
         if meta.get("operationType") == "INSERT_OVERWRITE":
@@ -672,8 +672,11 @@ def _file_versions_rt(
                     # a new base supersedes the group's open history
                     _close(fid, instant)
                 open_by_fid.setdefault(fid, []).append(len(versions))
-                versions.append([p, None, is_log, fid])
-    return [(p, until, is_log) for p, until, is_log, _fid in versions]
+                versions.append([p, None, is_log, fid, instant])
+    return [
+        (p, until, is_log, opened)
+        for p, until, is_log, _fid, opened in versions
+    ]
 
 
 def hoodie_timeline_table(spark: SparkSession, path: str) -> DataFrame:
@@ -1109,9 +1112,18 @@ def read_hoodie_changes(
             "hoodie.table.precombine.field"
         ) or None
         by_until: dict[str | None, dict[str, list[str]]] = {}
-        for p, until, is_log in _file_versions_rt(path, as_of=hi):
+        opened_by_name: dict[str, str] = {}
+        name_token_re = re.compile(r"_\d+-\d+-\d+_\d{14,17}\.parquet$")
+        for p, until, is_log, opened in _file_versions_rt(path, as_of=hi):
             g = by_until.setdefault(until, {"base": [], "log": []})
             g["log" if is_log else "base"].append(p)
+            # base files whose NAME carries no instant token (foreign
+            # naming, populate.meta.fields=false) need a fallback
+            # _hl_instant: the validity window's opening instant.
+            # Driver-side map, only non-conforming names — empty (zero
+            # plan overhead) for engine-written tables.
+            if not is_log and opened and not name_token_re.search(p):
+                opened_by_name[p.rsplit("/", 1)[-1]] = opened
         mv: DataFrame | None = None
         name_instant = F.regexp_extract(
             F.col("_metadata.file_name"),
@@ -1120,6 +1132,13 @@ def read_hoodie_changes(
         base_inst = F.when(
             name_instant == "", F.lit(None)
         ).otherwise(name_instant)
+        if opened_by_name:
+            opened_map = F.create_map(
+                *[F.lit(x) for kv in opened_by_name.items() for x in kv]
+            )
+            base_inst = F.coalesce(
+                base_inst, opened_map[F.col("_metadata.file_name")]
+            )
         for until, grp in sorted(
             by_until.items(), key=lambda kv: kv[0] or ""
         ):

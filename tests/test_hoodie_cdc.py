@@ -272,3 +272,136 @@ def test_key_only_batched_synthesis_multi_instant(spark, tmp_path, monkeypatch):
     ]
     # the plan-count pin: zero per-(instant, side) snapshot builds
     assert calls == []
+
+
+def _compact_file_group(spark, root, fid, rows, schema_ddl):
+    """Author a foreign COMPACTION for ``fid``: a new base parquet at a
+    fresh instant (closes every open log/base version of the group in
+    slice resolution) plus its completed ``.commit`` instant."""
+    import json
+    import os
+
+    from hudi_and_delta_showcase_spark.tables import manifest as mf
+
+    instant = mf.make_commit_time()
+    staging = os.path.join(root, ".staging-compact")
+    spark.createDataFrame(rows, schema_ddl).coalesce(1).write.parquet(
+        staging
+    )
+    (part,) = [f for f in os.listdir(staging) if f.endswith(".parquet")]
+    new_name = f"{fid}_0-1-0_{instant}.parquet"
+    os.replace(os.path.join(staging, part), os.path.join(root, new_name))
+    meta = {
+        "partitionToWriteStats": {
+            "": [{
+                "fileId": fid, "path": new_name, "prevCommit": "null",
+                "numWrites": len(rows),
+                "fileSizeInBytes": os.path.getsize(
+                    os.path.join(root, new_name)
+                ),
+            }]
+        },
+        "compacted": True,
+        "extraMetadata": {},
+        "operationType": "COMPACT",
+    }
+    hdir = os.path.join(root, ".hoodie")
+    with open(os.path.join(hdir, f"{instant}.commit"), "w") as fh:
+        json.dump(meta, fh)
+    return instant
+
+
+def test_key_only_logs_across_compaction(spark, tmp_path):
+    """Regression (r13 ADVICE high): the multi-version key-only
+    synthesis passes ONE shared data_schema into read_log_records_df
+    once per validity group; StructType.add used to mutate it in
+    place, so a table with log-bearing groups BOTH before and after a
+    compaction appended _hl_* fields twice and the whole read failed
+    with duplicate columns. Two log groups + exact intermediate
+    images is the pin."""
+    root = str(tmp_path / "ht")
+    base = spark.createDataFrame(
+        [(1, "a", 100)], "k long, v string, sq long"
+    )
+    write_hoodie_table(base.coalesce(1), root)
+    ((fid, s),) = latest_file_slices_rt(root).items()
+    schema = spark_schema_to_avro(base.schema)
+    ko = hl.cdc_avro_schema_key_only()
+    i2 = append_log_commit(
+        root, fid, s["base_instant"],
+        [{"k": 1, "v": "b", "sq": 101}], schema,
+        cdc_records=[{"op": "u", "recordKey": "1"}], cdc_schema=ko,
+    )
+    _compact_file_group(
+        spark, root, fid, [(1, "b", 101)], "k long, v string, sq long"
+    )
+    ((fid2, s2),) = latest_file_slices_rt(root).items()
+    assert s2["logs"] == []  # the compaction really closed the logs
+    i4 = append_log_commit(
+        root, fid2, s2["base_instant"],
+        [{"k": 1, "v": "c", "sq": 102}], schema,
+        cdc_records=[{"op": "u", "recordKey": "1"}], cdc_schema=ko,
+    )
+    ch = read_hoodie_changes(spark, root, key_fields=["k"])
+    got = sorted(
+        (r._commit_instant, r._change_type, r.v)
+        for r in ch.select("_commit_instant", "_change_type", "v")
+        .collect()
+    )
+    assert got == [
+        (i2, "update_postimage", "b"),
+        (i2, "update_preimage", "a"),
+        (i4, "update_postimage", "c"),
+        (i4, "update_preimage", "b"),
+    ]
+
+
+def test_key_only_foreign_base_naming_fallback(spark, tmp_path):
+    """Regression (r13 ADVICE low): base files whose names carry NO
+    instant token (foreign naming, populate.meta.fields=false) used to
+    get a NULL _hl_instant in the multi-version image join and were
+    silently dropped; the fallback is the file version's validity-
+    window OPENING instant from _file_versions_rt."""
+    import json
+    import os
+
+    root = str(tmp_path / "ht")
+    base = spark.createDataFrame(
+        [(1, "a", 100), (2, "x", 100)], "k long, v string, sq long"
+    )
+    write_hoodie_table(base.coalesce(1), root)
+    ((fid, s),) = latest_file_slices_rt(root).items()
+    # strip the instant token from the base file name + rewrite the
+    # commit's write-stats path (a foreign writer's naming)
+    old_rel = s["base"]
+    new_rel = f"{fid}.parquet"
+    os.replace(os.path.join(root, old_rel), os.path.join(root, new_rel))
+    hdir = os.path.join(root, ".hoodie")
+    for f in os.listdir(hdir):
+        if f.endswith(".commit"):
+            p = os.path.join(hdir, f)
+            with open(p) as fh:
+                meta = json.load(fh)
+            for stats in meta["partitionToWriteStats"].values():
+                for st in stats:
+                    if st["path"] == old_rel:
+                        st["path"] = new_rel
+            with open(p, "w") as fh:
+                json.dump(meta, fh)
+    ((fid2, s2),) = latest_file_slices_rt(root).items()
+    assert s2["base"] == new_rel
+    schema = spark_schema_to_avro(base.schema)
+    ko = hl.cdc_avro_schema_key_only()
+    i2 = append_log_commit(
+        root, fid2, s2["base_instant"],
+        [{"k": 1, "v": "b", "sq": 101}], schema,
+        cdc_records=[{"op": "u", "recordKey": "1"}], cdc_schema=ko,
+    )
+    ch = read_hoodie_changes(spark, root, key_fields=["k"])
+    got = sorted(
+        (r._change_type, r.v)
+        for r in ch.select("_change_type", "v").collect()
+    )
+    # the preimage "a" lives ONLY in the renamed base file — before the
+    # fallback this row was dropped and the preimage came back empty
+    assert got == [("update_postimage", "b"), ("update_preimage", "a")]
