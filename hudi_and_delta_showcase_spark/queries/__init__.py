@@ -127,6 +127,10 @@ PRIORITY: tuple[str, ...] = (
     # satisfied like the other clause groups and fold into the same
     # delete/upsert commits
     "sql_merge_by_source_update",
+    # r13: matched-clause UPDATE SET col = expr (both-alias
+    # expressions over the routed-source × target join) + explicit-
+    # column INSERT (cols) VALUES with NULL backfill for unlisted cols
+    "sql_merge_matched_assignments",
     # r12: timestamp-range data skipping — footer datetime stats index
     # as ISO strings (INT96 carried no stats; the session now writes
     # TIMESTAMP_MICROS), the shared compare coerces temporal literals,

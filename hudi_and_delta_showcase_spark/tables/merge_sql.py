@@ -18,8 +18,10 @@ clauses; anything else raises):
     MERGE INTO <target> [AS] [<alias>]
     USING <source temp view> [AS] [<alias>]
     ON <equality conjunction over the target's resolution columns>
-    { WHEN MATCHED [AND <cond>] THEN { UPDATE SET * | DELETE } }*
-    [ WHEN NOT MATCHED [AND <cond>] THEN INSERT * ]
+    { WHEN MATCHED [AND <cond>] THEN
+        { UPDATE SET * | UPDATE SET <col> = <expr>[, ...] | DELETE } }*
+    { WHEN NOT MATCHED [AND <cond>] THEN
+        { INSERT * | INSERT (<col>, ...) VALUES (<expr>, ...) } }*
     { WHEN NOT MATCHED BY SOURCE [AND <cond>] THEN
         { DELETE | UPDATE SET <col> = <expr>[, ...] } }*
 
@@ -57,8 +59,16 @@ _HEAD_RE = re.compile(
 _CLAUSE_RE = re.compile(
     r"WHEN\s+(?P<not>NOT\s+)?MATCHED(?P<bysrc>\s+BY\s+SOURCE)?"
     r"(?:\s+AND\s+(?P<cond>.+?))?\s+THEN\s+"
-    r"(?P<action>UPDATE\s+SET\s+(?:\*|.+?)|INSERT\s+\*|DELETE)"
-    r"(?=\s+WHEN\s+|\s*;?\s*$)",
+    r"(?P<action>UPDATE\s+SET\s+(?:\*|.+?)|INSERT\s+\*"
+    r"|INSERT\s*\(.+?\)\s*VALUES\s*\(.+?\)|DELETE)"
+    # the action terminator must anchor to a REAL clause boundary —
+    # a bare `\s+WHEN\s+` lookahead truncated CASE WHEN expressions
+    # inside SET assignments (r13 ADVICE)
+    r"(?=\s+WHEN\s+(?:NOT\s+)?MATCHED\b|\s*;?\s*$)",
+    re.IGNORECASE | re.DOTALL,
+)
+_INSERT_COLS_RE = re.compile(
+    r"^\s*INSERT\s*\((?P<cols>.+?)\)\s*VALUES\s*\((?P<vals>.+)\)\s*$",
     re.IGNORECASE | re.DOTALL,
 )
 
@@ -75,8 +85,12 @@ class MergeClause:
     #: SET *`` stays invalid on this branch: no source row exists to
     #: star-expand from.
     by_source: bool = False
-    #: explicit SET assignments for a by-source UPDATE, as
-    #: ``[(target_col, sql_expr)]`` — None for star/delete actions
+    #: explicit column bindings, as ``[(target_col, sql_expr)]`` —
+    #: None for star/delete actions. Three shapes carry them (r13):
+    #: by-source UPDATE SET (exprs over TARGET cols, alias stripped),
+    #: matched UPDATE SET (exprs may reference BOTH aliases — they
+    #: run over the routed-source × target join), and explicit-column
+    #: INSERT (cols) VALUES (exprs over SOURCE cols).
     assignments: tuple[tuple[str, str], ...] | None = None
 
 
@@ -106,6 +120,7 @@ def parse_merge(sql: str) -> MergeSpec:
         matched = m.group("not") is None
         by_source = m.group("bysrc") is not None
         assignments = None
+        ins = _INSERT_COLS_RE.match(raw_action)
         if by_source:
             if matched:
                 raise ValueError("WHEN MATCHED BY SOURCE is not valid")
@@ -117,16 +132,19 @@ def parse_merge(sql: str) -> MergeSpec:
                         "use explicit SET col = expr assignments"
                     )
                 # r12: explicit assignments over TARGET columns —
-                # Delta's "mark stale rows" full-sync idiom
+                # Delta's "mark stale rows" full-sync idiom. The
+                # target alias is noise once the expressions run over
+                # the target snapshot directly — strip it OUTSIDE
+                # string literals only (r13: a naive re.sub rewrote
+                # `'tgt.stale'` to `'stale'`).
                 sets = re.sub(
                     r"^\s*UPDATE\s+SET\s+", "", raw_action,
                     flags=re.IGNORECASE,
                 )
-                # assignments speak TARGET columns; the alias prefix
-                # is noise once the expressions run over the target
-                # snapshot directly
-                sets = re.sub(rf"\b{talias}\.", "", sets)
-                assignments = tuple(_split_set_list(sets))
+                assignments = tuple(
+                    (col, _strip_alias_unquoted(expr, talias))
+                    for col, expr in _split_set_list(sets, talias)
+                )
             elif action != "DELETE":
                 raise ValueError(
                     "WHEN NOT MATCHED BY SOURCE supports DELETE or "
@@ -135,14 +153,39 @@ def parse_merge(sql: str) -> MergeSpec:
         elif action == "DELETE" and not matched:
             raise ValueError("WHEN NOT MATCHED THEN DELETE is not valid")
         elif action.startswith("UPDATE SET") and action != "UPDATE SET *":
-            # explicit assignments are a BY SOURCE-only shape here;
-            # silently star-expanding a matched `UPDATE SET x = 1`
-            # would change semantics — refuse loudly instead
-            raise ValueError(
-                "explicit UPDATE SET assignments are supported only in "
-                "WHEN NOT MATCHED BY SOURCE clauses; matched clauses "
-                "take UPDATE SET *"
+            # r13: matched-clause explicit assignments (Delta's most
+            # common real-world MERGE shape). Expressions may reference
+            # BOTH aliases — they evaluate over the routed-source ×
+            # target join — so only the LHS alias is normalized away.
+            if not matched:
+                raise ValueError(
+                    "WHEN NOT MATCHED THEN UPDATE is not valid"
+                )
+            sets = re.sub(
+                r"^\s*UPDATE\s+SET\s+", "", raw_action,
+                flags=re.IGNORECASE,
             )
+            assignments = tuple(_split_set_list(sets, talias))
+        elif ins:
+            # r13: INSERT (cols) VALUES (exprs) — explicit column
+            # binding; unlisted target columns insert as NULL
+            if matched:
+                raise ValueError("WHEN MATCHED THEN INSERT is not valid")
+            cols = [c.strip() for c in _split_top_level(ins.group("cols"))]
+            vals = [v.strip() for v in _split_top_level(ins.group("vals"))]
+            if len(cols) != len(vals):
+                raise ValueError(
+                    f"INSERT column/value count mismatch: "
+                    f"{len(cols)} columns, {len(vals)} values"
+                )
+            bad = [c for c in cols if not re.fullmatch(r"\w+", c)]
+            if bad:
+                raise ValueError(
+                    f"INSERT column list must be unqualified target "
+                    f"columns, got {bad}"
+                )
+            assignments = tuple(zip(cols, vals))
+            action = "INSERT"
         if action == "INSERT *" and matched:
             raise ValueError("WHEN MATCHED THEN INSERT is not valid")
         if action == "UPDATE SET *" and not matched and not by_source:
@@ -202,6 +245,21 @@ def _on_source_keys(spec: MergeSpec, table: LakehouseTable) -> dict[str, str]:
     return pairs
 
 
+def _key_join_expr(spec: MergeSpec, key_map: dict[str, str]):
+    """Target-alias × source-alias key equality (null-safe, Delta's
+    ON semantics) over the validated ON mapping."""
+    on_cols = [
+        F.col(f"{spec.target_alias}.{tc}").eqNullSafe(
+            F.col(f"{spec.source_alias}.{sc}")
+        )
+        for tc, sc in key_map.items()
+    ]
+    on_expr = on_cols[0]
+    for e in on_cols[1:]:
+        on_expr = on_expr & e
+    return on_expr
+
+
 def execute_merge(
     spark: SparkSession,
     sql: str,
@@ -230,16 +288,7 @@ def execute_merge(
         .withColumn("__m", F.lit(True))
         .alias(spec.target_alias)
     )
-    on_cols = [
-        F.col(f"{spec.target_alias}.{tc}").eqNullSafe(
-            F.col(f"{spec.source_alias}.{sc}")
-        )
-        for tc, sc in key_map.items()
-    ]
-    on_expr = on_cols[0]
-    for e in on_cols[1:]:
-        on_expr = on_expr & e
-    routed = src.join(tgt_keys, on_expr, "left_outer").select(
+    routed = src.join(tgt_keys, _key_join_expr(spec, key_map), "left_outer").select(
         f"{spec.source_alias}.*",
         F.coalesce(
             F.col(f"{spec.target_alias}.__m"), F.lit(False)
@@ -249,26 +298,35 @@ def execute_merge(
     src_clauses = [c for c in spec.clauses if not c.by_source]
     bysrc_clauses = [c for c in spec.clauses if c.by_source]
 
-    # first-satisfied-clause routing, exactly Delta's clause order
+    # first-satisfied-clause routing, exactly Delta's clause order.
+    # Labels carry the clause INDEX (r13) so assignment-bearing
+    # clauses resolve their own rows at write time.
     action = F.lit(None).cast("string")
     assigned = F.lit(False)
-    for c in src_clauses:
+    for i, c in enumerate(src_clauses):
         hit = F.col("__matched") if c.matched else ~F.col("__matched")
         if c.condition is not None:
-            cond = re.sub(
-                rf"\b{spec.source_alias}\.", "", c.condition
+            cond = _strip_alias_unquoted(
+                c.condition, spec.source_alias
             )  # source cols are top-level after the select above
             hit = hit & F.expr(cond)
-        action = F.when(~assigned & hit, F.lit(c.action)).otherwise(action)
+        action = F.when(
+            ~assigned & hit, F.lit(f"{c.action}:{i}")
+        ).otherwise(action)
         assigned = assigned | hit
     routed = routed.withColumn("__action", action)
 
-    counts = {
+    label_counts = {
         r["__action"]: r["n"]
         for r in routed.groupBy("__action")
         .agg(F.count(F.lit(1)).alias("n"))
         .collect()
     }
+    counts = {"update": 0, "insert": 0, "delete": 0,
+              None: label_counts.get(None, 0)}
+    for lbl, n in label_counts.items():
+        if lbl is not None:
+            counts[lbl.split(":")[0]] += n
     # Delta's third clause group: TARGET rows whose key is absent from
     # the source (one left-anti probe of the key-pruned target scan),
     # first-satisfied-clause routed like the source group — DELETE
@@ -292,7 +350,7 @@ def execute_merge(
             hit = F.lit(True)
             if c.condition is not None:
                 hit = F.expr(
-                    re.sub(rf"\b{spec.target_alias}\.", "", c.condition)
+                    _strip_alias_unquoted(c.condition, spec.target_alias)
                 )
             b_action = F.when(
                 ~b_assigned & hit, F.lit(f"{c.action}:{i}")
@@ -331,9 +389,9 @@ def execute_merge(
             )
 
     commits = []
-    deletes = routed.filter(F.col("__action") == "delete").select(
-        *[F.col(s).alias(t) for t, s in key_map.items()]
-    )
+    deletes = routed.filter(
+        F.col("__action").startswith("delete")
+    ).select(*[F.col(s).alias(t) for t, s in key_map.items()])
     if counts.get("delete") or deleted_by_source:
         all_deletes = deletes
         if bysrc_keys is not None:
@@ -362,17 +420,81 @@ def execute_merge(
             and not c.startswith("_hoodie_")
             and not re.match(r"__pp\d*$|__bk$", c)
         ]
-    writes = routed.filter(
-        F.col("__action").isin("update", "insert")
-    ).select(*data_cols)
+    star_labels = [
+        f"{c.action}:{i}"
+        for i, c in enumerate(src_clauses)
+        if c.action in ("update", "insert") and c.assignments is None
+    ]
+    # star clauses require the source to carry every target data
+    # column; assignment clauses don't — build the write batch lazily
+    # so a no-star merge never projects absent columns
+    writes = (
+        routed.filter(F.col("__action").isin(star_labels))
+        .select(*data_cols)
+        if star_labels
+        else None
+    )
+    tgt_types = {f.name: f.dataType for f in table.read().schema.fields}
+    for i, c in enumerate(src_clauses):
+        if c.assignments is None or not label_counts.get(f"{c.action}:{i}"):
+            continue
+        rows = routed.filter(F.col("__action") == f"{c.action}:{i}")
+        if c.action == "update":
+            # matched UPDATE SET col = expr: expressions may reference
+            # BOTH aliases, so join the routed source rows back to the
+            # full target snapshot (the routing probe was keys-only);
+            # unassigned target columns carry through unchanged
+            tgt_full = table.read().alias(spec.target_alias)
+            rows = rows.alias(spec.source_alias).join(
+                tgt_full,
+                _key_join_expr(spec, key_map),
+                "inner",
+            )
+            amap = dict(c.assignments)
+            unknown = [col for col in amap if col not in tgt_types]
+            if unknown:
+                raise ValueError(
+                    f"UPDATE SET names unknown target columns {unknown}"
+                )
+            frame = rows.select(*[
+                F.expr(amap[col]).cast(tgt_types[col]).alias(col)
+                if col in amap
+                else F.col(f"{spec.target_alias}.{col}").alias(col)
+                for col in data_cols
+                if col in tgt_types
+            ])
+        else:  # explicit-column INSERT: unlisted columns become NULL
+            amap = {
+                col: _strip_alias_unquoted(expr, spec.source_alias)
+                for col, expr in c.assignments
+            }
+            unknown = [col for col in amap if col not in tgt_types]
+            if unknown:
+                raise ValueError(
+                    f"INSERT names unknown target columns {unknown}"
+                )
+            frame = rows.select(*[
+                F.expr(amap[col]).cast(tgt_types[col]).alias(col)
+                if col in amap
+                else F.lit(None).cast(tgt_types[col]).alias(col)
+                for col in data_cols
+                if col in tgt_types
+            ])
+        writes = (
+            frame
+            if writes is None
+            else writes.unionByName(frame, allowMissingColumns=True)
+        )
     if bysrc_updates is not None:
         # by-source updated TARGET rows re-enter the same upsert batch
         # (one write commit for all three clause groups' row changes)
-        writes = writes.unionByName(
-            bysrc_updates.select(
-                *[c for c in data_cols if c in bysrc_updates.columns]
-            ),
-            allowMissingColumns=True,
+        b = bysrc_updates.select(
+            *[c for c in data_cols if c in bysrc_updates.columns]
+        )
+        writes = (
+            b
+            if writes is None
+            else writes.unionByName(b, allowMissingColumns=True)
         )
     if counts.get("update") or counts.get("insert") or updated_by_source:
         commits.append(table.upsert(writes).version)
@@ -399,14 +521,15 @@ _DELETE_RE = re.compile(
 )
 
 
-def _split_set_list(sets: str) -> list[tuple[str, str]]:
-    """Split a SET list on top-level commas: commas inside parens
-    (function calls) or single-quoted SQL string literals don't split,
-    and quoted parens don't perturb the depth counter. Doubled quotes
-    (SQL escape: ``''``) stay inside the literal naturally — the second
-    quote just re-enters quoted state for the escaped character."""
+def _split_top_level(text: str) -> list[str]:
+    """Split on top-level commas: commas inside parens (function
+    calls) or single-quoted SQL string literals don't split, and
+    quoted parens don't perturb the depth counter. Doubled quotes
+    (SQL escape: ``''``) stay inside the literal naturally — the
+    second quote just re-enters quoted state for the escaped
+    character."""
     parts, depth, buf, in_str = [], 0, [], False
-    for ch in sets:
+    for ch in text:
         if ch == "'":
             in_str = not in_str
         elif not in_str:
@@ -420,12 +543,41 @@ def _split_set_list(sets: str) -> list[tuple[str, str]]:
         else:
             buf.append(ch)
     parts.append("".join(buf))
+    return parts
+
+
+def _strip_alias_unquoted(text: str, alias: str) -> str:
+    """Remove ``alias.`` prefixes OUTSIDE single-quoted SQL string
+    literals (r13: a bare re.sub rewrote ``'tgt.stale'`` to
+    ``'stale'``). Splitting on quotes puts literals at odd indices;
+    doubled-quote escapes only add empty odd segments."""
+    pat = re.compile(rf"\b{re.escape(alias)}\.")
+    return "'".join(
+        seg if i % 2 else pat.sub("", seg)
+        for i, seg in enumerate(text.split("'"))
+    )
+
+
+def _split_set_list(
+    sets: str, lhs_alias: str | None = None
+) -> list[tuple[str, str]]:
+    """Parse a SET list into ``(col, expr)`` pairs via the top-level
+    comma splitter. The LHS may carry the target alias
+    (``t.col = …``) — accepted only when it names ``lhs_alias``."""
     out = []
-    for part in parts:
-        m = re.match(r"^\s*(\w+)\s*=\s*(.+?)\s*$", part, re.DOTALL)
+    for part in _split_top_level(sets):
+        m = re.match(
+            r"^\s*(?:(\w+)\.)?(\w+)\s*=\s*(.+?)\s*$", part, re.DOTALL
+        )
         if not m:
             raise ValueError(f"bad SET assignment: {part!r}")
-        out.append((m.group(1), m.group(2)))
+        qual, col, expr = m.groups()
+        if qual is not None and qual != lhs_alias:
+            raise ValueError(
+                f"SET target column {qual}.{col} does not name the "
+                f"target alias {lhs_alias!r}"
+            )
+        out.append((col, expr))
     return out
 
 

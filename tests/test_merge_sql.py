@@ -609,16 +609,117 @@ def test_schema_evolution_never_leaks_engine_internals(spark, tmp_path):
     assert len([c for c in cols if c == "_hoodie_commit_time"]) == 1
 
 
-def test_matched_update_with_explicit_sets_refuses(spark):
-    """A matched clause with explicit assignments must not silently
-    star-expand (r12 review finding on the widened clause grammar)."""
-    with pytest.raises(ValueError, match="BY SOURCE clauses"):
-        parse_merge(
-            """MERGE INTO m USING s ON m.k = s.k
-               WHEN MATCHED THEN UPDATE SET v = 1"""
-        )
-    with pytest.raises(ValueError, match="BY SOURCE clauses"):
+def test_matched_update_explicit_sets_parse(spark):
+    """r13: matched-clause UPDATE SET col = expr parses (the most
+    common real-world MERGE shape); NOT MATCHED UPDATE still refuses."""
+    spec = parse_merge(
+        """MERGE INTO m t USING s ON t.k = s.k
+           WHEN MATCHED THEN UPDATE SET v = s.v, cnt = t.cnt + 1"""
+    )
+    (c,) = spec.clauses
+    assert c.action == "update" and c.matched
+    assert c.assignments == (("v", "s.v"), ("cnt", "t.cnt + 1"))
+    with pytest.raises(ValueError, match="NOT MATCHED THEN UPDATE"):
         parse_merge(
             """MERGE INTO m USING s ON m.k = s.k
                WHEN NOT MATCHED THEN UPDATE SET v = 1"""
         )
+
+
+def test_matched_case_when_assignment_parses():
+    """r13 ADVICE: the clause terminator must anchor to a real clause
+    boundary — a CASE WHEN inside a SET expression used to truncate
+    the action at the inner WHEN."""
+    spec = parse_merge(
+        """MERGE INTO m t USING s ON t.k = s.k
+           WHEN MATCHED THEN UPDATE SET
+               v = CASE WHEN s.v > 0 THEN s.v ELSE 0 END
+           WHEN NOT MATCHED THEN INSERT *"""
+    )
+    assert [c.action for c in spec.clauses] == ["update", "insert"]
+    assert spec.clauses[0].assignments == (
+        ("v", "CASE WHEN s.v > 0 THEN s.v ELSE 0 END"),
+    )
+
+
+def test_insert_cols_values_parse():
+    spec = parse_merge(
+        """MERGE INTO m t USING s ON t.k = s.k
+           WHEN NOT MATCHED THEN
+               INSERT (k, v) VALUES (s.k, concat(s.v, '!'))"""
+    )
+    (c,) = spec.clauses
+    assert c.action == "insert"
+    assert c.assignments == (("k", "s.k"), ("v", "concat(s.v, '!')"))
+    with pytest.raises(ValueError, match="count mismatch"):
+        parse_merge(
+            """MERGE INTO m t USING s ON t.k = s.k
+               WHEN NOT MATCHED THEN INSERT (k, v) VALUES (s.k)"""
+        )
+    with pytest.raises(ValueError, match="MATCHED THEN INSERT"):
+        parse_merge(
+            """MERGE INTO m t USING s ON t.k = s.k
+               WHEN MATCHED THEN INSERT (k) VALUES (s.k)"""
+        )
+
+
+def test_matched_assignments_execute(spark, tmp_path):
+    """Matched assignments evaluate over BOTH aliases (source value,
+    target-derived counter); unassigned target columns carry through;
+    star and assignment clauses coexist first-satisfied."""
+    t = LakehouseTable.create(
+        spark,
+        str(tmp_path / "m"),
+        spark.createDataFrame(
+            [(1, "a", 10, 0), (2, "b", 20, 5)],
+            "pk_id long, name string, value long, hits long",
+        ),
+        key_cols=["pk_id"],
+    )
+    spark.createDataFrame(
+        [(2, "b2", 201), (3, "c", 30)],
+        "pk_id long, name string, value long",
+    ).createOrReplaceTempView("m_src")
+    stats = execute_merge(
+        spark,
+        """MERGE INTO m t USING m_src s ON t.pk_id = s.pk_id
+           WHEN MATCHED THEN UPDATE SET
+               value = s.value, hits = t.hits + 1
+           WHEN NOT MATCHED THEN
+               INSERT (pk_id, name, value) VALUES (s.pk_id, s.name, s.value)""",
+        {"m": t},
+    )
+    assert (stats["updated"], stats["inserted"]) == (1, 1)
+    got = {
+        r.pk_id: (r.name, r.value, r.hits)
+        for r in t.read().select("pk_id", "name", "value", "hits").collect()
+    }
+    assert got == {
+        1: ("a", 10, 0),       # untouched
+        2: ("b", 201, 6),      # name NOT assigned -> target value kept
+        3: ("c", 30, None),    # hits unlisted in INSERT -> NULL
+    }
+
+
+def test_bysource_set_alias_inside_string_literal(spark, tmp_path):
+    """r13 (verdict wrong #4): alias stripping must not run inside
+    string literals — SET note = 'tgt.stale' keeps the alias text."""
+    t = LakehouseTable.create(
+        spark,
+        str(tmp_path / "m"),
+        spark.createDataFrame(
+            [(1, "x"), (2, "y")], "pk_id long, note string"
+        ),
+        key_cols=["pk_id"],
+    )
+    spark.createDataFrame(
+        [(2,)], "pk_id long"
+    ).createOrReplaceTempView("alias_src")
+    execute_merge(
+        spark,
+        """MERGE INTO m tgt USING alias_src s ON tgt.pk_id = s.pk_id
+           WHEN NOT MATCHED BY SOURCE THEN UPDATE SET note = 'tgt.stale'""",
+        {"m": t},
+    )
+    got = {r.pk_id: r.note for r in t.read().select("pk_id", "note").collect()}
+    assert got == {1: "tgt.stale", 2: "y"}
