@@ -592,6 +592,16 @@ def stat_identity(path: str) -> tuple:
     return (st.getModificationTime(), st.getLen())
 
 
+def mtime_ms(path: str) -> int:
+    """File modification time in epoch MILLISECONDS on every backend
+    (``stat_identity`` is unit-inconsistent by design: ns locally, ms
+    on Hadoop — fine for cache keys, wrong for time arithmetic)."""
+    if not is_remote(path):
+        return os.stat(path).st_mtime_ns // 1_000_000
+    fs, _, p = _jfs(path)
+    return int(fs.getFileStatus(p).getModificationTime())
+
+
 def file_size(path: str) -> int:
     if not is_remote(path):
         return os.stat(path).st_size

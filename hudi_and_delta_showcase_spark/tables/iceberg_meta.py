@@ -159,6 +159,24 @@ def _iceberg_type(spark_type, ids: _IdGen):
     raise ValueError(f"no Iceberg mapping for Spark type {t!r}")
 
 
+def _is_type_promotion(old, new) -> bool:
+    """Iceberg's spec-sanctioned primitive promotions (Schemas →
+    Schema Evolution): int→long, float→double, and decimal precision
+    widening at the SAME scale. Everything else is not a promotion."""
+    if not (isinstance(old, str) and isinstance(new, str)):
+        return False
+    if (old, new) in {("int", "long"), ("float", "double")}:
+        return True
+    mo = _DECIMAL_RE.fullmatch(old.replace(" ", ""))
+    mn = _DECIMAL_RE.fullmatch(new.replace(" ", ""))
+    return bool(
+        mo
+        and mn
+        and mo.group(2) == mn.group(2)
+        and int(mn.group(1)) > int(mo.group(1))
+    )
+
+
 def spark_schema_to_iceberg(schema_json: dict) -> tuple[dict, int]:
     """Spark StructType JSON -> (Iceberg schema JSON, last-column-id)."""
     ids = _IdGen()
@@ -1513,18 +1531,34 @@ def write_iceberg_dataset(
             # keep their field ids (the identity Iceberg readers
             # resolve by), new columns take fresh ids past
             # last-column-id and are optional (old files read null).
-            # Drops and type changes refuse: they are not additive.
+            # Type changes in the spec's PROMOTION set (int->long,
+            # float->double, decimal precision widen — r13, verdict
+            # #7) keep their field id and take the wider type; old
+            # files upcast at scan under the pinned read schema
+            # (Spark 4's parquet reader performs these conversions
+            # natively, the engine's own widen_column mechanism).
+            # Drops and any other type change refuse.
             new_by_name = dict(new_pairs)
             dropped = [n for n, _t in prior_pairs if n not in new_by_name]
+            widened = {
+                n: new_by_name[n]
+                for n, t in prior_pairs
+                if n in new_by_name
+                and new_by_name[n] != t
+                and _is_type_promotion(t, new_by_name[n])
+            }
             changed = [
                 n for n, t in prior_pairs
-                if n in new_by_name and new_by_name[n] != t
+                if n in new_by_name
+                and new_by_name[n] != t
+                and n not in widened
             ]
             if dropped or changed:
                 raise ValueError(
                     "append batch schema is not an additive evolution "
                     f"of the existing tree (dropped={dropped}, "
-                    f"changed={changed})"
+                    f"changed={changed}; only int->long, float->"
+                    "double and decimal precision widening promote)"
                 )
             prior_by_name = {
                 f["name"]: f for f in prior_schema["fields"]
@@ -1532,6 +1566,14 @@ def write_iceberg_dataset(
             next_id = int(prior.get("last-column-id", 0))
             fields = []
             for f in ice_schema["fields"]:
+                if f["name"] in widened:
+                    fields.append(
+                        {
+                            **prior_by_name[f["name"]],
+                            "type": widened[f["name"]],
+                        }
+                    )
+                    continue
                 if f["name"] in prior_by_name:
                     fields.append(dict(prior_by_name[f["name"]]))
                     continue
@@ -2379,11 +2421,15 @@ def rewrite_iceberg_manifests(
             "manifests_after": len(data_rows),
             "entries": None,
         }
-    # decode every data manifest once; group live entries by spec id,
-    # remembering one writer schema per spec (the partition struct
-    # differs across specs, and re-encoding with the schema the
-    # entries were decoded under is exact by construction)
-    by_spec: dict[int, dict] = {}
+    # decode every data manifest once; group live entries by (spec id,
+    # THEIR OWN writer schema) — the partition struct differs across
+    # specs, and on trees whose manifests were authored by different
+    # writers (foreign + engine, differing optional stats fields)
+    # re-encoding an entry under another manifest's schema would drop
+    # fields or KeyError (r13 ADVICE). Re-encoding with the schema an
+    # entry was decoded under is exact by construction; bin-packing
+    # simply happens within each writer-schema group.
+    by_spec: dict[tuple[int, str], dict] = {}
     total_bytes = 0
     for m in data_rows:
         schema_avro, recs = ocf_decode(
@@ -2392,7 +2438,8 @@ def rewrite_iceberg_manifests(
         total_bytes += int(m.get("manifest_length") or 0)
         spec_id = int(m.get("partition_spec_id") or 0)
         g = by_spec.setdefault(
-            spec_id, {"schema": schema_avro, "entries": []}
+            (spec_id, json.dumps(schema_avro, sort_keys=True)),
+            {"schema": schema_avro, "entries": []},
         )
         m_seq = m.get("sequence_number") or 0
         m_sid = m.get("added_snapshot_id")
@@ -2448,8 +2495,8 @@ def rewrite_iceberg_manifests(
     }
     new_list_rows: list[dict] = []
     n_new = 0
-    for spec_id in sorted(by_spec):
-        g = by_spec[spec_id]
+    for spec_id, _schema_key in sorted(by_spec):
+        g = by_spec[(spec_id, _schema_key)]
         header = {
             "schema": json.dumps(ice_schema).encode(),
             "schema-id": str(
@@ -2584,10 +2631,14 @@ def rewrite_iceberg_data_files(
     Untouched partitions carry their entries forward as EXISTING with
     original sequence numbers in the same new manifest.
 
-    Delete-bearing snapshots refuse: compacting under live deletes
-    would need delete application folded into the rewrite (use the
-    source engine's compaction first, as the snapshot reader's own
-    refusal advises)."""
+    Delete-bearing snapshots COMPACT (r13, verdict #3 —
+    RewritePositionDeleteFiles semantics): every data file any live
+    position/DV/equality delete can touch is force-rewritten with the
+    delete state APPLIED (the read path's own ``_apply_pos_deletes`` /
+    ``_apply_eq_deletes`` anti-joins), and all delete files drop in
+    the SAME replace snapshot — the new manifest list simply carries
+    no delete manifests, so a CDC-heavy v2/v3 tree compacts back to
+    a pure data snapshot through this engine."""
     if not fsio.exists(_version_hint(table_path)):
         raise FileNotFoundError(
             "rewrite_data_files works on exported trees "
@@ -2599,6 +2650,15 @@ def rewrite_iceberg_data_files(
         raise ValueError(
             "rewrite_data_files requires a format-version 2 tree"
         )
+    if len(meta.get("partition-specs") or []) > 1:
+        # r13 ADVICE: the combined manifest is stamped spec-id 0 —
+        # entries from other specs would encode under the wrong
+        # partition struct. Mirror the column-mapping refusals.
+        raise ValueError(
+            "rewrite_data_files supports single-partition-spec trees; "
+            "this tree carries "
+            f"{len(meta['partition-specs'])} specs"
+        )
     cur_sid = meta["current-snapshot-id"]
     snap = next(
         s for s in meta["snapshots"] if s["snapshot-id"] == cur_sid
@@ -2606,11 +2666,26 @@ def rewrite_iceberg_data_files(
     data, pos_d, eq_d = _snapshot_entries(
         table_path, snap, with_deletes=True
     )
-    if pos_d or eq_d:
-        raise ValueError(
-            "snapshot carries delete files: apply/compact deletes with "
-            "the writing engine before rewriting data files"
-        )
+    # files a delete can touch MUST rewrite, whatever their size —
+    # dropping the delete files is only sound once no kept file still
+    # needs them. Position/DV deletes name their files exactly (one
+    # O(delete rows) -> distinct-paths job); equality deletes apply to
+    # any file strictly below their sequence number (conservative
+    # superset, the spec's ordering rule).
+    must_rewrite: set[str] = set()
+    if pos_d:
+        must_rewrite |= {
+            r.file_path
+            for r in _pos_delete_rows(spark, table_path, pos_d)
+            .select("file_path").distinct().collect()
+        }
+    if eq_d:
+        max_eq_seq = max(int(e.get("__seq") or 0) for e in eq_d)
+        must_rewrite |= {
+            e["data_file"]["file_path"]
+            for e in data
+            if int(e.get("__seq") or 0) < max_eq_seq
+        }
     groups: dict[str, list[dict]] = {}
     for e in data:
         key = json.dumps(
@@ -2628,17 +2703,24 @@ def rewrite_iceberg_data_files(
             for e in es
         )
     }
-    if not rewrite_groups:
+    if not rewrite_groups and not pos_d and not eq_d:
         return {
             "groups_rewritten": 0,
             "files_before": len(data),
             "files_after": len(data),
         }
-    kept = [
-        e for k, es in groups.items() if k not in rewrite_groups
+    small_paths = {
+        e["data_file"]["file_path"]
+        for es in rewrite_groups.values()
         for e in es
+    } | must_rewrite
+    kept = [
+        e for e in data
+        if e["data_file"]["file_path"] not in small_paths
     ]
-    small = [e for es in rewrite_groups.values() for e in es]
+    small = [
+        e for e in data if e["data_file"]["file_path"] in small_paths
+    ]
 
     # spec fields with result-types, reconstructed from the metadata
     # (the writer derives them from partition_by; same mapping)
@@ -2665,49 +2747,60 @@ def rewrite_iceberg_data_files(
 
     from pyspark.sql import functions as F
 
-    pinned = _spark_schema_from_iceberg(schema_fields)
-    paths = [
-        _resolve(table_path, e["data_file"]["file_path"]) for e in small
-    ]
-    df = (
-        spark.read.schema(pinned).parquet(*paths)
-        if pinned is not None
-        else spark.read.parquet(*paths)
-    )
-    out = df
-    part_cols: list[str] = []
-    for sf in spec_fields:
-        if sf["source-name"] is None:
-            raise ValueError(
-                f"partition field {sf['name']} has no source column in "
-                "the current schema; cannot recompute its values"
-            )
-        expr = ice_transforms.transform_column(
-            sf["source-name"], sf["transform"]
-        )
-        if isinstance(expr, ice_transforms._TypedCol):
-            expr = expr.resolve(df.schema[sf["source-name"]].dataType)
-        hcol = f"_p_{sf['name']}"
-        part_cols.append(hcol)
-        out = out.withColumn(hcol, expr)
     location = meta["location"]
     data_dir = fsio.join(table_path, "data", f"rewrite-{version + 1}")
-    if part_cols:
-        out.repartition(*[F.col(c) for c in part_cols]).write.partitionBy(
-            *part_cols
-        ).parquet(data_dir)
-    else:
-        out.coalesce(
-            max(
-                1,
-                sum(
-                    int(e["data_file"].get("file_size_in_bytes") or 0)
-                    for e in small
-                )
-                // max(1, target_file_bytes)
-                + 1,
+    wrote_files = bool(small)
+    if small:
+        pinned = _spark_schema_from_iceberg(schema_fields)
+        paths = [
+            _resolve(table_path, e["data_file"]["file_path"])
+            for e in small
+        ]
+        df = (
+            spark.read.schema(pinned).parquet(*paths)
+            if pinned is not None
+            else spark.read.parquet(*paths)
+        )
+        # fold the delete state into the packed files — the read
+        # path's own anti-joins, scoped to the files being rewritten
+        if pos_d:
+            df = _apply_pos_deletes(spark, df, small, pos_d, table_path)
+        if eq_d:
+            df = _apply_eq_deletes(
+                spark, df, small, eq_d, table_path, meta
             )
-        ).write.parquet(data_dir)
+        out = df
+        part_cols: list[str] = []
+        for sf in spec_fields:
+            if sf["source-name"] is None:
+                raise ValueError(
+                    f"partition field {sf['name']} has no source column "
+                    "in the current schema; cannot recompute its values"
+                )
+            expr = ice_transforms.transform_column(
+                sf["source-name"], sf["transform"]
+            )
+            if isinstance(expr, ice_transforms._TypedCol):
+                expr = expr.resolve(df.schema[sf["source-name"]].dataType)
+            hcol = f"_p_{sf['name']}"
+            part_cols.append(hcol)
+            out = out.withColumn(hcol, expr)
+        if part_cols:
+            out.repartition(
+                *[F.col(c) for c in part_cols]
+            ).write.partitionBy(*part_cols).parquet(data_dir)
+        else:
+            out.coalesce(
+                max(
+                    1,
+                    sum(
+                        int(e["data_file"].get("file_size_in_bytes") or 0)
+                        for e in small
+                    )
+                    // max(1, target_file_bytes)
+                    + 1,
+                )
+            ).write.parquet(data_dir)
 
     new_sid = int(
         uuid.uuid5(
@@ -2717,10 +2810,14 @@ def rewrite_iceberg_data_files(
         % 10**18
     )
     new_seq = int(meta.get("last-sequence-number", 0)) + 1
-    added = _dataset_file_entries(
-        spark, location, data_dir, spec_fields, {
-            "type": "struct", "fields": schema_fields,
-        }, True, new_sid, new_seq,
+    added = (
+        _dataset_file_entries(
+            spark, location, data_dir, spec_fields, {
+                "type": "struct", "fields": schema_fields,
+            }, True, new_sid, new_seq,
+        )
+        if wrote_files
+        else []
     )
     kept_entries = [
         {
@@ -2810,6 +2907,7 @@ def rewrite_iceberg_data_files(
             "operation": "replace",
             "rewritten-data-files": str(len(small)),
             "added-data-files": str(len(added)),
+            "removed-delete-files": str(len(pos_d) + len(eq_d)),
         },
         "manifest-list": fsio.join(location, "metadata", list_name),
         "schema-id": meta.get("current-schema-id", 0),
@@ -2839,11 +2937,15 @@ def rewrite_iceberg_data_files(
         "groups_rewritten": len(rewrite_groups),
         "files_before": len(data),
         "files_after": len(added) + len(kept_entries),
+        "removed_delete_files": len(pos_d) + len(eq_d),
     }
 
 
 def remove_orphan_iceberg_files(
-    spark, table_path: str, dry_run: bool = False
+    spark,
+    table_path: str,
+    dry_run: bool = False,
+    older_than_ms: int = 3 * 24 * 3600 * 1000,
 ) -> dict:
     """Iceberg's removeOrphanFiles over an exported/dataset tree (r12
     — the last leg of the maintenance trilogy next to
@@ -2861,8 +2963,16 @@ def remove_orphan_iceberg_files(
     (a flat-namespace LIST on object stores); deletion runs as a
     distributed job (``lakehouse._distributed_remove``), never a
     driver-side IO loop. Returns ``{"orphans", "deleted"}`` —
-    ``dry_run=True`` reports without deleting, the guard Iceberg's
-    action ships for racing writers."""
+    ``dry_run=True`` reports without deleting.
+
+    ``older_than_ms`` (r13, verdict #4): only files whose modification
+    time predates ``now - older_than_ms`` are eligible — Iceberg's
+    removeOrphanFiles ships the same 3-day default precisely so a
+    RACING writer's staged-but-uncommitted data files (written to
+    ``data/`` before their snapshot commits) are never destroyed.
+    Pass ``0`` only when no concurrent writer can exist (the
+    single-writer maintenance-cycle shape)."""
+    import time as _time
     if not fsio.exists(_version_hint(table_path)):
         raise FileNotFoundError(
             "remove_orphan_files works on exported trees "
@@ -2888,11 +2998,13 @@ def remove_orphan_iceberg_files(
                     )
                 )
     data_root = fsio.join(table_path, "data")
+    cutoff_ms = int(_time.time() * 1000) - max(0, int(older_than_ms))
     orphans = sorted(
         p
         for p in fsio.walk_files(data_root)
         if fsio.absolutize(p) not in referenced
         and not p.rsplit("/", 1)[-1].startswith(("_", "."))
+        and (older_than_ms <= 0 or fsio.mtime_ms(p) < cutoff_ms)
     )
     if dry_run or not orphans:
         return {"orphans": orphans, "deleted": 0}
@@ -2906,9 +3018,16 @@ def remove_orphan_iceberg_files(
 
 _BOUND_UNPACK = {
     "int": lambda b: _struct.unpack("<i", b)[0],
-    "long": lambda b: _struct.unpack("<q", b)[0],
+    # length-tolerant: on a type-widened tree (int->long, float->
+    # double appends, r13) entries written BEFORE the widening carry
+    # 4-byte bounds while the current schema says the wide type
+    "long": lambda b: _struct.unpack(
+        "<i" if len(bytes(b)) == 4 else "<q", b
+    )[0],
     "float": lambda b: _struct.unpack("<f", b)[0],
-    "double": lambda b: _struct.unpack("<d", b)[0],
+    "double": lambda b: _struct.unpack(
+        "<f" if len(bytes(b)) == 4 else "<d", b
+    )[0],
     "boolean": lambda b: b != b"\x00",
     # temporal bounds surface as epoch ints; the shared compare
     # coerces them against datetime/date literals (r12)

@@ -616,3 +616,114 @@ def test_evolved_tree_reads_back_via_pyiceberg(spark, tmp_path):
     pf = t.scan().to_pandas()
     assert len(pf) == 201
     assert pf["origin"].notna().sum() == 1
+
+
+def test_append_type_widening_promotions(spark, tmp_path):
+    """r13 (verdict #7): appends carrying the spec's promotion set —
+    int->long here — land under a new schema-id with the field id
+    KEPT and the wider type taken; old narrow files upcast at scan
+    under the pinned read schema; value_counts-free bound pruning
+    still decodes the old 4-byte bounds; disallowed changes
+    (long->int, string->int) still refuse."""
+    from datetime import datetime
+
+    from hudi_and_delta_showcase_spark.tables.iceberg_meta import (
+        read_iceberg_metadata,
+        read_iceberg_table,
+        read_iceberg_where,
+        write_iceberg_dataset,
+    )
+
+    root = str(tmp_path / "widen_tree")
+    narrow = spark.createDataFrame(
+        [(i, datetime(2024, 1, 1 + i % 3, 0), float(i)) for i in range(30)],
+        "event_id int, ts timestamp, score float",
+    )
+    write_iceberg_dataset(spark, narrow, root, partition_by=[("ts", "day")])
+    wide = spark.createDataFrame(
+        [
+            (10_000_000_000 + i, datetime(2024, 2, 1, 0), float(100 + i))
+            for i in range(10)
+        ],
+        "event_id long, ts timestamp, score double",
+    )
+    write_iceberg_dataset(
+        spark, wide, root, partition_by=[("ts", "day")], mode="append"
+    )
+    meta = read_iceberg_metadata(root)
+    assert len(meta["schemas"]) == 2
+    s0 = {f["name"]: f for f in meta["schemas"][0]["fields"]}
+    s1 = {f["name"]: f for f in meta["schemas"][1]["fields"]}
+    assert s0["event_id"]["type"] == "int"
+    assert s1["event_id"]["type"] == "long"
+    assert s1["event_id"]["id"] == s0["event_id"]["id"]  # id kept
+    assert s1["score"]["type"] == "double"
+
+    got = read_iceberg_table(spark, root)
+    assert dict(got.dtypes)["event_id"] == "bigint"
+    assert dict(got.dtypes)["score"] == "double"
+    vals = sorted(r.event_id for r in got.collect())
+    assert len(vals) == 40
+    assert vals[0] == 0 and vals[-1] == 10_000_000_009
+
+    # bound pruning decodes the OLD 4-byte int bounds under the
+    # widened long schema (length-tolerant unpack)
+    hit = read_iceberg_where(
+        spark, root, "event_id", lo=10_000_000_000
+    )
+    assert sorted(r.event_id for r in hit.collect()) == [
+        10_000_000_000 + i for i in range(10)
+    ]
+    assert len(hit.inputFiles()) < len(got.inputFiles())
+
+    # NARROWING still refuses (long -> int on a widened tree)
+    with pytest.raises(ValueError, match="additive"):
+        write_iceberg_dataset(
+            spark,
+            spark.createDataFrame(
+                [(1, datetime(2024, 3, 1, 0), 1.0)],
+                "event_id int, ts timestamp, score double",
+            ),
+            root, partition_by=[("ts", "day")], mode="append",
+        )
+
+
+def test_widened_tree_reads_back_via_pyiceberg(spark, tmp_path):
+    """Conditional foreign-reader cross-check of the widened tree."""
+    pytest.importorskip("pyiceberg")
+    from datetime import datetime
+
+    from pyiceberg.table import StaticTable
+
+    from hudi_and_delta_showcase_spark.tables.iceberg_meta import (
+        write_iceberg_dataset,
+    )
+
+    root = str(tmp_path / "widen_py")
+    write_iceberg_dataset(
+        spark,
+        spark.createDataFrame(
+            [(i, datetime(2024, 1, 1, 0)) for i in range(5)],
+            "k int, ts timestamp",
+        ),
+        root,
+    )
+    write_iceberg_dataset(
+        spark,
+        spark.createDataFrame(
+            [(7_000_000_000, datetime(2024, 1, 2, 0))],
+            "k long, ts timestamp",
+        ),
+        root,
+        mode="append",
+    )
+    import glob
+    import os
+
+    hint = os.path.join(root, "metadata", "version-hint.text")
+    v = int(open(hint).read().strip())
+    st = StaticTable.from_metadata(
+        os.path.join(root, "metadata", f"v{v}.metadata.json")
+    )
+    got = st.scan().to_arrow().to_pydict()
+    assert sorted(got["k"]) == [0, 1, 2, 3, 4, 7_000_000_000]
