@@ -679,6 +679,7 @@ def optimize_delta_table(
     path: str,
     target_file_bytes: int = 128 * 1024 * 1024,
     min_input_files: int = 2,
+    cluster_by: list[str] | None = None,
 ) -> dict:
     """delta-spark's OPTIMIZE (bin-pack) against a raw ``_delta_log``
     (r12 — the Delta sibling of ``rewrite_iceberg_data_files``):
@@ -700,10 +701,21 @@ def optimize_delta_table(
     physical-name/field-id authoring). Reader-side features pass
     through ``_protocol_guard`` during replay as on any read.
 
+    ``cluster_by`` (r13, verdict #6 — the ``OPTIMIZE … ZORDER BY`` /
+    clustered-rewrite dialect): ALL live files rewrite, range-
+    partitioned + sorted on the cluster columns so each packed file
+    covers a narrow cluster-key range — the footer-stats min/max then
+    make ``read_delta_table(predicate=…)`` prune on the cluster key.
+    The commit also stamps delta-spark's ``delta.clustering`` DOMAIN
+    METADATA (the same action the engine's liquid export writes) and,
+    when the foreign protocol predates table features, upgrades it in
+    the same commit (writer-only features; readers unaffected).
+
     Scale shape: candidate selection is O(adds) driver-side; the data
     plane is ONE distributed job (the qualifying files' scan —
-    DV anti-join included — re-clustered by the partition columns);
-    stats come from one footer pass per packed file (O(new files))."""
+    DV anti-join included — re-clustered by the partition columns,
+    or range-clustered on ``cluster_by``); stats come from one footer
+    pass per packed file (O(new files))."""
     import urllib.parse
 
     meta, files, adds = _replay(path, None)
@@ -718,13 +730,20 @@ def optimize_delta_table(
         conf = dict(conf)
     if str(conf.get("delta.appendOnly", "")).lower() == "true":
         raise ValueError("delta.appendOnly table: OPTIMIZE emits removes")
-    # protocol writer guard: scan commits + checkpoint for the newest
-    # protocol action (same walk write_checkpoint does)
+    # protocol writer guard: the checkpoint already aggregates every
+    # protocol action at or below its version, so only the commit TAIL
+    # newer than the checkpoint needs the text scan (r13, verdict
+    # wrong #3 — the full walk was O(total versions) driver reads per
+    # OPTIMIZE on long-lived foreign logs)
     proto = dict(_PROTOCOL)
     cp = _read_checkpoint(path)
+    cp_version = -1
     if cp is not None and cp[3]:
         proto = dict(cp[3])
+        cp_version = cp[0]
     for v in _list_versions(path):
+        if v <= cp_version:
+            continue
         for line in fsio.read_text(_commit_file(path, v)).splitlines():
             if line.strip() and '"protocol"' in line:
                 a = json.loads(line)
@@ -747,18 +766,47 @@ def optimize_delta_table(
         s = adds.get(f, {}).get("size")
         return int(s) if s else fsio.file_size(fsio.join(path, f))
 
+    part_cols = meta.get("partitionColumns") or []
+    schema, phys_schema = _physical_schema(meta)
+    if cluster_by:
+        known = {f.name for f in schema.fields}
+        missing_cols = [c for c in cluster_by if c not in known]
+        if missing_cols:
+            raise ValueError(
+                f"cluster_by columns {missing_cols} not in the table "
+                "schema"
+            )
+        overlap = [c for c in cluster_by if c in part_cols]
+        if overlap:
+            raise ValueError(
+                f"cluster_by columns {overlap} are partition columns "
+                "(delta-spark refuses clustering on partition columns)"
+            )
     groups: dict[str, list[str]] = {}
     for f in files:
         groups.setdefault(
             json.dumps(sorted(_pv_of(f).items())), []
         ).append(f)
-    small = [
-        f
-        for _k, fs in groups.items()
-        if len(fs) >= min_input_files
-        and all(_size_of(x) < target_file_bytes for x in fs)
-        for f in fs
-    ]
+    if cluster_by:
+        # a clustered rewrite changes LAYOUT, not just file count:
+        # every live file rewrites (delta-spark's ZORDER/CLUSTER BY
+        # scope when no predicate narrows it)
+        small = list(files)
+        n_groups = len(groups)
+    else:
+        small = [
+            f
+            for _k, fs in groups.items()
+            if len(fs) >= min_input_files
+            and all(_size_of(x) < target_file_bytes for x in fs)
+            for f in fs
+        ]
+        n_groups = sum(
+            1
+            for fs in groups.values()
+            if len(fs) >= min_input_files
+            and all(_size_of(x) < target_file_bytes for x in fs)
+        )
     if not small:
         return {
             "groups_rewritten": 0,
@@ -766,26 +814,32 @@ def optimize_delta_table(
             "files_after": len(files),
             "version": None,
         }
-    n_groups = sum(
-        1
-        for fs in groups.values()
-        if len(fs) >= min_input_files
-        and all(_size_of(x) < target_file_bytes for x in fs)
-    )
-    schema, phys_schema = _physical_schema(meta)
     df = _scan_adds(
         spark, path, meta, schema, phys_schema, sorted(small), adds, []
     )
-    part_cols = meta.get("partitionColumns") or []
     staging = fsio.join(path, f".optimize-{uuid.uuid4().hex[:8]}")
-    if part_cols:
-        import pyspark.sql.functions as F
+    import pyspark.sql.functions as F
 
+    total = sum(_size_of(f) for f in small)
+    if cluster_by:
+        # range-cluster: contiguous cluster-key ranges per output file
+        # (partition columns lead the range so partitionBy dirs stay
+        # task-local), then an in-partition sort tightens the footer
+        # min/max the predicate pruning reads
+        n_out = max(1, total // max(1, target_file_bytes) + 1)
+        rcols = [F.col(c) for c in (part_cols + list(cluster_by))]
+        out_df = df.repartitionByRange(
+            max(n_out, len(groups)), *rcols
+        ).sortWithinPartitions(*rcols)
+        if part_cols:
+            out_df.write.partitionBy(*part_cols).parquet(staging)
+        else:
+            out_df.write.parquet(staging)
+    elif part_cols:
         df.repartition(*[F.col(c) for c in part_cols]).write.partitionBy(
             *part_cols
         ).parquet(staging)
     else:
-        total = sum(_size_of(f) for f in small)
         df.coalesce(
             max(1, total // max(1, target_file_bytes) + 1)
         ).write.parquet(staging)
@@ -822,6 +876,52 @@ def optimize_delta_table(
     cp_v = cp[0] if cp is not None else -1
     version = max(versions[-1] if versions else -1, cp_v) + 1
     actions: list[dict] = []
+    if cluster_by:
+        wf = set(proto.get("writerFeatures") or [])
+        if not {"clustering", "domainMetadata"} <= wf:
+            # in-commit protocol upgrade (writer-only features):
+            # version-7 protocols just extend writerFeatures; legacy
+            # protocols convert listing every feature their writer
+            # version implied (the spec's table-features migration)
+            if int(proto.get("minWriterVersion", 2)) >= 7:
+                new_proto = {
+                    **proto,
+                    "writerFeatures": sorted(
+                        wf | {"clustering", "domainMetadata"}
+                    ),
+                }
+            else:
+                implied = {"appendOnly", "invariants"}
+                mwv = int(proto.get("minWriterVersion", 2))
+                if mwv >= 3:
+                    implied.add("checkConstraints")
+                if mwv >= 4:
+                    implied |= {"changeDataFeed", "generatedColumns"}
+                if mwv >= 5:
+                    implied.add("columnMapping")
+                if mwv >= 6:
+                    implied.add("identityColumns")
+                new_proto = {
+                    "minReaderVersion": proto.get("minReaderVersion", 1),
+                    "minWriterVersion": 7,
+                    "writerFeatures": sorted(
+                        implied | {"clustering", "domainMetadata"}
+                    ),
+                }
+                if proto.get("readerFeatures"):
+                    new_proto["readerFeatures"] = proto["readerFeatures"]
+            actions.append({"protocol": new_proto})
+        actions.append(
+            {
+                "domainMetadata": {
+                    "domain": "delta.clustering",
+                    "configuration": json.dumps(
+                        {"clusteringColumns": [[c] for c in cluster_by]}
+                    ),
+                    "removed": False,
+                }
+            }
+        )
     for f in sorted(small):
         actions.append(
             {
@@ -833,14 +933,15 @@ def optimize_delta_table(
             }
         )
     actions.extend({"add": a} for a in new_adds)
+    op_params: dict = {"targetSize": str(target_file_bytes)}
+    if cluster_by:
+        op_params["clusterBy"] = json.dumps(list(cluster_by))
     actions.append(
         {
             "commitInfo": {
                 "timestamp": now,
                 "operation": "OPTIMIZE",
-                "operationParameters": {
-                    "targetSize": str(target_file_bytes)
-                },
+                "operationParameters": op_params,
                 "engineInfo": "hudi-and-delta-showcase-spark",
             }
         }

@@ -145,3 +145,135 @@ def test_optimize_noop_when_converged(spark, tmp_path):
     )
     out = optimize_delta_table(spark, path)
     assert out["groups_rewritten"] == 0 and out["version"] is None
+
+
+def test_optimize_protocol_walk_skips_checkpointed_tail(
+    spark, tmp_path, monkeypatch
+):
+    """r13 (verdict wrong #3): the OPTIMIZE writer-protocol guard must
+    not re-read every commit JSON below the newest checkpoint — the
+    checkpoint's protocol row already covers them. Pin: with a
+    checkpoint at version N, only commits > N are text-read during
+    the guard (100k-commit foreign logs exist)."""
+    from hudi_and_delta_showcase_spark.tables import delta_log, fsio
+    from hudi_and_delta_showcase_spark.tables.delta_log import (
+        write_checkpoint,
+    )
+
+    path = str(tmp_path / "t")
+    for i in range(6):
+        write_delta_table(
+            spark.createDataFrame(
+                [(10 * i + j, f"v{10 * i + j}") for j in range(5)],
+                "k int, v string",
+            ).coalesce(1),
+            path,
+            mode="append",
+        )
+    cp_v = write_checkpoint(spark, path)
+    assert cp_v == 5
+    write_delta_table(
+        spark.createDataFrame([(990, "tail")], "k int, v string")
+        .coalesce(1),
+        path,
+        mode="append",
+    )
+    before = sorted(
+        tuple(r) for r in read_delta_table(spark, path).collect()
+    )
+
+    read_versions: list[int] = []
+    orig = fsio.read_text
+
+    def spy(p):
+        import re as _re
+
+        m = _re.search(r"_delta_log/(\d{20})\.json$", p)
+        if m:
+            read_versions.append(int(m.group(1)))
+        return orig(p)
+
+    # the guard goes through delta_log's fsio binding
+    monkeypatch.setattr(delta_log.fsio, "read_text", spy)
+    out = optimize_delta_table(spark, path)
+    assert out["files_after"] < out["files_before"]
+    # ONLY the post-checkpoint tail was text-read, and each at most
+    # a bounded number of times (replay + guard)
+    assert read_versions, "expected the tail commit to be scanned"
+    assert min(read_versions) > cp_v, (
+        f"guard re-read pre-checkpoint commits: {sorted(set(read_versions))}"
+    )
+    after = sorted(
+        tuple(r) for r in read_delta_table(spark, path).collect()
+    )
+    assert after == before
+
+
+def test_optimize_cluster_by_prunes_on_cluster_key(spark, tmp_path):
+    """r13 (verdict #6): the clustered OPTIMIZE dialect — every live
+    file rewrites range-partitioned + sorted on the cluster columns,
+    the commit stamps delta.clustering domain metadata (with an
+    in-commit protocol upgrade on legacy logs), and the packed files'
+    narrow footer min/max make the predicate read prune on the
+    cluster key that previously pruned NOTHING (each original file
+    spanned the full key range)."""
+    from hudi_and_delta_showcase_spark.tables.delta_log import (
+        delta_clustering_columns,
+    )
+
+    path = str(tmp_path / "t")
+    # 4 interleaved appends: every file covers k in [i, 200): stats
+    # pruning on k is useless before clustering
+    for i in range(4):
+        write_delta_table(
+            spark.createDataFrame(
+                [(j * 4 + i, f"v{j * 4 + i}") for j in range(50)],
+                "k int, v string",
+            ).coalesce(1),
+            path,
+            mode="append",
+        )
+    before = sorted(
+        tuple(r) for r in read_delta_table(spark, path).collect()
+    )
+    unpruned = read_delta_table(spark, path, predicate=[("k", "<", 10)])
+    assert len(unpruned.inputFiles()) == 4  # every file might match
+
+    out = optimize_delta_table(
+        spark, path, target_file_bytes=2048, cluster_by=["k"]
+    )
+    assert out["groups_rewritten"] == 1
+    n_after = out["files_after"]
+    assert n_after >= 2, "need >1 packed file to prove pruning"
+
+    after_df = read_delta_table(spark, path)
+    assert sorted(tuple(r) for r in after_df.collect()) == before
+    # the cluster key now prunes: only the low-range file(s) scan
+    pruned = read_delta_table(spark, path, predicate=[("k", "<", 10)])
+    assert len(pruned.inputFiles()) < n_after
+    assert sorted(r.k for r in pruned.collect()) == list(range(10))
+    # delta-spark's DESCRIBE DETAIL source sees the clustering
+    assert delta_clustering_columns(path) == [["k"]]
+    # the commit upgraded the legacy protocol to table features
+    acts = _commit_actions(path, out["version"])
+    protos = [a["protocol"] for a in acts if "protocol" in a]
+    assert protos and protos[0]["minWriterVersion"] == 7
+    assert {"clustering", "domainMetadata"} <= set(
+        protos[0]["writerFeatures"]
+    )
+    dms = [a["domainMetadata"] for a in acts if "domainMetadata" in a]
+    assert dms and dms[0]["domain"] == "delta.clustering"
+    # dataChange=false throughout: CDF still sees only the inserts
+    ch = read_delta_changes(spark, path, 0, out["version"])
+    assert {r["_change_type"] for r in ch.collect()} == {"insert"}
+    assert ch.count() == 200
+
+
+def test_optimize_cluster_by_rejects_bad_columns(spark, tmp_path):
+    path = str(tmp_path / "t")
+    write_delta_table(
+        spark.createDataFrame([(1, "a")], "k int, v string").coalesce(1),
+        path,
+    )
+    with pytest.raises(ValueError, match="not in the table schema"):
+        optimize_delta_table(spark, path, cluster_by=["nope"])
