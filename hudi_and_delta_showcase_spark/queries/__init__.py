@@ -131,6 +131,14 @@ PRIORITY: tuple[str, ...] = (
     # expressions over the routed-source × target join) + explicit-
     # column INSERT (cols) VALUES with NULL backfill for unlisted cols
     "sql_merge_matched_assignments",
+    # r13: delete-applying Iceberg compaction — position/DV/equality
+    # delete state folds into the packed files; all delete files drop
+    # in the same replace snapshot (deletes-gone + files-shrank proof)
+    "iceberg_compact_with_deletes_read",
+    # r13: clustered OPTIMIZE on raw foreign logs — range-cluster
+    # rewrite + delta.clustering domain metadata + predicate-pruning
+    # proof on the cluster key
+    "delta_optimize_cluster_read",
     # r12: timestamp-range data skipping — footer datetime stats index
     # as ISO strings (INT96 carried no stats; the session now writes
     # TIMESTAMP_MICROS), the shared compare coerces temporal literals,
