@@ -139,6 +139,11 @@ PRIORITY: tuple[str, ...] = (
     # rewrite + delta.clustering domain metadata + predicate-pruning
     # proof on the cluster key
     "delta_optimize_cluster_read",
+    # r13: foreign-log VACUUM (retention-windowed reclamation, the
+    # Delta sibling of removeOrphanFiles) + the Iceberg SORT rewrite
+    # strategy (sort-orders metadata + bounds-pruning proof)
+    "delta_vacuum_read",
+    "iceberg_sort_compaction_read",
     # r12: timestamp-range data skipping — footer datetime stats index
     # as ISO strings (INT96 carried no stats; the session now writes
     # TIMESTAMP_MICROS), the shared compare coerces temporal literals,

@@ -1455,13 +1455,31 @@ def delta_optimize_cluster_read(
             events.filter(F.pmod(F.col("event_id"), F.lit(6)) == i),
             path, mode="append",
         )
-    lo_cut = 50
+    # the probe cut sits a quarter into the OBSERVED key range (the
+    # sf0.001 table only spans user_id 0..14 — a fixed cut above the
+    # max would prune nothing at any layout)
+    b = events.agg(
+        F.min("user_id").alias("lo"), F.max("user_id").alias("hi")
+    ).collect()[0]
+    lo_cut = int(b.lo) + max(1, (int(b.hi) - int(b.lo)) // 4)
     pre = read_delta_table(
         spark, path, predicate=[("user_id", "<", lo_cut)]
     )
     n_pre = len(pre.inputFiles())
+    # target ~1/6 of the live bytes so the clustered rewrite yields a
+    # handful of packed files at EVERY scale factor (a fixed byte
+    # target packs sf0.001 into one file, which can't prove pruning)
+    from hudi_and_delta_showcase_spark.tables import fsio
+
+    live_bytes = sum(
+        fsio.file_size(p)
+        for p in fsio.walk_files(path, suffix=".parquet")
+        if "_delta_log" not in p
+    )
     out = optimize_delta_table(
-        spark, path, target_file_bytes=64 * 1024, cluster_by=["user_id"]
+        spark, path,
+        target_file_bytes=max(16 * 1024, live_bytes // 6),
+        cluster_by=["user_id"],
     )
     post = read_delta_table(
         spark, path, predicate=[("user_id", "<", lo_cut)]
@@ -1474,6 +1492,120 @@ def delta_optimize_cluster_read(
     )
     return read_delta_table(spark, path).select(*_FINAL_COLS).withColumn(
         "clustered", F.lit(bool(clustered))
+    )
+
+
+@query(
+    "delta_vacuum_read",
+    oracle="""
+    SELECT event_id, user_id, ts, event_type, value, TRUE AS vacuumed
+    FROM events
+    """,
+    tags=("cdc", "delta", "maintenance"),
+)
+def delta_vacuum_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """VACUUM against a raw foreign ``_delta_log`` (r13 — the Delta
+    sibling of ``remove_orphan_iceberg_files``): six appends, OPTIMIZE
+    supersedes the small files, and ``vacuum_delta_table`` deletes
+    exactly the unreferenced-by-HEAD parquet older than the retention
+    window (waived here: single-writer fixture) — the default 7-day
+    window first proves it PROTECTS the fresh files. ``vacuumed``
+    proves deletion count, protection, and an exact HEAD read."""
+    from hudi_and_delta_showcase_spark.tables.delta_log import (
+        optimize_delta_table,
+        read_delta_table,
+        vacuum_delta_table,
+        write_delta_table,
+    )
+
+    events = load_table(spark, sf_dir, "events").select(*_FINAL_COLS)
+    path = tempfile.mkdtemp(prefix="delta_vac_") + "/events_dl"
+    for i in range(6):
+        write_delta_table(
+            events.filter(F.pmod(F.col("event_id"), F.lit(6)) == i),
+            path, mode="append",
+        )
+    opt = optimize_delta_table(spark, path)
+    protected = vacuum_delta_table(spark, path, dry_run=True)
+    out = vacuum_delta_table(spark, path, retain_hours=0)
+    vacuumed = (
+        opt["files_after"] < opt["files_before"]
+        and protected["would_remove_files"] == []  # 7-day window holds
+        and out["deleted"] == opt["files_before"]
+    )
+    return read_delta_table(spark, path).select(*_FINAL_COLS).withColumn(
+        "vacuumed", F.lit(bool(vacuumed))
+    )
+
+
+@query(
+    "iceberg_sort_compaction_read",
+    oracle="""
+    SELECT event_id, user_id, ts, event_type, value, TRUE AS sorted_layout
+    FROM events
+    """,
+    tags=("cdc", "iceberg", "maintenance", "transforms"),
+)
+def iceberg_sort_compaction_read(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """RewriteDataFiles' SORT strategy (r13 — the Iceberg twin of the
+    clustered Delta OPTIMIZE): six residue-class appends leave every
+    file spanning the FULL ``user_id`` range, then
+    ``rewrite_iceberg_data_files(sort_by=['user_id'])`` rewrites all
+    live files range-partitioned + sorted so the manifest bounds
+    narrow and ``read_iceberg_where`` prunes to O(matching files);
+    the metadata records the sort order (``sort-orders`` +
+    ``default-sort-order-id``). ``sorted_layout`` proves
+    pruned-nothing-before / prunes-now plus the recorded order."""
+    from hudi_and_delta_showcase_spark.tables import fsio as _fsio
+    from hudi_and_delta_showcase_spark.tables.iceberg_meta import (
+        read_iceberg_metadata,
+        read_iceberg_table,
+        read_iceberg_where,
+        rewrite_iceberg_data_files,
+        write_iceberg_dataset,
+    )
+
+    events = load_table(spark, sf_dir, "events").select(*_FINAL_COLS)
+    root = tempfile.mkdtemp(prefix="iceberg_sort_") + "/events_ice"
+    batches = [
+        events.filter(F.pmod(F.col("event_id"), F.lit(6)) == i)
+        for i in range(6)
+    ]
+    write_iceberg_dataset(spark, batches[0], root)
+    for b in batches[1:]:
+        write_iceberg_dataset(spark, b, root, mode="append")
+    b = events.agg(
+        F.min("user_id").alias("lo"), F.max("user_id").alias("hi")
+    ).collect()[0]
+    cut = int(b.lo) + max(1, (int(b.hi) - int(b.lo)) // 4)
+    n_pre = len(
+        read_iceberg_where(spark, root, "user_id", hi=cut).inputFiles()
+    )
+    live_bytes = sum(
+        _fsio.file_size(p)
+        for p in _fsio.walk_files(
+            _fsio.join(root, "data"), suffix=".parquet"
+        )
+    )
+    out = rewrite_iceberg_data_files(
+        spark, root,
+        target_file_bytes=max(16 * 1024, live_bytes // 6),
+        sort_by=["user_id"],
+    )
+    n_post = len(
+        read_iceberg_where(spark, root, "user_id", hi=cut).inputFiles()
+    )
+    meta = read_iceberg_metadata(root)
+    sorted_layout = (
+        n_pre == 6
+        and out["files_after"] >= 2
+        and n_post < out["files_after"]
+        and meta.get("default-sort-order-id") == out["sort_order_id"]
+    )
+    return read_iceberg_table(spark, root).select(*_FINAL_COLS).withColumn(
+        "sorted_layout", F.lit(bool(sorted_layout))
     )
 
 

@@ -680,6 +680,7 @@ def optimize_delta_table(
     target_file_bytes: int = 128 * 1024 * 1024,
     min_input_files: int = 2,
     cluster_by: list[str] | None = None,
+    where_partition: dict[str, str] | None = None,
 ) -> dict:
     """delta-spark's OPTIMIZE (bin-pack) against a raw ``_delta_log``
     (r12 — the Delta sibling of ``rewrite_iceberg_data_files``):
@@ -710,6 +711,13 @@ def optimize_delta_table(
     METADATA (the same action the engine's liquid export writes) and,
     when the foreign protocol predates table features, upgrades it in
     the same commit (writer-only features; readers unaffected).
+
+    ``where_partition`` (r13 — delta-spark's ``OPTIMIZE … WHERE``):
+    equality predicates over PARTITION columns scope the rewrite to
+    matching partitions — whole partitions only, the same restriction
+    delta-spark enforces — which is how a 100 TB table runs clustered
+    or bin-pack maintenance incrementally instead of as one
+    full-table job.
 
     Scale shape: candidate selection is O(adds) driver-side; the data
     plane is ONE distributed job (the qualifying files' scan —
@@ -787,6 +795,24 @@ def optimize_delta_table(
         groups.setdefault(
             json.dumps(sorted(_pv_of(f).items())), []
         ).append(f)
+    n_all_files = len(files)
+    if where_partition:
+        bad_keys = set(where_partition) - set(part_cols)
+        if bad_keys:
+            raise ValueError(
+                f"OPTIMIZE ... WHERE supports only partition columns "
+                f"{part_cols}, got {sorted(bad_keys)}"
+            )
+        want = {k: str(v) for k, v in where_partition.items()}
+        groups = {
+            key: fs
+            for key, fs in groups.items()
+            if all(
+                dict(json.loads(key)).get(k) == v
+                for k, v in want.items()
+            )
+        }
+        files = [f for fs in groups.values() for f in fs]
     if cluster_by:
         # a clustered rewrite changes LAYOUT, not just file count:
         # every live file rewrites (delta-spark's ZORDER/CLUSTER BY
@@ -810,8 +836,8 @@ def optimize_delta_table(
     if not small:
         return {
             "groups_rewritten": 0,
-            "files_before": len(files),
-            "files_after": len(files),
+            "files_before": n_all_files,
+            "files_after": n_all_files,
             "version": None,
         }
     df = _scan_adds(
@@ -952,9 +978,73 @@ def optimize_delta_table(
     )
     return {
         "groups_rewritten": n_groups,
-        "files_before": len(files),
-        "files_after": len(files) - len(small) + len(new_adds),
+        "files_before": n_all_files,
+        "files_after": n_all_files - len(small) + len(new_adds),
         "version": version,
+    }
+
+
+def vacuum_delta_table(
+    spark: SparkSession,
+    path: str,
+    retain_hours: float = 168.0,
+    dry_run: bool = False,
+) -> dict:
+    """delta-spark's VACUUM against a raw foreign ``_delta_log`` (r13
+    — the Delta sibling of ``remove_orphan_iceberg_files``): delete
+    every parquet data file under the table directory that the
+    CURRENT snapshot does not reference and whose modification time
+    predates ``now - retain_hours`` (delta-spark's 7-day default —
+    the window that protects a racing writer's staged files AND keeps
+    recent versions time-travelable). Time travel to versions whose
+    files age out stops working, exactly delta-spark's documented
+    trade.
+
+    Conservative by construction: only ``*.parquet`` files are
+    candidates (DV sidecars and other auxiliaries are never touched),
+    underscore/hidden directories — ``_delta_log``, ``_change_data``
+    — are skipped wholesale, and the live set comes from the same
+    replay every read uses.
+
+    Scale shape: the live set is O(current adds) driver-side replay
+    metadata (checkpoint-accelerated); the listing is one recursive
+    walk; deletion runs distributed (``lakehouse._distributed_
+    remove``), never a driver IO loop."""
+    import time as _time
+
+    _meta, files, _adds = _replay(path, None)
+    live = {
+        fsio.absolutize(fsio.resolve(path, f)) for f in files
+    }
+    cutoff_ms = int(_time.time() * 1000) - int(retain_hours * 3600 * 1000)
+    candidates = []
+    for p in fsio.walk_files(path, suffix=".parquet"):
+        rel = fsio.relpath(p, path)
+        if any(
+            seg.startswith(("_", ".")) for seg in rel.split("/")
+        ):
+            continue
+        if fsio.absolutize(p) in live:
+            continue
+        if retain_hours > 0 and fsio.mtime_ms(p) >= cutoff_ms:
+            continue
+        candidates.append(p)
+    candidates.sort()
+    if dry_run or not candidates:
+        return {
+            "would_remove_files": candidates,
+            "deleted": 0,
+            "cutoff_ms": cutoff_ms,
+        }
+    from hudi_and_delta_showcase_spark.tables.lakehouse import (
+        _distributed_remove,
+    )
+
+    n = _distributed_remove(spark, candidates)
+    return {
+        "would_remove_files": candidates,
+        "deleted": n,
+        "cutoff_ms": cutoff_ms,
     }
 
 

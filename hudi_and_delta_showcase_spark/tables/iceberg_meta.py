@@ -2613,6 +2613,7 @@ def rewrite_iceberg_data_files(
     table_path: str,
     target_file_bytes: int = 128 * 1024 * 1024,
     min_input_files: int = 2,
+    sort_by: list[str] | None = None,
 ) -> dict:
     """Iceberg's RewriteDataFiles (bin-pack) over a dataset-written v2
     tree (r12) — the DATA-plane sibling of ``rewrite_iceberg_
@@ -2638,7 +2639,16 @@ def rewrite_iceberg_data_files(
     ``_apply_eq_deletes`` anti-joins), and all delete files drop in
     the SAME replace snapshot — the new manifest list simply carries
     no delete manifests, so a CDC-heavy v2/v3 tree compacts back to
-    a pure data snapshot through this engine."""
+    a pure data snapshot through this engine.
+
+    ``sort_by`` (r13 — RewriteDataFiles' SORT strategy, the Iceberg
+    twin of the Delta clustered OPTIMIZE): ALL live files rewrite
+    range-partitioned + sorted on the named columns so each packed
+    file covers a narrow key range (manifest bounds then prune
+    ``read_iceberg_where`` to O(matching files)), and the table
+    metadata records the new sort order (``sort-orders`` +
+    ``default-sort-order-id``, identity/asc/nulls-first — the shape
+    iceberg-java's SortOrder writes)."""
     if not fsio.exists(_version_hint(table_path)):
         raise FileNotFoundError(
             "rewrite_data_files works on exported trees "
@@ -2693,16 +2703,21 @@ def rewrite_iceberg_data_files(
             sort_keys=True, default=str,
         )
         groups.setdefault(key, []).append(e)
-    rewrite_groups = {
-        k: es
-        for k, es in groups.items()
-        if len(es) >= min_input_files
-        and all(
-            int(e["data_file"].get("file_size_in_bytes") or 0)
-            < target_file_bytes
-            for e in es
-        )
-    }
+    if sort_by:
+        # a sorted rewrite changes LAYOUT, not just file count: every
+        # live file rewrites (RewriteDataFiles' sort strategy scope)
+        rewrite_groups = dict(groups)
+    else:
+        rewrite_groups = {
+            k: es
+            for k, es in groups.items()
+            if len(es) >= min_input_files
+            and all(
+                int(e["data_file"].get("file_size_in_bytes") or 0)
+                < target_file_bytes
+                for e in es
+            )
+        }
     if not rewrite_groups and not pos_d and not eq_d:
         return {
             "groups_rewritten": 0,
@@ -2725,6 +2740,14 @@ def rewrite_iceberg_data_files(
     # spec fields with result-types, reconstructed from the metadata
     # (the writer derives them from partition_by; same mapping)
     schema_fields = _current_schema_fields(meta)
+    if sort_by:
+        known = {f["name"] for f in schema_fields}
+        missing_cols = [c for c in sort_by if c not in known]
+        if missing_cols:
+            raise ValueError(
+                f"sort_by columns {missing_cols} not in the current "
+                "schema"
+            )
     by_id = {f["id"]: f for f in schema_fields}
     spec_fields: list[dict] = []
     for sf in (meta.get("partition-specs") or [{}])[0].get("fields", []):
@@ -2785,22 +2808,35 @@ def rewrite_iceberg_data_files(
             hcol = f"_p_{sf['name']}"
             part_cols.append(hcol)
             out = out.withColumn(hcol, expr)
-        if part_cols:
+        n_out = max(
+            1,
+            sum(
+                int(e["data_file"].get("file_size_in_bytes") or 0)
+                for e in small
+            )
+            // max(1, target_file_bytes)
+            + 1,
+        )
+        if sort_by:
+            # range-cluster on (partition helpers + sort cols): each
+            # packed file covers a narrow sort-key range, the manifest
+            # bounds narrow with it, read_iceberg_where prunes
+            rng = [F.col(c) for c in part_cols] + [
+                F.col(c) for c in sort_by
+            ]
+            clustered = out.repartitionByRange(
+                max(n_out, len(rewrite_groups)), *rng
+            ).sortWithinPartitions(*rng)
+            if part_cols:
+                clustered.write.partitionBy(*part_cols).parquet(data_dir)
+            else:
+                clustered.write.parquet(data_dir)
+        elif part_cols:
             out.repartition(
                 *[F.col(c) for c in part_cols]
             ).write.partitionBy(*part_cols).parquet(data_dir)
         else:
-            out.coalesce(
-                max(
-                    1,
-                    sum(
-                        int(e["data_file"].get("file_size_in_bytes") or 0)
-                        for e in small
-                    )
-                    // max(1, target_file_bytes)
-                    + 1,
-                )
-            ).write.parquet(data_dir)
+            out.coalesce(n_out).write.parquet(data_dir)
 
     new_sid = int(
         uuid.uuid5(
@@ -2928,6 +2964,31 @@ def rewrite_iceberg_data_files(
     refs = dict(meta.get("refs") or {})
     refs["main"] = {"snapshot-id": new_sid, "type": "branch"}
     meta["refs"] = refs
+    if sort_by:
+        # record the layout as a table sort order (iceberg-java's
+        # SortOrder shape: identity transform, asc, nulls-first)
+        by_name = {f["name"]: f for f in schema_fields}
+        orders = list(
+            meta.get("sort-orders")
+            or [{"order-id": 0, "fields": []}]
+        )
+        oid = max(int(o.get("order-id", 0)) for o in orders) + 1
+        orders.append(
+            {
+                "order-id": oid,
+                "fields": [
+                    {
+                        "transform": "identity",
+                        "source-id": by_name[c]["id"],
+                        "direction": "asc",
+                        "null-order": "nulls-first",
+                    }
+                    for c in sort_by
+                ],
+            }
+        )
+        meta["sort-orders"] = orders
+        meta["default-sort-order-id"] = oid
     fsio.write_atomic(
         _metadata_file(table_path, version + 1),
         json.dumps(meta, indent=1),
@@ -2938,6 +2999,7 @@ def rewrite_iceberg_data_files(
         "files_before": len(data),
         "files_after": len(added) + len(kept_entries),
         "removed_delete_files": len(pos_d) + len(eq_d),
+        **({"sort_order_id": oid} if sort_by else {}),
     }
 
 

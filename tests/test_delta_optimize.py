@@ -277,3 +277,103 @@ def test_optimize_cluster_by_rejects_bad_columns(spark, tmp_path):
     )
     with pytest.raises(ValueError, match="not in the table schema"):
         optimize_delta_table(spark, path, cluster_by=["nope"])
+
+
+def test_optimize_where_partition_scopes_rewrite(spark, tmp_path):
+    """r13: OPTIMIZE ... WHERE on a raw foreign log — only the named
+    partition's files rewrite (whole partitions, delta-spark's own
+    restriction); the other partition's adds are untouched, and
+    non-partition columns refuse."""
+    from hudi_and_delta_showcase_spark.tables.delta_log import (
+        export_delta_log,
+    )
+
+    # partitioned foreign log via the engine's export
+    df = spark.createDataFrame(
+        [(i, "A" if i % 2 else "B", f"v{i}") for i in range(40)],
+        "k int, g string, v string",
+    )
+    t = LakehouseTable.create(
+        spark, str(tmp_path / "src"), df.coalesce(4),
+        key_cols=["k"], partition_by="g",
+    )
+    for i in range(2):
+        t.upsert(
+            spark.createDataFrame(
+                [(100 + 2 * i, "A", "xa"), (101 + 2 * i, "B", "xb")],
+                "k int, g string, v string",
+            )
+        )
+    export_delta_log(t)
+    path = t.path
+    before = sorted(
+        tuple(r) for r in read_delta_table(spark, path).collect()
+    )
+    b_files = {
+        f for f in read_delta_table(
+            spark, path, predicate=[("g", "=", "B")]
+        ).inputFiles()
+    }
+
+    out = optimize_delta_table(
+        spark, path, min_input_files=1, where_partition={"g": "A"}
+    )
+    assert out["groups_rewritten"] == 1
+    after_df = read_delta_table(spark, path)
+    assert sorted(tuple(r) for r in after_df.collect()) == before
+    # partition B's files are byte-for-byte the same adds
+    b_after = {
+        f for f in read_delta_table(
+            spark, path, predicate=[("g", "=", "B")]
+        ).inputFiles()
+    }
+    assert b_after == b_files
+    with pytest.raises(ValueError, match="partition columns"):
+        optimize_delta_table(spark, path, where_partition={"v": "x"})
+
+
+def test_vacuum_foreign_log(spark, tmp_path):
+    """r13: VACUUM on a raw foreign log — superseded files delete only
+    once both unreferenced-by-HEAD and older than the retention
+    window; live files and the log itself are never touched."""
+    import os
+
+    from hudi_and_delta_showcase_spark.tables.delta_log import (
+        vacuum_delta_table,
+    )
+
+    path = str(tmp_path / "t")
+    for i in range(4):
+        write_delta_table(
+            spark.createDataFrame(
+                [(10 * i + j, f"v{10 * i + j}") for j in range(5)],
+                "k int, v string",
+            ).coalesce(1),
+            path,
+            mode="append",
+        )
+    out = optimize_delta_table(spark, path)  # supersedes all 4 files
+    assert out["files_after"] == 1
+    before = sorted(
+        tuple(r) for r in read_delta_table(spark, path).collect()
+    )
+
+    # default 7-day window: the just-superseded files are protected
+    res = vacuum_delta_table(spark, path, dry_run=True)
+    assert res["would_remove_files"] == []
+    # retention 0 waives the window (the RETAIN 0 HOURS test shape)
+    res = vacuum_delta_table(spark, path, retain_hours=0, dry_run=True)
+    assert len(res["would_remove_files"]) == 4
+    res = vacuum_delta_table(spark, path, retain_hours=0)
+    assert res["deleted"] == 4
+    assert all(not os.path.exists(p) for p in res["would_remove_files"])
+    # HEAD reads exactly; the log dir is untouched
+    assert sorted(
+        tuple(r) for r in read_delta_table(spark, path).collect()
+    ) == before
+    assert os.path.isdir(os.path.join(path, "_delta_log"))
+    # idempotent
+    assert vacuum_delta_table(spark, path, retain_hours=0)["deleted"] == 0
+    # time travel past the vacuumed files now fails (delta's trade)
+    with pytest.raises(Exception):
+        read_delta_table(spark, path, version=0).collect()

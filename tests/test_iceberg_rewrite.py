@@ -647,3 +647,54 @@ def test_orphan_removal_spares_recent_staged_files(spark, tmp_path):
     assert res["deleted"] == 1 and not os.path.exists(staged)
     # live data untouched
     assert len(_ids(read_iceberg_table(spark, root))) == 6
+
+
+def test_rewrite_data_files_sort_strategy(spark, tmp_path):
+    """r13: RewriteDataFiles' SORT strategy — interleaved appends
+    leave every file spanning the full event_id range; the sorted
+    rewrite packs narrow-range files (manifest bounds prune
+    read_iceberg_where), records the sort order in the metadata, and
+    reads back byte-identically."""
+    from hudi_and_delta_showcase_spark.tables.iceberg_meta import (
+        read_iceberg_where,
+        rewrite_iceberg_data_files,
+    )
+
+    root = str(tmp_path / "tree")
+    # 4 interleaved appends: each file holds event_id residues -> the
+    # full range, so bounds pruning on event_id is useless before
+    for i in range(4):
+        rows = [
+            (j * 4 + i, datetime(2024, 1, 1, 0), (j * 4 + i) % 7)
+            for j in range(50)
+        ]
+        df = spark.createDataFrame(
+            rows, "event_id long, ts timestamp, user_id long"
+        ).coalesce(1)
+        write_iceberg_dataset(
+            spark, df, root, mode="append" if i else "error"
+        )
+    before = _ids(read_iceberg_table(spark, root))
+    pre = read_iceberg_where(spark, root, "event_id", hi=9)
+    assert len(pre.inputFiles()) == 4  # nothing prunes
+
+    out = rewrite_iceberg_data_files(
+        spark, root, target_file_bytes=1024, sort_by=["event_id"]
+    )
+    assert out["groups_rewritten"] == 1
+    assert out["files_after"] >= 2
+    assert out["sort_order_id"] == 1
+
+    assert _ids(read_iceberg_table(spark, root)) == before
+    post = read_iceberg_where(spark, root, "event_id", hi=9)
+    assert len(post.inputFiles()) < out["files_after"]
+    assert sorted(r.event_id for r in post.collect()) == list(range(10))
+    meta = read_iceberg_metadata(root)
+    assert meta["default-sort-order-id"] == 1
+    order = [
+        o for o in meta["sort-orders"] if o["order-id"] == 1
+    ][0]
+    assert order["fields"][0]["transform"] == "identity"
+    assert order["fields"][0]["direction"] == "asc"
+    with pytest.raises(ValueError, match="not in the current schema"):
+        rewrite_iceberg_data_files(spark, root, sort_by=["nope"])
