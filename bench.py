@@ -30,6 +30,33 @@ REPO = os.path.dirname(os.path.abspath(__file__))
 sys.path.insert(0, REPO)
 
 
+def _steal_snap() -> tuple[int, int]:
+    """(total_jiffies, steal_jiffies) from the aggregate /proc/stat row.
+
+    r13: the host's contention is HYPERVISOR steal arriving in
+    multi-minute bursts. loadavg cannot separate that from our own
+    Spark load mid-sweep (a 32-thread query keeps the 1-minute average
+    near 1 even on an otherwise idle box), but the kernel's steal
+    counter (field 8 of /proc/stat, time the hypervisor ran someone
+    else while this VM had runnable work) measures EXACTLY the
+    external pressure and nothing of our own — verified live on this
+    host: +14 jiffies over a 3 s idle window during residual steal,
+    flat when genuinely quiet."""
+    with open("/proc/stat") as fh:
+        parts = fh.readline().split()
+    vals = [int(v) for v in parts[1:]]
+    return sum(vals), (vals[7] if len(vals) > 7 else 0)
+
+
+def _steal_frac(window_s: float = 0.5) -> float:
+    """Fraction of total cpu jiffies stolen over a short probe window."""
+    t0, s0 = _steal_snap()
+    time.sleep(window_s)
+    t1, s1 = _steal_snap()
+    dt = t1 - t0
+    return (s1 - s0) / dt if dt > 0 else 0.0
+
+
 def _await_quiet_window() -> tuple[float, bool]:
     """Quiet-window enforcement (r11, verdict #3): the r10 committed
     headline was a noisy-window artifact (uniform 1.25-1.84x at
@@ -102,11 +129,16 @@ def main() -> None:
     # round-over-round delta exceeds the noise band. All passes share
     # one session so JVM/codegen warmup cancels out.
     runs: dict[str, list[float]] = {n: [] for n in headline}
+    _hj0, _hs0 = _steal_snap()
     for _pass in range(3):
         for name, q in sorted(headline.items()):
             t0 = time.perf_counter()
             q.fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
             runs[name].append(round(time.perf_counter() - t0, 4))
+    _hj1, _hs1 = _steal_snap()
+    headline_steal_pct = round(
+        100 * (_hs1 - _hs0) / (_hj1 - _hj0), 3
+    ) if _hj1 > _hj0 else 0.0
 
     timings = {n: sorted(ts)[len(ts) // 2] for n, ts in runs.items()}
     spread = {n: [min(ts), max(ts)] for n, ts in runs.items()}
@@ -123,22 +155,63 @@ def main() -> None:
         # every recorded wall lands in a quiet slice, which is the
         # honest measurement of THIS code rather than the neighbors.
         gate = float(os.environ.get("SPARK_GRAFT_SWEEP_GATE", "0"))
+        # r13: steal-aware measurement. The r12 loadavg gate could not
+        # protect the sweep — our OWN 32-thread queries keep the
+        # 1-minute load near the gate, so external steal bursts walked
+        # straight through it (two r13 attempts: median inflation
+        # 1.18-1.33x on UNTOUCHED sub-second queries). Each query now
+        # (a) waits — bounded — for the steal fraction to dip under
+        # SPARK_GRAFT_STEAL_GATE before measuring, (b) snapshots the
+        # steal counter across its own wall, and (c) if the slice was
+        # contaminated anyway (burst onset mid-query), re-measures up
+        # to SPARK_GRAFT_STEAL_RETRIES times, keeping the attempt with
+        # the LOWEST steal fraction — a retry criterion independent of
+        # the wall itself, so it cannot cherry-pick lucky runs of a
+        # genuinely slow query, only shed the neighbors' cycles.
+        steal_gate = float(os.environ.get("SPARK_GRAFT_STEAL_GATE", "0"))
+        steal_retries = int(os.environ.get("SPARK_GRAFT_STEAL_RETRIES", "2"))
         full: dict[str, float] = {}
+        steal_seen: list[float] = []
+        requeried: list[str] = []
         for name, q in all_queries.items():  # PRIORITY order
             if gate:
                 for _ in range(30):
                     if os.getloadavg()[0] <= gate:
                         break
                     time.sleep(10)
-            t0 = time.perf_counter()
-            try:
-                q.fn(spark, sf_dir).write.format("noop").mode(
-                    "overwrite"
-                ).save()
-                full[name] = round(time.perf_counter() - t0, 4)
-            except Exception as exc:  # record, don't abort the sweep
-                full[name] = -1.0
-                print(f"# bench-all error {name}: {exc}", file=sys.stderr)
+            best_wall, best_steal = None, None
+            for attempt in range(1 + max(0, steal_retries)):
+                if steal_gate:
+                    for _ in range(36):
+                        if _steal_frac(0.5) <= steal_gate:
+                            break
+                        time.sleep(10)
+                j0, s0 = _steal_snap()
+                t0 = time.perf_counter()
+                try:
+                    q.fn(spark, sf_dir).write.format("noop").mode(
+                        "overwrite"
+                    ).save()
+                    wall = round(time.perf_counter() - t0, 4)
+                except Exception as exc:  # record, don't abort the sweep
+                    if best_wall is not None:
+                        break  # keep the earlier good measurement
+                    best_wall, best_steal = -1.0, 0.0
+                    print(
+                        f"# bench-all error {name}: {exc}", file=sys.stderr
+                    )
+                    break
+                j1, s1 = _steal_snap()
+                frac = (s1 - s0) / (j1 - j0) if j1 > j0 else 0.0
+                if best_steal is None or frac < best_steal:
+                    best_wall, best_steal = wall, frac
+                if not steal_gate or best_steal <= steal_gate:
+                    break
+                if attempt == 0:
+                    requeried.append(name)
+            full[name] = best_wall
+            if best_steal is not None and best_wall is not None and best_wall > 0:
+                steal_seen.append(best_steal)
         with open(os.path.join(REPO, "BENCH_FULL_LOCAL.json"), "w") as fh:
             json.dump(
                 {
@@ -156,6 +229,21 @@ def main() -> None:
                     "load_avg_1m_pre": load_pre,
                     "quiet": quiet,
                     "sweep_gate": gate or None,
+                    # steal-aware stamps (r13): the honest-quietness
+                    # evidence — fraction of cpu stolen by the
+                    # hypervisor DURING each kept measurement
+                    "steal_gate": steal_gate or None,
+                    "steal_pct_mean": (
+                        round(100 * sum(steal_seen) / len(steal_seen), 3)
+                        if steal_seen
+                        else None
+                    ),
+                    "steal_pct_max": (
+                        round(100 * max(steal_seen), 3)
+                        if steal_seen
+                        else None
+                    ),
+                    "requeried": sorted(requeried),
                 },
                 fh,
                 indent=1,
@@ -175,6 +263,10 @@ def main() -> None:
                 "load_avg_1m": round(os.getloadavg()[0], 2),
                 "load_avg_1m_pre": load_pre,
                 "quiet": quiet,
+                # hypervisor steal across the whole 3-pass block: the
+                # direct external-pressure evidence (r13) — a headline
+                # total is only bar-eligible when this is ~0
+                "steal_pct": headline_steal_pct,
             }
         )
     )
