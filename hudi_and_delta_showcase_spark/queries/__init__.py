@@ -144,6 +144,11 @@ PRIORITY: tuple[str, ...] = (
     # strategy (sort-orders metadata + bounds-pruning proof)
     "delta_vacuum_read",
     "iceberg_sort_compaction_read",
+    # r13: RESTORE on raw foreign logs — metadata-only rollback commit
+    # (re-adds + removes, dataChange=true), history preserved — and its
+    # Iceberg twin: manageSnapshots rollback + tag/branch management
+    "delta_restore_read",
+    "iceberg_rollback_read",
     # r12: timestamp-range data skipping — footer datetime stats index
     # as ISO strings (INT96 carried no stats; the session now writes
     # TIMESTAMP_MICROS), the shared compare coerces temporal literals,

@@ -1539,6 +1539,120 @@ def delta_vacuum_read(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "delta_restore_read",
+    oracle="""
+    SELECT event_id, user_id, ts, event_type, value, TRUE AS restored
+    FROM events WHERE event_id % 6 IN (0, 1, 2)
+    """,
+    tags=("cdc", "delta", "maintenance", "time-travel"),
+)
+def delta_restore_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RESTORE against a raw foreign ``_delta_log`` (r13 — completing
+    the foreign-log maintenance surface beside OPTIMIZE and VACUUM):
+    six residue-class appends, an OPTIMIZE that supersedes the
+    originals, then ``restore_delta_table(version=2)`` rolls the table
+    back to the first three appends as a NEW commit — the target
+    snapshot's files RE-ADD (metadata only, zero data movement; their
+    original stats ride along), everything newer removes, and the
+    pre-restore head stays time-travelable. ``restored`` proves the
+    re-add/remove counts, history preservation, and that the final
+    read serves exactly the version-2 rows the oracle recomputes."""
+    from hudi_and_delta_showcase_spark.tables.delta_log import (
+        optimize_delta_table,
+        read_delta_table,
+        restore_delta_table,
+        write_delta_table,
+    )
+
+    events = load_table(spark, sf_dir, "events").select(*_FINAL_COLS)
+    path = tempfile.mkdtemp(prefix="delta_rst_") + "/events_dl"
+    for i in range(6):
+        write_delta_table(
+            events.filter(F.pmod(F.col("event_id"), F.lit(6)) == i),
+            path, mode="append",
+        )
+    n_all = events.count()
+    opt = optimize_delta_table(spark, path)  # v6: originals superseded
+    out = restore_delta_table(spark, path, version=2)
+    pre_restore = read_delta_table(spark, path, version=out["version"] - 1)
+    restored = (
+        out["restored_to"] == 2
+        and out["version"] == 7  # appends 0-5, OPTIMIZE 6, RESTORE 7
+        and out["files_added"] == 3  # v2's originals re-added
+        and out["files_removed"] == opt["files_after"]
+        and out["metadata_restored"] is False
+        and pre_restore.count() == n_all  # head stays travelable
+    )
+    return read_delta_table(spark, path).select(*_FINAL_COLS).withColumn(
+        "restored", F.lit(bool(restored))
+    )
+
+
+@query(
+    "iceberg_rollback_read",
+    oracle="""
+    SELECT event_id, user_id, ts, event_type, value, TRUE AS rolled_back
+    FROM events WHERE event_id % 4 IN (0, 1, 2)
+    """,
+    tags=("cdc", "iceberg", "maintenance", "time-travel"),
+)
+def iceberg_rollback_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """manageSnapshots rollback + ref management on an Iceberg dataset
+    tree (r13 — the Iceberg twin of ``delta_restore_read``): four
+    residue-class appends, a TAG stamped after the third
+    (``create_iceberg_ref``), then ``rollback_iceberg_table`` rewinds
+    main to the tagged snapshot as a new metadata commit — the bad
+    fourth load vanishes from the current read while NOTHING is
+    deleted (all four snapshots stay; expire reclaims later), the tag
+    scan and the post-rollback read agree, and a non-ancestor
+    rollforward refuses. ``rolled_back`` proves snapshot retention,
+    ref/current agreement, and the refusal."""
+    from hudi_and_delta_showcase_spark.tables.iceberg_meta import (
+        create_iceberg_ref,
+        read_iceberg_metadata,
+        read_iceberg_table,
+        rollback_iceberg_table,
+        write_iceberg_dataset,
+    )
+
+    events = load_table(spark, sf_dir, "events").select(*_FINAL_COLS)
+    root = tempfile.mkdtemp(prefix="iceberg_rb_") + "/events_ice"
+    for i in range(4):
+        write_iceberg_dataset(
+            spark,
+            events.filter(F.pmod(F.col("event_id"), F.lit(4)) == i),
+            root,
+            mode="error" if i == 0 else "append",
+        )
+        if i == 2:
+            create_iceberg_ref(root, "pre-bad-load", ref_type="tag")
+    meta = read_iceberg_metadata(root)
+    good_sid = meta["refs"]["pre-bad-load"]["snapshot-id"]
+    out = rollback_iceberg_table(root, snapshot_id=good_sid)
+    post = read_iceberg_metadata(root)
+    forward_refused = False
+    try:
+        rollback_iceberg_table(
+            root, snapshot_id=meta["snapshots"][-1]["snapshot-id"]
+        )
+    except ValueError:
+        forward_refused = True
+    tag_n = read_iceberg_table(spark, root, ref="pre-bad-load").count()
+    main = read_iceberg_table(spark, root)
+    rolled_back = (
+        out["rolled_back_to"] == good_sid
+        and post["current-snapshot-id"] == good_sid
+        and post["refs"]["main"]["snapshot-id"] == good_sid
+        and len(post["snapshots"]) == 4  # nothing deleted
+        and forward_refused
+        and tag_n == main.count()
+    )
+    return main.select(*_FINAL_COLS).withColumn(
+        "rolled_back", F.lit(bool(rolled_back))
+    )
+
+
+@query(
     "iceberg_sort_compaction_read",
     oracle="""
     SELECT event_id, user_id, ts, event_type, value, TRUE AS sorted_layout

@@ -1793,6 +1793,15 @@ def write_iceberg_dataset(
                 "metadata-file": _metadata_file(table_path, version - 1),
             }
         )
+    # refs and the declared sort order CARRY ACROSS commits (Iceberg's
+    # rule — an append never drops a tag/branch or the table's write
+    # order; r13, caught by the rollback query: a tag stamped before
+    # an append vanished)
+    refs = dict((prior.get("refs") or {}) if prior is not None else {})
+    refs["main"] = {
+        **refs.get("main", {"type": "branch"}),
+        "snapshot-id": sid,
+    }
     metadata = {
         "format-version": 2,
         "table-uuid": table_uuid,
@@ -1809,13 +1818,16 @@ def write_iceberg_dataset(
         "last-partition-id": 1000 + len(spec_fields) - 1
         if spec_fields
         else 999,
-        "sort-orders": [{"order-id": 0, "fields": []}],
-        "default-sort-order-id": 0,
+        "sort-orders": (prior or {}).get("sort-orders")
+        or [{"order-id": 0, "fields": []}],
+        "default-sort-order-id": (prior or {}).get(
+            "default-sort-order-id", 0
+        ),
         "properties": {"write.format.default": "parquet"},
         "current-snapshot-id": sid,
         "snapshots": snapshots,
         "snapshot-log": snapshot_log,
-        "refs": {"main": {"snapshot-id": sid, "type": "branch"}},
+        "refs": refs,
         "metadata-log": metadata_log,
     }
     fsio.write_atomic(
@@ -2344,6 +2356,147 @@ def expire_iceberg_snapshots(table_path: str, keep_last: int = 1) -> dict:
             fsio.remove(p)
             deleted.append(p)
     return {"expired": len(expired), "deleted_files": deleted}
+
+
+def _commit_metadata(table_path: str, meta: dict, version: int) -> None:
+    """One Iceberg metadata commit: metadata-log gains the prior file,
+    the new json lands as version+1, version-hint advances — exactly
+    the tail every snapshot-producing action here writes (iceberg-java
+    writes a NEW metadata.json per commit)."""
+    import time
+
+    meta["metadata-log"] = meta.get("metadata-log", []) + [
+        {
+            "timestamp-ms": meta["last-updated-ms"],
+            "metadata-file": _metadata_file(table_path, version),
+        }
+    ]
+    meta["last-updated-ms"] = int(time.time() * 1000)
+    fsio.write_atomic(
+        _metadata_file(table_path, version + 1),
+        json.dumps(meta, indent=1),
+    )
+    fsio.write_atomic(_version_hint(table_path), str(version + 1))
+
+
+def create_iceberg_ref(
+    table_path: str,
+    name: str,
+    ref_type: str = "tag",
+    snapshot_id: int | None = None,
+    max_ref_age_ms: int | None = None,
+) -> dict:
+    """Iceberg ``manageSnapshots().createTag/createBranch`` over an
+    exported/foreign tree (r13): record a named ref at ``snapshot_id``
+    (default: the current snapshot) as a new metadata commit. Refs
+    PROTECT their snapshot from ``expire_iceberg_snapshots`` and are
+    scannable via ``read_iceberg_table(..., ref=name)``. An existing
+    name refuses (iceberg-java's rule); ``max_ref_age_ms`` rides into
+    the ref for engines that enforce retention. Pure driver metadata —
+    one json read + one write at any table size."""
+    if ref_type not in ("tag", "branch"):
+        raise ValueError("ref_type must be 'tag' or 'branch'")
+    version = int(fsio.read_pointer_text(_version_hint(table_path)).strip())
+    meta = json.loads(fsio.read_text(_metadata_file(table_path, version)))
+    refs = dict(meta.get("refs") or {})
+    if name in refs:
+        raise ValueError(f"ref {name!r} already exists")
+    sid = (
+        int(snapshot_id)
+        if snapshot_id is not None
+        else meta.get("current-snapshot-id")
+    )
+    known = {s["snapshot-id"] for s in meta.get("snapshots") or []}
+    if sid not in known:
+        raise ValueError(f"snapshot {sid} not in table metadata")
+    ref: dict = {"snapshot-id": sid, "type": ref_type}
+    if max_ref_age_ms is not None:
+        ref["max-ref-age-ms"] = int(max_ref_age_ms)
+    refs[name] = ref
+    meta["refs"] = refs
+    _commit_metadata(table_path, meta, version)
+    return {"name": name, "snapshot_id": sid, "type": ref_type}
+
+
+def drop_iceberg_ref(table_path: str, name: str) -> dict:
+    """``manageSnapshots().removeTag/removeBranch``: drop a named ref
+    as a new metadata commit. ``main`` refuses (iceberg-java never
+    drops the main branch); the snapshot itself stays — only a later
+    ``expire_iceberg_snapshots`` reclaims it."""
+    if name == "main":
+        raise ValueError("cannot drop the main branch")
+    version = int(fsio.read_pointer_text(_version_hint(table_path)).strip())
+    meta = json.loads(fsio.read_text(_metadata_file(table_path, version)))
+    refs = dict(meta.get("refs") or {})
+    if name not in refs:
+        raise ValueError(f"ref {name!r} does not exist")
+    dropped = refs.pop(name)
+    meta["refs"] = refs
+    _commit_metadata(table_path, meta, version)
+    return {"name": name, "snapshot_id": dropped.get("snapshot-id")}
+
+
+def rollback_iceberg_table(
+    table_path: str,
+    snapshot_id: int | None = None,
+    timestamp_ms: int | None = None,
+) -> dict:
+    """Iceberg ``manageSnapshots().rollbackTo(snapshotId)`` /
+    ``rollbackToTime(ts)`` over an exported/foreign tree (r13 — the
+    Iceberg twin of ``restore_delta_table``): move ``main`` (and the
+    current-snapshot pointer) back to an ANCESTOR snapshot as a new
+    metadata commit. Nothing is deleted — the rolled-past snapshots
+    stay in the metadata (re-rollforward works; ``expire`` reclaims
+    them later), the snapshot-log records the state change, and every
+    ref is untouched. Non-ancestor targets refuse, iceberg-java's own
+    rollbackTo contract (a fork would need cherry-picking, not a
+    rollback). Pure driver metadata — zero data movement at any
+    scale.
+
+    ``timestamp_ms`` resolves to the LAST ancestor whose commit
+    timestamp is <= the instant (rollbackToTime's rule)."""
+    if (snapshot_id is None) == (timestamp_ms is None):
+        raise ValueError("pass exactly one of snapshot_id / timestamp_ms")
+    version = int(fsio.read_pointer_text(_version_hint(table_path)).strip())
+    meta = json.loads(fsio.read_text(_metadata_file(table_path, version)))
+    snaps = {s["snapshot-id"]: s for s in meta.get("snapshots") or []}
+    cur = meta.get("current-snapshot-id")
+    # the current branch's ancestor chain, newest -> oldest
+    chain: list[int] = []
+    walk = cur
+    while walk in snaps:
+        chain.append(walk)
+        walk = snaps[walk].get("parent-snapshot-id")
+    if timestamp_ms is not None:
+        eligible = [
+            s
+            for s in chain
+            if snaps[s]["timestamp-ms"] <= int(timestamp_ms)
+        ]
+        if not eligible:
+            raise ValueError(
+                f"no ancestor snapshot at or before {timestamp_ms}"
+            )
+        snapshot_id = eligible[0]  # newest qualifying (chain is desc)
+    sid = int(snapshot_id)
+    import time
+
+    if sid == cur:
+        return {"rolled_back_to": sid, "version": None}
+    if sid not in chain:
+        raise ValueError(
+            f"snapshot {sid} is not an ancestor of the current "
+            f"snapshot {cur}; rollback only rewinds the main branch"
+        )
+    meta["current-snapshot-id"] = sid
+    refs = dict(meta.get("refs") or {})
+    refs["main"] = {**refs.get("main", {"type": "branch"}), "snapshot-id": sid}
+    meta["refs"] = refs
+    meta["snapshot-log"] = meta.get("snapshot-log", []) + [
+        {"timestamp-ms": int(time.time() * 1000), "snapshot-id": sid}
+    ]
+    _commit_metadata(table_path, meta, version)
+    return {"rolled_back_to": sid, "version": version + 1}
 
 
 def rewrite_iceberg_manifests(

@@ -162,3 +162,167 @@ def test_partitions_metadata_table(spark, tmp_path):
     assert parts[(("region", "eu"),)][0] == 5
     assert parts[(("region", "us"),)][0] == 5
     assert all(fc >= 1 for _rc, fc in parts.values())
+
+
+# --- r13: ref management + rollback (manageSnapshots surface) ---------
+
+
+def _dataset(spark, root, n=3):
+    from hudi_and_delta_showcase_spark.tables.iceberg_meta import (
+        write_iceberg_dataset,
+    )
+
+    for i in range(n):
+        write_iceberg_dataset(
+            spark,
+            spark.createDataFrame(
+                [(10 * i + j, f"v{10 * i + j}") for j in range(4)],
+                "k int, v string",
+            ).coalesce(1),
+            root,
+            mode="error" if i == 0 else "append",
+        )
+
+
+def test_create_and_drop_refs(spark, tmp_path):
+    from hudi_and_delta_showcase_spark.tables.iceberg_meta import (
+        create_iceberg_ref,
+        drop_iceberg_ref,
+        read_iceberg_metadata,
+        read_iceberg_table,
+    )
+
+    root = str(tmp_path / "ds")
+    _dataset(spark, root, n=3)
+    meta = read_iceberg_metadata(root)
+    first_sid = meta["snapshots"][0]["snapshot-id"]
+    v_before = len(meta.get("metadata-log", []))
+
+    out = create_iceberg_ref(root, "v1", ref_type="tag", snapshot_id=first_sid)
+    assert out["snapshot_id"] == first_sid
+    create_iceberg_ref(root, "dev", ref_type="branch")  # at current
+
+    meta = read_iceberg_metadata(root)
+    assert meta["refs"]["v1"] == {"snapshot-id": first_sid, "type": "tag"}
+    assert meta["refs"]["dev"]["type"] == "branch"
+    assert meta["refs"]["dev"]["snapshot-id"] == meta["current-snapshot-id"]
+    # each ref change is a metadata COMMIT (metadata-log grew)
+    assert len(meta["metadata-log"]) == v_before + 2
+
+    # the tag scans the first snapshot's 4 rows
+    assert read_iceberg_table(spark, root, ref="v1").count() == 4
+    assert read_iceberg_table(spark, root, ref="dev").count() == 12
+
+    with pytest.raises(ValueError, match="already exists"):
+        create_iceberg_ref(root, "v1")
+    with pytest.raises(ValueError, match="not in table"):
+        create_iceberg_ref(root, "bad", snapshot_id=123)
+    with pytest.raises(ValueError, match="main branch"):
+        drop_iceberg_ref(root, "main")
+
+    drop_iceberg_ref(root, "dev")
+    meta = read_iceberg_metadata(root)
+    assert "dev" not in meta["refs"] and "v1" in meta["refs"]
+
+
+def test_refs_protect_expire_on_dataset_trees(spark, tmp_path):
+    from hudi_and_delta_showcase_spark.tables.iceberg_meta import (
+        create_iceberg_ref,
+        expire_iceberg_snapshots,
+        read_iceberg_metadata,
+        read_iceberg_table,
+    )
+
+    root = str(tmp_path / "ds")
+    _dataset(spark, root, n=3)
+    meta = read_iceberg_metadata(root)
+    first_sid = meta["snapshots"][0]["snapshot-id"]
+    create_iceberg_ref(root, "keep", ref_type="tag", snapshot_id=first_sid)
+    out = expire_iceberg_snapshots(root, keep_last=1)
+    assert out["expired"] == 1  # the middle one; tag protects the first
+    assert read_iceberg_table(spark, root, ref="keep").count() == 4
+
+
+def test_rollback_to_ancestor(spark, tmp_path):
+    from hudi_and_delta_showcase_spark.tables.iceberg_meta import (
+        read_iceberg_metadata,
+        read_iceberg_table,
+        rollback_iceberg_table,
+    )
+
+    root = str(tmp_path / "ds")
+    _dataset(spark, root, n=3)
+    meta = read_iceberg_metadata(root)
+    sids = [s["snapshot-id"] for s in meta["snapshots"]]
+
+    out = rollback_iceberg_table(root, snapshot_id=sids[1])
+    assert out["rolled_back_to"] == sids[1]
+    assert read_iceberg_table(spark, root).count() == 8
+
+    meta = read_iceberg_metadata(root)
+    assert meta["current-snapshot-id"] == sids[1]
+    assert meta["refs"]["main"]["snapshot-id"] == sids[1]
+    # nothing deleted: all three snapshots still present (re-rollforward
+    # works), snapshot-log records the state change
+    assert [s["snapshot-id"] for s in meta["snapshots"]] == sids
+    assert meta["snapshot-log"][-1]["snapshot-id"] == sids[1]
+
+    # roll FORWARD again (head is still in the metadata)... a forward
+    # target is NOT an ancestor of the new current -> refuses
+    with pytest.raises(ValueError, match="not an ancestor"):
+        rollback_iceberg_table(root, snapshot_id=sids[2])
+
+    # no-op rollback to the current snapshot
+    out = rollback_iceberg_table(root, snapshot_id=sids[1])
+    assert out["version"] is None
+
+
+def test_rollback_by_timestamp(spark, tmp_path):
+    from hudi_and_delta_showcase_spark.tables.iceberg_meta import (
+        read_iceberg_metadata,
+        read_iceberg_table,
+        rollback_iceberg_table,
+    )
+
+    root = str(tmp_path / "ds")
+    _dataset(spark, root, n=3)
+    meta = read_iceberg_metadata(root)
+    ts1 = meta["snapshots"][1]["timestamp-ms"]
+
+    out = rollback_iceberg_table(root, timestamp_ms=ts1)
+    assert out["rolled_back_to"] == meta["snapshots"][1]["snapshot-id"]
+    assert read_iceberg_table(spark, root).count() == 8
+
+    with pytest.raises(ValueError, match="no ancestor"):
+        rollback_iceberg_table(
+            root, timestamp_ms=meta["snapshots"][0]["timestamp-ms"] - 10_000
+        )
+    with pytest.raises(ValueError, match="exactly one"):
+        rollback_iceberg_table(root)
+
+
+def test_refs_survive_dataset_appends(spark, tmp_path):
+    """r13 regression pin: an append REBUILDS the metadata json — tags/
+    branches and the declared sort order must carry across (Iceberg's
+    rule), not reset to {main} + unsorted."""
+    from hudi_and_delta_showcase_spark.tables.iceberg_meta import (
+        create_iceberg_ref,
+        read_iceberg_metadata,
+        read_iceberg_table,
+        write_iceberg_dataset,
+    )
+
+    root = str(tmp_path / "ds")
+    _dataset(spark, root, n=2)
+    create_iceberg_ref(root, "golden", ref_type="tag")
+    write_iceberg_dataset(
+        spark,
+        spark.createDataFrame([(99, "x")], "k int, v string"),
+        root,
+        mode="append",
+    )
+    meta = read_iceberg_metadata(root)
+    assert "golden" in meta["refs"]
+    assert meta["refs"]["main"]["snapshot-id"] == meta["current-snapshot-id"]
+    # the tag still scans the pre-append state
+    assert read_iceberg_table(spark, root, ref="golden").count() == 8
