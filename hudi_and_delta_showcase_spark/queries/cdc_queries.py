@@ -1658,6 +1658,63 @@ def iceberg_rollback_read(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "iceberg_wap_branch_read",
+    oracle="""
+    SELECT event_id, user_id, ts, event_type, value, TRUE AS published
+    FROM events
+    """,
+    tags=("cdc", "iceberg", "branch", "wap"),
+)
+def iceberg_wap_branch_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full write-audit-publish workflow on an Iceberg tree (r13):
+    main holds the first half of events, an ``audit`` branch is
+    created (``create_iceberg_ref``) and the second half lands on it
+    via ``write_iceberg_dataset(branch='audit')`` — main,
+    current-snapshot-id, and the main-lineage snapshot-log stay
+    untouched while the branch scan serves the staged rows — then
+    ``fast_forward_iceberg_branch('main', 'audit')`` publishes.
+    ``published`` proves staged-not-visible, audit-visible, and
+    post-publish main == the whole table the oracle recomputes."""
+    from hudi_and_delta_showcase_spark.tables.iceberg_meta import (
+        create_iceberg_ref,
+        fast_forward_iceberg_branch,
+        read_iceberg_metadata,
+        read_iceberg_table,
+        write_iceberg_dataset,
+    )
+
+    events = load_table(spark, sf_dir, "events").select(*_FINAL_COLS)
+    root = tempfile.mkdtemp(prefix="iceberg_wap_") + "/events_ice"
+    first = events.filter(F.pmod(F.col("event_id"), F.lit(2)) == 0)
+    second = events.filter(F.pmod(F.col("event_id"), F.lit(2)) == 1)
+    n_first = first.count()
+    write_iceberg_dataset(spark, first, root)
+    create_iceberg_ref(root, "audit", ref_type="branch")
+    write_iceberg_dataset(
+        spark, second, root, mode="append", branch="audit"
+    )
+    pre = read_iceberg_metadata(root)
+    staged_hidden = (
+        read_iceberg_table(spark, root).count() == n_first
+        and pre["refs"]["main"]["snapshot-id"]
+        == pre["current-snapshot-id"]
+        and len(pre["snapshot-log"]) == 1
+    )
+    audit_n = read_iceberg_table(spark, root, ref="audit").count()
+    out = fast_forward_iceberg_branch(root, "main", "audit")
+    post = read_iceberg_metadata(root)
+    published = (
+        staged_hidden
+        and audit_n == events.count()
+        and post["current-snapshot-id"] == out["snapshot_id"]
+        and post["snapshot-log"][-1]["snapshot-id"] == out["snapshot_id"]
+    )
+    return read_iceberg_table(spark, root).select(*_FINAL_COLS).withColumn(
+        "published", F.lit(bool(published))
+    )
+
+
+@query(
     "iceberg_sort_compaction_read",
     oracle="""
     SELECT event_id, user_id, ts, event_type, value, TRUE AS sorted_layout

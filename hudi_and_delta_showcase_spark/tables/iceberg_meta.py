@@ -1454,6 +1454,7 @@ def write_iceberg_dataset(
     partition_by: list[tuple[str, str]] | None = None,
     with_bounds: bool = True,
     mode: str = "error",
+    branch: str = "main",
 ) -> None:
     """Author a self-contained single-snapshot Iceberg v2 tree directly
     from a DataFrame, with an arbitrary TRANSFORM partition spec (r11)
@@ -1490,7 +1491,16 @@ def write_iceberg_dataset(
     history — existing columns keep their field ids, new primitive
     columns take ids past ``last-column-id`` and read null from older
     files (the snapshot scan pins the current schema on evolved
-    trees). Drops, type changes, and nested new columns refuse."""
+    trees). Drops, type changes, and nested new columns refuse.
+
+    ``branch`` (r13 — the write leg of the WAP / write-audit-publish
+    workflow): an append targeting a non-main branch chains its
+    snapshot onto THAT branch's head and moves only that ref — main,
+    ``current-snapshot-id``, and the main-lineage ``snapshot-log``
+    stay untouched, exactly iceberg-java's ``toBranch`` semantics.
+    Audit the branch via ``read_iceberg_table(ref=...)``, publish
+    with ``fast_forward_iceberg_branch``. The branch must already
+    exist (``create_iceberg_ref``)."""
     import urllib.parse
 
     if mode not in ("error", "append"):
@@ -1502,6 +1512,20 @@ def write_iceberg_dataset(
                 f"Iceberg tree already exists at {table_path}"
             )
         prior = read_iceberg_metadata(table_path)
+    if branch != "main":
+        if prior is None:
+            raise ValueError(
+                "branch writes require an existing tree (create the "
+                "table on main first)"
+            )
+        ref = (prior.get("refs") or {}).get(branch)
+        if ref is None:
+            raise ValueError(
+                f"branch {branch!r} does not exist; create it with "
+                "create_iceberg_ref first"
+            )
+        if ref.get("type") != "branch":
+            raise ValueError(f"ref {branch!r} is a tag, not a branch")
     from pyspark.sql import functions as F
 
     schema_json = json.loads(df.schema.json())
@@ -1718,7 +1742,12 @@ def write_iceberg_dataset(
     carried_rows: list[dict] = []
     parent_sid: int | None = None
     if prior is not None:
-        parent_sid = prior["current-snapshot-id"]
+        # a branch write chains onto the BRANCH head, not main's
+        parent_sid = (
+            prior["current-snapshot-id"]
+            if branch == "main"
+            else prior["refs"][branch]["snapshot-id"]
+        )
         parent_snap = next(
             sn
             for sn in prior["snapshots"]
@@ -1780,9 +1809,15 @@ def write_iceberg_dataset(
     if parent_sid is not None:
         snap["parent-snapshot-id"] = parent_sid
     snapshots = (prior["snapshots"] if prior is not None else []) + [snap]
+    # the snapshot-log is the MAIN lineage (Iceberg's rule: branch
+    # writes do not enter it until published)
     snapshot_log = (
         prior.get("snapshot-log", []) if prior is not None else []
-    ) + [{"timestamp-ms": ts_ms, "snapshot-id": sid}]
+    )
+    if branch == "main":
+        snapshot_log = snapshot_log + [
+            {"timestamp-ms": ts_ms, "snapshot-id": sid}
+        ]
     metadata_log = list(
         prior.get("metadata-log", []) if prior is not None else []
     )
@@ -1798,10 +1833,15 @@ def write_iceberg_dataset(
     # order; r13, caught by the rollback query: a tag stamped before
     # an append vanished)
     refs = dict((prior.get("refs") or {}) if prior is not None else {})
-    refs["main"] = {
-        **refs.get("main", {"type": "branch"}),
+    refs[branch] = {
+        **refs.get(branch, {"type": "branch"}),
         "snapshot-id": sid,
     }
+    current_sid = (
+        sid
+        if branch == "main"
+        else (prior or {}).get("current-snapshot-id", sid)
+    )
     metadata = {
         "format-version": 2,
         "table-uuid": table_uuid,
@@ -1824,7 +1864,7 @@ def write_iceberg_dataset(
             "default-sort-order-id", 0
         ),
         "properties": {"write.format.default": "parquet"},
-        "current-snapshot-id": sid,
+        "current-snapshot-id": current_sid,
         "snapshots": snapshots,
         "snapshot-log": snapshot_log,
         "refs": refs,
@@ -2497,6 +2537,57 @@ def rollback_iceberg_table(
     ]
     _commit_metadata(table_path, meta, version)
     return {"rolled_back_to": sid, "version": version + 1}
+
+
+def fast_forward_iceberg_branch(
+    table_path: str, branch: str, to: str
+) -> dict:
+    """``manageSnapshots().fastForwardBranch(branch, to)`` (r13 — the
+    PUBLISH leg of the WAP workflow): move ``branch`` to the head of
+    ref ``to``, allowed only when the current ``branch`` head is an
+    ANCESTOR of ``to``'s head (a true fast-forward; anything else
+    needs a merge/cherry-pick, which this refuses — iceberg-java's
+    contract). Fast-forwarding ``main`` also moves the
+    current-snapshot pointer and records the published snapshot in
+    the main-lineage snapshot-log. One metadata commit; pure driver
+    metadata."""
+    import time
+
+    version = int(fsio.read_pointer_text(_version_hint(table_path)).strip())
+    meta = json.loads(fsio.read_text(_metadata_file(table_path, version)))
+    refs = dict(meta.get("refs") or {})
+    if branch not in refs:
+        raise ValueError(f"branch {branch!r} does not exist")
+    if refs[branch].get("type") != "branch":
+        raise ValueError(f"ref {branch!r} is a tag, not a branch")
+    if to not in refs:
+        raise ValueError(f"ref {to!r} does not exist")
+    target = refs[to]["snapshot-id"]
+    cur = refs[branch]["snapshot-id"]
+    if target == cur:
+        return {"branch": branch, "snapshot_id": cur, "version": None}
+    snaps = {s["snapshot-id"]: s for s in meta.get("snapshots") or []}
+    walk, ancestors = target, set()
+    while walk in snaps:
+        ancestors.add(walk)
+        walk = snaps[walk].get("parent-snapshot-id")
+    if cur not in ancestors:
+        raise ValueError(
+            f"cannot fast-forward: {branch!r} head {cur} is not an "
+            f"ancestor of {to!r} head {target}"
+        )
+    refs[branch] = {**refs[branch], "snapshot-id": target}
+    meta["refs"] = refs
+    if branch == "main":
+        meta["current-snapshot-id"] = target
+        meta["snapshot-log"] = meta.get("snapshot-log", []) + [
+            {
+                "timestamp-ms": int(time.time() * 1000),
+                "snapshot-id": target,
+            }
+        ]
+    _commit_metadata(table_path, meta, version)
+    return {"branch": branch, "snapshot_id": target, "version": version + 1}
 
 
 def rewrite_iceberg_manifests(

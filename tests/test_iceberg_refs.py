@@ -326,3 +326,92 @@ def test_refs_survive_dataset_appends(spark, tmp_path):
     assert meta["refs"]["main"]["snapshot-id"] == meta["current-snapshot-id"]
     # the tag still scans the pre-append state
     assert read_iceberg_table(spark, root, ref="golden").count() == 8
+
+
+def test_branch_write_and_fast_forward(spark, tmp_path):
+    """r13 WAP workflow: create branch -> append to it (main
+    untouched) -> audit via ref scan -> fast-forward main."""
+    from hudi_and_delta_showcase_spark.tables.iceberg_meta import (
+        create_iceberg_ref,
+        fast_forward_iceberg_branch,
+        read_iceberg_metadata,
+        read_iceberg_table,
+        write_iceberg_dataset,
+    )
+
+    root = str(tmp_path / "ds")
+    _dataset(spark, root, n=2)  # main: 8 rows
+    create_iceberg_ref(root, "audit", ref_type="branch")
+    write_iceberg_dataset(
+        spark,
+        spark.createDataFrame([(100, "x"), (101, "y")], "k int, v string"),
+        root,
+        mode="append",
+        branch="audit",
+    )
+    meta = read_iceberg_metadata(root)
+    # main untouched; branch moved; branch snapshot's parent is the
+    # branch-create head; snapshot-log stays main-lineage (2 entries)
+    assert read_iceberg_table(spark, root).count() == 8
+    assert read_iceberg_table(spark, root, ref="audit").count() == 10
+    assert meta["refs"]["main"]["snapshot-id"] == meta["current-snapshot-id"]
+    b_sid = meta["refs"]["audit"]["snapshot-id"]
+    b_snap = next(
+        s for s in meta["snapshots"] if s["snapshot-id"] == b_sid
+    )
+    assert b_snap["parent-snapshot-id"] == meta["current-snapshot-id"]
+    assert len(meta["snapshot-log"]) == 2
+
+    # a second branch append chains on the branch head
+    write_iceberg_dataset(
+        spark,
+        spark.createDataFrame([(102, "z")], "k int, v string"),
+        root, mode="append", branch="audit",
+    )
+    assert read_iceberg_table(spark, root, ref="audit").count() == 11
+    assert read_iceberg_table(spark, root).count() == 8
+
+    # publish: fast-forward main to the audited branch head
+    out = fast_forward_iceberg_branch(root, "main", "audit")
+    meta = read_iceberg_metadata(root)
+    assert out["snapshot_id"] == meta["refs"]["audit"]["snapshot-id"]
+    assert meta["current-snapshot-id"] == out["snapshot_id"]
+    assert read_iceberg_table(spark, root).count() == 11
+    assert meta["snapshot-log"][-1]["snapshot-id"] == out["snapshot_id"]
+
+    # no-op fast-forward; then a DIVERGED main refuses
+    assert fast_forward_iceberg_branch(root, "main", "audit")["version"] is None
+
+
+def test_branch_write_guards(spark, tmp_path):
+    from hudi_and_delta_showcase_spark.tables.iceberg_meta import (
+        create_iceberg_ref,
+        fast_forward_iceberg_branch,
+        read_iceberg_metadata,
+        write_iceberg_dataset,
+    )
+
+    root = str(tmp_path / "ds")
+    _dataset(spark, root, n=2)
+    one = spark.createDataFrame([(1, "a")], "k int, v string")
+    with pytest.raises(ValueError, match="does not exist"):
+        write_iceberg_dataset(spark, one, root, mode="append", branch="nope")
+    meta = read_iceberg_metadata(root)
+    create_iceberg_ref(
+        root, "t0", ref_type="tag",
+        snapshot_id=meta["snapshots"][0]["snapshot-id"],
+    )
+    with pytest.raises(ValueError, match="tag, not a branch"):
+        write_iceberg_dataset(spark, one, root, mode="append", branch="t0")
+    # diverged fast-forward refuses: branch at an OLD main snapshot,
+    # then main advances -> branch head no longer main's ancestor...
+    # (main ahead of branch: ff of main to branch target is a rewind,
+    # not an ancestor move)
+    create_iceberg_ref(
+        root, "old", ref_type="branch",
+        snapshot_id=meta["snapshots"][0]["snapshot-id"],
+    )
+    with pytest.raises(ValueError, match="not an ancestor"):
+        fast_forward_iceberg_branch(root, "main", "old")
+    with pytest.raises(ValueError, match="does not exist"):
+        fast_forward_iceberg_branch(root, "main", "nope")
