@@ -2539,6 +2539,131 @@ def rollback_iceberg_table(
     return {"rolled_back_to": sid, "version": version + 1}
 
 
+def cherrypick_iceberg_snapshot(
+    table_path: str, snapshot_id: int
+) -> dict:
+    """``manageSnapshots().cherrypick(snapshotId)`` (r13 — the publish
+    path when main has MOVED since the branch forked, where
+    fast-forward refuses): re-apply an APPEND snapshot's added
+    manifests on top of the current head as a NEW snapshot. Matches
+    iceberg-java's restriction — only ``append`` snapshots cherry-pick
+    (overwrites/deletes/replaces need conflict resolution this
+    refuses); the source's added manifest rows carry over with their
+    ORIGINAL sequence numbers (older data stays older for delete
+    applicability) under a new snapshot at the next sequence number,
+    stamped ``source-snapshot-id`` exactly as iceberg-java records
+    provenance. One metadata commit + one manifest-list write; no
+    data file moves."""
+    import time
+
+    version = int(fsio.read_pointer_text(_version_hint(table_path)).strip())
+    meta = json.loads(fsio.read_text(_metadata_file(table_path, version)))
+    snaps = {s["snapshot-id"]: s for s in meta.get("snapshots") or []}
+    sid = int(snapshot_id)
+    if sid not in snaps:
+        raise ValueError(f"snapshot {sid} not in table metadata")
+    src = snaps[sid]
+    if (src.get("summary") or {}).get("operation") != "append":
+        raise ValueError(
+            "cherrypick supports append snapshots only (got "
+            f"{(src.get('summary') or {}).get('operation')!r}); "
+            "overwrites/deletes need conflict resolution"
+        )
+    cur = meta.get("current-snapshot-id")
+    chain, applied, walk = set(), set(), cur
+    while walk in snaps:
+        chain.add(walk)
+        # provenance: a prior cherry-pick of this snapshot published
+        # it under a NEW id — the source-snapshot-id stamp is how
+        # iceberg-java detects double application
+        src_stamp = (snaps[walk].get("summary") or {}).get(
+            "source-snapshot-id"
+        )
+        if src_stamp is not None:
+            applied.add(int(src_stamp))
+        walk = snaps[walk].get("parent-snapshot-id")
+    if sid in chain or sid in applied:
+        raise ValueError(
+            f"snapshot {sid} is already an ancestor of the current "
+            f"snapshot {cur}; nothing to cherry-pick"
+        )
+    # the source's OWN manifests: rows its commit added
+    _, src_rows = ocf_decode(
+        fsio.read_bytes(_resolve(table_path, src["manifest-list"]))
+    )
+    picked = [r for r in src_rows if r["added_snapshot_id"] == sid]
+    if not picked:
+        raise ValueError(f"snapshot {sid} added no manifests")
+    cur_snap = snaps[cur]
+    _, cur_rows = ocf_decode(
+        fsio.read_bytes(_resolve(table_path, cur_snap["manifest-list"]))
+    )
+    new_seq = int(meta.get("last-sequence-number", 0)) + 1
+    new_sid = int(
+        uuid.uuid5(
+            uuid.NAMESPACE_URL,
+            f"cherrypick:{meta['table-uuid']}:{sid}:v{version + 1}",
+        ).int
+        % 10**18
+    )
+    list_name = (
+        f"snap-{new_sid}-1-"
+        f"{uuid.uuid5(uuid.NAMESPACE_URL, meta['table-uuid'] + f':cp{version + 1}')}.avro"
+    )
+    fsio.write_bytes_atomic(
+        fsio.join(_meta_dir(table_path), list_name),
+        ocf_encode(
+            MANIFEST_LIST_SCHEMA_V2,
+            cur_rows + picked,
+            codec="null",
+            extra_meta={
+                "format-version": b"2",
+                "snapshot-id": str(new_sid).encode(),
+                "parent-snapshot-id": str(cur).encode(),
+                "sequence-number": str(new_seq).encode(),
+            },
+        ),
+    )
+    ts_ms = int(time.time() * 1000)
+    added_rows = sum(r.get("added_rows_count") or 0 for r in picked)
+    new_snap = {
+        "sequence-number": new_seq,
+        "snapshot-id": new_sid,
+        "parent-snapshot-id": cur,
+        "timestamp-ms": ts_ms,
+        "summary": {
+            "operation": "append",
+            "source-snapshot-id": str(sid),
+            "added-data-files": str(
+                sum(r.get("added_files_count") or 0 for r in picked)
+            ),
+            "added-records": str(added_rows),
+        },
+        "manifest-list": fsio.join(
+            meta["location"], "metadata", list_name
+        ),
+        "schema-id": meta.get("current-schema-id", 0),
+    }
+    meta["snapshots"] = meta["snapshots"] + [new_snap]
+    meta["snapshot-log"] = meta.get("snapshot-log", []) + [
+        {"timestamp-ms": ts_ms, "snapshot-id": new_sid}
+    ]
+    meta["current-snapshot-id"] = new_sid
+    meta["last-sequence-number"] = new_seq
+    refs = dict(meta.get("refs") or {})
+    refs["main"] = {
+        **refs.get("main", {"type": "branch"}),
+        "snapshot-id": new_sid,
+    }
+    meta["refs"] = refs
+    _commit_metadata(table_path, meta, version)
+    return {
+        "snapshot_id": new_sid,
+        "source_snapshot_id": sid,
+        "version": version + 1,
+    }
+
+
 def fast_forward_iceberg_branch(
     table_path: str, branch: str, to: str
 ) -> dict:

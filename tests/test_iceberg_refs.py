@@ -415,3 +415,59 @@ def test_branch_write_guards(spark, tmp_path):
         fast_forward_iceberg_branch(root, "main", "old")
     with pytest.raises(ValueError, match="does not exist"):
         fast_forward_iceberg_branch(root, "main", "nope")
+
+
+def test_cherrypick_diverged_branch(spark, tmp_path):
+    """r13: when main moved after the branch forked, fast-forward
+    refuses and cherrypick re-applies the branch's append on top of
+    the current head with provenance stamped."""
+    from hudi_and_delta_showcase_spark.tables.iceberg_meta import (
+        cherrypick_iceberg_snapshot,
+        create_iceberg_ref,
+        fast_forward_iceberg_branch,
+        read_iceberg_metadata,
+        read_iceberg_table,
+        write_iceberg_dataset,
+    )
+
+    root = str(tmp_path / "ds")
+    _dataset(spark, root, n=2)  # main: 8 rows
+    create_iceberg_ref(root, "wap", ref_type="branch")
+    write_iceberg_dataset(
+        spark,
+        spark.createDataFrame([(100, "x"), (101, "y")], "k int, v string"),
+        root, mode="append", branch="wap",
+    )
+    # main moves too -> diverged
+    write_iceberg_dataset(
+        spark,
+        spark.createDataFrame([(200, "m")], "k int, v string"),
+        root, mode="append",
+    )
+    assert read_iceberg_table(spark, root).count() == 9
+    with pytest.raises(ValueError, match="not an ancestor"):
+        fast_forward_iceberg_branch(root, "main", "wap")
+
+    meta = read_iceberg_metadata(root)
+    staged_sid = meta["refs"]["wap"]["snapshot-id"]
+    out = cherrypick_iceberg_snapshot(root, staged_sid)
+    assert out["source_snapshot_id"] == staged_sid
+
+    # main now serves base + its own append + the cherry-picked rows
+    ks = sorted(
+        r.k for r in read_iceberg_table(spark, root).select("k").collect()
+    )
+    assert ks == sorted([0, 1, 2, 3, 10, 11, 12, 13, 100, 101, 200])
+    meta = read_iceberg_metadata(root)
+    head = next(
+        s for s in meta["snapshots"]
+        if s["snapshot-id"] == meta["current-snapshot-id"]
+    )
+    assert head["summary"]["source-snapshot-id"] == str(staged_sid)
+    assert head["summary"]["operation"] == "append"
+
+    # already-applied and non-append snapshots refuse
+    with pytest.raises(ValueError, match="already an ancestor"):
+        cherrypick_iceberg_snapshot(root, staged_sid)
+    with pytest.raises(ValueError, match="not in table"):
+        cherrypick_iceberg_snapshot(root, 42)
