@@ -151,6 +151,8 @@ PRIORITY: tuple[str, ...] = (
     "iceberg_rollback_read",
     # r13: write-audit-publish — branch writes + fast-forward publish
     "iceberg_wap_branch_read",
+    # r13: Hudi CLEAN — the third plane's reclamation (KEEP_LATEST_COMMITS)
+    "hoodie_clean_read",
     # r12: timestamp-range data skipping — footer datetime stats index
     # as ISO strings (INT96 carried no stats; the session now writes
     # TIMESTAMP_MICROS), the shared compare coerces temporal literals,

@@ -1658,6 +1658,63 @@ def iceberg_rollback_read(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "hoodie_clean_read",
+    oracle="""
+    SELECT event_id, user_id, ts, event_type, value, TRUE AS cleaned
+    FROM events
+    """,
+    tags=("cdc", "hoodie", "maintenance"),
+)
+def hoodie_clean_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hudi CLEAN against a foreign ``.hoodie`` timeline (r13 — the
+    third protocol plane's reclamation row, completing the trilogy
+    beside ``delta_vacuum_read`` and the Iceberg orphan removal): two
+    appends then an INSERT_OVERWRITE leave the original file groups
+    as unreachable-at-head history; ``clean_hoodie_table`` under
+    KEEP_LATEST_COMMITS(1) first PROTECTS everything at a wide
+    retention, then deletes exactly the superseded versions and
+    records a real ``.clean`` instant with Hudi's HoodieCleanMetadata
+    field names. ``cleaned`` proves protection, the deletion count,
+    the timeline instant, and an exact head read."""
+    import json as _json
+
+    from hudi_and_delta_showcase_spark.tables import fsio as _fsio
+    from hudi_and_delta_showcase_spark.tables.hoodie_timeline import (
+        clean_hoodie_table,
+        read_hoodie_table,
+        write_hoodie_table,
+    )
+
+    events = load_table(spark, sf_dir, "events").select(*_FINAL_COLS)
+    path = tempfile.mkdtemp(prefix="hoodie_cln_") + "/events_hudi"
+    write_hoodie_table(
+        events.filter(F.pmod(F.col("event_id"), F.lit(2)) == 0), path
+    )
+    write_hoodie_table(
+        events.filter(F.pmod(F.col("event_id"), F.lit(2)) == 1), path
+    )
+    write_hoodie_table(events, path, mode="overwrite")
+    protected = clean_hoodie_table(spark, path, retain_commits=10)
+    out = clean_hoodie_table(spark, path, retain_commits=1)
+    clean_meta = _json.loads(
+        _fsio.read_text(
+            _fsio.join(path, ".hoodie", f"{out['instant']}.clean")
+        )
+    )
+    cleaned = (
+        protected["deleted"] == 0
+        and out["deleted"] >= 2
+        and clean_meta["totalFilesDeleted"] == out["deleted"]
+        and clean_meta["cleanerPolicy"] == "KEEP_LATEST_COMMITS"
+        and clean_meta["earliestCommitToRetain"]
+        == out["earliest_retained"]
+    )
+    return read_hoodie_table(spark, path).select(*_FINAL_COLS).withColumn(
+        "cleaned", F.lit(bool(cleaned))
+    )
+
+
+@query(
     "iceberg_wap_branch_read",
     oracle="""
     SELECT event_id, user_id, ts, event_type, value, TRUE AS published

@@ -1229,6 +1229,107 @@ def read_hoodie_changes(
     return out
 
 
+def clean_hoodie_table(
+    spark: SparkSession,
+    path: str,
+    retain_commits: int = 10,
+    dry_run: bool = False,
+) -> dict:
+    """Hudi's CLEAN action against a foreign ``.hoodie`` timeline
+    (r13 — the third protocol plane's reclamation sibling, next to
+    ``vacuum_delta_table`` and ``remove_orphan_iceberg_files``):
+    under KEEP_LATEST_COMMITS(``retain_commits``), delete every file
+    VERSION whose validity window closed at or before the earliest
+    retained instant — a base or log file no ``as-of >=
+    earliestCommitToRetain`` query can ever serve (superseded by a
+    newer slice of its file group, replaced by clustering, or behind
+    an INSERT_OVERWRITE) — and record the action as a real
+    ``.clean.requested -> .clean.inflight -> .clean`` instant whose
+    metadata carries Hudi's HoodieCleanMetadata field names
+    (``earliestCommitToRetain``, ``totalFilesDeleted``, per-partition
+    ``successDeleteFiles``). Time travel to instants older than the
+    retention window stops working — Hudi's documented trade, same as
+    VACUUM's.
+
+    The timeline readers ignore ``.clean`` instants by construction
+    (slice replay parses commit/deltacommit/replacecommit only), so
+    snapshot, incremental, and CDC reads after a clean serve exactly
+    what they served before it.
+
+    Scale shape: the candidate set comes from ONE driver-side replay
+    (``_file_versions_rt`` — O(instants + file versions) metadata);
+    deletion runs distributed (`lakehouse._distributed_remove`),
+    never a driver IO loop."""
+    if retain_commits < 1:
+        raise ValueError("retain_commits must be >= 1")
+    instants = _completed_instants(path)
+    if len(instants) <= retain_commits:
+        return {
+            "deleted": 0,
+            "would_remove_files": [],
+            "earliest_retained": None,
+        }
+    earliest_retained = instants[-retain_commits][0]
+    # a path is removable only when EVERY version row that lists it
+    # closed at or before the earliest retained instant
+    closed_by: dict[str, bool] = {}
+    for p, until, _is_log, _opened in _file_versions_rt(path):
+        ok = until is not None and until <= earliest_retained
+        closed_by[p] = closed_by.get(p, True) and ok
+    candidates = sorted(
+        p
+        for p, ok in closed_by.items()
+        if ok and fsio.exists(fsio.join(path, p))
+    )
+    if dry_run or not candidates:
+        return {
+            "deleted": 0,
+            "would_remove_files": candidates,
+            "earliest_retained": earliest_retained,
+        }
+    from hudi_and_delta_showcase_spark.tables.lakehouse import (
+        _distributed_remove,
+    )
+
+    n = _distributed_remove(
+        spark, [fsio.join(path, p) for p in candidates]
+    )
+    by_partition: dict[str, list[str]] = {}
+    for p in candidates:
+        part = posixpath.dirname(p)
+        by_partition.setdefault(part or "", []).append(p)
+    instant = mf.make_commit_time()
+    tdir = _timeline_dir(path)
+    meta = {
+        "startCleanTime": instant,
+        "timeTakenInMillis": 0,
+        "totalFilesDeleted": n,
+        "earliestCommitToRetain": earliest_retained,
+        "cleanerPolicy": "KEEP_LATEST_COMMITS",
+        "partitionMetadata": {
+            part: {
+                "partitionPath": part,
+                "policy": "KEEP_LATEST_COMMITS",
+                "deletePathPatterns": files,
+                "successDeleteFiles": files,
+                "failedDeleteFiles": [],
+            }
+            for part, files in sorted(by_partition.items())
+        },
+    }
+    fsio.write_atomic(fsio.join(tdir, f"{instant}.clean.requested"), "{}")
+    fsio.write_atomic(fsio.join(tdir, f"{instant}.clean.inflight"), "{}")
+    fsio.write_atomic(
+        fsio.join(tdir, f"{instant}.clean"), json.dumps(meta, indent=1)
+    )
+    return {
+        "deleted": n,
+        "would_remove_files": candidates,
+        "earliest_retained": earliest_retained,
+        "instant": instant,
+    }
+
+
 def append_log_commit(
     path: str,
     file_id: str,

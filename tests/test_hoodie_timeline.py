@@ -403,3 +403,92 @@ def test_export_hoodie_timeline_v8_dialect(spark, tmp_path):
         export_hoodie_timeline(t8, table_version=6)
     with _pytest.raises(ValueError, match="split the timeline"):
         export_hoodie_timeline(t6, table_version=8)
+
+
+# --- r13: CLEAN action (KEEP_LATEST_COMMITS reclamation) --------------
+
+
+def test_clean_removes_superseded_versions(spark, events, tmp_path):
+    from hudi_and_delta_showcase_spark.tables.hoodie_timeline import (
+        clean_hoodie_table,
+    )
+
+    path = str(tmp_path / "hudi_tbl")
+    half = events.filter(F.col("event_id") % 2 == 0)
+    rest = events.filter(F.col("event_id") % 2 == 1)
+    write_hoodie_table(half.coalesce(1), path)
+    write_hoodie_table(rest.coalesce(1), path)
+    i2 = write_hoodie_table(events.coalesce(2), path, mode="overwrite")
+    before = sorted(
+        r.event_id for r in read_hoodie_table(spark, path).collect()
+    )
+
+    # a wide retention window protects everything
+    protected = clean_hoodie_table(spark, path, retain_commits=10)
+    assert protected["deleted"] == 0 and protected["earliest_retained"] is None
+
+    # dry run lists the two pre-overwrite files without deleting
+    dry = clean_hoodie_table(
+        spark, path, retain_commits=1, dry_run=True
+    )
+    assert len(dry["would_remove_files"]) == 2 and dry["deleted"] == 0
+    assert dry["earliest_retained"] == i2
+    assert all(
+        os.path.exists(os.path.join(path, p))
+        for p in dry["would_remove_files"]
+    )
+
+    out = clean_hoodie_table(spark, path, retain_commits=1)
+    assert out["deleted"] == 2
+    assert not any(
+        os.path.exists(os.path.join(path, p))
+        for p in out["would_remove_files"]
+    )
+    # the snapshot read serves exactly what it served before
+    after = sorted(
+        r.event_id for r in read_hoodie_table(spark, path).collect()
+    )
+    assert after == before
+    # the action is a real timeline instant with Hudi's metadata names
+    import json as _json
+
+    cf = os.path.join(path, ".hoodie", f"{out['instant']}.clean")
+    assert os.path.exists(cf)
+    meta = _json.loads(open(cf).read())
+    assert meta["earliestCommitToRetain"] == i2
+    assert meta["totalFilesDeleted"] == 2
+    assert meta["cleanerPolicy"] == "KEEP_LATEST_COMMITS"
+    files = [
+        f
+        for pm in meta["partitionMetadata"].values()
+        for f in pm["successDeleteFiles"]
+    ]
+    assert sorted(files) == out["would_remove_files"]
+    # idempotent: nothing left to clean at this retention
+    again = clean_hoodie_table(spark, path, retain_commits=1)
+    assert again["deleted"] == 0
+
+
+def test_clean_keeps_live_slices_of_retained_window(spark, events, tmp_path):
+    """Versions still serving any as-of >= earliestCommitToRetain
+    survive: with retain_commits=2 the pre-overwrite files closed AT
+    the earliest retained instant are removable, but the overwrite's
+    own files are not."""
+    from hudi_and_delta_showcase_spark.tables.hoodie_timeline import (
+        clean_hoodie_table,
+        list_instants,
+    )
+
+    path = str(tmp_path / "hudi_tbl")
+    write_hoodie_table(events.coalesce(1), path)
+    write_hoodie_table(events.coalesce(1), path, mode="overwrite")
+    write_hoodie_table(events.coalesce(1), path, mode="overwrite")
+    i0, i1, i2 = list_instants(path)
+    out = clean_hoodie_table(spark, path, retain_commits=2)
+    # retained window starts at i1: the i0 file (closed at i1) goes,
+    # the i1 file (closed at i2 > i1) stays for as-of i1 reads
+    assert out["earliest_retained"] == i1
+    assert out["deleted"] == 1
+    assert read_hoodie_table(spark, path, as_of_instant=i1).count() == (
+        events.count()
+    )
