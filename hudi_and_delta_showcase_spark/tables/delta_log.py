@@ -698,8 +698,14 @@ def optimize_delta_table(
     honor its protocol): ``delta.appendOnly`` tables refuse (OPTIMIZE
     emits removes); ``rowTracking`` / ``icebergCompat*`` writer
     features refuse (their adds need fields this writer does not
-    author); column-mapped tables refuse (the packed files would need
-    physical-name/field-id authoring). Reader-side features pass
+    author). COLUMN-MAPPED tables compact (r13): the packed files are
+    written under the PHYSICAL schema — a positional struct cast
+    renames every nested field and ``DataFrame.to`` re-attaches the
+    field metadata, so id-mode tables get real ``parquet.field.id``
+    attributes and name-mode tables the physical column names; the
+    stamped ``stats`` are physical-keyed as the protocol requires.
+    Partitioned column-mapped tables still refuse (physical
+    partitionValues/directory authoring). Reader-side features pass
     through ``_protocol_guard`` during replay as on any read.
 
     ``cluster_by`` (r13, verdict #6 — the ``OPTIMIZE … ZORDER BY`` /
@@ -727,12 +733,25 @@ def optimize_delta_table(
     import urllib.parse
 
     meta, files, adds = _replay(path, None)
-    if _mapping_mode(meta) != "none":
+    mapped = _mapping_mode(meta) != "none"
+    if mapped and (meta.get("partitionColumns") or []):
         raise ValueError(
-            "OPTIMIZE under column mapping is not supported: packed "
-            "files would need physical-name/field-id authoring; run "
-            "the table's own engine's OPTIMIZE"
+            "OPTIMIZE on a PARTITIONED column-mapped table is not "
+            "supported (partitionValues/directory authoring under "
+            "physical names); run the table's own engine's OPTIMIZE"
         )
+    if _mapping_mode(meta) == "id":
+        from pyspark.sql.types import ArrayType, MapType, StructType
+
+        _sch, _ = _physical_schema(meta)
+        if any(
+            isinstance(f.dataType, (StructType, ArrayType, MapType))
+            for f in _sch.fields
+        ):
+            raise ValueError(
+                "OPTIMIZE on an id-mapped table with NESTED columns "
+                "is not supported (nested parquet field-id authoring)"
+            )
     conf = meta.get("configuration") or {}
     if isinstance(conf, list):
         conf = dict(conf)
@@ -846,6 +865,31 @@ def optimize_delta_table(
     staging = fsio.join(path, f".optimize-{uuid.uuid4().hex[:8]}")
     import pyspark.sql.functions as F
 
+    def _to_physical(d):
+        """Rename the scanned LOGICAL frame to the table's PHYSICAL
+        schema before writing (r13 — OPTIMIZE on column-mapped
+        tables): a positional struct cast renames every nested field
+        (logical and physical schemas are structurally identical),
+        then ``DataFrame.to`` attaches the per-field metadata —
+        including ``parquet.field.id`` for id-mode tables, which
+        Spark's writer emits so spec readers resolve the packed files
+        by field id."""
+        if not mapped:
+            return d
+        # id-mode files resolve by parquet field id; the id rides as
+        # per-attribute ALIAS metadata (``DataFrame.to`` shows the
+        # metadata in the schema but Spark's writer does not emit ids
+        # from it — probed on 4.1; alias(metadata=) does)
+        spark.conf.set("spark.sql.parquet.fieldId.write.enabled", "true")
+        return d.select(
+            *[
+                F.col(lf.name)
+                .cast(pf.dataType)
+                .alias(pf.name, metadata=pf.metadata or {})
+                for lf, pf in zip(schema.fields, phys_schema.fields)
+            ]
+        )
+
     total = sum(_size_of(f) for f in small)
     if cluster_by:
         # range-cluster: contiguous cluster-key ranges per output file
@@ -860,13 +904,13 @@ def optimize_delta_table(
         if part_cols:
             out_df.write.partitionBy(*part_cols).parquet(staging)
         else:
-            out_df.write.parquet(staging)
+            _to_physical(out_df).write.parquet(staging)
     elif part_cols:
         df.repartition(*[F.col(c) for c in part_cols]).write.partitionBy(
             *part_cols
         ).parquet(staging)
     else:
-        df.coalesce(
+        _to_physical(df).coalesce(
             max(1, total // max(1, target_file_bytes) + 1)
         ).write.parquet(staging)
     now = int(time.time() * 1000)
@@ -937,12 +981,23 @@ def optimize_delta_table(
                 if proto.get("readerFeatures"):
                     new_proto["readerFeatures"] = proto["readerFeatures"]
             actions.append({"protocol": new_proto})
+        # under column mapping the domain metadata records PHYSICAL
+        # names (delta-spark's convention; spec readers resolve them
+        # against the files)
+        log2phys = {
+            lf.name: pf.name
+            for lf, pf in zip(schema.fields, phys_schema.fields)
+        } if mapped else {}
         actions.append(
             {
                 "domainMetadata": {
                     "domain": "delta.clustering",
                     "configuration": json.dumps(
-                        {"clusteringColumns": [[c] for c in cluster_by]}
+                        {
+                            "clusteringColumns": [
+                                [log2phys.get(c, c)] for c in cluster_by
+                            ]
+                        }
                     ),
                     "removed": False,
                 }

@@ -377,3 +377,146 @@ def test_vacuum_foreign_log(spark, tmp_path):
     # time travel past the vacuumed files now fails (delta's trade)
     with pytest.raises(Exception):
         read_delta_table(spark, path, version=0).collect()
+
+
+# --- r13: OPTIMIZE under column mapping -------------------------------
+
+
+def _install_mapping(path, mode, fields):
+    """Patch a metaData commit installing columnMapping over the raw
+    log (the foreign-writer shape test_convert_delta.py pins)."""
+    v = len(
+        [f for f in os.listdir(os.path.join(path, "_delta_log"))
+         if f.endswith(".json")]
+    )
+    with open(
+        os.path.join(path, "_delta_log", f"{v:020d}.json"), "w"
+    ) as fh:
+        fh.write(json.dumps({"metaData": {
+            "id": "x", "format": {"provider": "parquet", "options": {}},
+            "schemaString": json.dumps(
+                {"type": "struct", "fields": fields}
+            ),
+            "partitionColumns": [],
+            "configuration": {
+                "delta.columnMapping.mode": mode,
+                "delta.columnMapping.maxColumnId": str(len(fields)),
+            },
+        }}))
+
+
+def test_optimize_name_mapped_table(spark, tmp_path):
+    """A renamed (name-mapped) table compacts: packed files carry the
+    PHYSICAL column names, stats are physical-keyed, logical reads
+    round-trip."""
+    from hudi_and_delta_showcase_spark.tables.delta_log import (
+        parquet_column_names,
+    )
+
+    path = str(tmp_path / "t")
+    for i in range(4):
+        write_delta_table(
+            spark.createDataFrame(
+                [(10 * i + j, f"v{10 * i + j}") for j in range(5)],
+                "k int, v string",
+            ).coalesce(1),
+            path, mode="append",
+        )
+    _install_mapping(path, "name", [
+        {"name": "key_id", "type": "integer", "nullable": True,
+         "metadata": {"delta.columnMapping.physicalName": "k",
+                      "delta.columnMapping.id": 1}},
+        {"name": "val", "type": "string", "nullable": True,
+         "metadata": {"delta.columnMapping.physicalName": "v",
+                      "delta.columnMapping.id": 2}},
+    ])
+    before = sorted(
+        tuple(r) for r in read_delta_table(spark, path).collect()
+    )
+    out = optimize_delta_table(spark, path)
+    assert out["files_before"] == 4 and out["files_after"] == 1
+    after_df = read_delta_table(spark, path)
+    assert after_df.columns == ["key_id", "val"]
+    assert sorted(tuple(r) for r in after_df.collect()) == before
+
+    acts = _commit_actions(path, out["version"])
+    add = next(a["add"] for a in acts if "add" in a)
+    # the packed file: physical names inside, physical-keyed stats
+    assert parquet_column_names(os.path.join(path, add["path"])) == {
+        "k", "v",
+    }
+    st = json.loads(add["stats"])
+    assert st["numRecords"] == 20
+    assert set(st["minValues"]) == {"k", "v"}
+
+
+def test_optimize_id_mapped_table_stamps_field_ids(spark, tmp_path):
+    """id-mode: the packed file carries real parquet field ids so
+    spec readers resolve it by id."""
+    import pyarrow.parquet as pq
+
+    path = str(tmp_path / "t")
+    spark.conf.set("spark.sql.parquet.fieldId.write.enabled", "true")
+    for i in range(3):
+        write_delta_table(
+            spark.createDataFrame(
+                [(10 * i + j, f"v{10 * i + j}") for j in range(4)],
+                "k int, v string",
+            ).coalesce(1)
+            .withMetadata("k", {"parquet.field.id": 1})
+            .withMetadata("v", {"parquet.field.id": 2}),
+            path, mode="append",
+        )
+    _install_mapping(path, "id", [
+        {"name": "key_id", "type": "integer", "nullable": True,
+         "metadata": {"delta.columnMapping.physicalName": "k",
+                      "delta.columnMapping.id": 1}},
+        {"name": "val", "type": "string", "nullable": True,
+         "metadata": {"delta.columnMapping.physicalName": "v",
+                      "delta.columnMapping.id": 2}},
+    ])
+    before = sorted(
+        tuple(r) for r in read_delta_table(spark, path).collect()
+    )
+    out = optimize_delta_table(spark, path)
+    assert out["files_after"] == 1
+    assert sorted(
+        tuple(r) for r in read_delta_table(spark, path).collect()
+    ) == before
+    add = next(
+        a["add"] for a in _commit_actions(path, out["version"]) if "add" in a
+    )
+    sch = pq.ParquetFile(os.path.join(path, add["path"])).schema_arrow
+    ids = {
+        f.name: (f.metadata or {}).get(b"PARQUET:field_id")
+        for f in sch
+    }
+    assert ids == {"k": b"1", "v": b"2"}
+
+
+def test_optimize_partitioned_mapped_refuses(spark, tmp_path):
+    path = str(tmp_path / "t")
+    write_delta_table(
+        spark.createDataFrame([(1, "a")], "k int, v string").coalesce(1),
+        path,
+    )
+    v = 1
+    with open(
+        os.path.join(path, "_delta_log", f"{v:020d}.json"), "w"
+    ) as fh:
+        fh.write(json.dumps({"metaData": {
+            "id": "x", "format": {"provider": "parquet", "options": {}},
+            "schemaString": json.dumps({"type": "struct", "fields": [
+                {"name": "key_id", "type": "integer", "nullable": True,
+                 "metadata": {"delta.columnMapping.physicalName": "k",
+                              "delta.columnMapping.id": 1}},
+                {"name": "val", "type": "string", "nullable": True,
+                 "metadata": {"delta.columnMapping.physicalName": "v",
+                              "delta.columnMapping.id": 2}},
+            ]}),
+            "partitionColumns": ["val"],
+            "configuration": {"delta.columnMapping.mode": "name",
+                              "delta.columnMapping.maxColumnId": "2"},
+        }}))
+    with pytest.raises(ValueError, match="PARTITIONED column-mapped"):
+        optimize_delta_table(spark, path)
