@@ -2248,6 +2248,10 @@ def _snapshot_entries(
                 if e.get("sequence_number") is not None
                 else m_seq
             )
+            # the owning manifest's spec (r13): rewrite's spec-
+            # migration path needs to know which entries are already
+            # on the default spec
+            e["__spec"] = int(m.get("partition_spec_id") or 0)
         if m.get("content", 0) == MANIFEST_CONTENT_DELETES:
             for e in live:
                 if (
@@ -3029,15 +3033,19 @@ def rewrite_iceberg_data_files(
         raise ValueError(
             "rewrite_data_files requires a format-version 2 tree"
         )
-    if len(meta.get("partition-specs") or []) > 1:
-        # r13 ADVICE: the combined manifest is stamped spec-id 0 —
-        # entries from other specs would encode under the wrong
-        # partition struct. Mirror the column-mapping refusals.
-        raise ValueError(
-            "rewrite_data_files supports single-partition-spec trees; "
-            "this tree carries "
-            f"{len(meta['partition-specs'])} specs"
-        )
+    # multi-spec trees compact by SPEC MIGRATION (late r13, lifting
+    # the earlier refusal): iceberg-java's RewriteDataFiles always
+    # writes its output under the table's CURRENT default spec, so
+    # every entry still on an older spec is force-rewritten — the one
+    # combined manifest is then genuinely single-spec and encodes
+    # under the default partition struct
+    specs = meta.get("partition-specs") or [{"spec-id": 0, "fields": []}]
+    default_spec_id = int(
+        meta.get("default-spec-id", specs[0].get("spec-id", 0))
+    )
+    default_spec = next(
+        s for s in specs if int(s.get("spec-id", 0)) == default_spec_id
+    )
     cur_sid = meta["current-snapshot-id"]
     snap = next(
         s for s in meta["snapshots"] if s["snapshot-id"] == cur_sid
@@ -3065,6 +3073,14 @@ def rewrite_iceberg_data_files(
             for e in data
             if int(e.get("__seq") or 0) < max_eq_seq
         }
+    # spec migration: entries on an older spec force-rewrite so the
+    # whole table lands on the default spec (output is always written
+    # under the current spec, iceberg-java's rule)
+    must_rewrite |= {
+        e["data_file"]["file_path"]
+        for e in data
+        if int(e.get("__spec") or 0) != default_spec_id
+    }
     groups: dict[str, list[dict]] = {}
     for e in data:
         key = json.dumps(
@@ -3087,7 +3103,7 @@ def rewrite_iceberg_data_files(
                 for e in es
             )
         }
-    if not rewrite_groups and not pos_d and not eq_d:
+    if not rewrite_groups and not pos_d and not eq_d and not must_rewrite:
         return {
             "groups_rewritten": 0,
             "files_before": len(data),
@@ -3119,7 +3135,7 @@ def rewrite_iceberg_data_files(
             )
     by_id = {f["id"]: f for f in schema_fields}
     spec_fields: list[dict] = []
-    for sf in (meta.get("partition-specs") or [{}])[0].get("fields", []):
+    for sf in default_spec.get("fields", []):
         src = by_id.get(sf["source-id"])
         stype = (src or {}).get("type", "string")
         stype = stype if isinstance(stype, str) else "string"
@@ -3245,9 +3261,9 @@ def rewrite_iceberg_data_files(
         ).encode(),
         "schema-id": str(meta.get("current-schema-id", 0)).encode(),
         "partition-spec": json.dumps(
-            (meta.get("partition-specs") or [{}])[0].get("fields", [])
+            default_spec.get("fields", [])
         ).encode(),
-        "partition-spec-id": b"0",
+        "partition-spec-id": str(default_spec_id).encode(),
         "format-version": b"2",
         "content": b"data",
     }
@@ -3268,7 +3284,7 @@ def rewrite_iceberg_data_files(
     list_row = {
         "manifest_path": fsio.join(location, "metadata", manifest_name),
         "manifest_length": len(manifest_bytes),
-        "partition_spec_id": 0,
+        "partition_spec_id": default_spec_id,
         "content": MANIFEST_CONTENT_DATA,
         "sequence_number": new_seq,
         "min_sequence_number": min(s for s in seqs if s is not None),

@@ -495,30 +495,78 @@ def test_rewrite_applies_equality_deletes_strict_seq(spark, tmp_path):
     assert after == before
 
 
-def test_rewrite_refuses_multi_spec_trees(spark, tmp_path):
-    """r13 ADVICE: the combined manifest is stamped spec-id 0; a tree
-    with >1 partition spec must refuse, not mis-encode."""
+def test_rewrite_migrates_multi_spec_tree_to_default_spec(spark, tmp_path):
+    """Late r13 (lifting the earlier refusal): a multi-spec tree
+    compacts by SPEC MIGRATION — every entry on an older spec is
+    force-rewritten under the current default spec (iceberg-java's
+    RewriteDataFiles always writes output with the current spec), so
+    the combined manifest is genuinely single-spec."""
     import json
 
+    from hudi_and_delta_showcase_spark.avro_ocf import ocf_decode
     from hudi_and_delta_showcase_spark.tables.iceberg_meta import (
+        read_iceberg_metadata,
         rewrite_iceberg_data_files,
     )
 
     root = str(tmp_path / "tree")
     write_iceberg_dataset(spark, _batch(spark, 1, 6, 0), root)
+    before = sorted(
+        (r.event_id, r.user_id)
+        for r in read_iceberg_table(spark, root)
+        .select("event_id", "user_id").collect()
+    )
+    # evolve the declared layout: spec 1 partitions by
+    # identity(user_id);
+    # the live files all remain stamped spec 0 (the foreign shape a
+    # partition-spec evolution leaves behind)
     hint = f"{root}/metadata/version-hint.text"
     with open(hint) as fh:
         v = int(fh.read().strip())
     mf = f"{root}/metadata/v{v}.metadata.json"
     with open(mf) as fh:
         meta = json.load(fh)
+    v_id = next(
+        f["id"] for f in meta["schema"]["fields"]
+        if f["name"] == "user_id"
+    )
     meta["partition-specs"] = (meta.get("partition-specs") or [
         {"spec-id": 0, "fields": []}
-    ]) + [{"spec-id": 1, "fields": []}]
+    ]) + [{"spec-id": 1, "fields": [
+        {"name": "user_id", "transform": "identity",
+         "source-id": v_id, "field-id": 1000},
+    ]}]
+    meta["default-spec-id"] = 1
+    meta["last-partition-id"] = 1000
     with open(mf, "w") as fh:
         json.dump(meta, fh)
-    with pytest.raises(ValueError, match="single-partition-spec"):
-        rewrite_iceberg_data_files(spark, root)
+
+    out = rewrite_iceberg_data_files(spark, root, min_input_files=2)
+    # the single file did not qualify as a small-file group, but the
+    # spec migration force-rewrote it anyway
+    assert out["files_before"] >= 1
+    after = sorted(
+        (r.event_id, r.user_id)
+        for r in read_iceberg_table(spark, root)
+        .select("event_id", "user_id").collect()
+    )
+    assert after == before
+
+    meta = read_iceberg_metadata(root)
+    snap = next(
+        s for s in meta["snapshots"]
+        if s["snapshot-id"] == meta["current-snapshot-id"]
+    )
+    _, rows = ocf_decode(open(snap["manifest-list"], "rb").read())
+    assert [r["partition_spec_id"] for r in rows] == [1]
+    # the migrated entries carry real identity(v) partition values
+    _, entries = ocf_decode(open(rows[0]["manifest_path"], "rb").read())
+    parts = {
+        e["data_file"]["partition"].get("user_id")
+        for e in entries
+        if e["status"] != 2
+    }
+    assert parts and None not in parts
 
 
 def test_rewrite_manifests_mixed_writer_schemas(spark, tmp_path):
