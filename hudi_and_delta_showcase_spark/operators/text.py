@@ -29,9 +29,17 @@ STOPWORDS = ("the", "a", "and", "of", "to", "in", "is", "it")
 BPE_REGEX = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]"
 
 
-def quality_scores(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+def quality_scores(
+    df: DataFrame, id_col: str, text_col: str, keep: tuple[str, ...] = ()
+) -> DataFrame:
     """Length / token / stopword / punctuation quality features.
-    All ratios are int/int divisions -> bit-identical cross-engine."""
+    All ratios are int/int divisions -> bit-identical cross-engine.
+
+    ``keep`` names extra columns to carry through unchanged — the
+    map-only feature operators (this, ``lang_id``, ``fingerprint``)
+    then CHAIN over one scan instead of being join-reassembled on the
+    id (r13 opt: the composed curation pipeline dropped 3 scans and
+    3 shuffled joins this way)."""
     toks = F.filter(F.split(F.lower(F.col(text_col)), " "), lambda t: t != "")
     n_tokens = F.size(toks)
     stop_arr = F.array(*[F.lit(s) for s in STOPWORDS])
@@ -51,20 +59,25 @@ def quality_scores(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
         avg_tok.alias("avg_token_len"),
         (n_stop / n_tokens).alias("stopword_ratio"),
         (n_punct / F.length(text_col)).alias("punct_ratio"),
+        *[F.col(c) for c in keep],
     )
 
 
-def lang_id(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+def lang_id(
+    df: DataFrame, id_col: str, text_col: str, keep: tuple[str, ...] = ()
+) -> DataFrame:
     """Marker-lexicon language ID: score = count of token occurrences in
     each language's marker set; argmax with deterministic tie order
-    (en > es > de > fr > und)."""
+    (en > es > de > fr > und). ``keep``: see ``quality_scores``."""
     toks = F.filter(F.split(F.lower(F.col(text_col)), " "), lambda t: t != "")
     scores = {}
     for lang, markers in LANG_MARKERS.items():
         arr = F.array(*[F.lit(m) for m in markers])
         scores[lang] = F.size(F.filter(toks, lambda t: F.array_contains(arr, t)))
     out = df.select(
-        F.col(id_col), *[scores[l].alias(f"score_{l}") for l in LANG_MARKERS]
+        F.col(id_col),
+        *[scores[l].alias(f"score_{l}") for l in LANG_MARKERS],
+        *[F.col(c) for c in keep],
     )
     # chained CASE: first listed language with the (weak) max score wins
     langs = list(LANG_MARKERS)
@@ -165,18 +178,22 @@ def winnowing_fingerprint(
     )
 
 
-def fingerprint(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+def fingerprint(
+    df: DataFrame, id_col: str, text_col: str, keep: tuple[str, ...] = ()
+) -> DataFrame:
     """Document fingerprints:
     * ``md5_fp``  — md5 of whitespace-normalized lowercased text (exact-
       dup detection under formatting noise; cross-engine deterministic).
     * ``min_shingle_fp`` — lexicographic min of md5(word) (a 1-hash
-      MinHash; rolling-hash flavored content fingerprint)."""
+      MinHash; rolling-hash flavored content fingerprint).
+    ``keep``: see ``quality_scores``."""
     norm = F.regexp_replace(F.lower(F.col(text_col)), r"\s+", " ")
     toks = F.filter(F.split(F.lower(F.col(text_col)), " "), lambda t: t != "")
     return df.select(
         F.col(id_col),
         F.md5(norm).alias("md5_fp"),
         F.array_min(F.transform(toks, lambda t: F.md5(t))).alias("min_shingle_fp"),
+        *[F.col(c) for c in keep],
     )
 
 

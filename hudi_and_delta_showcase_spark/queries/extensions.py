@@ -1022,10 +1022,18 @@ def text_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     libm implementations can't flip the order."""
     toks = D.tokenize(load_table(spark, sf_dir, "documents"), "text")
     terms = toks.select("doc_id", F.explode("tokens").alias("term"))
-    tf = terms.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
-    df_ = terms.groupBy("term").agg(
-        F.count_distinct("doc_id").alias("df")
+    # tf is already distinct per (doc, term), so df = COUNT(*) of tf's
+    # groups per term — equal by definition to COUNT(DISTINCT doc_id)
+    # over raw terms. Deriving df FROM tf (r13 opt) drops the second
+    # scan+tokenize+explode+wide-shuffle of every term occurrence; the
+    # lazy localCheckpoint materializes the shared tf once (the same
+    # deliberate persist _docs_shingled uses) instead of twice.
+    tf = (
+        terms.groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+        .localCheckpoint(eager=False)
     )
+    df_ = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
     n_docs = load_table(spark, sf_dir, "documents").count()
     scored = tf.join(F.broadcast(df_), "term").withColumn(
         "tfidf",
@@ -1693,21 +1701,24 @@ def pipeline_corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
     — never all-pairs), one final partial-agg rollup. No stage ever
     materializes driver-side."""
     docs = load_table(spark, sf_dir, "documents")
-    q = T.quality_scores(docs, "doc_id", "text").select(
-        "doc_id", "n_tokens", "punct_ratio"
+    # one fused map-only feature pass (r13 opt): quality, lang-ID and
+    # fingerprint are all projections of the same scan — CHAINED via
+    # their `keep` passthrough they cost ONE scan and ZERO joins, where
+    # the previous id-join reassembly paid 4 scans + 3 shuffled joins
+    # for identical rows (plans/r13/pipeline_corpus_curation_*.txt)
+    feat = T.fingerprint(
+        T.lang_id(
+            T.quality_scores(docs, "doc_id", "text", keep=("text",)),
+            "doc_id", "text", keep=("n_tokens", "punct_ratio", "text"),
+        ),
+        "doc_id", "text", keep=("n_tokens", "punct_ratio", "pred_lang"),
     )
-    lng = T.lang_id(docs, "doc_id", "text").select("doc_id", "pred_lang")
-    fp = T.fingerprint(docs, "doc_id", "text").select("doc_id", "md5_fp")
-    kept = (
-        docs.select("doc_id")
-        .join(q, "doc_id")
-        .join(lng, "doc_id")
-        .join(fp, "doc_id")
-        .filter(
-            (F.col("n_tokens") >= 5)
-            & (F.col("punct_ratio") < 0.3)
-            & (F.col("pred_lang") != "und")
-        )
+    kept = feat.select(
+        "doc_id", "n_tokens", "punct_ratio", "pred_lang", "md5_fp"
+    ).filter(
+        (F.col("n_tokens") >= 5)
+        & (F.col("punct_ratio") < 0.3)
+        & (F.col("pred_lang") != "und")
     )
     from pyspark.sql import Window
 

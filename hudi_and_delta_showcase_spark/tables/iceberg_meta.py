@@ -1692,10 +1692,18 @@ def write_iceberg_dataset(
     if part_cols:
         # cluster by the partition tuple so each partition value lands
         # in O(1) files (the write-distribution every Iceberg writer
-        # applies); identity sources drop their helper duplicate
-        out.repartition(*[F.col(c) for c in part_cols]).write.partitionBy(
-            *part_cols
-        ).parquet(data_dir)
+        # applies); identity sources drop their helper duplicate.
+        # Explicit partition count (r13 opt): without it AQE coalesces
+        # the tiny shuffle to ONE task and the per-partition-value
+        # files are written SERIALLY by that task (measured 1.25 s vs
+        # 0.8 s for a 30-day append at sf0.1); pinning to the session's
+        # shuffle parallelism — a scale-adaptive conf, not a constant —
+        # spreads the file writes across tasks while each partition
+        # value still lands in O(1) files.
+        n_shuffle = int(spark.conf.get("spark.sql.shuffle.partitions"))
+        out.repartition(
+            n_shuffle, *[F.col(c) for c in part_cols]
+        ).write.partitionBy(*part_cols).parquet(data_dir)
     else:
         out.write.parquet(data_dir)
 
@@ -1881,6 +1889,65 @@ def write_iceberg_dataset(
 # --------------------------------------------------------------------------
 
 
+def _footer_file_stats(
+    files: list[str], bound_fields: list[dict]
+) -> dict[str, tuple[int, dict[int, tuple]]]:
+    """Per-file ``{path: (row_count, {field-id: (min, max)})}`` straight
+    from the parquet FOOTERS — driver-side, O(files), zero Spark jobs
+    (r13 opt: the same metadata-only cost class the engine's own
+    ``LakehouseTable._file_column_stats`` already uses). Exactness: the
+    bound-eligible types (``_BOUND_PACK``) are all fixed-width
+    primitives (int/long/float/double/boolean/date/timestamp), whose
+    parquet column statistics are exact — never the truncated binary
+    stats strings can carry. A column whose stats are missing in any
+    value-bearing row group records no bounds for that file
+    (conservative: the scan keeps it). Raises on unreadable footers —
+    the caller falls back to the distributed aggregation."""
+    import pyarrow.parquet as pq
+
+    out: dict[str, tuple[int, dict[int, tuple]]] = {}
+    for fp in files:
+        if fsio.is_remote(fp):
+            import pyarrow.fs as pafs
+
+            pfs, ppath = pafs.FileSystem.from_uri(fsio.absolutize(fp))
+            with pfs.open_input_file(ppath) as fh:
+                md = pq.ParquetFile(fh).metadata
+        else:
+            md = pq.ParquetFile(fsio.uri_path(fp)).metadata
+        names = md.schema.names
+        per_field: dict[int, tuple] = {}
+        for f in bound_fields:
+            if f["name"] not in names:
+                continue
+            idx = names.index(f["name"])
+            mins, maxs = [], []
+            usable = True
+            for rg in range(md.num_row_groups):
+                col = md.row_group(rg).column(idx)
+                st = col.statistics
+                if st is None:
+                    usable = False
+                    break
+                if st.min is None or st.max is None:
+                    # all-null groups carry no min/max and contribute
+                    # nothing; a value-bearing group without stats
+                    # makes the column unusable for this file
+                    if (
+                        st.null_count is not None
+                        and st.null_count == md.row_group(rg).num_rows
+                    ):
+                        continue
+                    usable = False
+                    break
+                mins.append(st.min)
+                maxs.append(st.max)
+            if usable and mins:
+                per_field[f["id"]] = (min(mins), max(maxs))
+        out[fp] = (md.num_rows, per_field)
+    return out
+
+
 def _dataset_file_entries(
     spark, location: str, data_dir: str, spec_fields: list[dict],
     ice_schema: dict, with_bounds: bool, sid: int, seq: int,
@@ -1888,13 +1955,14 @@ def _dataset_file_entries(
     """Manifest entries for every parquet file under ``data_dir`` —
     the dataset writer's metadata plane, shared with
     ``rewrite_iceberg_data_files`` (r12): per-file record counts
-    (+ min/max bounds for exactly-serializable columns) come back
-    from ONE distributed aggregation — one result row per file,
-    never a row per record — and partition values parse from the
-    ``_p_{name}=value`` directory components."""
+    (+ min/max bounds for exactly-serializable columns) are harvested
+    from the parquet FOOTERS driver-side (r13 opt — O(files) metadata
+    work, no Spark job; previously ONE distributed aggregation whose
+    scan+shuffle+collect cost ~1.1 s per write at sf0.1), falling back
+    to the distributed aggregation if any footer is unreadable.
+    Partition values parse from the ``_p_{name}=value`` directory
+    components."""
     import urllib.parse
-
-    from pyspark.sql import functions as F
 
     files = sorted(fsio.walk_files(data_dir, suffix=".parquet"))
     if not files:
@@ -1906,6 +1974,77 @@ def _dataset_file_entries(
         and isinstance(f["type"], str)
         and f["type"] in _BOUND_PACK
     ]
+    try:
+        footer = _footer_file_stats(files, bound_fields)
+    except Exception:
+        footer = None
+    if footer is not None:
+        entries = []
+        for fp in files:
+            rel_parts = fsio.relpath(fp, location).split("/")
+            part_vals: dict = {}
+            for comp in rel_parts[:-1]:
+                if "=" not in comp:
+                    continue
+                k, _, v = comp.partition("=")
+                for sf in spec_fields:
+                    if k == f"_p_{sf['name']}":
+                        part_vals[sf["name"]] = _typed_partition_value(
+                            urllib.parse.unquote(v), sf["result-type"]
+                        )
+            n_rows, per_field = footer[fp]
+            lo, hi = [], []
+            for f in bound_fields:
+                rng = per_field.get(f["id"])
+                if rng is None:
+                    continue
+                try:
+                    lo.append(
+                        {"key": f["id"], "value": _BOUND_PACK[f["type"]](rng[0])}
+                    )
+                    hi.append(
+                        {"key": f["id"], "value": _BOUND_PACK[f["type"]](rng[1])}
+                    )
+                except (TypeError, ValueError, _struct.error):
+                    continue
+            entries.append(
+                {
+                    "status": STATUS_ADDED,
+                    "snapshot_id": sid,
+                    "sequence_number": seq,
+                    "file_sequence_number": seq,
+                    "data_file": {
+                        "content": FILE_CONTENT_DATA,
+                        "file_path": fsio.absolutize(fp),
+                        "file_format": "PARQUET",
+                        "partition": part_vals,
+                        "record_count": n_rows,
+                        "file_size_in_bytes": fsio.file_size(fp),
+                        "block_size_in_bytes": 67108864,
+                        "lower_bounds": lo or None,
+                        "upper_bounds": hi or None,
+                        "equality_ids": None,
+                    },
+                }
+            )
+        return entries
+    return _dataset_file_entries_agg(
+        spark, location, files, spec_fields, bound_fields, sid, seq
+    )
+
+
+def _dataset_file_entries_agg(
+    spark, location: str, files: list[str], spec_fields: list[dict],
+    bound_fields: list[dict], sid: int, seq: int,
+) -> list[dict]:
+    """Distributed fallback for ``_dataset_file_entries``: per-file
+    counts/bounds from ONE aggregation over the written files (a row
+    per file, never a row per record) — used only when a parquet
+    footer cannot be read driver-side."""
+    import urllib.parse
+
+    from pyspark.sql import functions as F
+
     aggs = [F.count(F.lit(1)).alias("_cnt")]
     for f in bound_fields:
         aggs.append(F.min(f["name"]).alias(f"_lo_{f['id']}"))
@@ -3217,8 +3356,13 @@ def rewrite_iceberg_data_files(
             else:
                 clustered.write.parquet(data_dir)
         elif part_cols:
+            # explicit N for the same reason as write_iceberg_dataset's
+            # data plane (r13 opt): an N-less keyed repartition is
+            # AQE-coalesced to one task that writes every partition
+            # value's file serially
             out.repartition(
-                *[F.col(c) for c in part_cols]
+                int(spark.conf.get("spark.sql.shuffle.partitions")),
+                *[F.col(c) for c in part_cols],
             ).write.partitionBy(*part_cols).parquet(data_dir)
         else:
             out.coalesce(n_out).write.parquet(data_dir)
