@@ -474,14 +474,36 @@ def _commit_ms(commit_time: str) -> int:
 
 
 def _record_counts(spark, table_path: str, rel_files: list[str]) -> dict[str, int]:
-    """Per-file row counts for NEW files via one distributed job (no
-    driver-side parquet-footer loop): scan exactly these files and
-    group-count ``_metadata.file_path``. Keys are the relative names."""
+    """Per-file row counts for NEW files. Primary path (r13 opt):
+    parquet footer ``num_rows`` read driver-side — exact, O(files)
+    metadata work, zero Spark jobs (the export replay previously paid
+    one scan+shuffle+collect job PER COMMIT for numbers the footers
+    carry verbatim). Falls back to one distributed group-count job
+    over exactly these files if any footer is unreadable. Keys are the
+    relative names."""
     if not rel_files:
         return {}
     import urllib.parse
 
     from pyspark.sql import functions as F
+
+    try:
+        import pyarrow.parquet as pq
+
+        out: dict[str, int] = {}
+        for rel in rel_files:
+            src = fsio.join(table_path, rel)
+            if fsio.is_remote(src):
+                import pyarrow.fs as pafs
+
+                pfs, ppath = pafs.FileSystem.from_uri(fsio.absolutize(src))
+                with pfs.open_input_file(ppath) as fh:
+                    out[rel] = pq.ParquetFile(fh).metadata.num_rows
+            else:
+                out[rel] = pq.ParquetFile(fsio.uri_path(src)).metadata.num_rows
+        return out
+    except Exception:
+        pass  # unreadable footer: the distributed scan below is exact too
 
     paths = [fsio.join(table_path, f) for f in rel_files]
     rows = (
