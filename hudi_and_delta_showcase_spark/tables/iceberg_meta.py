@@ -3700,7 +3700,9 @@ def read_iceberg_where(
             _resolve(table_path, entries[0]["data_file"]["file_path"])
         )
         return base.filter(F.lit(False))
-    df = spark.read.parquet(*[_resolve(table_path, p) for p in keep])
+    df = _pinned_read(
+        spark, meta, [_resolve(table_path, p) for p in keep]
+    )
     if deletes:
         # position deletes for pruned-away files simply never match
         df = _apply_pos_deletes(spark, df, entries, deletes, table_path)
@@ -4233,6 +4235,21 @@ def _apply_pos_deletes(
         )
         .drop("__path", "__pos")
     )
+
+
+def _pinned_read(spark, meta: dict, paths: list[str]):
+    """Scan ``paths`` with the metadata schema pinned when the tree has
+    exactly ONE schema that maps cleanly to Spark types — identical
+    result to inference, minus Spark's footer-sampling schema job
+    (r13 opt, one job + ~0.1 s per scan at sf0.1 file counts). Evolved
+    (multi-schema) trees and unmappable schemas keep the file-sampled
+    path: on these secondary read paths (where/changelog/incremental)
+    the per-snapshot file schema is the existing contract."""
+    if len(meta.get("schemas") or [meta.get("schema")]) <= 1:
+        pinned = _spark_schema_from_iceberg(_current_schema_fields(meta))
+        if pinned is not None:
+            return spark.read.schema(pinned).parquet(*paths)
+    return spark.read.parquet(*paths)
 
 
 def _spark_schema_from_iceberg(fields: list[dict]):
@@ -4826,7 +4843,7 @@ def read_iceberg_changelog(
         ])
         inserts = deletes = None
         if added:
-            inserts = spark.read.parquet(*[
+            inserts = _pinned_read(spark, meta, [
                 _resolve(table_path, e["data_file"]["file_path"])
                 for e in added
             ])
@@ -4852,7 +4869,7 @@ def read_iceberg_changelog(
         if removed:
             # rows already dead at the PARENT must not re-report: apply
             # the parent's delete state, restricted to these files
-            rm = spark.read.parquet(*[
+            rm = _pinned_read(spark, meta, [
                 _resolve(table_path, e["data_file"]["file_path"])
                 for e in removed
             ])
@@ -5136,7 +5153,7 @@ def read_iceberg_incremental(
             ))
             return base.filter(F.lit(False))
         added_entries = kept
-    df = spark.read.parquet(*[
+    df = _pinned_read(spark, meta, [
         _resolve(table_path, e["data_file"]["file_path"])
         for e in added_entries
     ])
