@@ -502,8 +502,20 @@ def _record_counts(spark, table_path: str, rel_files: list[str]) -> dict[str, in
             else:
                 out[rel] = pq.ParquetFile(fsio.uri_path(src)).metadata.num_rows
         return out
-    except Exception:
-        pass  # unreadable footer: the distributed scan below is exact too
+    except (ImportError, OSError, ValueError) as exc:
+        # unreadable footer: the distributed scan below is exact too.
+        # Narrowed from a bare except (r14, advice): an AttributeError/
+        # KeyError here is a bug in THIS code and must surface rather
+        # than masquerade as a perf regression. pyarrow's ArrowInvalid
+        # subclasses ValueError; IO failures are OSError.
+        import warnings
+
+        warnings.warn(
+            f"parquet footer count failed ({exc!r}); falling back to "
+            "the distributed group-count",
+            RuntimeWarning,
+            stacklevel=2,
+        )
 
     paths = [fsio.join(table_path, f) for f in rel_files]
     rows = (
@@ -1995,10 +2007,30 @@ def _dataset_file_entries(
         if with_bounds
         and isinstance(f["type"], str)
         and f["type"] in _BOUND_PACK
+        # float/double record NO bounds (r14): parquet footer min/max
+        # exclude NaN while a distributed max would return NaN
+        # (NaN-greatest), so the two stat planes disagree on NaN data —
+        # and a NaN-blind upper bound lets a reader wrongly prune a
+        # file whose only matching rows are NaN. Real Iceberg guards
+        # this with nan_value_counts, which this writer does not
+        # record; omitting the bounds is the conservative spec-safe
+        # choice (readers keep the file).
+        and f["type"] not in ("float", "double")
     ]
     try:
         footer = _footer_file_stats(files, bound_fields)
-    except Exception:
+    except (ImportError, OSError, KeyError, ValueError, IndexError) as exc:
+        # narrow fallback set (r14, advice): a programming error in the
+        # footer path must SURFACE, not silently degrade into the slow
+        # distributed aggregation forever
+        import warnings
+
+        warnings.warn(
+            f"parquet footer harvest failed ({exc!r}); falling back to "
+            "the distributed per-file aggregation",
+            RuntimeWarning,
+            stacklevel=2,
+        )
         footer = None
     if footer is not None:
         entries = []
@@ -3725,7 +3757,18 @@ def read_iceberg_where(
 #: rounded up (spec "Appendix D: Single-value serialization") — so a
 #: foreign tree's string bounds are safe to prune on.
 _PRUNE_UNPACK = {
-    **_BOUND_UNPACK,
+    # float/double bounds NEVER prune (r14): parquet statistics exclude
+    # NaN from min/max and many writers (this engine included) record
+    # no nan_value_counts — an upper bound below the predicate literal
+    # therefore cannot prove the file holds no matching row, because a
+    # NaN row compares greater than every literal under Spark/Iceberg
+    # NaN-greatest ordering. Scan conservatively; int/long/temporal/
+    # string bounds keep pruning exactly as before.
+    **{
+        k: v
+        for k, v in _BOUND_UNPACK.items()
+        if k not in ("float", "double")
+    },
     "string": lambda b: bytes(b).decode("utf-8", "replace"),
     "date": lambda b: _struct.unpack("<i", b)[0],
 }
