@@ -635,8 +635,18 @@ def _write_eq_delete_files(
         if existing:
             return sorted(fsio.relpath(p, table.path) for p in existing)
     from pyspark.sql import functions as F
+    from pyspark.sql import types as T
 
-    dv = table.spark.read.parquet(
+    # DV sidecars are engine-written (file_name string, pos long):
+    # pinning the schema skips the footer-sampling inference job (r14)
+    dv = table.spark.read.schema(
+        T.StructType(
+            [
+                T.StructField("file_name", T.StringType(), True),
+                T.StructField("pos", T.LongType(), True),
+            ]
+        )
+    ).parquet(
         *[fsio.resolve(table.path, r) for r in dv_rels]
     ).select(
         F.col("file_name").alias("__file"),
@@ -1188,9 +1198,19 @@ def export_iceberg_metadata(
             del_rel = f"deletes/s{sid}"
             del_dir = fsio.join(meta_dir, del_rel)
             from pyspark.sql import functions as F
+            from pyspark.sql import types as T
 
             (
-                table.spark.read.parquet(
+                # engine DV sidecar schema, pinned (r14): one fewer
+                # inference job per exported delete commit
+                table.spark.read.schema(
+                    T.StructType(
+                        [
+                            T.StructField("file_name", T.StringType(), True),
+                            T.StructField("pos", T.LongType(), True),
+                        ]
+                    )
+                ).parquet(
                     *[fsio.resolve(table.path, f) for f in pos_rels]
                 )
                 .select(
@@ -4167,8 +4187,21 @@ def _pos_delete_rows(
     dv = [e for e in delete_entries if _is_dv_entry(e)]
     parts = []
     if pq:
+        # position-delete files carry (file_path string, pos long) by
+        # spec (field-ids 2147483546/2147483545; the optional `row`
+        # struct is never consumed here) — pin that schema instead of
+        # paying Spark's footer-sampling inference job per read
+        # (r14 opt: one plan-time job per changelog/compaction call)
+        from pyspark.sql import types as T
+
+        pos_schema = T.StructType(
+            [
+                T.StructField("file_path", T.StringType(), True),
+                T.StructField("pos", T.LongType(), True),
+            ]
+        )
         parts.append(
-            spark.read.parquet(
+            spark.read.schema(pos_schema).parquet(
                 *[
                     _resolve(table_path, e["data_file"]["file_path"])
                     for e in pq
@@ -4295,6 +4328,14 @@ def _pinned_read(spark, meta: dict, paths: list[str]):
     return spark.read.parquet(*paths)
 
 
+def _read_maybe_pinned(spark, meta: dict | None, paths: list[str]):
+    """``_pinned_read`` when table metadata is at hand, plain inference
+    otherwise (callers that predate the meta plumb-through)."""
+    if meta is not None:
+        return _pinned_read(spark, meta, paths)
+    return spark.read.parquet(*paths)
+
+
 def _spark_schema_from_iceberg(fields: list[dict]):
     """Spark StructType for an all-primitive Iceberg field list, or
     None when any field is nested/unmappable (caller falls back to
@@ -4393,10 +4434,24 @@ def _apply_eq_deletes(
                 f"equality_ids {unknown} not in the current schema"
             )
         groups.setdefault((ids, int(e.get("__seq") or 0)), []).append(e)
+    field_types = {
+        f["name"]: f for f in _current_schema_fields(meta)
+    }
     for (ids, dseq), group in sorted(groups.items()):
         cols = [fields[i] for i in ids]
+        # pin the equality columns' schema from the table metadata when
+        # mappable — skips the footer-sampling inference job per group
+        # (r14 opt); unmappable types keep the sampled path
+        eq_schema = _spark_schema_from_iceberg(
+            [field_types[c] for c in cols if c in field_types]
+        ) if all(c in field_types for c in cols) else None
+        reader = (
+            spark.read.schema(eq_schema)
+            if eq_schema is not None and len(eq_schema) == len(cols)
+            else spark.read
+        )
         dels = (
-            spark.read.parquet(
+            reader.parquet(
                 *[
                     _resolve(table_path, e["data_file"]["file_path"])
                     for e in group
@@ -4472,6 +4527,7 @@ def deleted_positions_df(
             [(scan, rel) for _rec, scan, rel in rel_map],
             "__scan string, __rel string",
         )
+        field_types = {f["name"]: f for f in _current_schema_fields(meta)}
         for (ids, dseq), group in sorted(groups.items()):
             cols = [fields[i] for i in ids]
             cand = [
@@ -4479,8 +4535,20 @@ def deleted_positions_df(
             ]
             if not cand:
                 continue
+            # pinned schemas on both sides (r14 opt): the equality
+            # columns' types come from the table metadata, the
+            # candidate data files read through _pinned_read — two
+            # fewer footer-sampling inference jobs per group
+            eq_schema = _spark_schema_from_iceberg(
+                [field_types[c] for c in cols if c in field_types]
+            ) if all(c in field_types for c in cols) else None
+            reader = (
+                spark.read.schema(eq_schema)
+                if eq_schema is not None and len(eq_schema) == len(cols)
+                else spark.read
+            )
             dels = (
-                spark.read.parquet(
+                reader.parquet(
                     *[
                         _resolve(table_path, e["data_file"]["file_path"])
                         for e in group
@@ -4490,12 +4558,10 @@ def deleted_positions_df(
                 .distinct()
             )
             df = (
-                spark.read.parquet(
-                    *[
-                        _resolve(table_path, e["data_file"]["file_path"])
-                        for e in cand
-                    ]
-                )
+                _pinned_read(spark, meta, [
+                    _resolve(table_path, e["data_file"]["file_path"])
+                    for e in cand
+                ])
                 .withColumn(
                     "__path",
                     F.regexp_replace(
@@ -4669,7 +4735,7 @@ def read_iceberg_table(
     return df
 
 
-def _materialize_positions(spark, table_path, entries, pos_df):
+def _materialize_positions(spark, table_path, entries, pos_df, meta=None):
     """(table-relative file_name, pos) rows — ``deleted_positions_df``'s
     shape — -> the actual data ROWS at those positions: scan ONLY the
     referenced files and LEFT-SEMI join on the scan's native
@@ -4696,9 +4762,9 @@ def _materialize_positions(spark, table_path, entries, pos_df):
     if not by_path:
         # the position set was emptied (e.g. fully subtracted by the
         # parent's delete state): schema-stable empty off one footer
-        df = spark.read.parquet(_resolve(
+        df = _read_maybe_pinned(spark, meta, [_resolve(
             table_path, entries[0]["data_file"]["file_path"]
-        ))
+        )])
         return df.filter(F.lit(False))
     mapping = [
         (
@@ -4717,8 +4783,8 @@ def _materialize_positions(spark, table_path, entries, pos_df):
             F.col("pos").alias("__del_pos"),
         )
     )
-    df = spark.read.parquet(
-        *[_resolve(table_path, rec) for rec in sorted(by_path)]
+    df = _read_maybe_pinned(
+        spark, meta, [_resolve(table_path, rec) for rec in sorted(by_path)]
     )
     return (
         df.withColumn(
@@ -4972,6 +5038,7 @@ def read_iceberg_changelog(
                     newly.select(
                         F.col("file_name").alias("file_path"), "pos"
                     ),
+                    meta=meta,
                 )
                 deletes = (
                     killed_rows if deletes is None
@@ -4994,11 +5061,11 @@ def read_iceberg_changelog(
                 )[0]
             )
             if base_entries:
-                base = spark.read.parquet(
+                base = _pinned_read(spark, meta, [
                     _resolve(
                         table_path, base_entries[0]["data_file"]["file_path"]
                     )
-                )
+                ])
                 return _stamp(base.filter(F.lit(False)), "insert", 0, to_sid)
         raise ValueError(
             f"no row-level changes between snapshots {from_snapshot_id} "

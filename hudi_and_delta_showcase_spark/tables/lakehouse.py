@@ -4161,7 +4161,19 @@ class LakehouseTable:
         longer in the live set simply never match."""
         if not commit.dv_files:
             return df
-        dv = self.spark.read.parquet(
+        # DV sidecars are engine-written with exactly (file_name string,
+        # pos long) — pin that schema instead of paying Spark's
+        # footer-sampling inference job on every DV-table read (r14 opt)
+        from pyspark.sql.types import LongType, StringType, StructField
+        from pyspark.sql.types import StructType as _St
+
+        dv_schema = _St(
+            [
+                StructField("file_name", StringType(), True),
+                StructField("pos", LongType(), True),
+            ]
+        )
+        dv = self.spark.read.schema(dv_schema).parquet(
             *[fsio.resolve(self.path, f) for f in commit.dv_files]
         ).select("file_name", "pos")
         return (
@@ -4287,9 +4299,41 @@ class LakehouseTable:
             prior_files = set(c.files)
         if files:
             paths = [fsio.resolve(self.path, f) for f in files]
-            parts.append(
-                self.spark.read.option("mergeSchema", "true").parquet(*paths)
-            )
+            # pin the sidecar schema when the table records one (r14
+            # opt): CDC files carry the stamped data schema plus the
+            # three CDF columns; older files from before an additive
+            # evolution read null for new columns exactly as
+            # mergeSchema would, and legacy narrow files upcast under
+            # a widened schema natively. Tables without a recorded
+            # schema (legacy/converted) keep the mergeSchema sweep.
+            pinned = self._commit_schema(self._commit(end))
+            if pinned is not None:
+                from pyspark.sql.types import (
+                    IntegerType,
+                    StringType,
+                    StructField,
+                    StructType,
+                )
+
+                pinned = StructType(
+                    [
+                        f
+                        for f in pinned.fields
+                        if f.name != "_hoodie_file_name"
+                    ]
+                    + [
+                        StructField("_change_type", StringType(), True),
+                        StructField("_commit_version", IntegerType(), True),
+                        StructField("_cdc_commit_time", StringType(), True),
+                    ]
+                )
+                parts.append(self.spark.read.schema(pinned).parquet(*paths))
+            else:
+                parts.append(
+                    self.spark.read.option("mergeSchema", "true").parquet(
+                        *paths
+                    )
+                )
         if not parts:
             raise ValueError(
                 f"no change files in versions [{begin_version}, {end}]"
