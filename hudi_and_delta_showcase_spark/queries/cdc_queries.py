@@ -1190,18 +1190,17 @@ def iceberg_day_incremental_read(
     from hudi_and_delta_showcase_spark.tables.iceberg_meta import (
         iceberg_snapshots,
         read_iceberg_incremental,
-        write_iceberg_dataset,
+        write_iceberg_dataset_batches,
     )
 
     base, incr = _split(spark, sf_dir)
     root = tempfile.mkdtemp(prefix="iceberg_dayinc_") + "/events_ice"
-    write_iceberg_dataset(
-        spark, base.select(*_FINAL_COLS), root,
+    # r14: both snapshots' data plane in one combined write (same tree)
+    write_iceberg_dataset_batches(
+        spark,
+        [base.select(*_FINAL_COLS), incr.select(*_FINAL_COLS)],
+        root,
         partition_by=[("ts", "day")],
-    )
-    write_iceberg_dataset(
-        spark, incr.select(*_FINAL_COLS), root,
-        partition_by=[("ts", "day")], mode="append",
     )
     first = iceberg_snapshots(root)[0]["snapshot-id"]
     return read_iceberg_incremental(
@@ -1235,7 +1234,7 @@ def iceberg_rewrite_manifests_read(
     from hudi_and_delta_showcase_spark.tables.iceberg_meta import (
         read_iceberg_table,
         rewrite_iceberg_manifests,
-        write_iceberg_dataset,
+        write_iceberg_dataset_batches,
     )
 
     events = load_table(spark, sf_dir, "events").select(*_FINAL_COLS)
@@ -1243,18 +1242,16 @@ def iceberg_rewrite_manifests_read(
     # three append snapshots: a batch per event_id residue class
     # (r13 sweep-cost trim: each day-partitioned append writes one
     # file per day — 3 appends prove the same 3-manifests-to-1 pack
-    # at half the construction; the 21-to-1 case stays pytest-pinned)
+    # at half the construction; the 21-to-1 case stays pytest-pinned).
+    # r14: the three snapshots' data plane lands in ONE combined write
+    # (write_iceberg_dataset_batches — same tree, 3 fewer jobs).
     batches = [
         events.filter(F.pmod(F.col("event_id"), F.lit(3)) == i)
         for i in range(3)
     ]
-    write_iceberg_dataset(
-        spark, batches[0], root, partition_by=[("ts", "day")]
+    write_iceberg_dataset_batches(
+        spark, batches, root, partition_by=[("ts", "day")]
     )
-    for b in batches[1:]:
-        write_iceberg_dataset(
-            spark, b, root, partition_by=[("ts", "day")], mode="append"
-        )
     out = rewrite_iceberg_manifests(root)
     packed = (
         out["manifests_before"] == 3
@@ -1290,24 +1287,21 @@ def iceberg_rewrite_datafiles_read(
     from hudi_and_delta_showcase_spark.tables.iceberg_meta import (
         read_iceberg_table,
         rewrite_iceberg_data_files,
-        write_iceberg_dataset,
+        write_iceberg_dataset_batches,
     )
 
     events = load_table(spark, sf_dir, "events").select(*_FINAL_COLS)
     root = tempfile.mkdtemp(prefix="iceberg_rwd_") + "/events_ice"
     # r13 sweep-cost trim: 3 residue-class appends still leave every
-    # day partition holding 3 small files — the same pack proof
+    # day partition holding 3 small files — the same pack proof.
+    # r14: one combined write builds all 3 snapshots (same tree).
     batches = [
         events.filter(F.pmod(F.col("event_id"), F.lit(3)) == i)
         for i in range(3)
     ]
-    write_iceberg_dataset(
-        spark, batches[0], root, partition_by=[("ts", "day")]
+    write_iceberg_dataset_batches(
+        spark, batches, root, partition_by=[("ts", "day")]
     )
-    for b in batches[1:]:
-        write_iceberg_dataset(
-            spark, b, root, partition_by=[("ts", "day")], mode="append"
-        )
     out = rewrite_iceberg_data_files(spark, root)
     packed = (
         out["groups_rewritten"] > 0
@@ -1797,20 +1791,19 @@ def iceberg_sort_compaction_read(
         read_iceberg_table,
         read_iceberg_where,
         rewrite_iceberg_data_files,
-        write_iceberg_dataset,
+        write_iceberg_dataset_batches,
     )
 
     events = load_table(spark, sf_dir, "events").select(*_FINAL_COLS)
     root = tempfile.mkdtemp(prefix="iceberg_sort_") + "/events_ice"
     # r13 sweep-cost trim: 4 residue-class appends still span the full
-    # key range per file — the same pruned-nothing-before proof
+    # key range per file — the same pruned-nothing-before proof.
+    # r14: one combined write builds all 4 snapshots (same tree).
     batches = [
         events.filter(F.pmod(F.col("event_id"), F.lit(4)) == i)
         for i in range(4)
     ]
-    write_iceberg_dataset(spark, batches[0], root)
-    for b in batches[1:]:
-        write_iceberg_dataset(spark, b, root, mode="append")
+    write_iceberg_dataset_batches(spark, batches, root)
     b = events.agg(
         F.min("user_id").alias("lo"), F.max("user_id").alias("hi")
     ).collect()[0]
@@ -1867,25 +1860,22 @@ def iceberg_maintenance_cycle(spark: SparkSession, sf_dir: str) -> DataFrame:
         remove_orphan_iceberg_files,
         rewrite_iceberg_data_files,
         rewrite_iceberg_manifests,
-        write_iceberg_dataset,
+        write_iceberg_dataset_batches,
     )
 
     events = load_table(spark, sf_dir, "events").select(*_FINAL_COLS)
     root = tempfile.mkdtemp(prefix="iceberg_mx_") + "/events_ice"
     # r13 sweep-cost trim: 3 appends + the data-rewrite replace make
     # 4 snapshots (the manifest rewrite no-ops after the data rewrite
-    # already packed to one manifest) — keep_last=1 expires 3
+    # already packed to one manifest) — keep_last=1 expires 3.
+    # r14: one combined write builds all 3 snapshots (same tree).
     batches = [
         events.filter(F.pmod(F.col("event_id"), F.lit(3)) == i)
         for i in range(3)
     ]
-    write_iceberg_dataset(
-        spark, batches[0], root, partition_by=[("ts", "day")]
+    write_iceberg_dataset_batches(
+        spark, batches, root, partition_by=[("ts", "day")]
     )
-    for b in batches[1:]:
-        write_iceberg_dataset(
-            spark, b, root, partition_by=[("ts", "day")], mode="append"
-        )
     rwd = rewrite_iceberg_data_files(spark, root)
     rwm = rewrite_iceberg_manifests(root)
     exp = expire_iceberg_snapshots(root, keep_last=1)

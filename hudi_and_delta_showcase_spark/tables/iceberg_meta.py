@@ -1509,6 +1509,7 @@ def write_iceberg_dataset(
     with_bounds: bool = True,
     mode: str = "error",
     branch: str = "main",
+    _data_ready: bool = False,
 ) -> None:
     """Author a self-contained single-snapshot Iceberg v2 tree directly
     from a DataFrame, with an arbitrary TRANSFORM partition spec (r11)
@@ -1743,7 +1744,12 @@ def write_iceberg_dataset(
         if prior is None
         else fsio.join(table_path, "data", f"batch-{version}")
     )
-    if part_cols:
+    if _data_ready:
+        # batched multi-snapshot path (write_iceberg_dataset_batches):
+        # the data files already landed under data_dir in ONE combined
+        # Spark write — only the metadata plane below runs here
+        pass
+    elif part_cols:
         # cluster by the partition tuple so each partition value lands
         # in O(1) files (the write-distribution every Iceberg writer
         # applies); identity sources drop their helper duplicate.
@@ -1936,6 +1942,96 @@ def write_iceberg_dataset(
         _metadata_file(table_path, version), json.dumps(metadata, indent=1)
     )
     fsio.write_atomic(_version_hint(table_path), str(version))
+
+
+def write_iceberg_dataset_batches(
+    spark,
+    batches: list,
+    table_path: str,
+    partition_by: list[tuple[str, str]] | None = None,
+    with_bounds: bool = True,
+) -> None:
+    """Author a FRESH Iceberg tree of ``len(batches)`` chained append
+    snapshots — semantically identical to one ``write_iceberg_dataset``
+    followed by ``mode="append"`` per remaining batch, but the DATA
+    plane is ONE combined Spark write instead of one per snapshot
+    (r14 opt, guide §2.4: N-1 fewer write jobs plus their per-action
+    planning; the multi-snapshot fixture shape every maintenance
+    harness builds).
+
+    How: the batches union with a literal ``__b`` ordinal, one job
+    writes ``partitionBy(__b, *partition columns)`` into a staging dir
+    (clustered by the same tuple, so each batch still lands its
+    partition values in O(1) files — the sequential writer's layout),
+    and the staged ``__b=i`` subtrees MOVE (metadata-only rename) into
+    each snapshot's own data prefix before the per-snapshot metadata
+    plane runs over the already-written files (``_data_ready``). The
+    manifests, sequence numbers, parent chain, schema history and
+    version files come out of the exact same code path as the
+    sequential form."""
+    from pyspark.sql import functions as F
+
+    if not batches:
+        raise ValueError("write_iceberg_dataset_batches needs >= 1 batch")
+    if fsio.exists(_version_hint(table_path)):
+        raise ValueError(f"Iceberg tree already exists at {table_path}")
+    # same helper-column derivation as the sequential writer (validated
+    # there per batch; schemas must agree for the union anyway)
+    part_cols: list[str] = []
+    union = None
+    for i, b in enumerate(batches):
+        out = b.withColumn("__b", F.lit(i))
+        for src, transform in partition_by or []:
+            parsed = ice_transforms.parse_transform(transform)
+            if parsed is None:
+                raise ValueError(f"unknown transform {transform!r}")
+            kind, _param = parsed
+            pname = (
+                src
+                if kind == "identity"
+                else f"{src}_{_TRANSFORM_SUFFIX[kind]}"
+            )
+            hcol = f"_p_{pname}"
+            if i == 0:
+                part_cols.append(hcol)
+            expr = ice_transforms.transform_column(src, transform)
+            if isinstance(expr, ice_transforms._TypedCol):
+                expr = expr.resolve(b.schema[src].dataType)
+            out = out.withColumn(hcol, expr)
+        union = out if union is None else union.unionByName(out)
+    staging = fsio.join(table_path, "data_staging")
+    n_shuffle = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    union.repartition(
+        n_shuffle, F.col("__b"), *[F.col(c) for c in part_cols]
+    ).write.partitionBy("__b", *part_cols).parquet(staging)
+    try:
+        for i, b in enumerate(batches):
+            src_dir = fsio.join(staging, f"__b={i}")
+            dst_dir = (
+                fsio.join(table_path, "data")
+                if i == 0
+                else fsio.join(table_path, "data", f"batch-{i + 1}")
+            )
+            if fsio.exists(src_dir):
+                # rename the staged subtree into place: the destination
+                # itself must NOT pre-exist (a move into an existing
+                # directory would nest the source under it)
+                if i > 0:
+                    fsio.makedirs(fsio.join(table_path, "data"))
+                fsio.move(src_dir, dst_dir)
+            # the metadata plane (manifest, manifest list, snapshot,
+            # version file) runs over the moved files exactly as the
+            # sequential writer's would; an empty batch raises the
+            # same "write produced no data files" it always did
+            write_iceberg_dataset(
+                spark, b, table_path,
+                partition_by=partition_by, with_bounds=with_bounds,
+                mode="error" if i == 0 else "append",
+                _data_ready=True,
+            )
+    finally:
+        if fsio.exists(staging):
+            fsio.rmtree(staging)
 
 
 # --------------------------------------------------------------------------
