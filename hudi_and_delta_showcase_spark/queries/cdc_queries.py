@@ -5021,36 +5021,49 @@ def cdc_convert_hoodie_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
     w = Window.partitionBy("user_id").orderBy(
         F.desc("ts"), F.desc("event_id")
     )
-    latest_incr = (
-        incr.withColumn("__rn", F.row_number().over(w))
+    # ONE window pass + ONE O(users) collect feeds all three log
+    # commits (r14 opt — previously three window pipelines + three
+    # collects): every user's overall-latest row, flagged with whether
+    # the user has any post-cutoff row. The incr-only latest equals
+    # the overall latest exactly when that flag is set (incr
+    # timestamps are strictly above every base timestamp for the same
+    # user, so the shared ts-desc ordering picks the incr row).
+    cutoff_lit = F.lit(CUTOFF).cast("timestamp_ntz")
+    latest_rows = (
+        base.unionByName(incr)
+        .withColumn("__rn", F.row_number().over(w))
+        .withColumn(
+            "__has_incr",
+            F.max((F.col("ts") >= cutoff_lit).cast("int")).over(
+                Window.partitionBy("user_id")
+            ),
+        )
         .filter(F.col("__rn") == 1)
         .drop("__rn")
-    )
-    ht.append_log_commit(
-        root, fid, s["base_instant"],
-        [r.asDict() for r in latest_incr.collect()], schema,
-    )
-    everyone = base.select("user_id").union(incr.select("user_id"))
-    doomed = sorted(
-        r.user_id
-        for r in everyone.filter(F.col("user_id") % 7 == 0)
-        .distinct()
         .collect()
+    )
+    latest_incr = [
+        {k: v for k, v in r.asDict().items() if k != "__has_incr"}
+        for r in latest_rows
+        if r["__has_incr"] == 1
+    ]
+    ht.append_log_commit(
+        root, fid, s["base_instant"], latest_incr, schema,
+    )
+    doomed = sorted(
+        {r.user_id for r in latest_rows if r.user_id % 7 == 0}
     )
     ht.append_log_commit(
         root, fid, s["base_instant"], [], schema,
         deletes=[{"recordKey": str(u)} for u in doomed],
     )
-    latest_all = (
-        base.unionByName(incr)
-        .withColumn("__rn", F.row_number().over(w))
-        .filter(F.col("__rn") == 1)
-        .drop("__rn")
-    )
-    revived = latest_all.filter(F.col("user_id") % 14 == 0)
+    revived = [
+        {k: v for k, v in r.asDict().items() if k != "__has_incr"}
+        for r in latest_rows
+        if r.user_id % 14 == 0
+    ]
     ht.append_log_commit(
-        root, fid, s["base_instant"],
-        [r.asDict() for r in revived.collect()], schema,
+        root, fid, s["base_instant"], revived, schema,
     )
     t = LakehouseTable.convert_hoodie(
         spark, root,

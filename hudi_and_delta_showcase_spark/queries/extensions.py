@@ -1565,13 +1565,33 @@ def pipeline_llm_dataset(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     fp = T.fingerprint(q, "doc_id", "text").select("doc_id", "md5_fp")
     keep = fp.groupBy("md5_fp").agg(F.min("doc_id").alias("doc_id"))
-    dd = q.join(keep.select("doc_id"), "doc_id", "left_semi")
-    dec = T.ngram_decontaminate(dd, eval_df, "doc_id", "text", n=3)
-    clean = dd.join(
-        dec.filter(~F.col("contaminated")).select("doc_id"),
-        "doc_id",
-        "left_semi",
+    # the deduped survivors feed BOTH the decontamination probe and the
+    # final anti-join: one lazy within-query localCheckpoint (the
+    # text_tfidf pattern) materializes the tokenize+dedup chain once —
+    # only the columns both consumers need ride along (r14 opt,
+    # guide §2.3/§5; previously the whole chain re-ran per consumer)
+    dd = (
+        q.join(keep.select("doc_id"), "doc_id", "left_semi")
+        .select("doc_id", "tokens", "n_tok")
+        .localCheckpoint(eager=False)
     )
+    # decontamination, filter-only form: the pipeline needs the
+    # contaminated doc SET, not the per-doc rates the standalone
+    # operator reports — drop any survivor sharing a trigram with the
+    # eval slice (same trigrams: word_shingles over the same tokenize)
+    ev_ng = (
+        D.word_shingles(D.tokenize(eval_df, "text"), "tokens", 3)
+        .select(F.explode("shingles").alias("ng"))
+        .distinct()
+    )
+    cont_ids = (
+        D.word_shingles(dd, "tokens", 3)
+        .select("doc_id", F.explode("shingles").alias("ng"))
+        .join(F.broadcast(ev_ng), "ng")
+        .select("doc_id")
+        .distinct()
+    )
+    clean = dd.join(cont_ids, "doc_id", "left_anti")
     return packed_sequences(
         clean.select("doc_id", "n_tok"), "doc_id", "n_tok", budget=2048
     )

@@ -906,9 +906,18 @@ def optimize_delta_table(
         else:
             _to_physical(out_df).write.parquet(staging)
     elif part_cols:
-        df.repartition(*[F.col(c) for c in part_cols]).write.partitionBy(
-            *part_cols
-        ).parquet(staging)
+        # explicit N (r14, same fix as the Iceberg writer's data
+        # plane): an N-less keyed repartition is AQE-coalesced to ONE
+        # task that then writes every partition value's file serially;
+        # the session's shuffle parallelism is the scale-adaptive bound
+        # while hash-by-partition-cols still lands each value in O(1)
+        # files
+        n_shuffle = int(
+            spark.conf.get("spark.sql.shuffle.partitions")
+        )
+        df.repartition(
+            n_shuffle, *[F.col(c) for c in part_cols]
+        ).write.partitionBy(*part_cols).parquet(staging)
     else:
         _to_physical(df).coalesce(
             max(1, total // max(1, target_file_bytes) + 1)

@@ -2186,7 +2186,17 @@ class LakehouseTable:
         commit_time = mf.make_commit_time()
         version = prev.version + 1
         kcols = self._resolution_cols()
-        keys = self._physical(keys).select(*kcols).distinct()
+        # the caller's key frame is often a full table-read pipeline
+        # (delete WHERE <pred> passes t.read().filter(...)); it is
+        # consumed 2-3 times below (partition split / range-bloom
+        # probes / the delete join itself) — one lazy localCheckpoint
+        # materializes the O(deleted keys) distinct set on first use
+        # instead of re-running the caller's scan per consumer (r14,
+        # guide §5: at scale each re-evaluation is a full scan)
+        keys = (
+            self._physical(keys).select(*kcols).distinct()
+            .localCheckpoint(eager=False)
+        )
         affected, untouched = self._split_affected(prev.files, keys)
         stamped_keys = self._stamp_meta(keys, commit_time)
         if self.bucket_count:
