@@ -4844,7 +4844,12 @@ def _materialize_positions(spark, table_path, entries, pos_df, meta=None):
     # distinct file list is delete-set metadata (one small job over
     # the delete side), while the candidate entry list can be every
     # carried-over file of the snapshot (r10 review finding — a DV
-    # touching 2 of 500 files must not plan a 500-file scan)
+    # touching 2 of 500 files must not plan a 500-file scan).
+    # localCheckpoint first (r14): the position pipeline (DV decode /
+    # delete-file scan, possibly minus the parent's delete state) is
+    # consumed by this collect AND the final semi-join — materialize
+    # the O(deleted rows) set once instead of decoding twice
+    pos_df = pos_df.localCheckpoint(eager=False)
     touched = {
         r.file_path for r in pos_df.select("file_path").distinct().collect()
     }

@@ -39,19 +39,20 @@ def _ids(df):
 @pytest.fixture(scope="module")
 def appended_tree(spark, tmp_path_factory):
     """A day-partitioned dataset tree with 20 appends — 21 manifests,
-    one per write, the shape rewrite_manifests exists for."""
-    root = str(tmp_path_factory.mktemp("rw") / "tree")
-    write_iceberg_dataset(
-        spark, _batch(spark, 1, 6, 0), root, partition_by=[("ts", "day")]
+    one per write, the shape rewrite_manifests exists for. Built with
+    the batched writer (r14): identical tree, one Spark write instead
+    of 21 (fixture setup was ~29 s of the suite wall)."""
+    from hudi_and_delta_showcase_spark.tables.iceberg_meta import (
+        write_iceberg_dataset_batches,
     )
-    for a in range(20):
-        write_iceberg_dataset(
-            spark,
-            _batch(spark, 3 + a, 4, 1000 + 100 * a),
-            root,
-            partition_by=[("ts", "day")],
-            mode="append",
-        )
+
+    root = str(tmp_path_factory.mktemp("rw") / "tree")
+    batches = [_batch(spark, 1, 6, 0)] + [
+        _batch(spark, 3 + a, 4, 1000 + 100 * a) for a in range(20)
+    ]
+    write_iceberg_dataset_batches(
+        spark, batches, root, partition_by=[("ts", "day")]
+    )
     return root
 
 

@@ -163,7 +163,7 @@ def test_watermark_drops_late_data(spark):
         .agg(F.count(F.lit(1)).alias("n"))
         .select(F.col("w.start").alias("wstart"), "n")
     )
-    result = run_to_memory(sdf, mode="append")
+    result = run_to_memory(sdf, mode="append", state_partitions=2)
     got = {(r.wstart.isoformat(sep=" "), r.n) for r in result.collect()}
     # the 10:00 window closed with ONLY the two on-time events (late row
     # dropped); the 12:00 window never crossed the watermark -> unemitted
@@ -223,7 +223,7 @@ def test_watermarked_stream_join_bounds_state(spark):
         & (F.col("rts") >= F.col("lts"))
         & (F.col("rts") <= F.col("lts") + F.expr("INTERVAL 1 HOUR")),
     ).select("k", "lts", "rts")
-    out = run_to_memory(joined, mode="append")
+    out = run_to_memory(joined, mode="append", state_partitions=2)
     got = {(r.k, r.rts.isoformat(sep=" ")) for r in out.collect()}
     assert (1, "2024-01-01 10:10:00") in got          # in-window match
     assert (2, "2024-01-01 15:05:00") in got          # in-window match
@@ -328,7 +328,7 @@ def test_dedup_within_watermark_bounds_state(spark):
         .withWatermark("ts", "1 hour")
         .dropDuplicatesWithinWatermark(["k"])
     )
-    out = run_to_memory(sdf, mode="append")
+    out = run_to_memory(sdf, mode="append", state_partitions=2)
     ks = [r.k for r in out.collect()]
     assert sorted(ks) == [1, 1, 2, 3]  # key 1 twice (post-eviction)
 
