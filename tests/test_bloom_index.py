@@ -31,8 +31,16 @@ def _unclustered(spark, tmp_path, n=1000, files=8, **kw):
         .repartition(files)
     )
     key = "spark.sql.adaptive.coalescePartitions.enabled"
+    skey = "spark.sql.shuffle.partitions"
     old = spark.conf.get(key)
+    sold = spark.conf.get(skey)
+    # pin shuffle partitions too (r14): the precombine-dedup window
+    # RE-shuffles the batch, so the written file count follows the
+    # session's shuffle parallelism, not the repartition above — the
+    # many-overlapping-files shape must not depend on the test
+    # session's core count
     spark.conf.set(key, "false")
+    spark.conf.set(skey, str(files))
     try:
         return LakehouseTable.create(
             spark, str(tmp_path / "t"), df,
@@ -40,6 +48,7 @@ def _unclustered(spark, tmp_path, n=1000, files=8, **kw):
         )
     finally:
         spark.conf.set(key, old)
+        spark.conf.set(skey, sold)
 
 
 def test_bloom_build_probe_no_false_negatives(spark, tmp_path):
@@ -116,8 +125,11 @@ def test_bloom_with_global_index(spark, tmp_path):
         .repartition(8)
     )
     key = "spark.sql.adaptive.coalescePartitions.enabled"
+    skey = "spark.sql.shuffle.partitions"
     old = spark.conf.get(key)
+    sold = spark.conf.get(skey)
     spark.conf.set(key, "false")
+    spark.conf.set(skey, "8")  # shape independent of session cores (r14)
     try:
         t = LakehouseTable.create(
             spark, str(tmp_path / "g"), df,
@@ -126,6 +138,7 @@ def test_bloom_with_global_index(spark, tmp_path):
         )
     finally:
         spark.conf.set(key, old)
+        spark.conf.set(skey, sold)
     src = spark.createDataFrame([(5, "0", 2)], "k long, part string, ts long")
     commit = t.upsert(src)
     assert commit.stats["bloom_skipped_files"] > 0
